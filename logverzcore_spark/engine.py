@@ -1,0 +1,96 @@
+"""SparkSession construction and test-table loading.
+
+The reference runs on a fleet of Lambdas + RDS (SURVEY §3.1); here one
+SparkSession replaces that fabric. Session defaults are tuned for the
+local[32] test box but written so the same code lands well on a real
+cluster: AQE on (runtime re-planning, skew-join handling, partition
+coalescing), shuffle partitions sized by env, UTC session timezone so
+results are comparable against engines with naive timestamps.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Tables the driver materializes per scale factor (TESTDATA.md).
+SF_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def get_session(app_name: str = "logverzcore-spark", **extra_conf: str) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-conscious defaults.
+
+    On a real cluster the master/memory settings come from spark-submit;
+    everything set here is safe under both local and cluster managers.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    if not os.environ.get("SPARK_MASTER_SET"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in extra_conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table.
+
+    events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    rejects by default; fall back to ``nanosAsLong`` and convert to a
+    microsecond timestamp (floor division — same truncation DuckDB's
+    reader applies, so oracle comparisons agree)."""
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    # Timestamps are compared against a naive-UTC oracle; a driver-built
+    # session may carry a local timezone, which would shift every
+    # date_trunc/date_format rendering. Session TZ is a runtime conf, so
+    # pin it here — every suite query reads through this function.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    if name == "events":
+        for field in df.schema.fields:
+            if field.name == "ts" and isinstance(field.dataType, T.LongType):
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_sf_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the driver-generated parquet tables for one scale factor and
+    register each as a temp view (so both DataFrame and SQL paths work)."""
+    out: dict[str, DataFrame] = {}
+    for name in SF_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = read_table(spark, sf_dir, name)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

@@ -1,0 +1,87 @@
+"""Schema coercion — the reference's "convert to sql schema" pass.
+
+Reference behavior (worker.js:911-1011, SURVEY §2.2 P3), re-expressed as
+Catalyst column expressions (JVM-side, codegen-friendly — no Python UDFs):
+
+- ``null`` / ``'null'`` / ``'NULL'`` / missing  → NULL (all types)
+- numeric columns: ``'-'`` or ``''``            → NULL, else cast
+- BOOLEAN: case-insensitive true/false text (the reference's own
+  implementation is buggy — worker.js:969-978 uses indexOf truthiness;
+  we implement the evident intent and document the divergence)
+- STRING: CRLF / newlines replaced by spaces (worker.js:996-1000);
+  ``'[]'`` → ``''`` (worker.js:1001-1005)
+- columns missing from the input (schema drift, worker.js:953) → NULL
+
+All expressions operate on string-typed input columns and produce the
+declared type, so the whole pass stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: String literals the reference treats as NULL in any column.
+NULL_WORDS = ("null", "NULL", "Null")
+#: Extra markers treated as NULL for numeric columns only ('-' and '').
+NUMERIC_NULL_MARKERS = ("-", "")
+
+_NUMERIC_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+
+
+def coerce_column(col: Column, target: T.DataType) -> Column:
+    """Return ``col`` (string-typed) coerced to ``target`` with the
+    reference's NULL-marker semantics."""
+    is_null_word = col.isin(*NULL_WORDS)
+    if isinstance(target, _NUMERIC_TYPES):
+        cleaned = F.when(is_null_word | col.isin(*NUMERIC_NULL_MARKERS) | col.isNull(), F.lit(None)).otherwise(col)
+        return cleaned.cast(target)
+    if isinstance(target, T.BooleanType):
+        lowered = F.lower(F.trim(col))
+        return (
+            F.when(is_null_word | col.isNull() | (F.trim(col) == ""), F.lit(None))
+            .when(lowered == "true", F.lit(True))
+            .when(lowered == "false", F.lit(False))
+            .otherwise(F.lit(None))
+        )
+    if isinstance(target, (T.TimestampType, T.DateType)):
+        cleaned = F.when(is_null_word | col.isNull() | (col == ""), F.lit(None)).otherwise(col)
+        return cleaned.cast(target)
+    if isinstance(target, T.StringType):
+        cleaned = F.when(is_null_word | col.isNull(), F.lit(None)).otherwise(col)
+        # CRLF / lone newlines → space; '[]' → '' (worker.js:996-1005).
+        stripped = F.regexp_replace(cleaned, r"\r\n|\r|\n", " ")
+        return F.when(stripped == "[]", F.lit("")).otherwise(stripped)
+    # Struct/array targets arrive as JSON text.
+    cleaned = F.when(is_null_word | col.isNull() | (col == ""), F.lit(None)).otherwise(col)
+    return F.from_json(cleaned, target)
+
+
+def coerce(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Coerce a raw (all-string or partially typed) DataFrame to ``schema``.
+
+    Columns absent from ``df`` become NULL (schema drift tolerance,
+    worker.js:953). Columns already at their target type pass through
+    untouched so parquet-sourced frames are a no-op.
+    """
+    existing = {f.name: f.dataType for f in df.schema.fields}
+    out = []
+    for field in schema.fields:
+        if field.name not in existing:
+            out.append(F.lit(None).cast(field.dataType).alias(field.name))
+        elif existing[field.name] == field.dataType:
+            out.append(F.col(f"`{field.name}`"))
+        elif isinstance(existing[field.name], T.StringType):
+            out.append(coerce_column(F.col(f"`{field.name}`"), field.dataType).alias(field.name))
+        else:
+            out.append(F.col(f"`{field.name}`").cast(field.dataType).alias(field.name))
+    return df.select(*out)

@@ -1,0 +1,302 @@
+"""Deduplication operators (exact → fuzzy), designed shuffle-consciously
+for 100 TB corpora.
+
+- ``exact_dedup``          hash-groupBy on a content fingerprint; one shuffle
+                           on the md5 key, map-side partial agg first.
+- ``ngram_jaccard_pairs``  word n-gram shingles → inverted-index self-join →
+                           exact Jaccard. The join key is the shingle, so
+                           only docs sharing a shingle ever meet (no
+                           quadratic cross join); hot shingles are capped.
+- ``minhash_lsh_pairs``    MinHash signatures (xxhash64 with k seeds) →
+                           LSH banding → candidate pairs from band-bucket
+                           join → exact-Jaccard verification. The banding
+                           join touches only colliding docs — the 100 TB
+                           scale path.
+- ``simhash64``            64-bit SimHash from token xxhash64s, via
+                           bit-vote aggregation inside array expressions.
+- ``embedding_neardup_pairs``  cosine near-dup over an embedding column,
+                           blocked to avoid the full cross join.
+
+Everything is built from JVM-side array/higher-order functions — no
+Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logverzcore_spark.operators.text import fingerprint_md5, tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative per exact content fingerprint.
+
+    One shuffle on the fingerprint; Catalyst plans a partial min/count
+    before the exchange so duplicate-heavy corpora shrink map-side.
+    """
+    fp = fingerprint_md5(F.col(text_col)).alias("fp")
+    return (
+        df.select(fp, F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of ``col`` (empty array when the
+    document has fewer than n tokens)."""
+    toks = tokens(col)
+    made = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
+        )
+    )
+    # sequence(0, negative) would count DOWN; guard short documents.
+    return F.when(F.size(toks) >= n, made).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+
+
+def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("sh"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.2,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs_per_shingle: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle.
+
+    Scale notes: the self-join shuffles on the shingle (both sides
+    identically partitioned). ``max_docs_per_shingle`` drops
+    super-frequent shingles (stopword runs) that would create skewed,
+    near-useless candidate buckets — the standard inverted-index
+    df-cut. Output: (id1, id2, jaccard) with id1 < id2.
+    """
+    sh = _shingle_table(df, text_col, id_col, n)
+    if max_docs_per_shingle is not None:
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+        sh = sh.join(freq.where(F.col("df_") <= max_docs_per_shingle).select("sh"), "sh")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1"))
+    sb = sizes.select(F.col("doc_id").alias("id2"), F.col("n_sh").alias("n2"))
+    jac = F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter"))
+    return (
+        inter.join(sa, "id1")
+        .join(sb, "id2")
+        .select("id1", "id2", F.round(jac, 4).alias("jaccard"))
+        .where(F.round(jac, 4) >= threshold)
+    )
+
+
+def minhash_signature(col: Column, num_hashes: int = 128, n: int = 3) -> Column:
+    """MinHash signature: per seed s, min over shingles of xxhash64(sh, s)."""
+    sh = shingles(col, n)
+    # One nested-lambda expression (seed referenced from the outer lambda)
+    # instead of num_hashes parallel subtrees — keeps the codegen'd
+    # expression small and evaluates the shingle array once.
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda s: F.array_min(F.transform(sh, lambda x: F.xxhash64(x, s))),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 128,
+    bands: int = 64,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs, verified with exact Jaccard.
+
+    rows = num_hashes // bands; a pair collides in a band with
+    probability s^rows, in ≥1 band with 1-(1-s^rows)^bands. With the
+    defaults (r=2, b=64) recall at s=0.7 is ~1-1e-19.
+
+    Plan shape at scale: one narrow projection computes signatures
+    (no shuffle), one explode to (band, bucket-hash, doc) rows, one
+    self-join shuffled on the bucket key, then exact verification that
+    re-joins the (small) candidate set back to the shingle sets.
+    """
+    rows = num_hashes // bands
+    # Materialize the shingle set FIRST, then hash from the column — the
+    # signature's nested lambda otherwise re-tokenizes the document once
+    # per seed (observed 100×+ slowdown). Small inputs are fanned out so
+    # the signature computation parallelizes; the signature frame is
+    # reused three times below, so persist it.
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles(F.col(text_col), n)).alias("sh_set"),
+    ).where(F.size("sh_set") > 0)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        base = base.repartition(parallelism)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda s: F.array_min(F.transform(F.col("sh_set"), lambda x: F.xxhash64(x, s))),
+    )
+    sig_df = base.withColumn("sig", sig).persist()
+    buckets = sig_df.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda band: F.struct(
+                    band.alias("band"),
+                    F.xxhash64(F.concat_ws("_", band, F.concat_ws(",", F.slice(F.col("sig"), band * rows + 1, rows)))).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
+    sh1 = sig_df.select(F.col("doc_id").alias("id1"), F.col("sh_set").alias("sh1"))
+    sh2 = sig_df.select(F.col("doc_id").alias("id2"), F.col("sh_set").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size(F.array_union("sh1", "sh2"))
+    jac = inter / union
+    return (
+        cand.join(sh1, "id1")
+        .join(sh2, "id2")
+        .select("id1", "id2", F.round(jac, 4).alias("jaccard"))
+        .where(F.round(jac, 4) >= threshold)
+    )
+
+
+def simhash64_expr(text_col: str, n_bits: int = 64) -> Column:
+    """64-bit SimHash: per-token xxhash64, bit-vote per position, sign →
+    fingerprint bits. Built as one SQL expression (shiftleft/shiftright
+    with a non-literal bit index is SQL-only — the Python DSL requires a
+    constant); still a single narrow codegen'd projection."""
+    toks = f"filter(split(lower(`{text_col}`), '\\\\s+'), x -> x != '')"
+    hashes = f"transform({toks}, t -> xxhash64(t))"
+    votes = (
+        f"transform(sequence(0, {n_bits - 1}), bit -> "
+        f"aggregate({hashes}, 0, (acc, h) -> acc + IF((shiftright(h, bit) & 1L) = 1L, 1, -1)))"
+    )
+    return F.expr(
+        f"aggregate(zip_with({votes}, sequence(0, {n_bits - 1}), "
+        f"(v, bit) -> IF(v > 0, shiftleft(1L, bit), 0L)), 0L, (acc, x) -> acc | x)"
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs within ``max_hamming`` bits.
+
+    Candidate generation bands the 64-bit fingerprint into ``n_bands``
+    16-bit chunks: any pair within hamming distance ≤ n_bands-1 shares at
+    least one exact chunk (pigeonhole), so the self-join on (band, chunk)
+    finds all such pairs without a cross join."""
+    sh = df.select(F.col(id_col).alias("doc_id"), simhash64_expr(text_col).alias("sim"))
+    width = 64 // n_bands
+    # Band indices are literals, so the shift amounts stay constants —
+    # unroll in Python rather than a SQL-side transform.
+    chunks = sh.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.shiftrightunsigned(F.col("sim"), band * width)
+                        .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+                        .alias("chunk"),
+                    )
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("doc_id", "sim", "bc.band", "bc.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    hamming = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.99,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Cosine near-duplicate pairs over an embedding column.
+
+    ``block_col`` (e.g. a coarse cluster/LSH bucket) bounds the join;
+    without it this is the exact O(n²) baseline — fine for verification
+    tiers, not for the full 100 TB corpus."""
+    v = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    )
+    norm = F.sqrt(F.aggregate(F.col("vec"), F.lit(0.0), lambda acc, x: acc + x * x))
+    v = v.withColumn("norm", norm)
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col("a.vid") < F.col("b.vid")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    dot = F.aggregate(
+        F.zip_with(F.col("a.vec"), F.col("b.vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.vid").alias("id1"),
+            F.col("b.vid").alias("id2"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .where(F.round(cos, 6) >= threshold)
+    )

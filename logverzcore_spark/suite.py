@@ -1,0 +1,772 @@
+"""The graded query suite: every entry pairs a Spark implementation with a
+DuckDB oracle SQL string over the same parquet tables (TESTDATA.md).
+
+Numeric-determinism conventions (so Spark and DuckDB hash-match exactly):
+- money/metric sums go through DECIMAL(18,2/4) so addition is exact and
+  order-independent (Spark's parallel partial aggregation must not change
+  the result), then cast to DOUBLE for a stable output type;
+- products (price * (1-discount)) are rounded to 2dp *per row* before the
+  decimal cast — both engines round the same IEEE double;
+- averages divide an exact decimal sum (as double) by a count;
+- window ranks order by exact columns with an id tie-break;
+- timestamps leave the engine as formatted strings (UTC session TZ).
+
+Column names are aliased identically on both sides — the driver sorts
+columns by name before hashing.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from logverzcore_spark.operators import dedup, optree, similarity, text
+from logverzcore_spark.operators.coerce import coerce
+from logverzcore_spark.plans.sqlgate import rewrite_legacy_query
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+SUITE: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        SUITE[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from logverzcore_spark.engine import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+def _money_sum(col, scale: int = 2):
+    return F.sum(F.col(col).cast(f"decimal(18,{scale})")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY §2.3/§2.5: the query surface users ran through Q1)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT)/100.0 AS sum_disc_price,
+           CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*(1+l_tax)*100 + 0.5) AS BIGINT)) AS BIGINT)/100.0 AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + hash aggregate (SURVEY §2.5)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+    # Per-row rounding as floor(x*100+0.5): pure IEEE double ops, so any
+    # engine computes the identical cent count (ROUND() semantics differ
+    # subtly between engines); the cent sums are exact integers.
+    disc_cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
+    charge_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")) * 100 + 0.5
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _money_sum("l_quantity").alias("sum_qty"),
+        _money_sum("l_extendedprice").alias("sum_base_price"),
+        (F.sum(disc_cents) / F.lit(100.0)).alias("sum_disc_price"),
+        (F.sum(charge_cents) / F.lit(100.0)).alias("sum_charge"),
+        (_money_sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+        (_money_sum("l_extendedprice") / F.count(F.lit(1))).alias("avg_price"),
+        (_money_sum("l_discount", 4) / F.count(F.lit(1))).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "q02_part_filter",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_size
+    FROM part
+    WHERE p_type LIKE '%ECO%' AND p_size IN (1,5,10,15,20) AND p_brand <> 'Brand#3'
+    """,
+)
+def q02_part_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate corpus: LIKE / IN / != compound filters (SURVEY §2.3 P2)."""
+    part = _t(spark, sf_dir, "part")
+    return part.where(
+        F.col("p_type").like("%ECO%")
+        & F.col("p_size").isin(1, 5, 10, 15, 20)
+        & (F.col("p_brand") != "Brand#3")
+    ).select("p_partkey", "p_name", "p_brand", "p_size")
+
+
+@query(
+    "q03_top_orders",
+    oracle="""
+    SELECT l_orderkey, rev/100.0 AS revenue, n_items
+    FROM (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev,
+             COUNT(*) AS n_items
+      FROM lineitem GROUP BY l_orderkey
+      ORDER BY rev DESC, l_orderkey LIMIT 10
+    )
+    """,
+)
+def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K over aggregate: order-by + limit → TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
+    agg = li.groupBy("l_orderkey").agg(
+        F.sum(disc_cents).alias("rev"), F.count(F.lit(1)).alias("n_items")
+    )
+    return (
+        agg.orderBy(F.col("rev").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", (F.col("rev") / F.lit(100.0)).alias("revenue"), "n_items")
+    )
+
+
+@query(
+    "q04_region_revenue",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY r_name, n_name
+    """,
+)
+def q04_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact shuffles once; dims are broadcast (SURVEY §2.5)."""
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        _money_sum("o_totalprice").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "q05_top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q05_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking (top-K per group) — SURVEY §2.5 windows."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+@query(
+    "q06_union_all",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'purchase' AND value > 100
+    UNION ALL
+    SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'error' AND value <= 50
+    """,
+)
+def q06_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two filtered scans — in the reference's corpus
+    (Samplesqlqueries.txt:58-62)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    a = ev.where((F.col("event_type") == "purchase") & (F.col("value") > 100))
+    b = ev.where((F.col("event_type") == "error") & (F.col("value") <= 50))
+    return a.unionAll(b)
+
+
+@query(
+    "q07_distinct_segments",
+    oracle="""
+    SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n_customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q07_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@query(
+    "q08_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q08_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q09_big_spender_customers",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def q09_big_spender_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@query(
+    "q10_rollup_orders",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def q10_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (SURVEY §2.5)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), _money_sum("o_totalprice").alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+@query(
+    "q11_json_extract_events",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q11_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction — the reference corpus's ->/->> queries
+    (Samplesqlqueries.txt:43-55, SURVEY §2.6)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.max(k).alias("max_k"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "q12_between_case",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS high_qty,
+           CAST(SUM(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) AS BIGINT) AS low_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 23:59:59'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_between_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEEN range predicate + conditional aggregation."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01 00:00:00").cast("timestamp"),
+            F.lit("1996-12-31 23:59:59").cast("timestamp"),
+        )
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_quantity") > 25, 1).otherwise(0)).alias("high_qty"),
+        F.sum(F.when(F.col("l_quantity") <= 25, 1).otherwise(0)).alias("low_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q13_hourly_events",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q13_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling aggregation (batch form of §2.7 windows)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "event_type",
+        ).agg(F.count(F.lit(1)).alias("n"), _money_sum("value").alias("total_value"))
+    )
+
+
+@query(
+    "q14_user_type_matrix",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type='click' THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS click_value,
+           CAST(SUM(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS view_value,
+           CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS purchase_value,
+           CAST(SUM(CASE WHEN event_type='signup' THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS signup_value,
+           CAST(SUM(CASE WHEN event_type='error' THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS error_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q14_user_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-style conditional aggregation (one pass, no extra shuffle)."""
+    ev = _t(spark, sf_dir, "events")
+    val = F.col("value").cast("decimal(18,2)")
+
+    def bucket(t: str):
+        return F.sum(F.when(F.col("event_type") == t, val).otherwise(F.lit(0).cast("decimal(18,2)"))).cast(
+            "double"
+        ).alias(f"{t}_value")
+
+    return ev.groupBy("user_id").agg(
+        bucket("click"), bucket("view"), bucket("purchase"), bucket("signup"), bucket("error")
+    )
+
+
+@query(
+    "q15_optree_find",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus <> 'O' AND (o_totalprice > 300000.5 OR o_orderpriority LIKE '%URGENT%')
+    """,
+)
+def q15_optree_find(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator-tree findAll — the reference's Sequelize query API
+    (SURVEY §2.3 Q4/Q5) compiled to a Column predicate."""
+    orders = _t(spark, sf_dir, "orders")
+    where = {
+        "and": [
+            {"o_orderstatus": {"ne": "O"}},
+            {"or": [{"o_totalprice": {"gt": "300000.5"}}, {"o_orderpriority": {"like": "%URGENT%"}}]},
+        ]
+    }
+    return optree.find_all(
+        orders,
+        where=where,
+        attributes=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
+
+
+@query(
+    "q16_legacy_ingest_filter",
+    oracle="""
+    SELECT event_id, event_type, value FROM events
+    WHERE event_type = 'purchase' AND value > 150.5
+    """,
+)
+def q16_legacy_ingest_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's S3-Select-descended ingest dialect
+    (`FROM S3Object[*].Records[*] s`, SURVEY §2.2 P2) rewritten onto a
+    staged view and run as Spark SQL."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("s3object_staged_events")
+    legacy = (
+        "SELECT s.event_id, s.event_type, s.value FROM S3Object[*].Records[*] s "
+        "WHERE s.event_type = 'purchase' AND s.value > 150.5"
+    )
+    return spark.sql(rewrite_legacy_query(legacy, "s3object_staged_events"))
+
+
+@query(
+    "q17_coercion_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(COUNT(CASE WHEN l_linenumber NOT IN (3,4,5) THEN 1 END) AS BIGINT) AS n_qty_nonnull,
+           CAST(SUM(CASE WHEN l_linenumber NOT IN (3,4,5) THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_qty,
+           CAST(COUNT(CASE WHEN l_linenumber <> 2 THEN 1 END) AS BIGINT) AS n_disc_nonnull,
+           CAST(SUM(CASE WHEN l_linenumber <> 2 THEN CAST(l_discount AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_disc
+    FROM lineitem
+    """,
+)
+def q17_coercion_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-coercion semantics (SURVEY §2.2 P3): numeric columns with the
+    reference's NULL markers ('-', '', 'null', 'NULL') coerce to NULL; the
+    oracle computes ground truth directly from the typed columns."""
+    from pyspark.sql import types as T
+
+    li = _t(spark, sf_dir, "lineitem")
+    raw = li.select(
+        F.when(F.col("l_linenumber") == 3, F.lit("-"))
+        .when(F.col("l_linenumber") == 4, F.lit(""))
+        .when(F.col("l_linenumber") == 5, F.lit("null"))
+        .otherwise(F.col("l_quantity").cast("string"))
+        .alias("qty"),
+        F.when(F.col("l_linenumber") == 2, F.lit("NULL"))
+        .otherwise(F.col("l_discount").cast("string"))
+        .alias("disc"),
+    )
+    schema = T.StructType(
+        [T.StructField("qty", T.DoubleType()), T.StructField("disc", T.DoubleType())]
+    )
+    typed = coerce(raw, schema)
+    return typed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("qty").alias("n_qty_nonnull"),
+        _money_sum("qty").alias("sum_qty"),
+        F.count("disc").alias("n_disc_nonnull"),
+        _money_sum("disc", 4).alias("sum_disc"),
+    )
+
+
+@query(
+    "q18_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id,
+           CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id
+    """,
+)
+def q18_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + running sum (SURVEY §2.7 beyond-parity;
+    30-minute inactivity gap)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = ev.withColumn("session_id", F.sum(is_new).over(running))
+    return sessions.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@query(
+    "q19_segment_balance_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(median(c_acctbal), 4) AS median_bal,
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_bal,
+           COUNT(*) AS n
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q19_segment_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + min/max/avg per group."""
+    customer = _t(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").agg(
+        F.round(F.median("c_acctbal"), 4).alias("median_bal"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        (_money_sum("c_acctbal") / F.count(F.lit(1))).alias("avg_bal"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q20_orders_view_projection",
+    oracle="""
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q20_orders_view_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-projection Views (SURVEY §2.2 P4): stored column subset."""
+    orders = _t(spark, sf_dir, "orders")
+    view_cols = ["o_orderkey", "o_orderdate", "o_totalprice"]
+    return (
+        orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(*view_cols)
+        .withColumn("o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis / dedup / similarity (beyond-reference pipeline operators)
+# ---------------------------------------------------------------------------
+
+_T01_ORACLE = """
+WITH tk AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+         list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS dtoks
+  FROM documents
+), feat AS (
+  SELECT doc_id, text, toks,
+         len(list_filter(list_transform(toks, x -> lower(x)),
+             x -> x IN ('the','a','an','and','or','of','to','in','is'))) AS n_stop,
+         len(list_distinct(list_transform(toks, x -> lower(x)))) AS n_distinct,
+         len(list_filter(dtoks, x -> x IN ('the','and','of','to','a','in','is'))) AS s_en,
+         len(list_filter(dtoks, x -> x IN ('der','die','und','das','nicht','ist'))) AS s_de,
+         len(list_filter(dtoks, x -> x IN ('le','la','et','les','des','est'))) AS s_fr,
+         len(list_filter(dtoks, x -> x IN ('el','la','los','que','es','una'))) AS s_es
+  FROM tk
+)
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS n_chars_computed,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
+       ROUND(n_stop / greatest(len(toks), 1), 4) AS stopword_ratio,
+       ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+             / greatest(length(text), 1), 4) AS punct_ratio,
+       ROUND(1.0 - n_distinct / greatest(len(toks), 1), 4) AS repetition_ratio,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+            WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+            WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+            WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+            ELSE 'de' END AS lang_guess
+FROM feat
+"""
+
+
+@query("t01_text_profile", oracle=_T01_ORACLE)
+def t01_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis feature pass: token counts, quality ratios,
+    fingerprint, heuristic language ID — all JVM-side expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.text_profile(docs, "text").select(
+        "doc_id",
+        "n_chars_computed",
+        "n_tokens",
+        "n_bpe_tokens",
+        "stopword_ratio",
+        "punct_ratio",
+        "repetition_ratio",
+        "fingerprint",
+        "lang_guess",
+    )
+
+
+@query(
+    "d01_dedup_exact",
+    oracle="""
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on a normalized md5 fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+_JACCARD_ORACLE_TMPL = """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(t)-2, 0)+1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+  FROM tok
+), sz AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2, ROUND(c * 1.0 / (s1.n + s2.n - c), 4) AS jaccard
+FROM inter JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+WHERE ROUND(c * 1.0 / (s1.n + s2.n - c), 4) >= {thr}
+"""
+
+
+@query("d02_ngram_jaccard", oracle=_JACCARD_ORACLE_TMPL.format(thr=0.5))
+def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via inverted-index self-join."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+@query("d03_minhash_lsh", oracle=_JACCARD_ORACLE_TMPL.format(thr=0.7))
+def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with exact-Jaccard verification. With
+    r=2/b=64 the probability of missing a 0.7-Jaccard pair is ~1e-19, so
+    the verified output equals the brute-force oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.7, num_hashes=128, bands=64)
+
+
+@query("d04_simhash_pairs")  # xxhash64 is not reproducible in the oracle → rows-only check
+def d04_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3) via banded chunk join."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_neardup_pairs(docs, max_hamming=3)
+
+
+@query(
+    "d05_embedding_neardup",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+    )
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.35
+    """,
+)
+def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label to bound the join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(emb, threshold=0.35, block_col="label")
+
+
+@query(
+    "s01_cosine_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), n AS (
+      SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
+      FROM n q JOIN n c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 20
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for a broadcast query set — the exact ANN
+    baseline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+@query("s02_lsh_topk")  # approximate → rows-only check; recall tested in pytest
+def s02_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH-bucketed ANN top-k (the scale path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return similarity.lsh_topk(emb, queries, k=5, n_planes=6)
+
+
+@query("s03_ivf_topk")  # approximate → rows-only check
+def s03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style coarse-quantized ANN top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return similarity.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4)
+
+
+@query(
+    "m01_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def m01_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary column + mapInPandas metadata
+    extraction (decode stage stubbed — see operators/multimodal.py)."""
+    from logverzcore_spark.operators.multimodal import extract_binary_meta
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return extract_binary_meta(docs, payload_col="payload", id_col="doc_id")
+
+
+@query(
+    "st01_streaming_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st01_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window aggregation (SURVEY §2.7),
+    driven to completion with Trigger.AvailableNow over the events files;
+    result equals the batch oracle."""
+    from logverzcore_spark.streaming.collect_stream import run_windowed_aggregate
+
+    return run_windowed_aggregate(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+# ---------------------------------------------------------------------------
+
+
+def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return SUITE[name](spark, sf_dir)
