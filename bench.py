@@ -1,0 +1,69 @@
+"""Benchmark harness: headline queries at sf0.1 (driver-run per round).
+
+Prints ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+``value`` is the summed wall-clock of the headline queries; each query is
+fully materialized via a count-style collect so lazy plans actually run.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from logverzcore_spark.engine import get_session  # noqa: E402
+from logverzcore_spark.suite import SUITE  # noqa: E402
+
+#: Headline set: the relational core (scan/agg/join/window/topk/session),
+#: plus one representative of each pipeline family (text, exact dedup,
+#: MinHash-LSH, cosine top-k, streaming).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_top_orders",
+    "q04_region_revenue",
+    "q05_top3_orders_per_customer",
+    "q07_distinct_segments",
+    "q13_hourly_events",
+    "q18_sessionize",
+    "t01_text_profile",
+    "d01_dedup_exact",
+    "d03_minhash_lsh",
+    "s01_cosine_topk",
+    "st01_streaming_hourly",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    spark = get_session("logverzcore-bench")
+    timings: dict[str, float] = {}
+    # Warm the JVM/file-index once so q01 doesn't absorb session startup.
+    SUITE["q02_part_filter"](spark, sf_dir).count()
+    for name in HEADLINE:
+        t0 = time.time()
+        df = SUITE[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -50,10 +50,12 @@ def shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of ``col`` (empty array when the
     document has fewer than n tokens)."""
     toks = tokens(col)
+    # slice+array_join beats n separate get() calls ~2.5× (fewer
+    # interpreted-lambda expression evaluations per shingle).
     made = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         )
     )
     # sequence(0, negative) would count DOWN; guard short documents.
@@ -139,34 +141,52 @@ def minhash_lsh_pairs(
     re-joins the (small) candidate set back to the shingle sets.
     """
     rows = num_hashes // bands
-    # Materialize the shingle set FIRST, then hash from the column — the
-    # signature's nested lambda otherwise re-tokenizes the document once
-    # per seed (observed 100×+ slowdown). Small inputs are fanned out so
-    # the signature computation parallelizes; the signature frame is
-    # reused three times below, so persist it.
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(shingles(F.col(text_col), n)).alias("sh_set"),
-    ).where(F.size("sh_set") > 0)
+    # Compute the signature WITHOUT higher-order-function lambdas: HOF
+    # lambda bodies are interpreted (no codegen), so hashing every shingle
+    # once per seed costs 100×+ what the same arithmetic costs inside
+    # WholeStageCodegen. Instead: explode shingles, hash each ONCE
+    # (codegen'd xxhash64), then take the k mins as plain aggregate
+    # expressions over k wrap-around affine permutations of that hash —
+    # one shuffle on doc_id, all map-side-combined.
+    # Repartition the RAW rows first: a small parquet arrives as one
+    # partition, and a projection placed under the exchange would run the
+    # whole shingle computation on a single core. Shuffling the (cheap)
+    # raw text, then projecting, spreads the work across the cluster.
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < parallelism:
-        base = base.repartition(parallelism)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda s: F.array_min(F.transform(F.col("sh_set"), lambda x: F.xxhash64(x, s))),
+        df = df.repartition(parallelism)
+    # No size()>0 filter here: Catalyst pushes such a predicate below the
+    # exchange, re-running the whole shingle expression single-threaded on
+    # the unsplit input (observed 10×). Docs with no shingles simply
+    # produce no exploded rows and can never become candidates.
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col), n).alias("sh_set"),
+    ).persist()
+    hashed = base.select("doc_id", F.explode("sh_set").alias("sh")).select(
+        "doc_id", F.xxhash64("sh").alias("h")
     )
-    sig_df = base.withColumn("sig", sig).persist()
+    # Seed-i permutation = xxhash64(i, h): fixed-width re-hash, codegen'd,
+    # and (unlike a*h+b) safe under ANSI overflow checking. Hash columns
+    # are hoisted into a codegen'd projection so the aggregate buffers do
+    # plain min() updates rather than re-hashing inside the agg iterator.
+    hashed = hashed.select(
+        "doc_id", *[F.xxhash64(F.lit(i), "h").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    sig_df = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.xxhash64(
+                F.lit(band), *[F.col(f"m{band * rows + j}") for j in range(rows)]
+            ).alias("bucket"),
+        )
+        for band in range(bands)
+    ]
     buckets = sig_df.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda band: F.struct(
-                    band.alias("band"),
-                    F.xxhash64(F.concat_ws("_", band, F.concat_ws(",", F.slice(F.col("sig"), band * rows + 1, rows)))).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
     cand = (
         buckets.alias("a")
@@ -179,8 +199,8 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .distinct()
     )
-    sh1 = sig_df.select(F.col("doc_id").alias("id1"), F.col("sh_set").alias("sh1"))
-    sh2 = sig_df.select(F.col("doc_id").alias("id2"), F.col("sh_set").alias("sh2"))
+    sh1 = base.select(F.col("doc_id").alias("id1"), F.col("sh_set").alias("sh1"))
+    sh2 = base.select(F.col("doc_id").alias("id2"), F.col("sh_set").alias("sh2"))
     inter = F.size(F.array_intersect("sh1", "sh2"))
     union = F.size(F.array_union("sh1", "sh2"))
     jac = inter / union
