@@ -1,0 +1,110 @@
+"""Interactive query surface — the reference's WebRTC proxy request modes
+(p2pconnection.js:162-301 routes by Mode; sqlproxy.mjs:6-155 executes)
+behind one ``Engine`` facade. Transport (WebRTC/chunking) is out of
+scope; semantics are:
+
+- ``sql``            Q1+Q2+Q3: SELECT-only gate on the parser, per-table
+                     ACL, then execute; results as JSON-able rows.
+- ``find_all/one/by_pk``  Q4/Q5: operator-tree queries on a table/model.
+- ``list_tables``    Q7: catalog listing with pattern + ACL filtering.
+- ``describe_table`` Q8: column name/type dict (admin/poweruser only).
+- ``delete_table``   Q9: drop + catalog deactivation (owner-gated).
+- ``explain``        Q10: plan text instead of rollback dry-run.
+- ``views``          P4: named projections from the DataType registry.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from logverzcore_spark.catalog import Catalog, User
+from logverzcore_spark.operators import optree
+from logverzcore_spark.plans.sqlgate import SqlValidationError, validate_select
+from logverzcore_spark.schemas import REGISTRY
+
+ADMIN = User(name="admin", is_admin=True)
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, catalog: Catalog | None = None):
+        self.spark = spark
+        self.catalog = catalog or Catalog()
+
+    # -- Mode: Native -----------------------------------------------------
+    def sql(self, query: str, user: User = ADMIN) -> DataFrame:
+        """Validated raw-SQL SELECT (Q1 behind the Q2 gate + Q3 ACL)."""
+        result = validate_select(self.spark, query)
+        self.catalog.authorize_tables(result.tables, user)
+        return self.spark.sql(query)
+
+    def sql_json(self, query: str, user: User = ADMIN) -> str:
+        """Q1's wire shape: JSON rows, non-ASCII stripped
+        (sqlproxy.mjs:153)."""
+        rows = [r.asDict(recursive=True) for r in self.sql(query, user).collect()]
+        return json.dumps(rows, default=str, ensure_ascii=True)
+
+    def explain(self, query: str, user: User = ADMIN) -> str:
+        result = validate_select(self.spark, query)
+        self.catalog.authorize_tables(result.tables, user)
+        return self.spark.sql(query)._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+
+    # -- Mode: operator-tree find (Q4/Q5) ---------------------------------
+    def find_all(
+        self,
+        table: str,
+        user: User = ADMIN,
+        where: dict | None = None,
+        attributes: list[str] | None = None,
+        order: list[tuple[str, str]] | None = None,
+        limit: int | None = None,
+    ) -> DataFrame:
+        self.catalog.authorize_tables([table], user)
+        return optree.find_all(
+            self.spark.table(table), where=where, attributes=attributes,
+            order=order, limit=limit,
+        )
+
+    def find_one(self, table: str, user: User = ADMIN, **kw) -> dict[str, Any] | None:
+        rows = self.find_all(table, user, **kw).limit(1).collect()
+        return rows[0].asDict(recursive=True) if rows else None
+
+    def find_by_pk(self, table: str, pk_col: str, pk, user: User = ADMIN) -> dict | None:
+        return self.find_one(table, user, where={pk_col: {"eq": pk}})
+
+    # -- Catalog ops (Q7-Q9) ----------------------------------------------
+    def list_tables(self, pattern: str | None = None, user: User = ADMIN) -> list[str]:
+        names = [t.name for t in self.spark.catalog.listTables()]
+        if pattern:
+            names = [n for n in names if fnmatch.fnmatch(n, pattern)]
+        if user.is_admin or user.is_poweruser:
+            return sorted(names)
+        visible = {e.TableName for e in self.catalog.list(user)}
+        return sorted(n for n in names if n in visible)
+
+    def describe_table(self, table: str, user: User = ADMIN) -> dict[str, str]:
+        if not (user.is_admin or user.is_poweruser):
+            raise PermissionError("describeTable requires admin/poweruser")
+        return {f.name: f.dataType.simpleString() for f in self.spark.table(table).schema.fields}
+
+    def delete_table(self, table: str, user: User = ADMIN) -> None:
+        self.catalog.deactivate_table(table, user)
+        self.spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+
+    # -- Views (P4) --------------------------------------------------------
+    def view(self, table: str, datatype: str, view_name: str = "Default",
+             user: User = ADMIN) -> DataFrame:
+        self.catalog.authorize_tables([table], user)
+        dt = REGISTRY[datatype]
+        cols = dt.views.get(view_name)
+        if not cols:
+            raise KeyError(f"{datatype} has no view {view_name!r}")
+        return self.spark.table(table).select(*[f"`{c}`" for c in cols])
+
+
+__all__ = ["Engine", "User", "ADMIN", "SqlValidationError"]

@@ -1,0 +1,167 @@
+"""Dataset catalog + ACL — the reference's Logverz-Queries DynamoDB table
+and its authorization rules, re-expressed over a JSON-lines metadata store.
+
+Reference semantics reproduced:
+- one item per collection ("C"), continuous collection ("CC"), or saved
+  analysis ("A") with TableName, DatabaseName, DataType, QuerySettings,
+  Owners[], Access[], Active, Archive (commonsharedv3.js:1079-1197
+  ``RecordQuery``);
+- visibility: admins/powerusers see everything; otherwise the caller (or
+  one of their groups) must appear in Owners or Access
+  (authenticationsharedv3.js:641-699 ``resourceaccessauthorization``,
+  nosql.js:244-289 ``sharedqueryfiltering``);
+- archive filter drops Archive==true rows (nosql.js:231);
+- updates must not swap DatabaseName/TableName (privilege-escalation
+  guard, nosql.js:323-335);
+- metadata queries support begins_with / between / contains and
+  post-query sort+limit (nosql.js:394-490, :291-307) — here plain Python
+  predicates, since the catalog is small driver-side state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class User:
+    name: str
+    groups: list[str] = field(default_factory=list)
+    is_admin: bool = False
+    is_poweruser: bool = False
+
+
+@dataclass
+class CatalogEntry:
+    TableName: str
+    DatabaseName: str = "default"
+    DataType: str = "Custom"
+    Type: str = "C"  # C=collection, CC=continuous, A=saved analysis
+    QuerySettings: dict = field(default_factory=dict)
+    Owners: list[str] = field(default_factory=list)
+    Access: list[str] = field(default_factory=list)
+    Active: bool = True
+    Archive: bool = False
+    ID: str = ""
+    CreationUnixTime: float = 0.0
+
+    def visible_to(self, user: User) -> bool:
+        if user.is_admin or user.is_poweruser:
+            return True
+        principals = {user.name, *user.groups}
+        return bool(principals & set(self.Owners)) or bool(principals & set(self.Access))
+
+    def owned_by(self, user: User) -> bool:
+        if user.is_admin:
+            return True
+        return bool({user.name, *user.groups} & set(self.Owners))
+
+
+class Catalog:
+    """JSON-lines-backed dataset catalog (one file per warehouse)."""
+
+    def __init__(self, path: str | None = None):
+        self.path = path
+        self._entries: dict[str, CatalogEntry] = {}
+        if path and os.path.exists(path):
+            with open(path) as fh:
+                for line in fh:
+                    if line.strip():
+                        e = CatalogEntry(**json.loads(line))
+                        self._entries[e.ID] = e
+
+    def _flush(self) -> None:
+        if not self.path:
+            return
+        tmp = f"{self.path}.tmp.{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as fh:
+            for e in self._entries.values():
+                fh.write(json.dumps(asdict(e)) + "\n")
+        os.replace(tmp, self.path)
+
+    def record_query(self, entry: CatalogEntry, deactivate_older: bool = True) -> CatalogEntry:
+        """Insert a catalog item; older active entries for the same
+        (DatabaseName, TableName) are deactivated (controller.js behavior of
+        superseding previous collections into the same table)."""
+        if not entry.ID:
+            entry.ID = uuid.uuid4().hex
+        entry.CreationUnixTime = entry.CreationUnixTime or time.time()
+        if deactivate_older:
+            for other in self._entries.values():
+                if (
+                    other.Active
+                    and other.TableName == entry.TableName
+                    and other.DatabaseName == entry.DatabaseName
+                ):
+                    other.Active = False
+        self._entries[entry.ID] = entry
+        self._flush()
+        return entry
+
+    def update(self, entry_id: str, user: User, **changes) -> CatalogEntry:
+        e = self._entries[entry_id]
+        if not e.owned_by(user):
+            raise PermissionError(f"{user.name} does not own {e.TableName}")
+        # Immutable identity fields (privilege-escalation guard).
+        for frozen in ("DatabaseName", "TableName", "ID"):
+            if frozen in changes and changes[frozen] != getattr(e, frozen):
+                raise ValueError(f"{frozen} is immutable on update")
+        for k, v in changes.items():
+            setattr(e, k, v)
+        self._flush()
+        return e
+
+    def list(
+        self,
+        user: User,
+        include_archived: bool = False,
+        types: tuple[str, ...] | None = None,
+        table_begins_with: str | None = None,
+        sort_by: str | None = None,
+        descending: bool = False,
+        limit: int | None = None,
+    ) -> list[CatalogEntry]:
+        out = [e for e in self._entries.values() if e.visible_to(user)]
+        if not include_archived:
+            out = [e for e in out if not e.Archive]
+        if types:
+            out = [e for e in out if e.Type in types]
+        if table_begins_with:
+            out = [e for e in out if e.TableName.startswith(table_begins_with)]
+        if sort_by:
+            out.sort(key=lambda e: getattr(e, sort_by), reverse=descending)
+        if limit is not None:
+            out = out[:limit]
+        return out
+
+    def for_table(self, table: str, database: str = "default") -> CatalogEntry | None:
+        live = [
+            e
+            for e in self._entries.values()
+            if e.TableName == table and e.DatabaseName == database and e.Active
+        ]
+        return max(live, key=lambda e: e.CreationUnixTime) if live else None
+
+    def authorize_tables(self, tables: list[str], user: User, database: str = "default") -> None:
+        """Per-table ACL gate before query execution (Q3). Tables without a
+        catalog entry are system/temp tables — admin-only."""
+        for t in tables:
+            entry = self.for_table(t, database)
+            if entry is None:
+                if not (user.is_admin or user.is_poweruser):
+                    raise PermissionError(f"no catalog entry for table {t!r}")
+                continue
+            if not entry.visible_to(user):
+                raise PermissionError(f"{user.name} may not query table {t!r}")
+
+    def deactivate_table(self, table: str, user: User, database: str = "default") -> None:
+        entry = self.for_table(table, database)
+        if entry is not None:
+            if not entry.owned_by(user):
+                raise PermissionError(f"{user.name} does not own {table!r}")
+            entry.Active = False
+            self._flush()

@@ -1,0 +1,139 @@
+"""Batch collection job — the reference's whole SQS/CodeBuild/Lambda
+fabric collapsed into one Spark job (SURVEY §3.1 "Spark lifecycle
+mapping").
+
+``collect()`` = plan files (Catalyst file index replaces the S3
+prefix-tree walk + work batching, controller.js:233-264) → read with
+per-DataType options → quarantine bad rows (ProcessingErrors,
+worker.js:555-576) → coerce to the declared schema (worker.js:911-1011)
+→ optional ingest-time WHERE (the per-file SQLite filter,
+worker.js:258-312 — here one declarative filter Catalyst pushes into the
+scan) → write the dataset table → record catalog entry + job metrics
+(Invocations heartbeat rows, enginesharedv3.mjs:17-36).
+
+Scale notes: the writer partitions by nothing by default (log tables are
+append-only time series; callers pass ``partition_by`` for date-ish
+columns to enable dynamic partition pruning); ``maxRecordsPerFile``
+bounds output file size the way the reference's 50-files/2 MB task
+batching bounded worker memory (controller.js:867-890).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from logverzcore_spark.catalog import Catalog, CatalogEntry, User
+from logverzcore_spark.operators.coerce import coerce
+from logverzcore_spark.plans.sqlgate import rewrite_legacy_query
+from logverzcore_spark.schemas import DataType, get_datatype
+from logverzcore_spark.sources import readers
+
+
+@dataclass
+class CollectJob:
+    """Job spec — the reference's Start-Job request body
+    (jobproducer.js:49-60)."""
+
+    path: str | list[str]
+    datatype: str
+    table_name: str
+    custom_schema: str | None = None
+    query_string: str | None = None  # ingest-time SQL (legacy dialect ok)
+    database: str = "default"
+    owners: list[str] = field(default_factory=list)
+    access: list[str] = field(default_factory=list)
+    zip_compressed: bool = False
+    partition_by: list[str] = field(default_factory=list)
+    max_records_per_file: int = 1_000_000
+    mode: str = "overwrite"  # reference tables are create-or-replace
+
+
+@dataclass
+class CollectReport:
+    job_id: str
+    table_name: str
+    rows_written: int
+    rows_quarantined: int
+    files_seen: int
+    elapsed_sec: float
+
+
+def _read(spark: SparkSession, job: CollectJob, dt: DataType) -> DataFrame:
+    if job.zip_compressed:
+        return readers.read_zip_csv(spark, job.path, dt)
+    return readers.read_raw(spark, job.path, dt)
+
+
+def collect(
+    spark: SparkSession,
+    job: CollectJob,
+    catalog: Catalog | None = None,
+    user: User | None = None,
+    quarantine_table: str | None = None,
+) -> CollectReport:
+    """Run one collection job to completion and return its report."""
+    t0 = time.time()
+    job_id = uuid.uuid4().hex[:12]
+    dt = get_datatype(job.datatype, job.custom_schema)
+
+    raw = _read(spark, job, dt)
+    good, bad = readers.split_quarantine(raw)
+    typed = coerce(good.drop(readers.SOURCE_COL), dt.schema)
+
+    if job.query_string and "where" in job.query_string.lower():
+        stage_view = f"stage_{job_id}"
+        typed.createOrReplaceTempView(stage_view)
+        typed = spark.sql(rewrite_legacy_query(job.query_string, stage_view))
+
+    writer = (
+        typed.write.mode(job.mode)
+        .option("maxRecordsPerFile", str(job.max_records_per_file))
+    )
+    if job.partition_by:
+        writer = writer.partitionBy(*job.partition_by)
+    writer.saveAsTable(job.table_name)
+
+    n_rows = spark.table(job.table_name).count()
+    n_bad = bad.count()
+    n_files = raw.select(readers.SOURCE_COL).distinct().count()
+
+    if n_bad and quarantine_table:
+        # ProcessingErrors-shaped quarantine sink (jobid, path, error, row).
+        from pyspark.sql import functions as F
+
+        bad.select(
+            F.lit(job_id).alias("jobid"),
+            F.col(readers.SOURCE_COL).alias("path"),
+            F.col(readers.CORRUPT_COL).alias("errormessage"),
+            F.lit(time.time()).cast("double").alias("updateunixtime"),
+        ).write.mode("append").saveAsTable(quarantine_table)
+
+    if catalog is not None:
+        catalog.record_query(
+            CatalogEntry(
+                TableName=job.table_name,
+                DatabaseName=job.database,
+                DataType=job.datatype,
+                Type="C",
+                QuerySettings={
+                    "QueryString": job.query_string or "",
+                    "StgFolders": job.path if isinstance(job.path, list) else [job.path],
+                    "JobID": job_id,
+                },
+                Owners=job.owners or ([user.name] if user else []),
+                Access=job.access,
+            )
+        )
+
+    return CollectReport(
+        job_id=job_id,
+        table_name=job.table_name,
+        rows_written=n_rows,
+        rows_quarantined=n_bad,
+        files_seen=n_files,
+        elapsed_sec=round(time.time() - t0, 3),
+    )

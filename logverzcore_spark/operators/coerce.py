@@ -78,7 +78,12 @@ def coerce(df: DataFrame, schema: T.StructType) -> DataFrame:
     for field in schema.fields:
         if field.name not in existing:
             out.append(F.lit(None).cast(field.dataType).alias(field.name))
-        elif existing[field.name] == field.dataType:
+        elif existing[field.name] == field.dataType and not isinstance(
+            field.dataType, T.StringType
+        ):
+            # Already typed → pass through. String→string still goes
+            # through coerce_column: the CRLF/'[]' cleanup applies to every
+            # string value, typed source or not.
             out.append(F.col(f"`{field.name}`"))
         elif isinstance(existing[field.name], T.StringType):
             out.append(coerce_column(F.col(f"`{field.name}`"), field.dataType).alias(field.name))

@@ -100,27 +100,49 @@ def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 6,
+    n_tables: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Approximate top-k: score only same-LSH-bucket candidates.
+    """Approximate top-k: score only candidates sharing an LSH bucket in
+    at least one of ``n_tables`` hash tables.
 
-    At scale the corpus is hash-partitioned by bucket once (reusable
-    across query batches); each query touches one partition's worth of
-    candidates instead of the whole corpus."""
+    One table of b sign-bits finds a cos-θ neighbor with probability
+    (1-θ/π)^b — too low for top-k recall. L independent tables lift it to
+    1-(1-p^b)^L (≈0.95 for cos≈0.7 at b=6, L=8). At scale the corpus is
+    hash-partitioned by (table, bucket) once and reused across query
+    batches; each query probes L buckets instead of scanning the corpus."""
     dim = len(corpus.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes)
-    c = corpus.select(
-        F.col(id_col).alias("nid"),
-        _as_double(F.col(vec_col)).alias("nvec"),
-    ).withColumn("nbucket", lsh_bucket(F.col("nvec"), planes))
-    q = queries.select(
-        F.col(id_col).alias("qid"),
-        _as_double(F.col(vec_col)).alias("qvec"),
-    ).withColumn("qbucket", lsh_bucket(F.col("qvec"), planes))
+    all_planes = _hyperplanes(dim, n_planes * n_tables)
+    tables = [all_planes[t * n_planes : (t + 1) * n_planes] for t in range(n_tables)]
+
+    def bucketed(df: DataFrame, idc: str, vecc: str) -> DataFrame:
+        tb = F.array(
+            *[
+                F.struct(F.lit(t).alias("t"), lsh_bucket(F.col(vecc), tables[t]).alias("b"))
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(idc, vecc, F.explode(tb).alias("tb")).select(
+            idc, vecc, "tb.t", "tb.b"
+        )
+
+    c = bucketed(
+        corpus.select(F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nvec")),
+        "nid", "nvec",
+    )
+    q = bucketed(
+        queries.select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec")),
+        "qid", "qvec",
+    )
     scored = (
-        c.join(F.broadcast(q), (F.col("qbucket") == F.col("nbucket")) & (F.col("qid") != F.col("nid")))
+        c.join(
+            F.broadcast(q),
+            (c["t"] == q["t"]) & (c["b"] == q["b"]) & (F.col("qid") != F.col("nid")),
+        )
+        .select("qid", "nid", "qvec", "nvec")
+        .distinct()  # a pair may collide in several tables; score once
         .select("qid", "nid", cosine(F.col("qvec"), F.col("nvec")).alias("cos"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))

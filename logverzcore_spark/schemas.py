@@ -1,0 +1,248 @@
+"""DataType schema registry — the reference's SSM-parameter registry
+re-expressed as Python data.
+
+The reference stores one JSON document per DataType under
+``/Logverz/Engine/Schemas/<DataType>`` with a Sequelize column list, S3
+Select-shaped read options (``StgSelectParameters.IO.InputSerialization``),
+and named projection Views (Logverz-Engine.json:1606-1770;
+jobproducer.js:173-183 fetches it per job; SURVEY §1.1). Here each entry
+carries a Spark ``StructType``, reader format+options, an optional JSON
+root element to unnest, and the Views.
+
+A "Custom" DataType (ad-hoc schema string submitted with the job —
+jobproducer.js:191-197) is supported via :func:`parse_custom_schema`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+_TYPE_ALIASES = {
+    "int": T.IntegerType(),
+    "integer": T.IntegerType(),
+    "long": T.LongType(),
+    "bigint": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "text": T.StringType(),
+    "boolean": T.BooleanType(),
+    "bool": T.BooleanType(),
+    "timestamp": T.TimestampType(),
+    "date": T.DateType(),
+    "json": T.StringType(),  # JSON columns kept as raw string twin; see Views
+}
+
+
+@dataclass
+class DataType:
+    """One registry entry: how to read files of this type and what schema
+    the resulting table has."""
+
+    name: str
+    schema: T.StructType
+    format: str = "csv"  # csv | json | binary-zip
+    options: dict[str, str] = field(default_factory=dict)
+    root_element: str | None = None  # JSON array to explode (CloudTrail "Records")
+    views: dict[str, list[str]] = field(default_factory=dict)
+    comment_prefix: str | None = None  # preamble lines to drop (CloudFront '#')
+
+
+def _schema(*cols: tuple[str, str]) -> T.StructType:
+    return T.StructType([T.StructField(n, _TYPE_ALIASES[t], True) for n, t in cols])
+
+
+def parse_custom_schema(text: str) -> T.StructType:
+    """Parse an ad-hoc ``name:type, name:type`` schema string (the Custom
+    DataType job parameter)."""
+    fields = []
+    for part in text.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        name, _, typ = part.partition(":")
+        typ = typ.strip().lower() or "string"
+        if typ not in _TYPE_ALIASES:
+            raise ValueError(f"unknown type {typ!r} in custom schema")
+        fields.append(T.StructField(name.strip(), _TYPE_ALIASES[typ], True))
+    if not fields:
+        raise ValueError("empty custom schema")
+    return T.StructType(fields)
+
+
+# --------------------------------------------------------------------------
+# Built-in DataTypes (FIXTURES.md B1-B7; registry Logverz-Engine.json:1606+)
+# --------------------------------------------------------------------------
+
+VPCFLOW = DataType(
+    name="VPCFlow",
+    format="csv",
+    options={"sep": " ", "header": "true"},
+    schema=_schema(
+        ("version", "int"), ("account-id", "long"), ("interface-id", "string"),
+        ("srcaddr", "string"), ("dstaddr", "string"), ("srcport", "int"),
+        ("dstport", "int"), ("protocol", "int"), ("packets", "long"),
+        ("bytes", "long"), ("start", "long"), ("end", "long"),
+        ("action", "string"), ("log-status", "string"), ("vpc-id", "string"),
+        ("subnet-id", "string"), ("instance-id", "string"), ("tcp-flags", "string"),
+        ("type", "string"), ("pkt-srcaddr", "string"), ("pkt-dstaddr", "string"),
+        ("region", "string"), ("az-id", "string"), ("sublocation-type", "string"),
+        ("sublocation-id", "string"), ("pkt-src-aws-service", "string"),
+        ("pkt-dst-aws-service", "string"), ("flow-direction", "string"),
+        ("traffic-path", "int"),
+    ),
+    views={
+        "Default": ["srcaddr", "dstaddr", "srcport", "dstport", "protocol",
+                    "packets", "bytes", "action"],
+        "Extended": ["version", "account-id", "interface-id", "srcaddr",
+                     "dstaddr", "srcport", "dstport", "protocol", "packets",
+                     "bytes", "start", "end", "action", "log-status"],
+    },
+)
+
+CLOUDTRAIL = DataType(
+    name="CloudTrail",
+    format="json",
+    options={"multiLine": "true"},
+    root_element="Records",
+    schema=_schema(
+        ("eventVersion", "float"), ("userIdentity", "json"),
+        ("eventTime", "timestamp"), ("eventSource", "string"),
+        ("eventName", "string"), ("awsRegion", "string"),
+        ("sourceIPAddress", "string"), ("userAgent", "string"),
+        ("errorCode", "string"), ("errorMessage", "string"),
+        ("requestParameters", "json"), ("responseElements", "json"),
+        ("additionalEventData", "json"), ("requestID", "string"),
+        ("eventID", "string"), ("eventType", "string"),
+        ("recipientAccountId", "string"), ("serviceEventDetails", "json"),
+        ("resources", "json"), ("vpcEndpointId", "string"), ("readOnly", "string"),
+    ),
+    views={
+        "Default": ["eventTime", "eventSource", "eventName", "awsRegion",
+                    "sourceIPAddress", "errorCode", "errorMessage"],
+    },
+)
+
+APPLICATIONLB = DataType(
+    name="ApplicationLB",
+    format="csv",
+    options={"sep": " ", "header": "false", "quote": '"'},
+    schema=_schema(
+        ("type", "string"), ("timestamp", "timestamp"), ("elb", "string"),
+        ("client:port", "string"), ("target:port", "string"),
+        ("request_processing_time", "double"), ("target_processing_time", "double"),
+        ("response_processing_time", "double"), ("elb_status_code", "int"),
+        ("target_status_code", "int"), ("received_bytes", "long"),
+        ("sent_bytes", "long"), ("request", "string"), ("user_agent", "string"),
+        ("ssl_cipher", "string"), ("ssl_protocol", "string"),
+        ("target_group_arn", "string"), ("trace_id", "string"),
+        ("domain_name", "string"), ("chosen_cert_arn", "string"),
+        ("matched_rule_priority", "int"), ("request_creation_time", "timestamp"),
+        ("actions_executed", "string"), ("redirect_url", "string"),
+        ("error_reason", "string"), ("target:port_list", "string"),
+        ("target_status_code_list", "int"), ("classification", "string"),
+        ("classification_reason", "string"),
+    ),
+    views={
+        "Default": ["timestamp", "elb", "client:port", "elb_status_code", "request"],
+    },
+)
+
+CLASSICLB = DataType(
+    name="ClassicLB",
+    format="csv",
+    options={"sep": " ", "header": "false", "quote": '"'},
+    schema=_schema(
+        ("timestamp", "string"), ("elb", "string"), ("client:port", "string"),
+        ("backend:port", "string"), ("request_processing_time", "double"),
+        ("backend_processing_time", "double"), ("response_processing_time", "double"),
+        ("elb_status_code", "int"), ("backend_status_code", "int"),
+        ("received_bytes", "long"), ("sent_bytes", "long"), ("request", "string"),
+        ("user_agent", "string"), ("ssl_cipher", "string"), ("ssl_protocol", "string"),
+    ),
+)
+
+NETWORKLB = DataType(
+    name="NetworkLB",
+    format="csv",
+    options={"sep": " ", "header": "false", "quote": '"'},
+    schema=_schema(
+        ("type", "string"), ("version", "string"), ("timestamp", "string"),
+        ("elb", "string"), ("listener", "string"), ("client:port", "string"),
+        ("destination:port", "string"), ("connection_time", "double"),
+        ("tls_handshake_time", "double"), ("received_bytes", "long"),
+        ("sent_bytes", "long"), ("incoming_tls_alert", "int"),
+        ("chosen_cert_arn", "string"), ("chosen_cert_serial", "string"),
+        ("tls_cipher", "string"), ("tls_protocol_version", "string"),
+        ("tls_named_group", "string"), ("domain_name", "string"),
+        ("alpn_fe_protocol", "string"), ("alpn_be_protocol", "string"),
+        ("alpn_client_preference_list", "string"),
+    ),
+)
+
+CLOUDFRONT = DataType(
+    name="CloudFront",
+    format="csv",
+    options={"sep": "\t", "header": "false"},
+    comment_prefix="#",
+    schema=_schema(
+        ("date", "date"), ("time", "string"), ("x-edge-location", "string"),
+        ("sc-bytes", "int"), ("c-ip", "string"), ("cs-method", "string"),
+        ("cs(Host)", "string"), ("cs-uri-stem", "string"), ("sc-status", "int"),
+        ("cs(Referer)", "string"), ("cs(User-Agent)", "string"),
+        ("cs-uri-query", "string"), ("cs(Cookie)", "string"),
+        ("x-edge-result-type", "string"), ("x-edge-request-id", "string"),
+        ("x-host-header", "string"), ("cs-protocol", "string"), ("cs-bytes", "int"),
+        ("time-taken", "double"), ("x-forwarded-for", "string"),
+        ("ssl-protocol", "string"), ("ssl-cipher", "string"),
+        ("x-edge-response-result-type", "string"), ("cs-protocol-version", "string"),
+        ("fle-status", "string"), ("fle-encrypted-fields", "string"),
+        ("c-port", "int"), ("time-to-first-byte", "double"),
+        ("x-edge-detailed-result-type", "string"), ("sc-content-type", "string"),
+        ("sc-content-len", "int"), ("sc-range-start", "string"),
+        ("sc-range-end", "string"),
+    ),
+)
+
+WINDOWSDEMOEVENTS = DataType(
+    name="WindowsDemoEvents",
+    format="json",
+    options={"multiLine": "true"},
+    root_element=None,  # top-level array document (JsonType DOCUMENT)
+    schema=_schema(
+        ("Id", "int"), ("Version", "int"), ("Qualifiers", "string"),
+        ("Level", "int"), ("Task", "int"), ("Opcode", "int"),
+        ("Keywords", "double"), ("RecordId", "int"), ("ProviderName", "string"),
+        ("ProviderId", "string"), ("LogName", "string"), ("ProcessId", "int"),
+        ("ThreadId", "int"), ("MachineName", "string"), ("UserId", "json"),
+        ("ActivityId", "string"), ("RelatedActivityId", "string"),
+        ("ContainerLog", "string"), ("MatchedQueryIds", "json"),
+        ("Bookmark", "json"), ("LevelDisplayName", "string"),
+        ("OpcodeDisplayName", "string"), ("TaskDisplayName", "string"),
+        ("KeywordsDisplayNames", "string"), ("Properties", "json"),
+        ("Message", "string"), ("DateTime", "string"),
+    ),
+)
+
+REGISTRY: dict[str, DataType] = {
+    dt.name: dt
+    for dt in (
+        VPCFLOW, CLOUDTRAIL, APPLICATIONLB, CLASSICLB, NETWORKLB,
+        CLOUDFRONT, WINDOWSDEMOEVENTS,
+    )
+}
+
+
+def get_datatype(name: str, custom_schema: str | None = None) -> DataType:
+    """Resolve a DataType by name; ``Custom`` requires ``custom_schema``
+    (the ad-hoc job-submitted schema string) plus optional reader options
+    supplied by the caller."""
+    if name == "Custom":
+        if not custom_schema:
+            raise ValueError("Custom DataType requires a schema string")
+        return DataType(name="Custom", schema=parse_custom_schema(custom_schema))
+    if name not in REGISTRY:
+        raise KeyError(f"unknown DataType {name!r}; known: {sorted(REGISTRY)}")
+    return REGISTRY[name]

@@ -1,0 +1,173 @@
+"""File readers for the ingest path (SURVEY §2.1 S5-S11).
+
+The reference worker downloads each object, decompresses (gzip via pako,
+zip via yauzl with a single-inner-file rule), parses (PapaParse CSV
+variants / JSON.parse with RootElement unnest / headerless positional
+zip), and coerces (worker.js:74-92, 399-523, 580-611). Spark equivalents:
+
+- gzip        → transparent for text sources (``.gz`` extension)
+- CSV         → ``spark.read.csv`` with per-DataType sep/header/quote;
+                headerless files get schema names positionally
+- TSV preamble→ ``comment`` option drops ``#Version/#Fields`` lines
+- JSON        → ``spark.read.json(multiLine)`` + ``explode(root)``
+- ZIP         → no native codec: ``binaryFile`` + ``mapInPandas`` unzip
+                (single-entry archives only, mirroring worker.js:542-547),
+                then ``from_csv`` per line — stays distributed, one task
+                per archive batch
+- bad rows    → PERMISSIVE mode + ``_corrupt_record`` → quarantine frame
+                (the reference's ProcessingErrors table, worker.js:555-576)
+
+Everything reads columns as **string** first; the coercion pass
+(operators/coerce.py) produces the typed table, mirroring the
+reference's parse-then-coerce pipeline.
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from logverzcore_spark.schemas import DataType
+
+CORRUPT_COL = "_corrupt_record"
+SOURCE_COL = "_source_file"
+
+
+def _string_schema(dt: DataType, with_corrupt: bool = True) -> T.StructType:
+    fields = [T.StructField(f.name, T.StringType(), True) for f in dt.schema.fields]
+    if with_corrupt:
+        fields.append(T.StructField(CORRUPT_COL, T.StringType(), True))
+    return T.StructType(fields)
+
+
+def read_raw(spark: SparkSession, path, dt: DataType) -> DataFrame:
+    """Read files of ``dt`` into an all-string DataFrame with lineage
+    (``_source_file``) and ``_corrupt_record`` columns."""
+    paths = path if isinstance(path, list) else [path]
+    if dt.format == "csv":
+        reader = (
+            spark.read.format("csv")
+            .schema(_string_schema(dt))
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        )
+        for k, v in dt.options.items():
+            reader = reader.option(k, v)
+        if dt.comment_prefix:
+            reader = reader.option("comment", dt.comment_prefix)
+        df = reader.load(paths)
+    elif dt.format == "json":
+        reader = spark.read.format("json")
+        for k, v in dt.options.items():
+            reader = reader.option(k, v)
+        raw = reader.load(paths)
+        if dt.root_element and dt.root_element in raw.columns:
+            # CloudTrail-style {"Records": [...]} document (worker.js:375-380).
+            raw = raw.select(F.explode(dt.root_element).alias("r"), "*").select("r.*")
+        # JSON arrives typed-by-inference; stringify to the declared column
+        # set so the shared coercion pass owns all typing. Nested structs
+        # become JSON text (the reference's string-JSON columns).
+        cols = []
+        for f in dt.schema.fields:
+            if f.name not in raw.columns:
+                cols.append(F.lit(None).cast("string").alias(f.name))
+                continue
+            src = raw.schema[f.name].dataType
+            if isinstance(src, (T.StructType, T.ArrayType, T.MapType)):
+                cols.append(F.to_json(f.name).alias(f.name))
+            else:
+                cols.append(F.col(f"`{f.name}`").cast("string").alias(f.name))
+        df = raw.select(*cols).withColumn(CORRUPT_COL, F.lit(None).cast("string"))
+    else:
+        raise ValueError(f"unsupported format {dt.format!r}")
+    return df.withColumn(SOURCE_COL, F.input_file_name())
+
+
+def read_zip_csv(spark: SparkSession, path, dt: DataType) -> DataFrame:
+    """Read ZIP-compressed CSV files of ``dt``.
+
+    Spark has no zip codec, so: ``binaryFile`` scan → ``mapInPandas``
+    unzip + line split (Arrow-batched, one task per file batch) →
+    ``from_csv`` for the positional parse. Multi-entry archives are
+    rejected per the reference's single-file rule (worker.js:542-547) —
+    their rows land in quarantine with an error note.
+    """
+    has_header = dt.options.get("header", "false").lower() == "true"
+    sep = dt.options.get("sep", ",")
+    quote = dt.options.get("quote", '"')
+    comment = dt.comment_prefix
+
+    out_schema = T.StructType(
+        [
+            T.StructField("line", T.StringType(), True),
+            T.StructField(SOURCE_COL, T.StringType(), True),
+            T.StructField("_zip_error", T.StringType(), True),
+        ]
+    )
+
+    def unzip_lines(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for src, blob in zip(pdf["path"], pdf["content"]):
+                try:
+                    zf = zipfile.ZipFile(io.BytesIO(blob))
+                    names = [n for n in zf.namelist() if not n.endswith("/")]
+                    if len(names) != 1:
+                        yield pd.DataFrame(
+                            {"line": [None], SOURCE_COL: [src],
+                             "_zip_error": [f"archive has {len(names)} entries; exactly 1 required"]}
+                        )
+                        continue
+                    text = zf.read(names[0]).decode("utf-8", errors="replace")
+                except Exception as exc:  # corrupt archive
+                    yield pd.DataFrame(
+                        {"line": [None], SOURCE_COL: [src], "_zip_error": [str(exc)]}
+                    )
+                    continue
+                lines = [ln for ln in text.splitlines() if ln.strip()]
+                if comment:
+                    lines = [ln for ln in lines if not ln.startswith(comment)]
+                if has_header and lines:
+                    lines = lines[1:]
+                yield pd.DataFrame(
+                    {"line": lines, SOURCE_COL: [src] * len(lines),
+                     "_zip_error": [None] * len(lines)}
+                )
+
+    paths = path if isinstance(path, list) else [path]
+    blobs = spark.read.format("binaryFile").option("pathGlobFilter", "*.zip").load(paths)
+    lines = blobs.select("path", "content").mapInPandas(unzip_lines, out_schema)
+    ddl = ", ".join(f"`{f.name}` STRING" for f in dt.schema.fields)
+    parsed = lines.withColumn(
+        "r",
+        F.from_csv(
+            "line", ddl,
+            {"sep": sep, "quote": quote, "mode": "PERMISSIVE",
+             "columnNameOfCorruptRecord": CORRUPT_COL},
+        ),
+    )
+    return parsed.select(
+        *[F.col(f"r.`{f.name}`").alias(f.name) for f in dt.schema.fields],
+        F.coalesce(F.col("_zip_error"), F.when(F.col("line").isNull(), F.lit("empty")).otherwise(F.lit(None))).alias(CORRUPT_COL),
+        F.col(SOURCE_COL),
+    )
+
+
+def split_quarantine(df: DataFrame, min_fields: int = 2) -> tuple[DataFrame, DataFrame]:
+    """Split raw rows into (good, quarantined).
+
+    Quarantined: corrupt rows, and rows with fewer than ``min_fields``
+    populated columns (the reference skips rows with <2 fields —
+    worker.js:493 — typical for trailing garbage lines)."""
+    data_cols = [c for c in df.columns if c not in (CORRUPT_COL, SOURCE_COL)]
+    n_set = sum(F.when(F.col(f"`{c}`").isNotNull(), 1).otherwise(0) for c in data_cols)
+    is_bad = F.col(CORRUPT_COL).isNotNull() | (n_set < min_fields)
+    good = df.where(~is_bad).drop(CORRUPT_COL)
+    bad = df.where(is_bad)
+    return good, bad

@@ -1,0 +1,39 @@
+import os
+import shutil
+import sys
+import tempfile
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pyspark.sql import SparkSession
+
+    warehouse = tempfile.mkdtemp(prefix="lvz_wh_")
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("logverzcore-tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.warehouse.dir", warehouse)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    yield spark
+    spark.stop()
+    shutil.rmtree(warehouse, ignore_errors=True)
+
+
+@pytest.fixture()
+def tmpdir_path():
+    d = tempfile.mkdtemp(prefix="lvz_t_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+SF_DIR = "/root/testdata/sf0.001"

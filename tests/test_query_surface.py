@@ -1,0 +1,150 @@
+"""Query-surface tests: SELECT-only gate (Q2), ACL (Q3), operator-tree
+(Q4/Q5/Q6), catalog ops (Q7-Q9), Views (P4), legacy dialect shim (P2)."""
+
+import pytest
+
+from logverzcore_spark.api import Engine
+from logverzcore_spark.catalog import Catalog, CatalogEntry, User
+from logverzcore_spark.operators import optree
+from logverzcore_spark.plans.sqlgate import (
+    SqlValidationError,
+    rewrite_legacy_query,
+    validate_select,
+)
+
+ALICE = User("alice")
+BOB = User("bob", groups=["analysts"])
+ADMIN = User("root", is_admin=True)
+
+
+@pytest.fixture()
+def engine(spark, tmpdir_path):
+    cat = Catalog(path=f"{tmpdir_path}/catalog.jsonl")
+    spark.range(10).selectExpr("id", "id * 2 AS v").write.mode("overwrite").saveAsTable("qs_tab")
+    cat.record_query(CatalogEntry(TableName="qs_tab", Owners=["alice"], Access=["analysts"]))
+    yield Engine(spark, cat)
+    spark.sql("DROP TABLE IF EXISTS qs_tab")
+
+
+# -- Q2: SELECT-only gate ---------------------------------------------------
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "DROP TABLE qs_tab",
+        "INSERT INTO qs_tab VALUES (1, 2)",
+        "SELECT 1; DROP TABLE qs_tab",
+        "UPDATE qs_tab SET v = 0",
+        "DELETE FROM qs_tab",
+        "CREATE TABLE x AS SELECT 1",
+        "not sql at all",
+    ],
+)
+def test_gate_rejects(spark, bad):
+    with pytest.raises(SqlValidationError):
+        validate_select(spark, bad)
+
+
+def test_gate_allows_and_extracts_tables(spark):
+    r = validate_select(
+        spark,
+        "WITH c AS (SELECT 1 AS x) "
+        "SELECT * FROM a JOIN b ON a.k = b.k WHERE a.v IN (SELECT v FROM d) "
+        "UNION ALL SELECT * FROM c",
+    )
+    assert r.statement_type == "SELECT"
+    assert sorted(r.tables) == ["a", "b", "d"]  # CTE name excluded
+
+
+def test_legacy_rewrite():
+    q = rewrite_legacy_query(
+        "SELECT s.a FROM S3Object[*].Records[*] s WHERE s.b IS MISSING AND s.c IS NOT MISSING",
+        "staged",
+    )
+    assert q == "SELECT s.a FROM staged s WHERE s.b IS NULL AND s.c IS NOT NULL"
+
+
+# -- Q3/Q7/Q8/Q9: ACL + catalog ops ----------------------------------------
+
+def test_sql_acl(engine):
+    assert engine.sql("SELECT count(*) AS n FROM qs_tab", ALICE).first()["n"] == 10
+    assert engine.sql("SELECT count(*) AS n FROM qs_tab", BOB).first()["n"] == 10
+    with pytest.raises(PermissionError):
+        engine.sql("SELECT * FROM qs_tab", User("mallory"))
+
+
+def test_list_tables_acl(engine):
+    assert "qs_tab" in engine.list_tables(user=ALICE)
+    assert "qs_tab" in engine.list_tables(pattern="qs_*", user=ADMIN)
+    assert engine.list_tables(user=User("mallory")) == []
+
+
+def test_describe_admin_only(engine):
+    assert engine.describe_table("qs_tab", ADMIN) == {"id": "bigint", "v": "bigint"}
+    with pytest.raises(PermissionError):
+        engine.describe_table("qs_tab", ALICE)
+
+
+def test_delete_table_owner_gated(engine, spark):
+    with pytest.raises(PermissionError):
+        engine.delete_table("qs_tab", BOB)  # access ≠ ownership
+    engine.delete_table("qs_tab", ALICE)
+    assert engine.catalog.for_table("qs_tab") is None
+    assert "qs_tab" not in [t.name for t in spark.catalog.listTables()]
+
+
+def test_catalog_update_guards(engine):
+    entry = engine.catalog.list(ADMIN)[0]
+    with pytest.raises(ValueError):
+        engine.catalog.update(entry.ID, ALICE, TableName="other")
+    with pytest.raises(PermissionError):
+        engine.catalog.update(entry.ID, BOB, Archive=True)
+    engine.catalog.update(entry.ID, ALICE, Archive=True)
+    assert engine.catalog.list(ALICE) == []  # archive filter
+    assert len(engine.catalog.list(ALICE, include_archived=True)) == 1
+
+
+# -- Q4/Q5/Q6: operator tree ------------------------------------------------
+
+def test_optree_ops(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha", 10.0), (2, "beta", None), (3, "gamma", 30.0), (4, "alphabet", 40.0)],
+        "id int, name string, score double",
+    )
+    got = optree.find_all(df, where={"name": {"startsWith": "alpha"}})
+    assert {r["id"] for r in got.collect()} == {1, 4}
+    got = optree.find_all(df, where={"or": [{"score": {"is": None}}, {"id": {"gt": 3}}]})
+    assert {r["id"] for r in got.collect()} == {2, 4}
+    got = optree.find_all(
+        df,
+        where={"and": [{"name": {"like": "%a%"}}, {"not": {"id": {"eq": 1}}}]},
+        order=[("id", "desc")],
+        limit=2,
+    )
+    assert [r["id"] for r in got.collect()] == [4, 3]
+    # Literal typing: numeric strings auto-cast (Q6).
+    got = optree.find_all(df, where={"id": {"gt": "2"}})
+    assert {r["id"] for r in got.collect()} == {3, 4}
+
+
+def test_engine_find(engine):
+    one = engine.find_one("qs_tab", ALICE, where={"v": {"gt": 10}}, order=[("id", "asc")])
+    assert one == {"id": 6, "v": 12}
+    assert engine.find_by_pk("qs_tab", "id", 3, ALICE) == {"id": 3, "v": 6}
+
+
+# -- P4: Views --------------------------------------------------------------
+
+def test_views(spark, tmpdir_path):
+    cat = Catalog()
+    eng = Engine(spark, cat)
+    from rawfixtures import write_vpcflow_gz
+    from logverzcore_spark.ingest import CollectJob, collect
+
+    write_vpcflow_gz(tmpdir_path, n_files=1)
+    collect(spark, CollectJob(path=tmpdir_path, datatype="VPCFlow", table_name="v_vpc"),
+            catalog=cat, user=ALICE)
+    v = eng.view("v_vpc", "VPCFlow", "Default", ADMIN)
+    assert v.columns == ["srcaddr", "dstaddr", "srcport", "dstport",
+                         "protocol", "packets", "bytes", "action"]
+    spark.sql("DROP TABLE IF EXISTS v_vpc")
