@@ -544,6 +544,210 @@ def q20_orders_view_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q21_intersect_customers",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q21_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op (SURVEY §2.5)."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    b = orders.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@query(
+    "q22_except_parts",
+    oracle="""
+    SELECT p_partkey FROM part
+    EXCEPT
+    SELECT l_partkey AS p_partkey FROM lineitem
+    """,
+)
+def q22_except_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op: parts never ordered."""
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    used = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    return part.exceptAll(used.distinct())
+
+
+@query(
+    "q23_nation_order_counts_outer",
+    oracle="""
+    SELECT n_name, COALESCE(cnt, 0) AS n_orders
+    FROM nation
+    LEFT JOIN (
+      SELECT c_nationkey, COUNT(*) AS cnt
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_nationkey
+    ) x ON x.c_nationkey = n_nationkey
+    """,
+)
+def q23_nation_order_counts_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with NULL-fill — nations with zero orders kept."""
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_nation = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return nation.join(
+        per_nation, nation.n_nationkey == per_nation.c_nationkey, "left"
+    ).select("n_name", F.coalesce("cnt", F.lit(0)).alias("n_orders"))
+
+
+@query(
+    "q24_cube_lineitem",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '*') AS rf, COALESCE(l_linestatus, '*') AS ls,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def q24_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("*")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("*")).alias("ls"),
+            "n",
+        )
+    )
+
+
+@query(
+    "q25_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderkey - lag(o_orderkey) OVER w AS BIGINT) AS gap,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+)
+def q25_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows: lag + running-sum frame (SURVEY §2.5)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("o_orderkey") - F.lag("o_orderkey").over(w)).alias("gap"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(run).cast("double").alias("running_total"),
+    )
+
+
+@query(
+    "q26_monthly_order_trend",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mo,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q26_monthly_order_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + aggregation (scalar date functions §2.6)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(F.count(F.lit(1)).alias("n"), _money_sum("o_totalprice").alias("total"))
+
+
+@query(
+    "q27_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(SUBSTR(p_name, 1, 10)) AS name10,
+           regexp_extract(p_type, '([A-Z]+)$', 1) AS type_tail,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           CONCAT(p_brand, '/', p_type) AS brand_type
+    FROM part WHERE p_size >= 40
+    """,
+)
+def q27_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string functions (§2.6): substr/upper/regexp/concat/length."""
+    part = _t(spark, sf_dir, "part").where(F.col("p_size") >= 40)
+    return part.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 10)).alias("name10"),
+        F.regexp_extract("p_type", r"([A-Z]+)$", 1).alias("type_tail"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@query(
+    "q28_above_avg_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 2 * (
+      SELECT AVG(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+    )
+    """,
+)
+def q28_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — decorrelated by Catalyst into an
+    aggregate + join; expressed via window to keep one shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("avg_price", F.avg("o_totalprice").over(w))
+        .where(F.col("o_totalprice") > 2 * F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "q29_supplier_part_revenue",
+    oracle="""
+    SELECT s_name, p_brand,
+           CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT)/100.0 AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN part ON l_partkey = p_partkey
+    GROUP BY s_name, p_brand
+    """,
+)
+def q29_supplier_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dim join: fact-to-two-dims, both broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
+    return (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("s_name", "p_brand")
+        .agg((F.sum(cents) / F.lit(100.0)).alias("revenue"))
+    )
+
+
+@query("q30_approx_distinct_users")  # approximate by design → rows-only check
+def q30_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — no reference counterpart, free in
+    Spark (SURVEY §2.5); exactness asserted separately in pytest."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis / dedup / similarity (beyond-reference pipeline operators)
 # ---------------------------------------------------------------------------
