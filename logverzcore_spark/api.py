@@ -47,6 +47,27 @@ class Engine:
         rows = [r.asDict(recursive=True) for r in self.sql(query, user).collect()]
         return json.dumps(rows, default=str, ensure_ascii=True)
 
+    def sql_chunked(self, query: str, user: User = ADMIN,
+                    max_chunk_bytes: int = 262_144):
+        """Q11's chunked wire protocol: yield the JSON result in
+        ≤``max_chunk_bytes`` pieces followed by an EOF marker
+        (p2pconnection.js:308-312). Rows stream from the driver via
+        ``toLocalIterator`` so the full result never materializes."""
+        import json as _json
+
+        buf: list[str] = []
+        size = 0
+        for row in self.sql(query, user).toLocalIterator():
+            piece = _json.dumps(row.asDict(recursive=True), default=str)
+            if size + len(piece) > max_chunk_bytes and buf:
+                yield "[" + ",".join(buf) + "]"
+                buf, size = [], 0
+            buf.append(piece)
+            size += len(piece)
+        if buf:
+            yield "[" + ",".join(buf) + "]"
+        yield "EOF"
+
     def explain(self, query: str, user: User = ADMIN) -> str:
         result = validate_select(self.spark, query)
         self.catalog.authorize_tables(result.tables, user)

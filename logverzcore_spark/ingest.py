@@ -62,6 +62,45 @@ class CollectReport:
     elapsed_sec: float
 
 
+@dataclass
+class FilePlan:
+    """What the reference's controller computed by walking S3 prefixes and
+    packing SQS batches (S1-S4, controller.js:233-264, 867-890): here the
+    Catalyst file index does the listing; this report exposes the same
+    planning numbers (file count, bytes, resulting scan partitions) so
+    operators can sanity-check parallelism before a big run."""
+
+    n_files: int
+    total_bytes: int
+    scan_partitions: int
+    max_partition_bytes: int
+
+
+def plan_files(spark: SparkSession, job: CollectJob) -> FilePlan:
+    dt = get_datatype(job.datatype, job.custom_schema)
+    raw = _read(spark, job, dt)
+    files = spark.createDataFrame(
+        [(r[0],) for r in raw.select(readers.SOURCE_COL).distinct().collect()],
+        "path string",
+    )
+    import os as _os
+    from urllib.parse import urlparse
+
+    sizes = [
+        _os.path.getsize(urlparse(r["path"]).path)
+        for r in files.collect()
+        if _os.path.exists(urlparse(r["path"]).path)
+    ]
+    return FilePlan(
+        n_files=files.count(),
+        total_bytes=sum(sizes),
+        scan_partitions=raw.rdd.getNumPartitions(),
+        max_partition_bytes=int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b")
+        ),
+    )
+
+
 def _read(spark: SparkSession, job: CollectJob, dt: DataType) -> DataFrame:
     if job.zip_compressed:
         return readers.read_zip_csv(spark, job.path, dt)

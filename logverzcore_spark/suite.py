@@ -969,6 +969,51 @@ def st01_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_windowed_aggregate(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+@query(
+    "st02_session_windows",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def st02_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session_window aggregation with watermark (SURVEY §2.7
+    beyond-parity); the oracle is the batch gaps-and-islands equivalent."""
+    from logverzcore_spark.streaming.collect_stream import run_session_windows
+
+    return run_session_windows(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@query(
+    "st03_stateful_user_stats",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def st03_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): the
+    final per-user state equals the batch aggregate."""
+    from logverzcore_spark.streaming.collect_stream import run_stateful_user_stats
+
+    return run_stateful_user_stats(spark, os.path.join(sf_dir, "events.parquet"))
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -182,3 +182,13 @@ def test_collect_projection_and_quarantine_table(spark, tmpdir_path):
     assert spark.table("t_custom_quar").count() == 1
     spark.sql("DROP TABLE IF EXISTS t_custom_proj")
     spark.sql("DROP TABLE IF EXISTS t_custom_quar")
+
+
+def test_plan_files(spark, tmpdir_path):
+    from logverzcore_spark.ingest import plan_files
+
+    write_vpcflow_gz(tmpdir_path, n_files=3)
+    plan = plan_files(spark, CollectJob(path=tmpdir_path, datatype="VPCFlow", table_name="x"))
+    assert plan.n_files == 3
+    assert plan.total_bytes > 0
+    assert plan.scan_partitions >= 1

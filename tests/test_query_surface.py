@@ -148,3 +148,13 @@ def test_views(spark, tmpdir_path):
     assert v.columns == ["srcaddr", "dstaddr", "srcport", "dstport",
                          "protocol", "packets", "bytes", "action"]
     spark.sql("DROP TABLE IF EXISTS v_vpc")
+
+
+def test_sql_chunked_protocol(engine):
+    chunks = list(engine.sql_chunked("SELECT id, v FROM qs_tab ORDER BY id", ALICE, max_chunk_bytes=60))
+    assert chunks[-1] == "EOF"
+    import json
+
+    rows = [r for c in chunks[:-1] for r in json.loads(c)]
+    assert len(rows) == 10 and rows[0] == {"id": 0, "v": 0}
+    assert len(chunks) > 2  # actually chunked at 60 bytes
