@@ -85,7 +85,9 @@ def ngram_jaccard_pairs(
     near-useless candidate buckets — the standard inverted-index
     df-cut. Output: (id1, id2, jaccard) with id1 < id2.
     """
-    sh = _shingle_table(df, text_col, id_col, n)
+    from logverzcore_spark.operators.util import fan_out
+
+    sh = _shingle_table(fan_out(df), text_col, id_col, n)
     if max_docs_per_shingle is not None:
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
         sh = sh.join(freq.where(F.col("df_") <= max_docs_per_shingle).select("sh"), "sh")
@@ -152,9 +154,9 @@ def minhash_lsh_pairs(
     # partition, and a projection placed under the exchange would run the
     # whole shingle computation on a single core. Shuffling the (cheap)
     # raw text, then projecting, spreads the work across the cluster.
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism)
+    from logverzcore_spark.operators.util import fan_out
+
+    df = fan_out(df)
     # No size()>0 filter here: Catalyst pushes such a predicate below the
     # exchange, re-running the whole shingle expression single-threaded on
     # the unsplit input (observed 10×). Docs with no shingles simply
@@ -242,7 +244,9 @@ def simhash_neardup_pairs(
     16-bit chunks: any pair within hamming distance ≤ n_bands-1 shares at
     least one exact chunk (pigeonhole), so the self-join on (band, chunk)
     finds all such pairs without a cross join."""
-    sh = df.select(F.col(id_col).alias("doc_id"), simhash64_expr(text_col).alias("sim"))
+    from logverzcore_spark.operators.util import fan_out
+
+    sh = fan_out(df).select(F.col(id_col).alias("doc_id"), simhash64_expr(text_col).alias("sim"))
     width = 64 // n_bands
     # Band indices are literals, so the shift amounts stay constants —
     # unroll in Python rather than a SQL-side transform.

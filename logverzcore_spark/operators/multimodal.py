@@ -63,7 +63,9 @@ def extract_binary_meta(df: DataFrame, payload_col: str = "payload", id_col: str
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(batches, schema)
+    from logverzcore_spark.operators.util import fan_out
+
+    return fan_out(df.select(id_col, payload_col)).mapInPandas(batches, schema)
 
 
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:

@@ -19,6 +19,9 @@ vectorized enough at 64-dim; swap to a Pandas UDF for very wide vectors.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -53,7 +56,9 @@ def cosine_topk(
     window over (query, score). Output: (query_id, neighbor_id, cosine,
     rank), self-matches excluded, ties broken by neighbor id.
     """
-    c = corpus.select(F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nvec"))
+    from logverzcore_spark.operators.util import fan_out
+
+    c = fan_out(corpus).select(F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nvec"))
     q = queries.select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec"))
     scored = (
         c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
@@ -113,36 +118,53 @@ def lsh_topk(
     1-(1-p^b)^L (≈0.95 for cos≈0.7 at b=6, L=8). At scale the corpus is
     hash-partitioned by (table, bucket) once and reused across query
     batches; each query probes L buckets instead of scanning the corpus."""
+    from pyspark.sql.functions import pandas_udf
+
     dim = len(corpus.select(vec_col).first()[0])
     all_planes = _hyperplanes(dim, n_planes * n_tables)
-    tables = [all_planes[t * n_planes : (t + 1) * n_planes] for t in range(n_tables)]
+    # All L·b plane dots per row as ONE numpy matmul: HOF dot-product
+    # lambdas are interpreted (48 × dim ops/row); the Arrow-batched UDF
+    # does batch_size × dim × 48 in a single BLAS call.
+    planes_mat = np.array(all_planes, dtype=np.float64)  # (L*b, dim)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))  # bit weights per table
+
+    @pandas_udf("array<long>")
+    def bucket_vec(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        bits = (x @ planes_mat.T >= 0).reshape(len(x), n_tables, n_planes)
+        buckets = (bits * weights).sum(axis=2)  # (batch, L)
+        return pd.Series(list(buckets))
 
     def bucketed(df: DataFrame, idc: str, vecc: str) -> DataFrame:
-        tb = F.array(
-            *[
-                F.struct(F.lit(t).alias("t"), lsh_bucket(F.col(vecc), tables[t]).alias("b"))
-                for t in range(n_tables)
-            ]
-        )
-        return df.select(idc, vecc, F.explode(tb).alias("tb")).select(
-            idc, vecc, "tb.t", "tb.b"
+        return df.select(
+            idc, F.posexplode(bucket_vec(F.col(vecc))).alias("t", "b")
         )
 
+    from logverzcore_spark.operators.util import fan_out
+
     c = bucketed(
-        corpus.select(F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nvec")),
+        fan_out(corpus).select(F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nvec")),
         "nid", "nvec",
     )
     q = bucketed(
         queries.select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec")),
         "qid", "qvec",
     )
-    scored = (
+    # Dedup candidate pairs on the two ids ONLY (a pair may collide in
+    # several tables); vectors join back onto the small deduped pair set.
+    cand = (
         c.join(
             F.broadcast(q),
             (c["t"] == q["t"]) & (c["b"] == q["b"]) & (F.col("qid") != F.col("nid")),
         )
-        .select("qid", "nid", "qvec", "nvec")
-        .distinct()  # a pair may collide in several tables; score once
+        .select("qid", "nid")
+        .distinct()
+    )
+    nvecs = corpus.select(F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nvec"))
+    qvecs = queries.select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec"))
+    scored = (
+        cand.join(nvecs, "nid")
+        .join(F.broadcast(qvecs), "qid")
         .select("qid", "nid", cosine(F.col("qvec"), F.col("nvec")).alias("cos"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))

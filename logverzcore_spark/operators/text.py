@@ -103,6 +103,9 @@ def language_id(col: Column, markers: dict[str, tuple[str, ...]] | None = None) 
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass projection adding all text-analysis features."""
+    from logverzcore_spark.operators.util import fan_out
+
+    df = fan_out(df)
     c = F.col(text_col)
     return df.select(
         "*",
