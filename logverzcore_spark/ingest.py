@@ -47,6 +47,7 @@ class CollectJob:
     owners: list[str] = field(default_factory=list)
     access: list[str] = field(default_factory=list)
     zip_compressed: bool = False
+    transforms: list[dict] = field(default_factory=list)
     partition_by: list[str] = field(default_factory=list)
     max_records_per_file: int = 1_000_000
     mode: str = "overwrite"  # reference tables are create-or-replace
@@ -122,6 +123,11 @@ def collect(
     raw = _read(spark, job, dt)
     good, bad = readers.split_quarantine(raw)
     typed = coerce(good.drop(readers.SOURCE_COL), dt.schema)
+
+    if job.transforms:
+        from logverzcore_spark.transforms import apply_transforms
+
+        typed = apply_transforms(typed, job.transforms)
 
     if job.query_string and "where" in job.query_string.lower():
         stage_view = f"stage_{job_id}"

@@ -46,6 +46,20 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Materialize the deduplicated corpus: one row per exact content
+    fingerprint, keeping the lowest-id representative with all original
+    columns. Window-over-fingerprint (one shuffle), no self-join."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(fingerprint_md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of ``col`` (empty array when the
     document has fewer than n tokens)."""

@@ -805,6 +805,60 @@ def t01_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_T02_ORACLE = """
+WITH tk AS (
+  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), feat AS (
+  SELECT doc_id, text, toks,
+         len(list_filter(list_transform(toks, x -> lower(x)),
+             x -> x IN ('the','a','an','and','or','of','to','in','is'))) AS n_stop,
+         len(list_distinct(list_transform(toks, x -> lower(x)))) AS n_distinct
+  FROM tk
+)
+SELECT doc_id
+FROM feat
+WHERE len(toks) BETWEEN 10 AND 1000
+  AND ROUND(n_stop / greatest(len(toks), 1), 4) >= 0.05
+  AND ROUND(1.0 - n_distinct / greatest(len(toks), 1), 4) <= 0.6
+"""
+
+
+@query("t02_quality_filter", oracle=_T02_ORACLE)
+def t02_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate pipeline stage: keep documents passing length,
+    stopword-ratio, and repetition thresholds — the standard pretraining
+    corpus filter, one narrow pass."""
+    docs = _t(spark, sf_dir, "documents")
+    prof = text.text_profile(docs, "text")
+    return prof.where(
+        F.col("n_tokens").between(10, 1000)
+        & (F.col("stopword_ratio") >= 0.05)
+        & (F.col("repetition_ratio") <= 0.6)
+    ).select("doc_id")
+
+
+@query(
+    "d06_dedup_materialize",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, text,
+             row_number() OVER (
+               PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id FROM ranked WHERE rn = 1
+    """,
+)
+def d06_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup as a pipeline stage: the corpus with exact duplicates removed
+    (keep lowest doc_id per fingerprint) — the output a training-data run
+    would write."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dedup_keep_first(docs).select("doc_id")
+
+
 @query(
     "d01_dedup_exact",
     oracle="""

@@ -1,0 +1,79 @@
+"""Per-row transform hook — the reference's declared-but-unimplemented
+"TransForms" plumbing (SURVEY §2.8: the registry threads an empty list
+end-to-end, jobproducer.js:184 → worker.js:298-299 where the call site is
+commented out). Here the hook is real: a registry of named column-level
+transforms applied between coercion and the ingest filter, with a
+Pandas-UDF escape hatch for non-expressible logic.
+
+Built-ins cover the transforms a log pipeline actually wants; each is a
+narrow projection (no shuffle), so adding transforms never changes the
+ingest plan shape.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TransformFn = Callable[[DataFrame, dict], DataFrame]
+
+_REGISTRY: dict[str, TransformFn] = {}
+
+
+def register_transform(name: str):
+    def deco(fn: TransformFn) -> TransformFn:
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def apply_transforms(df: DataFrame, specs: list[dict] | None) -> DataFrame:
+    """Apply transform specs in order. Each spec: {"name": ..., **params}."""
+    for spec in specs or []:
+        name = spec.get("name")
+        if name not in _REGISTRY:
+            raise KeyError(f"unknown transform {name!r}; known: {sorted(_REGISTRY)}")
+        df = _REGISTRY[name](df, {k: v for k, v in spec.items() if k != "name"})
+    return df
+
+
+@register_transform("mask_ip")
+def mask_ip(df: DataFrame, p: dict) -> DataFrame:
+    """Zero the host octet of IPv4 addresses (PII reduction)."""
+    col = p["column"]
+    masked = F.regexp_replace(F.col(f"`{col}`"), r"(\d+\.\d+\.\d+)\.\d+", r"$1.0")
+    return df.withColumn(col, masked)
+
+
+@register_transform("drop_columns")
+def drop_columns(df: DataFrame, p: dict) -> DataFrame:
+    return df.drop(*p["columns"])
+
+
+@register_transform("add_ingest_time")
+def add_ingest_time(df: DataFrame, p: dict) -> DataFrame:
+    return df.withColumn(p.get("column", "ingested_at"), F.current_timestamp())
+
+
+@register_transform("rename_column")
+def rename_column(df: DataFrame, p: dict) -> DataFrame:
+    return df.withColumnRenamed(p["from"], p["to"])
+
+
+@register_transform("hash_column")
+def hash_column(df: DataFrame, p: dict) -> DataFrame:
+    """Pseudonymize a column (md5) — referential integrity preserved."""
+    col = p["column"]
+    return df.withColumn(col, F.md5(F.col(f"`{col}`").cast("string")))
+
+
+@register_transform("pandas_map")
+def pandas_map(df: DataFrame, p: dict) -> DataFrame:
+    """Escape hatch: apply a caller-supplied Arrow-batched function
+    (signature: Iterator[pd.DataFrame] -> Iterator[pd.DataFrame]) with an
+    explicit output schema — the slow path, for logic column expressions
+    can't say."""
+    return df.mapInPandas(p["fn"], p["schema"])

@@ -192,3 +192,22 @@ def test_plan_files(spark, tmpdir_path):
     assert plan.n_files == 3
     assert plan.total_bytes > 0
     assert plan.scan_partitions >= 1
+
+
+def test_collect_partitioned_write_prunes(spark, tmpdir_path):
+    """partition_by produces a partitioned table whose scan prunes
+    partitions for equality filters (the date-partitioning scale story)."""
+    write_vpcflow_gz(tmpdir_path, n_files=1)
+    job = CollectJob(
+        path=tmpdir_path, datatype="VPCFlow", table_name="t_part",
+        partition_by=["action"],
+    )
+    collect(spark, job)
+    plan = (
+        spark.table("t_part").where("action = 'REJECT'")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert spark.table("t_part").where("action = 'REJECT'").count() == 2
+    # Partition filter must appear as a partition (not data) filter.
+    assert "PartitionFilters" in plan or "action" not in plan.split("PushedFilters")[0]
+    spark.sql("DROP TABLE IF EXISTS t_part")

@@ -1,0 +1,80 @@
+"""Transforms hook (§2.8) and skew utilities."""
+
+from pyspark.sql import functions as F
+
+from logverzcore_spark.ingest import CollectJob, collect
+from logverzcore_spark.operators import skew
+from logverzcore_spark.transforms import apply_transforms
+
+from rawfixtures import write_vpcflow_gz
+
+
+def test_transforms_in_collect(spark, tmpdir_path):
+    write_vpcflow_gz(tmpdir_path, n_files=1)
+    job = CollectJob(
+        path=tmpdir_path, datatype="VPCFlow", table_name="t_tf",
+        transforms=[
+            {"name": "mask_ip", "column": "srcaddr"},
+            {"name": "hash_column", "column": "account-id"},
+            {"name": "drop_columns", "columns": ["az-id"]},
+        ],
+    )
+    collect(spark, job)
+    t = spark.table("t_tf")
+    assert "az-id" not in t.columns
+    srcs = {r[0] for r in t.select("srcaddr").collect()}
+    assert srcs <= {"10.0.0.0"}  # host octet masked
+    acct = t.select("`account-id`").first()[0]
+    assert isinstance(acct, str) and len(acct) == 32  # md5-pseudonymized
+    spark.sql("DROP TABLE IF EXISTS t_tf")
+
+
+def test_unknown_transform(spark):
+    df = spark.range(1)
+    try:
+        apply_transforms(df, [{"name": "nope"}])
+        raise AssertionError("expected KeyError")
+    except KeyError as exc:
+        assert "nope" in str(exc)
+
+
+def test_salted_aggregate_matches_plain(spark):
+    # Skewed: 90% of rows share one key.
+    df = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        (F.col("id") % 13).alias("v"),
+    )
+    got = {
+        r["k"]: (r["n"], r["total"], r["mx"])
+        for r in skew.salted_aggregate(
+            df, ["k"], {"n": ("count", "*"), "total": ("sum", "v"), "mx": ("max", "v")}
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["total"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"), F.max("v").alias("mx"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_collect_set(spark):
+    df = spark.range(1000).select(F.lit(1).alias("k"), (F.col("id") % 17).alias("v"))
+    out = skew.salted_aggregate(df, ["k"], {"vals": ("collect_set", "v")}).collect()
+    assert sorted(out[0]["vals"]) == list(range(17))
+
+
+def test_salted_join_matches_plain(spark):
+    fact = spark.range(20_000).select(
+        F.when(F.col("id") % 4 != 3, F.lit(5)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("rowid"),
+    )
+    dim = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 10).alias("attr"))
+    got = skew.salted_broadcast_left(fact, dim, "k").groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("attr").alias("s")
+    )
+    want = fact.join(dim, "k").groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("attr").alias("s")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
