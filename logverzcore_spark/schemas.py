@@ -73,7 +73,8 @@ def parse_custom_schema(text: str) -> T.StructType:
 
 
 # --------------------------------------------------------------------------
-# Built-in DataTypes (FIXTURES.md B1-B7; registry Logverz-Engine.json:1606+)
+# Built-in DataTypes (FIXTURES.md B1-B7 + CostDemo exports; column lists
+# transcribed from the reference registry Logverz-Engine.json:1606-1770)
 # --------------------------------------------------------------------------
 
 VPCFLOW = DataType(
@@ -226,11 +227,153 @@ WINDOWSDEMOEVENTS = DataType(
     ),
 )
 
+
+COSTDEMOAWS = DataType(
+    name="CostDemoAWS",
+    format="csv",
+    options={"sep": ",", "header": "true", "quote": '"'},
+    schema=_schema(
+        ("identity_line_item_id", "string"), ("identity_time_interval", "string"),
+        ("bill_invoice_id", "int"), ("bill_billing_entity", "string"),
+        ("bill_bill_type", "string"), ("bill_payer_account_id", "double"),
+        ("bill_billing_period_start_date", "string"),
+        ("bill_billing_period_end_date", "string"), ("line_item_usage_account_id",
+        "double"), ("line_item_line_item_type", "string"),
+        ("line_item_usage_start_date", "string"), ("line_item_usage_end_date",
+        "string"), ("line_item_product_code", "string"), ("line_item_usage_type",
+        "string"), ("line_item_operation", "string"),
+        ("line_item_availability_zone", "string"), ("line_item_resource_id",
+        "string"), ("line_item_usage_amount", "float"),
+        ("line_item_normalization_factor", "float"),
+        ("line_item_normalized_usage_amount", "float"), ("line_item_currency_code",
+        "string"), ("line_item_unblended_rate", "float"),
+        ("line_item_unblended_cost", "float"), ("line_item_blended_rate", "float"),
+        ("line_item_blended_cost", "float"), ("line_item_line_item_description",
+        "string"), ("line_item_tax_type", "string"), ("line_item_legal_entity",
+        "string"), ("product_product_name", "string"), ("product_availability",
+        "string"), ("product_capacitystatus", "string"), ("product_category",
+        "string"), ("product_clock_speed", "string"), ("product_current_generation",
+        "string"), ("product_database_engine", "string"),
+        ("product_dedicated_ebs_throughput", "string"),
+        ("product_deployment_option", "string"), ("product_description", "string"),
+        ("product_durability", "string"), ("product_ecu", "string"),
+        ("product_edition", "string"), ("product_engine_code", "string"),
+        ("product_enhanced_networking_supported", "string"), ("product_event_type",
+        "string"), ("product_free_query_types", "string"), ("product_from_location",
+        "string"), ("product_from_location_type", "string"), ("product_group",
+        "string"), ("product_group_description", "string"),
+        ("product_instance_family", "string"), ("product_instance_type", "string"),
+        ("product_instance_type_family", "string"), ("product_license_model",
+        "string"), ("product_location", "string"), ("product_location_type",
+        "string"), ("product_max_iops_burst_performance", "string"),
+        ("product_max_iopsvolume", "int"), ("product_max_throughputvolume",
+        "string"), ("product_max_volume_size", "string"), ("product_memory",
+        "string"), ("product_message_delivery_frequency", "string"),
+        ("product_message_delivery_order", "string"), ("product_min_volume_size",
+        "string"), ("product_network_performance", "string"),
+        ("product_normalization_size_factor", "float"), ("product_operating_system",
+        "string"), ("product_operation", "string"), ("product_physical_processor",
+        "string"), ("product_pre_installed_sw", "string"),
+        ("product_processor_architecture", "string"), ("product_processor_features",
+        "string"), ("product_product_family", "string"), ("product_queue_type",
+        "string"), ("product_region", "string"), ("product_servicecode", "string"),
+        ("product_servicename", "string"), ("product_sku", "string"),
+        ("product_storage", "string"), ("product_storage_class", "string"),
+        ("product_storage_media", "string"), ("product_subscription_type",
+        "string"), ("product_tenancy", "string"), ("product_to_location", "string"),
+        ("product_to_location_type", "string"), ("product_transfer_type", "string"),
+        ("product_usagetype", "string"), ("product_vcpu", "int"),
+        ("product_version", "string"), ("product_volume_type", "string"),
+        ("pricing_lease_contract_length", "string"), ("pricing_offering_class",
+        "string"), ("pricing_purchase_option", "string"), ("pricing_rate_id",
+        "int"), ("pricing_public_on_demand_cost", "float"),
+        ("pricing_public_on_demand_rate", "float"), ("pricing_term", "string"),
+        ("pricing_unit", "string"), ("reservation_amortized_upfront_cost_for_usage",
+        "int"), ("reservation_amortized_upfront_fee_for_billing_period", "float"),
+        ("reservation_effective_cost", "float"), ("reservation_end_time", "string"),
+        ("reservation_modification_status", "string"),
+        ("reservation_normalized_units_per_reservation", "int"),
+        ("reservation_number_of_reservations", "int"),
+        ("reservation_recurring_fee_for_usage", "float"),
+        ("reservation_reservation_a_r_n", "string"), ("reservation_start_time",
+        "string"), ("reservation_subscription_id", "float"),
+        ("reservation_total_reserved_normalized_units", "int"),
+        ("reservation_total_reserved_units", "int"),
+        ("reservation_units_per_reservation", "int"),
+        ("reservation_unused_amortized_upfront_fee_for_billing_period", "int"),
+        ("reservation_unused_normalized_unit_quantity", "float"),
+        ("reservation_unused_quantity", "int"), ("reservation_unused_recurring_fee",
+        "float"), ("reservation_upfront_value", "int"),
+        ("resource_tags_aws_autoscaling_group_name", "string"),
+        ("resource_tags_aws_created_by", "string"),
+        ("resource_tags_aws_ec2spot_fleet_request_id", "string"),
+        ("resource_tags_user_cost_center", "string"),
+        ("resource_tags_user_department", "string"),
+        ("resource_tags_user_environment", "string"), ("resource_tags_user_name",
+        "string"), ("resource_tags_user_tag21_nov", "string"),
+        ("resource_tags_user_workload", "string"),
+        ("resource_tags_user_workload_type", "string")
+    ),
+)
+
+COSTDEMOAZURE = DataType(
+    name="CostDemoAzure",
+    format="csv",
+    options={"sep": ",", "header": "true", "quote": '"'},
+    schema=_schema(
+        ("BilledCost", "float"), ("BillingAccountId", "string"),
+        ("BillingAccountName", "string"), ("BillingAccountType", "string"),
+        ("BillingCurrency", "string"), ("BillingPeriodEnd", "string"),
+        ("BillingPeriodStart", "string"), ("ChargeCategory", "string"),
+        ("ChargeClass", "string"), ("ChargeDescription", "string"),
+        ("ChargeFrequency", "string"), ("ChargePeriodEnd", "string"),
+        ("ChargePeriodStart", "string"), ("CommitmentDiscountCategory", "string"),
+        ("CommitmentDiscountId", "string"), ("CommitmentDiscountName", "string"),
+        ("CommitmentDiscountStatus", "string"), ("CommitmentDiscountType",
+        "string"), ("ConsumedQuantity", "float"), ("ConsumedUnit", "string"),
+        ("ContractedCost", "float"), ("ContractedUnitPrice", "float"),
+        ("EffectiveCost", "float"), ("InvoiceIssuerName", "string"), ("ListCost",
+        "float"), ("ListUnitPrice", "float"), ("PricingCategory", "string"),
+        ("PricingQuantity", "float"), ("PricingUnit", "string"), ("ProviderName",
+        "string"), ("PublisherName", "string"), ("RegionId", "string"),
+        ("RegionName", "string"), ("ResourceId", "string"), ("ResourceName",
+        "string"), ("ResourceType", "string"), ("ServiceCategory", "string"),
+        ("ServiceName", "string"), ("SkuId", "int"), ("SkuPriceId", "int"),
+        ("SubAccountId", "string"), ("SubAccountName", "string"), ("SubAccountType",
+        "string"), ("Tags", "json"), ("x_AccountId", "int"), ("x_AccountName",
+        "string"), ("x_AccountOwnerId", "string"), ("x_BilledCostInUsd", "string"),
+        ("x_BilledUnitPrice", "float"), ("x_BillingAccountId", "int"),
+        ("x_BillingAccountName", "string"), ("x_BillingExchangeRate", "int"),
+        ("x_BillingExchangeRateDate", "string"), ("x_BillingProfileId", "int"),
+        ("x_BillingProfileName", "string"), ("x_ContractedCostInUsd", "string"),
+        ("x_CostAllocationRuleName", "string"), ("x_CostCenter", "string"),
+        ("x_CustomerId", "string"), ("x_CustomerName", "string"),
+        ("x_EffectiveCostInUsd", "string"), ("x_EffectiveUnitPrice", "float"),
+        ("x_InvoiceId", "string"), ("x_InvoiceIssuerId", "float"),
+        ("x_InvoiceSectionId", "int"), ("x_InvoiceSectionName", "string"),
+        ("x_ListCostInUsd", "string"), ("x_PartnerCreditApplied", "string"),
+        ("x_PartnerCreditRate", "string"), ("x_PricingBlockSize", "int"),
+        ("x_PricingCurrency", "string"), ("x_PricingSubcategory", "string"),
+        ("x_PricingUnitDescription", "string"), ("x_PublisherCategory", "string"),
+        ("x_PublisherId", "string"), ("x_ResellerId", "string"), ("x_ResellerName",
+        "string"), ("x_ResourceGroupName", "string"), ("x_ResourceType", "string"),
+        ("x_ServicePeriodEnd", "string"), ("x_ServicePeriodStart", "string"),
+        ("x_SkuDescription", "string"), ("x_SkuDetails", "json"),
+        ("x_SkuIsCreditEligible", "boolean"), ("x_SkuMeterCategory", "string"),
+        ("x_SkuMeterId", "string"), ("x_SkuMeterName", "string"),
+        ("x_SkuMeterSubcategory", "string"), ("x_SkuOfferId", "string"),
+        ("x_SkuOrderId", "string"), ("x_SkuOrderName", "string"),
+        ("x_SkuPartNumber", "string"), ("x_SkuRegion", "string"),
+        ("x_SkuServiceFamily", "string"), ("x_SkuTerm", "int"), ("x_SkuTier",
+        "string")
+    ),
+)
+
 REGISTRY: dict[str, DataType] = {
     dt.name: dt
     for dt in (
         VPCFLOW, CLOUDTRAIL, APPLICATIONLB, CLASSICLB, NETWORKLB,
-        CLOUDFRONT, WINDOWSDEMOEVENTS,
+        CLOUDFRONT, WINDOWSDEMOEVENTS, COSTDEMOAWS, COSTDEMOAZURE,
     )
 }
 

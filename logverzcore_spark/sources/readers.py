@@ -162,12 +162,15 @@ def read_zip_csv(spark: SparkSession, path, dt: DataType) -> DataFrame:
 def split_quarantine(df: DataFrame, min_fields: int = 2) -> tuple[DataFrame, DataFrame]:
     """Split raw rows into (good, quarantined).
 
-    Quarantined: corrupt rows, and rows with fewer than ``min_fields``
-    populated columns (the reference skips rows with <2 fields —
-    worker.js:493 — typical for trailing garbage lines)."""
+    Quarantined: rows with fewer than ``min_fields`` populated columns
+    (the reference skips rows with <2 fields — worker.js:493). Rows whose
+    ``_corrupt_record`` is set but which still parsed ≥ min_fields columns
+    are KEPT: Spark's PERMISSIVE mode marks short rows (fewer tokens than
+    the schema) as corrupt, while the reference tolerates exactly that as
+    schema drift (missing trailing columns → NULL, worker.js:953)."""
     data_cols = [c for c in df.columns if c not in (CORRUPT_COL, SOURCE_COL)]
     n_set = sum(F.when(F.col(f"`{c}`").isNotNull(), 1).otherwise(0) for c in data_cols)
-    is_bad = F.col(CORRUPT_COL).isNotNull() | (n_set < min_fields)
+    is_bad = n_set < min_fields
     good = df.where(~is_bad).drop(CORRUPT_COL)
     bad = df.where(is_bad)
     return good, bad

@@ -211,3 +211,28 @@ def test_collect_partitioned_write_prunes(spark, tmpdir_path):
     # Partition filter must appear as a partition (not data) filter.
     assert "PartitionFilters" in plan or "action" not in plan.split("PushedFilters")[0]
     spark.sql("DROP TABLE IF EXISTS t_part")
+
+
+def test_costdemo_schemas_registered_and_usable(spark, tmpdir_path):
+    """CostDemoAWS/Azure (126/96 cols) are in the registry; a file carrying
+    a column subset reads with drift tolerance (missing cols → NULL)."""
+    import gzip, os
+    from logverzcore_spark.operators.coerce import coerce
+
+    dt = REGISTRY["CostDemoAWS"]
+    assert len(dt.schema.fields) == 126
+    assert len(REGISTRY["CostDemoAzure"].schema.fields) == 96
+    cols = [f.name for f in dt.schema.fields[:6]]
+    p = os.path.join(tmpdir_path, "cost.csv.gz")
+    with gzip.open(p, "wt") as fh:
+        fh.write(",".join(cols) + "\n")
+        fh.write("li-1,2024-01,42,AWS,Anniversary,123.0\n")
+        fh.write("li-2,2024-02,-,AWS,Anniversary,456.0\n")
+    raw = readers.read_raw(spark, p, dt)
+    good, _ = readers.split_quarantine(raw)
+    typed = coerce(good.drop(readers.SOURCE_COL), dt.schema)
+    rows = typed.collect()
+    assert len(rows) == 2
+    assert rows[0]["identity_line_item_id"] in ("li-1", "li-2")
+    assert {r["bill_invoice_id"] for r in rows} == {42, None}  # '-' → NULL int
+    assert all(r["line_item_line_item_type"] is None for r in rows)  # drift col
