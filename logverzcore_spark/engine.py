@@ -47,7 +47,13 @@ def get_session(app_name: str = "logverzcore-spark", **extra_conf: str) -> Spark
         .config("spark.ui.enabled", "false")
     )
     if not os.environ.get("SPARK_MASTER_SET"):
-        builder = builder.master(f"local[{cpus}]")
+        # local mode: one JVM hosts driver + all executor threads, but
+        # spark.driver.memory still defaults to 1g — size it to the box
+        # (the test machine has 128 GiB; 16g leaves headroom for Python
+        # workers and the OS page cache).
+        builder = builder.master(f"local[{cpus}]").config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
     for k, v in extra_conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

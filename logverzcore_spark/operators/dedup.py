@@ -215,8 +215,12 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .distinct()
     )
-    sh1 = base.select(F.col("doc_id").alias("id1"), F.col("sh_set").alias("sh1"))
-    sh2 = base.select(F.col("doc_id").alias("id2"), F.col("sh_set").alias("sh2"))
+    # shuffle_hash hints: the shingle-set frames carry large string arrays
+    # — letting the planner broadcast one (its size estimate sees only the
+    # cached row count) OOMs the driver at scale. Hash-join on the id keys
+    # instead; the candidate side is already small.
+    sh1 = base.select(F.col("doc_id").alias("id1"), F.col("sh_set").alias("sh1")).hint("shuffle_hash")
+    sh2 = base.select(F.col("doc_id").alias("id2"), F.col("sh_set").alias("sh2")).hint("shuffle_hash")
     inter = F.size(F.array_intersect("sh1", "sh2"))
     union = F.size(F.array_union("sh1", "sh2"))
     jac = inter / union

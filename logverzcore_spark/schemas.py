@@ -48,6 +48,25 @@ class DataType:
     root_element: str | None = None  # JSON array to explode (CloudTrail "Records")
     views: dict[str, list[str]] = field(default_factory=dict)
     comment_prefix: str | None = None  # preamble lines to drop (CloudFront '#')
+    #: Known nested shapes for JSON-string columns. The stored table keeps
+    #: the raw string twin (reference parity for ->>-style queries);
+    #: ``typed_json_view`` adds real struct columns — strictly better for
+    #: Catalyst (field pruning, no per-row JSON parse at query time).
+    json_structs: dict[str, T.StructType] = field(default_factory=dict)
+
+
+def typed_json_view(df, dt: "DataType"):
+    """Return ``df`` with each known JSON-string column parsed into a
+    typed struct column ``<name>_struct`` (original string kept for the
+    reference's ->> query corpus). One narrow projection; downstream
+    struct-path reads are pruned column accesses, not JSON parses."""
+    from pyspark.sql import functions as F
+
+    out = df
+    for col, struct in dt.json_structs.items():
+        if col in df.columns:
+            out = out.withColumn(f"{col}_struct", F.from_json(F.col(f"`{col}`"), struct))
+    return out
 
 
 def _schema(*cols: tuple[str, str]) -> T.StructType:
@@ -123,6 +142,36 @@ CLOUDTRAIL = DataType(
     views={
         "Default": ["eventTime", "eventSource", "eventName", "awsRegion",
                     "sourceIPAddress", "errorCode", "errorMessage"],
+    },
+    json_structs={
+        # The corpus queries sessionContext.sessionIssuer.userName
+        # (Samplesqlqueries.txt:48-55) — modeled as a real nested struct.
+        "userIdentity": T.StructType(
+            [
+                T.StructField("type", T.StringType()),
+                T.StructField("principalId", T.StringType()),
+                T.StructField("arn", T.StringType()),
+                T.StructField("accountId", T.StringType()),
+                T.StructField("invokedBy", T.StringType()),
+                T.StructField(
+                    "sessionContext",
+                    T.StructType(
+                        [
+                            T.StructField(
+                                "sessionIssuer",
+                                T.StructType(
+                                    [
+                                        T.StructField("type", T.StringType()),
+                                        T.StructField("userName", T.StringType()),
+                                        T.StructField("arn", T.StringType()),
+                                    ]
+                                ),
+                            ),
+                        ]
+                    ),
+                ),
+            ]
+        ),
     },
 )
 

@@ -737,6 +737,30 @@ def q29_supplier_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q31_json_struct_path",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+    """,
+)
+def q31_json_struct_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON columns as real structs (SURVEY §1.2/§7): from_json once,
+    then struct-path access — Catalyst prunes to the needed field instead
+    of re-parsing JSON per predicate (the strictly-better alternative to
+    the reference's string-JSON)."""
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")
+    struct = T.StructType([T.StructField("k", T.LongType())])
+    typed = ev.withColumn("props_struct", F.from_json("props", struct))
+    return typed.where(F.col("props_struct.k") > 90).select(
+        "event_id", F.col("props_struct.k").alias("k_typed")
+    )
+
+
 @query("q30_approx_distinct_users")  # approximate by design → rows-only check
 def q30_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) — no reference counterpart, free in

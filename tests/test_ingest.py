@@ -236,3 +236,25 @@ def test_costdemo_schemas_registered_and_usable(spark, tmpdir_path):
     assert rows[0]["identity_line_item_id"] in ("li-1", "li-2")
     assert {r["bill_invoice_id"] for r in rows} == {42, None}  # '-' → NULL int
     assert all(r["line_item_line_item_type"] is None for r in rows)  # drift col
+
+
+def test_cloudtrail_typed_struct_view(spark, tmpdir_path):
+    """typed_json_view turns the string-JSON twin into a real struct
+    queryable by path without get_json_object."""
+    from logverzcore_spark.operators.coerce import coerce
+    from logverzcore_spark.schemas import typed_json_view
+
+    write_cloudtrail_gz(tmpdir_path)
+    dt = REGISTRY["CloudTrail"]
+    raw = readers.read_raw(spark, tmpdir_path, dt)
+    good, _ = readers.split_quarantine(raw, min_fields=1)
+    typed = typed_json_view(coerce(good.drop(readers.SOURCE_COL), dt.schema), dt)
+    assert "userIdentity_struct" in typed.columns
+    got = (
+        typed.where(typed["errorCode"] == "AccessDenied")
+        .select("userIdentity_struct.sessionContext.sessionIssuer.userName")
+        .collect()
+    )
+    assert [r[0] for r in got] == ["role2"]
+    # String twin still present for ->>-style parity.
+    assert dict(typed.dtypes)["userIdentity"] == "string"
