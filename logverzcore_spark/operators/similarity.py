@@ -105,8 +105,8 @@ def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 6,
-    n_tables: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 12,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -115,7 +115,7 @@ def lsh_topk(
 
     One table of b sign-bits finds a cos-θ neighbor with probability
     (1-θ/π)^b — too low for top-k recall. L independent tables lift it to
-    1-(1-p^b)^L (≈0.95 for cos≈0.7 at b=6, L=8). At scale the corpus is
+    1-(1-p^b)^L (b=4, L=12 holds ~0.8 even for moderate-similarity top-k neighbors). At scale the corpus is
     hash-partitioned by (table, bucket) once and reused across query
     batches; each query probes L buckets instead of scanning the corpus."""
     from pyspark.sql.functions import pandas_udf
@@ -193,25 +193,49 @@ def ivf_topk(
     centroids (sampled deterministically from the corpus), then score each
     query only against its ``nprobe`` nearest cells."""
     c = corpus.select(F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nvec"))
-    # Deterministic centroid sample: lowest ids, spread by modular stride.
-    cents = [
-        (int(r["nid"]), [float(x) for x in r["nvec"]])
-        for r in c.orderBy("nid").limit(n_cells).collect()
+    # Deterministic centroids: stride-sample the corpus (spread across the
+    # id range, not the first rows), then a few local k-means iterations
+    # over a bounded driver-side sample — numpy work on ≤4096 vectors, so
+    # the corpus itself never leaves the executors.
+    sample = [
+        [float(x) for x in r["nvec"]]
+        for r in c.orderBy(F.pmod(F.xxhash64("nid"), F.lit(9973)), "nid")
+        .limit(min(4096, 64 * n_cells))
+        .collect()
     ]
+    X = np.array(sample, dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    cents_mat = Xn[:: max(1, len(Xn) // n_cells)][:n_cells]
+    for _ in range(5):
+        assign = (Xn @ cents_mat.T).argmax(axis=1)
+        for ci in range(len(cents_mat)):
+            members = Xn[assign == ci]
+            if len(members):
+                m = members.mean(axis=0)
+                cents_mat[ci] = m / max(np.linalg.norm(m), 1e-12)
+    cents = [(ci, [float(x) for x in cents_mat[ci]]) for ci in range(len(cents_mat))]
 
-    def nearest_cells(vec: Column, n: int) -> Column:
-        sims = F.array(
-            *[
-                F.struct(cosine(vec, F.array(*[F.lit(x) for x in cv])).alias("s"), F.lit(ci).alias("cell"))
-                for ci, (_, cv) in enumerate(cents)
-            ]
-        )
-        top = F.slice(F.reverse(F.array_sort(sims)), 1, n)
-        return F.transform(top, lambda s: s["cell"])
+    from pyspark.sql.functions import pandas_udf
 
-    c_assigned = c.withColumn("cell", F.element_at(nearest_cells(F.col("nvec"), 1), 1))
+    # Cell assignment as one numpy matmul per Arrow batch (argmax over
+    # X @ C.T) — same interpreted-HOF avoidance as lsh_topk's bucketing.
+    cmat = np.array([cv for _, cv in cents], dtype=np.float64)
+    cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+
+    def _nearest(n: int):
+        @pandas_udf("array<int>")
+        def cells(vecs: pd.Series) -> pd.Series:
+            x = np.array(vecs.tolist(), dtype=np.float64)
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            sims = x @ cmat.T
+            top = np.argsort(-sims, axis=1)[:, :n].astype("int32")
+            return pd.Series(list(top))
+
+        return cells
+
+    c_assigned = c.withColumn("cell", F.element_at(_nearest(1)(F.col("nvec")), 1))
     q = queries.select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec"))
-    q_assigned = q.withColumn("cell", F.explode(nearest_cells(F.col("qvec"), nprobe)))
+    q_assigned = q.withColumn("cell", F.explode(_nearest(nprobe)(F.col("qvec"))))
     scored = (
         c_assigned.join(F.broadcast(q_assigned), (c_assigned.cell == q_assigned.cell) & (F.col("qid") != F.col("nid")))
         .select("qid", "nid", cosine(F.col("qvec"), F.col("nvec")).alias("cos"))

@@ -997,7 +997,7 @@ def s02_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH-bucketed ANN top-k (the scale path)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 20)
-    return similarity.lsh_topk(emb, queries, k=5, n_planes=6)
+    return similarity.lsh_topk(emb, queries, k=5)
 
 
 @query("s03_ivf_topk")  # approximate → rows-only check

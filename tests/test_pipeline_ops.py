@@ -57,11 +57,11 @@ def test_lsh_topk_recall(emb):
     """Bucketed ANN must recover most of the brute-force top-5."""
     queries = emb.where(F.col("vec_id") < 10)
     exact = similarity.cosine_topk(emb, queries, k=5).collect()
-    approx = similarity.lsh_topk(emb, queries, k=5, n_planes=4).collect()
+    approx = similarity.lsh_topk(emb, queries, k=5).collect()
     exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall >= 0.5, f"LSH recall {recall}"
+    assert recall >= 0.7, f"LSH recall {recall}"
 
 
 def test_ivf_topk_recall(emb):
