@@ -761,6 +761,77 @@ def q31_json_struct_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q32_having_filter",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING COUNT(*) >= 50 AND SUM(CAST(c_acctbal AS DECIMAL(18,2))) > 0
+    """,
+)
+def q32_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING — post-aggregation predicate."""
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        customer.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _money_sum("c_acctbal").alias("total_bal"),
+        )
+        .where((F.col("n_customers") >= 50) & (F.col("total_bal") > 0))
+    )
+
+
+@query(
+    "q33_weekday_orders",
+    oracle="""
+    SELECT CAST(dayofweek(o_orderdate) AS INTEGER) AS dow_iso,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def q33_weekday_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday aggregation. Engines disagree on week numbering (Spark
+    dayofweek: 1=Sunday..7; DuckDB dayofweek: 0=Sunday..6) — normalized
+    to DuckDB's convention via dayofweek()-1."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow_iso")
+    ).agg(F.count(F.lit(1)).alias("n"), _money_sum("o_totalprice").alias("total"))
+
+
+@query(
+    "q34_embedding_norm_stats",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n,
+           ROUND(MIN(sqrt(list_dot_product(e, e))), 4) AS min_norm,
+           ROUND(MAX(sqrt(list_dot_product(e, e))), 4) AS max_norm
+    FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings)
+    GROUP BY label
+    """,
+)
+def q34_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column aggregation: per-label L2-norm stats over embeddings —
+    relational ops over vector columns in one pass."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    return emb.select("label", norm.alias("nrm")).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("nrm"), 4).alias("min_norm"),
+        F.round(F.max("nrm"), 4).alias("max_norm"),
+    )
+
+
 @query("q30_approx_distinct_users")  # approximate by design → rows-only check
 def q30_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) — no reference counterpart, free in
