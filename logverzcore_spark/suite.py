@@ -1100,6 +1100,44 @@ def m01_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m02_resize_planning",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id,
+             CAST(100 + doc_id % 1900 AS INTEGER) AS width,
+             CAST(100 + (doc_id * 7) % 1900 AS INTEGER) AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           CAST(FLOOR(width * LEAST(1.0, 512.0 / GREATEST(width, height))) AS INTEGER) AS out_width,
+           CAST(FLOOR(height * LEAST(1.0, 512.0 / GREATEST(width, height))) AS INTEGER) AS out_height
+    FROM meta
+    """,
+)
+def m02_resize_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata-only planning (resize dims capped at 512,
+    aspect preserved): operates purely on the typed metadata struct, so
+    column pruning never touches the binary payload. Meta is synthesized
+    deterministically from doc_id (no image codecs in the container)."""
+    from logverzcore_spark.operators.multimodal import fake_resize_meta
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.struct(
+            (100 + F.col("doc_id") % 1900).cast("int").alias("width"),
+            (100 + (F.col("doc_id") * 7) % 1900).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+    return fake_resize_meta(docs, meta_col="meta", max_side=512).select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        "out_width",
+        "out_height",
+    )
+
+
+@query(
     "st01_streaming_hourly",
     oracle="""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
