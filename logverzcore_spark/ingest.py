@@ -63,6 +63,41 @@ class CollectReport:
     elapsed_sec: float
 
 
+def optimize_table(
+    spark: SparkSession,
+    table: str,
+    target_rows_per_file: int = 1_000_000,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Compact a table's small files (the 100 TB ingest reality: streaming
+    appends and per-batch commits leave thousands of small files that
+    degrade scan planning). Rewrites the table with bounded file sizes via
+    an atomic overwrite of a staged copy; returns the resulting file
+    count. The real-cluster version targets bytes via
+    ``maxRecordsPerFile`` × average row width — same mechanism."""
+    from pyspark.sql import functions as F
+
+    df = spark.table(table).persist()
+    try:
+        n_rows = df.count()  # materialize before the overwrite drops the source
+        n_out = max(1, -(-n_rows // target_rows_per_file))  # ceil
+        writer = (
+            df.coalesce(n_out)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", str(target_rows_per_file))
+        )
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.saveAsTable(f"{table}__compact")
+        spark.sql(f"DROP TABLE `{table}`")
+        spark.sql(f"ALTER TABLE `{table}__compact` RENAME TO `{table}`")
+    finally:
+        df.unpersist()
+    return (
+        spark.table(table).select(F.input_file_name().alias("f")).distinct().count()
+    )
+
+
 @dataclass
 class FilePlan:
     """What the reference's controller computed by walking S3 prefixes and
@@ -114,6 +149,7 @@ def collect(
     catalog: Catalog | None = None,
     user: User | None = None,
     quarantine_table: str | None = None,
+    metrics_table: str | None = None,
 ) -> CollectReport:
     """Run one collection job to completion and return its report."""
     t0 = time.time()
@@ -156,6 +192,19 @@ def collect(
             F.col(readers.CORRUPT_COL).alias("errormessage"),
             F.lit(time.time()).cast("double").alias("updateunixtime"),
         ).write.mode("append").saveAsTable(quarantine_table)
+
+    if metrics_table:
+        # Invocations-style job record (enginesharedv3.mjs:17-36): one row
+        # per job with status + progress counters.
+        from pyspark.sql import functions as F
+
+        spark.createDataFrame(
+            [(job_id, job.table_name, "completed", n_rows, n_bad, n_files)],
+            "jobid string, tablename string, status string, rows_written long, "
+            "rows_quarantined long, files_seen long",
+        ).withColumn("updateunixtime", F.lit(time.time())).write.mode(
+            "append"
+        ).saveAsTable(metrics_table)
 
     if catalog is not None:
         catalog.record_query(

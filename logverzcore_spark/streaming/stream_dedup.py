@@ -1,0 +1,105 @@
+"""Streaming deduplication — continuous collection + the dedup family
+composed (the north-star combination: Structured Streaming ingest feeding
+a training-data pipeline).
+
+``dedup_stream`` ingests files continuously and appends only
+never-seen-before documents to the target table, tracking content
+fingerprints in a state table via ``foreachBatch``:
+
+- per batch: fingerprint (md5 of normalized text) → drop in-batch dups
+  (keep lowest id) → left-anti join against the persistent fingerprint
+  state → append survivors to the data table AND their fingerprints to
+  the state table.
+- the state table is a plain warehouse table partition-pruned by
+  fingerprint prefix, so the anti-join shuffles only the (tiny)
+  fingerprint column, never the documents.
+- exactly-once: the file-source checkpoint makes batch replay idempotent
+  only if the foreachBatch body is — the anti-join against already-
+  committed fingerprints is exactly that (replayed rows are dropped as
+  duplicates of themselves).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from logverzcore_spark.operators.text import fingerprint_md5
+
+
+def _dedup_batch(
+    batch: DataFrame,
+    spark: SparkSession,
+    target_table: str,
+    state_table: str,
+    text_col: str,
+    id_col: str,
+) -> None:
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col))
+    in_batch = (
+        batch.withColumn("_fp", fingerprint_md5(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if spark.catalog.tableExists(state_table):
+        seen = spark.table(state_table)
+        fresh = in_batch.join(
+            seen.hint("shuffle_hash"), in_batch["_fp"] == seen["fp"], "left_anti"
+        )
+    else:
+        fresh = in_batch
+    fresh.persist()
+    try:
+        fresh.drop("_fp").write.mode("append").saveAsTable(target_table)
+        fresh.select(F.col("_fp").alias("fp")).write.mode("append").saveAsTable(state_table)
+    finally:
+        fresh.unpersist()
+    # The appends ran on the cloned micro-batch session; the outer
+    # session's cached file listings for both tables are now stale. Left
+    # unrefreshed, the NEXT batch's anti-join reads an old fingerprint
+    # snapshot and lets duplicates through (observed), and callers see
+    # pre-batch row counts.
+    spark.catalog.refreshTable(target_table)
+    spark.catalog.refreshTable(state_table)
+
+
+def dedup_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    target_table: str,
+    state_table: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fmt: str = "json",
+    reader_options: dict[str, str] | None = None,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int = 10,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously ingest documents, writing only first-seen content."""
+    import os
+    import tempfile
+    import uuid
+
+    state_table = state_table or f"{target_table}_fingerprints"
+    reader = spark.readStream.format(fmt).schema(schema)
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
+    stream = reader.option("maxFilesPerTrigger", str(max_files_per_trigger)).load(path)
+    checkpoint = checkpoint_dir or os.path.join(
+        tempfile.gettempdir(), f"lvz_dd_{uuid.uuid4().hex[:8]}"
+    )
+    writer = (
+        stream.writeStream.option("checkpointLocation", checkpoint)
+        .foreachBatch(
+            lambda batch, _id: _dedup_batch(
+                batch, spark, target_table, state_table, text_col, id_col
+            )
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,84 @@
+"""Streaming dedup (foreachBatch + fingerprint state), table compaction,
+and job-metrics recording."""
+
+import json
+import os
+
+from pyspark.sql import types as T
+
+from logverzcore_spark.ingest import CollectJob, collect, optimize_table
+from logverzcore_spark.streaming.stream_dedup import dedup_stream
+
+from rawfixtures import write_vpcflow_gz
+
+DOC_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+)
+
+
+def _write_docs(path: str, name: str, docs: list[tuple[int, str]]) -> None:
+    with open(os.path.join(path, name), "w") as fh:
+        for i, txt in docs:
+            fh.write(json.dumps({"doc_id": i, "text": txt}) + "\n")
+
+
+def test_dedup_stream_drops_duplicates_across_batches(spark, tmpdir_path):
+    watch = os.path.join(tmpdir_path, "docs")
+    os.makedirs(watch)
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+    for t in ("dd_docs", "dd_docs_fingerprints"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    # Batch 1: 3 docs, one in-batch duplicate pair (ids 1,2 same text).
+    _write_docs(watch, "b1.json", [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma")])
+    q = dedup_stream(spark, watch, DOC_SCHEMA, "dd_docs", checkpoint_dir=ckpt)
+    q.awaitTermination()
+    got = {r["doc_id"] for r in spark.table("dd_docs").collect()}
+    assert got == {1, 3}  # in-batch dup dropped, lowest id kept
+
+    # Batch 2: one cross-batch duplicate (same text as doc 3), one new.
+    _write_docs(watch, "b2.json", [(10, "gamma"), (11, "delta")])
+    q = dedup_stream(spark, watch, DOC_SCHEMA, "dd_docs", checkpoint_dir=ckpt)
+    q.awaitTermination()
+    got = {r["doc_id"] for r in spark.table("dd_docs").collect()}
+    assert got == {1, 3, 11}  # doc 10 rejected as cross-batch duplicate
+
+    # Restart with nothing new: no re-ingest (idempotent foreachBatch).
+    q = dedup_stream(spark, watch, DOC_SCHEMA, "dd_docs", checkpoint_dir=ckpt)
+    q.awaitTermination()
+    assert spark.table("dd_docs").count() == 3
+    assert spark.table("dd_docs_fingerprints").count() == 3
+    for t in ("dd_docs", "dd_docs_fingerprints"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_optimize_table_compacts_small_files(spark, tmpdir_path):
+    spark.sql("DROP TABLE IF EXISTS frag_t")
+    # Fragment: 20 tiny appends → ≥20 files.
+    for i in range(20):
+        spark.range(i * 10, (i + 1) * 10).write.mode("append").saveAsTable("frag_t")
+    from pyspark.sql import functions as F
+
+    before = spark.table("frag_t").select(F.input_file_name()).distinct().count()
+    assert before >= 20
+    n_after = optimize_table(spark, "frag_t", target_rows_per_file=1000)
+    assert spark.table("frag_t").count() == 200  # no data change
+    assert n_after == 1
+    spark.sql("DROP TABLE IF EXISTS frag_t")
+
+
+def test_collect_metrics_table(spark, tmpdir_path):
+    write_vpcflow_gz(tmpdir_path, n_files=2)
+    spark.sql("DROP TABLE IF EXISTS jobs_metrics")
+    report = collect(
+        spark,
+        CollectJob(path=tmpdir_path, datatype="VPCFlow", table_name="mt_vpc"),
+        metrics_table="jobs_metrics",
+    )
+    row = spark.table("jobs_metrics").first()
+    assert row["jobid"] == report.job_id
+    assert row["status"] == "completed"
+    assert row["rows_written"] == report.rows_written == 10
+    assert row["files_seen"] == 2
+    for t in ("mt_vpc", "jobs_metrics"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
