@@ -139,8 +139,8 @@ def minhash_signature(col: Column, num_hashes: int = 128, n: int = 3) -> Column:
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.7,
-    num_hashes: int = 128,
-    bands: int = 64,
+    num_hashes: int = 64,
+    bands: int = 32,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -149,7 +149,9 @@ def minhash_lsh_pairs(
 
     rows = num_hashes // bands; a pair collides in a band with
     probability s^rows, in ≥1 band with 1-(1-s^rows)^bands. With the
-    defaults (r=2, b=64) recall at s=0.7 is ~1-1e-19.
+    defaults (r=2, b=32) recall at s=0.7 is ~1-1e-8 — indistinguishable
+    from exhaustive at any realistic pair count, at half the signature
+    cost of r=2, b=64.
 
     Plan shape at scale: one narrow projection computes signatures
     (no shuffle), one explode to (band, bucket-hash, doc) rows, one
