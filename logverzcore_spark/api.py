@@ -114,6 +114,11 @@ class Engine:
         return {f.name: f.dataType.simpleString() for f in self.spark.table(table).schema.fields}
 
     def delete_table(self, table: str, user: User = ADMIN) -> None:
+        # Uncataloged tables are system/temp objects: reads already treat
+        # them as admin-only (authorize_tables), so deletes must not be
+        # MORE permissive than selects.
+        if self.catalog.for_table(table) is None and not user.is_admin:
+            raise PermissionError(f"no catalog entry for table {table!r}; admin required")
         self.catalog.deactivate_table(table, user)
         self.spark.sql(f"DROP TABLE IF EXISTS `{table}`")
 

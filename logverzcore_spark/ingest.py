@@ -137,6 +137,18 @@ def plan_files(spark: SparkSession, job: CollectJob) -> FilePlan:
     )
 
 
+import re as _re
+
+#: The reference's default job query (`SELECT * FROM S3Object s`,
+#: Logverz-EngineStart.json:71-75) — a no-op; anything else (WHERE filter
+#: OR a projection list) runs through the staged-view SQL path.
+_TRIVIAL_STAR_RE = _re.compile(r"(?is)^\s*select\s+\*\s+from\s+s3object\S*(\s+\w+)?\s*;?\s*$")
+
+
+def _is_trivial_select_star(query: str) -> bool:
+    return bool(_TRIVIAL_STAR_RE.match(query))
+
+
 def _read(spark: SparkSession, job: CollectJob, dt: DataType) -> DataFrame:
     if job.zip_compressed:
         return readers.read_zip_csv(spark, job.path, dt)
@@ -165,7 +177,7 @@ def collect(
 
         typed = apply_transforms(typed, job.transforms)
 
-    if job.query_string and "where" in job.query_string.lower():
+    if job.query_string and not _is_trivial_select_star(job.query_string):
         stage_view = f"stage_{job_id}"
         typed.createOrReplaceTempView(stage_view)
         typed = spark.sql(rewrite_legacy_query(job.query_string, stage_view))
@@ -179,13 +191,24 @@ def collect(
     writer.saveAsTable(job.table_name)
 
     n_rows = spark.table(job.table_name).count()
-    n_bad = bad.count()
-    n_files = raw.select(readers.SOURCE_COL).distinct().count()
+    # One combined stats pass instead of separate bad.count() +
+    # distinct-files scans — each would re-read and re-parse every source
+    # file (3× input I/O on the 100 TB jobs this targets).
+    from pyspark.sql import functions as F
+
+    data_cols = [c for c in raw.columns if c not in (readers.CORRUPT_COL, readers.SOURCE_COL)]
+    n_set = sum(
+        F.when(F.col(f"`{c}`").isNotNull(), 1).otherwise(0) for c in data_cols
+    )
+    stats = raw.agg(
+        F.sum(F.when(n_set < 2, 1).otherwise(0)).alias("n_bad"),
+        F.countDistinct(readers.SOURCE_COL).alias("n_files"),
+    ).first()
+    n_bad = stats["n_bad"] or 0
+    n_files = stats["n_files"]
 
     if n_bad and quarantine_table:
         # ProcessingErrors-shaped quarantine sink (jobid, path, error, row).
-        from pyspark.sql import functions as F
-
         bad.select(
             F.lit(job_id).alias("jobid"),
             F.col(readers.SOURCE_COL).alias("path"),

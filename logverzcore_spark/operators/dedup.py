@@ -157,6 +157,11 @@ def minhash_lsh_pairs(
     (no shuffle), one explode to (band, bucket-hash, doc) rows, one
     self-join shuffled on the bucket key, then exact verification that
     re-joins the (small) candidate set back to the shingle sets.
+
+    NB: the shingle-set frame is persisted (it feeds both the signature
+    and the verification join) and stays cached until the session evicts
+    it — callers running many corpora through one session should
+    ``spark.catalog.clearCache()`` between runs.
     """
     rows = num_hashes // bands
     # Compute the signature WITHOUT higher-order-function lambdas: HOF

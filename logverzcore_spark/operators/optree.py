@@ -60,8 +60,17 @@ def type_literal(value: Any) -> Any:
     return value
 
 
+#: Pattern operators take their operand VERBATIM — auto-casting would turn
+#: `like "404"` into `like(404)` (a py4j signature error) and `like "null"`
+#: into like(None).
+_PATTERN_OPS = {"like", "notLike", "startsWith", "endsWith", "substring"}
+
+
 def _compare(col: Column, op: str, value: Any) -> Column:
-    value = type_literal(value)
+    if op not in _PATTERN_OPS:
+        value = type_literal(value)
+    elif value is not None:
+        value = str(value)
     if op == "eq":
         return col.isNull() if value is None else col == F.lit(value)
     if op == "ne":

@@ -70,42 +70,58 @@ def rewrite_legacy_query(query: str, view_name: str) -> str:
     return out
 
 
-def _walk_plan(node, tables: list[str], seen: set[int]) -> None:
+def _walk_plan(node, tables: list[str], seen: set[int], scope: frozenset[str]) -> None:
+    """Collect table references, resolving CTE names LEXICALLY.
+
+    ``scope`` holds the CTE names visible at this point. Scoping matters
+    for security: in ``WITH t AS (SELECT * FROM t) SELECT * FROM t`` the
+    inner ``FROM t`` reads the REAL table (Spark CTEs are non-recursive),
+    so a flat "drop every name that matches a CTE" filter would strip a
+    genuine reference and bypass the per-table ACL check. Here each CTE
+    body is walked with only the PREVIOUSLY defined CTEs in scope (a
+    self-reference therefore counts as a real table), and only the main
+    query sees the full CTE set."""
     if node is None or id(node) in seen:
         return
     seen.add(id(node))
     name = node.getClass().getSimpleName()
     if name == "UnresolvedRelation":
         parts = node.multipartIdentifier()
-        tables.append(".".join(parts.apply(i) for i in range(parts.size())))
+        ref = ".".join(parts.apply(i) for i in range(parts.size()))
+        if ref not in scope:
+            tables.append(ref)
         return
-    cte_names: set[str] = set()
     if name == "UnresolvedWith":
         ctes = node.cteRelations()
+        body_scope = scope
         for i in range(ctes.size()):
             pair = ctes.apply(i)
-            cte_names.add(pair._1())
-            _walk_plan(pair._2(), tables, seen)
+            _walk_plan(pair._2(), tables, seen, body_scope)
+            body_scope = body_scope | {pair._1()}
+        children = node.children()
+        for i in range(children.size()):
+            _walk_plan(children.apply(i), tables, seen, body_scope)
+        return
     children = node.children()
     for i in range(children.size()):
-        _walk_plan(children.apply(i), tables, seen)
+        _walk_plan(children.apply(i), tables, seen, scope)
     try:
         subqueries = node.subqueries()
         for i in range(subqueries.size()):
-            _walk_plan(subqueries.apply(i), tables, seen)
+            _walk_plan(subqueries.apply(i), tables, seen, scope)
     except Exception:
         pass
-    if cte_names:
-        tables[:] = [t for t in tables if t not in cte_names]
 
 
 def validate_select(spark: SparkSession, query: str, allow_explain: bool = True) -> ValidationResult:
     """Assert ``query`` is a single SELECT (or EXPLAIN) statement; return
     its type and referenced table names. Raises SqlValidationError
     otherwise — this is the reference's Q2 gate on Spark's parser."""
+    # No manual ';' scan: parsePlan parses exactly ONE statement and
+    # raises on trailing input (`SELECT 1; DROP TABLE x` → ParseException),
+    # while a naive substring check would reject legal queries whose
+    # string literals contain semicolons (user agents, URLs, cookies).
     stripped = query.strip().rstrip(";").strip()
-    if ";" in stripped:
-        raise SqlValidationError("multi-statement input rejected")
     parser = spark._jsparkSession.sessionState().sqlParser()
     try:
         plan = parser.parsePlan(stripped)
@@ -121,7 +137,7 @@ def validate_select(spark: SparkSession, query: str, allow_explain: bool = True)
     else:
         stmt_type = "SELECT"
     tables: list[str] = []
-    _walk_plan(plan, tables, set())
+    _walk_plan(plan, tables, set(), frozenset())
     # Dedup preserving order.
     unique = list(dict.fromkeys(tables))
     return ValidationResult(statement_type=stmt_type, tables=unique)

@@ -64,13 +64,29 @@ def read_raw(spark: SparkSession, path, dt: DataType) -> DataFrame:
             reader = reader.option("comment", dt.comment_prefix)
         df = reader.load(paths)
     elif dt.format == "json":
-        reader = spark.read.format("json")
+        reader = (
+            spark.read.format("json")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        )
         for k, v in dt.options.items():
             reader = reader.option(k, v)
-        raw = reader.load(paths)
+        raw = reader.load(paths).withColumn(SOURCE_COL, F.input_file_name())
+        # Malformed documents must reach quarantine, not vanish: under
+        # PERMISSIVE a corrupt file becomes one row with CORRUPT_COL set
+        # and a NULL root element, and a plain explode() would silently
+        # drop it (rows_quarantined would report 0 for a lost file).
+        # CORRUPT_COL rides THROUGH the explode_outer (Spark refuses
+        # queries that reference only the corrupt column, so it cannot be
+        # split off first): corrupt rows come out all-NULL + corrupt text,
+        # which the min_fields quarantine rule catches with lineage.
+        if CORRUPT_COL not in raw.columns:
+            raw = raw.withColumn(CORRUPT_COL, F.lit(None).cast("string"))
         if dt.root_element and dt.root_element in raw.columns:
             # CloudTrail-style {"Records": [...]} document (worker.js:375-380).
-            raw = raw.select(F.explode(dt.root_element).alias("r"), "*").select("r.*")
+            raw = raw.select(
+                F.explode_outer(dt.root_element).alias("r"), SOURCE_COL, CORRUPT_COL
+            ).select("r.*", SOURCE_COL, CORRUPT_COL)
         # JSON arrives typed-by-inference; stringify to the declared column
         # set so the shared coercion pass owns all typing. Nested structs
         # become JSON text (the reference's string-JSON columns).
@@ -84,7 +100,7 @@ def read_raw(spark: SparkSession, path, dt: DataType) -> DataFrame:
                 cols.append(F.to_json(f.name).alias(f.name))
             else:
                 cols.append(F.col(f"`{f.name}`").cast("string").alias(f.name))
-        df = raw.select(*cols).withColumn(CORRUPT_COL, F.lit(None).cast("string"))
+        return raw.select(*cols, SOURCE_COL, CORRUPT_COL)
     else:
         raise ValueError(f"unsupported format {dt.format!r}")
     return df.withColumn(SOURCE_COL, F.input_file_name())

@@ -68,7 +68,13 @@ def collect_stream(
 
 
 def _events_stream(spark: SparkSession, events_path: str):
-    """File-source stream over the (nanos-timestamped) events parquet."""
+    """File-source stream over the (nanos-timestamped) events parquet.
+
+    The file stream source wants a directory: watch the parent with a
+    glob for the events file (mirrors the reference's prefix/suffix
+    bucket-notification filters, collection.js:555-575). events.parquet
+    carries TIMESTAMP(NANOS) — read as long + convert (same
+    floor-to-micros DuckDB's reader applies)."""
     try:
         schema = spark.read.parquet(events_path).schema
     except Exception:
@@ -181,26 +187,7 @@ def run_windowed_aggregate(spark: SparkSession, events_path: str) -> DataFrame:
     """Drive a tumbling-window streaming aggregation to completion over the
     static events files and return the final result (complete mode, memory
     sink) — the batch-equivalent answer, used by the graded suite."""
-    # events.parquet carries TIMESTAMP(NANOS) — read as long + convert
-    # (same floor-to-micros DuckDB's reader applies).
-    try:
-        schema = spark.read.parquet(events_path).schema
-    except Exception:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        schema = spark.read.parquet(events_path).schema
-    # The file stream source wants a directory: watch the parent with a
-    # glob for the events file (mirrors the reference's prefix/suffix
-    # bucket-notification filters, collection.js:555-575).
-    stream = (
-        spark.readStream.format("parquet")
-        .schema(schema)
-        .option("maxFilesPerTrigger", "10")
-        .option("pathGlobFilter", os.path.basename(events_path))
-        .load(os.path.dirname(events_path))
-    )
-    for field in schema.fields:
-        if field.name == "ts" and isinstance(field.dataType, T.LongType):
-            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _events_stream(spark, events_path)
     agg = stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),

@@ -13,10 +13,14 @@ fingerprints in a state table via ``foreachBatch``:
 - the state table is a plain warehouse table partition-pruned by
   fingerprint prefix, so the anti-join shuffles only the (tiny)
   fingerprint column, never the documents.
-- exactly-once: the file-source checkpoint makes batch replay idempotent
-  only if the foreachBatch body is — the anti-join against already-
-  committed fingerprints is exactly that (replayed rows are dropped as
-  duplicates of themselves).
+- delivery semantics: batch replay after a clean failure is idempotent —
+  replayed rows anti-join against their own committed fingerprints and
+  drop out. The data and fingerprint appends are two separate
+  (non-atomic) commits, so a crash landing BETWEEN them degrades that
+  batch to at-least-once (data committed, fingerprints not → replay
+  re-appends). Data-before-fingerprints is the safe order: the reverse
+  would silently LOSE documents on replay. A transactional table format
+  (single multi-table commit) is the upgrade path.
 """
 
 from __future__ import annotations

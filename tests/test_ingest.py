@@ -258,3 +258,32 @@ def test_cloudtrail_typed_struct_view(spark, tmpdir_path):
     assert [r[0] for r in got] == ["role2"]
     # String twin still present for ->>-style parity.
     assert dict(typed.dtypes)["userIdentity"] == "string"
+
+
+def test_corrupt_json_file_reaches_quarantine(spark, tmpdir_path):
+    """A malformed JSON document must land in quarantine with lineage,
+    not silently vanish in the root-element explode."""
+    import gzip, os
+
+    write_cloudtrail_gz(tmpdir_path)  # one valid file
+    with gzip.open(os.path.join(tmpdir_path, "ct_bad.json.gz"), "wt") as fh:
+        fh.write('{"Records": [ {"eventName": "broken"')  # truncated doc
+    dt = REGISTRY["CloudTrail"]
+    raw = readers.read_raw(spark, tmpdir_path, dt)
+    good, bad = readers.split_quarantine(raw, min_fields=1)
+    assert good.count() == 4  # the valid file's records
+    assert bad.count() >= 1
+    assert "ct_bad" in bad.first()[readers.SOURCE_COL]
+
+
+def test_projection_only_ingest_query_applies(spark, tmpdir_path):
+    """A projection-only legacy query (no WHERE) must not be silently
+    ignored (only the trivial SELECT * default is a no-op)."""
+    write_vpcflow_gz(tmpdir_path, n_files=1)
+    job = CollectJob(
+        path=tmpdir_path, datatype="VPCFlow", table_name="t_proj_only",
+        query_string="SELECT s.srcaddr, s.bytes FROM S3Object s",
+    )
+    collect(spark, job)
+    assert spark.table("t_proj_only").columns == ["srcaddr", "bytes"]
+    spark.sql("DROP TABLE IF EXISTS t_proj_only")

@@ -158,3 +158,43 @@ def test_sql_chunked_protocol(engine):
     rows = [r for c in chunks[:-1] for r in json.loads(c)]
     assert len(rows) == 10 and rows[0] == {"id": 0, "v": 0}
     assert len(chunks) > 2  # actually chunked at 60 bytes
+
+
+def test_cte_shadowing_does_not_bypass_acl(spark):
+    """A CTE named after a real table must not strip the real reference
+    from the ACL list (Spark CTEs are non-recursive, so the inner FROM
+    reads the actual table)."""
+    r = validate_select(
+        spark, "WITH secret AS (SELECT * FROM secret) SELECT * FROM secret"
+    )
+    assert r.tables == ["secret"]
+    # Later CTE referencing an earlier one: no real tables.
+    r = validate_select(
+        spark,
+        "WITH a AS (SELECT 1 AS x), b AS (SELECT * FROM a) SELECT * FROM b",
+    )
+    assert r.tables == []
+
+
+def test_semicolon_in_literal_allowed(spark):
+    r = validate_select(spark, "SELECT * FROM events WHERE props = 'a;b'")
+    assert r.tables == ["events"]
+    with pytest.raises(SqlValidationError):
+        validate_select(spark, "SELECT 1; DROP TABLE x")
+
+
+def test_delete_uncataloged_requires_admin(engine, spark):
+    spark.range(3).write.mode("overwrite").saveAsTable("sys_like_t")
+    with pytest.raises(PermissionError):
+        engine.delete_table("sys_like_t", ALICE)
+    engine.delete_table("sys_like_t", ADMIN)
+    assert "sys_like_t" not in [t.name for t in spark.catalog.listTables()]
+
+
+def test_optree_pattern_ops_take_verbatim_strings(spark):
+    df = spark.createDataFrame(
+        [(1, "404"), (2, "null"), (3, "ok;fine")], "id int, msg string"
+    )
+    assert {r["id"] for r in optree.find_all(df, where={"msg": {"like": "404"}}).collect()} == {1}
+    assert {r["id"] for r in optree.find_all(df, where={"msg": {"startsWith": "null"}}).collect()} == {2}
+    assert {r["id"] for r in optree.find_all(df, where={"msg": {"substring": ";"}}).collect()} == {3}
