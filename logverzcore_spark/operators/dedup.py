@@ -239,6 +239,66 @@ def minhash_lsh_pairs(
     )
 
 
+def dup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Group documents into duplicate CLUSTERS: connected components over
+    the near-dup pair graph, labeled by the minimum member id.
+
+    This is the step that turns pairwise near-dup evidence into a
+    deduplicated corpus (keep one representative per component —
+    transitivity matters: A~B and B~C must land A,B,C together even when
+    A~C alone misses the threshold).
+
+    Algorithm: iterative min-label propagation. Each round every node
+    adopts ``min(own label, min(neighbor labels))``; convergence takes
+    O(component diameter) rounds — near-dup graphs are overwhelmingly
+    tiny stars/chains, so a handful of rounds suffices at any corpus
+    size. Each round is one shuffle (edge⋈label join + groupBy); labels
+    are ``localCheckpoint``-ed so the loop's lineage (and thus task
+    binary size) stays flat. For adversarial long-chain graphs the
+    classic large-star/small-star variant halves diameter per round —
+    not needed for dedup workloads.
+
+    Returns every input id (singletons included) with its ``cluster_id``
+    and an ``is_rep`` flag for the kept representative.
+    """
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    fwd = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+    edges = fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+    labels = ids.select("id", F.col("id").alias("cluster_id")).localCheckpoint()
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("cluster_id").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+            .select(
+                "id",
+                F.least(F.col("cluster_id"), F.coalesce("nbr", F.col("cluster_id"))).alias(
+                    "new_cluster"
+                ),
+                F.col("cluster_id").alias("old_cluster"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.where(F.col("new_cluster") != F.col("old_cluster")).count()
+        labels = new_labels.select("id", F.col("new_cluster").alias("cluster_id"))
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias(id_col),
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).alias("is_rep"),
+    )
+
+
 def simhash64_expr(text_col: str, n_bits: int = 64) -> Column:
     """64-bit SimHash: per-token xxhash64, bit-vote per position, sign →
     fingerprint bits. Built as one SQL expression (shiftleft/shiftright

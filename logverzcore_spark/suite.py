@@ -1201,6 +1201,115 @@ def st03_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stateful_user_stats(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+@query(
+    "q35_asof_attribution",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id, epoch_us(ts) AS tus,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS is_left,
+             CASE WHEN event_type = 'click' THEN event_id END AS click_ev,
+             CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_tus
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ), w AS (
+      SELECT event_id, is_left, tus,
+             LAST_VALUE(click_ev IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY tus, is_left, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id,
+             LAST_VALUE(click_tus IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY tus, is_left, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_tus
+      FROM t
+    )
+    SELECT event_id AS purchase_id, click_id, tus - click_tus AS gap_us
+    FROM w WHERE is_left = 1
+    """,
+)
+def q35_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator): each purchase attributed to the same
+    user's most recent prior click, with the gap in microseconds. One
+    shuffle on user_id — no range-join pair explosion (asofjoin.py)."""
+    from logverzcore_spark.operators.asofjoin import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    joined = asof_join(purchases, clicks, on="ts", by="user_id", tie_break="event_id")
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_id_matched").alias("click_id"),
+        (F.unix_micros("ts") - F.unix_micros("ts_matched")).alias("gap_us"),
+    )
+
+
+@query(
+    "q36_group_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT), 0.5) / 100.0 AS p50,
+           quantile_cont(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT), 0.9) / 100.0 AS p90,
+           quantile_cont(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT), 0.99) / 100.0 AS p99,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q36_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group. Percentiles run on exact
+    integer cents so the interpolation arithmetic (x + frac*(y-x) on
+    integer-valued doubles) is bit-identical across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    return li.groupBy("l_returnflag").agg(
+        (F.percentile(cents, F.lit(0.5)) / 100.0).alias("p50"),
+        (F.percentile(cents, F.lit(0.9)) / 100.0).alias("p90"),
+        (F.percentile(cents, F.lit(0.99)) / 100.0).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_D07_ORACLE = """
+WITH RECURSIVE tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(t)-2, 0)+1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+  FROM tok
+), sz AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id1, id2
+  FROM inter JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+  WHERE ROUND(c * 1.0 / (s1.n + s2.n - c), 4) >= 0.5
+), edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs UNION ALL SELECT id2, id1 FROM pairs
+), reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT d.doc_id,
+       LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id,
+       d.doc_id = LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS is_rep
+FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+GROUP BY d.doc_id
+"""
+
+
+@query("d07_dup_clusters", oracle=_D07_ORACLE)
+def d07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components (iterative min-label
+    propagation) over the 3-gram-Jaccard≥0.5 near-dup graph — the step
+    that turns pairwise evidence into keep-one-per-cluster dedup. The
+    oracle replays it as a recursive transitive closure."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup.dup_clusters(docs, pairs)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -101,3 +101,51 @@ def test_multimodal_decode_stub(spark):
     assert rows[1]["n_bytes"] == 9
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG fake")
+
+
+def test_asof_join_directions_ties_and_nulls(spark):
+    """Backward/forward matching, equal-ts inclusivity, tie-break by the
+    greatest tie column, and NULL when no row qualifies."""
+    from logverzcore_spark.operators.asofjoin import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 100, "L1"), ("u1", 50, "L2"), ("u2", 10, "L3")],
+        "user string, ts long, lid string",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", 40, "R1"),
+            ("u1", 100, "R2"),  # equal ts → matches L1 (inclusive)
+            ("u1", 100, "R3"),  # tie at ts=100 → greatest rid (R3) wins
+            ("u2", 99, "R4"),   # after L3 → backward finds nothing
+        ],
+        "user string, ts long, rid string",
+    )
+    back = {
+        r["lid"]: r["rid_matched"]
+        for r in asof_join(left, right, on="ts", by="user", tie_break="rid").collect()
+    }
+    assert back == {"L1": "R3", "L2": "R1", "L3": None}
+    fwd = {
+        r["lid"]: r["rid_matched"]
+        for r in asof_join(
+            left, right, on="ts", by="user", direction="forward", tie_break="rid"
+        ).collect()
+    }
+    # Forward: earliest ts >= left.ts; at equal nearest-ts the greatest
+    # tie wins (both L1 and L2 resolve to ts=100 → R3, not R2).
+    assert fwd == {"L1": "R3", "L2": "R3", "L3": "R4"}
+
+
+def test_dup_clusters_transitive_and_singletons(spark):
+    """A~B, B~C must cluster {A,B,C} together without a direct A~C edge;
+    untouched docs stay singleton representatives."""
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 4)], "id1 long, id2 long"
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["is_rep"]) for r in dedup.dup_clusters(docs, pairs).collect()}
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        4: (4, True), 5: (4, False), 6: (6, True),
+    }
