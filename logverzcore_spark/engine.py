@@ -76,12 +76,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # date_trunc/date_format rendering. Session TZ is a runtime conf, so
     # pin it here — every suite query reads through this function.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Set eagerly (not as an on-error fallback): the fallback path costs a
+    # whole aborted read job + scary ERROR log on first contact with the
+    # nanos-timestamped events table. The conf only changes how NANOS
+    # columns land (as long); micros-timestamp tables are unaffected.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    try:
-        df = spark.read.parquet(path)
-    except Exception:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+    df = spark.read.parquet(path)
     if name == "events":
         for field in df.schema.fields:
             if field.name == "ts" and isinstance(field.dataType, T.LongType):

@@ -75,11 +75,10 @@ def _events_stream(spark: SparkSession, events_path: str):
     bucket-notification filters, collection.js:555-575). events.parquet
     carries TIMESTAMP(NANOS) — read as long + convert (same
     floor-to-micros DuckDB's reader applies)."""
-    try:
-        schema = spark.read.parquet(events_path).schema
-    except Exception:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        schema = spark.read.parquet(events_path).schema
+    # Eager, not an on-error fallback: the fallback costs an aborted read
+    # job + ERROR noise on first contact with the nanos file.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
     stream = (
         spark.readStream.format("parquet")
         .schema(schema)

@@ -1001,7 +1001,7 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("d03_minhash_lsh", oracle=_JACCARD_ORACLE_TMPL.format(thr=0.7))
 def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-Jaccard verification. With
-    r=2/b=32 the probability of missing a 0.7-Jaccard pair is ~1e-8, so
+    r=2/b=16 the probability of missing a 0.7-Jaccard pair is ~2e-5, so
     the verified output equals the brute-force oracle."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, threshold=0.7)
