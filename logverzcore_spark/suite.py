@@ -1310,6 +1310,64 @@ def d07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_clusters(docs, pairs)
 
 
+@query(
+    "q37_range_join_attribution",
+    oracle="""
+    SELECT p.user_id, COUNT(*) AS n_pairs
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND epoch_us(p.ts) BETWEEN epoch_us(c.ts) AND epoch_us(c.ts) + 1800000000
+    GROUP BY p.user_id
+    """,
+)
+def q37_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (custom operator): purchases matched to every click
+    window [click, click+30min] of the same user, via bucketized
+    equi-join — no nested-loop/cartesian plan (rangejoin.py)."""
+    from logverzcore_spark.operators.rangejoin import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("p_us")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros("ts").alias("lo_us"),
+        (F.unix_micros("ts") + F.lit(1_800_000_000)).alias("hi_us"),
+    )
+    joined = range_join(
+        purchases, clicks, "p_us", "lo_us", "hi_us",
+        by="user_id", bucket_width=1_800_000_000,
+    )
+    return joined.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "q38_salted_skew_agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q38_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a low-cardinality (worst-case
+    skew) key: results must equal the plain GROUP BY. The salt spreads
+    each hot key over N reducers before the final combine (skew.py)."""
+    from logverzcore_spark.operators.skew import salted_aggregate
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,2)")
+    )
+    out = salted_aggregate(
+        ev,
+        keys=["event_type"],
+        exprs={"n": ("count", "*"), "total_value": ("sum", "value_dec")},
+    )
+    return out.select("event_type", "n", F.col("total_value").cast("double").alias("total_value"))
+
+
 # ---------------------------------------------------------------------------
 
 

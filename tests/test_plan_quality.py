@@ -1,0 +1,74 @@
+"""Physical-plan regression tests: the properties that make the suite
+scale (pushdown, pruning, broadcast, codegen, no nested-loop joins) are
+asserted, not assumed — a refactor that silently loses one fails here
+long before it shows up as a 100 TB incident."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from logverzcore_spark.suite import SUITE
+
+from conftest import SF_DIR
+
+
+def _plan(spark, df, mode="formatted"):
+    return spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def test_q01_pushdown_pruning_codegen(spark):
+    df = SUITE["q01_pricing_summary"](spark, SF_DIR)
+    fmt = _plan(spark, df)
+    # The shipdate predicate must reach the parquet scan...
+    assert "LessThanOrEqual(l_shipdate" in fmt
+    # ...and unused columns must not be read at all.
+    assert "l_partkey" not in fmt and "l_orderkey" not in fmt
+    # The aggregation pipeline stays inside whole-stage codegen. AQE
+    # wraps the plan before execution and hides codegen subtrees, so
+    # check the non-adaptive plan of the same query.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plain = SUITE["q01_pricing_summary"](spark, SF_DIR)
+        assert "WholeStageCodegen subtrees" in _plan(spark, plain, "codegen")
+        assert "Found 0" not in _plan(spark, plain, "codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q04_star_join_broadcasts_dimensions(spark):
+    df = SUITE["q04_region_revenue"](spark, SF_DIR)
+    fmt = _plan(spark, df)
+    assert "BroadcastHashJoin" in fmt
+    # The big fact tables must never be the broadcast side.
+    assert "SortMergeJoin" in fmt or "ShuffledHashJoin" in fmt or fmt.count("BroadcastHashJoin") >= 2
+
+
+@pytest.mark.parametrize("name", ["q35_asof_attribution", "q37_range_join_attribution"])
+def test_custom_joins_avoid_quadratic_plans(spark, name):
+    """The as-of and range joins exist precisely to avoid nested-loop /
+    cartesian physical plans — assert they actually do."""
+    fmt = _plan(spark, SUITE[name](spark, SF_DIR))
+    assert "NestedLoop" not in fmt
+    assert "Cartesian" not in fmt
+
+
+def test_range_join_bounds_and_bucket_straddle(spark):
+    from logverzcore_spark.operators.rangejoin import range_join
+
+    points = spark.createDataFrame(
+        [("p1", 10), ("p2", 100), ("p3", 101), ("p4", 250)],
+        "pid string, x long",
+    )
+    intervals = spark.createDataFrame(
+        # i1 straddles the bucket boundary at 100 (width 100).
+        [("i1", 90, 110), ("i2", 100, 100), ("i3", 240, 260)],
+        "iid string, lo long, hi long",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(points, intervals, "x", "lo", "hi", bucket_width=100).collect()
+    }
+    # Inclusive both ends; straddling intervals meet points in either bucket.
+    assert got == {("p2", "i1"), ("p2", "i2"), ("p3", "i1"), ("p4", "i3")}
+    with pytest.raises(ValueError):
+        range_join(points.withColumnRenamed("pid", "iid"), intervals, "x", "lo", "hi")
