@@ -154,15 +154,13 @@ def minhash_lsh_pairs(
     rate was ~1e-8) for a recall change no realistic corpus observes;
     exact verification keeps precision at 1 regardless.
 
-    Plan shape at scale: one narrow projection computes signatures
-    (no shuffle), one explode to (band, bucket-hash, doc) rows, one
-    self-join shuffled on the bucket key, then exact verification that
-    re-joins the (small) candidate set back to the shingle sets.
-
-    NB: the shingle-set frame is persisted (it feeds both the signature
-    and the verification join) and stays cached until the session evicts
-    it — callers running many corpora through one session should
-    ``spark.catalog.clearCache()`` between runs.
+    Plan shape at scale: shingles stream through as (doc, shingle) ROWS —
+    the shingle-set arrays are never materialized corpus-wide (persisting
+    5k docs' arrays measured 3× the cost of the row pass; at 100 TB the
+    cache simply wouldn't fit). Signatures aggregate the hashed rows; the
+    banding self-join shuffles on the bucket key; verification rebuilds
+    shingle SETS only for the (tiny) candidate id set via a semi-join +
+    collect_set — the one place arrays exist.
     """
     rows = num_hashes // bands
     # Compute the signature WITHOUT higher-order-function lambdas: HOF
@@ -183,13 +181,11 @@ def minhash_lsh_pairs(
     # exchange, re-running the whole shingle expression single-threaded on
     # the unsplit input (observed 10×). Docs with no shingles simply
     # produce no exploded rows and can never become candidates.
-    base = df.select(
+    sh_rows = df.select(
         F.col(id_col).alias("doc_id"),
-        shingles(F.col(text_col), n).alias("sh_set"),
-    ).persist()
-    hashed = base.select("doc_id", F.explode("sh_set").alias("sh")).select(
-        "doc_id", F.xxhash64("sh").alias("h")
+        F.explode(shingles(F.col(text_col), n)).alias("sh"),
     )
+    hashed = sh_rows.select("doc_id", F.xxhash64("sh").alias("h"))
     # Seed-i permutation = xxhash64(i, h): fixed-width re-hash, codegen'd,
     # and (unlike a*h+b) safe under ANSI overflow checking. Hash columns
     # are hoisted into a codegen'd projection so the aggregate buffers do
@@ -222,13 +218,32 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .distinct()
+        # Consumed twice (id semi-join + final join): persist the PAIRS —
+        # two ids per row, the one frame here that is always tiny — so the
+        # signature+banding pipeline runs once, not twice.
+        .persist()
     )
-    # shuffle_hash hints: the shingle-set frames carry large string arrays
-    # — letting the planner broadcast one (its size estimate sees only the
-    # cached row count) OOMs the driver at scale. Hash-join on the id keys
-    # instead; the candidate side is already small.
-    sh1 = base.select(F.col("doc_id").alias("id1"), F.col("sh_set").alias("sh1")).hint("shuffle_hash")
-    sh2 = base.select(F.col("doc_id").alias("id2"), F.col("sh_set").alias("sh2")).hint("shuffle_hash")
+    # Materialize eagerly: a lazy persist is no barrier — the final plan's
+    # two cand subtrees would race the cache and each recompute the whole
+    # signature pipeline.
+    cand.count()
+    # Verification: rebuild shingle sets ONLY for docs that appear in a
+    # candidate pair (a second cheap row pass + semi-join beats keeping a
+    # corpus-wide array cache alive). shuffle_hash hints: array-bearing
+    # frames must not be broadcast — the planner's size estimate misses
+    # the array payload and OOMs the driver at scale.
+    cand_ids = (
+        cand.select(F.col("id1").alias("doc_id"))
+        .union(cand.select(F.col("id2").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        sh_rows.join(cand_ids, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("sh").alias("sh_set"))
+    )
+    sh1 = sets.select(F.col("doc_id").alias("id1"), F.col("sh_set").alias("sh1")).hint("shuffle_hash")
+    sh2 = sets.select(F.col("doc_id").alias("id2"), F.col("sh_set").alias("sh2")).hint("shuffle_hash")
     inter = F.size(F.array_intersect("sh1", "sh2"))
     union = F.size(F.array_union("sh1", "sh2"))
     jac = inter / union

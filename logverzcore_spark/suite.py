@@ -1368,6 +1368,71 @@ def q38_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "n", F.col("total_value").cast("double").alias("total_value"))
 
 
+@query(
+    "q39_time_range_moving_avg",
+    oracle="""
+    SELECT event_id,
+           CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) OVER w AS DOUBLE)
+             / COUNT(*) OVER w / 100.0 AS avg_1h,
+           COUNT(*) OVER w AS n_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q39_time_range_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE window frame: per-user trailing-1-hour moving
+    average. The frame bound is a time offset (not a row count) — the
+    time-series shape row frames can't express. Exact integer cents keep
+    the sum engine-stable."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    return ev.select(
+        "event_id",
+        (F.sum(cents).over(w).cast("double") / F.count(F.lit(1)).over(w) / 100.0).alias("avg_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
+@query(
+    "s04_embedding_dup_clusters",
+    oracle="""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+    ), pairs AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.35
+    ), edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs UNION ALL SELECT id2, id1 FROM pairs
+    ), reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT emb.vec_id,
+           LEAST(emb.vec_id, COALESCE(MIN(r.dst), emb.vec_id)) AS cluster_id,
+           emb.vec_id = LEAST(emb.vec_id, COALESCE(MIN(r.dst), emb.vec_id)) AS is_rep
+    FROM embeddings emb LEFT JOIN reach r ON r.src = emb.vec_id
+    GROUP BY emb.vec_id
+    """,
+)
+def s04_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator composition: embedding-cosine near-dup pairs feed the same
+    connected-components clustering used for text dedup — semantic
+    dedup's keep-one-per-cluster step."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_neardup_pairs(emb, threshold=0.35, block_col="label")
+    return dedup.dup_clusters(emb, pairs, id_col="vec_id")
+
+
 # ---------------------------------------------------------------------------
 
 
