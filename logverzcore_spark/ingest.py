@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from logverzcore_spark.catalog import Catalog, CatalogEntry, User
 from logverzcore_spark.operators.coerce import coerce
-from logverzcore_spark.plans.sqlgate import rewrite_legacy_query
+from logverzcore_spark.plans.sqlgate import rewrite_legacy_query, validate_staged_query
 from logverzcore_spark.schemas import DataType, get_datatype
 from logverzcore_spark.sources import readers
 
@@ -72,27 +72,40 @@ def optimize_table(
     """Compact a table's small files (the 100 TB ingest reality: streaming
     appends and per-batch commits leave thousands of small files that
     degrade scan planning). Rewrites the table with bounded file sizes via
-    an atomic overwrite of a staged copy; returns the resulting file
-    count. The real-cluster version targets bytes via
-    ``maxRecordsPerFile`` × average row width — same mechanism."""
+    an overwrite that keeps the table continuously addressable; returns
+    the resulting file count. The real-cluster version targets bytes via
+    ``maxRecordsPerFile`` × average row width — same mechanism.
+
+    The compacted rows are materialized via ``localCheckpoint`` (cutting
+    lineage from the table's current files) and written back with
+    ``INSERT OVERWRITE``, which keeps the table definition in the catalog
+    throughout — there is no drop/rename window where the name is missing
+    (r1 ADVICE). Changing the partition layout (``partition_by``) requires
+    recreating the table and is NOT atomic: a staged copy always exists
+    under ``<table>__compact`` until the swap completes, so a failure
+    strands data there but never loses it."""
     from pyspark.sql import functions as F
 
-    df = spark.table(table).persist()
-    try:
-        n_rows = df.count()  # materialize before the overwrite drops the source
-        n_out = max(1, -(-n_rows // target_rows_per_file))  # ceil
+    df = spark.table(table)
+    n_rows = df.count()
+    n_out = max(1, -(-n_rows // target_rows_per_file))  # ceil
+    compact = df.coalesce(n_out).localCheckpoint(eager=True)
+    if partition_by:
+        # Layout change: must recreate. Stage first so data always exists.
         writer = (
-            df.coalesce(n_out)
-            .write.mode("overwrite")
+            compact.write.mode("overwrite")
             .option("maxRecordsPerFile", str(target_rows_per_file))
+            .partitionBy(*partition_by)
         )
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
         writer.saveAsTable(f"{table}__compact")
         spark.sql(f"DROP TABLE `{table}`")
         spark.sql(f"ALTER TABLE `{table}__compact` RENAME TO `{table}`")
-    finally:
-        df.unpersist()
+    else:
+        (
+            compact.write.mode("overwrite")
+            .option("maxRecordsPerFile", str(target_rows_per_file))
+            .insertInto(table, overwrite=True)
+        )
     return (
         spark.table(table).select(F.input_file_name().alias("f")).distinct().count()
     )
@@ -131,10 +144,27 @@ def plan_files(spark: SparkSession, job: CollectJob) -> FilePlan:
         n_files=files.count(),
         total_bytes=sum(sizes),
         scan_partitions=raw.rdd.getNumPartitions(),
-        max_partition_bytes=int(
-            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b")
+        max_partition_bytes=_parse_byte_string(
+            spark, spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
         ),
     )
+
+
+def _parse_byte_string(spark: SparkSession, value: str) -> int:
+    """Parse a Spark byte-string conf value ('134217728', '128m', '1g').
+
+    Delegates to Spark's own parser (JavaUtils.byteStringAsBytes) so unit
+    handling matches whatever the user set; falls back to a local k/m/g
+    parser if the JVM helper is unavailable."""
+    try:
+        return int(
+            spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(value)
+        )
+    except Exception:
+        m = _re.fullmatch(r"\s*(\d+)\s*([kmgtp]?)b?\s*", value.lower())
+        if not m:
+            raise ValueError(f"cannot parse byte string: {value!r}")
+        return int(m.group(1)) * 1024 ** "_kmgtp".index(m.group(2) or "_")
 
 
 import re as _re
@@ -180,7 +210,9 @@ def collect(
     if job.query_string and not _is_trivial_select_star(job.query_string):
         stage_view = f"stage_{job_id}"
         typed.createOrReplaceTempView(stage_view)
-        typed = spark.sql(rewrite_legacy_query(job.query_string, stage_view))
+        staged_sql = rewrite_legacy_query(job.query_string, stage_view)
+        validate_staged_query(spark, staged_sql, stage_view)
+        typed = spark.sql(staged_sql)
 
     writer = (
         typed.write.mode(job.mode)

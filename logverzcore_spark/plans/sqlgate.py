@@ -22,24 +22,44 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
 
-#: Logical-plan class-name fragments that indicate non-SELECT statements.
-_FORBIDDEN_FRAGMENTS = (
-    "Command",
-    "Statement",
-    "InsertInto",
-    "DeleteFrom",
-    "UpdateTable",
-    "MergeInto",
-    "CreateTable",
-    "DropTable",
-    "AlterTable",
-    "CacheTable",
-    "RefreshTable",
+#: Structural ancestors that mark a parsed plan as a statement with side
+#: effects / catalog access rather than a query. ``Command`` covers all
+#: DDL/utility nodes (DropTable, DropView, TruncateTable, ShowTables,
+#: DescribeRelation, SetCommand, …) — a class-NAME fragment list cannot,
+#: because e.g. ``DropView`` and ``ShowTables`` contain no common
+#: fragment. ``ParsedStatement`` is the legacy pre-resolution DDL parent
+#: kept for older Spark lineages.
+_COMMAND_BASES = (
+    "org.apache.spark.sql.catalyst.plans.logical.Command",
+    "org.apache.spark.sql.catalyst.plans.logical.ParsedStatement",
 )
+
+#: DML statements parse to plain logical plans (not Command subclasses);
+#: they are rejected by exact class name.
+_FORBIDDEN_EXACT = {
+    "InsertIntoStatement",
+    "InsertIntoDir",
+    "DeleteFromTable",
+    "UpdateTable",
+    "MergeIntoTable",
+}
 
 #: Allowed exceptions (the reference lets users run EXPLAIN —
 #: Samplesqlqueries.txt:65).
 _ALLOWED_EXACT = {"ExplainCommand"}
+
+
+def _is_command_plan(spark: SparkSession, plan) -> bool:
+    """True when the plan structurally IS-A Command/ParsedStatement."""
+    jvm = spark._jvm
+    plan_cls = plan.getClass()
+    for base in _COMMAND_BASES:
+        try:
+            if jvm.java.lang.Class.forName(base).isAssignableFrom(plan_cls):
+                return True
+        except Exception:
+            continue  # base class absent in this Spark version
+    return False
 
 _LEGACY_FROM_RE = re.compile(
     r"\bFROM\s+S3Object(?:\[\*\])?(?:\.\w+(?:\[\*\])?)*", re.IGNORECASE
@@ -131,8 +151,14 @@ def validate_select(spark: SparkSession, query: str, allow_explain: bool = True)
     if cls in _ALLOWED_EXACT:
         if not allow_explain:
             raise SqlValidationError("EXPLAIN not permitted here")
+        # EXPLAIN of a command (``EXPLAIN DROP TABLE t``) still plans the
+        # command and leaks catalog state — gate the wrapped plan too.
+        inner = plan.logicalPlan()
+        if _is_command_plan(spark, inner) or inner.getClass().getSimpleName() in _FORBIDDEN_EXACT:
+            raise SqlValidationError("EXPLAIN is only permitted on SELECT statements")
         stmt_type = "EXPLAIN"
-    elif any(frag in cls for frag in _FORBIDDEN_FRAGMENTS):
+        plan = inner  # extract tables from the explained query
+    elif _is_command_plan(spark, plan) or cls in _FORBIDDEN_EXACT:
         raise SqlValidationError(f"only SELECT statements are permitted (got {cls})")
     else:
         stmt_type = "SELECT"
@@ -141,3 +167,19 @@ def validate_select(spark: SparkSession, query: str, allow_explain: bool = True)
     # Dedup preserving order.
     unique = list(dict.fromkeys(tables))
     return ValidationResult(statement_type=stmt_type, tables=unique)
+
+
+def validate_staged_query(spark: SparkSession, query: str, view_name: str) -> str:
+    """Gate an ingest-time query (already legacy-rewritten) against the
+    staged view: must be a single SELECT whose only table reference is
+    ``view_name``. The reference ran the ingest WHERE in a throwaway
+    per-file SQLite (worker.js:258-312), so it could touch nothing else;
+    without this check a CollectJob query could read any session table
+    (ACL bypass) or embed DDL. Returns the query for chaining."""
+    result = validate_select(spark, query, allow_explain=False)
+    extra = [t for t in result.tables if t != view_name]
+    if extra or not result.tables:
+        raise SqlValidationError(
+            f"ingest query may reference only the staged data ({view_name}); got {result.tables}"
+        )
+    return query

@@ -53,9 +53,14 @@ def collect_stream(
     if where:
         view = f"stream_stage_{uuid.uuid4().hex[:8]}"
         df.createOrReplaceTempView(view)
-        from logverzcore_spark.plans.sqlgate import rewrite_legacy_query
+        from logverzcore_spark.plans.sqlgate import (
+            rewrite_legacy_query,
+            validate_staged_query,
+        )
 
-        df = spark.sql(rewrite_legacy_query(where, view))
+        staged_sql = rewrite_legacy_query(where, view)
+        validate_staged_query(spark, staged_sql, view)
+        df = spark.sql(staged_sql)
     checkpoint = checkpoint_dir or os.path.join(
         tempfile.gettempdir(), f"lvz_ckpt_{target_table}_{uuid.uuid4().hex[:8]}"
     )

@@ -194,6 +194,51 @@ def test_plan_files(spark, tmpdir_path):
     assert plan.scan_partitions >= 1
 
 
+def test_plan_files_honors_unit_suffix_conf(spark, tmpdir_path):
+    """maxPartitionBytes set with a unit suffix ('128m') must parse, not
+    ValueError (r1 ADVICE)."""
+    from logverzcore_spark.ingest import _parse_byte_string, plan_files
+
+    write_vpcflow_gz(tmpdir_path, n_files=1)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+    try:
+        plan = plan_files(
+            spark, CollectJob(path=tmpdir_path, datatype="VPCFlow", table_name="x")
+        )
+        assert plan.max_partition_bytes == 128 * 1024 * 1024
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert _parse_byte_string(spark, "1g") == 1024**3
+    assert _parse_byte_string(spark, "134217728b") == 134217728
+
+
+def test_ingest_query_cannot_reference_other_tables(spark, tmpdir_path):
+    """The ingest-time query runs in a gated scope: only the staged view
+    is addressable; other session tables and DDL are rejected (r1 ADVICE
+    ACL-bypass fix)."""
+    from logverzcore_spark.plans.sqlgate import SqlValidationError
+
+    write_vpcflow_gz(tmpdir_path, n_files=1)
+    spark.range(3).write.mode("overwrite").saveAsTable("t_secret")
+    try:
+        for hostile in [
+            "SELECT * FROM t_secret",
+            "SELECT s.*, (SELECT max(id) FROM t_secret) x FROM S3Object s",
+            "DROP TABLE t_secret",
+        ]:
+            job = CollectJob(
+                path=tmpdir_path, datatype="VPCFlow",
+                table_name="t_should_not_exist", query_string=hostile,
+            )
+            with pytest.raises(SqlValidationError):
+                collect(spark, job)
+        assert spark.table("t_secret").count() == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_secret")
+        spark.sql("DROP TABLE IF EXISTS t_should_not_exist")
+
+
 def test_collect_partitioned_write_prunes(spark, tmpdir_path):
     """partition_by produces a partitioned table whose scan prunes
     partitions for equality filters (the date-partitioning scale story)."""

@@ -38,11 +38,29 @@ def engine(spark, tmpdir_path):
         "DELETE FROM qs_tab",
         "CREATE TABLE x AS SELECT 1",
         "not sql at all",
+        # Structural Command subclasses whose names share no fragment — a
+        # name-fragment denylist let all of these through (ADVICE r1).
+        "DROP VIEW qs_view",
+        "TRUNCATE TABLE qs_tab",
+        "SHOW TABLES",
+        "DESCRIBE TABLE qs_tab",
+        "DESC qs_tab",
+        "SHOW CREATE TABLE qs_tab",
+        "SET spark.sql.shuffle.partitions=1",
+        "ANALYZE TABLE qs_tab COMPUTE STATISTICS",
+        "MERGE INTO qs_tab USING qs_tab s ON 1=1 WHEN MATCHED THEN DELETE",
+        "EXPLAIN DROP TABLE qs_tab",
     ],
 )
 def test_gate_rejects(spark, bad):
     with pytest.raises(SqlValidationError):
         validate_select(spark, bad)
+
+
+def test_gate_explain_select_allowed_and_extracts_tables(spark):
+    r = validate_select(spark, "EXPLAIN SELECT * FROM qs_tab WHERE v > 1")
+    assert r.statement_type == "EXPLAIN"
+    assert r.tables == ["qs_tab"]
 
 
 def test_gate_allows_and_extracts_tables(spark):
