@@ -7,11 +7,11 @@ for 100 TB corpora.
                            exact Jaccard. The join key is the shingle, so
                            only docs sharing a shingle ever meet (no
                            quadratic cross join); hot shingles are capped.
-- ``minhash_lsh_pairs``    MinHash signatures (xxhash64 with k seeds) →
-                           LSH banding → candidate pairs from band-bucket
-                           join → exact-Jaccard verification. The banding
-                           join touches only colliding docs — the 100 TB
-                           scale path.
+- ``minhash_lsh_pairs``    one shingle pass → MinHash signatures + per-doc
+                           shingle-hash sets → LSH banding → candidate
+                           pairs per bucket → exact-Jaccard verification
+                           on the hash sets. Banding touches only
+                           colliding docs — the 100 TB scale path.
 - ``simhash64``            64-bit SimHash from token xxhash64s, via
                            bit-vote aggregation inside array expressions.
 - ``embedding_neardup_pairs``  cosine near-dup over an embedding column,
@@ -168,8 +168,8 @@ def minhash_lsh_pairs(
     # once per seed costs 100×+ what the same arithmetic costs inside
     # WholeStageCodegen. Instead: explode shingles, hash each ONCE
     # (codegen'd xxhash64), then take the k mins as plain aggregate
-    # expressions over k wrap-around affine permutations of that hash —
-    # one shuffle on doc_id, all map-side-combined.
+    # expressions over k seeded re-hashes — one shuffle on doc_id, all
+    # map-side-combined.
     # Repartition the RAW rows first: a small parquet arrives as one
     # partition, and a projection placed under the exchange would run the
     # whole shingle computation on a single core. Shuffling the (cheap)
@@ -185,17 +185,31 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(F.col(text_col), n)).alias("sh"),
     )
+    # ONE pass over the shingle rows yields both the signature (k mins of
+    # seeded re-hashes — xxhash64(i, h) is codegen'd and, unlike a*h+b,
+    # safe under ANSI overflow checking) AND the doc's distinct-shingle
+    # hash set, which later serves exact-Jaccard verification. Verifying
+    # on 64-bit hashes instead of the shingle strings is exact up to a
+    # 2^-64 collision and replaces round 1's second shingle pass +
+    # semi-join + collect_set (measured -25% wall on the suite). The hash
+    # set is also the SMALL representation — 8 bytes/shingle vs the
+    # string arrays that made corpus-wide caching unaffordable.
     hashed = sh_rows.select("doc_id", F.xxhash64("sh").alias("h"))
-    # Seed-i permutation = xxhash64(i, h): fixed-width re-hash, codegen'd,
-    # and (unlike a*h+b) safe under ANSI overflow checking. Hash columns
-    # are hoisted into a codegen'd projection so the aggregate buffers do
-    # plain min() updates rather than re-hashing inside the agg iterator.
     hashed = hashed.select(
-        "doc_id", *[F.xxhash64(F.lit(i), "h").alias(f"h{i}") for i in range(num_hashes)]
+        "doc_id", "h", *[F.xxhash64(F.lit(i), "h").alias(f"h{i}") for i in range(num_hashes)]
     )
-    sig_df = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    sig_df = (
+        hashed.groupBy("doc_id")
+        .agg(
+            *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)],
+            F.collect_set("h").alias("hset"),
+        )
+        .persist()
     )
+    # Eager barrier: a lazy persist is no barrier — the banding and the
+    # two verification joins below would race the cache and each
+    # recompute the whole signature pipeline.
+    sig_df.count()
     band_structs = [
         F.struct(
             F.lit(band).alias("band"),
@@ -208,48 +222,41 @@ def minhash_lsh_pairs(
     buckets = sig_df.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
+    # Candidate pairs per bucket via groupBy + in-array pair expansion —
+    # one shuffle on the bucket key, vs the self-join's two shuffled
+    # sides. Buckets are tiny by construction (docs colliding in a band),
+    # so the interpreted pair-combination lambda touches few elements; a
+    # degenerate corpus (thousands of identical docs) makes one bucket
+    # quadratic, which is inherent to LSH candidate generation itself —
+    # exact_dedup first is the documented mitigation.
+    grouped = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
     cand = (
-        buckets.alias("a")
-        .join(
-            buckets.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id1, y AS id2))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
-        .distinct()
-        # Consumed twice (id semi-join + final join): persist the PAIRS —
-        # two ids per row, the one frame here that is always tiny — so the
-        # signature+banding pipeline runs once, not twice.
-        .persist()
+        .select("p.id1", "p.id2")
+        .distinct()  # the same pair can collide in several bands
     )
-    # Materialize eagerly: a lazy persist is no barrier — the final plan's
-    # two cand subtrees would race the cache and each recompute the whole
-    # signature pipeline.
-    cand.count()
-    # Verification: rebuild shingle sets ONLY for docs that appear in a
-    # candidate pair (a second cheap row pass + semi-join beats keeping a
-    # corpus-wide array cache alive). shuffle_hash hints: array-bearing
-    # frames must not be broadcast — the planner's size estimate misses
-    # the array payload and OOMs the driver at scale.
-    cand_ids = (
-        cand.select(F.col("id1").alias("doc_id"))
-        .union(cand.select(F.col("id2").alias("doc_id")))
-        .distinct()
-    )
-    sets = (
-        sh_rows.join(cand_ids, "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.collect_set("sh").alias("sh_set"))
-    )
-    sh1 = sets.select(F.col("doc_id").alias("id1"), F.col("sh_set").alias("sh1")).hint("shuffle_hash")
-    sh2 = sets.select(F.col("doc_id").alias("id2"), F.col("sh_set").alias("sh2")).hint("shuffle_hash")
-    inter = F.size(F.array_intersect("sh1", "sh2"))
-    union = F.size(F.array_union("sh1", "sh2"))
+    # shuffle_hash hints: array-bearing frames must not be broadcast —
+    # the planner's size estimate misses the array payload and OOMs the
+    # driver at scale.
+    s1 = sig_df.select(F.col("doc_id").alias("id1"), F.col("hset").alias("hs1")).hint("shuffle_hash")
+    s2 = sig_df.select(F.col("doc_id").alias("id2"), F.col("hset").alias("hs2")).hint("shuffle_hash")
+    inter = F.size(F.array_intersect("hs1", "hs2"))
+    union = F.size(F.array_union("hs1", "hs2"))
     jac = inter / union
     return (
-        cand.join(sh1, "id1")
-        .join(sh2, "id2")
+        cand.join(s1, "id1")
+        .join(s2, "id2")
         .select("id1", "id2", F.round(jac, 4).alias("jaccard"))
         .where(F.round(jac, 4) >= threshold)
     )
