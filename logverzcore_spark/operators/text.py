@@ -102,19 +102,52 @@ def language_id(col: Column, markers: dict[str, tuple[str, ...]] | None = None) 
 
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-pass projection adding all text-analysis features."""
+    """Text-analysis feature pass.
+
+    Two stacked projections, not one: the token arrays are aliased in the
+    first and referenced many times from the second. CollapseProject only
+    inlines single-use (or trivially cheap) aliases, so the split/filter
+    work runs ONCE per row instead of once per feature — the naive
+    single-select form re-tokenized 5× (measured ~2× slower). Language
+    scores use ``array_intersect`` against literal marker arrays
+    (codegen'd) rather than per-language interpreted ``filter`` lambdas;
+    over the distinct-token array the two are equivalent."""
     from logverzcore_spark.operators.util import fan_out
 
     df = fan_out(df)
     c = F.col(text_col)
-    return df.select(
+    staged = df.select(
+        "*",
+        tokens(c).alias("_toks"),
+        tokens(F.lower(c)).alias("_ltoks"),
+    ).select(
+        "*",
+        F.array_distinct(F.col("_ltoks")).alias("_dtoks"),
+    )
+    ltoks, dtoks = F.col("_ltoks"), F.col("_dtoks")
+    n_toks = F.greatest(F.size("_toks"), F.lit(1))
+    lang_scores = F.array(
+        *[
+            F.struct(
+                F.size(F.array_intersect(dtoks, F.array(*[F.lit(w) for w in words]))).alias(
+                    "score"
+                ),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in sorted(LANG_MARKERS.items())
+        ]
+    )
+    best = F.array_max(lang_scores)
+    return staged.select(
         "*",
         F.length(c).cast("int").alias("n_chars_computed"),
-        token_count(c).alias("n_tokens"),
+        F.size("_toks").alias("n_tokens"),
         bpe_token_count(c).alias("n_bpe_tokens"),
-        F.round(stopword_ratio(c), 4).alias("stopword_ratio"),
+        F.round(F.size(F.filter(ltoks, lambda t: t.isin(*STOPWORDS))) / n_toks, 4).alias(
+            "stopword_ratio"
+        ),
         F.round(punct_ratio(c), 4).alias("punct_ratio"),
-        F.round(repetition_ratio(c), 4).alias("repetition_ratio"),
+        F.round(F.lit(1.0) - F.size(dtoks) / n_toks, 4).alias("repetition_ratio"),
         fingerprint_md5(c).alias("fingerprint"),
-        language_id(c).alias("lang_guess"),
-    )
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_guess"),
+    ).drop("_toks", "_ltoks", "_dtoks")
