@@ -1,0 +1,132 @@
+"""Event-analytics operators — the log-analysis shapes LogverzCore users
+ran against their RDS event tables (SURVEY §2.3 corpus: time filters,
+aggregation; e.g. CloudTrail `eventTime` analysis) expressed as reusable
+Spark operators, plus the classic product-analytics trio (funnel,
+retention, gap-filled time series) that any 100 TB event store needs.
+
+Scale notes common to all three:
+- aggregations reduce per-user/per-key BEFORE any join, so joins move
+  one row per user, not one per event;
+- the per-step / per-cohort frames are tiny relative to the event table
+  and broadcast cleanly; the event table itself is only ever scanned,
+  never shuffled more than once per operator;
+- time bucketing uses integer arithmetic on epoch days/hours (engine
+  portable, no timezone-dependent truncation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel completion counts: one row with, per step, the
+    number of users who performed that step strictly AFTER their earliest
+    qualifying time for the previous step (min-time semantics — the
+    standard product-analytics funnel).
+
+    Each stage is (filter → groupBy user → min ts) then an equi-join on
+    user against the previous stage's (tiny) user frame — per-step cost
+    is one scan + one shuffle of per-user rows; no window over the full
+    event stream, no cross-step state.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    stage = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(F.min(ts_col).alias("t"))
+    )
+    result: DataFrame | None = None
+    for i, step in enumerate(steps):
+        if i:
+            stage = (
+                events.where(F.col(type_col) == step)
+                .select(F.col(user_col).alias("user"), F.col(ts_col).alias("ev_ts"))
+                .join(F.broadcast(stage), "user")
+                .where(F.col("ev_ts") > F.col("t"))
+                .groupBy("user")
+                .agg(F.min("ev_ts").alias("t"))
+            )
+        c = stage.agg(F.count(F.lit(1)).alias(f"step{i + 1}_{step}_users"))
+        # One lazy plan, not a count() per stage: the single-row aggregates
+        # cross-join for free and shared stage subtrees are computed once
+        # (reused exchange), where eager per-stage actions would rescan
+        # every earlier stage k times.
+        result = c if result is None else result.crossJoin(c)
+    return result
+
+
+def retention_cohorts(
+    events: DataFrame,
+    anchor_date: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted in each later week they were active.
+
+    Week index = floor(days since ``anchor_date`` / 7) — pure integer
+    arithmetic, identical in any engine (no locale-dependent week
+    truncation). Returns (cohort_week, week_offset, n_users).
+    """
+    day = F.datediff(F.col(ts_col).cast("date"), F.lit(anchor_date).cast("date"))
+    week = F.floor(day / 7).cast("bigint")
+    cohorts = (
+        events.groupBy(F.col(user_col).alias("user"))
+        .agg(F.min(week).alias("cohort_week"))
+    )
+    active = events.select(F.col(user_col).alias("user"), week.alias("aw")).distinct()
+    return (
+        active.join(F.broadcast(cohorts), "user")
+        .groupBy(
+            "cohort_week", (F.col("aw") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.countDistinct("user").alias("n_users"))
+    )
+
+
+def hourly_spine_fill(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-filled hourly counts: a dense (key × hour) spine over the
+    data's full time range, left-joined with observed counts, empty hours
+    zero-filled — the time-series shape dashboards need (a groupBy alone
+    silently drops empty buckets).
+
+    The spine is generated from a one-row min/max aggregate via
+    ``sequence`` + explode and cross-joined with the distinct keys — both
+    sides tiny and broadcast; the event table is scanned once for the
+    hourly aggregate. Returns (hour_ts string, key, n).
+    """
+    hour = F.date_trunc("hour", F.col(ts_col))
+    bounds = events.agg(
+        F.min(hour).alias("h_min"), F.max(hour).alias("h_max")
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("h_min", "h_max", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    keys = events.select(F.col(key_col).alias("key")).distinct()
+    spine = hours.crossJoin(F.broadcast(keys))
+    observed = events.groupBy(
+        hour.alias("hour"), F.col(key_col).alias("key")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.join(observed, ["hour", "key"], "left")
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            F.col("key"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )

@@ -101,6 +101,74 @@ def language_id(col: Column, markers: dict[str, tuple[str, ...]] | None = None) 
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def top_bigrams(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
+    """Corpus-wide top-k word bigrams (count desc, bigram asc — a total
+    order, so the k-boundary is deterministic).
+
+    Bigrams come from arrays_zip of the token array with its shift
+    (codegen'd, no interpreted lambda); the count is one map-side-combined
+    groupBy and the top-k is a TakeOrderedAndProject — no global sort is
+    materialized at any corpus size."""
+    from logverzcore_spark.operators.util import fan_out
+
+    toks = tokens(F.col(text_col))
+    staged = fan_out(df).select(toks.alias("_tk"))
+    z = F.arrays_zip(
+        F.col("_tk"), F.slice(F.col("_tk"), 2, F.greatest(F.size("_tk") - 1, F.lit(0)))
+    )
+    return (
+        staged.select(F.explode(z).alias("g"))
+        .where(F.col("g.1").isNotNull())
+        .select(F.concat_ws(" ", "g._tk", "g.1").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(k)
+    )
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document top TF-IDF term: score = tf × ln(N / df), rounded to
+    6 dp BEFORE ranking (ties then break on the term) so the winner is
+    engine-stable. One term-frequency shuffle feeds both tf and df; the
+    df table joins back on the term (both sides already partitioned by
+    term) and the per-doc argmax is a max_by aggregate — no window sort.
+    N arrives via a broadcast one-row aggregate, not a driver collect."""
+    from logverzcore_spark.operators.util import fan_out
+
+    terms = fan_out(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_"))
+    n_docs = df.agg(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df_")), 6).alias("score"),
+        )
+    )
+    # max_by with a struct key: (score desc, term asc) — encode term-asc
+    # inside a max by negating nothing; use min over (-score, term).
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.min(F.struct((-F.col("score")).alias("neg"), F.col("term").alias("t"))).alias(
+                "best"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("best.t").alias("term"),
+            (-F.col("best.neg")).alias("score"),
+        )
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Text-analysis feature pass.
 

@@ -1434,6 +1434,233 @@ def s04_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 2 additions: pivot/grouping-sets relational surface, event
+# analytics (funnel/retention/gap-fill), corpus text stats, streaming dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q40_pivot_priority_revenue",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                THEN CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) END) AS DOUBLE)/100.0 AS rev_urgent,
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+                THEN CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) END) AS DOUBLE)/100.0 AS rev_high,
+           CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+                THEN CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) END) AS DOUBLE)/100.0 AS rev_medium,
+           CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                THEN CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) END) AS DOUBLE)/100.0 AS rev_notspec,
+           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                THEN CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) END) AS DOUBLE)/100.0 AS rev_low
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q40_pivot_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): yearly revenue per order priority as columns.
+    Spark's pivot with an explicit value list is a single hash aggregate —
+    no per-column scans; the explicit list also keeps the schema static
+    (an unlisted-pivot plan needs a distinct-values job first)."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    names = {
+        "1-URGENT": "rev_urgent",
+        "2-HIGH": "rev_high",
+        "3-MEDIUM": "rev_medium",
+        "4-NOT SPECIFIED": "rev_notspec",
+        "5-LOW": "rev_low",
+    }
+    pv = (
+        o.groupBy(F.year("o_orderdate").alias("order_year"))
+        .pivot("o_orderpriority", list(names))
+        .agg((F.sum(cents).cast("double") / 100.0))
+    )
+    for old, new in names.items():
+        pv = pv.withColumnRenamed(old, new)
+    return pv
+
+
+@query(
+    "q41_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q41_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id — finer control than
+    rollup/cube (q10/q24); one expand + one aggregate in the plan."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q41_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping_id(o_orderstatus, o_orderpriority) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
+        FROM q41_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@query(
+    "q42_funnel_steps",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s1) AS step1_view_users,
+           (SELECT COUNT(*) FROM s2) AS step2_click_users,
+           (SELECT COUNT(*) FROM s3) AS step3_purchase_users
+    """,
+)
+def q42_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase with min-time step semantics
+    (operators/eventops.funnel)."""
+    from logverzcore_spark.operators import eventops
+
+    ev = _t(spark, sf_dir, "events")
+    return eventops.funnel(ev, ["view", "click", "purchase"])
+
+
+@query(
+    "q43_retention_cohorts",
+    oracle="""
+    WITH wk AS (
+      SELECT user_id,
+             CAST(FLOOR(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS w
+      FROM events
+    ), cohorts AS (
+      SELECT user_id, MIN(w) AS cohort_week FROM wk GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT user_id, w FROM wk
+    )
+    SELECT c.cohort_week, a.w - c.cohort_week AS week_offset,
+           COUNT(DISTINCT c.user_id) AS n_users
+    FROM active a JOIN cohorts c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q43_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (operators/eventops.retention_cohorts);
+    integer week bucketing keeps the result engine-portable."""
+    from logverzcore_spark.operators import eventops
+
+    ev = _t(spark, sf_dir, "events")
+    return eventops.retention_cohorts(ev, "2024-01-01")
+
+
+@query(
+    "q44_hourly_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS h_min, date_trunc('hour', MAX(ts)) AS h_max
+      FROM events
+    ), hours AS (
+      SELECT unnest(generate_series(h_min, h_max, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ), keys AS (
+      SELECT DISTINCT event_type AS key FROM events
+    ), observed AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type AS key, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(h.hour, '%Y-%m-%d %H:%M:%S') AS hour_ts, k.key,
+           COALESCE(o.n, 0) AS n
+    FROM hours h CROSS JOIN keys k
+    LEFT JOIN observed o ON o.hour = h.hour AND o.key = k.key
+    """,
+)
+def q44_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense gap-filled hourly series (operators/eventops.hourly_spine_fill):
+    a groupBy alone drops empty hours; the spine join restores them with
+    zero counts."""
+    from logverzcore_spark.operators import eventops
+
+    ev = _t(spark, sf_dir, "events")
+    return eventops.hourly_spine_fill(ev)
+
+
+@query(
+    "t03_top_bigrams",
+    oracle="""
+    WITH tk AS (
+      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents
+    ), bi AS (
+      SELECT unnest(list_filter(
+               list_transform(toks, (x, i) ->
+                 CASE WHEN i < len(toks) THEN x || ' ' || toks[i+1] END),
+               v -> v IS NOT NULL)) AS bigram
+      FROM tk
+    )
+    SELECT bigram, COUNT(*) AS n FROM bi GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 50
+    """,
+)
+def t03_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 bigrams — n-gram frequency via codegen'd
+    arrays_zip, top-k as TakeOrderedAndProject."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.top_bigrams(docs, "text", k=50)
+
+
+@query(
+    "t04_tfidf_top_terms",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df_ FROM tf GROUP BY term
+    ), n AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df_), 6) AS score
+      FROM tf, dfreq, n WHERE tf.term = dfreq.term
+    ), ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, score FROM ranked WHERE rn = 1
+    """,
+)
+def t04_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top TF-IDF term (operators/text.tfidf_top_terms) —
+    scores rounded before ranking so the argmax is engine-stable."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(docs, "text", "doc_id")
+
+
+@query(
+    "st04_streaming_dedup",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def st04_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on (user_id, event_type) + per-type count
+    — the streaming form of COUNT(DISTINCT); equals the batch answer."""
+    from logverzcore_spark.streaming.collect_stream import run_streaming_dedup_counts
+
+    return run_streaming_dedup_counts(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+# ---------------------------------------------------------------------------
 
 
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -1,0 +1,99 @@
+"""Unit tests for event-analytics operators (funnel / retention / spine
+fill) and the round-2 text ops (bigrams, TF-IDF) — semantics the graded
+oracles can't isolate (ordering rules, empty buckets, tie-breaks)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from logverzcore_spark.operators import eventops, text
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), u, t, 1.0) for i, (m, u, t) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+
+
+def test_funnel_requires_step_order(spark):
+    # u1 completes view->click; u2 clicks BEFORE viewing (must not count);
+    # u3 only views.
+    ev = _events(
+        spark,
+        [
+            (0, 1, "view"), (5, 1, "click"),
+            (0, 2, "click"), (5, 2, "view"),
+            (0, 3, "view"),
+        ],
+    )
+    row = eventops.funnel(ev, ["view", "click"]).first()
+    assert row["step1_view_users"] == 3
+    assert row["step2_click_users"] == 1
+
+
+def test_funnel_strictly_after_min_time(spark):
+    # u1's only click is simultaneous with the first view -> excluded
+    # (strict >); a later view must NOT resurrect it (min-time semantics).
+    ev = _events(spark, [(0, 1, "view"), (0, 1, "click"), (9, 1, "view")])
+    row = eventops.funnel(ev, ["view", "click"]).first()
+    assert row["step2_click_users"] == 0
+
+
+def test_retention_cohorts_offsets(spark):
+    # u1 active week 0 and week 2; u2 only week 1.
+    ev = _events(
+        spark,
+        [(0, 1, "view"), (60 * 24 * 15, 1, "view"), (60 * 24 * 8, 2, "view")],
+    )
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in eventops.retention_cohorts(ev, "2024-01-01").collect()
+    }
+    assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
+
+
+def test_hourly_spine_fill_zero_rows(spark):
+    # Two events 3 hours apart for type A, one for B -> spine is 4 hours ×
+    # 2 types = 8 rows, empties zero-filled.
+    ev = _events(spark, [(0, 1, "A"), (180, 1, "A"), (60, 2, "B")])
+    out = eventops.hourly_spine_fill(ev).collect()
+    assert len(out) == 8
+    counts = {(r["hour_ts"], r["key"]): r["n"] for r in out}
+    assert counts[("2024-01-01 00:00:00", "A")] == 1
+    assert counts[("2024-01-01 01:00:00", "A")] == 0
+    assert counts[("2024-01-01 01:00:00", "B")] == 1
+    assert sum(counts.values()) == 3
+
+
+def test_top_bigrams_counts_and_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],
+        "doc_id long, text string",
+    )
+    rows = text.top_bigrams(docs, "text", k=10).collect()
+    got = [(r["bigram"], r["n"]) for r in rows]
+    # 'a b' ×3 ('a b a b' contributes twice), then alphabetical among n=1.
+    assert got[0] == ("a b", 3)
+    assert got[1:] == [("b a", 1), ("b c", 1)]
+
+
+def test_tfidf_top_term_tiebreak(spark):
+    # doc 1: 'zz' and 'aa' both tf=1 and df=1 -> equal scores; the
+    # alphabetically first term must win deterministically.
+    docs = spark.createDataFrame(
+        [(1, "zz aa shared"), (2, "shared shared")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.tfidf_top_terms(docs, "text").collect()}
+    assert rows[1]["term"] == "aa"
+    assert rows[1]["score"] == pytest.approx(0.693147, abs=1e-6)
+    # doc 2: only 'shared' (df=2, idf=0) -> score 0.0, not negative.
+    assert rows[2]["term"] == "shared"
+    assert rows[2]["score"] == 0.0
+
+
+def test_funnel_rejects_empty_steps(spark):
+    with pytest.raises(ValueError):
+        eventops.funnel(_events(spark, [(0, 1, "view")]), [])
