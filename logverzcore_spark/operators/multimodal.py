@@ -84,6 +84,51 @@ def sample_video_frames(df: DataFrame, payload_col: str = "payload", every_ms: i
     raise NotImplementedError("video codecs unavailable in this environment")
 
 
+def plan_frame_samples(
+    df: DataFrame,
+    duration_col: str = "duration_ms",
+    id_col: str = "doc_id",
+    every_ms: int = 1000,
+    fps: int = 30,
+) -> DataFrame:
+    """Frame-sampling PLAN via a row-fanning ``mapInPandas``: one output
+    row per sampled timestamp (0, every_ms, … ≤ duration) with the frame
+    index at ``fps`` — exactly the batch shape a real video sampler has
+    (decode stubbed: no codecs in container; a real one reads the frame
+    bytes in the same loop). Demonstrates the 1→N pandas batch transform
+    (``extract_binary_meta`` is 1→1): the output row count is
+    data-dependent, which a plain projection can't express.
+    """
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("sample_ms", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].to_numpy()
+            durs = pdf[duration_col].to_numpy()
+            counts = durs // every_ms + 1  # samples at 0..duration inclusive
+            out_ids = np.repeat(ids, counts)
+            offsets = np.concatenate([np.arange(c) * every_ms for c in counts]) if len(counts) else np.array([], dtype="int64")
+            yield pd.DataFrame(
+                {
+                    id_col: out_ids,
+                    "sample_ms": offsets.astype("int64"),
+                    "frame_idx": (offsets * fps // 1000).astype("int64"),
+                }
+            )
+
+    from logverzcore_spark.operators.util import fan_out
+
+    return fan_out(df.select(id_col, duration_col)).mapInPandas(batches, schema)
+
+
 def fake_resize_meta(df: DataFrame, meta_col: str = "meta", max_side: int = 512) -> DataFrame:
     """Deterministic resize-planner over typed metadata (no payload touch):
     computes output dims capped at ``max_side`` preserving aspect ratio.

@@ -210,6 +210,54 @@ def run_streaming_dedup_counts(spark: SparkSession, events_path: str) -> DataFra
     return spark.table(sink).select("event_type", "n_users")
 
 
+def run_stream_stream_join(
+    spark: SparkSession, events_path: str, within: str = "1 hour"
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each 'view' joined to the
+    same user's 'click' events within ``within`` afterwards. Both sides
+    carry watermarks and the join condition bounds event time, so the
+    state store retains only the join window, not the full streams —
+    the canonical Spark pattern for correlating two event feeds."""
+    views = (
+        _events_stream(spark, events_path)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    clicks = (
+        _events_stream(spark, events_path)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {within}")),
+    )
+    sink = f"ssj_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.col("v_user").alias("user_id"), "view_id", "click_id"
+    )
+
+
 def run_windowed_aggregate(spark: SparkSession, events_path: str) -> DataFrame:
     """Drive a tumbling-window streaming aggregation to completion over the
     static events files and return the final result (complete mode, memory

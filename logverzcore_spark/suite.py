@@ -1660,6 +1660,50 @@ def st04_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_dedup_counts(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+@query(
+    "m03_frame_sample_plan",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id, CAST(1000 + (doc_id * 13) % 59000 AS BIGINT) AS duration_ms
+      FROM documents
+    )
+    SELECT doc_id, CAST(s AS BIGINT) AS sample_ms,
+           CAST(s * 30 // 1000 AS BIGINT) AS frame_idx
+    FROM meta, unnest(generate_series(0, duration_ms, 1000)) AS t(s)
+    """,
+)
+def m03_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-fanning multimodal stage: one output row per sampled video
+    frame timestamp (operators/multimodal.plan_frame_samples, real
+    mapInPandas; decode stubbed — no codecs). Duration is synthesized
+    deterministically from doc_id."""
+    from logverzcore_spark.operators.multimodal import plan_frame_samples
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (1000 + (F.col("doc_id") * 13) % 59000).cast("long").alias("duration_ms")
+    )
+    return plan_frame_samples(docs, "duration_ms", "doc_id", every_ms=1000, fps=30)
+
+
+@query(
+    "st05_stream_stream_join",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def st05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join: views correlated with same-user
+    clicks within the following hour; bounded state via watermarks +
+    time-bound join condition."""
+    from logverzcore_spark.streaming.collect_stream import run_stream_stream_join
+
+    return run_stream_stream_join(spark, os.path.join(sf_dir, "events.parquet"))
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -97,3 +97,22 @@ def test_tfidf_top_term_tiebreak(spark):
 def test_funnel_rejects_empty_steps(spark):
     with pytest.raises(ValueError):
         eventops.funnel(_events(spark, [(0, 1, "view")]), [])
+
+
+def test_plan_frame_samples_fanout(spark):
+    from logverzcore_spark.operators.multimodal import plan_frame_samples
+
+    vids = spark.createDataFrame(
+        [(1, 2500), (2, 999), (3, 0)], "doc_id long, duration_ms long"
+    )
+    rows = sorted(
+        (r["doc_id"], r["sample_ms"], r["frame_idx"])
+        for r in plan_frame_samples(vids, every_ms=1000, fps=30).collect()
+    )
+    # 2500ms -> samples at 0/1000/2000; sub-second and zero-length clips
+    # still get the t=0 keyframe.
+    assert rows == [
+        (1, 0, 0), (1, 1000, 30), (1, 2000, 60),
+        (2, 0, 0),
+        (3, 0, 0),
+    ]
