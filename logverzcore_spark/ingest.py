@@ -49,6 +49,17 @@ class CollectJob:
     zip_compressed: bool = False
     transforms: list[dict] = field(default_factory=list)
     partition_by: list[str] = field(default_factory=list)
+    #: Hash-bucket the table on these columns (with ``n_buckets``): joins
+    #: and aggregations on the bucket key then read pre-partitioned data
+    #: and skip the shuffle entirely — the co-located-join scale path for
+    #: tables joined repeatedly on the same key.
+    bucket_by: list[str] = field(default_factory=list)
+    n_buckets: int = 0
+    #: Sort rows on these columns inside each output file so parquet
+    #: row-group min/max statistics prune selective scans (data skipping
+    #: on e.g. a timestamp column). With ``bucket_by`` this becomes the
+    #: bucket-local sort order.
+    sort_by: list[str] = field(default_factory=list)
     max_records_per_file: int = 1_000_000
     mode: str = "overwrite"  # reference tables are create-or-replace
 
@@ -214,12 +225,22 @@ def collect(
         validate_staged_query(spark, staged_sql, stage_view)
         typed = spark.sql(staged_sql)
 
+    if job.sort_by and not job.bucket_by:
+        # File-local sort → tight parquet row-group min/max stats → the
+        # scan skips row groups for selective predicates on sort_by.
+        typed = typed.sortWithinPartitions(*job.sort_by)
     writer = (
         typed.write.mode(job.mode)
         .option("maxRecordsPerFile", str(job.max_records_per_file))
     )
     if job.partition_by:
         writer = writer.partitionBy(*job.partition_by)
+    if job.bucket_by:
+        if job.n_buckets <= 0:
+            raise ValueError("bucket_by requires n_buckets > 0")
+        writer = writer.bucketBy(job.n_buckets, *job.bucket_by)
+        if job.sort_by:
+            writer = writer.sortBy(*job.sort_by)
     writer.saveAsTable(job.table_name)
 
     n_rows = spark.table(job.table_name).count()

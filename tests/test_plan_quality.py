@@ -52,6 +52,64 @@ def test_custom_joins_avoid_quadratic_plans(spark, name):
     assert "Cartesian" not in fmt
 
 
+def test_bucketed_tables_join_without_shuffle(spark, tmpdir_path):
+    """Tables bucketed on the join key must SortMergeJoin with NO exchange
+    on either side — the co-located-join contract that makes repeated
+    100 TB joins affordable (CollectJob.bucket_by)."""
+    from logverzcore_spark.ingest import CollectJob, collect
+    from rawfixtures import write_vpcflow_gz
+
+    write_vpcflow_gz(tmpdir_path, n_files=2)
+    for t in ("t_bkt_a", "t_bkt_b"):
+        collect(
+            spark,
+            CollectJob(
+                path=tmpdir_path, datatype="VPCFlow", table_name=t,
+                bucket_by=["srcaddr"], n_buckets=4, sort_by=["srcaddr"],
+            ),
+        )
+    try:
+        joined = (
+            spark.table("t_bkt_a").alias("a")
+            .join(spark.table("t_bkt_b").alias("b"), "srcaddr")
+            .select("srcaddr", F.col("a.bytes"), F.col("b.packets"))
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            fmt = _plan(spark, joined)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        assert "SortMergeJoin" in fmt
+        assert "Exchange" not in fmt  # both sides read pre-bucketed
+        assert joined.count() > 0
+    finally:
+        for t in ("t_bkt_a", "t_bkt_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_sorted_write_prunes_row_groups(spark, tmpdir_path):
+    """sort_by without buckets: file-local sort so selective scans carry
+    the predicate to parquet (row-group skipping via min/max stats)."""
+    from logverzcore_spark.ingest import CollectJob, collect
+    from rawfixtures import write_vpcflow_gz
+
+    write_vpcflow_gz(tmpdir_path, n_files=1)
+    collect(
+        spark,
+        CollectJob(
+            path=tmpdir_path, datatype="VPCFlow", table_name="t_sorted",
+            sort_by=["srcport"],
+        ),
+    )
+    try:
+        fmt = _plan(spark, spark.table("t_sorted").where(F.col("srcport") == 443))
+        assert "PushedFilters: [IsNotNull(srcport), EqualTo(srcport,443)]" in fmt
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_sorted")
+
+
 def test_range_join_bounds_and_bucket_straddle(spark):
     from logverzcore_spark.operators.rangejoin import range_join
 
