@@ -1704,6 +1704,54 @@ def st05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_stream_join(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+@query(
+    "q45_variant_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q45_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through the VARIANT type (Spark 4):
+    parse_json once into the binary-encoded variant, then typed
+    variant_get extraction — the scale path for repeatedly-queried JSON
+    (no per-query string re-parse, unlike get_json_object in q11)."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    return v.groupBy("event_type").agg(
+        F.sum(F.try_variant_get("v", "$.k", "bigint")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q46_customer_quartiles",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ntile(4) OVER w AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q46_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window battery (ntile / percent_rank / cume_dist) with a
+    deterministic tie-broken order — one shuffle on the partition key."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
