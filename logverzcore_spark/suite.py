@@ -1752,6 +1752,64 @@ def q46_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q47_unpivot_revenue",
+    oracle="""
+    WITH wide AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+             CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) END) AS DOUBLE)/100.0 AS rev_urgent,
+             CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                  THEN CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) END) AS DOUBLE)/100.0 AS rev_low
+      FROM orders GROUP BY 1
+    )
+    SELECT order_year, 'rev_urgent' AS priority, rev_urgent AS revenue FROM wide
+    UNION ALL
+    SELECT order_year, 'rev_low' AS priority, rev_low AS revenue FROM wide
+    """,
+)
+def q47_unpivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long, the inverse of q40): melt per-priority revenue
+    columns back to rows — a single Expand node, no join or union scan
+    duplication in the physical plan."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    wide = (
+        o.groupBy(F.year("o_orderdate").alias("order_year"))
+        .pivot("o_orderpriority", ["1-URGENT", "5-LOW"])
+        .agg((F.sum(cents).cast("double") / 100.0))
+        .withColumnRenamed("1-URGENT", "rev_urgent")
+        .withColumnRenamed("5-LOW", "rev_low")
+    )
+    return wide.unpivot(
+        ["order_year"], ["rev_urgent", "rev_low"], "priority", "revenue"
+    )
+
+
+@query("q48_hll_sketch_users")  # sketch estimates are engine-specific → rows-only
+def q48_hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches, Spark 4): per-type
+    user sketches UNIONED into an overall estimate — the re-aggregatable
+    form a 100 TB rollup table stores (raw approx_count_distinct values
+    can't be merged later; sketches can). Error bound asserted in pytest."""
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("est_users"),
+        "n_events",
+    ).unionByName(
+        per_type.agg(
+            F.lit("__all__").alias("event_type"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -99,6 +99,25 @@ def test_funnel_rejects_empty_steps(spark):
         eventops.funnel(_events(spark, [(0, 1, "view")]), [])
 
 
+def test_hll_sketch_within_error_bound(spark):
+    """q48's sketches must estimate within HLL's ~2% envelope of the
+    exact distinct counts, and the merged union must cover all users."""
+    from conftest import SF_DIR
+    from logverzcore_spark.suite import SUITE
+
+    est = {r["event_type"]: r["est_users"] for r in SUITE["q48_hll_sketch_users"](spark, SF_DIR).collect()}
+    from logverzcore_spark.engine import read_table
+
+    ev = read_table(spark, SF_DIR, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    exact["__all__"] = ev.select("user_id").distinct().count()
+    for k, e in exact.items():
+        assert abs(est[k] - e) / e < 0.05, (k, est[k], e)
+
+
 def test_plan_frame_samples_fanout(spark):
     from logverzcore_spark.operators.multimodal import plan_frame_samples
 
