@@ -446,3 +446,35 @@ def embedding_neardup_pairs(
         )
         .where(F.round(cos, 6) >= threshold)
     )
+
+def contamination_check(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination scan: for each training document, how many
+    of its distinct word ``n``-grams appear anywhere in the benchmark
+    corpus. The decontamination step of a training-data pipeline — docs
+    with hits get dropped or audited before training.
+
+    Scale shape: the benchmark side collapses to its DISTINCT n-gram set
+    and is broadcast (benchmark suites are tiny next to a 100 TB train
+    corpus), so the training shingle pass stays shuffle-free: explode →
+    broadcast-hash semi-lookup → partial-agg count by doc. Only docs with
+    ≥1 hit are returned.
+    """
+    from logverzcore_spark.operators.util import fan_out
+
+    bench_grams = (
+        benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("sh")).distinct()
+    )
+    train_grams = fan_out(df).select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    )
+    return (
+        train_grams.join(F.broadcast(bench_grams), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )

@@ -219,3 +219,24 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         fingerprint_md5(c).alias("fingerprint"),
         F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_guess"),
     ).drop("_toks", "_ltoks", "_dtoks")
+
+def hash_split(
+    id_col: Column,
+    boundaries: tuple[str, str] = ("b", "d"),
+    names: tuple[str, str, str] = ("train", "val", "test"),
+) -> Column:
+    """Deterministic train/val/test assignment from a stable id hash.
+
+    The split is a pure per-row projection on ``md5(id)``'s first hex
+    digit — no shuffle, no sampled state, and the same row lands in the
+    same split on every engine, every run, and every cluster size (the
+    property random ``sample()`` lacks and training-data pipelines need:
+    re-runs must not leak validation rows into train). Default
+    boundaries give 12/16 train, 2/16 val, 2/16 test.
+    """
+    digit = F.substring(F.md5(id_col.cast("string")), 1, 1)
+    return (
+        F.when(digit <= boundaries[0], F.lit(names[0]))
+        .when(digit <= boundaries[1], F.lit(names[1]))
+        .otherwise(F.lit(names[2]))
+    )

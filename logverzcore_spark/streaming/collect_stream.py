@@ -283,3 +283,33 @@ def run_windowed_aggregate(spark: SparkSession, events_path: str) -> DataFrame:
         FROM {sink}
         """
     )
+
+def run_sliding_windows(spark: SparkSession, events_path: str) -> DataFrame:
+    """Hopping-window streaming aggregation (30-minute windows sliding
+    every 15 — each event lands in exactly two overlapping windows),
+    driven to completion with Trigger.AvailableNow. The overlapping-
+    window form of st01: rolling dashboards over an event stream without
+    recomputing from the raw table. Window starts align to epoch
+    multiples of the slide, so the batch oracle is two shifted tumbling
+    groupings."""
+    stream = _events_stream(spark, events_path)
+    agg = stream.groupBy(F.window("ts", "30 minutes", "15 minutes")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    sink = f"sw_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"""
+        SELECT date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS window_start,
+               n, total_value
+        FROM {sink}
+        """
+    )

@@ -1266,7 +1266,9 @@ def q36_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_D07_ORACLE = """
+#: Shared transitive-closure prefix for the duplicate-cluster oracles:
+#: 3-gram Jaccard≥0.5 pair graph → recursive reachability.
+_DUP_GRAPH_CTE = """
 WITH RECURSIVE tok AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
 ), sh AS (
@@ -1290,13 +1292,20 @@ WITH RECURSIVE tok AS (
   SELECT a, b FROM edges
   UNION
   SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+), labels AS (
+  SELECT d.doc_id,
+         LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
+  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+  GROUP BY d.doc_id
 )
-SELECT d.doc_id,
-       LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id,
-       d.doc_id = LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS is_rep
-FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-GROUP BY d.doc_id
 """
+
+_D07_ORACLE = (
+    _DUP_GRAPH_CTE
+    + """
+SELECT doc_id, cluster_id, doc_id = cluster_id AS is_rep FROM labels
+"""
+)
 
 
 @query("d07_dup_clusters", oracle=_D07_ORACLE)
@@ -1808,6 +1817,217 @@ def q48_hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").alias("n_events"),
         )
     )
+
+
+@query(
+    "q49_exists_late_ship",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q49_exists_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape): orders with any lineitem
+    shipping ≥60 days after order date, counted by priority. The
+    DataFrame form is an explicit LEFT SEMI join — Catalyst plans the
+    same shuffled-hash/broadcast semi it derives from the SQL EXISTS, no
+    decorrelation subtlety, and the semi stops probing a key at first
+    match (no duplicate explosion from multi-lineitem orders)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "q50_latest_order_argmax",
+    oracle="""
+    WITH packed AS (
+      SELECT o_custkey,
+             CAST(epoch(o_orderdate) AS BIGINT) * 100000000 + o_orderkey AS p
+      FROM orders
+    )
+    SELECT o_custkey,
+           MAX(p) % 100000000 AS latest_orderkey,
+           strftime(make_timestamp((MAX(p) // 100000000) * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS latest_order_ts,
+           COUNT(*) AS n_orders
+    FROM packed GROUP BY o_custkey
+    """,
+)
+def q50_latest_order_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group argmax via a packed-key MAX aggregate: the
+    latest order per customer without a window sort. Packing
+    (epoch_seconds, orderkey) into one bigint makes argmax an ordinary
+    map-side-combinable MAX — one partial-aggregated shuffle — where the
+    row_number() formulation would shuffle-and-sort every order row; ties
+    on date resolve to the highest orderkey by construction."""
+    o = _t(spark, sf_dir, "orders")
+    # TIMESTAMP_NTZ has no direct bigint cast; hop through TIMESTAMP
+    # (session TZ is pinned UTC, so wall time is preserved exactly).
+    packed = (
+        F.col("o_orderdate").cast("timestamp").cast("long") * F.lit(100000000).cast("long")
+    ) + F.col("o_orderkey")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.max(packed).alias("p"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "o_custkey",
+            (F.col("p") % 100000000).alias("latest_orderkey"),
+            F.date_format(
+                F.timestamp_seconds(F.expr("p div 100000000")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("latest_order_ts"),
+            "n_orders",
+        )
+    )
+
+
+@query(
+    "t05_hash_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+                  ELSE 'test' END AS split,
+             doc_id, n_chars
+      FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM assigned GROUP BY split
+    """,
+)
+def t05_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (text.hash_split):
+    stable across engines, runs, and cluster sizes — the reproducibility
+    property random sample() lacks. Pure projection + one partial-agg'd
+    groupBy; no shuffle of the corpus itself."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(text.hash_split(F.col("doc_id")).alias("split"), "doc_id", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+@query(
+    "t06_corpus_stats",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
+             AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def t06_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report (docs/tokens/chars by language × source)
+    — the mixture table a training run is provisioned from. Token counts
+    are computed inline (codegen'd split+filter), aggregated map-side;
+    one shuffle on the tiny group key."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@query(
+    "d08_dedup_corpus",
+    oracle=_DUP_GRAPH_CTE
+    + """
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d JOIN labels l ON d.doc_id = l.doc_id
+    WHERE l.cluster_id = d.doc_id
+    """,
+)
+def d08_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy-dedup materialization: near-dup pair graph →
+    connected components → keep each cluster's representative → the
+    cleaned corpus with original columns. This is the full pipeline the
+    pairwise queries (d02/d03) feed at 100 TB; transitivity means A~B~C
+    collapses to one doc even when A~C misses the threshold."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    clusters = dedup.dup_clusters(docs, pairs)
+    reps = clusters.where(F.col("is_rep")).select(F.col("doc_id"))
+    return docs.join(reps, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query(
+    "d09_contamination",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(range(1, greatest(len(t)-4, 0)+1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])))
+               AS sh
+      FROM tok
+    ), bench AS (
+      SELECT DISTINCT sh FROM sh WHERE source = 'src0'
+    )
+    SELECT t.doc_id, COUNT(*) AS n_shared_grams
+    FROM (SELECT doc_id, sh FROM sh WHERE source <> 'src0') t
+    JOIN bench b ON t.sh = b.sh
+    GROUP BY t.doc_id
+    """,
+)
+def d09_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan (dedup.contamination_check): distinct
+    5-gram overlap between each training doc (source≠src0) and the
+    benchmark corpus (source=src0). The benchmark gram set is broadcast,
+    so the 100 TB training side never shuffles — explode, broadcast-hash
+    lookup, partial-agg count."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("source") == "src0")
+    train = docs.where(F.col("source") != "src0")
+    return dedup.contamination_check(train, bench, n=5)
+
+
+@query(
+    "st06_sliding_windows",
+    oracle="""
+    WITH ex AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS wstart,
+             value
+      FROM events, (SELECT unnest([0, 1]) AS k) ks
+    )
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM ex GROUP BY wstart
+    """,
+)
+def st06_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hopping-window aggregation (30 min windows / 15 min
+    slide): every event counted in exactly two overlapping windows. The
+    oracle replays it as two shifted tumbling groupings — window starts
+    align to epoch multiples of the slide."""
+    from logverzcore_spark.streaming.collect_stream import run_sliding_windows
+
+    return run_sliding_windows(spark, os.path.join(sf_dir, "events.parquet"))
 
 
 # ---------------------------------------------------------------------------

@@ -135,3 +135,97 @@ def test_plan_frame_samples_fanout(spark):
         (2, 0, 0),
         (3, 0, 0),
     ]
+
+
+# -- round-2b additions: hash split, contamination, argmax, sliding windows --
+
+
+def test_hash_split_partitions_completely(spark):
+    docs = spark.range(1000).select(F.col("id").alias("doc_id"))
+    split = docs.select(text.hash_split(F.col("doc_id")).alias("split"))
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 1000
+    # md5 is uniform: train≈12/16, val≈2/16, test≈2/16.
+    assert 0.65 <= counts["train"] / 1000 <= 0.85
+    # Deterministic: a second evaluation assigns identically.
+    again = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert again == counts
+
+
+def test_contamination_check_hits_and_misses(spark):
+    from logverzcore_spark.operators.dedup import contamination_check
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            # shares the 5-gram "beta gamma delta epsilon zeta"
+            (1, "xx beta gamma delta epsilon zeta yy"),
+            # no shared 5-gram (word soup reordered)
+            (2, "zeta epsilon delta gamma beta alpha"),
+            # too short for any 5-gram
+            (3, "alpha beta"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r["doc_id"]: r["n_shared_grams"] for r in contamination_check(train, bench, n=5).collect()}
+    assert 1 in hits and hits[1] >= 1
+    assert 2 not in hits
+    assert 3 not in hits
+
+
+def test_argmax_packed_equals_window(spark):
+    from logverzcore_spark.suite import SUITE
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        r["o_custkey"]: (r["latest_orderkey"], r["n_orders"])
+        for r in SUITE["q50_latest_order_argmax"](spark, sf_dir).collect()
+    }
+    from pyspark.sql import Window
+
+    from logverzcore_spark.engine import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    ref = (
+        o.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("o_custkey")))
+        .where(F.col("rn") == 1)
+    )
+    want = {r["o_custkey"]: (r["o_orderkey"], r["n"]) for r in ref.collect()}
+    assert got == want
+
+
+def test_sliding_windows_equal_batch(spark):
+    from logverzcore_spark.engine import read_table
+    from logverzcore_spark.streaming.collect_stream import run_sliding_windows
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        r["window_start"]: (r["n"], round(r["total_value"], 2))
+        for r in run_sliding_windows(spark, f"{sf_dir}/events.parquet").collect()
+    }
+    ev = read_table(spark, sf_dir, "events")
+    batch = (
+        ev.select(F.explode(F.array(F.lit(0), F.lit(1))).alias("k"), "ts", "value")
+        .select(
+            F.date_format(
+                (F.unix_timestamp("ts") - (F.unix_timestamp("ts") % 900) - F.col("k") * 900)
+                .cast("timestamp"),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("window_start"),
+            "value",
+        )
+        .groupBy("window_start")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+    want = {r["window_start"]: (r["n"], round(r["total_value"], 2)) for r in batch.collect()}
+    assert got == want
