@@ -51,6 +51,10 @@ def main() -> None:
         df = SUITE[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # Queries are measured independently: drop any cache an operator
+        # pinned (e.g. the MinHash signature barrier) so later queries
+        # aren't taxed by eviction/GC of a predecessor's blocks.
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
