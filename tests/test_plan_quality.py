@@ -130,3 +130,40 @@ def test_range_join_bounds_and_bucket_straddle(spark):
     assert got == {("p2", "i1"), ("p2", "i2"), ("p3", "i1"), ("p4", "i3")}
     with pytest.raises(ValueError):
         range_join(points.withColumnRenamed("pid", "iid"), intervals, "x", "lo", "hi")
+
+
+def test_q49_plans_semi_join_not_inner(spark):
+    """EXISTS must stay a semi join: an inner-join rewrite would multiply
+    orders by their matching lineitems and overcount."""
+    fmt = _plan(spark, SUITE["q49_exists_late_ship"](spark, SF_DIR))
+    assert "LeftSemi" in fmt
+    assert "Cartesian" not in fmt and "NestedLoop" not in fmt
+
+
+def test_q50_argmax_aggregates_without_window_sort(spark):
+    """The packed-key argmax exists to avoid the row_number() plan: no
+    Window operator, no Sort, exactly one exchange (the groupBy)."""
+    fmt = _plan(spark, SUITE["q50_latest_order_argmax"](spark, SF_DIR))
+    assert "Window" not in fmt
+    assert "Sort" not in fmt
+    # One Exchange node (formatted mode prints each node twice: tree line
+    # + "(n) Exchange" detail header — count the headers).
+    assert fmt.count(") Exchange") == 1
+    # Partial aggregation runs before the shuffle (map-side combine).
+    assert fmt.index("HashAggregate") < fmt.index("Exchange")
+
+
+def test_d09_broadcasts_benchmark_grams(spark):
+    """The contamination scan's scale contract: the benchmark gram set is
+    the broadcast side, so the (100 TB) training side never shuffles."""
+    fmt = _plan(spark, SUITE["d09_contamination"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in fmt
+    assert "SortMergeJoin" not in fmt
+
+
+def test_t05_split_prunes_text_column(spark):
+    """hash_split reads only the id + stat columns — dragging the text
+    payload through the split would dominate I/O at corpus scale."""
+    fmt = _plan(spark, SUITE["t05_hash_split"](spark, SF_DIR))
+    assert "ReadSchema" in fmt
+    assert "text" not in fmt.split("ReadSchema")[1].splitlines()[0]
