@@ -44,7 +44,12 @@ def coerce_column(col: Column, target: T.DataType) -> Column:
     is_null_word = col.isin(*NULL_WORDS)
     if isinstance(target, _NUMERIC_TYPES):
         cleaned = F.when(is_null_word | col.isin(*NUMERIC_NULL_MARKERS) | col.isNull(), F.lit(None)).otherwise(col)
-        return cleaned.cast(target)
+        # try_cast, not cast: under ANSI mode (Spark 4 default) a plain
+        # cast THROWS on any other malformed value — one garbage field
+        # would kill a whole ingest job. The reference's parseInt path
+        # never threw; malformed → NULL is the total-function equivalent
+        # (divergence: JS parseInt('123abc')==123, we yield NULL).
+        return cleaned.try_cast(target)
     if isinstance(target, T.BooleanType):
         lowered = F.lower(F.trim(col))
         return (
@@ -55,7 +60,7 @@ def coerce_column(col: Column, target: T.DataType) -> Column:
         )
     if isinstance(target, (T.TimestampType, T.DateType)):
         cleaned = F.when(is_null_word | col.isNull() | (col == ""), F.lit(None)).otherwise(col)
-        return cleaned.cast(target)
+        return cleaned.try_cast(target)  # malformed datetime text → NULL, not ANSI error
     if isinstance(target, T.StringType):
         cleaned = F.when(is_null_word | col.isNull(), F.lit(None)).otherwise(col)
         # CRLF / lone newlines → space; '[]' → '' (worker.js:996-1005).
@@ -88,5 +93,6 @@ def coerce(df: DataFrame, schema: T.StructType) -> DataFrame:
         elif isinstance(existing[field.name], T.StringType):
             out.append(coerce_column(F.col(f"`{field.name}`"), field.dataType).alias(field.name))
         else:
-            out.append(F.col(f"`{field.name}`").cast(field.dataType).alias(field.name))
+            # Typed→typed narrowing can still overflow; stay total.
+            out.append(F.col(f"`{field.name}`").try_cast(field.dataType).alias(field.name))
     return df.select(*out)

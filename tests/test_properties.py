@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis): coercion and SQL-gate invariants
+that example tests can't sweep — arbitrary strings through the coercion
+semantics, and arbitrary identifier/literal content through the
+SELECT-only gate's rewriter.
+
+Spark jobs are expensive per example, so each property collects its
+hypothesis-generated values into ONE DataFrame and runs ONE job.
+"""
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from logverzcore_spark.operators.coerce import coerce
+from logverzcore_spark.plans.sqlgate import rewrite_legacy_query
+
+# Keep example counts small: the property work happens inside one Spark
+# job per example batch; hypothesis shrinks on the Python side.
+FAST = settings(max_examples=5, deadline=None)
+
+# Strings the reference's ingest path can see in a CSV field: printable
+# ASCII with the interesting markers mixed in.
+field_text = st.one_of(
+    st.sampled_from(["-", "", "null", "NULL", "Null", "[]", "true", "FALSE", " "]),
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=20,
+    ),
+    st.integers(-10**12, 10**12).map(str),
+    st.floats(allow_nan=False, allow_infinity=False).map(repr),
+)
+
+
+@FAST
+@given(st.lists(field_text, min_size=1, max_size=50))
+def test_coerce_int_total_and_marker_semantics(spark, values):
+    """INTEGER coercion is total (never raises) and: null words and
+    numeric markers → NULL; pure integer text → that integer; everything
+    else → NULL (cast failure is NULL under non-ANSI coercion)."""
+    schema = T.StructType([T.StructField("v", T.LongType())])
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    out = [r["v"] for r in coerce(df, schema).collect()]
+    for raw, got in zip(values, out):
+        if raw in ("-", "", "null", "NULL", "Null"):
+            assert got is None, (raw, got)
+        elif re.fullmatch(r"[+-]?\d+", raw) and -(2**63) <= int(raw) < 2**63:
+            assert got == int(raw), (raw, got)
+
+
+@FAST
+@given(st.lists(field_text, min_size=1, max_size=50))
+def test_coerce_string_idempotent(spark, values):
+    """String coercion is idempotent: cleaning already-clean text changes
+    nothing (re-ingesting an ingested table is a no-op)."""
+    schema = T.StructType([T.StructField("v", T.StringType())])
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    once = coerce(df, schema)
+    twice = coerce(once, schema)
+    assert [r["v"] for r in once.collect()] == [r["v"] for r in twice.collect()]
+
+
+@FAST
+@given(st.lists(field_text, min_size=1, max_size=50))
+def test_coerce_bool_never_guesses(spark, values):
+    """BOOLEAN coercion yields True/False only for case-insensitive
+    true/false text — anything else is NULL, never a truthy guess (the
+    reference's indexOf bug made nearly every string true)."""
+    schema = T.StructType([T.StructField("v", T.BooleanType())])
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    out = [r["v"] for r in coerce(df, schema).collect()]
+    for raw, got in zip(values, out):
+        low = raw.strip().lower()
+        if low == "true":
+            assert got is True
+        elif low == "false":
+            assert got is False
+        else:
+            assert got is None, (raw, got)
+
+
+ident = st.from_regex(r"[A-Za-z][A-Za-z0-9_]{0,10}", fullmatch=True)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    alias=ident,
+    col=ident,
+    value=st.integers(0, 10**6),
+    depth=st.sampled_from(["S3Object", "S3Object[*]", "S3Object[*].Records[*]"]),
+)
+def test_legacy_rewrite_targets_view_and_is_idempotent(alias, col, value, depth):
+    """Any legacy FROM-clause variant rewrites onto the staged view with
+    alias preserved; rewriting standard SQL (including the rewritten
+    output itself) is the identity."""
+    q = f"SELECT {alias}.{col} FROM {depth} {alias} WHERE {col} > {value} AND {col} IS NOT MISSING"
+    out = rewrite_legacy_query(q, "staged_view")
+    assert "S3Object" not in out
+    assert f"FROM staged_view {alias}" in out
+    assert "MISSING" not in out and "IS NOT NULL" in out
+    assert rewrite_legacy_query(out, "staged_view") == out
+
+
+@settings(max_examples=50, deadline=None)
+@given(lit=st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=30))
+def test_legacy_rewrite_preserves_plain_sql(lit):
+    """SQL without legacy markers passes through byte-identical — the shim
+    must never corrupt user literals (only word-bounded S3Object/IS
+    MISSING trigger it)."""
+    safe = lit.replace("'", "")
+    if re.search(r"\bS3Object\b|\bIS\s+(NOT\s+)?MISSING\b", safe, re.IGNORECASE):
+        return
+    q = f"SELECT * FROM t WHERE c = '{safe}'"
+    assert rewrite_legacy_query(q, "staged_view") == q
