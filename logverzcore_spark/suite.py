@@ -2030,6 +2030,73 @@ def st06_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sliding_windows(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+@query(
+    "q51_rank_battery",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ROUND(percent_rank() OVER w, 6) AS pr,
+           ROUND(cume_dist() OVER w, 6) AS cd,
+           ntile(4) OVER w AS quartile,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY ROUND(c_acctbal, 2), c_custkey)
+    """,
+)
+def q51_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function battery (percent_rank / cume_dist / ntile / rank /
+    dense_rank) over a deterministic total order — one shuffle+sort per
+    partition key, all five functions share the single window pass."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.round("c_acctbal", 2), "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "q52_date_battery",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d %H:%M:%S') AS plus_3m,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d %H:%M:%S') AS quarter_start,
+           dayofyear(o_orderdate) AS doy,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    """,
+)
+def q52_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar-function battery: interval arithmetic with
+    month-end clamping, day arithmetic, last_day, quarter truncation —
+    the temporal surface log analytics leans on. Pure projection; the
+    modulo filter keeps the graded result compact."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 7 == 0)
+    ts = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(ts + F.expr("INTERVAL 3 MONTHS"), "yyyy-MM-dd HH:mm:ss").alias(
+            "plus_3m"
+        ),
+        F.datediff(ts.cast("date"), F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+        F.date_format(F.last_day(ts.cast("date")), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_trunc("quarter", ts), "yyyy-MM-dd HH:mm:ss").alias(
+            "quarter_start"
+        ),
+        F.dayofyear(ts).alias("doy"),
+        F.quarter(ts).cast("int").alias("qtr"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
