@@ -138,3 +138,37 @@ def fake_resize_meta(df: DataFrame, meta_col: str = "meta", max_side: int = 512)
     return df.withColumn("out_width", F.floor(w * scale).cast("int")).withColumn(
         "out_height", F.floor(h * scale).cast("int")
     )
+
+def plan_decode_batches(
+    df: DataFrame,
+    bytes_col: str = "n_bytes",
+    budget_bytes: int = 64 * 1024 * 1024,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pack payloads into decode batches bounded by a byte budget — the
+    planning step before a GPU/codec stage, where task inputs must fit
+    decoder memory (the reference sized worker tasks the same way:
+    ~2 MB compressed per SQS message, controller.js:867-890).
+
+    Greedy sequential packing per partition key: ``batch_id`` is the
+    EXCLUSIVE prefix-sum of bytes divided by the budget, so every batch
+    holds ≤ budget plus at most one straddling item (the standard
+    streaming-pack bound). One window pass (shuffle on ``part_col``,
+    sort by id) — metadata only, payload bytes never move.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(F.col(bytes_col)).over(w)
+    batch = F.floor((cum - F.col(bytes_col)) / F.lit(budget_bytes))
+    return df.select(
+        F.col(id_col),
+        F.col(part_col),
+        F.col(bytes_col),
+        batch.cast("int").alias("batch_id"),
+    )

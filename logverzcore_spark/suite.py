@@ -2031,6 +2031,31 @@ def st06_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m04_decode_batch_plan",
+    oracle="""
+    SELECT doc_id, source, n_chars AS n_bytes,
+           CAST(FLOOR((SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_chars) / 10000.0) AS INTEGER)
+             AS batch_id
+    FROM documents
+    """,
+)
+def m04_decode_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-batch packing (multimodal.plan_decode_batches): payloads
+    greedily packed into ≤10 KB batches per source via an exclusive
+    prefix sum — the task-sizing step before a GPU/codec stage. n_chars
+    stands in for payload bytes (no codecs in the container)."""
+    from logverzcore_spark.operators.multimodal import plan_decode_batches
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").alias("n_bytes")
+    )
+    return plan_decode_batches(
+        docs, bytes_col="n_bytes", budget_bytes=10_000, part_col="source", id_col="doc_id"
+    )
+
+
+@query(
     "q51_rank_battery",
     oracle="""
     SELECT c_custkey, c_mktsegment,

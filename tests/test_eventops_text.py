@@ -229,3 +229,26 @@ def test_sliding_windows_equal_batch(spark):
     )
     want = {r["window_start"]: (r["n"], round(r["total_value"], 2)) for r in batch.collect()}
     assert got == want
+
+
+def test_decode_batch_plan_respects_budget(spark):
+    from logverzcore_spark.operators.multimodal import plan_decode_batches
+
+    rows = [(i, "s", 300 + (i * 37) % 500) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_bytes long")
+    plan = plan_decode_batches(
+        df, bytes_col="n_bytes", budget_bytes=2000, part_col="source", id_col="doc_id"
+    )
+    got = plan.orderBy("doc_id").collect()
+    # Batch ids are contiguous non-decreasing within the partition.
+    ids = [r["batch_id"] for r in got]
+    assert ids[0] == 0 and all(b - a in (0, 1) for a, b in zip(ids, ids[1:]))
+    # Every batch holds <= budget + one straddling item (drop the last
+    # item of each batch and the remainder must fit the budget).
+    from collections import defaultdict
+
+    sizes = defaultdict(list)
+    for r in got:
+        sizes[r["batch_id"]].append(r["n_bytes"])
+    for members in sizes.values():
+        assert sum(members[:-1]) <= 2000
