@@ -148,9 +148,17 @@ class Catalog:
 
     def authorize_tables(self, tables: list[str], user: User, database: str = "default") -> None:
         """Per-table ACL gate before query execution (Q3). Tables without a
-        catalog entry are system/temp tables — admin-only."""
+        catalog entry are system/temp tables — admin-only. Qualified
+        references (``db.table``) authorize against their own database's
+        entries, not the caller-default one."""
+        from logverzcore_spark.registry import split_table_ref
+
         for t in tables:
-            entry = self.for_table(t, database)
+            if "." in t:
+                db, bare = split_table_ref(t)
+                entry = self.for_table(bare, db)
+            else:
+                entry = self.for_table(t, database)
             if entry is None:
                 if not (user.is_admin or user.is_poweruser):
                     raise PermissionError(f"no catalog entry for table {t!r}")

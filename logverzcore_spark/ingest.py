@@ -203,11 +203,27 @@ def collect(
     user: User | None = None,
     quarantine_table: str | None = None,
     metrics_table: str | None = None,
+    registry=None,
 ) -> CollectReport:
-    """Run one collection job to completion and return its report."""
+    """Run one collection job to completion and return its report.
+
+    ``registry`` (a ``DatabaseRegistry``) resolves ``job.database`` to a
+    registered Spark database — the reference's multi-target-DB path
+    (jobs carry DatabaseParameters naming which RDS instance to load,
+    jobproducer.js:173-187). Without a registry, non-default database
+    names are rejected rather than silently landing in the default
+    warehouse."""
     t0 = time.time()
     job_id = uuid.uuid4().hex[:12]
     dt = get_datatype(job.datatype, job.custom_schema)
+    if registry is not None:
+        target_table = registry.qualified(job.database, job.table_name)
+    elif job.database != "default":
+        raise ValueError(
+            f"database {job.database!r} requires a DatabaseRegistry (pass registry=)"
+        )
+    else:
+        target_table = job.table_name
 
     raw = _read(spark, job, dt)
     good, bad = readers.split_quarantine(raw)
@@ -241,9 +257,9 @@ def collect(
         writer = writer.bucketBy(job.n_buckets, *job.bucket_by)
         if job.sort_by:
             writer = writer.sortBy(*job.sort_by)
-    writer.saveAsTable(job.table_name)
+    writer.saveAsTable(target_table)
 
-    n_rows = spark.table(job.table_name).count()
+    n_rows = spark.table(target_table).count()
     # One combined stats pass instead of separate bad.count() +
     # distinct-files scans — each would re-read and re-parse every source
     # file (3× input I/O on the 100 TB jobs this targets).

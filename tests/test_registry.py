@@ -1,0 +1,111 @@
+"""Multi-database registry tests — the reference supports several
+registered analytics DBs per deployment (SSM /Logverz/Database/Registry,
+LookupDBParameters); here registered Spark databases with separate
+warehouse locations, name-resolved per job/query."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from logverzcore_spark.api import Engine
+from logverzcore_spark.catalog import Catalog, CatalogEntry, User
+from logverzcore_spark.ingest import CollectJob, collect
+from logverzcore_spark.registry import DatabaseRegistry, split_table_ref
+
+from rawfixtures import write_vpcflow_gz
+
+
+def test_split_table_ref():
+    assert split_table_ref("t") == ("default", "t")
+    assert split_table_ref("db.t") == ("db", "t")
+    assert split_table_ref("`db`.`t`") == ("db", "t")
+    assert split_table_ref("spark_catalog.db.t") == ("db", "t")
+
+
+def test_register_resolve_and_guards(spark, tmpdir_path):
+    reg = DatabaseRegistry(spark, path=f"{tmpdir_path}/registry.jsonl")
+    reg.register("archive_db", location=f"{tmpdir_path}/arch_wh")
+    assert reg.resolve("archive_db").location == f"{tmpdir_path}/arch_wh"
+    # Idempotent re-register; conflicting location rejected.
+    reg.register("archive_db", location=f"{tmpdir_path}/arch_wh")
+    with pytest.raises(ValueError):
+        reg.register("archive_db", location=f"{tmpdir_path}/elsewhere")
+    with pytest.raises(KeyError):
+        reg.resolve("nope")
+    with pytest.raises(ValueError):
+        reg.register("bad-name!")
+    with pytest.raises(ValueError):
+        reg.drop("default")
+    # Persistence round-trip.
+    reg2 = DatabaseRegistry(spark, path=f"{tmpdir_path}/registry.jsonl")
+    assert reg2.resolve("archive_db").location == f"{tmpdir_path}/arch_wh"
+    reg.drop("archive_db", cascade=True)
+
+
+def test_collect_into_registered_databases(spark, tmpdir_path):
+    """Same table name into two registered DBs: rows land under each DB's
+    own warehouse location and the catalog keeps both entries distinct."""
+    os.makedirs(tmpdir_path + "/raw", exist_ok=True)
+    write_vpcflow_gz(tmpdir_path + "/raw", n_files=2)
+    reg = DatabaseRegistry(spark)
+    cat = Catalog()
+    try:
+        reg.register("db_a", location=f"{tmpdir_path}/wh_a")
+        reg.register("db_b", location=f"{tmpdir_path}/wh_b")
+        for db, where in (("db_a", None), ("db_b", "SELECT * FROM S3Object s WHERE s.srcport = 443")):
+            collect(
+                spark,
+                CollectJob(
+                    path=tmpdir_path + "/raw", datatype="VPCFlow",
+                    table_name="flows", database=db,
+                    query_string=where, owners=["alice"],
+                ),
+                catalog=cat, registry=reg,
+            )
+        n_a = spark.table("db_a.flows").count()
+        n_b = spark.table("db_b.flows").count()
+        assert n_a > n_b > 0 or (n_b == 0 and n_a > 0)
+        assert os.path.isdir(f"{tmpdir_path}/wh_a/flows")
+        assert os.path.isdir(f"{tmpdir_path}/wh_b/flows")
+        assert cat.for_table("flows", "db_a") is not None
+        assert cat.for_table("flows", "db_b") is not None
+        # Unregistered database: refuse rather than land in default.
+        with pytest.raises((ValueError, KeyError)):
+            collect(
+                spark,
+                CollectJob(path=tmpdir_path + "/raw", datatype="VPCFlow",
+                           table_name="flows", database="ghost"),
+                registry=reg,
+            )
+        with pytest.raises(ValueError):
+            collect(
+                spark,
+                CollectJob(path=tmpdir_path + "/raw", datatype="VPCFlow",
+                           table_name="flows", database="db_a"),
+            )  # non-default db without a registry
+    finally:
+        for db in ("db_a", "db_b"):
+            spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_qualified_table_acl(spark, tmpdir_path):
+    """A db-qualified query authorizes against THAT database's catalog
+    entries — visibility in one DB must not leak into another."""
+    reg = DatabaseRegistry(spark)
+    cat = Catalog()
+    alice = User("alice")
+    try:
+        reg.register("db_acl", location=f"{tmpdir_path}/wh_acl")
+        spark.range(5).write.mode("overwrite").saveAsTable("db_acl.nums")
+        cat.record_query(CatalogEntry(TableName="nums", DatabaseName="db_acl", Owners=["alice"]))
+        eng = Engine(spark, cat)
+        assert eng.sql("SELECT count(*) AS n FROM db_acl.nums", user=alice).first()["n"] == 5
+        # Same table name, different (unregistered-in-catalog) database →
+        # no entry → non-admin denied.
+        spark.range(3).write.mode("overwrite").saveAsTable("nums")
+        with pytest.raises(PermissionError):
+            eng.sql("SELECT * FROM nums", user=alice)
+        spark.sql("DROP TABLE IF EXISTS nums")
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS db_acl CASCADE")
