@@ -109,6 +109,7 @@ def lsh_topk(
     n_tables: int = 12,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing an LSH bucket in
     at least one of ``n_tables`` hash tables.
@@ -120,7 +121,10 @@ def lsh_topk(
     batches; each query probes L buckets instead of scanning the corpus."""
     from pyspark.sql.functions import pandas_udf
 
-    dim = len(corpus.select(vec_col).first()[0])
+    # Probing the corpus for the dimension costs a whole Spark job —
+    # callers that know their embedding width pass it in.
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     all_planes = _hyperplanes(dim, n_planes * n_tables)
     # All L·b plane dots per row as ONE numpy matmul: HOF dot-product
     # lambdas are interpreted (48 × dim ops/row); the Arrow-batched UDF

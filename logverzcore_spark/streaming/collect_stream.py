@@ -37,12 +37,23 @@ def collect_stream(
     trigger_interval: str | None = None,
     checkpoint_dir: str | None = None,
     available_now: bool = False,
+    database: str = "default",
+    registry=None,
 ) -> StreamingQuery:
     """Continuously ingest files matching ``path`` into ``target_table``.
 
     Mirrors the reference's continuous-collection parameters; ``where``
     is the ingest-time filter (SURVEY §2.2 P1) applied on the stream.
+    ``database``/``registry`` route the sink to a registered target DB,
+    same as batch ``collect`` (continuous collections in the reference
+    name a DBServerAlias, Logverz-ContinousCollection.json).
     """
+    if registry is not None:
+        target_table = registry.qualified(database, target_table)
+    elif database != "default":
+        raise ValueError(
+            f"database {database!r} requires a DatabaseRegistry (pass registry=)"
+        )
     reader = spark.readStream.format(fmt).schema(schema)
     for k, v in (reader_options or {}).items():
         reader = reader.option(k, v)
@@ -61,8 +72,9 @@ def collect_stream(
         staged_sql = rewrite_legacy_query(where, view)
         validate_staged_query(spark, staged_sql, view)
         df = spark.sql(staged_sql)
+    ckpt_slug = target_table.replace("`", "").replace(".", "_")
     checkpoint = checkpoint_dir or os.path.join(
-        tempfile.gettempdir(), f"lvz_ckpt_{target_table}_{uuid.uuid4().hex[:8]}"
+        tempfile.gettempdir(), f"lvz_ckpt_{ckpt_slug}_{uuid.uuid4().hex[:8]}"
     )
     writer = df.writeStream.option("checkpointLocation", checkpoint).outputMode("append")
     if available_now:

@@ -1068,7 +1068,7 @@ def s02_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH-bucketed ANN top-k (the scale path)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 20)
-    return similarity.lsh_topk(emb, queries, k=5)
+    return similarity.lsh_topk(emb, queries, k=5, dim=64)
 
 
 @query("s03_ivf_topk")  # approximate → rows-only check
@@ -2119,6 +2119,39 @@ def q52_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.dayofyear(ts).alias("doy"),
         F.quarter(ts).cast("int").alias("qtr"),
+    )
+
+
+@query(
+    "q53_correlated_scalar",
+    oracle="""
+    SELECT c_custkey, ROUND(c_acctbal, 2) AS bal
+    FROM customer c
+    WHERE c_acctbal > (
+      SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
+    )
+    """,
+)
+def q53_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: customers above their own nation's
+    average balance. Exercises Catalyst's decorrelation — the subquery
+    rewrites to a per-nation aggregate + join, so it runs as two
+    shuffles, not per-row re-execution. The threshold divides an exact
+    decimal sum by a count so both engines compute the identical IEEE
+    double (suite numeric-determinism convention)."""
+    cust = _t(spark, sf_dir, "customer")
+    view = "q53_customer"
+    cust.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT c_custkey, ROUND(c_acctbal, 2) AS bal
+        FROM {view} c
+        WHERE c_acctbal > (
+          SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          FROM {view} c2 WHERE c2.c_nationkey = c.c_nationkey
+        )
+        """
     )
 
 

@@ -109,3 +109,36 @@ def test_qualified_table_acl(spark, tmpdir_path):
         spark.sql("DROP TABLE IF EXISTS nums")
     finally:
         spark.sql("DROP DATABASE IF EXISTS db_acl CASCADE")
+
+
+def test_collect_stream_into_registered_database(spark, tmpdir_path):
+    """Continuous collection routes its sink through the registry, same
+    as batch collect (the reference's DBServerAlias parameter)."""
+    from logverzcore_spark.schemas import REGISTRY
+    from logverzcore_spark.streaming.collect_stream import collect_stream
+    from pyspark.sql import types as T
+
+    watch = os.path.join(tmpdir_path, "stream_in")
+    os.makedirs(watch)
+    write_vpcflow_gz(watch, n_files=1)
+    dt = REGISTRY["VPCFlow"]
+    schema = T.StructType([T.StructField(f.name, T.StringType()) for f in dt.schema.fields])
+    reg = DatabaseRegistry(spark)
+    try:
+        reg.register("db_stream", location=f"{tmpdir_path}/wh_stream")
+        q = collect_stream(
+            spark, watch, schema, "flows_cc",
+            fmt="csv", reader_options=dict(dt.options),
+            checkpoint_dir=os.path.join(tmpdir_path, "ckpt_reg"),
+            available_now=True, database="db_stream", registry=reg,
+        )
+        q.awaitTermination()
+        assert spark.table("db_stream.flows_cc").count() > 0
+        assert os.path.isdir(f"{tmpdir_path}/wh_stream/flows_cc")
+        with pytest.raises(ValueError):
+            collect_stream(
+                spark, watch, schema, "flows_cc", fmt="csv",
+                database="db_other",  # no registry passed
+            )
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS db_stream CASCADE")
