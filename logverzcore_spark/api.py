@@ -117,10 +117,55 @@ class Engine:
         # Uncataloged tables are system/temp objects: reads already treat
         # them as admin-only (authorize_tables), so deletes must not be
         # MORE permissive than selects.
-        if self.catalog.for_table(table) is None and not user.is_admin:
+        from logverzcore_spark.registry import split_table_ref
+
+        database, bare = split_table_ref(table)
+        if self.catalog.for_table(bare, database) is None and not user.is_admin:
             raise PermissionError(f"no catalog entry for table {table!r}; admin required")
-        self.catalog.deactivate_table(table, user)
-        self.spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+        self.catalog.deactivate_table(bare, user, database)
+        qualified = f"`{database}`.`{bare}`" if database != "default" else f"`{bare}`"
+        self.spark.sql(f"DROP TABLE IF EXISTS {qualified}")
+
+    # -- Saved analyses (catalog Type "A", N7) -----------------------------
+    def save_query(
+        self,
+        name: str,
+        query: str,
+        user: User = ADMIN,
+        access: list[str] | None = None,
+        database: str = "default",
+    ):
+        """Record a saved analysis — the reference's 'A'-type
+        Logverz-Queries item (RecordQuery, commonsharedv3.js:1079-1197):
+        a named, ACL'd SQL string others can run later. The query is
+        gated NOW (parse + SELECT-only) so a stored statement can never
+        smuggle DDL to a future runner."""
+        validate_select(self.spark, query)
+        from logverzcore_spark.catalog import CatalogEntry
+
+        return self.catalog.record_query(
+            CatalogEntry(
+                TableName=name,
+                DatabaseName=database,
+                Type="A",
+                QuerySettings={"QueryString": query},
+                Owners=[user.name],
+                Access=access or [],
+            ),
+            deactivate_older=True,
+        )
+
+    def run_saved(self, name: str, user: User = ADMIN, database: str = "default") -> DataFrame:
+        """Execute a saved analysis the caller can SEE (Owners/Access ∩
+        user+groups, admin bypass); the stored SQL is re-gated and its
+        referenced tables re-authorized AGAINST THE RUNNER — visibility
+        of the saved query does not leak access to its tables."""
+        entry = self.catalog.for_table(name, database)
+        if entry is None or entry.Type != "A":
+            raise KeyError(f"no saved query named {name!r}")
+        if not entry.visible_to(user):
+            raise PermissionError(f"{user.name} may not run saved query {name!r}")
+        return self.sql(entry.QuerySettings["QueryString"], user)
 
     # -- Views (P4) --------------------------------------------------------
     def view(self, table: str, datatype: str, view_name: str = "Default",

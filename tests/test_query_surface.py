@@ -216,3 +216,35 @@ def test_optree_pattern_ops_take_verbatim_strings(spark):
     assert {r["id"] for r in optree.find_all(df, where={"msg": {"like": "404"}}).collect()} == {1}
     assert {r["id"] for r in optree.find_all(df, where={"msg": {"startsWith": "null"}}).collect()} == {2}
     assert {r["id"] for r in optree.find_all(df, where={"msg": {"substring": ";"}}).collect()} == {3}
+
+
+# -- Saved analyses (catalog Type "A") --------------------------------------
+
+def test_save_and_run_saved_query(spark, engine):
+    engine.save_query("daily_v", "SELECT v FROM qs_tab WHERE v > 10", user=ALICE,
+                      access=["analysts"])
+    # Owner runs it; table ACL re-checked against the runner.
+    assert engine.run_saved("daily_v", user=ALICE).count() > 0
+    # bob sees it via the analysts group AND may read qs_tab (Access) →
+    # allowed end to end.
+    assert engine.run_saved("daily_v", user=BOB).count() > 0
+
+
+def test_saved_query_gated_at_save_time(engine):
+    with pytest.raises(SqlValidationError):
+        engine.save_query("evil", "DROP TABLE qs_tab", user=ALICE)
+    with pytest.raises(KeyError):
+        engine.run_saved("never_saved", user=ALICE)
+
+
+def test_saved_query_visibility_and_table_acl_are_independent(spark, engine):
+    # eve can SEE the saved query (Access) but has no right to qs_tab →
+    # running must fail on the table ACL, not silently succeed.
+    eve = User("eve", groups=["viewers"])
+    engine.save_query("shared_q", "SELECT * FROM qs_tab", user=ALICE, access=["viewers"])
+    with pytest.raises(PermissionError):
+        engine.run_saved("shared_q", user=eve)
+    # An invisible saved query is a PermissionError for outsiders.
+    mallory = User("mallory")
+    with pytest.raises(PermissionError):
+        engine.run_saved("shared_q", user=mallory)
