@@ -95,6 +95,10 @@ def _events_stream(spark: SparkSession, events_path: str):
     # Eager, not an on-error fallback: the fallback costs an aborted read
     # job + ERROR noise on first contact with the nanos file.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Window-start rendering (date_format) is session-TZ-dependent; a
+    # driver-built session may not be UTC, and a streaming query may be
+    # the FIRST suite query to run (so read_table's pin hasn't fired).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(events_path).schema
     stream = (
         spark.readStream.format("parquet")
