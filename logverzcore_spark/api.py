@@ -99,13 +99,18 @@ class Engine:
         return self.find_one(table, user, where={pk_col: {"eq": pk}})
 
     # -- Catalog ops (Q7-Q9) ----------------------------------------------
-    def list_tables(self, pattern: str | None = None, user: User = ADMIN) -> list[str]:
-        names = [t.name for t in self.spark.catalog.listTables()]
+    def list_tables(
+        self, pattern: str | None = None, user: User = ADMIN, database: str | None = None
+    ) -> list[str]:
+        names = [t.name for t in self.spark.catalog.listTables(database)]
         if pattern:
             names = [n for n in names if fnmatch.fnmatch(n, pattern)]
         if user.is_admin or user.is_poweruser:
             return sorted(names)
-        visible = {e.TableName for e in self.catalog.list(user)}
+        # Visibility is per (database, table) — entries in another DB must
+        # not make a same-named table here visible.
+        db = database or "default"
+        visible = {e.TableName for e in self.catalog.list(user) if e.DatabaseName == db}
         return sorted(n for n in names if n in visible)
 
     def describe_table(self, table: str, user: User = ADMIN) -> dict[str, str]:

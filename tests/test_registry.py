@@ -142,3 +142,23 @@ def test_collect_stream_into_registered_database(spark, tmpdir_path):
             )
     finally:
         spark.sql("DROP DATABASE IF EXISTS db_stream CASCADE")
+
+
+def test_list_tables_per_database_visibility(spark, tmpdir_path):
+    """list_tables(database=…) lists that DB and filters visibility by
+    (database, table) — an entry in db_x must not expose a same-named
+    table in default."""
+    reg = DatabaseRegistry(spark)
+    cat = Catalog()
+    alice = User("alice")
+    try:
+        reg.register("db_x", location=f"{tmpdir_path}/wh_x")
+        spark.range(1).write.mode("overwrite").saveAsTable("db_x.shared_name")
+        spark.range(1).write.mode("overwrite").saveAsTable("shared_name")
+        cat.record_query(CatalogEntry(TableName="shared_name", DatabaseName="db_x", Owners=["alice"]))
+        eng = Engine(spark, cat)
+        assert "shared_name" in eng.list_tables(user=alice, database="db_x")
+        assert "shared_name" not in eng.list_tables(user=alice)  # default DB: no entry
+        spark.sql("DROP TABLE IF EXISTS shared_name")
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS db_x CASCADE")
