@@ -76,3 +76,34 @@ def test_stream_ingest_filter(spark, tmpdir_path):
     assert out.columns == ["srcaddr", "dstaddr", "action"]
     assert out.count() == 2
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_invocations_listener_heartbeats(spark, tmpdir_path):
+    """Streaming heartbeat parity (Invocations rows): one progress record
+    per micro-batch with input-row counts, flushed to a metrics table."""
+    from logverzcore_spark.streaming.monitor import InvocationsListener
+
+    listener = InvocationsListener()
+    spark.streams.addListener(listener)
+    try:
+        from logverzcore_spark.streaming.collect_stream import run_windowed_aggregate
+
+        run_windowed_aggregate(spark, "/root/testdata/sf0.001/events.parquet")
+        import time as _t
+
+        # Listener events are delivered asynchronously on the streaming bus.
+        for _ in range(40):
+            statuses = {r["status"] for r in listener.records}
+            if "terminated" in statuses:
+                break
+            _t.sleep(0.25)
+        statuses = {r["status"] for r in listener.records}
+        assert "started" in statuses and "terminated" in statuses
+        progress = [r for r in listener.records if r["status"] == "progress"]
+        assert progress and sum(r["num_input_rows"] for r in progress) > 0
+        n = listener.flush_to_table(spark, "hb_metrics")
+        assert n == spark.table("hb_metrics").count() >= 3
+        assert listener.records == [] and listener.flush_to_table(spark, "hb_metrics") == 0
+    finally:
+        spark.streams.removeListener(listener)
+        spark.sql("DROP TABLE IF EXISTS hb_metrics")
