@@ -2155,6 +2155,35 @@ def q53_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q54_null_semantics",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           NULLIF(CAST(FLOOR(c_acctbal) AS BIGINT) % 10, 0) AS nz_digit,
+           ROUND(LEAST(c_acctbal, 0.0), 2) AS neg_part,
+           ROUND(GREATEST(c_acctbal, 0.0), 2) AS pos_part
+    FROM customer
+    """,
+)
+def q54_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling scalar battery: COALESCE / NULLIF / LEAST / GREATEST
+    composition — the fringe semantics user queries trip over (NULLIF
+    producing NULLs mid-expression, LEAST/GREATEST ignoring nothing).
+    Pure projection, no shuffle."""
+    cust = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.nullif(F.floor(bal).cast("bigint") % 10, F.lit(0)).alias("nz_digit"),
+        F.round(F.least(bal, F.lit(0.0)), 2).alias("neg_part"),
+        F.round(F.greatest(bal, F.lit(0.0)), 2).alias("pos_part"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
