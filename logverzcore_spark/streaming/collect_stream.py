@@ -84,7 +84,7 @@ def collect_stream(
     return writer.toTable(target_table)
 
 
-def _events_stream(spark: SparkSession, events_path: str):
+def _events_stream(spark: SparkSession, events_path: str, schema=None):
     """File-source stream over the (nanos-timestamped) events parquet.
 
     The file stream source wants a directory: watch the parent with a
@@ -99,7 +99,8 @@ def _events_stream(spark: SparkSession, events_path: str):
     # driver-built session may not be UTC, and a streaming query may be
     # the FIRST suite query to run (so read_table's pin hasn't fired).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(events_path).schema
+    if schema is None:  # callers opening the file twice pass it once
+        schema = spark.read.parquet(events_path).schema
     stream = (
         spark.readStream.format("parquet")
         .schema(schema)
@@ -262,8 +263,10 @@ def run_stream_stream_join(
     carry watermarks and the join condition bounds event time, so the
     state store retains only the join window, not the full streams —
     the canonical Spark pattern for correlating two event feeds."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
     views = (
-        _events_stream(spark, events_path)
+        _events_stream(spark, events_path, schema)
         .where(F.col("event_type") == "view")
         .select(
             F.col("event_id").alias("view_id"),
@@ -273,7 +276,7 @@ def run_stream_stream_join(
         .withWatermark("v_ts", "2 hours")
     )
     clicks = (
-        _events_stream(spark, events_path)
+        _events_stream(spark, events_path, schema)
         .where(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
