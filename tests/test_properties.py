@@ -113,3 +113,56 @@ def test_legacy_rewrite_preserves_plain_sql(lit):
         return
     q = f"SELECT * FROM t WHERE c = '{safe}'"
     assert rewrite_legacy_query(q, "staged_view") == q
+
+
+# -- Operator-tree translator (Q4-Q6): random trees vs a Python oracle ------
+
+op_leaf = st.sampled_from(["eq", "ne", "gt", "lt", "gte", "lte"])
+num = st.integers(-5, 5)
+
+
+@st.composite
+def where_trees(draw, depth=2):
+    if depth == 0 or draw(st.booleans()):
+        col = draw(st.sampled_from(["a", "b"]))
+        op = draw(op_leaf)
+        return {col: {op: draw(num)}}
+    kind = draw(st.sampled_from(["and", "or", "not"]))
+    if kind == "not":
+        return {"not": draw(where_trees(depth=depth - 1))}
+    n = draw(st.integers(1, 3))
+    return {kind: [draw(where_trees(depth=depth - 1)) for _ in range(n)]}
+
+
+def _py_eval(tree, row):
+    ops = {
+        "eq": lambda x, v: x == v, "ne": lambda x, v: x != v,
+        "gt": lambda x, v: x > v, "lt": lambda x, v: x < v,
+        "gte": lambda x, v: x >= v, "lte": lambda x, v: x <= v,
+    }
+    (key, value), *rest = tree.items()
+    assert not rest
+    if key == "and":
+        return all(_py_eval(t, row) for t in value)
+    if key == "or":
+        return any(_py_eval(t, row) for t in value)
+    if key == "not":
+        return not _py_eval(value, row)
+    (op, operand), = value.items()
+    return ops[op](row[key], operand)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(where_trees(), min_size=1, max_size=4))
+def test_optree_matches_python_oracle(spark, trees):
+    """Any nesting of and/or/not over comparison leaves selects exactly
+    the rows a direct Python evaluation selects (no NULLs involved —
+    three-valued logic is covered by example tests)."""
+    from logverzcore_spark.operators import optree
+
+    rows = [(a, b) for a in range(-3, 4) for b in range(-3, 4)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    for tree in trees:
+        got = {(r["a"], r["b"]) for r in optree.find_all(df, where=tree).collect()}
+        want = {(a, b) for a, b in rows if _py_eval(tree, {"a": a, "b": b})}
+        assert got == want, tree
