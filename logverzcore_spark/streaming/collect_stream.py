@@ -39,6 +39,7 @@ def collect_stream(
     available_now: bool = False,
     database: str = "default",
     registry=None,
+    coerce_to: T.StructType | None = None,
 ) -> StreamingQuery:
     """Continuously ingest files matching ``path`` into ``target_table``.
 
@@ -47,13 +48,23 @@ def collect_stream(
     ``database``/``registry`` route the sink to a registered target DB,
     same as batch ``collect`` (continuous collections in the reference
     name a DBServerAlias, Logverz-ContinousCollection.json).
-    """
+    ``coerce_to`` applies the shared type-coercion pass (SURVEY §2.2 P3)
+    on the stream so the sink table is typed like a batch-collected one —
+    the reference's worker coerces on both paths.
+
+    The sink table must be NEW or a previous streaming sink: Spark's
+    file-stream sink keeps a ``_spark_metadata`` transaction log and
+    readers then trust ONLY files it lists, so streaming into a
+    batch-written parquet table silently HIDES every pre-existing row.
+    The reference has the same split — continuous collection creates its
+    own dataset table at setup (collection.js:363-366)."""
     if registry is not None:
         target_table = registry.qualified(database, target_table)
     elif database != "default":
         raise ValueError(
             f"database {database!r} requires a DatabaseRegistry (pass registry=)"
         )
+    _guard_not_batch_table(spark, target_table)
     reader = spark.readStream.format(fmt).schema(schema)
     for k, v in (reader_options or {}).items():
         reader = reader.option(k, v)
@@ -72,6 +83,10 @@ def collect_stream(
         staged_sql = rewrite_legacy_query(where, view)
         validate_staged_query(spark, staged_sql, view)
         df = spark.sql(staged_sql)
+    if coerce_to is not None:
+        from logverzcore_spark.operators.coerce import coerce
+
+        df = coerce(df, coerce_to)
     ckpt_slug = target_table.replace("`", "").replace(".", "_")
     checkpoint = checkpoint_dir or os.path.join(
         tempfile.gettempdir(), f"lvz_ckpt_{ckpt_slug}_{uuid.uuid4().hex[:8]}"
@@ -82,6 +97,43 @@ def collect_stream(
     elif trigger_interval:
         writer = writer.trigger(processingTime=trigger_interval)
     return writer.toTable(target_table)
+
+
+def _guard_not_batch_table(spark: SparkSession, target_table: str) -> None:
+    """Refuse to attach a streaming sink to a batch-written table.
+
+    The file-stream sink's ``_spark_metadata`` log becomes the source of
+    truth for readers of that path — every batch-written file silently
+    disappears from query results (data intact on disk, invisible to
+    SQL). Fail loudly instead; continuous collections own their tables.
+    """
+    bare = target_table.replace("`", "")
+    try:
+        if not spark.catalog.tableExists(bare):
+            return
+        location = (
+            spark.sql(f"DESCRIBE FORMATTED {target_table}")
+            .where(F.col("col_name") == "Location")
+            .first()
+        )
+        if location is None:
+            return
+        local = location["data_type"].removeprefix("file:")
+        if os.path.isdir(local) and not os.path.isdir(
+            os.path.join(local, "_spark_metadata")
+        ):
+            raise ValueError(
+                f"table {target_table} was written by batch jobs; a streaming "
+                "sink's _spark_metadata log would hide its existing rows. "
+                "Stream into a fresh table (continuous collections own their "
+                "tables, as in the reference) or compact the batch table "
+                "elsewhere first."
+            )
+    except ValueError:
+        raise
+    except Exception:
+        # Non-local/filesystem-opaque locations: cannot probe — proceed.
+        return
 
 
 def _events_stream(spark: SparkSession, events_path: str, schema=None):
