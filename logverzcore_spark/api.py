@@ -30,9 +30,22 @@ ADMIN = User(name="admin", is_admin=True)
 
 
 class Engine:
-    def __init__(self, spark: SparkSession, catalog: Catalog | None = None):
+    def __init__(self, spark: SparkSession, catalog: Catalog | None = None, registry=None):
         self.spark = spark
         self.catalog = catalog or Catalog()
+        self.registry = registry  # DatabaseRegistry for multi-DB targets
+
+    # -- Job submission (the reference's jobproducer API, §3.1) ------------
+    def submit_job(self, job, user: User = ADMIN, **kw):
+        """Run a collection job against this engine's catalog/registry —
+        the reference's POST /Start/Job surface (jobproducer.js:40-271)
+        collapsed onto the in-process pipeline."""
+        from logverzcore_spark.ingest import collect
+
+        return collect(
+            self.spark, job, catalog=self.catalog, user=user,
+            registry=self.registry, **kw,
+        )
 
     # -- Mode: Native -----------------------------------------------------
     def sql(self, query: str, user: User = ADMIN) -> DataFrame:

@@ -162,3 +162,25 @@ def test_list_tables_per_database_visibility(spark, tmpdir_path):
         spark.sql("DROP TABLE IF EXISTS shared_name")
     finally:
         spark.sql("DROP DATABASE IF EXISTS db_x CASCADE")
+
+
+def test_engine_submit_job_uses_registry(spark, tmpdir_path):
+    """Engine.submit_job (the jobproducer surface) routes through the
+    engine's catalog AND registry in one call."""
+    os.makedirs(tmpdir_path + "/raw2", exist_ok=True)
+    write_vpcflow_gz(tmpdir_path + "/raw2", n_files=1)
+    reg = DatabaseRegistry(spark)
+    cat = Catalog()
+    try:
+        reg.register("db_j", location=f"{tmpdir_path}/wh_j")
+        eng = Engine(spark, cat, registry=reg)
+        rep = eng.submit_job(
+            CollectJob(path=tmpdir_path + "/raw2", datatype="VPCFlow",
+                       table_name="jflows", database="db_j", owners=["alice"]),
+            user=User("alice"),
+        )
+        assert rep.rows_written > 0
+        assert spark.table("db_j.jflows").count() == rep.rows_written
+        assert cat.for_table("jflows", "db_j") is not None
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS db_j CASCADE")
