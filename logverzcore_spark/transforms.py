@@ -77,3 +77,16 @@ def pandas_map(df: DataFrame, p: dict) -> DataFrame:
     explicit output schema — the slow path, for logic column expressions
     can't say."""
     return df.mapInPandas(p["fn"], p["schema"])
+
+
+@register_transform("normalize_text")
+def normalize_text(df: DataFrame, p: dict) -> DataFrame:
+    """Canonicalize a text column for dedup/training: lowercase, strip
+    punctuation (keep word chars + whitespace), collapse whitespace runs,
+    trim. Matches the normalization the fingerprint/dedup operators
+    assume, so normalize-then-ingest and fingerprint-at-query agree."""
+    col = p["column"]
+    out = F.lower(F.col(f"`{col}`"))
+    out = F.regexp_replace(out, r"[^\w\s]", " ")
+    out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return df.withColumn(p.get("target", col), out)

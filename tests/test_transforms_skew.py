@@ -78,3 +78,13 @@ def test_salted_join_matches_plain(spark):
         F.count(F.lit(1)).alias("n"), F.sum("attr").alias("s")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_normalize_text_transform(spark):
+    from logverzcore_spark.transforms import apply_transforms
+
+    df = spark.createDataFrame(
+        [("  Hello,   WORLD!! (test) ",), ("already clean",)], "t string"
+    )
+    out = [r["t"] for r in apply_transforms(df, [{"name": "normalize_text", "column": "t"}]).collect()]
+    assert out == ["hello world test", "already clean"]
