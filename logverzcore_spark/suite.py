@@ -2184,6 +2184,42 @@ def q54_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q55_multiset_ops",
+    oracle="""
+    SELECT l_orderkey FROM lineitem WHERE l_discount > 0.05
+    INTERSECT ALL
+    SELECT l_orderkey FROM lineitem WHERE l_tax > 0.04
+    """,
+)
+def q55_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag (multiset) semantics: each orderkey appears
+    min(count_left, count_right) times, which plain INTERSECT collapses
+    to one. The corner users hit re-running RDS queries that relied on
+    duplicate multiplicity."""
+    li = _t(spark, sf_dir, "lineitem")
+    left = li.where(F.col("l_discount") > 0.05).select("l_orderkey")
+    right = li.where(F.col("l_tax") > 0.04).select("l_orderkey")
+    return left.intersectAll(right)
+
+
+@query(
+    "q56_except_all",
+    oracle="""
+    SELECT l_orderkey FROM lineitem WHERE l_discount > 0.05
+    EXCEPT ALL
+    SELECT l_orderkey FROM lineitem WHERE l_tax > 0.04
+    """,
+)
+def q56_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference: multiplicity max(left-right, 0) per
+    key, vs plain EXCEPT's all-or-nothing row removal."""
+    li = _t(spark, sf_dir, "lineitem")
+    left = li.where(F.col("l_discount") > 0.05).select("l_orderkey")
+    right = li.where(F.col("l_tax") > 0.04).select("l_orderkey")
+    return left.exceptAll(right)
+
+
 # ---------------------------------------------------------------------------
 
 
