@@ -167,3 +167,29 @@ def test_t05_split_prunes_text_column(spark):
     fmt = _plan(spark, SUITE["t05_hash_split"](spark, SF_DIR))
     assert "ReadSchema" in fmt
     assert "text" not in fmt.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_suite_global_plan_invariants(spark):
+    """Every batch suite query's physical plan is free of CartesianProduct,
+    and BroadcastNestedLoopJoin appears only where a BOUNDED tiny side is
+    broadcast by design (exact-ANN scoring vs the query set; single-row
+    constant joins in funnel/TF-IDF; the gap-fill time spine). A new
+    query accidentally planning an unbounded cross join fails here before
+    it becomes a 100 TB incident."""
+    BNLJ_BY_DESIGN = {
+        "s01_cosine_topk",      # exact baseline: corpus x broadcast query set
+        "q42_funnel_steps",     # single-row per-step aggregates cross-joined
+        "q44_hourly_gap_fill",  # sequence spine x broadcast bounds row
+        "t04_tfidf_top_terms",  # single-row corpus-size constant join
+    }
+    streaming = {n for n in SUITE if n.startswith("st")}  # run eagerly; skip
+    offenders = {}
+    for name, fn in SUITE.items():
+        if name in streaming:
+            continue
+        plan = _plan(spark, fn(spark, SF_DIR), "simple")
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_BY_DESIGN:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
