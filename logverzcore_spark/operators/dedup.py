@@ -336,21 +336,43 @@ def dup_clusters(
     )
 
 
-def simhash64_expr(text_col: str, n_bits: int = 64) -> Column:
-    """64-bit SimHash: per-token xxhash64, bit-vote per position, sign →
-    fingerprint bits. Built as one SQL expression (shiftleft/shiftright
-    with a non-literal bit index is SQL-only — the Python DSL requires a
-    constant); still a single narrow codegen'd projection."""
-    toks = f"filter(split(lower(`{text_col}`), '\\\\s+'), x -> x != '')"
-    hashes = f"transform({toks}, t -> xxhash64(t))"
+def _simhash_fold(hashes_sql: str, n_bits: int) -> Column:
+    """Bit-vote fold shared by the simhash variants: per bit position,
+    sum +1/-1 over token hashes; sign → fingerprint bit."""
     votes = (
         f"transform(sequence(0, {n_bits - 1}), bit -> "
-        f"aggregate({hashes}, 0, (acc, h) -> acc + IF((shiftright(h, bit) & 1L) = 1L, 1, -1)))"
+        f"aggregate({hashes_sql}, 0, (acc, h) -> acc + IF((shiftright(h, bit) & 1L) = 1L, 1, -1)))"
     )
     return F.expr(
         f"aggregate(zip_with({votes}, sequence(0, {n_bits - 1}), "
         f"(v, bit) -> IF(v > 0, shiftleft(1L, bit), 0L)), 0L, (acc, x) -> acc | x)"
     )
+
+
+def _tokens_sql(text_col: str) -> str:
+    return f"filter(split(lower(`{text_col}`), '\\\\s+'), x -> x != '')"
+
+
+def simhash64_expr(text_col: str, n_bits: int = 64) -> Column:
+    """64-bit SimHash: per-token xxhash64, bit-vote per position, sign →
+    fingerprint bits. Built as one SQL expression (shiftleft/shiftright
+    with a non-literal bit index is SQL-only — the Python DSL requires a
+    constant); still a single narrow codegen'd projection."""
+    return _simhash_fold(f"transform({_tokens_sql(text_col)}, t -> xxhash64(t))", n_bits)
+
+
+def simhash_hex_expr(text_col: str, n_bits: int = 60) -> Column:
+    """Engine-portable SimHash: token hash = first 15 md5 hex chars as a
+    60-bit integer. md5 is bit-identical across engines (xxhash64 is
+    Spark-only), so this variant admits an external SQL oracle — used by
+    the hash-verified d10 suite entry. Slower than xxhash64 (md5 +
+    string slicing per token); prefer ``simhash64_expr`` in production
+    and this one where cross-engine reproducibility matters."""
+    hashes = (
+        f"transform({_tokens_sql(text_col)}, "
+        f"t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"
+    )
+    return _simhash_fold(hashes, n_bits)
 
 
 def simhash_neardup_pairs(
@@ -359,17 +381,34 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_bands: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs within ``max_hamming`` bits.
 
-    Candidate generation bands the 64-bit fingerprint into ``n_bands``
-    16-bit chunks: any pair within hamming distance ≤ n_bands-1 shares at
-    least one exact chunk (pigeonhole), so the self-join on (band, chunk)
-    finds all such pairs without a cross join."""
+    Candidate generation bands the fingerprint into ``n_bands`` chunks
+    that PARTITION all its bits (uneven widths when bits % bands != 0):
+    any pair within hamming distance ≤ n_bands-1 shares at least one
+    exact chunk (pigeonhole), so the self-join on (band, chunk) finds all
+    such pairs without a cross join. ``hash_fn``: "xxhash64" (fast,
+    Spark-native, 64-bit) or "md5" (engine-portable 60-bit — admits an
+    external SQL oracle)."""
     from logverzcore_spark.operators.util import fan_out
 
-    sh = fan_out(df).select(F.col(id_col).alias("doc_id"), simhash64_expr(text_col).alias("sim"))
-    width = 64 // n_bands
+    if max_hamming >= n_bands:
+        raise ValueError("pigeonhole completeness needs n_bands > max_hamming")
+    if hash_fn == "xxhash64":
+        n_bits, sim_expr = 64, simhash64_expr(text_col)
+    elif hash_fn == "md5":
+        n_bits, sim_expr = 60, simhash_hex_expr(text_col)
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    sh = fan_out(df).select(F.col(id_col).alias("doc_id"), sim_expr.alias("sim"))
+    # Band boundaries cover EVERY bit — a remainder of uncovered high bits
+    # would break the pigeonhole guarantee (a pair differing only there
+    # would share no chunk yet have hamming > 0).
+    base, extra = divmod(n_bits, n_bands)
+    widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
+    starts = [sum(widths[:i]) for i in range(n_bands)]
     # Band indices are literals, so the shift amounts stay constants —
     # unroll in Python rather than a SQL-side transform.
     chunks = sh.select(
@@ -380,8 +419,8 @@ def simhash_neardup_pairs(
                 *[
                     F.struct(
                         F.lit(band).alias("band"),
-                        F.shiftrightunsigned(F.col("sim"), band * width)
-                        .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+                        F.shiftrightunsigned(F.col("sim"), starts[band])
+                        .bitwiseAND(F.lit((1 << widths[band]) - 1).cast("long"))
                         .alias("chunk"),
                     )
                     for band in range(n_bands)

@@ -2220,6 +2220,44 @@ def q56_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return left.exceptAll(right)
 
 
+@query(
+    "d10_simhash_portable",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+      FROM documents
+    ), h AS (
+      SELECT doc_id, CAST('0x' || substr(md5(tkn), 1, 15) AS BIGINT) AS hv
+      FROM (SELECT doc_id, unnest(ts) AS tkn FROM tok)
+    ), votes AS (
+      SELECT doc_id, bits.b AS b,
+             SUM(CASE WHEN (hv >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h, (SELECT unnest(range(0, 60)) AS b) bits
+      GROUP BY doc_id, bits.b
+    ), fp AS (
+      SELECT doc_id, SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS f
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.f, b.f)) <= 6
+    """,
+)
+def d10_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, HASH-VERIFIED end to end: the md5-derived
+    60-bit fingerprint is engine-portable, so the whole pipeline —
+    token hashing, bit votes, pigeonhole banding, hamming≤6 pairs —
+    checks exactly against a SQL oracle (d04's xxhash64 variant is
+    faster but Spark-only, hence rows-only). The oracle replays it
+    brute-force; the Spark side still bands (7 chunks > 6 bits), so its
+    plan has no cross join at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_neardup_pairs(
+        docs, max_hamming=6, n_bands=7, hash_fn="md5"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
