@@ -172,3 +172,34 @@ def write_custom_csv_gz(dirpath: str) -> str:
 
 
 CUSTOM_SCHEMA = "id:int, name:string, score:double, ok:boolean, ts:timestamp"
+
+
+CLASSICLB_ROWS = [
+    # quoted request + user agent; '-' null markers in numeric columns
+    '2024-01-05T10:00:00.123456Z my-elb 10.0.0.1:54321 10.0.1.5:80 0.000073 0.001048 0.000057 200 200 0 29 "GET http://example.com:80/ HTTP/1.1" "curl/7.58" - -',
+    '2024-01-05T10:00:01.000000Z my-elb 10.0.0.2:54322 10.0.1.6:80 - - - 504 0 0 0 "POST http://example.com:80/api HTTP/1.1" "Mozilla/5.0 (X11)" ECDHE-RSA-AES128 TLSv1.2',
+    '2024-01-05T10:00:02.500000Z my-elb 10.0.0.3:54323 10.0.1.7:443 0.00009 0.2 0.00005 301 301 45 312 "GET https://example.com:443/a b HTTP/1.1" "-" ECDHE-RSA-AES128 TLSv1.2',
+]
+
+
+def write_classiclb_csv(dirpath: str) -> str:
+    """ClassicLB: PLAIN (uncompressed) space-delimited CSV, no header —
+    the one built-in DataType whose files arrive uncompressed."""
+    p = os.path.join(dirpath, "classiclb_0.log")
+    with open(p, "w") as fh:
+        fh.write("\n".join(CLASSICLB_ROWS) + "\n")
+    return p
+
+
+NETWORKLB_ROWS = [
+    'tls 2.0 2024-01-05T10:00:00 net/my-nlb/50dc6c495c0c9188 my-listener 10.0.0.1:54321 10.0.1.5:443 5 2 98 1420 - arn:aws:acm:region:123:certificate/abc 1A2B3C ECDHE-RSA-AES128-GCM-SHA256 tlsv12 - example.com h2 h2 "h2,http/1.1"',
+    'tls 2.0 2024-01-05T10:00:03 net/my-nlb/50dc6c495c0c9188 my-listener 10.0.0.2:54400 10.0.1.6:443 - - 0 0 1 - - - - - - - - -',
+]
+
+
+def write_networklb_gz(dirpath: str) -> str:
+    """NetworkLB: GZIP space-delimited CSV, no header, quoted last field."""
+    p = os.path.join(dirpath, "networklb_0.log.gz")
+    with gzip.open(p, "wt") as fh:
+        fh.write("\n".join(NETWORKLB_ROWS) + "\n")
+    return p

@@ -332,3 +332,47 @@ def test_projection_only_ingest_query_applies(spark, tmpdir_path):
     collect(spark, job)
     assert spark.table("t_proj_only").columns == ["srcaddr", "bytes"]
     spark.sql("DROP TABLE IF EXISTS t_proj_only")
+
+
+def test_classiclb_plain_csv(spark, tmpdir_path):
+    """ClassicLB (B4): plain uncompressed space-delimited CSV with quoted
+    request/user-agent fields and '-' numeric null markers."""
+    from rawfixtures import write_classiclb_csv
+
+    write_classiclb_csv(tmpdir_path)
+    rep = collect(
+        spark,
+        CollectJob(path=tmpdir_path, datatype="ClassicLB", table_name="t_clb"),
+    )
+    try:
+        out = spark.table("t_clb").orderBy("timestamp").collect()
+        assert rep.rows_written == 3
+        # Quoted multi-word field survives with spaces intact.
+        assert out[0]["request"] == "GET http://example.com:80/ HTTP/1.1"
+        assert out[1]["request_processing_time"] is None  # '-' -> NULL
+        assert out[1]["elb_status_code"] == 504
+        assert out[2]["request"] == "GET https://example.com:443/a b HTTP/1.1"
+        assert out[0]["received_bytes"] == 0 and out[2]["sent_bytes"] == 312
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_clb")
+
+
+def test_networklb_gzip_csv(spark, tmpdir_path):
+    """NetworkLB (B5): gzip space-delimited CSV, no header; '-' markers in
+    numeric columns coerce to NULL."""
+    from rawfixtures import write_networklb_gz
+
+    write_networklb_gz(tmpdir_path)
+    rep = collect(
+        spark,
+        CollectJob(path=tmpdir_path, datatype="NetworkLB", table_name="t_nlb"),
+    )
+    try:
+        out = spark.table("t_nlb").orderBy("timestamp").collect()
+        assert rep.rows_written == 2
+        assert out[0]["connection_time"] == 5.0
+        assert out[0]["alpn_client_preference_list"] == "h2,http/1.1"
+        assert out[1]["connection_time"] is None  # '-' -> NULL
+        assert out[1]["incoming_tls_alert"] == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_nlb")
