@@ -82,3 +82,53 @@ def test_collect_metrics_table(spark, tmpdir_path):
     assert row["files_seen"] == 2
     for t in ("mt_vpc", "jobs_metrics"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_incremental_hourly_rollup_matches_batch(spark, tmpdir_path):
+    """Rollup folded incrementally across two file drops (the second
+    touching an EXISTING hour partition — late data) equals the batch
+    answer; only touched partitions are rewritten."""
+    import shutil
+
+    from logverzcore_spark.streaming.rollup import (
+        hourly_rollup_frame,
+        incremental_hourly_rollup,
+    )
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    watch = f"{tmpdir_path}/roll_in"
+    os.makedirs(watch)
+    spark.sql("DROP TABLE IF EXISTS roll_t")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    full = spark.read.parquet(src)
+    if dict(full.dtypes)["ts"] == "bigint":
+        from pyspark.sql import functions as F
+
+        full = full.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Split one events file into two drops that SHARE hours (odd/even ids
+    # interleave in time), so drop 2 merges into existing partitions.
+    full.where("event_id % 2 = 0").write.parquet(f"{tmpdir_path}/d0")
+    full.where("event_id % 2 = 1").write.parquet(f"{tmpdir_path}/d1")
+
+    schema = full.schema
+    ckpt = f"{tmpdir_path}/roll_ckpt"
+    try:
+        for drop in ("d0", "d1"):
+            for f in os.listdir(f"{tmpdir_path}/{drop}"):
+                if f.endswith(".parquet"):
+                    shutil.copy(f"{tmpdir_path}/{drop}/{f}", f"{watch}/{drop}_{f}")
+            stream = spark.readStream.schema(schema).parquet(watch)
+            q = incremental_hourly_rollup(spark, stream, "roll_t", checkpoint_dir=ckpt)
+            q.awaitTermination()
+        got = {
+            (str(r["hour_ts"]), r["event_type"]): (r["n"], float(r["total_value"]))
+            for r in spark.table("roll_t").collect()
+        }
+        want = {
+            (str(r["hour_ts"]), r["event_type"]): (r["n"], float(r["total_value"]))
+            for r in hourly_rollup_frame(full).collect()
+        }
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS roll_t")
