@@ -4,12 +4,14 @@ partitioned aggregate table, batch by batch.
 The 100 TB reporting pattern: dashboards read a small HOURLY rollup
 table, not the raw event store. Continuous collection keeps the rollup
 fresh via ``foreachBatch``: each micro-batch is aggregated to the rollup
-grain, the affected hour partitions are re-aggregated from the combined
+grain, the affected DAY partitions are re-aggregated from the combined
 old+new rows, and ONLY those partitions are rewritten (dynamic partition
-overwrite) — an hour of late data costs one partition rewrite, never a
-full-table recompute. Works on plain parquet tables; a transactional
-format upgrades the partition swap to ACID but the data flow is
-identical.
+overwrite) — late data costs one day-partition rewrite, never a
+full-table recompute. Rows are hourly; partitions are DAILY — one
+partition per rollup row would explode file counts and scan planning
+(measured 4x slower even at sf0.01). Works on plain parquet tables; a
+transactional format upgrades the partition swap to ACID but the data
+flow is identical.
 
 The merge is expressed as aggregate-of-aggregates (counts sum, decimal
 sums add), so folding a batch in twice is detectable but not idempotent —
@@ -40,7 +42,7 @@ def hourly_rollup_frame(df: DataFrame, ts_col: str = "ts") -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
         )
-        .withColumn("hour_part", F.date_format("hour_ts", "yyyyMMddHH"))
+        .withColumn("day_part", F.date_format("hour_ts", "yyyyMMdd"))
     )
 
 
@@ -52,28 +54,28 @@ def incremental_hourly_rollup(
     checkpoint_dir: str | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
-    """Maintain ``rollup_table`` (partitioned by ``hour_part``) from an
-    event stream. Per micro-batch: aggregate the batch, merge with the
-    EXISTING rollup rows of only the touched hours, and dynamically
-    overwrite just those partitions."""
+    """Maintain ``rollup_table`` (hourly rows, partitioned by ``day_part``)
+    from an event stream. Per micro-batch: aggregate the batch, merge
+    with the EXISTING rollup rows of only the touched days, and
+    dynamically overwrite just those partitions."""
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         batch_rollup = hourly_rollup_frame(batch_df, ts_col)
         if not spark.catalog.tableExists(rollup_table):
-            batch_rollup.write.partitionBy("hour_part").saveAsTable(rollup_table)
+            batch_rollup.write.partitionBy("day_part").saveAsTable(rollup_table)
             return
-        touched = [r["hour_part"] for r in batch_rollup.select("hour_part").distinct().collect()]
+        touched = [r["day_part"] for r in batch_rollup.select("day_part").distinct().collect()]
         if not touched:
             return
-        existing = spark.table(rollup_table).where(F.col("hour_part").isin(touched))
+        existing = spark.table(rollup_table).where(F.col("day_part").isin(touched))
         merged = (
             existing.unionByName(batch_rollup)
-            .groupBy("hour_ts", "event_type", "hour_part")
+            .groupBy("hour_ts", "event_type", "day_part")
             .agg(
                 F.sum("n").alias("n"),
                 F.sum("total_value").cast("decimal(18,2)").alias("total_value"),
             )
-            .select("hour_ts", "event_type", "n", "total_value", "hour_part")
+            .select("hour_ts", "event_type", "n", "total_value", "day_part")
         )
         # The merged frame reads the same partitions it overwrites: break
         # the read-modify-write cycle before the write clobbers its input.

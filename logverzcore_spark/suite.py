@@ -2258,6 +2258,45 @@ def d10_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "st07_incremental_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           strftime(date_trunc('hour', ts), '%Y%m%d') AS day_part
+    FROM events GROUP BY 1, 2, 5
+    """,
+)
+def st07_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained hourly rollup table (streaming/rollup.py):
+    foreachBatch folds micro-batches into hour partitions via dynamic
+    partition overwrite; the final table equals the batch aggregate."""
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.streaming.collect_stream import _events_stream
+    from logverzcore_spark.streaming.rollup import incremental_hourly_rollup
+
+    table = f"st07_rollup_{_uuid.uuid4().hex[:8]}"
+    stream = _events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    q = incremental_hourly_rollup(
+        spark, stream, table,
+        checkpoint_dir=os.path.join(tempfile.gettempdir(), f"ck_{table}"),
+    )
+    q.awaitTermination()
+    out = spark.table(table).select(
+        F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+        "event_type",
+        "n",
+        F.col("total_value").cast("double").alias("total_value"),
+        "day_part",
+    )
+    # Materialize before dropping the backing table (suite callers may
+    # collect lazily after return).
+    return out.localCheckpoint(eager=True)
+
+
 # ---------------------------------------------------------------------------
 
 
