@@ -92,9 +92,10 @@ def optimize_table(
     ``INSERT OVERWRITE``, which keeps the table definition in the catalog
     throughout — there is no drop/rename window where the name is missing
     (r1 ADVICE). Changing the partition layout (``partition_by``) requires
-    recreating the table and is NOT atomic: a staged copy always exists
-    under ``<table>__compact`` until the swap completes, so a failure
-    strands data there but never loses it."""
+    recreating the table and is NOT atomic: a staged copy is written to
+    ``<table>__compact`` before the original is dropped and removed only
+    after the rewrite completes, so a failure may strand data there (or
+    leave the name briefly missing) but never loses rows."""
     from pyspark.sql import functions as F
 
     df = spark.table(table)
@@ -102,15 +103,29 @@ def optimize_table(
     n_out = max(1, -(-n_rows // target_rows_per_file))  # ceil
     compact = df.coalesce(n_out).localCheckpoint(eager=True)
     if partition_by:
-        # Layout change: must recreate. Stage first so data always exists.
+        # Layout change: must recreate. Stage a durable copy FIRST, then
+        # drop + rewrite the original from the checkpointed rows, then
+        # drop the stage. At every instant the data exists in at least
+        # one on-disk table (original or __compact) — recovery after a
+        # crash is reading __compact. ALTER TABLE RENAME is deliberately
+        # avoided: for managed tables its data-directory move is
+        # catalog-implementation-dependent (the in-memory catalog leaves
+        # the files behind → an empty renamed table).
+        stage = f"{table}__compact"
         writer = (
             compact.write.mode("overwrite")
             .option("maxRecordsPerFile", str(target_rows_per_file))
             .partitionBy(*partition_by)
         )
-        writer.saveAsTable(f"{table}__compact")
+        writer.saveAsTable(stage)
         spark.sql(f"DROP TABLE `{table}`")
-        spark.sql(f"ALTER TABLE `{table}__compact` RENAME TO `{table}`")
+        (
+            compact.write.mode("overwrite")
+            .option("maxRecordsPerFile", str(target_rows_per_file))
+            .partitionBy(*partition_by)
+            .saveAsTable(table)
+        )
+        spark.sql(f"DROP TABLE IF EXISTS `{stage}`")
     else:
         (
             compact.write.mode("overwrite")
