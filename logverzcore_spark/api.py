@@ -115,14 +115,18 @@ class Engine:
     def list_tables(
         self, pattern: str | None = None, user: User = ADMIN, database: str | None = None
     ) -> list[str]:
-        names = [t.name for t in self.spark.catalog.listTables(database)]
+        # Resolve the effective database ONCE: listTables(None) lists the
+        # session's *current* database (which USE may have changed), so the
+        # visibility filter below must target that same database, not an
+        # assumed 'default'.
+        db = database or self.spark.catalog.currentDatabase()
+        names = [t.name for t in self.spark.catalog.listTables(db)]
         if pattern:
             names = [n for n in names if fnmatch.fnmatch(n, pattern)]
         if user.is_admin or user.is_poweruser:
             return sorted(names)
         # Visibility is per (database, table) — entries in another DB must
         # not make a same-named table here visible.
-        db = database or "default"
         visible = {e.TableName for e in self.catalog.list(user) if e.DatabaseName == db}
         return sorted(n for n in names if n in visible)
 
@@ -157,9 +161,22 @@ class Engine:
         Logverz-Queries item (RecordQuery, commonsharedv3.js:1079-1197):
         a named, ACL'd SQL string others can run later. The query is
         gated NOW (parse + SELECT-only) so a stored statement can never
-        smuggle DDL to a future runner."""
+        smuggle DDL to a future runner.
+
+        Saving under a (database, name) that already has an ACTIVE catalog
+        entry supersedes it (deactivate_older), so that slot is owner-gated:
+        without this, any user could shadow another user's saved analysis —
+        or an existing TABLE's entry — making it admin-only/invisible to
+        its real owners. Mirrors delete_table's ownership rule."""
         validate_select(self.spark, query)
         from logverzcore_spark.catalog import CatalogEntry
+
+        existing = self.catalog.for_table(name, database)
+        if existing is not None and not existing.owned_by(user):
+            raise PermissionError(
+                f"{user.name} may not overwrite catalog entry {database}.{name!r} "
+                f"owned by {existing.Owners}"
+            )
 
         return self.catalog.record_query(
             CatalogEntry(

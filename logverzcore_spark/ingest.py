@@ -228,6 +228,8 @@ def collect(
     jobproducer.js:173-187). Without a registry, non-default database
     names are rejected rather than silently landing in the default
     warehouse."""
+    from logverzcore_spark.registry import validate_table_name
+
     t0 = time.time()
     job_id = uuid.uuid4().hex[:12]
     dt = get_datatype(job.datatype, job.custom_schema)
@@ -238,7 +240,10 @@ def collect(
             f"database {job.database!r} requires a DatabaseRegistry (pass registry=)"
         )
     else:
-        target_table = job.table_name
+        target_table = validate_table_name(job.table_name)
+    for sink in (quarantine_table, metrics_table):
+        if sink:
+            validate_table_name(sink)
 
     raw = _read(spark, job, dt)
     good, bad = readers.split_quarantine(raw)

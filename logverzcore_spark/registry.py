@@ -104,8 +104,17 @@ class DatabaseRegistry:
             ) from None
 
     def qualified(self, database: str, table: str) -> str:
-        """Backtick-quoted ``db.table`` reference for a REGISTERED db."""
+        """Backtick-quoted ``db.table`` reference for a REGISTERED db.
+
+        The table name gets the same identifier validation as database
+        names: it can originate from user-facing job settings
+        (CollectJob.table via Engine.submit_job), and a backtick inside
+        an unvalidated name would escape the quoting and redirect the
+        write — exactly the injection surface the registry exists to
+        close."""
         self.resolve(database)
+        if not _NAME_RE.match(table):
+            raise ValueError(f"invalid table name: {table!r}")
         return f"`{database}`.`{table}`"
 
     def list(self) -> list[DatabaseEntry]:
@@ -118,6 +127,17 @@ class DatabaseRegistry:
         self.spark.sql(f"DROP DATABASE IF EXISTS `{name}`" + (" CASCADE" if cascade else ""))
         del self._entries[name]
         self._flush()
+
+
+def validate_table_name(name: str) -> str:
+    """Validate a (possibly db-qualified) table name against the same
+    identifier rule as database names; returns it unchanged. Applied to
+    every sink name that can originate outside the engine (job target,
+    quarantine/metrics tables) so no name ever needs escaping."""
+    for part in name.split("."):
+        if not _NAME_RE.match(part):
+            raise ValueError(f"invalid table name: {name!r}")
+    return name
 
 
 def split_table_ref(ref: str) -> tuple[str, str]:
@@ -133,4 +153,4 @@ def split_table_ref(ref: str) -> tuple[str, str]:
     return parts[-2], parts[-1]
 
 
-__all__ = ["DatabaseEntry", "DatabaseRegistry", "split_table_ref"]
+__all__ = ["DatabaseEntry", "DatabaseRegistry", "split_table_ref", "validate_table_name"]

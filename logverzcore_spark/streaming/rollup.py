@@ -14,9 +14,17 @@ transactional format upgrades the partition swap to ACID but the data
 flow is identical.
 
 The merge is expressed as aggregate-of-aggregates (counts sum, decimal
-sums add), so folding a batch in twice is detectable but not idempotent —
-exactly-once delivery comes from the streaming checkpoint (each batch id
-is folded once), the same guarantee chain as ``collect_stream``.
+sums add), so folding a batch in twice would double-count — and
+``foreachBatch`` is only at-least-once: after a mid-batch failure Spark
+re-invokes the SAME batch id. The checkpoint guarantees replay carries
+the same id, not that the batch is skipped. So fold() persists the last
+applied batch id in a one-row ``<rollup_table>_meta`` table (written
+AFTER the data overwrite) and no-ops when ``batch_id <= last`` — the
+standard foreachBatch idempotency pattern. Residual window: a crash
+BETWEEN the data write and the meta write replays one batch into a
+partially-overwritten partition; on plain parquet that window is
+irreducible (the partition overwrite itself is non-atomic) — a
+transactional table format closes it, the data flow is unchanged.
 """
 
 from __future__ import annotations
@@ -46,26 +54,38 @@ def hourly_rollup_frame(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     )
 
 
-def incremental_hourly_rollup(
-    spark: SparkSession,
-    events_stream: DataFrame,
-    rollup_table: str,
-    ts_col: str = "ts",
-    checkpoint_dir: str | None = None,
-    available_now: bool = True,
-) -> StreamingQuery:
-    """Maintain ``rollup_table`` (hourly rows, partitioned by ``day_part``)
-    from an event stream. Per micro-batch: aggregate the batch, merge
-    with the EXISTING rollup rows of only the touched days, and
-    dynamically overwrite just those partitions."""
+def _last_applied_batch(spark: SparkSession, meta_table: str) -> int:
+    """Highest batch id already folded in, or -1 if none recorded."""
+    if not spark.catalog.tableExists(meta_table):
+        return -1
+    row = spark.table(meta_table).agg(F.max("last_batch_id").alias("b")).first()
+    return -1 if row is None or row["b"] is None else int(row["b"])
+
+
+def _record_applied_batch(spark: SparkSession, meta_table: str, batch_id: int) -> None:
+    spark.createDataFrame(
+        [(int(batch_id),)], "last_batch_id bigint"
+    ).write.mode("overwrite").saveAsTable(meta_table)
+
+
+def make_fold(spark: SparkSession, rollup_table: str, ts_col: str = "ts"):
+    """Build the per-micro-batch fold closure (exposed for direct testing
+    of the replay/idempotency contract)."""
+    meta_table = f"{rollup_table}_meta"
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
+        # Replay guard: foreachBatch is at-least-once; skip batches whose
+        # id was already folded and recorded.
+        if batch_id <= _last_applied_batch(spark, meta_table):
+            return
         batch_rollup = hourly_rollup_frame(batch_df, ts_col)
         if not spark.catalog.tableExists(rollup_table):
             batch_rollup.write.partitionBy("day_part").saveAsTable(rollup_table)
+            _record_applied_batch(spark, meta_table, batch_id)
             return
         touched = [r["day_part"] for r in batch_rollup.select("day_part").distinct().collect()]
         if not touched:
+            _record_applied_batch(spark, meta_table, batch_id)
             return
         existing = spark.table(rollup_table).where(F.col("day_part").isin(touched))
         merged = (
@@ -86,6 +106,25 @@ def incremental_hourly_rollup(
             merged.write.mode("overwrite").insertInto(rollup_table)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        _record_applied_batch(spark, meta_table, batch_id)
+
+    return fold
+
+
+def incremental_hourly_rollup(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    rollup_table: str,
+    ts_col: str = "ts",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain ``rollup_table`` (hourly rows, partitioned by ``day_part``)
+    from an event stream. Per micro-batch: aggregate the batch, merge
+    with the EXISTING rollup rows of only the touched days, and
+    dynamically overwrite just those partitions. Replayed batch ids are
+    skipped via the ``<rollup_table>_meta`` marker (see module doc)."""
+    fold = make_fold(spark, rollup_table, ts_col)
 
     checkpoint = checkpoint_dir or os.path.join(
         tempfile.gettempdir(), f"lvz_rollup_{uuid.uuid4().hex[:8]}"
@@ -99,4 +138,4 @@ def incremental_hourly_rollup(
     return writer.start()
 
 
-__all__ = ["hourly_rollup_frame", "incremental_hourly_rollup"]
+__all__ = ["hourly_rollup_frame", "incremental_hourly_rollup", "make_fold"]

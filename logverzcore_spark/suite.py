@@ -1852,41 +1852,42 @@ def q49_exists_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q50_latest_order_argmax",
     oracle="""
-    WITH packed AS (
-      SELECT o_custkey,
-             CAST(epoch(o_orderdate) AS BIGINT) * 100000000 + o_orderkey AS p
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
       FROM orders
     )
     SELECT o_custkey,
-           MAX(p) % 100000000 AS latest_orderkey,
-           strftime(make_timestamp((MAX(p) // 100000000) * 1000000),
-                    '%Y-%m-%d %H:%M:%S') AS latest_order_ts,
-           COUNT(*) AS n_orders
-    FROM packed GROUP BY o_custkey
+           o_orderkey AS latest_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS latest_order_ts,
+           n_orders
+    FROM ranked WHERE rn = 1
     """,
 )
 def q50_latest_order_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic per-group argmax via a packed-key MAX aggregate: the
-    latest order per customer without a window sort. Packing
-    (epoch_seconds, orderkey) into one bigint makes argmax an ordinary
-    map-side-combinable MAX — one partial-aggregated shuffle — where the
-    row_number() formulation would shuffle-and-sort every order row; ties
-    on date resolve to the highest orderkey by construction."""
+    """Deterministic per-group argmax via a struct MAX aggregate: the
+    latest order per customer without a window sort. MAX over
+    struct(o_orderdate, o_orderkey) compares lexicographically, so it is
+    an ordinary map-side-combinable MAX — one partial-aggregated shuffle —
+    where the row_number() formulation (the oracle) would shuffle-and-sort
+    every order row. Ties on date resolve to the highest orderkey. Unlike
+    arithmetic key-packing (epoch*1e8 + key), struct comparison has no
+    overflow cliff when orderkeys outgrow the pack width at large SF."""
     o = _t(spark, sf_dir, "orders")
-    # TIMESTAMP_NTZ has no direct bigint cast; hop through TIMESTAMP
-    # (session TZ is pinned UTC, so wall time is preserved exactly).
-    packed = (
-        F.col("o_orderdate").cast("timestamp").cast("long") * F.lit(100000000).cast("long")
-    ) + F.col("o_orderkey")
     return (
         o.groupBy("o_custkey")
-        .agg(F.max(packed).alias("p"), F.count(F.lit(1)).alias("n_orders"))
+        .agg(
+            F.max(F.struct("o_orderdate", "o_orderkey")).alias("m"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
         .select(
             "o_custkey",
-            (F.col("p") % 100000000).alias("latest_orderkey"),
-            F.date_format(
-                F.timestamp_seconds(F.expr("p div 100000000")), "yyyy-MM-dd HH:mm:ss"
-            ).alias("latest_order_ts"),
+            F.col("m.o_orderkey").alias("latest_orderkey"),
+            F.date_format(F.col("m.o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+                "latest_order_ts"
+            ),
             "n_orders",
         )
     )
@@ -2293,8 +2294,11 @@ def st07_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_part",
     )
     # Materialize before dropping the backing table (suite callers may
-    # collect lazily after return).
-    return out.localCheckpoint(eager=True)
+    # collect lazily after return), then leave the warehouse clean.
+    out = out.localCheckpoint(eager=True)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_meta")
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -248,3 +248,21 @@ def test_saved_query_visibility_and_table_acl_are_independent(spark, engine):
     mallory = User("mallory")
     with pytest.raises(PermissionError):
         engine.run_saved("shared_q", user=mallory)
+
+
+def test_save_query_slot_owner_gated(engine):
+    """Saving under a (database, name) whose ACTIVE catalog entry belongs
+    to someone else is denied — otherwise any user could shadow another
+    user's saved analysis (or a TABLE's entry), making it invisible to
+    its owners (ADVICE r2). Owners and admins may overwrite."""
+    engine.save_query("shared_q", "SELECT 1 AS one", ALICE)
+    with pytest.raises(PermissionError):
+        engine.save_query("shared_q", "SELECT 2 AS two", User("mallory"))
+    # The denied attempt must not have superseded the original.
+    assert engine.run_saved("shared_q", ALICE).first()["one"] == 1
+    # Owner re-save and admin override both work.
+    engine.save_query("shared_q", "SELECT 3 AS three", ALICE)
+    engine.save_query("shared_q", "SELECT 4 AS four", ADMIN)
+    # A TABLE's catalog entry is protected the same way.
+    with pytest.raises(PermissionError):
+        engine.save_query("qs_tab", "SELECT 1 AS one", User("mallory"))

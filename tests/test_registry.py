@@ -184,3 +184,55 @@ def test_engine_submit_job_uses_registry(spark, tmpdir_path):
         assert cat.for_table("jflows", "db_j") is not None
     finally:
         spark.sql("DROP DATABASE IF EXISTS db_j CASCADE")
+
+
+def test_qualified_validates_table_name(spark):
+    """qualified() applies the identifier rule to the TABLE too — a
+    backtick in an unvalidated name would escape the quoting and
+    redirect the write (ADVICE r2)."""
+    reg = DatabaseRegistry(spark)
+    assert reg.qualified("default", "good_name") == "`default`.`good_name`"
+    for bad in ("evil`.`other", "semi;colon", "has space", ""):
+        with pytest.raises(ValueError):
+            reg.qualified("default", bad)
+
+
+def test_collect_rejects_invalid_sink_names(spark, tmpdir_path):
+    """Every sink name reaching collect (target, quarantine, metrics)
+    goes through the same identifier validation."""
+    write_vpcflow_gz(tmpdir_path, n_files=1)
+    with pytest.raises(ValueError):
+        collect(
+            spark,
+            CollectJob(path=tmpdir_path, datatype="VPCFlow", table_name="bad`name"),
+        )
+    with pytest.raises(ValueError):
+        collect(
+            spark,
+            CollectJob(path=tmpdir_path, datatype="VPCFlow", table_name="ok_t"),
+            quarantine_table="evil`.`q",
+        )
+
+
+def test_list_tables_follows_current_database(spark, tmpdir_path):
+    """list_tables(database=None) resolves the session's CURRENT database
+    and uses that one value for both the listing and the visibility
+    filter — after USE db, non-admins are filtered against db's catalog
+    entries, not default's (ADVICE r2)."""
+    reg = DatabaseRegistry(spark)
+    cat = Catalog()
+    alice = User("alice")
+    try:
+        reg.register("db_cur", location=f"{tmpdir_path}/wh_cur")
+        spark.range(1).write.mode("overwrite").saveAsTable("db_cur.cur_tab")
+        cat.record_query(
+            CatalogEntry(TableName="cur_tab", DatabaseName="db_cur", Owners=["alice"])
+        )
+        eng = Engine(spark, cat)
+        spark.catalog.setCurrentDatabase("db_cur")
+        try:
+            assert "cur_tab" in eng.list_tables(user=alice)
+        finally:
+            spark.catalog.setCurrentDatabase("default")
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS db_cur CASCADE")

@@ -132,6 +132,7 @@ def test_incremental_hourly_rollup_matches_batch(spark, tmpdir_path):
         assert got == want
     finally:
         spark.sql("DROP TABLE IF EXISTS roll_t")
+        spark.sql("DROP TABLE IF EXISTS roll_t_meta")
 
 
 def test_optimize_table_repartition_layout_change(spark, tmpdir_path):
@@ -158,3 +159,37 @@ def test_optimize_table_repartition_layout_change(spark, tmpdir_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS relayout_t")
         spark.sql("DROP TABLE IF EXISTS relayout_t__compact")
+
+
+def test_rollup_fold_replay_is_idempotent(spark, tmpdir_path):
+    """foreachBatch is at-least-once: re-invoking fold with an
+    already-applied batch id must be a no-op (no double-count), while a
+    NEW batch id still folds in (ADVICE r2)."""
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.streaming.rollup import make_fold
+
+    for t in ("replay_t", "replay_t_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    fold = make_fold(spark, "replay_t")
+    b0 = spark.createDataFrame(
+        [("2024-01-01 10:05:00", "click", 2.0), ("2024-01-01 10:40:00", "click", 3.0)],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    try:
+        fold(b0, 0)
+        first = spark.table("replay_t").agg(F.sum("n")).first()[0]
+        assert first == 2
+        fold(b0, 0)  # replay of the same batch id: skipped
+        assert spark.table("replay_t").agg(F.sum("n")).first()[0] == first
+        b1 = spark.createDataFrame(
+            [("2024-01-01 10:50:00", "click", 1.0)],
+            "ts string, event_type string, value double",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        fold(b1, 1)  # a new batch id folds in
+        assert spark.table("replay_t").agg(F.sum("n")).first()[0] == 3
+        fold(b1, 1)  # and its replay is skipped too
+        assert spark.table("replay_t").agg(F.sum("n")).first()[0] == 3
+    finally:
+        for t in ("replay_t", "replay_t_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
