@@ -11,6 +11,12 @@ scope; semantics are:
 - ``delete_table``   Q9: drop + catalog deactivation (owner-gated).
 - ``explain``        Q10: plan text instead of rollback dry-run.
 - ``views``          P4: named projections from the DataType registry.
+
+Every interactive query is audited when an ``AuditLog`` is attached —
+the reference's Logverz-Invocations record per query
+(p2pconnection.js:188-195) — including denied and gate-rejected
+attempts. Recording is a driver-local append (see audit.py), never a
+Spark job.
 """
 
 from __future__ import annotations
@@ -21,6 +27,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+from logverzcore_spark.audit import AuditLog
 from logverzcore_spark.catalog import Catalog, User
 from logverzcore_spark.operators import optree
 from logverzcore_spark.plans.sqlgate import SqlValidationError, validate_select
@@ -30,10 +37,42 @@ ADMIN = User(name="admin", is_admin=True)
 
 
 class Engine:
-    def __init__(self, spark: SparkSession, catalog: Catalog | None = None, registry=None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: Catalog | None = None,
+        registry=None,
+        audit: "AuditLog | None" = None,
+    ):
         self.spark = spark
         self.catalog = catalog or Catalog()
         self.registry = registry  # DatabaseRegistry for multi-DB targets
+        self.audit = audit  # AuditLog for interactive-query invocations
+
+    def _audit(
+        self, user: User, mode: str, query: str, tables: list[str],
+        status: str = "ok", error: str = "",
+    ) -> None:
+        if self.audit is not None:
+            self.audit.record(user.name, mode, query, tables, status, error)
+
+    def _gate(self, query: str, user: User, mode: str) -> list[str]:
+        """Validate + authorize + audit one interactive SQL query; returns
+        the referenced tables. Gate rejections and ACL denials are
+        recorded before re-raising — the audit trail matters most when
+        the gate fires."""
+        try:
+            result = validate_select(self.spark, query)
+        except SqlValidationError as exc:
+            self._audit(user, mode, query, [], "invalid", str(exc))
+            raise
+        try:
+            self.catalog.authorize_tables(result.tables, user)
+        except PermissionError as exc:
+            self._audit(user, mode, query, result.tables, "denied", str(exc))
+            raise
+        self._audit(user, mode, query, result.tables)
+        return result.tables
 
     # -- Job submission (the reference's jobproducer API, §3.1) ------------
     def submit_job(self, job, user: User = ADMIN, **kw):
@@ -48,10 +87,9 @@ class Engine:
         )
 
     # -- Mode: Native -----------------------------------------------------
-    def sql(self, query: str, user: User = ADMIN) -> DataFrame:
+    def sql(self, query: str, user: User = ADMIN, _mode: str = "sql") -> DataFrame:
         """Validated raw-SQL SELECT (Q1 behind the Q2 gate + Q3 ACL)."""
-        result = validate_select(self.spark, query)
-        self.catalog.authorize_tables(result.tables, user)
+        self._gate(query, user, _mode)
         return self.spark.sql(query)
 
     def sql_json(self, query: str, user: User = ADMIN) -> str:
@@ -82,8 +120,7 @@ class Engine:
         yield "EOF"
 
     def explain(self, query: str, user: User = ADMIN) -> str:
-        result = validate_select(self.spark, query)
-        self.catalog.authorize_tables(result.tables, user)
+        self._gate(query, user, "explain")
         return self.spark.sql(query)._jdf.queryExecution().explainString(
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
@@ -98,7 +135,17 @@ class Engine:
         order: list[tuple[str, str]] | None = None,
         limit: int | None = None,
     ) -> DataFrame:
-        self.catalog.authorize_tables([table], user)
+        descr = json.dumps(
+            {"table": table, "where": where, "attributes": attributes,
+             "order": order, "limit": limit},
+            default=str,
+        )
+        try:
+            self.catalog.authorize_tables([table], user)
+        except PermissionError as exc:
+            self._audit(user, "find", descr, [table], "denied", str(exc))
+            raise
+        self._audit(user, "find", descr, [table])
         return optree.find_all(
             self.spark.table(table), where=where, attributes=attributes,
             order=order, limit=limit,
@@ -199,8 +246,10 @@ class Engine:
         if entry is None or entry.Type != "A":
             raise KeyError(f"no saved query named {name!r}")
         if not entry.visible_to(user):
+            self._audit(user, "saved", name, [], "denied",
+                        f"saved query {name!r} not visible")
             raise PermissionError(f"{user.name} may not run saved query {name!r}")
-        return self.sql(entry.QuerySettings["QueryString"], user)
+        return self.sql(entry.QuerySettings["QueryString"], user, _mode="saved")
 
     # -- Views (P4) --------------------------------------------------------
     def view(self, table: str, datatype: str, view_name: str = "Default",
@@ -213,4 +262,4 @@ class Engine:
         return self.spark.table(table).select(*[f"`{c}`" for c in cols])
 
 
-__all__ = ["Engine", "User", "ADMIN", "SqlValidationError"]
+__all__ = ["Engine", "User", "ADMIN", "SqlValidationError", "AuditLog"]

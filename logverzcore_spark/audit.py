@@ -1,0 +1,95 @@
+"""Interactive-query audit log — the reference's Logverz-Invocations
+records for the interactive path.
+
+The reference writes one Invocations item per interactive query before
+executing it (p2pconnection.js:188-195: user, query text, timestamp) so
+operators can answer "who ran what, when, and did it succeed". That
+store is DynamoDB — driver-side metadata, not analytic data — so here it
+is the same JSONL-persisted store shape as ``Catalog``: appends are one
+local write, never a Spark job, so auditing adds no per-query cluster
+work (no write-amplification at any query rate). ``enabled=False``
+turns recording into a no-op for tight benchmarking loops.
+
+Denied and invalid attempts are recorded too (status ``denied`` /
+``invalid``) — the audit trail is most valuable exactly when the gate
+fires.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class AuditRecord:
+    User: str
+    Mode: str  # sql | explain | find | saved | chunked
+    Query: str
+    Tables: list[str] = field(default_factory=list)
+    Status: str = "ok"  # ok | denied | invalid | error
+    Error: str = ""
+    ID: str = ""
+    UnixTime: float = 0.0
+
+
+class AuditLog:
+    """Append-only invocation log with JSONL persistence."""
+
+    def __init__(self, path: str | None = None, enabled: bool = True):
+        self.path = path
+        self.enabled = enabled
+        self._records: list[AuditRecord] = []
+        if path and os.path.exists(path):
+            with open(path) as fh:
+                for line in fh:
+                    if line.strip():
+                        self._records.append(AuditRecord(**json.loads(line)))
+
+    def record(
+        self,
+        user: str,
+        mode: str,
+        query: str,
+        tables: list[str] | None = None,
+        status: str = "ok",
+        error: str = "",
+    ) -> AuditRecord | None:
+        if not self.enabled:
+            return None
+        rec = AuditRecord(
+            User=user,
+            Mode=mode,
+            Query=query,
+            Tables=list(tables or []),
+            Status=status,
+            Error=error,
+            ID=uuid.uuid4().hex,
+            UnixTime=time.time(),
+        )
+        self._records.append(rec)
+        if self.path:
+            with open(self.path, "a") as fh:
+                fh.write(json.dumps(asdict(rec)) + "\n")
+        return rec
+
+    def entries(
+        self,
+        user: str | None = None,
+        status: str | None = None,
+        mode: str | None = None,
+    ) -> list[AuditRecord]:
+        out = self._records
+        if user is not None:
+            out = [r for r in out if r.User == user]
+        if status is not None:
+            out = [r for r in out if r.Status == status]
+        if mode is not None:
+            out = [r for r in out if r.Mode == mode]
+        return list(out)
+
+
+__all__ = ["AuditLog", "AuditRecord"]

@@ -40,6 +40,11 @@ def collect_stream(
     database: str = "default",
     registry=None,
     coerce_to: T.StructType | None = None,
+    catalog=None,
+    user=None,
+    owners: list[str] | None = None,
+    access: list[str] | None = None,
+    datatype: str = "Custom",
 ) -> StreamingQuery:
     """Continuously ingest files matching ``path`` into ``target_table``.
 
@@ -51,6 +56,12 @@ def collect_stream(
     ``coerce_to`` applies the shared type-coercion pass (SURVEY §2.2 P3)
     on the stream so the sink table is typed like a batch-collected one —
     the reference's worker coerces on both paths.
+
+    ``catalog``/``user``/``owners``/``access`` register the streamed
+    dataset as a ``Type="CC"`` catalog entry AT SETUP — the reference
+    records its 'CC' Logverz-Queries item when the continuous collection
+    is created (collection.js:379), before any file arrives — so the
+    table is listable and ACL-governed exactly like a batch collection.
 
     The sink table must be NEW or a previous streaming sink: Spark's
     file-stream sink keeps a ``_spark_metadata`` transaction log and
@@ -65,6 +76,24 @@ def collect_stream(
             f"database {database!r} requires a DatabaseRegistry (pass registry=)"
         )
     _guard_not_batch_table(spark, target_table)
+    if catalog is not None:
+        from logverzcore_spark.catalog import CatalogEntry
+
+        bare = target_table.replace("`", "").split(".")[-1]
+        catalog.record_query(
+            CatalogEntry(
+                TableName=bare,
+                DatabaseName=database,
+                DataType=datatype,
+                Type="CC",
+                QuerySettings={
+                    "QueryString": where or "",
+                    "StgFolders": [path],
+                },
+                Owners=owners or ([user.name] if user else []),
+                Access=access or [],
+            )
+        )
     reader = spark.readStream.format(fmt).schema(schema)
     for k, v in (reader_options or {}).items():
         reader = reader.option(k, v)

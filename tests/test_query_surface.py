@@ -266,3 +266,47 @@ def test_save_query_slot_owner_gated(engine):
     # A TABLE's catalog entry is protected the same way.
     with pytest.raises(PermissionError):
         engine.save_query("qs_tab", "SELECT 1 AS one", User("mallory"))
+
+
+def test_audit_log_records_interactive_queries(spark, tmpdir_path):
+    """One Invocations-shaped audit row per interactive query — success,
+    ACL denial, and gate rejection alike (reference
+    p2pconnection.js:188-195) — persisted across reload."""
+    from logverzcore_spark.audit import AuditLog
+
+    cat = Catalog()
+    spark.range(5).write.mode("overwrite").saveAsTable("aud_tab")
+    cat.record_query(CatalogEntry(TableName="aud_tab", Owners=["alice"]))
+    audit = AuditLog(path=f"{tmpdir_path}/audit.jsonl")
+    eng = Engine(spark, cat, audit=audit)
+    try:
+        eng.sql("SELECT count(*) AS n FROM aud_tab", ALICE).collect()
+        with pytest.raises(PermissionError):
+            eng.sql("SELECT * FROM aud_tab", User("mallory"))
+        with pytest.raises(SqlValidationError):
+            eng.sql("DROP TABLE aud_tab", ALICE)
+        eng.find_all("aud_tab", ALICE, where={"id": {"gte": 2}}).collect()
+        with pytest.raises(PermissionError):
+            eng.find_all("aud_tab", User("mallory"))
+        eng.save_query("aud_saved", "SELECT 1 AS one", ALICE)
+        eng.run_saved("aud_saved", ALICE).collect()
+        with pytest.raises(PermissionError):
+            eng.run_saved("aud_saved", User("mallory"))
+
+        recs = audit.entries()
+        assert len(recs) == 7
+        assert [r.Status for r in audit.entries(user="mallory")] == [
+            "denied", "denied", "denied",
+        ]
+        assert audit.entries(status="invalid")[0].Query.startswith("DROP TABLE")
+        assert {r.Mode for r in audit.entries(user="alice", status="ok")} == {
+            "sql", "find", "saved",
+        }
+        assert audit.entries(status="ok", mode="sql")[0].Tables == ["aud_tab"]
+        # JSONL persistence: a fresh AuditLog sees the same records.
+        assert len(AuditLog(path=f"{tmpdir_path}/audit.jsonl").entries()) == 7
+        # enabled=False is a no-op recorder for tight loops.
+        off = AuditLog(enabled=False)
+        assert off.record("x", "sql", "SELECT 1") is None and off.entries() == []
+    finally:
+        spark.sql("DROP TABLE IF EXISTS aud_tab")

@@ -107,3 +107,47 @@ def test_invocations_listener_heartbeats(spark, tmpdir_path):
     finally:
         spark.streams.removeListener(listener)
         spark.sql("DROP TABLE IF EXISTS hb_metrics")
+
+
+def test_collect_stream_records_cc_catalog_entry(spark, tmpdir_path):
+    """Streaming collections get a 'CC' catalog entry at setup (reference
+    collection.js:379), so the streamed table is listable and ACL-gated
+    exactly like a batch collection — including for non-admins."""
+    import pytest
+
+    from logverzcore_spark.api import Engine
+    from logverzcore_spark.catalog import Catalog, User
+
+    watch = os.path.join(tmpdir_path, "cc_in")
+    os.makedirs(watch)
+    write_vpcflow_gz(watch, n_files=1)
+    dt = REGISTRY["VPCFlow"]
+    cat = Catalog(path=f"{tmpdir_path}/cc_catalog.jsonl")
+    alice = User("alice")
+    spark.sql("DROP TABLE IF EXISTS cc_flows")
+    try:
+        q = collect_stream(
+            spark, watch, _string_schema(dt), "cc_flows",
+            fmt="csv", reader_options=dict(dt.options),
+            checkpoint_dir=os.path.join(tmpdir_path, "cc_ckpt"),
+            available_now=True,
+            catalog=cat, user=alice, access=["analysts"], datatype="VPCFlow",
+        )
+        q.awaitTermination()
+        entry = cat.for_table("cc_flows")
+        assert entry is not None and entry.Type == "CC"
+        assert entry.Owners == ["alice"] and entry.DataType == "VPCFlow"
+        eng = Engine(spark, cat)
+        # Non-admin owner sees and queries the streamed table…
+        assert "cc_flows" in eng.list_tables(user=alice)
+        assert eng.sql("SELECT count(*) AS n FROM cc_flows", alice).first()["n"] > 0
+        # …group access grants visibility…
+        bob = User("bob", groups=["analysts"])
+        assert "cc_flows" in eng.list_tables(user=bob)
+        # …and strangers are ACL-blocked.
+        mallory = User("mallory")
+        assert "cc_flows" not in eng.list_tables(user=mallory)
+        with pytest.raises(PermissionError):
+            eng.sql("SELECT * FROM cc_flows", mallory)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cc_flows")
