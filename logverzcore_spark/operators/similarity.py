@@ -121,10 +121,14 @@ def lsh_topk(
     batches; each query probes L buckets instead of scanning the corpus."""
     from pyspark.sql.functions import pandas_udf
 
-    # Probing the corpus for the dimension costs a whole Spark job —
-    # callers that know their embedding width pass it in.
+    # Probing the corpus for the dimension would cost a whole Spark job
+    # before planning even starts — refuse instead; the embedding width
+    # is static pipeline knowledge every caller has.
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        raise ValueError(
+            "lsh_topk requires dim= (embedding width); inferring it would "
+            "run a corpus job (.first()) before the query plan is built"
+        )
     all_planes = _hyperplanes(dim, n_planes * n_tables)
     # All L·b plane dots per row as ONE numpy matmul: HOF dot-product
     # lambdas are interpreted (48 × dim ops/row); the Arrow-batched UDF
@@ -184,6 +188,18 @@ def lsh_topk(
     )
 
 
+def lcg_centroids(dim: int, n_cells: int) -> list[list[float]]:
+    """Deterministic unit-norm centroids from the LCG stream — the
+    engine-portable alternative to data-sampled centroids: any engine
+    (e.g. a SQL oracle) can hold the same literal values, so cell
+    assignment replays exactly. Centroid quality is lower than k-means
+    (cells are random directions, not density-fitted), which costs some
+    recall at equal nprobe — the price of verifiability."""
+    raw = np.array(_hyperplanes(dim, n_cells), dtype=np.float64)
+    raw /= np.maximum(np.linalg.norm(raw, axis=1, keepdims=True), 1e-12)
+    return [[float(x) for x in row] for row in raw]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -192,39 +208,44 @@ def ivf_topk(
     nprobe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: assign corpus rows to the nearest of ``n_cells``
     centroids (sampled deterministically from the corpus), then score each
-    query only against its ``nprobe`` nearest cells."""
+    query only against its ``nprobe`` nearest cells. Pass ``centroids``
+    (pre-normalized, e.g. ``lcg_centroids``) to skip the sampling/k-means
+    step entirely — fully engine-portable cell assignment."""
     c = corpus.select(F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nvec"))
-    # Deterministic centroids: stride-sample the corpus (spread across the
-    # id range, not the first rows), then a few local k-means iterations
-    # over a bounded driver-side sample — numpy work on ≤4096 vectors, so
-    # the corpus itself never leaves the executors.
-    sample = [
-        [float(x) for x in r["nvec"]]
-        for r in c.orderBy(F.pmod(F.xxhash64("nid"), F.lit(9973)), "nid")
-        .limit(min(4096, 64 * n_cells))
-        .collect()
-    ]
-    X = np.array(sample, dtype=np.float64)
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    cents_mat = Xn[:: max(1, len(Xn) // n_cells)][:n_cells]
-    for _ in range(5):
-        assign = (Xn @ cents_mat.T).argmax(axis=1)
-        for ci in range(len(cents_mat)):
-            members = Xn[assign == ci]
-            if len(members):
-                m = members.mean(axis=0)
-                cents_mat[ci] = m / max(np.linalg.norm(m), 1e-12)
-    cents = [(ci, [float(x) for x in cents_mat[ci]]) for ci in range(len(cents_mat))]
+    if centroids is not None:
+        cmat = np.array(centroids, dtype=np.float64)  # caller pre-normalized
+    else:
+        # Deterministic centroids: stride-sample the corpus (spread across
+        # the id range, not the first rows), then a few local k-means
+        # iterations over a bounded driver-side sample — numpy work on
+        # ≤4096 vectors, so the corpus itself never leaves the executors.
+        sample = [
+            [float(x) for x in r["nvec"]]
+            for r in c.orderBy(F.pmod(F.xxhash64("nid"), F.lit(9973)), "nid")
+            .limit(min(4096, 64 * n_cells))
+            .collect()
+        ]
+        X = np.array(sample, dtype=np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        cents_mat = Xn[:: max(1, len(Xn) // n_cells)][:n_cells]
+        for _ in range(5):
+            assign = (Xn @ cents_mat.T).argmax(axis=1)
+            for ci in range(len(cents_mat)):
+                members = Xn[assign == ci]
+                if len(members):
+                    m = members.mean(axis=0)
+                    cents_mat[ci] = m / max(np.linalg.norm(m), 1e-12)
+        cmat = cents_mat
+        cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
 
     from pyspark.sql.functions import pandas_udf
 
     # Cell assignment as one numpy matmul per Arrow batch (argmax over
     # X @ C.T) — same interpreted-HOF avoidance as lsh_topk's bucketing.
-    cmat = np.array([cv for _, cv in cents], dtype=np.float64)
-    cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
 
     def _nearest(n: int):
         @pandas_udf("array<int>")
@@ -232,7 +253,10 @@ def ivf_topk(
             x = np.array(vecs.tolist(), dtype=np.float64)
             x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
             sims = x @ cmat.T
-            top = np.argsort(-sims, axis=1)[:, :n].astype("int32")
+            # stable sort: exact sim ties resolve to the LOWER cell index,
+            # the same tie-break a SQL replay (ORDER BY sim DESC, cell)
+            # applies — keeps portable-oracle variants exactly replayable.
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :n].astype("int32")
             return pd.Series(list(top))
 
         return cells

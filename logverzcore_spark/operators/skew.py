@@ -21,11 +21,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _salt(cols: list[str], n: int) -> Column:
-    """Deterministic salt in [0, n): hash of the full row's non-key
-    columns would be ideal; a per-partition counter is cheaper and spreads
-    identically. spark_partition_id+monotonic id keeps it reproducible
-    within a run without an RNG."""
+def _salt(n: int) -> Column:
+    """Deterministic salt in [0, n): a hash of the row position. The salt
+    intentionally does NOT depend on any data column — its only job is to
+    spread one hot key's rows over n reducers, and hashing
+    monotonically_increasing_id does that reproducibly within a run
+    without an RNG."""
     return F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n)).cast("int")
 
 
@@ -65,7 +66,7 @@ def salted_aggregate(
             )
         else:
             raise ValueError(f"unsupported agg {agg!r}")
-    salted = df.withColumn("_salt", _salt(keys, n_salts))
+    salted = df.withColumn("_salt", _salt(n_salts))
     partial = salted.groupBy(*keys, "_salt").agg(*phase1_aggs)
     return partial.groupBy(*keys).agg(*phase2_aggs)
 
@@ -82,5 +83,5 @@ def salted_broadcast_left(
     deterministically — a hot key's rows spread over ``n_salts``
     partitions instead of one straggler task."""
     dim_rep = dim.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
-    fact_s = fact.withColumn("_salt", _salt([on], n_salts))
+    fact_s = fact.withColumn("_salt", _salt(n_salts))
     return fact_s.join(dim_rep, [on, "_salt"], how).drop("_salt")

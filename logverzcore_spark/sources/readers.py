@@ -110,69 +110,88 @@ def read_zip_csv(spark: SparkSession, path, dt: DataType) -> DataFrame:
     """Read ZIP-compressed CSV files of ``dt``.
 
     Spark has no zip codec, so: ``binaryFile`` scan → ``mapInPandas``
-    unzip + line split (Arrow-batched, one task per file batch) →
-    ``from_csv`` for the positional parse. Multi-entry archives are
+    unzip + CSV parse (Arrow-batched, one task per file batch). The
+    parse uses Python's quote-aware csv reader — a quoted field
+    containing a newline spans records correctly, matching Spark's own
+    multiLine CSV semantics (and the reference's PapaParse) where a
+    naive line split would mis-parse. Python-side parsing is acceptable
+    here because the ZIP path is forced off the JVM anyway; the gzip/
+    plain path stays on Spark's native parser. Multi-entry archives are
     rejected per the reference's single-file rule (worker.js:542-547) —
     their rows land in quarantine with an error note.
     """
+    import csv as _csv
+
     has_header = dt.options.get("header", "false").lower() == "true"
     sep = dt.options.get("sep", ",")
     quote = dt.options.get("quote", '"')
     comment = dt.comment_prefix
+    col_names = [f.name for f in dt.schema.fields]
+    ncols = len(col_names)
 
     out_schema = T.StructType(
-        [
-            T.StructField("line", T.StringType(), True),
+        [T.StructField(c, T.StringType(), True) for c in col_names]
+        + [
+            T.StructField(CORRUPT_COL, T.StringType(), True),
             T.StructField(SOURCE_COL, T.StringType(), True),
-            T.StructField("_zip_error", T.StringType(), True),
         ]
     )
+    out_columns = col_names + [CORRUPT_COL, SOURCE_COL]
 
-    def unzip_lines(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _error_frame(src: str, err: str) -> pd.DataFrame:
+        return pd.DataFrame(
+            [[None] * ncols + [err, src]], columns=out_columns, dtype=object
+        )
+
+    def unzip_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for src, blob in zip(pdf["path"], pdf["content"]):
                 try:
                     zf = zipfile.ZipFile(io.BytesIO(blob))
                     names = [n for n in zf.namelist() if not n.endswith("/")]
                     if len(names) != 1:
-                        yield pd.DataFrame(
-                            {"line": [None], SOURCE_COL: [src],
-                             "_zip_error": [f"archive has {len(names)} entries; exactly 1 required"]}
+                        yield _error_frame(
+                            src, f"archive has {len(names)} entries; exactly 1 required"
                         )
                         continue
                     text = zf.read(names[0]).decode("utf-8", errors="replace")
                 except Exception as exc:  # corrupt archive
-                    yield pd.DataFrame(
-                        {"line": [None], SOURCE_COL: [src], "_zip_error": [str(exc)]}
-                    )
+                    yield _error_frame(src, str(exc))
                     continue
-                lines = [ln for ln in text.splitlines() if ln.strip()]
-                if comment:
-                    lines = [ln for ln in lines if not ln.startswith(comment)]
-                if has_header and lines:
-                    lines = lines[1:]
-                yield pd.DataFrame(
-                    {"line": lines, SOURCE_COL: [src] * len(lines),
-                     "_zip_error": [None] * len(lines)}
+                # newline='' keeps embedded newlines for the csv reader to
+                # interpret (quoted ones join, unquoted ones split).
+                reader = _csv.reader(
+                    io.StringIO(text, newline=""), delimiter=sep, quotechar=quote
                 )
+                rows: list[list] = []
+                pending_header = has_header
+                for rec in reader:
+                    if not rec or (len(rec) == 1 and not rec[0].strip()):
+                        continue
+                    if comment and rec[0].lstrip().startswith(comment):
+                        continue
+                    if pending_header:
+                        pending_header = False
+                        continue
+                    # Short rows pad with NULL (schema drift the reference
+                    # tolerates, worker.js:953); wrong-width rows are
+                    # corrupt-marked, and split_quarantine keeps those that
+                    # still carry >=2 fields — same contract as the
+                    # PERMISSIVE gzip/plain path.
+                    err = (
+                        None
+                        if len(rec) == ncols
+                        else f"expected {ncols} fields, got {len(rec)}"
+                    )
+                    vals = [(v if v != "" else None) for v in rec[:ncols]]
+                    vals += [None] * (ncols - len(vals))
+                    rows.append(vals + [err, src])
+                if rows:
+                    yield pd.DataFrame(rows, columns=out_columns, dtype=object)
 
     paths = path if isinstance(path, list) else [path]
     blobs = spark.read.format("binaryFile").option("pathGlobFilter", "*.zip").load(paths)
-    lines = blobs.select("path", "content").mapInPandas(unzip_lines, out_schema)
-    ddl = ", ".join(f"`{f.name}` STRING" for f in dt.schema.fields)
-    parsed = lines.withColumn(
-        "r",
-        F.from_csv(
-            "line", ddl,
-            {"sep": sep, "quote": quote, "mode": "PERMISSIVE",
-             "columnNameOfCorruptRecord": CORRUPT_COL},
-        ),
-    )
-    return parsed.select(
-        *[F.col(f"r.`{f.name}`").alias(f.name) for f in dt.schema.fields],
-        F.coalesce(F.col("_zip_error"), F.when(F.col("line").isNull(), F.lit("empty")).otherwise(F.lit(None))).alias(CORRUPT_COL),
-        F.col(SOURCE_COL),
-    )
+    return blobs.select("path", "content").mapInPandas(unzip_parse, out_schema)
 
 
 def split_quarantine(df: DataFrame, min_fields: int = 2) -> tuple[DataFrame, DataFrame]:

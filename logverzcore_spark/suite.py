@@ -2302,6 +2302,127 @@ def st07_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Portable-oracle ANN variants (VERDICT r2 #6): the LSH hyperplanes and
+# IVF centroids come from the deterministic LCG stream, so the SQL oracle
+# holds the SAME literal vectors and replays bucketing / cell assignment
+# exactly — the ANN paths graduate from rows-only to hash-verified.
+# ---------------------------------------------------------------------------
+
+
+def _sql_double_array(row: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in row) + "]::DOUBLE[]"
+
+
+_ANN_TOPK_TAIL = """
+    ), n AS (
+      SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+    ), scored AS (
+      SELECT cand.qid AS query_id, cand.nid AS neighbor_id,
+             list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
+      FROM cand JOIN n q ON q.vec_id = cand.qid
+                JOIN n c ON c.vec_id = cand.nid
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine,
+           CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+"""
+
+
+def _s02b_oracle(dim: int = 64, n_planes: int = 4, n_tables: int = 12) -> str:
+    planes = similarity._hyperplanes(dim, n_planes * n_tables)
+    values = ",\n      ".join(
+        f"({p}, {_sql_double_array(row)})" for p, row in enumerate(planes)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), planes(p, plane) AS (VALUES
+      {values}
+    ), b AS (
+      SELECT v.vec_id, p.p // {n_planes} AS t,
+             SUM(CASE WHEN list_dot_product(v.e, p.plane) >= 0
+                      THEN (1 << (p.p % {n_planes})) ELSE 0 END) AS bucket
+      FROM v CROSS JOIN planes p
+      GROUP BY v.vec_id, p.p // {n_planes}
+    ), cand AS (
+      SELECT DISTINCT qb.vec_id AS qid, cb.vec_id AS nid
+      FROM b qb JOIN b cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+                         AND qb.vec_id <> cb.vec_id
+      WHERE qb.vec_id < 20
+    {_ANN_TOPK_TAIL}
+    """
+
+
+def _s03b_oracle(dim: int = 64, n_cells: int = 16, nprobe: int = 4) -> str:
+    cents = similarity.lcg_centroids(dim, n_cells)
+    values = ",\n      ".join(
+        f"({ci}, {_sql_double_array(row)})" for ci, row in enumerate(cents)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), cents(cell, cvec) AS (VALUES
+      {values}
+    ), sims AS (
+      SELECT v.vec_id, c.cell, list_dot_product(v.e, c.cvec) AS sim
+      FROM v CROSS JOIN cents c
+    ), c_assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    ), q_probe AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell) AS rn
+        FROM sims WHERE vec_id < 20
+      ) WHERE rn <= {nprobe}
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+      FROM q_probe q JOIN c_assign c ON q.cell = c.cell
+                                    AND q.vec_id <> c.vec_id
+    {_ANN_TOPK_TAIL}
+    """
+
+
+@query("s02b_lsh_topk_portable", oracle=_s02b_oracle())
+def s02b_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s02's computation, hash-verified: the oracle replays the exact
+    hyperplane bucketing (literal LCG planes, sign bits, per-table bucket
+    ids, candidate equi-join) and the cosine top-k in SQL. Cell-level
+    determinism notes: both engines compute float64 dots on the same
+    literal planes; tie-breaks are (cos DESC, neighbor_id) on both
+    sides."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return similarity.lsh_topk(emb, queries, k=5, dim=64)
+
+
+@query("s03b_ivf_topk_portable", oracle=_s03b_oracle())
+def s03b_ivf_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with engine-portable LCG centroids (no data-dependent
+    k-means), hash-verified: cell argmax and nprobe probing replay in SQL
+    with the same literal centroid vectors. Normalizing the vector before
+    the centroid dot (Spark) vs dividing after (oracle) is a positive
+    per-row scaling — identical rankings. Recall is below the k-means
+    variant (s03) at equal nprobe; nprobe=4 of 16 cells compensates."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return similarity.ivf_topk(
+        emb, queries, k=5, n_cells=16, nprobe=4,
+        centroids=similarity.lcg_centroids(64, 16),
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -376,3 +376,38 @@ def test_networklb_gzip_csv(spark, tmpdir_path):
         assert out[1]["incoming_tls_alert"] == 1
     finally:
         spark.sql("DROP TABLE IF EXISTS t_nlb")
+
+
+def test_zip_csv_quoted_embedded_newline(spark, tmpdir_path):
+    """A quoted field containing a newline inside a ZIP CSV must parse as
+    ONE record (the reference's PapaParse handled this; a naive line
+    split breaks the row in two). VERDICT r2 edge case."""
+    import os
+    import zipfile as _zipfile
+
+    from logverzcore_spark.schemas import DataType, _schema
+
+    dt = DataType(
+        name="MiniQuoted",
+        format="csv",
+        options={"sep": ",", "header": "true", "quote": '"'},
+        schema=_schema(("id", "string"), ("msg", "string"), ("code", "string")),
+    )
+    text = (
+        "id,msg,code\n"
+        '1,"hello world",A\n'
+        '2,"line one\nline two",B\n'
+        '3,plain,C\n'
+    )
+    p = os.path.join(tmpdir_path, "quoted.zip")
+    with _zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("inner.csv", text)
+    df = readers.read_zip_csv(spark, p, dt)
+    good, bad = readers.split_quarantine(df)
+    assert bad.count() == 0
+    rows = {r["id"]: (r["msg"], r["code"]) for r in good.collect()}
+    assert rows == {
+        "1": ("hello world", "A"),
+        "2": ("line one\nline two", "B"),
+        "3": ("plain", "C"),
+    }

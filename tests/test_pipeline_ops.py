@@ -57,7 +57,11 @@ def test_lsh_topk_recall(emb):
     """Bucketed ANN must recover most of the brute-force top-5."""
     queries = emb.where(F.col("vec_id") < 10)
     exact = similarity.cosine_topk(emb, queries, k=5).collect()
-    approx = similarity.lsh_topk(emb, queries, k=5).collect()
+    import pytest
+
+    with pytest.raises(ValueError):  # dim is required (no corpus probe job)
+        similarity.lsh_topk(emb, queries, k=5)
+    approx = similarity.lsh_topk(emb, queries, k=5, dim=64).collect()
     exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
@@ -149,3 +153,18 @@ def test_dup_clusters_transitive_and_singletons(spark):
         1: (1, True), 2: (1, False), 3: (1, False),
         4: (4, True), 5: (4, False), 6: (6, True),
     }
+
+
+def test_ivf_topk_lcg_centroids_recall(emb):
+    """The engine-portable LCG-centroid IVF variant (hash-verified in the
+    suite as s03b) still recovers most of the brute-force top-5."""
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, queries, k=5).collect()
+    approx = similarity.ivf_topk(
+        emb, queries, k=5, n_cells=16, nprobe=4,
+        centroids=similarity.lcg_centroids(64, 16),
+    ).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"LCG-IVF recall {recall}"

@@ -193,3 +193,61 @@ def test_rollup_fold_replay_is_idempotent(spark, tmpdir_path):
     finally:
         for t in ("replay_t", "replay_t_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_dedup_stream_crash_between_appends(spark, monkeypatch):
+    """Inject a crash BETWEEN the data append and the fingerprint append
+    (the documented non-atomic commit window, stream_dedup.py docstring):
+    replaying the same batch must lose no document, and the duplicates
+    must be bounded to exactly the failed batch's fresh rows."""
+    import pytest
+    from pyspark.sql import readwriter as rw
+
+    from logverzcore_spark.streaming import stream_dedup
+
+    for t in ("cw_docs", "cw_fp"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        b1 = spark.createDataFrame(
+            [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+        )
+        stream_dedup._dedup_batch(b1, spark, "cw_docs", "cw_fp", "text", "doc_id")
+
+        orig = rw.DataFrameWriter.saveAsTable
+
+        def crashing(self, name, *a, **kw):
+            if name == "cw_fp":
+                raise RuntimeError("injected crash between appends")
+            return orig(self, name, *a, **kw)
+
+        monkeypatch.setattr(rw.DataFrameWriter, "saveAsTable", crashing)
+        b2 = spark.createDataFrame(
+            [(3, "gamma"), (4, "alpha")], "doc_id long, text string"
+        )
+        with pytest.raises(RuntimeError):
+            stream_dedup._dedup_batch(b2, spark, "cw_docs", "cw_fp", "text", "doc_id")
+        monkeypatch.undo()
+
+        # Data-before-fingerprints ordering: gamma's row IS committed,
+        # its fingerprint is NOT.
+        spark.catalog.refreshTable("cw_docs")
+        spark.catalog.refreshTable("cw_fp")
+        assert sorted(r["doc_id"] for r in spark.table("cw_docs").collect()) == [1, 2, 3]
+        assert spark.table("cw_fp").count() == 2
+
+        # Replay of the SAME batch (what the checkpoint does on restart):
+        # alpha's dup still anti-joins out; gamma re-appends (at-least-once
+        # for the failed batch only) and its fingerprint commits.
+        stream_dedup._dedup_batch(b2, spark, "cw_docs", "cw_fp", "text", "doc_id")
+        assert sorted(r["doc_id"] for r in spark.table("cw_docs").collect()) == [1, 2, 3, 3]
+        assert spark.table("cw_fp").count() == 3
+
+        # Post-recovery batches dedup against the repaired state: a new
+        # doc with gamma's text is dropped — duplicates never spread
+        # beyond the crashed batch.
+        b3 = spark.createDataFrame([(5, "gamma")], "doc_id long, text string")
+        stream_dedup._dedup_batch(b3, spark, "cw_docs", "cw_fp", "text", "doc_id")
+        assert sorted(r["doc_id"] for r in spark.table("cw_docs").collect()) == [1, 2, 3, 3]
+    finally:
+        for t in ("cw_docs", "cw_fp"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
