@@ -1867,27 +1867,36 @@ def q49_exists_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q50_latest_order_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic per-group argmax via a struct MAX aggregate: the
-    latest order per customer without a window sort. MAX over
-    struct(o_orderdate, o_orderkey) compares lexicographically, so it is
-    an ordinary map-side-combinable MAX — one partial-aggregated shuffle —
-    where the row_number() formulation (the oracle) would shuffle-and-sort
-    every order row. Ties on date resolve to the highest orderkey. Unlike
-    arithmetic key-packing (epoch*1e8 + key), struct comparison has no
-    overflow cliff when orderkeys outgrow the pack width at large SF."""
+    """Deterministic per-group argmax via a bit-packed MAX aggregate: the
+    latest order per customer without a window sort. Packing
+    (days_since_epoch << 47) | orderkey makes argmax an ordinary
+    map-side-combinable long MAX — HashAggregate, one partial-aggregated
+    shuffle — where the row_number() formulation (the oracle) would
+    shuffle-and-sort every order row, and a struct-MAX falls back to
+    SortAggregate (struct buffers aren't hash-aggregable). Ties on date
+    resolve to the highest orderkey by construction. Width check: days
+    fit 16 bits until year 2149, leaving 47 bits ≈ 1.4e14 for orderkey —
+    TPC-H orderkeys reach ~6e9 at SF1000 (≈1 PB), four orders of
+    magnitude of headroom (vs 1e8 for the decimal pack this replaced);
+    dates must be ≥ 1970 (TPC-H's are 1992+) or the pack goes negative."""
     o = _t(spark, sf_dir, "orders")
+    days = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    packed = F.shiftleft(days, 47) + F.col("o_orderkey")
     return (
         o.groupBy("o_custkey")
-        .agg(
-            F.max(F.struct("o_orderdate", "o_orderkey")).alias("m"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
+        .agg(F.max(packed).alias("p"), F.count(F.lit(1)).alias("n_orders"))
         .select(
             "o_custkey",
-            F.col("m.o_orderkey").alias("latest_orderkey"),
-            F.date_format(F.col("m.o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
-                "latest_order_ts"
-            ),
+            F.expr(f"p & {(1 << 47) - 1}").alias("latest_orderkey"),
+            F.date_format(
+                F.date_add(
+                    F.lit("1970-01-01").cast("date"),
+                    F.expr("CAST(p >> 47 AS INT)"),
+                ),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("latest_order_ts"),
             "n_orders",
         )
     )
