@@ -188,6 +188,40 @@ def lsh_topk(
     )
 
 
+def quantize_embedding_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Int8 scalar quantization audit for an embedding column: per-vector
+    symmetric scale (127/max|x|), half-up-rounded clamp to [-127, 127],
+    reconstruction RMSE, and the exact integer L1 checksum of the
+    quantized vector. The checksum makes the quantized payload itself
+    hash-verifiable across engines (floor arithmetic, no banker's
+    rounding). Pure per-row projection — at 100 TB this is the cheap
+    preprocessing pass before shipping int8 vectors to an ANN index;
+    4× smaller vectors also quarter the shuffle volume of every
+    downstream bucket join."""
+    e = _as_double(F.col(vec_col))
+    absmax = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / F.greatest(absmax, F.lit(1e-12))
+
+    def quant(x: Column) -> Column:
+        return F.least(F.greatest(F.floor(x * scale + 0.5), F.lit(-127.0)), F.lit(127.0))
+
+    sq_err = F.aggregate(
+        e, F.lit(0.0), lambda acc, x: acc + F.pow(x - quant(x) / scale, F.lit(2.0))
+    )
+    l1 = F.aggregate(e, F.lit(0.0), lambda acc, x: acc + F.abs(quant(x)))
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(scale, 6).alias("scale"),
+        F.round(F.sqrt(sq_err), 6).alias("recon_rmse"),
+        l1.cast("bigint").alias("q_l1_checksum"),
+        F.size(e).alias("n_dims"),
+    )
+
+
 def lcg_centroids(dim: int, n_cells: int) -> list[list[float]]:
     """Deterministic unit-norm centroids from the LCG stream — the
     engine-portable alternative to data-sampled centroids: any engine

@@ -220,6 +220,78 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_guess"),
     ).drop("_toks", "_ltoks", "_dtoks")
 
+def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1 —
+    public heuristics used by most LLM corpus pipelines): word-count
+    bounds, mean-word-length bounds, alphabetic-word ratio, and a minimum
+    stopword hit count. Pure per-row projection, no shuffle; the summed
+    word length rides on ``length(concat_ws('', toks))`` so it stays in
+    codegen instead of an interpreted fold. Emits the metrics, one flag
+    per rule, and the combined ``keep``."""
+    from logverzcore_spark.operators.util import fan_out
+
+    c = F.col(text_col)
+    staged = fan_out(df).select("*", tokens(c).alias("_toks"))
+    toks = F.col("_toks")
+    n = F.size(toks)
+    n1 = F.greatest(n, F.lit(1))
+    mean_len = F.length(F.concat_ws("", toks)) / n1
+    alpha_ratio = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / n1
+    stop_hits = F.size(F.filter(F.transform(toks, F.lower), lambda t: t.isin(*STOPWORDS)))
+    flags = {
+        "pass_word_count": (n >= 50) & (n <= 100_000),
+        "pass_mean_word_len": (mean_len >= 3) & (mean_len <= 10),
+        "pass_alpha_ratio": alpha_ratio >= 0.8,
+        "pass_stopwords": stop_hits >= 2,
+    }
+    keep = None
+    for f in flags.values():
+        keep = f if keep is None else (keep & f)
+    return staged.select(
+        "*",
+        n.alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(alpha_ratio, 4).alias("alpha_word_ratio"),
+        stop_hits.alias("n_stop_hits"),
+        *[v.alias(k) for k, v in flags.items()],
+        keep.alias("keep"),
+    ).drop("_toks")
+
+
+def dup_ngram_fraction(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Intra-document duplicate n-gram fraction (the Gopher repetition
+    rule): 1 - distinct_ngrams/ngrams per document. High values flag
+    machine-generated loops and boilerplate that token-level
+    ``repetition_ratio`` under-reports. Per-row projection — the n-gram
+    array never leaves its row, so this costs zero shuffle at any corpus
+    size (contrast d02/d03, which need cross-doc n-grams)."""
+    from logverzcore_spark.operators.util import fan_out
+
+    staged = fan_out(df).select("*", tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = staged.select("*", grams.alias("_grams"))
+    n_grams = F.size("_grams")
+    return staged.select(
+        "*",
+        n_grams.alias("n_ngrams"),
+        F.size(F.array_distinct("_grams")).alias("n_distinct_ngrams"),
+        F.round(
+            F.when(
+                n_grams > 0,
+                F.lit(1.0) - F.size(F.array_distinct("_grams")) / n_grams,
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("dup_ngram_frac"),
+    ).drop("_toks", "_grams")
+
+
 def hash_split(
     id_col: Column,
     boundaries: tuple[str, str] = ("b", "d"),

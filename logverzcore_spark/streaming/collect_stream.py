@@ -387,6 +387,40 @@ def run_stream_stream_join(
     )
 
 
+def run_stream_static_enrich(
+    spark: SparkSession, events_path: str, dim: DataFrame
+) -> DataFrame:
+    """Stream-static join: enrich the event stream with a broadcast static
+    dimension, then aggregate per segment. The static side is re-read per
+    micro-batch (Spark's stream-static contract) and broadcast, so the
+    stream never shuffles for the join — the standard pattern for
+    attaching slowly-changing dimensions to a 100 TB event feed without
+    stateful join state."""
+    stream = _events_stream(spark, events_path)
+    d = F.broadcast(
+        dim.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    agg = (
+        stream.join(d, "user_id")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+    sink = f"se_sink_{uuid.uuid4().hex[:8]}"
+    with _state_sized_to_cluster(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink).select("segment", "n_events", "total_value")
+
+
 def run_windowed_aggregate(spark: SparkSession, events_path: str) -> DataFrame:
     """Drive a tumbling-window streaming aggregation to completion over the
     static events files and return the final result (complete mode, memory

@@ -2432,6 +2432,178 @@ def s03b_ivf_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-3 coverage: Gopher quality rules, intra-doc repetition, embedding
+# quantization, range-frame windows, stream-static enrichment.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t07_gopher_quality",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id, len(toks) AS n_words,
+             CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+                  AS DOUBLE) / greatest(len(toks), 1) AS mean_len,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                  AS DOUBLE) / greatest(len(toks), 1) AS alpha_ratio,
+             len(list_filter(list_transform(toks, x -> lower(x)),
+                 x -> x IN ('the','a','an','and','or','of','to','in','is'))) AS n_stop_hits
+      FROM t
+    )
+    SELECT doc_id, n_words,
+           ROUND(mean_len, 4) AS mean_word_len,
+           ROUND(alpha_ratio, 4) AS alpha_word_ratio,
+           n_stop_hits,
+           (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
+           (mean_len >= 3 AND mean_len <= 10) AS pass_mean_word_len,
+           (alpha_ratio >= 0.8) AS pass_alpha_ratio,
+           (n_stop_hits >= 2) AS pass_stopwords,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_len >= 3 AND mean_len <= 10
+            AND alpha_ratio >= 0.8 AND n_stop_hits >= 2) AS keep
+    FROM m
+    """,
+)
+def t07_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules (text.gopher_quality) over the corpus —
+    per-rule flags + combined keep, all in one codegen'd projection."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.gopher_quality(docs).select(
+        "doc_id", "n_words", "mean_word_len", "alpha_word_ratio", "n_stop_hits",
+        "pass_word_count", "pass_mean_word_len", "pass_alpha_ratio",
+        "pass_stopwords", "keep",
+    )
+
+
+@query(
+    "t08_dup_ngram_fraction",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(generate_series(1, len(toks) - 2),
+                                      i -> array_to_string(toks[i:i+2], ' '))
+                  ELSE []::VARCHAR[] END AS grams
+      FROM t
+    )
+    SELECT doc_id, len(grams) AS n_ngrams,
+           len(list_distinct(grams)) AS n_distinct_ngrams,
+           ROUND(CASE WHEN len(grams) > 0
+                      THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                                 / len(grams)
+                      ELSE 0.0 END, 4) AS dup_ngram_frac
+    FROM g
+    """,
+)
+def t08_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document duplicate 3-gram fraction (the Gopher repetition
+    rule) — per-row n-gram arrays, zero shuffle at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.dup_ngram_fraction(docs).select(
+        "doc_id", "n_ngrams", "n_distinct_ngrams", "dup_ngram_frac"
+    )
+
+
+@query(
+    "s05_embedding_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), s AS (
+      SELECT vec_id, e,
+             127.0 / greatest(list_max(list_transform(e, x -> abs(x))), 1e-12) AS scale
+      FROM v
+    )
+    SELECT vec_id, ROUND(scale, 6) AS scale,
+           ROUND(sqrt(list_sum(list_transform(e,
+             x -> pow(x - least(greatest(floor(x*scale + 0.5), -127), 127)/scale, 2)))), 6)
+             AS recon_rmse,
+           CAST(list_sum(list_transform(e,
+             x -> abs(least(greatest(floor(x*scale + 0.5), -127), 127)))) AS BIGINT)
+             AS q_l1_checksum,
+           len(e) AS n_dims
+    FROM s
+    """,
+)
+def s05_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization audit (similarity.quantize_embedding_stats):
+    per-vector scale, reconstruction RMSE, and the exact integer L1
+    checksum of the quantized vector — floor arithmetic keeps the
+    quantized payload hash-identical across engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.quantize_embedding_stats(emb)
+
+
+@query(
+    "q57_rolling_7d_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT priority, day, revenue,
+           ROUND(SUM(revenue) OVER (PARTITION BY priority ORDER BY day
+                                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+             AS rev_7d
+    FROM daily
+    """,
+)
+def q57_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling window (7 calendar days, gaps included): the
+    heavy work is the parallel daily pre-aggregation; the range window
+    then runs over the bounded (priority × day) frame — at 100 TB the
+    window input stays ~days × cardinality rows no matter how many orders
+    feed it. RANGE (value-based) vs ROWS matters when days are missing:
+    the frame spans calendar distance, not row count."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("day"),
+        )
+        .agg(_money_sum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("priority").orderBy("day").rangeBetween(-6, 0)
+    return daily.select(
+        "priority", "day", "revenue",
+        F.round(F.sum("revenue").over(w), 2).alias("rev_7d"),
+    )
+
+
+@query(
+    "st08_stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def st08_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment: the event stream joins a
+    broadcast customer dimension per micro-batch, then aggregates by
+    market segment — the streaming form of attaching slowly-changing
+    dims without stateful join state."""
+    from logverzcore_spark.streaming.collect_stream import run_stream_static_enrich
+
+    return run_stream_static_enrich(
+        spark, os.path.join(sf_dir, "events.parquet"), _t(spark, sf_dir, "customer")
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -168,3 +168,50 @@ def test_ivf_topk_lcg_centroids_recall(emb):
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.5, f"LCG-IVF recall {recall}"
+
+
+def test_gopher_quality_flags(docs):
+    """Metrics in range, flags consistent with metrics, keep = AND of
+    flags."""
+    out = text.gopher_quality(docs)
+    rows = out.select(
+        "n_words", "mean_word_len", "alpha_word_ratio", "n_stop_hits",
+        "pass_word_count", "pass_mean_word_len", "pass_alpha_ratio",
+        "pass_stopwords", "keep",
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["n_words"] >= 0 and 0 <= r["alpha_word_ratio"] <= 1
+        assert r["pass_word_count"] == (50 <= r["n_words"] <= 100_000)
+        assert r["keep"] == (
+            r["pass_word_count"] and r["pass_mean_word_len"]
+            and r["pass_alpha_ratio"] and r["pass_stopwords"]
+        )
+
+
+def test_dup_ngram_fraction_bounds(spark):
+    """A fully-repetitive doc scores near 1; an all-distinct doc scores 0;
+    docs shorter than n have zero ngrams."""
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham " * 50),          # 2-token loop → ~all 3-grams dup
+            (2, " ".join(f"w{i}" for i in range(100))),  # all distinct
+            (3, "too short"),               # < 3 tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text.dup_ngram_fraction(df).collect()}
+    assert got[1]["dup_ngram_frac"] > 0.9
+    assert got[2]["dup_ngram_frac"] == 0.0
+    assert got[3]["n_ngrams"] == 0 and got[3]["dup_ngram_frac"] == 0.0
+
+
+def test_quantize_embedding_roundtrip(emb):
+    """Scale positive, RMSE small relative to vector norm, checksum
+    bounded by 127 * dims."""
+    out = similarity.quantize_embedding_stats(emb).collect()
+    assert out
+    for r in out:
+        assert r["scale"] > 0
+        assert 0 <= r["recon_rmse"] < 0.1      # int8 on unit-ish 64-dim vectors
+        assert 0 <= r["q_l1_checksum"] <= 127 * r["n_dims"]
