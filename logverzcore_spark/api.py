@@ -177,6 +177,17 @@ class Engine:
         visible = {e.TableName for e in self.catalog.list(user) if e.DatabaseName == db}
         return sorted(n for n in names if n in visible)
 
+    def list_sources(self, user: User = ADMIN) -> list[str]:
+        """The reference's info surface for collection sources (info.js
+        lists the S3 buckets/folders available to collect from): here,
+        the distinct staged source folders of catalog entries VISIBLE to
+        the caller — the ACL model governs source discovery the same way
+        it governs tables."""
+        out: set[str] = set()
+        for e in self.catalog.list(user):
+            out.update(e.QuerySettings.get("StgFolders", []))
+        return sorted(out)
+
     def describe_table(self, table: str, user: User = ADMIN) -> dict[str, str]:
         if not (user.is_admin or user.is_poweruser):
             raise PermissionError("describeTable requires admin/poweruser")

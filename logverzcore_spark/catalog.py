@@ -121,6 +121,8 @@ class Catalog:
         include_archived: bool = False,
         types: tuple[str, ...] | None = None,
         table_begins_with: str | None = None,
+        table_contains: str | None = None,
+        created_between: tuple[float, float] | None = None,
         sort_by: str | None = None,
         descending: bool = False,
         limit: int | None = None,
@@ -132,6 +134,11 @@ class Catalog:
             out = [e for e in out if e.Type in types]
         if table_begins_with:
             out = [e for e in out if e.TableName.startswith(table_begins_with)]
+        if table_contains:
+            out = [e for e in out if table_contains in e.TableName]
+        if created_between:
+            lo, hi = created_between
+            out = [e for e in out if lo <= e.CreationUnixTime <= hi]
         if sort_by:
             out.sort(key=lambda e: getattr(e, sort_by), reverse=descending)
         if limit is not None:

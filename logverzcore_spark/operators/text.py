@@ -292,6 +292,18 @@ def dup_ngram_fraction(df: DataFrame, text_col: str = "text", n: int = 3) -> Dat
     ).drop("_toks", "_grams")
 
 
+def hash_sample(id_col: Column, keep_hex_lt: str = "20") -> Column:
+    """Deterministic corpus sampling predicate: keep rows whose
+    ``md5(id)`` first two hex digits sort below ``keep_hex_lt``
+    (fraction = int(keep_hex_lt, 16)/256; the default '20' keeps 32/256
+    = 12.5%). Same reproducibility argument as ``hash_split``: the
+    sample is identical across engines, runs, and cluster sizes, where
+    ``TABLESAMPLE``/``sample()`` draws differ per run and per partition
+    layout. Pure per-row projection — pushes down to the scan as a
+    filter, no shuffle."""
+    return F.substring(F.md5(id_col.cast("string")), 1, 2) < keep_hex_lt
+
+
 def hash_split(
     id_col: Column,
     boundaries: tuple[str, str] = ("b", "d"),

@@ -2603,6 +2603,81 @@ def st08_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q58_percentile_battery",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+           ROUND(median(o_totalprice), 4) AS med
+    FROM orders GROUP BY 1
+    """,
+)
+def q58_percentile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (percentile_cont semantics) per
+    group — Spark's `percentile` vs DuckDB's `quantile_cont`. Exact
+    percentiles need the group's values together (that is the operator's
+    semantics); at 100 TB the approx sketch (q30/q48's family,
+    percentile_approx) is the scale path and this the audit path."""
+    o = _t(spark, sf_dir, "orders")
+    pct = F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.round(F.element_at(pct, 1), 4).alias("p50"),
+            F.round(F.element_at(pct, 2), 4).alias("p90"),
+            F.round(F.element_at(pct, 3), 4).alias("p99"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("med"),
+        )
+    )
+
+
+@query(
+    "q59_regexp_battery",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           regexp_matches(p_name, '^[a-z]+ ') AS starts_word,
+           length(regexp_replace(p_name, '[aeiou]', '', 'g')) AS n_after_devowel,
+           regexp_matches(p_name, '(red|blue|green)') AS has_color
+    FROM part
+    WHERE p_partkey < 500
+    """,
+)
+def q59_regexp_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar battery (extract / match / global replace) — all
+    codegen'd JVM regex, pushdown-friendly projection over a key-pruned
+    scan."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.col("p_name").rlike(r"^[a-z]+ ").alias("starts_word"),
+        F.length(F.regexp_replace("p_name", r"[aeiou]", "")).alias("n_after_devowel"),
+        F.col("p_name").rlike(r"(red|blue|green)").alias("has_color"),
+    )
+
+
+@query(
+    "t09_hash_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
+    """,
+)
+def t09_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-sample of the corpus (text.hash_sample):
+    ~12.5% of docs, identical membership on every engine/run/cluster
+    size — the reproducible alternative to TABLESAMPLE for pipeline
+    debugging and eval-set carving."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.where(text.hash_sample(F.col("doc_id"))).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -215,3 +215,12 @@ def test_quantize_embedding_roundtrip(emb):
         assert r["scale"] > 0
         assert 0 <= r["recon_rmse"] < 0.1      # int8 on unit-ish 64-dim vectors
         assert 0 <= r["q_l1_checksum"] <= 127 * r["n_dims"]
+
+
+def test_hash_sample_deterministic_fraction(docs):
+    """Same membership on every call; fraction near the 32/256 target."""
+    a = {r["doc_id"] for r in docs.where(text.hash_sample(F.col("doc_id"))).collect()}
+    b = {r["doc_id"] for r in docs.where(text.hash_sample(F.col("doc_id"))).collect()}
+    assert a == b and a
+    frac = len(a) / docs.count()
+    assert 0.06 <= frac <= 0.20

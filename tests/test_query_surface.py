@@ -310,3 +310,34 @@ def test_audit_log_records_interactive_queries(spark, tmpdir_path):
         assert off.record("x", "sql", "SELECT 1") is None and off.entries() == []
     finally:
         spark.sql("DROP TABLE IF EXISTS aud_tab")
+
+
+def test_catalog_contains_between_and_list_sources(spark, tmpdir_path):
+    """nosql.js metadata-query parity: contains / between filters
+    (nosql.js:394-490) and the info-surface source listing, both
+    ACL-scoped."""
+    cat = Catalog()
+    cat.record_query(CatalogEntry(
+        TableName="vpc_prod", Owners=["alice"], CreationUnixTime=100.0,
+        QuerySettings={"StgFolders": ["s3a://logs/prod/vpc"]}))
+    cat.record_query(CatalogEntry(
+        TableName="vpc_dev", Owners=["alice"], CreationUnixTime=200.0,
+        QuerySettings={"StgFolders": ["s3a://logs/dev/vpc"]}))
+    cat.record_query(CatalogEntry(
+        TableName="alb_prod", Owners=["bob"], CreationUnixTime=300.0,
+        QuerySettings={"StgFolders": ["s3a://logs/prod/alb"]}))
+
+    assert [e.TableName for e in cat.list(ALICE, table_contains="prod")] == ["vpc_prod"]
+    assert [e.TableName for e in cat.list(ADMIN, table_contains="prod",
+                                          sort_by="CreationUnixTime")] == [
+        "vpc_prod", "alb_prod",
+    ]
+    assert [e.TableName for e in cat.list(ADMIN, created_between=(150.0, 250.0))] == [
+        "vpc_dev",
+    ]
+    eng = Engine(spark, cat)
+    assert eng.list_sources(ALICE) == ["s3a://logs/dev/vpc", "s3a://logs/prod/vpc"]
+    assert eng.list_sources(ADMIN) == [
+        "s3a://logs/dev/vpc", "s3a://logs/prod/alb", "s3a://logs/prod/vpc",
+    ]
+    assert eng.list_sources(User("mallory")) == []
