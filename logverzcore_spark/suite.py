@@ -2678,6 +2678,104 @@ def t09_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q60_frame_battery",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(price) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+             AS rolling3,
+           ROUND(first_value(price) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW), 2) AS first_price,
+           ROUND(last_value(price) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND UNBOUNDED FOLLOWING), 2) AS final_price,
+           ROUND(nth_value(price, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND UNBOUNDED FOLLOWING), 2) AS second_price,
+           ROUND(lag(price, 1, 0.0) OVER w, 2) AS prev_price,
+           ROUND(lead(price, 1, -1.0) OVER w, 2) AS next_price
+    FROM (SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price
+          FROM orders WHERE o_custkey < 100)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+)
+def q60_frame_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame battery: ROWS frames (bounded rolling, running
+    first, whole-partition last/nth) plus lag/lead with defaults — all
+    six functions share one shuffle+sort per partition key. Frame inputs
+    are pre-rounded so both engines fold identical doubles."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") < 100)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("price").over(w.rowsBetween(-2, 0)), 2).alias("rolling3"),
+        F.round(
+            F.first("price").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("first_price"),
+        F.round(
+            F.last("price").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
+            2,
+        ).alias("final_price"),
+        F.round(
+            F.nth_value("price", 2).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
+            2,
+        ).alias("second_price"),
+        F.round(F.lag("price", 1, 0.0).over(w), 2).alias("prev_price"),
+        F.round(F.lead("price", 1, -1.0).over(w), 2).alias("next_price"),
+    )
+
+
+@query(
+    "st09_cdc_upsert",
+    oracle="""
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           event_type, ROUND(value, 2) AS value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def st09_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed CDC upsert (streaming/upsert.py): the event stream folds
+    into a bucket-partitioned latest-row-per-user table — per batch only
+    the touched hash buckets are merged and dynamically overwritten,
+    never the whole table. Graded result: the final table equals the
+    batch argmax per user."""
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.streaming.collect_stream import _events_stream
+    from logverzcore_spark.streaming.upsert import BUCKET_COL, upsert_stream
+
+    table = f"st09_upsert_{_uuid.uuid4().hex[:8]}"
+    stream = _events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    q = upsert_stream(
+        spark, stream, table, key_col="user_id", ts_col="ts",
+        tie_cols=["event_id"],
+        checkpoint_dir=os.path.join(tempfile.gettempdir(), f"ck_{table}"),
+    )
+    q.awaitTermination()
+    out = spark.table(table).select(
+        "user_id", "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "event_type", F.round("value", 2).alias("value"),
+    )
+    out = out.localCheckpoint(eager=True)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_meta")
+    return out
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -251,3 +251,75 @@ def test_dedup_stream_crash_between_appends(spark, monkeypatch):
     finally:
         for t in ("cw_docs", "cw_fp"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_upsert_fold_merges_replays_and_touches_only_buckets(spark):
+    """CDC upsert: latest-wins by (ts, tie), new beats old on full tie,
+    untouched buckets' FILES survive a later batch (partition-scoped
+    rewrite), and batch-id replays are no-ops."""
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.streaming.upsert import BUCKET_COL, make_upsert_fold
+
+    for t in ("ups_t", "ups_t_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    fold = make_upsert_fold(
+        spark, "ups_t", key_col="k", ts_col="ts", tie_cols=["rev"], n_buckets=8
+    )
+    b0 = spark.createDataFrame(
+        [("a", 1, 1, "v1"), ("a", 2, 1, "v2"), ("b", 1, 1, "w1")],
+        "k string, ts long, rev long, payload string",
+    )
+    try:
+        fold(b0, 0)
+        got = {r["k"]: r["payload"] for r in spark.table("ups_t").collect()}
+        assert got == {"a": "v2", "b": "w1"}  # in-batch latest-wins
+
+        files_before = {
+            r[0]
+            for r in spark.table("ups_t")
+            .select(F.input_file_name())
+            .distinct()
+            .collect()
+        }
+        # Batch 1 only touches key 'a' (newer ts) and new key 'c'.
+        b1 = spark.createDataFrame(
+            [("a", 5, 1, "v3"), ("c", 1, 1, "x1")],
+            "k string, ts long, rev long, payload string",
+        )
+        fold(b1, 1)
+        got = {r["k"]: r["payload"] for r in spark.table("ups_t").collect()}
+        assert got == {"a": "v3", "b": "w1", "c": "x1"}
+        # b's bucket differs from a/c's buckets → its file must be intact.
+        b_bucket = spark.table("ups_t").where("k = 'b'").select(BUCKET_COL).first()[0]
+        a_bucket = spark.table("ups_t").where("k = 'a'").select(BUCKET_COL).first()[0]
+        if b_bucket != a_bucket:
+            files_after = {
+                r[0]
+                for r in spark.table("ups_t")
+                .where("k = 'b'")
+                .select(F.input_file_name())
+                .distinct()
+                .collect()
+            }
+            assert files_after <= files_before
+
+        # Replay of batch 1: no-op.
+        fold(b1, 1)
+        assert spark.table("ups_t").count() == 3
+
+        # Full tie (same ts, same rev): the NEW row wins.
+        b2 = spark.createDataFrame(
+            [("b", 1, 1, "w2")], "k string, ts long, rev long, payload string"
+        )
+        fold(b2, 2)
+        assert {r["k"]: r["payload"] for r in spark.table("ups_t").collect()}["b"] == "w2"
+        # Stale update (older ts) does NOT regress the row.
+        b3 = spark.createDataFrame(
+            [("a", 3, 1, "stale")], "k string, ts long, rev long, payload string"
+        )
+        fold(b3, 3)
+        assert {r["k"]: r["payload"] for r in spark.table("ups_t").collect()}["a"] == "v3"
+    finally:
+        for t in ("ups_t", "ups_t_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
