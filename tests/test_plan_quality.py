@@ -193,3 +193,59 @@ def test_suite_global_plan_invariants(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_BY_DESIGN:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def _n_exchanges(fmt: str) -> int:
+    """Count physical Exchange NODES (the formatted plan mentions each
+    node twice: once in the tree, once as a '(n) Exchange' detail
+    header — count only the headers)."""
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange", fmt))
+
+
+@pytest.mark.parametrize(
+    "name", ["t09_hash_sample", "s05_embedding_quantize"],
+)
+def test_per_row_ops_have_zero_exchanges(spark, name):
+    """The sampling/quantization passes are pure per-row projections —
+    any Exchange in their plan is a regression (at 100 TB a spurious
+    shuffle of the corpus is the whole bill)."""
+    fmt = _plan(spark, SUITE[name](spark, SF_DIR))
+    assert _n_exchanges(fmt) == 0
+
+
+@pytest.mark.parametrize(
+    "name", ["t07_gopher_quality", "t08_dup_ngram_fraction"],
+)
+def test_quality_ops_shuffle_only_for_fanout(spark, name):
+    """t07/t08 are per-row projections over fan_out(): exactly one
+    round-robin spread of the raw rows, never a hash repartition of the
+    corpus."""
+    fmt = _plan(spark, SUITE[name](spark, SF_DIR))
+    assert _n_exchanges(fmt) <= 1
+    assert "hashpartitioning" not in fmt
+
+
+def test_t09_sample_filter_reaches_scan(spark):
+    """hash_sample is a deterministic filter; it must run before/at the
+    scan boundary, not after a wide projection."""
+    fmt = _plan(spark, SUITE["t09_hash_sample"](spark, SF_DIR))
+    assert "Filter" in fmt and _n_exchanges(fmt) == 0
+
+
+def test_q57_window_input_is_preaggregated(spark):
+    """The range window must consume the daily pre-aggregate (bounded
+    rows), never the raw orders — exactly two exchanges: the groupBy and
+    the window repartition."""
+    fmt = _plan(spark, SUITE["q57_rolling_7d_revenue"](spark, SF_DIR))
+    assert _n_exchanges(fmt) <= 2
+    assert "Window" in fmt and "HashAggregate" in fmt
+
+
+def test_q60_six_functions_one_window_pass(spark):
+    """All frame functions share one partition/order spec → exactly one
+    shuffle for the window (plus none for the scan filter)."""
+    fmt = _plan(spark, SUITE["q60_frame_battery"](spark, SF_DIR))
+    assert _n_exchanges(fmt) == 1
+    assert fmt.count("(") > 0 and fmt.count("Window") >= 1
