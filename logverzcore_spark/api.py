@@ -177,6 +177,26 @@ class Engine:
         visible = {e.TableName for e in self.catalog.list(user) if e.DatabaseName == db}
         return sorted(n for n in names if n in visible)
 
+    def audit_df(self, user: User = ADMIN) -> DataFrame:
+        """The audit log as a DataFrame (admin/poweruser only) — lets
+        operators run SQL over invocations, the reference's
+        Logverz-Invocations query surface (nosql.js serves it from
+        DynamoDB). The log is driver-side metadata, so this is a
+        createDataFrame over the in-memory records — bounded by audit
+        retention, not data scale."""
+        if not (user.is_admin or user.is_poweruser):
+            raise PermissionError("audit_df requires admin/poweruser")
+        if self.audit is None:
+            raise ValueError("no AuditLog attached to this Engine")
+        from dataclasses import asdict
+
+        rows = [asdict(r) for r in self.audit.entries()]
+        schema = (
+            "User string, Mode string, Query string, Tables array<string>, "
+            "Status string, Error string, ID string, UnixTime double"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
     def list_sources(self, user: User = ADMIN) -> list[str]:
         """The reference's info surface for collection sources (info.js
         lists the S3 buckets/folders available to collect from): here,

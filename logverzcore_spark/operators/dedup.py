@@ -124,6 +124,68 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs_per_shingle: int | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram containment: |A∩B| / |A| per DIRECTED pair.
+
+    Symmetric Jaccard under-scores subset relationships — a paragraph
+    quoted whole inside a much longer document has tiny Jaccard but
+    containment ≈ 1. Training-data pipelines use this to catch
+    quote-level duplication and benchmark text embedded in web pages
+    (the same reason d09's contamination check is one-directional).
+
+    Same inverted-index plan as ``ngram_jaccard_pairs``: one shuffle on
+    the shingle for the candidate intersection counts, sizes join back
+    per doc, and each unordered candidate emits its two directed scores
+    (an in-row explode — no extra shuffle). Output: (src_id, dst_id,
+    containment) where containment = |src ∩ dst| / |src| ≥ threshold.
+    """
+    from logverzcore_spark.operators.util import fan_out
+
+    sh = _shingle_table(fan_out(df), text_col, id_col, n)
+    if max_docs_per_shingle is not None:
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+        sh = sh.join(freq.where(F.col("df_") <= max_docs_per_shingle).select("sh"), "sh")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1"))
+    sb = sizes.select(F.col("doc_id").alias("id2"), F.col("n_sh").alias("n2"))
+    directed = (
+        inter.join(sa, "id1")
+        .join(sb, "id2")
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id1").alias("src_id"),
+                        F.col("id2").alias("dst_id"),
+                        F.round(F.col("n_inter") / F.col("n1"), 4).alias("containment"),
+                    ),
+                    F.struct(
+                        F.col("id2").alias("src_id"),
+                        F.col("id1").alias("dst_id"),
+                        F.round(F.col("n_inter") / F.col("n2"), 4).alias("containment"),
+                    ),
+                )
+            ).alias("d")
+        )
+        .select("d.src_id", "d.dst_id", "d.containment")
+    )
+    return directed.where(F.col("containment") >= threshold)
+
+
 def minhash_signature(col: Column, num_hashes: int = 128, n: int = 3) -> Column:
     """MinHash signature: per seed s, min over shingles of xxhash64(sh, s)."""
     sh = shingles(col, n)

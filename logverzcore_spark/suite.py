@@ -2776,6 +2776,93 @@ def st09_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "d11_containment",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, greatest(len(t)-2, 0)+1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+      FROM tok
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), directed AS (
+      SELECT id1 AS src_id, id2 AS dst_id,
+             ROUND(c * 1.0 / s1.n, 4) AS containment
+      FROM inter JOIN sz s1 ON s1.doc_id = id1
+      UNION ALL
+      SELECT id2, id1, ROUND(c * 1.0 / s2.n, 4)
+      FROM inter JOIN sz s2 ON s2.doc_id = id2
+    )
+    SELECT src_id, dst_id, containment FROM directed WHERE containment >= 0.5
+    """,
+)
+def d11_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed n-gram containment pairs (dedup.containment_pairs):
+    catches subset/quote duplication that symmetric Jaccard (d02)
+    under-scores."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.containment_pairs(docs, threshold=0.5)
+
+
+@query(
+    "t10_source_scorecard",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source, n_chars,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), m AS (
+      SELECT source, n_chars, len(toks) AS n_words,
+             CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+                  AS DOUBLE) / greatest(len(toks), 1) AS mean_len,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                  AS DOUBLE) / greatest(len(toks), 1) AS alpha_ratio,
+             len(list_filter(list_transform(toks, x -> lower(x)),
+                 x -> x IN ('the','a','an','and','or','of','to','in','is'))) AS n_stop_hits
+      FROM t
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_words >= 50 AND n_words <= 100000
+                          AND mean_len >= 3 AND mean_len <= 10
+                          AND alpha_ratio >= 0.8 AND n_stop_hits >= 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           ROUND(SUM(CASE WHEN n_words >= 50 AND n_words <= 100000
+                           AND mean_len >= 3 AND mean_len <= 10
+                           AND alpha_ratio >= 0.8 AND n_stop_hits >= 2
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS keep_rate,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM m GROUP BY source
+    """,
+)
+def t10_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus scorecard: Gopher keep-rate + volume per crawl
+    source — the 'which sources are garbage' dashboard query. Composes
+    the t07 projection with one map-side-combined groupBy on source."""
+    docs = _t(spark, sf_dir, "documents")
+    g = text.gopher_quality(docs)
+    return (
+        g.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_keep"),
+            F.round(F.sum(F.col("keep").cast("int")) / F.count(F.lit(1)), 4).alias(
+                "keep_rate"
+            ),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

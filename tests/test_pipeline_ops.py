@@ -224,3 +224,19 @@ def test_hash_sample_deterministic_fraction(docs):
     assert a == b and a
     frac = len(a) / docs.count()
     assert 0.06 <= frac <= 0.20
+
+
+def test_containment_asymmetry(spark):
+    """A short doc fully embedded in a long doc has containment 1.0 in
+    the short→long direction and < 1 the other way."""
+    short = "alpha beta gamma delta epsilon"
+    long = short + " zeta eta theta iota kappa " + "filler " * 20
+    df = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    got = {
+        (r["src_id"], r["dst_id"]): r["containment"]
+        for r in dedup.containment_pairs(df, threshold=0.0).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert got[(2, 1)] < 0.5

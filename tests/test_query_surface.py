@@ -341,3 +341,24 @@ def test_catalog_contains_between_and_list_sources(spark, tmpdir_path):
         "s3a://logs/dev/vpc", "s3a://logs/prod/alb", "s3a://logs/prod/vpc",
     ]
     assert eng.list_sources(User("mallory")) == []
+
+
+def test_audit_df_sql_surface(spark, tmpdir_path):
+    """Admins can run SQL over the audit log; non-admins cannot."""
+    from logverzcore_spark.audit import AuditLog
+
+    cat = Catalog()
+    spark.range(3).write.mode("overwrite").saveAsTable("adf_tab")
+    cat.record_query(CatalogEntry(TableName="adf_tab", Owners=["alice"]))
+    eng = Engine(spark, cat, audit=AuditLog())
+    try:
+        eng.sql("SELECT count(*) AS n FROM adf_tab", ALICE).collect()
+        with pytest.raises(PermissionError):
+            eng.sql("SELECT * FROM adf_tab", User("mallory"))
+        adf = eng.audit_df(ADMIN)
+        assert adf.count() == 2
+        assert adf.where("Status = 'denied'").first()["User"] == "mallory"
+        with pytest.raises(PermissionError):
+            eng.audit_df(ALICE)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS adf_tab")
