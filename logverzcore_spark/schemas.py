@@ -418,11 +418,40 @@ COSTDEMOAZURE = DataType(
     ),
 )
 
+# System-table DataTypes (Logverz-Engine.json registry entries the
+# platform itself writes): job status rows and quarantined-row records.
+# Registered so their tables are describable/viewable like any dataset —
+# ingest's metrics_table/quarantine_table sinks produce these shapes.
+INVOCATIONS = DataType(
+    name="Invocations",
+    format="csv",
+    schema=_schema(
+        ("jobid", "string"), ("invocationid", "string"),
+        ("updateunixtime", "long"), ("status", "string"),
+        ("loggroup", "string"), ("logstream", "string"),
+    ),
+    views={"Default": ["jobid", "invocationid", "status", "logstream"]},
+)
+
+
+PROCESSINGERRORS = DataType(
+    name="ProcessingErrors",
+    format="csv",
+    schema=_schema(
+        ("jobid", "string"), ("invocationid", "string"),
+        ("updateunixtime", "long"), ("errormessage", "string"),
+        ("path", "string"), ("loggroup", "string"), ("logstream", "string"),
+    ),
+    views={"Default": ["jobid", "invocationid", "logstream", "errormessage"]},
+)
+
+
 REGISTRY: dict[str, DataType] = {
     dt.name: dt
     for dt in (
         VPCFLOW, CLOUDTRAIL, APPLICATIONLB, CLASSICLB, NETWORKLB,
         CLOUDFRONT, WINDOWSDEMOEVENTS, COSTDEMOAWS, COSTDEMOAZURE,
+        INVOCATIONS, PROCESSINGERRORS,
     )
 }
 
@@ -435,6 +464,14 @@ def get_datatype(name: str, custom_schema: str | None = None) -> DataType:
         if not custom_schema:
             raise ValueError("Custom DataType requires a schema string")
         return DataType(name="Custom", schema=parse_custom_schema(custom_schema))
+    if name == "SetDataTypePlease":
+        # The reference registry's placeholder entry is a prose string,
+        # not a schema ("must change", Logverz-Engine.json) — jobs
+        # submitted without picking a type fail loudly there and here.
+        raise ValueError(
+            "DataType 'SetDataTypePlease' is the registry placeholder — "
+            "set the job's DataType to a real schema"
+        )
     if name not in REGISTRY:
         raise KeyError(f"unknown DataType {name!r}; known: {sorted(REGISTRY)}")
     return REGISTRY[name]

@@ -411,3 +411,21 @@ def test_zip_csv_quoted_embedded_newline(spark, tmpdir_path):
         "2": ("line one\nline two", "B"),
         "3": ("plain", "C"),
     }
+
+
+def test_system_datatypes_and_placeholder():
+    """Registry parity with the reference's 12 schema entries: the
+    system-table shapes (Invocations, ProcessingErrors) resolve with
+    their Default views; the SetDataTypePlease placeholder fails loudly
+    (its registry 'schema' is a prose string in the reference too)."""
+    import pytest
+
+    from logverzcore_spark.schemas import REGISTRY, get_datatype
+
+    inv = get_datatype("Invocations")
+    assert inv.views["Default"] == ["jobid", "invocationid", "status", "logstream"]
+    pe = get_datatype("ProcessingErrors")
+    assert "errormessage" in [f.name for f in pe.schema.fields]
+    with pytest.raises(ValueError):
+        get_datatype("SetDataTypePlease")
+    assert len(REGISTRY) == 11  # 9 log types + 2 system shapes
