@@ -292,6 +292,74 @@ def dup_ngram_fraction(df: DataFrame, text_col: str = "text", n: int = 3) -> Dat
     ).drop("_toks", "_grams")
 
 
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Greedy sequence packing for training: assign documents to
+    fixed-token-budget packs (context windows), deterministically.
+
+    Docs are sharded by a hash digit (packing parallelism = shard count —
+    scale it with the cluster), ordered within the shard by (hash, id)
+    so the layout is engine/run/cluster-size stable, then packed by the
+    EXCLUSIVE prefix sum of token counts: ``pack_id = shard * 2^32 +
+    floor(cum_excl / max_tokens)``. Every pack holds ≤ max_tokens plus
+    at most one straddling document (the standard streaming-pack bound —
+    same scheme as multimodal.plan_decode_batches, applied to tokens).
+    One window pass per shard; the text column itself is only read for
+    the token count."""
+    shard = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 1), 16, 10).cast(
+        "int"
+    ) % n_shards
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        shard.alias("shard"),
+        F.md5(F.col(id_col).cast("string")).alias("_ord"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_excl = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    pack = F.col("shard").cast("long") * F.lit(4294967296) + F.floor(
+        cum_excl / F.lit(max_tokens)
+    )
+    return staged.select(
+        "doc_id", "shard", "n_tokens", pack.alias("pack_id")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-source mixture sampling: keep each row with its
+    source's target rate, decided by a stable id-hash draw (first 8 md5
+    hex digits / 16^8 ∈ [0,1)). The way corpus mixtures (web/books/code
+    quotas) are materialized reproducibly — re-runs, engines, and
+    cluster sizes all select the same rows, unlike ``sample()``. Pure
+    projection + filter; pushes to the scan."""
+    u = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(4294967296.0)
+    rate = None
+    for src, r in sorted(rates.items()):
+        cond = F.col(source_col) == src
+        rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
+    rate = rate.otherwise(F.lit(default_rate)) if rate is not None else F.lit(default_rate)
+    return df.where(u < rate)
+
+
 def hash_sample(id_col: Column, keep_hex_lt: str = "20") -> Column:
     """Deterministic corpus sampling predicate: keep rows whose
     ``md5(id)`` first two hex digits sort below ``keep_hex_lt``

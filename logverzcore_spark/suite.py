@@ -2863,6 +2863,63 @@ def t10_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t11_sequence_packing",
+    oracle=r"""
+    WITH staged AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS BIGINT)
+                  % 16 AS INTEGER) AS shard,
+             md5(CAST(doc_id AS VARCHAR)) AS ord_key,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ord_key, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS cum_excl
+      FROM staged
+    )
+    SELECT doc_id, shard, CAST(n_tokens AS INTEGER) AS n_tokens,
+           shard * 4294967296 + CAST(FLOOR(cum_excl / 512.0) AS BIGINT) AS pack_id
+    FROM packed
+    """,
+)
+def t11_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic greedy sequence packing (text.pack_sequences):
+    documents assigned to 512-token context-window packs, stable across
+    engines/runs/cluster sizes; packing parallelism = shard count."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.pack_sequences(docs, max_tokens=512)
+
+
+@query(
+    "t12_mixture_sample",
+    oracle="""
+    WITH drawn AS (
+      SELECT doc_id, source, n_chars,
+             CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                  AS DOUBLE) / 4294967296.0 AS u,
+             CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                         WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1
+                         ELSE 0.05 END AS rate
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars FROM drawn WHERE u < rate
+    """,
+)
+def t12_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source mixture sampling (text.mixture_sample):
+    materialize a corpus mixture (quotas per crawl source) with stable
+    id-hash draws — identical membership on every engine and re-run."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.mixture_sample(
+        docs,
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1},
+        default_rate=0.05,
+    ).select("doc_id", "source", "n_chars")
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -240,3 +240,40 @@ def test_containment_asymmetry(spark):
     }
     assert got[(1, 2)] == 1.0
     assert got[(2, 1)] < 0.5
+
+
+def test_pack_sequences_bound_and_determinism(docs):
+    """Streaming-pack bound: every pack's token total minus its last
+    (straddling) doc stays under the budget; assignment is identical
+    across calls."""
+    out = text.pack_sequences(docs, max_tokens=512).collect()
+    packs = {}
+    for r in out:
+        packs.setdefault(r["pack_id"], []).append(r["n_tokens"])
+    for toks in packs.values():
+        assert sum(toks) - max(toks) < 512
+    again = text.pack_sequences(docs, max_tokens=512).collect()
+    assert {(r["doc_id"], r["pack_id"]) for r in again} == {
+        (r["doc_id"], r["pack_id"]) for r in out
+    }
+
+
+def test_mixture_sample_rates(docs):
+    """Kept fraction per source tracks its target rate; src0 keeps all;
+    membership is deterministic."""
+    rates = {"src0": 1.0, "src1": 0.5, "src3": 0.0}
+    kept = text.mixture_sample(docs, rates, default_rate=0.1)
+    by_src = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    totals = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_src["src0"] == totals["src0"]
+    assert "src3" not in by_src
+    assert 0.2 <= by_src["src1"] / totals["src1"] <= 0.8  # small-n tolerance
+    a = {r["doc_id"] for r in kept.collect()}
+    b = {r["doc_id"] for r in text.mixture_sample(docs, rates, default_rate=0.1).collect()}
+    assert a == b
