@@ -79,6 +79,38 @@ def pandas_map(df: DataFrame, p: dict) -> DataFrame:
     return df.mapInPandas(p["fn"], p["schema"])
 
 
+#: PII patterns for redact_pii — deliberately simple, public-knowledge
+#: regexes (emails, IPv4, E.164-ish phone numbers, 16-digit card runs);
+#: a production pipeline swaps in its own catalog per policy.
+#: Order matters and is load-bearing: email and ipv4 first (so their
+#: digits aren't half-eaten by the looser numeric patterns), card before
+#: phone (a spaced 16-digit card run also matches the phone regex).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "card": r"\b(?:\d[ -]?){15,16}\b",
+    "phone": r"\+?\d[\d\s().-]{7,}\d",
+}
+
+
+@register_transform("redact_pii")
+def redact_pii(df: DataFrame, p: dict) -> DataFrame:
+    """Redact PII spans in a text column, replacing each with a typed
+    token (``<EMAIL>``, ``<IPV4>``, …) — the standard scrub pass before
+    text enters a training corpus. Patterns apply in a fixed order
+    (email before phone, so digits inside an address aren't half-eaten);
+    ``kinds`` selects a subset. Chained regexp_replace stays codegen'd —
+    no UDF, no shuffle."""
+    col = p["column"]
+    kinds = p.get("kinds", list(PII_PATTERNS))
+    out = F.col(f"`{col}`")
+    for kind in kinds:
+        if kind not in PII_PATTERNS:
+            raise KeyError(f"unknown PII kind {kind!r}; known: {sorted(PII_PATTERNS)}")
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return df.withColumn(p.get("target", col), out)
+
+
 @register_transform("normalize_text")
 def normalize_text(df: DataFrame, p: dict) -> DataFrame:
     """Canonicalize a text column for dedup/training: lowercase, strip

@@ -88,3 +88,33 @@ def test_normalize_text_transform(spark):
     )
     out = [r["t"] for r in apply_transforms(df, [{"name": "normalize_text", "column": "t"}]).collect()]
     assert out == ["hello world test", "already clean"]
+
+
+def test_redact_pii_transform(spark):
+    from logverzcore_spark.transforms import apply_transforms
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.co from 10.1.2.3 or +1 (415) 555-0100 now"),
+            (2, "card 4111 1111 1111 1111 plain text stays"),
+            (3, "nothing sensitive here"),
+        ],
+        "id long, body string",
+    )
+    out = {
+        r["id"]: r["body"]
+        for r in apply_transforms(
+            df, [{"name": "redact_pii", "column": "body"}]
+        ).collect()
+    }
+    assert out[1] == "mail <EMAIL> from <IPV4> or <PHONE> now"
+    assert out[2] == "card <CARD> plain text stays"
+    assert out[3] == "nothing sensitive here"
+    # kinds subset: only emails touched
+    only_email = {
+        r["id"]: r["body"]
+        for r in apply_transforms(
+            df, [{"name": "redact_pii", "column": "body", "kinds": ["email"]}]
+        ).collect()
+    }
+    assert "10.1.2.3" in only_email[1] and "<EMAIL>" in only_email[1]
