@@ -88,7 +88,7 @@ def pandas_map(df: DataFrame, p: dict) -> DataFrame:
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
-    "card": r"\b(?:\d[ -]?){15,16}\b",
+    "card": r"\b\d(?:[ -]?\d){14,15}\b",
     "phone": r"\+?\d[\d\s().-]{7,}\d",
 }
 
