@@ -2920,6 +2920,105 @@ def t12_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_chars")
 
 
+@query(
+    "q61_global_sales_opportunity",
+    oracle="""
+    WITH eligible AS (
+      SELECT CAST(c_nationkey + 10 AS VARCHAR) AS cc, c_custkey, c_acctbal
+      FROM customer
+      WHERE CAST(c_nationkey + 10 AS VARCHAR) IN ('13','31','23','29','30','18','17')
+        AND c_acctbal > (
+          SELECT AVG(c_acctbal) FROM customer
+          WHERE c_acctbal > 0.00
+            AND CAST(c_nationkey + 10 AS VARCHAR) IN ('13','31','23','29','30','18','17')
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 350000
+        )
+    )
+    SELECT cc, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM eligible GROUP BY cc
+    """,
+)
+def q61_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: country code (TPC-H defines phone CC = nationkey+10;
+    the synthetic customer table has no c_phone, so derive it directly),
+    IN-list, scalar AVG subquery (broadcast one-row cross join), and a
+    NOT EXISTS anti-join against orders — the composite that exercises
+    scalar-subquery + anti-join planning together. The avg is computed
+    once, broadcast; the anti-join shuffles on custkey only."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 350000)
+        .select("o_custkey")
+    )
+    codes = ["13", "31", "23", "29", "30", "18", "17"]
+    cc = (F.col("c_nationkey") + 10).cast("string")
+    base = cust.where(cc.isin(codes))
+    avg_bal = base.where(F.col("c_acctbal") > 0.00).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    eligible = (
+        base.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        eligible.groupBy(cc.alias("cc"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            _money_sum("c_acctbal").alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "q62_top_supplier_revenue",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT))
+                  AS BIGINT)/100.0 AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q62_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: a revenue 'view' consumed twice — once for the
+    per-supplier totals, once for the global MAX scalar subquery. The
+    revenue aggregate is computed once and reused (same frame object →
+    Spark reuses the exchange); the max arrives as a broadcast one-row
+    frame, supplier joins broadcast the small side."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("bigint")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg((F.sum(cents).cast("bigint") / 100.0).alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .where(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -181,6 +181,8 @@ def test_suite_global_plan_invariants(spark):
         "q42_funnel_steps",     # single-row per-step aggregates cross-joined
         "q44_hourly_gap_fill",  # sequence spine x broadcast bounds row
         "t04_tfidf_top_terms",  # single-row corpus-size constant join
+        "q61_global_sales_opportunity",  # single-row scalar AVG subquery join
+        "q62_top_supplier_revenue",      # single-row scalar MAX subquery join
     }
     streaming = {n for n in SUITE if n.startswith("st")}  # run eagerly; skip
     offenders = {}
