@@ -46,6 +46,16 @@ def test_minhash_candidates_superset_of_high_jaccard(docs):
     assert exact == lsh
 
 
+def test_cosine_topk_blas_matches_jvm(emb):
+    """The BLAS variant is an exact drop-in: identical rows, same order
+    contract, same 6-dp rounding as the codegen'd HOF path."""
+    queries = emb.where(F.col("vec_id") < 10)
+    jvm = similarity.cosine_topk(emb, queries, k=5).collect()
+    blas = similarity.cosine_topk_blas(emb, queries, k=5).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(jvm, key=key) == sorted(blas, key=key)
+
+
 def test_simhash_symmetry_and_threshold(docs):
     pairs = dedup.simhash_neardup_pairs(docs, max_hamming=3).collect()
     for r in pairs:
