@@ -3019,6 +3019,38 @@ def q62_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "m05_audio_frame_features",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, text, i
+      FROM documents, LATERAL (SELECT UNNEST(range(0, length(text))) AS i)
+    ), vals AS (
+      SELECT doc_id, CAST(i // 32 AS INTEGER) AS frame_idx,
+             unicode(substr(text, CAST(i + 1 AS INTEGER), 1)) AS v
+      FROM pos
+    )
+    SELECT doc_id, frame_idx, COUNT(*) AS n_bytes,
+           ROUND(SQRT(AVG(CAST(v AS DOUBLE) * v)), 6) AS rms,
+           CAST(MAX(v) AS INTEGER) AS peak
+    FROM vals GROUP BY doc_id, frame_idx
+    """,
+)
+def m05_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio featurization: payload bytes as header-less 8-bit
+    PCM, framed into 32-byte windows; per-frame RMS + peak via a 1→N
+    numpy mapInPandas (operators/multimodal.py). The payloads are the
+    UTF-8 document bytes (pure ASCII in the synthetic corpus), so the
+    oracle replays the byte values as character codes — frame sums are
+    exact integers in float64, making RMS bit-identical across engines."""
+    from logverzcore_spark.operators.multimodal import audio_frame_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return audio_frame_features(docs, payload_col="payload", id_col="doc_id")
+
+
 # ---------------------------------------------------------------------------
 
 

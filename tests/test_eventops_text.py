@@ -118,6 +118,19 @@ def test_hll_sketch_within_error_bound(spark):
         assert abs(est[k] - e) / e < 0.05, (k, est[k], e)
 
 
+def test_audio_frame_features_exact(spark):
+    """Known byte pattern → hand-computable RMS/peak per 4-byte frame,
+    including the short tail frame."""
+    from logverzcore_spark.operators.multimodal import audio_frame_features
+
+    df = spark.createDataFrame([(1, bytearray([10, 10, 10, 10, 20, 20]))], "doc_id long, payload binary")
+    rows = sorted(
+        (r["doc_id"], r["frame_idx"], r["n_bytes"], r["rms"], r["peak"])
+        for r in audio_frame_features(df, frame_bytes=4).collect()
+    )
+    assert rows == [(1, 0, 4, 10.0, 10), (1, 1, 2, 20.0, 20)]
+
+
 def test_plan_frame_samples_fanout(spark):
     from logverzcore_spark.operators.multimodal import plan_frame_samples
 
