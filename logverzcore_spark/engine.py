@@ -87,6 +87,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         for field in df.schema.fields:
             if field.name == "ts" and isinstance(field.dataType, T.LongType):
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Naive (isAdjustedToUTC=false) parquet timestamps land as TIMESTAMP_NTZ
+    # under Spark 4's NTZ inference. The suite and its DuckDB oracles treat
+    # wall-clock values as UTC instants (session TZ pinned above), and
+    # instant-functions like unix_micros reject NTZ — so normalize to
+    # TIMESTAMP here. Under a UTC session the cast keeps the wall-clock
+    # value bit-for-bit.
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    for col in ntz:
+        df = df.withColumn(col, F.col(col).cast(T.TimestampType()))
     return df
 
 

@@ -192,6 +192,11 @@ def _events_stream(spark: SparkSession, events_path: str, schema=None):
     for field in schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.name == "ts" and isinstance(field.dataType, T.TimestampNTZType):
+            # Naive-micros parquet lands as NTZ under Spark 4 inference;
+            # the suite treats wall-clock as UTC instants (session TZ is
+            # pinned above), and watermarks/windows here expect TIMESTAMP.
+            stream = stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return stream
 
 
