@@ -81,6 +81,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # nanos-timestamped events table. The conf only changes how NANOS
     # columns land (as long); micros-timestamp tables are unaffected.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Naive (isAdjustedToUTC=false) parquet timestamps otherwise land as
+    # TIMESTAMP_NTZ under Spark 4's inference; the suite and its DuckDB
+    # oracles treat wall-clock values as UTC instants (session TZ pinned
+    # above), and instant functions (unix_micros, watermarks) reject NTZ.
+    # Disabling the inference makes the SCAN itself produce TIMESTAMP —
+    # unlike a post-scan cast, this keeps min/max + predicate pushdown on
+    # timestamp columns (l_shipdate, o_orderdate) intact.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events":

@@ -176,6 +176,9 @@ def _events_stream(spark: SparkSession, events_path: str, schema=None):
     # Eager, not an on-error fallback: the fallback costs an aborted read
     # job + ERROR noise on first contact with the nanos file.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Keep naive parquet timestamps as TIMESTAMP at the scan (see
+    # engine.read_table) — watermarks/windows here expect instants.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # Window-start rendering (date_format) is session-TZ-dependent; a
     # driver-built session may not be UTC, and a streaming query may be
     # the FIRST suite query to run (so read_table's pin hasn't fired).
@@ -350,6 +353,7 @@ def run_stream_stream_join(
     state store retains only the join window, not the full streams —
     the canonical Spark pattern for correlating two event feeds."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     schema = spark.read.parquet(events_path).schema
     views = (
         _events_stream(spark, events_path, schema)
