@@ -548,6 +548,50 @@ def embedding_neardup_pairs(
         .where(F.round(cos, 6) >= threshold)
     )
 
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (public method — Abbas et
+    al., arXiv:2303.09540): partition the embedding space into cells,
+    connect intra-cell pairs whose cosine exceeds ``threshold``, and keep
+    one representative per connected group.
+
+    Spark-first shape: the cell assignment is deterministic sign-bit
+    bucketing over LCG hyperplanes (similarity._hyperplanes) instead of
+    k-means — same role (bound the pairwise work to within-cell) but
+    data-independent and replayable in plain SQL, so the WHOLE operator
+    is hash-verifiable against an external oracle (suite d12). The cell
+    id is codegen'd column arithmetic; candidate pairs come from an
+    equi-self-join on the cell (never a cross join); transitive grouping
+    reuses ``dup_clusters``'s min-label propagation.
+
+    Scale: 2^n_planes cells. At 100 TB raise ``n_planes`` so cells stay
+    ~10³-10⁴ vectors (SemDeDup likewise scales its k-means cluster count
+    with corpus size); the per-cell pair expansion is the only
+    super-linear step and is bounded by the largest cell.
+
+    Returns (id_col, cluster_id, is_rep): every input row labeled with
+    its semantic-duplicate group, ``is_rep`` marking the min-id survivor
+    (filter on it to materialize the deduplicated corpus).
+    """
+    from logverzcore_spark.operators import similarity
+
+    planes = similarity._hyperplanes(dim, n_planes)
+    cells = df.withColumn(
+        "_cell", similarity.lsh_bucket(F.col(vec_col).cast("array<double>"), planes)
+    )
+    pairs = embedding_neardup_pairs(
+        cells, threshold=threshold, vec_col=vec_col, id_col=id_col, block_col="_cell"
+    )
+    return dup_clusters(df, pairs, id_col=id_col, max_iterations=max_iterations)
+
+
 def contamination_check(
     df: DataFrame,
     benchmark: DataFrame,

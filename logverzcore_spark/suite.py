@@ -3051,6 +3051,55 @@ def m05_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_frame_features(docs, payload_col="payload", id_col="doc_id")
 
 
+def _d12_oracle(dim: int = 64, n_planes: int = 4, threshold: float = 0.25) -> str:
+    planes = similarity._hyperplanes(dim, n_planes)
+    values = ",\n      ".join(
+        f"({p}, {_sql_double_array(row)})" for p, row in enumerate(planes)
+    )
+    return f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), planes(p, plane) AS (VALUES
+      {values}
+    ), b AS (
+      SELECT v.vec_id, v.e,
+             SUM(CASE WHEN list_dot_product(v.e, p.plane) >= 0
+                      THEN (1::BIGINT << p.p) ELSE 0 END) AS cell
+      FROM v CROSS JOIN planes p GROUP BY v.vec_id, v.e
+    ), n AS (
+      SELECT vec_id, e, cell, sqrt(list_dot_product(e, e)) AS nrm FROM b
+    ), pairs AS (
+      SELECT a.vec_id AS id1, c.vec_id AS id2
+      FROM n a JOIN n c ON a.cell = c.cell AND a.vec_id < c.vec_id
+      WHERE ROUND(list_dot_product(a.e, c.e) / (a.nrm * c.nrm), 6) >= {threshold}
+    ), edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs UNION ALL SELECT id2, id1 FROM pairs
+    ), reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a
+    ), labels AS (
+      SELECT v.vec_id, LEAST(v.vec_id, COALESCE(MIN(r.dst), v.vec_id)) AS cluster_id
+      FROM v LEFT JOIN reach r ON r.src = v.vec_id
+      GROUP BY v.vec_id
+    )
+    SELECT vec_id, cluster_id, vec_id = cluster_id AS is_rep FROM labels
+    """
+
+
+@query("d12_semantic_dedup", oracle=_d12_oracle())
+def d12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/dedup.semantic_dedup):
+    deterministic hyperplane cells bound the pairwise cosine work, cos ≥
+    0.25 pairs are grouped transitively (min-label propagation), one
+    representative survives per semantic group. Hash-verified end to end:
+    the oracle replays the literal LCG planes, the sign-bit cell ids, the
+    rounded-cosine pair predicate, and the connected components as a
+    recursive transitive closure."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup(emb, dim=64, threshold=0.25, n_planes=4)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -287,3 +287,22 @@ def test_mixture_sample_rates(docs):
     a = {r["doc_id"] for r in kept.collect()}
     b = {r["doc_id"] for r in text.mixture_sample(docs, rates, default_rate=0.1).collect()}
     assert a == b
+
+
+def test_semantic_dedup_partitions_and_transitivity(emb):
+    """semantic_dedup labels every vector exactly once; cluster reps are
+    the min member id; merging is genuinely transitive (a cluster can be
+    wider than any single pairwise edge's endpoints)."""
+    out = dedup.semantic_dedup(emb, dim=64, threshold=0.25, n_planes=4)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    by_cluster: dict[int, list[int]] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["vec_id"])
+    for cid, members in by_cluster.items():
+        assert cid == min(members)  # label = min member id
+    reps = [r for r in rows if r["is_rep"]]
+    assert len(reps) == len(by_cluster)  # exactly one representative each
+    # The survivors must be strictly fewer than the corpus (the sf0.01
+    # embeddings contain same-label near-dup groups by construction).
+    assert len(by_cluster) < len(rows)
