@@ -385,3 +385,181 @@ def ivf_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (public method — Jégou et al., "Product Quantization
+# for Nearest Neighbor Search", IEEE TPAMI 2011)
+# ---------------------------------------------------------------------------
+
+
+def lcg_codebooks(dim: int, m: int, n_codes: int) -> list[list[list[float]]]:
+    """``m`` sub-codebooks of ``n_codes`` codewords over ``dim // m``-wide
+    subspaces, drawn from the LCG stream — deterministic and
+    engine-portable (a SQL oracle can hold the same literals), the PQ
+    analog of ``lcg_centroids``. Random codebooks quantize worse than
+    k-means-trained ones (pass trained ones to ``pq_topk`` for recall);
+    their value is exact cross-engine replayability."""
+    sub = dim // m
+    flat = _hyperplanes(sub, m * n_codes)
+    return [[flat[s * n_codes + j] for j in range(n_codes)] for s in range(m)]
+
+
+def trained_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Per-subspace k-means codebooks from a bounded, deterministic
+    corpus sample (same stride-sample + local-iterations shape as
+    ``ivf_topk``'s centroid path: numpy on ≤4096 driver-side rows, the
+    corpus itself never leaves the executors)."""
+    sub = dim // m
+    c = corpus.select(F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nvec"))
+    sample = [
+        [float(x) for x in r["nvec"]]
+        for r in c.orderBy(F.pmod(F.xxhash64("nid"), F.lit(9973)), "nid")
+        .limit(min(4096, 64 * n_codes))
+        .collect()
+    ]
+    X = np.array(sample, dtype=np.float64)
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        Xs = X[:, s * sub : (s + 1) * sub]
+        cents = Xs[:: max(1, len(Xs) // n_codes)][:n_codes].copy()
+        for _ in range(5):
+            d = ((Xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for ci in range(len(cents)):
+                members = Xs[assign == ci]
+                if len(members):
+                    cents[ci] = members.mean(axis=0)
+        books.append([[float(x) for x in row] for row in cents])
+    return books
+
+
+#: Fixed-point grid for PQ distances / lookup tables: coarse enough that
+#: a ~1e-13 cross-engine float discrepancy (BLAS matmul vs sequential SQL
+#: fold) cannot move a value across a rounding boundary (P ≈ 1e-9 per
+#: value), fine enough (1e-4) to rank subspace distances of O(1)-O(10).
+#: Genuinely equal quantized values tie and break on the code index —
+#: identical in both engines. floor(x*S + 0.5) is half-up in both numpy
+#: and SQL (the suite's money-cents pattern).
+PQ_SCALE = 10_000
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """PQ-compressed ANN top-k with asymmetric distance computation.
+
+    Encode once: each corpus vector becomes ``m`` 4-bit codes (argmin
+    codeword per subspace) — 64 float32 components collapse to m·log2(n_codes)
+    bits, the memory lever that keeps a 100 TB embedding corpus scannable.
+    Score per query: a lookup table of query-subvector × codeword dots
+    (m·n_codes floats per query) replaces every full dot product; the
+    corpus pass is ONE narrow Arrow-batched map (table lookups + integer
+    sums — no shuffle), followed by the top-k rank shuffle on query id.
+
+    Distances and LUT entries live on a fixed-point grid (``PQ_SCALE``)
+    so encode and scoring are bit-reproducible across engines and
+    summation orders — suite s05b replays this operator in SQL.
+
+    The query side is collected driver-side to build LUTs (bounded by the
+    query count — the small side by definition, same bound as the
+    centroid sample). Returns (query_id, neighbor_id, approx_cosine,
+    rank); approx_cosine is the ADC estimate cos(q, reconstruct(x)), not
+    the exact cosine.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if dim is None:
+        raise ValueError("pq_topk requires dim= (embedding width)")
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    if codebooks is None:
+        codebooks = lcg_codebooks(dim, m, n_codes)
+    C = np.array(codebooks, dtype=np.float64)  # (m, n_codes, sub)
+    c2 = (C * C).sum(axis=2)  # (m, n_codes) codeword squared norms
+    c2_int = np.floor(c2 * PQ_SCALE + 0.5).astype(np.int64)
+
+    qrows = (
+        queries.select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec"))
+        .orderBy("qid")
+        .collect()
+    )
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r["qvec"]) for r in qrows], dtype=np.float64)  # (nq, dim)
+    qnorm = np.sqrt((Q * Q).sum(axis=1))  # (nq,)
+    # LUT[i, s, j] = <query_i restricted to subspace s, codeword j>,
+    # fixed-point. ADC dot = sum_s LUT[i, s, code_s] — integer-exact.
+    lut = np.stack(
+        [Q[:, s * sub : (s + 1) * sub] @ C[s].T for s in range(m)], axis=1
+    )  # (nq, m, n_codes)
+    lut_int = np.floor(lut * PQ_SCALE + 0.5).astype(np.int64)
+    nq = len(qids)
+
+    @pandas_udf("array<struct<qid:long,adc:long,recon:long>>")
+    def score_vec(vecs: pd.Series) -> pd.Series:
+        X = np.array(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        batch = len(X)
+        codes = np.empty((batch, m), dtype=np.int64)
+        for s in range(m):
+            dist = c2[s][None, :] - 2.0 * (X[:, s * sub : (s + 1) * sub] @ C[s].T)
+            dist_int = np.floor(dist * PQ_SCALE + 0.5)
+            codes[:, s] = dist_int.argmin(axis=1)  # first min → lowest j
+        rows = np.arange(m)
+        adc = lut_int[:, rows, codes].sum(axis=2)  # (nq, batch)
+        recon = c2_int[rows, codes].sum(axis=1)  # (batch,)
+        out = [
+            [
+                {"qid": int(qids[i]), "adc": int(adc[i, b]), "recon": int(recon[b])}
+                for i in range(nq)
+            ]
+            for b in range(batch)
+        ]
+        return pd.Series(out)
+
+    from logverzcore_spark.operators.util import fan_out
+
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nvec")
+    )
+    scored = (
+        c.select("nid", F.explode(score_vec(F.col("nvec"))).alias("sc"))
+        .select("nid", "sc.qid", "sc.adc", "sc.recon")
+        .where(F.col("qid") != F.col("nid"))
+    )
+    qn = F.create_map(
+        *[x for i in range(nq) for x in (F.lit(int(qids[i])), F.lit(float(qnorm[i])))]
+    )
+    approx = (F.col("adc") / PQ_SCALE) / (
+        qn[F.col("qid")] * F.sqrt(F.col("recon") / F.lit(float(PQ_SCALE)))
+    )
+    # Rank on adc/√recon (the query norm is constant within a partition):
+    # integer inputs + correctly-rounded IEEE divide/sqrt make this key
+    # bit-identical in any engine that computes the same three steps.
+    rank_key = (F.col("adc") / PQ_SCALE) / F.sqrt(F.col("recon") / F.lit(float(PQ_SCALE)))
+    w = Window.partitionBy("qid").orderBy(rank_key.desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.round(approx, 6).alias("approx_cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -3100,6 +3100,88 @@ def d12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_dedup(emb, dim=64, threshold=0.25, n_planes=4)
 
 
+def _s05b_oracle(dim: int = 64, m: int = 8, n_codes: int = 16) -> str:
+    import numpy as np
+
+    sub = dim // m
+    books = similarity.lcg_codebooks(dim, m, n_codes)
+    C = np.array(books, dtype=np.float64)
+    c2 = (C * C).sum(axis=2)
+    c2i = np.floor(c2 * similarity.PQ_SCALE + 0.5).astype(np.int64)
+    values = ",\n      ".join(
+        f"({s}, {j}, {_sql_double_array(books[s][j])}, {c2[s, j]!r}, {int(c2i[s, j])})"
+        for s in range(m)
+        for j in range(n_codes)
+    )
+    S = similarity.PQ_SCALE
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), cb(s, j, cvec, c2, c2i) AS (VALUES
+      {values}
+    ), codes AS (
+      SELECT vec_id, s, j AS code FROM (
+        SELECT v.vec_id, cb.s, cb.j,
+               row_number() OVER (PARTITION BY v.vec_id, cb.s ORDER BY
+                 floor((cb.c2 - 2 * list_dot_product(
+                   v.e[cb.s*{sub}+1 : (cb.s+1)*{sub}], cb.cvec)) * {S} + 0.5),
+                 cb.j) AS rn
+        FROM v CROSS JOIN cb
+      ) WHERE rn = 1
+    ), recon AS (
+      SELECT c.vec_id, SUM(cb.c2i) AS recon
+      FROM codes c JOIN cb ON cb.s = c.s AND cb.j = c.code
+      GROUP BY c.vec_id
+    ), lut AS (
+      SELECT q.vec_id AS qid, cb.s, cb.j,
+             CAST(floor(list_dot_product(
+               q.e[cb.s*{sub}+1 : (cb.s+1)*{sub}], cb.cvec) * {S} + 0.5) AS BIGINT) AS t
+      FROM v q CROSS JOIN cb WHERE q.vec_id < 20
+    ), scored AS (
+      SELECT l.qid, c.vec_id AS nid, SUM(l.t) AS adc
+      FROM codes c JOIN lut l ON l.s = c.s AND l.j = c.code
+      WHERE l.qid <> c.vec_id
+      GROUP BY 1, 2
+    ), qn AS (
+      SELECT vec_id, sqrt(list_dot_product(e, e)) AS nrm FROM v WHERE vec_id < 20
+    ), ranked AS (
+      SELECT s.qid, s.nid, s.adc, r.recon,
+             row_number() OVER (PARTITION BY s.qid ORDER BY
+               (s.adc / {S}.0) / sqrt(r.recon / {S}.0) DESC, s.nid) AS rank
+      FROM scored s JOIN recon r ON r.vec_id = s.nid
+    )
+    SELECT qid AS query_id, nid AS neighbor_id,
+           ROUND((adc / {S}.0) / (qn.nrm * sqrt(recon / {S}.0)), 6) AS approx_cosine,
+           CAST(rank AS INTEGER) AS rank
+    FROM ranked JOIN qn ON qn.vec_id = ranked.qid
+    WHERE rank <= 5
+    """
+
+
+@query("s05_pq_topk")  # trained codebooks are data-sampled → rows-only check
+def s05_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with per-subspace k-means codebooks —
+    the classic 8-bit-code setting (m=4 subspaces × 256 codewords =
+    32 bits/vector vs 64×32-bit floats, a 64× memory cut). Codebooks are
+    data-sampled → rows-only check; recall floor asserted in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    books = similarity.trained_codebooks(emb, dim=64, m=4, n_codes=256)
+    return similarity.pq_topk(emb, queries, k=5, dim=64, m=4, n_codes=256, codebooks=books)
+
+
+@query("s05b_pq_topk_portable", oracle=_s05b_oracle())
+def s05b_pq_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN with engine-portable LCG codebooks, hash-verified: encode
+    (fixed-point argmin per subspace), ADC lookup-table scoring (integer
+    sums), and the adc/√recon rank key all replay bit-identically in SQL
+    — see operators/similarity.pq_topk for why the fixed-point grid makes
+    summation order irrelevant."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return similarity.pq_topk(emb, queries, k=5, dim=64)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -306,3 +306,26 @@ def test_semantic_dedup_partitions_and_transitivity(emb):
     # The survivors must be strictly fewer than the corpus (the sf0.01
     # embeddings contain same-label near-dup groups by construction).
     assert len(by_cluster) < len(rows)
+
+
+def test_pq_topk_recall_and_determinism(emb):
+    """Trained PQ (m=4, 256 codes) holds recall@5 ≥ 0.35 vs brute force
+    (measured 0.55 at sf0.01); the LCG-portable variant is deterministic
+    across runs (exact same rows — fixed-point ADC leaves no float
+    wiggle)."""
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+    books = similarity.trained_codebooks(emb, dim=64, m=4, n_codes=256)
+    pq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.pq_topk(
+            emb, queries, k=5, dim=64, m=4, n_codes=256, codebooks=books
+        ).collect()
+    }
+    assert len(pq & exact) / len(exact) >= 0.35
+    run1 = sorted(map(tuple, similarity.pq_topk(emb, queries, k=5, dim=64).collect()))
+    run2 = sorted(map(tuple, similarity.pq_topk(emb, queries, k=5, dim=64).collect()))
+    assert run1 == run2
