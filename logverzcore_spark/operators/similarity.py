@@ -474,7 +474,7 @@ def pq_topk(
 
     Distances and LUT entries live on a fixed-point grid (``PQ_SCALE``)
     so encode and scoring are bit-reproducible across engines and
-    summation orders — suite s05b replays this operator in SQL.
+    summation orders — suite s06b replays this operator in SQL.
 
     The query side is collected driver-side to build LUTs (bounded by the
     query count — the small side by definition, same bound as the

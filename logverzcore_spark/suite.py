@@ -3100,7 +3100,7 @@ def d12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_dedup(emb, dim=64, threshold=0.25, n_planes=4)
 
 
-def _s05b_oracle(dim: int = 64, m: int = 8, n_codes: int = 16) -> str:
+def _s06b_oracle(dim: int = 64, m: int = 8, n_codes: int = 16) -> str:
     import numpy as np
 
     sub = dim // m
@@ -3158,8 +3158,8 @@ def _s05b_oracle(dim: int = 64, m: int = 8, n_codes: int = 16) -> str:
     """
 
 
-@query("s05_pq_topk")  # trained codebooks are data-sampled → rows-only check
-def s05_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("s06_pq_topk")  # trained codebooks are data-sampled → rows-only check
+def s06_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with per-subspace k-means codebooks —
     the classic 8-bit-code setting (m=4 subspaces × 256 codewords =
     32 bits/vector vs 64×32-bit floats, a 64× memory cut). Codebooks are
@@ -3170,8 +3170,8 @@ def s05_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(emb, queries, k=5, dim=64, m=4, n_codes=256, codebooks=books)
 
 
-@query("s05b_pq_topk_portable", oracle=_s05b_oracle())
-def s05b_pq_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("s06b_pq_topk_portable", oracle=_s06b_oracle())
+def s06b_pq_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN with engine-portable LCG codebooks, hash-verified: encode
     (fixed-point argmin per subspace), ADC lookup-table scoring (integer
     sums), and the adc/√recon rank key all replay bit-identically in SQL
