@@ -3051,6 +3051,46 @@ def m05_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_frame_features(docs, payload_col="payload", id_col="doc_id")
 
 
+@query(
+    "q63_sole_supplier_orders",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, COUNT(DISTINCT l1.l_orderkey) AS n_orders
+    FROM supplier s JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_linenumber <> l1.l_linenumber)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY 1, 2
+    """,
+)
+def q63_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: per supplier, the multi-line orders it supplied
+    ALONE (an EXISTS + NOT-EXISTS pair over the same fact table). The
+    oracle runs the correlated form; this side decorrelates it into ONE
+    per-order aggregation — n_lines ≥ 2 ∧ distinct suppliers = 1 names
+    the sole supplier directly (min = the only one) — so the 100 TB fact
+    table is scanned once and shuffled once on the order key, instead of
+    twice more for the two correlated probes. Supplier names arrive by
+    broadcast. Note the synthetic data has orders with duplicated
+    l_linenumber — the EXISTS probe demands a DIFFERENT linenumber, so
+    the decorrelation must count distinct linenumbers, not lines."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_linenumber").alias("n_linenos"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.min("l_suppkey").alias("sole_supp"),
+    )
+    sole = per_order.where((F.col("n_linenos") >= 2) & (F.col("n_supp") == 1))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.join(F.broadcast(supp), sole["sole_supp"] == supp["s_suppkey"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
 def _d12_oracle(dim: int = 64, n_planes: int = 4, threshold: float = 0.25) -> str:
     planes = similarity._hyperplanes(dim, n_planes)
     values = ",\n      ".join(
