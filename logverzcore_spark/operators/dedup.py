@@ -198,6 +198,88 @@ def minhash_signature(col: Column, num_hashes: int = 128, n: int = 3) -> Column:
     )
 
 
+def minhash_signature_sets(
+    df: DataFrame,
+    num_hashes: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc MinHash signature columns (m0..m{k-1}) AND the distinct
+    shingle-hash set, in one shuffle. Shared by the batch LSH pipeline and
+    the streaming near-dup state builder — identical hashing keeps their
+    buckets interoperable. Returned frame is persisted with an eager
+    barrier (callers branch into several jobs over it — a lazy persist
+    would race the cache and recompute the pipeline per branch);
+    callers own the unpersist.
+
+    Signature WITHOUT higher-order-function lambdas: HOF bodies are
+    interpreted (no codegen), so hashing every shingle once per seed
+    costs 100×+ what the same arithmetic costs inside WholeStageCodegen.
+    Instead: explode shingles, hash each ONCE (codegen'd multi-arg
+    xxhash64 over the token fields — no shingle STRINGS ever exist; the
+    space-join is injective so token-tuple Jaccard equals string
+    Jaccard), then k mins of k seeded re-hashes as plain aggregate
+    expressions — one shuffle on doc_id, all map-side-combined.
+    ``fan_out`` first: a small parquet arrives as one partition and a
+    projection under the exchange would shingle on a single core. The
+    hash SET (8 B/shingle) doubles as the exact-Jaccard verification
+    payload — exact up to a 2^-64 collision.
+    """
+    from logverzcore_spark.operators.util import fan_out
+
+    df = fan_out(df)
+    toks = tokens(F.col(text_col))
+    staged = df.select(F.col(id_col).alias("doc_id"), toks.alias("_tk"))
+    shifted = [F.col("_tk")] + [
+        F.slice(F.col("_tk"), j + 1, F.greatest(F.size("_tk") - j, F.lit(0)))
+        for j in range(1, n)
+    ]
+    gram = F.explode(F.arrays_zip(*shifted)).alias("g")
+    g_fields = ["g._tk"] + [f"g.{j}" for j in range(1, n)]
+    hashed = (
+        staged.select("doc_id", gram)
+        .where(F.col(g_fields[-1]).isNotNull())
+        .select("doc_id", F.xxhash64(*g_fields).alias("h"))
+    )
+    # xxhash64(i, h) re-hash per seed is codegen'd and, unlike a*h+b,
+    # safe under ANSI overflow checking.
+    hashed = hashed.select(
+        "doc_id", "h", *[F.xxhash64(F.lit(i), "h").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    sig_df = (
+        hashed.groupBy("doc_id")
+        .agg(
+            *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)],
+            F.collect_set("h").alias("hset"),
+        )
+        .persist()
+    )
+    sig_df.count()  # eager barrier (see docstring)
+    return sig_df
+
+
+def minhash_band_buckets(
+    sig_df: DataFrame, num_hashes: int = 32, bands: int = 16
+) -> DataFrame:
+    """(doc_id, band, bucket) rows from a signature frame: each band's
+    ``rows`` signature mins hash into one bucket id. Band indices are
+    literals, so the whole expansion stays inside codegen."""
+    rows = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.xxhash64(
+                F.lit(band), *[F.col(f"m{band * rows + j}") for j in range(rows)]
+            ).alias("bucket"),
+        )
+        for band in range(bands)
+    ]
+    return sig_df.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.7,
@@ -224,80 +306,10 @@ def minhash_lsh_pairs(
     shingle SETS only for the (tiny) candidate id set via a semi-join +
     collect_set — the one place arrays exist.
     """
-    rows = num_hashes // bands
-    # Compute the signature WITHOUT higher-order-function lambdas: HOF
-    # lambda bodies are interpreted (no codegen), so hashing every shingle
-    # once per seed costs 100×+ what the same arithmetic costs inside
-    # WholeStageCodegen. Instead: explode shingles, hash each ONCE
-    # (codegen'd xxhash64), then take the k mins as plain aggregate
-    # expressions over k seeded re-hashes — one shuffle on doc_id, all
-    # map-side-combined.
-    # Repartition the RAW rows first: a small parquet arrives as one
-    # partition, and a projection placed under the exchange would run the
-    # whole shingle computation on a single core. Shuffling the (cheap)
-    # raw text, then projecting, spreads the work across the cluster.
-    from logverzcore_spark.operators.util import fan_out
-
-    df = fan_out(df)
-    # Shingle HASHES without shingle STRINGS: minhash/LSH/verification
-    # only ever consume a hash of each n-gram, and hashing the n token
-    # fields directly (multi-arg xxhash64, codegen'd) is ~2.5× faster
-    # than building "t0 t1 t2" strings through an interpreted HOF lambda.
-    # Jaccard over distinct token n-grams equals Jaccard over the joined
-    # strings (space-join is injective — tokens contain no whitespace).
-    # The n-gram arrays come from arrays_zip of shifted slices (codegen'd);
-    # short/empty docs zip to null-padded rows the filter drops. Duplicate
-    # n-grams per doc survive to the explode — min() is insensitive and
-    # collect_set re-dedups, so no distinct is needed before the agg.
-    toks = tokens(F.col(text_col))
-    staged = df.select(F.col(id_col).alias("doc_id"), toks.alias("_tk"))
-    shifted = [F.col("_tk")] + [
-        F.slice(F.col("_tk"), j + 1, F.greatest(F.size("_tk") - j, F.lit(0)))
-        for j in range(1, n)
-    ]
-    gram = F.explode(F.arrays_zip(*shifted)).alias("g")
-    g_fields = ["g._tk"] + [f"g.{j}" for j in range(1, n)]
-    hashed = (
-        staged.select("doc_id", gram)
-        .where(F.col(g_fields[-1]).isNotNull())
-        .select("doc_id", F.xxhash64(*g_fields).alias("h"))
+    sig_df = minhash_signature_sets(
+        df, num_hashes=num_hashes, n=n, text_col=text_col, id_col=id_col
     )
-    # ONE pass over the n-gram rows yields both the signature (k mins of
-    # seeded re-hashes — xxhash64(i, h) is codegen'd and, unlike a*h+b,
-    # safe under ANSI overflow checking) AND the doc's distinct-shingle
-    # hash set, which later serves exact-Jaccard verification. Verifying
-    # on 64-bit hashes instead of the shingle strings is exact up to a
-    # 2^-64 collision and replaces round 1's second shingle pass +
-    # semi-join + collect_set (measured -25% wall on the suite). The hash
-    # set is also the SMALL representation — 8 bytes/shingle vs the
-    # string arrays that made corpus-wide caching unaffordable.
-    hashed = hashed.select(
-        "doc_id", "h", *[F.xxhash64(F.lit(i), "h").alias(f"h{i}") for i in range(num_hashes)]
-    )
-    sig_df = (
-        hashed.groupBy("doc_id")
-        .agg(
-            *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)],
-            F.collect_set("h").alias("hset"),
-        )
-        .persist()
-    )
-    # Eager barrier: a lazy persist is no barrier — the banding and the
-    # two verification joins below would race the cache and each
-    # recompute the whole signature pipeline.
-    sig_df.count()
-    band_structs = [
-        F.struct(
-            F.lit(band).alias("band"),
-            F.xxhash64(
-                F.lit(band), *[F.col(f"m{band * rows + j}") for j in range(rows)]
-            ).alias("bucket"),
-        )
-        for band in range(bands)
-    ]
-    buckets = sig_df.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", "bb.band", "bb.bucket")
+    buckets = minhash_band_buckets(sig_df, num_hashes=num_hashes, bands=bands)
     # Candidate pairs per bucket via groupBy + in-array pair expansion —
     # one shuffle on the bucket key, vs the self-join's two shuffled
     # sides. Buckets are tiny by construction (docs colliding in a band),

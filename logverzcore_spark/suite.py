@@ -3091,6 +3091,52 @@ def q63_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "st10_streaming_neardup",
+    oracle=(
+        _JACCARD_ORACLE_TMPL.replace(
+            "SELECT id1, id2, ROUND(c * 1.0 / (s1.n + s2.n - c), 4) AS jaccard",
+            "SELECT d.doc_id FROM documents d WHERE d.doc_id NOT IN (\n"
+            "  SELECT id2",
+        ).replace(
+            "WHERE ROUND(c * 1.0 / (s1.n + s2.n - c), 4) >= {thr}",
+            "  WHERE ROUND(c * 1.0 / (s1.n + s2.n - c), 4) >= {thr})",
+        )
+    ).format(thr=0.7),
+)
+def st10_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup suppression (streaming/stream_neardup.py):
+    MinHash+LSH state tables + exact-Jaccard verify inside a
+    foreachBatch stream. Over one availableNow batch the committed set
+    equals batch semantics — every doc except the higher id of each
+    verified ≥0.7 pair — which the oracle states as a NOT IN over the
+    exact-Jaccard pair set (recall of the LSH candidate step at these
+    parameters is d03's hash-verified behavior)."""
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.streaming.stream_neardup import neardup_stream
+
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(docs_path).schema
+    table = f"st10_neardup_{_uuid.uuid4().hex[:8]}"
+    q = neardup_stream(
+        spark,
+        os.path.dirname(docs_path),
+        schema,
+        table,
+        fmt="parquet",
+        reader_options={"pathGlobFilter": os.path.basename(docs_path)},
+        checkpoint_dir=os.path.join(tempfile.gettempdir(), f"ck_{table}"),
+    )
+    q.awaitTermination()
+    out = spark.table(table).select("doc_id").localCheckpoint(eager=True)
+    for t in (table, f"{table}_lsh_buckets", f"{table}_lsh_sets"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out
+
+
 def _d12_oracle(dim: int = 64, n_planes: int = 4, threshold: float = 0.25) -> str:
     planes = similarity._hyperplanes(dim, n_planes)
     values = ",\n      ".join(
