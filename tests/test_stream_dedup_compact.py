@@ -323,3 +323,41 @@ def test_upsert_fold_merges_replays_and_touches_only_buckets(spark):
     finally:
         for t in ("ups_t", "ups_t_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_optimize_table_zorder_clusters_both_columns(spark):
+    """Z-ordered compaction concentrates a narrow range of EITHER
+    clustered column into a minority of files; a plain a-sorted layout
+    serves only a. 16 files ≈ the top 4 z bits (two of each column), so
+    a 1/8th range inside one top-level quadrant should touch ~4 files,
+    not all 16 (the range must not straddle a high-bit boundary)."""
+    from pyspark.sql import functions as F
+
+    spark.sql("DROP TABLE IF EXISTS zorder_t")
+    base = spark.range(40_000).select(
+        F.col("id"),
+        (F.pmod(F.xxhash64("id"), F.lit(200))).alias("a"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(200))).alias("b"),
+    )
+    base.coalesce(4).write.saveAsTable("zorder_t")
+
+    n_files = optimize_table(
+        spark, "zorder_t", target_rows_per_file=2_500, zorder_by=["a", "b"]
+    )
+    assert n_files == 16
+    assert spark.table("zorder_t").count() == 40_000  # no data change
+
+    def files_touched(pred):
+        return (
+            spark.table("zorder_t")
+            .where(pred)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    a_files = files_touched((F.col("a") >= 8) & (F.col("a") < 33))
+    b_files = files_touched((F.col("b") >= 8) & (F.col("b") < 33))
+    assert a_files <= 5, a_files
+    assert b_files <= 5, b_files
+    spark.sql("DROP TABLE IF EXISTS zorder_t")
