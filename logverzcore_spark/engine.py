@@ -42,6 +42,11 @@ def get_session(app_name: str = "logverzcore-spark", **extra_conf: str) -> Spark
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Cost-based optimization: inert without table stats; collect()
+        # records them (ANALYZE) so multi-join queries over catalog
+        # tables get stats-driven join ordering + broadcast decisions.
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

@@ -62,6 +62,13 @@ class CollectJob:
     sort_by: list[str] = field(default_factory=list)
     max_records_per_file: int = 1_000_000
     mode: str = "overwrite"  # reference tables are create-or-replace
+    #: Record table-level statistics (row count + size) in the catalog
+    #: after the write, so the cost-based optimizer and broadcast-join
+    #: threshold see ACCURATE sizes instead of compressed-file guesses —
+    #: a dimension table that looks 12 MB on disk but 60 MB in memory
+    #: would otherwise flip in/out of broadcast plans unpredictably at
+    #: scale. One extra count-shaped job per collection.
+    analyze: bool = True
 
 
 @dataclass
@@ -356,6 +363,10 @@ def collect(
     writer.saveAsTable(target_table)
 
     n_rows = spark.table(target_table).count()
+    if job.analyze:
+        # CBO (enabled in get_session) and the broadcast threshold read
+        # these catalog stats; see CollectJob.analyze.
+        spark.sql(f"ANALYZE TABLE {target_table} COMPUTE STATISTICS")
     # One combined stats pass instead of separate bad.count() +
     # distinct-files scans — each would re-read and re-parse every source
     # file (3× input I/O on the 100 TB jobs this targets).

@@ -361,3 +361,20 @@ def test_optimize_table_zorder_clusters_both_columns(spark):
     assert a_files <= 5, a_files
     assert b_files <= 5, b_files
     spark.sql("DROP TABLE IF EXISTS zorder_t")
+
+
+def test_collect_records_table_statistics(spark, tmpdir_path):
+    """collect() leaves catalog statistics on the table (row count +
+    size), the input the cost-based optimizer and broadcast threshold
+    plan from."""
+    write_vpcflow_gz(tmpdir_path, n_files=1)
+    spark.sql("DROP TABLE IF EXISTS stats_vpc")
+    collect(
+        spark,
+        CollectJob(path=tmpdir_path, datatype="VPCFlow", table_name="stats_vpc"),
+    )
+    rows = spark.sql("DESCRIBE TABLE EXTENDED stats_vpc").collect()
+    stats = [r for r in rows if r["col_name"] == "Statistics"]
+    assert stats, "no Statistics row in DESCRIBE EXTENDED"
+    assert "rows" in stats[0]["data_type"]  # e.g. '1234 bytes, 5 rows'
+    spark.sql("DROP TABLE IF EXISTS stats_vpc")
