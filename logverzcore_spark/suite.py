@@ -3092,6 +3092,57 @@ def q63_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q64_min_price_supplier",
+    oracle="""
+    SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+           CAST(l.l_extendedprice AS DOUBLE) AS best_price
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE p.p_size <= 5
+      AND l.l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def q64_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the supplier(s) offering each small part at its
+    minimum observed price — a correlated scalar MIN subquery in the
+    oracle, decorrelated here into one per-part aggregation joined back
+    on (part, price). The price equality joins the exact stored double
+    (MIN returns an existing value — no arithmetic, so cross-engine
+    equality is safe). part and supplier broadcast; the fact table is
+    scanned twice but shuffled only on l_partkey both times, and AQE
+    reuses nothing bigger. Ties at the min price keep every tying
+    supplier, as the correlated form does."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_size") <= 5)
+        .select("p_partkey", "p_name")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    min_price = (
+        li.groupBy("l_partkey")
+        .agg(F.min("l_extendedprice").alias("best_price"))
+        .withColumnRenamed("l_partkey", "mp_partkey")
+    )
+    return (
+        li.join(
+            min_price,
+            (li["l_partkey"] == min_price["mp_partkey"])
+            & (li["l_extendedprice"] == min_price["best_price"]),
+        )
+        .join(F.broadcast(part), li["l_partkey"] == F.col("p_partkey"))
+        .join(F.broadcast(supp), li["l_suppkey"] == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name",
+            F.col("best_price").cast("double").alias("best_price"),
+        )
+        .distinct()
+    )
+
+
+@query(
     "st10_streaming_neardup",
     oracle=(
         _JACCARD_ORACLE_TMPL.replace(
