@@ -63,3 +63,60 @@ def test_neardup_stream_suppresses_across_batches(spark, tmpdir_path):
     assert spark.table("nd_docs").count() == 3
     for t in tables:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_neardup_stream_crash_between_appends(spark, monkeypatch):
+    """Crash injected between the data append and the LSH-state appends
+    (the documented non-atomic window): replay loses no document and
+    duplicates stay bounded to the failed batch; post-recovery batches
+    suppress against the repaired state."""
+    import pytest
+    from pyspark.sql import readwriter as rw
+
+    from logverzcore_spark.streaming import stream_neardup
+
+    tables = ("cwn_docs", "cwn_b", "cwn_s")
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def run_batch(rows):
+        b = spark.createDataFrame(rows, "doc_id long, text string")
+        stream_neardup._neardup_batch(
+            b, spark, "cwn_docs", "cwn_b", "cwn_s", 0.7, 32, 16, 3, "text", "doc_id"
+        )
+
+    try:
+        run_batch([(1, _BASE), (2, _OTHER)])
+        assert spark.table("cwn_docs").count() == 2
+
+        orig = rw.DataFrameWriter.saveAsTable
+
+        def crashing(self, name, *a, **kw):
+            if name == "cwn_b":
+                raise RuntimeError("injected crash between appends")
+            return orig(self, name, *a, **kw)
+
+        monkeypatch.setattr(rw.DataFrameWriter, "saveAsTable", crashing)
+        with pytest.raises(RuntimeError):
+            run_batch([(3, _NOVEL)])
+        monkeypatch.undo()
+
+        # Data committed, state not.
+        for t in tables:
+            spark.catalog.refreshTable(t)
+        assert sorted(r["doc_id"] for r in spark.table("cwn_docs").collect()) == [1, 2, 3]
+        assert spark.table("cwn_s").count() == 2
+
+        # Replay: doc 3 re-appends (at-least-once, bounded to the failed
+        # batch) and its state commits this time.
+        run_batch([(3, _NOVEL)])
+        assert sorted(r["doc_id"] for r in spark.table("cwn_docs").collect()) == [1, 2, 3, 3]
+        assert spark.table("cwn_s").count() == 3
+
+        # Post-recovery: a near-dup of doc 1 is suppressed by the
+        # repaired state — duplicates never spread past the crashed batch.
+        run_batch([(9, _NEAR2)])
+        assert sorted(r["doc_id"] for r in spark.table("cwn_docs").collect()) == [1, 2, 3, 3]
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
