@@ -3143,6 +3143,63 @@ def q64_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q65_winsorized_stats",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS c FROM events
+    ), p AS (
+      SELECT event_type,
+             quantile_cont(c, 0.05) AS lo, quantile_cont(c, 0.95) AS hi
+      FROM b GROUP BY event_type
+    )
+    SELECT b.event_type, COUNT(*) AS n,
+           SUM(CASE WHEN CAST(b.c AS DOUBLE) < p.lo THEN 1 ELSE 0 END) AS n_low,
+           SUM(CASE WHEN CAST(b.c AS DOUBLE) > p.hi THEN 1 ELSE 0 END) AS n_high,
+           SUM(LEAST(GREATEST(b.c, CAST(CEIL(p.lo) AS BIGINT)),
+                     CAST(FLOOR(p.hi) AS BIGINT))) AS clipped_sum_cents,
+           ROUND(p.lo / 100.0, 4) AS lo, ROUND(p.hi / 100.0, 4) AS hi
+    FROM b JOIN p USING (event_type)
+    GROUP BY b.event_type, p.lo, p.hi
+    """,
+)
+def q65_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (outlier clipping to per-group p05/p95) — the
+    value-cleaning step of a training-data pipeline, engine-stable:
+    percentiles interpolate over exact integer cents (q36's pattern),
+    clip bounds snap to integers (ceil/floor of the same double in both
+    engines), and the clipped sum is pure integer arithmetic — no
+    order-sensitive float summation anywhere. Plan: one agg for the
+    per-type bounds (a handful of rows, broadcast back), one agg for the
+    clipped stats — the fact table shuffles only on event_type."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    b = ev.select("event_type", cents.alias("c"))
+    p = b.groupBy("event_type").agg(
+        F.percentile("c", F.lit(0.05)).alias("lo"),
+        F.percentile("c", F.lit(0.95)).alias("hi"),
+    )
+    j = b.join(F.broadcast(p), "event_type")
+    clipped = F.least(
+        F.greatest(F.col("c"), F.ceil("lo").cast("bigint")),
+        F.floor("hi").cast("bigint"),
+    )
+    return (
+        j.groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("c").cast("double") < F.col("lo"), 1).otherwise(0)).alias("n_low"),
+            F.sum(F.when(F.col("c").cast("double") > F.col("hi"), 1).otherwise(0)).alias("n_high"),
+            F.sum(clipped).alias("clipped_sum_cents"),
+        )
+        .select(
+            "event_type", "n", "n_low", "n_high", "clipped_sum_cents",
+            F.round(F.col("lo") / 100.0, 4).alias("lo"),
+            F.round(F.col("hi") / 100.0, 4).alias("hi"),
+        )
+    )
+
+
+@query(
     "st10_streaming_neardup",
     oracle=(
         _JACCARD_ORACLE_TMPL.replace(
