@@ -3382,6 +3382,407 @@ def s06b_pq_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H-shaped multi-join battery (round 3): the join-reordering /
+# decorrelation / disjunctive-pushdown shapes (Q7/Q8/Q9/Q14/Q17/Q19)
+# the reference's users ran against RDS through Q1 (SURVEY §2.5). All
+# money math uses the exact-integer-cents pattern so parallel partial
+# aggregation cannot perturb the result.
+# ---------------------------------------------------------------------------
+
+_CENTS = "CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)"
+
+
+def _cents() -> F.Column:
+    return F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("bigint")
+
+
+@query(
+    "q66_nation_trade_volume",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(c) AS BIGINT)/100.0 AS revenue,
+           COUNT(*) AS n_items
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             {_CENTS} AS c
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey  = o_custkey
+      JOIN supplier ON s_suppkey  = l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q66_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year. Plan: nation (25 rows) broadcasts onto supplier/customer so both
+    dimension sides are pre-reduced to the two nations BEFORE touching the
+    fact table (2/25 selectivity the RDBMS would only get after the join);
+    the pair disjunction then runs on two small string columns. lineitem
+    shuffles once on orderkey (orders join) and once on custkey — the
+    supplier side stays broadcast (2/25 of suppliers is broadcastable even
+    at large SF: supplier is the smallest dimension)."""
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = nation.where(F.col("n_name").isin("NATION_1", "NATION_2"))
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(pair), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(pair), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.year("l_shipdate").alias("l_year"),
+            _cents().alias("c"),
+        )
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    joined = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return joined.groupBy("supp_nation", "cust_nation", "l_year").agg(
+        (F.sum("c").cast("bigint") / 100.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "q67_market_share",
+    oracle=f"""
+    SELECT o_year,
+           SUM(CASE WHEN supp_nation = 'NATION_5' THEN c ELSE 0 END) * 1.0
+             / SUM(c) AS mkt_share,
+           CAST(SUM(c) AS BIGINT)/100.0 AS total_revenue
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             n1.n_name AS supp_nation,
+             {_CENTS} AS c
+      FROM lineitem
+      JOIN part     ON p_partkey  = l_partkey
+      JOIN supplier ON s_suppkey  = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey  = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      JOIN region    ON r_regionkey   = n2.n_regionkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    ) GROUP BY o_year
+    """,
+)
+def q67_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of PROMO-part revenue sold into
+    ASIA customers, by order year. The share divides two exact integer
+    cent sums (one IEEE division — engine-identical). Plan: part is
+    filtered to 1/6 of rows before its join; region⋈nation collapses to a
+    broadcast 25-row filter on the customer side; supplier nation rides a
+    broadcast. The fact table shuffles on partkey/orderkey only — the
+    conditional numerator avoids a second pass."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asia_nations = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("asia_nationkey"))
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("asia_nationkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", _cents().alias("c")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    joined = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+    )
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("c")).otherwise(0))
+    return joined.groupBy("o_year").agg(
+        (num * 1.0 / F.sum("c")).alias("mkt_share"),
+        (F.sum("c").cast("bigint") / 100.0).alias("total_revenue"),
+    )
+
+
+@query(
+    "q68_product_profit",
+    oracle=f"""
+    SELECT supp_nation, o_year,
+           CAST(SUM(c) AS BIGINT)/100.0 AS profit,
+           COUNT(*) AS n_items
+    FROM (
+      SELECT n_name AS supp_nation,
+             CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             {_CENTS} AS c
+      FROM lineitem
+      JOIN part     ON p_partkey  = l_partkey
+      JOIN supplier ON s_suppkey  = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      WHERE p_name LIKE '%widget%'
+    ) GROUP BY supp_nation, o_year
+    """,
+)
+def q68_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: revenue on a product family (p_name LIKE) grouped
+    by supplier nation and order year. Plan: the LIKE prunes part before
+    the join (pushed to the parquet scan as a string-contains filter);
+    supplier⋈nation broadcasts; lineitem shuffles on partkey then
+    orderkey. No date filter — this is the full-history rollup shape, so
+    partial aggregation (exact integer cents) carries the reduction."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", _cents().alias("c")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    joined = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return joined.groupBy("supp_nation", "o_year").agg(
+        (F.sum("c").cast("bigint") / 100.0).alias("profit"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "q69_promo_revenue",
+    oracle=f"""
+    SELECT 100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN c ELSE 0 END) / SUM(c)
+             AS promo_share,
+           CAST(SUM(c) AS BIGINT)/100.0 AS total_revenue
+    FROM (
+      SELECT p_type, {_CENTS} AS c
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    )
+    """,
+)
+def q69_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-type revenue share in one ship month —
+    conditional aggregation over a single fact⋈dim join, no second scan
+    for the denominator. The date range prunes lineitem at the scan; the
+    share is exact-int/exact-int in one IEEE division."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.select("l_partkey", _cents().alias("c")).join(
+        part, F.col("l_partkey") == F.col("p_partkey")
+    )
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", F.col("c")).otherwise(0))
+    return j.agg(
+        (F.lit(100.0) * promo / F.sum("c")).alias("promo_share"),
+        (F.sum("c").cast("bigint") / 100.0).alias("total_revenue"),
+    )
+
+
+@query(
+    "q70_small_qty_revenue",
+    oracle="""
+    WITH brand_li AS (
+      SELECT l_partkey, l_quantity,
+             CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT) AS price_cents
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#23'
+    ), avg_qty AS (
+      SELECT l_partkey AS a_partkey, SUM(l_quantity)/COUNT(*) AS avg_q
+      FROM brand_li GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(price_cents) AS BIGINT)/100.0/7.0 AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM brand_li JOIN avg_qty ON l_partkey = a_partkey
+    WHERE l_quantity < 0.2 * avg_q
+    """,
+)
+def q70_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: small-quantity order revenue for one brand,
+    decorrelated — the per-part AVG(l_quantity) correlated scalar becomes
+    one aggregate joined back to the same filtered frame. Quantities are
+    integral doubles, so SUM/COUNT is exact and the 0.2× threshold
+    compare is engine-identical. Plan: part(brand) prunes lineitem via a
+    semi-reduction first; the avg frame is per-partkey (small) and
+    broadcast back — the fact side shuffles once on partkey."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .select(
+            "l_partkey",
+            "l_quantity",
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint").alias("price_cents"),
+        )
+    )
+    avg_q = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_q")
+    )
+    small = li.join(
+        F.broadcast(avg_q), F.col("l_partkey") == F.col("a_partkey")
+    ).where(F.col("l_quantity") < 0.2 * F.col("avg_q"))
+    return small.agg(
+        (F.sum("price_cents").cast("bigint") / 100.0 / 7.0).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "q71_disjunctive_revenue",
+    oracle=f"""
+    SELECT CAST(SUM(c) AS BIGINT)/100.0 AS revenue, COUNT(*) AS n_items
+    FROM (
+      SELECT {_CENTS} AS c
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+             AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+             AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 20 AND 30)
+    )
+    """,
+)
+def q71_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive brand/size/quantity predicates across
+    a join. The per-side implications of the OR are extracted manually —
+    part scans only `p_brand IN (…) AND p_size ≤ 15` rows and lineitem
+    only `l_quantity ≤ 30` rows (the CNF residuals Catalyst won't derive
+    across a join on its own) — then the exact disjunction re-applies
+    after the join. At 100 TB the derived scan filters are the difference
+    between reading 3 brands and reading the whole part table."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(
+            F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= 15)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30))
+        .select("l_partkey", "l_quantity", _cents().alias("c"))
+    )
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.where(cond).agg(
+        (F.sum("c").cast("bigint") / 100.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "t13_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok
+    ), tot AS (
+      SELECT SUM(cnt) AS total FROM freq
+    )
+    SELECT doc_id, COUNT(*) AS n_toks,
+           CAST(SUM(CAST(FLOOR((log10(CAST(cnt AS DOUBLE))
+                                - log10(CAST(total AS DOUBLE))) * 1000000 + 0.5)
+                         AS BIGINT)) AS BIGINT) / 1000000.0 / COUNT(*)
+             AS avg_logprob
+    FROM tok JOIN freq USING (tok), tot
+    GROUP BY doc_id
+    """,
+)
+def t13_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: mean log10 token probability
+    per document — the classic perplexity-proxy filter for training-data
+    curation. The corpus-wide frequency table is tiny relative to the
+    corpus (vocab ≪ tokens) and broadcasts; per-token log-probs are
+    quantized to 1e-6 BEFORE summation so Spark's partial aggregation
+    order cannot perturb the float sum (log10 of exact integers is the
+    only libm call, identical input in both engines). One shuffle total:
+    the per-doc groupBy."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    tok = docs.select("doc_id", F.explode("toks").alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    q = F.floor(
+        (F.log10(F.col("cnt").cast("double")) - F.log10(F.col("total").cast("double")))
+        * 1000000
+        + 0.5
+    ).cast("bigint")
+    return (
+        tok.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            (F.sum(q).cast("bigint") / 1000000.0 / F.count(F.lit(1))).alias("avg_logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
