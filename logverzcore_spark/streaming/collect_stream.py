@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -259,6 +260,86 @@ def run_session_windows(
         FROM {sink}
         """
     )
+
+
+def run_late_arrival_replay(
+    spark: SparkSession,
+    events_path: str,
+    delay: str = "6 hours",
+    phase_mod: int = 4,
+) -> DataFrame:
+    """Watermark late-data policy, end to end (SURVEY §2.7): a two-phase
+    replay where phase 2 is a backfill of old rows arriving AFTER the
+    stream's watermark has advanced past them.
+
+    Phase 1 = events with ``event_id % phase_mod != 0``; phase 2 = the
+    rest, staged AFTER a first availableNow run completes, then processed
+    by a second run recovering from the same checkpoint (mirroring the
+    reference's continuous collection, where files arrive between worker
+    invocations). The restart boundary matters: within one run Spark's
+    watermark takes effect one batch late, so only a checkpointed
+    watermark actually filters a replay. Semantics demonstrated, all
+    deterministic and pinned by the oracle:
+
+    - after run 1 the checkpointed watermark is ``max(phase1.ts) - delay``;
+    - run-2 rows strictly older than that watermark are DROPPED
+      (``ts < wm``; equality is kept) — even rows whose window is still
+      open, so a backfill loses its too-old tail;
+    - day windows emit once ``window_end <= watermark`` (equality
+      emits), so the trailing open day is withheld from the sink.
+
+    At 100 TB this is the semantic that bounds state: without the
+    watermark every historic window stays open forever; with it, state
+    is one open day per key and a backfill cannot resurrect closed
+    windows (route backfills through the batch path instead)."""
+    import shutil
+
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from logverzcore_spark.engine import read_table
+
+    events = read_table(
+        spark, os.path.dirname(events_path), "events"
+    ).select("event_id", "ts", "event_type")
+    stage = tempfile.mkdtemp(prefix="lvz_late_replay_")
+    src = os.path.join(stage, "src")
+    sink = os.path.join(stage, "sink")
+    os.makedirs(src)
+
+    def stage_file(name: str, frame: DataFrame) -> None:
+        staged = os.path.join(stage, f"stage_{name}")
+        frame.coalesce(1).write.mode("overwrite").parquet(staged)
+        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        shutil.copyfile(os.path.join(staged, part), os.path.join(src, f"{name}.parquet"))
+
+    def run_once(schema: T.StructType) -> None:
+        stream = spark.readStream.format("parquet").schema(schema).load(src)
+        agg = (
+            stream.withWatermark("ts", delay)
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"), "event_type", "n")
+        )
+        with _state_sized_to_cluster(spark):
+            q = (
+                agg.writeStream.outputMode("append")
+                .option("checkpointLocation", os.path.join(stage, "ck"))
+                .trigger(availableNow=True)
+                .format("parquet")
+                .option("path", sink)
+                .start()
+            )
+            q.awaitTermination()
+
+    try:
+        stage_file("phase1", events.where(F.col("event_id") % phase_mod != 0))
+        schema = spark.read.parquet(src).schema
+        run_once(schema)
+        stage_file("phase2", events.where(F.col("event_id") % phase_mod == 0))
+        run_once(schema)
+        return spark.read.parquet(sink).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def run_stateful_user_stats(spark: SparkSession, events_path: str) -> DataFrame:

@@ -3733,6 +3733,43 @@ def q71_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st11_late_data_watermark",
+    oracle="""
+    WITH p1 AS (
+      SELECT ts, event_type FROM events WHERE event_id % 4 != 0
+    ), p2 AS (
+      SELECT ts, event_type FROM events WHERE event_id % 4 = 0
+    ), wm1 AS (
+      SELECT max(ts) - INTERVAL 6 HOUR AS w FROM p1
+    ), wmf AS (
+      SELECT max(ts) - INTERVAL 6 HOUR AS w FROM events
+    ), kept AS (
+      SELECT ts, event_type FROM p1
+      UNION ALL
+      SELECT p2.ts, p2.event_type FROM p2, wm1 WHERE p2.ts >= wm1.w
+    )
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type, COUNT(*) AS n
+    FROM kept, wmf
+    WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wmf.w
+    GROUP BY 1, 2
+    """,
+)
+def st11_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data policy (streaming/collect_stream.py
+    run_late_arrival_replay): a backfill run recovering from checkpoint
+    loses its rows strictly older than the checkpointed watermark
+    (``ts < wm`` dropped, equality kept — verified at the boundary in
+    tests/test_streaming.py), and the trailing open day is withheld from
+    the append sink (windows emit once ``end <= wm``). The oracle replays
+    both rules in SQL from the deterministic phase split — a
+    hash-verified statement of Spark's watermark semantics."""
+    from logverzcore_spark.streaming.collect_stream import run_late_arrival_replay
+
+    return run_late_arrival_replay(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@query(
     "t13_unigram_logprob",
     oracle="""
     WITH tok AS (

@@ -151,3 +151,73 @@ def test_collect_stream_records_cc_catalog_entry(spark, tmpdir_path):
             eng.sql("SELECT * FROM cc_flows", mallory)
     finally:
         spark.sql("DROP TABLE IF EXISTS cc_flows")
+
+
+def test_watermark_late_data_policy(spark, tmpdir_path):
+    """Pin the watermark rules run_late_arrival_replay (and st11's
+    oracle) rely on: after a checkpoint restart, rows strictly older
+    than the checkpointed watermark are dropped (even when their window
+    is still open), a row exactly AT the watermark is kept, and open
+    windows never reach an append sink."""
+    import datetime as dt
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    src = os.path.join(tmpdir_path, "src")
+    ck = os.path.join(tmpdir_path, "ck")
+    sink = os.path.join(tmpdir_path, "sink")
+    os.makedirs(src)
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("v", T.LongType())]
+    )
+
+    def t(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    def stage(name, rows, age):
+        df = spark.createDataFrame(rows, schema)
+        staged = os.path.join(tmpdir_path, f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(staged)
+        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.copyfile(os.path.join(staged, part), dst)
+        os.utime(dst, (_time.time() - age, _time.time() - age))
+
+    def run_once():
+        stream = spark.readStream.format("parquet").schema(schema).load(src)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "15 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.date_format("w.start", "HH:mm").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", sink)
+            .start()
+        )
+        q.awaitTermination()
+
+    # Run 1: events through 11:00 -> checkpointed watermark 10:50;
+    # windows ending <= 10:50 emit.
+    stage("f1", [(t(10, 0), 1), (t(10, 7), 1), (t(10, 20), 1), (t(10, 40), 1), (t(11, 0), 1)], 120)
+    run_once()
+    got = {r.ws: r.n for r in spark.read.parquet(sink).collect()}
+    assert got == {"10:00": 2, "10:15": 1, "10:30": 1}
+
+    # Run 2 (restart): 10:05 and 10:48 are both < the 10:50 watermark ->
+    # dropped (10:48's window [10:45,11:00) is still open — the strict
+    # row-level filter drops it anyway); 10:50 == watermark -> kept;
+    # 12:00 advances the watermark to 11:50, closing [10:45) and [11:00)
+    # but not [12:00).
+    stage("f2", [(t(10, 5), 1), (t(10, 48), 1), (t(10, 50), 1), (t(12, 0), 1)], 60)
+    run_once()
+    got = {r.ws: r.n for r in spark.read.parquet(sink).collect()}
+    assert got == {"10:00": 2, "10:15": 1, "10:30": 1, "10:45": 2, "11:00": 1}
+    assert "12:00" not in got  # open window withheld from append sink
