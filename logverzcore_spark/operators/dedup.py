@@ -46,6 +46,30 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus_fps: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus — the production
+    shape of exact dedup at 100 TB, where each crawl snapshot is deduped
+    against the accumulated fingerprint table instead of re-deduping the
+    whole corpus (the batch analog of streaming/stream_dedup.py).
+
+    ``corpus_fps`` is a one-column (``fp``) frame of the corpus's
+    fingerprints. Order of operations matters at scale: the batch
+    self-dedups FIRST (one fingerprint groupBy, map-side combined — a
+    duplicate-heavy crawl shrinks before touching the corpus), then a
+    left-anti join on ``fp`` drops everything already present. Both
+    sides shuffle on ``fp``; storing the fingerprint table bucketed by
+    ``fp`` (ingest.optimize_table) makes the corpus side exchange-free
+    for every subsequent batch. Output: (fp, keep_id, n_copies) for the
+    genuinely new documents."""
+    fresh = exact_dedup(new_df, text_col=text_col, id_col=id_col)
+    return fresh.join(corpus_fps.select("fp"), "fp", "left_anti")
+
+
 def dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Materialize the deduplicated corpus: one row per exact content
     fingerprint, keeping the lowest-id representative with all original

@@ -3733,6 +3733,38 @@ def q71_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d13_incremental_dedup",
+    oracle="""
+    WITH fps AS (
+      SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             doc_id, source
+      FROM documents
+    ), corpus AS (
+      SELECT DISTINCT fp FROM fps WHERE source <> 'src3'
+    ), fresh AS (
+      SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies
+      FROM fps WHERE source = 'src3' GROUP BY fp
+    )
+    SELECT f.fp, f.keep_id, f.n_copies
+    FROM fresh f LEFT JOIN corpus c ON f.fp = c.fp
+    WHERE c.fp IS NULL
+    """,
+)
+def d13_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (snapshot-vs-corpus) exact dedup
+    (dedup.incremental_dedup): treat source=src3 as the newly crawled
+    batch and every other source as the accumulated corpus; the batch
+    self-dedups map-side first, then anti-joins the corpus fingerprint
+    set on fp."""
+    docs = _t(spark, sf_dir, "documents")
+    new_batch = docs.where(F.col("source") == "src3")
+    corpus = docs.where(F.col("source") != "src3").select(
+        dedup.fingerprint_md5(F.col("text")).alias("fp")
+    )
+    return dedup.incremental_dedup(new_batch, corpus)
+
+
+@query(
     "st11_late_data_watermark",
     oracle="""
     WITH p1 AS (

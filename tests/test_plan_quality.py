@@ -183,6 +183,7 @@ def test_suite_global_plan_invariants(spark):
         "t04_tfidf_top_terms",  # single-row corpus-size constant join
         "q61_global_sales_opportunity",  # single-row scalar AVG subquery join
         "q62_top_supplier_revenue",      # single-row scalar MAX subquery join
+        "t13_unigram_logprob",           # single-row corpus-token-total join
     }
     streaming = {n for n in SUITE if n.startswith("st")}  # run eagerly; skip
     offenders = {}
@@ -251,3 +252,40 @@ def test_q60_six_functions_one_window_pass(spark):
     fmt = _plan(spark, SUITE["q60_frame_battery"](spark, SF_DIR))
     assert _n_exchanges(fmt) == 1
     assert fmt.count("(") > 0 and fmt.count("Window") >= 1
+
+
+def test_q71_derived_filters_reach_both_scans(spark):
+    """Q19's disjunction is useless as a join residual unless the
+    per-side implications are pushed to the scans: part must read only
+    the three brands (≤ size 15) and lineitem only quantity ≤ 30."""
+    fmt = _plan(spark, SUITE["q71_disjunctive_revenue"](spark, SF_DIR))
+    assert "In(p_brand" in fmt
+    assert "LessThanOrEqual(p_size,15)" in fmt
+    assert "LessThanOrEqual(l_quantity,30.0)" in fmt
+
+
+def test_q66_dimension_sides_broadcast(spark):
+    """The bilateral-trade join keeps supplier/customer nation lookups
+    broadcast; the fact side must never be nested-loop joined."""
+    fmt = _plan(spark, SUITE["q66_nation_trade_volume"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in fmt
+    assert "NestedLoop" not in fmt and "Cartesian" not in fmt
+
+
+def test_q70_avg_join_not_window(spark):
+    """The correlated AVG decorrelates to aggregate + broadcast join —
+    no window sort over the fact table."""
+    fmt = _plan(spark, SUITE["q70_small_qty_revenue"](spark, SF_DIR))
+    assert "Window" not in fmt
+    assert "BroadcastHashJoin" in fmt
+
+
+def test_d13_batch_self_dedups_before_anti_join(spark):
+    """Incremental dedup must shrink the new batch (HashAggregate below
+    the anti-join) so a duplicate-heavy crawl combines map-side before
+    touching the corpus fingerprints."""
+    fmt = _plan(spark, SUITE["d13_incremental_dedup"](spark, SF_DIR))
+    assert "LeftAnti" in fmt
+    agg_pos = fmt.find("HashAggregate")
+    anti_pos = fmt.find("LeftAnti")
+    assert agg_pos != -1 and anti_pos != -1
