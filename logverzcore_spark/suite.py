@@ -3733,6 +3733,213 @@ def q71_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q72_cust_order_histogram",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q72_cust_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count distribution — a LEFT OUTER join with
+    the filter in the JOIN CONDITION (not a WHERE, which would turn the
+    outer join inner and drop zero-order customers), then a two-level
+    aggregation. The second agg's input is one row per customer — tiny —
+    so the expensive shuffle happens exactly once, on custkey."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q73_supplier_diversity",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_size <= 10 AND p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q73_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part group with a
+    NOT IN supplier exclusion. The exclusion list is tiny and its key
+    (s_suppkey) is non-nullable, so the null-aware NOT IN semantics
+    reduce to a broadcast left-anti join — the form that scales (a true
+    null-aware anti join degenerates to BNLJ when the column is
+    nullable; keep exclusion keys NOT NULL at 100 TB). COUNT(DISTINCT)
+    expands to a two-phase aggregate on (group, suppkey) — no row-set
+    materialization."""
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("bad_suppkey"))
+    )
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 10)
+        & (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("bad_suppkey"), "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q74_returned_top_customers",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM({_CENTS}) AS BIGINT)/100.0 AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey  = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q74_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in one
+    quarter. The quarter filter prunes orders at the scan; lineitem joins
+    the pruned orders (shuffle on orderkey), customer joins on custkey,
+    nation broadcasts; the final ORDER BY+LIMIT is a TakeOrdered — no
+    global sort. Ties broken by custkey so the LIMIT edge is stable."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", _cents().alias("c"))
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            (F.sum("c").cast("bigint") / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q75_big_quantity_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+    )
+    SELECT o.o_orderkey, c.c_name,
+           CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT)/100.0 AS total_price,
+           SUM(l.l_quantity) AS total_qty
+    FROM orders o
+    JOIN big     ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def q75_big_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold —
+    a semi-join against a HAVING aggregate. The qualifying-key set is
+    tiny (heavy-hitter orders), so it broadcasts back onto orders and
+    lineitem; lineitem is scanned twice but shuffled only once (the
+    HAVING aggregate), since the second pass joins the broadcast key set
+    map-side. Quantities are integral doubles → exact sums."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.withColumnRenamed("l_orderkey", "lk")
+        .join(F.broadcast(big), F.col("lk") == F.col("l_orderkey"))
+        .join(orders, F.col("lk") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "o_orderkey",
+            "c_name",
+            (F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint") / 100.0).alias(
+                "total_price"
+            ),
+        )
+        .agg(F.sum("l_quantity").alias("total_qty"))
+    )
+
+
+@query(
+    "q76_discount_band_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(FLOOR(l_extendedprice*l_discount*10000 + 0.5) AS BIGINT))
+                AS BIGINT)/10000.0 AS revenue_delta,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q76_discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-scan conditional revenue — every predicate
+    (date range, discount band, quantity cap) reaches the parquet scan as
+    a pushed filter, and the whole query is one codegen'd scan+agg with
+    no shuffle beyond the final single-row reduce."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    units = F.floor(F.col("l_extendedprice") * F.col("l_discount") * 10000 + 0.5).cast(
+        "bigint"
+    )
+    return li.agg(
+        (F.sum(units).cast("bigint") / 10000.0).alias("revenue_delta"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
     "d13_incremental_dedup",
     oracle="""
     WITH fps AS (
