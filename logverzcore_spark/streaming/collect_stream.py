@@ -511,17 +511,52 @@ def run_stream_static_enrich(
     return spark.table(sink).select("segment", "n_events", "total_value")
 
 
-def run_windowed_aggregate(spark: SparkSession, events_path: str) -> DataFrame:
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@contextmanager
+def _state_store_provider(spark: SparkSession, provider: str | None):
+    """Pin the state-store provider for a stream's lifetime.
+
+    The default HDFS-backed provider keeps every partition's state map ON
+    HEAP — at 100 TB (billions of open keys) that is executor-OOM by
+    design. RocksDB (bundled with Spark) keeps state off-heap with
+    incremental checkpointing; the provider is frozen into the checkpoint
+    at the first batch, so it must be chosen before the query starts —
+    exactly like the partition count above."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+    if provider:
+        spark.conf.set(key, provider)
+    try:
+        yield
+    finally:
+        if provider:
+            if before is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, before)
+
+
+def run_windowed_aggregate(
+    spark: SparkSession, events_path: str, state_store: str | None = None
+) -> DataFrame:
     """Drive a tumbling-window streaming aggregation to completion over the
     static events files and return the final result (complete mode, memory
-    sink) — the batch-equivalent answer, used by the graded suite."""
+    sink) — the batch-equivalent answer, used by the graded suite.
+    ``state_store="rocksdb"`` runs the same plan with off-heap RocksDB
+    state (the 100 TB configuration) — results are identical by contract,
+    which st12 verifies against st01's oracle."""
+    provider = _ROCKSDB_PROVIDER if state_store == "rocksdb" else None
     stream = _events_stream(spark, events_path)
     agg = stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
     sink = f"st_sink_{uuid.uuid4().hex[:8]}"
-    with _state_sized_to_cluster(spark):
+    with _state_sized_to_cluster(spark), _state_store_provider(spark, provider):
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")

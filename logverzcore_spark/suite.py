@@ -1162,6 +1162,29 @@ def st01_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st12_rocksdb_state",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           event_type,
+           COUNT(*) AS n,
+           SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) / 100.0 AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st12_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st01's tumbling-window aggregation under the RocksDB state-store
+    provider — the off-heap configuration a 100 TB streaming deployment
+    runs (heap state OOMs at billions of open keys; RocksDB checkpoints
+    incrementally). Same oracle as st01: the provider must not change a
+    single result."""
+    from logverzcore_spark.streaming.collect_stream import run_windowed_aggregate
+
+    return run_windowed_aggregate(
+        spark, os.path.join(sf_dir, "events.parquet"), state_store="rocksdb"
+    )
+
+
+@query(
     "st02_session_windows",
     oracle="""
     WITH gaps AS (
