@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -120,12 +121,45 @@ def _zorder_value(df, cols: list[str], bits: int = 16):
     return z
 
 
+@contextmanager
+def _bloom_filter_conf(spark: SparkSession, cols: list[str] | None, ndv: int):
+    """Enable parquet bloom filters on ``cols`` for writes inside the
+    block: each file's row groups then carry a membership filter that
+    lets the reader skip row groups for point predicates on NON-sorted
+    columns — the complement to z-order/min-max stats, which only serve
+    clustered columns. At 100 TB this is what makes `WHERE request_id=X`
+    touch a handful of row groups instead of every file that min/max
+    can't exclude (high-cardinality ids have useless min/max ranges).
+    Set via the live Hadoop configuration because ``insertInto`` ignores
+    per-writer parquet options (it plans an InsertIntoHadoopFsRelation
+    from the catalog table, not the DataFrameWriter — verified by file
+    sizes); restored on exit so later writes don't pay the filter
+    bytes."""
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    keys = []
+    for c in cols or []:
+        pairs = {
+            f"parquet.bloom.filter.enabled#{c}": "true",
+            f"parquet.bloom.filter.expected.ndv#{c}": str(ndv),
+        }
+        for k, v in pairs.items():
+            hc.set(k, v)
+            keys.append(k)
+    try:
+        yield
+    finally:
+        for k in keys:
+            hc.unset(k)
+
+
 def optimize_table(
     spark: SparkSession,
     table: str,
     target_rows_per_file: int = 1_000_000,
     partition_by: list[str] | None = None,
     zorder_by: list[str] | None = None,
+    bloom_filter_cols: list[str] | None = None,
+    bloom_filter_ndv: int = 1_000_000,
 ) -> int:
     """Compact a table's small files (the 100 TB ingest reality: streaming
     appends and per-batch commits leave thousands of small files that
@@ -141,7 +175,11 @@ def optimize_table(
     (r1 ADVICE). ``zorder_by`` clusters the rewrite on an interleaved-bit
     z-value so files carry selective min/max stats on SEVERAL columns at
     once (see ``_zorder_value``) — a filter on any of them then prunes
-    most files, where a single-column sort only serves that one column. Changing the partition layout (``partition_by``) requires
+    most files, where a single-column sort only serves that one column.
+    ``bloom_filter_cols`` additionally writes parquet bloom filters for
+    point-predicate row-group skipping on high-cardinality unsorted
+    columns (see ``_with_bloom_filters``); size them with
+    ``bloom_filter_ndv`` ≈ distinct values per file. Changing the partition layout (``partition_by``) requires
     recreating the table and is NOT atomic: a staged copy is written to
     ``<table>__compact`` before the original is dropped and removed only
     after the rewrite completes, so a failure may strand data there (or
@@ -195,26 +233,28 @@ def optimize_table(
         # catalog-implementation-dependent (the in-memory catalog leaves
         # the files behind → an empty renamed table).
         stage = f"{table}__compact"
-        writer = (
-            compact.write.mode("overwrite")
-            .option("maxRecordsPerFile", str(target_rows_per_file))
-            .partitionBy(*partition_by)
-        )
-        writer.saveAsTable(stage)
-        spark.sql(f"DROP TABLE `{table}`")
-        (
-            compact.write.mode("overwrite")
-            .option("maxRecordsPerFile", str(target_rows_per_file))
-            .partitionBy(*partition_by)
-            .saveAsTable(table)
-        )
+        with _bloom_filter_conf(spark, bloom_filter_cols, bloom_filter_ndv):
+            (
+                compact.write.mode("overwrite")
+                .option("maxRecordsPerFile", str(target_rows_per_file))
+                .partitionBy(*partition_by)
+                .saveAsTable(stage)
+            )
+            spark.sql(f"DROP TABLE `{table}`")
+            (
+                compact.write.mode("overwrite")
+                .option("maxRecordsPerFile", str(target_rows_per_file))
+                .partitionBy(*partition_by)
+                .saveAsTable(table)
+            )
         spark.sql(f"DROP TABLE IF EXISTS `{stage}`")
     else:
-        (
-            compact.write.mode("overwrite")
-            .option("maxRecordsPerFile", str(target_rows_per_file))
-            .insertInto(table, overwrite=True)
-        )
+        with _bloom_filter_conf(spark, bloom_filter_cols, bloom_filter_ndv):
+            (
+                compact.write.mode("overwrite")
+                .option("maxRecordsPerFile", str(target_rows_per_file))
+                .insertInto(table, overwrite=True)
+            )
     return (
         spark.table(table).select(F.input_file_name().alias("f")).distinct().count()
     )

@@ -222,12 +222,41 @@ def minhash_signature(col: Column, num_hashes: int = 128, n: int = 3) -> Column:
     )
 
 
+def _hashed_shingle_rows(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, h) rows: every n-gram shingle hashed ONCE via codegen'd
+    multi-arg xxhash64 over the token fields — no shingle STRINGS ever
+    exist (the token-tuple hash is injective enough that tuple Jaccard
+    equals string Jaccard up to 2^-64 collisions). ``fan_out`` first: a
+    small parquet arrives as one partition and a projection under the
+    exchange would shingle on a single core."""
+    from logverzcore_spark.operators.util import fan_out
+
+    df = fan_out(df)
+    toks = tokens(F.col(text_col))
+    staged = df.select(F.col(id_col).alias("doc_id"), toks.alias("_tk"))
+    shifted = [F.col("_tk")] + [
+        F.slice(F.col("_tk"), j + 1, F.greatest(F.size("_tk") - j, F.lit(0)))
+        for j in range(1, n)
+    ]
+    gram = F.explode(F.arrays_zip(*shifted)).alias("g")
+    g_fields = ["g._tk"] + [f"g.{j}" for j in range(1, n)]
+    return (
+        staged.select("doc_id", gram)
+        .where(F.col(g_fields[-1]).isNotNull())
+        .select("doc_id", F.xxhash64(*g_fields).alias("h"))
+    )
+
+
 def minhash_signature_sets(
     df: DataFrame,
     num_hashes: int = 32,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    with_sets: bool = True,
+    persist: bool = True,
 ) -> DataFrame:
     """Per-doc MinHash signature columns (m0..m{k-1}) AND the distinct
     shingle-hash set, in one shuffle. Shared by the batch LSH pipeline and
@@ -240,46 +269,32 @@ def minhash_signature_sets(
     Signature WITHOUT higher-order-function lambdas: HOF bodies are
     interpreted (no codegen), so hashing every shingle once per seed
     costs 100×+ what the same arithmetic costs inside WholeStageCodegen.
-    Instead: explode shingles, hash each ONCE (codegen'd multi-arg
-    xxhash64 over the token fields — no shingle STRINGS ever exist; the
-    space-join is injective so token-tuple Jaccard equals string
-    Jaccard), then k mins of k seeded re-hashes as plain aggregate
-    expressions — one shuffle on doc_id, all map-side-combined.
-    ``fan_out`` first: a small parquet arrives as one partition and a
-    projection under the exchange would shingle on a single core. The
-    hash SET (8 B/shingle) doubles as the exact-Jaccard verification
-    payload — exact up to a 2^-64 collision.
-    """
-    from logverzcore_spark.operators.util import fan_out
+    Instead: hashed shingle ROWS (``_hashed_shingle_rows``), then k mins
+    of k seeded re-hashes as plain aggregate expressions — one shuffle
+    on doc_id, all map-side-combined.
 
-    df = fan_out(df)
-    toks = tokens(F.col(text_col))
-    staged = df.select(F.col(id_col).alias("doc_id"), toks.alias("_tk"))
-    shifted = [F.col("_tk")] + [
-        F.slice(F.col("_tk"), j + 1, F.greatest(F.size("_tk") - j, F.lit(0)))
-        for j in range(1, n)
-    ]
-    gram = F.explode(F.arrays_zip(*shifted)).alias("g")
-    g_fields = ["g._tk"] + [f"g.{j}" for j in range(1, n)]
-    hashed = (
-        staged.select("doc_id", gram)
-        .where(F.col(g_fields[-1]).isNotNull())
-        .select("doc_id", F.xxhash64(*g_fields).alias("h"))
-    )
+    ``with_sets=False`` drops the ``hset`` column: the signature shuffle
+    then carries only k×8 B per doc instead of the doc's whole shingle
+    set — the form the batch LSH pipeline wants, because it verifies
+    candidates only (the streaming near-dup path keeps sets for ALL
+    surviving docs — they ARE its state table). ``persist=False`` skips
+    the eager persist barrier for callers that consume the frame exactly
+    once (the LSH pipeline checkpoints its tiny candidate list instead).
+    """
+    hashed = _hashed_shingle_rows(df, n=n, text_col=text_col, id_col=id_col)
     # xxhash64(i, h) re-hash per seed is codegen'd and, unlike a*h+b,
     # safe under ANSI overflow checking.
     hashed = hashed.select(
         "doc_id", "h", *[F.xxhash64(F.lit(i), "h").alias(f"h{i}") for i in range(num_hashes)]
     )
-    sig_df = (
-        hashed.groupBy("doc_id")
-        .agg(
-            *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)],
-            F.collect_set("h").alias("hset"),
-        )
-        .persist()
+    set_aggs = [F.collect_set("h").alias("hset")] if with_sets else []
+    sig_df = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)],
+        *set_aggs,
     )
-    sig_df.count()  # eager barrier (see docstring)
+    if persist:
+        sig_df = sig_df.persist()
+        sig_df.count()  # eager barrier (see docstring)
     return sig_df
 
 
@@ -331,7 +346,8 @@ def minhash_lsh_pairs(
     collect_set — the one place arrays exist.
     """
     sig_df = minhash_signature_sets(
-        df, num_hashes=num_hashes, n=n, text_col=text_col, id_col=id_col
+        df, num_hashes=num_hashes, n=n, text_col=text_col, id_col=id_col,
+        with_sets=False, persist=False,
     )
     buckets = minhash_band_buckets(sig_df, num_hashes=num_hashes, bands=bands)
     # Candidate pairs per bucket via groupBy + in-array pair expansion —
@@ -358,11 +374,37 @@ def minhash_lsh_pairs(
         .select("p.id1", "p.id2")
         .distinct()  # the same pair can collide in several bands
     )
+    # The candidate list is consumed twice (id-set broadcast + final
+    # join); it is tiny, so an eager localCheckpoint materializes the
+    # whole signature→banding pipeline exactly ONCE and cuts its lineage
+    # — cheaper than persisting the (much larger) signature frame.
+    cand = cand.localCheckpoint(eager=True)
+    # Exact-Jaccard verification, CANDIDATE-SCOPED: shingle-hash sets are
+    # rebuilt only for docs that appear in some candidate pair (a
+    # broadcast semi-join prunes the corpus scan — the candidate id set
+    # is tiny by construction). The signature aggregation above therefore
+    # never carries per-doc sets, so its shuffle is k×8 B per doc no
+    # matter how long the documents are — at 100 TB, collecting every
+    # doc's shingle set "just in case" is the difference between a narrow
+    # signature shuffle and re-shuffling the tokenized corpus.
+    cand_ids = (
+        cand.select(F.col("id1").alias("_cid"))
+        .unionByName(cand.select(F.col("id2").alias("_cid")))
+        .distinct()
+    )
+    cand_sets = (
+        _hashed_shingle_rows(
+            df.join(F.broadcast(cand_ids), F.col(id_col) == F.col("_cid"), "left_semi"),
+            n=n, text_col=text_col, id_col=id_col,
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("hset"))
+    )
     # shuffle_hash hints: array-bearing frames must not be broadcast —
     # the planner's size estimate misses the array payload and OOMs the
     # driver at scale.
-    s1 = sig_df.select(F.col("doc_id").alias("id1"), F.col("hset").alias("hs1")).hint("shuffle_hash")
-    s2 = sig_df.select(F.col("doc_id").alias("id2"), F.col("hset").alias("hs2")).hint("shuffle_hash")
+    s1 = cand_sets.select(F.col("doc_id").alias("id1"), F.col("hset").alias("hs1")).hint("shuffle_hash")
+    s2 = cand_sets.select(F.col("doc_id").alias("id2"), F.col("hset").alias("hs2")).hint("shuffle_hash")
     inter = F.size(F.array_intersect("hs1", "hs2"))
     union = F.size(F.array_union("hs1", "hs2"))
     jac = inter / union
