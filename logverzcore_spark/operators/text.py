@@ -292,6 +292,71 @@ def dup_ngram_fraction(df: DataFrame, text_col: str = "text", n: int = 3) -> Dat
     ).drop("_toks", "_grams")
 
 
+def dedup_segments(
+    df: DataFrame,
+    seg_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicate-SEGMENT removal — the C4-style "discard
+    any line that occurs more than once in the corpus" rule, expressed
+    over fixed ``seg_tokens``-token segments because this corpus has no
+    line structure (the mechanics are identical: chunk, fingerprint,
+    corpus-count, drop repeated chunks).
+
+    Plan: tokenize once, explode consecutive non-overlapping segments
+    (in-row slice arithmetic, codegen'd), md5 each segment's text, ONE
+    shuffle for the corpus-wide segment counts, broadcast-join the
+    (tiny) duplicated-fingerprint set back, and re-aggregate per doc.
+    The duplicated-set size is bounded by actual duplication, not corpus
+    size — boilerplate is rare relative to 100 TB of text, so the join
+    side that travels is small. Output per doc: segment counts, the
+    duplicate fraction, and the token count surviving the scrub.
+    """
+    staged = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks"))
+    n_seg = F.floor(F.size("_toks") / seg_tokens).cast("int")
+    segs = staged.select(
+        "doc_id",
+        F.size("_toks").alias("n_tokens"),
+        F.posexplode_outer(
+            # sequence(0, -1) would count DOWN (Spark infers step -1), so
+            # short docs need the explicit empty-array branch.
+            F.when(
+                n_seg > 0,
+                F.transform(
+                    F.sequence(F.lit(0), n_seg - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice("_toks", i * seg_tokens + 1, seg_tokens)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("seg_idx", "seg"),
+    ).select("doc_id", "n_tokens", "seg_idx", F.md5("seg").alias("fp"))
+    dup_fps = (
+        segs.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") > 1)
+        .select("fp")
+    )
+    flagged = segs.join(F.broadcast(dup_fps.withColumn("_dup", F.lit(1))), "fp", "left")
+    return flagged.groupBy("doc_id").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.count("seg_idx").alias("n_segments"),
+        F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("n_dup_segments"),
+        F.round(
+            F.when(
+                F.count("seg_idx") > 0,
+                F.sum(F.coalesce(F.col("_dup"), F.lit(0))) / F.count("seg_idx"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("dup_segment_frac"),
+        (
+            F.first("n_tokens")
+            - F.sum(F.coalesce(F.col("_dup"), F.lit(0))) * F.lit(seg_tokens)
+        ).alias("n_tokens_clean"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     max_tokens: int = 2048,

@@ -4081,6 +4081,43 @@ def t13_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t14_segment_dedup",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), seg AS (
+      SELECT t.doc_id, u.i AS seg_idx,
+             md5(array_to_string(t.toks[(u.i*10+1):(u.i*10+10)], ' ')) AS fp
+      FROM tok t, UNNEST(range(CAST(floor(len(t.toks)/10) AS BIGINT))) AS u(i)
+    ), cnt AS (
+      SELECT fp, COUNT(*) AS n_occ FROM seg GROUP BY fp
+    ), per AS (
+      SELECT s.doc_id, COUNT(*) AS n_segments,
+             SUM(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END) AS n_dup
+      FROM seg s JOIN cnt c USING (fp) GROUP BY s.doc_id
+    )
+    SELECT t.doc_id, len(t.toks) AS n_tokens,
+           COALESCE(p.n_segments, 0) AS n_segments,
+           COALESCE(p.n_dup, 0) AS n_dup_segments,
+           ROUND(CASE WHEN COALESCE(p.n_segments, 0) > 0
+                      THEN CAST(COALESCE(p.n_dup, 0) AS DOUBLE) / p.n_segments
+                      ELSE 0.0 END, 4) AS dup_segment_frac,
+           len(t.toks) - COALESCE(p.n_dup, 0) * 10 AS n_tokens_clean
+    FROM tok t LEFT JOIN per p USING (doc_id)
+    """,
+)
+def t14_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-segment scrub (text.dedup_segments): the
+    C4-style "drop any line seen more than once in the corpus" rule over
+    10-token segments. One shuffle for corpus segment counts; the
+    duplicated-fingerprint set broadcasts back (its size tracks actual
+    boilerplate, not corpus size)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.dedup_segments(docs, seg_tokens=10)
+
+
 # ---------------------------------------------------------------------------
 # Mergeable-sketch battery (Apache DataSketches, Spark 4). At the graded
 # scale every sketch runs in its exact regime (theta below its 4096

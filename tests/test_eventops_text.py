@@ -265,3 +265,25 @@ def test_decode_batch_plan_respects_budget(spark):
         sizes[r["batch_id"]].append(r["n_bytes"])
     for members in sizes.values():
         assert sum(members[:-1]) <= 2000
+
+
+def test_dedup_segments_cross_doc(spark):
+    """Two docs sharing one exact 10-token segment: that segment (and
+    only it) is flagged in both docs; a <10-token doc yields zero
+    segments but stays in the output with its token count intact."""
+    from logverzcore_spark.operators.text import dedup_segments
+
+    shared = "a b c d e f g h i j"
+    rows = [
+        (1, shared + " k l m n o p q r s t"),  # seg0 shared, seg1 unique
+        (2, shared + " z y x w v u t s r q"),  # seg0 shared, seg1 unique
+        (3, "tiny doc"),                        # no full segment
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_segments(df, seg_tokens=10).collect()}
+    assert out[1]["n_segments"] == 2 and out[1]["n_dup_segments"] == 1
+    assert out[1]["dup_segment_frac"] == 0.5
+    assert out[1]["n_tokens_clean"] == 10  # 20 tokens - one 10-token segment
+    assert out[2]["n_dup_segments"] == 1
+    assert out[3]["n_segments"] == 0 and out[3]["n_dup_segments"] == 0
+    assert out[3]["n_tokens"] == 2 and out[3]["n_tokens_clean"] == 2
