@@ -4379,6 +4379,91 @@ def st13_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "q81_late_ship_priority",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def q81_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact⋈fact join with conditional CASE counts.
+    (This testdata's lineitem has no shipmode/receiptdate, so 'late' is
+    l_shipdate > o_orderdate + 60 days and the group key is
+    l_returnflag — same two-table join + pivoted-CASE-count plan.) The
+    lineitem date band is pushed to the scan; orders arrives pre-pruned
+    to its two needed columns; the CASE counts partial-aggregate
+    map-side so the only full-width shuffle is the o_orderkey join."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q82_important_parts",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT))
+               AS rev_cents
+      FROM lineitem GROUP BY l_partkey
+    ), total AS (
+      SELECT SUM(rev_cents) AS total_cents FROM rev
+    )
+    SELECT p_partkey, p_name,
+           CAST(rev_cents AS BIGINT) / 100.0 AS part_revenue
+    FROM rev JOIN part ON l_partkey = p_partkey, total
+    WHERE rev_cents > total_cents * 0.00055
+    """,
+)
+def q82_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: group aggregate filtered against a scalar
+    fraction of the global total (HAVING SUM(v) > SUM(ALL v) * f). One
+    pass builds the per-part revenue; the global total is a second
+    aggregation OF THE PARTIAL RESULT (25k rows at SF1 — never a second
+    fact scan) broadcast back as a one-row cross join; part names join
+    broadcast. At 100 TB the fact is read exactly once."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(disc_cents).cast("bigint").alias("rev_cents"))
+    )
+    rev = rev.localCheckpoint(eager=False)  # reuse: per-part agg feeds both sides
+    total = rev.agg(F.sum("rev_cents").alias("total_cents"))
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return (
+        rev.join(F.broadcast(total))
+        .where(F.col("rev_cents") > F.col("total_cents") * 0.00055)
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            (F.col("rev_cents") / F.lit(100.0)).alias("part_revenue"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
