@@ -292,6 +292,57 @@ def quantize_embedding_stats(
     )
 
 
+def cluster_balanced_sample(
+    df: DataFrame,
+    per_cell: int = 5,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Cluster-balanced subset selection — the curation counterpart of
+    semantic dedup: assign every vector to its nearest centroid, then
+    keep ``per_cell`` rows PER CLUSTER, picked by a deterministic content
+    hash (md5 of the id). The result preserves embedding-space diversity
+    where a global random sample oversamples dense modes, and its
+    composition is bit-stable across engines, runs, and cluster sizes
+    (``sample()`` is none of those). Pass ``centroids``
+    (``lcg_centroids``) for an engine-portable assignment a SQL oracle
+    can replay literally.
+
+    Plan: one Arrow-batched matmul projection for assignment (no
+    shuffle), then a single shuffle on ``cell`` for the per-cluster
+    top-``per_cell`` window — at 100 TB the window input is (cell, id,
+    hash), never the vectors themselves."""
+    if centroids is None:
+        dim = len(df.select(vec_col).first()[0])
+        centroids = lcg_centroids(dim, n_cells)
+    cmat = np.array(centroids, dtype=np.float64)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def nearest_cell(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = x @ cmat.T
+        # stable argsort → exact ties resolve to the lower cell index,
+        # matching a SQL replay's ORDER BY sim DESC, cell.
+        return pd.Series(np.argsort(-sims, axis=1, kind="stable")[:, 0].astype("int32"))
+
+    assigned = df.select(
+        F.col(id_col), nearest_cell(_as_double(F.col(vec_col))).alias("cell")
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        assigned.withColumn("pick_rank", F.row_number().over(w))
+        .where(F.col("pick_rank") <= per_cell)
+        .select("cell", F.col(id_col), F.col("pick_rank").cast("int").alias("pick_rank"))
+    )
+
+
 def lcg_centroids(dim: int, n_cells: int) -> list[list[float]]:
     """Deterministic unit-norm centroids from the LCG stream — the
     engine-portable alternative to data-sampled centroids: any engine

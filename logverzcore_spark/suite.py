@@ -4464,6 +4464,132 @@ def q82_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "m06_cdc_neardup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS sz FROM documents
+    ), pos AS (
+      SELECT doc_id, text, sz, UNNEST(range(1, GREATEST(1, sz - 16 + 1) + 1)) AS p
+      FROM d
+    ), bounds AS (
+      SELECT doc_id, text, sz, p FROM pos
+      WHERE p = 1
+         OR substring(md5(substring(text, CAST(p AS BIGINT), 16)), 1, 2) = 'ff'
+    ), chunks AS (
+      SELECT doc_id,
+             md5(substring(text, CAST(p AS BIGINT),
+                 CAST(COALESCE(LEAD(p) OVER (PARTITION BY doc_id ORDER BY p),
+                               sz + 1) - p AS BIGINT))) AS chunk_md5
+      FROM bounds
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           COUNT(*) AS n_shared_chunks
+    FROM chunks a JOIN chunks b
+      ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def m06_cdc_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-free binary near-dup via content-defined chunking
+    (multimodal.cdc_neardup_pairs): rolling-window hashes open chunk
+    boundaries that re-synchronize across byte insertions, so spliced /
+    re-muxed payload variants still share their unchanged chunks —
+    unlike fixed-position banding. Candidates come from a bucketed
+    equi-join on 16-byte chunk hashes (payload bytes pruned first;
+    never all-pairs). The oracle replays the identical boundary rule
+    (char slicing == byte slicing: the corpus is ASCII)."""
+    from logverzcore_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return multimodal.cdc_neardup_pairs(docs, min_shared_chunks=2)
+
+
+def _s07_oracle(dim: int = 64, n_cells: int = 16, per_cell: int = 5) -> str:
+    cents = similarity.lcg_centroids(dim, n_cells)
+    values = ",\n      ".join(
+        f"({ci}, {_sql_double_array(row)})" for ci, row in enumerate(cents)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), cents(cell, cvec) AS (VALUES
+      {values}
+    ), sims AS (
+      SELECT v.vec_id, c.cell, list_dot_product(v.e, c.cvec) AS sim
+      FROM v CROSS JOIN cents c
+    ), c_assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    ), picked AS (
+      SELECT cell, vec_id,
+             row_number() OVER (PARTITION BY cell
+                                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               AS pick_rank
+      FROM c_assign
+    )
+    SELECT CAST(cell AS INTEGER) AS cell, vec_id,
+           CAST(pick_rank AS INTEGER) AS pick_rank
+    FROM picked WHERE pick_rank <= {per_cell}
+    """
+
+
+@query("s07_cluster_sample", oracle=_s07_oracle())
+def s07_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced subset selection
+    (similarity.cluster_balanced_sample): nearest-centroid assignment
+    (portable LCG centroids) + per-cluster deterministic hash pick —
+    the diversity-preserving downsample a curation pipeline runs where a
+    global random sample would oversample dense embedding modes. Hash-
+    verified: the oracle replays assignment AND pick order literally."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cluster_balanced_sample(
+        emb, per_cell=5, centroids=similarity.lcg_centroids(64, 16)
+    )
+
+
+@query(
+    "t15_shard_manifest",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hx
+      FROM documents
+    ), a AS (
+      SELECT doc_id, n_chars,
+             ((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1)) % 16
+               AS shard
+      FROM h
+    )
+    SELECT CAST(shard AS INTEGER) AS shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM a GROUP BY shard
+    """,
+)
+def t15_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic export sharding + manifest (export.shard_manifest):
+    md5-of-id shard assignment (stable across engines, runs, and
+    re-exports — trainer resume offsets survive a re-run) and the
+    per-shard manifest a training job validates against. The write path
+    (export.export_shards, pytest-covered) repartitions on the shard
+    column so each shard directory is written by its owning tasks."""
+    from logverzcore_spark import export
+
+    docs = _t(spark, sf_dir, "documents")
+    return export.shard_manifest(docs)
+
+
 # ---------------------------------------------------------------------------
 
 
