@@ -98,3 +98,51 @@ def export_shards(
         os.path.join(out_dir, "_manifest")
     )
     return manifest
+
+
+def export_shards_stream(
+    spark,
+    source_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    bytes_col: str = "n_chars",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Streaming variant of :func:`export_shards`: a continuous-collection
+    source drains into the same ``shard=K/`` layout with exactly-once file
+    tracking (the parquet streaming sink's ``_spark_metadata`` commit log
+    — a crashed micro-batch's orphan files are invisible to readers), so
+    a crawler can append to the training corpus while keeping the
+    trainer-facing shard contract identical to a batch export. Because
+    shard assignment hashes the document id, a document arriving in any
+    micro-batch, in any order, lands in the same shard a batch re-export
+    would give it — streaming and batch exports are interchangeable,
+    which suite:st14 hash-verifies against the batch manifest oracle.
+
+    Runs the stream to completion (availableNow) and returns the manifest
+    computed from the FILES READ BACK — the manifest states what a
+    trainer will actually see, not what the plan intended."""
+    with_shard = source_stream.withColumn(
+        "shard", shard_assign(F.col(id_col), n_shards)
+    )
+    q = (
+        with_shard.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("shard")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out_dir)
+    return (
+        back.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(bytes_col).cast("bigint").alias("total_bytes"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+        .select(F.col("shard").cast("int").alias("shard"), "n_docs", "total_bytes", "min_id", "max_id")
+    )

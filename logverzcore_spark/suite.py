@@ -4590,6 +4590,60 @@ def t15_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return export.shard_manifest(docs)
 
 
+@query(
+    "st14_stream_shard_export",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hx
+      FROM documents
+    ), a AS (
+      SELECT doc_id, n_chars,
+             ((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1)) % 16
+               AS shard
+      FROM h
+    )
+    SELECT CAST(shard AS INTEGER) AS shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM a GROUP BY shard
+    """,
+)
+def st14_stream_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming shard export (export.export_shards_stream): the
+    documents source drains through the parquet streaming sink into the
+    same ``shard=K/`` layout as the batch exporter, exactly-once via the
+    sink's ``_spark_metadata`` commit log. Hash-verified equivalence to
+    the BATCH manifest oracle proves the property that matters: because
+    shards hash the document id, batch and streaming exports are
+    interchangeable — micro-batch boundaries and arrival order cannot
+    move a document between shards. The returned manifest is computed
+    from the files read back, not from the plan."""
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark import export
+
+    batch = _t(spark, sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    run_id = _uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix=f"st14_{run_id}_")
+    manifest = export.export_shards_stream(
+        spark,
+        stream,
+        out_dir=os.path.join(base, "shards"),
+        checkpoint_dir=os.path.join(base, "ck"),
+    )
+    return manifest.localCheckpoint(eager=True)
+
+
 # ---------------------------------------------------------------------------
 
 

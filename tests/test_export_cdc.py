@@ -89,6 +89,36 @@ def test_export_shards_roundtrip(spark, tmpdir_path):
     assert mback.count() == len(manifest)
 
 
+def test_stream_export_restart_no_duplicates(spark, tmpdir_path):
+    """The streaming shard exporter is exactly-once across restarts: a
+    second availableNow run over the same checkpoint re-emits nothing,
+    and newly arrived source files append without touching old rows."""
+    src = os.path.join(tmpdir_path, "src")
+    out = os.path.join(tmpdir_path, "out")
+    ck = os.path.join(tmpdir_path, "ck")
+    docs = _docs(spark)
+    docs.where(F.col("doc_id") % 2 == 0).write.parquet(os.path.join(src, "a.parquet"))
+
+    def drain():
+        stream = spark.readStream.schema(docs.schema).parquet(src + "/*")
+        return export.export_shards_stream(
+            spark, stream, out_dir=out, checkpoint_dir=ck, n_shards=4
+        )
+
+    m1 = {r["shard"]: r["n_docs"] for r in drain().collect()}
+    n_even = docs.where(F.col("doc_id") % 2 == 0).count()
+    assert sum(m1.values()) == n_even
+    # Restart with no new data: nothing re-emitted.
+    m2 = {r["shard"]: r["n_docs"] for r in drain().collect()}
+    assert m2 == m1
+    # New file arrives: totals grow to the full corpus, no dup doc_ids.
+    docs.where(F.col("doc_id") % 2 == 1).write.parquet(os.path.join(src, "b.parquet"))
+    m3 = drain()
+    assert sum(r["n_docs"] for r in m3.collect()) == docs.count()
+    back = spark.read.parquet(out)
+    assert back.select("doc_id").distinct().count() == docs.count()
+
+
 def test_shard_assign_stable_under_subset(spark):
     """Adding/removing rows never moves surviving rows between shards
     (hash of id, not rand()/partition-index)."""
