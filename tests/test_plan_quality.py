@@ -184,6 +184,7 @@ def test_suite_global_plan_invariants(spark):
         "q61_global_sales_opportunity",  # single-row scalar AVG subquery join
         "q62_top_supplier_revenue",      # single-row scalar MAX subquery join
         "t13_unigram_logprob",           # single-row corpus-token-total join
+        "q82_important_parts",           # single-row global-revenue threshold join
     }
     streaming = {n for n in SUITE if n.startswith("st")}  # run eagerly; skip
     offenders = {}
