@@ -1,0 +1,95 @@
+"""Scale probe: replicate the sf0.1 documents/embeddings tables N× in
+place and time suite queries on both, to separate fixed per-job overhead
+from data-bound cost (feeds SCALE.md's measured-scaling table).
+
+Replication preserves each operator's workload SHAPE instead of
+degenerating it:
+- documents: per-copy ``translate`` salt rewrites every byte window, so
+  near-dup/chunk structure is preserved WITHIN a copy and no cross-copy
+  collisions appear (otherwise every doc pairs with its 9 clones and the
+  output — not the throughput — grows quadratically);
+- embeddings: id offset only — vectors repeat, so every LSH/IVF cell and
+  centroid simply gets N× the members.
+
+Usage: python tools/scale_probe.py [N] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from logverzcore_spark.engine import get_session, read_table
+from logverzcore_spark.suite import SUITE
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SALT_CHARS = "0123456789abcdefghij"
+
+
+def build_replica(spark, n: int, out_dir: str) -> None:
+    if os.path.exists(os.path.join(out_dir, "_OK")):
+        return
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    docs = read_table(spark, BASE, "documents")
+    copies = [
+        docs.select(
+            (F.col("doc_id") + i * 1_000_000_000).alias("doc_id"),
+            F.translate(F.col("text"), "e", SALT_CHARS[i]).alias("text"),
+            "lang", "source", "n_chars",
+        )
+        for i in range(n)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+    emb = read_table(spark, BASE, "embeddings")
+    e_copies = [
+        emb.select(
+            (F.col("vec_id") + i * 1_000_000_000).alias("vec_id"), "embedding", "label"
+        )
+        for i in range(n)
+    ]
+    e_out = e_copies[0]
+    for c in e_copies[1:]:
+        e_out = e_out.unionByName(c)
+    e_out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+    # Events/star tables: plain key-offset copies serve the relational ops.
+    open(os.path.join(out_dir, "_OK"), "w").close()
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    names = sys.argv[2:] or ["m06_cdc_neardup", "s07_cluster_sample", "t15_shard_manifest"]
+    spark = get_session("scale-probe")
+    replica = f"/tmp/scale_probe_{n}x"
+    build_replica(spark, n, replica)
+
+    def best_of_3(name: str, sf_dir: str) -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            SUITE[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    for name in names:
+        t1 = best_of_3(name, BASE)
+        tn = best_of_3(name, replica)
+        print(f"{name}: 1x={t1}s {n}x={tn}s ratio={round(tn / max(t1, 1e-9), 2)}")
+
+
+if __name__ == "__main__":
+    main()
