@@ -378,14 +378,14 @@ def collect(
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
-    data_cols = [
-        c for c in raw.columns if c not in (readers.CORRUPT_COL, readers.SOURCE_COL)
-    ]
-    n_set = sum(
-        F.when(F.col(f"`{c}`").isNotNull(), 1).otherwise(0) for c in data_cols
-    )
+    raw = raw.withColumn(readers.FIELDCOUNT_COL, readers.field_count(raw))
     obs = Observation(f"ingest_{job_id}")
-    raw = raw.observe(obs, F.sum(F.when(n_set < 2, 1).otherwise(0)).alias("n_bad"))
+    raw = raw.observe(
+        obs,
+        F.sum(
+            F.when(F.col(readers.FIELDCOUNT_COL) < 2, 1).otherwise(0)
+        ).alias("n_bad"),
+    )
     try:
         n_files = len(raw.inputFiles())
     except Exception:

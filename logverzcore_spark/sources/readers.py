@@ -38,6 +38,16 @@ from logverzcore_spark.schemas import DataType
 
 CORRUPT_COL = "_corrupt_record"
 SOURCE_COL = "_source_file"
+#: Materialized populated-field count — computed once, shared by the
+#: quarantine filter and the ingest Observation metric.
+FIELDCOUNT_COL = "_lvz_nset"
+
+
+def field_count(df: DataFrame):
+    """Populated-field count over the data columns (excludes the corrupt
+    and lineage columns) — the reference's <2-fields skip rule input."""
+    data_cols = [c for c in df.columns if c not in (CORRUPT_COL, SOURCE_COL, FIELDCOUNT_COL)]
+    return sum(F.when(F.col(f"`{c}`").isNotNull(), 1).otherwise(0) for c in data_cols)
 
 
 def _string_schema(dt: DataType, with_corrupt: bool = True) -> T.StructType:
@@ -203,9 +213,14 @@ def split_quarantine(df: DataFrame, min_fields: int = 2) -> tuple[DataFrame, Dat
     are KEPT: Spark's PERMISSIVE mode marks short rows (fewer tokens than
     the schema) as corrupt, while the reference tolerates exactly that as
     schema drift (missing trailing columns → NULL, worker.js:953)."""
-    data_cols = [c for c in df.columns if c not in (CORRUPT_COL, SOURCE_COL)]
-    n_set = sum(F.when(F.col(f"`{c}`").isNotNull(), 1).otherwise(0) for c in data_cols)
-    is_bad = n_set < min_fields
-    good = df.where(~is_bad).drop(CORRUPT_COL)
-    bad = df.where(is_bad)
+    if FIELDCOUNT_COL in df.columns:
+        # Caller already materialized the populated-field count (the
+        # ingest path shares it with its Observation metric) — reuse
+        # instead of re-evaluating the per-column when-chain per row.
+        tagged = df
+    else:
+        tagged = df.withColumn(FIELDCOUNT_COL, field_count(df))
+    is_bad = F.col(FIELDCOUNT_COL) < min_fields
+    good = tagged.where(~is_bad).drop(CORRUPT_COL, FIELDCOUNT_COL)
+    bad = tagged.where(is_bad).drop(FIELDCOUNT_COL)
     return good, bad
