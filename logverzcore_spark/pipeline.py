@@ -1,0 +1,90 @@
+"""The composed training-data curation pipeline — every stage is an
+existing graded operator, chained the way a 100 TB pretraining corpus is
+actually prepared:
+
+    quality gate → exact dedup → fuzzy (MinHash-LSH) dedup →
+    benchmark decontamination → deterministic split
+
+Each stage's scale design is documented at its operator (SCALE.md); the
+composition adds none of its own shuffles beyond what the stages own.
+The whole chain is LAZY — one Spark plan, so Catalyst prunes the text
+column out of every stage that only needs ids, and the corpus is read
+once per stage family, not once per rule.
+
+suite:t16 hash-verifies the full composition against a DuckDB replay
+(quality rules, fingerprint keep-first, exact-Jaccard pair drop,
+5-gram contamination, md5 split — end to end).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from logverzcore_spark.operators import dedup, text
+
+
+def curate(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    max_tokens: int = 1000,
+    min_stopword_ratio: float = 0.05,
+    max_repetition_ratio: float = 0.6,
+    neardup_threshold: float = 0.7,
+    contamination_n: int = 5,
+) -> DataFrame:
+    """Run the full curation chain and return the curated corpus as
+    (doc_id, split, source, n_chars).
+
+    Stages:
+    1. **Quality gate** (t02 rules): token count in
+       [min_tokens, max_tokens], stopword ratio ≥ min, repetition ≤ max.
+    2. **Exact dedup** keep-first on the normalized text fingerprint
+       (d01/d06 semantics — MIN(doc_id) survives per fingerprint).
+    3. **Fuzzy dedup**: MinHash-LSH candidate pairs, exact-Jaccard
+       verified at ``neardup_threshold`` (d03 — equal to brute-force
+       pairs at these parameters); the higher id of each verified pair
+       is dropped (st10's keep-first rule).
+    4. **Decontamination** (d09): any doc sharing ≥1 distinct
+       ``contamination_n``-gram with the benchmark corpus is dropped
+       (skipped when ``benchmark`` is None).
+    5. **Split** (t05): deterministic md5 train/val/test assignment.
+    """
+    prof = text.text_profile(docs, text_col)
+    quality_ids = prof.where(
+        F.col("n_tokens").between(min_tokens, max_tokens)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+        & (F.col("repetition_ratio") <= max_repetition_ratio)
+    ).select(id_col)
+    survivors = docs.join(quality_ids, id_col, "left_semi")
+
+    fp = dedup.fingerprint_md5(F.col(text_col))
+    keep_first = (
+        survivors.select(F.col(id_col), fp.alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    survivors = survivors.join(keep_first, id_col, "left_semi")
+
+    pairs = dedup.minhash_lsh_pairs(
+        survivors, threshold=neardup_threshold, text_col=text_col, id_col=id_col
+    )
+    dropped = pairs.select(F.col("id2").alias(id_col)).distinct()
+    survivors = survivors.join(dropped, id_col, "left_anti")
+
+    if benchmark is not None:
+        contaminated = dedup.contamination_check(
+            survivors, benchmark, n=contamination_n, text_col=text_col, id_col=id_col
+        ).select(F.col("doc_id").alias(id_col))
+        survivors = survivors.join(contaminated, id_col, "left_anti")
+
+    return survivors.select(
+        F.col(id_col),
+        text.hash_split(F.col(id_col)).alias("split"),
+        "source",
+        "n_chars",
+    )

@@ -4644,6 +4644,85 @@ def st14_stream_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest.localCheckpoint(eager=True)
 
 
+@query(
+    "t16_curated_corpus",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, text, source, n_chars,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             len(toks) AS n_toks,
+             len(list_filter(list_transform(toks, x -> lower(x)),
+                 x -> x IN ('the','a','an','and','or','of','to','in','is'))) AS n_stop,
+             len(list_distinct(list_transform(toks, x -> lower(x)))) AS n_distinct
+      FROM tk
+    ), quality AS (
+      SELECT t.doc_id FROM tk t JOIN feat f USING (doc_id)
+      WHERE t.source <> 'src0'
+        AND f.n_toks BETWEEN 10 AND 1000
+        AND ROUND(f.n_stop / greatest(f.n_toks, 1), 4) >= 0.05
+        AND ROUND(1.0 - f.n_distinct / greatest(f.n_toks, 1), 4) <= 0.6
+    ), keep1 AS (
+      SELECT MIN(t.doc_id) AS doc_id
+      FROM tk t JOIN quality q USING (doc_id)
+      GROUP BY md5(regexp_replace(lower(trim(t.text)), '\\s+', ' ', 'g'))
+    ), sh3 AS (
+      SELECT t.doc_id,
+             unnest(list_distinct(list_transform(range(1, greatest(len(t.toks)-2, 0)+1),
+                    i -> t.toks[i] || ' ' || t.toks[i+1] || ' ' || t.toks[i+2]))) AS sh
+      FROM tk t JOIN keep1 k USING (doc_id)
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh3 GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      FROM sh3 a JOIN sh3 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id2 FROM inter
+      JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+      WHERE ROUND(c * 1.0 / (s1.n + s2.n - c), 4) >= 0.7
+    ), keep2 AS (
+      SELECT doc_id FROM keep1 WHERE doc_id NOT IN (SELECT id2 FROM pairs)
+    ), sh5 AS (
+      SELECT t.doc_id, t.source,
+             unnest(list_distinct(list_transform(range(1, greatest(len(t.toks)-4, 0)+1),
+                    i -> t.toks[i] || ' ' || t.toks[i+1] || ' ' || t.toks[i+2]
+                         || ' ' || t.toks[i+3] || ' ' || t.toks[i+4]))) AS sh
+      FROM tk t
+    ), bench AS (
+      SELECT DISTINCT sh FROM sh5 WHERE source = 'src0'
+    ), contaminated AS (
+      SELECT DISTINCT s.doc_id
+      FROM sh5 s JOIN keep2 k USING (doc_id) JOIN bench b ON s.sh = b.sh
+    ), final AS (
+      SELECT doc_id FROM keep2
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT d.doc_id,
+           CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+                WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+                ELSE 'test' END AS split,
+           d.source, d.n_chars
+    FROM documents d JOIN final f USING (doc_id)
+    """,
+)
+def t16_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline (pipeline.curate): quality gate →
+    exact keep-first dedup → MinHash-LSH fuzzy dedup (exact-Jaccard
+    verified) → benchmark decontamination (source=src0 as the held-out
+    suite) → deterministic split. One lazy Spark plan end to end; the
+    oracle replays every stage in SQL, so the hash match certifies the
+    COMPOSITION, not just the stages."""
+    from logverzcore_spark.pipeline import curate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("source") == "src0")
+    train = docs.where(F.col("source") != "src0")
+    return curate(train, benchmark=bench)
+
+
 # ---------------------------------------------------------------------------
 
 

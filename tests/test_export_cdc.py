@@ -136,3 +136,29 @@ def test_shard_assign_stable_under_subset(spark):
         .collect()
     }
     assert all(full[k] == v for k, v in half.items())
+
+
+def test_curate_pipeline_stages(spark):
+    """pipeline.curate: output ⊆ input, is exactly-deduped, and the
+    benchmark stage only ever removes docs."""
+    from logverzcore_spark.pipeline import curate
+    from logverzcore_spark.operators import dedup
+
+    docs = _docs(spark)
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    out = curate(train, benchmark=bench)
+    rows = out.collect()
+    ids = {r["doc_id"] for r in rows}
+    assert ids <= {r["doc_id"] for r in train.select("doc_id").collect()}
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    # No two survivors share a normalized fingerprint.
+    fps = (
+        train.join(out.select("doc_id"), "doc_id", "left_semi")
+        .select(dedup.fingerprint_md5(F.col("text")).alias("fp"))
+        .groupBy("fp").count().where(F.col("count") > 1).count()
+    )
+    assert fps == 0
+    # Decontamination is monotone: no-benchmark run is a superset.
+    no_bench = {r["doc_id"] for r in curate(train).collect()}
+    assert ids <= no_bench
