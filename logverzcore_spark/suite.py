@@ -4723,6 +4723,46 @@ def t16_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate(train, benchmark=bench)
 
 
+@query(
+    "q83_listagg_battery",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+             AS priorities,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities,
+           string_agg(DISTINCT CAST(o_custkey % 7 AS VARCHAR), ','
+                      ORDER BY CAST(o_custkey % 7 AS VARCHAR))
+             AS custkey_mod_classes
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q83_listagg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (LISTAGG/STRING_AGG shape): DISTINCT +
+    deterministic ORDER BY inside the aggregate — expressed as
+    ``collect_set`` → ``array_sort`` → ``array_join`` so the sort is
+    per-GROUP (bounded by the distinct-value domain), never a global
+    sort; the set collapse is map-side combined like any hash
+    aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+
+    def sorted_agg(col, sep):
+        return F.array_join(F.array_sort(F.collect_set(col)), sep)
+
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            sorted_agg(F.col("o_orderpriority"), "|").alias("priorities"),
+            F.count_distinct("o_orderpriority").alias("n_priorities"),
+            sorted_agg((F.col("o_custkey") % 7).cast("string"), ",").alias(
+                "custkey_mod_classes"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
