@@ -41,7 +41,12 @@ def build_replica(spark, n: int, out_dir: str) -> None:
     copies = [
         docs.select(
             (F.col("doc_id") + i * 1_000_000_000).alias("doc_id"),
-            F.translate(F.col("text"), "e", SALT_CHARS[i]).alias("text"),
+            # Two-char translate grid: 400 distinct salts, every byte
+            # window rewritten per copy (no cross-copy chunk collisions).
+            F.translate(
+                F.col("text"), "et",
+                SALT_CHARS[i // len(SALT_CHARS)] + SALT_CHARS[i % len(SALT_CHARS)],
+            ).alias("text"),
             "lang", "source", "n_chars",
         )
         for i in range(n)
