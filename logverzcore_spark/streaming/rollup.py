@@ -20,10 +20,17 @@ re-invokes the SAME batch id. The checkpoint guarantees replay carries
 the same id, not that the batch is skipped. So fold() persists the last
 applied batch id in a one-row ``<rollup_table>_meta`` table (written
 AFTER the data overwrite) and no-ops when ``batch_id <= last`` — the
-standard foreachBatch idempotency pattern. Residual window: a crash
-BETWEEN the data write and the meta write replays one batch into a
-partially-overwritten partition; on plain parquet that window is
-irreducible (the partition overwrite itself is non-atomic) — a
+standard foreachBatch idempotency pattern.
+
+Each written partition ALSO carries the folding batch id in a
+``last_batch`` column, so the data write is its own per-partition commit
+marker: a crash between the data overwrite and the meta write replays
+the batch, and the replay skips every partition whose stored
+``last_batch`` already reached the replayed id (tested in
+test_stream_dedup_compact.py) — only partitions the crash left
+unwritten are merged. Residual window: a crash MID-overwrite of a
+single partition leaves that partition's files partial; on plain
+parquet that is irreducible (the overwrite itself is non-atomic) — a
 transactional table format closes it, the data flow is unchanged.
 """
 
@@ -78,7 +85,9 @@ def make_fold(spark: SparkSession, rollup_table: str, ts_col: str = "ts"):
         # id was already folded and recorded.
         if batch_id <= _last_applied_batch(spark, meta_table):
             return
-        batch_rollup = hourly_rollup_frame(batch_df, ts_col)
+        batch_rollup = hourly_rollup_frame(batch_df, ts_col).withColumn(
+            "last_batch", F.lit(int(batch_id))
+        )
         if not spark.catalog.tableExists(rollup_table):
             batch_rollup.write.partitionBy("day_part").saveAsTable(rollup_table)
             _record_applied_batch(spark, meta_table, batch_id)
@@ -88,6 +97,24 @@ def make_fold(spark: SparkSession, rollup_table: str, ts_col: str = "ts"):
             _record_applied_batch(spark, meta_table, batch_id)
             return
         existing = spark.table(rollup_table).where(F.col("day_part").isin(touched))
+        # Per-partition commit markers: a partition whose stored
+        # last_batch already reached this id was fully written by a
+        # pre-crash attempt of this same batch — merging it again would
+        # double-count, so it is excluded from both the merge AND the
+        # overwrite (dynamic mode leaves absent partitions untouched).
+        done = {
+            r["day_part"]
+            for r in existing.groupBy("day_part")
+            .agg(F.max("last_batch").alias("b"))
+            .where(F.col("b") >= int(batch_id))
+            .collect()
+        }
+        pending = [p for p in touched if p not in done]
+        if not pending:
+            _record_applied_batch(spark, meta_table, batch_id)
+            return
+        existing = existing.where(F.col("day_part").isin(pending))
+        batch_rollup = batch_rollup.where(F.col("day_part").isin(pending))
         merged = (
             existing.unionByName(batch_rollup)
             .groupBy("hour_ts", "event_type", "day_part")
@@ -95,7 +122,10 @@ def make_fold(spark: SparkSession, rollup_table: str, ts_col: str = "ts"):
                 F.sum("n").alias("n"),
                 F.sum("total_value").cast("decimal(18,2)").alias("total_value"),
             )
-            .select("hour_ts", "event_type", "n", "total_value", "day_part")
+            .select(
+                "hour_ts", "event_type", "n", "total_value",
+                F.lit(int(batch_id)).alias("last_batch"), "day_part",
+            )
         )
         # The merged frame reads the same partitions it overwrites: break
         # the read-modify-write cycle before the write clobbers its input.

@@ -418,3 +418,45 @@ def test_collect_records_table_statistics(spark, tmpdir_path):
     assert stats, "no Statistics row in DESCRIBE EXTENDED"
     assert "rows" in stats[0]["data_type"]  # e.g. '1234 bytes, 5 rows'
     spark.sql("DROP TABLE IF EXISTS stats_vpc")
+
+
+def test_rollup_fold_crash_between_write_and_meta(spark):
+    """The narrowed crash window: batch N's partition overwrite completed
+    but the meta record did NOT (crash between the two writes). On
+    replay, the per-partition last_batch markers make the already-written
+    partitions skip the merge — no double count — while the meta record
+    catches up."""
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.streaming.rollup import _record_applied_batch, make_fold
+
+    for t in ("crashw_t", "crashw_t_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    fold = make_fold(spark, "crashw_t")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    try:
+        fold(mk([("2024-01-01 10:05:00", "click", 2.0)]), 0)
+        b1 = mk(
+            [
+                ("2024-01-01 11:05:00", "click", 1.0),
+                ("2024-01-02 09:00:00", "view", 4.0),
+            ]
+        )
+        fold(b1, 1)
+        after = spark.table("crashw_t").agg(F.sum("n"), F.sum("total_value")).first()
+        # Simulate the crash: the data overwrite above survived, but the
+        # meta record "never happened" — rewind it to batch 0.
+        _record_applied_batch(spark, "crashw_t_meta", 0)
+        fold(b1, 1)  # foreachBatch replays the same batch id
+        replayed = spark.table("crashw_t").agg(F.sum("n"), F.sum("total_value")).first()
+        assert tuple(replayed) == tuple(after)  # no double-count
+        # And the meta caught back up: yet another replay is a fast no-op.
+        fold(b1, 1)
+        assert tuple(
+            spark.table("crashw_t").agg(F.sum("n"), F.sum("total_value")).first()
+        ) == tuple(after)
+    finally:
+        for t in ("crashw_t", "crashw_t_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
