@@ -201,8 +201,18 @@ def make_sketch_fold(spark: SparkSession, rollup_table: str, ts_col: str = "ts")
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= _last_applied_batch(spark, meta_table):
             return
-        batch_sk = daily_user_sketch_frame(batch_df, ts_col)
+        batch_sk = daily_user_sketch_frame(batch_df, ts_col).withColumn(
+            "last_batch", F.lit(int(batch_id))
+        )
         if spark.catalog.tableExists(rollup_table):
+            # Post-write/pre-meta crash replay guard: the rewritten table
+            # itself carries the folding batch id (the rewrite is one
+            # atomic-enough saveAsTable) — if it already reached this id,
+            # the data write committed and only the meta record is owed.
+            done = spark.table(rollup_table).agg(F.max("last_batch")).first()[0]
+            if done is not None and int(done) >= int(batch_id):
+                _record_applied_batch(spark, meta_table, batch_id)
+                return
             merged = (
                 spark.table(rollup_table)
                 .unionByName(batch_sk)
@@ -212,6 +222,7 @@ def make_sketch_fold(spark: SparkSession, rollup_table: str, ts_col: str = "ts")
                     # the sketch-domain analog of SUM over partial counts.
                     F.hll_union_agg("user_sk").alias("user_sk"),
                     F.sum("n_events").alias("n_events"),
+                    F.max("last_batch").alias("last_batch"),
                 )
             )
             merged = merged.localCheckpoint(eager=True)

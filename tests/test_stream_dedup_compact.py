@@ -460,3 +460,33 @@ def test_rollup_fold_crash_between_write_and_meta(spark):
     finally:
         for t in ("crashw_t", "crashw_t_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_sketch_fold_crash_between_write_and_meta(spark):
+    """Same narrowed window for the sketch rollup: replay after a
+    committed table rewrite (meta lost) must not double n_events."""
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.streaming.rollup import (
+        _record_applied_batch,
+        make_sketch_fold,
+    )
+
+    for t in ("crashsk_t", "crashsk_t_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    fold = make_sketch_fold(spark, "crashsk_t")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "ts string, user_id long, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    try:
+        fold(mk([("2024-01-01 10:05:00", 1, 1.0)]), 0)
+        b1 = mk([("2024-01-01 11:00:00", 2, 1.0), ("2024-01-02 09:00:00", 3, 1.0)])
+        fold(b1, 1)
+        after = spark.table("crashsk_t").agg(F.sum("n_events")).first()[0]
+        assert after == 3
+        _record_applied_batch(spark, "crashsk_t_meta", 0)  # meta "lost"
+        fold(b1, 1)  # replay
+        assert spark.table("crashsk_t").agg(F.sum("n_events")).first()[0] == after
+    finally:
+        for t in ("crashsk_t", "crashsk_t_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
