@@ -59,7 +59,13 @@ def make_upsert_fold(
     """Build the per-micro-batch upsert closure (exposed for direct
     testing of merge and replay semantics). ``tie_cols`` make
     latest-wins deterministic when ``ts_col`` ties — pass the natural
-    unique column (e.g. event_id)."""
+    unique column (e.g. event_id).
+
+    Unlike the additive rollups, a post-write/pre-meta crash replay is
+    harmless here WITHOUT extra markers: latest-wins merge is idempotent
+    (re-merging a batch already reflected in the table reproduces the
+    same rows), so the meta marker only short-circuits wasted work —
+    pinned by test_upsert_replay_after_committed_write."""
     tie_cols = tie_cols or []
     meta_table = f"{table}_meta"
 

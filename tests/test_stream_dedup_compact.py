@@ -490,3 +490,32 @@ def test_sketch_fold_crash_between_write_and_meta(spark):
     finally:
         for t in ("crashsk_t", "crashsk_t_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_upsert_replay_after_committed_write(spark):
+    """Latest-wins upsert is idempotent under post-write/pre-meta crash
+    replay: re-folding an already-reflected batch reproduces identical
+    table contents (no markers needed, unlike the additive rollups)."""
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.streaming.rollup import _record_applied_batch
+    from logverzcore_spark.streaming.upsert import make_upsert_fold
+
+    for t in ("crashup_t", "crashup_t_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    fold = make_upsert_fold(spark, "crashup_t", "k", "ts", ["eid"])
+    mk = lambda rows: spark.createDataFrame(
+        rows, "k long, ts string, eid long, v string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    try:
+        fold(mk([(1, "2024-01-01 10:00:00", 1, "a")]), 0)
+        b1 = mk([(1, "2024-01-01 11:00:00", 2, "b"), (2, "2024-01-01 09:00:00", 3, "c")])
+        fold(b1, 1)
+        before = sorted(map(tuple, spark.table("crashup_t").drop("_bucket").collect()))
+        _record_applied_batch(spark, "crashup_t_meta", 0)  # meta "lost"
+        fold(b1, 1)  # replay re-merges — idempotent
+        after = sorted(map(tuple, spark.table("crashup_t").drop("_bucket").collect()))
+        assert after == before
+    finally:
+        for t in ("crashup_t", "crashup_t_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
