@@ -125,6 +125,27 @@ class Engine:
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
 
+    def estimate(self, query: str, user: User = ADMIN) -> dict:
+        """Optimizer cost estimate WITHOUT running the query: row count
+        and byte size from Catalyst's statistics over the gated, ACL-
+        checked plan. With CBO on and `ANALYZE`d tables (collect()
+        records stats — CollectJob.analyze) the numbers are
+        column-histogram-informed; otherwise they fall back to size
+        propagation. The interactive-server use: reject or reroute
+         'SELECT *'-the-world queries BEFORE burning cluster time (the
+        reference priced full dumps at 400-600% extra stress,
+        controller.js:809-865 — this is the measuring stick)."""
+        self._gate(query, user, "estimate")
+        stats = (
+            self.spark.sql(query)._jdf.queryExecution().optimizedPlan().stats()
+        )
+        row_opt = stats.rowCount()
+        return {
+            # py4j maps scala BigInt through as int-like; str() handles both.
+            "est_rows": int(str(row_opt.get())) if not row_opt.isEmpty() else None,
+            "est_bytes": int(str(stats.sizeInBytes())),
+        }
+
     # -- Mode: operator-tree find (Q4/Q5) ---------------------------------
     def find_all(
         self,

@@ -18,6 +18,7 @@ def spark():
         .appName("logverzcore-tests")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.cbo.enabled", "true")  # engine.get_session default
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.warehouse.dir", warehouse)
         .config("spark.ui.enabled", "false")

@@ -362,3 +362,26 @@ def test_audit_df_sql_surface(spark, tmpdir_path):
             eng.audit_df(ALICE)
     finally:
         spark.sql("DROP TABLE IF EXISTS adf_tab")
+
+
+def test_estimate_gated_and_sized(engine):
+    """Engine.estimate: optimizer stats without execution — gated like
+    any interactive query, bytes always present, rows exact after
+    ANALYZE (CBO stats)."""
+    import pytest
+
+    from logverzcore_spark.catalog import User
+    from logverzcore_spark.plans.sqlgate import SqlValidationError
+
+    engine.spark.sql("ANALYZE TABLE qs_tab COMPUTE STATISTICS")
+    est = engine.estimate("SELECT * FROM qs_tab")
+    assert est["est_bytes"] > 0
+    assert est["est_rows"] == 10
+    # A filtered plan estimates fewer rows than the full scan.
+    filtered = engine.estimate("SELECT * FROM qs_tab WHERE id < 3")
+    assert filtered["est_bytes"] <= est["est_bytes"]
+    # The gate applies before any estimation.
+    with pytest.raises(SqlValidationError):
+        engine.estimate("DROP TABLE qs_tab")
+    with pytest.raises(PermissionError):
+        engine.estimate("SELECT * FROM qs_tab", user=User("mallory", groups=[]))
