@@ -4763,6 +4763,43 @@ def q83_listagg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q84_fuzzy_supplier_match",
+    oracle="""
+    WITH s AS (
+      SELECT s_suppkey, s_name, length(s_name) AS ln FROM supplier
+    ), seg AS (
+      SELECT s_suppkey, s_name, ln, i.idx,
+             substring(s_name,
+                       CAST(FLOOR(ln * i.idx / 2) AS BIGINT) + 1,
+                       CAST(FLOOR(ln * (i.idx + 1) / 2) AS BIGINT)
+                         - CAST(FLOOR(ln * i.idx / 2) AS BIGINT)) AS seg
+      FROM s CROSS JOIN (SELECT UNNEST([0, 1]) AS idx) i
+    ), cand AS (
+      SELECT DISTINCT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+                      a.s_name AS n1, b.s_name AS n2
+      FROM seg a JOIN seg b
+        ON a.idx = b.idx AND a.ln = b.ln AND a.seg = b.seg
+       AND a.s_suppkey < b.s_suppkey
+    )
+    SELECT id_a, id_b, CAST(levenshtein(n1, n2) AS INTEGER) AS distance
+    FROM cand WHERE levenshtein(n1, n2) <= 1
+    """,
+)
+def q84_fuzzy_supplier_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity-matching join (fuzzyjoin.edit_distance_pairs):
+    supplier-name pairs within 1 substitution, found by pigeonhole
+    segment blocking (2 segments — a distance-1 pair must share one
+    exactly) + codegen'd Levenshtein verification. Never all-pairs by
+    construction, though the shared 'Supplier#' prefix makes segment 0
+    a degenerate block here — the documented skew caveat; segment 1
+    (the digit run) carries the selectivity."""
+    from logverzcore_spark.operators import fuzzyjoin
+
+    sup = _t(spark, sf_dir, "supplier")
+    return fuzzyjoin.edit_distance_pairs(sup, "s_name", "s_suppkey", max_distance=1)
+
+
 # ---------------------------------------------------------------------------
 
 

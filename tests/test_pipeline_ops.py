@@ -329,3 +329,32 @@ def test_pq_topk_recall_and_determinism(emb):
     run1 = sorted(map(tuple, similarity.pq_topk(emb, queries, k=5, dim=64).collect()))
     run2 = sorted(map(tuple, similarity.pq_topk(emb, queries, k=5, dim=64).collect()))
     assert run1 == run2
+
+
+def test_fuzzy_join_pigeonhole_complete(spark):
+    """Segment blocking loses no same-length distance-1 pair: operator
+    output equals the brute-force cross-join answer."""
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.operators import fuzzyjoin
+
+    sup = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzyjoin.edit_distance_pairs(
+            sup, "s_name", "s_suppkey", max_distance=1
+        ).collect()
+    }
+    a = sup.select(F.col("s_suppkey").alias("ka"), F.col("s_name").alias("na"))
+    b = sup.select(F.col("s_suppkey").alias("kb"), F.col("s_name").alias("nb"))
+    brute = {
+        (r["ka"], r["kb"])
+        for r in a.crossJoin(b)
+        .where(
+            (F.col("ka") < F.col("kb"))
+            & (F.length("na") == F.length("nb"))
+            & (F.levenshtein("na", "nb") <= 1)
+        )
+        .collect()
+    }
+    assert got == brute and len(brute) > 0
