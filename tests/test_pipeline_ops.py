@@ -358,3 +358,71 @@ def test_fuzzy_join_pigeonhole_complete(spark):
         .collect()
     }
     assert got == brute and len(brute) > 0
+
+
+def test_ip4_functions_roundtrip_and_cidr(spark):
+    """ipfn: dotted-quad ↔ long round-trip, malformed → NULL, CIDR
+    containment and RFC1918 classification — all codegen expressions."""
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.operators import ipfn
+
+    df = spark.createDataFrame(
+        [
+            ("10.0.0.1",), ("172.31.23.171",), ("192.168.1.9",), ("8.8.8.8",),
+            ("256.1.1.1",), ("1.2.3",), ("not-an-ip",), ("0.0.0.0",),
+            ("255.255.255.255",),
+        ],
+        "ip string",
+    )
+    rows = {
+        r["ip"]: r
+        for r in df.select(
+            "ip",
+            ipfn.ip4_to_long(F.col("ip")).alias("v"),
+            ipfn.long_to_ip4(ipfn.ip4_to_long(F.col("ip"))).alias("back"),
+            ipfn.is_private_ip(F.col("ip")).alias("priv"),
+            ipfn.cidr_contains("172.16.0.0/12", F.col("ip")).alias("in172"),
+        ).collect()
+    }
+    assert rows["10.0.0.1"]["v"] == 10 * 16777216 + 1
+    for ip in ("10.0.0.1", "172.31.23.171", "192.168.1.9", "8.8.8.8",
+               "0.0.0.0", "255.255.255.255"):
+        assert rows[ip]["back"] == ip  # round-trip
+    for bad in ("256.1.1.1", "1.2.3", "not-an-ip"):
+        assert rows[bad]["v"] is None and rows[bad]["priv"] is None
+    assert rows["10.0.0.1"]["priv"] and rows["192.168.1.9"]["priv"]
+    assert rows["172.31.23.171"]["priv"]  # 172.31 ∈ 172.16/12
+    assert rows["8.8.8.8"]["priv"] is False
+    assert rows["172.31.23.171"]["in172"] and not rows["8.8.8.8"]["in172"]
+    # cidr_range edges
+    assert ipfn.cidr_range("0.0.0.0/0") == (0, 4294967295)
+    assert ipfn.cidr_range("192.168.1.9/32") == (
+        ipfn.cidr_range("192.168.1.9/32")[0],
+        ipfn.cidr_range("192.168.1.9/32")[0],
+    )
+
+
+def test_ip_top_talkers_on_vpcflow_fixture(spark, tmpdir_path):
+    """The canonical reference query (FIXTURES.md B1: top talkers by
+    srcaddr) extended with the IP functions over a real ingested
+    VPCFlow table."""
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.ingest import CollectJob, collect
+    from logverzcore_spark.operators import ipfn
+    from rawfixtures import write_vpcflow_gz
+
+    write_vpcflow_gz(tmpdir_path, n_files=2)
+    collect(spark, CollectJob(path=tmpdir_path, datatype="VPCFlow", table_name="ipf_t"))
+    try:
+        talkers = (
+            spark.table("ipf_t")
+            .groupBy("srcaddr", ipfn.is_private_ip(F.col("srcaddr")).alias("private"))
+            .agg(F.sum("bytes").alias("total_bytes"))
+            .orderBy(F.col("total_bytes").desc())
+        ).collect()
+        assert all(r["private"] is True for r in talkers)  # 10.x sources
+        assert talkers[0]["total_bytes"] >= talkers[-1]["total_bytes"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ipf_t")
