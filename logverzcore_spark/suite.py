@@ -4800,6 +4800,78 @@ def q84_fuzzy_supplier_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzyjoin.edit_distance_pairs(sup, "s_name", "s_suppkey", max_distance=1)
 
 
+@query(
+    "t17_exact_sample",
+    oracle="""
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+      FROM documents
+    ) WHERE rk <= 100
+    """,
+)
+def t17_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size deterministic sample: the n smallest md5(id) values —
+    eval-set construction needs EXACTLY n rows (hash-threshold sampling,
+    t09, only approximates the size) chosen stably across engines, runs,
+    and cluster sizes. Plan: TakeOrderedAndProject — each partition
+    ships only its local top-n hash values to the driver, never a global
+    sort; at 100 TB the cross-partition traffic is n×(hash+id) per
+    partition, independent of corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", "source", "n_chars",
+            F.md5(F.col("doc_id").cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "doc_id")
+        .limit(100)
+        .drop("_h")
+    )
+
+
+@query(
+    "q85_rolling_distinct_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM du
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT u.user_id) AS users_7d
+    FROM days d JOIN du u
+      ON u.day > d.day - INTERVAL 7 DAY AND u.day <= d.day
+    GROUP BY d.day
+    """,
+)
+def q85_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day — the window shape SQL
+    engines can't express directly (no DISTINCT inside a window
+    function). Scalable form: dedup once to (day, user) grain — the ONE
+    shuffle over event volume — then range-join that small frame against
+    the broadcast day spine and count distinct per day. Work after the
+    dedup is (days × active-users/day), independent of raw event count;
+    the naive collect_set-over-range-window alternative re-buffers every
+    user id per row."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct().select(F.col("day").alias("d"))
+    return (
+        du.join(
+            F.broadcast(days),
+            (F.col("day") > F.col("d") - F.expr("INTERVAL 7 DAYS"))
+            & (F.col("day") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("users_7d"))
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "users_7d")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

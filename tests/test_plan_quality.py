@@ -185,6 +185,7 @@ def test_suite_global_plan_invariants(spark):
         "q62_top_supplier_revenue",      # single-row scalar MAX subquery join
         "t13_unigram_logprob",           # single-row corpus-token-total join
         "q82_important_parts",           # single-row global-revenue threshold join
+        "q85_rolling_distinct_users",    # range join vs the broadcast day spine
     }
     streaming = {n for n in SUITE if n.startswith("st")}  # run eagerly; skip
     offenders = {}
