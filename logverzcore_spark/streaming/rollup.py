@@ -260,6 +260,81 @@ def incremental_user_sketch_rollup(
     return writer.start()
 
 
+# ---------------------------------------------------------------------------
+# Mergeable heavy-hitters rollup: a continuously-maintained top-k summary
+# ---------------------------------------------------------------------------
+
+
+def make_topk_fold(
+    spark: SparkSession, state_table: str, key_col: str, max_items: int = 1000
+):
+    """Per-micro-batch fold maintaining ONE combined ``approx_top_k``
+    summary of ``key_col`` across the whole stream history.
+
+    The heavy-hitters analog of the HLL rollup: an exact GROUP BY top-k
+    over a stream needs unbounded per-key state, while the top-k sketch
+    is a fixed-size mergeable summary — each batch accumulates its own
+    (map-side, no key shuffle) and combines into the stored one, so the
+    state table is ONE row of ~``max_items`` entries no matter how many
+    events or distinct keys pass. Below ``max_items`` tracked keys the
+    summary is exact (st15's hash-verified regime); above, counts carry
+    the published overcount bound. Same post-write/pre-meta crash guard
+    as the sketch rollup (``last_batch`` column)."""
+    meta_table = f"{state_table}_meta"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _last_applied_batch(spark, meta_table):
+            return
+        batch_sk = batch_df.agg(
+            F.expr(f"approx_top_k_accumulate({key_col}, {max_items})").alias("topk_sk")
+        ).withColumn("last_batch", F.lit(int(batch_id)))
+        if spark.catalog.tableExists(state_table):
+            done = spark.table(state_table).agg(F.max("last_batch")).first()[0]
+            if done is not None and int(done) >= int(batch_id):
+                _record_applied_batch(spark, meta_table, batch_id)
+                return
+            merged = (
+                spark.table(state_table)
+                .unionByName(batch_sk)
+                .agg(
+                    F.expr(f"approx_top_k_combine(topk_sk, {max_items})").alias("topk_sk"),
+                    F.max("last_batch").alias("last_batch"),
+                )
+            )
+            merged = merged.localCheckpoint(eager=True)
+            merged.write.mode("overwrite").saveAsTable(state_table)
+        else:
+            batch_sk.write.saveAsTable(state_table)
+        _record_applied_batch(spark, meta_table, batch_id)
+
+    return fold
+
+
+def incremental_topk_rollup(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    state_table: str,
+    key_col: str = "user_id",
+    max_items: int = 1000,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain a one-row mergeable top-k summary of ``key_col`` from a
+    stream (see :func:`make_topk_fold`). Read the current heavy hitters
+    at any time with ``approx_top_k_estimate`` over the state table."""
+    fold = make_topk_fold(spark, state_table, key_col, max_items)
+    checkpoint = checkpoint_dir or os.path.join(
+        tempfile.gettempdir(), f"lvz_tkrollup_{uuid.uuid4().hex[:8]}"
+    )
+    writer = (
+        events_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 __all__ = [
     "hourly_rollup_frame",
     "incremental_hourly_rollup",
@@ -267,4 +342,6 @@ __all__ = [
     "daily_user_sketch_frame",
     "incremental_user_sketch_rollup",
     "make_sketch_fold",
+    "make_topk_fold",
+    "incremental_topk_rollup",
 ]

@@ -4872,6 +4872,55 @@ def q85_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "st15_topk_rollup",
+    oracle="""
+    SELECT user_id, n_events, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT user_id, COUNT(*) AS n_events,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id) AS rank
+      FROM events GROUP BY user_id
+    ) WHERE rank <= 10
+    """,
+)
+def st15_topk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained heavy hitters
+    (streaming/rollup.incremental_topk_rollup): micro-batches accumulate
+    map-side ``approx_top_k`` summaries and combine them into a ONE-ROW
+    state table — fixed-size state regardless of stream volume or key
+    domain, where exact streaming GROUP BY top-k needs a state entry per
+    key. Below sketch capacity the estimate is exact (hash-verified
+    against the batch top-10); the deterministic re-rank happens on the
+    ≤1000-entry summary."""
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.streaming.collect_stream import _events_stream
+    from logverzcore_spark.streaming.rollup import incremental_topk_rollup
+
+    table = f"st15_topk_{_uuid.uuid4().hex[:8]}"
+    stream = _events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    q = incremental_topk_rollup(
+        spark, stream, table, key_col="user_id",
+        checkpoint_dir=os.path.join(tempfile.gettempdir(), f"ck_{table}"),
+    )
+    q.awaitTermination()
+    items = (
+        spark.table(table)
+        .select(F.explode(F.expr("approx_top_k_estimate(topk_sk, 150)")).alias("e"))
+        .select(F.col("e.item").alias("user_id"), F.col("e.count").alias("n_events"))
+    )
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    out = (
+        items.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("user_id", "n_events", F.col("rank").cast("int").alias("rank"))
+    )
+    out = out.localCheckpoint(eager=True)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_meta")
+    return out
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -519,3 +519,46 @@ def test_upsert_replay_after_committed_write(spark):
     finally:
         for t in ("crashup_t", "crashup_t_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_topk_fold_merges_across_batches(spark):
+    """Combining per-batch top-k summaries equals the whole-history
+    answer (below sketch capacity), and the crash-replay guard holds."""
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.streaming.rollup import (
+        _record_applied_batch,
+        make_topk_fold,
+    )
+
+    for t in ("crashtk_t", "crashtk_t_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    fold = make_topk_fold(spark, "crashtk_t", "user_id", max_items=1000)
+    try:
+        fold(ev.where(F.col("event_id") % 2 == 0), 0)
+        fold(ev.where(F.col("event_id") % 2 == 1), 1)
+
+        def top5():
+            return sorted(
+                (
+                    (r["e"]["item"], r["e"]["count"])
+                    for r in spark.table("crashtk_t")
+                    .select(F.explode(F.expr("approx_top_k_estimate(topk_sk, 5)")).alias("e"))
+                    .collect()
+                ),
+                key=lambda t: (-t[1], t[0]),
+            )
+
+        exact = sorted(
+            ((r["user_id"], r["n"]) for r in
+             ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()),
+            key=lambda t: (-t[1], t[0]),
+        )[:5]
+        assert top5() == exact  # merged summaries == whole history
+        _record_applied_batch(spark, "crashtk_t_meta", 0)  # meta "lost"
+        fold(ev.where(F.col("event_id") % 2 == 1), 1)  # replay
+        assert top5() == exact  # no double-count
+    finally:
+        for t in ("crashtk_t", "crashtk_t_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
