@@ -4921,6 +4921,89 @@ def st15_topk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "q86_column_profile",
+    oracle="""
+    SELECT 'l_quantity' AS col, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(l_quantity) AS n_nulls,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_v,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
+           COUNT(DISTINCT l_discount),
+           CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linenumber', COUNT(*), COUNT(*) - COUNT(l_linenumber),
+           COUNT(DISTINCT l_linenumber),
+           CAST(MIN(l_linenumber) AS DOUBLE), CAST(MAX(l_linenumber) AS DOUBLE)
+    FROM lineitem
+    """,
+)
+def q86_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (the admin describeTable companion): per-column
+    row/null/distinct counts and value range, computed in ONE scan —
+    each column's stats are independent aggregates of the same pass, and
+    Spark plans the multi-DISTINCT via a single Expand (no per-column
+    re-scan, which is what a naive profile loop costs at 100 TB; swap
+    COUNT DISTINCT for approx_count_distinct there to also drop the
+    Expand)."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in ("l_quantity", "l_discount", "l_linenumber"):
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(f"{c}__rows").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_v"),
+            F.col(f"{c}__max").alias("max_v"),
+        )
+        for c in ("l_quantity", "l_discount", "l_linenumber")
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("p")).select(
+        "p.col", "p.n_rows", "p.n_nulls", "p.n_distinct", "p.min_v", "p.max_v"
+    )
+
+
+@query(
+    "q87_regression_battery",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_pop(l_quantity, l_discount), 6) AS covar_qty_disc,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope_price_on_qty,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q87_regression_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate battery: correlation, population covariance,
+    and OLS slope/intercept per group — single-pass co-moment aggregates
+    (Welford-style mergeable state, so they partial-aggregate map-side
+    like any SUM; no second centering pass over the fact table)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope_price_on_qty"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 6).alias("intercept"),
+        F.regr_count("l_extendedprice", "l_quantity").cast("bigint").alias("n_pairs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
