@@ -5004,6 +5004,74 @@ def q87_regression_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q88_price_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT LEAST(CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT), 9) AS bucket
+      FROM orders
+    )
+    SELECT bucket,
+           CAST(bucket * 50000 AS DOUBLE) AS lo,
+           CAST((bucket + 1) * 50000 AS DOUBLE) AS hi,
+           COUNT(*) AS n_orders
+    FROM b GROUP BY bucket
+    """,
+)
+def q88_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram: fixed-width bucket assignment is a pure
+    projection (floor division, top bucket clamped), so the histogram is
+    one map-side-combined aggregate over ≤10 groups — the constant-cost
+    distribution profile a UI draws without pulling data (contrast exact
+    percentiles, which need a sort or KLL sketch). Fixed literal edges
+    (not data-derived min/max) keep it single-pass and
+    engine-replayable."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000.0), F.lit(9)).cast("bigint")
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 50000).cast("double").alias("lo"),
+            ((F.col("bucket") + 1) * 50000).cast("double").alias("hi"),
+            "n_orders",
+        )
+    )
+
+
+@query(
+    "t18_stratified_sample",
+    oracle="""
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+      FROM documents
+    ) WHERE rk <= 20
+    """,
+)
+def t18_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified exact sampling: exactly 20 docs PER SOURCE, chosen by
+    hash order — eval sets need per-stratum exactness (a proportional
+    random sample leaves small strata empty) and engine/run stability.
+    One shuffle on the stratum key; each window partition does
+    stratum-local top-n work. Complements t17 (global exact) and t12
+    (proportional mixture)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= 20)
+        .drop("_rk")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
