@@ -107,3 +107,52 @@ def dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def curate_stream(
+    spark: SparkSession,
+    source_stream: DataFrame,
+    target_table: str,
+    checkpoint_dir: str,
+    state_table: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    max_tokens: int = 1000,
+    min_stopword_ratio: float = 0.05,
+    max_repetition_ratio: float = 0.6,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming curation: the quality gate (pipeline.curate's rules —
+    per-row projections, so they run ON the stream before any state) in
+    front of the fingerprint-state dedup fold. A crawler feeding this
+    continuously maintains a quality-filtered, exactly-deduped corpus —
+    the streaming form of ``pipeline.curate``'s first two stages
+    (fuzzy-dedup's streaming form is ``stream_neardup``; chain the two
+    target tables to get all three).
+
+    Committed results equal the batch pipeline over the same files
+    (suite:st16 hash-verifies the equivalence), because the quality
+    predicate is per-row (batch boundaries can't change it) and the
+    dedup keep-first rule is id-ordered, not arrival-ordered, within a
+    batch — across batches, first-committed wins, which equals min-id
+    when ids arrive in order."""
+    from logverzcore_spark.operators import text as textops
+
+    state_table = state_table or f"{target_table}_fingerprints"
+    c = F.col(text_col)
+    # Same 4-dp-rounded thresholds as text_profile/t02 — the batch
+    # pipeline and its SQL oracle gate on the rounded values.
+    gated = source_stream.where(
+        textops.token_count(c).between(min_tokens, max_tokens)
+        & (F.round(textops.stopword_ratio(c), 4) >= min_stopword_ratio)
+        & (F.round(textops.repetition_ratio(c), 4) <= max_repetition_ratio)
+    )
+    writer = gated.writeStream.option("checkpointLocation", checkpoint_dir).foreachBatch(
+        lambda batch, _id: _dedup_batch(
+            batch, spark, target_table, state_table, text_col, id_col
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -5072,6 +5072,67 @@ def t18_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "st16_streaming_curate",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, text, source, n_chars,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             len(toks) AS n_toks,
+             len(list_filter(list_transform(toks, x -> lower(x)),
+                 x -> x IN ('the','a','an','and','or','of','to','in','is'))) AS n_stop,
+             len(list_distinct(list_transform(toks, x -> lower(x)))) AS n_distinct
+      FROM tk
+    ), quality AS (
+      SELECT t.doc_id FROM tk t JOIN feat f USING (doc_id)
+      WHERE f.n_toks BETWEEN 10 AND 1000
+        AND ROUND(f.n_stop / greatest(f.n_toks, 1), 4) >= 0.05
+        AND ROUND(1.0 - f.n_distinct / greatest(f.n_toks, 1), 4) <= 0.6
+    ), keep1 AS (
+      SELECT MIN(t.doc_id) AS doc_id
+      FROM tk t JOIN quality q USING (doc_id)
+      GROUP BY md5(regexp_replace(lower(trim(t.text)), '\\s+', ' ', 'g'))
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d JOIN keep1 k USING (doc_id)
+    """,
+)
+def st16_streaming_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming curation (stream_dedup.curate_stream): the quality gate
+    runs as per-row projections ON the stream, and exact dedup runs as
+    the fingerprint-state fold — the committed table equals the batch
+    pipeline's first two stages over the same files, which the oracle
+    replays (quality rules + keep-first fingerprint dedup). Per-row
+    predicates are batch-boundary-invariant by construction; the dedup
+    equivalence is the st04 family's property."""
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.streaming.stream_dedup import curate_stream
+
+    run_id = _uuid.uuid4().hex[:8]
+    table = f"st16_cur_{run_id}"
+    batch = _t(spark, sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    q = curate_stream(
+        spark, stream, table,
+        checkpoint_dir=os.path.join(tempfile.gettempdir(), f"ck_{table}"),
+    )
+    q.awaitTermination()
+    out = spark.table(table).select("doc_id", "source", "n_chars")
+    out = out.localCheckpoint(eager=True)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_fingerprints")
+    return out
+
+
 # ---------------------------------------------------------------------------
 
 
