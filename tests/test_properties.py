@@ -166,3 +166,87 @@ def test_optree_matches_python_oracle(spark, trees):
         got = {(r["a"], r["b"]) for r in optree.find_all(df, where=tree).collect()}
         want = {(a, b) for a, b in rows if _py_eval(tree, {"a": a, "b": b})}
         assert got == want, tree
+
+
+# ---------------------------------------------------------------------------
+# Round-3 operator properties
+# ---------------------------------------------------------------------------
+
+ascii_doc = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=0, max_size=400
+)
+
+
+@FAST
+@given(st.lists(ascii_doc, min_size=1, max_size=20))
+def test_cdc_chunks_tile_exactly(spark, docs):
+    """CDC chunk (start, len) pairs tile every payload exactly: starts
+    begin at 1, are strictly increasing, and reconstructed coverage
+    equals the byte length — for arbitrary ASCII payloads, including
+    empty and shorter-than-window ones."""
+    from logverzcore_spark.operators.multimodal import cdc_chunks
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    ).select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    rows = cdc_chunks(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk_start"])
+    for i, t in enumerate(docs):
+        starts = sorted(by_doc.get(i, []))
+        assert starts and starts[0] == 1  # every payload (even empty) chunks
+        assert len(starts) == len(set(starts))
+
+
+@FAST
+@given(st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=200))
+def test_shard_assign_in_range_and_deterministic(spark, ids):
+    """shard_assign: always lands in [0, n) and is a pure function of the
+    id (same id → same shard within one run, across duplicates)."""
+    from logverzcore_spark import export
+
+    df = spark.createDataFrame([(i,) for i in ids + ids], "doc_id long")
+    rows = df.select(
+        "doc_id", export.shard_assign(F.col("doc_id"), 16).alias("s")
+    ).collect()
+    seen = {}
+    for r in rows:
+        assert 0 <= r["s"] < 16
+        assert seen.setdefault(r["doc_id"], r["s"]) == r["s"]
+
+
+@FAST
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from("ab#0123456789"), min_size=4, max_size=24),
+        min_size=2,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_fuzzy_join_matches_bruteforce(spark, names):
+    """Pigeonhole edit-distance pairs == brute force on arbitrary short
+    identifier strings (same-length, distance ≤ 1)."""
+    from logverzcore_spark.operators import fuzzyjoin
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "k long, name string"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzyjoin.edit_distance_pairs(df, "name", "k", 1).collect()
+    }
+    a = df.selectExpr("k AS ka", "name AS na")
+    b = df.selectExpr("k AS kb", "name AS nb")
+    brute = {
+        (r["ka"], r["kb"])
+        for r in a.crossJoin(b)
+        .where(
+            (F.col("ka") < F.col("kb"))
+            & (F.length("na") == F.length("nb"))
+            & (F.levenshtein("na", "nb") <= 1)
+        )
+        .collect()
+    }
+    assert got == brute
