@@ -5133,6 +5133,67 @@ def st16_streaming_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "q89_snapshot_diff",
+    oracle="""
+    WITH bounds AS (
+      SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events
+    ), a AS (
+      SELECT user_id, COUNT(*) AS n FROM events, bounds
+      WHERE epoch_us(ts) < mid GROUP BY user_id
+    ), b AS (
+      SELECT user_id, COUNT(*) AS n FROM events, bounds
+      WHERE epoch_us(ts) >= mid GROUP BY user_id
+    )
+    SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+           CASE WHEN a.user_id IS NULL THEN 'added'
+                WHEN b.user_id IS NULL THEN 'removed'
+                WHEN a.n <> b.n THEN 'changed'
+                ELSE 'same' END AS status,
+           a.n AS n_before, b.n AS n_after
+    FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+    """,
+)
+def q89_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot change detection: the added/removed/changed/same
+    classification between two dataset versions (here: per-user activity
+    in the first vs second half of the event history) — the audit query
+    a pipeline runs after every re-crawl or backfill. One aggregation
+    per snapshot at the compare grain, then a single full-outer join on
+    the key; at 100 TB both sides pre-aggregate to the key grain BEFORE
+    the join, so the shuffle carries one row per key, not raw events,
+    and bucketing both snapshot tables by key removes it entirely."""
+    ev = _t(spark, sf_dir, "events").withColumn("_us", F.unix_micros("ts"))
+    # Integer-micros midpoint: interval/2 rounds differently per engine.
+    bounds = ev.agg(
+        F.floor((F.min("_us") + F.max("_us")) / 2).cast("long").alias("mid")
+    )
+    with_mid = ev.join(F.broadcast(bounds))
+    a = (
+        with_mid.where(F.col("_us") < F.col("mid"))
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("user_id").alias("ua"), F.col("n").alias("n_before"))
+    )
+    b = (
+        with_mid.where(F.col("_us") >= F.col("mid"))
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("user_id").alias("ub"), F.col("n").alias("n_after"))
+    )
+    joined = a.join(b, a.ua == b.ub, "full_outer")
+    status = (
+        F.when(F.col("ua").isNull(), F.lit("added"))
+        .when(F.col("ub").isNull(), F.lit("removed"))
+        .when(F.col("n_before") != F.col("n_after"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return joined.select(
+        F.coalesce("ua", "ub").alias("user_id"),
+        status.alias("status"),
+        "n_before",
+        "n_after",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
