@@ -5194,6 +5194,66 @@ def q89_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "m07_cdc_dedup_corpus",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, text, length(text) AS sz FROM documents
+    ), pos AS (
+      SELECT doc_id, text, sz, UNNEST(range(1, GREATEST(1, sz - 16 + 1) + 1)) AS p
+      FROM d
+    ), bounds AS (
+      SELECT doc_id, text, sz, p FROM pos
+      WHERE p = 1
+         OR substring(md5(substring(text, CAST(p AS BIGINT), 16)), 1, 2) = 'ff'
+    ), chunks AS (
+      SELECT doc_id,
+             md5(substring(text, CAST(p AS BIGINT),
+                 CAST(COALESCE(LEAD(p) OVER (PARTITION BY doc_id ORDER BY p),
+                               sz + 1) - p AS BIGINT))) AS chunk_md5
+      FROM bounds
+    ), pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM chunks a JOIN chunks b
+        ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ), edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs UNION ALL SELECT id2, id1 FROM pairs
+    ), reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ), labels AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
+      FROM d LEFT JOIN reach r ON r.src = d.doc_id
+      GROUP BY d.doc_id
+    )
+    SELECT dd.doc_id, dd.source, dd.n_chars
+    FROM documents dd JOIN labels l ON dd.doc_id = l.doc_id
+    WHERE l.cluster_id = dd.doc_id
+    """,
+)
+def m07_cdc_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary dedup MATERIALIZED (the media analog of d08): CDC chunk
+    pairs → connected components (transitivity: a re-muxed variant of a
+    spliced variant collapses with the original even if the end-to-end
+    pair misses the threshold) → keep each cluster's min-id
+    representative, returning the cleaned corpus. Decode-free end to
+    end."""
+    from logverzcore_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    pairs = multimodal.cdc_neardup_pairs(payloads, min_shared_chunks=2).select(
+        F.col("id_a").alias("id1"), F.col("id_b").alias("id2")
+    )
+    clusters = dedup.dup_clusters(payloads, pairs)
+    reps = clusters.where(F.col("is_rep")).select("doc_id")
+    return docs.join(reps, "doc_id", "left_semi").select("doc_id", "source", "n_chars")
+
+
 # ---------------------------------------------------------------------------
 
 
