@@ -186,6 +186,7 @@ def test_suite_global_plan_invariants(spark):
         "t13_unigram_logprob",           # single-row corpus-token-total join
         "q82_important_parts",           # single-row global-revenue threshold join
         "q85_rolling_distinct_users",    # range join vs the broadcast day spine
+        "q89_snapshot_diff",             # single-row midpoint-bounds broadcast join
     }
     streaming = {n for n in SUITE if n.startswith("st")}  # run eagerly; skip
     offenders = {}
