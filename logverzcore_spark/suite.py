@@ -5254,6 +5254,64 @@ def m07_cdc_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(reps, "doc_id", "left_semi").select("doc_id", "source", "n_chars")
 
 
+def _hex_digits_to_int_sql(expr: str, n: int) -> str:
+    """SQL expression: first ``n`` hex digits of ``expr`` as an integer
+    (DuckDB has no hex-parse scalar; strpos over the alphabet replays
+    Spark's conv() exactly)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substring({expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (n - 1 - i)}"
+        for i in range(n)
+    ]
+    return "(" + "\n               + ".join(terms) + ")"
+
+
+@query(
+    "t19_weighted_sample",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, source, n_chars,
+             ({_hex_digits_to_int_sql("md5(CAST(doc_id AS VARCHAR))", 8)} + 1.0)
+               / 4294967297.0 AS unit
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, source, n_chars,
+             -ln(unit) / n_chars AS es_key
+      FROM u
+    )
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (ORDER BY es_key, doc_id) AS rk
+      FROM keyed
+    ) WHERE rk <= 50
+    """,
+)
+def t19_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis): each doc draws a uniform from its id hash and
+    competes on key = -ln(u)/weight (weight = n_chars — longer docs
+    proportionally likelier); the n smallest keys are the sample. All
+    the properties of t17's exact sample (engine/run/cluster-size
+    stable, exact size, TakeOrdered plan) plus weight-proportional
+    inclusion — the curation op for quality- or length-weighted subset
+    selection. The uniform is (hash32+1)/(2^32+1) ∈ (0,1): exactly
+    representable inputs, so both engines compute identical IEEE
+    doubles."""
+    docs = _t(spark, sf_dir, "documents")
+    unit = (
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+         .cast("double") + 1.0)
+        / 4294967297.0
+    )
+    es_key = -F.log(unit) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "source", "n_chars", es_key.alias("_k"))
+        .orderBy("_k", "doc_id")
+        .limit(50)
+        .drop("_k")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
