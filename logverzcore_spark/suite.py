@@ -5312,6 +5312,44 @@ def t19_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q90_modern_sql",
+    oracle="""
+    WITH base AS (
+      SELECT * EXCLUDE (o_orderkey, o_custkey) FROM orders
+      WHERE o_orderstatus = 'F'
+    )
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             / 100.0 AS revenue,
+           COUNT(*) AS n
+    FROM base GROUP BY ALL
+    """,
+)
+def q90_modern_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern SQL ergonomics through the raw-SQL surface: ``SELECT *
+    EXCEPT(...)`` (column pruning without naming survivors — Catalyst
+    still prunes the scan to what's referenced) and ``GROUP BY ALL``
+    (keys inferred from the non-aggregate select list). Run as a SQL
+    string — the shape interactive users actually type — not DataFrame
+    calls."""
+    ev = _t(spark, sf_dir, "orders")
+    ev.createOrReplaceTempView("q90_orders")
+    return spark.sql(
+        """
+        WITH base AS (
+          SELECT * EXCEPT (o_orderkey, o_custkey) FROM q90_orders
+          WHERE o_orderstatus = 'F'
+        )
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 / CAST(100 AS DOUBLE) AS revenue,
+               COUNT(*) AS n
+        FROM base GROUP BY ALL
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
