@@ -292,3 +292,38 @@ def test_d13_batch_self_dedups_before_anti_join(spark):
     agg_pos = fmt.find("HashAggregate")
     anti_pos = fmt.find("LeftAnti")
     assert agg_pos != -1 and anti_pos != -1
+
+
+def test_dynamic_partition_pruning_on_partitioned_ingest(spark, tmpdir_path):
+    """A table collected with partition_by gets DYNAMIC partition
+    pruning when joined against a filtered dimension: the fact scan
+    carries a dynamicpruning subquery on the partition column, so at
+    100 TB a 3-day dimension filter reads 3 day-partitions, not the
+    table. (Static pruning via literal predicates is covered by the
+    sort/z-order tests; this is the join-driven runtime form.)"""
+    import os
+
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # events.parquet carries TIMESTAMP(NANOS); go through the engine
+    # reader contract instead of re-reading raw.
+    from logverzcore_spark.engine import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.date_format("ts", "yyyyMMdd")
+    )
+    out = os.path.join(tmpdir_path, "ev_part")
+    ev.write.partitionBy("day").parquet(out)
+    fact = spark.read.parquet(out)
+    # A REAL dimension table with a selective predicate — DPP keys off a
+    # filter on the build side, not a limit().
+    dim_path = os.path.join(tmpdir_path, "day_dim")
+    ev.select("day").distinct().withColumn(
+        "flag", (F.col("day").substr(-1, 1) == "1").cast("int")
+    ).write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path).where(F.col("flag") == 1)
+    joined = fact.join(dim.hint("broadcast"), "day").groupBy("event_type").count()
+    fmt = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in fmt.lower()
+    _ = events
