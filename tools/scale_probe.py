@@ -70,7 +70,52 @@ def build_replica(spark, n: int, out_dir: str) -> None:
     e_out.repartition(32).write.mode("overwrite").parquet(
         os.path.join(out_dir, "embeddings.parquet")
     )
-    # Events/star tables: plain key-offset copies serve the relational ops.
+    # Events / star tables: key-offset copies — per-copy structure
+    # (days, join fan-out, group cardinalities per key) is preserved
+    # while volume and key domains scale N×.
+    ev = read_table(spark, BASE, "events")
+    ev_copies = [
+        ev.select(
+            (F.col("event_id") + i * 1_000_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + i * 1_000_000).alias("user_id"),
+            "event_type", "value", "props",
+        )
+        for i in range(n)
+    ]
+    ev_out = ev_copies[0]
+    for c in ev_copies[1:]:
+        ev_out = ev_out.unionByName(c)
+    ev_out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
+    for tbl, keys in (
+        ("orders", ["o_orderkey", "o_custkey"]),
+        ("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"]),
+    ):
+        t = read_table(spark, BASE, tbl)
+        t_copies = [
+            t.select(
+                *[
+                    (F.col(c) + i * 1_000_000_000).alias(c) if c in keys else F.col(c)
+                    for c in t.columns
+                ]
+            )
+            for i in range(n)
+        ]
+        t_out = t_copies[0]
+        for c in t_copies[1:]:
+            t_out = t_out.unionByName(c)
+        t_out.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{tbl}.parquet")
+        )
+    # Small dims pass through unchanged (they'd broadcast at any N).
+    import shutil as _sh
+
+    for tbl in ("region", "nation", "customer", "supplier", "part"):
+        src = os.path.join(BASE, f"{tbl}.parquet")
+        if os.path.exists(src):
+            _sh.copyfile(src, os.path.join(out_dir, f"{tbl}.parquet"))
     open(os.path.join(out_dir, "_OK"), "w").close()
 
 
