@@ -119,6 +119,42 @@ class Engine:
             yield "[" + ",".join(buf) + "]"
         yield "EOF"
 
+    def sql_arrow(self, query: str, user: User = ADMIN,
+                  max_rows_per_batch: int = 10_000):
+        """Arrow IPC wire protocol — the columnar counterpart of
+        ``sql_chunked`` (modern clients: pandas/polars/ADBC consume IPC
+        streams zero-copy, ~10× denser than row JSON for numeric
+        results). Yields serialized Arrow IPC stream messages of
+        ≤``max_rows_per_batch`` rows each, then ``b"EOF"``. Rows stream
+        from executors via ``toLocalIterator`` (one partition resident at
+        a time) — the full result never materializes on the driver, so
+        result size is bounded by the CLIENT's appetite, not driver
+        memory."""
+        import io
+
+        import pyarrow as pa
+
+        df = self.sql(query, user)
+        schema = pa.Schema.from_pandas(df.limit(0).toPandas(), preserve_index=False)
+        rows: list[dict] = []
+
+        def flush(batch_rows):
+            table = pa.Table.from_pylist(batch_rows, schema=schema)
+            sink = io.BytesIO()
+            with pa.ipc.new_stream(sink, schema) as writer:
+                for b in table.to_batches():
+                    writer.write_batch(b)
+            return sink.getvalue()
+
+        for row in df.toLocalIterator():
+            rows.append(row.asDict(recursive=True))
+            if len(rows) >= max_rows_per_batch:
+                yield flush(rows)
+                rows = []
+        if rows:
+            yield flush(rows)
+        yield b"EOF"
+
     def explain(self, query: str, user: User = ADMIN) -> str:
         self._gate(query, user, "explain")
         return self.spark.sql(query)._jdf.queryExecution().explainString(

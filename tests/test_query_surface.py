@@ -385,3 +385,26 @@ def test_estimate_gated_and_sized(engine):
         engine.estimate("DROP TABLE qs_tab")
     with pytest.raises(PermissionError):
         engine.estimate("SELECT * FROM qs_tab", user=User("mallory", groups=[]))
+
+
+def test_sql_arrow_wire_roundtrip(engine):
+    """Arrow IPC protocol: batches reassemble to the exact result, EOF
+    terminates, and the gate still applies."""
+    import io
+
+    import pyarrow as pa
+    import pytest
+
+    from logverzcore_spark.plans.sqlgate import SqlValidationError
+
+    chunks = list(
+        engine.sql_arrow("SELECT id, v FROM qs_tab ORDER BY id", max_rows_per_batch=4)
+    )
+    assert chunks[-1] == b"EOF"
+    tables = [pa.ipc.open_stream(io.BytesIO(c)).read_all() for c in chunks[:-1]]
+    assert len(tables) == 3  # 10 rows in batches of 4
+    combined = pa.concat_tables(tables)
+    assert combined.column("id").to_pylist() == list(range(10))
+    assert combined.column("v").to_pylist() == [i * 2 for i in range(10)]
+    with pytest.raises(SqlValidationError):
+        list(engine.sql_arrow("DROP TABLE qs_tab"))
