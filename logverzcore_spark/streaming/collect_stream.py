@@ -531,6 +531,38 @@ def run_streaming_dedup_counts(spark: SparkSession, events_path: str) -> DataFra
     return spark.table(sink).select("event_type", "n_users")
 
 
+def run_watermarked_dedup_counts(
+    spark: SparkSession, events_path: str, horizon: str = "60 days"
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark``: the BOUNDED-STATE form of
+    streaming dedup — dedup state for a key is dropped once the
+    watermark passes its event time + ``horizon``, so state size tracks
+    the horizon's key arrivals instead of all history (st04's plain
+    dropDuplicates never expires; at 100 TB-stream scale that is the
+    difference between a fixed state store and an ever-growing one).
+    With a horizon covering the whole test window the committed answer
+    equals full-history dedup, which the oracle hash-verifies; in
+    production the horizon is the dedup contract ("no duplicate arrives
+    more than H late")."""
+    stream = _events_stream(spark, events_path).select("ts", "user_id", "event_type")
+    deduped = (
+        stream.withWatermark("ts", horizon)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    sink = f"wd_sink_{uuid.uuid4().hex[:8]}"
+    with _state_sized_to_cluster(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink).select("event_type", "n_users")
+
+
 def run_stream_stream_join(
     spark: SparkSession, events_path: str, within: str = "1 hour"
 ) -> DataFrame:

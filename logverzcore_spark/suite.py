@@ -5350,6 +5350,30 @@ def q90_modern_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "st17_watermarked_dedup",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def st17_watermarked_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup
+    (collect_stream.run_watermarked_dedup_counts):
+    ``dropDuplicatesWithinWatermark`` expires dedup state once the
+    watermark passes a key's event time + horizon — st04's unbounded
+    form with the state-size contract a 100 TB stream actually needs.
+    Horizon spans the test window → equals full-history dedup
+    (hash-verified)."""
+    from logverzcore_spark.streaming.collect_stream import (
+        run_watermarked_dedup_counts,
+    )
+
+    return run_watermarked_dedup_counts(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
