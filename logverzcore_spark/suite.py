@@ -5374,6 +5374,67 @@ def st17_watermarked_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "m08_audio_segments",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, text, i
+      FROM documents, LATERAL (SELECT UNNEST(range(0, length(text))) AS i)
+    ), vals AS (
+      SELECT doc_id, CAST(i // 32 AS INTEGER) AS frame_idx,
+             unicode(substr(text, CAST(i + 1 AS INTEGER), 1)) AS v
+      FROM pos
+    ), frames AS (
+      SELECT doc_id, frame_idx,
+             ROUND(SQRT(AVG(CAST(v AS DOUBLE) * v)), 6) AS rms
+      FROM vals GROUP BY doc_id, frame_idx
+    ), active AS (
+      SELECT doc_id, frame_idx, rms,
+             frame_idx - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY frame_idx) AS grp
+      FROM frames WHERE rms >= 100.0
+    )
+    SELECT doc_id,
+           CAST(MIN(frame_idx) AS INTEGER) AS start_frame,
+           CAST(MAX(frame_idx) AS INTEGER) AS end_frame,
+           COUNT(*) AS n_frames,
+           MAX(rms) AS peak_rms
+    FROM active GROUP BY doc_id, grp
+    HAVING COUNT(*) >= 2
+    """,
+)
+def m08_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD-style energy segmentation over the PCM featurizer's frames
+    (m05): contiguous runs of frames with RMS ≥ threshold become
+    segments — the gaps-and-islands pattern (island id = frame_idx −
+    row_number per payload) that turns per-frame features into
+    utterance/asset spans. One window pass over the FRAME table (already
+    ~32× smaller than the payload bytes), then a map-side-combined
+    groupBy; the payload bytes never reach the segmentation stages."""
+    from logverzcore_spark.operators.multimodal import audio_frame_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    frames = audio_frame_features(docs, payload_col="payload", id_col="doc_id")
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    active = (
+        frames.where(F.col("rms") >= 100.0)
+        .withColumn("grp", F.col("frame_idx") - F.row_number().over(w))
+    )
+    return (
+        active.groupBy("doc_id", "grp")
+        .agg(
+            F.min("frame_idx").cast("int").alias("start_frame"),
+            F.max("frame_idx").cast("int").alias("end_frame"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("rms").alias("peak_rms"),
+        )
+        .where(F.col("n_frames") >= 2)
+        .drop("grp")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
