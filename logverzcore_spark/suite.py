@@ -5435,6 +5435,65 @@ def m08_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "st18_sketch_rolling_distinct",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM du
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT u.user_id) AS users_7d
+    FROM days d JOIN du u
+      ON u.day > d.day - INTERVAL 7 DAY AND u.day <= d.day
+    GROUP BY d.day
+    """,
+)
+def st18_sketch_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The read side of the sketch rollup (st13), proving
+    re-aggregatability: trailing-7-day distinct users computed by
+    UNIONING the stored per-day HLL sketches (`hll_union_agg` over a
+    range self-join of the O(#days) sketch table) — the raw event store
+    is never rescanned, which is the entire point of storing sketches
+    instead of counts. Matches q85's exact answer at this cardinality
+    (sub-capacity regime → hash-verified); at higher cardinality the
+    same query returns bounded estimates."""
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.streaming.collect_stream import _events_stream
+    from logverzcore_spark.streaming.rollup import incremental_user_sketch_rollup
+
+    table = f"st18_skroll_{_uuid.uuid4().hex[:8]}"
+    stream = _events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    q = incremental_user_sketch_rollup(
+        spark, stream, table,
+        checkpoint_dir=os.path.join(tempfile.gettempdir(), f"ck_{table}"),
+    )
+    q.awaitTermination()
+    sk = spark.table(table).select("day_ts", "user_sk")
+    days = sk.select(F.col("day_ts").alias("d"))
+    out = (
+        sk.join(
+            F.broadcast(days),
+            (F.col("day_ts") > F.col("d") - F.expr("INTERVAL 7 DAYS"))
+            & (F.col("day_ts") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("user_sk"))
+            .cast("bigint")
+            .alias("users_7d")
+        )
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "users_7d")
+    )
+    out = out.localCheckpoint(eager=True)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_meta")
+    return out
+
+
 # ---------------------------------------------------------------------------
 
 
