@@ -5494,6 +5494,59 @@ def st18_sketch_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "q91_integrity_audit",
+    oracle="""
+    SELECT 'orphan_lineitems' AS check_name,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+             AS n_violations
+    UNION ALL
+    SELECT 'duplicate_order_pks',
+           (SELECT COUNT(*) FROM (
+              SELECT o_orderkey FROM orders
+              GROUP BY o_orderkey HAVING COUNT(*) > 1))
+    UNION ALL
+    SELECT 'nonpositive_quantity',
+           (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+    UNION ALL
+    SELECT 'discount_out_of_range',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 1)
+    """,
+)
+def q91_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-validation battery — the post-ingest audit a pipeline runs
+    before publishing a table: FK orphans (anti-join), duplicate primary
+    keys (grouped HAVING), and domain-range checks (pushed scan
+    predicates). Each check is an independent aggregate; the FK check is
+    the only join and plans as a LEFT ANTI on the key — at 100 TB all
+    checks share the fact scan budget, none is a cross join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    orphans = check(
+        "orphan_lineitems",
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti"),
+    )
+    dup_pks = check(
+        "duplicate_order_pks",
+        o.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n")).where(F.col("n") > 1),
+    )
+    nonpos = check("nonpositive_quantity", li.where(F.col("l_quantity") <= 0))
+    disc_oob = check(
+        "discount_out_of_range",
+        li.where((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+    )
+    return orphans.unionByName(dup_pks).unionByName(nonpos).unionByName(disc_oob)
+
+
 # ---------------------------------------------------------------------------
 
 
