@@ -5547,6 +5547,59 @@ def q91_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orphans.unionByName(dup_pks).unionByName(nonpos).unionByName(disc_oob)
 
 
+@query(
+    "t20_token_budget_pack",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source, n_chars,
+             md5(CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, source, n_chars,
+             SUM(n_chars) OVER (ORDER BY hx, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_chars
+      FROM h
+    )
+    SELECT doc_id, source, n_chars, CAST(cum_chars AS BIGINT) AS cum_chars
+    FROM cum WHERE cum_chars <= 20000
+    """,
+)
+def t20_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection: keep documents in deterministic hash
+    order until the cumulative size hits the budget — how a fixed-token
+    training mix is actually cut. The cumulative sum is TWO-LEVEL, not a
+    global-order window (which would serialize onto one partition at
+    100 TB): docs bucket by their md5 PREFIX (prefix order == the
+    global hash order), per-bucket totals (256 rows) compute running
+    offsets driver-free, and each bucket's in-partition cumsum adds its
+    offset. Same answer as the naive global window, shuffle on the
+    bucket key only."""
+    docs = _t(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", "source", "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("_hx"),
+    ).withColumn("_bkt", F.substring("_hx", 1, 2))
+    bkt_totals = (
+        h.groupBy("_bkt").agg(F.sum("n_chars").alias("_bkt_sum"))
+    )
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bkt_totals.select(
+        "_bkt", F.coalesce(F.sum("_bkt_sum").over(w_off), F.lit(0)).alias("_offset")
+    )
+    w_in = Window.partitionBy("_bkt").orderBy("_hx", "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        h.join(F.broadcast(offsets), "_bkt")
+        .withColumn(
+            "cum_chars",
+            (F.sum("n_chars").over(w_in) + F.col("_offset")).cast("bigint"),
+        )
+        .where(F.col("cum_chars") <= 20000)
+        .select("doc_id", "source", "n_chars", "cum_chars")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
