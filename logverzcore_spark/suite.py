@@ -5600,6 +5600,48 @@ def t20_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q92_timezone_battery",
+    oracle="""
+    WITH z AS (
+      SELECT UNNEST(['America/New_York', 'Europe/Berlin', 'Asia/Tokyo']) AS tz
+    ), local_ts AS (
+      SELECT z.tz,
+             CAST(timezone(z.tz, ts AT TIME ZONE 'UTC') AS TIMESTAMP) AS lt
+      FROM events CROSS JOIN z
+    )
+    SELECT tz,
+           SUM(CASE WHEN EXTRACT(hour FROM lt) BETWEEN 9 AND 17
+                    THEN 1 ELSE 0 END) AS business_hours_events,
+           COUNT(*) AS n_events,
+           MIN(strftime(lt, '%Y-%m-%d %H:%M:%S')) AS first_local
+    FROM local_ts GROUP BY tz
+    """,
+)
+def q92_timezone_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion battery — log engines constantly re-localize
+    UTC event time: ``from_utc_timestamp`` against IANA zones, local
+    business-hours classification, local formatting. Pure per-row
+    projections (the zone list is a literal explode), one
+    map-side-combined aggregate; both engines resolve the same IANA
+    tzdb rules, which the hash match certifies across a DST-free test
+    window."""
+    ev = _t(spark, sf_dir, "events")
+    zones = F.array(
+        F.lit("America/New_York"), F.lit("Europe/Berlin"), F.lit("Asia/Tokyo")
+    )
+    local = ev.select(
+        F.explode(zones).alias("tz"), "ts"
+    ).withColumn("lt", F.expr("from_utc_timestamp(ts, tz)"))
+    return local.groupBy("tz").agg(
+        F.sum(
+            F.when(F.hour("lt").between(9, 17), 1).otherwise(0)
+        ).alias("business_hours_events"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.date_format("lt", "yyyy-MM-dd HH:mm:ss")).alias("first_local"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
