@@ -88,3 +88,70 @@ def curate(
         "source",
         "n_chars",
     )
+
+
+def curate_report(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **thresholds,
+) -> DataFrame:
+    """Per-document disposition for the curation chain: every input doc
+    labeled with the FIRST stage that dropped it (``quality`` /
+    ``exact_dup`` / ``near_dup`` / ``contaminated``) or ``kept`` — the
+    observability layer a production pipeline needs, because "the corpus
+    shrank 40%" is unactionable without stage attribution. Built from
+    the same lazy stage frames as :func:`curate` (anti-join per stage,
+    coalesced by precedence), so the attribution can't drift from the
+    pipeline it explains."""
+    prof = text.text_profile(docs, text_col)
+    min_tokens = thresholds.get("min_tokens", 10)
+    max_tokens = thresholds.get("max_tokens", 1000)
+    min_sw = thresholds.get("min_stopword_ratio", 0.05)
+    max_rep = thresholds.get("max_repetition_ratio", 0.6)
+    quality_ids = prof.where(
+        F.col("n_tokens").between(min_tokens, max_tokens)
+        & (F.col("stopword_ratio") >= min_sw)
+        & (F.col("repetition_ratio") <= max_rep)
+    ).select(id_col)
+    s1 = docs.join(quality_ids, id_col, "left_semi")
+
+    fp = dedup.fingerprint_md5(F.col(text_col))
+    keep_first = (
+        s1.select(F.col(id_col), fp.alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    s2 = s1.join(keep_first, id_col, "left_semi")
+
+    pairs = dedup.minhash_lsh_pairs(s2, threshold=0.7, text_col=text_col, id_col=id_col)
+    near_dropped = pairs.select(F.col("id2").alias(id_col)).distinct()
+    s3 = s2.join(near_dropped, id_col, "left_anti")
+
+    if benchmark is not None:
+        contaminated = dedup.contamination_check(
+            s3, benchmark, text_col=text_col, id_col=id_col
+        ).select(F.col("doc_id").alias(id_col))
+    else:
+        contaminated = s3.select(id_col).limit(0)
+
+    def flag(ids: DataFrame, name: str) -> DataFrame:
+        return ids.select(F.col(id_col), F.lit(name).alias(name))
+
+    marked = (
+        docs.select(id_col, "source")
+        .join(flag(quality_ids, "_q"), id_col, "left")
+        .join(flag(keep_first, "_e"), id_col, "left")
+        .join(flag(near_dropped, "_n"), id_col, "left")
+        .join(flag(contaminated, "_c"), id_col, "left")
+    )
+    reason = (
+        F.when(F.col("_q").isNull(), F.lit("quality"))
+        .when(F.col("_e").isNull(), F.lit("exact_dup"))
+        .when(F.col("_n").isNotNull(), F.lit("near_dup"))
+        .when(F.col("_c").isNotNull(), F.lit("contaminated"))
+        .otherwise(F.lit("kept"))
+    )
+    return marked.select(F.col(id_col), "source", reason.alias("disposition"))

@@ -5642,6 +5642,93 @@ def q92_timezone_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t21_curation_reasons",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, text, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents WHERE source <> 'src0'
+    ), feat AS (
+      SELECT doc_id,
+             len(toks) AS n_toks,
+             len(list_filter(list_transform(toks, x -> lower(x)),
+                 x -> x IN ('the','a','an','and','or','of','to','in','is'))) AS n_stop,
+             len(list_distinct(list_transform(toks, x -> lower(x)))) AS n_distinct
+      FROM tk
+    ), quality AS (
+      SELECT t.doc_id FROM tk t JOIN feat f USING (doc_id)
+      WHERE f.n_toks BETWEEN 10 AND 1000
+        AND ROUND(f.n_stop / greatest(f.n_toks, 1), 4) >= 0.05
+        AND ROUND(1.0 - f.n_distinct / greatest(f.n_toks, 1), 4) <= 0.6
+    ), keep1 AS (
+      SELECT MIN(t.doc_id) AS doc_id
+      FROM tk t JOIN quality q USING (doc_id)
+      GROUP BY md5(regexp_replace(lower(trim(t.text)), '\\s+', ' ', 'g'))
+    ), sh3 AS (
+      SELECT t.doc_id,
+             unnest(list_distinct(list_transform(range(1, greatest(len(t.toks)-2, 0)+1),
+                    i -> t.toks[i] || ' ' || t.toks[i+1] || ' ' || t.toks[i+2]))) AS sh
+      FROM tk t JOIN keep1 k USING (doc_id)
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh3 GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      FROM sh3 a JOIN sh3 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), near_dropped AS (
+      SELECT DISTINCT id2 AS doc_id FROM inter
+      JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+      WHERE ROUND(c * 1.0 / (s1.n + s2.n - c), 4) >= 0.7
+    ), sh5 AS (
+      SELECT d.doc_id, d.source,
+             unnest(list_distinct(list_transform(
+                    range(1, greatest(len(list_filter(string_split(d.text, ' '),
+                                                      x -> x <> ''))-4, 0)+1),
+                    i -> list_filter(string_split(d.text, ' '), x -> x <> '')[i]
+                         || ' ' || list_filter(string_split(d.text, ' '), x -> x <> '')[i+1]
+                         || ' ' || list_filter(string_split(d.text, ' '), x -> x <> '')[i+2]
+                         || ' ' || list_filter(string_split(d.text, ' '), x -> x <> '')[i+3]
+                         || ' ' || list_filter(string_split(d.text, ' '), x -> x <> '')[i+4])))
+               AS sh
+      FROM documents d
+    ), bench AS (
+      SELECT DISTINCT sh FROM sh5 WHERE source = 'src0'
+    ), survivors3 AS (
+      SELECT doc_id FROM keep1
+      WHERE doc_id NOT IN (SELECT doc_id FROM near_dropped)
+    ), contaminated AS (
+      SELECT DISTINCT s.doc_id
+      FROM sh5 s JOIN survivors3 k USING (doc_id) JOIN bench b ON s.sh = b.sh
+    )
+    SELECT t.doc_id, t.source,
+           CASE WHEN q.doc_id IS NULL THEN 'quality'
+                WHEN k.doc_id IS NULL THEN 'exact_dup'
+                WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+                ELSE 'kept' END AS disposition
+    FROM tk t
+    LEFT JOIN quality q ON t.doc_id = q.doc_id
+    LEFT JOIN keep1 k ON t.doc_id = k.doc_id
+    LEFT JOIN near_dropped n ON t.doc_id = n.doc_id
+    LEFT JOIN contaminated c ON t.doc_id = c.doc_id
+    """,
+)
+def t21_curation_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation observability (pipeline.curate_report): every input doc
+    labeled with the FIRST stage that dropped it — quality / exact_dup /
+    near_dup / contaminated / kept. Built from the same lazy stage
+    frames as the pipeline itself (anti-joins coalesced by precedence),
+    so the attribution cannot drift from the pipeline it explains; the
+    oracle replays the full stage cascade."""
+    from logverzcore_spark.pipeline import curate_report
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("source") == "src0")
+    train = docs.where(F.col("source") != "src0")
+    return curate_report(train, benchmark=bench)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -162,3 +162,21 @@ def test_curate_pipeline_stages(spark):
     # Decontamination is monotone: no-benchmark run is a superset.
     no_bench = {r["doc_id"] for r in curate(train).collect()}
     assert ids <= no_bench
+
+
+def test_curate_report_matches_curate(spark):
+    """The disposition report's 'kept' set IS curate()'s output — the
+    attribution cannot drift from the pipeline it explains."""
+    from logverzcore_spark.pipeline import curate, curate_report
+
+    docs = _docs(spark)
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    kept = {
+        r["doc_id"]
+        for r in curate_report(train, benchmark=bench)
+        .where(F.col("disposition") == "kept")
+        .collect()
+    }
+    out = {r["doc_id"] for r in curate(train, benchmark=bench).collect()}
+    assert kept == out
