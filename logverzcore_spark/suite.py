@@ -5729,6 +5729,54 @@ def t21_curation_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_report(train, benchmark=bench)
 
 
+@query(
+    "q93_schema_evolution_union",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, NULL AS o_orderpriority,
+             'v1' AS schema_ver
+      FROM orders WHERE o_orderkey % 3 = 0
+    ), v2 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority,
+             'v2' AS schema_ver
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ), unioned AS (
+      SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    )
+    SELECT schema_ver, o_orderstatus,
+           COUNT(*) AS n,
+           SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+             AS n_missing_priority
+    FROM unioned GROUP BY schema_ver, o_orderstatus
+    """,
+)
+def q93_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two dataset versions — the old one missing
+    a later-added column — combine via ``unionByName(allowMissingColumns
+    =True)`` (absent columns NULL-fill, names align regardless of
+    position), the pattern every long-lived log table needs when its
+    DataType grows a field. Position-based UNION would silently
+    mis-align; the by-name form is the contract."""
+    o = _t(spark, sf_dir, "orders")
+    v1 = (
+        o.where(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .withColumn("schema_ver", F.lit("v1"))
+    )
+    v2 = (
+        o.where(F.col("o_orderkey") % 3 != 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .withColumn("schema_ver", F.lit("v2"))
+    )
+    unioned = v1.unionByName(v2, allowMissingColumns=True)
+    return unioned.groupBy("schema_ver", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)
+        ).alias("n_missing_priority"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
