@@ -5777,6 +5777,75 @@ def q93_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t22_leakage_safe_split",
+    oracle=_DUP_GRAPH_CTE
+    + """
+    SELECT d.doc_id, l.cluster_id,
+           CASE WHEN substr(md5(CAST(l.cluster_id AS VARCHAR)), 1, 1) <= 'b'
+                  THEN 'train'
+                WHEN substr(md5(CAST(l.cluster_id AS VARCHAR)), 1, 1) <= 'd'
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d JOIN labels l ON d.doc_id = l.doc_id
+    """,
+)
+def t22_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: hashing the DOCUMENT id (t05)
+    can strand two near-duplicates on opposite sides of the train/test
+    wall — silent eval contamination. Splitting on the near-dup CLUSTER
+    id instead (connected components over the 3-gram Jaccard≥0.5 graph,
+    min-member label) puts every member of a duplicate family in the
+    same split by construction. Same determinism properties as t05; the
+    extra cost is exactly the dup-clustering pass a curation pipeline
+    already ran."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    clusters = dedup.dup_clusters(docs, pairs)
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        text.hash_split(F.col("cluster_id")).alias("split"),
+    )
+
+
+@query(
+    "q94_filter_clause_battery",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_all,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                FILTER (WHERE l_discount = 0) AS BIGINT) / 100.0
+             AS undiscounted_revenue,
+           COUNT(DISTINCT l_suppkey) FILTER (WHERE l_tax > 0.05)
+             AS n_hightax_suppliers
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q94_filter_clause_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER-clause aggregates (the standard form of conditional
+    aggregation, clearer than CASE pivots and planned identically): run
+    as SQL since that is the user-facing surface. All filters evaluate
+    inside the single map-side-combined aggregate — one scan serves
+    every conditional metric."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("q94_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    FILTER (WHERE l_discount = 0) AS BIGINT)
+                 / CAST(100 AS DOUBLE) AS undiscounted_revenue,
+               COUNT(DISTINCT l_suppkey) FILTER (WHERE l_tax > 0.05)
+                 AS n_hightax_suppliers
+        FROM q94_lineitem GROUP BY l_returnflag
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
