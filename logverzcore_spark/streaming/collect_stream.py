@@ -531,6 +531,39 @@ def run_streaming_dedup_counts(spark: SparkSession, events_path: str) -> DataFra
     return spark.table(sink).select("event_type", "n_users")
 
 
+def run_streaming_argmax(spark: SparkSession, events_path: str) -> DataFrame:
+    """Latest event per user as a STREAMING aggregation: ``max_by`` over
+    the packed (unix_micros(ts), event_id) struct keeps exactly one row
+    of state per user — the streaming counterpart of q50's
+    argmax-without-window, and the state-cheapest way to maintain a
+    "last seen" table (contrast dropDuplicates-based approaches that key
+    state by every attribute combination). Complete mode over
+    availableNow equals the batch argmax (st19's oracle)."""
+    stream = _events_stream(spark, events_path).select(
+        "ts", "user_id", "event_type", "event_id"
+    )
+    key = F.struct(F.unix_micros("ts").alias("us"), F.col("event_id"))
+    agg = stream.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.max_by("event_type", key).alias("last_event_type"),
+    )
+    sink = f"am_sink_{uuid.uuid4().hex[:8]}"
+    with _state_sized_to_cluster(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink).select(
+        "user_id",
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        "last_event_type",
+    )
+
+
 def run_watermarked_dedup_counts(
     spark: SparkSession, events_path: str, horizon: str = "60 days"
 ) -> DataFrame:

@@ -5846,6 +5846,33 @@ def q94_filter_clause_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "st19_streaming_argmax",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts) DESC, event_id DESC)
+               AS rn
+      FROM events
+    )
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_seen,
+           event_type AS last_event_type
+    FROM ranked WHERE rn = 1
+    """,
+)
+def st19_streaming_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming latest-row-per-key: ``max_by`` over a packed
+    (event-time, id) key inside a streaming aggregation — per-key state
+    is ONE row (the current argmax), the streaming form of q50's
+    argmax-without-window. The id tie-break makes concurrent-timestamp
+    events deterministic across engines and micro-batch orders."""
+    from logverzcore_spark.streaming.collect_stream import run_streaming_argmax
+
+    return run_streaming_argmax(spark, os.path.join(sf_dir, "events.parquet"))
+
+
 # ---------------------------------------------------------------------------
 
 
