@@ -5873,6 +5873,43 @@ def st19_streaming_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_argmax(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+@query(
+    "q95_lateral_top_order",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, t.best_order, t.best_price
+    FROM customer c, LATERAL (
+      SELECT o_orderkey AS best_order,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) / 100.0 AS best_price
+      FROM orders o WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+    ) t
+    WHERE c.c_custkey <= 300
+    """,
+)
+def q95_lateral_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-1 order per customer) — the
+    standard SQL form of per-key top-N, run as SQL. Catalyst
+    decorrelates the LATERAL into a join + per-key aggregation, so the
+    orders table is scanned once, not once per customer (the plan a
+    naive nested-loop engine executes). The deterministic
+    (price DESC, key) tie-break keeps both engines exact."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("q95_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q95_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, t.best_order, t.best_price
+        FROM q95_customer c, LATERAL (
+          SELECT o_orderkey AS best_order,
+                 CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                   / CAST(100 AS DOUBLE) AS best_price
+          FROM q95_orders o WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+        ) t
+        WHERE c.c_custkey <= 300
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
