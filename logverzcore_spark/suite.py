@@ -5910,6 +5910,47 @@ def q95_lateral_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q96_null_safe_compare",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             NULLIF(o_orderpriority, '3-MEDIUM') AS p
+      FROM orders WHERE o_orderkey <= 3000
+    )
+    SELECT
+      SUM(CASE WHEN a.p IS NOT DISTINCT FROM b.p THEN 1 ELSE 0 END)
+        AS n_null_safe_eq,
+      SUM(CASE WHEN a.p = b.p THEN 1 ELSE 0 END) AS n_plain_eq,
+      SUM(CASE WHEN a.p IS DISTINCT FROM b.p THEN 1 ELSE 0 END)
+        AS n_distinct_from
+    FROM t a JOIN t b ON a.o_orderkey = b.o_orderkey
+    """,
+)
+def q96_null_safe_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe comparison semantics (`<=>` / IS [NOT] DISTINCT FROM):
+    NULL <=> NULL is TRUE while NULL = NULL is NULL — the distinction
+    that silently drops rows from joins on nullable keys. The battery
+    self-joins a NULLIF'd column and counts under all three operators;
+    plain `=` must undercount by exactly the NULL rows."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 3000)
+    t = o.select(
+        "o_orderkey", F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias("p")
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"))
+    return j.agg(
+        F.sum(
+            F.when(F.col("a.p").eqNullSafe(F.col("b.p")), 1).otherwise(0)
+        ).alias("n_null_safe_eq"),
+        F.sum(F.when(F.col("a.p") == F.col("b.p"), 1).otherwise(0)).alias("n_plain_eq"),
+        F.sum(
+            F.when(~F.col("a.p").eqNullSafe(F.col("b.p")), 1).otherwise(0)
+        ).alias("n_distinct_from"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
