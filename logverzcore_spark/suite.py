@@ -5951,6 +5951,62 @@ def q96_null_safe_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t23_fused_quality_rank",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), tfeat AS (
+      SELECT doc_id,
+             ROUND(len(list_filter(list_transform(toks, x -> lower(x)),
+                   x -> x IN ('the','a','an','and','or','of','to','in','is')))
+                   * 1.0 / greatest(len(toks), 1), 4) AS sw
+      FROM tk
+    ), efeat AS (
+      SELECT vec_id,
+             ROUND(sqrt(list_sum(list_transform(embedding,
+                                                x -> CAST(x AS DOUBLE) * x))), 6)
+               AS enorm
+      FROM embeddings
+    ), fused AS (
+      SELECT t.doc_id,
+             ROUND(t.sw * 10.0 + e.enorm, 6) AS fused_score
+      FROM tfeat t JOIN efeat e ON t.doc_id = e.vec_id
+    )
+    SELECT doc_id, fused_score FROM (
+      SELECT doc_id, fused_score,
+             row_number() OVER (ORDER BY fused_score DESC, doc_id) AS rk
+      FROM fused
+    ) WHERE rk <= 50
+    """,
+)
+def t23_fused_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal curation ranking: text-side quality (stopword ratio)
+    fused with embedding-side magnitude into one score, top-k selected.
+    The modality join is id-to-id (both sides pre-reduced to per-doc
+    scalars BEFORE joining — vectors and text never meet in the
+    shuffle), and the top-k is TakeOrdered — the pattern for any
+    multi-signal curation score at corpus scale."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    sw = F.round(text.stopword_ratio(F.col("text")), 4)
+    tfeat = docs.select("doc_id", sw.alias("sw"))
+    from logverzcore_spark.operators.similarity import l2_norm
+
+    efeat = emb.select(
+        F.col("vec_id"), F.round(l2_norm(F.col("embedding")), 6).alias("enorm")
+    )
+    fused = (
+        tfeat.join(efeat, tfeat.doc_id == efeat.vec_id)
+        .select(
+            "doc_id",
+            F.round(F.col("sw") * 10.0 + F.col("enorm"), 6).alias("fused_score"),
+        )
+    )
+    return fused.orderBy(F.desc("fused_score"), "doc_id").limit(50)
+
+
 # ---------------------------------------------------------------------------
 
 
