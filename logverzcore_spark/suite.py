@@ -6007,6 +6007,42 @@ def t23_fused_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.desc("fused_score"), "doc_id").limit(50)
 
 
+@query(
+    "q97_grouping_id_rollup",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '(all)') AS status,
+           COALESCE(o_orderpriority, '(all)') AS priority,
+           GROUPING(o_orderstatus) + GROUPING(o_orderpriority) * 2
+             AS grouping_level,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q97_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() disambiguation: subtotal rows are labeled
+    by which key was rolled up — the only correct way to tell a
+    rolled-up NULL from a NULL data value in multi-level reports (q10's
+    plain rollup can't distinguish them). One Expand + hash aggregate,
+    same plan cost as the unlabeled rollup."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            (
+                F.grouping("o_orderstatus") + F.grouping("o_orderpriority") * 2
+            ).alias("grouping_level"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            F.col("grouping_level").cast("long").alias("grouping_level"),
+            "n",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
