@@ -6043,6 +6043,40 @@ def q97_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q98_try_arithmetic",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN l_discount = 0 THEN NULL
+                    ELSE CAST(FLOOR(l_quantity / l_discount) AS BIGINT) END)
+             AS sum_qty_per_disc,
+           SUM(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS n_zero_disc,
+           SUM(TRY_CAST(CASE WHEN l_linenumber <= 4
+                             THEN CAST(l_linenumber AS VARCHAR)
+                             ELSE 'seven' END AS BIGINT)) AS sum_parsed
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q98_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_* total-function battery under ANSI mode (Spark 4 default):
+    ``try_divide`` yields NULL on /0 instead of killing the job, and
+    ``try_cast`` absorbs unparseable text — the per-expression form of
+    the coercion layer's whole-job safety (operators/coerce.py). The
+    oracle states the identical semantics with CASE guards."""
+    li = _t(spark, sf_dir, "lineitem")
+    parsed_src = F.when(
+        F.col("l_linenumber") <= 4, F.col("l_linenumber").cast("string")
+    ).otherwise(F.lit("seven"))
+    return li.groupBy("l_returnflag").agg(
+        F.sum(
+            F.floor(F.try_divide(F.col("l_quantity"), F.col("l_discount")))
+            .cast("bigint")
+        ).alias("sum_qty_per_disc"),
+        F.sum(F.when(F.col("l_discount") == 0, 1).otherwise(0)).alias("n_zero_disc"),
+        F.sum(parsed_src.try_cast("bigint")).alias("sum_parsed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
