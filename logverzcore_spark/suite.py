@@ -6077,6 +6077,58 @@ def q98_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "d14_novelty_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, greatest(len(t)-2, 0)+1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+      FROM tok
+    ), df_ AS (
+      SELECT sh, COUNT(*) AS n_docs FROM sh GROUP BY sh
+    )
+    SELECT s.doc_id,
+           COUNT(*) AS n_shingles,
+           SUM(CASE WHEN d.n_docs = 1 THEN 1 ELSE 0 END) AS n_unique,
+           ROUND(SUM(CASE WHEN d.n_docs = 1 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS novelty
+    FROM sh s JOIN df_ d ON s.sh = d.sh
+    GROUP BY s.doc_id
+    """,
+)
+def d14_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty score: per document, the fraction of its distinct
+    3-grams that appear NOWHERE else in the corpus — the inverse signal
+    of near-duplication, used to up-weight genuinely new content in a
+    training mix (t08's within-doc dup fraction can't see cross-doc
+    repetition). One inverted-index pass over shingle ROWS (the same
+    d02 plan shape): shingle document-frequency, joined back, one
+    partial-agg'd groupBy — never an all-pairs comparison."""
+    docs = _t(spark, sf_dir, "documents")
+    from logverzcore_spark.operators.dedup import _shingle_table
+    from logverzcore_spark.operators.util import fan_out
+
+    sh = _shingle_table(fan_out(docs), "text", "doc_id", 3)
+    df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        sh.join(df_counts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0)).alias("n_unique"),
+            F.round(
+                F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("novelty"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
