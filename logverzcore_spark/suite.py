@@ -6129,6 +6129,48 @@ def d14_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q99_event_pattern",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             lead(event_type) OVER w AS next_type,
+             lead(ts) OVER w AS next_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT user_id, COUNT(*) AS n_view_click
+    FROM seq
+    WHERE event_type = 'view' AND next_type = 'click'
+      AND next_ts <= ts + INTERVAL 10 MINUTE
+    GROUP BY user_id
+    """,
+)
+def q99_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-event pattern matching (MATCH_RECOGNIZE-lite): per user,
+    count of view→click transitions where the click is the IMMEDIATELY
+    next event and lands within 10 minutes — strict adjacency, which
+    the funnel operator (q42, min-time joins) deliberately does NOT
+    require. One window pass ordered by (event time, id); the pattern
+    predicate is a projection over lead()."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    seq = ev.select(
+        "user_id", "event_type", "ts",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    return (
+        seq.where(
+            (F.col("event_type") == "view")
+            & (F.col("next_type") == "click")
+            & (F.col("next_ts") <= F.col("ts") + F.expr("INTERVAL 10 MINUTES"))
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_view_click"))
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
