@@ -6171,6 +6171,75 @@ def q99_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t24_bigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t)-1, 0)+1),
+                    i -> t[i] || CHR(31) || t[i+1])) AS bg
+      FROM tok
+    ), c12 AS (
+      SELECT bg, COUNT(*) AS n12 FROM big GROUP BY bg
+    ), c1 AS (
+      SELECT string_split(bg, CHR(31))[1] AS w1, SUM(n12) AS n1
+      FROM c12 GROUP BY 1
+    )
+    SELECT b.doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(CAST(FLOOR((log10(CAST(c12.n12 AS DOUBLE))
+                                - log10(CAST(c1.n1 AS DOUBLE))) * 1000000 + 0.5)
+                         AS BIGINT)) AS BIGINT) / 1000000.0 / COUNT(*)
+             AS avg_cond_logprob
+    FROM big b
+    JOIN c12 ON b.bg = c12.bg
+    JOIN c1 ON string_split(b.bg, CHR(31))[1] = c1.w1
+    GROUP BY b.doc_id
+    """,
+)
+def t24_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score: mean conditional log10
+    p(w2|w1) per document — one LM order above t13's unigram filter,
+    catching word-salad documents whose unigram mix looks normal.
+    Conditional probabilities derive ENTIRELY from the bigram count
+    table (count(w1·) = Σ_w2 count(w1,w2) — no second corpus pass);
+    both count tables broadcast (vocab² observed ≪ corpus); per-bigram
+    log-probs quantize to 1e-6 before the order-insensitive integer
+    sum, the same determinism treatment as t13."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    pairs = F.expr(
+        "transform(slice(t, 1, greatest(size(t) - 1, 0)), "
+        "(x, i) -> concat(x, '\\u001F', t[i + 1]))"
+    )
+    big = docs.select("doc_id", F.explode(pairs).alias("bg"))
+    c12 = big.groupBy("bg").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = (
+        c12.withColumn("w1", F.split("bg", "\x1f").getItem(0))
+        .groupBy("w1")
+        .agg(F.sum("n12").alias("n1"))
+    )
+    q = F.floor(
+        (F.log10(F.col("n12").cast("double")) - F.log10(F.col("n1").cast("double")))
+        * 1000000
+        + 0.5
+    ).cast("bigint")
+    return (
+        big.join(F.broadcast(c12), "bg")
+        .withColumn("w1", F.split("bg", "\x1f").getItem(0))
+        .join(F.broadcast(c1), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum(q).cast("bigint") / 1000000.0 / F.count(F.lit(1))).alias(
+                "avg_cond_logprob"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
