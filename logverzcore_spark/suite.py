@@ -6240,6 +6240,60 @@ def t24_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q100_share_of_total",
+    oracle="""
+    WITH rev AS (
+      SELECT r_name, n_name,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+    )
+    SELECT r_name, n_name,
+           CAST(cents AS BIGINT) / 100.0 AS revenue,
+           ROUND(cents * 1.0 / SUM(cents) OVER (PARTITION BY r_name), 6)
+             AS share_of_region,
+           ROUND(cents * 1.0 / SUM(cents) OVER (), 6) AS share_of_world
+    FROM rev
+    """,
+)
+def q100_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total analytics (RATIO_TO_REPORT shape): each nation's
+    revenue as a fraction of its region and of the world, via window
+    sums OVER THE AGGREGATE — the windows run on the 25-row rollup, not
+    the fact table, so the two extra totals are free at any scale. All
+    ratios divide exact integer cents, so both engines compute identical
+    doubles."""
+    orders = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    rev = (
+        orders.join(F.broadcast(c), orders.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w_region = Window.partitionBy("r_name")
+    w_world = Window.partitionBy()
+    return rev.select(
+        "r_name",
+        "n_name",
+        (F.col("cents").cast("bigint") / 100.0).alias("revenue"),
+        F.round(F.col("cents") / F.sum("cents").over(w_region), 6).alias(
+            "share_of_region"
+        ),
+        F.round(F.col("cents") / F.sum("cents").over(w_world), 6).alias(
+            "share_of_world"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
