@@ -6294,6 +6294,209 @@ def q100_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q101_SQL = """
+    WITH RECURSIVE edges AS (
+      SELECT o_orderkey, o_custkey,
+             LAG(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS parent
+      FROM {orders}
+    ), chain(o_orderkey, root_key, depth) AS (
+      SELECT o_orderkey, o_orderkey, 0 FROM edges WHERE parent IS NULL
+      UNION ALL
+      SELECT e.o_orderkey, c.root_key, c.depth + 1
+      FROM chain c JOIN edges e ON e.parent = c.o_orderkey
+    )
+    SELECT o_orderkey, root_key, depth FROM chain
+"""
+
+
+@query("q101_recursive_chain", oracle=_Q101_SQL.format(orders="orders"))
+def q101_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE hierarchy walk (Spark 4 ``WITH RECURSIVE``): every
+    order's position in its customer's succession chain — parent = the
+    customer's previous order, roots = first orders — walked root-down so
+    each node is reached exactly once (single-parent edges keep UNION ALL
+    duplicate-free; Spark does not yet allow UNION inside recursion).
+    The same shape walks org charts, reply threads, and BOM levels where
+    depth is unbounded and window functions cannot reach. Scale: work is
+    one edge join per level (max chain depth iterations ≤ 25 here, limit
+    ``spark.sql.cteRecursionLevelLimit``); raise
+    ``spark.sql.cteRecursionRowLimit`` (default 1M rows) beyond ~SF1.
+    For pure per-key chains a single window pass is cheaper — this entry
+    grades the general recursive form on the SQL surface."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q101_orders")
+    return spark.sql(_Q101_SQL.format(orders="q101_orders"))
+
+
+@query(
+    "q102_hof_battery",
+    oracle="""
+    SELECT vec_id, label,
+           len(embedding) AS n_dims,
+           CAST(list_sum(list_transform(embedding,
+                x -> ABS(CAST(FLOOR(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT))))
+                AS BIGINT) AS l1_micro,
+           len(list_filter(embedding, x -> x < 0)) AS n_neg,
+           list_max(list_transform(embedding,
+                x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)))
+                AS max_micro,
+           CAST(list_sum(list_transform(embedding[1:8],
+                x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)))
+                AS BIGINT) AS head8_micro
+    FROM embeddings
+    """,
+)
+def q102_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column without
+    exploding it: ``transform``/``filter``/``aggregate``/``slice``/
+    ``array_max`` compute per-vector metrics in place — one row stays one
+    row, so there is no n×dim row blowup and no shuffle at all (narrow
+    projection over the scan). Elements are float32; both engines widen
+    to double then quantize to integer micros so sums are
+    order-independent. Spark's HOF lambdas are CodegenFallback
+    (interpreted per element) — fine for per-row metrics; hot-loop
+    scoring paths in this repo use codegen'd multi-arg hashes or Arrow
+    matmuls instead (see d03/s01)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = "ABS(CAST(FLOOR(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT))"
+    qs = "CAST(FLOOR(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)"
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("n_dims"),
+        F.expr(
+            f"CAST(aggregate(transform(embedding, x -> {q}), 0L, (a, x) -> a + x) AS BIGINT)"
+        ).alias("l1_micro"),
+        F.size(F.expr("filter(embedding, x -> x < 0)")).alias("n_neg"),
+        F.expr(f"array_max(transform(embedding, x -> {qs}))").alias("max_micro"),
+        F.expr(
+            f"CAST(aggregate(transform(slice(embedding, 1, 8), x -> {qs}), 0L, (a, x) -> a + x) AS BIGINT)"
+        ).alias("head8_micro"),
+    )
+
+
+@query(
+    "q103_interpolate_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id,
+             DATEDIFF('hour', TIMESTAMP '2024-01-01 00:00:00', ts) AS hr,
+             SUM(CAST(FLOOR(value*1000000 + 0.5) AS BIGINT))
+               // COUNT(*) AS val_q
+      FROM events GROUP BY 1, 2
+    ), spine AS (
+      SELECT user_id, UNNEST(generate_series(mn, mx)) AS hr
+      FROM (SELECT user_id, MIN(hr) AS mn, MAX(hr) AS mx
+            FROM hourly GROUP BY user_id)
+    ), joined AS (
+      SELECT s.user_id, s.hr, h.val_q FROM spine s
+      LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hr = h.hr
+    ), ctx AS (
+      SELECT user_id, hr, val_q,
+        LAST_VALUE(val_q IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY hr
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_q,
+        LAST_VALUE(CASE WHEN val_q IS NOT NULL THEN hr END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY hr
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_h,
+        FIRST_VALUE(val_q IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY hr
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_q,
+        FIRST_VALUE(CASE WHEN val_q IS NOT NULL THEN hr END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY hr
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_h
+      FROM joined
+    )
+    SELECT user_id, hr,
+      CASE WHEN val_q IS NOT NULL THEN val_q
+           WHEN prev_q IS NOT NULL AND next_q IS NOT NULL THEN
+             (prev_q*(next_h - hr) + next_q*(hr - prev_h)) // (next_h - prev_h)
+           WHEN prev_q IS NOT NULL THEN prev_q ELSE next_q END / 1000000.0
+        AS filled_value,
+      CASE WHEN val_q IS NOT NULL THEN 'obs'
+           WHEN prev_q IS NOT NULL AND next_q IS NOT NULL THEN 'interp'
+           WHEN prev_q IS NOT NULL THEN 'ffill' ELSE 'bfill' END AS fill_kind
+    FROM ctx
+    """,
+)
+def q103_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap repair: per-user hourly means on a dense hour
+    spine, missing hours filled by LINEAR INTERPOLATION between the
+    nearest observed neighbors (edges fall back to forward/backward
+    fill). The sensor/metrics resampling primitive the reference's log
+    tables invite but RDS made users hand-roll. Engine-stable math:
+    hourly means are integer-micro floor-averages and the interpolation
+    is one integer lerp ``(prev*(nh-h) + next*(h-ph)) div (nh-ph)`` —
+    no float accumulation anywhere. Plan: ONE shuffle by user_id serves
+    the per-user aggregate, the spine explode, and all four
+    IGNORE-NULLS window passes (same partitioning+ordering → a single
+    Window operator); spine size is users × hours, independent of event
+    volume."""
+    ev = _t(spark, sf_dir, "events")
+    base = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    micro = F.floor(F.col("value") * 1000000 + 0.5).cast("bigint")
+    hourly = (
+        ev.select(
+            "user_id",
+            (F.timestamp_diff("HOUR", base, F.col("ts"))).alias("hr"),
+            micro.alias("micro"),
+        )
+        .groupBy("user_id", "hr")
+        .agg(F.expr("sum(micro) div count(*)").alias("val_q"))
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+        .select("user_id", F.explode(F.sequence("mn", "mx")).alias("hr"))
+    )
+    joined = spine.join(hourly, ["user_id", "hr"], "left")
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    obs_hr = F.when(F.col("val_q").isNotNull(), F.col("hr"))
+    ctx = joined.select(
+        "user_id",
+        "hr",
+        "val_q",
+        F.last("val_q", ignorenulls=True).over(w_back).alias("prev_q"),
+        F.last(obs_hr, ignorenulls=True).over(w_back).alias("prev_h"),
+        F.first("val_q", ignorenulls=True).over(w_fwd).alias("next_q"),
+        F.first(obs_hr, ignorenulls=True).over(w_fwd).alias("next_h"),
+    )
+    lerp = F.expr(
+        "(prev_q*(next_h - hr) + next_q*(hr - prev_h)) div (next_h - prev_h)"
+    )
+    filled = (
+        F.when(F.col("val_q").isNotNull(), F.col("val_q"))
+        .when(F.col("prev_q").isNotNull() & F.col("next_q").isNotNull(), lerp)
+        .when(F.col("prev_q").isNotNull(), F.col("prev_q"))
+        .otherwise(F.col("next_q"))
+    )
+    kind = (
+        F.when(F.col("val_q").isNotNull(), F.lit("obs"))
+        .when(
+            F.col("prev_q").isNotNull() & F.col("next_q").isNotNull(),
+            F.lit("interp"),
+        )
+        .when(F.col("prev_q").isNotNull(), F.lit("ffill"))
+        .otherwise(F.lit("bfill"))
+    )
+    return ctx.select(
+        "user_id",
+        "hr",
+        (filled / 1000000.0).alias("filled_value"),
+        kind.alias("fill_kind"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -1,0 +1,101 @@
+"""Tests for the round-3 relational additions: recursive-CTE chain walk
+(q101), higher-order-function battery (q102), and hourly linear
+interpolation (q103)."""
+
+import math
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+from logverzcore_spark.engine import read_table
+from logverzcore_spark.suite import SUITE
+
+
+def test_recursive_chain_equals_window_form(spark):
+    """For per-customer chains the recursive walk must agree with the
+    one-pass window formulation: depth = row_number-1, root = first
+    order key — and cover every order exactly once."""
+    chain = SUITE["q101_recursive_chain"](spark, SF_DIR)
+    orders = read_table(spark, SF_DIR, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    expected = orders.select(
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("root_key"),
+        (F.row_number().over(w) - 1).alias("depth"),
+    )
+    assert chain.count() == orders.count()
+    diff = chain.exceptAll(
+        expected.select("o_orderkey", "root_key", F.col("depth").cast("int"))
+    )
+    assert diff.count() == 0
+
+
+def test_hof_battery_matches_python(spark):
+    rows = (
+        SUITE["q102_hof_battery"](spark, SF_DIR)
+        .join(
+            read_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding"),
+            "vec_id",
+        )
+        .orderBy("vec_id")
+        .limit(20)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        q = [math.floor(float(x) * 1e6 + 0.5) for x in r["embedding"]]
+        assert r["n_dims"] == len(q)
+        assert r["l1_micro"] == sum(abs(v) for v in q)
+        assert r["n_neg"] == sum(1 for x in r["embedding"] if x < 0)
+        assert r["max_micro"] == max(q)
+        assert r["head8_micro"] == sum(q[:8])
+
+
+def test_interpolation_dense_spine_and_bounds(spark):
+    df = SUITE["q103_interpolate_hourly"](spark, SF_DIR).cache()
+    try:
+        # Dense spine: per user, rows == max(hr) - min(hr) + 1, no NULL fills.
+        spans = df.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            (F.max("hr") - F.min("hr") + 1).alias("span"),
+            F.sum(F.col("filled_value").isNull().cast("int")).alias("nulls"),
+        )
+        bad = spans.filter(
+            (F.col("n") != F.col("span")) | (F.col("nulls") > 0)
+        ).count()
+        assert bad == 0
+
+        # Interpolated points lie within [min, max] of their user's
+        # observed values (linear interpolation cannot overshoot).
+        obs = df.filter(F.col("fill_kind") == "obs").groupBy("user_id").agg(
+            F.min("filled_value").alias("lo"), F.max("filled_value").alias("hi")
+        )
+        out_of_band = (
+            df.filter(F.col("fill_kind") == "interp")
+            .join(obs, "user_id")
+            .filter(
+                (F.col("filled_value") < F.col("lo") - 1e-9)
+                | (F.col("filled_value") > F.col("hi") + 1e-9)
+            )
+            .count()
+        )
+        assert out_of_band == 0
+
+        # Edge fills only at the edges: a bfill row may not come after an
+        # observation (no prev), an ffill row may not precede one (no next).
+        w = Window.partitionBy("user_id").orderBy("hr")
+        flagged = df.withColumn(
+            "saw_obs_before",
+            F.max((F.col("fill_kind") == "obs").cast("int")).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        assert (
+            flagged.filter(
+                (F.col("fill_kind") == "bfill") & (F.col("saw_obs_before") == 1)
+            ).count()
+            == 0
+        )
+    finally:
+        df.unpersist()
