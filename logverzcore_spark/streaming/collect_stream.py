@@ -648,6 +648,122 @@ def run_stream_stream_join(
     )
 
 
+def run_stream_stream_outer_join(
+    spark: SparkSession, events_path: str, within: str = "1 hour"
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every 'view' with its
+    same-user 'click' within ``within`` afterwards, or NULL-padded once
+    the watermark proves no click can still arrive. Outer results are
+    *state evictions*: a view emits NULLs only when the global watermark
+    passes its join-window upper bound, so unmatched rows appear exactly
+    once and state stays bounded to the join window — the semantics an
+    unbounded feed gets for free from continuously arriving data.
+
+    For a BOUNDED replay the watermark would stall at
+    ``max(ts) - delay`` and withhold the tail's unmatched views forever,
+    so this runner appends a sentinel file (one far-future row per side,
+    ``user_id = -1``, filtered out of the result) that pushes the final
+    watermark past every join window; the engine's closing no-data
+    micro-batch then flushes all remaining outer results. This is the
+    streaming analog of an end-of-stream marker, not a data mutation —
+    production feeds need no sentinel.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="lvz_ssoj_")
+    try:
+        data_file = os.path.join(work, "part-000.parquet")
+        shutil.copy(events_path, data_file)
+        schema = spark.read.parquet(data_file).schema
+        ts_is_long = any(
+            f.name == "ts" and isinstance(f.dataType, T.LongType)
+            for f in schema.fields
+        )
+        horizon = spark.read.parquet(data_file).agg(F.max("ts")).first()[0]
+        if ts_is_long:  # nanos-as-long file: keep the sentinel in nanos
+            sentinel_ts = int(horizon) + 4 * 3600 * 10**9
+            ts_col = F.lit(sentinel_ts).cast("long")
+        else:
+            ts_col = (
+                F.lit(horizon).cast("timestamp")
+                + F.expr("INTERVAL 4 hours")
+            )
+        sentinel = (
+            spark.range(2)
+            .select(
+                (F.lit(10**12) + F.col("id")).alias("event_id"),
+                ts_col.alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.when(F.col("id") == 0, "view").otherwise("click").alias(
+                    "event_type"
+                ),
+                F.lit(0.0).alias("value"),
+                F.lit("{}").alias("props"),
+            )
+        )
+        sent_dir = os.path.join(work, "_sentinel_out")
+        sentinel.coalesce(1).write.mode("overwrite").parquet(sent_dir)
+        sent_file = os.path.join(work, "part-001-sentinel.parquet")
+        for f in os.listdir(sent_dir):
+            if f.endswith(".parquet"):
+                shutil.move(os.path.join(sent_dir, f), sent_file)
+        shutil.rmtree(sent_dir)
+        st = os.stat(data_file)
+        os.utime(sent_file, (st.st_atime + 10, st.st_mtime + 10))
+
+        def side(evt: str, id_alias: str, user: str, ts: str):
+            s = (
+                spark.readStream.format("parquet")
+                .schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "part-*.parquet")
+                .load(work)
+            )
+            if ts_is_long:
+                s = s.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            return (
+                s.where(F.col("event_type") == evt)
+                .select(
+                    F.col("event_id").alias(id_alias),
+                    F.col("user_id").alias(user),
+                    F.col("ts").alias(ts),
+                )
+                .withWatermark(ts, "2 hours")
+            )
+
+        views = side("view", "view_id", "v_user", "v_ts")
+        clicks = side("click", "click_id", "c_user", "c_ts")
+        joined = views.join(
+            clicks,
+            (F.col("v_user") == F.col("c_user"))
+            & (F.col("c_ts") > F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {within}")),
+            "left_outer",
+        )
+        sink = f"ssoj_sink_{uuid.uuid4().hex[:8]}"
+        with _state_sized_to_cluster(spark):
+            q = (
+                joined.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(sink)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return (
+            spark.table(sink)
+            .where(F.col("v_user") >= 0)  # drop the sentinel's own row
+            .select(F.col("v_user").alias("user_id"), "view_id", "click_id")
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def run_stream_static_enrich(
     spark: SparkSession, events_path: str, dim: DataFrame
 ) -> DataFrame:

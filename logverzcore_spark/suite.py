@@ -6497,6 +6497,32 @@ def q103_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "st20_stream_outer_join",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def st20_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LEFT OUTER stream-stream join (st05's inner form plus
+    eviction-driven NULL emission): unmatched views surface exactly once,
+    when the watermark proves their click window closed. Hash-verified
+    against the plain batch left join — the bounded replay is finalized
+    by an end-of-stream sentinel (see
+    ``collect_stream.run_stream_stream_outer_join``)."""
+    from logverzcore_spark.streaming.collect_stream import (
+        run_stream_stream_outer_join,
+    )
+
+    return run_stream_stream_outer_join(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

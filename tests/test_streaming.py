@@ -248,3 +248,42 @@ def test_transform_with_state(spark):
         .count()
     )
     assert out.count() == batch.count()
+
+
+def test_stream_outer_join_equals_batch_left_join(spark):
+    """The watermark-evicted outer results must reproduce the batch left
+    join exactly: matched pairs identical, unmatched views NULL-padded
+    exactly once, no sentinel leakage."""
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.streaming.collect_stream import (
+        run_stream_stream_outer_join,
+    )
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    out = run_stream_stream_outer_join(spark, path).cache()
+    try:
+        ev = spark.read.parquet(path)
+        v = ev.where("event_type='view'").select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        c = ev.where("event_type='click'").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        batch = v.join(
+            c,
+            (F.col("v_user") == F.col("c_user"))
+            & (F.col("c_ts") > F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 hour")),
+            "left_outer",
+        ).select(F.col("v_user").alias("user_id"), "view_id", "click_id")
+        assert out.where(F.col("user_id") < 0).count() == 0
+        assert out.where(F.col("click_id").isNull()).count() > 0
+        assert out.exceptAll(batch).count() == 0
+        assert batch.exceptAll(out).count() == 0
+    finally:
+        out.unpersist()
