@@ -56,22 +56,26 @@ class Engine:
         if self.audit is not None:
             self.audit.record(user.name, mode, query, tables, status, error)
 
-    def _gate(self, query: str, user: User, mode: str) -> list[str]:
+    def _gate(
+        self, query: str, user: User, mode: str, audit_query: str | None = None
+    ) -> list[str]:
         """Validate + authorize + audit one interactive SQL query; returns
         the referenced tables. Gate rejections and ACL denials are
         recorded before re-raising — the audit trail matters most when
-        the gate fires."""
+        the gate fires. ``audit_query`` overrides what the audit row
+        records (e.g. the template plus its bound parameters)."""
+        logged = audit_query if audit_query is not None else query
         try:
             result = validate_select(self.spark, query)
         except SqlValidationError as exc:
-            self._audit(user, mode, query, [], "invalid", str(exc))
+            self._audit(user, mode, logged, [], "invalid", str(exc))
             raise
         try:
             self.catalog.authorize_tables(result.tables, user)
         except PermissionError as exc:
-            self._audit(user, mode, query, result.tables, "denied", str(exc))
+            self._audit(user, mode, logged, result.tables, "denied", str(exc))
             raise
-        self._audit(user, mode, query, result.tables)
+        self._audit(user, mode, logged, result.tables)
         return result.tables
 
     # -- Job submission (the reference's jobproducer API, §3.1) ------------
@@ -87,10 +91,32 @@ class Engine:
         )
 
     # -- Mode: Native -----------------------------------------------------
-    def sql(self, query: str, user: User = ADMIN, _mode: str = "sql") -> DataFrame:
-        """Validated raw-SQL SELECT (Q1 behind the Q2 gate + Q3 ACL)."""
-        self._gate(query, user, _mode)
-        return self.spark.sql(query)
+    def sql(
+        self,
+        query: str,
+        user: User = ADMIN,
+        params: dict | list | None = None,
+        _mode: str = "sql",
+    ) -> DataFrame:
+        """Validated raw-SQL SELECT (Q1 behind the Q2 gate + Q3 ACL).
+
+        ``params`` binds named (``:name``) or positional (``?``)
+        parameter markers server-side (Spark's parameterized SQL): values
+        land as typed literals, never as spliced text, so a hostile
+        value like ``"1; DROP TABLE t"`` is just a string — the
+        injection-proof form the reference's raw-SQL channel
+        (sqlproxy.mjs:68-78) never had. The gate parses the TEMPLATE
+        (markers are legal parse trees), so validation and table ACLs
+        are decided before any value arrives."""
+        audit_query = (
+            query if params is None
+            else f"{query} /* params: {json.dumps(params, default=str)} */"
+        )
+        self._gate(query, user, _mode, audit_query=audit_query)
+        return (
+            self.spark.sql(query) if params is None
+            else self.spark.sql(query, args=params)
+        )
 
     def sql_json(self, query: str, user: User = ADMIN) -> str:
         """Q1's wire shape: JSON rows, non-ASCII stripped
@@ -325,11 +351,20 @@ class Engine:
             deactivate_older=True,
         )
 
-    def run_saved(self, name: str, user: User = ADMIN, database: str = "default") -> DataFrame:
+    def run_saved(
+        self,
+        name: str,
+        user: User = ADMIN,
+        database: str = "default",
+        params: dict | list | None = None,
+    ) -> DataFrame:
         """Execute a saved analysis the caller can SEE (Owners/Access ∩
         user+groups, admin bypass); the stored SQL is re-gated and its
         referenced tables re-authorized AGAINST THE RUNNER — visibility
-        of the saved query does not leak access to its tables."""
+        of the saved query does not leak access to its tables. A saved
+        TEMPLATE may carry ``:name`` parameter markers; ``params`` binds
+        them at run time (values become literals, so a runner cannot
+        alter the saved statement's shape)."""
         entry = self.catalog.for_table(name, database)
         if entry is None or entry.Type != "A":
             raise KeyError(f"no saved query named {name!r}")
@@ -337,7 +372,9 @@ class Engine:
             self._audit(user, "saved", name, [], "denied",
                         f"saved query {name!r} not visible")
             raise PermissionError(f"{user.name} may not run saved query {name!r}")
-        return self.sql(entry.QuerySettings["QueryString"], user, _mode="saved")
+        return self.sql(
+            entry.QuerySettings["QueryString"], user, params=params, _mode="saved"
+        )
 
     # -- Views (P4) --------------------------------------------------------
     def view(self, table: str, datatype: str, view_name: str = "Default",

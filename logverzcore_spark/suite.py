@@ -6523,6 +6523,112 @@ def st20_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q104_mad_outliers",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             median(CAST(FLOOR(value*1000000 + 0.5) AS BIGINT)) AS med
+      FROM events GROUP BY event_type
+    ), d AS (
+      SELECT e.event_type,
+             CAST(FLOOR(e.value*1000000 + 0.5) AS BIGINT) AS v, m.med
+      FROM events e JOIN m ON e.event_type = m.event_type
+    ), s AS (
+      SELECT event_type, med, median(ABS(v - med)) AS mad
+      FROM d GROUP BY event_type, med
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n,
+           ROUND(s.med / 1000000.0, 6) AS median_value,
+           ROUND(s.mad / 1000000.0, 6) AS mad_value,
+           SUM(CASE WHEN ABS(d.v - s.med) > 3 * s.mad THEN 1 ELSE 0 END)
+             AS n_outliers
+    FROM d JOIN s ON d.event_type = s.event_type
+    GROUP BY d.event_type, s.med, s.mad
+    """,
+)
+def q104_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per group: median/MAD fences (|x - med| >
+    3·MAD) — the breakdown-resistant alternative to mean/stddev z-scores
+    that one heavy tail can't drag. Engine-stable: medians interpolate
+    over integer micros so med and MAD are exact integers-or-halves and
+    3·MAD stays exact in binary. Plan: medians are per-group exact
+    percentiles over a ~unique-group-count frame; the fact table is
+    scanned twice (once per median level) but shuffled only on the
+    low-cardinality group key, and the second pass joins the 5-row
+    med/MAD frame by broadcast — no per-row state. At 100 TB swap the
+    exact medians for KLL sketches (q78) and keep the same fence logic."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 1000000 + 0.5).cast("bigint")
+    vals = ev.select("event_type", v.alias("v"))
+    med = vals.groupBy("event_type").agg(F.median("v").alias("med"))
+    s = (
+        vals.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.median(F.abs(F.col("v") - F.col("med"))).alias("mad"))
+    )
+    return (
+        vals.join(F.broadcast(s), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.abs(F.col("v") - F.col("med")) > 3 * F.col("mad")).cast("int")
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("med") / 1000000.0, 6).alias("median_value"),
+            F.round(F.col("mad") / 1000000.0, 6).alias("mad_value"),
+            "n_outliers",
+        )
+    )
+
+
+@query(
+    "q105_session_window",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    )
+    SELECT user_id, MIN(us) AS session_start_us,
+           MAX(us) + 1800000000 AS session_end_us,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q105_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` in BATCH aggregation — Spark's built-in
+    gap-merge operator (merge while the gap to the previous event is
+    ≤ 30 min; window end = last event + gap), hash-verified against the
+    classic lag/running-sum islands formulation q18 uses. One shuffle on
+    the session key; the merge itself runs inside the aggregation
+    operator, so there is no O(rows) window-function state — at scale
+    this is the form that lets AQE size partitions by user volume."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("session_start_us"),
+            F.unix_micros("session_window.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -408,3 +408,46 @@ def test_sql_arrow_wire_roundtrip(engine):
     assert combined.column("v").to_pylist() == [i * 2 for i in range(10)]
     with pytest.raises(SqlValidationError):
         list(engine.sql_arrow("DROP TABLE qs_tab"))
+
+
+def test_parameterized_sql_binds_values_not_text(engine):
+    """Parameter values are typed literals: filtering works, and a
+    hostile value cannot change the statement's shape (classic
+    injection payloads are inert strings)."""
+    out = engine.sql(
+        "SELECT id, v FROM qs_tab WHERE id >= :lo AND id < :hi",
+        params={"lo": 3, "hi": 6},
+    )
+    assert sorted(r["id"] for r in out.collect()) == [3, 4, 5]
+    # positional markers too
+    out2 = engine.sql("SELECT COUNT(*) AS n FROM qs_tab WHERE id = ?", params=[4])
+    assert out2.collect()[0]["n"] == 1
+    hostile = engine.sql(
+        "SELECT COUNT(*) AS n FROM qs_tab WHERE CAST(id AS STRING) = :x",
+        params={"x": "1 OR 1=1"},
+    )
+    assert hostile.collect()[0]["n"] == 0
+
+
+def test_parameterized_template_gated_and_audited(spark, engine):
+    """The gate parses the template before values bind, ACLs still hold,
+    and the audit row records the bound parameters."""
+    from logverzcore_spark.audit import AuditLog
+
+    engine.audit = AuditLog()
+    bob = User(name="bob", groups=[])
+    with pytest.raises(PermissionError):
+        engine.sql("SELECT * FROM qs_tab WHERE id = :i", user=bob, params={"i": 1})
+    engine.sql("SELECT v FROM qs_tab WHERE id = :i", params={"i": 2})
+    recs = engine.audit.entries()
+    assert any(r.Status == "denied" for r in recs)
+    ok = [r for r in recs if r.Status == "ok"]
+    assert ok and "params" in ok[-1].Query and '"i": 2' in ok[-1].Query
+
+
+def test_saved_parameterized_template(engine):
+    """A saved analysis may be a TEMPLATE; runners bind values at run
+    time but cannot alter the saved statement."""
+    engine.save_query("top_ids", "SELECT id FROM qs_tab WHERE id > :min_id")
+    rows = engine.run_saved("top_ids", params={"min_id": 7}).collect()
+    assert sorted(r["id"] for r in rows) == [8, 9]
