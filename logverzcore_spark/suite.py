@@ -6294,24 +6294,32 @@ def q100_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q101_SQL = """
+#: The recursive core, shared verbatim by both engines; only where the
+#: edge set comes from differs (oracle: inline CTE; Spark: a temp view
+#: over a materialized frame — see the docstring).
+_Q101_CHAIN = """chain(o_orderkey, root_key, depth) AS (
+      SELECT o_orderkey, o_orderkey, 0 FROM {edges} WHERE parent IS NULL
+      UNION ALL
+      SELECT e.o_orderkey, c.root_key, c.depth + 1
+      FROM chain c JOIN {edges} e ON e.parent = c.o_orderkey
+    )
+    SELECT o_orderkey, root_key, depth FROM chain
+"""
+
+_Q101_ORACLE = (
+    """
     WITH RECURSIVE edges AS (
       SELECT o_orderkey, o_custkey,
              LAG(o_orderkey) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ) AS parent
-      FROM {orders}
-    ), chain(o_orderkey, root_key, depth) AS (
-      SELECT o_orderkey, o_orderkey, 0 FROM edges WHERE parent IS NULL
-      UNION ALL
-      SELECT e.o_orderkey, c.root_key, c.depth + 1
-      FROM chain c JOIN edges e ON e.parent = c.o_orderkey
-    )
-    SELECT o_orderkey, root_key, depth FROM chain
-"""
+      FROM orders
+    ), """
+    + _Q101_CHAIN.format(edges="edges")
+)
 
 
-@query("q101_recursive_chain", oracle=_Q101_SQL.format(orders="orders"))
+@query("q101_recursive_chain", oracle=_Q101_ORACLE)
 def q101_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE hierarchy walk (Spark 4 ``WITH RECURSIVE``): every
     order's position in its customer's succession chain — parent = the
@@ -6319,14 +6327,34 @@ def q101_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     each node is reached exactly once (single-parent edges keep UNION ALL
     duplicate-free; Spark does not yet allow UNION inside recursion).
     The same shape walks org charts, reply threads, and BOM levels where
-    depth is unbounded and window functions cannot reach. Scale: work is
-    one edge join per level (max chain depth iterations ≤ 25 here, limit
-    ``spark.sql.cteRecursionLevelLimit``); raise
-    ``spark.sql.cteRecursionRowLimit`` (default 1M rows) beyond ~SF1.
-    For pure per-key chains a single window pass is cheaper — this entry
-    grades the general recursive form on the SQL surface."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("q101_orders")
-    return spark.sql(_Q101_SQL.format(orders="q101_orders"))
+    depth is unbounded and window functions cannot reach.
+
+    The edge frame is materialized ONCE (eager localCheckpoint) before
+    the recursion: inlined as a CTE it would be re-derived — window
+    shuffle and all — at every level (measured 10.6s → 3.9s at sf0.01).
+    It is also coalesced to a few large partitions: each level's
+    frontier join is tiny, so per-level cost is task-scheduling overhead
+    × partitions; size partitions to the edge volume, not the cluster
+    (raise toward cluster parallelism when edges stop fitting ~100k rows
+    a partition). Levels run sequentially by nature (= max chain depth,
+    ≤ 25 here; limits: ``spark.sql.cteRecursionLevelLimit`` 100,
+    ``spark.sql.cteRecursionRowLimit`` 1M — raise the row limit beyond
+    ~SF1). For pure per-key chains a single window pass is cheaper —
+    this entry grades the general recursive form on the SQL surface."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nparts = max(2, spark.sparkContext.defaultParallelism // 8)
+    edges = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey", "o_custkey", F.lag("o_orderkey").over(w).alias("parent")
+        )
+        .coalesce(nparts)
+        .localCheckpoint(eager=True)
+    )
+    edges.createOrReplaceTempView("q101_edges")
+    return spark.sql(
+        "WITH RECURSIVE " + _Q101_CHAIN.format(edges="q101_edges")
+    )
 
 
 @query(
