@@ -6727,6 +6727,40 @@ def m09_image_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q106_pagination",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) / 100.0 AS total
+    FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET 200
+    """,
+)
+def q106_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result paging on the SQL surface: ``ORDER BY … LIMIT 100 OFFSET
+    200`` (the page-3 request every result browser issues — the
+    reference chunked whole results over the data channel instead,
+    p2pconnection.js:308-312; Q11's `sql_chunked` covers that form).
+    Spark plans this as TakeOrderedAndProject with a skip — each
+    partition keeps only offset+limit rows locally, the driver merges
+    and drops the first 200 — so cost grows with OFFSET, not with table
+    size. Deep paging should use KEYSET pagination instead (``WHERE
+    o_orderkey > :last ORDER BY o_orderkey LIMIT 100`` — O(page), and
+    the predicate prunes row groups); the pytest proves the two forms
+    return identical pages."""
+    ev = _t(spark, sf_dir, "orders")
+    return (
+        ev.orderBy("o_orderkey")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint") / 100.0
+             ).alias("total"),
+        )
+        .offset(200)
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -99,3 +99,28 @@ def test_interpolation_dense_spine_and_bounds(spark):
         )
     finally:
         df.unpersist()
+
+
+def test_keyset_pagination_equals_offset_page(spark):
+    """The scalable keyset form (WHERE key > last ORDER BY key LIMIT n)
+    must return exactly the OFFSET form's page."""
+    from logverzcore_spark.suite import SUITE
+
+    page = SUITE["q106_pagination"](spark, SF_DIR).collect()
+    assert len(page) == 100
+    last_prev = (
+        read_table(spark, SF_DIR, "orders")
+        .orderBy("o_orderkey")
+        .limit(200)
+        .agg(F.max("o_orderkey").alias("m"))
+        .collect()[0]["m"]
+    )
+    keyset = (
+        read_table(spark, SF_DIR, "orders")
+        .where(F.col("o_orderkey") > last_prev)
+        .orderBy("o_orderkey")
+        .limit(100)
+        .select("o_orderkey")
+        .collect()
+    )
+    assert [r["o_orderkey"] for r in page] == [r["o_orderkey"] for r in keyset]
