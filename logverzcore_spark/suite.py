@@ -18,6 +18,7 @@ columns by name before hashing.
 from __future__ import annotations
 
 import os
+import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -6759,6 +6760,33 @@ def q106_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(200)
         .limit(100)
     )
+
+
+@query("s08_ivf_index_probe", oracle=_s03b_oracle())
+def s08_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once/probe-many IVF: persist the cell-partitioned index +
+    centroid table (``similarity.ivf_index_build``), then answer the
+    query batch from the index alone (``ivf_index_probe``) — the probe's
+    ``cell IN (...)`` predicate prunes the corpus read to nprobe/n_cells
+    of its FILES (partition pruning asserted in pytest). Same parameters
+    and literal LCG centroids as s03b, so the SAME SQL oracle grades it:
+    a persistence/pruning bug would break the hash. The graded run
+    materializes the probe (eager localCheckpoint) and drops its index
+    tables — no warehouse residue."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    tbl = f"s08_ivf_idx_{uuid.uuid4().hex[:8]}"
+    similarity.ivf_index_build(
+        emb, tbl, n_cells=16, centroids=similarity.lcg_centroids(64, 16)
+    )
+    try:
+        out = similarity.ivf_index_probe(
+            spark, queries, tbl, k=5, nprobe=4
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_centroids")
+    return out
 
 
 # ---------------------------------------------------------------------------

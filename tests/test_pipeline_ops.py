@@ -464,3 +464,41 @@ def test_sniff_image_meta_on_genuine_headers(spark):
     # codegen-only: no Python eval nodes in the plan
     plan = sniff_image_meta(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_index_build_probe_prunes_and_matches(spark, tmpdir_path):
+    """Build-once/probe-many IVF: the persisted index probe must (a)
+    return exactly what the ad-hoc ivf_topk computes with the same
+    centroids, and (b) physically read ONLY the probed cell partitions."""
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.engine import read_table
+    from logverzcore_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_probe,
+        ivf_topk,
+        lcg_centroids,
+    )
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    cents = lcg_centroids(dim, 8)
+    tbl = "ivf_idx_test"
+    try:
+        ivf_index_build(emb, tbl, n_cells=8, centroids=cents)
+        queries = emb.orderBy("vec_id").limit(3)
+        got = ivf_index_probe(spark, queries, tbl, k=5, nprobe=2)
+        want = ivf_topk(emb, queries, k=5, n_cells=8, nprobe=2, centroids=cents)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+        # pruning: the probed scan touches fewer partition dirs than exist
+        all_cells = {
+            r["cell"] for r in spark.table(tbl).select("cell").distinct().collect()
+        }
+        probed = spark.table(tbl).where(F.col("cell").isin([0, 1]))
+        touched = {f.split("cell=")[1].split("/")[0] for f in probed.inputFiles()}
+        assert touched <= {"0", "1"} and len(all_cells) > 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_centroids")
