@@ -376,6 +376,58 @@ class Engine:
             entry.QuerySettings["QueryString"], user, params=params, _mode="saved"
         )
 
+    def materialize_saved(
+        self,
+        name: str,
+        user: User = ADMIN,
+        database: str = "default",
+        table: str | None = None,
+    ):
+        """Precompute a saved analysis into a real table — the
+        materialized-view move for expensive shared dashboards: run once,
+        serve many reads at table-scan cost. Refresh = call again
+        (overwrite; the target slot is owner-gated like ``save_query``).
+
+        The result table gets its own catalog entry (Type 'C', owned by
+        the materializer, provenance in QuerySettings) so it is
+        ACL-governed and listable like any collected dataset; the saved
+        query itself is re-gated and its tables re-authorized against
+        the MATERIALIZER — you cannot bake a table out of data you
+        cannot read."""
+        import time as _time
+
+        from logverzcore_spark.catalog import CatalogEntry
+        from logverzcore_spark.registry import validate_table_name
+
+        target = table or f"{name}_mat"
+        validate_table_name(target)
+        existing = self.catalog.for_table(target, database)
+        if existing is not None and not existing.owned_by(user) and not user.is_admin:
+            raise PermissionError(
+                f"{user.name} may not overwrite catalog entry "
+                f"{database}.{target!r} owned by {existing.Owners}"
+            )
+        entry = self.catalog.for_table(name, database)
+        if entry is None or entry.Type != "A":
+            raise KeyError(f"no saved query named {name!r}")
+        df = self.run_saved(name, user, database)
+        df.write.mode("overwrite").saveAsTable(target)
+        return self.catalog.record_query(
+            CatalogEntry(
+                TableName=target,
+                DatabaseName=database,
+                Type="C",
+                QuerySettings={
+                    "QueryString": entry.QuerySettings["QueryString"],
+                    "SourceAnalysis": name,
+                    "MaterializedAt": _time.time(),
+                },
+                Owners=[user.name],
+                Access=list(entry.Access),
+            ),
+            deactivate_older=True,
+        )
+
     # -- Views (P4) --------------------------------------------------------
     def view(self, table: str, datatype: str, view_name: str = "Default",
              user: User = ADMIN) -> DataFrame:

@@ -39,15 +39,32 @@ class AuditRecord:
 class AuditLog:
     """Append-only invocation log with JSONL persistence."""
 
-    def __init__(self, path: str | None = None, enabled: bool = True):
+    def __init__(
+        self,
+        path: str | None = None,
+        enabled: bool = True,
+        max_memory_records: int = 100_000,
+    ):
+        """``max_memory_records`` bounds the IN-MEMORY window (what
+        ``entries``/``audit_df`` serve) so a long-lived server's audit
+        log cannot grow without limit; the JSONL file keeps the full
+        history (the DynamoDB-table analog — archive/compact it with
+        ordinary file tooling)."""
         self.path = path
         self.enabled = enabled
+        self.max_memory_records = max_memory_records
         self._records: list[AuditRecord] = []
         if path and os.path.exists(path):
             with open(path) as fh:
                 for line in fh:
                     if line.strip():
                         self._records.append(AuditRecord(**json.loads(line)))
+            self._trim()
+
+    def _trim(self) -> None:
+        excess = len(self._records) - self.max_memory_records
+        if excess > 0:
+            del self._records[:excess]
 
     def record(
         self,
@@ -71,6 +88,7 @@ class AuditLog:
             UnixTime=time.time(),
         )
         self._records.append(rec)
+        self._trim()
         if self.path:
             with open(self.path, "a") as fh:
                 fh.write(json.dumps(asdict(rec)) + "\n")

@@ -451,3 +451,41 @@ def test_saved_parameterized_template(engine):
     engine.save_query("top_ids", "SELECT id FROM qs_tab WHERE id > :min_id")
     rows = engine.run_saved("top_ids", params={"min_id": 7}).collect()
     assert sorted(r["id"] for r in rows) == [8, 9]
+
+
+def test_materialize_saved_analysis(spark, engine):
+    """Materializing a saved analysis precomputes it into an ACL'd,
+    cataloged table; non-owners cannot clobber the slot; audit-memory
+    retention bounds the in-process window."""
+    engine.save_query("evens", "SELECT id, v FROM qs_tab WHERE id % 2 = 0")
+    entry = engine.materialize_saved("evens")
+    try:
+        assert entry.Type == "C"
+        assert entry.QuerySettings["SourceAnalysis"] == "evens"
+        rows = spark.table("evens_mat").collect()
+        assert sorted(r["id"] for r in rows) == [0, 2, 4, 6, 8]
+        # slot is owner-gated on refresh
+        mallory = User(name="mallory", groups=[])
+        with pytest.raises((PermissionError, KeyError)):
+            engine.materialize_saved("evens", user=mallory)
+        # refresh by the owner succeeds and updates provenance
+        again = engine.materialize_saved("evens")
+        assert again.QuerySettings["MaterializedAt"] >= entry.QuerySettings[
+            "MaterializedAt"
+        ]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS evens_mat")
+
+
+def test_audit_memory_retention_bounds_window(tmpdir_path):
+    from logverzcore_spark.audit import AuditLog
+
+    log = AuditLog(path=f"{tmpdir_path}/a.jsonl", max_memory_records=5)
+    for i in range(12):
+        log.record("u", "sql", f"q{i}")
+    assert len(log.entries()) == 5
+    assert log.entries()[-1].Query == "q11"
+    # the file keeps full history; a fresh load respects the bound
+    assert sum(1 for _ in open(f"{tmpdir_path}/a.jsonl")) == 12
+    log2 = AuditLog(path=f"{tmpdir_path}/a.jsonl", max_memory_records=5)
+    assert len(log2.entries()) == 5
