@@ -146,3 +146,84 @@ def export_shards_stream(
         )
         .select(F.col("shard").cast("int").alias("shard"), "n_docs", "total_bytes", "min_id", "max_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Range-partitioned sorted export — the layout for downstream MERGE scans
+# ---------------------------------------------------------------------------
+
+
+def range_bounds(df: DataFrame, value_col, n_shards: int = 8) -> list[float]:
+    """Exact-percentile cut points for range sharding — ``n_shards - 1``
+    interior boundaries from ONE aggregate pass (a single array-percentile,
+    one-row collect). Deterministic by construction, unlike Spark's
+    ``repartitionByRange`` whose RangePartitioner samples the input —
+    fine for balance, unusable when the manifest must be reproducible or
+    another engine must recompute the same assignment."""
+    probs = [i / n_shards for i in range(1, n_shards)]
+    row = df.select(
+        F.percentile(value_col, F.array(*[F.lit(p) for p in probs])).alias("bs")
+    ).first()
+    return [float(b) for b in row["bs"]]
+
+
+def range_shard_assign(value_col: Column, bounds: list[float]) -> Column:
+    """Shard index = how many boundaries the value exceeds (codegen'd
+    comparison chain over literal bounds — no join, no UDF). Monotone in
+    the value, so shard ranges cannot overlap."""
+    idx = F.lit(0)
+    for b in bounds:
+        idx = idx + (value_col > F.lit(b)).cast("int")
+    return idx.alias("shard")
+
+
+def range_manifest(
+    df: DataFrame, value_col: str, bounds: list[float]
+) -> DataFrame:
+    """Per-shard manifest for a range-sharded export: row count and the
+    shard's actual [min, max] of the sort key. Because assignment is
+    monotone, consecutive shards' ranges are disjoint — the property a
+    downstream merge scan (or a query router doing shard pruning)
+    relies on; asserted in tests."""
+    return (
+        df.select(
+            range_shard_assign(F.col(value_col), bounds), F.col(value_col)
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(value_col).alias("min_val"),
+            F.max(value_col).alias("max_val"),
+        )
+    )
+
+
+def export_sorted_ranges(
+    df: DataFrame,
+    out_dir: str,
+    value_col: str,
+    n_shards: int = 8,
+    max_records_per_file: int = 1_000_000,
+) -> DataFrame:
+    """Write a globally range-ordered corpus: shard k holds exactly the
+    rows between cut points k-1 and k, and every file within a shard is
+    sorted on the key — so a reader concatenating shard 0..N-1 (files in
+    order) sees a fully sorted corpus, and parquet min/max row-group
+    stats prune range predicates to one shard's worth of files. This is
+    the complement of ``export_shards``' hash layout: hash for even,
+    resumable trainer streams; range for merge scans and key-range
+    serving. One shuffle (repartition on shard), in-task sort, bounded
+    files. Returns the manifest."""
+    bounds = range_bounds(df, value_col, n_shards)
+    assigned = df.withColumn(
+        "shard", range_shard_assign(F.col(value_col), bounds)
+    )
+    (
+        assigned.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", value_col)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    return range_manifest(df, value_col, bounds)

@@ -6789,6 +6789,42 @@ def s08_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "t26_range_manifest",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), b AS (
+      SELECT quantile_cont(cents,
+        [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs
+      FROM src
+    )
+    SELECT len(list_filter(b.bs, x -> s.cents > x)) AS shard,
+           COUNT(*) AS n_rows,
+           MIN(cents) AS min_val, MAX(cents) AS max_val
+    FROM src s CROSS JOIN b
+    GROUP BY 1
+    """,
+)
+def t26_range_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-sharded export manifest (``export.range_bounds`` /
+    ``range_manifest``): shard boundaries are EXACT interpolated
+    percentiles — deterministic and engine-replayable, unlike Spark's
+    sampled RangePartitioner — and assignment is a codegen'd monotone
+    comparison chain, so shard [min, max] ranges are provably disjoint
+    (a merge scan or range router depends on that; the disjointness and
+    the in-file sort of the full ``export_sorted_ranges`` write are
+    asserted in pytest). The manifest itself is one groupBy over the
+    pruned (shard, key) projection."""
+    from logverzcore_spark import export as ex
+
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    src = _t(spark, sf_dir, "orders").select(cents.alias("cents"))
+    bounds = ex.range_bounds(src, "cents", n_shards=8)
+    return ex.range_manifest(src, "cents", bounds)
+
+
 # ---------------------------------------------------------------------------
 
 

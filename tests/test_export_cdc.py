@@ -180,3 +180,40 @@ def test_curate_report_matches_curate(spark):
     }
     out = {r["doc_id"] for r in curate(train, benchmark=bench).collect()}
     assert kept == out
+
+
+def test_export_sorted_ranges_disjoint_and_sorted(spark, tmpdir_path):
+    """Range export: shard value-ranges are disjoint and consecutive,
+    every file is internally sorted, and nothing is lost."""
+    import glob
+
+    import pandas as pd  # noqa: F401  (pyarrow fastpath)
+
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark import export as ex
+    from logverzcore_spark.engine import read_table
+
+    orders = read_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    out = f"{tmpdir_path}/ranges"
+    manifest = ex.export_sorted_ranges(orders, out, "cents", n_shards=4)
+    rows = {r["shard"]: r for r in manifest.collect()}
+    assert sorted(rows) == [0, 1, 2, 3]
+    assert sum(r["n_rows"] for r in rows.values()) == orders.count()
+    for k in range(1, 4):  # disjoint, ordered ranges
+        assert rows[k - 1]["max_val"] <= rows[k]["min_val"]
+
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    for f in glob.glob(f"{out}/shard=*/part-*.parquet"):
+        vals = pd.read_parquet(f, columns=["cents"])["cents"].tolist()
+        assert vals == sorted(vals), f"unsorted file {f}"
+    # shard dirs bound the values the manifest claims
+    for k, r in rows.items():
+        got = back.where(F.col("shard") == k).agg(
+            F.min("cents"), F.max("cents")
+        ).first()
+        assert (got[0], got[1]) == (r["min_val"], r["max_val"])
