@@ -6825,6 +6825,59 @@ def t26_range_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.range_manifest(src, "cents", bounds)
 
 
+_Q107_SQL = """
+    WITH agg AS (
+      SELECT r_name, n_name,
+             SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS cents,
+             GROUPING(r_name) AS g_r, GROUPING(n_name) AS g_n
+      FROM {src}
+      GROUP BY ROLLUP(r_name, n_name)
+    )
+    SELECT r_name, n_name,
+           CAST(cents AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
+           g_r + g_n AS lochierarchy,
+           ROW_NUMBER() OVER (
+             PARTITION BY g_r + g_n,
+                          CASE WHEN g_n = 0 THEN r_name END
+             ORDER BY cents DESC, COALESCE(n_name, ''), COALESCE(r_name, '')
+           ) AS rank_within_parent
+    FROM agg
+"""
+
+
+@query(
+    "q107_rollup_rank",
+    oracle=_Q107_SQL.format(
+        src="""(SELECT r_name, n_name, o_totalprice
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey) t"""
+    ),
+)
+def q107_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-within-rollup-level (the TPC-DS Q36 signature): one ROLLUP
+    pass produces leaf, subtotal, and grand-total rows; a window then
+    ranks each row AGAINST ITS PEERS AT THE SAME LEVEL (nations within
+    their region, regions against regions), with GROUPING() flags both
+    labeling the level and forming the partition key — rolled-up NULLs
+    never collide with data NULLs. The windows run over the ~31-row
+    rollup result, not the fact table, so the ranking is free at any
+    scale; deterministic tie-breaks make it hash-verifiable."""
+    orders = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    src = (
+        orders.join(F.broadcast(c), orders.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("r_name", "n_name", "o_totalprice")
+    )
+    src.createOrReplaceTempView("q107_src")
+    return spark.sql(_Q107_SQL.format(src="q107_src"))
+
+
 # ---------------------------------------------------------------------------
 
 
