@@ -6596,12 +6596,13 @@ def q104_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     3·MAD) — the breakdown-resistant alternative to mean/stddev z-scores
     that one heavy tail can't drag. Engine-stable: medians interpolate
     over integer micros so med and MAD are exact integers-or-halves and
-    3·MAD stays exact in binary. Plan: medians are per-group exact
-    percentiles over a ~unique-group-count frame; the fact table is
-    scanned twice (once per median level) but shuffled only on the
-    low-cardinality group key, and the second pass joins the 5-row
-    med/MAD frame by broadcast — no per-row state. At 100 TB swap the
-    exact medians for KLL sketches (q78) and keep the same fence logic."""
+    3·MAD stays exact in binary. Plan: the two exact median levels are
+    inherently sequential (MAD needs the median), so the projected
+    (event_type, value) frame is scanned three times — median, MAD,
+    fence counts — each a narrow two-column scan shuffled only on the
+    5-value group key, with the tiny med/MAD frames broadcast. At
+    100 TB swap the exact medians for KLL sketches (q78): one pass,
+    same fence logic."""
     ev = _t(spark, sf_dir, "events")
     v = F.floor(F.col("value") * 1000000 + 0.5).cast("bigint")
     vals = ev.select("event_type", v.alias("v"))
