@@ -6879,6 +6879,102 @@ def q107_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q107_SQL.format(src="q107_src"))
 
 
+_Q108_SQL = """
+    WITH m AS (
+      SELECT n_name,
+             CAST(date_part('year', o_orderdate) AS INTEGER) AS yr,
+             CAST(date_part('month', o_orderdate) AS INTEGER) AS mon,
+             SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS cents
+      FROM {src}
+      GROUP BY 1, 2, 3
+    )
+    SELECT n_name, yr, mon,
+           CAST(cents AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
+           ROUND(CAST(cents AS DOUBLE)
+                 / (SUM(cents) OVER (PARTITION BY n_name, yr)
+                    / CAST(COUNT(*) OVER (PARTITION BY n_name, yr) AS DOUBLE)),
+                 6) AS vs_year_avg,
+           CAST(COALESCE(LAG(cents) OVER w, 0) AS DOUBLE)
+             / CAST(100 AS DOUBLE) AS prev_rev,
+           CAST(COALESCE(LEAD(cents) OVER w, 0) AS DOUBLE)
+             / CAST(100 AS DOUBLE) AS next_rev
+    FROM m
+    WINDOW w AS (PARTITION BY n_name ORDER BY yr, mon)
+"""
+
+
+@query(
+    "q108_seasonal_deviation",
+    oracle=_Q108_SQL.format(
+        src="""(SELECT n_name, o_orderdate, o_totalprice
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey) t"""
+    ),
+)
+def q108_seasonal_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality analysis (the TPC-DS Q47 signature): each nation's
+    monthly revenue against its own yearly average, with the adjacent
+    months alongside (lag/lead) — the deviation-vs-trend shape behind
+    'which months ran hot'. Both window families (year-partition
+    average, month-ordered neighbors) run over the ~300-row monthly
+    aggregate, never the fact table; ratios divide exact integer cents
+    cast identically, rounded to 6dp."""
+    orders = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    src = (
+        orders.join(F.broadcast(c), orders.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .select("n_name", "o_orderdate", "o_totalprice")
+    )
+    src.createOrReplaceTempView("q108_src")
+    return spark.sql(_Q108_SQL.format(src="q108_src"))
+
+
+@query(
+    "q109_bitmap_rollup",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, event_type,
+             BIT_OR(1 << (CAST(date_part('isodow', ts) AS INTEGER) - 1))
+               AS active_mask
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT event_type, active_mask,
+           bit_count(active_mask) AS n_active_days,
+           COUNT(*) AS n_users
+    FROM per_user GROUP BY event_type, active_mask
+    """,
+)
+def q109_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap aggregation: each (user, event type)'s active
+    WEEKDAYS packed into a 7-bit mask by a ``BIT_OR`` aggregate (map-side combinable — the
+    whole per-user state is one integer), then cohorts counted per
+    exact activity pattern with ``bit_count`` for cardinality. The
+    bitmap-index idiom for set-of-small-domain rollups: at 100 TB the
+    shuffle carries 8 bytes per user instead of a weekday set, and mask
+    equality finds behavioral cohorts without array comparisons.
+    Weekday numbering is aligned Monday=0 on both engines (Spark
+    ``weekday`` vs DuckDB ``isodow - 1`` — their ``dow`` zero-points
+    differ)."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("q109_events")
+    return spark.sql(
+        """
+        WITH per_user AS (
+          SELECT user_id, event_type,
+                 BIT_OR(1 << weekday(ts)) AS active_mask
+          FROM q109_events GROUP BY user_id, event_type
+        )
+        SELECT event_type, active_mask,
+               bit_count(active_mask) AS n_active_days,
+               COUNT(*) AS n_users
+        FROM per_user GROUP BY event_type, active_mask
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
