@@ -382,18 +382,24 @@ class Engine:
         user: User = ADMIN,
         database: str = "default",
         table: str | None = None,
+        params: dict | list | None = None,
     ):
         """Precompute a saved analysis into a real table — the
         materialized-view move for expensive shared dashboards: run once,
         serve many reads at table-scan cost. Refresh = call again
         (overwrite; the target slot is owner-gated like ``save_query``).
+        Parameterized templates bind via ``params`` (same contract as
+        ``run_saved``).
 
         The result table gets its own catalog entry (Type 'C', owned by
         the materializer, provenance in QuerySettings) so it is
         ACL-governed and listable like any collected dataset; the saved
         query itself is re-gated and its tables re-authorized against
         the MATERIALIZER — you cannot bake a table out of data you
-        cannot read."""
+        cannot read. The write is DB-QUALIFIED to ``database`` — the
+        same database the slot guard and catalog entry use — and an
+        uncataloged-but-existing target requires admin (writes must not
+        be more permissive than ``delete_table``)."""
         import time as _time
 
         from logverzcore_spark.catalog import CatalogEntry
@@ -401,17 +407,29 @@ class Engine:
 
         target = table or f"{name}_mat"
         validate_table_name(target)
+        qualified = (
+            f"`{database}`.`{target}`" if database != "default" else f"`{target}`"
+        )
         existing = self.catalog.for_table(target, database)
         if existing is not None and not existing.owned_by(user) and not user.is_admin:
             raise PermissionError(
                 f"{user.name} may not overwrite catalog entry "
                 f"{database}.{target!r} owned by {existing.Owners}"
             )
+        if (
+            existing is None
+            and not user.is_admin
+            and self.spark.catalog.tableExists(qualified.replace("`", ""))
+        ):
+            raise PermissionError(
+                f"table {database}.{target!r} exists without a catalog entry; "
+                "admin required to overwrite it"
+            )
         entry = self.catalog.for_table(name, database)
         if entry is None or entry.Type != "A":
             raise KeyError(f"no saved query named {name!r}")
-        df = self.run_saved(name, user, database)
-        df.write.mode("overwrite").saveAsTable(target)
+        df = self.run_saved(name, user, database, params=params)
+        df.write.mode("overwrite").saveAsTable(qualified)
         return self.catalog.record_query(
             CatalogEntry(
                 TableName=target,

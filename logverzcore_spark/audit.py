@@ -55,11 +55,17 @@ class AuditLog:
         self.max_memory_records = max_memory_records
         self._records: list[AuditRecord] = []
         if path and os.path.exists(path):
+            # Stream the reload through a bounded deque of raw lines so
+            # peak memory tracks the WINDOW, not the file: a years-old
+            # history must not be fully parsed just to keep its tail.
+            from collections import deque
+
             with open(path) as fh:
-                for line in fh:
-                    if line.strip():
-                        self._records.append(AuditRecord(**json.loads(line)))
-            self._trim()
+                tail = deque(
+                    (line for line in fh if line.strip()),
+                    maxlen=max_memory_records,
+                )
+            self._records = [AuditRecord(**json.loads(line)) for line in tail]
 
     def _trim(self) -> None:
         excess = len(self._records) - self.max_memory_records

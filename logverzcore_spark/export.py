@@ -162,8 +162,22 @@ def range_bounds(df: DataFrame, value_col, n_shards: int = 8) -> list[float]:
     another engine must recompute the same assignment."""
     probs = [i / n_shards for i in range(1, n_shards)]
     row = df.select(
-        F.percentile(value_col, F.array(*[F.lit(p) for p in probs])).alias("bs")
+        F.percentile(value_col, F.array(*[F.lit(p) for p in probs])).alias("bs"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col).isNull().cast("long")).alias("n_null"),
     ).first()
+    # Same single aggregate validates the contract: NULL sort keys would
+    # assign shard NULL (every `>` comparison is NULL) and silently land
+    # in a default partition a merge scan never visits, and an empty
+    # input has no boundaries at all — both are caller errors, not data
+    # to swallow.
+    if row["n"] == 0 or row["bs"] is None:
+        raise ValueError("range_bounds: input is empty; no boundaries exist")
+    if row["n_null"]:
+        raise ValueError(
+            f"range_bounds: {row['n_null']} NULL values in {value_col!r}; "
+            "range sharding needs a total order — filter or impute first"
+        )
     return [float(b) for b in row["bs"]]
 
 
@@ -213,7 +227,10 @@ def export_sorted_ranges(
     the complement of ``export_shards``' hash layout: hash for even,
     resumable trainer streams; range for merge scans and key-range
     serving. One shuffle (repartition on shard), in-task sort, bounded
-    files. Returns the manifest."""
+    files. Returns the manifest computed FROM THE WRITTEN FILES — it
+    describes what is actually on disk (a re-scan of a nondeterministic
+    source could disagree with the output it is supposed to certify),
+    and the read-back prunes to the (shard, key) columns."""
     bounds = range_bounds(df, value_col, n_shards)
     assigned = df.withColumn(
         "shard", range_shard_assign(F.col(value_col), bounds)
@@ -226,4 +243,13 @@ def export_sorted_ranges(
         .partitionBy("shard")
         .parquet(out_dir)
     )
-    return range_manifest(df, value_col, bounds)
+    spark = df.sparkSession
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(value_col).alias("min_val"),
+            F.max(value_col).alias("max_val"),
+        )
+    )

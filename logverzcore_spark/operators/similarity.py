@@ -355,6 +355,38 @@ def lcg_centroids(dim: int, n_cells: int) -> list[list[float]]:
     return [[float(x) for x in row] for row in raw]
 
 
+def _default_centroids(c: DataFrame, n_cells: int) -> np.ndarray:
+    """Deterministic centroids SHARED by ``ivf_topk`` and
+    ``ivf_index_build`` (one implementation, so an index built today
+    assigns exactly like an ad-hoc query tomorrow): stride-sample the
+    corpus (spread across the id range, not the first rows), then a few
+    local k-means iterations over a bounded driver-side sample — numpy
+    work on ≤4096 vectors, so the corpus itself never leaves the
+    executors. NOTE: ``cents_mat`` is a VIEW of the normalized sample,
+    so in-loop centroid updates also update those sample rows — part of
+    the deterministic numerics existing indexes/tests depend on; do not
+    'fix' the aliasing without re-verifying s03/s08."""
+    sample = [
+        [float(x) for x in r["nvec"]]
+        for r in c.orderBy(F.pmod(F.xxhash64("nid"), F.lit(9973)), "nid")
+        .limit(min(4096, 64 * n_cells))
+        .collect()
+    ]
+    X = np.array(sample, dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    cents_mat = Xn[:: max(1, len(Xn) // n_cells)][:n_cells]
+    for _ in range(5):
+        assign = (Xn @ cents_mat.T).argmax(axis=1)
+        for ci in range(len(cents_mat)):
+            members = Xn[assign == ci]
+            if len(members):
+                m = members.mean(axis=0)
+                cents_mat[ci] = m / max(np.linalg.norm(m), 1e-12)
+    cmat = cents_mat
+    cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+    return cmat
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -374,28 +406,7 @@ def ivf_topk(
     if centroids is not None:
         cmat = np.array(centroids, dtype=np.float64)  # caller pre-normalized
     else:
-        # Deterministic centroids: stride-sample the corpus (spread across
-        # the id range, not the first rows), then a few local k-means
-        # iterations over a bounded driver-side sample — numpy work on
-        # ≤4096 vectors, so the corpus itself never leaves the executors.
-        sample = [
-            [float(x) for x in r["nvec"]]
-            for r in c.orderBy(F.pmod(F.xxhash64("nid"), F.lit(9973)), "nid")
-            .limit(min(4096, 64 * n_cells))
-            .collect()
-        ]
-        X = np.array(sample, dtype=np.float64)
-        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        cents_mat = Xn[:: max(1, len(Xn) // n_cells)][:n_cells]
-        for _ in range(5):
-            assign = (Xn @ cents_mat.T).argmax(axis=1)
-            for ci in range(len(cents_mat)):
-                members = Xn[assign == ci]
-                if len(members):
-                    m = members.mean(axis=0)
-                    cents_mat[ci] = m / max(np.linalg.norm(m), 1e-12)
-        cmat = cents_mat
-        cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+        cmat = _default_centroids(c, n_cells)
 
     from pyspark.sql.functions import pandas_udf
 
@@ -648,25 +659,7 @@ def ivf_index_build(
     if centroids is not None:
         cmat = np.array(centroids, dtype=np.float64)
     else:
-        sample = [
-            [float(x) for x in r["nvec"]]
-            for r in c.orderBy(F.pmod(F.xxhash64("nid"), F.lit(9973)), "nid")
-            .limit(min(4096, 64 * n_cells))
-            .collect()
-        ]
-        X = np.array(sample, dtype=np.float64)
-        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        cents = Xn[:: max(1, len(Xn) // n_cells)][:n_cells]
-        for _ in range(5):
-            assign = (Xn @ cents.T).argmax(axis=1)
-            for ci in range(len(cents)):
-                members = Xn[assign == ci]
-                if len(members):
-                    m = members.mean(axis=0)
-                    cents[ci] = m / max(np.linalg.norm(m), 1e-12)
-        cmat = cents / np.maximum(
-            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
-        )
+        cmat = _default_centroids(c, n_cells)
 
     from pyspark.sql.functions import pandas_udf
 
@@ -718,9 +711,18 @@ def ivf_index_probe(
         top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe].astype("int32")
         return pd.Series(list(top))
 
-    q = queries.select(
-        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec")
-    ).withColumn("cell", F.explode(probe_cells(F.col("qvec"))))
+    q = (
+        queries.select(
+            F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec")
+        )
+        .withColumn("cell", F.explode(probe_cells(F.col("qvec"))))
+        # Materialize the assignment ONCE: the frame is consumed twice
+        # (cell IN-list + join side) and a nondeterministic query input
+        # (e.g. .limit without order) re-executed per consumer could
+        # probe one cell set and join another, silently dropping
+        # neighbors. The checkpoint also runs the pandas UDF once.
+        .localCheckpoint(eager=True)
+    )
     # The probed cell list is tiny and known-at-plan-time once collected;
     # an IN-filter on the PARTITION column prunes the index scan itself
     # (a broadcast join alone would still read every partition).

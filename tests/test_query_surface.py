@@ -489,3 +489,41 @@ def test_audit_memory_retention_bounds_window(tmpdir_path):
     assert sum(1 for _ in open(f"{tmpdir_path}/a.jsonl")) == 12
     log2 = AuditLog(path=f"{tmpdir_path}/a.jsonl", max_memory_records=5)
     assert len(log2.entries()) == 5
+
+
+def test_materialize_saved_params_and_uncataloged_guard(spark, engine):
+    """Templates materialize with bound params; an existing but
+    UNCATALOGED physical table is admin-only to overwrite (writes no
+    more permissive than deletes)."""
+    alice = User(name="alice", groups=[])
+    engine.save_query(
+        "big_ids", "SELECT id FROM qs_tab WHERE id > :min_id", user=alice
+    )
+    entry = engine.materialize_saved(
+        "big_ids", user=alice, table="big_ids_t", params={"min_id": 6}
+    )
+    try:
+        assert sorted(r["id"] for r in spark.table("big_ids_t").collect()) == [
+            7, 8, 9,
+        ]
+        assert entry.Owners == ["alice"]
+        # uncataloged existing table: alice may not clobber it
+        spark.range(3).write.mode("overwrite").saveAsTable("sys_private")
+        with pytest.raises(PermissionError, match="without a catalog entry"):
+            engine.materialize_saved("big_ids", user=alice, table="sys_private")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS big_ids_t")
+        spark.sql("DROP TABLE IF EXISTS sys_private")
+
+
+def test_range_bounds_rejects_empty_and_nulls(spark):
+    from logverzcore_spark import export as ex
+
+    empty = spark.range(0).selectExpr("id AS v")
+    with pytest.raises(ValueError, match="empty"):
+        ex.range_bounds(empty, "v", n_shards=4)
+    withnulls = spark.sql(
+        "SELECT CASE WHEN id % 3 = 0 THEN NULL ELSE id END AS v FROM range(10)"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        ex.range_bounds(withnulls, "v", n_shards=4)
