@@ -124,3 +124,22 @@ def test_keyset_pagination_equals_offset_page(spark):
         .collect()
     )
     assert [r["o_orderkey"] for r in page] == [r["o_orderkey"] for r in keyset]
+
+
+def test_read_table_pins_utc_under_foreign_session_tz(spark):
+    """The driver's session may carry any local timezone; read_table
+    must pin UTC at runtime so timestamp rendering matches the naive-UTC
+    oracles (the q13 hour buckets shift by 5 under America/New_York if
+    the pin regresses)."""
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        hours = [
+            r["hour_ts"]
+            for r in SUITE["q13_hourly_events"](spark, SF_DIR).collect()
+        ]
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        # spot-anchor: the first generated event hour is 2024-01-01 00:xx UTC
+        assert any(h.startswith("2024-01-01 00") for h in hours)
+        assert not any(h.startswith("2023-12-31") for h in hours)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
