@@ -6975,6 +6975,53 @@ def q109_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q110_SQL = """
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS cents
+      FROM {src} GROUP BY o_custkey
+    ), ranked AS (
+      SELECT cents,
+             NTILE(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+      FROM spend
+    )
+    SELECT decile,
+           COUNT(*) AS n_customers,
+           CAST(SUM(cents) AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
+           ROUND(CAST(SUM(cents) AS DOUBLE)
+                 / CAST(SUM(SUM(cents)) OVER () AS DOUBLE), 6) AS share,
+           ROUND(CAST(SUM(SUM(cents)) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / CAST(SUM(SUM(cents)) OVER () AS DOUBLE), 6) AS cum_share,
+           CASE
+             WHEN CAST(SUM(SUM(cents)) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  / CAST(SUM(SUM(cents)) OVER () AS DOUBLE) <= 0.80 THEN 'A'
+             WHEN CAST(SUM(SUM(cents)) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  / CAST(SUM(SUM(cents)) OVER () AS DOUBLE) <= 0.95 THEN 'B'
+             ELSE 'C'
+           END AS abc_class
+    FROM ranked GROUP BY decile
+"""
+
+
+@query("q110_decile_lift", oracle=_Q110_SQL.format(src="orders"))
+def q110_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / lift-chart analysis: customers NTILE'd into spend
+    deciles, each decile's revenue share, cumulative share, and an
+    A/B/C classification at the 80/95% cut — the 'do 20% of customers
+    drive 80% of revenue' question. The NTILE runs over the per-customer
+    aggregate (O(customers), one total-order window on a frame that is
+    tiny relative to the fact table — at true scale swap NTILE for a
+    bucketed two-level cumsum like t20's); window-over-GROUP-BY nesting
+    (``SUM(SUM(cents)) OVER``) runs on the 10-row decile result, free at
+    any scale. Deterministic: NTILE ties broken by custkey, exact-cents
+    ratios rounded identically."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q110_orders")
+    return spark.sql(_Q110_SQL.format(src="q110_orders"))
+
+
 # ---------------------------------------------------------------------------
 
 
