@@ -62,6 +62,12 @@ class CollectJob:
     #: bucket-local sort order.
     sort_by: list[str] = field(default_factory=list)
     max_records_per_file: int = 1_000_000
+    #: Per-job reader options layered over the DataType's (applied last).
+    #: The incremental-collection knobs: ``{"modifiedAfter":
+    #: "2024-06-01T00:00:00"}`` with ``mode="append"`` re-collects only
+    #: files landed since the last run — file-index-level pruning, so
+    #: skipped files are never read (see readers.read_raw).
+    reader_options: dict[str, str] = field(default_factory=dict)
     mode: str = "overwrite"  # reference tables are create-or-replace
     #: Record table-level statistics (row count + size) in the catalog
     #: after the write, so the cost-based optimizer and broadcast-join
@@ -331,7 +337,7 @@ def _is_trivial_select_star(query: str) -> bool:
 def _read(spark: SparkSession, job: CollectJob, dt: DataType) -> DataFrame:
     if job.zip_compressed:
         return readers.read_zip_csv(spark, job.path, dt)
-    return readers.read_raw(spark, job.path, dt)
+    return readers.read_raw(spark, job.path, dt, extra_options=job.reader_options)
 
 
 def collect(
@@ -421,9 +427,16 @@ def collect(
         writer = writer.bucketBy(job.n_buckets, *job.bucket_by)
         if job.sort_by:
             writer = writer.sortBy(*job.sort_by)
+    # In append mode rows_written must report THIS job's rows (the
+    # Invocations-parity number), not the table total it landed in.
+    pre_rows = (
+        spark.table(target_table).count()
+        if job.mode == "append" and spark.catalog.tableExists(target_table)
+        else 0
+    )
     writer.saveAsTable(target_table)
 
-    n_rows = spark.table(target_table).count()
+    n_rows = spark.table(target_table).count() - pre_rows
     if job.analyze:
         # CBO (enabled in get_session) and the broadcast threshold read
         # these catalog stats; see CollectJob.analyze.

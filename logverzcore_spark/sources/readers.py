@@ -57,9 +57,22 @@ def _string_schema(dt: DataType, with_corrupt: bool = True) -> T.StructType:
     return T.StructType(fields)
 
 
-def read_raw(spark: SparkSession, path, dt: DataType) -> DataFrame:
+def read_raw(
+    spark: SparkSession, path, dt: DataType,
+    extra_options: dict[str, str] | None = None,
+) -> DataFrame:
     """Read files of ``dt`` into an all-string DataFrame with lineage
-    (``_source_file``) and ``_corrupt_record`` columns."""
+    (``_source_file``) and ``_corrupt_record`` columns.
+
+    ``extra_options`` layers per-JOB reader options over the DataType's
+    (applied last, so they win): the incremental-pickup knobs live here —
+    ``modifiedAfter``/``modifiedBefore`` (re-collect only files landed
+    since the last run; the file-source analog of the reference's
+    continuous-collection event filter), ``pathGlobFilter``,
+    ``recursiveFileLookup``. These are FILE-INDEX filters: pruned files
+    are never listed into the scan, so an incremental pass over a
+    10M-file prefix costs listing, not reading.
+    """
     paths = path if isinstance(path, list) else [path]
     if dt.format == "csv":
         reader = (
@@ -69,6 +82,8 @@ def read_raw(spark: SparkSession, path, dt: DataType) -> DataFrame:
             .option("columnNameOfCorruptRecord", CORRUPT_COL)
         )
         for k, v in dt.options.items():
+            reader = reader.option(k, v)
+        for k, v in (extra_options or {}).items():
             reader = reader.option(k, v)
         if dt.comment_prefix:
             reader = reader.option("comment", dt.comment_prefix)
@@ -80,6 +95,8 @@ def read_raw(spark: SparkSession, path, dt: DataType) -> DataFrame:
             .option("columnNameOfCorruptRecord", CORRUPT_COL)
         )
         for k, v in dt.options.items():
+            reader = reader.option(k, v)
+        for k, v in (extra_options or {}).items():
             reader = reader.option(k, v)
         raw = reader.load(paths).withColumn(SOURCE_COL, F.input_file_name())
         # Malformed documents must reach quarantine, not vanish: under

@@ -429,3 +429,48 @@ def test_system_datatypes_and_placeholder():
     with pytest.raises(ValueError):
         get_datatype("SetDataTypePlease")
     assert len(REGISTRY) == 11  # 9 log types + 2 system shapes
+
+
+def test_incremental_collect_modified_after(spark, tmpdir_path):
+    """Incremental re-collection: modifiedAfter prunes files at the FILE
+    INDEX (old files never read), and mode='append' folds only the new
+    arrivals into the table."""
+    import os
+    import time
+
+    from logverzcore_spark.ingest import CollectJob, collect
+    from rawfixtures import VPCFLOW_ROWS, write_vpcflow_gz
+
+    d = f"{tmpdir_path}/inc"
+    os.makedirs(d)
+    old_f, new_f = write_vpcflow_gz(d, n_files=2)
+    cutoff_epoch = time.time()
+    os.utime(old_f, (cutoff_epoch - 100, cutoff_epoch - 100))
+    os.utime(new_f, (cutoff_epoch + 100, cutoff_epoch + 100))
+
+    try:
+        # full collection sees both files
+        rep = collect(
+            spark, CollectJob(path=d, datatype="VPCFlow", table_name="inc_tab")
+        )
+        assert rep.rows_written == 2 * len(VPCFLOW_ROWS)
+        assert rep.files_seen == 2
+
+        from datetime import datetime, timezone
+
+        cutoff = datetime.fromtimestamp(
+            cutoff_epoch, tz=timezone.utc
+        ).strftime("%Y-%m-%dT%H:%M:%S")
+        inc = CollectJob(
+            path=d,
+            datatype="VPCFlow",
+            table_name="inc_tab",
+            mode="append",
+            reader_options={"modifiedAfter": cutoff},
+        )
+        rep2 = collect(spark, inc)
+        assert rep2.rows_written == len(VPCFLOW_ROWS)  # new file only
+        assert rep2.files_seen == 1  # old file pruned at the file index
+        assert spark.table("inc_tab").count() == 3 * len(VPCFLOW_ROWS)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS inc_tab")
