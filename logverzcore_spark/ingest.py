@@ -62,6 +62,12 @@ class CollectJob:
     #: bucket-local sort order.
     sort_by: list[str] = field(default_factory=list)
     max_records_per_file: int = 1_000_000
+    #: Drop duplicate rows on these columns before the write (empty list
+    #: = off; ``["*"]`` = full-row dedup). The batch-side guard for
+    #: at-least-once upstream delivery (the reference's SQS redelivery
+    #: could re-insert a partially-committed batch, worker.js:885-909):
+    #: one extra shuffle on the dedup key, keep-any semantics.
+    dedupe_on: list[str] = field(default_factory=list)
     #: Per-job reader options layered over the DataType's (applied last).
     #: The incremental-collection knobs: ``{"modifiedAfter":
     #: "2024-06-01T00:00:00"}`` with ``mode="append"`` re-collects only
@@ -410,6 +416,13 @@ def collect(
         staged_sql = rewrite_legacy_query(job.query_string, stage_view)
         validate_staged_query(spark, staged_sql, stage_view)
         typed = spark.sql(staged_sql)
+
+    if job.dedupe_on:
+        typed = (
+            typed.dropDuplicates()
+            if job.dedupe_on == ["*"]
+            else typed.dropDuplicates(job.dedupe_on)
+        )
 
     if job.sort_by and not job.bucket_by:
         # File-local sort → tight parquet row-group min/max stats → the

@@ -474,3 +474,36 @@ def test_incremental_collect_modified_after(spark, tmpdir_path):
         assert spark.table("inc_tab").count() == 3 * len(VPCFLOW_ROWS)
     finally:
         spark.sql("DROP TABLE IF EXISTS inc_tab")
+
+
+def test_collect_dedupe_on_drops_redelivered_rows(spark, tmpdir_path):
+    """dedupe_on guards against at-least-once upstream redelivery: two
+    identical files collapse to one file's rows under full-row dedup."""
+    import os
+
+    from logverzcore_spark.ingest import CollectJob, collect
+    from rawfixtures import VPCFLOW_ROWS, write_vpcflow_gz
+
+    d = f"{tmpdir_path}/dd"
+    os.makedirs(d)
+    write_vpcflow_gz(d, n_files=2)  # identical content = a redelivery
+    try:
+        rep = collect(
+            spark,
+            CollectJob(
+                path=d, datatype="VPCFlow", table_name="dd_tab",
+                dedupe_on=["*"],
+            ),
+        )
+        assert rep.rows_written == len(VPCFLOW_ROWS)
+        rep2 = collect(
+            spark,
+            CollectJob(
+                path=d, datatype="VPCFlow", table_name="dd_tab2",
+                dedupe_on=["srcaddr", "dstaddr", "srcport", "dstport", "start"],
+            ),
+        )
+        assert rep2.rows_written == len(VPCFLOW_ROWS)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dd_tab")
+        spark.sql("DROP TABLE IF EXISTS dd_tab2")
