@@ -62,6 +62,16 @@ def main() -> None:
         # aren't taxed by eviction/GC of a predecessor's blocks.
         spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
+    # Second, WARM pass (codegen/JIT compiled): the headline metric stays
+    # the cold pass for round-over-round comparability; the warm numbers
+    # separate one-time compilation cost from data-bound cost — the part
+    # that actually scales with input (see SCALE.md's measured table).
+    warm: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        SUITE[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warm[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
     print(
         json.dumps(
             {
@@ -70,6 +80,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "value_warm": round(sum(warm.values()), 3),
+                "queries_warm": warm,
             }
         )
     )
