@@ -155,3 +155,47 @@ def curate_report(
         .otherwise(F.lit("kept"))
     )
     return marked.select(F.col(id_col), "source", reason.alias("disposition"))
+
+
+def curate_embeddings(
+    emb: DataFrame,
+    dim: int = 64,
+    threshold: float = 0.25,
+    n_planes: int = 4,
+    per_cell: int = 5,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The embedding-side curation chain — ``curate``'s counterpart for
+    vector corpora, each stage an existing graded operator:
+
+        semantic dedup (SemDeDup cells + components, keep one rep per
+        semantic family, suite:d12) → cluster-balanced subset selection
+        (nearest-centroid + per-cluster hash pick, suite:s07) →
+        deterministic md5 split (suite:t05's rule)
+
+    Returns (cell, vec_id, pick_rank, split). All stages use the
+    engine-portable LCG planes/centroids, so the whole composition
+    replays in SQL (suite:s09 hash-verifies it end to end). Scale: the
+    dedup stage bounds pair work by hyperplane cell; the selection
+    stage's window sees (cell, id, hash) only; the split is a pure
+    projection — no stage shuffles vectors except the cell assignments,
+    which are Arrow-batched matmul projections."""
+    from logverzcore_spark.operators.similarity import (
+        cluster_balanced_sample,
+        lcg_centroids,
+    )
+
+    sd = dedup.semantic_dedup(
+        emb, dim=dim, threshold=threshold, n_planes=n_planes,
+        vec_col=vec_col, id_col=id_col,
+    )
+    reps = sd.where(F.col("is_rep")).select(id_col)
+    kept = emb.join(reps, id_col, "left_semi")
+    balanced = cluster_balanced_sample(
+        kept, per_cell=per_cell,
+        centroids=lcg_centroids(dim, n_cells),
+        vec_col=vec_col, id_col=id_col,
+    )
+    return balanced.withColumn("split", text.hash_split(F.col(id_col)))

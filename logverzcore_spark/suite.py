@@ -7022,6 +7022,99 @@ def q110_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q110_SQL.format(src="q110_orders"))
 
 
+def _s09_oracle(
+    dim: int = 64,
+    n_planes: int = 4,
+    threshold: float = 0.25,
+    n_cells: int = 16,
+    per_cell: int = 5,
+) -> str:
+    planes = similarity._hyperplanes(dim, n_planes)
+    plane_values = ",\n      ".join(
+        f"({p}, {_sql_double_array(row)})" for p, row in enumerate(planes)
+    )
+    cents = similarity.lcg_centroids(dim, n_cells)
+    cent_values = ",\n      ".join(
+        f"({ci}, {_sql_double_array(row)})" for ci, row in enumerate(cents)
+    )
+    return f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), planes(p, plane) AS (VALUES
+      {plane_values}
+    ), b AS (
+      SELECT v.vec_id, v.e,
+             SUM(CASE WHEN list_dot_product(v.e, p.plane) >= 0
+                      THEN (1::BIGINT << p.p) ELSE 0 END) AS cell0
+      FROM v CROSS JOIN planes p GROUP BY v.vec_id, v.e
+    ), nn AS (
+      SELECT vec_id, e, cell0, sqrt(list_dot_product(e, e)) AS nrm FROM b
+    ), pairs AS (
+      SELECT a.vec_id AS id1, c.vec_id AS id2
+      FROM nn a JOIN nn c ON a.cell0 = c.cell0 AND a.vec_id < c.vec_id
+      WHERE ROUND(list_dot_product(a.e, c.e) / (a.nrm * c.nrm), 6)
+            >= {threshold}
+    ), edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs UNION ALL SELECT id2, id1 FROM pairs
+    ), reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a
+    ), labels AS (
+      SELECT v.vec_id,
+             LEAST(v.vec_id, COALESCE(MIN(r.dst), v.vec_id)) AS cluster_id
+      FROM v LEFT JOIN reach r ON r.src = v.vec_id
+      GROUP BY v.vec_id
+    ), reps AS (
+      SELECT vec_id FROM labels WHERE vec_id = cluster_id
+    ), rv AS (
+      SELECT v.vec_id, v.e FROM v JOIN reps USING (vec_id)
+    ), cents(cell, cvec) AS (VALUES
+      {cent_values}
+    ), sims AS (
+      SELECT rv.vec_id, c.cell, list_dot_product(rv.e, c.cvec) AS sim
+      FROM rv CROSS JOIN cents c
+    ), c_assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    ), picked AS (
+      SELECT cell, vec_id,
+             row_number() OVER (PARTITION BY cell
+                                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               AS pick_rank
+      FROM c_assign
+    )
+    SELECT CAST(cell AS INTEGER) AS cell, vec_id,
+           CAST(pick_rank AS INTEGER) AS pick_rank,
+           CASE WHEN substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) <= 'b'
+                THEN 'train'
+                WHEN substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) <= 'd'
+                THEN 'val' ELSE 'test' END AS split
+    FROM picked WHERE pick_rank <= {per_cell}
+    """
+
+
+@query("s09_curated_embeddings", oracle=_s09_oracle())
+def s09_curated_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED embedding-curation chain (pipeline.curate_embeddings)
+    — semantic dedup keeps one representative per SemDeDup family (d12),
+    cluster-balanced selection keeps per_cell per centroid cell (s07),
+    and the survivors get the deterministic md5 split (t05) — graded as
+    one pipeline: the oracle replays hyperplane cells, the recursive
+    component closure, rep selection, centroid assignment, hash pick
+    order, AND the split rule in a single SQL statement, so a drift in
+    any stage (or in how the stages hand off) breaks the hash. This is
+    the vector-corpus counterpart of t16's text curation chain."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from logverzcore_spark.pipeline import curate_embeddings
+
+    return curate_embeddings(emb)
+
+
 # ---------------------------------------------------------------------------
 
 

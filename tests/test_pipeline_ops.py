@@ -502,3 +502,31 @@ def test_ivf_index_build_probe_prunes_and_matches(spark, tmpdir_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}_centroids")
+
+
+def test_curate_embeddings_stage_handoff(spark):
+    """Composition invariants: every selected vector is a semantic-dedup
+    REPRESENTATIVE, no cell exceeds its quota, and the split labels
+    partition the selection."""
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.engine import read_table
+    from logverzcore_spark.operators import dedup
+    from logverzcore_spark.pipeline import curate_embeddings
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = curate_embeddings(emb).cache()
+    try:
+        reps = {
+            r["vec_id"]
+            for r in dedup.semantic_dedup(emb, dim=64, threshold=0.25, n_planes=4)
+            .where("is_rep")
+            .collect()
+        }
+        assert {r["vec_id"] for r in out.collect()} <= reps
+        assert out.groupBy("cell").count().agg(F.max("count")).first()[0] <= 5
+        assert {r["split"] for r in out.select("split").distinct().collect()} <= {
+            "train", "val", "test",
+        }
+    finally:
+        out.unpersist()
