@@ -181,6 +181,49 @@ class Engine:
             yield flush(rows)
         yield b"EOF"
 
+    def export_query(
+        self,
+        query: str,
+        out_dir: str,
+        user: User = ADMIN,
+        fmt: str = "parquet",
+        params: dict | list | None = None,
+        max_records_per_file: int = 1_000_000,
+    ) -> dict:
+        """Bulk result export: the scale-honest alternative to pulling a
+        big result over the wire chunk by chunk (Q11) — the gated, ACL'd
+        query writes straight to files executor-parallel (the driver
+        never materializes the result), bounded per-file, and returns a
+        small manifest {rows, files, out_dir, format} the caller can
+        validate. Formats: parquet (columnar, typed) or csv (headered,
+        interchange). Audited as mode='export'."""
+        if fmt not in ("parquet", "csv"):
+            raise ValueError(f"unsupported export format {fmt!r}")
+        audit_query = (
+            query if params is None
+            else f"{query} /* params: {json.dumps(params, default=str)} */"
+        )
+        self._gate(query, user, "export", audit_query=audit_query)
+        df = (
+            self.spark.sql(query) if params is None
+            else self.spark.sql(query, args=params)
+        )
+        writer = df.write.mode("overwrite").option(
+            "maxRecordsPerFile", str(max_records_per_file)
+        )
+        if fmt == "csv":
+            writer = writer.option("header", "true")
+        getattr(writer, fmt)(out_dir)
+        back = getattr(self.spark.read, fmt)(
+            out_dir, **({"header": True, "inferSchema": False} if fmt == "csv" else {})
+        )
+        return {
+            "rows": back.count(),
+            "files": len(back.inputFiles()),
+            "out_dir": out_dir,
+            "format": fmt,
+        }
+
     def explain(self, query: str, user: User = ADMIN) -> str:
         self._gate(query, user, "explain")
         return self.spark.sql(query)._jdf.queryExecution().explainString(

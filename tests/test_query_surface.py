@@ -527,3 +527,26 @@ def test_range_bounds_rejects_empty_and_nulls(spark):
     )
     with pytest.raises(ValueError, match="NULL"):
         ex.range_bounds(withnulls, "v", n_shards=4)
+
+
+def test_export_query_gated_and_manifested(spark, engine, tmpdir_path):
+    """Bulk export: gate + ACL apply, files land executor-parallel with
+    a validating manifest; csv and parquet round-trip the row count."""
+    man = engine.export_query(
+        "SELECT id, v FROM qs_tab WHERE id >= :lo",
+        f"{tmpdir_path}/exp_pq",
+        params={"lo": 4},
+    )
+    assert man["rows"] == 6 and man["format"] == "parquet"
+    assert spark.read.parquet(f"{tmpdir_path}/exp_pq").count() == 6
+
+    man2 = engine.export_query(
+        "SELECT id FROM qs_tab", f"{tmpdir_path}/exp_csv", fmt="csv"
+    )
+    assert man2["rows"] == 10
+
+    bob = User(name="bob", groups=[])
+    with pytest.raises(PermissionError):
+        engine.export_query("SELECT * FROM qs_tab", f"{tmpdir_path}/nope", user=bob)
+    with pytest.raises(ValueError):
+        engine.export_query("SELECT 1", f"{tmpdir_path}/bad", fmt="xlsx")
