@@ -199,27 +199,35 @@ class Engine:
         interchange). Audited as mode='export'."""
         if fmt not in ("parquet", "csv"):
             raise ValueError(f"unsupported export format {fmt!r}")
-        audit_query = (
-            query if params is None
-            else f"{query} /* params: {json.dumps(params, default=str)} */"
-        )
-        self._gate(query, user, "export", audit_query=audit_query)
-        df = (
-            self.spark.sql(query) if params is None
-            else self.spark.sql(query, args=params)
-        )
+        df = self.sql(query, user, params=params, _mode="export")
+        # Row count via an Observation ON THE WRITE (ingest.py's pattern):
+        # a read-back would re-parse the whole export, miscount CSV rows
+        # with quoted embedded newlines (default read is not multiLine),
+        # and crash on an empty CSV result (no files to infer from).
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
         writer = df.write.mode("overwrite").option(
             "maxRecordsPerFile", str(max_records_per_file)
         )
         if fmt == "csv":
             writer = writer.option("header", "true")
         getattr(writer, fmt)(out_dir)
-        back = getattr(self.spark.read, fmt)(
-            out_dir, **({"header": True, "inferSchema": False} if fmt == "csv" else {})
+        # File count from the filesystem (works for any scheme the
+        # session can reach), not a data re-read.
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(out_dir)
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        n_files = sum(
+            1
+            for st in fs.listStatus(p)
+            if not st.getPath().getName().startswith("_")
         )
         return {
-            "rows": back.count(),
-            "files": len(back.inputFiles()),
+            "rows": obs.get["n"] or 0,
+            "files": n_files,
             "out_dir": out_dir,
             "format": fmt,
         }

@@ -63,10 +63,13 @@ class CollectJob:
     sort_by: list[str] = field(default_factory=list)
     max_records_per_file: int = 1_000_000
     #: Drop duplicate rows on these columns before the write (empty list
-    #: = off; ``["*"]`` = full-row dedup). The batch-side guard for
-    #: at-least-once upstream delivery (the reference's SQS redelivery
-    #: could re-insert a partially-committed batch, worker.js:885-909):
-    #: one extra shuffle on the dedup key, keep-any semantics.
+    #: = off; ``["*"]`` = full-row dedup). The guard for at-least-once
+    #: upstream delivery (the reference's SQS redelivery could re-insert
+    #: a partially-committed batch, worker.js:885-909): dedups WITHIN
+    #: the batch, and under ``mode="append"`` also anti-joins against
+    #: the existing table's keys — redelivery across invocations is the
+    #: common case. One shuffle on the dedup key; bucket the table on
+    #: the same key to make the cross-job anti-join co-located.
     dedupe_on: list[str] = field(default_factory=list)
     #: Per-job reader options layered over the DataType's (applied last).
     #: The incremental-collection knobs: ``{"modifiedAfter":
@@ -342,7 +345,9 @@ def _is_trivial_select_star(query: str) -> bool:
 
 def _read(spark: SparkSession, job: CollectJob, dt: DataType) -> DataFrame:
     if job.zip_compressed:
-        return readers.read_zip_csv(spark, job.path, dt)
+        return readers.read_zip_csv(
+            spark, job.path, dt, extra_options=job.reader_options
+        )
     return readers.read_raw(spark, job.path, dt, extra_options=job.reader_options)
 
 
@@ -417,12 +422,63 @@ def collect(
         validate_staged_query(spark, staged_sql, stage_view)
         typed = spark.sql(staged_sql)
 
+    obs_reliable = True
     if job.dedupe_on:
-        typed = (
-            typed.dropDuplicates()
-            if job.dedupe_on == ["*"]
-            else typed.dropDuplicates(job.dedupe_on)
-        )
+        key_cols = typed.columns if job.dedupe_on == ["*"] else job.dedupe_on
+        typed = typed.dropDuplicates(key_cols)
+        if job.mode == "append" and spark.catalog.tableExists(target_table):
+            # Under this plan shape (null-safe anti-join over the deduped
+            # batch) Spark's raw-level CollectMetrics row is never
+            # delivered — even a plain count() action on the frame leaves
+            # the Observation empty (observed on Spark 4.1). Fall back to
+            # counting the quarantine frame directly; incremental batches
+            # are small by design, so the extra raw pass is bounded.
+            obs_reliable = False
+            # Redelivery usually arrives in a LATER invocation (the
+            # reference's SQS re-insert after a partial commit,
+            # worker.js:885-909), so in-batch dedup alone is not the
+            # guard — anti-join the batch against the EXISTING table's
+            # keys. The existing side is pruned to the key columns; at
+            # scale, bucket the table on the dedup key so this anti-join
+            # reads co-located buckets instead of shuffling history.
+            # NULL-SAFE key equality: dropDuplicates treats NULL keys as
+            # equal, so the cross-job guard must too — a plain equi-anti-
+            # join would wave through every row with a NULL in any key
+            # column (log rows routinely carry NULLed '-' markers).
+            from functools import reduce as _reduce
+
+            # Materialize the existing KEYS before the write: the sink is
+            # also the anti-join's right side, and a plan that reads the
+            # table it is appending to is undefined. Checkpointing the
+            # key frame (not the batch) also keeps the batch's Observe
+            # nodes live for the write job's metrics. At scale, bucket
+            # the table on the dedup key so this side reads co-located
+            # key columns only.
+            existing = (
+                spark.table(target_table)
+                .select(*key_cols)
+                .distinct()
+                .localCheckpoint(eager=True)
+                .alias("_ex")
+            )
+            batch = typed.alias("_new")
+            cond = _reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(f"_new.`{c}`").eqNullSafe(F.col(f"_ex.`{c}`"))
+                    for c in key_cols
+                ],
+            )
+            typed = batch.join(existing, cond, "left_anti")
+
+    # THIS job's written-row count as an Observation on the write job
+    # itself (same pattern as the quarantine counter): counting the
+    # table before/after would cost two O(table) passes per incremental
+    # append — the history would dominate every small batch.
+    from pyspark.sql import Observation as _Obs
+
+    obs_rows = _Obs(f"rows_{job_id}")
+    typed = typed.observe(obs_rows, F.count(F.lit(1)).alias("n_rows"))
 
     if job.sort_by and not job.bucket_by:
         # File-local sort → tight parquet row-group min/max stats → the
@@ -440,23 +496,18 @@ def collect(
         writer = writer.bucketBy(job.n_buckets, *job.bucket_by)
         if job.sort_by:
             writer = writer.sortBy(*job.sort_by)
-    # In append mode rows_written must report THIS job's rows (the
-    # Invocations-parity number), not the table total it landed in.
-    pre_rows = (
-        spark.table(target_table).count()
-        if job.mode == "append" and spark.catalog.tableExists(target_table)
-        else 0
-    )
     writer.saveAsTable(target_table)
 
-    n_rows = spark.table(target_table).count() - pre_rows
+    n_rows = obs_rows.get["n_rows"] or 0
     if job.analyze:
         # CBO (enabled in get_session) and the broadcast threshold read
         # these catalog stats; see CollectJob.analyze.
         spark.sql(f"ANALYZE TABLE {target_table} COMPUTE STATISTICS")
     # The write job executed the Observe node over every raw row — the
-    # quarantine count is already collected, no stats re-read.
-    n_bad = obs.get["n_bad"] or 0
+    # quarantine count is already collected, no stats re-read (except in
+    # the cross-job-dedupe branch, where metrics don't deliver; see
+    # obs_reliable above).
+    n_bad = (obs.get["n_bad"] or 0) if obs_reliable else bad.count()
 
     if n_bad and quarantine_table:
         # ProcessingErrors-shaped quarantine sink (jobid, path, error, row).

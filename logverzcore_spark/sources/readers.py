@@ -133,7 +133,10 @@ def read_raw(
     return df.withColumn(SOURCE_COL, F.input_file_name())
 
 
-def read_zip_csv(spark: SparkSession, path, dt: DataType) -> DataFrame:
+def read_zip_csv(
+    spark: SparkSession, path, dt: DataType,
+    extra_options: dict[str, str] | None = None,
+) -> DataFrame:
     """Read ZIP-compressed CSV files of ``dt``.
 
     Spark has no zip codec, so: ``binaryFile`` scan → ``mapInPandas``
@@ -217,7 +220,13 @@ def read_zip_csv(spark: SparkSession, path, dt: DataType) -> DataFrame:
                     yield pd.DataFrame(rows, columns=out_columns, dtype=object)
 
     paths = path if isinstance(path, list) else [path]
-    blobs = spark.read.format("binaryFile").option("pathGlobFilter", "*.zip").load(paths)
+    reader = spark.read.format("binaryFile").option("pathGlobFilter", "*.zip")
+    # Same per-job file-index filters as read_raw (modifiedAfter etc.);
+    # binaryFile honors them, so incremental collection prunes archives
+    # before a byte is downloaded.
+    for k, v in (extra_options or {}).items():
+        reader = reader.option(k, v)
+    blobs = reader.load(paths)
     return blobs.select("path", "content").mapInPandas(unzip_parse, out_schema)
 
 

@@ -504,6 +504,18 @@ def test_collect_dedupe_on_drops_redelivered_rows(spark, tmpdir_path):
             ),
         )
         assert rep2.rows_written == len(VPCFLOW_ROWS)
+
+        # cross-INVOCATION redelivery (the common SQS case): appending
+        # the same files again must write zero rows.
+        rep3 = collect(
+            spark,
+            CollectJob(
+                path=d, datatype="VPCFlow", table_name="dd_tab",
+                dedupe_on=["*"], mode="append",
+            ),
+        )
+        assert rep3.rows_written == 0
+        assert spark.table("dd_tab").count() == len(VPCFLOW_ROWS)
     finally:
         spark.sql("DROP TABLE IF EXISTS dd_tab")
         spark.sql("DROP TABLE IF EXISTS dd_tab2")

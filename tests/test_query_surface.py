@@ -545,6 +545,20 @@ def test_export_query_gated_and_manifested(spark, engine, tmpdir_path):
     )
     assert man2["rows"] == 10
 
+    # empty results export cleanly (no read-back schema inference crash)
+    man3 = engine.export_query(
+        "SELECT id FROM qs_tab WHERE id < 0", f"{tmpdir_path}/exp_empty", fmt="csv"
+    )
+    assert man3["rows"] == 0
+
+    # a quoted embedded newline is ONE row, not two
+    man4 = engine.export_query(
+        "SELECT concat('a', chr(10), 'b') AS s FROM qs_tab WHERE id = 1",
+        f"{tmpdir_path}/exp_nl",
+        fmt="csv",
+    )
+    assert man4["rows"] == 1
+
     bob = User(name="bob", groups=[])
     with pytest.raises(PermissionError):
         engine.export_query("SELECT * FROM qs_tab", f"{tmpdir_path}/nope", user=bob)
