@@ -367,3 +367,48 @@ def sniff_image_meta(
         height.alias("height"),
         (width.cast("long") * height.cast("long")).alias("n_pixels"),
     )
+
+
+def sniff_wav_meta(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Codec-free audio metadata: WAV (RIFF/WAVE) channel count, sample
+    rate, and bit depth read from the canonical 44-byte header with
+    codegen'd binary expressions — ``sniff_image_meta``'s audio sibling.
+    Fields sit at fixed little-endian offsets in the fmt chunk
+    (channels @23, sample rate @25, bits/sample @35, 1-based); anything
+    without the RIFF....WAVE magic reports 'unknown' with NULLs. Runs at
+    scan speed; payload bytes beyond the header are never touched."""
+    p = payload_col
+
+    def _byte(off: int):
+        return F.conv(F.hex(F.expr(f"substring({p}, {off}, 1)")), 16, 10).cast(
+            "long"
+        )
+
+    def le16(off: int):
+        return (_byte(off) + 256 * _byte(off + 1)).cast("int")
+
+    def le32(off: int):
+        return (
+            _byte(off)
+            + 256 * _byte(off + 1)
+            + 65536 * _byte(off + 2)
+            + 16777216 * _byte(off + 3)
+        ).cast("long")
+
+    is_wav = F.expr(
+        f"substring({p}, 1, 4) = binary('RIFF') AND "
+        f"substring({p}, 9, 4) = binary('WAVE')"
+    )
+    fmt = F.when(is_wav, F.lit("wav")).otherwise(F.lit("unknown"))
+    channels = F.when(is_wav, le16(23))
+    rate = F.when(is_wav, le32(25))
+    bits = F.when(is_wav, le16(35))
+    return df.select(
+        F.col(id_col),
+        fmt.alias("format"),
+        channels.alias("channels"),
+        rate.alias("sample_rate"),
+        bits.alias("bits_per_sample"),
+    )

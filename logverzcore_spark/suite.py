@@ -7115,6 +7115,71 @@ def s09_curated_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_embeddings(emb)
 
 
+@query(
+    "m10_wav_header_probe",
+    oracle="""
+    SELECT doc_id,
+      CASE WHEN doc_id % 3 < 2 THEN 'wav' ELSE 'unknown' END AS format,
+      CASE WHEN doc_id % 3 < 2
+           THEN CAST(1 + doc_id % 2 AS INTEGER) END AS channels,
+      CASE WHEN doc_id % 3 < 2 THEN CAST(
+        CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        WHEN 2 THEN 44100 ELSE 48000 END AS BIGINT)
+        END AS sample_rate,
+      CASE WHEN doc_id % 3 < 2
+           THEN CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 24 END
+                     AS INTEGER) END AS bits_per_sample
+    FROM documents
+    """,
+)
+def m10_wav_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free WAV metadata sniffing (``multimodal.sniff_wav_meta``)
+    — m09's audio sibling: byte-exact RIFF/WAVE headers are BUILT from
+    doc_id (channels, sample rate, bit depth packed little-endian at the
+    canonical fmt-chunk offsets), parsed back with codegen'd binary
+    expressions, and the oracle restates the expected fields
+    arithmetically — the round trip breaks if either the packing or the
+    parsing mis-addresses a byte. Every third doc carries non-audio
+    bytes and must sniff 'unknown'."""
+    from logverzcore_spark.operators.multimodal import sniff_wav_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    ch = (1 + F.col("doc_id") % 2).cast("int")
+    rate = (
+        F.when(F.col("doc_id") % 4 == 0, 8000)
+        .when(F.col("doc_id") % 4 == 1, 16000)
+        .when(F.col("doc_id") % 4 == 2, 44100)
+        .otherwise(48000)
+        .cast("long")
+    )
+    bits = F.when(F.col("doc_id") % 2 == 0, 16).otherwise(24).cast("int")
+
+    def le(c, nbytes: int):
+        hexed = F.lpad(F.hex(c.cast("long")), nbytes * 2, "0")
+        # reverse byte order: take hex pairs from the END forward
+        pairs = [
+            F.substring(hexed, (nbytes - 1 - i) * 2 + 1, 2) for i in range(nbytes)
+        ]
+        return F.unhex(F.concat(*pairs))
+
+    header = F.concat(
+        F.encode(F.lit("RIFF"), "UTF-8"),
+        le(F.lit(36), 4),
+        F.encode(F.lit("WAVEfmt "), "UTF-8"),
+        le(F.lit(16), 4),  # fmt chunk size
+        le(F.lit(1), 2),  # PCM
+        le(ch, 2),
+        le(rate, 4),
+        le(rate * ch * bits / 8, 4),  # byte rate
+        le(ch * bits / 8, 2),  # block align
+        le(bits, 2),
+    )
+    payload = F.when(F.col("doc_id") % 3 < 2, header).otherwise(
+        F.encode("text", "UTF-8")
+    )
+    return sniff_wav_meta(docs.select("doc_id", payload.alias("payload")))
+
+
 # ---------------------------------------------------------------------------
 
 

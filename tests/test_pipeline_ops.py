@@ -530,3 +530,31 @@ def test_curate_embeddings_stage_handoff(spark):
         }
     finally:
         out.unpersist()
+
+
+def test_sniff_wav_meta_on_genuine_header(spark):
+    """Parse a REAL canonical WAV header built with struct.pack, plus
+    garbage bytes — offsets must match what an encoder writes."""
+    import struct
+
+    from logverzcore_spark.operators.multimodal import sniff_wav_meta
+
+    def wav_bytes(ch, rate, bits):
+        fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * bits // 8,
+                          ch * bits // 8, bits)
+        return (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", 0))
+
+    rows = [
+        (1, bytearray(wav_bytes(2, 44100, 16))),
+        (2, bytearray(wav_bytes(1, 48000, 24))),
+        (3, bytearray(b"OggS not a wav")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in sniff_wav_meta(df).collect()}
+    assert (got[1]["format"], got[1]["channels"], got[1]["sample_rate"],
+            got[1]["bits_per_sample"]) == ("wav", 2, 44100, 16)
+    assert (got[2]["channels"], got[2]["sample_rate"],
+            got[2]["bits_per_sample"]) == (1, 48000, 24)
+    assert got[3]["format"] == "unknown" and got[3]["sample_rate"] is None
