@@ -39,11 +39,20 @@ HEADLINE = [
 ]
 
 
+#: Repetitions per query. A single cold shot on a shared box swings ±30%
+#: (measured across same-day reruns in round 3: d03 4.5–7.6 s, suite
+#: 19–21 s) — larger than any real round-over-round delta, so one-shot
+#: timing cannot distinguish a regression from machine-state noise. Three
+#: interleaved passes with a fresh ``clearCache`` between every
+#: measurement give a per-query MEDIAN as the headline and a min–max
+#: spread so a reader can tell signal from noise.
+REPS = 3
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
     spark = get_session("logverzcore-bench")
-    timings: dict[str, float] = {}
     # Warm the JVM/file-index once so q01 doesn't absorb session startup:
     # one trivial count per input table loads its parquet footer and file
     # index (the queries themselves still run cold — codegen and all).
@@ -52,36 +61,34 @@ def main() -> None:
 
     for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
         read_table(spark, sf_dir, t).count()
-    for name in HEADLINE:
-        t0 = time.time()
-        df = SUITE[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        # Queries are measured independently: drop any cache an operator
-        # pinned (e.g. the MinHash signature barrier) so later queries
-        # aren't taxed by eviction/GC of a predecessor's blocks.
-        spark.catalog.clearCache()
-    total = round(sum(timings.values()), 3)
-    # Second, WARM pass (codegen/JIT compiled): the headline metric stays
-    # the cold pass for round-over-round comparability; the warm numbers
-    # separate one-time compilation cost from data-bound cost — the part
-    # that actually scales with input (see SCALE.md's measured table).
-    warm: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        SUITE[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        warm[name] = round(time.time() - t0, 3)
-        spark.catalog.clearCache()
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _rep in range(REPS):
+        for name in HEADLINE:
+            t0 = time.time()
+            df = SUITE[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(round(time.time() - t0, 3))
+            # Queries are measured independently: drop any cache an
+            # operator pinned (e.g. the MinHash signature barrier) so
+            # later queries aren't taxed by eviction/GC of a
+            # predecessor's blocks.
+            spark.catalog.clearCache()
+    timings = {n: sorted(s)[len(s) // 2] for n, s in samples.items()}
+    spread = {n: [min(s), max(s)] for n, s in samples.items()}
+    first = {n: s[0] for n, s in samples.items()}
     print(
         json.dumps(
             {
                 "metric": "headline_suite_seconds",
-                "value": total,
+                "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
-                "value_warm": round(sum(warm.values()), 3),
-                "queries_warm": warm,
+                "reps": REPS,
+                # first pass carries one-time codegen/JIT compilation —
+                # comparable to earlier rounds' single cold shot
+                "value_first_pass": round(sum(first.values()), 3),
+                "queries_spread": spread,
             }
         )
     )

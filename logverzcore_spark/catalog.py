@@ -180,3 +180,91 @@ class Catalog:
                 raise PermissionError(f"{user.name} does not own {table!r}")
             entry.Active = False
             self._flush()
+
+
+@dataclass
+class PreferenceItem:
+    """One Logverz-Preferences row: a named, owner-gated opaque payload
+    (UI settings, default views, dashboards). The reference keeps these
+    in a DynamoDB table hash-keyed by ``Name`` only
+    (infrastructure/templates/Logverz-Engine.json:240-256,
+    ``LogverzPreferences``), with put/delete owner-gated through the
+    same resource authorization as saved queries (nosql.js:92-103)."""
+
+    Name: str
+    Owners: list[str] = field(default_factory=list)
+    Value: dict = field(default_factory=dict)
+    UnixTime: float = 0.0
+
+    def owned_by(self, user: User) -> bool:
+        return user.is_admin or bool({user.name, *user.groups} & set(self.Owners))
+
+
+class Preferences:
+    """JSONL-backed preferences store — the Logverz-Preferences table's
+    semantics on the same driver-local metadata substrate as ``Catalog``
+    and ``AuditLog`` (one local write per mutation, never a Spark job).
+
+    Semantics mirrored from the reference: items are keyed by bare
+    ``Name`` (no database scoping — it is a user/UI settings table, not
+    a data catalog); creating a free name claims it for the caller;
+    updating or deleting an existing name requires ownership (admin
+    bypass) — the nosql.js resource-based check for
+    PutItem/DeleteItem on Logverz-Preferences; reads are open to any
+    authenticated user (the reference gates reads only by the coarse
+    user-based IAM authorize, which every interactive user passes)."""
+
+    def __init__(self, path: str | None = None):
+        self.path = path
+        self._items: dict[str, PreferenceItem] = {}
+        if path and os.path.exists(path):
+            with open(path) as fh:
+                for line in fh:
+                    if line.strip():
+                        it = PreferenceItem(**json.loads(line))
+                        self._items[it.Name] = it
+
+    def _flush(self) -> None:
+        if not self.path:
+            return
+        tmp = f"{self.path}.tmp.{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as fh:
+            for it in self._items.values():
+                fh.write(json.dumps(asdict(it)) + "\n")
+        os.replace(tmp, self.path)
+
+    def put(self, name: str, value: dict, user: User) -> PreferenceItem:
+        existing = self._items.get(name)
+        if existing is not None and not existing.owned_by(user):
+            raise PermissionError(
+                f"{user.name} may not update preference {name!r} "
+                f"owned by {existing.Owners}"
+            )
+        owners = existing.Owners if existing is not None else [user.name]
+        item = PreferenceItem(
+            Name=name, Owners=owners, Value=value, UnixTime=time.time()
+        )
+        self._items[name] = item
+        self._flush()
+        return item
+
+    def get(self, name: str) -> PreferenceItem | None:
+        return self._items.get(name)
+
+    def delete(self, name: str, user: User) -> None:
+        existing = self._items.get(name)
+        if existing is None:
+            return
+        if not existing.owned_by(user):
+            raise PermissionError(
+                f"{user.name} may not delete preference {name!r} "
+                f"owned by {existing.Owners}"
+            )
+        del self._items[name]
+        self._flush()
+
+    def list(self, name_begins_with: str | None = None) -> list[PreferenceItem]:
+        out = list(self._items.values())
+        if name_begins_with:
+            out = [i for i in out if i.Name.startswith(name_begins_with)]
+        return sorted(out, key=lambda i: i.Name)

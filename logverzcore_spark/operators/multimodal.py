@@ -397,9 +397,15 @@ def sniff_wav_meta(
             + 16777216 * _byte(off + 3)
         ).cast("long")
 
+    # The fixed offsets below assume the canonical layout where 'fmt '
+    # is the FIRST chunk after the RIFF/WAVE preamble. Pro-audio encoders
+    # commonly prepend LIST/JUNK/bext chunks; requiring the 'fmt ' magic
+    # at offset 13 makes those honestly report 'unknown' instead of
+    # reading garbage at offsets 23/25/35.
     is_wav = F.expr(
         f"substring({p}, 1, 4) = binary('RIFF') AND "
-        f"substring({p}, 9, 4) = binary('WAVE')"
+        f"substring({p}, 9, 4) = binary('WAVE') AND "
+        f"substring({p}, 13, 4) = binary('fmt ')"
     )
     fmt = F.when(is_wav, F.lit("wav")).otherwise(F.lit("unknown"))
     channels = F.when(is_wav, le16(23))

@@ -546,10 +546,20 @@ def test_sniff_wav_meta_on_genuine_header(spark):
                 + b"fmt " + struct.pack("<I", 16) + fmt
                 + b"data" + struct.pack("<I", 0))
 
+    # A valid RIFF/WAVE whose fmt chunk is NOT first (JUNK padding, as
+    # pro-audio encoders emit) must honestly report 'unknown' rather
+    # than read garbage at the canonical offsets (r3 ADVICE).
+    junk_first = (b"RIFF" + struct.pack("<I", 60) + b"WAVE"
+                  + b"JUNK" + struct.pack("<I", 16) + b"\x00" * 16
+                  + b"fmt " + struct.pack("<I", 16)
+                  + struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+                  + b"data" + struct.pack("<I", 0))
+
     rows = [
         (1, bytearray(wav_bytes(2, 44100, 16))),
         (2, bytearray(wav_bytes(1, 48000, 24))),
         (3, bytearray(b"OggS not a wav")),
+        (4, bytearray(junk_first)),
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {r["doc_id"]: r for r in sniff_wav_meta(df).collect()}
@@ -558,3 +568,4 @@ def test_sniff_wav_meta_on_genuine_header(spark):
     assert (got[2]["channels"], got[2]["sample_rate"],
             got[2]["bits_per_sample"]) == (1, 48000, 24)
     assert got[3]["format"] == "unknown" and got[3]["sample_rate"] is None
+    assert got[4]["format"] == "unknown" and got[4]["channels"] is None

@@ -397,15 +397,21 @@ def test_sql_arrow_wire_roundtrip(engine):
 
     from logverzcore_spark.plans.sqlgate import SqlValidationError
 
-    chunks = list(
-        engine.sql_arrow("SELECT id, v FROM qs_tab ORDER BY id", max_rows_per_batch=4)
-    )
-    assert chunks[-1] == b"EOF"
-    tables = [pa.ipc.open_stream(io.BytesIO(c)).read_all() for c in chunks[:-1]]
-    assert len(tables) == 3  # 10 rows in batches of 4
-    combined = pa.concat_tables(tables)
-    assert combined.column("id").to_pylist() == list(range(10))
-    assert combined.column("v").to_pylist() == [i * 2 for i in range(10)]
+    for stream in (False, True):
+        chunks = list(
+            engine.sql_arrow(
+                "SELECT id, v FROM qs_tab ORDER BY id",
+                max_rows_per_batch=4,
+                stream=stream,
+            )
+        )
+        assert chunks[-1] == b"EOF"
+        tables = [pa.ipc.open_stream(io.BytesIO(c)).read_all() for c in chunks[:-1]]
+        assert len(tables) == 3  # 10 rows in batches of 4
+        assert max(t.num_rows for t in tables) <= 4
+        combined = pa.concat_tables(tables)
+        assert combined.column("id").to_pylist() == list(range(10))
+        assert combined.column("v").to_pylist() == [i * 2 for i in range(10)]
     with pytest.raises(SqlValidationError):
         list(engine.sql_arrow("DROP TABLE qs_tab"))
 
@@ -477,6 +483,54 @@ def test_materialize_saved_analysis(spark, engine):
         spark.sql("DROP TABLE IF EXISTS evens_mat")
 
 
+def test_materialize_access_does_not_leak_table_acl(spark, engine):
+    """r3 ADVICE (medium): the materialized table's Access list must NOT
+    inherit the saved query's Access — a user who can SEE the analysis
+    but is denied on its tables (run_saved re-gates them) must not gain
+    access to the derived data through the materialized copy. Sharing is
+    an explicit ``access=`` grant by the materializer."""
+    engine.save_query(
+        "shared_evens", "SELECT id FROM qs_tab WHERE id % 2 = 0",
+        access=["viewers"],
+    )
+    entry = engine.materialize_saved("shared_evens")
+    try:
+        # default: owner-only, regardless of the saved query's Access
+        assert entry.Access == []
+        # a viewer of the ANALYSIS (but not of qs_tab) cannot read the
+        # materialized table through the engine
+        eve = User(name="eve", groups=["viewers"])
+        with pytest.raises(PermissionError):
+            engine.sql("SELECT * FROM shared_evens_mat", user=eve)
+        # explicit grant by the materializer works
+        entry2 = engine.materialize_saved("shared_evens", access=["viewers"])
+        assert entry2.Access == ["viewers"]
+        assert engine.sql("SELECT * FROM shared_evens_mat", user=eve).count() == 5
+    finally:
+        spark.sql("DROP TABLE IF EXISTS shared_evens_mat")
+
+
+def test_materialize_records_distinct_audit_mode(spark, tmpdir_path):
+    """r3 ADVICE: a persisted copy is a different event than an ad-hoc
+    read — the audit trail gets a mode='materialize' row naming the
+    target table, after the write succeeds."""
+    from logverzcore_spark.audit import AuditLog
+
+    cat = Catalog(path=f"{tmpdir_path}/cat.jsonl")
+    spark.range(4).selectExpr("id").write.mode("overwrite").saveAsTable("aud_tab")
+    cat.record_query(CatalogEntry(TableName="aud_tab", Owners=["alice"]))
+    eng = Engine(spark, cat, audit=AuditLog(path=f"{tmpdir_path}/a.jsonl"))
+    try:
+        eng.save_query("aud_all", "SELECT id FROM aud_tab")
+        eng.materialize_saved("aud_all")
+        modes = [(r.Mode, r.Tables) for r in eng.audit.entries()]
+        mat = [t for m, t in modes if m == "materialize"]
+        assert mat and mat[0] == ["default.aud_all_mat"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS aud_all_mat")
+        spark.sql("DROP TABLE IF EXISTS aud_tab")
+
+
 def test_audit_memory_retention_bounds_window(tmpdir_path):
     from logverzcore_spark.audit import AuditLog
 
@@ -514,6 +568,37 @@ def test_materialize_saved_params_and_uncataloged_guard(spark, engine):
     finally:
         spark.sql("DROP TABLE IF EXISTS big_ids_t")
         spark.sql("DROP TABLE IF EXISTS sys_private")
+
+
+def test_preferences_store_put_get_acl(tmpdir_path):
+    """Logverz-Preferences parity: name-keyed opaque payloads, first put
+    claims ownership, update/delete owner-gated (admin bypass), reads
+    open, JSONL persistence across reloads."""
+    from logverzcore_spark.catalog import Preferences
+
+    path = f"{tmpdir_path}/prefs.jsonl"
+    prefs = Preferences(path=path)
+    alice = User(name="alice")
+    mallory = User(name="mallory")
+    prefs.put("alice.theme", {"dark": True, "fontsize": 13}, alice)
+    assert prefs.get("alice.theme").Value["dark"] is True
+    # reads are open; updates are not
+    assert prefs.get("alice.theme").owned_by(alice)
+    with pytest.raises(PermissionError):
+        prefs.put("alice.theme", {"dark": False}, mallory)
+    with pytest.raises(PermissionError):
+        prefs.delete("alice.theme", mallory)
+    # owner update keeps ownership; admin can always update
+    prefs.put("alice.theme", {"dark": False}, alice)
+    prefs.put("alice.theme", {"dark": True}, ADMIN)
+    assert prefs.get("alice.theme").Owners == ["alice"]
+    # persistence: a fresh load sees the same items
+    again = Preferences(path=path)
+    assert again.get("alice.theme").Value == {"dark": True}
+    assert [i.Name for i in again.list("alice.")] == ["alice.theme"]
+    # owner delete works
+    again.delete("alice.theme", alice)
+    assert again.get("alice.theme") is None
 
 
 def test_range_bounds_rejects_empty_and_nulls(spark):

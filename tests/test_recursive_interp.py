@@ -31,6 +31,20 @@ def test_recursive_chain_equals_window_form(spark):
     assert diff.count() == 0
 
 
+def test_recursive_chain_restores_session_confs(spark):
+    """q101 raises the recursive-CTE runaway row limit for its own run;
+    the shared session must come back with the guard intact (r3 ADVICE:
+    the loosened limit silently applied to every later recursive query).
+    The entry materializes eagerly inside the save/restore scope, so
+    restoring before the caller collects cannot under-guard the run."""
+    prior = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
+    out = SUITE["q101_recursive_chain"](spark, SF_DIR)
+    assert spark.conf.get("spark.sql.cteRecursionRowLimit", None) == prior
+    # the frame is already materialized — collecting after restore works
+    assert out.count() > 0
+    assert spark.conf.get("spark.sql.cteRecursionRowLimit", None) == prior
+
+
 def test_hof_battery_matches_python(spark):
     rows = (
         SUITE["q102_hof_battery"](spark, SF_DIR)

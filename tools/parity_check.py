@@ -2,11 +2,23 @@
 entry on Spark and its oracle_sql() on DuckDB over the same sf dir, then
 compare row counts, column names, and (order-insensitively) values.
 
-Usage: python tools/parity_check.py [sf_dir] [query ...]
+The driver's own CORRECTNESS_r{N}.json samples ~50 of the suite entries;
+this tool grades ALL of them and (with --json) writes a durable
+PARITY_r{N}.json artifact in the same per-entry shape so each round
+carries a complete self-graded record.
+
+It also enforces SESSION-CONF HYGIENE: guard-relevant session confs are
+snapshotted before the run and re-checked after every entry — a suite
+entry that sets a conf without restoring it (weakening e.g. the
+recursive-CTE runaway guard for every later query on the shared session)
+is reported as a failure, not silently inherited.
+
+Usage: python tools/parity_check.py [sf_dir] [query ...] [--json OUT]
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -17,6 +29,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 
 from logverzcore_spark.engine import SF_TABLES, get_session
+
+# Confs whose silent drift changes semantics or weakens a safety guard
+# for later queries on the shared session. Invariant pins (UTC timezone,
+# parquet nanos/NTZ handling) are INCLUDED: entries may re-assert them,
+# but must leave them at the pinned value.
+GUARDED_CONFS = [
+    "spark.sql.cteRecursionRowLimit",
+    "spark.sql.cteRecursionLevelLimit",
+    "spark.sql.sources.partitionOverwriteMode",
+    "spark.sql.execution.rangeExchange.sampleSizePerPartition",
+    "spark.sql.shuffle.partitions",
+    "spark.sql.session.timeZone",
+    "spark.sql.parquet.inferTimestampNTZ.enabled",
+    "spark.sql.legacy.parquet.nanosAsLong",
+    "spark.sql.streaming.stateStore.providerClass",
+    "spark.sql.adaptive.enabled",
+    "spark.sql.cbo.enabled",
+]
+
+
+def conf_snapshot(spark) -> dict:
+    return {k: spark.conf.get(k, None) for k in GUARDED_CONFS}
 
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -46,15 +80,38 @@ def rowset(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     spark = get_session("parity-check")
     con = duck_connect(sf_dir)
+    # Apply the engine's idempotent runtime pins (read_table sets these
+    # invariant values on first use) BEFORE snapshotting, so the hygiene
+    # check flags genuine drift, not the documented pinning.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    baseline_confs = conf_snapshot(spark)
     failures = []
+    report: dict[str, dict] = {}
+
+    def record(name, *, rows_match=None, schema_match=None, hash_match=None,
+               spark_rows=None, oracle_rows=None, err=None, secs=None):
+        report[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err, "secs": secs,
+        }
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -65,10 +122,30 @@ def main() -> int:
             srows = sdf.collect()
         except Exception as exc:
             failures.append(name)
+            record(name, err=f"spark error: {exc}", secs=round(time.time() - t0, 2))
             print(f"FAIL {name}: spark error: {exc}")
             continue
+        drift = {
+            k: (baseline_confs[k], now)
+            for k, now in conf_snapshot(spark).items()
+            if now != baseline_confs[k]
+        }
+        if drift:
+            failures.append(name)
+            record(name, spark_rows=len(srows), err=f"conf drift: {drift}",
+                   secs=round(time.time() - t0, 2))
+            print(f"FAIL {name}: session-conf drift {drift}")
+            # restore so one leaky entry doesn't cascade into later ones
+            for k, (prior, _) in drift.items():
+                if prior is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, prior)
+            continue
+        secs = round(time.time() - t0, 2)
         if name not in oracles:
-            print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            record(name, spark_rows=len(srows), err="no_oracle", secs=secs)
+            print(f"ok   {name}: rows-only ({len(srows)} rows, {secs:.1f}s)")
             continue
         try:
             res = con.execute(oracles[name])
@@ -76,20 +153,27 @@ def main() -> int:
             drows = res.fetchall()
         except Exception as exc:
             failures.append(name)
+            record(name, spark_rows=len(srows), err=f"duckdb error: {exc}", secs=secs)
             print(f"FAIL {name}: duckdb error: {exc}")
             continue
         if sorted(scols) != sorted(dcols):
             failures.append(name)
+            record(name, schema_match=False, spark_rows=len(srows),
+                   oracle_rows=len(drows), secs=secs)
             print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
             continue
         if len(srows) != len(drows):
             failures.append(name)
+            record(name, rows_match=False, schema_match=True,
+                   spark_rows=len(srows), oracle_rows=len(drows), secs=secs)
             print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
             continue
         s = rowset(scols, [[row[c] for c in scols] for row in srows])
         d = rowset(dcols, drows)
         if s != d:
             failures.append(name)
+            record(name, rows_match=True, schema_match=True, hash_match=False,
+                   spark_rows=len(srows), oracle_rows=len(drows), secs=secs)
             ndiff = sum(1 for a, b in zip(s, d) if a != b)
             print(f"FAIL {name}: {ndiff}/{len(s)} rows differ; first diff:")
             for a, b in zip(s, d):
@@ -97,7 +181,25 @@ def main() -> int:
                     print(f"  spark: {a}\n  duck : {b}")
                     break
         else:
-            print(f"ok   {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
+            record(name, rows_match=True, schema_match=True, hash_match=True,
+                   spark_rows=len(srows), oracle_rows=len(drows), secs=secs)
+            print(f"ok   {name}: {len(srows)} rows match ({secs:.1f}s)")
+    if json_out:
+        graded = len(report)
+        green = sum(
+            1 for r in report.values()
+            if r["hash_match"] or r["err"] == "no_oracle"
+        )
+        payload = {
+            "sf_dir": sf_dir,
+            "entries": graded,
+            "hash_or_rowsonly_pass": green,
+            "failures": failures,
+            "results": report,
+        }
+        with open(json_out, "w") as fh:
+            json.dump(payload, fh, indent=1)
+        print(f"wrote {json_out} ({graded} entries)")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
