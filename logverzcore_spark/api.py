@@ -238,9 +238,11 @@ class Engine:
         query writes straight to files executor-parallel (the driver
         never materializes the result), bounded per-file, and returns a
         small manifest {rows, files, out_dir, format} the caller can
-        validate. Formats: parquet (columnar, typed) or csv (headered,
-        interchange). Audited as mode='export'."""
-        if fmt not in ("parquet", "csv"):
+        validate. Formats: parquet (columnar, typed), csv (headered,
+        interchange), or jsonl (newline-delimited JSON — the lingua
+        franca of LLM training-data interchange; Spark's json sink IS
+        line-delimited). Audited as mode='export'."""
+        if fmt not in ("parquet", "csv", "jsonl"):
             raise ValueError(f"unsupported export format {fmt!r}")
         df = self.sql(query, user, params=params, _mode="export")
         # Row count via an Observation ON THE WRITE (ingest.py's pattern):
@@ -257,7 +259,7 @@ class Engine:
         )
         if fmt == "csv":
             writer = writer.option("header", "true")
-        getattr(writer, fmt)(out_dir)
+        getattr(writer, "json" if fmt == "jsonl" else fmt)(out_dir)
         # File count from the filesystem (works for any scheme the
         # session can reach), not a data re-read.
         jvm = self.spark._jvm

@@ -369,6 +369,91 @@ def sniff_image_meta(
     )
 
 
+def parse_jpeg_meta(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_scan_bytes: int = 65536,
+) -> DataFrame:
+    """JPEG frame-header metadata (width/height/precision/components/
+    progressive flag) by walking the JFIF segment chain — the
+    variable-offset sibling of ``sniff_image_meta``'s fixed-offset
+    PNG/GIF parsing (whose docstring defers JPEG here: the SOF marker
+    sits after an arbitrary number of APPn/COM/DQT segments, so there is
+    no fixed offset for codegen'd ``substring`` arithmetic to read).
+
+    Runs as Arrow-batched ``mapInPandas`` — the documented honest Python
+    path for genuinely non-fixed-offset binary work; per row it is a
+    bounded walk (≤``max_scan_bytes``, segment lengths from the stream)
+    over the first few hundred header bytes, never the image body.
+    Payloads without SOI, with a corrupt chain, or whose scan hits
+    SOS/EOI before any SOFn report 'unknown' with NULL fields. No codec
+    anywhere: this reads the entropy-free header, exactly what a
+    training-data pipeline needs for resize planning (m02) before the
+    (stubbed) decode stage."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_components", T.IntegerType()),
+            T.StructField("progressive", T.BooleanType()),
+        ]
+    )
+
+    def parse_one(b: bytes):
+        if b is None or len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+            return ("unknown", None, None, None, None)
+        i, limit = 2, min(len(b), max_scan_bytes)
+        while i + 4 <= limit:
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte padding before a marker
+                i += 1
+                continue
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD8:  # standalone
+                i += 2
+                continue
+            if marker in (0xD9, 0xDA):  # EOI / SOS: no frame header seen
+                break
+            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            if seg_len < 2 or i + 2 + seg_len > len(b):
+                break  # corrupt / truncated chain
+            # SOFn (C0-CF except C4/C8/CC which are DHT/JPG/DAC)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if seg_len < 8:
+                    break
+                height = int.from_bytes(b[i + 5 : i + 7], "big")
+                width = int.from_bytes(b[i + 7 : i + 9], "big")
+                ncomp = b[i + 9]
+                return ("jpeg", width, height, ncomp, marker in (0xC2, 0xC6, 0xCA, 0xCE))
+            i += 2 + seg_len
+        return ("unknown", None, None, None, None)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = [parse_one(bytes(p) if p is not None else None)
+                      for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "format": [p[0] for p in parsed],
+                    "width": pd.array([p[1] for p in parsed], dtype="Int32"),
+                    "height": pd.array([p[2] for p in parsed], dtype="Int32"),
+                    "n_components": pd.array(
+                        [p[3] for p in parsed], dtype="Int32"
+                    ),
+                    "progressive": pd.array(
+                        [p[4] for p in parsed], dtype="boolean"
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema)
+
+
 def sniff_wav_meta(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:

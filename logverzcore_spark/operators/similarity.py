@@ -683,6 +683,120 @@ def ivf_index_build(
     ).write.mode("overwrite").saveAsTable(f"{index_table}_centroids")
 
 
+def ivf_index_append(
+    spark,
+    new_vectors: DataFrame,
+    index_table: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dedupe: bool = True,
+) -> dict:
+    """Incrementally maintain a persisted IVF index: assign the NEW
+    embeddings to the EXISTING centroids and append them to their cell
+    partitions — the serving-corpus shape where embeddings arrive
+    continuously and a full ``ivf_index_build`` per batch would re-scan
+    the whole corpus.
+
+    Cost model (the bucket-touched fold pattern of streaming/upsert.py,
+    applied to cells): one Arrow-batched matmul over the BATCH for
+    assignment (no shuffle), an optional anti-join against only the
+    touched cells' rows (partition-pruned scan — ``cell IN (...)`` on
+    the partition column), then an append write that creates files ONLY
+    under the touched cell directories. Untouched cells' files are
+    never read or rewritten (asserted in pytest via the on-disk file
+    inventory). Per-batch cost is O(batch + touched-cell rows), not
+    O(corpus).
+
+    Because assignment uses the index's OWN stored centroids, append
+    followed by probe is EXACTLY equivalent to a from-scratch rebuild
+    over the union corpus with those centroids (s10 grades this against
+    the same SQL oracle as the from-scratch s08). Centroids drift as the
+    corpus grows — when recall degrades, ``ivf_index_recenter``
+    re-fits and rebuilds once.
+
+    ``dedupe=True`` drops batch ids already present in their target
+    cells, making at-least-once redelivery (foreachBatch) idempotent.
+    Returns {"touched_cells", "appended", "skipped_existing"}.
+    """
+    cent_rows = spark.table(f"{index_table}_centroids").orderBy("cell").collect()
+    cmat = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = x @ cmat.T
+        return pd.Series(np.argsort(-sims, axis=1, kind="stable")[:, 0].astype("int32"))
+
+    # Materialize the assignment once: it is consumed by the touched-cell
+    # list, the dedupe anti-join, and the write (and the batch may be a
+    # nondeterministic source); the checkpoint also runs the UDF once.
+    assigned = (
+        new_vectors.select(
+            F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nvec")
+        )
+        .withColumn("cell", nearest(F.col("nvec")))
+        .localCheckpoint(eager=True)
+    )
+    touched = sorted(
+        r["cell"] for r in assigned.select("cell").distinct().collect()
+    )
+    n_batch = assigned.count()
+    if dedupe and touched:
+        # A prior append (possibly from another fold invocation on the
+        # same session) may have left a stale cached file listing; the
+        # anti-join must see the CURRENT files or redelivered rows slip
+        # through. Driver-side metadata refresh, not a data job.
+        spark.catalog.refreshTable(index_table)
+        existing = (
+            spark.table(index_table)
+            .where(F.col("cell").isin(touched))
+            .select("nid")
+        )
+        assigned = assigned.join(existing, "nid", "left_anti")
+    # Cluster by cell before the partitioned append (one file per touched
+    # cell per batch, not tasks × cells files — see upsert.py's note).
+    fresh = assigned.repartition(F.col("cell"))
+    n_new = fresh.count()
+    if n_new:
+        fresh.select("nid", "nvec", "cell").write.mode("append").partitionBy(
+            "cell"
+        ).saveAsTable(index_table)
+    return {
+        "touched_cells": touched,
+        "appended": n_new,
+        "skipped_existing": n_batch - n_new,
+    }
+
+
+def ivf_index_recenter(
+    spark,
+    index_table: str,
+    n_cells: int | None = None,
+    centroids: list[list[float]] | None = None,
+) -> None:
+    """Re-fit centroids to the CURRENT indexed corpus and rebuild the
+    index once — the periodic maintenance step for an append-maintained
+    index whose cell balance has drifted (appends always assign to the
+    original centroids, so a shifting embedding distribution slowly
+    overloads some cells, costing probe selectivity).
+
+    The corpus is staged through an eager localCheckpoint before the
+    overwrite (a table cannot be rebuilt from its own live files); at
+    warehouse scale, rebuild into a fresh table name and swap the
+    catalog entry instead (the ingest.optimize_table staging pattern) so
+    readers never see a partial index."""
+    current = spark.table(index_table).select("nid", "nvec")
+    n = n_cells or spark.table(f"{index_table}_centroids").count()
+    staged = current.localCheckpoint(eager=True)
+    ivf_index_build(
+        staged, index_table, n_cells=n, vec_col="nvec", id_col="nid",
+        centroids=centroids,
+    )
+
+
 def ivf_index_probe(
     spark,
     queries: DataFrame,

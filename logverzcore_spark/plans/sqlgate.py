@@ -35,14 +35,29 @@ _COMMAND_BASES = (
 )
 
 #: DML statements parse to plain logical plans (not Command subclasses);
-#: they are rejected by exact class name.
+#: they are rejected by exact class name. ``UnresolvedExecuteImmediate``
+#: (Spark 4's EXECUTE IMMEDIATE) is dynamic SQL — the embedded string
+#: (possibly a session variable) would be parsed and RUN at execution,
+#: completely dodging this gate, so it is rejected even when the payload
+#: happens to be a SELECT. ``Call`` invokes catalog stored procedures
+#: (side effects by definition).
 _FORBIDDEN_EXACT = {
     "InsertIntoStatement",
     "InsertIntoDir",
     "DeleteFromTable",
     "UpdateTable",
     "MergeIntoTable",
+    "UnresolvedExecuteImmediate",
+    "Call",
 }
+
+#: Expression-level deny list: functions that invoke arbitrary JVM code
+#: from inside an otherwise-pure SELECT. ``reflect``/``java_method``
+#: call any accessible static method (``System.exit``, property reads,
+#: …) — the reference's RDS target has no such escape hatch, so a
+#: SELECT-only gate that forwards them to a shared Spark driver would be
+#: STRICTLY weaker than the semantics it reproduces.
+_DENIED_FUNCTIONS = {"reflect", "java_method"}
 
 #: Allowed exceptions (the reference lets users run EXPLAIN —
 #: Samplesqlqueries.txt:65).
@@ -90,6 +105,26 @@ def rewrite_legacy_query(query: str, view_name: str) -> str:
     return out
 
 
+def _walk_expr(expr, seen: set[int]) -> None:
+    """Reject denied function invocations anywhere in an expression tree
+    (including inside lambdas, CASE arms, and nested calls). Names are
+    checked on their LAST part, so ``builtin.reflect`` and bare
+    ``reflect`` both trip."""
+    if expr is None or id(expr) in seen:
+        return
+    seen.add(id(expr))
+    if expr.getClass().getSimpleName() == "UnresolvedFunction":
+        parts = expr.nameParts()
+        fname = parts.apply(parts.size() - 1).lower()
+        if fname in _DENIED_FUNCTIONS:
+            raise SqlValidationError(
+                f"function {fname!r} is not permitted (arbitrary JVM invocation)"
+            )
+    children = expr.children()
+    for i in range(children.size()):
+        _walk_expr(children.apply(i), seen)
+
+
 def _walk_plan(node, tables: list[str], seen: set[int], scope: frozenset[str]) -> None:
     """Collect table references, resolving CTE names LEXICALLY.
 
@@ -104,6 +139,10 @@ def _walk_plan(node, tables: list[str], seen: set[int], scope: frozenset[str]) -
     if node is None or id(node) in seen:
         return
     seen.add(id(node))
+    expr_seen: set[int] = set()
+    exprs = node.expressions()
+    for i in range(exprs.size()):
+        _walk_expr(exprs.apply(i), expr_seen)
     name = node.getClass().getSimpleName()
     if name == "UnresolvedRelation":
         parts = node.multipartIdentifier()
@@ -125,12 +164,17 @@ def _walk_plan(node, tables: list[str], seen: set[int], scope: frozenset[str]) -
     children = node.children()
     for i in range(children.size()):
         _walk_plan(children.apply(i), tables, seen, scope)
+    # The guard covers ONLY the subqueries() accessor (absent on some
+    # node types) — the recursive walk must stay OUTSIDE it, or a
+    # SqlValidationError raised inside a subquery (e.g. a denied
+    # function under EXISTS) is silently swallowed and the statement
+    # passes the gate.
     try:
         subqueries = node.subqueries()
-        for i in range(subqueries.size()):
-            _walk_plan(subqueries.apply(i), tables, seen, scope)
     except Exception:
-        pass
+        return
+    for i in range(subqueries.size()):
+        _walk_plan(subqueries.apply(i), tables, seen, scope)
 
 
 def validate_select(spark: SparkSession, query: str, allow_explain: bool = True) -> ValidationResult:

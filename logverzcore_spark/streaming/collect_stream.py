@@ -675,14 +675,29 @@ def run_stream_stream_outer_join(
 
     work = tempfile.mkdtemp(prefix="lvz_ssoj_")
     try:
-        data_file = os.path.join(work, "part-000.parquet")
-        shutil.copy(events_path, data_file)
-        schema = spark.read.parquet(data_file).schema
+        # events_path may be a single parquet file (driver testdata) or a
+        # Spark-written directory of part files (e.g. the scale probe's
+        # replicas) — stage either shape into the watched dir.
+        if os.path.isdir(events_path):
+            parts = sorted(
+                f for f in os.listdir(events_path) if f.endswith(".parquet")
+            )
+            for i, p in enumerate(parts):
+                shutil.copy(
+                    os.path.join(events_path, p),
+                    os.path.join(work, f"part-{i:03d}.parquet"),
+                )
+            data_file = os.path.join(work, "part-000.parquet")
+        else:
+            data_file = os.path.join(work, "part-000.parquet")
+            shutil.copy(events_path, data_file)
+        staged_glob = os.path.join(work, "part-*.parquet")
+        schema = spark.read.parquet(staged_glob).schema
         ts_is_long = any(
             f.name == "ts" and isinstance(f.dataType, T.LongType)
             for f in schema.fields
         )
-        horizon = spark.read.parquet(data_file).agg(F.max("ts")).first()[0]
+        horizon = spark.read.parquet(staged_glob).agg(F.max("ts")).first()[0]
         if ts_is_long:  # nanos-as-long file: keep the sentinel in nanos
             sentinel_ts = int(horizon) + 4 * 3600 * 10**9
             ts_col = F.lit(sentinel_ts).cast("long")

@@ -504,6 +504,135 @@ def test_ivf_index_build_probe_prunes_and_matches(spark, tmpdir_path):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}_centroids")
 
 
+def test_ivf_index_append_equals_rebuild_and_touches_only_its_cells(spark):
+    """Incremental IVF maintenance: append(delta) over a base index must
+    equal a from-scratch build over the union (same centroids), create
+    files ONLY under the touched cell directories (untouched partitions'
+    file sets unchanged — the O(batch) cost claim), and be idempotent
+    under redelivery (the dedupe anti-join)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.engine import read_table
+    from logverzcore_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+        lcg_centroids,
+    )
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    cents = lcg_centroids(dim, 8)
+    inc, full = "ivf_append_test", "ivf_full_test"
+    try:
+        base = emb.where(F.col("vec_id") % 4 != 0)
+        delta = emb.where(F.col("vec_id") % 4 == 0)
+        ivf_index_build(base, inc, n_cells=8, centroids=cents)
+        files_before = {
+            f for f in spark.table(inc).inputFiles()
+        }
+        stats = ivf_index_append(spark, delta, inc)
+        assert stats["appended"] == delta.count() and stats["skipped_existing"] == 0
+
+        # untouched partitions: identical file sets; touched: superset
+        spark.catalog.refreshTable(inc)
+        files_after = {f for f in spark.table(inc).inputFiles()}
+        assert files_before <= files_after
+        touched = {str(c) for c in stats["touched_cells"]}
+        for f in files_after - files_before:
+            cell = f.split("cell=")[1].split("/")[0]
+            assert cell in touched
+
+        # contents equal a from-scratch build over the union
+        ivf_index_build(emb, full, n_cells=8, centroids=cents)
+        a = spark.table(inc).select("nid", "cell")
+        b = spark.table(full).select("nid", "cell")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+        # redelivering the same delta is a no-op
+        stats2 = ivf_index_append(spark, delta, inc)
+        assert stats2["appended"] == 0
+        assert stats2["skipped_existing"] == delta.count()
+        spark.catalog.refreshTable(inc)
+        assert spark.table(inc).count() == emb.count()
+    finally:
+        for t in (inc, full):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.sql(f"DROP TABLE IF EXISTS {t}_centroids")
+
+
+def test_ivf_index_recenter_refits_and_preserves_rows(spark):
+    """Recentering rebuilds the index from its own rows with fresh
+    centroids: same row set, a fresh centroid table, and probe still
+    answers (the drift-maintenance step for append-maintained indexes)."""
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.engine import read_table
+    from logverzcore_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_probe,
+        ivf_index_recenter,
+        lcg_centroids,
+    )
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    tbl = "ivf_recenter_test"
+    try:
+        # deliberately poor centroids (random directions) → recenter to
+        # data-fitted ones
+        ivf_index_build(emb, tbl, n_cells=8, centroids=lcg_centroids(dim, 8))
+        ids_before = sorted(r["nid"] for r in spark.table(tbl).select("nid").collect())
+        ivf_index_recenter(spark, tbl)
+        spark.catalog.refreshTable(tbl)
+        ids_after = sorted(r["nid"] for r in spark.table(tbl).select("nid").collect())
+        assert ids_before == ids_after
+        queries = emb.orderBy("vec_id").limit(2)
+        got = ivf_index_probe(spark, queries, tbl, k=3, nprobe=3)
+        assert (
+            got.groupBy("query_id").count().agg(F.min("count")).first()[0] >= 1
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_centroids")
+
+
+def test_ivf_append_stream_replay_idempotent(spark, tmpdir_path):
+    """Streaming wiring: an embedding stream folds into the index via
+    foreachBatch; replaying the same files through a FRESH stream (new
+    checkpoint — forced redelivery) adds no duplicate rows."""
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.engine import read_table
+    from logverzcore_spark.operators.similarity import ivf_index_build, lcg_centroids
+    from logverzcore_spark.streaming.ivf_stream import ivf_append_stream
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    base = emb.where(F.col("vec_id") % 4 != 0)
+    delta = emb.where(F.col("vec_id") % 4 == 0).select("vec_id", "embedding")
+    src = f"{tmpdir_path}/vec_stream"
+    delta.write.parquet(src)
+    tbl = "ivf_stream_test"
+    try:
+        ivf_index_build(base, tbl, n_cells=8, centroids=lcg_centroids(dim, 8))
+        schema = spark.read.parquet(src).schema
+        for ck in ("ck1", "ck2"):  # second pass = full redelivery
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = ivf_append_stream(
+                spark, stream, tbl,
+                checkpoint_dir=f"{tmpdir_path}/{ck}",
+            )
+            q.awaitTermination()
+        spark.catalog.refreshTable(tbl)
+        assert spark.table(tbl).count() == emb.count()
+        assert spark.table(tbl).select("nid").distinct().count() == emb.count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_centroids")
+
+
 def test_curate_embeddings_stage_handoff(spark):
     """Composition invariants: every selected vector is a semantic-dedup
     REPRESENTATIVE, no cell exceeds its quota, and the split labels
@@ -530,6 +659,45 @@ def test_curate_embeddings_stage_handoff(spark):
         }
     finally:
         out.unpersist()
+
+
+def test_parse_jpeg_meta_walks_segments(spark):
+    """JPEG SOF parsing must survive real segment-chain shapes: leading
+    APPn/DQT segments of arbitrary length, fill bytes before markers,
+    progressive SOF2, and must honestly report 'unknown' for truncated
+    chains, SOS-before-SOF, and non-JPEG bytes."""
+    import struct
+
+    from logverzcore_spark.operators.multimodal import parse_jpeg_meta
+
+    def seg(marker, body=b""):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sof(marker, w, h, ncomp=3):
+        body = b"\x08" + struct.pack(">HH", h, w) + bytes([ncomp]) + b"\x01\x22\x00" * ncomp
+        return seg(marker, body)
+
+    soi, eoi = b"\xff\xd8", b"\xff\xd9"
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, bytes(65))
+    rows = [
+        (1, bytearray(soi + app0 + dqt + sof(0xC0, 640, 480) + eoi)),
+        # fill bytes (0xFF padding) before the SOF marker
+        (2, bytearray(soi + app0 + b"\xff" + sof(0xC2, 1920, 1080) + eoi)),
+        # SOS before any SOF → unknown
+        (3, bytearray(soi + app0 + seg(0xDA, b"\x01\x01\x00") + eoi)),
+        # truncated segment length past the buffer → unknown
+        (4, bytearray(soi + b"\xff\xe1\xff\xff" + b"short")),
+        (5, bytearray(b"GIF89a not a jpeg")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in parse_jpeg_meta(df).collect()}
+    assert (got[1]["format"], got[1]["width"], got[1]["height"],
+            got[1]["n_components"], got[1]["progressive"]) == ("jpeg", 640, 480, 3, False)
+    assert (got[2]["format"], got[2]["width"], got[2]["height"],
+            got[2]["progressive"]) == ("jpeg", 1920, 1080, True)
+    for bad in (3, 4, 5):
+        assert got[bad]["format"] == "unknown" and got[bad]["width"] is None
 
 
 def test_sniff_wav_meta_on_genuine_header(spark):

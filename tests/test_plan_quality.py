@@ -233,6 +233,22 @@ def test_quality_ops_shuffle_only_for_fanout(spark, name):
     assert "hashpartitioning" not in fmt
 
 
+def test_minhash_signatures_have_zero_hash_exchanges(spark):
+    """The in-row MinHash signature computation (r4 rewrite) is a narrow
+    projection: one optional round-robin fan_out of the raw rows is the
+    ONLY exchange allowed — a hash repartition means the explode+groupBy
+    formulation crept back, reintroducing the per-doc aggregation
+    shuffle (and its skew exposure) at corpus scale."""
+    from logverzcore_spark.engine import read_table
+    from logverzcore_spark.operators.dedup import minhash_signature_sets
+
+    docs = read_table(spark, SF_DIR, "documents")
+    sig = minhash_signature_sets(docs, with_sets=True, persist=False)
+    fmt = _plan(spark, sig)
+    assert _n_exchanges(fmt) <= 1
+    assert "hashpartitioning" not in fmt
+
+
 def test_t09_sample_filter_reaches_scan(spark):
     """hash_sample is a deterministic filter; it must run before/at the
     scan boundary, not after a wide projection."""

@@ -50,6 +50,22 @@ def engine(spark, tmpdir_path):
         "ANALYZE TABLE qs_tab COMPUTE STATISTICS",
         "MERGE INTO qs_tab USING qs_tab s ON 1=1 WHEN MATCHED THEN DELETE",
         "EXPLAIN DROP TABLE qs_tab",
+        # Dynamic SQL dodges the gate entirely: the embedded string is
+        # parsed and RUN at execution time — denied even when the
+        # payload is a SELECT (r4).
+        "EXECUTE IMMEDIATE 'DROP TABLE qs_tab'",
+        "EXECUTE IMMEDIATE 'SELECT 1'",
+        "CALL some_procedure()",
+        # Arbitrary-JVM-invocation functions inside a pure SELECT —
+        # including buried in subqueries (a swallowed-exception bug let
+        # EXISTS bodies through), lambdas, and qualified names.
+        "SELECT reflect('java.lang.System', 'exit', 0)",
+        "SELECT java_method('java.lang.System', 'getProperty', 'user.dir')",
+        "SELECT BUILTIN.reflect('a', 'b')",
+        "SELECT 1 WHERE EXISTS (SELECT reflect('a', 'b'))",
+        "SELECT (SELECT java_method('x', 'y'))",
+        "SELECT transform(array(1), x -> reflect('a', 'b', x))",
+        "WITH c AS (SELECT reflect('a', 'b') AS r) SELECT * FROM c",
     ],
 )
 def test_gate_rejects(spark, bad):
@@ -643,6 +659,21 @@ def test_export_query_gated_and_manifested(spark, engine, tmpdir_path):
         fmt="csv",
     )
     assert man4["rows"] == 1
+
+    # jsonl: newline-delimited JSON, one object per row, round-trips
+    import glob
+    import json as _json
+
+    man5 = engine.export_query(
+        "SELECT id, v FROM qs_tab", f"{tmpdir_path}/exp_jsonl", fmt="jsonl"
+    )
+    assert man5["rows"] == 10 and man5["format"] == "jsonl"
+    lines = []
+    for f in glob.glob(f"{tmpdir_path}/exp_jsonl/part-*"):
+        with open(f) as fh:
+            lines += [ln for ln in fh.read().splitlines() if ln]
+    assert len(lines) == 10
+    assert sorted(_json.loads(ln)["id"] for ln in lines) == list(range(10))
 
     bob = User(name="bob", groups=[])
     with pytest.raises(PermissionError):
