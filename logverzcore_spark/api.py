@@ -145,8 +145,13 @@ class Engine:
             yield "[" + ",".join(buf) + "]"
         yield "EOF"
 
+    #: Optimizer-estimated result size above which ``sql_arrow`` picks
+    #: the bounded-memory streaming path when the caller didn't choose.
+    ARROW_COLLECT_MAX_EST_BYTES = 256 * 1024 * 1024
+
     def sql_arrow(self, query: str, user: User = ADMIN,
-                  max_rows_per_batch: int = 10_000, stream: bool = False):
+                  max_rows_per_batch: int = 10_000,
+                  stream: bool | None = None):
         """Arrow IPC wire protocol — the columnar counterpart of
         ``sql_chunked`` (modern clients: pandas/polars/ADBC consume IPC
         streams zero-copy, ~10× denser than row JSON for numeric
@@ -159,12 +164,12 @@ class Engine:
         serving boundary; both replacements below are measured against
         it on a 100k-row × 3-numeric-column result, local[8]):
 
-        - ``stream=False`` (default): ``df.toArrow()`` — the JVM
-          collects partitions directly as Arrow (no Python row objects,
-          no Python workers) and the driver yields zero-copy
+        - ``stream=False``: ``df.toArrow()`` — the JVM collects
+          partitions directly as Arrow (no Python row objects, no
+          Python workers) and the driver yields zero-copy
           ``Table.slice`` windows. ~20× the row path (1.63 s → 0.08 s).
           Driver memory holds the WHOLE result — right for interactive
-          results, which are small by construction.
+          results.
         - ``stream=True``: executors serialize their own Arrow batches
           to IPC bytes inside ``mapInArrow``; the driver re-slices one
           partition at a time (``toLocalIterator(prefetchPartitions)``)
@@ -173,6 +178,14 @@ class Engine:
           for truly huge results prefer ``export_query``). ~2× the row
           path (0.78 s) — the per-partition Python-worker round trip is
           the price of bounded memory.
+        - ``stream=None`` (default): decide from the optimizer's size
+          estimate — collect when it is under
+          ``ARROW_COLLECT_MAX_EST_BYTES``, stream otherwise. Missing
+          statistics propagate as LARGE estimates, so uncertainty errs
+          toward the bounded-memory path; a caller who knows better
+          passes the bool. This keeps the old contract's safety (the
+          pre-r4 path never materialized the result on the driver)
+          without paying its row-at-a-time cost.
 
         Partition order is preserved on both paths, so ORDER BY
         survives re-batching."""
@@ -181,6 +194,11 @@ class Engine:
         import pyarrow as pa
 
         df = self.sql(query, user)
+        if stream is None:
+            est = int(
+                str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            )
+            stream = est > self.ARROW_COLLECT_MAX_EST_BYTES
 
         def _ipc(table: pa.Table) -> bytes:
             sink = io.BytesIO()
@@ -259,6 +277,11 @@ class Engine:
         )
         if fmt == "csv":
             writer = writer.option("header", "true")
+        if fmt == "jsonl":
+            # Spark's json sink drops NULL fields per row by default,
+            # which makes the export lossy (NULL indistinguishable from
+            # column-absent) — keep every key on every line.
+            writer = writer.option("ignoreNullFields", "false")
         getattr(writer, "json" if fmt == "jsonl" else fmt)(out_dir)
         # File count from the filesystem (works for any scheme the
         # session can reach), not a data re-read.

@@ -230,7 +230,12 @@ def _hashed_shingle_rows(
     exist (the token-tuple hash is injective enough that tuple Jaccard
     equals string Jaccard up to 2^-64 collisions). ``fan_out`` first: a
     small parquet arrives as one partition and a projection under the
-    exchange would shingle on a single core."""
+    exchange would shingle on a single core.
+
+    This is the REFERENCE formulation for ``shingle_hash_array``'s
+    hashing: the live pipelines use the in-row array form, and
+    ``test_shingle_hash_array_matches_row_form`` pins the two
+    bit-identical — edit them together."""
     from logverzcore_spark.operators.util import fan_out
 
     df = fan_out(df)
@@ -290,11 +295,6 @@ def shingle_hash_array(tok_col: Column, n: int = 3) -> Column:
     return F.transform(valid, lambda s: F.xxhash64(*[s[f"s{j}"] for j in range(n)]))
 
 
-def shingle_hash_array_text(col: Column, n: int = 3) -> Column:
-    """Convenience form of ``shingle_hash_array`` over raw text. Fine
-    for one-shot projections; pipelines should stage ``tokens(col)``
-    into a column first (see ``shingle_hash_array``'s staging note)."""
-    return shingle_hash_array(tokens(col), n)
 
 
 def minhash_signature_sets(
@@ -339,8 +339,12 @@ def minhash_signature_sets(
     # is, unlike a*h+b, safe under ANSI overflow checking. Documents
     # with fewer than ``n`` tokens are excluded (no shingles → no
     # signature → no buckets), matching the aggregate form where such
-    # docs produced no rows. One output row per INPUT row — callers
-    # hand frames keyed by ``id_col``.
+    # docs produced no rows. One output row per INPUT row — ``id_col``
+    # must be unique (the pre-r4 groupBy form silently merged duplicate
+    # ids; this form would emit duplicate signature/hset rows and
+    # duplicate verified pairs downstream). Run ``exact_dedup`` /
+    # ``dedup_keep_first`` first — the already-documented pipeline
+    # order for duplicate-heavy corpora.
     toked = fan_out(df).select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_tk")
     )

@@ -783,11 +783,16 @@ def ivf_index_recenter(
     original centroids, so a shifting embedding distribution slowly
     overloads some cells, costing probe selectivity).
 
-    The corpus is staged through an eager localCheckpoint before the
-    overwrite (a table cannot be rebuilt from its own live files); at
-    warehouse scale, rebuild into a fresh table name and swap the
-    catalog entry instead (the ingest.optimize_table staging pattern) so
-    readers never see a partial index."""
+    MAINTENANCE-WINDOW operation: the index and centroid tables are two
+    separate writes, so between them a concurrent probe would select
+    cells by one generation's centroids over the other generation's row
+    assignment (silently wrong neighbors, no error) — drain
+    probes/appends for the rebuild. The corpus is staged through an
+    eager localCheckpoint before the overwrite (a table cannot be
+    rebuilt from its own live files); at warehouse scale, rebuild into
+    a fresh PAIR of table names and swap the catalog entry atomically
+    (the ingest.optimize_table staging pattern) so readers never see a
+    mixed-generation index."""
     current = spark.table(index_table).select("nid", "nvec")
     n = n_cells or spark.table(f"{index_table}_centroids").count()
     staged = current.localCheckpoint(eager=True)

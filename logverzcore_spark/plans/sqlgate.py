@@ -52,12 +52,13 @@ _FORBIDDEN_EXACT = {
 }
 
 #: Expression-level deny list: functions that invoke arbitrary JVM code
-#: from inside an otherwise-pure SELECT. ``reflect``/``java_method``
-#: call any accessible static method (``System.exit``, property reads,
-#: …) — the reference's RDS target has no such escape hatch, so a
+#: from inside an otherwise-pure SELECT. ``reflect``/``java_method``/
+#: ``try_reflect`` all lower to the same CallMethodViaReflection escape
+#: hatch (any accessible static method: ``System.exit``, property
+#: reads, …) — the reference's RDS target has no such hole, so a
 #: SELECT-only gate that forwards them to a shared Spark driver would be
 #: STRICTLY weaker than the semantics it reproduces.
-_DENIED_FUNCTIONS = {"reflect", "java_method"}
+_DENIED_FUNCTIONS = {"reflect", "java_method", "try_reflect"}
 
 #: Allowed exceptions (the reference lets users run EXPLAIN —
 #: Samplesqlqueries.txt:65).

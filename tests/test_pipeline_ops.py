@@ -32,6 +32,36 @@ def test_exact_dedup_partitions_all_docs(docs):
     assert out.where(F.col("keep_id").isNull()).count() == 0
 
 
+def test_shingle_hash_array_matches_row_form(spark):
+    """The in-row shingle-hash array must stay BIT-IDENTICAL to the
+    explode-based reference formulation (_hashed_shingle_rows): same
+    multi-arg xxhash64 over the same token tuples in the same order —
+    this test is the contract that lets the two implementations coexist
+    (streaming state tables hash with one, docs cite the other)."""
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.engine import read_table
+    from logverzcore_spark.operators.dedup import (
+        _hashed_shingle_rows,
+        shingle_hash_array,
+    )
+    from logverzcore_spark.operators.text import tokens
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = (
+        _hashed_shingle_rows(docs)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("h")).alias("hs"))
+    )
+    arrays = docs.select(
+        "doc_id", tokens(F.col("text")).alias("_tk")
+    ).select(
+        "doc_id", F.sort_array(shingle_hash_array(F.col("_tk"))).alias("hs")
+    ).where(F.size("hs") > 0)
+    assert rows.exceptAll(arrays).count() == 0
+    assert arrays.exceptAll(rows).count() == 0
+
+
 def test_minhash_candidates_superset_of_high_jaccard(docs):
     """Every pair the exact Jaccard finds at 0.7 must be found by LSH
     (recall ~1 at r=2,b=64)."""

@@ -60,6 +60,7 @@ def engine(spark, tmpdir_path):
         # including buried in subqueries (a swallowed-exception bug let
         # EXISTS bodies through), lambdas, and qualified names.
         "SELECT reflect('java.lang.System', 'exit', 0)",
+        "SELECT try_reflect('java.lang.System', 'exit', 0)",
         "SELECT java_method('java.lang.System', 'getProperty', 'user.dir')",
         "SELECT BUILTIN.reflect('a', 'b')",
         "SELECT 1 WHERE EXISTS (SELECT reflect('a', 'b'))",

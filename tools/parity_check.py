@@ -84,6 +84,9 @@ def main() -> int:
     json_out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            print("usage: parity_check.py [sf_dir] [query ...] [--json OUT]")
+            return 2
         json_out = args[i + 1]
         del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
@@ -112,6 +115,24 @@ def main() -> int:
             "oracle_rows": oracle_rows, "err": err, "secs": secs,
         }
 
+    def check_and_restore_drift(name: str) -> dict:
+        """Diff guarded confs against the baseline and RESTORE any drift
+        (one leaky entry must not cascade into later ones). Runs on the
+        error path too — an entry that mutates a conf and then throws
+        would otherwise leak the drift into every later entry, falsely
+        failing them."""
+        drift = {
+            k: (baseline_confs[k], now)
+            for k, now in conf_snapshot(spark).items()
+            if now != baseline_confs[k]
+        }
+        for k, (prior, _) in drift.items():
+            if prior is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, prior)
+        return drift
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -122,25 +143,16 @@ def main() -> int:
             srows = sdf.collect()
         except Exception as exc:
             failures.append(name)
+            check_and_restore_drift(name)
             record(name, err=f"spark error: {exc}", secs=round(time.time() - t0, 2))
             print(f"FAIL {name}: spark error: {exc}")
             continue
-        drift = {
-            k: (baseline_confs[k], now)
-            for k, now in conf_snapshot(spark).items()
-            if now != baseline_confs[k]
-        }
+        drift = check_and_restore_drift(name)
         if drift:
             failures.append(name)
             record(name, spark_rows=len(srows), err=f"conf drift: {drift}",
                    secs=round(time.time() - t0, 2))
             print(f"FAIL {name}: session-conf drift {drift}")
-            # restore so one leaky entry doesn't cascade into later ones
-            for k, (prior, _) in drift.items():
-                if prior is None:
-                    spark.conf.unset(k)
-                else:
-                    spark.conf.set(k, prior)
             continue
         secs = round(time.time() - t0, 2)
         if name not in oracles:
