@@ -328,11 +328,14 @@ def sniff_image_meta(
     - PNG: 8-byte signature, then the IHDR chunk puts width/height as
       big-endian uint32 at offsets 17/21 (1-based);
     - GIF87a/89a: 'GIF8' magic, width/height as little-endian uint16 at
-      offsets 7/9.
+      offsets 7/9;
+    - WebP (RIFF....WEBP), all three first-chunk layouts: VP8X extended
+      (canvas-1 as 24-bit LE at 25/28), VP8L lossless (14+14-bit
+      dims-1 packed LE starting at 22, after the 0x2F signature), and
+      VP8 lossy (14-bit dims LE at 27/29, after the 9D012A sync code).
     Anything else (incl. JPEG, whose dimensions sit in a variable-offset
-    SOF marker) reports format 'unknown' with NULL dims — the honest
-    answer a fixed-offset sniffer can give; route those to the real
-    decode stage (stubbed here: no codecs in this container).
+    SOF marker — see ``parse_jpeg_meta``) reports format 'unknown' with
+    NULL dims — the honest answer a fixed-offset sniffer can give.
 
     Big-endian ints decode as ``conv(hex(substring(payload, off, n)))``;
     little-endian by summing the two bytes explicitly. All codegen'd
@@ -351,15 +354,61 @@ def sniff_image_meta(
         b1 = F.conv(F.hex(F.expr(f"substring({p}, {off + 1}, 1)")), 16, 10)
         return (b0.cast("int") + 256 * b1.cast("int")).cast("int")
 
+    def le24(off: int):
+        b0 = F.conv(F.hex(F.expr(f"substring({p}, {off}, 1)")), 16, 10)
+        b1 = F.conv(F.hex(F.expr(f"substring({p}, {off + 1}, 1)")), 16, 10)
+        b2 = F.conv(F.hex(F.expr(f"substring({p}, {off + 2}, 1)")), 16, 10)
+        return (
+            b0.cast("int") + 256 * b1.cast("int") + 65536 * b2.cast("int")
+        ).cast("int")
+
+    def le32(off: int):
+        return (le24(off) + 16777216 * (
+            F.conv(F.hex(F.expr(f"substring({p}, {off + 3}, 1)")), 16, 10)
+            .cast("long")
+        )).cast("long")
+
     is_png = F.hex(F.expr(f"substring({p}, 1, 8)")) == "89504E470D0A1A0A"
     is_gif = F.expr(f"substring({p}, 1, 4) = binary('GIF8')")
+    is_riff_webp = F.expr(
+        f"substring({p}, 1, 4) = binary('RIFF') AND "
+        f"substring({p}, 9, 4) = binary('WEBP')"
+    )
+    chunk = F.expr(f"substring({p}, 13, 4)")
+    is_vp8x = is_riff_webp & (chunk == F.expr("binary('VP8X')"))
+    # VP8L: signature byte 0x2F right after the chunk header.
+    is_vp8l = (
+        is_riff_webp
+        & (chunk == F.expr("binary('VP8L')"))
+        & (F.hex(F.expr(f"substring({p}, 21, 1)")) == "2F")
+    )
+    # VP8 lossy: 3-byte frame tag then the 9D 01 2A sync code.
+    is_vp8 = (
+        is_riff_webp
+        & (chunk == F.expr("binary('VP8 ')"))
+        & (F.hex(F.expr(f"substring({p}, 24, 3)")) == "9D012A")
+    )
+    vp8l_bits = le32(22)  # 14-bit width-1, then 14-bit height-1
     fmt = (
         F.when(is_png, F.lit("png"))
         .when(is_gif, F.lit("gif"))
+        .when(is_vp8x | is_vp8l | is_vp8, F.lit("webp"))
         .otherwise(F.lit("unknown"))
     )
-    width = F.when(is_png, be32(17)).when(is_gif, le16(7))
-    height = F.when(is_png, be32(21)).when(is_gif, le16(9))
+    width = (
+        F.when(is_png, be32(17))
+        .when(is_gif, le16(7))
+        .when(is_vp8x, le24(25) + 1)
+        .when(is_vp8l, (vp8l_bits % 16384 + 1).cast("int"))
+        .when(is_vp8, (le16(27) % 16384).cast("int"))
+    )
+    height = (
+        F.when(is_png, be32(21))
+        .when(is_gif, le16(9))
+        .when(is_vp8x, le24(28) + 1)
+        .when(is_vp8l, ((vp8l_bits.cast("long") / 16384).cast("long") % 16384 + 1).cast("int"))
+        .when(is_vp8, (le16(29) % 16384).cast("int"))
+    )
     return df.select(
         F.col(id_col),
         fmt.alias("format"),

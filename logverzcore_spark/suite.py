@@ -1013,6 +1013,47 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, threshold=0.7)
 
 
+@query(
+    "d15_winnow_overlap",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(t)-2, 0)+1),
+                    i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS hs
+      FROM tok
+    ), win AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+                    range(1, greatest(len(hs)-4+1, 0)+1),
+                    i -> list_min(hs[i:i+3])))) AS fp
+      FROM sh
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n FROM win GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      FROM win a JOIN win b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id1, id2, ROUND(c * 1.0 / (s1.n + s2.n - c), 4) AS winnow_jaccard
+    FROM inter JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+    WHERE ROUND(c * 1.0 / (s1.n + s2.n - c), 4) >= 0.4
+    """,
+)
+def d15_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint overlap pairs (MOSS selection,
+    ``dedup.winnow_overlap_pairs``): positional 3-gram md5 hashes,
+    4-hash sliding-window minima, inverted-index join over the SELECTED
+    fingerprints only (~2/(w+1) of the shingle volume). The oracle
+    replays the exact selection in SQL — md5 is engine-portable, unlike
+    the xxhash64 the speed-first operators use — so the window minima,
+    dedup, and jaccard all verify hash-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.winnow_overlap_pairs(docs, threshold=0.4)
+
+
 @query("d04_simhash_pairs")  # xxhash64 is not reproducible in the oracle → rows-only check
 def d04_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3) via banded chunk join."""
@@ -4270,15 +4311,18 @@ def q79_approx_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q48b_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q48's HLL rollup, graduated from rows-only to hash-verified: at
-    this cardinality the DataSketches HLL is still in its exact
-    coupon-list regime (promotion to estimating HLL_4 happens around
-    3/4·2^lgK coupons), so per-type estimates AND the merged __all__
-    union equal exact COUNT(DISTINCT) — which the oracle states in SQL.
-    The pytest companion forces the estimating regime at 200k ids and
-    asserts the published error bound instead."""
+    lgK=19 the DataSketches HLL stays in its exact coupon-list regime
+    up to ~3/4·2^19 ≈ 393k coupons (promotion to estimating HLL_4 is
+    the regime boundary), so per-type estimates AND the merged __all__
+    union equal exact COUNT(DISTINCT) — which the oracle states in SQL
+    — at sf0.01 (~1.5k users) AND sf0.1 (~100k users; the lgK=12
+    default promoted there and broke the exactness claim, see
+    PARITY_r4_sf0.1 history). The pytest companion forces the
+    estimating regime at 200k ids under lgK=12 and asserts the
+    published error bound instead."""
     ev = _t(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
+        F.hll_sketch_agg("user_id", F.lit(19)).alias("sk"),
         F.count(F.lit(1)).alias("n_events"),
     )
     return per_type.select(
@@ -6794,6 +6838,74 @@ def m11_jpeg_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.encode("text", "UTF-8"))
     )
     return parse_jpeg_meta(docs.select("doc_id", payload.alias("payload")))
+
+
+@query(
+    "m12_webp_header_probe",
+    oracle="""
+    SELECT doc_id,
+      CASE WHEN doc_id % 4 < 3 THEN 'webp' ELSE 'unknown' END AS format,
+      CASE WHEN doc_id % 4 < 3
+           THEN CAST(1 + doc_id % 16383 AS INTEGER) END AS width,
+      CASE WHEN doc_id % 4 < 3
+           THEN CAST(1 + (doc_id * 3) % 16383 AS INTEGER) END AS height,
+      CASE WHEN doc_id % 4 < 3
+           THEN CAST(1 + doc_id % 16383 AS BIGINT)
+                * (1 + (doc_id * 3) % 16383) END AS n_pixels
+    FROM documents
+    """,
+)
+def m12_webp_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP dimension sniffing across ALL THREE first-chunk layouts
+    (``multimodal.sniff_image_meta``): VP8X extended (24-bit LE
+    canvas-1), VP8L lossless (14+14-bit packed dims-1 behind the 0x2F
+    signature), VP8 lossy (14-bit dims behind the 9D012A sync code) —
+    each still a FIXED-offset parse, so the sniffer stays codegen-only
+    (no Python in the plan, same as m09). The graded round trip builds
+    byte-exact container bytes per layout from doc_id (cycling layouts
+    with doc_id % 4; every fourth doc is text → 'unknown'), parses them
+    back, and the oracle restates the dims arithmetically — a bit-shift
+    or offset error in any layout breaks the hash."""
+    from logverzcore_spark.operators.multimodal import sniff_image_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    w = (1 + F.col("doc_id") % 16383).cast("int")
+    h = (1 + (F.col("doc_id") * 3) % 16383).cast("int")
+
+    def le_pack(c, nbytes):
+        parts = [
+            F.lpad(F.hex((c / (256 ** i)).cast("long") % 256), 2, "0")
+            for i in range(nbytes)
+        ]
+        return F.unhex(F.concat(*parts))
+
+    riff = F.concat(
+        F.encode(F.lit("RIFF"), "UTF-8"), le_pack(F.lit(30), 4),
+        F.encode(F.lit("WEBP"), "UTF-8"),
+    )
+    vp8x = F.concat(
+        riff, F.encode(F.lit("VP8X"), "UTF-8"), le_pack(F.lit(10), 4),
+        F.unhex(F.lit("00000000")),  # flags + reserved
+        le_pack(w - 1, 3), le_pack(h - 1, 3),
+    )
+    vp8l = F.concat(
+        riff, F.encode(F.lit("VP8L"), "UTF-8"), le_pack(F.lit(5), 4),
+        F.unhex(F.lit("2F")),
+        le_pack((w - 1) + 16384 * (h - 1).cast("long"), 4),
+    )
+    vp8 = F.concat(
+        riff, F.encode(F.lit("VP8 "), "UTF-8"), le_pack(F.lit(10), 4),
+        F.unhex(F.lit("000000")),  # frame tag
+        F.unhex(F.lit("9D012A")),  # sync code
+        le_pack(w, 2), le_pack(h, 2),
+    )
+    payload = (
+        F.when(F.col("doc_id") % 4 == 0, vp8x)
+        .when(F.col("doc_id") % 4 == 1, vp8l)
+        .when(F.col("doc_id") % 4 == 2, vp8)
+        .otherwise(F.encode("text", "UTF-8"))
+    )
+    return sniff_image_meta(docs.select("doc_id", payload.alias("payload")))
 
 
 @query(

@@ -32,6 +32,47 @@ def test_exact_dedup_partitions_all_docs(docs):
     assert out.where(F.col("keep_id").isNull()).count() == 0
 
 
+def test_winnow_guarantee_and_density(spark):
+    """Winnowing's two contracts: (a) any shared token run of length
+    ≥ n + window - 1 (= 6 tokens here) yields at least one COMMON
+    selected fingerprint — the detection guarantee; (b) the selected
+    set is much smaller than the full shingle set (expected density
+    ~2/(window+1))."""
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-token shared run
+    rows = [
+        (1, f"one two three {shared} four five six seven"),
+        (2, f"red green blue cyan {shared} magenta yellow black white"),
+        (3, "totally different words with no overlap at all here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df).cache()
+    try:
+        by_doc = {
+            r["doc_id"]: set(r["fps"])
+            for r in fps.groupBy("doc_id").agg(
+                F.collect_set("fp").alias("fps")
+            ).collect()
+        }
+        # (a) guarantee: docs 1 and 2 share a fingerprint; 3 shares none
+        assert by_doc[1] & by_doc[2]
+        assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+        # (b) density: far fewer fingerprints than shingles (len-2 per doc)
+        n_shingles = sum(len(t.split()) - 2 for _, t in rows)
+        assert sum(len(v) for v in by_doc.values()) < n_shingles
+        # pair surface agrees
+        pairs = winnow_overlap_pairs(df, threshold=0.01).collect()
+        assert {(r["id1"], r["id2"]) for r in pairs} == {(1, 2)}
+    finally:
+        fps.unpersist()
+
+
 def test_shingle_hash_array_matches_row_form(spark):
     """The in-row shingle-hash array must stay BIT-IDENTICAL to the
     explode-based reference formulation (_hashed_shingle_rows): same
@@ -689,6 +730,53 @@ def test_curate_embeddings_stage_handoff(spark):
         }
     finally:
         out.unpersist()
+
+
+def test_sniff_webp_meta_all_three_layouts(spark):
+    """WebP dims from genuine container bytes for VP8X (24-bit LE
+    canvas), VP8L (14+14-bit packed), and VP8 lossy (sync-coded 14-bit)
+    — plus honest 'unknown' when the layout signature is absent. Stays
+    codegen-only (no Python eval nodes in the plan)."""
+    import struct
+
+    from logverzcore_spark.operators.multimodal import sniff_image_meta
+
+    def riff(chunk: bytes) -> bytes:
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    def vp8x(w, h):
+        body = b"\x00\x00\x00\x00" + struct.pack("<I", w - 1)[:3] + struct.pack("<I", h - 1)[:3]
+        return riff(b"VP8X" + struct.pack("<I", len(body)) + body)
+
+    def vp8l(w, h):
+        bits = (w - 1) | ((h - 1) << 14)
+        body = b"\x2f" + struct.pack("<I", bits)
+        return riff(b"VP8L" + struct.pack("<I", len(body)) + body)
+
+    def vp8(w, h):
+        body = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", w, h)
+        return riff(b"VP8 " + struct.pack("<I", len(body)) + body)
+
+    rows = [
+        (1, bytearray(vp8x(4000, 3000))),
+        (2, bytearray(vp8l(1234, 5678))),
+        (3, bytearray(vp8(640, 480))),
+        # VP8L without the 0x2F signature byte → unknown
+        (4, bytearray(riff(b"VP8L" + struct.pack("<I", 5) + b"\x00" + struct.pack("<I", 99)))),
+        # VP8 without the 9D012A sync code → unknown
+        (5, bytearray(riff(b"VP8 " + struct.pack("<I", 10) + bytes(10)))),
+        (6, bytearray(b"RIFF1234WAVEfmt  not an image")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    sniffed = sniff_image_meta(df)
+    got = {r["doc_id"]: r for r in sniffed.collect()}
+    assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("webp", 4000, 3000)
+    assert (got[2]["format"], got[2]["width"], got[2]["height"]) == ("webp", 1234, 5678)
+    assert (got[3]["format"], got[3]["width"], got[3]["height"]) == ("webp", 640, 480)
+    for bad in (4, 5, 6):
+        assert got[bad]["format"] == "unknown" and got[bad]["width"] is None
+    plan = sniffed._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_parse_jpeg_meta_walks_segments(spark):
