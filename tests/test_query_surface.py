@@ -616,6 +616,16 @@ def test_preferences_store_put_get_acl(tmpdir_path):
     # owner delete works
     again.delete("alice.theme", alice)
     assert again.get("alice.theme") is None
+    # group-based ownership: an item owned by a GROUP is updatable by
+    # any member (the reference resolves Owners against user+groups)
+    team = User(name="tina", groups=["dashboards"])
+    outsider = User(name="oscar", groups=["other"])
+    prefs.put("team.layout", {"cols": 3}, team)
+    prefs._items["team.layout"].Owners = ["dashboards"]
+    prefs.put("team.layout", {"cols": 4}, team)
+    with pytest.raises(PermissionError):
+        prefs.put("team.layout", {"cols": 5}, outsider)
+    assert prefs.get("team.layout").Value == {"cols": 4}
 
 
 def test_range_bounds_rejects_empty_and_nulls(spark):
@@ -661,12 +671,16 @@ def test_export_query_gated_and_manifested(spark, engine, tmpdir_path):
     )
     assert man4["rows"] == 1
 
-    # jsonl: newline-delimited JSON, one object per row, round-trips
+    # jsonl: newline-delimited JSON, one object per row, round-trips —
+    # and NULL columns serialize as explicit null (ignoreNullFields off),
+    # so a consumer can distinguish NULL from column-absent.
     import glob
     import json as _json
 
     man5 = engine.export_query(
-        "SELECT id, v FROM qs_tab", f"{tmpdir_path}/exp_jsonl", fmt="jsonl"
+        "SELECT id, CASE WHEN id % 2 = 0 THEN v END AS v FROM qs_tab",
+        f"{tmpdir_path}/exp_jsonl",
+        fmt="jsonl",
     )
     assert man5["rows"] == 10 and man5["format"] == "jsonl"
     lines = []
@@ -674,7 +688,10 @@ def test_export_query_gated_and_manifested(spark, engine, tmpdir_path):
         with open(f) as fh:
             lines += [ln for ln in fh.read().splitlines() if ln]
     assert len(lines) == 10
-    assert sorted(_json.loads(ln)["id"] for ln in lines) == list(range(10))
+    objs = [_json.loads(ln) for ln in lines]
+    assert sorted(o["id"] for o in objs) == list(range(10))
+    assert all("v" in o for o in objs)  # NULL rows keep the key
+    assert sum(1 for o in objs if o["v"] is None) == 5
 
     bob = User(name="bob", groups=[])
     with pytest.raises(PermissionError):
