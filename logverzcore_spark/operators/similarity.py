@@ -715,8 +715,11 @@ def ivf_index_append(
     re-fits and rebuilds once.
 
     ``dedupe=True`` drops batch ids already present in their target
-    cells, making at-least-once redelivery (foreachBatch) idempotent.
-    Returns {"touched_cells", "appended", "skipped_existing"}.
+    cells AND ids duplicated within the batch itself (a redelivered
+    source can repeat a row inside one micro-batch just as easily as
+    across two), making at-least-once redelivery (foreachBatch)
+    idempotent per row. Returns
+    {"touched_cells", "appended", "skipped_existing"}.
     """
     cent_rows = spark.table(f"{index_table}_centroids").orderBy("cell").collect()
     cmat = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
@@ -744,6 +747,13 @@ def ivf_index_append(
         r["cell"] for r in assigned.select("cell").distinct().collect()
     )
     n_batch = assigned.count()
+    if dedupe:
+        # In-batch duplicates would both survive the against-stored
+        # anti-join (neither is stored yet) and break the per-row
+        # idempotence / append-equals-rebuild claims — collapse them
+        # first. Same-id rows carry the same vector, so any survivor
+        # is correct.
+        assigned = assigned.dropDuplicates(["nid"])
     if dedupe and touched:
         # A prior append (possibly from another fold invocation on the
         # same session) may have left a stale cached file listing; the

@@ -679,14 +679,22 @@ def run_stream_stream_outer_join(
         # Spark-written directory of part files (e.g. the scale probe's
         # replicas) — stage either shape into the watched dir.
         if os.path.isdir(events_path):
+            # Walk recursively: a partitioned Spark output keeps its part
+            # files under key=value subdirectories, not at the top level.
             parts = sorted(
-                f for f in os.listdir(events_path) if f.endswith(".parquet")
+                os.path.join(root, f)
+                for root, _dirs, files in os.walk(events_path)
+                for f in files
+                if f.endswith(".parquet")
             )
-            for i, p in enumerate(parts):
-                shutil.copy(
-                    os.path.join(events_path, p),
-                    os.path.join(work, f"part-{i:03d}.parquet"),
+            if not parts:
+                raise ValueError(
+                    f"no *.parquet part files found under {events_path!r} "
+                    "(searched recursively) — nothing to stage for the "
+                    "stream-stream join replay"
                 )
+            for i, p in enumerate(parts):
+                shutil.copy(p, os.path.join(work, f"part-{i:03d}.parquet"))
             data_file = os.path.join(work, "part-000.parquet")
         else:
             data_file = os.path.join(work, "part-000.parquet")

@@ -198,7 +198,12 @@ def daily_user_sketch_frame(
     )
 
 
-def make_sketch_fold(spark: SparkSession, rollup_table: str, ts_col: str = "ts"):
+def make_sketch_fold(
+    spark: SparkSession,
+    rollup_table: str,
+    ts_col: str = "ts",
+    lg_config_k: int = ROLLUP_LG_CONFIG_K,
+):
     """Per-micro-batch fold for the distinct-user sketch rollup.
 
     Unlike the hourly rollup's dynamic partition overwrite, the merged
@@ -208,15 +213,23 @@ def make_sketch_fold(spark: SparkSession, rollup_table: str, ts_col: str = "ts")
     constant-cost driver-side metadata operation even when the stream
     behind it is 100 TB. Idempotent under foreachBatch's at-least-once
     replay via the same ``<table>_meta`` last-batch-id marker as
-    ``make_fold``."""
+    ``make_fold``.
+
+    ``lg_config_k`` is forwarded to the batch-side sketches so callers
+    can't create a stored-vs-batch precision mismatch; the merge also
+    passes ``allowDifferentLgConfigK`` so a rollup table persisted
+    under an OLDER default (e.g. the pre-r4 lgK=12) keeps folding after
+    an upgrade — DataSketches downgrades the union to the smaller lgK,
+    which is the honest semantics for mixed-precision history (you
+    can't retroactively add precision to stored sketches)."""
     meta_table = f"{rollup_table}_meta"
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= _last_applied_batch(spark, meta_table):
             return
-        batch_sk = daily_user_sketch_frame(batch_df, ts_col).withColumn(
-            "last_batch", F.lit(int(batch_id))
-        )
+        batch_sk = daily_user_sketch_frame(
+            batch_df, ts_col, lg_config_k=lg_config_k
+        ).withColumn("last_batch", F.lit(int(batch_id)))
         if spark.catalog.tableExists(rollup_table):
             # Post-write/pre-meta crash replay guard: the rewritten table
             # itself carries the folding batch id (the rewrite is one
@@ -233,7 +246,10 @@ def make_sketch_fold(spark: SparkSession, rollup_table: str, ts_col: str = "ts")
                 .agg(
                     # Aggregate-of-aggregates for sketches: HLL union is
                     # the sketch-domain analog of SUM over partial counts.
-                    F.hll_union_agg("user_sk").alias("user_sk"),
+                    # allowDifferentLgConfigK: stored rows from an older
+                    # lgK default must keep merging (union precision
+                    # downgrades to the minimum lgK present).
+                    F.hll_union_agg(F.col("user_sk"), F.lit(True)).alias("user_sk"),
                     F.sum("n_events").alias("n_events"),
                     F.max("last_batch").alias("last_batch"),
                 )
@@ -254,13 +270,14 @@ def incremental_user_sketch_rollup(
     ts_col: str = "ts",
     checkpoint_dir: str | None = None,
     available_now: bool = True,
+    lg_config_k: int = ROLLUP_LG_CONFIG_K,
 ) -> StreamingQuery:
     """Maintain a per-day distinct-user HLL sketch table from an event
     stream. Each micro-batch's sketches merge into the stored ones via
     ``hll_union_agg`` — the streaming form of the reference's rollup
     reporting path, but re-aggregatable: week/month distinct users come
     from unioning day sketches, never from rescanning events."""
-    fold = make_sketch_fold(spark, rollup_table, ts_col)
+    fold = make_sketch_fold(spark, rollup_table, ts_col, lg_config_k=lg_config_k)
     checkpoint = checkpoint_dir or os.path.join(
         tempfile.gettempdir(), f"lvz_skrollup_{uuid.uuid4().hex[:8]}"
     )

@@ -4320,9 +4320,11 @@ def q48b_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     PARITY_r4_sf0.1 history). The pytest companion forces the
     estimating regime at 200k ids under lgK=12 and asserts the
     published error bound instead."""
+    from logverzcore_spark.streaming.rollup import ROLLUP_LG_CONFIG_K
+
     ev = _t(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id", F.lit(19)).alias("sk"),
+        F.hll_sketch_agg("user_id", F.lit(ROLLUP_LG_CONFIG_K)).alias("sk"),
         F.count(F.lit(1)).alias("n_events"),
     )
     return per_type.select(

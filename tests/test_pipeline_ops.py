@@ -627,6 +627,23 @@ def test_ivf_index_append_equals_rebuild_and_touches_only_its_cells(spark):
         assert stats2["skipped_existing"] == delta.count()
         spark.catalog.refreshTable(inc)
         assert spark.table(inc).count() == emb.count()
+
+        # duplicates WITHIN one batch (a redelivered source can repeat a
+        # row inside a single micro-batch) must also collapse: fresh ids
+        # appended once each, repeats counted as skipped, no dup rows.
+        fresh = spark.range(100000, 100003).select(
+            F.col("id").alias("vec_id"),
+            F.expr(f"array_repeat(cast(0.5 as double), {dim})").alias("embedding"),
+        )
+        doubled = fresh.unionByName(fresh)
+        stats3 = ivf_index_append(spark, doubled, inc)
+        assert stats3["appended"] == 3
+        assert stats3["skipped_existing"] == 3
+        spark.catalog.refreshTable(inc)
+        dupes = (
+            spark.table(inc).groupBy("nid").count().where(F.col("count") > 1)
+        )
+        assert dupes.count() == 0
     finally:
         for t in (inc, full):
             spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -124,3 +124,42 @@ def test_sketch_fold_merges_and_is_idempotent(spark, _events_df):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {table}_meta")
+
+
+def test_sketch_fold_merges_across_lgk_upgrade(spark, _events_df):
+    """A rollup table persisted under an OLDER lgK default must keep
+    folding after the default changes: hll_union_agg is called with
+    allowDifferentLgConfigK, so the union downgrades to the minimum lgK
+    instead of hard-failing on the first post-upgrade micro-batch
+    (regression: r4 moved the default 12→19 and the fold would have
+    thrown on any pre-r4 table)."""
+    from logverzcore_spark.streaming.rollup import make_sketch_fold
+
+    table = "t_skfold_lgk"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_meta")
+    try:
+        # Batch 0 stored under the old default (lgK=12)...
+        make_sketch_fold(spark, table, lg_config_k=12)(_events_df, 0)
+        # ...then the deployment upgrades and batch 1 arrives at lgK=19.
+        late = spark.range(50, 80).select(
+            F.lit("2024-01-01 18:00:00").cast("timestamp").alias("ts"),
+            F.col("id").alias("user_id"),
+        )
+        make_sketch_fold(spark, table, lg_config_k=19)(late, 1)
+        est = {
+            r["day"]: r["est"]
+            for r in spark.table(table)
+            .select(
+                F.date_format("day_ts", "yyyy-MM-dd").alias("day"),
+                F.hll_sketch_estimate("user_sk").cast("bigint").alias("est"),
+            )
+            .collect()
+        }
+        # Union downgraded to lgK=12 — still the exact coupon regime at
+        # these cardinalities, so counts stay exact: 0..79 = 80 distinct.
+        assert est["2024-01-01"] == 80
+        assert est["2024-01-02"] == 50
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_meta")
