@@ -57,10 +57,15 @@ def main() -> None:
     # one trivial count per input table loads its parquet footer and file
     # index (the queries themselves still run cold — codegen and all).
     SUITE["q02_part_filter"](spark, sf_dir).count()
-    from logverzcore_spark.engine import read_table
+    from logverzcore_spark.engine import SF_TABLES, read_table
 
-    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
-        read_table(spark, sf_dir, t).count()
+    # Warm EVERY table present in the sf dir (not a hand-picked list):
+    # any headline entry's first rep would otherwise absorb first-touch
+    # footer/file-index reads for tables the list missed, inflating
+    # value_first_pass (r4 verdict, bench warm-up completeness).
+    for t in SF_TABLES:
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            read_table(spark, sf_dir, t).count()
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _rep in range(REPS):
         for name in HEADLINE:

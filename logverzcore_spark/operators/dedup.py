@@ -404,7 +404,7 @@ def minhash_signature_sets(
     with_sets: bool = True,
     persist: bool = True,
 ) -> DataFrame:
-    """Per-doc MinHash signature columns (m0..m{k-1}) AND the distinct
+    """Per-doc MinHash signature (packed ``sig`` array, k mins) AND the distinct
     shingle-hash set, with ZERO shuffle. Shared by the batch LSH
     pipeline and the streaming near-dup state builder — identical
     hashing keeps their buckets interoperable. Returned frame is
@@ -469,12 +469,13 @@ def minhash_signature_sets(
         ),
     )
     sets = [F.array_distinct("_hs").alias("hset")] if with_sets else []
-    packed = staged.select("doc_id", mins_arr.alias("_m"), *sets)
-    sig_df = packed.select(
-        "doc_id",
-        *[F.get("_m", i).alias(f"m{i}") for i in range(num_hashes)],
-        *([c for c in ("hset",)] if with_sets else []),
-    )
+    # The signature stays ONE array column (``sig``), not k scalar
+    # columns: identical values either way, but the packed form keeps
+    # the plan k× narrower — at k=32 the exploded-column form added a
+    # 32-projection layer whose codegen dominated d03's first-pass JIT
+    # cost (r5 breakdown; the banding consumer reads the same elements
+    # via ``F.get``, bit-identical buckets).
+    sig_df = staged.select("doc_id", mins_arr.alias("sig"), *sets)
     if persist:
         sig_df = sig_df.persist()
         sig_df.count()  # eager barrier (see docstring)
@@ -485,14 +486,17 @@ def minhash_band_buckets(
     sig_df: DataFrame, num_hashes: int = 32, bands: int = 16
 ) -> DataFrame:
     """(doc_id, band, bucket) rows from a signature frame: each band's
-    ``rows`` signature mins hash into one bucket id. Band indices are
-    literals, so the whole expansion stays inside codegen."""
+    ``rows`` signature mins (elements of the packed ``sig`` array) hash
+    into one bucket id. Band indices are literals, so the whole
+    expansion stays inside codegen; bucket values are bit-identical to
+    the pre-r5 m-column form (same xxhash64 over the same elements)."""
     rows = num_hashes // bands
     band_structs = [
         F.struct(
             F.lit(band).alias("band"),
             F.xxhash64(
-                F.lit(band), *[F.col(f"m{band * rows + j}") for j in range(rows)]
+                F.lit(band),
+                *[F.get("sig", band * rows + j) for j in range(rows)],
             ).alias("bucket"),
         )
         for band in range(bands)
@@ -527,6 +531,20 @@ def minhash_lsh_pairs(
     sets only for the (tiny) candidate id set via a broadcast semi-join
     + in-row ``array_distinct`` — shingle-set arrays are never
     materialized corpus-wide (at 100 TB they wouldn't fit anywhere).
+
+    Measured stage attribution (r5, sf0.1 = 5k docs, local[32];
+    ``tools/d03_breakdown.py``, artifact ``BREAKDOWN_d03_r5.json``):
+    scan+tokenize+shingle ~0.5-0.7 s, k-min fold ~0.2 s, banding ~0.1 s,
+    candidate groupBy+expand ~0.5 s, verify ~0.7-1.1 s; warm total
+    ~2.3 s, vs 3.78 s median in r4. The r4 suspicion that the
+    interpreted k-min fold dominated was WRONG — at this SF the wall
+    time is dominated by fixed per-job costs (AQE stage round-trips,
+    32-task scheduling over 5k rows, broadcast builds), which amortize
+    away at real scale. r5 removed the three avoidable fixed costs:
+    the verify's double ``cand_sets`` build (melt+groupBy join shape,
+    one consumer), the redundant pair ``distinct`` (the verify groupBy
+    already collapses repeats), and the second broadcast build
+    (ReuseExchange on the shared ``melted`` plan).
     """
     sig_df = minhash_signature_sets(
         df, num_hashes=num_hashes, n=n, text_col=text_col, id_col=id_col,
@@ -555,12 +573,20 @@ def minhash_lsh_pairs(
             ).alias("p")
         )
         .select("p.id1", "p.id2")
-        .distinct()  # the same pair can collide in several bands
+        # NOT distinct'd: the same pair collides in several bands, but
+        # the verify's groupBy(id1, id2) collapses repeats for free —
+        # an explicit distinct here was one more corpus-independent
+        # shuffle + AQE stage round-trip per run (r5 measured each such
+        # barrier at ~0.1-0.2 s fixed). The duplication factor is the
+        # mean number of colliding bands per candidate pair (≤ bands,
+        # in practice ~1-2), so the broadcast stays in the same size
+        # class.
     )
-    # The candidate list is consumed twice (id-set broadcast + final
-    # join); it is tiny, so an eager localCheckpoint materializes the
-    # whole signature→banding pipeline exactly ONCE and cuts its lineage
-    # — cheaper than persisting the (much larger) signature frame.
+    # The candidate list feeds two broadcast builds (the prune and the
+    # lookup side of the verify join); it is tiny, so an eager
+    # localCheckpoint materializes the whole signature→banding pipeline
+    # exactly ONCE and cuts its lineage — cheaper than persisting the
+    # (much larger) signature frame.
     cand = cand.localCheckpoint(eager=True)
     # Exact-Jaccard verification, CANDIDATE-SCOPED: shingle-hash sets
     # are rebuilt only for docs that appear in some candidate pair (a
@@ -573,42 +599,80 @@ def minhash_lsh_pairs(
     # corpus.
     from logverzcore_spark.operators.util import fan_out
 
-    cand_ids = (
-        cand.select(F.col("id1").alias("_cid"))
-        .unionByName(cand.select(F.col("id2").alias("_cid")))
-        .distinct()
+    # Verify join shape (r5): MELT the pair list to (id1, id2, doc_id)
+    # — one row per pair SIDE — broadcast it (no arrays, tiny by LSH
+    # construction), and look every candidate doc's shingle set up in
+    # ONE join; a groupBy on the pair key then reunites the two sides'
+    # sets. The r4 two-join formulation consumed ``cand_sets`` twice,
+    # re-running the pruned corpus scan + tokenize + shingle build per
+    # side (the r5 stage breakdown attributed ~1.1 s of d03's ~2.6 s
+    # warm total to the verify stage, half of it that double build).
+    # One consumer keeps the build lazy AND single-run with no extra
+    # checkpoint barrier. The groupBy shuffles only candidate-scoped
+    # array rows — tiny by LSH construction — and the array-bearing
+    # side is still never broadcast (the planner's size estimate misses
+    # array payloads and would OOM the driver at scale).
+    #
+    # The SAME ``melted`` frame serves both the semi-join prune (placed
+    # BEFORE the shingle projection, so non-candidates never pay the
+    # shingle build) and the lookup join — identical broadcast plans,
+    # so Spark's ReuseExchange builds the hash table once instead of
+    # collecting two separate broadcast sides per run.
+    melted = cand.select(
+        "id1", "id2", F.explode(F.array("id1", "id2")).alias("doc_id")
+    )
+    # Prune FIRST, spread SECOND: the broadcast semi-join runs inside
+    # the scan stage, so only candidate rows ever leave it; the
+    # repartition then spreads just those (tiny) rows for the
+    # interpreted shingle build. The r4 shape (fan_out before the semi)
+    # round-robined the ENTIRE corpus text through an exchange only to
+    # discard non-candidates one operator later — at 100 TB that is the
+    # difference between shuffling the corpus and shuffling the
+    # candidate set. A plain repartition (AQE-coalescible) replaces
+    # fan_out here: the joined frame isn't scan-rooted, so fan_out's
+    # file probe would fall back to the ~1 s RDD planning probe.
+    n_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
     cand_sets = (
-        fan_out(df)
-        .join(F.broadcast(cand_ids), F.col(id_col) == F.col("_cid"), "left_semi")
+        df.join(
+            F.broadcast(melted),
+            df[id_col] == melted["doc_id"],
+            "left_semi",
+        )
+        .repartition(n_parts)
         .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_tk"))
         .select(
             "doc_id",
             F.array_distinct(shingle_hash_array(F.col("_tk"), n)).alias("hset"),
         )
     )
-    # Join order: the PAIR list (no arrays — broadcast-safe, same size
-    # class as cand_ids above) broadcasts onto the first set lookup, so
-    # the array-bearing side never shuffles for it; the second lookup is
-    # a shuffle_hash join — array-bearing frames must not be broadcast
-    # (the planner's size estimate misses the array payload and OOMs
-    # the driver at scale).
-    j1 = (
-        cand_sets.join(F.broadcast(cand), cand_sets["doc_id"] == cand["id1"])
-        .select("id1", "id2", F.col("hset").alias("hs1"))
+    # Fresh frame, identical plan (same checkpointed ``cand`` parent) —
+    # a second reference to the ``melted`` object would be ambiguous to
+    # resolve against ``cand_sets`` (whose lineage contains it), while
+    # an identical-plan copy still canonicalizes equal for ReuseExchange.
+    melted2 = cand.select(
+        "id1", "id2", F.explode(F.array("id1", "id2")).alias("doc_id")
     )
-    s2 = cand_sets.select(
-        F.col("doc_id").alias("id2"), F.col("hset").alias("hs2")
-    ).hint("shuffle_hash")
+    looked = cand_sets.join(
+        F.broadcast(melted2), cand_sets["doc_id"] == melted2["doc_id"]
+    ).drop(melted2["doc_id"])
+    pairs = looked.groupBy("id1", "id2").agg(
+        F.first(
+            F.when(F.col("doc_id") == F.col("id1"), F.col("hset")),
+            ignorenulls=True,
+        ).alias("hs1"),
+        F.first(
+            F.when(F.col("doc_id") == F.col("id2"), F.col("hset")),
+            ignorenulls=True,
+        ).alias("hs2"),
+    )
     inter = F.size(F.array_intersect("hs1", "hs2"))
     union = F.size(F.array_union("hs1", "hs2"))
     jac = inter / union
-    return (
-        j1.hint("shuffle_hash")
-        .join(s2, "id2")
-        .select("id1", "id2", F.round(jac, 4).alias("jaccard"))
-        .where(F.round(jac, 4) >= threshold)
-    )
+    return pairs.select(
+        "id1", "id2", F.round(jac, 4).alias("jaccard")
+    ).where(F.round(jac, 4) >= threshold)
 
 
 def dup_clusters(
