@@ -523,6 +523,7 @@ def pq_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     codebooks: list[list[list[float]]] | None = None,
+    rerank: int = 0,
 ) -> DataFrame:
     """PQ-compressed ANN top-k with asymmetric distance computation.
 
@@ -543,6 +544,20 @@ def pq_topk(
     centroid sample). Returns (query_id, neighbor_id, approx_cosine,
     rank); approx_cosine is the ADC estimate cos(q, reconstruct(x)), not
     the exact cosine.
+
+    ``rerank > 0`` adds the standard ADC-shortlist + exact-rescore
+    stage (the re-ranking refinement of Jégou et al. §V: PQ codes
+    select candidates, true distances order them): the top-``rerank``
+    ADC candidates per query are re-scored with the EXACT cosine
+    against the raw vectors — a candidate-scoped broadcast semi-join +
+    one Arrow matmul over ≤ nq·rerank vectors, never the corpus — and
+    the returned frame carries (query_id, neighbor_id, cosine, rank)
+    with TRUE cosines. At 4-byte-per-vector compression ADC ordering
+    alone degrades as the corpus grows (r5 measured recall@5 0.55 →
+    0.25 from sf0.01 → sf0.1); rerank=64 restores it while preserving
+    the memory story (raw vectors are fetched for ~64 ids per query,
+    not scanned). The s06b portable sibling keeps rerank=0 — its SQL
+    oracle replays the pure integer ADC ranking.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -615,13 +630,64 @@ def pq_topk(
     # bit-identical in any engine that computes the same three steps.
     rank_key = (F.col("adc") / PQ_SCALE) / F.sqrt(F.col("recon") / F.lit(float(PQ_SCALE)))
     w = Window.partitionBy("qid").orderBy(rank_key.desc(), F.col("nid"))
-    return (
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                F.col("qid").alias("query_id"),
+                F.col("nid").alias("neighbor_id"),
+                F.round(approx, 6).alias("approx_cosine"),
+                F.col("rank").cast("int").alias("rank"),
+            )
+        )
+    # ADC shortlist → exact rescore (see docstring). The shortlist is
+    # nq·rerank (qid, nid) pairs — checkpointed once, it feeds two
+    # broadcast builds (the corpus prune and the pair filter) without
+    # re-running the scoring pass.
+    # Renamed columns (sqid/snid): ``short`` descends from ``c``, and a
+    # localCheckpoint preserves attribute ids — joining back on same-id
+    # columns silently resolves to a trivially-true predicate (no
+    # pruning; caught via Spark's own warning in r5).
+    short = (
         scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= max(rerank, k))
+        .select(F.col("qid").alias("sqid"), F.col("nid").alias("snid"))
+        .localCheckpoint(eager=True)
+    )
+
+    @pandas_udf("array<struct<qid:long,cos:double>>")
+    def exact_cos(vecs: pd.Series) -> pd.Series:
+        X = np.array(vecs.tolist(), dtype=np.float64)
+        xnorm = np.sqrt((X * X).sum(axis=1, keepdims=True))
+        cos = (X @ Q.T) / (xnorm * qnorm[None, :])
+        return pd.Series(
+            [
+                [{"qid": int(qids[i]), "cos": float(cos[b, i])} for i in range(nq)]
+                for b in range(len(X))
+            ]
+        )
+
+    cvec = c.join(
+        F.broadcast(short), c["nid"] == F.col("snid"), "left_semi"
+    )
+    rescored = (
+        cvec.select("nid", F.explode(exact_cos(F.col("nvec"))).alias("rc"))
+        .select("nid", "rc.qid", "rc.cos")
+        .join(
+            F.broadcast(short),
+            (F.col("qid") == F.col("sqid")) & (F.col("nid") == F.col("snid")),
+        )
+        .drop("sqid", "snid")
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
         .select(
             F.col("qid").alias("query_id"),
             F.col("nid").alias("neighbor_id"),
-            F.round(approx, 6).alias("approx_cosine"),
+            F.round("cos", 6).alias("cosine"),
             F.col("rank").cast("int").alias("rank"),
         )
     )

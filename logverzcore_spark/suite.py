@@ -3426,12 +3426,18 @@ def _s06b_oracle(dim: int = 64, m: int = 8, n_codes: int = 16) -> str:
 def s06_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with per-subspace k-means codebooks —
     the classic 8-bit-code setting (m=4 subspaces × 256 codewords =
-    32 bits/vector vs 64×32-bit floats, a 64× memory cut). Codebooks are
-    data-sampled → rows-only check; recall floor asserted in pytest."""
+    32 bits/vector vs 64×32-bit floats, a 64× memory cut) plus the
+    standard ADC-shortlist + exact-rescore refinement (rerank=64; ADC
+    ordering alone lost recall as the corpus grew — 0.55 → 0.25 from
+    sf0.01 → sf0.1). Codebooks are data-sampled → rows-only check;
+    recall floor asserted in pytest AND measured into the parity
+    artifact's bound_check."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 20)
     books = similarity.trained_codebooks(emb, dim=64, m=4, n_codes=256)
-    return similarity.pq_topk(emb, queries, k=5, dim=64, m=4, n_codes=256, codebooks=books)
+    return similarity.pq_topk(
+        emb, queries, k=5, dim=64, m=4, n_codes=256, codebooks=books, rerank=64
+    )
 
 
 @query("s06b_pq_topk_portable", oracle=_s06b_oracle())

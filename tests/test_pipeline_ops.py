@@ -402,6 +402,37 @@ def test_pq_topk_recall_and_determinism(emb):
     assert run1 == run2
 
 
+def test_pq_topk_rerank_restores_recall(emb):
+    """ADC-shortlist + exact-rescore (rerank>0): recall@5 must meet or
+    beat the pure-ADC ordering (it re-scores a superset of ADC's top-k
+    with TRUE cosines), the returned scores are exact cosine (column
+    'cosine', matching cosine_topk's values for agreeing pairs), and
+    the corpus prune must survive planning (a trivially-true self-join
+    predicate silently disabled it in the first r5 draft)."""
+    queries = emb.where(F.col("vec_id") < 20)
+    exact_rows = similarity.cosine_topk(emb, queries, k=5).collect()
+    exact = {(r["query_id"], r["neighbor_id"]) for r in exact_rows}
+    exact_cos = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact_rows
+    }
+    books = similarity.trained_codebooks(emb, dim=64, m=4, n_codes=256)
+    kw = dict(k=5, dim=64, m=4, n_codes=256, codebooks=books)
+    plain = similarity.pq_topk(emb, queries, **kw)
+    reranked = similarity.pq_topk(emb, queries, rerank=64, **kw)
+    assert "cosine" in reranked.columns
+    assert "LeftSemi" in reranked._jdf.queryExecution().executedPlan().toString()
+    plain_set = {(r["query_id"], r["neighbor_id"]) for r in plain.collect()}
+    rr_rows = reranked.collect()
+    rr_set = {(r["query_id"], r["neighbor_id"]) for r in rr_rows}
+    r_plain = len(plain_set & exact) / len(exact)
+    r_rr = len(rr_set & exact) / len(exact)
+    assert r_rr >= r_plain and r_rr >= 0.6, (r_plain, r_rr)
+    for r in rr_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert abs(r["cosine"] - exact_cos[key]) < 1e-9
+
+
 def test_fuzzy_join_pigeonhole_complete(spark):
     """Segment blocking loses no same-length distance-1 pair: operator
     output equals the brute-force cross-join answer."""
