@@ -43,11 +43,29 @@ class Engine:
         catalog: Catalog | None = None,
         registry=None,
         audit: "AuditLog | None" = None,
+        identities=None,
     ):
         self.spark = spark
         self.catalog = catalog or Catalog()
         self.registry = registry  # DatabaseRegistry for multi-DB targets
         self.audit = audit  # AuditLog for interactive-query invocations
+        self.identities = identities  # Identities store (serving seam)
+
+    def resolve_user(self, name: str, type: str = "User") -> User:
+        """Serving-seam principal resolution: name → persisted identity
+        record → ``User`` (groups + admin/poweruser flags), failing
+        closed for unknown names. This is the engine-side half of the
+        reference's auth path — the proxy resolves the JWT subject
+        against Logverz-Identities before applying resource ACLs
+        (authenticationsharedv3.js resourceaccessauthorization);
+        IDENTITY.md documents the token-verification half a deployment
+        wraps around it. Requires an ``identities`` store."""
+        if self.identities is None:
+            raise ValueError(
+                "Engine has no identities store; pass identities= at "
+                "construction (see catalog.Identities)"
+            )
+        return self.identities.resolve_user(name, type)
 
     def _audit(
         self, user: User, mode: str, query: str, tables: list[str],

@@ -268,3 +268,159 @@ class Preferences:
         if name_begins_with:
             out = [i for i in out if i.Name.startswith(name_begins_with)]
         return sorted(out, key=lambda i: i.Name)
+
+
+@dataclass
+class IdentityRecord:
+    """One Logverz-Identities row: a persisted principal with its group
+    membership and attached-policy state — the record the reference's
+    identity-sync job mirrors from IAM into DynamoDB and every
+    authorization check reads (Logverz-Engine.json:172-201 keys the
+    table on (Name, Type); nosql.js:367-393 ``AdduserParams`` writes
+    exactly these fields; authenticationsharedv3.js admincheck /
+    powerusercheck read them back).
+
+    ``Policies`` holds plain dicts (e.g. {"PolicyName": ...}) where the
+    reference stores JSON strings — semantics mirrored, not the
+    DynamoDB wire shape; ``Identities.resolve_user`` accepts both."""
+
+    Name: str
+    Type: str = "User"  # reference range key: User / UserAWS
+    IAM: str = "true"
+    IAMGroups: list[str] = field(default_factory=list)
+    IAMPolicies: list = field(default_factory=list)
+    Policies: dict = field(
+        default_factory=lambda: {
+            "GroupAttached": [], "GroupInline": [], "UserAttached": []
+        }
+    )
+    UnixTime: float = 0.0
+
+
+class Identities:
+    """JSONL-backed identity store — Logverz-Identities semantics on the
+    same driver-local metadata substrate as ``Catalog`` /
+    ``Preferences`` / ``AuditLog``.
+
+    Semantics mirrored from the reference:
+    - records keyed by (Name, Type) (Logverz-Engine.json:177 KeySchema);
+    - WRITES are admin-only: in the reference, PutItem on
+      Logverz-Identities is reachable only through the identity-sync
+      job / the engine role's IAM policy (Logverz-Engine.json:985),
+      never through a user-gated resource check — so an interactive
+      non-admin can NEVER write an identity record, which is exactly
+      the escalation guard (you cannot grant yourself admin);
+    - ``resolve_user`` derives the serving-seam ``User`` the way the
+      reference's checks do: admin ⇔ an AdministratorAccess policy is
+      attached at user/group/role level (authenticationsharedv3.js
+      admincheck), poweruser ⇔ membership in a LogverzPowerUsers*
+      group (powerusercheck matches 'LogverzPowerUsers-<region>' —
+      prefix-matched here since the engine has no region);
+    - unknown principals FAIL CLOSED: a name with no record resolves
+      to a no-group, no-flag ``User`` (the reference denies when the
+      identity lookup returns nothing).
+    """
+
+    ADMIN_POLICY = "AdministratorAccess"
+    POWERUSER_GROUP_PREFIX = "LogverzPowerUsers"
+
+    def __init__(self, path: str | None = None):
+        self.path = path
+        self._items: dict[tuple[str, str], IdentityRecord] = {}
+        if path and os.path.exists(path):
+            with open(path) as fh:
+                for line in fh:
+                    if line.strip():
+                        it = IdentityRecord(**json.loads(line))
+                        self._items[(it.Name, it.Type)] = it
+
+    def _flush(self) -> None:
+        if not self.path:
+            return
+        tmp = f"{self.path}.tmp.{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as fh:
+            for it in self._items.values():
+                fh.write(json.dumps(asdict(it)) + "\n")
+        os.replace(tmp, self.path)
+
+    def put(
+        self,
+        name: str,
+        user: User,
+        type: str = "User",
+        iam_groups: list[str] | None = None,
+        iam_policies: list | None = None,
+        policies: dict | None = None,
+    ) -> IdentityRecord:
+        if not user.is_admin:
+            raise PermissionError(
+                f"{user.name} may not write identity records (admin-only "
+                "store — the escalation guard: a non-admin cannot grant "
+                "themselves groups or policies)"
+            )
+        rec = IdentityRecord(
+            Name=name,
+            Type=type,
+            IAMGroups=list(iam_groups or []),
+            IAMPolicies=list(iam_policies or []),
+            Policies=policies
+            or {"GroupAttached": [], "GroupInline": [], "UserAttached": []},
+            UnixTime=time.time(),
+        )
+        self._items[(name, type)] = rec
+        self._flush()
+        return rec
+
+    def delete(self, name: str, user: User, type: str = "User") -> None:
+        if not user.is_admin:
+            raise PermissionError(
+                f"{user.name} may not delete identity records (admin-only)"
+            )
+        self._items.pop((name, type), None)
+        self._flush()
+
+    def get(self, name: str, type: str = "User") -> IdentityRecord | None:
+        return self._items.get((name, type))
+
+    def list(self, type: str | None = None) -> list[IdentityRecord]:
+        """All records, optionally one Type partition — the TypeIndex
+        GSI's access path (Logverz-Engine.json:186-192)."""
+        out = list(self._items.values())
+        if type is not None:
+            out = [r for r in out if r.Type == type]
+        return sorted(out, key=lambda r: (r.Type, r.Name))
+
+    @staticmethod
+    def _policy_names(policies) -> set[str]:
+        names = set()
+        for p in policies or []:
+            if isinstance(p, str):
+                try:
+                    p = json.loads(p)
+                except ValueError:
+                    names.add(p)
+                    continue
+            if isinstance(p, dict):
+                n = p.get("PolicyName")
+                if n:
+                    names.add(n)
+            else:
+                names.add(str(p))
+        return names
+
+    def resolve_user(self, name: str, type: str = "User") -> User:
+        rec = self.get(name, type)
+        if rec is None:
+            return User(name=name)  # fail closed: no groups, no flags
+        attached = set()
+        for level in ("UserAttached", "GroupAttached", "GroupInline",
+                      "RoleAttached"):
+            attached |= self._policy_names((rec.Policies or {}).get(level))
+        return User(
+            name=rec.Name,
+            groups=list(rec.IAMGroups),
+            is_admin=self.ADMIN_POLICY in attached,
+            is_poweruser=any(
+                g.startswith(self.POWERUSER_GROUP_PREFIX) for g in rec.IAMGroups
+            ),
+        )

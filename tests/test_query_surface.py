@@ -628,6 +628,62 @@ def test_preferences_store_put_get_acl(tmpdir_path):
     assert prefs.get("team.layout").Value == {"cols": 4}
 
 
+def test_identities_store_put_resolve_escalation_guard(tmpdir_path):
+    """Logverz-Identities parity: (Name, Type)-keyed records on the
+    JSONL substrate, admin-only writes (the escalation guard — a
+    non-admin can never grant themselves groups/policies), resolve_user
+    deriving admin from an attached AdministratorAccess policy and
+    poweruser from LogverzPowerUsers* membership, unknown names failing
+    closed, persistence across reloads."""
+    from logverzcore_spark.catalog import Identities
+
+    path = f"{tmpdir_path}/identities.jsonl"
+    ids = Identities(path=path)
+    mallory = User(name="mallory")
+    # escalation guard: a non-admin cannot write ANY identity record —
+    # in particular not one granting themselves admin
+    with pytest.raises(PermissionError, match="escalation"):
+        ids.put(
+            "mallory", mallory,
+            policies={"UserAttached": [{"PolicyName": "AdministratorAccess"}]},
+        )
+    assert ids.get("mallory") is None
+    ids.put(
+        "root", ADMIN,
+        iam_groups=["ops"],
+        # reference stores policy entries as JSON strings — both accepted
+        policies={"UserAttached": ['{"PolicyName": "AdministratorAccess"}']},
+    )
+    ids.put("petra", ADMIN, iam_groups=["LogverzPowerUsers-us-east-1", "dev"])
+    ids.put("uri", ADMIN, iam_groups=["dev"])
+    root = ids.resolve_user("root")
+    assert root.is_admin and root.groups == ["ops"]
+    petra = ids.resolve_user("petra")
+    assert petra.is_poweruser and not petra.is_admin
+    uri = ids.resolve_user("uri")
+    assert uri.groups == ["dev"] and not (uri.is_admin or uri.is_poweruser)
+    # unknown principal fails closed
+    ghost = ids.resolve_user("ghost")
+    assert ghost.groups == [] and not (ghost.is_admin or ghost.is_poweruser)
+    # non-admin delete denied; persistence across reload; admin delete
+    with pytest.raises(PermissionError):
+        ids.delete("uri", mallory)
+    again = Identities(path=path)
+    assert [r.Name for r in again.list(type="User")] == ["petra", "root", "uri"]
+    assert again.resolve_user("petra").is_poweruser
+    again.delete("uri", ADMIN)
+    assert again.get("uri") is None
+    # serving seam: Engine.resolve_user delegates (and errors without a store)
+    from logverzcore_spark.api import Engine
+
+    eng = Engine.__new__(Engine)  # no SparkSession needed for this path
+    eng.identities = again
+    assert Engine.resolve_user(eng, "petra").is_poweruser
+    eng.identities = None
+    with pytest.raises(ValueError, match="identities store"):
+        Engine.resolve_user(eng, "petra")
+
+
 def test_range_bounds_rejects_empty_and_nulls(spark):
     from logverzcore_spark import export as ex
 
