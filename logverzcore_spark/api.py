@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import fnmatch
 import json
+from dataclasses import dataclass
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,6 +37,31 @@ from logverzcore_spark.schemas import REGISTRY
 ADMIN = User(name="admin", is_admin=True)
 
 
+class AdmissionError(PermissionError):
+    """Query rejected by admission control before execution."""
+
+
+@dataclass
+class AdmissionPolicy:
+    """Pre-execution cost gate for interactive SQL — the enforcement
+    half of the reference's full-dump stress pricing: controller.js
+    (:809-865) prices an unfiltered dump at weight 12 vs 2.5 for a
+    filtered query and sizes the fleet accordingly; an interactive
+    server can't resize, so it must REJECT instead. Thresholds compare
+    against the optimizer's estimate (``Engine.estimate``'s numbers —
+    CBO-informed when tables are ANALYZEd, size-propagated otherwise).
+
+    ``admin_bypass`` mirrors every other gate in the reference: admins
+    are never admission-checked. A missing row estimate (no stats)
+    passes the row check — admission control is a guard against
+    predictably huge queries, not a stats-availability gate; the byte
+    estimate (always present via size propagation) still applies."""
+
+    max_est_rows: int | None = None
+    max_est_bytes: int | None = None
+    admin_bypass: bool = True
+
+
 class Engine:
     def __init__(
         self,
@@ -44,12 +70,14 @@ class Engine:
         registry=None,
         audit: "AuditLog | None" = None,
         identities=None,
+        admission: AdmissionPolicy | None = None,
     ):
         self.spark = spark
         self.catalog = catalog or Catalog()
         self.registry = registry  # DatabaseRegistry for multi-DB targets
         self.audit = audit  # AuditLog for interactive-query invocations
         self.identities = identities  # Identities store (serving seam)
+        self.admission = admission  # AdmissionPolicy cost gate (optional)
 
     def resolve_user(self, name: str, type: str = "User") -> User:
         """Serving-seam principal resolution: name → persisted identity
@@ -130,11 +158,50 @@ class Engine:
             query if params is None
             else f"{query} /* params: {json.dumps(params, default=str)} */"
         )
-        self._gate(query, user, _mode, audit_query=audit_query)
-        return (
+        tables = self._gate(query, user, _mode, audit_query=audit_query)
+        df = (
             self.spark.sql(query) if params is None
             else self.spark.sql(query, args=params)
         )
+        self._admit(df, user, _mode, audit_query, tables)
+        return df
+
+    def _admit(
+        self, df: DataFrame, user: User, mode: str,
+        audit_query: str, tables: list[str],
+    ) -> None:
+        """Admission control (optional): compare the optimizer's cost
+        estimate for the ALREADY-GATED plan against this engine's
+        ``AdmissionPolicy`` and reject BEFORE any job runs — the
+        enforcement half of ``estimate``'s measuring stick (the
+        reference priced full dumps at weight 12 vs 2.5 and sized a
+        fleet; an interactive server must refuse instead,
+        controller.js:809-865). Pure driver-side plan analysis — no
+        Spark job is launched to decide. Rejections are audited as
+        ``admission_denied`` with the estimates in the error text."""
+        pol = self.admission
+        if pol is None or (pol.admin_bypass and user.is_admin):
+            return
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        row_opt = stats.rowCount()
+        est_rows = int(str(row_opt.get())) if not row_opt.isEmpty() else None
+        est_bytes = int(str(stats.sizeInBytes()))
+        breaches = []
+        if (
+            pol.max_est_rows is not None
+            and est_rows is not None
+            and est_rows > pol.max_est_rows
+        ):
+            breaches.append(f"est_rows {est_rows} > max {pol.max_est_rows}")
+        if pol.max_est_bytes is not None and est_bytes > pol.max_est_bytes:
+            breaches.append(f"est_bytes {est_bytes} > max {pol.max_est_bytes}")
+        if breaches:
+            msg = (
+                f"admission denied for {user.name}: " + "; ".join(breaches)
+                + " (narrow the query, or ask an admin to run it)"
+            )
+            self._audit(user, mode, audit_query, tables, "admission_denied", msg)
+            raise AdmissionError(msg)
 
     def sql_json(self, query: str, user: User = ADMIN) -> str:
         """Q1's wire shape: JSON rows, non-ASCII stripped

@@ -628,6 +628,50 @@ def test_preferences_store_put_get_acl(tmpdir_path):
     assert prefs.get("team.layout").Value == {"cols": 4}
 
 
+def test_admission_control_rejects_oversize_estimates(spark, tmpdir_path):
+    """AdmissionPolicy: a non-admin query whose optimizer estimate
+    exceeds the policy is rejected BEFORE execution with the estimate
+    in the error, recorded as an admission_denied audit row; admins
+    bypass; small queries pass; no policy = no gate."""
+    from logverzcore_spark.api import AdmissionError, AdmissionPolicy
+    from logverzcore_spark.audit import AuditLog
+
+    cat = Catalog()
+    spark.range(100_000).selectExpr("id", "repeat('x', 40) AS pad").write.mode(
+        "overwrite"
+    ).saveAsTable("adm_tab")
+    cat.record_query(CatalogEntry(TableName="adm_tab", Owners=["alice"]))
+    # ANALYZE so the row estimate is available (CBO stats)
+    spark.sql("ANALYZE TABLE adm_tab COMPUTE STATISTICS")
+    audit = AuditLog(path=f"{tmpdir_path}/adm_audit.jsonl")
+    eng = Engine(
+        spark, cat, audit=audit,
+        admission=AdmissionPolicy(max_est_rows=10_000),
+    )
+    try:
+        with pytest.raises(AdmissionError, match=r"est_rows \d+ > max 10000"):
+            eng.sql("SELECT * FROM adm_tab", ALICE)
+        denied = audit.entries(status="admission_denied")
+        assert len(denied) == 1 and denied[0].User == "alice"
+        assert "est_rows" in denied[0].Error
+        # a filtered query under the threshold passes
+        assert (
+            eng.sql("SELECT count(*) AS n FROM adm_tab WHERE id < 5", ALICE)
+            .first()["n"] == 5
+        )
+        # admin bypass
+        eng.sql("SELECT * FROM adm_tab", ADMIN).limit(1).collect()
+        # byte threshold breach (bytes are always estimable, stats or not)
+        eng.admission = AdmissionPolicy(max_est_bytes=1024)
+        with pytest.raises(AdmissionError, match=r"est_bytes \d+ > max 1024"):
+            eng.sql("SELECT * FROM adm_tab", ALICE)
+        # no policy → no gate
+        eng.admission = None
+        eng.sql("SELECT * FROM adm_tab", ALICE).limit(1).collect()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS adm_tab")
+
+
 def test_identities_store_put_resolve_escalation_guard(tmpdir_path):
     """Logverz-Identities parity: (Name, Type)-keyed records on the
     JSONL substrate, admin-only writes (the escalation guard — a
