@@ -132,6 +132,51 @@ def cosine_topk_blas(
     return _rank_topk(scored, k)
 
 
+#: Dispatch boundary for exact cosine scoring, in nq×dim "cells" of the
+#: query block. Below it the codegen'd JVM fold wins (measured ~5× at
+#: nq=20, dim=64 — Python worker spin-up + Arrow transfer dominate);
+#: above it one BLAS matmul per Arrow batch amortizes the round-trip
+#: (the docstrings' measured ~10³-query crossover at dim 64 → 64k cells).
+COSINE_BLAS_CROSSOVER_CELLS = 64_000
+
+
+def cosine_topk_auto(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_queries: int = 10_000,
+    crossover_cells: int = COSINE_BLAS_CROSSOVER_CELLS,
+) -> DataFrame:
+    """One exact-cosine entry point that picks the execution tier by the
+    query block's size — the ``sql_arrow`` auto-path pattern applied to
+    scoring: nq×dim below ``crossover_cells`` routes to the JVM
+    codegen'd fold (``cosine_topk``), at-or-above routes to the
+    Arrow/numpy matmul (``cosine_topk_blas``). The two tiers share the
+    same expression order (dot over norms), so results are
+    hash-identical either way — dispatch changes wall-time only.
+
+    Sizing costs one bounded count + one row peek on the SMALL side
+    (queries are small by the exact tier's contract; ``max_queries``
+    still guards it — past that, use lsh_topk/ivf_topk/ivf_index_probe).
+    """
+    nq = queries.limit(max_queries + 1).count()
+    if nq > max_queries:
+        raise ValueError(
+            f"cosine_topk_auto is the exact/verification tier — {max_queries}+ "
+            "queries should go through lsh_topk/ivf_topk"
+        )
+    first = queries.select(_as_double(F.col(vec_col)).alias("v")).first()
+    dim = len(first["v"]) if first is not None else 0
+    if nq * dim >= crossover_cells:
+        return cosine_topk_blas(
+            corpus, queries, k, vec_col=vec_col, id_col=id_col,
+            max_queries=max_queries,
+        )
+    return cosine_topk(corpus, queries, k, vec_col=vec_col, id_col=id_col)
+
+
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     """Shared (qid, nid, cos) → per-query top-k ranking."""
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))

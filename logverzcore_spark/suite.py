@@ -1104,10 +1104,12 @@ def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for a broadcast query set — the exact ANN
-    baseline."""
+    baseline, via the size-dispatched entry point (nq=20 × dim=64 is far
+    under the BLAS crossover, so this grades the JVM fold tier; the
+    dispatch itself is pytest-pinned in both directions)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 20)
-    return similarity.cosine_topk(emb, queries, k=5)
+    return similarity.cosine_topk_auto(emb, queries, k=5)
 
 
 @query("s02_lsh_topk")  # approximate → rows-only check; recall tested in pytest

@@ -402,6 +402,29 @@ def test_pq_topk_recall_and_determinism(emb):
     assert run1 == run2
 
 
+def test_cosine_topk_auto_dispatch_both_directions(emb):
+    """cosine_topk_auto must route small query blocks to the JVM fold
+    (no Python eval node in the plan) and large nq×dim blocks to the
+    Arrow/BLAS tier (Python eval node present), with hash-identical
+    results between the tiers on the same inputs."""
+    small_q = emb.where(F.col("vec_id") < 10)
+    auto_small = similarity.cosine_topk_auto(emb, small_q, k=3)
+    plan = auto_small._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # JVM tier
+    # force the BLAS direction with a tiny crossover
+    auto_big = similarity.cosine_topk_auto(emb, small_q, k=3, crossover_cells=1)
+    plan_b = auto_big._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" in plan_b  # Arrow/numpy tier
+    rows_small = sorted(map(tuple, auto_small.collect()))
+    rows_big = sorted(map(tuple, auto_big.collect()))
+    assert rows_small == rows_big  # tiers are hash-identical
+    # the exact-tier guard still applies through the auto entry
+    import pytest
+
+    with pytest.raises(ValueError, match="exact/verification tier"):
+        similarity.cosine_topk_auto(emb, emb, k=3, max_queries=5)
+
+
 def test_pq_topk_rerank_restores_recall(emb):
     """ADC-shortlist + exact-rescore (rerank>0): recall@5 must meet or
     beat the pure-ADC ordering (it re-scores a superset of ADC's top-k
