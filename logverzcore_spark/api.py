@@ -649,6 +649,9 @@ class Engine:
             user, "materialize", entry.QuerySettings["QueryString"],
             [f"{database}.{target}"], "ok",
         )
+        source_tables = validate_select(
+            self.spark, entry.QuerySettings["QueryString"]
+        ).tables
         return self.catalog.record_query(
             CatalogEntry(
                 TableName=target,
@@ -658,12 +661,92 @@ class Engine:
                     "QueryString": entry.QuerySettings["QueryString"],
                     "SourceAnalysis": name,
                     "MaterializedAt": _time.time(),
+                    # Staleness provenance: the source tables and their
+                    # file-level snapshot at materialization time —
+                    # is_stale() re-probes and compares (metadata-only).
+                    "SourceTables": source_tables,
+                    "SourceSnapshot": self._table_snapshot(source_tables),
+                    "Params": params,
                 },
                 Owners=[user.name],
                 Access=list(access or []),
             ),
             deactivate_older=True,
         )
+
+    def _table_snapshot(self, tables: list[str]) -> dict:
+        """{table: {"n_files", "max_mtime"}} from the CURRENT file
+        listing — a metadata-only probe (no data job), the same facts a
+        table format's snapshot id encodes. ``None`` for a table whose
+        files can't be enumerated (treated as always-stale downstream —
+        fail toward refreshing)."""
+        import os as _os
+
+        snap: dict = {}
+        for t in tables:
+            try:
+                self.spark.catalog.refreshTable(t)
+                files = self.spark.table(t).inputFiles()
+            except Exception:
+                snap[t] = None
+                continue
+            mt = 0.0
+            for f in files:
+                local = f[5:] if f.startswith("file:") else f
+                if _os.path.exists(local):
+                    mt = max(mt, _os.path.getmtime(local))
+            snap[t] = {"n_files": len(files), "max_mtime": mt}
+        return snap
+
+    def is_stale(self, name: str, database: str = "default") -> bool:
+        """Has any source table of a materialized analysis changed since
+        it was built? Compares the recorded ``SourceSnapshot`` against a
+        fresh probe — the missing half of refresh-by-recall: callers can
+        sweep instead of blindly re-running. Missing provenance (pre-r5
+        entries) or unreadable sources report stale (fail toward
+        refresh)."""
+        entry = self.catalog.for_table(name, database)
+        if entry is None or "SourceAnalysis" not in entry.QuerySettings:
+            raise KeyError(f"{database}.{name!r} is not a materialized analysis")
+        stored = entry.QuerySettings.get("SourceSnapshot")
+        tables = entry.QuerySettings.get("SourceTables")
+        if not stored or tables is None:
+            return True
+        current = self._table_snapshot(tables)
+        for t in tables:
+            if stored.get(t) is None or current.get(t) is None:
+                return True
+            if stored[t] != current[t]:
+                return True
+        return False
+
+    def refresh_materialized(
+        self, user: User = ADMIN, database: str = "default"
+    ) -> list[str]:
+        """Refresh sweep: re-materialize every stale materialized
+        analysis in ``database`` the caller owns, preserving each
+        entry's target table, bound params, and Access list. Returns
+        the refreshed table names. Ownership is enforced by
+        ``materialize_saved`` itself (the slot guard), so a shared
+        sweep can only rebuild what the sweeping user may rebuild."""
+        refreshed = []
+        for entry in self.catalog.list(user):
+            qs = entry.QuerySettings
+            if (
+                entry.DatabaseName != database
+                or "SourceAnalysis" not in qs
+                or not entry.Active
+            ):
+                continue
+            if not self.is_stale(entry.TableName, database):
+                continue
+            self.materialize_saved(
+                qs["SourceAnalysis"], user, database,
+                table=entry.TableName, params=qs.get("Params"),
+                access=list(entry.Access),
+            )
+            refreshed.append(entry.TableName)
+        return refreshed
 
     # -- Views (P4) --------------------------------------------------------
     def view(self, table: str, datatype: str, view_name: str = "Default",

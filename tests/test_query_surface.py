@@ -548,6 +548,37 @@ def test_materialize_records_distinct_audit_mode(spark, tmpdir_path):
         spark.sql("DROP TABLE IF EXISTS aud_tab")
 
 
+def test_materialized_staleness_and_refresh_sweep(spark, engine):
+    """A materialized analysis records its source tables' file snapshot;
+    is_stale flips after a source append; refresh_materialized rebuilds
+    only stale entries (preserving target/Access) and the rebuilt data
+    reflects the new source rows."""
+    spark.range(10).write.mode("overwrite").saveAsTable("stale_src")
+    engine.catalog.record_query(CatalogEntry(TableName="stale_src"))
+    try:
+        engine.save_query("stale_q", "SELECT count(*) AS n FROM stale_src")
+        engine.materialize_saved("stale_q", access=["analysts"])
+        assert engine.is_stale("stale_q_mat") is False
+        assert spark.table("stale_q_mat").first()["n"] == 10
+        # source append → stale
+        spark.range(5).write.mode("append").saveAsTable("stale_src")
+        assert engine.is_stale("stale_q_mat") is True
+        refreshed = engine.refresh_materialized()
+        assert refreshed == ["stale_q_mat"]
+        assert spark.table("stale_q_mat").first()["n"] == 15
+        assert engine.is_stale("stale_q_mat") is False
+        # second sweep is a no-op; Access preserved across refresh
+        assert engine.refresh_materialized() == []
+        entry = engine.catalog.for_table("stale_q_mat")
+        assert entry.Access == ["analysts"]
+        # non-materialized names are rejected
+        with pytest.raises(KeyError, match="not a materialized analysis"):
+            engine.is_stale("stale_src")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stale_q_mat")
+        spark.sql("DROP TABLE IF EXISTS stale_src")
+
+
 def test_audit_memory_retention_bounds_window(tmpdir_path):
     from logverzcore_spark.audit import AuditLog
 
