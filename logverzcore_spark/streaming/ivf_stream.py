@@ -11,11 +11,14 @@ continuously-collected embedding table keeps its serving index fresh
 without ever re-scanning the corpus.
 
 Replay safety: ``foreachBatch`` is at-least-once; the fold's id-level
-dedupe (anti-join per touched cell) makes a redelivered batch a no-op,
-so no batch-id marker table is needed — idempotence is per-ROW, which
-also covers the partial-append crash window (rows written before a
-crash are skipped on replay, the rest land). Asserted in
-``test_ivf_append_stream_replay_idempotent``.
+dedupe (in-batch ``dropDuplicates`` + anti-join per touched cell, r5)
+makes a redelivered batch — or a batch that repeats a row internally —
+a no-op, so no batch-id marker table is needed: idempotence is
+per-ROW, which also covers the partial-append crash window (rows
+written before a crash are skipped on replay, the rest land). Asserted
+in ``test_ivf_append_stream_replay_idempotent``. This rationale holds
+ONLY because the fold pins ``dedupe=True``; exposing ``dedupe=False``
+here would require a batch-id marker table instead.
 
 Centroid drift is the operator's responsibility: appends never move
 centroids, so schedule ``similarity.ivf_index_recenter`` when cell-size

@@ -7407,3 +7407,111 @@ def m10_wav_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return SUITE[name](spark, sf_dir)
+
+
+@query(
+    "t27_pii_scrub",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@mail.example.com' ||
+             CASE WHEN doc_id % 2 = 0 THEN ' from 10.1.' || (doc_id % 200) || '.42' ELSE '' END ||
+             CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0 THEN ' call 415-555-0173' ELSE '' END AS t
+      FROM documents
+    ), s1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t
+      FROM aug
+    ), s2 AS (
+      SELECT doc_id, n_email,
+             len(regexp_extract_all(t, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ip,
+             regexp_replace(t, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g') AS t
+      FROM s1
+    ), s3 AS (
+      SELECT doc_id, n_email, n_ip,
+             len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_ssn,
+             regexp_replace(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g') AS t
+      FROM s2
+    ), s4 AS (
+      SELECT doc_id, n_email, n_ip, n_ssn,
+             len(regexp_extract_all(t, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS n_phone,
+             regexp_replace(t, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '[PHONE]', 'g') AS t
+      FROM s3
+    )
+    SELECT doc_id, CAST(n_email AS INT) AS n_email, CAST(n_ip AS INT) AS n_ip,
+           CAST(n_ssn AS INT) AS n_ssn, CAST(n_phone AS INT) AS n_phone,
+           CAST(n_email + n_ip + n_ssn + n_phone AS INT) AS n_pii,
+           md5(t) AS clean_md5
+    FROM s4
+    """,
+)
+def t27_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (text.pii_scrub): the pre-export redaction pass. The
+    synthetic corpus carries no real PII, so the graded round trip
+    INJECTS it deterministically (doc_id-derived email for every doc,
+    dotted-quad / SSN-shaped / phone strings on residue classes), runs
+    the ordered category chain (email -> ip -> ssn -> phone, counts
+    sequentially exclusive exactly like the redaction), and hashes the
+    cleaned text — the oracle restates construction, chain, and order
+    in RE2; any divergence in pattern, order, or replace-all semantics
+    breaks the hash. Every step is a codegen'd regexp projection: zero
+    shuffle at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" from 10.1."),
+                    (F.col("doc_id") % 200).cast("string"), F.lit(".42"),
+                ),
+            ).otherwise(""),
+            F.when(F.col("doc_id") % 3 == 0, " ssn 123-45-6789").otherwise(""),
+            F.when(F.col("doc_id") % 5 == 0, " call 415-555-0173").otherwise(""),
+        ).alias("text"),
+    )
+    return text.pii_scrub(aug).select(
+        "doc_id", "n_email", "n_ip", "n_ssn", "n_phone", "n_pii",
+        F.md5("clean").alias("clean_md5"),
+    )
+
+
+@query(
+    "t28_chunk_documents",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), sz AS (
+      SELECT doc_id, t, len(t) AS n FROM tok WHERE len(t) > 0
+    ), ch AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, CASE WHEN n <= 24 THEN 1
+                             ELSE CAST(ceil((n - 24) * 1.0 / 16) AS INT) + 1 END),
+               i -> struct_pack(
+                 chunk_id := CAST(i AS INT),
+                 n_tokens := CAST(least(24, n - i * 16) AS INT),
+                 chunk_text := array_to_string(t[i*16+1 : i*16+24], ' ')
+               ))) AS c
+      FROM sz
+    )
+    SELECT doc_id, c.chunk_id AS chunk_id, c.n_tokens AS n_tokens,
+           c.chunk_text AS chunk_text
+    FROM ch
+    """,
+)
+def t28_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (text.chunk_documents,
+    size=24/stride=16 -> 8-token overlap): the RAG/context-prep
+    primitive, graded hash-exact against a SQL restatement of the
+    window arithmetic. In-row transform + explode — no shuffle; output
+    rows are the chunks themselves."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.chunk_documents(docs, size=24, stride=16)

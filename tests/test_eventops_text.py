@@ -287,3 +287,74 @@ def test_dedup_segments_cross_doc(spark):
     assert out[2]["n_dup_segments"] == 1
     assert out[3]["n_segments"] == 0 and out[3]["n_dup_segments"] == 0
     assert out[3]["n_tokens"] == 2 and out[3]["n_tokens_clean"] == 2
+
+
+def test_pii_scrub_order_and_exclusivity(spark):
+    """The category chain must be sequentially exclusive in order: a
+    dotted quad counts as ip (never also phone), an SSN-shaped id as
+    ssn (never phone), an email's host dots never become an ip; counts
+    match what redaction removed and the clean text holds no residual
+    pattern."""
+    rows = [
+        (1, "mail bob.smith@corp.example.org now"),
+        (2, "server at 10.20.30.40 port open"),
+        (3, "ssn 987-65-4320 on file"),
+        (4, "call 415-555-0173 today"),
+        (5, "multi a@b.io 1.2.3.4 123-45-6789 415-555-0173"),
+        (6, "clean text no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.pii_scrub(df).collect()}
+    assert (out[1]["n_email"], out[1]["n_ip"], out[1]["n_phone"]) == (1, 0, 0)
+    assert "[EMAIL]" in out[1]["clean"] and "@" not in out[1]["clean"]
+    assert (out[2]["n_ip"], out[2]["n_phone"]) == (1, 0)  # quad != phone
+    assert (out[3]["n_ssn"], out[3]["n_phone"]) == (1, 0)  # ssn != phone
+    assert out[4]["n_phone"] == 1 and "[PHONE]" in out[4]["clean"]
+    assert out[5]["n_pii"] == 4 and out[5]["clean"].count("[") == 4
+    assert out[6]["n_pii"] == 0 and out[6]["clean"] == rows[5][1]
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    """Window arithmetic: a short doc yields one whole chunk; an exact
+    multiple partitions cleanly at stride == size; overlap repeats the
+    boundary tokens; every token appears in some chunk (stride <= size
+    guarantees no gaps); invalid stride/size raise."""
+    import pytest as _pt
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),                        # 3 tokens < size
+            (2, " ".join(f"t{i}" for i in range(8))),   # exact 2x size 4
+            (3, " ".join(f"w{i}" for i in range(10))),  # ragged tail
+        ],
+        ["doc_id", "text"],
+    )
+    out = text.chunk_documents(docs, size=4, stride=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    one = by_doc[1]
+    assert len(one) == 1 and one[0]["chunk_text"] == "a b c" and one[0]["n_tokens"] == 3
+    # doc 2: n=8, size=4, stride=2 -> ceil((8-4)/2)+1 = 3 chunks
+    two = sorted(by_doc[2], key=lambda r: r["chunk_id"])
+    assert [r["chunk_text"] for r in two] == [
+        "t0 t1 t2 t3", "t2 t3 t4 t5", "t4 t5 t6 t7"
+    ]
+    # doc 3: n=10 -> 4 chunks, last ragged (10 - 3*2 = 4 tokens? no:
+    # ceil((10-4)/2)+1 = 4; last starts at 6, holds w6..w9 (4 tokens))
+    three = sorted(by_doc[3], key=lambda r: r["chunk_id"])
+    assert len(three) == 4 and three[-1]["chunk_text"] == "w6 w7 w8 w9"
+    # coverage: every token of doc 3 appears in some chunk
+    seen = set()
+    for r in three:
+        seen.update(r["chunk_text"].split())
+    assert seen == {f"w{i}" for i in range(10)}
+    # stride == size partitions with no overlap
+    part = text.chunk_documents(docs.where(F.col("doc_id") == 2), size=4).collect()
+    assert [r["chunk_text"] for r in sorted(part, key=lambda r: r["chunk_id"])] == [
+        "t0 t1 t2 t3", "t4 t5 t6 t7"
+    ]
+    with _pt.raises(ValueError, match="drop tokens"):
+        text.chunk_documents(docs, size=4, stride=5)
+    with _pt.raises(ValueError, match=">= 1"):
+        text.chunk_documents(docs, size=0)

@@ -211,12 +211,19 @@ def _n_exchanges(fmt: str) -> int:
 
 
 @pytest.mark.parametrize(
-    "name", ["t09_hash_sample", "s05_embedding_quantize"],
+    "name",
+    [
+        "t09_hash_sample",
+        "s05_embedding_quantize",
+        "t27_pii_scrub",
+        "t28_chunk_documents",
+    ],
 )
 def test_per_row_ops_have_zero_exchanges(spark, name):
-    """The sampling/quantization passes are pure per-row projections —
-    any Exchange in their plan is a regression (at 100 TB a spurious
-    shuffle of the corpus is the whole bill)."""
+    """The sampling/quantization/scrub/chunking passes are pure per-row
+    projections (chunking explodes in place) — any Exchange in their
+    plan is a regression (at 100 TB a spurious shuffle of the corpus is
+    the whole bill)."""
     fmt = _plan(spark, SUITE[name](spark, SF_DIR))
     assert _n_exchanges(fmt) == 0
 
