@@ -643,15 +643,23 @@ class Engine:
         entry = self.catalog.for_table(name, database)
         if entry is None or entry.Type != "A":
             raise KeyError(f"no saved query named {name!r}")
+        # Snapshot the sources BEFORE running the query: a concurrent
+        # source append DURING materialization must leave the entry
+        # looking STALE (the data reflects the pre-append state), not
+        # fresh — snapshot-after would bake the append into the
+        # baseline and fail open. The extra validate_select here (the
+        # run_saved gate re-parses below) is the price of ordering the
+        # snapshot ahead of execution, not an oversight.
+        source_tables = validate_select(
+            self.spark, entry.QuerySettings["QueryString"]
+        ).tables
+        source_snapshot = self._table_snapshot(source_tables)
         df = self.run_saved(name, user, database, params=params)
         df.write.mode("overwrite").saveAsTable(qualified)
         self._audit(
             user, "materialize", entry.QuerySettings["QueryString"],
             [f"{database}.{target}"], "ok",
         )
-        source_tables = validate_select(
-            self.spark, entry.QuerySettings["QueryString"]
-        ).tables
         return self.catalog.record_query(
             CatalogEntry(
                 TableName=target,
@@ -662,11 +670,19 @@ class Engine:
                     "SourceAnalysis": name,
                     "MaterializedAt": _time.time(),
                     # Staleness provenance: the source tables and their
-                    # file-level snapshot at materialization time —
+                    # file-level snapshot (taken pre-run, see above) —
                     # is_stale() re-probes and compares (metadata-only).
                     "SourceTables": source_tables,
-                    "SourceSnapshot": self._table_snapshot(source_tables),
-                    "Params": params,
+                    "SourceSnapshot": source_snapshot,
+                    # JSON-sanitized (default=str, same rule as the
+                    # audit row): spark.sql accepts datetime/Decimal
+                    # params, but the catalog's JSONL flush would choke
+                    # on them — and a poisoned entry would break EVERY
+                    # later flush, not just this one.
+                    "Params": (
+                        None if params is None
+                        else json.loads(json.dumps(params, default=str))
+                    ),
                 },
                 Owners=[user.name],
                 Access=list(access or []),
@@ -724,11 +740,13 @@ class Engine:
         self, user: User = ADMIN, database: str = "default"
     ) -> list[str]:
         """Refresh sweep: re-materialize every stale materialized
-        analysis in ``database`` the caller owns, preserving each
+        analysis in ``database`` the caller OWNS, preserving each
         entry's target table, bound params, and Access list. Returns
-        the refreshed table names. Ownership is enforced by
-        ``materialize_saved`` itself (the slot guard), so a shared
-        sweep can only rebuild what the sweeping user may rebuild."""
+        the refreshed table names. Entries merely VISIBLE to the
+        sweeper (Access grants, poweruser see-all) are skipped, not
+        attempted — otherwise the slot guard inside
+        ``materialize_saved`` would abort the sweep mid-way on the
+        first stale entry the sweeper can see but not rebuild."""
         refreshed = []
         for entry in self.catalog.list(user):
             qs = entry.QuerySettings
@@ -737,6 +755,12 @@ class Engine:
                 or "SourceAnalysis" not in qs
                 or not entry.Active
             ):
+                continue
+            # Visibility is broader than ownership (Access grants,
+            # poweruser see-all): SKIP entries the sweeper may not
+            # rebuild instead of letting materialize_saved's slot guard
+            # abort the whole sweep mid-way.
+            if not entry.owned_by(user):
                 continue
             if not self.is_stale(entry.TableName, database):
                 continue

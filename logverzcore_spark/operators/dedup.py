@@ -491,12 +491,36 @@ def minhash_band_buckets(
     expansion stays inside codegen; bucket values are bit-identical to
     the pre-r5 m-column form (same xxhash64 over the same elements)."""
     rows = num_hashes // bands
+
+    def _sig_at(i: int) -> Column:
+        # Fail-fast guard on the HIGHEST index only (one size check per
+        # row): the pre-r5 m{i}-column form raised AnalysisException on
+        # a num_hashes mismatch at plan time; F.get would instead
+        # return NULL out-of-bounds, which xxhash64 SKIPS — every band
+        # over missing indices would hash to xxhash64(band) and
+        # collide the whole corpus into one bucket per band.
+        col = F.get("sig", i)
+        if i == num_hashes - 1:
+            return F.when(
+                F.size("sig") < num_hashes,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "minhash_band_buckets: signature array has "
+                        ),
+                        F.size("sig").cast("string"),
+                        F.lit(f" mins, num_hashes={num_hashes} expected"),
+                    )
+                ).cast("long"),
+            ).otherwise(col)
+        return col
+
     band_structs = [
         F.struct(
             F.lit(band).alias("band"),
             F.xxhash64(
                 F.lit(band),
-                *[F.get("sig", band * rows + j) for j in range(rows)],
+                *[_sig_at(band * rows + j) for j in range(rows)],
             ).alias("bucket"),
         )
         for band in range(bands)

@@ -167,7 +167,16 @@ def cosine_topk_auto(
             f"cosine_topk_auto is the exact/verification tier — {max_queries}+ "
             "queries should go through lsh_topk/ivf_topk"
         )
-    first = queries.select(_as_double(F.col(vec_col)).alias("v")).first()
+    # Probe dim from the first NON-NULL vector (a nullable vec_col's
+    # first row may be NULL — len(None) would throw here instead of
+    # letting the chosen tier surface the data problem); no non-null
+    # vector at all → dim 0 → JVM tier, which returns empty/raises
+    # with its own semantics.
+    first = (
+        queries.where(F.col(vec_col).isNotNull())
+        .select(_as_double(F.col(vec_col)).alias("v"))
+        .first()
+    )
     dim = len(first["v"]) if first is not None else 0
     if nq * dim >= crossover_cells:
         return cosine_topk_blas(

@@ -482,12 +482,15 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 
 
 def pii_counts(col: Column) -> Column:
-    """Struct of per-category PII match counts (pre-redaction), one
-    codegen'd ``regexp_count`` per category. Counts are computed on the
-    ORIGINAL text but category-sequentially exclusive the same way the
-    redaction chain is: each count runs on the text with all EARLIER
-    categories already redacted, so a dotted quad counts as ip, never
-    also as phone — count semantics equal redaction semantics."""
+    """Struct of per-category PII match counts, one codegen'd
+    ``regexp_count`` per category, SEQUENTIALLY EXCLUSIVE exactly like
+    the redaction chain: each category's count runs on the text with
+    all EARLIER categories already redacted (only the first category
+    sees the raw text), so a dotted quad counts as ip, never also as
+    phone — count semantics equal redaction semantics by construction.
+    Do not count all categories against the raw text; that is a
+    different (overlapping) semantics and diverges from ``redact_pii``
+    and the t27 oracle."""
     fields = []
     staged = col
     for label, pat, repl in PII_PATTERNS:

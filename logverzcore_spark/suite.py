@@ -5537,7 +5537,12 @@ def st18_sketch_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("d")
         .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("user_sk"))
+            # allowDifferentLgConfigK: stored day rows may span an lgK
+            # default upgrade (the fold persists mixed precisions by
+            # design — rollup.py's make_sketch_fold), and a 7-day window
+            # crossing the upgrade boundary must still union (downgrades
+            # to the window's minimum lgK).
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("user_sk"), F.lit(True)))
             .cast("bigint")
             .alias("users_7d")
         )

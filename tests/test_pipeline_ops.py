@@ -926,3 +926,22 @@ def test_sniff_wav_meta_on_genuine_header(spark):
             got[2]["bits_per_sample"]) == (1, 48000, 24)
     assert got[3]["format"] == "unknown" and got[3]["sample_rate"] is None
     assert got[4]["format"] == "unknown" and got[4]["channels"] is None
+
+
+def test_minhash_band_buckets_mismatch_fails_fast(spark, docs):
+    """A num_hashes wider than the signature array must raise loudly
+    when buckets are consumed — F.get's out-of-bounds NULL would
+    otherwise be silently SKIPPED by xxhash64, collapsing the whole
+    corpus into one bucket per band (regression guard for the r5
+    packed-sig interface; the old m{i}-column form failed at plan
+    time)."""
+    import pytest as _pt
+
+    sig = dedup.minhash_signature_sets(
+        docs.limit(20), num_hashes=32, with_sets=False, persist=False
+    )
+    ok = dedup.minhash_band_buckets(sig, num_hashes=32, bands=16)
+    assert ok.agg(F.countDistinct("bucket")).first()[0] > 1
+    bad = dedup.minhash_band_buckets(sig, num_hashes=64, bands=32)
+    with _pt.raises(Exception, match="signature array has 32 mins"):
+        bad.agg(F.countDistinct("bucket")).collect()

@@ -574,8 +574,25 @@ def test_materialized_staleness_and_refresh_sweep(spark, engine):
         # non-materialized names are rejected
         with pytest.raises(KeyError, match="not a materialized analysis"):
             engine.is_stale("stale_src")
+        # a sweeper who can SEE but not OWN the entry skips it (no
+        # PermissionError mid-sweep); the stale entry stays stale
+        spark.range(3).write.mode("append").saveAsTable("stale_src")
+        viewer = User(name="vera", groups=["analysts"])  # Access, not Owners
+        assert engine.refresh_materialized(viewer) == []
+        assert engine.is_stale("stale_q_mat") is True
+        # non-JSON params (datetime.date) are sanitized into the catalog
+        # entry instead of poisoning every later flush
+        import datetime as _dt
+
+        engine.save_query(
+            "stale_pq", "SELECT count(*) AS n FROM stale_src WHERE id >= :lo"
+        )
+        engine.materialize_saved("stale_pq", params={"lo": 0, "d": _dt.date(2024, 1, 2)})
+        stored = engine.catalog.for_table("stale_pq_mat").QuerySettings["Params"]
+        assert stored == {"lo": 0, "d": "2024-01-02"}
     finally:
         spark.sql("DROP TABLE IF EXISTS stale_q_mat")
+        spark.sql("DROP TABLE IF EXISTS stale_pq_mat")
         spark.sql("DROP TABLE IF EXISTS stale_src")
 
 

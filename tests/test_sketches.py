@@ -160,6 +160,26 @@ def test_sketch_fold_merges_across_lgk_upgrade(spark, _events_df):
         # these cardinalities, so counts stay exact: 0..79 = 80 distinct.
         assert est["2024-01-01"] == 80
         assert est["2024-01-02"] == 50
+        # A post-upgrade batch for a NEW day persists at lgK=19, so the
+        # stored table now holds mixed-precision day rows...
+        day3 = spark.range(200, 240).select(
+            F.lit("2024-01-03 09:00:00").cast("timestamp").alias("ts"),
+            F.col("id").alias("user_id"),
+        )
+        make_sketch_fold(spark, table, lg_config_k=19)(day3, 2)
+        # ...and the READ side (st18's rolling re-aggregation shape)
+        # must union across them — allowDifferentLgConfigK again, or
+        # the first upgrade-spanning window throws.
+        total = (
+            spark.table(table)
+            .agg(
+                F.hll_sketch_estimate(
+                    F.hll_union_agg(F.col("user_sk"), F.lit(True))
+                ).cast("bigint").alias("e")
+            )
+            .first()["e"]
+        )
+        assert total == 120  # 0..79 ∪ 200..239, exact in the min-lgK regime
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {table}_meta")

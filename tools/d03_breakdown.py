@@ -109,15 +109,20 @@ def build_prefixes(spark, sf_dir: str) -> dict:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    argv = list(sys.argv[1:])
     reps = 3
     out = None
-    argv = sys.argv[1:]
+    # Consume options (and their VALUES) before reading positionals —
+    # otherwise `--json out.json` leaves 'out.json' to become sf_dir.
     if "--reps" in argv:
-        reps = int(argv[argv.index("--reps") + 1])
+        i = argv.index("--reps")
+        reps = int(argv[i + 1])
+        del argv[i : i + 2]
     if "--json" in argv:
-        out = argv[argv.index("--json") + 1]
+        i = argv.index("--json")
+        out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
 
     spark = get_session("d03-breakdown")
     read_table(spark, sf_dir, "documents").count()  # warm footer/file index

@@ -326,9 +326,14 @@ def main() -> int:
                 failures.append(n)
     if json_out:
         graded = len(report)
+        # A rows-only entry whose bound_check failed is NOT green even
+        # though err stays "no_oracle" — exclude anything in failures
+        # so the headline count can never contradict the failures list.
+        failed = set(failures)
         green = sum(
-            1 for r in report.values()
-            if r["hash_match"] or r["err"] == "no_oracle"
+            1 for n, r in report.items()
+            if n not in failed
+            and (r["hash_match"] or r["err"] == "no_oracle")
         )
         payload = {
             "sf_dir": sf_dir,
