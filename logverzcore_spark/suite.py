@@ -7520,3 +7520,57 @@ def t28_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows are the chunks themselves."""
     docs = _t(spark, sf_dir, "documents")
     return text.chunk_documents(docs, size=24, stride=16)
+
+
+@query(
+    "t29_blocklist_filter",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(t, x -> x IN ('data', 'spark', 'slow'))) AS INT)
+             AS n_blocked,
+           ROUND(len(list_filter(t, x -> x IN ('data', 'spark', 'slow'))) * 1.0
+                 / greatest(len(t), 1), 6) AS blocked_ratio,
+           (len(list_filter(t, x -> x IN ('data', 'spark', 'slow'))) * 1.0
+                 / greatest(len(t), 1)) <= 0.08 AS keep
+    FROM tok
+    """,
+)
+def t29_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-blocklist content filter (text.blocklist_profile): per-doc
+    blocked-token count/ratio + keep verdict. The synthetic corpus has
+    no unsafe terms, so the graded list uses common corpus words
+    ('data','spark','slow') to exercise non-trivial counts and both
+    verdict branches at max_ratio=0.08. One codegen'd projection —
+    zero shuffle at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.blocklist_profile(
+        docs, terms=("data", "spark", "slow"), max_ratio=0.08
+    )
+
+
+@query(
+    "t30_source_quota_cap",
+    oracle="""
+    SELECT doc_id, source, n_chars, CAST(source_rank AS INT) AS source_rank
+    FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS source_rank
+      FROM documents
+    )
+    WHERE source_rank <= 10
+    """,
+)
+def t30_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (text.source_quota_cap): keep the 10 largest
+    docs per source — the domain-balancing rule of crawl curation (no
+    host may dominate the corpus). One shuffle on the source key; the
+    deterministic (n_chars DESC, doc_id) order makes the cut
+    hash-verifiable."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.source_quota_cap(docs, quota=10)

@@ -217,6 +217,7 @@ def _n_exchanges(fmt: str) -> int:
         "s05_embedding_quantize",
         "t27_pii_scrub",
         "t28_chunk_documents",
+        "t29_blocklist_filter",
     ],
 )
 def test_per_row_ops_have_zero_exchanges(spark, name):
