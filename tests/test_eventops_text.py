@@ -358,3 +358,67 @@ def test_chunk_documents_windows_and_edges(spark):
         text.chunk_documents(docs, size=4, stride=5)
     with _pt.raises(ValueError, match=">= 1"):
         text.chunk_documents(docs, size=0)
+
+
+def test_pii_redaction_idempotent_batch(spark):
+    """redact(redact(x)) == redact(x) over a randomized batch: the
+    replacement tokens ([EMAIL] etc.) match no pattern themselves, so a
+    double scrub must be a fixed point — the property that makes
+    re-running an export pipeline safe. Deterministic LCG inputs (no
+    runtime RNG), one Spark job for the whole batch."""
+    state = 0x9E3779B9
+    frags = [
+        "plain words here", "x@y.zz", "10.0.0.1", "999-88-7777",
+        "800-555-0100", "a.b@c.dd more", "1.2.3.4.5", "12-34-56",
+    ]
+    rows = []
+    for i in range(64):
+        parts = []
+        for _ in range(4):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            parts.append(frags[state % len(frags)])
+        rows.append((i, " ".join(parts)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    once = df.select("doc_id", text.redact_pii(F.col("text")).alias("t"))
+    twice = once.select("doc_id", text.redact_pii(F.col("t")).alias("t"))
+    diff = (
+        once.alias("a")
+        .join(twice.alias("b"), "doc_id")
+        .where(F.col("a.t") != F.col("b.t"))
+    )
+    assert diff.count() == 0
+
+
+def test_chunk_documents_window_algebra_batch(spark):
+    """Window-count formula + full coverage over a grid of (n, size,
+    stride) shapes in ONE Spark job: chunk count == 1 if n<=size else
+    ceil((n-size)/stride)+1; every chunk except the last has exactly
+    `size` tokens; concatenating chunks at stride==size reproduces the
+    document."""
+    import math
+
+    shapes = [
+        (n, size, stride)
+        for n in (1, 3, 7, 16, 31, 64)
+        for size, stride in ((4, 4), (4, 2), (8, 3), (16, 16), (5, 1))
+    ]
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(n)))
+        for i, (n, _, _) in enumerate(shapes)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for size, stride in sorted({(s, t) for _, s, t in shapes}):
+        out = text.chunk_documents(df, size=size, stride=stride).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for i, (n, _, _) in enumerate(shapes):
+            chunks = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+            expect = 1 if n <= size else math.ceil((n - size) / stride) + 1
+            assert len(chunks) == expect, (n, size, stride)
+            for c in chunks[:-1]:
+                assert c["n_tokens"] == size
+            covered = set()
+            for c in chunks:
+                covered.update(c["chunk_text"].split())
+            assert covered == {f"w{j}" for j in range(n)}, (n, size, stride)
