@@ -365,6 +365,93 @@ def incremental_topk_rollup(
     return writer.start()
 
 
+# ---------------------------------------------------------------------------
+# Incremental per-source quota cap: a continuously-maintained top-N-per-key
+# ---------------------------------------------------------------------------
+
+
+def make_quota_fold(
+    spark: SparkSession,
+    state_table: str,
+    quota: int,
+    source_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+):
+    """Per-micro-batch fold maintaining the top-``quota`` documents per
+    source across the whole stream history — the streaming form of
+    ``text.source_quota_cap`` (domain balancing over a continuously
+    collected corpus).
+
+    Top-N-per-key is a MONOTONE fold (a semilattice): merging each
+    batch into the kept set and re-capping yields exactly the batch
+    answer over the union corpus — an item displaced from its source's
+    top N can never re-enter (everything later ranks at least as high),
+    so no evicted state is ever needed back. State is bounded at
+    sources x quota rows regardless of stream length, and the whole
+    state rewrite per batch is the sketch rollup's constant-cost
+    pattern.
+
+    Replay safety is per-ROW (no batch-id marker): a redelivered batch
+    unions rows that are either already in state (dropDuplicates on the
+    id collapses them) or were evicted (they lose the rank again), so
+    at-least-once foreachBatch delivery converges to the same state —
+    including across the partial-write crash window (the overwrite is
+    one atomic-enough saveAsTable of the full bounded state).
+    """
+    from logverzcore_spark.operators.text import source_quota_cap
+
+    cols = [id_col, source_col, order_col]
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        incoming = batch_df.select(*cols)
+        if spark.catalog.tableExists(state_table):
+            merged = spark.table(state_table).select(*cols).unionByName(incoming)
+        else:
+            merged = incoming
+        merged = merged.dropDuplicates([id_col])
+        capped = source_quota_cap(
+            merged, quota, source_col=source_col,
+            order_col=order_col, id_col=id_col,
+        )
+        # The state table cannot be overwritten from a plan that reads
+        # it — cut lineage first (bounded rows, cheap at any scale).
+        capped = capped.localCheckpoint(eager=True)
+        capped.write.mode("overwrite").saveAsTable(state_table)
+
+    return fold
+
+
+def incremental_quota_cap(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    state_table: str,
+    quota: int,
+    source_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain a per-source top-``quota`` document table from a
+    document stream (see ``make_quota_fold``); the stored state always
+    equals the batch ``source_quota_cap`` over everything seen."""
+    fold = make_quota_fold(
+        spark, state_table, quota,
+        source_col=source_col, order_col=order_col, id_col=id_col,
+    )
+    checkpoint = checkpoint_dir or os.path.join(
+        tempfile.gettempdir(), f"lvz_quota_{uuid.uuid4().hex[:8]}"
+    )
+    writer = (
+        docs_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 __all__ = [
     "hourly_rollup_frame",
     "incremental_hourly_rollup",
@@ -374,4 +461,6 @@ __all__ = [
     "make_sketch_fold",
     "make_topk_fold",
     "incremental_topk_rollup",
+    "make_quota_fold",
+    "incremental_quota_cap",
 ]

@@ -7574,3 +7574,43 @@ def t30_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-verifiable."""
     docs = _t(spark, sf_dir, "documents")
     return text.source_quota_cap(docs, quota=10)
+
+
+@query(
+    "st21_streaming_quota_cap",
+    oracle="""
+    SELECT doc_id, source, n_chars, CAST(source_rank AS INT) AS source_rank
+    FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS source_rank
+      FROM documents
+    )
+    WHERE source_rank <= 10
+    """,
+)
+def st21_streaming_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental per-source quota cap: the t30 domain
+    balancer maintained continuously (streaming/rollup.make_quota_fold).
+    Top-N-per-key is a monotone fold, so the maintained state always
+    equals the batch answer over everything seen — which is exactly
+    what this oracle states in SQL. Multi-batch merge, eviction, and
+    per-row replay idempotence are pytest-covered
+    (test_quota_fold_incremental_equals_batch)."""
+    import uuid as _uuid
+
+    from logverzcore_spark.streaming.rollup import incremental_quota_cap
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    sch = spark.read.parquet(docs_path).schema
+    # The file source wants a directory: watch the sf dir with a glob
+    # for the documents file (same pattern as _events_stream).
+    stream = (
+        spark.readStream.schema(sch)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    state = f"quota_state_{_uuid.uuid4().hex[:8]}"
+    q = incremental_quota_cap(spark, stream, state, quota=10)
+    q.awaitTermination()
+    return spark.table(state).select("doc_id", "source", "n_chars", "source_rank")

@@ -562,3 +562,43 @@ def test_topk_fold_merges_across_batches(spark):
     finally:
         for t in ("crashtk_t", "crashtk_t_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_quota_fold_incremental_equals_batch(spark):
+    """Incremental per-source quota cap (streaming/rollup.make_quota_fold):
+    folding batches must equal the batch source_quota_cap over everything
+    seen (top-N-per-key is monotone), evict displaced docs, and converge
+    under per-row replay (redelivered batch = no-op state)."""
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.operators.text import source_quota_cap
+    from logverzcore_spark.streaming.rollup import make_quota_fold
+
+    rows = [(i, f"s{i % 3}", 100 + (i * 37) % 90) for i in range(36)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    state = "quota_fold_state_t"
+    spark.sql(f"DROP TABLE IF EXISTS {state}")
+    fold = make_quota_fold(spark, state, quota=4)
+    try:
+        batches = [
+            df.where(F.col("doc_id") < 12),
+            df.where(F.col("doc_id").between(12, 23)),
+            df.where(F.col("doc_id") >= 24),
+        ]
+        fold(batches[0], 0)
+        # mid-stream: state equals the batch cap over batch 0 alone
+        expect0 = {
+            tuple(r) for r in source_quota_cap(batches[0], 4).collect()
+        }
+        assert {tuple(r) for r in spark.table(state).collect()} == expect0
+        fold(batches[1], 1)
+        fold(batches[2], 2)
+        expect_all = {tuple(r) for r in source_quota_cap(df, 4).collect()}
+        got = {tuple(r) for r in spark.table(state).collect()}
+        assert got == expect_all  # merged + evicted correctly
+        assert spark.table(state).count() == 12  # 3 sources x quota 4
+        # per-row replay: redelivering batch 1 leaves the state unchanged
+        fold(batches[1], 1)
+        assert {tuple(r) for r in spark.table(state).collect()} == expect_all
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {state}")
