@@ -37,6 +37,18 @@ from logverzcore_spark.schemas import REGISTRY
 ADMIN = User(name="admin", is_admin=True)
 
 
+def _json_roundtrips_exactly(params) -> bool:
+    """True iff JSON-sanitizing ``params`` (dumps with default=str,
+    then loads) preserves it exactly — i.e. no datetime/Decimal/...
+    value was coerced to a string. Materialized entries record this as
+    ``ParamsFidelity`` so a refresh sweep can warn before re-binding
+    coerced (stringified) params as literals."""
+    try:
+        return json.loads(json.dumps(params, default=str)) == params
+    except Exception:
+        return False
+
+
 class AdmissionError(PermissionError):
     """Query rejected by admission control before execution."""
 
@@ -683,6 +695,17 @@ class Engine:
                         None if params is None
                         else json.loads(json.dumps(params, default=str))
                     ),
+                    # Fidelity flag for the sanitization above: False
+                    # means at least one param was COERCED to a string
+                    # (datetime/Decimal/...), so a later refresh that
+                    # re-binds the stored values binds string literals
+                    # where the original bound typed values — literal
+                    # coercion may differ subtly. refresh_materialized
+                    # warns when it re-binds such params.
+                    "ParamsFidelity": (
+                        True if params is None
+                        else _json_roundtrips_exactly(params)
+                    ),
                 },
                 Owners=[user.name],
                 Access=list(access or []),
@@ -694,8 +717,11 @@ class Engine:
         """{table: {"n_files", "max_mtime"}} from the CURRENT file
         listing — a metadata-only probe (no data job), the same facts a
         table format's snapshot id encodes. ``None`` for a table whose
-        files can't be enumerated (treated as always-stale downstream —
-        fail toward refreshing)."""
+        files can't be enumerated OR whose files aren't stat-able local
+        paths (s3://, hdfs://, ...): a remote snapshot would degrade to
+        file-count-only, where a same-count overwrite/compaction reads
+        as fresh — so it reports ``None`` (always-stale downstream,
+        fail toward refreshing) rather than a half-trusted fingerprint."""
         import os as _os
 
         snap: dict = {}
@@ -707,10 +733,20 @@ class Engine:
                 snap[t] = None
                 continue
             mt = 0.0
+            reliable = True
             for f in files:
                 local = f[5:] if f.startswith("file:") else f
                 if _os.path.exists(local):
                     mt = max(mt, _os.path.getmtime(local))
+                else:
+                    # remote scheme (s3://, hdfs://) or a file deleted
+                    # between listing and stat — either way the mtime
+                    # fingerprint can't be trusted
+                    reliable = False
+                    break
+            if not reliable:
+                snap[t] = None
+                continue
             snap[t] = {"n_files": len(files), "max_mtime": mt}
         return snap
 
@@ -746,7 +782,25 @@ class Engine:
         sweeper (Access grants, poweruser see-all) are skipped, not
         attempted — otherwise the slot guard inside
         ``materialize_saved`` would abort the sweep mid-way on the
-        first stale entry the sweeper can see but not rebuild."""
+        first stale entry the sweeper can see but not rebuild.
+
+        Per-entry failures SKIP, they don't abort: a pre-r5 entry with
+        no recorded Params whose template carries ``:name`` markers, or
+        an entry whose SourceAnalysis was deleted since, is recorded as
+        a ``refresh_failed`` audit row and the sweep moves on — a
+        partially-applied sweep that silently stopped mid-list would
+        leave the tail stale with no signal.
+
+        Re-binding caveat: stored Params are JSON-sanitized at
+        materialize time (datetime/Decimal → strings), so a refresh of
+        an entry whose ``ParamsFidelity`` is False re-binds STRING
+        literals where the original bound typed values; literal
+        coercion can make the refreshed table differ subtly. Such
+        refreshes emit a ``UserWarning`` (and still run — stale with a
+        warning beats frozen)."""
+        import re as _re
+        import warnings as _warnings
+
         refreshed = []
         for entry in self.catalog.list(user):
             qs = entry.QuerySettings
@@ -764,11 +818,47 @@ class Engine:
                 continue
             if not self.is_stale(entry.TableName, database):
                 continue
-            self.materialize_saved(
-                qs["SourceAnalysis"], user, database,
-                table=entry.TableName, params=qs.get("Params"),
-                access=list(entry.Access),
+            # Pre-r5 entries recorded no Params at all; if the stored
+            # template carries :name markers, a params=None rebind
+            # would raise on unbound markers — skip it up front with a
+            # clearer reason than the parser's error.
+            template = qs.get("QueryString", "")
+            has_markers = bool(
+                _re.search(r"(?<![:\w]):[A-Za-z_]\w*", template)
             )
+            if "Params" not in qs and has_markers:
+                self._audit(
+                    user, "refresh_failed", template,
+                    [f"{database}.{entry.TableName}"], "invalid",
+                    "parameterized template has no recorded Params "
+                    "(pre-fidelity entry); re-materialize manually",
+                )
+                continue
+            if qs.get("Params") is not None and not qs.get(
+                "ParamsFidelity", True
+            ):
+                _warnings.warn(
+                    f"refresh of {database}.{entry.TableName}: stored "
+                    "params were JSON-coerced to strings at materialize "
+                    "time; the refresh re-binds string literals which "
+                    "may coerce differently than the original typed "
+                    "values",
+                    UserWarning,
+                    stacklevel=2,
+                )
+            try:
+                self.materialize_saved(
+                    qs["SourceAnalysis"], user, database,
+                    table=entry.TableName, params=qs.get("Params"),
+                    access=list(entry.Access),
+                )
+            except Exception as exc:  # skip-and-record, don't abort
+                self._audit(
+                    user, "refresh_failed", template,
+                    [f"{database}.{entry.TableName}"], "invalid",
+                    f"{type(exc).__name__}: {exc}",
+                )
+                continue
             refreshed.append(entry.TableName)
         return refreshed
 

@@ -50,6 +50,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _docs_stream(spark: SparkSession, sf_dir: str):
+    """File-source stream over the documents table, robust to BOTH
+    layouts: the driver's single ``documents.parquet`` file (watch
+    sf_dir with a basename glob — the file source wants a directory)
+    and a Spark-written ``documents.parquet/`` DIRECTORY of part files
+    (the scale replicas' shape), where that same glob would match ZERO
+    leaf files and the stream would silently never run — watch the
+    directory itself instead."""
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    sch = spark.read.parquet(docs_path).schema
+    if os.path.isdir(docs_path):
+        return spark.readStream.schema(sch).parquet(docs_path)
+    return (
+        spark.readStream.schema(sch)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def _money_sum(col, scale: int = 2):
     """Money sum as exact integer units (floor(x*10^s + 0.5) — half-up
     toward +inf, identical IEEE ops in any engine) divided back once.
@@ -4682,12 +4701,7 @@ def st14_stream_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from logverzcore_spark import export
 
-    batch = _t(spark, sf_dir, "documents")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _docs_stream(spark, sf_dir)
     run_id = _uuid.uuid4().hex[:8]
     base = tempfile.mkdtemp(prefix=f"st14_{run_id}_")
     manifest = export.export_shards_stream(
@@ -5170,12 +5184,7 @@ def st16_streaming_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     run_id = _uuid.uuid4().hex[:8]
     table = f"st16_cur_{run_id}"
-    batch = _t(spark, sf_dir, "documents")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _docs_stream(spark, sf_dir)
     q = curate_stream(
         spark, stream, table,
         checkpoint_dir=os.path.join(tempfile.gettempdir(), f"ck_{table}"),
@@ -7601,15 +7610,7 @@ def st21_streaming_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from logverzcore_spark.streaming.rollup import incremental_quota_cap
 
-    docs_path = os.path.join(sf_dir, "documents.parquet")
-    sch = spark.read.parquet(docs_path).schema
-    # The file source wants a directory: watch the sf dir with a glob
-    # for the documents file (same pattern as _events_stream).
-    stream = (
-        spark.readStream.schema(sch)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _docs_stream(spark, sf_dir)
     state = f"quota_state_{_uuid.uuid4().hex[:8]}"
     q = incremental_quota_cap(spark, stream, state, quota=10)
     q.awaitTermination()

@@ -846,3 +846,114 @@ def test_export_query_gated_and_manifested(spark, engine, tmpdir_path):
         engine.export_query("SELECT * FROM qs_tab", f"{tmpdir_path}/nope", user=bob)
     with pytest.raises(ValueError):
         engine.export_query("SELECT 1", f"{tmpdir_path}/bad", fmt="xlsx")
+
+
+def test_refresh_sweep_skips_failures_and_warns_on_coerced_params(spark, tmpdir_path):
+    """r6 ADVICE: a per-entry failure (pre-fidelity parameterized entry
+    with no recorded Params; a since-deleted SourceAnalysis) SKIPS with
+    a refresh_failed audit row instead of aborting the sweep mid-list —
+    a healthy stale entry later in the catalog still refreshes. And a
+    refresh that re-binds JSON-coerced params (ParamsFidelity False)
+    emits a UserWarning but still runs."""
+    import datetime as _dt
+    import warnings as _w
+
+    from logverzcore_spark.audit import AuditLog
+
+    cat = Catalog(path=f"{tmpdir_path}/rs_cat.jsonl")
+    audit = AuditLog(path=f"{tmpdir_path}/rs_audit.jsonl")
+    engine = Engine(spark, cat, audit=audit)
+    spark.range(10).write.mode("overwrite").saveAsTable("rs_src")
+    cat.record_query(CatalogEntry(TableName="rs_src"))
+    try:
+        # A: parameterized template; strip Params to mimic a pre-r5 entry
+        engine.save_query(
+            "rs_a", "SELECT count(*) AS n FROM rs_src WHERE id >= :lo"
+        )
+        engine.materialize_saved("rs_a", params={"lo": 0})
+        entry_a = cat.for_table("rs_a_mat")
+        del entry_a.QuerySettings["Params"]
+        entry_a.QuerySettings.pop("ParamsFidelity", None)
+        # B: SourceAnalysis deleted after materialization
+        engine.save_query("rs_b", "SELECT sum(id) AS s FROM rs_src")
+        engine.materialize_saved("rs_b")
+        from logverzcore_spark.api import ADMIN
+        cat.deactivate_table("rs_b", ADMIN)
+        # C: coerced params (date → string) → fidelity False
+        engine.save_query(
+            "rs_c", "SELECT count(*) AS n FROM rs_src WHERE id >= :lo"
+        )
+        engine.materialize_saved("rs_c", params={"lo": 0, "d": _dt.date(2024, 1, 2)})
+        assert cat.for_table("rs_c_mat").QuerySettings["ParamsFidelity"] is False
+        # D: healthy typed params → fidelity True
+        engine.save_query("rs_d", "SELECT sum(id) AS m FROM rs_src")
+        engine.materialize_saved("rs_d")
+        assert cat.for_table("rs_d_mat").QuerySettings["ParamsFidelity"] is True
+
+        spark.range(5).write.mode("append").saveAsTable("rs_src")  # all stale
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            refreshed = engine.refresh_materialized()
+        # failures skipped, healthy entries refreshed despite earlier failures
+        assert "rs_a_mat" not in refreshed and "rs_b_mat" not in refreshed
+        assert "rs_c_mat" in refreshed and "rs_d_mat" in refreshed
+        assert spark.table("rs_d_mat").first()["m"] == 55  # 45 + append's 10
+        # the coerced-params refresh warned (and only that one)
+        warns = [w for w in caught if issubclass(w.category, UserWarning)
+                 and "JSON-coerced" in str(w.message)]
+        assert len(warns) == 1 and "rs_c_mat" in str(warns[0].message)
+        # both failures left refresh_failed audit rows with the reason
+        failed = [e for e in audit.entries() if e.Mode == "refresh_failed"]
+        assert len(failed) == 2
+        reasons = " | ".join(e.Error for e in failed)
+        assert "no recorded Params" in reasons
+        assert "rs_a_mat" in " ".join(t for e in failed for t in e.Tables)
+        # skipped entries remain stale (sweep can be retried after repair)
+        assert engine.is_stale("rs_a_mat") is True
+    finally:
+        for t in ["rs_a_mat", "rs_b_mat", "rs_c_mat", "rs_d_mat", "rs_src"]:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_table_snapshot_remote_paths_report_unreliable(tmpdir_path):
+    """r6 ADVICE: input files that aren't stat-able local paths (s3://,
+    hdfs://) make the whole table's snapshot None (always-stale) instead
+    of a count-only fingerprint that reads same-count overwrites as
+    fresh."""
+    import os as _os
+
+    local_file = f"{tmpdir_path}/x.parquet"
+    with open(local_file, "wb") as fh:
+        fh.write(b"x")
+
+    class _Tbl:
+        def __init__(self, files):
+            self._files = files
+
+        def inputFiles(self):
+            return self._files
+
+    class _Cat:
+        def refreshTable(self, t):
+            pass
+
+    class _Spark:
+        def __init__(self, files):
+            self.catalog = _Cat()
+            self._files = files
+
+        def table(self, t):
+            return _Tbl(self._files[t])
+
+    eng = Engine.__new__(Engine)
+    eng.spark = _Spark({
+        "remote": ["s3://bucket/key.parquet"],
+        "mixed": [f"file:{local_file}", "hdfs://nn/part.parquet"],
+        "local": [f"file:{local_file}"],
+    })
+    snap = eng._table_snapshot(["remote", "mixed", "local"])
+    assert snap["remote"] is None
+    assert snap["mixed"] is None
+    assert snap["local"] == {
+        "n_files": 1, "max_mtime": _os.path.getmtime(local_file),
+    }

@@ -287,3 +287,31 @@ def test_stream_outer_join_equals_batch_left_join(spark):
         assert batch.exceptAll(out).count() == 0
     finally:
         out.unpersist()
+
+
+def test_docs_stream_handles_directory_shaped_documents(spark, tmpdir_path):
+    """r6 ADVICE: when documents.parquet is a Spark-written DIRECTORY of
+    part files (the scale replicas' shape), the suite's documents stream
+    must still see rows — the old pathGlobFilter='documents.parquet'
+    matched zero leaf files there. st21's quota fold over the directory
+    shape must equal the single-file answer."""
+    import os
+    import shutil
+
+    from logverzcore_spark.suite import _docs_stream, st21_streaming_quota_cap
+
+    sf = "/root/testdata/sf0.001"
+    # stage a directory-shaped replica of the sf dir
+    repl = os.path.join(tmpdir_path, "sfdir")
+    os.makedirs(os.path.join(repl, "documents.parquet"))
+    shutil.copy(
+        os.path.join(sf, "documents.parquet"),
+        os.path.join(repl, "documents.parquet", "part-00000.parquet"),
+    )
+    # the helper picks the directory branch and the stream sees rows
+    stream = _docs_stream(spark, repl)
+    assert stream.isStreaming
+    single = st21_streaming_quota_cap(spark, sf).collect()
+    dirshape = st21_streaming_quota_cap(spark, repl).collect()
+    key = lambda r: (r["source"], r["source_rank"], r["doc_id"])
+    assert sorted(dirshape, key=key) == sorted(single, key=key)
