@@ -1,0 +1,368 @@
+"""Deduplication entries (d*): exact, n-gram, MinHash-LSH, SimHash, embedding.
+
+Split from the flat suite.py (r6); entries register into the shared
+SUITE/ORACLES dicts via the @query decorator from suite.common.
+"""
+
+from __future__ import annotations
+
+from logverzcore_spark.suite.common import *  # noqa: F401,F403
+
+@query(
+    "d06_dedup_materialize",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, text,
+             row_number() OVER (
+               PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id FROM ranked WHERE rn = 1
+    """,
+)
+def d06_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup as a pipeline stage: the corpus with exact duplicates removed
+    (keep lowest doc_id per fingerprint) — the output a training-data run
+    would write."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dedup_keep_first(docs).select("doc_id")
+
+
+@query(
+    "d01_dedup_exact",
+    oracle="""
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on a normalized md5 fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+@query("d02_ngram_jaccard", oracle=_JACCARD_ORACLE_TMPL.format(thr=0.5))
+def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via inverted-index self-join."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+@query("d03_minhash_lsh", oracle=_JACCARD_ORACLE_TMPL.format(thr=0.7))
+def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with exact-Jaccard verification. With
+    r=2/b=16 the probability of missing a 0.7-Jaccard pair is ~2e-5, so
+    the verified output equals the brute-force oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.7)
+
+
+@query(
+    "d15_winnow_overlap",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(t)-2, 0)+1),
+                    i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS hs
+      FROM tok
+    ), win AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+                    range(1, greatest(len(hs)-4+1, 0)+1),
+                    i -> list_min(hs[i:i+3])))) AS fp
+      FROM sh
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n FROM win GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      FROM win a JOIN win b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id1, id2, ROUND(c * 1.0 / (s1.n + s2.n - c), 4) AS winnow_jaccard
+    FROM inter JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+    WHERE ROUND(c * 1.0 / (s1.n + s2.n - c), 4) >= 0.4
+    """,
+)
+def d15_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint overlap pairs (MOSS selection,
+    ``dedup.winnow_overlap_pairs``): positional 3-gram md5 hashes,
+    4-hash sliding-window minima, inverted-index join over the SELECTED
+    fingerprints only (~2/(w+1) of the shingle volume). The oracle
+    replays the exact selection in SQL — md5 is engine-portable, unlike
+    the xxhash64 the speed-first operators use — so the window minima,
+    dedup, and jaccard all verify hash-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.winnow_overlap_pairs(docs, threshold=0.4)
+
+
+@query("d04_simhash_pairs")  # xxhash64 is not reproducible in the oracle → rows-only check
+def d04_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3) via banded chunk join."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_neardup_pairs(docs, max_hamming=3)
+
+
+@query(
+    "d05_embedding_neardup",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+    )
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.35
+    """,
+)
+def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label to bound the join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(emb, threshold=0.35, block_col="label")
+
+
+@query("d07_dup_clusters", oracle=_D07_ORACLE)
+def d07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components (iterative min-label
+    propagation) over the 3-gram-Jaccard≥0.5 near-dup graph — the step
+    that turns pairwise evidence into keep-one-per-cluster dedup. The
+    oracle replays it as a recursive transitive closure."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup.dup_clusters(docs, pairs)
+
+
+@query(
+    "d08_dedup_corpus",
+    oracle=_DUP_GRAPH_CTE
+    + """
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d JOIN labels l ON d.doc_id = l.doc_id
+    WHERE l.cluster_id = d.doc_id
+    """,
+)
+def d08_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy-dedup materialization: near-dup pair graph →
+    connected components → keep each cluster's representative → the
+    cleaned corpus with original columns. This is the full pipeline the
+    pairwise queries (d02/d03) feed at 100 TB; transitivity means A~B~C
+    collapses to one doc even when A~C misses the threshold."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    clusters = dedup.dup_clusters(docs, pairs)
+    reps = clusters.where(F.col("is_rep")).select(F.col("doc_id"))
+    return docs.join(reps, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query(
+    "d09_contamination",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(range(1, greatest(len(t)-4, 0)+1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])))
+               AS sh
+      FROM tok
+    ), bench AS (
+      SELECT DISTINCT sh FROM sh WHERE source = 'src0'
+    )
+    SELECT t.doc_id, COUNT(*) AS n_shared_grams
+    FROM (SELECT doc_id, sh FROM sh WHERE source <> 'src0') t
+    JOIN bench b ON t.sh = b.sh
+    GROUP BY t.doc_id
+    """,
+)
+def d09_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan (dedup.contamination_check): distinct
+    5-gram overlap between each training doc (source≠src0) and the
+    benchmark corpus (source=src0). The benchmark gram set is broadcast,
+    so the 100 TB training side never shuffles — explode, broadcast-hash
+    lookup, partial-agg count."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("source") == "src0")
+    train = docs.where(F.col("source") != "src0")
+    return dedup.contamination_check(train, bench, n=5)
+
+
+@query(
+    "d10_simhash_portable",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+      FROM documents
+    ), h AS (
+      SELECT doc_id, CAST('0x' || substr(md5(tkn), 1, 15) AS BIGINT) AS hv
+      FROM (SELECT doc_id, unnest(ts) AS tkn FROM tok)
+    ), votes AS (
+      SELECT doc_id, bits.b AS b,
+             SUM(CASE WHEN (hv >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h, (SELECT unnest(range(0, 60)) AS b) bits
+      GROUP BY doc_id, bits.b
+    ), fp AS (
+      SELECT doc_id, SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS f
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.f, b.f)) <= 6
+    """,
+)
+def d10_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, HASH-VERIFIED end to end: the md5-derived
+    60-bit fingerprint is engine-portable, so the whole pipeline —
+    token hashing, bit votes, pigeonhole banding, hamming≤6 pairs —
+    checks exactly against a SQL oracle (d04's xxhash64 variant is
+    faster but Spark-only, hence rows-only). The oracle replays it
+    brute-force; the Spark side still bands (7 chunks > 6 bits), so its
+    plan has no cross join at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_neardup_pairs(
+        docs, max_hamming=6, n_bands=7, hash_fn="md5"
+    )
+
+
+@query(
+    "d11_containment",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, greatest(len(t)-2, 0)+1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+      FROM tok
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), directed AS (
+      SELECT id1 AS src_id, id2 AS dst_id,
+             ROUND(c * 1.0 / s1.n, 4) AS containment
+      FROM inter JOIN sz s1 ON s1.doc_id = id1
+      UNION ALL
+      SELECT id2, id1, ROUND(c * 1.0 / s2.n, 4)
+      FROM inter JOIN sz s2 ON s2.doc_id = id2
+    )
+    SELECT src_id, dst_id, containment FROM directed WHERE containment >= 0.5
+    """,
+)
+def d11_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed n-gram containment pairs (dedup.containment_pairs):
+    catches subset/quote duplication that symmetric Jaccard (d02)
+    under-scores."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.containment_pairs(docs, threshold=0.5)
+
+
+@query("d12_semantic_dedup", oracle=_d12_oracle())
+def d12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/dedup.semantic_dedup):
+    deterministic hyperplane cells bound the pairwise cosine work, cos ≥
+    0.25 pairs are grouped transitively (min-label propagation), one
+    representative survives per semantic group. Hash-verified end to end:
+    the oracle replays the literal LCG planes, the sign-bit cell ids, the
+    rounded-cosine pair predicate, and the connected components as a
+    recursive transitive closure."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup(emb, dim=64, threshold=0.25, n_planes=4)
+
+
+@query(
+    "d13_incremental_dedup",
+    oracle="""
+    WITH fps AS (
+      SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             doc_id, source
+      FROM documents
+    ), corpus AS (
+      SELECT DISTINCT fp FROM fps WHERE source <> 'src3'
+    ), fresh AS (
+      SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies
+      FROM fps WHERE source = 'src3' GROUP BY fp
+    )
+    SELECT f.fp, f.keep_id, f.n_copies
+    FROM fresh f LEFT JOIN corpus c ON f.fp = c.fp
+    WHERE c.fp IS NULL
+    """,
+)
+def d13_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (snapshot-vs-corpus) exact dedup
+    (dedup.incremental_dedup): treat source=src3 as the newly crawled
+    batch and every other source as the accumulated corpus; the batch
+    self-dedups map-side first, then anti-joins the corpus fingerprint
+    set on fp."""
+    docs = _t(spark, sf_dir, "documents")
+    new_batch = docs.where(F.col("source") == "src3")
+    corpus = docs.where(F.col("source") != "src3").select(
+        dedup.fingerprint_md5(F.col("text")).alias("fp")
+    )
+    return dedup.incremental_dedup(new_batch, corpus)
+
+
+@query(
+    "d14_novelty_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, greatest(len(t)-2, 0)+1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+      FROM tok
+    ), df_ AS (
+      SELECT sh, COUNT(*) AS n_docs FROM sh GROUP BY sh
+    )
+    SELECT s.doc_id,
+           COUNT(*) AS n_shingles,
+           SUM(CASE WHEN d.n_docs = 1 THEN 1 ELSE 0 END) AS n_unique,
+           ROUND(SUM(CASE WHEN d.n_docs = 1 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS novelty
+    FROM sh s JOIN df_ d ON s.sh = d.sh
+    GROUP BY s.doc_id
+    """,
+)
+def d14_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty score: per document, the fraction of its distinct
+    3-grams that appear NOWHERE else in the corpus — the inverse signal
+    of near-duplication, used to up-weight genuinely new content in a
+    training mix (t08's within-doc dup fraction can't see cross-doc
+    repetition). One inverted-index pass over shingle ROWS (the same
+    d02 plan shape): shingle document-frequency, joined back, one
+    partial-agg'd groupBy — never an all-pairs comparison."""
+    docs = _t(spark, sf_dir, "documents")
+    from logverzcore_spark.operators.dedup import _shingle_table
+    from logverzcore_spark.operators.util import fan_out
+
+    sh = _shingle_table(fan_out(docs), "text", "doc_id", 3)
+    df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        sh.join(df_counts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0)).alias("n_unique"),
+            F.round(
+                F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("novelty"),
+        )
+    )

@@ -1,0 +1,557 @@
+"""Multimodal entries (m*): container sniffing, chunking, feature stubs.
+
+Split from the flat suite.py (r6); entries register into the shared
+SUITE/ORACLES dicts via the @query decorator from suite.common.
+"""
+
+from __future__ import annotations
+
+from logverzcore_spark.suite.common import *  # noqa: F401,F403
+
+@query(
+    "m01_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def m01_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary column + mapInPandas metadata
+    extraction (decode stage stubbed — see operators/multimodal.py)."""
+    from logverzcore_spark.operators.multimodal import extract_binary_meta
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return extract_binary_meta(docs, payload_col="payload", id_col="doc_id")
+
+
+@query(
+    "m02_resize_planning",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id,
+             CAST(100 + doc_id % 1900 AS INTEGER) AS width,
+             CAST(100 + (doc_id * 7) % 1900 AS INTEGER) AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           CAST(FLOOR(width * LEAST(1.0, 512.0 / GREATEST(width, height))) AS INTEGER) AS out_width,
+           CAST(FLOOR(height * LEAST(1.0, 512.0 / GREATEST(width, height))) AS INTEGER) AS out_height
+    FROM meta
+    """,
+)
+def m02_resize_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata-only planning (resize dims capped at 512,
+    aspect preserved): operates purely on the typed metadata struct, so
+    column pruning never touches the binary payload. Meta is synthesized
+    deterministically from doc_id (no image codecs in the container)."""
+    from logverzcore_spark.operators.multimodal import fake_resize_meta
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.struct(
+            (100 + F.col("doc_id") % 1900).cast("int").alias("width"),
+            (100 + (F.col("doc_id") * 7) % 1900).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+    return fake_resize_meta(docs, meta_col="meta", max_side=512).select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        "out_width",
+        "out_height",
+    )
+
+
+@query(
+    "m03_frame_sample_plan",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id, CAST(1000 + (doc_id * 13) % 59000 AS BIGINT) AS duration_ms
+      FROM documents
+    )
+    SELECT doc_id, CAST(s AS BIGINT) AS sample_ms,
+           CAST(s * 30 // 1000 AS BIGINT) AS frame_idx
+    FROM meta, unnest(generate_series(0, duration_ms, 1000)) AS t(s)
+    """,
+)
+def m03_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-fanning multimodal stage: one output row per sampled video
+    frame timestamp (operators/multimodal.plan_frame_samples, real
+    mapInPandas; decode stubbed — no codecs). Duration is synthesized
+    deterministically from doc_id."""
+    from logverzcore_spark.operators.multimodal import plan_frame_samples
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (1000 + (F.col("doc_id") * 13) % 59000).cast("long").alias("duration_ms")
+    )
+    return plan_frame_samples(docs, "duration_ms", "doc_id", every_ms=1000, fps=30)
+
+
+@query(
+    "m04_decode_batch_plan",
+    oracle="""
+    SELECT doc_id, source, n_chars AS n_bytes,
+           CAST(FLOOR((SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_chars) / 10000.0) AS INTEGER)
+             AS batch_id
+    FROM documents
+    """,
+)
+def m04_decode_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-batch packing (multimodal.plan_decode_batches): payloads
+    greedily packed into ≤10 KB batches per source via an exclusive
+    prefix sum — the task-sizing step before a GPU/codec stage. n_chars
+    stands in for payload bytes (no codecs in the container)."""
+    from logverzcore_spark.operators.multimodal import plan_decode_batches
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").alias("n_bytes")
+    )
+    return plan_decode_batches(
+        docs, bytes_col="n_bytes", budget_bytes=10_000, part_col="source", id_col="doc_id"
+    )
+
+
+@query(
+    "m05_audio_frame_features",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, text, i
+      FROM documents, LATERAL (SELECT UNNEST(range(0, length(text))) AS i)
+    ), vals AS (
+      SELECT doc_id, CAST(i // 32 AS INTEGER) AS frame_idx,
+             unicode(substr(text, CAST(i + 1 AS INTEGER), 1)) AS v
+      FROM pos
+    )
+    SELECT doc_id, frame_idx, COUNT(*) AS n_bytes,
+           ROUND(SQRT(AVG(CAST(v AS DOUBLE) * v)), 6) AS rms,
+           CAST(MAX(v) AS INTEGER) AS peak
+    FROM vals GROUP BY doc_id, frame_idx
+    """,
+)
+def m05_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio featurization: payload bytes as header-less 8-bit
+    PCM, framed into 32-byte windows; per-frame RMS + peak via a 1→N
+    numpy mapInPandas (operators/multimodal.py). The payloads are the
+    UTF-8 document bytes (pure ASCII in the synthetic corpus), so the
+    oracle replays the byte values as character codes — frame sums are
+    exact integers in float64, making RMS bit-identical across engines."""
+    from logverzcore_spark.operators.multimodal import audio_frame_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return audio_frame_features(docs, payload_col="payload", id_col="doc_id")
+
+
+@query(
+    "m06_cdc_neardup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS sz FROM documents
+    ), pos AS (
+      SELECT doc_id, text, sz, UNNEST(range(1, GREATEST(1, sz - 16 + 1) + 1)) AS p
+      FROM d
+    ), bounds AS (
+      SELECT doc_id, text, sz, p FROM pos
+      WHERE p = 1
+         OR substring(md5(substring(text, CAST(p AS BIGINT), 16)), 1, 2) = 'ff'
+    ), chunks AS (
+      SELECT doc_id,
+             md5(substring(text, CAST(p AS BIGINT),
+                 CAST(COALESCE(LEAD(p) OVER (PARTITION BY doc_id ORDER BY p),
+                               sz + 1) - p AS BIGINT))) AS chunk_md5
+      FROM bounds
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           COUNT(*) AS n_shared_chunks
+    FROM chunks a JOIN chunks b
+      ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def m06_cdc_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-free binary near-dup via content-defined chunking
+    (multimodal.cdc_neardup_pairs): rolling-window hashes open chunk
+    boundaries that re-synchronize across byte insertions, so spliced /
+    re-muxed payload variants still share their unchanged chunks —
+    unlike fixed-position banding. Candidates come from a bucketed
+    equi-join on 16-byte chunk hashes (payload bytes pruned first;
+    never all-pairs). The oracle replays the identical boundary rule
+    (char slicing == byte slicing: the corpus is ASCII)."""
+    from logverzcore_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return multimodal.cdc_neardup_pairs(docs, min_shared_chunks=2)
+
+
+@query(
+    "m07_cdc_dedup_corpus",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, text, length(text) AS sz FROM documents
+    ), pos AS (
+      SELECT doc_id, text, sz, UNNEST(range(1, GREATEST(1, sz - 16 + 1) + 1)) AS p
+      FROM d
+    ), bounds AS (
+      SELECT doc_id, text, sz, p FROM pos
+      WHERE p = 1
+         OR substring(md5(substring(text, CAST(p AS BIGINT), 16)), 1, 2) = 'ff'
+    ), chunks AS (
+      SELECT doc_id,
+             md5(substring(text, CAST(p AS BIGINT),
+                 CAST(COALESCE(LEAD(p) OVER (PARTITION BY doc_id ORDER BY p),
+                               sz + 1) - p AS BIGINT))) AS chunk_md5
+      FROM bounds
+    ), pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM chunks a JOIN chunks b
+        ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ), edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs UNION ALL SELECT id2, id1 FROM pairs
+    ), reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ), labels AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
+      FROM d LEFT JOIN reach r ON r.src = d.doc_id
+      GROUP BY d.doc_id
+    )
+    SELECT dd.doc_id, dd.source, dd.n_chars
+    FROM documents dd JOIN labels l ON dd.doc_id = l.doc_id
+    WHERE l.cluster_id = dd.doc_id
+    """,
+)
+def m07_cdc_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary dedup MATERIALIZED (the media analog of d08): CDC chunk
+    pairs → connected components (transitivity: a re-muxed variant of a
+    spliced variant collapses with the original even if the end-to-end
+    pair misses the threshold) → keep each cluster's min-id
+    representative, returning the cleaned corpus. Decode-free end to
+    end."""
+    from logverzcore_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    pairs = multimodal.cdc_neardup_pairs(payloads, min_shared_chunks=2).select(
+        F.col("id_a").alias("id1"), F.col("id_b").alias("id2")
+    )
+    clusters = dedup.dup_clusters(payloads, pairs)
+    reps = clusters.where(F.col("is_rep")).select("doc_id")
+    return docs.join(reps, "doc_id", "left_semi").select("doc_id", "source", "n_chars")
+
+
+@query(
+    "m08_audio_segments",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, text, i
+      FROM documents, LATERAL (SELECT UNNEST(range(0, length(text))) AS i)
+    ), vals AS (
+      SELECT doc_id, CAST(i // 32 AS INTEGER) AS frame_idx,
+             unicode(substr(text, CAST(i + 1 AS INTEGER), 1)) AS v
+      FROM pos
+    ), frames AS (
+      SELECT doc_id, frame_idx,
+             ROUND(SQRT(AVG(CAST(v AS DOUBLE) * v)), 6) AS rms
+      FROM vals GROUP BY doc_id, frame_idx
+    ), active AS (
+      SELECT doc_id, frame_idx, rms,
+             frame_idx - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY frame_idx) AS grp
+      FROM frames WHERE rms >= 100.0
+    )
+    SELECT doc_id,
+           CAST(MIN(frame_idx) AS INTEGER) AS start_frame,
+           CAST(MAX(frame_idx) AS INTEGER) AS end_frame,
+           COUNT(*) AS n_frames,
+           MAX(rms) AS peak_rms
+    FROM active GROUP BY doc_id, grp
+    HAVING COUNT(*) >= 2
+    """,
+)
+def m08_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD-style energy segmentation over the PCM featurizer's frames
+    (m05): contiguous runs of frames with RMS ≥ threshold become
+    segments — the gaps-and-islands pattern (island id = frame_idx −
+    row_number per payload) that turns per-frame features into
+    utterance/asset spans. One window pass over the FRAME table (already
+    ~32× smaller than the payload bytes), then a map-side-combined
+    groupBy; the payload bytes never reach the segmentation stages."""
+    from logverzcore_spark.operators.multimodal import audio_frame_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    frames = audio_frame_features(docs, payload_col="payload", id_col="doc_id")
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    active = (
+        frames.where(F.col("rms") >= 100.0)
+        .withColumn("grp", F.col("frame_idx") - F.row_number().over(w))
+    )
+    return (
+        active.groupBy("doc_id", "grp")
+        .agg(
+            F.min("frame_idx").cast("int").alias("start_frame"),
+            F.max("frame_idx").cast("int").alias("end_frame"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("rms").alias("peak_rms"),
+        )
+        .where(F.col("n_frames") >= 2)
+        .drop("grp")
+    )
+
+
+@query(
+    "m09_image_header_probe",
+    oracle="""
+    SELECT doc_id,
+      CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                      ELSE 'unknown' END AS format,
+      CASE WHEN doc_id % 3 < 2
+           THEN CAST(16 + doc_id % 2032 AS INTEGER) END AS width,
+      CASE WHEN doc_id % 3 < 2
+           THEN CAST(16 + (doc_id * 5) % 2032 AS INTEGER) END AS height,
+      CASE WHEN doc_id % 3 < 2
+           THEN CAST(16 + doc_id % 2032 AS BIGINT)
+                * (16 + (doc_id * 5) % 2032) END AS n_pixels
+    FROM documents
+    """,
+)
+def m09_image_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free image-dimension sniffing over binary payloads
+    (``multimodal.sniff_image_meta``): PNG IHDR big-endian and GIF
+    little-endian dims parsed from header bytes with codegen'd
+    expressions — no decoder, no Python. The graded round trip BUILDS
+    genuine PNG/GIF headers from doc_id (byte-exact signatures + packed
+    dims), parses them back, and the oracle restates the expected dims
+    arithmetically — a packing or parsing bug on either side breaks the
+    hash. Every third doc carries non-image bytes and must sniff as
+    'unknown' with NULL dims (the honest fixed-offset answer; JPEG's
+    variable-offset SOF goes to the real decode stage)."""
+    from logverzcore_spark.operators.multimodal import sniff_image_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    w = (16 + F.col("doc_id") % 2032).cast("int")
+    h = (16 + (F.col("doc_id") * 5) % 2032).cast("int")
+
+    def be32(c):
+        return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+    def le16(c):
+        lo = F.lpad(F.hex(c % 256), 2, "0")
+        hi = F.lpad(F.hex(F.floor(c / 256).cast("int")), 2, "0")
+        return F.unhex(F.concat(lo, hi))
+
+    # PNG: signature + IHDR length/tag, then width/height (BE32).
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")), be32(w), be32(h)
+    )
+    gif = F.concat(F.encode(F.lit("GIF89a"), "UTF-8"), le16(w), le16(h))
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, png)
+        .when(F.col("doc_id") % 3 == 1, gif)
+        .otherwise(F.encode("text", "UTF-8"))
+    )
+    return sniff_image_meta(
+        docs.select("doc_id", payload.alias("payload"))
+    )
+
+
+@query(
+    "m11_jpeg_header_probe",
+    oracle="""
+    SELECT doc_id,
+      CASE WHEN doc_id % 3 < 2 THEN 'jpeg' ELSE 'unknown' END AS format,
+      CASE WHEN doc_id % 3 < 2
+           THEN CAST(16 + doc_id % 4080 AS INTEGER) END AS width,
+      CASE WHEN doc_id % 3 < 2
+           THEN CAST(16 + (doc_id * 7) % 4080 AS INTEGER) END AS height,
+      CASE WHEN doc_id % 3 < 2 THEN CAST(3 AS INTEGER) END AS n_components,
+      CASE WHEN doc_id % 3 < 2 THEN doc_id % 2 = 1 END AS progressive
+    FROM documents
+    """,
+)
+def m11_jpeg_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG frame-header walk over binary payloads
+    (``multimodal.parse_jpeg_meta``): unlike m09's fixed-offset PNG/GIF
+    sniffing, the SOF marker floats behind a variable-length segment
+    chain, so the graded round trip BUILDS genuine JFIF byte streams
+    with a doc_id-dependent chain (APP0 + a COM segment padded by
+    ``doc_id % 7`` bytes → the SOF offset varies row to row), half
+    baseline (SOF0) and half progressive (SOF2), parses them back with
+    the bounded segment walker, and the oracle restates the packed
+    dims/flags arithmetically — an off-by-one anywhere in the walk
+    breaks the hash. Every third doc carries text bytes and must report
+    'unknown' with NULL fields."""
+    from logverzcore_spark.operators.multimodal import parse_jpeg_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    w = (16 + F.col("doc_id") % 4080).cast("int")
+    h = (16 + (F.col("doc_id") * 7) % 4080).cast("int")
+    pad = (F.col("doc_id") % 7).cast("int")
+
+    def be16(c):
+        return F.unhex(F.lpad(F.hex(c), 4, "0"))
+
+    app0 = F.unhex(F.lit("FFE000104A46494600010100000100010000"))
+    com = F.concat(
+        F.unhex(F.lit("FFFE")), be16(pad + 2), F.encode(F.repeat(F.lit("A"), pad), "UTF-8")
+    )
+    sof_marker = F.when(F.col("doc_id") % 2 == 1, F.unhex(F.lit("FFC2"))).otherwise(
+        F.unhex(F.lit("FFC0"))
+    )
+    sof = F.concat(
+        sof_marker, F.unhex(F.lit("001108")), be16(h), be16(w),
+        F.unhex(F.lit("03012200021101031101")),
+    )
+    jpeg = F.concat(F.unhex(F.lit("FFD8")), app0, com, sof, F.unhex(F.lit("FFD9")))
+    payload = (
+        F.when(F.col("doc_id") % 3 < 2, jpeg)
+        .otherwise(F.encode("text", "UTF-8"))
+    )
+    return parse_jpeg_meta(docs.select("doc_id", payload.alias("payload")))
+
+
+@query(
+    "m12_webp_header_probe",
+    oracle="""
+    SELECT doc_id,
+      CASE WHEN doc_id % 4 < 3 THEN 'webp' ELSE 'unknown' END AS format,
+      CASE WHEN doc_id % 4 < 3
+           THEN CAST(1 + doc_id % 16383 AS INTEGER) END AS width,
+      CASE WHEN doc_id % 4 < 3
+           THEN CAST(1 + (doc_id * 3) % 16383 AS INTEGER) END AS height,
+      CASE WHEN doc_id % 4 < 3
+           THEN CAST(1 + doc_id % 16383 AS BIGINT)
+                * (1 + (doc_id * 3) % 16383) END AS n_pixels
+    FROM documents
+    """,
+)
+def m12_webp_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP dimension sniffing across ALL THREE first-chunk layouts
+    (``multimodal.sniff_image_meta``): VP8X extended (24-bit LE
+    canvas-1), VP8L lossless (14+14-bit packed dims-1 behind the 0x2F
+    signature), VP8 lossy (14-bit dims behind the 9D012A sync code) —
+    each still a FIXED-offset parse, so the sniffer stays codegen-only
+    (no Python in the plan, same as m09). The graded round trip builds
+    byte-exact container bytes per layout from doc_id (cycling layouts
+    with doc_id % 4; every fourth doc is text → 'unknown'), parses them
+    back, and the oracle restates the dims arithmetically — a bit-shift
+    or offset error in any layout breaks the hash."""
+    from logverzcore_spark.operators.multimodal import sniff_image_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    w = (1 + F.col("doc_id") % 16383).cast("int")
+    h = (1 + (F.col("doc_id") * 3) % 16383).cast("int")
+
+    def le_pack(c, nbytes):
+        parts = [
+            F.lpad(F.hex((c / (256 ** i)).cast("long") % 256), 2, "0")
+            for i in range(nbytes)
+        ]
+        return F.unhex(F.concat(*parts))
+
+    riff = F.concat(
+        F.encode(F.lit("RIFF"), "UTF-8"), le_pack(F.lit(30), 4),
+        F.encode(F.lit("WEBP"), "UTF-8"),
+    )
+    vp8x = F.concat(
+        riff, F.encode(F.lit("VP8X"), "UTF-8"), le_pack(F.lit(10), 4),
+        F.unhex(F.lit("00000000")),  # flags + reserved
+        le_pack(w - 1, 3), le_pack(h - 1, 3),
+    )
+    vp8l = F.concat(
+        riff, F.encode(F.lit("VP8L"), "UTF-8"), le_pack(F.lit(5), 4),
+        F.unhex(F.lit("2F")),
+        le_pack((w - 1) + 16384 * (h - 1).cast("long"), 4),
+    )
+    vp8 = F.concat(
+        riff, F.encode(F.lit("VP8 "), "UTF-8"), le_pack(F.lit(10), 4),
+        F.unhex(F.lit("000000")),  # frame tag
+        F.unhex(F.lit("9D012A")),  # sync code
+        le_pack(w, 2), le_pack(h, 2),
+    )
+    payload = (
+        F.when(F.col("doc_id") % 4 == 0, vp8x)
+        .when(F.col("doc_id") % 4 == 1, vp8l)
+        .when(F.col("doc_id") % 4 == 2, vp8)
+        .otherwise(F.encode("text", "UTF-8"))
+    )
+    return sniff_image_meta(docs.select("doc_id", payload.alias("payload")))
+
+
+@query(
+    "m10_wav_header_probe",
+    oracle="""
+    SELECT doc_id,
+      CASE WHEN doc_id % 3 < 2 THEN 'wav' ELSE 'unknown' END AS format,
+      CASE WHEN doc_id % 3 < 2
+           THEN CAST(1 + doc_id % 2 AS INTEGER) END AS channels,
+      CASE WHEN doc_id % 3 < 2 THEN CAST(
+        CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        WHEN 2 THEN 44100 ELSE 48000 END AS BIGINT)
+        END AS sample_rate,
+      CASE WHEN doc_id % 3 < 2
+           THEN CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 24 END
+                     AS INTEGER) END AS bits_per_sample
+    FROM documents
+    """,
+)
+def m10_wav_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free WAV metadata sniffing (``multimodal.sniff_wav_meta``)
+    — m09's audio sibling: byte-exact RIFF/WAVE headers are BUILT from
+    doc_id (channels, sample rate, bit depth packed little-endian at the
+    canonical fmt-chunk offsets), parsed back with codegen'd binary
+    expressions, and the oracle restates the expected fields
+    arithmetically — the round trip breaks if either the packing or the
+    parsing mis-addresses a byte. Every third doc carries non-audio
+    bytes and must sniff 'unknown'."""
+    from logverzcore_spark.operators.multimodal import sniff_wav_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    ch = (1 + F.col("doc_id") % 2).cast("int")
+    rate = (
+        F.when(F.col("doc_id") % 4 == 0, 8000)
+        .when(F.col("doc_id") % 4 == 1, 16000)
+        .when(F.col("doc_id") % 4 == 2, 44100)
+        .otherwise(48000)
+        .cast("long")
+    )
+    bits = F.when(F.col("doc_id") % 2 == 0, 16).otherwise(24).cast("int")
+
+    def le(c, nbytes: int):
+        hexed = F.lpad(F.hex(c.cast("long")), nbytes * 2, "0")
+        # reverse byte order: take hex pairs from the END forward
+        pairs = [
+            F.substring(hexed, (nbytes - 1 - i) * 2 + 1, 2) for i in range(nbytes)
+        ]
+        return F.unhex(F.concat(*pairs))
+
+    header = F.concat(
+        F.encode(F.lit("RIFF"), "UTF-8"),
+        le(F.lit(36), 4),
+        F.encode(F.lit("WAVEfmt "), "UTF-8"),
+        le(F.lit(16), 4),  # fmt chunk size
+        le(F.lit(1), 2),  # PCM
+        le(ch, 2),
+        le(rate, 4),
+        le(rate * ch * bits / 8, 4),  # byte rate
+        le(ch * bits / 8, 2),  # block align
+        le(bits, 2),
+    )
+    payload = F.when(F.col("doc_id") % 3 < 2, header).otherwise(
+        F.encode("text", "UTF-8")
+    )
+    return sniff_wav_meta(docs.select("doc_id", payload.alias("payload")))

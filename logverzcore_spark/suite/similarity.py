@@ -1,0 +1,269 @@
+"""Similarity-search entries (s*): exact/LSH/IVF/PQ top-k and the persistent index.
+
+Split from the flat suite.py (r6); entries register into the shared
+SUITE/ORACLES dicts via the @query decorator from suite.common.
+"""
+
+from __future__ import annotations
+
+from logverzcore_spark.suite.common import *  # noqa: F401,F403
+
+@query(
+    "s01_cosine_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), n AS (
+      SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
+      FROM n q JOIN n c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 20
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for a broadcast query set — the exact ANN
+    baseline, via the size-dispatched entry point (nq=20 × dim=64 is far
+    under the BLAS crossover, so this grades the JVM fold tier; the
+    dispatch itself is pytest-pinned in both directions)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return similarity.cosine_topk_auto(emb, queries, k=5)
+
+
+@query("s02_lsh_topk")  # approximate → rows-only check; recall tested in pytest
+def s02_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH-bucketed ANN top-k (the scale path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return similarity.lsh_topk(emb, queries, k=5, dim=64)
+
+
+@query("s03_ivf_topk")  # approximate → rows-only check
+def s03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style coarse-quantized ANN top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return similarity.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4)
+
+
+@query(
+    "s04_embedding_dup_clusters",
+    oracle="""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+    ), pairs AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.35
+    ), edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs UNION ALL SELECT id2, id1 FROM pairs
+    ), reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT emb.vec_id,
+           LEAST(emb.vec_id, COALESCE(MIN(r.dst), emb.vec_id)) AS cluster_id,
+           emb.vec_id = LEAST(emb.vec_id, COALESCE(MIN(r.dst), emb.vec_id)) AS is_rep
+    FROM embeddings emb LEFT JOIN reach r ON r.src = emb.vec_id
+    GROUP BY emb.vec_id
+    """,
+)
+def s04_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator composition: embedding-cosine near-dup pairs feed the same
+    connected-components clustering used for text dedup — semantic
+    dedup's keep-one-per-cluster step."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_neardup_pairs(emb, threshold=0.35, block_col="label")
+    return dedup.dup_clusters(emb, pairs, id_col="vec_id")
+
+
+@query("s02b_lsh_topk_portable", oracle=_s02b_oracle())
+def s02b_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s02's computation, hash-verified: the oracle replays the exact
+    hyperplane bucketing (literal LCG planes, sign bits, per-table bucket
+    ids, candidate equi-join) and the cosine top-k in SQL. Cell-level
+    determinism notes: both engines compute float64 dots on the same
+    literal planes; tie-breaks are (cos DESC, neighbor_id) on both
+    sides."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return similarity.lsh_topk(emb, queries, k=5, dim=64)
+
+
+@query("s03b_ivf_topk_portable", oracle=_s03b_oracle())
+def s03b_ivf_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with engine-portable LCG centroids (no data-dependent
+    k-means), hash-verified: cell argmax and nprobe probing replay in SQL
+    with the same literal centroid vectors. Normalizing the vector before
+    the centroid dot (Spark) vs dividing after (oracle) is a positive
+    per-row scaling — identical rankings. Recall is below the k-means
+    variant (s03) at equal nprobe; nprobe=4 of 16 cells compensates."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return similarity.ivf_topk(
+        emb, queries, k=5, n_cells=16, nprobe=4,
+        centroids=similarity.lcg_centroids(64, 16),
+    )
+
+
+@query(
+    "s05_embedding_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), s AS (
+      SELECT vec_id, e,
+             127.0 / greatest(list_max(list_transform(e, x -> abs(x))), 1e-12) AS scale
+      FROM v
+    )
+    SELECT vec_id, ROUND(scale, 6) AS scale,
+           ROUND(sqrt(list_sum(list_transform(e,
+             x -> pow(x - least(greatest(floor(x*scale + 0.5), -127), 127)/scale, 2)))), 6)
+             AS recon_rmse,
+           CAST(list_sum(list_transform(e,
+             x -> abs(least(greatest(floor(x*scale + 0.5), -127), 127)))) AS BIGINT)
+             AS q_l1_checksum,
+           len(e) AS n_dims
+    FROM s
+    """,
+)
+def s05_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization audit (similarity.quantize_embedding_stats):
+    per-vector scale, reconstruction RMSE, and the exact integer L1
+    checksum of the quantized vector — floor arithmetic keeps the
+    quantized payload hash-identical across engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.quantize_embedding_stats(emb)
+
+
+@query("s06_pq_topk")  # trained codebooks are data-sampled → rows-only check
+def s06_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with per-subspace k-means codebooks —
+    the classic 8-bit-code setting (m=4 subspaces × 256 codewords =
+    32 bits/vector vs 64×32-bit floats, a 64× memory cut) plus the
+    standard ADC-shortlist + exact-rescore refinement (rerank=64; ADC
+    ordering alone lost recall as the corpus grew — 0.55 → 0.25 from
+    sf0.01 → sf0.1). Codebooks are data-sampled → rows-only check;
+    recall floor asserted in pytest AND measured into the parity
+    artifact's bound_check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    books = similarity.trained_codebooks(emb, dim=64, m=4, n_codes=256)
+    return similarity.pq_topk(
+        emb, queries, k=5, dim=64, m=4, n_codes=256, codebooks=books, rerank=64
+    )
+
+
+@query("s06b_pq_topk_portable", oracle=_s06b_oracle())
+def s06b_pq_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN with engine-portable LCG codebooks, hash-verified: encode
+    (fixed-point argmin per subspace), ADC lookup-table scoring (integer
+    sums), and the adc/√recon rank key all replay bit-identically in SQL
+    — see operators/similarity.pq_topk for why the fixed-point grid makes
+    summation order irrelevant."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return similarity.pq_topk(emb, queries, k=5, dim=64)
+
+
+@query("s07_cluster_sample", oracle=_s07_oracle())
+def s07_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced subset selection
+    (similarity.cluster_balanced_sample): nearest-centroid assignment
+    (portable LCG centroids) + per-cluster deterministic hash pick —
+    the diversity-preserving downsample a curation pipeline runs where a
+    global random sample would oversample dense embedding modes. Hash-
+    verified: the oracle replays assignment AND pick order literally."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cluster_balanced_sample(
+        emb, per_cell=5, centroids=similarity.lcg_centroids(64, 16)
+    )
+
+
+@query("s08_ivf_index_probe", oracle=_s03b_oracle())
+def s08_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once/probe-many IVF: persist the cell-partitioned index +
+    centroid table (``similarity.ivf_index_build``), then answer the
+    query batch from the index alone (``ivf_index_probe``) — the probe's
+    ``cell IN (...)`` predicate prunes the corpus read to nprobe/n_cells
+    of its FILES (partition pruning asserted in pytest). Same parameters
+    and literal LCG centroids as s03b, so the SAME SQL oracle grades it:
+    a persistence/pruning bug would break the hash. The graded run
+    materializes the probe (eager localCheckpoint) and drops its index
+    tables — no warehouse residue."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    tbl = f"s08_ivf_idx_{uuid.uuid4().hex[:8]}"
+    similarity.ivf_index_build(
+        emb, tbl, n_cells=16, centroids=similarity.lcg_centroids(64, 16)
+    )
+    try:
+        out = similarity.ivf_index_probe(
+            spark, queries, tbl, k=5, nprobe=4
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_centroids")
+    return out
+
+
+@query("s10_ivf_index_append", oracle=_s03b_oracle())
+def s10_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance (``similarity.ivf_index_append``):
+    build the index on 80% of the corpus, append the held-out 20% as an
+    arriving batch (assigned to the EXISTING centroids, appended only
+    under the touched cell partitions), then probe. Because append
+    reuses the stored centroids, probing the appended index is exactly
+    equivalent to s08's from-scratch build over the full corpus — so
+    the SAME SQL oracle grades it hash-exact: any divergence between
+    append and rebuild (lost rows, wrong cell, stale centroids) breaks
+    the hash. A second idempotence property — re-appending the same
+    batch adds nothing (dedupe anti-join over touched cells only) — and
+    the untouched-partition-files-unchanged invariant are asserted in
+    pytest (test_ivf_index_append_*)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    delta = emb.where(F.col("vec_id") % 5 == 0)
+    queries = emb.where(F.col("vec_id") < 20)
+    tbl = f"s10_ivf_idx_{uuid.uuid4().hex[:8]}"
+    similarity.ivf_index_build(
+        base, tbl, n_cells=16, centroids=similarity.lcg_centroids(64, 16)
+    )
+    try:
+        similarity.ivf_index_append(spark, delta, tbl)
+        out = similarity.ivf_index_probe(
+            spark, queries, tbl, k=5, nprobe=4
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_centroids")
+    return out
+
+
+@query("s09_curated_embeddings", oracle=_s09_oracle())
+def s09_curated_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED embedding-curation chain (pipeline.curate_embeddings)
+    — semantic dedup keeps one representative per SemDeDup family (d12),
+    cluster-balanced selection keeps per_cell per centroid cell (s07),
+    and the survivors get the deterministic md5 split (t05) — graded as
+    one pipeline: the oracle replays hyperplane cells, the recursive
+    component closure, rep selection, centroid assignment, hash pick
+    order, AND the split rule in a single SQL statement, so a drift in
+    any stage (or in how the stages hand off) breaks the hash. This is
+    the vector-corpus counterpart of t16's text curation chain."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from logverzcore_spark.pipeline import curate_embeddings
+
+    return curate_embeddings(emb)

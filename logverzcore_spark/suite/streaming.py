@@ -1,0 +1,711 @@
+"""Streaming entries (st*): structured-streaming parity operators.
+
+Split from the flat suite.py (r6); entries register into the shared
+SUITE/ORACLES dicts via the @query decorator from suite.common.
+"""
+
+from __future__ import annotations
+
+from logverzcore_spark.suite.common import *  # noqa: F401,F403
+
+@query(
+    "st01_streaming_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           event_type,
+           COUNT(*) AS n,
+           SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) / 100.0 AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st01_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window aggregation (SURVEY §2.7),
+    driven to completion with Trigger.AvailableNow over the events files;
+    result equals the batch oracle."""
+    from logverzcore_spark.streaming.collect_stream import run_windowed_aggregate
+
+    return run_windowed_aggregate(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@query(
+    "st12_rocksdb_state",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           event_type,
+           COUNT(*) AS n,
+           SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) / 100.0 AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st12_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st01's tumbling-window aggregation under the RocksDB state-store
+    provider — the off-heap configuration a 100 TB streaming deployment
+    runs (heap state OOMs at billions of open keys; RocksDB checkpoints
+    incrementally). Same oracle as st01: the provider must not change a
+    single result."""
+    from logverzcore_spark.streaming.collect_stream import run_windowed_aggregate
+
+    return run_windowed_aggregate(
+        spark, os.path.join(sf_dir, "events.parquet"), state_store="rocksdb"
+    )
+
+
+@query(
+    "st02_session_windows",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def st02_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session_window aggregation with watermark (SURVEY §2.7
+    beyond-parity); the oracle is the batch gaps-and-islands equivalent."""
+    from logverzcore_spark.streaming.collect_stream import run_session_windows
+
+    return run_session_windows(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@query(
+    "st03_stateful_user_stats",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def st03_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): the
+    final per-user state equals the batch aggregate."""
+    from logverzcore_spark.streaming.collect_stream import run_stateful_user_stats
+
+    return run_stateful_user_stats(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@query(
+    "st04_streaming_dedup",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def st04_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on (user_id, event_type) + per-type count
+    — the streaming form of COUNT(DISTINCT); equals the batch answer."""
+    from logverzcore_spark.streaming.collect_stream import run_streaming_dedup_counts
+
+    return run_streaming_dedup_counts(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@query(
+    "st05_stream_stream_join",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def st05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join: views correlated with same-user
+    clicks within the following hour; bounded state via watermarks +
+    time-bound join condition."""
+    from logverzcore_spark.streaming.collect_stream import run_stream_stream_join
+
+    return run_stream_stream_join(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@query(
+    "st06_sliding_windows",
+    oracle="""
+    WITH ex AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS wstart,
+             value
+      FROM events, (SELECT unnest([0, 1]) AS k) ks
+    )
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM ex GROUP BY wstart
+    """,
+)
+def st06_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hopping-window aggregation (30 min windows / 15 min
+    slide): every event counted in exactly two overlapping windows. The
+    oracle replays it as two shifted tumbling groupings — window starts
+    align to epoch multiples of the slide."""
+    from logverzcore_spark.streaming.collect_stream import run_sliding_windows
+
+    return run_sliding_windows(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@query(
+    "st07_incremental_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           strftime(date_trunc('hour', ts), '%Y%m%d') AS day_part
+    FROM events GROUP BY 1, 2, 5
+    """,
+)
+def st07_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained hourly rollup table (streaming/rollup.py):
+    foreachBatch folds micro-batches into hour partitions via dynamic
+    partition overwrite; the final table equals the batch aggregate."""
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.streaming.collect_stream import _events_stream
+    from logverzcore_spark.streaming.rollup import incremental_hourly_rollup
+
+    table = f"st07_rollup_{_uuid.uuid4().hex[:8]}"
+    stream = _events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    q = incremental_hourly_rollup(
+        spark, stream, table,
+        checkpoint_dir=os.path.join(tempfile.gettempdir(), f"ck_{table}"),
+    )
+    q.awaitTermination()
+    out = spark.table(table).select(
+        F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+        "event_type",
+        "n",
+        F.col("total_value").cast("double").alias("total_value"),
+        "day_part",
+    )
+    # Materialize before dropping the backing table (suite callers may
+    # collect lazily after return), then leave the warehouse clean.
+    out = out.localCheckpoint(eager=True)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_meta")
+    return out
+
+
+@query(
+    "st08_stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def st08_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment: the event stream joins a
+    broadcast customer dimension per micro-batch, then aggregates by
+    market segment — the streaming form of attaching slowly-changing
+    dims without stateful join state."""
+    from logverzcore_spark.streaming.collect_stream import run_stream_static_enrich
+
+    return run_stream_static_enrich(
+        spark, os.path.join(sf_dir, "events.parquet"), _t(spark, sf_dir, "customer")
+    )
+
+
+@query(
+    "st09_cdc_upsert",
+    oracle="""
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           event_type, ROUND(value, 2) AS value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def st09_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed CDC upsert (streaming/upsert.py): the event stream folds
+    into a bucket-partitioned latest-row-per-user table — per batch only
+    the touched hash buckets are merged and dynamically overwritten,
+    never the whole table. Graded result: the final table equals the
+    batch argmax per user."""
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.streaming.collect_stream import _events_stream
+    from logverzcore_spark.streaming.upsert import BUCKET_COL, upsert_stream
+
+    table = f"st09_upsert_{_uuid.uuid4().hex[:8]}"
+    stream = _events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    q = upsert_stream(
+        spark, stream, table, key_col="user_id", ts_col="ts",
+        tie_cols=["event_id"],
+        checkpoint_dir=os.path.join(tempfile.gettempdir(), f"ck_{table}"),
+    )
+    q.awaitTermination()
+    out = spark.table(table).select(
+        "user_id", "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "event_type", F.round("value", 2).alias("value"),
+    )
+    out = out.localCheckpoint(eager=True)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_meta")
+    return out
+
+
+@query(
+    "st10_streaming_neardup",
+    oracle=(
+        _JACCARD_ORACLE_TMPL.replace(
+            "SELECT id1, id2, ROUND(c * 1.0 / (s1.n + s2.n - c), 4) AS jaccard",
+            "SELECT d.doc_id FROM documents d WHERE d.doc_id NOT IN (\n"
+            "  SELECT id2",
+        ).replace(
+            "WHERE ROUND(c * 1.0 / (s1.n + s2.n - c), 4) >= {thr}",
+            "  WHERE ROUND(c * 1.0 / (s1.n + s2.n - c), 4) >= {thr})",
+        )
+    ).format(thr=0.7),
+)
+def st10_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup suppression (streaming/stream_neardup.py):
+    MinHash+LSH state tables + exact-Jaccard verify inside a
+    foreachBatch stream. Over one availableNow batch the committed set
+    equals batch semantics — every doc except the higher id of each
+    verified ≥0.7 pair — which the oracle states as a NOT IN over the
+    exact-Jaccard pair set (recall of the LSH candidate step at these
+    parameters is d03's hash-verified behavior)."""
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.streaming.stream_neardup import neardup_stream
+
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(docs_path).schema
+    table = f"st10_neardup_{_uuid.uuid4().hex[:8]}"
+    q = neardup_stream(
+        spark,
+        os.path.dirname(docs_path),
+        schema,
+        table,
+        fmt="parquet",
+        reader_options={"pathGlobFilter": os.path.basename(docs_path)},
+        checkpoint_dir=os.path.join(tempfile.gettempdir(), f"ck_{table}"),
+    )
+    q.awaitTermination()
+    out = spark.table(table).select("doc_id").localCheckpoint(eager=True)
+    for t in (table, f"{table}_lsh_buckets", f"{table}_lsh_sets"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out
+
+
+@query(
+    "st11_late_data_watermark",
+    oracle="""
+    WITH p1 AS (
+      SELECT ts, event_type FROM events WHERE event_id % 4 != 0
+    ), p2 AS (
+      SELECT ts, event_type FROM events WHERE event_id % 4 = 0
+    ), wm1 AS (
+      SELECT max(ts) - INTERVAL 6 HOUR AS w FROM p1
+    ), wmf AS (
+      SELECT max(ts) - INTERVAL 6 HOUR AS w FROM events
+    ), kept AS (
+      SELECT ts, event_type FROM p1
+      UNION ALL
+      SELECT p2.ts, p2.event_type FROM p2, wm1 WHERE p2.ts >= wm1.w
+    )
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type, COUNT(*) AS n
+    FROM kept, wmf
+    WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wmf.w
+    GROUP BY 1, 2
+    """,
+)
+def st11_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data policy (streaming/collect_stream.py
+    run_late_arrival_replay): a backfill run recovering from checkpoint
+    loses its rows strictly older than the checkpointed watermark
+    (``ts < wm`` dropped, equality kept — verified at the boundary in
+    tests/test_streaming.py), and the trailing open day is withheld from
+    the append sink (windows emit once ``end <= wm``). The oracle replays
+    both rules in SQL from the deterministic phase split — a
+    hash-verified statement of Spark's watermark semantics."""
+    from logverzcore_spark.streaming.collect_stream import run_late_arrival_replay
+
+    return run_late_arrival_replay(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@query(
+    "st13_sketch_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           COUNT(DISTINCT user_id) AS est_users, COUNT(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def st13_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained distinct-user rollup
+    (streaming/rollup.py::incremental_user_sketch_rollup): micro-batches
+    fold per-day HLL sketches into a stored sketch table via
+    ``hll_union_agg`` — the mergeable form a 100 TB pipeline must store,
+    because raw distinct counts can't absorb late batches. The final
+    per-day estimates equal exact COUNT(DISTINCT) at this cardinality
+    (HLL exact coupon regime → hash-verified); the rollup table is
+    O(#days) rows regardless of stream volume."""
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.streaming.collect_stream import _events_stream
+    from logverzcore_spark.streaming.rollup import incremental_user_sketch_rollup
+
+    table = f"st13_skrollup_{_uuid.uuid4().hex[:8]}"
+    stream = _events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    q = incremental_user_sketch_rollup(
+        spark, stream, table,
+        checkpoint_dir=os.path.join(tempfile.gettempdir(), f"ck_{table}"),
+    )
+    q.awaitTermination()
+    out = spark.table(table).select(
+        F.date_format("day_ts", "yyyy-MM-dd").alias("day"),
+        F.hll_sketch_estimate("user_sk").cast("bigint").alias("est_users"),
+        "n_events",
+    )
+    out = out.localCheckpoint(eager=True)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_meta")
+    return out
+
+
+@query(
+    "st14_stream_shard_export",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hx
+      FROM documents
+    ), a AS (
+      SELECT doc_id, n_chars,
+             ((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1)) % 16
+               AS shard
+      FROM h
+    )
+    SELECT CAST(shard AS INTEGER) AS shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM a GROUP BY shard
+    """,
+)
+def st14_stream_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming shard export (export.export_shards_stream): the
+    documents source drains through the parquet streaming sink into the
+    same ``shard=K/`` layout as the batch exporter, exactly-once via the
+    sink's ``_spark_metadata`` commit log. Hash-verified equivalence to
+    the BATCH manifest oracle proves the property that matters: because
+    shards hash the document id, batch and streaming exports are
+    interchangeable — micro-batch boundaries and arrival order cannot
+    move a document between shards. The returned manifest is computed
+    from the files read back, not from the plan."""
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark import export
+
+    stream = _docs_stream(spark, sf_dir)
+    run_id = _uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix=f"st14_{run_id}_")
+    manifest = export.export_shards_stream(
+        spark,
+        stream,
+        out_dir=os.path.join(base, "shards"),
+        checkpoint_dir=os.path.join(base, "ck"),
+    )
+    return manifest.localCheckpoint(eager=True)
+
+
+@query(
+    "st15_topk_rollup",
+    oracle="""
+    SELECT user_id, n_events, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT user_id, COUNT(*) AS n_events,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id) AS rank
+      FROM events GROUP BY user_id
+    ) WHERE rank <= 10
+    """,
+)
+def st15_topk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained heavy hitters
+    (streaming/rollup.incremental_topk_rollup): micro-batches accumulate
+    map-side ``approx_top_k`` summaries and combine them into a ONE-ROW
+    state table — fixed-size state regardless of stream volume or key
+    domain, where exact streaming GROUP BY top-k needs a state entry per
+    key. Below sketch capacity the estimate is exact (hash-verified
+    against the batch top-10); the deterministic re-rank happens on the
+    ≤1000-entry summary."""
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.streaming.collect_stream import _events_stream
+    from logverzcore_spark.streaming.rollup import incremental_topk_rollup
+
+    table = f"st15_topk_{_uuid.uuid4().hex[:8]}"
+    stream = _events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    q = incremental_topk_rollup(
+        spark, stream, table, key_col="user_id",
+        checkpoint_dir=os.path.join(tempfile.gettempdir(), f"ck_{table}"),
+    )
+    q.awaitTermination()
+    items = (
+        spark.table(table)
+        .select(F.explode(F.expr("approx_top_k_estimate(topk_sk, 150)")).alias("e"))
+        .select(F.col("e.item").alias("user_id"), F.col("e.count").alias("n_events"))
+    )
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    out = (
+        items.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("user_id", "n_events", F.col("rank").cast("int").alias("rank"))
+    )
+    out = out.localCheckpoint(eager=True)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_meta")
+    return out
+
+
+@query(
+    "st16_streaming_curate",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, text, source, n_chars,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             len(toks) AS n_toks,
+             len(list_filter(list_transform(toks, x -> lower(x)),
+                 x -> x IN ('the','a','an','and','or','of','to','in','is'))) AS n_stop,
+             len(list_distinct(list_transform(toks, x -> lower(x)))) AS n_distinct
+      FROM tk
+    ), quality AS (
+      SELECT t.doc_id FROM tk t JOIN feat f USING (doc_id)
+      WHERE f.n_toks BETWEEN 10 AND 1000
+        AND ROUND(f.n_stop / greatest(f.n_toks, 1), 4) >= 0.05
+        AND ROUND(1.0 - f.n_distinct / greatest(f.n_toks, 1), 4) <= 0.6
+    ), keep1 AS (
+      SELECT MIN(t.doc_id) AS doc_id
+      FROM tk t JOIN quality q USING (doc_id)
+      GROUP BY md5(regexp_replace(lower(trim(t.text)), '\\s+', ' ', 'g'))
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d JOIN keep1 k USING (doc_id)
+    """,
+)
+def st16_streaming_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming curation (stream_dedup.curate_stream): the quality gate
+    runs as per-row projections ON the stream, and exact dedup runs as
+    the fingerprint-state fold — the committed table equals the batch
+    pipeline's first two stages over the same files, which the oracle
+    replays (quality rules + keep-first fingerprint dedup). Per-row
+    predicates are batch-boundary-invariant by construction; the dedup
+    equivalence is the st04 family's property."""
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.streaming.stream_dedup import curate_stream
+
+    run_id = _uuid.uuid4().hex[:8]
+    table = f"st16_cur_{run_id}"
+    stream = _docs_stream(spark, sf_dir)
+    q = curate_stream(
+        spark, stream, table,
+        checkpoint_dir=os.path.join(tempfile.gettempdir(), f"ck_{table}"),
+    )
+    q.awaitTermination()
+    out = spark.table(table).select("doc_id", "source", "n_chars")
+    out = out.localCheckpoint(eager=True)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_fingerprints")
+    return out
+
+
+@query(
+    "st17_watermarked_dedup",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def st17_watermarked_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup
+    (collect_stream.run_watermarked_dedup_counts):
+    ``dropDuplicatesWithinWatermark`` expires dedup state once the
+    watermark passes a key's event time + horizon — st04's unbounded
+    form with the state-size contract a 100 TB stream actually needs.
+    Horizon spans the test window → equals full-history dedup
+    (hash-verified)."""
+    from logverzcore_spark.streaming.collect_stream import (
+        run_watermarked_dedup_counts,
+    )
+
+    return run_watermarked_dedup_counts(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
+@query(
+    "st18_sketch_rolling_distinct",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM du
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT u.user_id) AS users_7d
+    FROM days d JOIN du u
+      ON u.day > d.day - INTERVAL 7 DAY AND u.day <= d.day
+    GROUP BY d.day
+    """,
+)
+def st18_sketch_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The read side of the sketch rollup (st13), proving
+    re-aggregatability: trailing-7-day distinct users computed by
+    UNIONING the stored per-day HLL sketches (`hll_union_agg` over a
+    range self-join of the O(#days) sketch table) — the raw event store
+    is never rescanned, which is the entire point of storing sketches
+    instead of counts. Matches q85's exact answer at this cardinality
+    (sub-capacity regime → hash-verified); at higher cardinality the
+    same query returns bounded estimates."""
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.streaming.collect_stream import _events_stream
+    from logverzcore_spark.streaming.rollup import incremental_user_sketch_rollup
+
+    table = f"st18_skroll_{_uuid.uuid4().hex[:8]}"
+    stream = _events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    q = incremental_user_sketch_rollup(
+        spark, stream, table,
+        checkpoint_dir=os.path.join(tempfile.gettempdir(), f"ck_{table}"),
+    )
+    q.awaitTermination()
+    sk = spark.table(table).select("day_ts", "user_sk")
+    days = sk.select(F.col("day_ts").alias("d"))
+    out = (
+        sk.join(
+            F.broadcast(days),
+            (F.col("day_ts") > F.col("d") - F.expr("INTERVAL 7 DAYS"))
+            & (F.col("day_ts") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(
+            # allowDifferentLgConfigK: stored day rows may span an lgK
+            # default upgrade (the fold persists mixed precisions by
+            # design — rollup.py's make_sketch_fold), and a 7-day window
+            # crossing the upgrade boundary must still union (downgrades
+            # to the window's minimum lgK).
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("user_sk"), F.lit(True)))
+            .cast("bigint")
+            .alias("users_7d")
+        )
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "users_7d")
+    )
+    out = out.localCheckpoint(eager=True)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_meta")
+    return out
+
+
+@query(
+    "st19_streaming_argmax",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts) DESC, event_id DESC)
+               AS rn
+      FROM events
+    )
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_seen,
+           event_type AS last_event_type
+    FROM ranked WHERE rn = 1
+    """,
+)
+def st19_streaming_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming latest-row-per-key: ``max_by`` over a packed
+    (event-time, id) key inside a streaming aggregation — per-key state
+    is ONE row (the current argmax), the streaming form of q50's
+    argmax-without-window. The id tie-break makes concurrent-timestamp
+    events deterministic across engines and micro-batch orders."""
+    from logverzcore_spark.streaming.collect_stream import run_streaming_argmax
+
+    return run_streaming_argmax(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@query(
+    "st20_stream_outer_join",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def st20_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LEFT OUTER stream-stream join (st05's inner form plus
+    eviction-driven NULL emission): unmatched views surface exactly once,
+    when the watermark proves their click window closed. Hash-verified
+    against the plain batch left join — the bounded replay is finalized
+    by an end-of-stream sentinel (see
+    ``collect_stream.run_stream_stream_outer_join``)."""
+    from logverzcore_spark.streaming.collect_stream import (
+        run_stream_stream_outer_join,
+    )
+
+    return run_stream_stream_outer_join(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
+@query(
+    "st21_streaming_quota_cap",
+    oracle="""
+    SELECT doc_id, source, n_chars, CAST(source_rank AS INT) AS source_rank
+    FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS source_rank
+      FROM documents
+    )
+    WHERE source_rank <= 10
+    """,
+)
+def st21_streaming_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental per-source quota cap: the t30 domain
+    balancer maintained continuously (streaming/rollup.make_quota_fold).
+    Top-N-per-key is a monotone fold, so the maintained state always
+    equals the batch answer over everything seen — which is exactly
+    what this oracle states in SQL. Multi-batch merge, eviction, and
+    per-row replay idempotence are pytest-covered
+    (test_quota_fold_incremental_equals_batch)."""
+    import uuid as _uuid
+
+    from logverzcore_spark.streaming.rollup import incremental_quota_cap
+
+    stream = _docs_stream(spark, sf_dir)
+    state = f"quota_state_{_uuid.uuid4().hex[:8]}"
+    q = incremental_quota_cap(spark, stream, state, quota=10)
+    q.awaitTermination()
+    return spark.table(state).select("doc_id", "source", "n_chars", "source_rank")
