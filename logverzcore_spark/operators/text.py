@@ -649,3 +649,92 @@ def source_quota_cap(
             F.col(order_col), F.col("source_rank"),
         )
     )
+
+
+# -- Unicode normalization / mojibake scrub (r6) ----------------------------
+
+#: Zero-width & format characters stripped outright: ZWSP/ZWNJ/ZWJ, word
+#: joiner, BOM-as-ZWNBSP, soft hyphen. Embedded as literal code points so
+#: the same class string is valid in Java regex (Spark) and RE2 (DuckDB).
+ZERO_WIDTH_CLASS = "[​‌‍⁠﻿­]"
+
+#: C0 controls (minus \t\n\r, which are whitespace and handled by the
+#: collapse stage), DEL, and the C1 range. ``\x{..}`` hex escapes parse
+#: identically in Java regex and RE2.
+CTRL_CLASS = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x{80}-\\x{9F}]"
+
+#: Unicode space separators normalized to ASCII space before collapsing:
+#: NBSP, Ogham mark, en/em/fig/thin/hair spaces, NNBSP, MMSP, ideographic.
+UNICODE_SPACE_CLASS = "[   -   　]"
+
+
+def nfc_normalize(
+    df: DataFrame, cols: list[str], form: str = "NFC"
+) -> DataFrame:
+    """Unicode-normalize string columns in place (schema unchanged).
+
+    Normalization is the one stage of the scrub that built-in functions
+    genuinely can't express — it's a variable-width codepoint-sequence
+    rewrite driven by the full UCD composition tables (same boat as the
+    variable-offset JPEG walk, multimodal.py) — so it runs as an
+    Arrow-batched ``mapInPandas`` calling pandas' vectorized
+    ``Series.str.normalize`` (ICU-backed via Python's unicodedata).
+    Everything else in ``normalize_text`` stays JVM-side. Plan shape:
+    a pure map stage, no shuffle, parallelism = the scan's; Arrow
+    transfers only the projected columns, so select before calling.
+    NULLs pass through unchanged.
+    """
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"no such column(s): {missing}")
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    def _norm(batches):
+        for pdf in batches:
+            for c in cols:
+                pdf[c] = pdf[c].str.normalize(form)
+            yield pdf
+
+    return df.mapInPandas(_norm, schema=df.schema)
+
+
+def scrub_text(col: Column) -> Column:
+    """The codegen'd (post-NFC) scrub chain: strip zero-width/format
+    chars, strip controls, normalize unicode spaces to ASCII space,
+    collapse whitespace runs, trim. Order matters and is part of the
+    contract: zero-width strip happens BEFORE whitespace collapse so
+    ``a <ZWSP> b`` collapses to one space, not two."""
+    out = F.regexp_replace(col, ZERO_WIDTH_CLASS, "")
+    out = F.regexp_replace(out, CTRL_CLASS, "")
+    out = F.regexp_replace(out, UNICODE_SPACE_CLASS, " ")
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, clean, n_zero_width, n_ctrl, n_chars) — the standard first
+    pass of every text pipeline: NFC composition, zero-width/control
+    strip, whitespace normalization. Idempotent by construction (NFC is
+    a projection onto composed forms; the strip/collapse stages have
+    nothing left to match on their own output) — property-tested in
+    tests/test_properties.py.
+
+    The per-kind counts are measured AFTER NFC (so both engines count
+    the same codepoints) as length deltas of the corresponding strip
+    stage — no second regex scan. Plan: one Arrow map stage (NFC) +
+    one codegen'd projection; zero shuffle, zero collect."""
+    missing = [c for c in (id_col, text_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"no such column(s): {missing}")
+    nfc = nfc_normalize(df.select(id_col, text_col), [text_col])
+    t = F.col(text_col)
+    no_zw = F.regexp_replace(t, ZERO_WIDTH_CLASS, "")
+    no_ctrl = F.regexp_replace(no_zw, CTRL_CLASS, "")
+    return nfc.select(
+        F.col(id_col),
+        scrub_text(t).alias("clean"),
+        (F.length(t) - F.length(no_zw)).alias("n_zero_width"),
+        (F.length(no_zw) - F.length(no_ctrl)).alias("n_ctrl"),
+    ).withColumn("n_chars", F.length("clean"))

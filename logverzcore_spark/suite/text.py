@@ -1161,3 +1161,75 @@ def t30_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-verifiable."""
     docs = _t(spark, sf_dir, "documents")
     return text.source_quota_cap(docs, quota=10)
+
+
+@query(
+    "t31_unicode_scrub",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' cafe' || chr(769) ||
+             CASE WHEN doc_id % 2 = 0 THEN chr(8203) || 'zw' ELSE '' END ||
+             CASE WHEN doc_id % 3 = 0 THEN chr(7) || 'ctl' ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0
+                  THEN chr(160) || 'nb' || chr(8239) || ' end' ELSE '' END
+             AS t0
+      FROM documents
+    ), n AS (
+      SELECT doc_id, nfc_normalize(t0) AS t FROM aug
+    ), s1 AS (
+      SELECT doc_id, t,
+             regexp_replace(t, '[​‌‍⁠﻿­]', '', 'g') AS a
+      FROM n
+    ), s2 AS (
+      SELECT doc_id, t, a,
+             regexp_replace(a, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x{80}-\\x{9F}]',
+                            '', 'g') AS b
+      FROM s1
+    )
+    SELECT doc_id,
+           md5(trim(regexp_replace(
+             regexp_replace(b, '[   -   　]', ' ', 'g'),
+             '\\s+', ' ', 'g'))) AS fp,
+           CAST(length(t) - length(a) AS INT) AS n_zero_width,
+           CAST(length(a) - length(b) AS INT) AS n_ctrl,
+           CAST(length(trim(regexp_replace(
+             regexp_replace(b, '[   -   　]', ' ', 'g'),
+             '\\s+', ' ', 'g'))) AS INT) AS n_chars
+    FROM s2
+    """,
+)
+def t31_unicode_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization / mojibake scrub (text.normalize_text):
+    the standard first pass of every text pipeline — NFC composition,
+    zero-width/control strip, unicode-space + whitespace collapse. The
+    synthetic corpus is clean ASCII, so the round trip INJECTS
+    deterministic junk per doc (a decomposed e+combining-acute for
+    every doc; ZWSP / BEL+C1-free control / NBSP+NNBSP on residue
+    classes), runs the scrub, and hashes the cleaned text — the oracle
+    replays injection and every stage (DuckDB ``nfc_normalize`` + the
+    same RE2-compatible classes) so any divergence in normalization
+    form, strip order, or collapse semantics breaks the hash. Plan:
+    one Arrow map stage (the NFC rewrite built-ins can't express) +
+    codegen'd projections; zero shuffle at any corpus size.
+    Idempotence is property-tested (tests/test_properties.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" cafe\u0301"),  # decomposed on purpose: NFC must compose
+            F.when(F.col("doc_id") % 2 == 0, "​zw").otherwise(""),
+            F.when(F.col("doc_id") % 3 == 0, "\x07ctl").otherwise(""),
+            F.when(
+                F.col("doc_id") % 5 == 0, " nb  end"
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    return text.normalize_text(aug).select(
+        "doc_id",
+        F.md5("clean").alias("fp"),
+        "n_zero_width",
+        "n_ctrl",
+        "n_chars",
+    )

@@ -218,6 +218,7 @@ def _n_exchanges(fmt: str) -> int:
         "t27_pii_scrub",
         "t28_chunk_documents",
         "t29_blocklist_filter",
+        "t31_unicode_scrub",
     ],
 )
 def test_per_row_ops_have_zero_exchanges(spark, name):
