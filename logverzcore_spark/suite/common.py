@@ -547,6 +547,103 @@ _Q110_SQL = """
 """
 
 
+
+def _s11b_oracle(
+    dim: int = 64, n_cells: int = 16, nprobe: int = 4,
+    m: int = 8, n_codes: int = 16,
+) -> str:
+    """SQL replay of the COMPOSED IVF-PQ persistent index probe
+    (s11b): s03b's coarse-quantizer CTEs (literal LCG centroids, cell
+    argmax, nprobe probing) feeding s06b's PQ CTEs (fixed-point encode,
+    LUT, integer ADC) — scored only over candidate pairs that share a
+    probed cell, ranked on the adc/sqrt(recon) key. Any divergence in
+    cell assignment, partition pruning, encode, or ADC breaks the
+    hash."""
+    import numpy as np
+
+    sub = dim // m
+    cents = similarity.lcg_centroids(dim, n_cells)
+    cent_values = ",\n      ".join(
+        f"({ci}, {_sql_double_array(row)})" for ci, row in enumerate(cents)
+    )
+    books = similarity.lcg_codebooks(dim, m, n_codes)
+    C = np.array(books, dtype=np.float64)
+    c2 = (C * C).sum(axis=2)
+    c2i = np.floor(c2 * similarity.PQ_SCALE + 0.5).astype(np.int64)
+    cb_values = ",\n      ".join(
+        f"({s}, {j}, {_sql_double_array(books[s][j])}, {c2[s, j]!r}, {int(c2i[s, j])})"
+        for s in range(m)
+        for j in range(n_codes)
+    )
+    S = similarity.PQ_SCALE
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), cents(cell, cvec) AS (VALUES
+      {cent_values}
+    ), cb(s, j, cvec, c2, c2i) AS (VALUES
+      {cb_values}
+    ), sims AS (
+      SELECT v.vec_id, c.cell, list_dot_product(v.e, c.cvec) AS sim
+      FROM v CROSS JOIN cents c
+    ), c_assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    ), q_probe AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell) AS rn
+        FROM sims WHERE vec_id < 20
+      ) WHERE rn <= {nprobe}
+    ), codes AS (
+      SELECT vec_id, s, j AS code FROM (
+        SELECT v.vec_id, cb.s, cb.j,
+               row_number() OVER (PARTITION BY v.vec_id, cb.s ORDER BY
+                 floor((cb.c2 - 2 * list_dot_product(
+                   v.e[cb.s*{sub}+1 : (cb.s+1)*{sub}], cb.cvec)) * {S} + 0.5),
+                 cb.j) AS rn
+        FROM v CROSS JOIN cb
+      ) WHERE rn = 1
+    ), recon AS (
+      SELECT c.vec_id, SUM(cb.c2i) AS recon
+      FROM codes c JOIN cb ON cb.s = c.s AND cb.j = c.code
+      GROUP BY c.vec_id
+    ), lut AS (
+      SELECT q.vec_id AS qid, cb.s, cb.j,
+             CAST(floor(list_dot_product(
+               q.e[cb.s*{sub}+1 : (cb.s+1)*{sub}], cb.cvec) * {S} + 0.5) AS BIGINT) AS t
+      FROM v q CROSS JOIN cb WHERE q.vec_id < 20
+    ), cand AS (
+      SELECT q.vec_id AS qid, c.vec_id AS nid
+      FROM q_probe q JOIN c_assign c ON q.cell = c.cell
+                                    AND q.vec_id <> c.vec_id
+    ), scored AS (
+      SELECT cand.qid, cand.nid, SUM(l.t) AS adc
+      FROM cand JOIN codes co ON co.vec_id = cand.nid
+                JOIN lut l ON l.qid = cand.qid AND l.s = co.s
+                         AND l.j = co.code
+      GROUP BY 1, 2
+    ), qn AS (
+      SELECT vec_id, sqrt(list_dot_product(e, e)) AS nrm FROM v WHERE vec_id < 20
+    ), ranked AS (
+      SELECT s.qid, s.nid, s.adc, r.recon,
+             row_number() OVER (PARTITION BY s.qid ORDER BY
+               (s.adc / {S}.0) / sqrt(r.recon / {S}.0) DESC, s.nid) AS rank
+      FROM scored s JOIN recon r ON r.vec_id = s.nid
+    )
+    SELECT qid AS query_id, nid AS neighbor_id,
+           ROUND((adc / {S}.0) / (qn.nrm * sqrt(recon / {S}.0)), 6) AS approx_cosine,
+           CAST(rank AS INTEGER) AS rank
+    FROM ranked JOIN qn ON qn.vec_id = ranked.qid
+    WHERE rank <= 5
+    """
+
+
 def _s09_oracle(
     dim: int = 64,
     n_planes: int = 4,
@@ -675,5 +772,6 @@ __all__ = [
     '_Q108_SQL',
     '_Q110_SQL',
     '_s09_oracle',
+    '_s11b_oracle',
     'run',
 ]

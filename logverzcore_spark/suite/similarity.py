@@ -267,3 +267,62 @@ def s09_curated_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logverzcore_spark.pipeline import curate_embeddings
 
     return curate_embeddings(emb)
+
+
+@query("s11_ivfpq_index_probe")  # data-trained codebooks → rows-only + recall bound
+def s11_ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed persistent index (similarity.ivfpq_index_build /
+    _probe): cell-partitioned PQ CODES instead of s08's full float
+    vectors — the billion-vector serving shape (m codes + 1 bigint per
+    vector ≈ 50× less index IO at dim 64), probed with partition
+    pruning + pure-JVM integer ADC + the s06 ADC-shortlist/exact-rerank
+    refinement (raw vectors fetched per shortlisted id from the source
+    table, never scanned). Trained (data-sampled) codebooks → rows-only
+    check; recall@5 vs exact cosine top-5 is measured into the parity
+    artifact's bound_check (floor 0.5, the s03 pruning envelope — PQ
+    loss is recovered by the exact rerank) and pytest-floored. The
+    portable sibling s11b is hash-verified end-to-end."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    books = similarity.trained_codebooks(emb, dim=64, m=4, n_codes=256)
+    tbl = f"s11_ivfpq_{uuid.uuid4().hex[:8]}"
+    similarity.ivfpq_index_build(
+        emb, tbl, n_cells=16, m=4, n_codes=256, dim=64, codebooks=books
+    )
+    try:
+        out = similarity.ivfpq_index_probe(
+            spark, queries, tbl, k=5, nprobe=4, rerank=64, rerank_source=emb
+        ).localCheckpoint(eager=True)
+    finally:
+        for t in (tbl, f"{tbl}_centroids", f"{tbl}_codebooks"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out
+
+
+@query("s11b_ivfpq_portable", oracle=_s11b_oracle())
+def s11b_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s11's composed IVF-PQ index with engine-portable LCG centroids
+    AND codebooks, hash-verified end-to-end: the oracle replays coarse
+    cell assignment (s03b's CTEs), fixed-point PQ encode, the integer
+    ADC over candidate pairs sharing a probed cell, and the
+    adc/√recon rank key in one SQL statement — so a bug in the
+    PERSISTED composition (wrong cell partition, stale codebooks,
+    encode drift between build and probe, pruning that drops a cell)
+    breaks the hash, not just recall. The graded run materializes the
+    probe and drops its three index tables — no warehouse residue."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    tbl = f"s11b_ivfpq_{uuid.uuid4().hex[:8]}"
+    similarity.ivfpq_index_build(
+        emb, tbl, n_cells=16, m=8, n_codes=16, dim=64,
+        centroids=similarity.lcg_centroids(64, 16),
+        codebooks=similarity.lcg_codebooks(64, 8, 16),
+    )
+    try:
+        out = similarity.ivfpq_index_probe(
+            spark, queries, tbl, k=5, nprobe=4
+        ).localCheckpoint(eager=True)
+    finally:
+        for t in (tbl, f"{tbl}_centroids", f"{tbl}_codebooks"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out

@@ -945,3 +945,189 @@ def test_minhash_band_buckets_mismatch_fails_fast(spark, docs):
     bad = dedup.minhash_band_buckets(sig, num_hashes=64, bands=32)
     with _pt.raises(Exception, match="signature array has 32 mins"):
         bad.agg(F.countDistinct("bucket")).collect()
+
+
+def test_ivfpq_index_build_probe_prunes_and_reranks(spark):
+    """IVF-PQ composed index (r6): the persisted probe must (a) rank
+    exactly like an independent in-test ADC replay over the probed
+    cells, (b) physically read ONLY the probed cell partitions, and
+    (c) with rerank, return TRUE cosines for every returned pair
+    (rescored from the raw source, not the codes)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.engine import read_table
+    from logverzcore_spark.operators.similarity import (
+        PQ_SCALE,
+        ivfpq_index_build,
+        ivfpq_index_probe,
+        lcg_centroids,
+        lcg_codebooks,
+    )
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    cents, books = lcg_centroids(dim, 8), lcg_codebooks(dim, 8, 16)
+    tbl = "ivfpq_idx_test"
+    try:
+        ivfpq_index_build(
+            emb, tbl, n_cells=8, m=8, n_codes=16, dim=dim,
+            centroids=cents, codebooks=books,
+        )
+        queries = emb.orderBy("vec_id").limit(3)
+        got = ivfpq_index_probe(spark, queries, tbl, k=5, nprobe=2).collect()
+
+        # independent numpy replay of cell-assign + encode + ADC + rank
+        E = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+        cmat, C = np.array(cents), np.array(books)
+        m, n_codes, sub = C.shape
+        c2 = (C * C).sum(axis=2)
+        c2i = np.floor(c2 * PQ_SCALE + 0.5).astype(np.int64)
+        ids = sorted(E)
+        X = np.array([E[i] for i in ids])
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        cell = np.argsort(-(Xn @ cmat.T), axis=1, kind="stable")[:, 0]
+        codes = np.empty((len(X), m), dtype=np.int64)
+        for s in range(m):
+            d = c2[s][None, :] - 2.0 * (X[:, s*sub:(s+1)*sub] @ C[s].T)
+            codes[:, s] = np.floor(d * PQ_SCALE + 0.5).argmin(axis=1)
+        recon = c2i[np.arange(m), codes].sum(axis=1)
+        qids = sorted(E)[:3]
+        expect = {}
+        for qid in qids:
+            q = E[qid]
+            qn = np.linalg.norm(q)
+            pcells = np.argsort(
+                -((q / qn) @ cmat.T), kind="stable"
+            )[:2]
+            lut = np.stack(
+                [q[s*sub:(s+1)*sub] @ C[s].T for s in range(m)]
+            )
+            lut_i = np.floor(lut * PQ_SCALE + 0.5).astype(np.int64)
+            cand = [
+                (int(lut_i[np.arange(m), codes[b]].sum()), int(recon[b]), ids[b])
+                for b in range(len(ids))
+                if cell[b] in pcells and ids[b] != qid
+            ]
+            top = sorted(
+                cand, key=lambda t: (-((t[0]/PQ_SCALE)/np.sqrt(t[1]/PQ_SCALE)), t[2])
+            )[:5]
+            for rank, (_a, _r, nid) in enumerate(top, 1):
+                expect[(qid, rank)] = nid
+        assert len(got) == len(expect)
+        for r in got:
+            assert expect[(r["query_id"], r["rank"])] == r["neighbor_id"], r
+
+        # pruning: a 2-cell filter reads only those partition dirs
+        probed = spark.table(tbl).where(F.col("cell").isin([0, 1]))
+        touched = {f.split("cell=")[1].split("/")[0] for f in probed.inputFiles()}
+        all_cells = {
+            r["cell"] for r in spark.table(tbl).select("cell").distinct().collect()
+        }
+        assert touched <= {"0", "1"} and len(all_cells) > 2
+
+        # rerank returns true cosines; rerank without a source raises
+        rr = ivfpq_index_probe(
+            spark, queries, tbl, k=5, nprobe=2, rerank=16, rerank_source=emb
+        ).collect()
+        for r in rr:
+            q, n = E[r["query_id"]], E[r["neighbor_id"]]
+            want = round(
+                float(q @ n / (np.linalg.norm(q) * np.linalg.norm(n))), 6
+            )
+            assert abs(want - r["cosine"]) < 1e-9, r
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="rerank_source"):
+            ivfpq_index_probe(spark, queries, tbl, k=5, nprobe=2, rerank=16)
+    finally:
+        for t in (tbl, f"{tbl}_centroids", f"{tbl}_codebooks"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ivfpq_index_append_equals_rebuild(spark):
+    """IVF-PQ append ≡ rebuild: cell AND codes of appended rows match a
+    from-scratch build over the union (encode depends only on the
+    STORED centroid/codebook tables), untouched partitions keep their
+    file sets, and redelivery is a no-op."""
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.engine import read_table
+    from logverzcore_spark.operators.similarity import (
+        ivfpq_index_append,
+        ivfpq_index_build,
+        lcg_centroids,
+        lcg_codebooks,
+    )
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    cents, books = lcg_centroids(dim, 8), lcg_codebooks(dim, 8, 16)
+    inc, full = "ivfpq_append_test", "ivfpq_full_test"
+    try:
+        base = emb.where(F.col("vec_id") % 4 != 0)
+        delta = emb.where(F.col("vec_id") % 4 == 0)
+        ivfpq_index_build(
+            base, inc, n_cells=8, m=8, n_codes=16, dim=dim,
+            centroids=cents, codebooks=books,
+        )
+        files_before = set(spark.table(inc).inputFiles())
+        stats = ivfpq_index_append(spark, delta, inc)
+        assert stats["appended"] == delta.count()
+        assert stats["skipped_existing"] == 0
+
+        spark.catalog.refreshTable(inc)
+        files_after = set(spark.table(inc).inputFiles())
+        assert files_before <= files_after
+        touched = {str(c) for c in stats["touched_cells"]}
+        for f in files_after - files_before:
+            assert f.split("cell=")[1].split("/")[0] in touched
+
+        ivfpq_index_build(
+            emb, full, n_cells=8, m=8, n_codes=16, dim=dim,
+            centroids=cents, codebooks=books,
+        )
+        a = spark.table(inc).select("nid", "cell", "codes", "recon")
+        b = spark.table(full).select("nid", "cell", "codes", "recon")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+        stats2 = ivfpq_index_append(spark, delta, inc)
+        assert stats2["appended"] == 0
+        assert stats2["skipped_existing"] == delta.count()
+    finally:
+        for t in (inc, full):
+            for suffix in ("", "_centroids", "_codebooks"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
+
+
+def test_ivfpq_probe_recall_floor(spark, emb):
+    """s11's configuration at test scale: trained codebooks + exact
+    rerank must clear the s03 pruning envelope (the rerank recovers the
+    PQ loss, so cell pruning is the binding constraint)."""
+    from logverzcore_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_index_build,
+        ivfpq_index_probe,
+        trained_codebooks,
+    )
+
+    queries = emb.where(F.col("vec_id") < 10)
+    dim = len(emb.select("embedding").first()[0])
+    tbl = "ivfpq_recall_test"
+    try:
+        books = trained_codebooks(emb, dim=dim, m=4, n_codes=256)
+        ivfpq_index_build(
+            emb, tbl, n_cells=8, m=4, n_codes=256, dim=dim, codebooks=books
+        )
+        approx = ivfpq_index_probe(
+            spark, queries, tbl, k=5, nprobe=4, rerank=64, rerank_source=emb
+        ).collect()
+        exact = cosine_topk(emb, queries, k=5).collect()
+        exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+        approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+        recall = len(exact_set & approx_set) / len(exact_set)
+        assert recall >= 0.5, f"IVF-PQ recall {recall}"
+    finally:
+        for suffix in ("", "_centroids", "_codebooks"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}{suffix}")

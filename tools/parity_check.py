@@ -94,12 +94,14 @@ def compute_rows_only_bounds(spark, con, sf_dir: str, qs, names) -> dict:
       over the same signatures — bound 1.0, because the banded chunk
       join is pigeonhole-EXACT (4 chunks, ≤3 differing bits → some
       chunk matches) and pairs are verified on true Hamming distance.
-    - s02/s03/s06: recall@5 vs the exact cosine top-5
+    - s02/s03/s06/s11: recall@5 vs the exact cosine top-5
       (``cosine_topk``, itself hash-verified via the s01 oracle);
       thresholds are the pytest floors (0.7 LSH / 0.35 PQ), except
       s03: the pytest 0.6 floor probes 4 of 8 cells, while the suite
       entry probes 4 of 16 (a realistic 25% probe fraction) — its
-      floor is 0.5 (measured 0.55 at sf0.01).
+      floor is 0.5 (measured 0.55 at sf0.01). s11 (IVF-PQ + exact
+      rerank) inherits s03's pruning floor — the rerank recovers the
+      PQ loss, so pruning is the binding constraint.
     """
     import numpy as np
 
@@ -175,6 +177,10 @@ def compute_rows_only_bounds(spark, con, sf_dir: str, qs, names) -> dict:
         "s02_lsh_topk": 0.7,
         "s03_ivf_topk": 0.5,  # 4-of-16-cell probe; see docstring
         "s06_pq_topk": 0.35,
+        # composed IVF-PQ probe: same 4-of-16 pruning envelope as s03;
+        # the PQ quantization loss is recovered by the exact rerank
+        # (rerank=64), so the floor is the pruning bound.
+        "s11_ivfpq_index_probe": 0.5,
     }
     if any(n in names for n in ann):
         emb = read_table(spark, sf_dir, "embeddings")
