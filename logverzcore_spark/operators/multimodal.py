@@ -552,3 +552,177 @@ def sniff_wav_meta(
         rate.alias("sample_rate"),
         bits.alias("bits_per_sample"),
     )
+
+
+def parse_mp4_meta(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_scan_bytes: int = 262144,
+) -> DataFrame:
+    """MP4/ISO-BMFF container metadata (major brand, duration, track
+    count, first-video-track dims, sample-entry codec fourcc) by
+    walking the box tree — the video sibling of ``parse_jpeg_meta``'s
+    segment walk: box offsets are length-prefixed and nested
+    (ftyp → moov → mvhd/trak → mdia → minf → stbl → stsd), so there is
+    no fixed offset for codegen'd substring arithmetic; this is the
+    documented honest Arrow-batched ``mapInPandas`` path (same boat as
+    the JPEG walk and the NFC rewrite).
+
+    Per row the walk is bounded (≤``max_scan_bytes``; box sizes come
+    from the stream and every child walk is range-checked) and touches
+    only the metadata boxes — mdat (the media body, ~all of the bytes
+    at 100 TB) is skipped by its length prefix, never read. Handles
+    32-bit sizes, 64-bit ``size==1`` largesize, ``size==0``
+    to-end-of-enclosure, and version 0/1 mvhd/tkhd layouts.
+
+    Honesty contract: no leading ftyp → format 'unknown', all fields
+    NULL. ftyp but truncated/corrupt/missing moov → format 'mp4' with
+    the brand and NULL media fields (the file IS BMFF; its movie box
+    can't be trusted). No codec anywhere — this reads structure, which
+    is what admission/routing/dedup stages need before the (stubbed)
+    decode."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("major_brand", T.StringType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("n_tracks", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("codec", T.StringType()),
+        ]
+    )
+    NONE7 = ("unknown", None, None, None, None, None, None)
+
+    def be(b, i, n):
+        return int.from_bytes(b[i : i + n], "big")
+
+    def children(b, start, end, lenient=False):
+        """Box list [(type, body_start, box_end)] between start and
+        end. Strict mode (child walks) returns None on any corruption —
+        a nested box whose chain doesn't tile its parent exactly can't
+        be trusted at all. Lenient mode (the TOP level, where a
+        truncated download is normal) keeps every box fully contained
+        in the scan window and stops at the first bad one, so a
+        leading ftyp still identifies the container."""
+        out, i = [], start
+        while i + 8 <= end:
+            size, typ = be(b, i, 4), b[i + 4 : i + 8]
+            hdr = 8
+            if size == 1:
+                if i + 16 > end:
+                    return out if lenient else None
+                size, hdr = be(b, i + 8, 8), 16
+            elif size == 0:
+                size = end - i
+            if size < hdr or i + size > end:
+                return out if lenient else None
+            out.append((typ, i + hdr, i + size))
+            i += size
+        if lenient:
+            return out
+        return out if i == end else None
+
+    def find(boxes, typ):
+        return [(s, e) for t, s, e in boxes if t == typ]
+
+    def parse_one(b: bytes):
+        if b is None or len(b) < 16:
+            return NONE7
+        limit = min(len(b), max_scan_bytes)
+        top = children(b, 0, limit, lenient=True)
+        if not top or top[0][0] != b"ftyp":
+            return NONE7
+        fs, fe = top[0][1], top[0][2]
+        if fe - fs < 4:
+            return NONE7
+        try:
+            brand = b[fs : fs + 4].decode("ascii")
+        except UnicodeDecodeError:
+            return NONE7
+        mp4_null = ("mp4", brand, None, None, None, None, None)
+        moov = find(top, b"moov")
+        if not moov:
+            return mp4_null
+        mboxes = children(b, *moov[0])
+        if mboxes is None:
+            return mp4_null
+        duration_ms = None
+        for s, e in find(mboxes, b"mvhd"):
+            if e - s < 4:
+                continue
+            ver = b[s]
+            # v0: ctime4 mtime4 timescale4 duration4; v1: 8/8/4/8
+            ts_off, dur_off, dur_w = (s + 12, s + 16, 4) if ver == 0 else (
+                s + 20, s + 24, 8,
+            )
+            if dur_off + dur_w > e:
+                continue
+            timescale = be(b, ts_off, 4)
+            duration = be(b, dur_off, dur_w)
+            if timescale:
+                duration_ms = duration * 1000 // timescale
+        traks = find(mboxes, b"trak")
+        width = height = codec = None
+        for ts, te in traks:
+            tboxes = children(b, ts, te)
+            if tboxes is None:
+                continue
+            for hs, he in find(tboxes, b"tkhd"):
+                if he - hs < 4:
+                    continue
+                ver = b[hs]
+                # dims are the LAST 8 bytes of tkhd (16.16 fixed) in
+                # both versions — anchor from the end, not the front.
+                if he - hs < 12:
+                    continue
+                w = be(b, he - 8, 4) >> 16
+                h = be(b, he - 4, 4) >> 16
+                if w and h and width is None:
+                    width, height = w, h
+                    # codec: trak → mdia → minf → stbl → stsd entry 1
+                    for path in (b"mdia", b"minf", b"stbl"):
+                        nxt = None
+                        for ns, ne in find(tboxes, path):
+                            nxt = children(b, ns, ne)
+                        if nxt is None:
+                            tboxes = []
+                            break
+                        tboxes = nxt
+                    for ss, se in find(tboxes, b"stsd"):
+                        # version/flags(4) + entry_count(4) + entry:
+                        # size(4) + fourcc(4)
+                        if se - ss >= 16:
+                            try:
+                                codec = b[ss + 12 : ss + 16].decode("ascii")
+                            except UnicodeDecodeError:
+                                codec = None
+        return (
+            "mp4", brand, duration_ms, len(traks),
+            width, height, codec,
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = [
+                parse_one(bytes(p) if p is not None else None)
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "format": [p[0] for p in parsed],
+                    "major_brand": [p[1] for p in parsed],
+                    "duration_ms": pd.array(
+                        [p[2] for p in parsed], dtype="Int64"
+                    ),
+                    "n_tracks": pd.array([p[3] for p in parsed], dtype="Int32"),
+                    "width": pd.array([p[4] for p in parsed], dtype="Int32"),
+                    "height": pd.array([p[5] for p in parsed], dtype="Int32"),
+                    "codec": [p[6] for p in parsed],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema)

@@ -555,3 +555,107 @@ def m10_wav_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "UTF-8")
     )
     return sniff_wav_meta(docs.select("doc_id", payload.alias("payload")))
+
+
+@query(
+    "m13_mp4_box_walk",
+    oracle="""
+    SELECT doc_id,
+      CASE WHEN doc_id % 3 < 2 THEN 'mp4' ELSE 'unknown' END AS format,
+      CASE WHEN doc_id % 3 < 2 THEN
+        CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END END AS major_brand,
+      CASE WHEN doc_id % 3 < 2 THEN
+        CAST(((doc_id * 37) % 100000) * 1000 // 600 AS BIGINT) END AS duration_ms,
+      CASE WHEN doc_id % 3 < 2 THEN
+        CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS INTEGER) END AS n_tracks,
+      CASE WHEN doc_id % 3 < 2
+           THEN CAST(16 + doc_id % 4080 AS INTEGER) END AS width,
+      CASE WHEN doc_id % 3 < 2
+           THEN CAST(16 + (doc_id * 11) % 4080 AS INTEGER) END AS height,
+      CASE WHEN doc_id % 3 < 2 THEN
+        CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'mp4v' END END AS codec
+    FROM documents
+    """,
+)
+def m13_mp4_box_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4/ISO-BMFF box-chain walk (``multimodal.parse_mp4_meta``) —
+    the video sibling of m11's JPEG segment walk and the last big
+    container the multimodal tier can sniff codec-free. The graded
+    round trip BUILDS genuine BMFF byte streams per doc with codegen'd
+    binary expressions: ftyp (brand alternating isom/mp42) + a free
+    box padded by ``doc_id % 7`` bytes (so the moov offset varies row
+    to row) + moov{mvhd(timescale 600, doc-varying duration) +
+    trak{tkhd(16.16 fixed dims) + mdia→minf→stbl→stsd(avc1/mp4v)} +
+    an extra dimension-less audio trak on every fifth doc} + an mdat
+    body the walker must SKIP by length — then parses them back and
+    the oracle restates every field arithmetically: an off-by-one in
+    any box size, the 64-bit/to-end size rules, the fixed-point dims,
+    or the duration/timescale division breaks the hash. Every third
+    doc carries text bytes and must report 'unknown' with NULLs."""
+    from logverzcore_spark.operators.multimodal import parse_mp4_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    dur = (did * 37) % 100000
+    w = (16 + did % 4080).cast("int")
+    h = (16 + (did * 11) % 4080).cast("int")
+    pad = (did % 7).cast("int")
+
+    def be32(c):
+        return F.unhex(F.lpad(F.hex(c.cast("long")), 8, "0"))
+
+    def hx(s):
+        return F.unhex(F.lit(s))
+
+    def fourcc(s):
+        return s.encode("ascii").hex().upper()
+
+    z = "00"
+    ftyp = hx("00000014" + fourcc("ftyp"))
+    brand = F.when(did % 2 == 0, hx(fourcc("isom"))).otherwise(hx(fourcc("mp42")))
+    ftyp = F.concat(ftyp, brand, hx("00000200" + fourcc("mp41")))
+    free = F.concat(
+        be32(pad + 8), hx(fourcc("free")),
+        F.encode(F.repeat(F.lit("A"), pad), "UTF-8"),
+    )
+    # mvhd v0 (108B): ctime/mtime 0, timescale 600, doc-varying
+    # duration, rate/volume, 8B reserved + 36B matrix + 24B predefined
+    # zeros, next_track 2
+    mvhd = F.concat(
+        hx("0000006C" + fourcc("mvhd") + z * 4 + z * 8 + "00000258"),
+        be32(dur),
+        hx("00010000" + "0100" + z * 2 + z * 8 + z * 36 + z * 24 + "00000002"),
+    )
+
+    def tkhd(track_id, width_col, height_col):
+        return F.concat(
+            hx("0000005C" + fourcc("tkhd") + z * 4 + z * 8
+               + f"{track_id:08X}" + z * 4),
+            be32(dur),
+            hx(z * 8 + z * 8 + z * 36),
+            be32(width_col.cast("long") * 65536),
+            be32(height_col.cast("long") * 65536),
+        )
+
+    codec = F.when(did % 2 == 0, hx(fourcc("avc1"))).otherwise(hx(fourcc("mp4v")))
+    stsd = F.concat(
+        hx("00000020" + fourcc("stsd") + z * 4 + "00000001" + "00000010"),
+        codec, hx(z * 6 + "0001"),
+    )
+    stbl = F.concat(hx("00000028" + fourcc("stbl")), stsd)
+    minf = F.concat(hx("00000030" + fourcc("minf")), stbl)
+    mdia = F.concat(hx("00000038" + fourcc("mdia")), minf)
+    trak = F.concat(hx("0000009C" + fourcc("trak")), tkhd(1, w, h), mdia)
+    zero = F.lit(0).cast("int")
+    trak2 = F.when(
+        did % 5 == 0,
+        F.concat(hx("00000064" + fourcc("trak")), tkhd(2, zero, zero)),
+    ).otherwise(hx(""))
+    moov_size = F.when(did % 5 == 0, F.lit(8 + 108 + 156 + 100)).otherwise(
+        F.lit(8 + 108 + 156)
+    )
+    moov = F.concat(be32(moov_size), hx(fourcc("moov")), mvhd, trak, trak2)
+    mdat = F.concat(hx("0000000C" + fourcc("mdat")), hx("DEADBE"))
+    mp4 = F.concat(ftyp, free, moov, mdat)
+    payload = F.when(did % 3 < 2, mp4).otherwise(F.encode("text", "UTF-8"))
+    return parse_mp4_meta(docs.select("doc_id", payload.alias("payload")))

@@ -1131,3 +1131,87 @@ def test_ivfpq_probe_recall_floor(spark, emb):
     finally:
         for suffix in ("", "_centroids", "_codebooks"):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}{suffix}")
+
+
+def test_parse_mp4_meta_box_walk_and_edges(spark):
+    """MP4/ISO-BMFF walk (r6): well-formed v0 and v1 files parse every
+    field; 64-bit largesize and size==0 (to-end) boxes are honored;
+    the mdat body is skipped by length; truncation after ftyp reports
+    'mp4' with NULL media fields; garbage reports 'unknown'."""
+    import struct
+
+    from logverzcore_spark.operators.multimodal import parse_mp4_meta
+
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    def full(typ, ver, payload):
+        return box(typ, bytes([ver, 0, 0, 0]) + payload)
+
+    def mvhd(ver, timescale, duration):
+        if ver == 0:
+            head = struct.pack(">IIII", 0, 0, timescale, duration)
+        else:
+            head = struct.pack(">QQIQ", 0, 0, timescale, duration)
+        return full(b"mvhd", ver, head + struct.pack(">I", 0x10000)
+                    + struct.pack(">HH", 0x0100, 0) + b"\x00" * 8
+                    + b"\x00" * 36 + b"\x00" * 24 + struct.pack(">I", 2))
+
+    def tkhd(ver, track_id, duration, w, h):
+        if ver == 0:
+            head = (struct.pack(">IIII", 0, 0, track_id, 0)
+                    + struct.pack(">I", duration))
+        else:
+            head = (struct.pack(">QQI", 0, 0, track_id)
+                    + struct.pack(">I", 0) + struct.pack(">Q", duration))
+        return full(b"tkhd", ver, head + b"\x00" * 16 + b"\x00" * 36
+                    + struct.pack(">II", w << 16, h << 16))
+
+    def video_trak(ver, duration, w, h, codec):
+        entry = struct.pack(">I", 16) + codec + b"\x00" * 6 + struct.pack(">H", 1)
+        stsd = full(b"stsd", 0, struct.pack(">I", 1) + entry)
+        mdia = box(b"mdia", box(b"minf", box(b"stbl", stsd)))
+        return box(b"trak", tkhd(ver, 1, duration, w, h) + mdia)
+
+    def mp4(ver=0, brand=b"isom", timescale=600, duration=48000,
+            w=320, h=240, codec=b"avc1", largesize_mdat=False):
+        ftyp = box(b"ftyp", brand + struct.pack(">I", 0x200) + b"mp41")
+        moov = box(b"moov", mvhd(ver, timescale, duration)
+                   + video_trak(ver, duration, w, h, codec))
+        body = b"\xAB" * 50
+        if largesize_mdat:
+            mdat = (struct.pack(">I", 1) + b"mdat"
+                    + struct.pack(">Q", 16 + len(body)) + body)
+        else:
+            mdat = box(b"mdat", body)
+        return ftyp + moov + mdat
+
+    # size==0 (extends to end) on the LAST box
+    to_end = mp4()[:len(mp4()) - 58] + struct.pack(">I", 0) + b"mdat" + b"\xCD" * 46
+    rows = [
+        (1, mp4()),
+        (2, mp4(ver=1, brand=b"mp42", timescale=90000, duration=1234567,
+                w=1920, h=1080, codec=b"hev1")),
+        (3, mp4(largesize_mdat=True)),
+        (4, to_end),
+        (5, b"plain text, no container"),
+        (6, mp4()[:30]),   # dies inside moov: brand survives, media NULL
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in parse_mp4_meta(df).collect()}
+    r1 = got[1]
+    assert (r1["format"], r1["major_brand"], r1["codec"]) == ("mp4", "isom", "avc1")
+    assert r1["duration_ms"] == 48000 * 1000 // 600
+    assert (r1["n_tracks"], r1["width"], r1["height"]) == (1, 320, 240)
+    r2 = got[2]
+    assert (r2["major_brand"], r2["codec"]) == ("mp42", "hev1")
+    assert r2["duration_ms"] == 1234567 * 1000 // 90000
+    assert (r2["width"], r2["height"]) == (1920, 1080)
+    assert got[3]["format"] == "mp4" and got[3]["width"] == 320
+    assert got[4]["format"] == "mp4" and got[4]["width"] == 320
+    assert got[5]["format"] == "unknown" and got[5]["major_brand"] is None
+    r6 = got[6]
+    assert r6["format"] == "mp4" and r6["major_brand"] == "isom"
+    assert r6["duration_ms"] is None and r6["n_tracks"] is None
+    assert got[7]["format"] == "unknown"
