@@ -156,3 +156,182 @@ def curate_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _full_curation_batch(
+    batch: DataFrame,
+    spark: SparkSession,
+    target_table: str,
+    fp_table: str,
+    bucket_table: str,
+    set_table: str,
+    threshold: float,
+    num_hashes: int,
+    bands: int,
+    n: int,
+    text_col: str,
+    id_col: str,
+    finalize,
+) -> None:
+    """One micro-batch of the FULL curation cascade (see
+    ``full_curation_stream``). Stage order and state contents are
+    chosen so the maintained corpus equals the batch
+    ``pipeline.curate`` chain over everything seen:
+
+    - exact dedup state (``fp_table``) records EVERY exact-stage
+      survivor's fingerprint — including docs the near-dup stage then
+      drops — because batch keep-first picks min-id per fingerprint
+      among QUALITY survivors, so a later same-text doc must still
+      lose to a near-dup-dropped predecessor.
+    - LSH state (``bucket_table``/``set_table``) likewise records
+      every exact-stage survivor, because the batch fuzzy rule drops
+      the higher id of EVERY verified pair — a doc that was itself
+      dropped still drops its later near-duplicates (the A<B<C chain:
+      B loses to A, C loses to B). Admitted-only state (the
+      ``stream_neardup`` greedy contract) would admit C.
+    """
+    from logverzcore_spark.operators.dedup import (
+        minhash_band_buckets,
+        minhash_lsh_pairs,
+        minhash_signature_sets,
+    )
+
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col))
+    in_batch = (
+        batch.withColumn("_fp", fingerprint_md5(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if spark.catalog.tableExists(fp_table):
+        seen = spark.table(fp_table)
+        fresh = in_batch.join(
+            seen.hint("shuffle_hash"), in_batch["_fp"] == seen["fp"], "left_anti"
+        )
+    else:
+        fresh = in_batch
+    fresh = fresh.persist()
+    fresh.count()
+    try:
+        # in-batch near-dups: every verified pair's higher id loses
+        pairs = minhash_lsh_pairs(
+            fresh, threshold=threshold, num_hashes=num_hashes,
+            bands=bands, n=n, text_col=text_col, id_col=id_col,
+        )
+        losers = pairs.select(F.col("id2").alias(id_col)).distinct()
+        sig = minhash_signature_sets(
+            fresh, num_hashes=num_hashes, n=n, text_col=text_col, id_col=id_col
+        )
+        try:
+            buckets = minhash_band_buckets(
+                sig, num_hashes=num_hashes, bands=bands
+            )
+            if spark.catalog.tableExists(bucket_table):
+                state_b = spark.table(bucket_table)
+                cand = (
+                    buckets.join(
+                        state_b.hint("shuffle_hash"),
+                        (buckets["band"] == state_b["band"])
+                        & (buckets["bucket"] == state_b["bucket"]),
+                    )
+                    .select(
+                        buckets["doc_id"].alias("new_id"),
+                        state_b["doc_id"].alias("old_id"),
+                    )
+                    .distinct()
+                )
+                new_sets = sig.select(
+                    F.col("doc_id").alias("new_id"), F.col("hset").alias("hs_new")
+                )
+                old_sets = spark.table(set_table).select(
+                    F.col("doc_id").alias("old_id"), F.col("hset").alias("hs_old")
+                )
+                inter = F.size(F.array_intersect("hs_new", "hs_old"))
+                union = F.size(F.array_union("hs_new", "hs_old"))
+                dup_new = (
+                    cand.join(new_sets.hint("shuffle_hash"), "new_id")
+                    .join(old_sets.hint("shuffle_hash"), "old_id")
+                    .where(F.round(inter / union, 4) >= threshold)
+                    .select(F.col("new_id").alias(id_col))
+                    .distinct()
+                )
+                losers = losers.unionByName(dup_new).distinct()
+            admitted = fresh.join(losers, id_col, "left_anti").drop("_fp")
+            out = finalize(admitted) if finalize is not None else admitted
+            # Commit: data first, then state (module-docstring ordering —
+            # a crash between the appends degrades to at-least-once,
+            # never loses a document).
+            out.write.mode("append").saveAsTable(target_table)
+            fresh.select(F.col("_fp").alias("fp")).write.mode("append").saveAsTable(
+                fp_table
+            )
+            buckets.select("band", "bucket", "doc_id").write.mode(
+                "append"
+            ).saveAsTable(bucket_table)
+            sig.select("doc_id", "hset").write.mode("append").saveAsTable(set_table)
+        finally:
+            sig.unpersist()
+    finally:
+        fresh.unpersist()
+    for t in (target_table, fp_table, bucket_table, set_table):
+        spark.catalog.refreshTable(t)
+
+
+def full_curation_stream(
+    spark: SparkSession,
+    source_stream: DataFrame,
+    target_table: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    max_tokens: int = 1000,
+    min_stopword_ratio: float = 0.05,
+    max_repetition_ratio: float = 0.6,
+    neardup_threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+    finalize=None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The FULL streaming curation cascade — quality gate + exact dedup
+    + MinHash-LSH near-dup suppression (+ an optional ``finalize``
+    projection, e.g. the PII scrub) in ONE ``foreachBatch`` pipeline:
+    ``curate_stream``'s two stages composed with ``stream_neardup``'s
+    LSH state, maintained continuously. The committed table equals the
+    batch ``pipeline.curate`` chain (quality → exact keep-first →
+    fuzzy drop-every-pair's-higher-id) over the same files, which
+    suite st22 hash-verifies; the equivalence needs ids to arrive in
+    order across batches (same contract as ``curate_stream``) and
+    holds across batch boundaries because both state tables record
+    every EXACT-stage survivor, not just admitted docs — see
+    ``_full_curation_batch`` for why.
+
+    ``finalize(df) -> df`` runs per batch on the admitted docs only
+    (per-row projections — keep it stateless); its output schema is
+    the target table's schema. State tables: ``{target}_fingerprints``,
+    ``{target}_lsh_buckets``, ``{target}_lsh_sets``."""
+    from logverzcore_spark.operators import text as textops
+
+    c = F.col(text_col)
+    gated = source_stream.where(
+        textops.token_count(c).between(min_tokens, max_tokens)
+        & (F.round(textops.stopword_ratio(c), 4) >= min_stopword_ratio)
+        & (F.round(textops.repetition_ratio(c), 4) <= max_repetition_ratio)
+    )
+    writer = gated.writeStream.option(
+        "checkpointLocation", checkpoint_dir
+    ).foreachBatch(
+        lambda batch, _id: _full_curation_batch(
+            batch, spark, target_table,
+            f"{target_table}_fingerprints",
+            f"{target_table}_lsh_buckets",
+            f"{target_table}_lsh_sets",
+            neardup_threshold, num_hashes, bands, shingle_n,
+            text_col, id_col, finalize,
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -709,3 +709,148 @@ def st21_streaming_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = incremental_quota_cap(spark, stream, state, quota=10)
     q.awaitTermination()
     return spark.table(state).select("doc_id", "source", "n_chars", "source_rank")
+
+
+@query(
+    "st22_streaming_curation_cascade",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, text, source, n_chars,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             len(toks) AS n_toks,
+             len(list_filter(list_transform(toks, x -> lower(x)),
+                 x -> x IN ('the','a','an','and','or','of','to','in','is'))) AS n_stop,
+             len(list_distinct(list_transform(toks, x -> lower(x)))) AS n_distinct
+      FROM tk
+    ), quality AS (
+      SELECT t.doc_id FROM tk t JOIN feat f USING (doc_id)
+      WHERE f.n_toks BETWEEN 10 AND 1000
+        AND ROUND(f.n_stop / greatest(f.n_toks, 1), 4) >= 0.05
+        AND ROUND(1.0 - f.n_distinct / greatest(f.n_toks, 1), 4) <= 0.6
+    ), keep1 AS (
+      SELECT MIN(t.doc_id) AS doc_id
+      FROM tk t JOIN quality q USING (doc_id)
+      GROUP BY md5(regexp_replace(lower(trim(t.text)), '\\s+', ' ', 'g'))
+    ), sh3 AS (
+      SELECT t.doc_id,
+             unnest(list_distinct(list_transform(range(1, greatest(len(t.toks)-2, 0)+1),
+                    i -> t.toks[i] || ' ' || t.toks[i+1] || ' ' || t.toks[i+2]))) AS sh
+      FROM tk t JOIN keep1 k USING (doc_id)
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh3 GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      FROM sh3 a JOIN sh3 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id2 FROM inter
+      JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+      WHERE ROUND(c * 1.0 / (s1.n + s2.n - c), 4) >= 0.7
+    ), keep2 AS (
+      SELECT doc_id FROM keep1 WHERE doc_id NOT IN (SELECT id2 FROM pairs)
+    ), aug AS (
+      SELECT d.doc_id, d.source, d.n_chars,
+             d.text || ' contact user' || d.doc_id || '@mail.example.com' ||
+             CASE WHEN d.doc_id % 2 = 0 THEN ' from 10.1.' || (d.doc_id % 200) || '.42' ELSE '' END ||
+             CASE WHEN d.doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END ||
+             CASE WHEN d.doc_id % 5 = 0 THEN ' call 415-555-0173' ELSE '' END AS t
+      FROM documents d JOIN keep2 k USING (doc_id)
+    ), s1 AS (
+      SELECT doc_id, source, n_chars,
+             len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t
+      FROM aug
+    ), s2 AS (
+      SELECT doc_id, source, n_chars, n_email,
+             len(regexp_extract_all(t, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ip,
+             regexp_replace(t, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g') AS t
+      FROM s1
+    ), s3 AS (
+      SELECT doc_id, source, n_chars, n_email, n_ip,
+             len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_ssn,
+             regexp_replace(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g') AS t
+      FROM s2
+    ), s4 AS (
+      SELECT doc_id, source, n_chars, n_email, n_ip, n_ssn,
+             len(regexp_extract_all(t, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS n_phone,
+             regexp_replace(t, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '[PHONE]', 'g') AS t
+      FROM s3
+    )
+    SELECT doc_id, source, n_chars,
+           CAST(n_email AS INT) AS n_email, CAST(n_ip AS INT) AS n_ip,
+           CAST(n_ssn AS INT) AS n_ssn, CAST(n_phone AS INT) AS n_phone,
+           CAST(n_email + n_ip + n_ssn + n_phone AS INT) AS n_pii,
+           md5(t) AS clean_md5
+    FROM s4
+    """,
+)
+def st22_streaming_curation_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL streaming curation cascade
+    (stream_dedup.full_curation_stream): quality gate + exact dedup +
+    MinHash-LSH near-dup suppression + PII scrub maintained as ONE
+    foreachBatch pipeline — st16's two stages composed with
+    stream_neardup's LSH state and t27's injection/scrub projections
+    as the finalize stage. The oracle replays the complete batch
+    cascade (t16's quality → keep-first → drop-every-pair's-higher-id
+    stages, then t27's ordered redaction chain on the survivors) in
+    one SQL statement, so the hash certifies the streaming
+    COMPOSITION equals the batch pipeline — including that both state
+    tables record every exact-stage survivor (a near-dup-dropped doc
+    must still drop its own later near-duplicates and same-text
+    copies). Cross-batch chains and restart idempotence are
+    pytest-covered (test_full_curation_stream_*)."""
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.operators.text import pii_counts, redact_pii
+    from logverzcore_spark.streaming.stream_dedup import full_curation_stream
+
+    def scrub_finalize(df: DataFrame) -> DataFrame:
+        aug = F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" from 10.1."),
+                    (F.col("doc_id") % 200).cast("string"), F.lit(".42"),
+                ),
+            ).otherwise(""),
+            F.when(F.col("doc_id") % 3 == 0, " ssn 123-45-6789").otherwise(""),
+            F.when(F.col("doc_id") % 5 == 0, " call 415-555-0173").otherwise(""),
+        )
+        return df.select(
+            "doc_id", "source", "n_chars",
+            pii_counts(aug).alias("_c"),
+            F.md5(redact_pii(aug)).alias("clean_md5"),
+        ).select(
+            "doc_id", "source", "n_chars",
+            F.col("_c.n_email").alias("n_email"),
+            F.col("_c.n_ip").alias("n_ip"),
+            F.col("_c.n_ssn").alias("n_ssn"),
+            F.col("_c.n_phone").alias("n_phone"),
+            (
+                F.col("_c.n_email") + F.col("_c.n_ip")
+                + F.col("_c.n_ssn") + F.col("_c.n_phone")
+            ).alias("n_pii"),
+            "clean_md5",
+        )
+
+    run_id = _uuid.uuid4().hex[:8]
+    table = f"st22_cur_{run_id}"
+    stream = _docs_stream(spark, sf_dir)
+    q = full_curation_stream(
+        spark, stream, table,
+        checkpoint_dir=os.path.join(tempfile.gettempdir(), f"ck_{table}"),
+        finalize=scrub_finalize,
+    )
+    q.awaitTermination()
+    out = spark.table(table).localCheckpoint(eager=True)
+    for t in (table, f"{table}_fingerprints",
+              f"{table}_lsh_buckets", f"{table}_lsh_sets"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out
