@@ -459,6 +459,36 @@ _Q101_CHAIN = """chain(o_orderkey, root_key, depth) AS (
     SELECT o_orderkey, root_key, depth FROM chain
 """
 
+
+def _run_recursive_chain(spark, edges):
+    """Execute the q101 recursion over a MATERIALIZED edge frame with
+    the runaway-guard row limit sized from the edge count: the
+    recursion's total output is exactly one row per node, so
+    ``max(1M, 2·|edges|)`` passes any legitimate input at any SF while
+    a genuinely divergent recursion (cycle / multi-parent bug) still
+    trips the guard at ~2× the expected volume. The raised limit is
+    save/restored around an EAGER run (localCheckpoint pins the
+    result), so later queries on the shared session keep the default
+    ceiling. Pytest proves the sizing at a synthetic scale (>1M chain
+    rows) that the static 1M default would reject
+    (test_recursive_interp.py)."""
+    prior = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
+    spark.conf.set(
+        "spark.sql.cteRecursionRowLimit",
+        str(max(1_000_000, 2 * edges.count())),
+    )
+    try:
+        edges.createOrReplaceTempView("q101_edges")
+        return spark.sql(
+            "WITH RECURSIVE " + _Q101_CHAIN.format(edges="q101_edges")
+        ).localCheckpoint(eager=True)
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.cteRecursionRowLimit")
+        else:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", prior)
+
+
 _Q101_ORACLE = (
     """
     WITH RECURSIVE edges AS (
@@ -768,6 +798,7 @@ __all__ = [
     '_hex_digits_to_int_sql',
     '_Q101_CHAIN',
     '_Q101_ORACLE',
+    '_run_recursive_chain',
     '_Q107_SQL',
     '_Q108_SQL',
     '_Q110_SQL',

@@ -3290,30 +3290,10 @@ def q101_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(nparts)
         .localCheckpoint(eager=True)
     )
-    # The recursion's total output is exactly one row per node, so size
-    # the runaway-guard row limit from the (already materialized) edge
-    # count instead of tripping the 1M default at ~SF1 — the guard still
-    # fires on a genuinely divergent recursion (cycle/multi-parent bug).
-    # The raised limit is SCOPED: the recursion is forced eagerly inside
-    # a save/restore block (localCheckpoint pins the ~1-row-per-node
-    # result), so later queries on the shared session keep the default
-    # runaway guard instead of silently inheriting a multi-million-row
-    # ceiling.
-    prior = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
-    spark.conf.set(
-        "spark.sql.cteRecursionRowLimit",
-        str(max(1_000_000, 2 * edges.count())),
-    )
-    try:
-        edges.createOrReplaceTempView("q101_edges")
-        return spark.sql(
-            "WITH RECURSIVE " + _Q101_CHAIN.format(edges="q101_edges")
-        ).localCheckpoint(eager=True)
-    finally:
-        if prior is None:
-            spark.conf.unset("spark.sql.cteRecursionRowLimit")
-        else:
-            spark.conf.set("spark.sql.cteRecursionRowLimit", prior)
+    # Guard sizing + save/restore live in _run_recursive_chain (r6:
+    # extracted so pytest can drive the same path at a synthetic >1M-row
+    # scale the static default would reject).
+    return _run_recursive_chain(spark, edges)
 
 
 @query(

@@ -157,3 +157,35 @@ def test_read_table_pins_utc_under_foreign_session_tz(spark):
         assert not any(h.startswith("2023-12-31") for h in hours)
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_recursive_guard_auto_sizes_beyond_static_default(spark):
+    """r6: a synthetic 1.05M-node chain — past the static 1M
+    ``cteRecursionRowLimit`` default that trips near SF1 — completes
+    because _run_recursive_chain sizes the guard from the edge count
+    (2·|edges|); the raised limit is restored afterwards so the shared
+    session keeps the default runaway ceiling."""
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.suite.common import _run_recursive_chain
+
+    n_roots, depth = 50_000, 21
+    assert n_roots * depth > 1_000_000  # the scale that matters
+    edges = (
+        spark.range(n_roots * depth)
+        .select(
+            F.col("id").alias("o_orderkey"),
+            F.when(F.col("id") % depth != 0, F.col("id") - 1).alias("parent"),
+        )
+        .coalesce(4)
+        .localCheckpoint(eager=True)
+    )
+    prior = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
+    out = _run_recursive_chain(spark, edges)
+    assert out.count() == n_roots * depth  # exactly one row per node
+    # depth histogram: every depth 0..20 has exactly n_roots rows
+    hist = {r["depth"]: r["count"]
+            for r in out.groupBy("depth").count().collect()}
+    assert hist == {d: n_roots for d in range(depth)}
+    # guard restored for the rest of the session
+    assert spark.conf.get("spark.sql.cteRecursionRowLimit", None) == prior
