@@ -32,13 +32,24 @@ BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SALT_CHARS = "0123456789abcdefghij"
 
 
-def build_replica(spark, n: int, out_dir: str) -> None:
-    if os.path.exists(os.path.join(out_dir, "_OK")):
-        return
+def build_replica(spark, n: int, out_dir: str, tables=None) -> None:
+    """``tables`` restricts which big tables are replicated (e.g.
+    ['documents'] for a d03-only probe — a 100x lineitem build would
+    dominate the probe's wall time for nothing). Small dims always
+    copy. The _OK marker records the built set so a later probe
+    needing MORE tables rebuilds instead of silently missing files."""
+    wanted = set(tables) if tables else {
+        "documents", "embeddings", "events", "orders", "lineitem",
+    }
+    marker = os.path.join(out_dir, "_OK")
+    if os.path.exists(marker):
+        built = set(open(marker).read().split())
+        if wanted <= built:
+            return
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     docs = read_table(spark, BASE, "documents")
-    copies = [
+    copies = [] if "documents" not in wanted else [
         docs.select(
             (F.col("doc_id") + i * 1_000_000_000).alias("doc_id"),
             # Two-char translate grid: 400 distinct salts, every byte
@@ -51,30 +62,32 @@ def build_replica(spark, n: int, out_dir: str) -> None:
         )
         for i in range(n)
     ]
-    out = copies[0]
-    for c in copies[1:]:
-        out = out.unionByName(c)
-    out.repartition(32).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "documents.parquet")
-    )
+    if copies:
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "documents.parquet")
+        )
     emb = read_table(spark, BASE, "embeddings")
-    e_copies = [
+    e_copies = [] if "embeddings" not in wanted else [
         emb.select(
             (F.col("vec_id") + i * 1_000_000_000).alias("vec_id"), "embedding", "label"
         )
         for i in range(n)
     ]
-    e_out = e_copies[0]
-    for c in e_copies[1:]:
-        e_out = e_out.unionByName(c)
-    e_out.repartition(32).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "embeddings.parquet")
-    )
+    if e_copies:
+        e_out = e_copies[0]
+        for c in e_copies[1:]:
+            e_out = e_out.unionByName(c)
+        e_out.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "embeddings.parquet")
+        )
     # Events / star tables: key-offset copies — per-copy structure
     # (days, join fan-out, group cardinalities per key) is preserved
     # while volume and key domains scale N×.
     ev = read_table(spark, BASE, "events")
-    ev_copies = [
+    ev_copies = [] if "events" not in wanted else [
         ev.select(
             (F.col("event_id") + i * 1_000_000_000).alias("event_id"),
             "ts",
@@ -83,16 +96,19 @@ def build_replica(spark, n: int, out_dir: str) -> None:
         )
         for i in range(n)
     ]
-    ev_out = ev_copies[0]
-    for c in ev_copies[1:]:
-        ev_out = ev_out.unionByName(c)
-    ev_out.repartition(32).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "events.parquet")
-    )
+    if ev_copies:
+        ev_out = ev_copies[0]
+        for c in ev_copies[1:]:
+            ev_out = ev_out.unionByName(c)
+        ev_out.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "events.parquet")
+        )
     for tbl, keys in (
         ("orders", ["o_orderkey", "o_custkey"]),
         ("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"]),
     ):
+        if tbl not in wanted:
+            continue
         t = read_table(spark, BASE, tbl)
         t_copies = [
             t.select(
@@ -116,15 +132,22 @@ def build_replica(spark, n: int, out_dir: str) -> None:
         src = os.path.join(BASE, f"{tbl}.parquet")
         if os.path.exists(src):
             _sh.copyfile(src, os.path.join(out_dir, f"{tbl}.parquet"))
-    open(os.path.join(out_dir, "_OK"), "w").close()
+    with open(marker, "w") as fh:
+        fh.write(" ".join(sorted(wanted)))
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    names = sys.argv[2:] or ["m06_cdc_neardup", "s07_cluster_sample", "t15_shard_manifest"]
+    args = sys.argv[1:]
+    tables = None
+    if "--tables" in args:
+        i = args.index("--tables")
+        tables = args[i + 1].split(",")
+        del args[i : i + 2]
+    n = int(args[0]) if args else 10
+    names = args[1:] or ["m06_cdc_neardup", "s07_cluster_sample", "t15_shard_manifest"]
     spark = get_session("scale-probe")
     replica = f"/tmp/scale_probe_{n}x"
-    build_replica(spark, n, replica)
+    build_replica(spark, n, replica, tables=tables)
 
     def best_of_3(name: str, sf_dir: str) -> float:
         best = float("inf")
