@@ -894,6 +894,12 @@ def ivf_index_append(
         fresh.select("nid", "nvec", "cell").write.mode("append").partitionBy(
             "cell"
         ).saveAsTable(index_table)
+        # Refresh AFTER the write as well: under foreachBatch the write
+        # runs on the cloned micro-batch session, so the OUTER session's
+        # cached file listing would otherwise miss this batch — a probe
+        # issued right after the stream drains would silently read a
+        # pre-append snapshot (caught by st23's hash gate in r6).
+        spark.catalog.refreshTable(index_table)
     return {
         "touched_cells": touched,
         "appended": n_new,
@@ -1168,6 +1174,9 @@ def ivfpq_index_append(
         fresh.select("nid", "codes", "recon", "cell").write.mode(
             "append"
         ).partitionBy("cell").saveAsTable(index_table)
+        # See ivf_index_append: post-write refresh so an outer-session
+        # probe right after a foreachBatch fold sees this batch's files.
+        spark.catalog.refreshTable(index_table)
     return {
         "touched_cells": touched,
         "appended": n_new,

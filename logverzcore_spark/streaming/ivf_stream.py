@@ -67,4 +67,42 @@ def ivf_append_stream(
     return writer.start()
 
 
-__all__ = ["ivf_append_stream"]
+def ivfpq_append_stream(
+    spark: SparkSession,
+    vector_stream: DataFrame,
+    index_table: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain an IVF-PQ index (built once with
+    ``similarity.ivfpq_index_build``) over a streaming source of
+    (id, vector) rows — the PQ-coded sibling of ``ivf_append_stream``
+    with the same per-ROW replay-idempotence rationale (the fold pins
+    ``dedupe=True``; cell AND codes are functions of the STORED
+    centroid/codebook tables, so a replayed or re-delivered row
+    re-encodes identically and anti-joins away). Because append equals
+    rebuild, a stream-maintained index probes exactly like a
+    from-scratch build over everything seen — suite st23 hash-verifies
+    that against the same SQL oracle as s11b."""
+    from logverzcore_spark.operators.similarity import ivfpq_index_append
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        ivfpq_index_append(
+            spark, batch_df, index_table, vec_col=vec_col, id_col=id_col,
+            dedupe=True,
+        )
+
+    checkpoint = checkpoint_dir or os.path.join(
+        tempfile.gettempdir(), f"lvz_ivfpq_{uuid.uuid4().hex[:8]}"
+    )
+    writer = vector_stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+__all__ = ["ivf_append_stream", "ivfpq_append_stream"]

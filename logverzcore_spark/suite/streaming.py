@@ -854,3 +854,55 @@ def st22_streaming_curation_cascade(spark: SparkSession, sf_dir: str) -> DataFra
               f"{table}_lsh_buckets", f"{table}_lsh_sets"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     return out
+
+
+@query("st23_streaming_ivfpq_append", oracle=_s11b_oracle())
+def st23_streaming_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF-PQ index maintenance
+    (streaming/ivf_stream.ivfpq_append_stream): build the PQ-coded
+    index on 80% of the corpus, fold the held-out 20% in as a
+    multi-batch embedding stream (maxFilesPerTrigger=1 — cells touched
+    across separate commits), then probe. Appends re-encode with the
+    STORED centroid/codebook tables, so the stream-maintained index is
+    exactly a from-scratch build over everything seen — the SAME SQL
+    oracle as s11b grades it hash-exact: a lost batch, a stale
+    codebook read, or a replay duplicate breaks the hash. Per-row
+    replay idempotence is pytest-covered
+    (test_ivfpq_append_stream_replay_idempotent)."""
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.streaming.ivf_stream import ivfpq_append_stream
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    delta = emb.where(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") < 20)
+    run_id = _uuid.uuid4().hex[:8]
+    tbl = f"st23_ivfpq_{run_id}"
+    similarity.ivfpq_index_build(
+        base, tbl, n_cells=16, m=8, n_codes=16, dim=64,
+        centroids=similarity.lcg_centroids(64, 16),
+        codebooks=similarity.lcg_codebooks(64, 8, 16),
+    )
+    try:
+        work = tempfile.mkdtemp(prefix=f"st23_{run_id}_")
+        src = os.path.join(work, "delta")
+        delta.coalesce(2).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = ivfpq_append_stream(
+            spark, stream, tbl, checkpoint_dir=os.path.join(work, "ck")
+        )
+        q.awaitTermination()
+        out = similarity.ivfpq_index_probe(
+            spark, queries, tbl, k=5, nprobe=4
+        ).localCheckpoint(eager=True)
+    finally:
+        for t in (tbl, f"{tbl}_centroids", f"{tbl}_codebooks"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out

@@ -1215,3 +1215,49 @@ def test_parse_mp4_meta_box_walk_and_edges(spark):
     assert r6["format"] == "mp4" and r6["major_brand"] == "isom"
     assert r6["duration_ms"] is None and r6["n_tracks"] is None
     assert got[7]["format"] == "unknown"
+
+
+def test_ivfpq_append_stream_replay_idempotent(spark, tmpdir_path):
+    """IVF-PQ streaming fold (r6): an embedding stream folds into the
+    PQ-coded index via foreachBatch; a FRESH stream over the same files
+    (forced redelivery) adds nothing; and the outer session sees the
+    appended rows WITHOUT a manual refreshTable (the post-write refresh
+    inside the fold — the st23 bug)."""
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.engine import read_table
+    from logverzcore_spark.operators.similarity import (
+        ivfpq_index_build,
+        lcg_centroids,
+        lcg_codebooks,
+    )
+    from logverzcore_spark.streaming.ivf_stream import ivfpq_append_stream
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    base = emb.where(F.col("vec_id") % 4 != 0)
+    delta = emb.where(F.col("vec_id") % 4 == 0).select("vec_id", "embedding")
+    src = f"{tmpdir_path}/pq_vec_stream"
+    delta.coalesce(2).write.parquet(src)
+    tbl = "ivfpq_stream_test"
+    try:
+        ivfpq_index_build(
+            base, tbl, n_cells=8, m=8, n_codes=16, dim=dim,
+            centroids=lcg_centroids(dim, 8), codebooks=lcg_codebooks(dim, 8, 16),
+        )
+        schema = spark.read.parquet(src).schema
+        for ck in ("ck1", "ck2"):  # second pass = full redelivery
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1").parquet(src)
+            )
+            q = ivfpq_append_stream(
+                spark, stream, tbl, checkpoint_dir=f"{tmpdir_path}/pq_{ck}"
+            )
+            q.awaitTermination()
+            # deliberately NO refreshTable here — the fold must do it
+            assert spark.table(tbl).count() == emb.count()
+        assert spark.table(tbl).select("nid").distinct().count() == emb.count()
+    finally:
+        for suffix in ("", "_centroids", "_codebooks"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}{suffix}")
