@@ -388,3 +388,47 @@ def test_runtime_bloom_filter_join_pruning(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ivfpq_probe_scan_is_python_free(spark):
+    """The IVF-PQ probe's claim (similarity.ivfpq_index_probe): the
+    corpus-side scan is pure JVM — the per-query ADC LUTs ride inside
+    the broadcast query frame and scoring is an aggregate HOF over
+    array lookups, so NO Python evaluation node may appear anywhere in
+    the probe plan (the queries were collected driver-side before
+    planning). At 100 TB the difference is an Arrow round-trip of the
+    whole code scan vs m integer adds per row in codegen."""
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.engine import read_table
+    from logverzcore_spark.operators.similarity import (
+        ivfpq_index_build,
+        ivfpq_index_probe,
+        lcg_centroids,
+        lcg_codebooks,
+    )
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    tbl = "ivfpq_plan_test"
+    try:
+        ivfpq_index_build(
+            emb, tbl, n_cells=8, m=8, n_codes=16, dim=dim,
+            centroids=lcg_centroids(dim, 8), codebooks=lcg_codebooks(dim, 8, 16),
+        )
+        queries = emb.where(F.col("vec_id") < 5)
+        probe = ivfpq_index_probe(spark, queries, tbl, k=5, nprobe=2)
+        fmt = _plan(spark, probe)
+        # No Python EVALUATION nodes anywhere — the only Python trace
+        # allowed is applySchemaToPythonRDD, the driver-side
+        # createDataFrame of the (bounded) query/LUT frame.
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                     "FlatMapGroupsInPandas", "PythonMapInArrow"):
+            assert node not in fmt, node
+        # the scan carries the cell partition filter and the tiny
+        # query frame is the broadcast side
+        assert "PartitionFilters: [cell" in fmt
+        assert "BroadcastHashJoin" in fmt
+    finally:
+        for suffix in ("", "_centroids", "_codebooks"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}{suffix}")
