@@ -984,3 +984,66 @@ def contamination_check(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+def semantic_contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-space benchmark contamination: every train vector whose
+    cosine against ANY benchmark vector clears ``threshold`` — the
+    semantic complement of the n-gram ``contamination_check``: a
+    PARAPHRASED eval item shares no 5-grams with its source but lands
+    next to it in embedding space, which is how modern decontamination
+    audits (e.g. embedding-similarity sweeps over eval suites) catch
+    what string matching misses.
+
+    Same cell blocking as ``semantic_dedup`` (d12): deterministic
+    sign-bit bucketing over LCG hyperplanes, so the whole operator
+    replays in SQL (suite d16 hash-verifies it). Scale shape: the
+    benchmark side is tiny next to a 100 TB corpus → broadcast join on
+    the cell, so the train side NEVER shuffles before the per-doc
+    partial aggregation; per-cell pair work is bounded by benchmark
+    cell occupancy, not corpus size. Blocking recall caveat (same as
+    d12): a pair split by a hyperplane sign is missed — lower
+    ``n_planes`` raises recall at the cost of larger cells.
+
+    Returns (id_col, n_contacts, best_match, max_cosine): contact
+    count, the best-matching benchmark id (highest cosine, lowest id
+    on ties), and that cosine (6dp — the comparison grid)."""
+    from logverzcore_spark.operators import similarity
+
+    planes = similarity._hyperplanes(dim, n_planes)
+    vec = F.col(vec_col).cast("array<double>")
+    t = train.select(
+        F.col(id_col).alias("_tid"), vec.alias("_tvec"),
+        similarity.lsh_bucket(vec, planes).alias("_cell"),
+    )
+    b = benchmark.select(
+        F.col(id_col).alias("_bid"), vec.alias("_bvec"),
+        similarity.lsh_bucket(vec, planes).alias("_cell"),
+    )
+    cos = F.round(similarity.cosine(F.col("_tvec"), F.col("_bvec")), 6)
+    hits = (
+        t.join(F.broadcast(b), "_cell")
+        .select("_tid", "_bid", cos.alias("_cos"))
+        .where(F.col("_cos") >= threshold)
+    )
+    best = F.max(F.struct(F.col("_cos"), (-F.col("_bid")).alias("_nb")))
+    return (
+        hits.groupBy("_tid")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_contacts"),
+            F.max("_cos").alias("max_cosine"),
+            (-best.getField("_nb")).alias("best_match"),
+        )
+        .select(
+            F.col("_tid").alias(id_col), "n_contacts", "best_match",
+            "max_cosine",
+        )
+    )

@@ -674,6 +674,51 @@ def _s11b_oracle(
     """
 
 
+
+def _d16_oracle(dim: int = 64, n_planes: int = 4, threshold: float = 0.25) -> str:
+    """SQL replay of semantic contamination (d16): the d12 hyperplane
+    cell CTEs, a cross-corpus (train × benchmark) cell equi-join with
+    the 6dp cosine gate, and the count/best-match/max aggregation."""
+    planes = similarity._hyperplanes(dim, n_planes)
+    values = ",\n      ".join(
+        f"({p}, {_sql_double_array(row)})" for p, row in enumerate(planes)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), planes(p, plane) AS (VALUES
+      {values}
+    ), b AS (
+      SELECT v.vec_id, v.e,
+             SUM(CASE WHEN list_dot_product(v.e, p.plane) >= 0
+                      THEN (1::BIGINT << p.p) ELSE 0 END) AS cell
+      FROM v CROSS JOIN planes p GROUP BY v.vec_id, v.e
+    ), n AS (
+      SELECT vec_id, e, cell, sqrt(list_dot_product(e, e)) AS nrm FROM b
+    ), hits AS (
+      SELECT t.vec_id AS tid, bm.vec_id AS bid,
+             ROUND(list_dot_product(t.e, bm.e) / (t.nrm * bm.nrm), 6) AS cos
+      FROM n t JOIN n bm ON t.cell = bm.cell
+      WHERE t.vec_id % 10 <> 0 AND bm.vec_id % 10 = 0
+        AND ROUND(list_dot_product(t.e, bm.e) / (t.nrm * bm.nrm), 6)
+            >= {threshold}
+    ), agg AS (
+      SELECT tid, COUNT(*) AS n_contacts, MAX(cos) AS max_cosine
+      FROM hits GROUP BY tid
+    ), best AS (
+      SELECT tid, bid FROM (
+        SELECT tid, bid,
+               row_number() OVER (PARTITION BY tid
+                                  ORDER BY cos DESC, bid) AS rn
+        FROM hits
+      ) WHERE rn = 1
+    )
+    SELECT a.tid AS vec_id, CAST(a.n_contacts AS INT) AS n_contacts,
+           b2.bid AS best_match, a.max_cosine
+    FROM agg a JOIN best b2 USING (tid)
+    """
+
+
 def _s09_oracle(
     dim: int = 64,
     n_planes: int = 4,
@@ -804,5 +849,6 @@ __all__ = [
     '_Q110_SQL',
     '_s09_oracle',
     '_s11b_oracle',
+    '_d16_oracle',
     'run',
 ]

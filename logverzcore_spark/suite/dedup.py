@@ -366,3 +366,22 @@ def d14_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@query("d16_semantic_contamination", oracle=_d16_oracle())
+def d16_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark contamination
+    (dedup.semantic_contamination): train vectors semantically too
+    close to the held-out benchmark slice (every tenth vector) — the
+    paraphrase-robust complement of d09's n-gram scan, using d12's
+    portable hyperplane cells so the whole operator (blocking,
+    cross-corpus cell join, 6dp cosine gate, count/best-match/max
+    aggregation) replays in SQL hash-exact. Plan: benchmark side
+    broadcast on the cell; the train side never shuffles before the
+    per-doc partial agg."""
+    emb = _t(spark, sf_dir, "embeddings")
+    train = emb.where(F.col("vec_id") % 10 != 0)
+    bench = emb.where(F.col("vec_id") % 10 == 0)
+    return dedup.semantic_contamination(
+        train, bench, dim=64, threshold=0.25, n_planes=4
+    )

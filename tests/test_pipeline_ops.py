@@ -1261,3 +1261,41 @@ def test_ivfpq_append_stream_replay_idempotent(spark, tmpdir_path):
     finally:
         for suffix in ("", "_centroids", "_codebooks"):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}{suffix}")
+
+
+def test_semantic_contamination_semantics_and_plan(spark, emb):
+    """d16 contract: a train vector equal (or near-equal) to a benchmark
+    vector is flagged with that benchmark id as best_match; orthogonal
+    vectors are not; the benchmark side is the broadcast side so the
+    train corpus never shuffles pre-agg."""
+    from logverzcore_spark.operators.dedup import semantic_contamination
+
+    dim = 8
+    base = [1.0] + [0.0] * (dim - 1)
+    near = [0.98] + [0.199] + [0.0] * (dim - 2)   # cos ≈ 0.98
+    ortho = [0.0, 0.0, 1.0] + [0.0] * (dim - 3)
+    train = spark.createDataFrame(
+        [(1, base), (2, near), (3, ortho)], "vec_id long, embedding array<double>"
+    )
+    bench = spark.createDataFrame(
+        [(100, base), (101, [0.0, 1.0] + [0.0] * (dim - 2))],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in semantic_contamination(
+        train, bench, dim=dim, threshold=0.9, n_planes=2
+    ).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["best_match"] == 100 and out[1]["max_cosine"] == 1.0
+    assert out[2]["best_match"] == 100 and out[2]["max_cosine"] >= 0.9
+    assert out[1]["n_contacts"] == 1
+
+    # plan: benchmark side broadcast, no cartesian
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        semantic_contamination(
+            emb.where(F.col("vec_id") % 10 != 0),
+            emb.where(F.col("vec_id") % 10 == 0),
+            dim=64, threshold=0.25, n_planes=4,
+        )._jdf.queryExecution(), "formatted",
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
