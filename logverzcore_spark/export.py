@@ -253,3 +253,99 @@ def export_sorted_ranges(
             F.max(value_col).alias("max_val"),
         )
     )
+
+
+def zorder_key(
+    cols: list[Column],
+    bounds: list[tuple[float, float]],
+    bits: int = 16,
+) -> Column:
+    """Morton (Z-order) key over 2+ columns — the multi-dimensional
+    clustering lever behind Delta/Iceberg's OPTIMIZE ZORDER, built from
+    plain codegen arithmetic: each column is quantized onto a
+    ``2^bits`` grid between its (caller-supplied, deterministic)
+    bounds, then the grid coordinates' bits are interleaved
+    (column i contributes bit b to key position ``b·ncols + i``).
+    Rows close in the key are close in EVERY column, so a sort on the
+    key clusters parquet row-group min/max stats on all the columns at
+    once — a range predicate on ANY of them prunes, where a
+    single-column sort prunes only its own column.
+
+    Everything is exact integer/IEEE arithmetic on literal bounds —
+    suite q111 hash-verifies the interleave against a SQL replay.
+    ``bits·ncols`` must fit a signed 64-bit key (≤ 62); values outside
+    the bounds clamp to the grid edge; NULLs yield a NULL key (sort
+    them first/last explicitly). The expression unrolls to
+    ``bits·ncols`` shift-and-or terms — all inside whole-stage
+    codegen, zero Python."""
+    ncols = len(cols)
+    if ncols < 2:
+        raise ValueError("zorder_key needs >= 2 columns (else just sort)")
+    if len(bounds) != ncols:
+        raise ValueError("one (lo, hi) bound pair per column required")
+    if bits * ncols > 62:
+        raise ValueError(f"bits*ncols = {bits * ncols} exceeds the 62-bit key")
+    grid = (1 << bits) - 1
+    key = F.lit(0).cast("long")
+    null_guard = F.lit(False)
+    for i, (col, (lo, hi)) in enumerate(zip(cols, bounds)):
+        if not hi > lo:
+            raise ValueError(f"degenerate bounds for column {i}: ({lo}, {hi})")
+        q = F.floor(
+            (col.cast("double") - F.lit(float(lo)))
+            * F.lit(grid / (float(hi) - float(lo)))
+        ).cast("long")
+        # greatest/least SKIP null args (they'd silently clamp a NULL
+        # coordinate to the grid edge) — track nullness separately and
+        # null the whole key at the end.
+        null_guard = null_guard | col.isNull()
+        q = F.greatest(F.lit(0).cast("long"), F.least(F.lit(grid).cast("long"), q))
+        for b in range(bits):
+            key = key + (
+                F.shiftleft(F.shiftright(q, b).bitwiseAND(F.lit(1)), b * ncols + i)
+            )
+    return F.when(null_guard, F.lit(None).cast("long")).otherwise(key)
+
+
+def export_zordered(
+    df: DataFrame,
+    out_dir: str,
+    cols: list[str],
+    bits: int = 16,
+    n_shards: int = 8,
+    max_records_per_file: int = 1_000_000,
+) -> DataFrame:
+    """Write a Z-order-clustered corpus: compute the Morton key over
+    ``cols`` (bounds = exact global min/max, one tiny agg), range-shard
+    ON THE KEY (contiguous key ranges per shard — a hash repartition
+    would scatter the locality the key exists to create), sort within
+    tasks, bound file sizes. Files end up with narrow min/max envelopes
+    on EVERY clustered column, so selective scans on any of them skip
+    row groups — the layout HALF of multi-dimensional pruning; the scan
+    half is Spark's existing parquet stats filtering. Returns the
+    per-shard manifest computed from the written files (n_rows + each
+    column's envelope)."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+    row = df.agg(*aggs).first()
+    bounds = [(float(row[f"_lo_{c}"]), float(row[f"_hi_{c}"])) for c in cols]
+    keyed = df.withColumn(
+        "zkey", zorder_key([F.col(c) for c in cols], bounds, bits=bits)
+    )
+    kb = range_bounds(keyed, "zkey", n_shards)
+    (
+        keyed.withColumn("shard", range_shard_assign(F.col("zkey"), kb))
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "zkey")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    spark = df.sparkSession
+    out = spark.read.parquet(out_dir).groupBy("shard")
+    m_aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        m_aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return out.agg(*m_aggs)

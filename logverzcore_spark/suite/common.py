@@ -719,6 +719,43 @@ def _d16_oracle(dim: int = 64, n_planes: int = 4, threshold: float = 0.25) -> st
     """
 
 
+
+def _q111_oracle(bits: int = 16) -> str:
+    """SQL replay of the Morton interleave (q111): quantize both keys
+    onto the same grid with the same IEEE ops (exact-integer bounds →
+    identical scale double in any engine), interleave with explicit
+    shift/and/or terms, bucket by the key's top byte."""
+    grid = (1 << bits) - 1
+    terms = " + ".join(
+        f"(((qp >> {b}) & 1) << {b * 2}) + (((qs >> {b}) & 1) << {b * 2 + 1})"
+        for b in range(bits)
+    )
+    return f"""
+    WITH b AS (
+      SELECT MIN(l_partkey) AS plo, MAX(l_partkey) AS phi,
+             MIN(l_suppkey) AS slo, MAX(l_suppkey) AS shi
+      FROM lineitem
+    ), q AS (
+      SELECT l_partkey, l_suppkey,
+             GREATEST(0, LEAST({grid}, CAST(floor(
+               (CAST(l_partkey AS DOUBLE) - plo)
+               * ({grid} / CAST(phi - plo AS DOUBLE))) AS BIGINT))) AS qp,
+             GREATEST(0, LEAST({grid}, CAST(floor(
+               (CAST(l_suppkey AS DOUBLE) - slo)
+               * ({grid} / CAST(shi - slo AS DOUBLE))) AS BIGINT))) AS qs
+      FROM lineitem, b
+    ), k AS (
+      SELECT l_partkey, l_suppkey, {terms} AS zkey FROM q
+    )
+    SELECT CAST(zkey >> {2 * bits - 8} AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+           MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp,
+           MIN(zkey) AS min_zkey, MAX(zkey) AS max_zkey
+    FROM k GROUP BY 1
+    """
+
+
 def _s09_oracle(
     dim: int = 64,
     n_planes: int = 4,
@@ -850,5 +887,6 @@ __all__ = [
     '_s09_oracle',
     '_s11b_oracle',
     '_d16_oracle',
+    '_q111_oracle',
     'run',
 ]

@@ -3730,3 +3730,48 @@ def q110_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios rounded identically."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("q110_orders")
     return spark.sql(_Q110_SQL.format(src="q110_orders"))
+
+
+@query("q111_zorder_cluster_stats", oracle=_q111_oracle())
+def q111_zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key (export.zorder_key): the Morton
+    interleave behind multi-dimensional data layout (Delta/Iceberg
+    OPTIMIZE ZORDER) as pure codegen arithmetic — quantize
+    (l_partkey, l_suppkey) onto a 2^16 grid between their exact global
+    bounds, interleave the bits, bucket rows by the key's top byte,
+    and report each bucket's row count and BOTH columns' min/max
+    envelopes. The envelopes are the point: a Z-bucket bounds every
+    clustered column at once (the oracle restates quantization,
+    all 32 shift/and/or interleave terms, and the bucketing in SQL —
+    any drift in the bit math breaks the hash). The write-side
+    operator (export_zordered: range-shard on the key, in-task sort,
+    bounded files) is pytest-graded on measured file-envelope
+    narrowing vs a single-column sort."""
+    from logverzcore_spark import export
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    row = li.agg(
+        F.min("l_partkey").alias("plo"), F.max("l_partkey").alias("phi"),
+        F.min("l_suppkey").alias("slo"), F.max("l_suppkey").alias("shi"),
+    ).first()
+    bounds = [
+        (float(row["plo"]), float(row["phi"])),
+        (float(row["slo"]), float(row["shi"])),
+    ]
+    keyed = li.withColumn(
+        "zkey",
+        export.zorder_key(
+            [F.col("l_partkey"), F.col("l_suppkey")], bounds, bits=16
+        ),
+    )
+    return keyed.groupBy(
+        F.shiftright("zkey", 24).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_partkey").alias("min_part"),
+        F.max("l_partkey").alias("max_part"),
+        F.min("l_suppkey").alias("min_supp"),
+        F.max("l_suppkey").alias("max_supp"),
+        F.min("zkey").alias("min_zkey"),
+        F.max("zkey").alias("max_zkey"),
+    )

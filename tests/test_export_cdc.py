@@ -217,3 +217,98 @@ def test_export_sorted_ranges_disjoint_and_sorted(spark, tmpdir_path):
             F.min("cents"), F.max("cents")
         ).first()
         assert (got[0], got[1]) == (r["min_val"], r["max_val"])
+
+
+def test_zorder_key_bit_exact_and_validated(spark):
+    """zorder_key equals a Python-reference Morton interleave on a grid
+    of values (clamping included); NULL input -> NULL key; bad configs
+    raise."""
+    import pytest
+
+    from logverzcore_spark.export import zorder_key
+
+    bits = 8
+    grid = (1 << bits) - 1
+    bounds = [(0.0, 100.0), (0.0, 50.0)]
+    rows = [(i, float(x), float(y))
+            for i, (x, y) in enumerate(
+                [(0, 0), (100, 50), (37, 12), (99.5, 0.1), (150, -3), (50, 25)]
+            )]
+    df = spark.createDataFrame(rows + [(99, None, 1.0)],
+                               "i long, x double, y double")
+    out = {r["i"]: r["k"] for r in df.select(
+        "i", zorder_key([F.col("x"), F.col("y")], bounds, bits=bits).alias("k")
+    ).collect()}
+
+    def ref(x, y):
+        def q(v, lo, hi):
+            g = int((v - lo) * (grid / (hi - lo)) // 1)
+            return max(0, min(grid, g))
+        qx, qy = q(x, 0.0, 100.0), q(y, 0.0, 50.0)
+        k = 0
+        for b in range(bits):
+            k |= ((qx >> b) & 1) << (2 * b)
+            k |= ((qy >> b) & 1) << (2 * b + 1)
+        return k
+
+    for i, (x, y) in enumerate([(0, 0), (100, 50), (37, 12), (99.5, 0.1),
+                                (150, -3), (50, 25)]):
+        assert out[i] == ref(x, y), (i, x, y)
+    assert out[99] is None
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        zorder_key([F.col("x")], [bounds[0]])
+    with pytest.raises(ValueError, match="62-bit"):
+        zorder_key([F.col("x"), F.col("y")], bounds, bits=32)
+    with pytest.raises(ValueError, match="degenerate"):
+        zorder_key([F.col("x"), F.col("y")], [(0.0, 100.0), (5.0, 5.0)])
+
+
+def test_export_zordered_narrows_file_envelopes(spark, tmpdir_path):
+    """The layout claim: files written z-ordered on (partkey, suppkey)
+    carry a NARROW min/max envelope on the secondary column too, where
+    a partkey-only sort leaves the suppkey envelope at ~full range —
+    the property that lets parquet row-group stats prune scans on
+    either column."""
+    import glob
+
+    from logverzcore_spark.engine import read_table
+    from logverzcore_spark.export import export_sorted_ranges, export_zordered
+
+    li = read_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    n = li.count()
+    full_span = (
+        li.agg(
+            (F.max("l_suppkey") - F.min("l_suppkey")).alias("s")
+        ).first()["s"]
+    )
+
+    def file_spans(out_dir):
+        spans = []
+        for f in glob.glob(f"{out_dir}/shard=*/part-*.parquet"):
+            r = spark.read.parquet(f).agg(
+                F.min("l_suppkey").alias("lo"), F.max("l_suppkey").alias("hi")
+            ).first()
+            spans.append(r["hi"] - r["lo"])
+        return spans
+
+    zdir = f"{tmpdir_path}/zord"
+    man = export_zordered(
+        li, zdir, ["l_partkey", "l_suppkey"], bits=16,
+        n_shards=4, max_records_per_file=max(50, n // 40),
+    )
+    assert man.agg(F.sum("n_rows")).first()[0] == n
+    sdir = f"{tmpdir_path}/sorted"
+    export_sorted_ranges(
+        li, sdir, "l_partkey", n_shards=4,
+        max_records_per_file=max(50, n // 40),
+    )
+    z_spans, s_spans = file_spans(zdir), file_spans(sdir)
+    assert len(z_spans) >= 8 and len(s_spans) >= 8
+    z_avg = sum(z_spans) / len(z_spans)
+    s_avg = sum(s_spans) / len(s_spans)
+    # single-column sort leaves suppkey unclustered (~full range per
+    # file); z-order must cut the average envelope at least in half
+    assert s_avg > 0.8 * full_span, (s_avg, full_span)
+    assert z_avg < 0.5 * s_avg, (z_avg, s_avg)
