@@ -659,3 +659,70 @@ def m13_mp4_box_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     mp4 = F.concat(ftyp, free, moov, mdat)
     payload = F.when(did % 3 < 2, mp4).otherwise(F.encode("text", "UTF-8"))
     return parse_mp4_meta(docs.select("doc_id", payload.alias("payload")))
+
+
+@query(
+    "m14_raster_decode",
+    oracle="""
+    SELECT doc_id,
+      CASE WHEN doc_id % 4 < 3 THEN 'ppm' ELSE 'unknown' END AS format,
+      CASE WHEN doc_id % 4 < 3
+           THEN CAST(4 + doc_id % 13 AS INTEGER) END AS width,
+      CASE WHEN doc_id % 4 < 3
+           THEN CAST(3 + doc_id % 7 AS INTEGER) END AS height,
+      CASE WHEN doc_id % 4 < 3 THEN CAST(3 AS INTEGER) END AS channels,
+      CASE WHEN doc_id % 4 < 3
+           THEN CAST((4 + doc_id % 13) * (3 + doc_id % 7) AS BIGINT)
+      END AS n_pixels,
+      CASE WHEN doc_id % 4 < 3
+           THEN CAST((4 + doc_id % 13) * (3 + doc_id % 7)
+                * ((doc_id % 256) + ((doc_id * 7) % 256)
+                   + ((doc_id * 13) % 256)) AS BIGINT)
+      END AS pixel_sum,
+      CASE WHEN doc_id % 4 < 3
+           THEN CAST(doc_id % 256 AS INTEGER) END AS first_px,
+      CASE WHEN doc_id % 4 < 3
+           THEN CAST((doc_id * 13) % 256 AS INTEGER) END AS last_px
+    FROM documents
+    """,
+)
+def m14_raster_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode for codec-free rasters
+    (``multimodal.decode_image_raw``): the graded round trip builds
+    genuine binary-PPM (P6) byte streams per doc with codegen
+    expressions — doc-varying header dims and a doc-varying RGB fill
+    pattern repeated width×height times — decodes them back to actual
+    pixel values, and the oracle restates dims and the exact integer
+    pixel-byte sum arithmetically: a header-parse off-by-one, a raster
+    length error, or a channel-order bug breaks the hash. The
+    BMP↔PPM normalization equivalence (bottom-up BGR padded rows →
+    the same top-down RGB stream) is pytest-graded; the remaining
+    ``decode_image`` stub now covers only entropy-coded formats whose
+    codecs this container lacks. Every fourth doc carries text bytes
+    and reports 'unknown' with NULLs."""
+    from logverzcore_spark.operators.multimodal import decode_image_raw
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    w = (4 + did % 13).cast("int")
+    h = (3 + did % 7).cast("int")
+
+    def byte_hex(c):
+        return F.lpad(F.hex(c.cast("long") % 256), 2, "0")
+
+    pattern = F.unhex(
+        F.concat(byte_hex(did), byte_hex(did * 7), byte_hex(did * 13))
+    )
+    header = F.encode(
+        F.concat(
+            F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+            F.lit("\n255\n"),
+        ),
+        "UTF-8",
+    )
+    # repeat() is string-typed: hex-encode the 3-byte pattern, repeat
+    # the hex text w*h times, unhex once — binary-safe replication.
+    raster = F.unhex(F.repeat(F.hex(pattern), w * h))
+    img = F.concat(header, raster)
+    payload = F.when(did % 4 < 3, img).otherwise(F.encode("text", "UTF-8"))
+    return decode_image_raw(docs.select("doc_id", payload.alias("payload")))

@@ -1299,3 +1299,58 @@ def test_semantic_contamination_semantics_and_plan(spark, emb):
     )
     assert "BroadcastHashJoin" in plan
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_decode_image_raw_formats_normalize_identically(spark):
+    """decode_image_raw (r6): PPM/PGM/uncompressed-BMP decode is REAL —
+    a BMP (bottom-up, BGR, 4-byte-padded rows) of the same image as a
+    PPM yields the IDENTICAL normalized top-down RGB byte stream;
+    comments in PNM headers parse; truncated/garbage/NULL payloads
+    report 'unknown'; oversized dims refuse to allocate."""
+    import struct
+
+    from logverzcore_spark.operators.multimodal import decode_image_raw
+
+    def ppm(w, h, px):
+        return b"P6\n# cmt\n%d %d\n255\n" % (w, h) + bytes(px)
+
+    def bmp24(w, h, px):
+        stride = (w * 3 + 3) & ~3
+        rows = b""
+        for y in range(h - 1, -1, -1):
+            row = bytearray()
+            for x in range(w):
+                r, g, b_ = px[(y * w + x) * 3:(y * w + x) * 3 + 3]
+                row += bytes([b_, g, r])
+            row += b"\x00" * (stride - w * 3)
+            rows += bytes(row)
+        off = 54
+        hdr = (b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off)
+               + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows),
+                             2835, 2835, 0, 0))
+        return hdr + rows
+
+    rgb = bytes(range(3 * 5 * 3))  # 3x5, all byte values distinct-ish
+    huge = b"P6\n100000 100000\n255\n" + b"\x00" * 10
+    rows = [
+        (1, ppm(3, 5, rgb)),
+        (2, bmp24(3, 5, rgb)),
+        (3, b"P5\n4 2\n255\n" + bytes(range(8))),
+        (4, b"text, not an image"),
+        (5, ppm(3, 5, rgb)[:12]),
+        (6, None),
+        (7, huge),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in
+           decode_image_raw(df, return_pixels=True).collect()}
+    assert bytes(out[1]["pixels"]) == rgb
+    assert bytes(out[2]["pixels"]) == rgb  # normalization equivalence
+    assert out[1]["pixel_sum"] == out[2]["pixel_sum"] == sum(rgb)
+    assert (out[1]["format"], out[2]["format"]) == ("ppm", "bmp")
+    assert out[3]["format"] == "pgm" and out[3]["channels"] == 1
+    assert out[3]["pixel_sum"] == sum(range(8))
+    for bad in (4, 5, 6, 7):
+        assert out[bad]["format"] == "unknown" and out[bad]["width"] is None
+    # stats-only path omits the pixels column entirely
+    assert "pixels" not in decode_image_raw(df).columns
