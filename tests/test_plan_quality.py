@@ -219,6 +219,8 @@ def _n_exchanges(fmt: str) -> int:
         "t28_chunk_documents",
         "t29_blocklist_filter",
         "t31_unicode_scrub",
+        "m13_mp4_box_walk",
+        "m14_raster_decode",
     ],
 )
 def test_per_row_ops_have_zero_exchanges(spark, name):
