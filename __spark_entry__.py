@@ -3,8 +3,9 @@
 ``entry(spark)`` runs the flagship query at sf0.001; ``queries()`` maps
 every implemented operator (SURVEY.md §2 + beyond-reference pipeline ops)
 to a (spark, sf_dir) callable; ``oracle_sql()`` gives the DuckDB-runnable
-equivalent for the correctness gate. Implementations live in
-``logverzcore_spark/suite.py``.
+equivalent for the correctness gate. Implementations live in the
+``logverzcore_spark/suite/`` package (split by family in r6; the flat
+namespace is preserved).
 """
 
 from __future__ import annotations
