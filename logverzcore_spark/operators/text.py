@@ -738,3 +738,49 @@ def normalize_text(
         (F.length(t) - F.length(no_zw)).alias("n_zero_width"),
         (F.length(no_zw) - F.length(no_ctrl)).alias("n_ctrl"),
     ).withColumn("n_chars", F.length("clean"))
+
+
+# -- HTML boilerplate stripping (r6) ----------------------------------------
+
+#: Ordered (pattern, replacement) chain for ``strip_html``. Order is part
+#: of the contract: comments/script/style BLOCKS go before the generic
+#: tag strip (their bodies may contain '<'), and ``&amp;`` decodes LAST
+#: (else ``&amp;lt;`` would double-decode to '<'). Patterns are valid in
+#: both Java regex (Spark) and RE2 (DuckDB): inline (?is) flags,
+#: non-greedy block bodies, no backreferences.
+HTML_STRIP_CHAIN: tuple[tuple[str, str], ...] = (
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?s)<[^>]+>", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", "\""),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_html(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, clean, n_chars) — boilerplate removal for web-crawl text,
+    the first extraction step of every pretraining pipeline: drop
+    comments and script/style blocks WITH their bodies, strip the
+    remaining tags, decode the common named/numeric entities (the
+    fixed high-frequency set — generic ``&#NNNN;`` decoding needs a
+    computed character, which a regexp projection can't express;
+    documents needing it go through a real extractor), collapse
+    whitespace. Every stage is a codegen'd regexp projection — zero
+    shuffle, zero Python, scan-speed at any corpus size (suite t33
+    hash-verifies the chain against an RE2 replay)."""
+    if text_col not in df.columns or id_col not in df.columns:
+        raise ValueError(f"missing column: need {id_col!r} and {text_col!r}")
+    out = F.col(text_col)
+    for pat, repl in HTML_STRIP_CHAIN:
+        out = F.regexp_replace(out, pat, repl)
+    clean = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return df.select(
+        F.col(id_col), clean.alias("clean"), F.length(clean).alias("n_chars")
+    )

@@ -1233,3 +1233,71 @@ def t31_unicode_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ctrl",
         "n_chars",
     )
+
+
+@query(
+    "t33_html_extract",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+        '<html><head><script type="text/javascript">var d=' || doc_id ||
+        '; if(d<9){track()}</script><style>.c' || (doc_id % 7) ||
+        '{margin:0}</style></head><body class="c' || (doc_id % 7) ||
+        '"><h1>Doc ' || doc_id || '</h1><p>' || text ||
+        ' &amp; &lt;tag&gt; &quot;x&#39;y&nbsp;z</p><!-- id ' || doc_id ||
+        ' --></body></html>' AS t
+      FROM documents
+    ), s1 AS (
+      SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM aug
+    ), s2 AS (
+      SELECT doc_id,
+             regexp_replace(t, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g') AS t
+      FROM s1
+    ), s3 AS (
+      SELECT doc_id,
+             regexp_replace(t, '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g') AS t
+      FROM s2
+    ), s4 AS (
+      SELECT doc_id, regexp_replace(t, '(?s)<[^>]+>', ' ', 'g') AS t FROM s3
+    ), s5 AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(t,
+               '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+               '&#39;', chr(39), 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g')
+             AS t
+      FROM s4
+    ), c AS (
+      SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean FROM s5
+    )
+    SELECT doc_id, md5(clean) AS fp, CAST(length(clean) AS INT) AS n_chars
+    FROM c
+    """,
+)
+def t33_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate stripping (text.strip_html): the first
+    extraction step of every web-crawl pipeline. The graded round trip
+    WRAPS each document in deterministic doc-varying markup (script
+    body containing a raw '<', style block, comment, class attributes,
+    the high-frequency entity set including the &amp;-last double-
+    decode trap) and hashes the extracted text — the oracle replays
+    the ordered chain in RE2, so a pattern, ordering, or decode-order
+    drift breaks the hash. Every stage is a codegen'd regexp
+    projection: zero shuffle, zero Python (zero-exchange plan gate)."""
+    from logverzcore_spark.operators.text import strip_html
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    cls = (F.col("doc_id") % 7).cast("string")
+    html = F.concat(
+        F.lit('<html><head><script type="text/javascript">var d='), did,
+        F.lit('; if(d<9){track()}</script><style>.c'), cls,
+        F.lit('{margin:0}</style></head><body class="c'), cls,
+        F.lit('"><h1>Doc '), did, F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(" &amp; &lt;tag&gt; &quot;x&#39;y&nbsp;z</p><!-- id "), did,
+        F.lit(" --></body></html>"),
+    )
+    return strip_html(docs.select("doc_id", html.alias("text"))).select(
+        "doc_id", F.md5("clean").alias("fp"), "n_chars"
+    )

@@ -422,3 +422,32 @@ def test_chunk_documents_window_algebra_batch(spark):
             for c in chunks:
                 covered.update(c["chunk_text"].split())
             assert covered == {f"w{j}" for j in range(n)}, (n, size, stride)
+
+
+def test_strip_html_chain_semantics(spark):
+    """strip_html (r6): script/style bodies vanish entirely (including
+    raw '<' inside them), comments vanish, tags become whitespace,
+    the entity set decodes with &amp; LAST (no double decode), plain
+    text passes through, NULLs stay NULL."""
+    from logverzcore_spark.operators.text import strip_html
+
+    rows = [
+        (1, '<p>a</p><script>if(x<2){}</script><style>p{}</style>b'),
+        (2, '&amp;lt; stays &lt; once'),
+        (3, 'plain text'),
+        (4, '<div class="x">nested <b>bold</b> text</div>'),
+        (5, 'q&quot;s &#39;t&#39; &nbsp;sp'),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["clean"] for r in strip_html(df).collect()}
+    assert out[1] == "a b"
+    assert out[2] == "&lt; stays < once"
+    assert out[3] == "plain text"
+    assert out[4] == "nested bold text"
+    assert out[5] == "q\"s 't' sp"
+    assert out[6] is None
+    import pytest
+
+    with pytest.raises(ValueError, match="missing column"):
+        strip_html(df, text_col="nope")

@@ -221,6 +221,7 @@ def _n_exchanges(fmt: str) -> int:
         "t31_unicode_scrub",
         "m13_mp4_box_walk",
         "m14_raster_decode",
+        "t33_html_extract",
     ],
 )
 def test_per_row_ops_have_zero_exchanges(spark, name):
