@@ -98,42 +98,38 @@ class CollectReport:
 
 
 def _zorder_value(df, cols: list[str], bits: int = 16):
-    """Interleaved-bit z-value over ``cols`` (numeric/timestamp): each
-    column scales linearly to ``bits`` unsigned bits between its own
-    min and max (one agg pass), and the bit-interleave is a codegen'd
-    OR of shifts — no UDF. Rows close in z-value are close in EVERY
-    named column, so range-partitioned files get selective min/max
-    stats on all of them at once (multi-dimensional clustering — the
-    public Delta/Iceberg OPTIMIZE ZORDER idea, done with plain column
-    arithmetic)."""
+    """Interleaved-bit z-value over ``cols`` (numeric/timestamp) for the
+    compaction rewrite. Delegates the interleave to the public,
+    hash-verified ``export.zorder_key`` (suite q111) — one
+    implementation of the bit math — after computing each column's
+    (min, max) bounds in one agg pass and COALESCING NULLs to the
+    column min: a compaction must place every row, so the export
+    operator's NULL-key contract (callers order NULLs explicitly) is
+    resolved here to cluster-with-the-minimum. Degenerate (constant or
+    all-NULL) columns quantize to bucket 0."""
     from pyspark.sql import functions as F
+
+    from logverzcore_spark.export import zorder_key
 
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(cols)],
         *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(cols)],
     ).first()
-    top = (1 << bits) - 1
-    k = len(cols)
-    scaled = []
+    bounds, inputs = [], []
     for i, c in enumerate(cols):
         mn, mx = stats[f"mn_{i}"], stats[f"mx_{i}"]
-        span = (mx - mn) if (mx is not None and mn is not None and mx > mn) else 1.0
-        v = F.floor(
-            (F.coalesce(F.col(c).cast("double"), F.lit(mn or 0.0)) - F.lit(mn or 0.0))
-            / F.lit(span)
-            * top
-        ).cast("long")
-        scaled.append(F.least(F.greatest(v, F.lit(0)), F.lit(top)))
-    z = F.lit(0).cast("long")
-    for bit in range(bits):
-        for j in range(k):
-            z = z.bitwiseOR(
-                F.shiftleft(
-                    F.shiftrightunsigned(scaled[j], bit).bitwiseAND(F.lit(1).cast("long")),
-                    bit * k + j,
-                )
-            )
-    return z
+        if mn is None:  # all-NULL column
+            mn, mx = 0.0, 1.0
+        elif mx is None or not mx > mn:  # constant column
+            mx = mn + 1.0
+        bounds.append((mn, mx))
+        inputs.append(F.coalesce(F.col(c).cast("double"), F.lit(mn)))
+    if len(cols) == 1:  # degenerate z-order = plain quantized sort key
+        top = (1 << bits) - 1
+        (lo, hi), col = bounds[0], inputs[0]
+        q = F.floor((col - F.lit(lo)) * F.lit(top / (hi - lo))).cast("long")
+        return F.greatest(F.lit(0).cast("long"), F.least(F.lit(top).cast("long"), q))
+    return zorder_key(inputs, bounds, bits=bits)
 
 
 @contextmanager
