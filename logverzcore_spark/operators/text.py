@@ -784,3 +784,29 @@ def strip_html(
     return df.select(
         F.col(id_col), clean.alias("clean"), F.length(clean).alias("n_chars")
     )
+
+
+def dedupe_lines(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, clean, n_lines, n_kept) — WITHIN-document repeated-line
+    removal: keep the first occurrence of every line, drop repeats —
+    the boilerplate trim for nav bars, cookie banners, and subscribe
+    prompts that templated pages repeat inside one document (the
+    within-doc sibling of t14's cross-doc segment dedup; C4 applies
+    the cross-doc form, Gopher-style quality filters count the repeats
+    this removes). ``array_distinct`` preserves first-occurrence order
+    by contract, so the operation is IN-ROW: split, distinct, rejoin —
+    zero shuffle, pure codegen, scan-speed at any corpus size (suite
+    t34 hash-verifies order preservation against a positional SQL
+    replay)."""
+    if text_col not in df.columns or id_col not in df.columns:
+        raise ValueError(f"missing column: need {id_col!r} and {text_col!r}")
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.array_distinct(lines)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+    )

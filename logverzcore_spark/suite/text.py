@@ -1301,3 +1301,55 @@ def t33_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_html(docs.select("doc_id", html.alias("text"))).select(
         "doc_id", F.md5("clean").alias("fp"), "n_chars"
     )
+
+
+@query(
+    "t34_line_dedupe",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             'header ' || (doc_id % 5) || chr(10) || text || chr(10) ||
+             'subscribe now' || chr(10) || 'body ' || doc_id || chr(10) ||
+             'subscribe now' || chr(10) || text || chr(10) ||
+             'header ' || (doc_id % 5) AS t
+      FROM documents
+    ), ls AS (
+      SELECT doc_id, string_split(t, chr(10)) AS arr FROM aug
+    ), l AS (
+      SELECT doc_id, unnest(arr) AS line,
+             unnest(range(1, len(arr) + 1)) AS pos
+      FROM ls
+    ), firsts AS (
+      SELECT doc_id, line, MIN(pos) AS pos FROM l GROUP BY doc_id, line
+    )
+    SELECT f.doc_id,
+           md5(string_agg(f.line, chr(10) ORDER BY f.pos)) AS fp,
+           ANY_VALUE(CAST(len(ls.arr) AS INT)) AS n_lines,
+           CAST(COUNT(*) AS INT) AS n_kept
+    FROM firsts f JOIN ls ON ls.doc_id = f.doc_id
+    GROUP BY f.doc_id
+    """,
+)
+def t34_line_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-line removal (text.dedupe_lines): the
+    boilerplate trim for template repeats inside one page. The graded
+    round trip builds multi-line documents with deterministic repeats
+    (a header line repeated at top and bottom, 'subscribe now' twice,
+    the body text twice) and hashes the first-occurrence-ordered
+    result — the oracle replays positionally (min-position per
+    distinct line, reassembled in order), so an order-stability or
+    dedup bug in the in-row array path breaks the hash. Zero shuffle:
+    split → array_distinct → rejoin is one codegen projection."""
+    from logverzcore_spark.operators.text import dedupe_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    hdr = F.concat(F.lit("header "), (F.col("doc_id") % 5).cast("string"))
+    aug = F.concat_ws(
+        "\n",
+        hdr, F.col("text"), F.lit("subscribe now"),
+        F.concat(F.lit("body "), F.col("doc_id").cast("string")),
+        F.lit("subscribe now"), F.col("text"), hdr,
+    )
+    return dedupe_lines(docs.select("doc_id", aug.alias("text"))).select(
+        "doc_id", F.md5("clean").alias("fp"), "n_lines", "n_kept"
+    )

@@ -451,3 +451,28 @@ def test_strip_html_chain_semantics(spark):
 
     with pytest.raises(ValueError, match="missing column"):
         strip_html(df, text_col="nope")
+
+
+def test_dedupe_lines_first_occurrence_order(spark):
+    """dedupe_lines (r6): first occurrence of every line survives in
+    original order (including a single kept blank line); single-line
+    and NULL docs pass through; counts are exact."""
+    from logverzcore_spark.operators.text import dedupe_lines
+
+    rows = [
+        (1, "a\nb\na\n\nb\nc"),
+        (2, "only line"),
+        (3, None),
+        (4, "x\nx\nx"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedupe_lines(df).collect()}
+    assert out[1]["clean"] == "a\nb\n\nc"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (6, 4)
+    assert out[2]["clean"] == "only line" and out[2]["n_kept"] == 1
+    assert out[3]["clean"] is None
+    assert out[4]["clean"] == "x" and out[4]["n_lines"] == 3
+    import pytest
+
+    with pytest.raises(ValueError, match="missing column"):
+        dedupe_lines(df, text_col="nope")

@@ -222,6 +222,7 @@ def _n_exchanges(fmt: str) -> int:
         "m13_mp4_box_walk",
         "m14_raster_decode",
         "t33_html_extract",
+        "t34_line_dedupe",
     ],
 )
 def test_per_row_ops_have_zero_exchanges(spark, name):
