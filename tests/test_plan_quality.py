@@ -223,6 +223,7 @@ def _n_exchanges(fmt: str) -> int:
         "m14_raster_decode",
         "t33_html_extract",
         "t34_line_dedupe",
+        "t35_prepare_text_pipeline",
     ],
 )
 def test_per_row_ops_have_zero_exchanges(spark, name):
