@@ -1335,3 +1335,122 @@ def ivfpq_index_probe(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_candidates: int = 20,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell & Goldstein,
+    SIGIR'98): greedily pick ``k`` of the top-``n_candidates`` exact-cosine
+    neighbors per query, each step maximizing
+    ``lam*rel(d) - (1-lam)*max_{s in S} sim(d, s)`` — relevance traded
+    against redundancy with what's already selected. The retrieval stage
+    of a curation pipeline that wants coverage, not five near-copies.
+
+    Plan shape: candidate generation is ``cosine_topk`` (broadcast query
+    block, one narrow corpus pass); candidate vectors come back on one
+    broadcast join (candidate set = nq x n_candidates rows, tiny by
+    construction); pairwise candidate sims are a per-query self-join of
+    that bounded set (nq x N^2/2 rows — never corpus-sized). The greedy
+    loop itself runs IN-ROW as a JVM ``aggregate`` fold over one
+    row per query carrying (ids, rel-map, sim-map) — no Python, no
+    per-step shuffle, state bounded at N ids + N^2/2 map entries.
+
+    Determinism contract (what the DuckDB oracle replays): candidate
+    ranking on unrounded cosine (ties by id), rel/sim rounded to 6dp
+    BEFORE selection, per-step score re-rounded to 6dp, score ties
+    broken by lowest id, ``1-lam`` computed as ``1.0 - lam`` in IEEE
+    double on both sides.
+
+    Returns (query_id, neighbor_id, mmr_rank, relevance).
+    """
+    one_minus = F.lit(1.0) - F.lit(lam)
+    cand = cosine_topk(corpus, queries, k=n_candidates, vec_col=vec_col, id_col=id_col)
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    cv = vecs.join(F.broadcast(cand), "neighbor_id").select(
+        "query_id", "neighbor_id", "cosine", "_v"
+    )
+    a, b = cv.alias("a"), cv.alias("b")
+    pair_key = F.concat_ws(
+        ":", F.least("a.neighbor_id", "b.neighbor_id").cast("string"),
+        F.greatest("a.neighbor_id", "b.neighbor_id").cast("string"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.neighbor_id") < F.col("b.neighbor_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            pair_key.alias("_pk"),
+            F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("_sim"),
+        )
+    )
+    gsim = pairs.groupBy("query_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("_pk", "_sim"))).alias("_sim")
+    )
+    g = (
+        cand.groupBy("query_id")
+        .agg(
+            F.collect_list(F.col("neighbor_id").cast("bigint")).alias("_ids"),
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("neighbor_id").cast("bigint"), "cosine"))
+            ).alias("_rel"),
+        )
+        .join(gsim, "query_id", "left")
+    )
+
+    def _key(i: Column, s: Column) -> Column:
+        return F.concat_ws(
+            ":", F.least(i, s).cast("string"), F.greatest(i, s).cast("string")
+        )
+
+    def _pick(acc: Column) -> Column:
+        scored = F.transform(
+            F.filter(F.col("_ids"), lambda i: ~F.array_contains(acc, i)),
+            lambda i: F.struct(
+                F.round(
+                    F.lit(lam) * F.element_at(F.col("_rel"), i)
+                    - one_minus
+                    * F.coalesce(
+                        F.array_max(
+                            F.transform(
+                                acc,
+                                lambda s: F.element_at(F.col("_sim"), _key(i, s)),
+                            )
+                        ),
+                        F.lit(0.0),
+                    ),
+                    6,
+                ).alias("s"),
+                (-i).alias("negid"),
+            ),
+        )
+        return F.array_max(scored)
+
+    sel = F.aggregate(
+        F.sequence(F.lit(1), F.lit(k)),
+        F.array().cast("array<bigint>"),
+        lambda acc, _: F.when(
+            _pick(acc).isNotNull(),
+            F.array_append(acc, -_pick(acc).getField("negid")),
+        ).otherwise(acc),
+    )
+    return (
+        g.select("query_id", "_rel", F.posexplode(sel).alias("_pos", "neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("_pos") + 1).cast("int").alias("mmr_rank"),
+            F.element_at(F.col("_rel"), F.col("neighbor_id")).alias("relevance"),
+        )
+    )

@@ -385,3 +385,53 @@ def d16_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_contamination(
         train, bench, dim=64, threshold=0.25, n_planes=4
     )
+
+
+@query(
+    "d17_span_scrub",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT t.doc_id, CAST(u.i AS BIGINT) AS pos,
+             md5(array_to_string(t.toks[(u.i+1):(u.i+8)], ' ')) AS fp
+      FROM tok t,
+           UNNEST(range(CAST(greatest(len(t.toks) - 7, 0) AS BIGINT))) AS u(i)
+    ), dup AS (
+      SELECT fp FROM sh GROUP BY fp HAVING COUNT(*) > 1
+    ), covered AS (
+      SELECT DISTINCT s.doc_id, s.pos + g.j AS j
+      FROM sh s JOIN dup USING (fp), UNNEST(range(8)) AS g(j)
+    ), tokix AS (
+      SELECT t.doc_id, CAST(u.j AS BIGINT) AS j,
+             t.toks[CAST(u.j + 1 AS BIGINT)] AS tok
+      FROM tok t, UNNEST(range(CAST(len(t.toks) AS BIGINT))) AS u(j)
+    ), clean AS (
+      SELECT x.doc_id,
+             COUNT(c.j) AS n_dup_tokens,
+             string_agg(CASE WHEN c.j IS NULL THEN x.tok END, ' ' ORDER BY x.j)
+               AS clean_text
+      FROM tokix x
+      LEFT JOIN covered c ON x.doc_id = c.doc_id AND x.j = c.j
+      GROUP BY x.doc_id
+    )
+    SELECT t.doc_id, len(t.toks) AS n_tokens,
+           COALESCE(c.n_dup_tokens, 0) AS n_dup_tokens,
+           ROUND(CASE WHEN len(t.toks) > 0
+                      THEN CAST(COALESCE(c.n_dup_tokens, 0) AS DOUBLE) / len(t.toks)
+                      ELSE 0.0 END, 4) AS dup_token_frac,
+           COALESCE(c.clean_text, '') AS clean_text
+    FROM tok t LEFT JOIN clean c USING (doc_id)
+    """,
+)
+def d17_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span removal (dedup.remove_duplicate_spans): every
+    token covered by an 8-token shingle that occurs >1 time anywhere in
+    the corpus is dropped and the clean text reconstructed — the
+    ExactSubstr dedup of Lee et al. (arXiv:2107.06499) over whitespace
+    tokens. Overlapping shingles (vs t14's non-overlapping segment
+    stats) catch repeats at any alignment; one corpus shuffle for
+    shingle counts, duplicated-fingerprint set broadcasts back."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.remove_duplicate_spans(docs, k=8)

@@ -326,3 +326,76 @@ def s11b_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in (tbl, f"{tbl}_centroids", f"{tbl}_codebooks"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
     return out
+
+
+@query(
+    "s12_mmr_rerank",
+    oracle="""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), n AS (
+      SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+    ), scored AS (
+      SELECT q.vec_id AS qid, c.vec_id AS nid, c.e AS ce,
+             list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
+      FROM n q JOIN n c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 20
+    ), cand AS (
+      SELECT qid, nid, ce, ROUND(cos, 6) AS rel,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+      FROM scored QUALIFY rn <= 20
+    ), ps AS (
+      SELECT a.qid,
+             a.nid || ':' || b.nid AS pk,
+             ROUND(list_dot_product(a.ce, b.ce)
+                   / (sqrt(list_dot_product(a.ce, a.ce))
+                      * sqrt(list_dot_product(b.ce, b.ce))), 6) AS sim
+      FROM cand a JOIN cand b ON a.qid = b.qid AND a.nid < b.nid
+    ), gsim AS (
+      SELECT qid, map(list(pk), list(sim)) AS sim FROM ps GROUP BY qid
+    ), g AS (
+      SELECT c.qid, list(c.nid) AS ids, map(list(c.nid), list(c.rel)) AS rel
+      FROM cand c GROUP BY c.qid
+    ), gg AS (
+      SELECT g.qid, g.ids, g.rel, s.sim FROM g LEFT JOIN gsim s USING (qid)
+    ), mmr AS (
+      SELECT qid, CAST([] AS BIGINT[]) AS sel, 0 AS step FROM gg
+      UNION ALL
+      SELECT m.qid, list_append(m.sel, p.pick), m.step + 1
+      FROM mmr m
+      JOIN gg ON gg.qid = m.qid,
+      LATERAL (SELECT list_filter(gg.ids, i -> NOT list_contains(m.sel, i))
+                 AS rem) r,
+      LATERAL (SELECT list_transform(r.rem, i ->
+                 ROUND(0.7 * map_extract(gg.rel, i)[1]
+                       - (1.0 - 0.7) * COALESCE(list_max(list_transform(m.sel,
+                            s -> map_extract(gg.sim,
+                                   CASE WHEN i < s THEN i || ':' || s
+                                        ELSE s || ':' || i END)[1])), 0.0), 6))
+                 AS sc) s2,
+      LATERAL (SELECT list_max(s2.sc) AS mx) x,
+      LATERAL (SELECT list_min(list_transform(
+                 list_filter(range(1, len(r.rem) + 1), j -> s2.sc[j] = x.mx),
+                 j -> r.rem[j])) AS pick) p
+      WHERE m.step < 5
+    ), flat AS (
+      SELECT m.qid, unnest(m.sel) AS nid,
+             CAST(generate_subscripts(m.sel, 1) AS INT) AS mmr_rank
+      FROM mmr m WHERE m.step = 5
+    )
+    SELECT f.qid AS query_id, f.nid AS neighbor_id, f.mmr_rank,
+           map_extract(gg.rel, f.nid)[1] AS relevance
+    FROM flat f JOIN gg ON gg.qid = f.qid
+    """,
+)
+def s12_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval (similarity.mmr_rerank): greedy MMR over the
+    exact top-20 cosine candidates per query, lambda=0.7, k=5 — coverage
+    instead of five near-copies. Candidate gen is the s01 broadcast scan;
+    pairwise sims stay within the bounded nq x N candidate set; the
+    greedy loop is an in-row JVM aggregate fold (no Python, no per-step
+    shuffle). The oracle replays the selection exactly via a recursive
+    CTE over the same 6dp-rounded rel/sim grids."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 20)
+    return similarity.mmr_rerank(emb, qs, k=5, n_candidates=20, lam=0.7)

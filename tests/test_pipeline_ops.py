@@ -1354,3 +1354,64 @@ def test_decode_image_raw_formats_normalize_identically(spark):
         assert out[bad]["format"] == "unknown" and out[bad]["width"] is None
     # stats-only path omits the pixels column entirely
     assert "pixels" not in decode_image_raw(df).columns
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    """Shared 8-token span dropped from BOTH docs at any alignment;
+    within-doc repeats dropped too; clean docs pass through verbatim."""
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (1, f"intro one two {span} tail1 x"),
+        (2, f"{span} other closing words here"),
+        (3, "a perfectly unique document with no repeats at all ok"),
+        (4, "rep rep rep rep rep rep rep rep rep"),  # 9x same token: every
+        # 8-shingle occurs twice (positions 0 and 1) -> all tokens covered
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.remove_duplicate_spans(df, k=8).collect()}
+    # doc 3 untouched, frac 0
+    assert out[3]["clean_text"] == rows[2][1]
+    assert out[3]["n_dup_tokens"] == 0 and out[3]["dup_token_frac"] == 0.0
+    # the shared span is gone from both docs 1 and 2, remainder intact
+    assert out[1]["clean_text"] == "intro one two tail1 x"
+    assert out[2]["clean_text"] == "other closing words here"
+    assert out[1]["n_dup_tokens"] == 8 and out[2]["n_dup_tokens"] == 8
+    # doc 4: every token covered by a within-doc repeated shingle
+    assert out[4]["clean_text"] == "" and out[4]["dup_token_frac"] == 1.0
+    # short doc (< k tokens) cannot form a shingle -> untouched
+    short = spark.createDataFrame([(9, "just five small words here")], "doc_id long, text string")
+    srow = dedup.remove_duplicate_spans(short, k=8).first()
+    assert srow["clean_text"] == "just five small words here"
+    assert srow["n_dup_tokens"] == 0
+
+
+def test_mmr_rerank_diversity_and_first_pick(spark):
+    """First pick is the plain top-1; a redundant near-copy of it is
+    deferred below a less-relevant-but-diverse candidate; plan stays
+    JVM-side (no Python eval nodes)."""
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = [
+        (100, unit(0.0)),          # query
+        (1, unit(0.05)),           # most relevant
+        (2, unit(0.06)),           # near-copy of 1 (redundant)
+        (3, unit(0.9)),            # less relevant, diverse
+        (4, unit(1.0)),            # filler
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.where(F.col("vec_id") == 100)
+    out = similarity.mmr_rerank(df, q, k=3, n_candidates=4, lam=0.3)
+    got = [r["neighbor_id"] for r in out.orderBy("mmr_rank").collect()]
+    # 1 first (pure relevance); then 3 or 4 (diverse) before 2 (near-copy of 1)
+    assert got[0] == 1
+    assert got[1] in (3, 4)
+    assert 2 not in got[:2]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan
