@@ -882,3 +882,110 @@ def decode_image_raw(
             yield pd.DataFrame(data)
 
     return df.select(id_col, payload_col).mapInPandas(batches, schema)
+
+
+def sniff_audio_meta(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Codec-free metadata for the three most common audio containers
+    beyond WAV (``sniff_wav_meta``): MP3 (ID3v2 tag + first MPEG frame
+    header), FLAC (STREAMINFO block), and Ogg/Vorbis (identification
+    header). Everything is fixed-arithmetic byte reads compiled to
+    codegen'd binary expressions — the only variable offset is the MP3
+    frame header, which sits at ``10 + syncsafe(tag size)`` and Spark's
+    ``substring`` takes the computed column offset JVM-side, so no
+    Python and no per-row interpretation anywhere.
+
+    Honesty rules mirror the image sniffers: FLAC requires STREAMINFO
+    to be the FIRST metadata block (the spec mandates it); Ogg requires
+    a single-segment first page carrying the \\x01vorbis ident packet
+    (the canonical encoder layout) — anything else reports the format
+    from its magic with NULL fields rather than reading garbage; no
+    magic at all reports 'unknown'.
+
+    Returns (id, format, channels, sample_rate, bitrate_kbps 〈mp3,
+    MPEG1-L3 table〉, bits_per_sample 〈flac〉, tag_bytes 〈mp3 ID3v2
+    size〉). Runs at scan speed; only header bytes are touched."""
+    p = F.col(payload_col)
+
+    def byte(off):
+        # off: 1-based int or Column; missing bytes -> NULL (short file)
+        o = F.lit(off) if isinstance(off, int) else off
+        raw = F.substring(p, o, F.lit(1))
+        return F.when(F.length(raw) == 1, F.conv(F.hex(raw), 16, 10).cast("long"))
+
+    def magic(off: int, lit: str) -> Column:
+        return F.expr(f"substring({payload_col}, {off}, {len(lit)})") == F.lit(
+            lit.encode()
+        )
+
+    # --- MP3: ID3v2 preamble, syncsafe 28-bit tag size, frame header ---
+    is_mp3 = magic(1, "ID3")
+    tag = (
+        (byte(7) % 128) * F.lit(2097152)
+        + (byte(8) % 128) * F.lit(16384)
+        + (byte(9) % 128) * F.lit(128)
+        + (byte(10) % 128)
+    )
+    frame_off = (F.lit(11) + tag).cast("int")
+    b1, b2, b3 = byte(frame_off), byte(frame_off + 1), byte(frame_off + 2)
+    frame_ok = (b1 == 255) & ((b2 == 0xFB) | (b2 == 0xFA))  # MPEG1 Layer III
+    br_idx = F.shiftright(b3.cast("int"), 4)
+    sr_idx = F.shiftright(b3.cast("int"), 2).bitwiseAND(F.lit(3))
+    mp3_bitrate = F.when(
+        frame_ok & (br_idx >= 1) & (br_idx <= 14),
+        F.element_at(
+            F.array(*[F.lit(v) for v in
+                      (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)]),
+            br_idx,
+        ),
+    ).cast("int")
+    mp3_rate = F.when(
+        frame_ok & (sr_idx <= 2),
+        F.element_at(F.array(F.lit(44100), F.lit(48000), F.lit(32000)), sr_idx + 1),
+    ).cast("long")
+
+    # --- FLAC: fLaC magic, first block must be STREAMINFO (type 0) ---
+    is_flac = magic(1, "fLaC")
+    flac_info = is_flac & (byte(5).bitwiseAND(F.lit(127)) == 0)
+    flac_rate = (
+        byte(19) * 4096 + byte(20) * 16 + F.shiftright(byte(21).cast("int"), 4)
+    ).cast("long")
+    flac_ch = (F.shiftright(byte(21).cast("int"), 1).bitwiseAND(F.lit(7)) + 1).cast("int")
+    flac_bps = (
+        byte(21).bitwiseAND(F.lit(1)) * 16
+        + F.shiftright(byte(22).cast("int"), 4)
+        + 1
+    ).cast("int")
+
+    # --- Ogg/Vorbis: OggS page v0, 1 lacing segment, \x01vorbis ident ---
+    is_ogg = magic(1, "OggS")
+    ogg_ident = (
+        is_ogg
+        & (byte(5) == 0)
+        & (byte(27) == 1)
+        & magic(29, "\x01vorbis")
+    )
+    ogg_ch = byte(40).cast("int")
+    ogg_rate = (
+        byte(41) + byte(42) * 256 + byte(43) * 65536 + byte(44) * 16777216
+    ).cast("long")
+
+    fmt = (
+        F.when(is_mp3, F.lit("mp3"))
+        .when(is_flac, F.lit("flac"))
+        .when(is_ogg, F.lit("ogg"))
+        .otherwise(F.lit("unknown"))
+    )
+    return df.select(
+        F.col(id_col),
+        fmt.alias("format"),
+        F.when(flac_info, flac_ch).when(ogg_ident, ogg_ch).alias("channels"),
+        F.when(is_mp3, mp3_rate)
+        .when(flac_info, flac_rate)
+        .when(ogg_ident, ogg_rate)
+        .alias("sample_rate"),
+        F.when(is_mp3, mp3_bitrate).alias("bitrate_kbps"),
+        F.when(flac_info, flac_bps).alias("bits_per_sample"),
+        F.when(is_mp3, tag).alias("tag_bytes"),
+    )

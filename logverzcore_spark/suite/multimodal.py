@@ -726,3 +726,96 @@ def m14_raster_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     img = F.concat(header, raster)
     payload = F.when(did % 4 < 3, img).otherwise(F.encode("text", "UTF-8"))
     return decode_image_raw(docs.select("doc_id", payload.alias("payload")))
+
+
+@query(
+    "m15_audio_container_probe",
+    oracle="""
+    SELECT doc_id,
+      CASE doc_id % 4 WHEN 0 THEN 'mp3' WHEN 1 THEN 'flac'
+                      WHEN 2 THEN 'ogg' ELSE 'unknown' END AS format,
+      CASE WHEN doc_id % 4 IN (1, 2)
+           THEN CAST(1 + doc_id % 2 AS INTEGER) END AS channels,
+      CASE WHEN doc_id % 4 = 0 THEN CAST(
+             CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                             ELSE 32000 END AS BIGINT)
+           WHEN doc_id % 4 = 1 THEN CAST(
+             CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                             ELSE 96000 END AS BIGINT)
+           WHEN doc_id % 4 = 2 THEN CAST(8000 * (1 + doc_id % 5) AS BIGINT)
+      END AS sample_rate,
+      CASE WHEN doc_id % 4 = 0 THEN CAST(
+             CASE doc_id % 3 WHEN 0 THEN 128 WHEN 1 THEN 160
+                             ELSE 192 END AS INTEGER) END AS bitrate_kbps,
+      CASE WHEN doc_id % 4 = 1
+           THEN CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 24 END
+                     AS INTEGER) END AS bits_per_sample,
+      CASE WHEN doc_id % 4 = 0
+           THEN CAST(120 + doc_id % 20 AS BIGINT) END AS tag_bytes
+    FROM documents
+    """,
+)
+def m15_audio_container_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3/FLAC/Ogg metadata sniffing (multimodal.sniff_audio_meta) —
+    m10's siblings for the remaining common audio containers. Byte-exact
+    headers are BUILT from doc_id (ID3v2 syncsafe tag size crossing the
+    7-bit boundary + MPEG1-L3 frame header; FLAC STREAMINFO with the
+    20/3/5-bit packed rate/channels/bps word; a canonical one-segment
+    Ogg page with the \\x01vorbis ident packet), parsed back with
+    codegen'd binary expressions, and the oracle restates every field
+    arithmetically — any mis-addressed byte or shift breaks the round
+    trip. Every fourth doc carries junk bytes and must sniff 'unknown'."""
+    from logverzcore_spark.operators.multimodal import sniff_audio_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def hx(col, nbytes: int = 1):
+        return F.lpad(F.hex(col.cast("long")), nbytes * 2, "0")
+
+    # mp3: ID3v2.4 header, tag size 120+d%20 (crosses the syncsafe 7-bit
+    # boundary), zero padding, then FF FB frame header
+    ts = (F.lit(120) + d % 20).cast("long")
+    mp3_hex = F.concat(
+        F.lit("4944330400" + "00" + "0000"),
+        hx(F.floor(ts / 128)), hx(ts % 128),
+        F.repeat(F.lit("00"), ts.cast("int")),
+        F.lit("fffb"),
+        hx((F.lit(9) + d % 3) * 16 + (d % 3) * 4),
+        F.lit("00"),
+    )
+    # flac: fLaC + STREAMINFO(34) with packed rate/ch/bps
+    fsr = (
+        F.when(d % 3 == 0, 44100).when(d % 3 == 1, 48000).otherwise(96000)
+    ).cast("long")
+    fch = (1 + d % 2).cast("long")
+    fbps = F.when(d % 2 == 0, 16).otherwise(24).cast("long")
+    flac_hex = F.concat(
+        F.lit("664c6143" + "00" + "000022"),
+        F.lit("00" * 10),
+        hx(F.shiftright(fsr.cast("int"), 12)),
+        hx(F.shiftright(fsr.cast("int"), 4).bitwiseAND(F.lit(255))),
+        hx(fsr.bitwiseAND(F.lit(15)) * 16 + (fch - 1) * 2
+           + F.shiftright((fbps - 1).cast("int"), 4)),
+        hx((fbps - 1).bitwiseAND(F.lit(15)) * 16),
+        F.lit("00" * 20),
+    )
+    # ogg: one-segment page + \x01vorbis ident packet
+    osr = (8000 * (1 + d % 5)).cast("long")
+    ogg_hex = F.concat(
+        F.lit("4f676753" + "00" + "02" + "00" * 20 + "01" + "1e"),
+        F.lit("01" + "766f72626973" + "00000000"),
+        hx(1 + d % 2),
+        hx(osr.bitwiseAND(F.lit(255))),
+        hx(F.shiftright(osr.cast("int"), 8).bitwiseAND(F.lit(255))),
+        hx(F.shiftright(osr.cast("int"), 16).bitwiseAND(F.lit(255))),
+        hx(F.shiftright(osr.cast("int"), 24).bitwiseAND(F.lit(255))),
+        F.lit("0000"),
+    )
+    payload = F.unhex(
+        F.when(d % 4 == 0, mp3_hex)
+        .when(d % 4 == 1, flac_hex)
+        .when(d % 4 == 2, ogg_hex)
+        .otherwise(F.md5(d.cast("string")))
+    )
+    return sniff_audio_meta(docs.select("doc_id", payload.alias("payload")))

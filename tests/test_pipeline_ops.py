@@ -1415,3 +1415,29 @@ def test_mmr_rerank_diversity_and_first_pick(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
         assert marker not in plan
+
+
+def test_sniff_audio_meta_edges(spark):
+    """Truncation and near-miss layouts report honestly: short MP3 (tag
+    points past EOF) keeps format but NULLs the frame fields; FLAC whose
+    first block is NOT STREAMINFO reports format-only; Ogg with a
+    multi-segment first page reports format-only; empty payload is
+    'unknown'."""
+    from logverzcore_spark.operators.multimodal import sniff_audio_meta
+
+    rows = [
+        # ID3 tag says 100 bytes but payload ends right after the header
+        (1, bytes.fromhex("49443304000000000064")),
+        # fLaC with first block type 4 (VORBIS_COMMENT) instead of 0
+        (2, b"fLaC" + bytes([4, 0, 0, 10]) + b"\x00" * 10),
+        # OggS v0 but n_segments = 2 (not the canonical ident layout)
+        (3, b"OggS" + b"\x00\x02" + b"\x00" * 20 + bytes([2, 10, 10]) + b"\x00" * 40),
+        (4, b""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in sniff_audio_meta(df).collect()}
+    assert out[1]["format"] == "mp3" and out[1]["tag_bytes"] == 100
+    assert out[1]["sample_rate"] is None and out[1]["bitrate_kbps"] is None
+    assert out[2]["format"] == "flac" and out[2]["channels"] is None
+    assert out[3]["format"] == "ogg" and out[3]["sample_rate"] is None
+    assert out[4]["format"] == "unknown"
