@@ -349,3 +349,72 @@ def export_zordered(
     for c in cols:
         m_aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
     return out.agg(*m_aggs)
+
+
+def compact_files(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_col: str | None = None,
+) -> dict:
+    """Small-file compaction — the OPTIMIZE of a parquet directory that
+    accumulated too many part files (streaming micro-batches, per-source
+    appends, over-parallel writes). At 100 TB the small-file problem IS
+    the scan bill: every file costs a driver listing entry, a task, and
+    a parquet footer read, so 10⁶ x 1 MB files can cost more than the
+    bytes themselves.
+
+    Sizes the output from the MEASURED input bytes (ceil(total /
+    ``target_file_bytes``)), rewrites in one job — plain round-robin
+    ``repartition`` for pure compaction, or ``repartitionByRange`` +
+    in-task sort when ``sort_col`` is given so the rewrite also restores
+    clustering (narrow min/max envelopes -> row-group skipping) — then
+    swaps directories via FileSystem.rename. Rename is atomic on
+    local/HDFS; on object stores a production deployment swaps a catalog
+    pointer instead (documented, not emulated here). File enumeration
+    uses the Hadoop FS API, so the same code runs against hdfs:// and
+    s3a:// paths.
+
+    Returns {files_before, files_after, bytes_before, bytes_after,
+    n_target_files}; the table's CONTENT is untouched (suite q112
+    hash-verifies the round trip; row identity pytest-asserted).
+    """
+    import math
+
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _parts(p: str):
+        it = fs.listFiles(jpath(p), True)
+        out = []
+        while it.hasNext():
+            st = it.next()
+            if st.getPath().getName().startswith("part-"):
+                out.append((st.getPath().toString(), int(st.getLen())))
+        return out
+
+    before = _parts(path)
+    bytes_before = sum(sz for _, sz in before)
+    n_out = max(1, math.ceil(bytes_before / target_file_bytes))
+    df = spark.read.parquet(path)
+    if sort_col is not None:
+        staged = df.repartitionByRange(n_out, sort_col).sortWithinPartitions(sort_col)
+    else:
+        staged = df.repartition(n_out)
+    tmp = path.rstrip("/") + ".compact-tmp"
+    old = path.rstrip("/") + ".compact-old"
+    staged.write.mode("overwrite").parquet(tmp)
+    if not fs.rename(jpath(path), jpath(old)):
+        raise IOError(f"compact_files: could not stage {path} aside")
+    if not fs.rename(jpath(tmp), jpath(path)):
+        fs.rename(jpath(old), jpath(path))  # roll back
+        raise IOError(f"compact_files: could not swap in compacted {path}")
+    fs.delete(jpath(old), True)
+    after = _parts(path)
+    return {
+        "files_before": len(before),
+        "files_after": len(after),
+        "bytes_before": bytes_before,
+        "bytes_after": sum(sz for _, sz in after),
+        "n_target_files": n_out,
+    }

@@ -3775,3 +3775,52 @@ def q111_zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("zkey").alias("min_zkey"),
         F.max("zkey").alias("max_zkey"),
     )
+
+
+@query(
+    "q112_compaction_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(SUM(value), 4) AS total_value,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q112_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (export.compact_files): events written as
+    64 deliberately tiny part files, compacted in one sized-from-
+    measured-bytes rewrite + atomic directory swap, then read back —
+    the oracle grades the per-type profile of the COMPACTED copy
+    against the source table, so any row lost, duplicated, or mangled
+    by the rewrite/swap breaks the hash. File-count and clustering
+    assertions live in pytest (test_compact_files_*)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from logverzcore_spark import export
+
+    ev = _t(spark, sf_dir, "events")
+    path = os.path.join(tempfile.gettempdir(), f"q112_compact_{uuid.uuid4().hex[:8]}")
+    try:
+        ev.repartition(64).write.mode("overwrite").parquet(path)
+        stats = export.compact_files(spark, path, target_file_bytes=256 * 1024 * 1024)
+        assert stats["files_after"] < stats["files_before"], stats
+        out = (
+            spark.read.parquet(path)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+                F.min("ts").alias("first_ts"),
+                F.max("ts").alias("last_ts"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out

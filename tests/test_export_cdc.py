@@ -312,3 +312,42 @@ def test_export_zordered_narrows_file_envelopes(spark, tmpdir_path):
     # file); z-order must cut the average envelope at least in half
     assert s_avg > 0.8 * full_span, (s_avg, full_span)
     assert z_avg < 0.5 * s_avg, (z_avg, s_avg)
+
+
+def test_compact_files_reduces_files_and_preserves_rows(spark, tmpdir_path):
+    """64 tiny part files compact to the measured-byte target count;
+    row multiset identical; stats report the real before/after."""
+    path = os.path.join(tmpdir_path, "frag")
+    df = spark.range(0, 20_000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(path)
+    stats = export.compact_files(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == stats["n_target_files"] == 1
+    assert stats["bytes_before"] > 0 and stats["bytes_after"] > 0
+    back = spark.read.parquet(path)
+    assert back.count() == 20_000
+    assert back.agg(F.sum("v")).first()[0] == 2 * sum(range(20_000))
+    # no staging residue
+    parent = os.listdir(tmpdir_path)
+    assert not any(p.endswith((".compact-tmp", ".compact-old")) for p in parent)
+
+
+def test_compact_files_sort_col_restores_clustering(spark, tmpdir_path):
+    """With sort_col, the rewrite range-partitions + sorts, so per-file
+    min/max envelopes become disjoint-ish (narrow) instead of each file
+    spanning the whole key domain."""
+    path = os.path.join(tmpdir_path, "frag_sorted")
+    df = spark.range(0, 40_000).withColumn("k", (F.col("id") * 7919) % 40_000)
+    df.repartition(32).write.parquet(path)
+    # force multiple output files so envelopes are comparable
+    export.compact_files(spark, path, target_file_bytes=64 * 1024, sort_col="k")
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .collect()
+    )
+    assert len(per_file) > 2
+    spans = [r["hi"] - r["lo"] for r in per_file]
+    # each file covers a narrow slice, not the full 40k domain
+    assert max(spans) < 40_000 / 2
