@@ -1454,3 +1454,115 @@ def mmr_rerank(
             F.element_at(F.col("_rel"), F.col("neighbor_id")).alias("relevance"),
         )
     )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids_grid: list[list[int]],
+    iters: int = 3,
+    scale: int = PQ_SCALE,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[list[int]], DataFrame]:
+    """Distributed Lloyd refinement over the FULL corpus — the step that
+    turns ``trained_codebooks``/``lcg_centroids``' bounded-sample
+    centroids into corpus-faithful ones at scale (a 4096-row driver
+    sample cannot see the tail of 10^11 vectors; the refinement pass
+    can, because each iteration is one corpus scan + a tiny aggregate).
+
+    Everything runs on a fixed-point integer grid (``floor(x*scale +
+    0.5)``), so per-cell sums are EXACT integers under any partial-
+    aggregation order and the whole refinement is bit-reproducible on
+    any engine — no float-summation-order caveats (suite s13's DuckDB
+    oracle replays all iterations literally). Mean update is
+    ``floor((2*s + n) / (2.0*n))`` — round-half-up back onto the grid,
+    computed as floor over IEEE double division on both engines
+    (exact while 2|s|+n < 2^53 ≈ corpus_rows*scale*|x| < 4.5e15; past
+    that, refine per shard and merge). Per-row distances accumulate in
+    a LONG: keep dim*(scale*max|x-c|)^2 < 2^63 (true for unit-scale
+    embeddings at the default grid by ~9 orders; ANSI mode raises on
+    overflow rather than wrapping).
+
+    Per iteration: assignment is an in-row codegen'd fold over the
+    broadcast centroid literals (argmin squared-L2, ties to the lowest
+    cell — O(cells*dim) per row, the Arrow matmul tier of ``ivf_topk``
+    is the swap-in for large cell counts); per-(cell,dim) integer sums
+    flow through Spark's map-side partial aggregation (shuffle volume =
+    partitions x cells x dim, never corpus-sized); only the
+    cells x dim sum table is collected (bounded metadata, the s08
+    centroid-table precedent). Empty cells keep their previous
+    centroid.
+
+    Returns (refined_grid, stats_df) where stats_df has one row per
+    (cell, dim): the refined grid value plus that cell's member count
+    and exact integer inertia from the final assignment.
+    """
+    import math as _math
+
+    n_cells = len(centroids_grid)
+    dim = len(centroids_grid[0])
+    q = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.transform(
+            _as_double(F.col(vec_col)),
+            lambda x: F.floor(x * scale + F.lit(0.5)).cast("long"),
+        ).alias("qv"),
+    )
+    cur = [list(map(int, row)) for row in centroids_grid]
+    spark = corpus.sparkSession
+    stats_rows = None
+    for _ in range(iters):
+        cmat = F.array(
+            *[F.array(*[F.lit(v) for v in row]) for row in cur]
+        )
+        scored = F.transform(
+            F.sequence(F.lit(0), F.lit(n_cells - 1)),
+            lambda ci: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qv"),
+                        F.element_at(cmat, ci + 1),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                ci.alias("cell"),
+            ),
+        )
+        best = F.array_min(scored)
+        assigned = q.select(
+            "qv",
+            best.getField("cell").alias("cell"),
+            best.getField("d").alias("d"),
+        )
+        sums = (
+            assigned.select("cell", F.posexplode("qv").alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(F.sum("val").alias("s"))
+            .collect()
+        )
+        stats_rows = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n_members"), F.sum("d").alias("inertia")
+        ).collect()
+        smap = {(r["cell"], r["dim"]): int(r["s"]) for r in sums}
+        cnts = {r["cell"]: int(r["n_members"]) for r in stats_rows}
+        cur = [
+            [
+                int(_math.floor((2 * smap[(ci, di)] + cnts[ci]) / (2.0 * cnts[ci])))
+                if cnts.get(ci, 0) > 0
+                else cur[ci][di]
+                for di in range(dim)
+            ]
+            for ci in range(n_cells)
+        ]
+    stat = {r["cell"]: (int(r["n_members"]), int(r["inertia"])) for r in stats_rows}
+    out_rows = [
+        (ci, di, cur[ci][di], stat.get(ci, (0, 0))[0], stat.get(ci, (0, 0))[1])
+        for ci in range(n_cells)
+        for di in range(dim)
+    ]
+    out = spark.createDataFrame(
+        out_rows, "cell int, dim int, c bigint, n_members bigint, inertia bigint"
+    )
+    return cur, out

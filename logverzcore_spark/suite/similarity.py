@@ -399,3 +399,73 @@ def s12_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 20)
     return similarity.mmr_rerank(emb, qs, k=5, n_candidates=20, lam=0.7)
+
+
+def _s13_grid() -> list[list[int]]:
+    """LCG init centroids on the s13 fixed-point grid — shared by the
+    Spark entry and the literal-replay oracle."""
+    import math
+
+    return [
+        [int(math.floor(c * 10000 + 0.5)) for c in row]
+        for row in similarity.lcg_centroids(64, 16)
+    ]
+
+
+def _s13_oracle(iters: int = 3) -> str:
+    """Unrolled Lloyd iterations as SQL: every assignment, integer sum,
+    and grid mean-update replayed literally — exact by construction
+    (fixed-point arithmetic, no float-summation-order slack)."""
+    grid = _s13_grid()
+    vals = ", ".join(
+        f"({ci}, [{', '.join(str(v) for v in row)}])" for ci, row in enumerate(grid)
+    )
+    parts = [
+        "WITH v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
+        "x -> CAST(floor(x*10000 + 0.5) AS BIGINT)) AS qv FROM embeddings)",
+        f"c0 AS (SELECT * FROM (VALUES {vals}) t(cell, cv))",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts += [
+            f"s{i} AS (SELECT v.vec_id, v.qv, c.cell, "
+            f"list_sum(list_transform(range(1, 65), "
+            f"j -> (v.qv[j]-c.cv[j])*(v.qv[j]-c.cv[j]))) AS d FROM v, c{p} c)",
+            f"a{i} AS (SELECT * FROM (SELECT *, row_number() OVER "
+            f"(PARTITION BY vec_id ORDER BY d, cell) rn FROM s{i}) WHERE rn = 1)",
+            f"n{i} AS (SELECT cell, COUNT(*) AS cnt, CAST(SUM(d) AS BIGINT) "
+            f"AS inertia FROM a{i} GROUP BY cell)",
+            f"m{i} AS (SELECT a.cell, u.i AS dim, SUM(a.qv[CAST(u.i+1 AS BIGINT)]) AS s "
+            f"FROM a{i} a, UNNEST(range(64)) u(i) GROUP BY a.cell, u.i)",
+            f"b{i} AS (SELECT c.cell, u.i AS dim, c.cv[CAST(u.i+1 AS BIGINT)] AS prev "
+            f"FROM c{p} c, UNNEST(range(64)) u(i))",
+            f"g{i} AS (SELECT b.cell, b.dim, "
+            f"CASE WHEN COALESCE(n.cnt, 0) > 0 "
+            f"THEN CAST(floor((2*m.s + n.cnt)/(2.0*n.cnt)) AS BIGINT) "
+            f"ELSE b.prev END AS val "
+            f"FROM b{i} b LEFT JOIN m{i} m ON m.cell = b.cell AND m.dim = b.dim "
+            f"LEFT JOIN n{i} n ON n.cell = b.cell)",
+            f"c{i} AS (SELECT cell, list(val ORDER BY dim) AS cv "
+            f"FROM g{i} GROUP BY cell)",
+        ]
+    last = iters
+    return (
+        ", ".join(parts)
+        + f" SELECT g.cell, CAST(g.dim AS INTEGER) AS dim, g.val AS c, "
+        f"COALESCE(n.cnt, 0) AS n_members, COALESCE(n.inertia, 0) AS inertia "
+        f"FROM g{last} g LEFT JOIN n{last} n ON n.cell = g.cell"
+    )
+
+
+@query("s13_kmeans_refine", oracle=_s13_oracle())
+def s13_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd refinement (similarity.kmeans_refine): 3 full-
+    corpus iterations from the LCG init, entirely on a fixed-point
+    integer grid so every per-cell sum is exact under any partial-agg
+    order — the oracle replays all three iterations literally and any
+    drift in assignment, tie-break, or the grid mean-update breaks the
+    hash. Assignment is an in-row codegen fold over broadcast centroid
+    literals; only cells x dim sum tables ever reach the driver."""
+    emb = _t(spark, sf_dir, "embeddings")
+    _, stats = similarity.kmeans_refine(emb, _s13_grid(), iters=3)
+    return stats

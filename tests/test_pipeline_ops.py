@@ -1441,3 +1441,26 @@ def test_sniff_audio_meta_edges(spark):
     assert out[2]["format"] == "flac" and out[2]["channels"] is None
     assert out[3]["format"] == "ogg" and out[3]["sample_rate"] is None
     assert out[4]["format"] == "unknown"
+
+
+def test_kmeans_refine_inertia_monotone_and_empty_cells(emb):
+    """Lloyd guarantee on the exact integer objective: total inertia is
+    non-increasing over iterations; a centroid placed unreachably far
+    gets no members and keeps its previous position."""
+    from logverzcore_spark.suite.similarity import _s13_grid
+
+    grid = _s13_grid()
+    inertias = []
+    for iters in (1, 2, 3):
+        _, stats = similarity.kmeans_refine(emb, grid, iters=iters)
+        per_cell = {r["cell"]: r["inertia"] for r in
+                    stats.select("cell", "inertia").distinct().collect()}
+        inertias.append(sum(per_cell.values()))
+    assert inertias[0] >= inertias[1] >= inertias[2]
+    # unreachable centroid keeps its position and reports 0 members
+    far = [row[:] for row in grid]
+    far[7] = [10**6] * 64
+    refined, stats = similarity.kmeans_refine(emb, far, iters=2)
+    cell7 = stats.where(F.col("cell") == 7).collect()
+    assert all(r["n_members"] == 0 for r in cell7)
+    assert refined[7] == [10**6] * 64
