@@ -418,3 +418,74 @@ def compact_files(
         "bytes_after": sum(sz for _, sz in after),
         "n_target_files": n_out,
     }
+
+
+def delete_rows(
+    spark,
+    path: str,
+    ids_df: DataFrame,
+    id_col: str,
+) -> dict:
+    """Targeted point-deletes over an immutable parquet directory — the
+    GDPR/right-to-be-forgotten shape. At 100 TB you cannot rewrite the
+    corpus to drop 0.001% of rows; the only viable plan is: find the
+    FILES that contain a doomed id, rewrite ONLY those files with an
+    anti-join, and leave every other byte untouched.
+
+    Locate: one scan projecting (file, id) with the delete set
+    broadcast-semi-joined — parquet column pruning means the scan reads
+    just the id column, and the distinct file list is bounded by the
+    deletions, not the corpus. Rewrite: only the affected files are
+    re-read (Spark file-list read), anti-joined against the broadcast
+    delete set, and written to a staging dir; the swap then deletes the
+    affected originals and moves the replacements in. The swap is
+    file-at-a-time (not atomic across files) — production object-store
+    deployments do the same rewrite under a table format's commit
+    (Delta/Iceberg); here the staging dir + idempotent re-run is the
+    recovery story, documented honestly.
+
+    ``ids_df`` must be a single-column DataFrame of ids (kept
+    distributed until the broadcast — never collected). Returns
+    {files_total, files_rewritten, rows_deleted}.
+    """
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    ids = ids_df.toDF(id_col)
+
+    src = spark.read.parquet(path)
+    touched = [
+        r["f"]
+        for r in (
+            src.select(F.col(id_col), F.input_file_name().alias("f"))
+            .join(F.broadcast(ids), id_col, "semi")
+            .select("f")
+            .distinct()
+            .collect()
+        )
+    ]
+    files_total = len(src.inputFiles())
+    if not touched:
+        return {"files_total": files_total, "files_rewritten": 0, "rows_deleted": 0}
+
+    affected = spark.read.parquet(*touched)
+    n_before = affected.count()
+    kept = affected.join(F.broadcast(ids), id_col, "anti")
+    tmp = path.rstrip("/") + ".delete-tmp"
+    kept.repartition(max(1, len(touched))).write.mode("overwrite").parquet(tmp)
+    n_after = spark.read.parquet(tmp).count()
+
+    for f in touched:
+        fs.delete(jpath(f), False)
+    it = fs.listFiles(jpath(tmp), True)
+    dest = jpath(path)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("part-"):
+            fs.rename(st.getPath(), jpath(dest, "deleted-" + name))
+    fs.delete(jpath(tmp), True)
+    return {
+        "files_total": files_total,
+        "files_rewritten": len(touched),
+        "rows_deleted": int(n_before - n_after),
+    }

@@ -3824,3 +3824,54 @@ def q112_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return out
+
+
+@query(
+    "q113_point_delete",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events
+    WHERE event_id % 97 <> 0
+    GROUP BY event_type
+    """,
+)
+def q113_point_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style point deletes (export.delete_rows): events staged as a
+    many-file copy, every 97th event_id deleted via the touched-file-only
+    rewrite (locate with a pruned id+file scan, anti-join rewrite of just
+    those files, file-level swap), then the surviving content is graded
+    against the source minus the delete predicate — a row left behind,
+    double-deleted, or lost from an untouched file breaks the hash.
+    File-level invariants (untouched files byte-identical, rewrite count
+    bounded) are pytest-graded (test_delete_rows_*)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from logverzcore_spark import export
+
+    ev = _t(spark, sf_dir, "events")
+    path = os.path.join(tempfile.gettempdir(), f"q113_del_{uuid.uuid4().hex[:8]}")
+    try:
+        ev.repartition(16).write.mode("overwrite").parquet(path)
+        doomed = ev.where(F.col("event_id") % 97 == 0).select("event_id")
+        stats = export.delete_rows(spark, path, doomed, "event_id")
+        assert stats["files_rewritten"] >= 1, stats
+        out = (
+            spark.read.parquet(path)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+                F.min("event_id").alias("min_id"),
+                F.max("event_id").alias("max_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out

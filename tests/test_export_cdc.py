@@ -351,3 +351,40 @@ def test_compact_files_sort_col_restores_clustering(spark, tmpdir_path):
     spans = [r["hi"] - r["lo"] for r in per_file]
     # each file covers a narrow slice, not the full 40k domain
     assert max(spans) < 40_000 / 2
+
+
+def test_delete_rows_touches_only_affected_files(spark, tmpdir_path):
+    """Deletes rewrite ONLY files containing a doomed id: every other
+    part file survives byte-identical (same path, size, mtime); counts
+    are exact; absent ids are a clean no-op."""
+    path = os.path.join(tmpdir_path, "corpus")
+    # 8 files with disjoint id ranges -> doomed ids {5, 12} live in 2 files
+    df = spark.range(0, 80).withColumn("grp", (F.col("id") / 10).cast("int"))
+    df.repartitionByRange(8, "grp").write.parquet(path)
+
+    def snap():
+        return {
+            f: (os.path.getsize(os.path.join(path, f)),
+                os.path.getmtime(os.path.join(path, f)))
+            for f in os.listdir(path) if f.startswith(("part-", "deleted-"))
+        }
+
+    before = snap()
+    doomed = spark.createDataFrame([(5,), (12,)], "id long")
+    stats = export.delete_rows(spark, path, doomed, "id")
+    assert stats["rows_deleted"] == 2
+    assert 1 <= stats["files_rewritten"] <= 2
+    after = snap()
+    untouched = set(before) & set(after)
+    assert len(untouched) == len(before) - stats["files_rewritten"]
+    for f in untouched:
+        assert before[f] == after[f]  # byte-identical survivors
+    back = spark.read.parquet(path)
+    assert back.count() == 78
+    assert back.where(F.col("id").isin(5, 12)).count() == 0
+    # absent ids: no-op, nothing rewritten
+    stats2 = export.delete_rows(
+        spark, path, spark.createDataFrame([(9999,)], "id long"), "id"
+    )
+    assert stats2 == {"files_total": len(after), "files_rewritten": 0,
+                      "rows_deleted": 0}
