@@ -489,3 +489,186 @@ def delete_rows(
         "files_rewritten": len(touched),
         "rows_deleted": int(n_before - n_after),
     }
+
+
+class CompactedAppendSink:
+    """Exactly-once streaming append sink with IN-STREAM compaction —
+    the production shape for "micro-batches write small files forever":
+    batches land in per-batch inbox dirs, and every ``compact_every``
+    batches the inboxes fold into one compacted ``base/`` directory,
+    so the table never accumulates more than ``compact_every`` batch
+    dirs of small files no matter how long the stream runs.
+
+    Exactly-once without a transaction log, from three idempotent
+    pieces (each crash window re-runs safely):
+
+    - **inbox write**: ``inbox/<batch_id>/`` written with overwrite —
+      a replayed batch clobbers its own partial dir, never appends;
+    - **batch marker**: ``_batches/<batch_id>`` created AFTER the
+      inbox write; a marker'd batch id is skipped on replay. Markers
+      are never deleted, so a batch consumed by compaction still
+      skips;
+    - **consumed manifest**: compaction writes ``_consumed.json``
+      (all batch ids folded so far) INTO the new base dir BEFORE the
+      atomic base swap — readers union base + only the inbox dirs
+      NOT in the manifest, so the post-swap/pre-cleanup window cannot
+      double-count. The leading underscore keeps parquet readers from
+      touching the manifest. Inbox cleanup is best-effort after the
+      swap and retried on the next compaction.
+
+    ``read_view(spark)`` is the consistent reader; suite st24 grades
+    the drained view against the batch oracle, and the replay/crash
+    windows are pytest-driven through ``process`` directly."""
+
+    def __init__(
+        self,
+        out_dir: str,
+        compact_every: int = 3,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ):
+        self.out_dir = out_dir.rstrip("/")
+        self.base = os.path.join(self.out_dir, "base")
+        self.inbox = os.path.join(self.out_dir, "inbox")
+        self.markers = os.path.join(self.out_dir, "_batches")
+        self.compact_every = compact_every
+        self.target_file_bytes = target_file_bytes
+
+    # -- small FS helpers (Hadoop FS API: same code on hdfs:// paths) --
+    def _fs(self, spark):
+        jpath = spark._jvm.org.apache.hadoop.fs.Path
+        return jpath, jpath(self.out_dir).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+
+    def _consumed(self, spark) -> set:
+        import json
+
+        jpath, fs = self._fs(spark)
+        mf = jpath(os.path.join(self.base, "_consumed.json"))
+        if not fs.exists(mf):
+            return set()
+        stream = fs.open(mf)
+        try:
+            raw = bytes(
+                spark._jvm.org.apache.hadoop.io.IOUtils.readFullyToByteArray(stream)
+            )
+        finally:
+            stream.close()
+        return set(json.loads(raw.decode("utf-8")))
+
+    def _inbox_ids(self, spark) -> list:
+        jpath, fs = self._fs(spark)
+        if not fs.exists(jpath(self.inbox)):
+            return []
+        return sorted(
+            int(st.getPath().getName())
+            for st in fs.listStatus(jpath(self.inbox))
+            if st.getPath().getName().isdigit()
+        )
+
+    def process(self, batch_df, batch_id: int) -> None:
+        """The foreachBatch body — idempotent under Spark's replay."""
+        spark = batch_df.sparkSession
+        jpath, fs = self._fs(spark)
+        marker = jpath(os.path.join(self.markers, str(int(batch_id))))
+        if fs.exists(marker):
+            return  # replayed, already committed
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(self.inbox, str(int(batch_id)))
+        )
+        fs.mkdirs(jpath(self.markers))
+        fs.createNewFile(marker)
+        if int(batch_id) % self.compact_every == self.compact_every - 1:
+            self.compact(spark)
+
+    def compact(self, spark) -> int:
+        """Fold every committed, not-yet-consumed inbox dir into base.
+        Returns how many batch dirs were folded."""
+        import json
+        import math
+
+        jpath, fs = self._fs(spark)
+        consumed = self._consumed(spark)
+        committed = {
+            i
+            for i in self._inbox_ids(spark)
+            if fs.exists(jpath(os.path.join(self.markers, str(i))))
+        }
+        fold = sorted(set(committed) - consumed)
+        if not fold:
+            return 0
+        parts = [os.path.join(self.inbox, str(i)) for i in fold]
+        has_base = fs.exists(jpath(self.base))
+        if has_base:
+            parts.append(self.base)
+        df = spark.read.parquet(*parts)
+        total = 0
+        for p in parts:
+            it = fs.listFiles(jpath(p), True)
+            while it.hasNext():
+                st = it.next()
+                if st.getPath().getName().startswith("part-"):
+                    total += int(st.getLen())
+        n_out = max(1, math.ceil(total / self.target_file_bytes))
+        tmp = self.base + ".tmp"
+        df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+        manifest = sorted(consumed | set(fold))
+        out = fs.create(jpath(os.path.join(tmp, "_consumed.json")), True)
+        try:
+            out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+        finally:
+            out.close()
+        old = self.base + ".old"
+        fs.delete(jpath(old), True)
+        if has_base and not fs.rename(jpath(self.base), jpath(old)):
+            raise IOError("CompactedAppendSink: could not stage base aside")
+        if not fs.rename(jpath(tmp), jpath(self.base)):
+            if has_base:
+                fs.rename(jpath(old), jpath(self.base))
+            raise IOError("CompactedAppendSink: could not swap base")
+        fs.delete(jpath(old), True)
+        # best-effort inbox cleanup; consumed manifest already covers them
+        for i in fold:
+            fs.delete(jpath(os.path.join(self.inbox, str(i))), True)
+        return len(fold)
+
+    def read_view(self, spark) -> DataFrame:
+        """Consistent view: base + committed inbox dirs not yet folded."""
+        jpath, fs = self._fs(spark)
+        consumed = self._consumed(spark)
+        parts = [
+            os.path.join(self.inbox, str(i))
+            for i in self._inbox_ids(spark)
+            if i not in consumed
+            and fs.exists(jpath(os.path.join(self.markers, str(i))))
+        ]
+        if fs.exists(jpath(self.base)):
+            parts.append(self.base)
+        if not parts:
+            raise FileNotFoundError(f"no committed data under {self.out_dir}")
+        return spark.read.parquet(*parts)
+
+
+def export_compacted_stream(
+    spark,
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    compact_every: int = 3,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> "CompactedAppendSink":
+    """Drain ``stream_df`` through a :class:`CompactedAppendSink` with
+    availableNow semantics and return the sink (call ``read_view`` for
+    the consistent result). Exactly-once composes from the sink's
+    idempotent pieces + Spark's checkpointed batch ids."""
+    sink = CompactedAppendSink(
+        out_dir, compact_every=compact_every, target_file_bytes=target_file_bytes
+    )
+    q = (
+        stream_df.writeStream.foreachBatch(sink.process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink

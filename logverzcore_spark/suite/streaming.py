@@ -906,3 +906,62 @@ def st23_streaming_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in (tbl, f"{tbl}_centroids", f"{tbl}_codebooks"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
     return out
+
+
+@query(
+    "st24_stream_compacted_sink",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents
+    GROUP BY source
+    """,
+)
+def st24_stream_compacted_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming append with IN-STREAM compaction
+    (export.CompactedAppendSink): documents staged as 6 source files
+    drain one-file-per-micro-batch through the sink, which folds inbox
+    batch dirs into the compacted base every 2 batches; the consistent
+    read view (base + un-consumed committed inboxes via the _consumed
+    manifest) must equal the batch profile — a batch double-counted
+    across a compaction boundary, lost in a swap, or visible before
+    commit breaks the hash. Replay/crash-window idempotence is
+    pytest-driven through sink.process directly."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark import export
+
+    docs = _t(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix=f"st24_{_uuid.uuid4().hex[:8]}_")
+    src = os.path.join(base, "src")
+    try:
+        docs.repartition(6).write.parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        sink = export.export_compacted_stream(
+            spark,
+            stream,
+            out_dir=os.path.join(base, "sink"),
+            checkpoint_dir=os.path.join(base, "ck"),
+            compact_every=2,
+        )
+        out = (
+            sink.read_view(spark)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+                F.min("doc_id").alias("min_id"),
+                F.max("doc_id").alias("max_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out

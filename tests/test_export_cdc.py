@@ -388,3 +388,40 @@ def test_delete_rows_touches_only_affected_files(spark, tmpdir_path):
     )
     assert stats2 == {"files_total": len(after), "files_rewritten": 0,
                       "rows_deleted": 0}
+
+
+def test_compacted_sink_replay_and_crash_windows(spark, tmpdir_path):
+    """Exactly-once from idempotent pieces, driven through process()
+    directly: (a) replayed committed batch is a no-op; (b) a batch that
+    crashed between inbox write and marker is invisible, and its replay
+    commits exactly once; (c) a consumed batch replayed AFTER compaction
+    is still skipped (markers outlive compaction); (d) the read view
+    never double-counts across the compaction boundary."""
+    out = os.path.join(tmpdir_path, "sink")
+    sink = export.CompactedAppendSink(out, compact_every=100)  # manual compaction
+    b = lambda lo, hi: spark.range(lo, hi).withColumn("v", F.col("id") * 10)
+
+    sink.process(b(0, 10), 0)
+    sink.process(b(0, 10), 0)  # (a) replay: no dupes
+    assert sink.read_view(spark).count() == 10
+
+    # (b) crash window: inbox written, marker missing
+    b(10, 20).write.mode("overwrite").parquet(os.path.join(out, "inbox", "1"))
+    assert sink.read_view(spark).count() == 10  # uncommitted -> invisible
+    sink.process(b(10, 20), 1)  # replay commits it once
+    assert sink.read_view(spark).count() == 20
+
+    assert sink.compact(spark) == 2
+    view = sink.read_view(spark)
+    assert view.count() == 20  # (d) nothing double-counted post-fold
+    assert view.agg(F.sum("v")).first()[0] == 10 * sum(range(20))
+
+    sink.process(b(0, 10), 0)  # (c) consumed batch replayed post-compaction
+    assert sink.read_view(spark).count() == 20
+
+    sink.process(b(20, 25), 2)  # new batch after compaction: inbox + base
+    assert sink.read_view(spark).count() == 25
+    assert sink.compact(spark) == 1
+    assert sink.read_view(spark).count() == 25
+    # base is the only data dir left after cleanup
+    assert sink._inbox_ids(spark) == []
