@@ -16,7 +16,7 @@ Scale notes common to all three:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -128,5 +128,57 @@ def hourly_spine_fill(
             F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
             F.col("key"),
             F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from an event/observation
+    log — the batch warehouse sibling of the streaming CDC upsert
+    (suite:st09, which keeps only the LATEST row per key; SCD2 keeps
+    the full versioned history a point-in-time join needs).
+
+    Semantics: per key, order observations by (ts, tie); consecutive
+    observations with identical ``attr_cols`` collapse into one version
+    (a re-assertion of the same state is not a change); each surviving
+    version carries ``valid_from`` (its first observation), ``valid_to``
+    (the next version's start — half-open interval), ``is_current``
+    (open-ended), and a 1-based ``version``.
+
+    Plan shape: ONE shuffle on the key; both the change-detection lag
+    and the interval lead ride the same ``(key) ORDER BY (ts, tie)``
+    window partitioning, so Catalyst reuses a single sort — no second
+    exchange, no self-join (the naive SCD2 build joins the log to
+    itself per version; at 100 TB that's a corpus² disaster). Attribute
+    comparison is struct equality with null-safe ``<=>`` per field.
+    """
+    order = [F.col(ts_col)] + ([F.col(tie_col)] if tie_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    same = F.lit(True)
+    for a in attr_cols:
+        same = same & F.col(a).eqNullSafe(F.lag(a).over(w))
+    # row_number marks the first observation explicitly — an all-NULL
+    # first attr state would otherwise compare null-safe-EQUAL to the
+    # absent predecessor and the key would lose its opening version
+    changed = df.withColumn(
+        "_is_change", (F.row_number().over(w) == 1) | ~same
+    ).where("_is_change")
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        changed.withColumn("valid_to", F.lead(ts_col).over(w2))
+        .withColumn("version", F.row_number().over(w2).cast("int"))
+        .select(
+            F.col(key_col),
+            *[F.col(a) for a in attr_cols],
+            F.col(ts_col).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+            "version",
         )
     )

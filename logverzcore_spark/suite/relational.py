@@ -3875,3 +3875,46 @@ def q113_point_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return out
+
+
+@query(
+    "q114_scd2_history",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events
+    ), ch AS (
+      SELECT * FROM o WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+    ), v AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS INTEGER) AS version
+      FROM ch
+    )
+    SELECT user_id, event_type, valid_from, valid_to,
+           valid_to IS NULL AS is_current, version
+    FROM v
+    """,
+)
+def q114_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD build (eventops.scd2_history): each user's event_type
+    observation stream collapsed into versioned half-open validity
+    intervals — re-assertions of the same state are not new versions;
+    the open version carries is_current. One key shuffle; change-lag,
+    interval-lead, and versioning all ride the same window sort (no
+    self-join — the naive SCD2 build is quadratic). st09 keeps only the
+    latest row per key; this keeps the history a point-in-time join
+    needs."""
+    from logverzcore_spark.operators import eventops
+
+    ev = _t(spark, sf_dir, "events")
+    return eventops.scd2_history(
+        ev, key_col="user_id", ts_col="ts", attr_cols=["event_type"],
+        tie_col="event_id",
+    )

@@ -476,3 +476,35 @@ def test_dedupe_lines_first_occurrence_order(spark):
 
     with pytest.raises(ValueError, match="missing column"):
         dedupe_lines(df, text_col="nope")
+
+
+def test_scd2_history_semantics(spark):
+    """Consecutive re-assertions collapse; intervals are half-open and
+    chain exactly; NULL-attr opening version survives; single window
+    sort (one exchange) in the plan."""
+    from logverzcore_spark.operators import eventops
+
+    rows = [
+        (1, 100, "a"), (2, 100, "a"),   # re-assertion -> no new version
+        (3, 100, "b"), (4, 100, None),  # change, change-to-null
+        (5, 100, None),                 # null re-assertion -> collapse
+        (6, 200, None),                 # opening version IS null
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, state string")
+    out = eventops.scd2_history(
+        df.withColumn("ts", F.col("event_id").cast("timestamp")),
+        key_col="user_id", ts_col="ts", attr_cols=["state"], tie_col="event_id",
+    )
+    got = {(r["user_id"], r["version"]): r for r in out.collect()}
+    assert len(got) == 4  # 3 versions for user 100, 1 for user 200
+    v1, v2, v3 = got[(100, 1)], got[(100, 2)], got[(100, 3)]
+    assert (v1["state"], v2["state"], v3["state"]) == ("a", "b", None)
+    assert v1["valid_to"] == v2["valid_from"] and v2["valid_to"] == v3["valid_from"]
+    assert v3["valid_to"] is None and v3["is_current"]
+    assert not v1["is_current"] and not v2["is_current"]
+    assert got[(200, 1)]["state"] is None and got[(200, 1)]["is_current"]
+    import re
+    fmt = spark._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    ).split("== Initial Plan ==")[0]  # post-execution AQE repeats the tree
+    assert len(re.findall(r"Exchange \(\d+\)", fmt)) == 1
