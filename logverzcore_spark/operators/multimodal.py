@@ -989,3 +989,100 @@ def sniff_audio_meta(
         F.when(flac_info, flac_bps).alias("bits_per_sample"),
         F.when(is_mp3, tag).alias("tag_bytes"),
     )
+
+
+def parse_tiff_meta(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_entries: int = 64,
+) -> DataFrame:
+    """TIFF/EXIF IFD0 walk — the third variable-offset container parser
+    (JPEG segment chain m11, MP4 box tree m13, and now the TIFF tag
+    directory that also underlies EXIF-in-JPEG and DNG/NEF/CR2 raws).
+    Both byte orders (II/MM) honored from the header; the IFD sits at a
+    pointer, entries are 12-byte tag records whose SHORT values are
+    left-justified in the 4-byte value field per spec — all reasons
+    fixed-offset codegen substring arithmetic cannot express it, so it
+    runs as the documented Arrow ``mapInPandas`` path (m11's pattern):
+    bounded (≤``max_entries`` records, header bytes only, image strips
+    never touched).
+
+    Reports width/height/orientation (tags 0x0100/0x0101/0x0112), the
+    declared IFD0 entry count, and whether an EXIF sub-IFD pointer
+    (0x8769) is present. Bad magic → 'unknown'; a truncated IFD keeps
+    format='tiff' with whatever fields were reachable — honest
+    partials, like the other walks."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("byte_order", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("orientation", T.IntegerType()),
+            T.StructField("n_ifd_entries", T.IntegerType()),
+            T.StructField("has_exif", T.BooleanType()),
+        ]
+    )
+
+    def parse_one(b: bytes):
+        unknown = ("unknown", None, None, None, None, None, None)
+        if b is None or len(b) < 8:
+            return unknown
+        bo = b[0:2]
+        if bo == b"II":
+            e = "little"
+        elif bo == b"MM":
+            e = "big"
+        else:
+            return unknown
+        if int.from_bytes(b[2:4], e) != 42:
+            return unknown
+        off = int.from_bytes(b[4:8], e)
+        if off + 2 > len(b):
+            return ("tiff", bo.decode(), None, None, None, None, None)
+        n = int.from_bytes(b[off : off + 2], e)
+        width = height = orient = None
+        has_exif = False
+        for i in range(min(n, max_entries)):
+            p = off + 2 + 12 * i
+            if p + 12 > len(b):
+                break
+            tag = int.from_bytes(b[p : p + 2], e)
+            typ = int.from_bytes(b[p + 2 : p + 4], e)
+            v = (
+                int.from_bytes(b[p + 8 : p + 10], e)
+                if typ == 3  # SHORT: left-justified in the value field
+                else int.from_bytes(b[p + 8 : p + 12], e)
+            )
+            if tag == 0x0100:
+                width = v
+            elif tag == 0x0101:
+                height = v
+            elif tag == 0x0112:
+                orient = v
+            elif tag == 0x8769:
+                has_exif = True
+        return ("tiff", bo.decode(), width, height, orient, n, has_exif)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = [
+                parse_one(bytes(p) if p is not None else None)
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "format": [p[0] for p in parsed],
+                    "byte_order": [p[1] for p in parsed],
+                    "width": pd.array([p[2] for p in parsed], dtype="Int32"),
+                    "height": pd.array([p[3] for p in parsed], dtype="Int32"),
+                    "orientation": pd.array([p[4] for p in parsed], dtype="Int32"),
+                    "n_ifd_entries": pd.array([p[5] for p in parsed], dtype="Int32"),
+                    "has_exif": pd.array([p[6] for p in parsed], dtype="boolean"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema)

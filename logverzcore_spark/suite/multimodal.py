@@ -819,3 +819,84 @@ def m15_audio_container_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.md5(d.cast("string")))
     )
     return sniff_audio_meta(docs.select("doc_id", payload.alias("payload")))
+
+
+@query(
+    "m16_tiff_ifd_probe",
+    oracle="""
+    SELECT doc_id,
+      CASE WHEN doc_id % 4 = 3 THEN 'unknown' ELSE 'tiff' END AS format,
+      CASE WHEN doc_id % 4 <> 3
+           THEN CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END
+      END AS byte_order,
+      CASE WHEN doc_id % 4 <> 3
+           THEN CAST(16 + doc_id % 2000 AS INTEGER) END AS width,
+      CASE WHEN doc_id % 4 <> 3
+           THEN CAST(16 + (doc_id * 5) % 2000 AS INTEGER) END AS height,
+      CASE WHEN doc_id % 4 <> 3
+           THEN CAST(1 + doc_id % 8 AS INTEGER) END AS orientation,
+      CASE WHEN doc_id % 4 <> 3
+           THEN CAST(3 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER)
+      END AS n_ifd_entries,
+      CASE WHEN doc_id % 4 <> 3 THEN doc_id % 3 = 0 END AS has_exif
+    FROM documents
+    """,
+)
+def m16_tiff_ifd_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF/EXIF IFD walk (multimodal.parse_tiff_meta): byte-exact TIFF
+    headers BUILT from doc_id in BOTH byte orders — variable pre-IFD
+    padding moves the directory pointer, SHORT values left-justified in
+    the 4-byte field per spec, an EXIF sub-IFD pointer tag on every
+    third doc — parsed back by the bounded Arrow walk; the oracle
+    restates every field arithmetically. Any endian slip, mis-sized
+    entry stride, or wrong value-justification breaks the hash. Every
+    fourth doc is junk and must sniff 'unknown'."""
+    from logverzcore_spark.operators.multimodal import parse_tiff_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    is_le = d % 2 == 0
+
+    def hx(col, nbytes: int):
+        return F.lpad(F.hex(col.cast("long")), nbytes * 2, "0")
+
+    def num(col, nbytes: int):
+        """Endian-aware hex of an integer field."""
+        be = hx(col, nbytes)
+        pairs = [F.substring(be, (nbytes - 1 - i) * 2 + 1, 2) for i in range(nbytes)]
+        le = F.concat(*pairs)
+        return F.when(is_le, le).otherwise(be)
+
+    w = (16 + d % 2000).cast("long")
+    h = (16 + (d * 5) % 2000).cast("long")
+    orient = (1 + d % 8).cast("long")
+    pad = (d % 5).cast("int")
+    ifd_off = (F.lit(8) + pad).cast("long")
+    with_exif = d % 3 == 0
+    n_entries = F.when(with_exif, 4).otherwise(3).cast("long")
+
+    def entry(tag: int, typ: int, val):
+        # 12-byte record: tag, type, count=1, value (SHORT left-justified)
+        value_field = (
+            F.concat(num(val, 2), F.lit("0000"))
+            if typ == 3
+            else num(val, 4)
+        )
+        return F.concat(
+            num(F.lit(tag), 2), num(F.lit(typ), 2), num(F.lit(1), 4), value_field
+        )
+
+    header = F.concat(
+        F.when(is_le, F.lit("4949")).otherwise(F.lit("4D4D")),
+        num(F.lit(42), 2),
+        num(ifd_off, 4),
+        F.repeat(F.lit("00"), pad),
+        num(n_entries, 2),
+        entry(0x0100, 3, w),
+        entry(0x0101, 3, h),
+        entry(0x0112, 3, orient),
+        F.when(with_exif, entry(0x8769, 4, F.lit(0x7FF0))).otherwise(F.lit("")),
+        F.lit("00000000"),
+    )
+    payload = F.when(d % 4 == 3, F.encode("text", "UTF-8")).otherwise(F.unhex(header))
+    return parse_tiff_meta(docs.select("doc_id", payload.alias("payload")))

@@ -1464,3 +1464,32 @@ def test_kmeans_refine_inertia_monotone_and_empty_cells(emb):
     cell7 = stats.where(F.col("cell") == 7).collect()
     assert all(r["n_members"] == 0 for r in cell7)
     assert refined[7] == [10**6] * 64
+
+
+def test_parse_tiff_meta_edges(spark):
+    """Truncation honesty: IFD pointer past EOF keeps format with NULL
+    fields; IFD truncated mid-entry reports what was reachable; wrong
+    magic number is 'unknown'; SHORT vs LONG value justification is
+    endian-correct (MM SHORT value must NOT read as its LONG form)."""
+    from logverzcore_spark.operators.multimodal import parse_tiff_meta
+
+    mm_short = (  # MM, IFD@8, 1 entry: width SHORT 0x0102 left-justified
+        b"MM" + (42).to_bytes(2, "big") + (8).to_bytes(4, "big")
+        + (1).to_bytes(2, "big")
+        + (0x0100).to_bytes(2, "big") + (3).to_bytes(2, "big")
+        + (1).to_bytes(4, "big") + (0x0102).to_bytes(2, "big") + b"\x00\x00"
+        + (0).to_bytes(4, "big")
+    )
+    rows = [
+        (1, b"II" + (42).to_bytes(2, "little") + (9999).to_bytes(4, "little")),
+        (2, mm_short[:14]),      # dies mid-first-entry
+        (3, b"II" + (43).to_bytes(2, "little") + (8).to_bytes(4, "little")),
+        (4, mm_short),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in parse_tiff_meta(df).collect()}
+    assert out[1]["format"] == "tiff" and out[1]["n_ifd_entries"] is None
+    assert out[2]["format"] == "tiff" and out[2]["n_ifd_entries"] == 1
+    assert out[2]["width"] is None
+    assert out[3]["format"] == "unknown"
+    assert out[4]["width"] == 0x0102  # not 0x01020000

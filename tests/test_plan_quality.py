@@ -222,6 +222,7 @@ def _n_exchanges(fmt: str) -> int:
         "m13_mp4_box_walk",
         "m14_raster_decode",
         "m15_audio_container_probe",
+        "m16_tiff_ifd_probe",
         "t33_html_extract",
         "t34_line_dedupe",
         "t35_prepare_text_pipeline",
