@@ -1566,3 +1566,40 @@ def kmeans_refine(
         out_rows, "cell int, dim int, c bigint, n_members bigint, inertia bigint"
     )
     return cur, out
+
+
+def retrieval_metrics(pred: DataFrame, truth: DataFrame, k: int = 5) -> DataFrame:
+    """Per-query retrieval quality of an ANN result against the exact
+    baseline — the eval harness that turns "recall 0.78" from a pytest
+    constant into a first-class queryable table (tune nprobe/bands on
+    the real corpus, monitor drift after index appends).
+
+    ``pred`` and ``truth`` both carry (query_id, neighbor_id, rank) —
+    any pair of this module's top-k outputs composes. Relevant set =
+    truth's top-``k``. Both inputs are nq x k rows by construction, so
+    the truth side broadcasts and the single groupBy touches nq rows —
+    cost is independent of corpus size (the expensive part already
+    happened inside the two retrieval runs).
+
+    Returns (query_id, n_hits, recall_at_k, mrr): hit count against the
+    relevant set, recall@k, and the reciprocal rank of the FIRST
+    relevant prediction (0.0 when none hit)."""
+    p = pred.select("query_id", "neighbor_id", F.col("rank").alias("_pr"))
+    t = (
+        truth.where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.lit(1).alias("_rel"))
+    )
+    j = p.join(F.broadcast(t), ["query_id", "neighbor_id"], "left")
+    return j.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("_rel"), F.lit(0))).cast("int").alias("n_hits"),
+        F.round(
+            F.sum(F.coalesce(F.col("_rel"), F.lit(0))) / F.lit(float(k)), 6
+        ).alias("recall_at_k"),
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / F.min(F.when(F.col("_rel") == 1, F.col("_pr"))),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("mrr"),
+    )

@@ -469,3 +469,52 @@ def s13_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     _, stats = similarity.kmeans_refine(emb, _s13_grid(), iters=3)
     return stats
+
+
+def _s14_oracle() -> str:
+    truth = """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), n AS (
+      SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
+      FROM n q JOIN n c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 20
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5
+    """
+    return f"""
+    SELECT p.query_id,
+           CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS INTEGER) AS n_hits,
+           ROUND(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / 5.0, 6) AS recall_at_k,
+           ROUND(COALESCE(1.0 / MIN(CASE WHEN t.neighbor_id IS NOT NULL
+                                         THEN p.rank END), 0.0), 6) AS mrr
+    FROM ({_s02b_oracle()}) p
+    LEFT JOIN ({truth}) t
+      ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+    GROUP BY p.query_id
+    """
+
+
+@query("s14_retrieval_metrics", oracle=_s14_oracle())
+def s14_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN eval harness (similarity.retrieval_metrics): per-query
+    recall@5 and MRR of the portable LSH retrieval (s02b) against the
+    exact cosine baseline (s01) — the oracle replays BOTH retrievals in
+    SQL and recomputes the metrics, so the entry hash-verifies the eval
+    itself, not just the retrievals. Inputs are nq x k; the truth side
+    broadcasts; cost is corpus-size-independent."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 20)
+    pred = similarity.lsh_topk(emb, qs, k=5, dim=64)
+    truth = similarity.cosine_topk(emb, qs, k=5)
+    return similarity.retrieval_metrics(pred, truth, k=5)

@@ -1493,3 +1493,25 @@ def test_parse_tiff_meta_edges(spark):
     assert out[2]["width"] is None
     assert out[3]["format"] == "unknown"
     assert out[4]["width"] == 0x0102  # not 0x01020000
+
+
+def test_retrieval_metrics_known_values(spark):
+    """Hand-checkable metrics: pred hits 2/3 relevant with first hit at
+    rank 2 -> recall 2/3·(k=3), mrr 0.5; a query with zero hits scores
+    0; perfect prediction scores 1.0/1.0."""
+    mk = lambda rows: spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, rank int"
+    )
+    truth = mk([(1, 10, 1), (1, 11, 2), (1, 12, 3),
+                (2, 20, 1), (2, 21, 2), (2, 22, 3),
+                (3, 30, 1), (3, 31, 2), (3, 32, 3)])
+    pred = mk([(1, 99, 1), (1, 11, 2), (1, 12, 3),   # 2 hits, first @2
+               (2, 98, 1), (2, 97, 2), (2, 96, 3),   # 0 hits
+               (3, 30, 1), (3, 31, 2), (3, 32, 3)])  # perfect
+    got = {r["query_id"]: r for r in
+           similarity.retrieval_metrics(pred, truth, k=3).collect()}
+    assert got[1]["n_hits"] == 2 and abs(got[1]["recall_at_k"] - 2/3) < 1e-6
+    assert got[1]["mrr"] == 0.5
+    assert got[2]["n_hits"] == 0 and got[2]["recall_at_k"] == 0.0
+    assert got[2]["mrr"] == 0.0
+    assert got[3]["recall_at_k"] == 1.0 and got[3]["mrr"] == 1.0
