@@ -130,12 +130,17 @@ def make_fold(spark: SparkSession, rollup_table: str, ts_col: str = "ts"):
         # The merged frame reads the same partitions it overwrites: break
         # the read-modify-write cycle before the write clobbers its input.
         merged = merged.localCheckpoint(eager=True)
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             merged.write.mode("overwrite").insertInto(rollup_table)
         finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            # restore EXACTLY: re-pinning an unset conf is session-conf
+            # drift the parity gate rejects
+            if prev is None:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         _record_applied_batch(spark, meta_table, batch_id)
 
     return fold

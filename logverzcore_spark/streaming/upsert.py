@@ -98,12 +98,17 @@ def make_upsert_fold(
         ).drop("_src")
         merged = merged.repartition(F.col(BUCKET_COL))  # one file per bucket
         merged = merged.localCheckpoint(eager=True)  # break read-overwrite cycle
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             merged.write.mode("overwrite").insertInto(table)
         finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            # restore EXACTLY: re-pinning an unset conf is session-conf
+            # drift the parity gate rejects
+            if prev is None:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         _record_applied_batch(spark, meta_table, batch_id)
 
     return fold
@@ -134,4 +139,162 @@ def upsert_stream(
     return writer.start()
 
 
-__all__ = ["upsert_stream", "make_upsert_fold", "BUCKET_COL"]
+def make_scd2_fold(
+    spark: SparkSession,
+    table: str,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    tie_col: str,
+    n_buckets: int = 32,
+):
+    """Incremental Type-2 SCD maintenance — the streaming sibling of the
+    batch ``eventops.scd2_history`` (suite:q114), as a per-micro-batch
+    closure over a bucket-partitioned history table (upsert.py's
+    touched-partition mechanics, applied to versioned history instead of
+    latest-wins).
+
+    Per batch: load ONLY the touched buckets; keys not in the batch pass
+    through untouched; for batch keys, closed versions are immutable and
+    carried as-is, while each OPEN version is re-expressed as a seed
+    observation and re-folded together with the batch's observations
+    through the same scd2 window logic — a leading re-assertion
+    collapses into the seed (the open row survives), a change closes it
+    and appends versions numbered from the seed's version. One dynamic
+    partition overwrite of the touched buckets.
+
+    Contracts (documented, pytest-pinned): observations must arrive in
+    event-time order ACROSS batches (the CDC log shape) — a batch row
+    older than a key's open version is late data, counted out and
+    dropped (retro-edits take the batch rebuild path); replay safety
+    comes from the meta marker (an SCD2 re-fold of an already-applied
+    batch is NOT idempotent, unlike latest-wins upsert — same residual
+    plain-parquet window as rollup.py, closed by a transactional
+    format)."""
+    from logverzcore_spark.operators.eventops import scd2_history
+
+    meta_table = f"{table}_meta"
+    obs_cols = [key_col, *attr_cols, ts_col, tie_col]
+
+    def _with_bucket(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            BUCKET_COL, F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+        )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _last_applied_batch(spark, meta_table):
+            return
+        obs = batch_df.select(*obs_cols)
+        if not spark.catalog.tableExists(table):
+            hist = scd2_history(
+                obs, key_col=key_col, ts_col=ts_col, attr_cols=attr_cols,
+                tie_col=tie_col,
+            )
+            _with_bucket(hist).repartition(F.col(BUCKET_COL)).write.partitionBy(
+                BUCKET_COL
+            ).saveAsTable(table)
+            _record_applied_batch(spark, meta_table, batch_id)
+            return
+        batch = _with_bucket(obs)
+        touched = [r[BUCKET_COL] for r in batch.select(BUCKET_COL).distinct().collect()]
+        if not touched:
+            _record_applied_batch(spark, meta_table, batch_id)
+            return
+        existing = spark.table(table).where(F.col(BUCKET_COL).isin(touched))
+        batch_keys = batch.select(key_col).distinct()
+        affected = existing.join(batch_keys, key_col, "semi")
+        bystander = existing.join(batch_keys, key_col, "anti")
+        closed = affected.where(~F.col("is_current"))
+        seed = affected.where("is_current").select(
+            F.col(key_col), *[F.col(a) for a in attr_cols],
+            F.col("valid_from").alias(ts_col),
+            F.col("version").alias("_seed_version"),
+        )
+        # late-data gate: a batch obs older than the open version breaks
+        # the append-only contract — drop it (retro-edits rebuild in batch)
+        seed_ts = seed.select(
+            F.col(key_col), F.col(ts_col).alias("_open_ts"),
+            F.col("_seed_version"),
+        )
+        gated = (
+            batch.join(seed_ts, key_col, "left")
+            .where(F.col("_open_ts").isNull() | (F.col(ts_col) >= F.col("_open_ts")))
+        )
+        combined = (
+            seed.withColumn("_ord", F.lit(0))
+            .withColumn("_tiev", F.lit(None).cast("long"))
+            .select(
+                key_col, *attr_cols, ts_col,
+                F.struct("_ord", "_tiev").alias("_tie"),
+            )
+            .unionByName(
+                gated.select(
+                    key_col, *attr_cols, ts_col,
+                    F.struct(
+                        F.lit(1).alias("_ord"),
+                        F.col(tie_col).cast("long").alias("_tiev"),
+                    ).alias("_tie"),
+                )
+            )
+        )
+        refold = scd2_history(
+            combined, key_col=key_col, ts_col=ts_col, attr_cols=attr_cols,
+            tie_col="_tie",
+        ).join(
+            seed_ts.select(key_col, "_seed_version"), key_col, "left"
+        ).withColumn(
+            "version",
+            (F.col("version") + F.coalesce(F.col("_seed_version") - 1, F.lit(0)))
+            .cast("int"),
+        ).drop("_seed_version")
+        out_cols = [key_col, *attr_cols, "valid_from", "valid_to", "is_current",
+                    "version"]
+        merged = _with_bucket(
+            closed.select(*out_cols).unionByName(refold.select(*out_cols))
+            .unionByName(bystander.select(*out_cols))
+        )
+        merged = merged.repartition(F.col(BUCKET_COL)).localCheckpoint(eager=True)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").insertInto(table)
+        finally:
+            # restore EXACTLY: re-pinning an unset conf is session-conf
+            # drift the parity gate rejects
+            if prev is None:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        _record_applied_batch(spark, meta_table, batch_id)
+
+    return fold
+
+
+def scd2_stream(
+    spark: SparkSession,
+    change_stream: DataFrame,
+    table: str,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    tie_col: str,
+    n_buckets: int = 32,
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Maintain ``table`` as the full Type-2 history of an in-order
+    change stream (see ``make_scd2_fold``)."""
+    fold = make_scd2_fold(
+        spark, table, key_col, ts_col, attr_cols, tie_col, n_buckets
+    )
+    checkpoint = checkpoint_dir or os.path.join(
+        tempfile.gettempdir(), f"lvz_scd2_{uuid.uuid4().hex[:8]}"
+    )
+    return (
+        change_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+__all__ = ["upsert_stream", "make_upsert_fold", "make_scd2_fold", "scd2_stream", "BUCKET_COL"]

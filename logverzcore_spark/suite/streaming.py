@@ -965,3 +965,95 @@ def st24_stream_compacted_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@query(
+    "st25_streaming_scd2",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events
+    ), ch AS (
+      SELECT * FROM o WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+    ), v AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS INTEGER) AS version
+      FROM ch
+    )
+    SELECT user_id, event_type, valid_from, valid_to,
+           valid_to IS NULL AS is_current, version
+    FROM v
+    """,
+)
+def st25_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance (upsert.make_scd2_fold): the events
+    log staged as 4 event-time-ordered files drains one-per-micro-batch
+    into a bucket-partitioned history table — each batch re-folds ONLY
+    its keys' open versions with the new observations (closed versions
+    immutable, touched buckets dynamically overwritten) — and the final
+    table must hash-match the BATCH scd2 oracle (q114's SQL): a version
+    split wrong at a batch boundary, a collapse missed against a seed,
+    or a mis-numbered continuation breaks the hash. Late-data gate and
+    replay-marker semantics are pytest-driven on the fold directly."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.streaming import upsert as _ups
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    run = _uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix=f"st25_{run}_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    table = f"st25_scd2_{run}"
+    try:
+        n_files = 4
+        total = ev.count()
+        chunk = (total + n_files - 1) // n_files
+        w = Window.orderBy("ts", "event_id")
+        ranked = ev.withColumn("_rn", F.row_number().over(w) - 1)
+        t0 = 1_700_000_000
+        for i in range(n_files):
+            part = ranked.where(
+                (F.col("_rn") >= i * chunk) & (F.col("_rn") < (i + 1) * chunk)
+            ).drop("_rn")
+            tmp = os.path.join(base, f"w{i}")
+            part.coalesce(1).write.parquet(tmp)
+            pf = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+            dst = os.path.join(src, f"chunk-{i:02d}.parquet")
+            shutil.move(os.path.join(tmp, pf), dst)
+            os.utime(dst, (t0 + i * 10, t0 + i * 10))  # mod-time order = event order
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = _ups.scd2_stream(
+            spark, stream, table,
+            key_col="user_id", ts_col="ts", attr_cols=["event_type"],
+            tie_col="event_id",
+            checkpoint_dir=os.path.join(base, "ck"),
+        )
+        q.awaitTermination()
+        out = (
+            spark.table(table)
+            .select("user_id", "event_type", "valid_from", "valid_to",
+                    "is_current", "version")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for t in (table, f"{table}_meta"):
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass
+        shutil.rmtree(base, ignore_errors=True)
+    return out

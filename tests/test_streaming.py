@@ -315,3 +315,43 @@ def test_docs_stream_handles_directory_shaped_documents(spark, tmpdir_path):
     dirshape = st21_streaming_quota_cap(spark, repl).collect()
     key = lambda r: (r["source"], r["source_rank"], r["doc_id"])
     assert sorted(dirshape, key=key) == sorted(single, key=key)
+
+
+def test_scd2_fold_contracts(spark):
+    """Driven through the fold directly: cross-batch version continuation
+    with seed collapse; late (pre-open-version) observations dropped;
+    replayed batch id is a no-op; bystander keys in touched buckets
+    survive untouched."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.streaming.upsert import make_scd2_fold
+
+    table = f"t_scd2_{uuid.uuid4().hex[:8]}"
+    fold = make_scd2_fold(
+        spark, table, key_col="k", ts_col="ts", attr_cols=["state"],
+        tie_col="eid", n_buckets=4,
+    )
+    mk = lambda rows: spark.createDataFrame(
+        rows, "eid long, k long, state string"
+    ).withColumn("ts", F.col("eid").cast("timestamp"))
+    try:
+        fold(mk([(1, 7, "a"), (2, 7, "b"), (3, 8, "x")]), 0)
+        # batch 1: leading re-assertion of 7's open 'b' collapses; then
+        # change to 'c' -> version 3; key 8 untouched this batch
+        fold(mk([(4, 7, "b"), (5, 7, "c")]), 1)
+        hist = {(r["k"], r["version"]): r for r in spark.table(table).collect()}
+        assert len(hist) == 4
+        assert hist[(7, 2)]["state"] == "b" and hist[(7, 2)]["valid_to"] is not None
+        assert hist[(7, 3)]["state"] == "c" and hist[(7, 3)]["is_current"]
+        assert hist[(8, 1)]["state"] == "x" and hist[(8, 1)]["is_current"]
+        # late data: eid/ts 0 predates 7's open version -> dropped
+        fold(mk([(0, 7, "z")]), 2)
+        assert spark.table(table).where("k = 7").count() == 3
+        # replayed batch id: no-op even with new-looking rows
+        fold(mk([(9, 7, "q")]), 1)
+        assert spark.table(table).where("k = 7").count() == 3
+    finally:
+        for t in (table, f"{table}_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
