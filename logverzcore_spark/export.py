@@ -394,6 +394,9 @@ def compact_files(
         return out
 
     before = _parts(path)
+    if not before:  # nothing to compact (empty or foreign dir): no-op
+        return {"files_before": 0, "files_after": 0, "bytes_before": 0,
+                "bytes_after": 0, "n_target_files": 0}
     bytes_before = sum(sz for _, sz in before)
     n_out = max(1, math.ceil(bytes_before / target_file_bytes))
     df = spark.read.parquet(path)

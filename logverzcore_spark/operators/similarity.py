@@ -1499,6 +1499,8 @@ def kmeans_refine(
     """
     import math as _math
 
+    if iters < 1:
+        raise ValueError("kmeans_refine: iters must be >= 1")
     n_cells = len(centroids_grid)
     dim = len(centroids_grid[0])
     q = corpus.select(

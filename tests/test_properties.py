@@ -296,3 +296,51 @@ def test_interpolation_lerp_is_exact_integer_math(spark, a, b, span, off):
         F.expr("(a*(nh - h) + b*(h - ph)) div (nh - ph)").alias("v")
     ).first()["v"]
     assert got == (a * (span - off) + b * off) // span
+
+
+@FAST
+@given(
+    obs=st.lists(
+        st.tuples(st.integers(0, 2), st.sampled_from(["a", "b", "c"])),
+        min_size=1, max_size=14,
+    ),
+    cuts=st.lists(st.integers(1, 13), max_size=3, unique=True),
+)
+def test_scd2_stream_fold_equals_batch(spark, obs, cuts):
+    """ANY in-order batch split of an observation log folds to the same
+    SCD2 history the batch build produces — versions, intervals, and
+    collapse behavior are batch-boundary-invariant."""
+    import uuid
+
+    from logverzcore_spark.operators.eventops import scd2_history
+    from logverzcore_spark.streaming.upsert import make_scd2_fold
+
+    rows = [(i + 1, k, s) for i, (k, s) in enumerate(obs)]
+    mk = lambda rs: spark.createDataFrame(
+        rs, "eid long, k long, state string"
+    ).withColumn("ts", F.col("eid").cast("timestamp"))
+    expected = sorted(
+        tuple(r) for r in scd2_history(
+            mk(rows), key_col="k", ts_col="ts", attr_cols=["state"], tie_col="eid"
+        ).collect()
+    )
+    table = f"t_scd2p_{uuid.uuid4().hex[:8]}"
+    fold = make_scd2_fold(
+        spark, table, key_col="k", ts_col="ts", attr_cols=["state"],
+        tie_col="eid", n_buckets=4,
+    )
+    bounds = [0] + sorted(c for c in cuts if c < len(rows)) + [len(rows)]
+    try:
+        for bi in range(len(bounds) - 1):
+            chunk = rows[bounds[bi]:bounds[bi + 1]]
+            if chunk:
+                fold(mk(chunk), bi)
+        got = sorted(
+            tuple(r) for r in spark.table(table)
+            .select("k", "state", "valid_from", "valid_to", "is_current", "version")
+            .collect()
+        )
+    finally:
+        for t in (table, f"{table}_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    assert got == expected
