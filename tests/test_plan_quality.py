@@ -187,6 +187,8 @@ def test_suite_global_plan_invariants(spark):
         "q82_important_parts",           # single-row global-revenue threshold join
         "q85_rolling_distinct_users",    # range join vs the broadcast day spine
         "q89_snapshot_diff",             # single-row midpoint-bounds broadcast join
+        "s12_mmr_rerank",       # candidate gen = s01's corpus x broadcast queries
+        "s14_retrieval_metrics",  # exact-baseline arm = s01's broadcast scan
     }
     streaming = {n for n in SUITE if n.startswith("st")}  # run eagerly; skip
     offenders = {}
