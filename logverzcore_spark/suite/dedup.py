@@ -435,3 +435,47 @@ def d17_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle counts, duplicated-fingerprint set broadcasts back."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.remove_duplicate_spans(docs, k=8)
+
+
+@query(
+    "d18_tfidf_cosine_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, u.t AS tok, COUNT(*) AS tf
+      FROM documents,
+           UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS u(t)
+      GROUP BY doc_id, u.t
+    ), freq AS (
+      SELECT tok, COUNT(*) AS df_ FROM tok GROUP BY tok
+    ), total AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), w AS (
+      SELECT t.doc_id, t.tok,
+             CAST(t.tf * floor(100 * total.n_docs / f.df_) AS BIGINT) AS w
+      FROM tok t JOIN freq f USING (tok), total
+      WHERE f.df_ <= 100
+    ), norms AS (
+      SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM w GROUP BY doc_id
+    ), scores AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+             CAST(SUM(a.w * b.w) AS BIGINT) AS dot_
+      FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.id1, s.id2,
+           ROUND(s.dot_ / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine
+    FROM scores s
+    JOIN norms na ON na.doc_id = s.id1
+    JOIN norms nb ON nb.doc_id = s.id2
+    WHERE ROUND(s.dot_ / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= 0.3
+    """,
+)
+def d18_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted all-pairs similarity (dedup.tfidf_cosine_pairs): exact
+    TF-IDF cosine over the inverted index with integer-exact weights
+    (tf x floor(100N/df) — no float anywhere until the single final
+    division), df-cut at 100 bounding both skew and join fan-out. The
+    oracle replays weights, dots, and norms in SQL; any drift in the
+    integer arithmetic or the df-cut breaks the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.tfidf_cosine_pairs(docs, threshold=0.3, max_df=100)

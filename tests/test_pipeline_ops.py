@@ -1515,3 +1515,24 @@ def test_retrieval_metrics_known_values(spark):
     assert got[2]["n_hits"] == 0 and got[2]["recall_at_k"] == 0.0
     assert got[2]["mrr"] == 0.0
     assert got[3]["recall_at_k"] == 1.0 and got[3]["mrr"] == 1.0
+
+
+def test_tfidf_cosine_pairs_weighting(spark):
+    """Discriminative overlap outranks bulk overlap: docs sharing a RARE
+    token score above docs sharing only ubiquitous tokens (which the
+    df-cut removes entirely); identical docs score 1.0."""
+    common = "the and of to in " * 3
+    rows = [
+        (1, common + "zygote"),
+        (2, common + "zygote"),
+        (3, common + "meiosis"),
+        (4, "unrelated totally different words here entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["id1"], r["id2"]): r["cosine"] for r in
+           dedup.tfidf_cosine_pairs(df, threshold=0.0, max_df=2).collect()}
+    # docs 1-2 share the rare 'zygote' (df=2 <= 2): identical weights
+    assert out[(1, 2)] == 1.0
+    # 1-3 share only the df-cut common tokens -> no surviving shared term
+    assert (1, 3) not in out
+    assert (1, 4) not in out
