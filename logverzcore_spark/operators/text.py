@@ -810,3 +810,36 @@ def dedupe_lines(
         F.size(lines).alias("n_lines"),
         F.size(kept).alias("n_kept"),
     )
+
+
+SENTENCE_REGEX = r"[^.!?]+(?:[.!?]+|$)"
+
+
+def segment_sentences(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic sentence segmentation — the grain between t28's
+    token windows and whole documents, for sentence-level filtering and
+    dedup (the C4 rules operate on lines; editorial corpora need
+    sentences). One engine-portable regex (``SENTENCE_REGEX``: runs of
+    non-terminators up to a terminator run or end-of-text — RE2-safe,
+    no lookbehind, so any SQL engine replays it) extracted once, then
+    posexploded in place with per-sentence token/char counts — pure
+    zero-exchange projections; a corpus-level sentence-dedup composes
+    this with d01's fingerprint shuffle.
+
+    Returns (id, sent_idx 0-based, sentence 〈trimmed〉, n_tokens,
+    n_chars); documents with no match (empty/terminator-only text)
+    contribute zero rows."""
+    sent = F.posexplode(
+        F.regexp_extract_all(F.col(text_col), F.lit(SENTENCE_REGEX), 0)
+    )
+    staged = df.select(F.col(id_col), sent.alias("sent_idx", "_raw"))
+    trimmed = F.trim(F.col("_raw"))
+    return staged.select(
+        id_col,
+        "sent_idx",
+        trimmed.alias("sentence"),
+        F.size(tokens(trimmed)).alias("n_tokens"),
+        F.length(trimmed).alias("n_chars"),
+    )

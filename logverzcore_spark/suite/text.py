@@ -1469,3 +1469,43 @@ def t35_prepare_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_email", "n_ip", "n_ssn", "n_phone", "n_pii",
         F.md5("clean").alias("clean_md5"),
     )
+
+
+@query(
+    "t36_sentence_segments",
+    oracle="""
+    WITH p AS (
+      -- documents.text is punctuation-free; stamp a terminator after
+      -- every 5th word (identical RE2 rewrite on both engines) so the
+      -- segmentation actually has sentence structure to find
+      SELECT doc_id,
+             regexp_replace(text, '((?:\\S+ ){4}\\S+) ', '\\1. ', 'g') AS text
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             generate_subscripts(sents, 1) - 1 AS sent_idx,
+             trim(unnest(sents)) AS sentence
+      FROM (
+        SELECT doc_id,
+               regexp_extract_all(text, '[^.!?]+(?:[.!?]+|$)') AS sents
+        FROM p
+      )
+    )
+    SELECT doc_id, CAST(sent_idx AS INTEGER) AS sent_idx, sentence,
+           CAST(len(list_filter(string_split(sentence, ' '), x -> x <> ''))
+                AS INTEGER) AS n_tokens,
+           CAST(length(sentence) AS INTEGER) AS n_chars
+    FROM s
+    """,
+)
+def t36_sentence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (text.segment_sentences): one RE2-portable
+    regex extraction posexploded in place with per-sentence counts —
+    zero exchanges; the oracle replays the identical pattern, so any
+    divergence in regex semantics or trim/count logic breaks the
+    hash."""
+    docs = _t(spark, sf_dir, "documents")
+    punct = docs.withColumn(
+        "text", F.regexp_replace("text", r"((?:\S+ ){4}\S+) ", r"$1. ")
+    )
+    return text.segment_sentences(punct)

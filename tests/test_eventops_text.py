@@ -508,3 +508,22 @@ def test_scd2_history_semantics(spark):
         out._jdf.queryExecution(), "formatted"
     ).split("== Initial Plan ==")[0]  # post-execution AQE repeats the tree
     assert len(re.findall(r"Exchange \(\d+\)", fmt)) == 1
+
+
+def test_segment_sentences_semantics(spark):
+    """Terminator runs close a sentence; trailing fragment kept;
+    terminator-only/empty docs contribute zero rows; counts match the
+    trimmed sentence."""
+    from logverzcore_spark.operators.text import segment_sentences
+
+    rows = [(1, "One two. Three!  Four five six"), (2, "..."), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = segment_sentences(df).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 2 not in by_doc and 3 not in by_doc
+    s = sorted(by_doc[1], key=lambda r: r["sent_idx"])
+    assert [r["sentence"] for r in s] == ["One two.", "Three!", "Four five six"]
+    assert [r["n_tokens"] for r in s] == [2, 1, 3]
+    assert s[0]["n_chars"] == len("One two.")

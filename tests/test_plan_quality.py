@@ -228,6 +228,7 @@ def _n_exchanges(fmt: str) -> int:
         "t33_html_extract",
         "t34_line_dedupe",
         "t35_prepare_text_pipeline",
+        "t36_sentence_segments",
     ],
 )
 def test_per_row_ops_have_zero_exchanges(spark, name):
