@@ -479,3 +479,62 @@ def d18_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic or the df-cut breaks the hash."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.tfidf_cosine_pairs(docs, threshold=0.3, max_df=100)
+
+
+def _d19_oracle() -> str:
+    return """
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, u.t AS tokn, COUNT(*) AS tf
+      FROM documents,
+           UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS u(t)
+      GROUP BY doc_id, u.t
+    ), freq AS (
+      SELECT tokn, COUNT(*) AS df_ FROM tok GROUP BY tokn
+    ), total AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), w AS (
+      SELECT t.doc_id, t.tokn,
+             CAST(t.tf * floor(100 * total.n_docs / f.df_) AS BIGINT) AS w
+      FROM tok t JOIN freq f USING (tokn), total
+      WHERE f.df_ <= 100
+    ), norms AS (
+      SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM w GROUP BY doc_id
+    ), scores AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+             CAST(SUM(a.w * b.w) AS BIGINT) AS dot_
+      FROM w a JOIN w b ON a.tokn = b.tokn AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT s.id1, s.id2
+      FROM scores s
+      JOIN norms na ON na.doc_id = s.id1
+      JOIN norms nb ON nb.doc_id = s.id2
+      WHERE ROUND(s.dot_ / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= 0.5
+    ), edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs UNION ALL SELECT id2, id1 FROM pairs
+    ), reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ), labels AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
+      FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, cluster_id, doc_id = cluster_id AS is_rep FROM labels
+    """
+
+
+@query("d19_tfidf_dup_clusters", oracle=_d19_oracle())
+def d19_tfidf_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted near-dup clustering: d18's exact TF-IDF cosine pairs
+    (threshold 0.5) folded into connected components by the same
+    min-label propagation d07 uses — transitivity over DISCRIMINATIVE-
+    token evidence instead of raw shingle overlap. Oracle = the full
+    integer-exact pair replay + recursive-CTE reachability."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.tfidf_cosine_pairs(docs, threshold=0.5, max_df=100).select(
+        "id1", "id2"
+    )
+    return dedup.dup_clusters(docs, pairs)
