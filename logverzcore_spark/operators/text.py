@@ -843,3 +843,58 @@ def segment_sentences(
         F.size(tokens(trimmed)).alias("n_tokens"),
         F.length(trimmed).alias("n_chars"),
     )
+
+
+def hashed_embedding(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashing (hashing-trick) document embeddings — a dense
+    ``dim``-component count vector from nothing but the text: each token
+    folds into component ``md5(token) % dim``. The model-free bridge
+    between the text family and every embedding operator in this repo
+    (cosine top-k, LSH/IVF, k-means refine, semantic dedup all accept
+    the output), and the standard first trick when 100 TB of text needs
+    SOME vector space before a learned model exists (Weinberger et al.,
+    "Feature Hashing for Large Scale Multitask Learning", ICML'09).
+
+    md5 — not xxhash/murmur — so ANY engine reproduces the fold
+    (the repo's portable-hash house rule, t15's shard assignment).
+    Components are raw token counts (integer-exact, order-independent);
+    normalize downstream if cosine geometry wants it (the cosine ops
+    normalize internally).
+
+    One shuffle (doc_id x component partial-agg rides map-side combine);
+    the in-row alternative (fold tokens per row) avoids even that but
+    loses the partial-agg dedup of repeated tokens — at web-corpus tf
+    distributions the agg path shuffles less. Returns (id, embedding
+    array<double> of length ``dim``)."""
+    comp = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+            ).alias("tok"),
+        )
+        .select(
+            id_col,
+            F.pmod(
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"),
+                F.lit(dim),
+            ).alias("_c"),
+        )
+        .groupBy(id_col, "_c")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    filled = comp.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("_c", "_n"))).alias("_m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i.cast("long")), F.lit(0)).cast(
+            "double"
+        ),
+    )
+    return filled.select(F.col(id_col), vec.alias("embedding"))

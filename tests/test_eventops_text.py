@@ -527,3 +527,26 @@ def test_segment_sentences_semantics(spark):
     assert [r["sentence"] for r in s] == ["One two.", "Three!", "Four five six"]
     assert [r["n_tokens"] for r in s] == [2, 1, 3]
     assert s[0]["n_chars"] == len("One two.")
+
+
+def test_hashed_embedding_bridges_to_ann(spark):
+    """The hashing-trick vectors plug straight into the similarity
+    family: near-identical docs land closer (cosine) than unrelated
+    docs; components are exact token counts (sum == token count)."""
+    from logverzcore_spark.operators import similarity
+    from logverzcore_spark.operators.text import hashed_embedding
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),   # 7/8 shared
+        (3, "one two three four five six seven eight"),        # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = hashed_embedding(df, dim=32).withColumnRenamed("doc_id", "vec_id")
+    top = similarity.cosine_topk(emb, emb.where("vec_id = 1"), k=2)
+    got = [r["neighbor_id"] for r in top.orderBy("rank").collect()]
+    assert got[0] == 2  # near-duplicate ranks first
+    sums = {r["vec_id"]: r["s"] for r in
+            emb.select("vec_id", F.aggregate("embedding", F.lit(0.0),
+                                             lambda a, x: a + x).alias("s")).collect()}
+    assert sums == {1: 8.0, 2: 8.0, 3: 8.0}
