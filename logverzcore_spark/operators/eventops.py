@@ -182,3 +182,46 @@ def scd2_history(
             "version",
         )
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Time-weighted average over IRREGULARLY sampled values — the
+    correct mean for gauge-style series (a value holds until the next
+    observation), where the arithmetic mean over-weights bursts. Each
+    observation carries its value for ``dt = next_ts - ts``; a key's
+    last observation has no interval and drops out (the standard
+    half-open convention); single-observation keys report NULL.
+
+    Cross-engine exactness (the house cents pattern): values quantize
+    to integer cents, intervals to integer MILLISECONDS (microsecond
+    arithmetic would overflow the 2^63 product bound on month-long
+    gaps), so the weighted sum is an exact BIGINT under any aggregation
+    order and the one final division is identical IEEE everywhere.
+    Bound: cents·ms products need value·10^2 · gap_ms · rows_per_key
+    < 2^63 — safe by ~4 orders for year-long logs at these magnitudes.
+
+    One key shuffle; the interval lead rides a single window sort.
+    Returns (key, n_intervals, total_ms, twa 6dp)."""
+    order = [F.col(ts_col)] + ([F.col(tie_col)] if tie_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    dt_ms = (
+        (F.unix_micros(F.lead(ts_col).over(w)) - F.unix_micros(F.col(ts_col)))
+        / 1000
+    ).cast("long")
+    staged = df.select(
+        F.col(key_col), cents.alias("_c"), dt_ms.alias("_dt")
+    ).where(F.col("_dt").isNotNull())
+    return staged.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_intervals"),
+        F.sum("_dt").alias("total_ms"),
+        F.round(
+            F.sum(F.col("_c") * F.col("_dt")) / (F.lit(100.0) * F.sum("_dt")), 6
+        ).alias("twa"),
+    )

@@ -3918,3 +3918,35 @@ def q114_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, key_col="user_id", ts_col="ts", attr_cols=["event_type"],
         tie_col="event_id",
     )
+
+
+@query(
+    "q115_time_weighted_avg",
+    oracle="""
+    WITH o AS (
+      SELECT user_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+             (epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id))
+              - epoch_us(ts)) // 1000 AS dt
+      FROM events
+    )
+    SELECT user_id, CAST(COUNT(*) AS INTEGER) AS n_intervals,
+           CAST(SUM(dt) AS BIGINT) AS total_ms,
+           ROUND(SUM(c * dt) / (100.0 * SUM(dt)), 6) AS twa
+    FROM o WHERE dt IS NOT NULL GROUP BY user_id
+    """,
+)
+def q115_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over irregular samples
+    (eventops.time_weighted_avg): gauge semantics — each value holds
+    until the user's next event; weighted sums are exact BIGINTs
+    (integer cents x integer milliseconds, any aggregation order), one
+    final IEEE division. One key shuffle, interval lead on a single
+    window sort."""
+    from logverzcore_spark.operators import eventops
+
+    ev = _t(spark, sf_dir, "events")
+    return eventops.time_weighted_avg(
+        ev, key_col="user_id", ts_col="ts", value_col="value", tie_col="event_id"
+    )

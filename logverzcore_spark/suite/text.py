@@ -1545,3 +1545,53 @@ def t37_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode("embedding").alias("dim", "value"),
     )
+
+
+@query(
+    "t38_corpus_datasheet",
+    oracle="""
+    WITH per AS (
+      SELECT doc_id, source, lang, n_chars,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_tokens,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    )
+    SELECT COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(n_tokens), 4) AS avg_tokens,
+           CAST(MAX(n_tokens) AS INTEGER) AS max_tokens,
+           ROUND(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6)
+             AS exact_dup_frac
+    FROM per
+    """,
+)
+def t38_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus datasheet ("Datasheets for Datasets", Gebru et
+    al.) — the summary a training run records next to its data: doc /
+    source / language counts, token volume, and the exact-duplicate
+    fraction via d01's normalization fingerprint. One scan, one
+    map-side-combined aggregate; every number restated by the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "source", "lang", "n_chars",
+        F.size(text.tokens(F.col("text"))).alias("n_tokens"),
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("fp"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("fp") / F.count(F.lit(1)), 6
+        ).alias("exact_dup_frac"),
+    )

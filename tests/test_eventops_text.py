@@ -550,3 +550,24 @@ def test_hashed_embedding_bridges_to_ann(spark):
             emb.select("vec_id", F.aggregate("embedding", F.lit(0.0),
                                              lambda a, x: a + x).alias("s")).collect()}
     assert sums == {1: 8.0, 2: 8.0, 3: 8.0}
+
+
+def test_time_weighted_avg_gauge_semantics(spark):
+    """Hand-checkable: value 10 held for 3s then 40 for 1s -> TWA 17.5;
+    the last observation carries no interval; single-observation keys
+    drop out entirely."""
+    from logverzcore_spark.operators.eventops import time_weighted_avg
+
+    rows = [
+        (1, 100, 0, 10.0), (2, 100, 3, 40.0), (3, 100, 4, 99.0),
+        (4, 200, 0, 7.0),  # single obs -> no interval -> no row
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, sec long, value double"
+    ).withColumn("ts", F.col("sec").cast("timestamp"))
+    out = {r["user_id"]: r for r in
+           time_weighted_avg(df, tie_col="event_id").collect()}
+    assert 200 not in out
+    assert out[100]["n_intervals"] == 2
+    assert out[100]["total_ms"] == 4000
+    assert out[100]["twa"] == (10.0 * 3000 + 40.0 * 1000) / 4000
