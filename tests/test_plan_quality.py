@@ -189,6 +189,8 @@ def test_suite_global_plan_invariants(spark):
         "q89_snapshot_diff",             # single-row midpoint-bounds broadcast join
         "s12_mmr_rerank",       # candidate gen = s01's corpus x broadcast queries
         "s14_retrieval_metrics",  # exact-baseline arm = s01's broadcast scan
+        "d18_tfidf_cosine_pairs",  # single-row corpus-count (N) broadcast join
+        "d19_tfidf_dup_clusters",  # same single-row N join inside d18's pairs
     }
     streaming = {n for n in SUITE if n.startswith("st")}  # run eagerly; skip
     offenders = {}
