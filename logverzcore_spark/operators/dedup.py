@@ -1217,3 +1217,146 @@ def tfidf_cosine_pairs(
         .select("id1", "id2", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered incremental dedup — the corpus-too-big-to-broadcast path
+# ---------------------------------------------------------------------------
+
+#: Second xxhash64 salt for Kirsch–Mitzenmacher double hashing. Any
+#: constant works; this one is arbitrary but FIXED so a persisted bloom
+#: built by one job is probed identically by every later job.
+_BLOOM_SALT = "logverz-bloom-h2"
+
+
+def bloom_parameters(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Classic Bloom sizing: ``m = ceil(-n ln p / ln(2)^2)`` bits (rounded
+    up to whole 64-bit words) and ``k = round(m/n ln 2)`` probes. At
+    n=10^9 corpus fingerprints and fpp=1% this is ~1.2 GB — broadcastable
+    where the exact fingerprint set (~30+ GB with ids) is not."""
+    import math
+
+    n = max(1, int(expected_items))
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    m = ((m + 63) // 64) * 64
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def _bloom_positions(col: Column, m_bits: int, k: int) -> list[Column]:
+    """The k bit positions for one value: double hashing
+    ``p_i = (h1 + i*h2) mod m`` with two independent xxhash64 streams.
+    Both mods are applied BEFORE the multiply-add so the arithmetic stays
+    inside bigint range under ANSI mode (i*h2 with raw 64-bit h2 would
+    overflow; ``i * (h2 mod m)`` is < k*m << 2^63)."""
+    h1 = F.pmod(F.xxhash64(col), F.lit(m_bits))
+    h2 = F.pmod(F.xxhash64(col, F.lit(_BLOOM_SALT)), F.lit(m_bits))
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)]
+
+
+def build_fp_bloom(
+    corpus_fps: DataFrame,
+    fp_col: str = "fp",
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+) -> dict:
+    """Compress a corpus fingerprint set into a Bloom filter, built
+    distributed: each row contributes its k (word, bit) pairs, one
+    explode + ``bit_or`` groupBy on the word index ORs them together,
+    and only the m/64 aggregated words come back to the driver — a
+    bounded-metadata collect (16 KiB at m=2^20; the corpus never does).
+
+    Spark's own runtime bloom (``spark.sql.optimizer.runtime.bloomFilter``)
+    rebuilds per query and its ``bloom_filter_agg`` is not a public
+    function; this one is a PERSISTED artifact — build once per corpus
+    epoch, store the word array next to the fingerprint table, and every
+    subsequent crawl batch probes it for free. Returns
+    ``{"words": list[int], "m_bits": int, "k": int, "n_items": int}``
+    (JSON-serializable on purpose).
+    """
+    n = expected_items if expected_items is not None else corpus_fps.count()
+    m_bits, k = bloom_parameters(n, fpp)
+    pos = _bloom_positions(F.col(fp_col), m_bits, k)
+    contrib = corpus_fps.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (p / 64).cast("int").alias("word"),
+                        # call_function: the F.shiftleft wrapper only takes a
+                        # Python-int shift amount, the SQL function takes a column
+                        F.call_function(
+                            "shiftleft", F.lit(1).cast("bigint"), (p % 64).cast("int")
+                        ).alias("mask"),
+                    )
+                    for p in pos
+                ]
+            )
+        ).alias("wm")
+    )
+    agg = (
+        contrib.select("wm.word", "wm.mask")
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in agg:
+        words[r["word"]] = r["bits"]
+    return {"words": words, "m_bits": m_bits, "k": k, "n_items": int(n)}
+
+
+def bloom_maybe_contains(bloom: dict, col: Column) -> Column:
+    """Boolean probe column: true iff ALL k bits for ``col`` are set —
+    i.e. "maybe in the corpus" (false positives at the configured fpp,
+    NEVER false negatives). Pure codegen shift/and arithmetic over a
+    literal word array; at very large m (>2^27 bits) ship the words as a
+    one-column table and check via a word-index join instead of a plan
+    literal."""
+    lit_words = F.array(*[F.lit(int(w)).cast("bigint") for w in bloom["words"]])
+    checks = []
+    for p in _bloom_positions(col, bloom["m_bits"], bloom["k"]):
+        word = F.element_at(lit_words, (p / 64).cast("int") + 1)
+        bit = (p % 64).cast("int")
+        # & 1, not % 2: shiftrightunsigned(word, 0) keeps a negative word
+        # negative and Spark's % follows the dividend sign (-odd % 2 = -1),
+        # which read every bit-0 probe of a sign-bit-set word as unset.
+        checks.append(
+            F.call_function("shiftrightunsigned", word, bit).bitwiseAND(F.lit(1)) == 1
+        )
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+def bloom_prefilter_dedup(
+    new_df: DataFrame,
+    corpus_fps: DataFrame,
+    bloom: dict | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fpp: float = 0.01,
+) -> DataFrame:
+    """``incremental_dedup`` for the corpus size where the fingerprint
+    set cannot broadcast: probe a Bloom filter of the corpus first, so
+    only the bloom-POSITIVE suspects (true duplicates + the fpp sliver
+    of false positives) ever reach the exact anti-join — in a fresh
+    crawl that is a tiny fraction of the batch, so the expensive join
+    shuffles almost nothing while the definite-new majority flows
+    through a zero-shuffle filter. Bloom false positives are removed by
+    the exact join and false negatives don't exist, so the output is
+    EXACTLY ``incremental_dedup``'s (hash-verified as suite d20).
+
+    ``bloom`` is a ``build_fp_bloom`` artifact; pass a persisted one to
+    skip the build (the production shape — built once per corpus epoch,
+    reused across every batch)."""
+    if bloom is None:
+        bloom = build_fp_bloom(corpus_fps, fpp=fpp)
+    fresh = exact_dedup(new_df, text_col=text_col, id_col=id_col)
+    maybe = bloom_maybe_contains(bloom, F.col("fp"))
+    definite_new = fresh.where(~maybe)
+    confirmed_new = fresh.where(maybe).join(
+        corpus_fps.select("fp"), "fp", "left_anti"
+    )
+    return definite_new.unionByName(confirmed_new)

@@ -317,6 +317,44 @@ def d13_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d20_bloom_incremental_dedup",
+    oracle="""
+    WITH fps AS (
+      SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, doc_id
+      FROM documents
+    ), corpus AS (
+      SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0
+    ), fresh AS (
+      SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies
+      FROM fps WHERE doc_id % 3 = 0 GROUP BY fp
+    )
+    SELECT f.fp, f.keep_id, f.n_copies
+    FROM fresh f LEFT JOIN corpus c ON f.fp = c.fp
+    WHERE c.fp IS NULL
+    """,
+)
+def d20_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup through a Bloom prefilter
+    (dedup.bloom_prefilter_dedup): the corpus fingerprint set is
+    compressed into a persisted-shape Bloom filter (built distributed,
+    only m/64 OR-folded words reach the driver), the batch probes it
+    with pure codegen shift/and arithmetic, and ONLY the bloom-positive
+    suspects reach the exact anti-join — the corpus-too-big-to-broadcast
+    path at 100 TB. Bloom false positives are removed by the exact join
+    and false negatives cannot exist, so the output is EXACTLY the
+    oracle's plain anti-join answer (hash-verified here). Overlapping
+    id slices (corpus = even doc_ids, batch = doc_ids % 3 == 0) force a
+    real duplicate population (~half the batch) through the suspect
+    branch."""
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    corpus = docs.where(F.col("doc_id") % 2 == 0).select(
+        dedup.fingerprint_md5(F.col("text")).alias("fp")
+    )
+    return dedup.bloom_prefilter_dedup(batch, corpus, fpp=0.01)
+
+
+@query(
     "d14_novelty_score",
     oracle="""
     WITH tok AS (

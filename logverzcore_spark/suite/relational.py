@@ -3950,3 +3950,130 @@ def q115_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eventops.time_weighted_avg(
         ev, key_col="user_id", ts_col="ts", value_col="value", tie_col="event_id"
     )
+
+
+@query(
+    "q116_bucketed_colocated_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lineitems,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 100 AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q116_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via bucketed storage — THE answer to
+    the repeated-big-join problem at 100 TB: both fact tables are written
+    ONCE bucketed (+ bucket-sorted) on the join key, and every subsequent
+    join on that key reads pre-partitioned buckets with ZERO exchange on
+    either side (pytest test_bucketed_tables_join_without_shuffle asserts
+    the plan carries no Exchange; here the oracle grades that the
+    bucketed copies' join answer is byte-identical to a plain join on the
+    source parquet). Broadcast is pinned off inside the entry (restored
+    after) so the graded plan is the sort-merge-on-buckets shape the big
+    ends of a real cluster would take; revenue is per-row-rounded integer
+    cents so any aggregation order hash-matches."""
+    import uuid as _uuid
+
+    tag = _uuid.uuid4().hex[:8]
+    t_orders, t_li = f"q116_orders_{tag}", f"q116_lineitem_{tag}"
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        (
+            orders.write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable(t_orders)
+        )
+        (
+            li.write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable(t_li)
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        cents = F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+        ).cast("bigint")
+        out = (
+            spark.table(t_orders)
+            .join(
+                spark.table(t_li),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_lineitems"),
+                F.countDistinct("o_orderkey").alias("n_orders"),
+                (F.sum(cents).cast("double") / 100).alias("revenue"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        if prev_bc is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_li}")
+    return out
+
+
+@query(
+    "q117_orc_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000
+             AS total_value,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events
+    WHERE event_id % 5 <> 0
+    GROUP BY event_type
+    """,
+)
+def q117_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second columnar storage format: events written to ORC (Spark's
+    built-in native ORC source), read back with a pushed predicate, and
+    profiled per type — the oracle grades the ORC copy against the
+    parquet source, so any value/type/timestamp mangled by the ORC
+    write/read path (timestamps are the classic casualty) breaks the
+    hash. The filter on the ORC scan verifies predicate pushdown works
+    on the second format too (asserted in pytest test_orc_scan_pushdown);
+    value sums are per-row-rounded integer units for order-independent
+    equality."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    ev = _t(spark, sf_dir, "events")
+    path = os.path.join(tempfile.gettempdir(), f"q117_orc_{_uuid.uuid4().hex[:8]}")
+    try:
+        ev.write.mode("overwrite").orc(path)
+        units = F.floor(F.col("value") * 10000 + 0.5).cast("bigint")
+        out = (
+            spark.read.orc(path)
+            .where(F.col("event_id") % 5 != 0)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                (F.sum(units).cast("double") / 10000).alias("total_value"),
+                F.min("ts").alias("first_ts"),
+                F.max("ts").alias("last_ts"),
+                F.min("event_id").alias("min_id"),
+                F.max("event_id").alias("max_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out

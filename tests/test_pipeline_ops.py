@@ -1536,3 +1536,69 @@ def test_tfidf_cosine_pairs_weighting(spark):
     # 1-3 share only the df-cut common tokens -> no surviving shared term
     assert (1, 3) not in out
     assert (1, 4) not in out
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered incremental dedup
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_bounded_fp_rate(spark):
+    """The two Bloom contracts: every inserted fingerprint probes
+    positive (no false negatives — the correctness-critical half), and
+    on a disjoint probe set the false-positive fraction stays near the
+    configured fpp (sanity on the sizing math, generous 5x headroom for
+    a 500-item sample)."""
+    ins = spark.range(0, 500).select(F.md5(F.col("id").cast("string")).alias("fp"))
+    probe = spark.range(10_000, 10_500).select(
+        F.md5(F.col("id").cast("string")).alias("fp")
+    )
+    bloom = dedup.build_fp_bloom(ins, fpp=0.01)
+    assert bloom["m_bits"] % 64 == 0 and len(bloom["words"]) == bloom["m_bits"] // 64
+    missed = ins.where(~dedup.bloom_maybe_contains(bloom, F.col("fp"))).count()
+    assert missed == 0
+    fps = probe.where(dedup.bloom_maybe_contains(bloom, F.col("fp"))).count()
+    assert fps <= 500 * 0.05, f"false-positive rate {fps/500} >> fpp 0.01"
+
+
+def test_bloom_prefilter_dedup_exact_even_when_bloom_saturated(spark):
+    """A deliberately undersized bloom (expected_items=4 for a 300-item
+    corpus) saturates and flags nearly EVERYTHING as a suspect — the
+    exact confirm join must still produce exactly incremental_dedup's
+    answer, proving false positives can never leak into the output."""
+    base = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc body "), (F.col("id") % 120).cast("string")).alias("text"),
+    )
+    batch = base.where(F.col("doc_id") % 3 == 0)
+    corpus = base.where(F.col("doc_id") % 2 == 0).select(
+        dedup.fingerprint_md5(F.col("text")).alias("fp")
+    )
+    tiny = dedup.build_fp_bloom(corpus, expected_items=4, fpp=0.01)
+    fresh = dedup.exact_dedup(batch)
+    suspects = fresh.where(dedup.bloom_maybe_contains(tiny, F.col("fp")))
+    # Saturated bloom: (nearly) every fresh fp reads as a suspect.
+    assert suspects.count() >= fresh.count() * 0.9
+    got = dedup.bloom_prefilter_dedup(batch, corpus, bloom=tiny)
+    want = dedup.incremental_dedup(batch, corpus)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_bloom_probe_is_codegen_and_definite_branch_joins_nothing(spark):
+    """Plan shape: the bloom probe is pure JVM expression work (no
+    Python eval nodes anywhere), and the definite-new branch of the
+    union is a join-free filter — only the suspect branch carries the
+    anti-join."""
+    base = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), (F.col("id") % 80).cast("string")).alias("text"),
+    )
+    batch = base.where(F.col("doc_id") % 3 == 0)
+    corpus = base.where(F.col("doc_id") % 2 == 0).select(
+        dedup.fingerprint_md5(F.col("text")).alias("fp")
+    )
+    bloom = dedup.build_fp_bloom(corpus, fpp=0.01)
+    out = dedup.bloom_prefilter_dedup(batch, corpus, bloom=bloom)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("LeftAnti") == 1  # exactly one branch joins

@@ -110,6 +110,24 @@ def test_sorted_write_prunes_row_groups(spark, tmpdir_path):
         spark.sql("DROP TABLE IF EXISTS t_sorted")
 
 
+def test_orc_scan_pushdown(spark, tmpdir_path):
+    """The second columnar format (q117) keeps the same scan hygiene as
+    parquet: predicates reach the ORC reader (PushedFilters) and the
+    projection prunes to the read schema."""
+    import os
+
+    path = os.path.join(tmpdir_path, "orc_t")
+    spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), F.lit("pad").alias("pad")
+    ).write.mode("overwrite").orc(path)
+    df = spark.read.orc(path).where(F.col("k") == 3).select("id", "k")
+    fmt = _plan(spark, df)
+    assert "Format: orc" in fmt or "orc" in fmt.lower()
+    assert "PushedFilters: [IsNotNull(k), EqualTo(k,3)]" in fmt
+    assert "pad" not in fmt.split("ReadSchema")[1].splitlines()[0]
+    assert df.count() == 143  # ids ≡ 3 (mod 7) in [0, 1000): 3, 10, …, 997
+
+
 def test_range_join_bounds_and_bucket_straddle(spark):
     from logverzcore_spark.operators.rangejoin import range_join
 
