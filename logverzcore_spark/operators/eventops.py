@@ -225,3 +225,88 @@ def time_weighted_avg(
             F.sum(F.col("_c") * F.col("_dt")) / (F.lit(100.0) * F.sum("_dt")), 6
         ).alias("twa"),
     )
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str | None = None,
+    n_ranges: int = 16,
+) -> DataFrame:
+    """Pareto frontier / 2-D skyline (minimize ``x``, maximize ``y``):
+    the points no other point strictly dominates. The naive shape is a
+    quadratic NOT-EXISTS self-join (the DuckDB oracle, fine at oracle
+    scale, fatal at 100 TB); in 2-D the frontier is exactly the points
+    whose y beats the running max over everything cheaper, so this is a
+    SORT + PREFIX-MAX, not a join.
+
+    The prefix-max is two-level so no single task scans all distinct x:
+    (1) collapse to one row per distinct x (hash shuffle, map-side
+    combined) keeping max-y and its (count, min-id) via one struct-max;
+    (2) range-partition by x into ``n_ranges`` ordered slices and take
+    the strictly-previous running max INSIDE each slice (parallel window
+    per slice); (3) each slice's total max — ``n_ranges`` rows, bounded
+    driver metadata — prefix-folds into per-slice offsets broadcast back
+    as a literal when-chain, so a row's global strict-prev max is
+    ``greatest(local_prev, offset[slice])``. Output: one row per
+    frontier point: (x, y, n_points[, min_id]).
+
+    Strict dominance: duplicates of a frontier point are all kept
+    (reported as one row with their count); a same-x-lower-y or
+    same-y-higher-x point is dominated and dropped."""
+    from pyspark.sql import Window
+
+    x, y = F.col(x_col), F.col(y_col)
+    per_xy = df.groupBy(x.alias("x"), y.alias("y")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        *([F.min(F.col(id_col)).alias("min_id")] if id_col else []),
+    )
+    tail = (["n_points"] + (["min_id"] if id_col else []))
+    per_x = (
+        per_xy.groupBy("x")
+        .agg(F.max(F.struct("y", *tail)).alias("_s"))
+        .select("x", "_s.y", *[f"_s.{c}" for c in tail])
+    )
+    # localCheckpoint PINS the slice assignment: the slice-max collect and
+    # the final filter must see the SAME partitioning, and a lazy
+    # repartitionByRange would re-sample boundaries on each evaluation.
+    ranged = (
+        per_x.repartitionByRange(n_ranges, "x")
+        .withColumn("_slice", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_prev = (
+        Window.partitionBy("_slice")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn("_local_prev", F.max("y").over(w_prev))
+    # Slice maxima: bounded (n_ranges rows) driver metadata, like the
+    # IVF centroid tables — never the data.
+    slice_max = {
+        r["_slice"]: r["m"]
+        for r in ranged.groupBy("_slice").agg(F.max("y").alias("m")).collect()
+    }
+    offsets: dict[int, float] = {}
+    best = None
+    for s in sorted(slice_max):
+        offsets[s] = best  # exclusive prefix: max over all EARLIER slices
+        best = slice_max[s] if best is None else max(best, slice_max[s])
+    off = None
+    for s in sorted(offsets):
+        if offsets[s] is None:
+            continue
+        cond = F.col("_slice") == s
+        off = F.when(cond, F.lit(offsets[s])) if off is None else off.when(
+            cond, F.lit(offsets[s])
+        )
+    global_prev = (
+        F.greatest(F.col("_local_prev"), off)
+        if off is not None
+        else F.col("_local_prev")
+    )
+    return (
+        local.where(global_prev.isNull() | (F.col("y") > global_prev))
+        .select("x", "y", *tail)
+    )

@@ -1086,3 +1086,135 @@ def parse_tiff_meta(
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, schema)
+
+
+def parse_jpeg_exif(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_scan_bytes: int = 65536,
+    max_entries: int = 64,
+) -> DataFrame:
+    """EXIF-in-JPEG: the composition the two walks above were built for —
+    walk the JPEG segment chain (parse_jpeg_meta's loop) to the APP1
+    segment carrying the ``Exif\\0\\0`` preamble, then run a TIFF IFD
+    walk (parse_tiff_meta's machinery) over the embedded TIFF block,
+    including the piece parse_tiff_meta doesn't need: OFFSET-VALUED
+    ASCII tags — Make (0x010F) and Model (0x0110) store a pointer into
+    the TIFF value area whenever the string (count) exceeds the 4-byte
+    inline field, with the offset relative to the TIFF header, not the
+    JPEG. Orientation (0x0112) is the usual left-justified SHORT.
+
+    Arrow ``mapInPandas`` like its parents (variable offsets at BOTH
+    levels), bounded to the header scan + ≤``max_entries`` records —
+    entropy-coded image data is never touched. A JPEG without an EXIF
+    APP1 reports format='jpeg' with NULL EXIF fields; non-JPEG bytes
+    report 'unknown'. Orientation is what a training pipeline actually
+    needs pre-decode: it decides the rotate in the (stubbed) decode
+    stage, and make/model power per-camera corpus datasheets."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("byte_order", T.StringType()),
+            T.StructField("orientation", T.IntegerType()),
+            T.StructField("make", T.StringType()),
+            T.StructField("model", T.StringType()),
+            T.StructField("has_exif_ifd", T.BooleanType()),
+        ]
+    )
+
+    def parse_tiff_block(t: bytes):
+        if len(t) < 8:
+            return (None, None, None, None, False)
+        bo = t[0:2]
+        if bo == b"II":
+            e = "little"
+        elif bo == b"MM":
+            e = "big"
+        else:
+            return (None, None, None, None, False)
+        if int.from_bytes(t[2:4], e) != 42:
+            return (None, None, None, None, False)
+
+        def ascii_at(p: int, count: int):
+            """Inline when count <= 4, else offset-valued; strip the
+            spec-mandated trailing NUL (and any padding NULs)."""
+            if count <= 4:
+                raw = t[p + 8 : p + 8 + count]
+            else:
+                off = int.from_bytes(t[p + 8 : p + 12], e)
+                if off + count > len(t):
+                    return None
+                raw = t[off : off + count]
+            return raw.rstrip(b"\x00").decode("ascii", "replace")
+
+        off = int.from_bytes(t[4:8], e)
+        if off + 2 > len(t):
+            return (bo.decode(), None, None, None, False)
+        n = int.from_bytes(t[off : off + 2], e)
+        orient = make = model = None
+        has_ifd = False
+        for i in range(min(n, max_entries)):
+            p = off + 2 + 12 * i
+            if p + 12 > len(t):
+                break
+            tag = int.from_bytes(t[p : p + 2], e)
+            typ = int.from_bytes(t[p + 2 : p + 4], e)
+            count = int.from_bytes(t[p + 4 : p + 8], e)
+            if tag == 0x0112 and typ == 3:
+                orient = int.from_bytes(t[p + 8 : p + 10], e)
+            elif tag == 0x010F and typ == 2:
+                make = ascii_at(p, count)
+            elif tag == 0x0110 and typ == 2:
+                model = ascii_at(p, count)
+            elif tag == 0x8769:
+                has_ifd = True
+        return (bo.decode(), orient, make, model, has_ifd)
+
+    def parse_one(b: bytes):
+        unknown = ("unknown", None, None, None, None, None)
+        if b is None or len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+            return unknown
+        i, limit = 2, min(len(b), max_scan_bytes)
+        while i + 4 <= limit:
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker == 0xFF:
+                i += 1
+                continue
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
+                i += 2
+                continue
+            if marker in (0xD9, 0xDA):
+                break
+            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            if seg_len < 2 or i + 2 + seg_len > len(b):
+                break
+            if marker == 0xE1 and b[i + 4 : i + 10] == b"Exif\x00\x00":
+                tiff = b[i + 10 : i + 2 + seg_len]
+                bo, orient, make, model, has_ifd = parse_tiff_block(tiff)
+                return ("jpeg-exif", bo, orient, make, model, has_ifd)
+            i += 2 + seg_len
+        return ("jpeg", None, None, None, None, None)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = [
+                parse_one(bytes(p) if p is not None else None)
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "format": [p[0] for p in parsed],
+                    "byte_order": [p[1] for p in parsed],
+                    "orientation": pd.array([p[2] for p in parsed], dtype="Int32"),
+                    "make": [p[3] for p in parsed],
+                    "model": [p[4] for p in parsed],
+                    "has_exif_ifd": pd.array([p[5] for p in parsed], dtype="boolean"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema)

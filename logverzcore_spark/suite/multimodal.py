@@ -900,3 +900,98 @@ def m16_tiff_ifd_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     payload = F.when(d % 4 == 3, F.encode("text", "UTF-8")).otherwise(F.unhex(header))
     return parse_tiff_meta(docs.select("doc_id", payload.alias("payload")))
+
+
+@query(
+    "m17_jpeg_exif_probe",
+    oracle="""
+    SELECT doc_id,
+      CASE WHEN doc_id % 4 = 3 THEN 'unknown'
+           WHEN doc_id % 5 = 4 THEN 'jpeg'
+           ELSE 'jpeg-exif' END AS format,
+      CASE WHEN doc_id % 4 <> 3 AND doc_id % 5 <> 4
+           THEN CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END
+      END AS byte_order,
+      CASE WHEN doc_id % 4 <> 3 AND doc_id % 5 <> 4
+           THEN CAST(1 + doc_id % 8 AS INTEGER) END AS orientation,
+      CASE WHEN doc_id % 4 <> 3 AND doc_id % 5 <> 4
+           THEN 'CAM' || CAST(doc_id % 7 AS VARCHAR) END AS make,
+      CASE WHEN doc_id % 4 <> 3 AND doc_id % 5 <> 4
+           THEN 'MDL-' || CAST(doc_id % 13 AS VARCHAR) END AS model,
+      CASE WHEN doc_id % 4 <> 3 AND doc_id % 5 <> 4
+           THEN doc_id % 3 = 0 END AS has_exif_ifd
+    FROM documents
+    """,
+)
+def m17_jpeg_exif_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF-in-JPEG probe (multimodal.parse_jpeg_exif): byte-exact JPEGs
+    built from doc_id — APP0 first on even docs, APP1 carrying an
+    ``Exif\\0\\0`` TIFF block in BOTH byte orders, Make/Model as
+    OFFSET-VALUED variable-length ASCII tags (the value area follows the
+    IFD, so every string length shift moves the offsets), Orientation a
+    left-justified SHORT, an EXIF sub-IFD pointer every third doc —
+    parsed back by the two-level walk; the oracle restates every field
+    arithmetically. Every fourth doc is junk ('unknown'); every fifth a
+    plain JPEG without EXIF ('jpeg' + NULLs). Any endian slip, segment
+    stride error, or offset-vs-inline confusion breaks the hash."""
+    from logverzcore_spark.operators.multimodal import parse_jpeg_exif
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    is_le = d % 2 == 0
+
+    def hx(col, nbytes: int):
+        return F.lpad(F.hex(col.cast("long")), nbytes * 2, "0")
+
+    def num(col, nbytes: int):
+        """TIFF-endian-aware hex of an integer field."""
+        be = hx(col, nbytes)
+        pairs = [F.substring(be, (nbytes - 1 - i) * 2 + 1, 2) for i in range(nbytes)]
+        le = F.concat(*pairs)
+        return F.when(is_le, le).otherwise(be)
+
+    make_s = F.concat(F.lit("CAM"), (d % 7).cast("string"))
+    model_s = F.concat(F.lit("MDL-"), (d % 13).cast("string"))
+    make_cnt = (F.length(make_s) + 1).cast("long")   # + trailing NUL
+    model_cnt = (F.length(model_s) + 1).cast("long")
+    orient = (1 + d % 8).cast("long")
+    with_exif = d % 3 == 0
+    n_entries = F.when(with_exif, 4).otherwise(3).cast("long")
+    val_base = (F.lit(10) + 12 * n_entries + 4).cast("long")
+    make_off = val_base
+    model_off = (val_base + make_cnt).cast("long")
+
+    def entry(tag: int, typ: int, count, value_field):
+        return F.concat(num(F.lit(tag), 2), num(F.lit(typ), 2), num(count, 4), value_field)
+
+    tiff = F.concat(
+        F.when(is_le, F.lit("4949")).otherwise(F.lit("4D4D")),
+        num(F.lit(42), 2),
+        num(F.lit(8), 4),
+        num(n_entries, 2),
+        entry(0x010F, 2, make_cnt, num(make_off, 4)),
+        entry(0x0110, 2, model_cnt, num(model_off, 4)),
+        entry(0x0112, 3, F.lit(1).cast("long"), F.concat(num(orient, 2), F.lit("0000"))),
+        F.when(
+            with_exif, entry(0x8769, 4, F.lit(1).cast("long"), num(F.lit(0x7FF0), 4))
+        ).otherwise(F.lit("")),
+        F.lit("00000000"),
+        F.hex(F.encode(make_s, "UTF-8")), F.lit("00"),
+        F.hex(F.encode(model_s, "UTF-8")), F.lit("00"),
+    )
+    tiff_bytes = (F.length(tiff) / 2).cast("long")
+    app0 = F.lit("FFE0" "0010" "4A4649460001020000480048" "0000")
+    sof0 = F.lit("FFC0" "000B" "08" "0010" "0010" "01" "011100")
+    app1 = F.concat(F.lit("FFE1"), hx(tiff_bytes + 8, 2), F.lit("457869660000"), tiff)
+    jpeg_exif = F.concat(
+        F.lit("FFD8"),
+        F.when(is_le, app0).otherwise(F.lit("")),
+        app1, sof0, F.lit("FFD9"),
+    )
+    jpeg_plain = F.concat(F.lit("FFD8"), app0, sof0, F.lit("FFD9"))
+    payload = (
+        F.when(d % 4 == 3, F.encode("text", "UTF-8"))
+        .when(d % 5 == 4, F.unhex(jpeg_plain))
+        .otherwise(F.unhex(jpeg_exif))
+    )
+    return parse_jpeg_exif(docs.select("doc_id", payload.alias("payload")))

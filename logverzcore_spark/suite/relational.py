@@ -4077,3 +4077,35 @@ def q117_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return out
+
+
+@query(
+    "q118_pareto_frontier",
+    oracle="""
+    WITH pts AS (
+      SELECT p_partkey, p_retailprice AS x, p_size AS y FROM part
+    )
+    SELECT x, y, COUNT(*) AS n_points, CAST(MIN(p_partkey) AS BIGINT) AS min_id
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.x <= p.x AND q.y >= p.y AND (q.x < p.x OR q.y > p.y)
+    )
+    GROUP BY x, y
+    """,
+)
+def q118_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier / 2-D skyline over parts — cheapest-price vs
+    largest-size non-dominated points (eventops.pareto_frontier_2d).
+    The oracle is the textbook quadratic NOT-EXISTS dominance self-join;
+    the Spark side computes the identical set as a distinct-x collapse +
+    two-level distributed prefix-max (range slices, per-slice running
+    max, n_ranges-row offset fold) — no self-join anywhere, the shape
+    that survives 100 TB. Strict dominance: co-located duplicates stay
+    (counted), same-price-smaller-size and same-size-higher-price drop."""
+    from logverzcore_spark.operators import eventops
+
+    part = _t(spark, sf_dir, "part")
+    return eventops.pareto_frontier_2d(
+        part, x_col="p_retailprice", y_col="p_size", id_col="p_partkey"
+    )

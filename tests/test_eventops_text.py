@@ -571,3 +571,53 @@ def test_time_weighted_avg_gauge_semantics(spark):
     assert out[100]["n_intervals"] == 2
     assert out[100]["total_ms"] == 4000
     assert out[100]["twa"] == (10.0 * 3000 + 40.0 * 1000) / 4000
+
+
+def _brute_frontier(pts):
+    """O(n^2) strict-dominance reference for pareto_frontier_2d."""
+    out = {}
+    for i, (x, y) in enumerate(pts):
+        if any(
+            qx <= x and qy >= y and (qx < x or qy > y) for (qx, qy) in pts
+        ):
+            continue
+        key = (x, y)
+        n, mid = out.get(key, (0, i))
+        out[key] = (n + 1, min(mid, i))
+    return {(x, y, n, mid) for (x, y), (n, mid) in out.items()}
+
+
+def test_pareto_frontier_matches_bruteforce_and_slice_invariant(spark):
+    """pareto_frontier_2d == the quadratic dominance scan on adversarial
+    data (duplicate frontier points, same-x ties, same-y ties, a strictly
+    dominated diagonal), and the answer is invariant to the slice count —
+    1 slice (single prefix scan) vs 7 (offset fold engaged)."""
+    import random
+
+    rng = random.Random(42)
+    pts = [(rng.randint(0, 50) * 1.0, rng.randint(0, 50)) for _ in range(300)]
+    pts += [(5.0, 40), (5.0, 40), (5.0, 39), (6.0, 40)]  # dup + dominated ties
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "pid long, x double, y long")
+    want = _brute_frontier(pts)
+    for n_ranges in (1, 7):
+        got = {
+            (r["x"], r["y"], r["n_points"], r["min_id"])
+            for r in eventops.pareto_frontier_2d(
+                df, "x", "y", id_col="pid", n_ranges=n_ranges
+            ).collect()
+        }
+        assert got == want, f"n_ranges={n_ranges}"
+
+
+def test_pareto_frontier_edges(spark):
+    """Single point; all-identical points collapse to one counted row."""
+    one = spark.createDataFrame([(1, 2.0, 3)], "pid long, x double, y long")
+    assert eventops.pareto_frontier_2d(one, "x", "y", id_col="pid").collect() == [
+        (2.0, 3, 1, 1)
+    ]
+    same = spark.createDataFrame(
+        [(i, 1.0, 1) for i in range(5)], "pid long, x double, y long"
+    )
+    r = eventops.pareto_frontier_2d(same, "x", "y", id_col="pid").collect()
+    assert len(r) == 1 and r[0]["n_points"] == 5 and r[0]["min_id"] == 0

@@ -1602,3 +1602,48 @@ def test_bloom_probe_is_codegen_and_definite_branch_joins_nothing(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("LeftAnti") == 1  # exactly one branch joins
+
+
+def test_parse_jpeg_exif_edges(spark):
+    """The EXIF composition's own corners: an INLINE ASCII make
+    (count <= 4 lives in the value field, no offset); an offset-valued
+    string whose offset runs past the TIFF block -> NULL field, format
+    kept; a non-Exif APP1 (XMP) BEFORE the real EXIF APP1 must be
+    skipped, not parsed; a JPEG whose chain ends at SOS without any
+    APP1 -> format 'jpeg'."""
+    from logverzcore_spark.operators.multimodal import parse_jpeg_exif
+
+    def tiff_with(entries: bytes, n: int, extra: bytes = b"") -> bytes:
+        return (
+            b"II" + (42).to_bytes(2, "little") + (8).to_bytes(4, "little")
+            + n.to_bytes(2, "little") + entries + (0).to_bytes(4, "little")
+            + extra
+        )
+
+    def entry_le(tag, typ, cnt, val4: bytes) -> bytes:
+        return (
+            tag.to_bytes(2, "little") + typ.to_bytes(2, "little")
+            + cnt.to_bytes(4, "little") + val4
+        )
+
+    def app1(tiff: bytes) -> bytes:
+        body = b"Exif\x00\x00" + tiff
+        return b"\xff\xe1" + (len(body) + 2).to_bytes(2, "big") + body
+
+    inline = tiff_with(entry_le(0x010F, 2, 4, b"AB\x00\x00"), 1)
+    bad_off = tiff_with(entry_le(0x0110, 2, 20, (9999).to_bytes(4, "little")), 1)
+    xmp_body = b"http://ns.adobe.com/\x00junk"
+    xmp = b"\xff\xe1" + (len(xmp_body) + 2).to_bytes(2, "big") + xmp_body
+    sos = b"\xff\xda\x00\x02"
+    rows = [
+        (1, b"\xff\xd8" + app1(inline) + b"\xff\xd9"),
+        (2, b"\xff\xd8" + app1(bad_off) + b"\xff\xd9"),
+        (3, b"\xff\xd8" + xmp + app1(inline) + b"\xff\xd9"),
+        (4, b"\xff\xd8" + sos),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in parse_jpeg_exif(df).collect()}
+    assert out[1]["format"] == "jpeg-exif" and out[1]["make"] == "AB"
+    assert out[2]["format"] == "jpeg-exif" and out[2]["model"] is None
+    assert out[3]["format"] == "jpeg-exif" and out[3]["make"] == "AB"
+    assert out[4]["format"] == "jpeg"
