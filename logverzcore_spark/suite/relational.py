@@ -4109,3 +4109,55 @@ def q118_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eventops.pareto_frontier_2d(
         part, x_col="p_retailprice", y_col="p_size", id_col="p_partkey"
     )
+
+
+_PAGERANK_ITER = """, inbox{k} AS (
+      SELECT e.dst, SUM(p.score // o.od) AS in_sum
+      FROM edges e JOIN outdeg o ON e.src = o.src
+      JOIN it{p} p ON p.node = e.src
+      GROUP BY e.dst
+    ), it{k} AS (
+      SELECT n.node,
+             CAST(150000 + (85 * COALESCE(i.in_sum, 0)) // 100 AS BIGINT) AS score
+      FROM nodes n LEFT JOIN inbox{k} i ON n.node = i.dst
+    )"""
+
+_PAGERANK_ORACLE = (
+    """
+    WITH edges AS (
+      SELECT DISTINCT l_suppkey AS src, 100000 + l_partkey AS dst FROM lineitem
+      UNION
+      SELECT DISTINCT 100000 + l_partkey AS src, l_suppkey AS dst FROM lineitem
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+      UNION SELECT DISTINCT dst AS node FROM edges
+    ), outdeg AS (
+      SELECT src, COUNT(*) AS od FROM edges GROUP BY src
+    ), it0 AS (
+      SELECT node, CAST(1000000 AS BIGINT) AS score FROM nodes
+    )"""
+    + "".join(_PAGERANK_ITER.format(k=k, p=k - 1) for k in range(1, 6))
+    + "\n    SELECT node, score FROM it5"
+)
+
+
+@query("q119_pagerank", oracle=_PAGERANK_ORACLE)
+def q119_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank (graph.pagerank_fixed_point), 5 rounds over
+    the supplier↔part bipartite graph induced by lineitem (both edge
+    directions, part ids offset into their own namespace). All
+    arithmetic is scaled-integer with truncating division on positive
+    operands, so Spark's ``div`` and DuckDB's ``//`` agree bit-for-bit
+    and the oracle simply UNROLLS the five iterations as chained CTEs —
+    an iterative driver-loop algorithm graded hash-exact, like s13's
+    Lloyd refinement. Each round is one src join (broadcastable score
+    side; bucket edges by src at real scale) + one dst aggregation
+    shuffle; the driver never collects."""
+    from logverzcore_spark.operators import graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.col("l_suppkey").alias("src"), (100000 + F.col("l_partkey")).alias("dst")
+    )
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return graph.pagerank_fixed_point(edges, n_iter=5)

@@ -621,3 +621,32 @@ def test_pareto_frontier_edges(spark):
     )
     r = eventops.pareto_frontier_2d(same, "x", "y", id_col="pid").collect()
     assert len(r) == 1 and r[0]["n_points"] == 5 and r[0]["min_id"] == 0
+
+
+def test_pagerank_fixed_point_hand_values(spark):
+    """Hand-checkable graphs: a 2-cycle is a fixed point (every node
+    keeps exactly `scale`); a 3-leaf star (leaves -> hub, hub -> leaf0)
+    gives the hub 150000 + 85% of three full leaf scores after round 1;
+    total mass never exceeds n_nodes * scale (truncation only leaks
+    downward)."""
+    from logverzcore_spark.operators import graph
+
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got = {r["node"]: r["score"] for r in graph.pagerank_fixed_point(cyc, 5).collect()}
+    assert got == {1: 1_000_000, 2: 1_000_000}
+
+    star = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 1), (1, 10)], "src long, dst long"
+    )
+    r1 = {r["node"]: r["score"] for r in graph.pagerank_fixed_point(star, 1).collect()}
+    # hub: base + 85% of 3 leaf contributions (each leaf sends its whole
+    # score, outdeg 1): 150000 + 85*3000000//100 = 2700000
+    assert r1[1] == 150_000 + (85 * 3_000_000) // 100
+    # leaf 10 gets the hub's whole score; leaves 11/12 get base only.
+    assert r1[10] == 150_000 + (85 * 1_000_000) // 100
+    assert r1[11] == r1[12] == 150_000
+    r5 = graph.pagerank_fixed_point(star, 5)
+    total = r5.agg(F.sum("score")).first()[0]
+    assert total <= 4 * 1_000_000
+    ranks = {r["node"]: r["score"] for r in r5.collect()}
+    assert ranks[1] == max(ranks.values())  # the hub stays the hub
