@@ -898,3 +898,41 @@ def hashed_embedding(
         ),
     )
     return filled.select(F.col(id_col), vec.alias("embedding"))
+
+
+def token_diversity(col: Column) -> Column:
+    """Integer-exact lexical-diversity signals for quality filtering, as
+    one struct column: ``simpson`` (probability two random token draws
+    without replacement are the same type — repeats weighted
+    QUADRATICALLY, so it catches the single-token spam that the linear
+    repetition_ratio undercounts), ``dominance`` (top type's share) and
+    ``hapax_frac`` (share of types occurring once — collapses toward 0
+    on templated/boilerplate text).
+
+    Every numerator/denominator is exact INTEGER arithmetic over
+    per-type counts (sum cnt*(cnt-1), max cnt, once-count), divided and
+    rounded ONCE at the end — no entropy-style transcendental terms
+    whose last-ulp differences across engines could flip a rounding
+    (the reason this is Simpson, not Shannon). Counts come from an
+    in-row fold over the distinct types (O(types x tokens) comparisons,
+    all codegen; for pathological 10k-type documents the sorted
+    run-length fold is the upgrade). NULL/empty text → NULL fields."""
+    toks = tokens(col)
+    lc = F.transform(toks, lambda t: F.lower(t))
+    counts = F.transform(
+        F.array_distinct(lc),
+        lambda d: F.size(F.filter(lc, lambda x: x == d)),
+    )
+    n = F.size(lc)
+    pairs = F.aggregate(
+        counts, F.lit(0).cast("long"), lambda acc, c: acc + c.cast("long") * (c - 1)
+    )
+    top = F.array_max(counts)
+    once = F.size(F.filter(counts, lambda c: c == 1))
+    valid = n >= 2
+    return F.struct(
+        F.when(valid, F.round(pairs / (n.cast("long") * (n - 1)), 6)).alias("simpson"),
+        F.when(n >= 1, F.round(top / n, 6)).alias("dominance"),
+        F.when(n >= 1, F.round(once / F.size(counts), 6)).alias("hapax_frac"),
+        F.size(counts).alias("n_types"),
+    )

@@ -335,3 +335,92 @@ def full_curation_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _bloom_dedup_batch(
+    batch: DataFrame,
+    spark: SparkSession,
+    target_table: str,
+    state_table: str,
+    corpus_fps_table: str,
+    bloom: dict,
+    text_col: str,
+    id_col: str,
+) -> None:
+    from logverzcore_spark.operators.dedup import bloom_maybe_contains
+
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col))
+    in_batch = (
+        batch.withColumn("_fp", fingerprint_md5(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    maybe = bloom_maybe_contains(bloom, F.col("_fp"))
+    definite = in_batch.where(~maybe)
+    suspects = in_batch.where(maybe)
+    if spark.catalog.tableExists(corpus_fps_table):
+        corpus = spark.table(corpus_fps_table)
+        suspects = suspects.join(
+            corpus.hint("shuffle_hash"), suspects["_fp"] == corpus["fp"], "left_anti"
+        )
+    fresh = definite.unionByName(suspects)
+    if spark.catalog.tableExists(state_table):
+        seen = spark.table(state_table)
+        fresh = fresh.join(
+            seen.hint("shuffle_hash"), fresh["_fp"] == seen["fp"], "left_anti"
+        )
+    fresh.persist()
+    try:
+        fresh.drop("_fp").write.mode("append").saveAsTable(target_table)
+        fresh.select(F.col("_fp").alias("fp")).write.mode("append").saveAsTable(
+            state_table
+        )
+    finally:
+        fresh.unpersist()
+    # Same stale-listing hazard as _dedup_batch: the appends ran on the
+    # cloned micro-batch session.
+    spark.catalog.refreshTable(target_table)
+    spark.catalog.refreshTable(state_table)
+
+
+def bloom_dedup_stream(
+    spark: SparkSession,
+    source_stream: DataFrame,
+    target_table: str,
+    corpus_fps_table: str,
+    bloom: dict,
+    checkpoint_dir: str,
+    state_table: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """``dedup_stream`` for the corpus size where the accumulated
+    fingerprint set can't be the anti-join's build side every batch:
+    the CORPUS tier is a persisted Bloom artifact (built once per epoch
+    by ``dedup.build_fp_bloom``), so each micro-batch splits on a pure
+    codegen probe — bloom-NEGATIVE rows (the overwhelming majority of a
+    fresh crawl) never touch the corpus fingerprint table at all, and
+    only the positive sliver pays the exact confirming anti-join. The
+    small per-STREAM state table (fingerprints this stream admitted)
+    still anti-joins every batch — it is bounded by what the stream
+    itself wrote, not by the corpus.
+
+    Correctness is d20's argument lifted to batches: the bloom has no
+    false negatives, false positives are removed by the exact join, so
+    the committed table equals batch ``incremental_dedup`` over the same
+    files (suite:st26 hash-verifies). Replay idempotence and the
+    data-before-fingerprints commit order are ``dedup_stream``'s."""
+    state_table = state_table or f"{target_table}_fingerprints"
+    writer = source_stream.writeStream.option(
+        "checkpointLocation", checkpoint_dir
+    ).foreachBatch(
+        lambda batch, _id: _bloom_dedup_batch(
+            batch, spark, target_table, state_table,
+            corpus_fps_table, bloom, text_col, id_col,
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1057,3 +1057,78 @@ def st25_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pass
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@query(
+    "st26_streaming_bloom_dedup",
+    oracle="""
+    WITH fps AS (
+      SELECT doc_id, source, lang, n_chars,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ), corpus AS (
+      SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0
+    ), strm AS (
+      SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM fps WHERE doc_id % 2 = 1
+    ), adm AS (
+      SELECT s.doc_id, s.source, s.lang, s.n_chars
+      FROM strm s LEFT JOIN corpus c ON s.fp = c.fp
+      WHERE s.rn = 1 AND c.fp IS NULL
+    )
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM adm GROUP BY source, lang
+    """,
+)
+def st26_streaming_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental dedup against a Bloom-compressed corpus
+    (stream_dedup.bloom_dedup_stream): even doc_ids play the accumulated
+    corpus (fingerprints persisted + bloom built once), odd doc_ids play
+    the crawl stream; per micro-batch, bloom-negative docs commit
+    without ever touching the corpus table, bloom-positive suspects pay
+    the exact confirm join — the committed table equals the batch
+    anti-join the oracle replays (d20's no-false-negative argument,
+    lifted to foreachBatch). The per-stream fingerprint state handles
+    cross-batch stream-internal dups."""
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.operators import dedup
+    from logverzcore_spark.streaming.stream_dedup import bloom_dedup_stream
+
+    run_id = _uuid.uuid4().hex[:8]
+    table = f"st26_bd_{run_id}"
+    corpus_tbl = f"st26_corpus_{run_id}"
+    docs = _t(spark, sf_dir, "documents")
+    try:
+        (
+            docs.where(F.col("doc_id") % 2 == 0)
+            .select(dedup.fingerprint_md5(F.col("text")).alias("fp"))
+            .distinct()
+            .write.mode("overwrite")
+            .saveAsTable(corpus_tbl)
+        )
+        bloom = dedup.build_fp_bloom(spark.table(corpus_tbl), fpp=0.01)
+        stream = _docs_stream(spark, sf_dir).where(F.col("doc_id") % 2 == 1)
+        q = bloom_dedup_stream(
+            spark, stream, table, corpus_tbl, bloom,
+            checkpoint_dir=os.path.join(tempfile.gettempdir(), f"ck_{table}"),
+        )
+        q.awaitTermination()
+        out = (
+            spark.table(table)
+            .groupBy("source", "lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min("doc_id").alias("min_id"),
+                F.sum("n_chars").alias("total_chars"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_fingerprints")
+        spark.sql(f"DROP TABLE IF EXISTS {corpus_tbl}")
+    return out

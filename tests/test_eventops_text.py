@@ -650,3 +650,27 @@ def test_pagerank_fixed_point_hand_values(spark):
     assert total <= 4 * 1_000_000
     ranks = {r["node"]: r["score"] for r in r5.collect()}
     assert ranks[1] == max(ranks.values())  # the hub stays the hub
+
+
+def test_token_diversity_hand_values(spark):
+    """Hand-checkable diversity: all-same tokens -> simpson 1 / dominance
+    1 / hapax 0; all-distinct -> simpson 0 / hapax 1; single token ->
+    simpson NULL (needs two draws) but dominance 1; empty -> NULLs with
+    n_types 0; case-folded types ('A a' is one type)."""
+    rows = [
+        (1, "a a a a"), (2, "a b c d"), (3, "a"), (4, ""), (5, "A a b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", text.token_diversity(F.col("text")).alias("d")
+        ).select("doc_id", "d.*").collect()
+    }
+    assert out[1]["simpson"] == 1.0 and out[1]["dominance"] == 1.0
+    assert out[1]["hapax_frac"] == 0.0 and out[1]["n_types"] == 1
+    assert out[2]["simpson"] == 0.0 and out[2]["dominance"] == 0.25
+    assert out[2]["hapax_frac"] == 1.0
+    assert out[3]["simpson"] is None and out[3]["dominance"] == 1.0
+    assert out[4]["simpson"] is None and out[4]["n_types"] == 0
+    assert out[5]["n_types"] == 2 and out[5]["dominance"] == round(2 / 3, 6)

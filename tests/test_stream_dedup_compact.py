@@ -602,3 +602,47 @@ def test_quota_fold_incremental_equals_batch(spark):
         assert {tuple(r) for r in spark.table(state).collect()} == expect_all
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {state}")
+
+
+def test_bloom_dedup_stream_three_tiers_across_batches(spark, tmpdir_path):
+    """bloom_dedup_stream's three rejection tiers, across batches: (a) a
+    doc matching the CORPUS (bloom-positive, exact-confirmed) never
+    commits; (b) an in-batch duplicate keeps the lowest id; (c) a
+    cross-batch duplicate of a committed doc is dropped by the stream
+    state; and bloom-negative fresh docs commit without the corpus table
+    existing being a requirement of their path. Restart is idempotent."""
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.operators import dedup
+    from logverzcore_spark.streaming.stream_dedup import bloom_dedup_stream
+
+    watch = os.path.join(tmpdir_path, "bd_docs")
+    os.makedirs(watch)
+    ckpt = os.path.join(tmpdir_path, "bd_ckpt")
+    for t in ("bd_docs", "bd_docs_fingerprints", "bd_corpus"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    corpus = spark.createDataFrame(
+        [("known one",), ("known two",)], ["text"]
+    ).select(dedup.fingerprint_md5(F.col("text")).alias("fp"))
+    corpus.write.saveAsTable("bd_corpus")
+    bloom = dedup.build_fp_bloom(spark.table("bd_corpus"), fpp=0.01)
+
+    def run():
+        stream = (
+            spark.readStream.format("json").schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", "1").load(watch)
+        )
+        q = bloom_dedup_stream(spark, stream, "bd_docs", "bd_corpus", bloom, ckpt)
+        q.awaitTermination()
+
+    _write_docs(watch, "b1.json", [(1, "known one"), (2, "fresh a"), (3, "fresh a")])
+    run()
+    assert {r["doc_id"] for r in spark.table("bd_docs").collect()} == {2}
+    _write_docs(watch, "b2.json", [(10, "fresh a"), (11, "known two"), (12, "fresh b")])
+    run()
+    assert {r["doc_id"] for r in spark.table("bd_docs").collect()} == {2, 12}
+    run()  # restart, nothing new
+    assert spark.table("bd_docs").count() == 2
+    assert spark.table("bd_docs_fingerprints").count() == 2
+    for t in ("bd_docs", "bd_docs_fingerprints", "bd_corpus"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
