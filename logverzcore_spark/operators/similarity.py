@@ -1605,3 +1605,63 @@ def retrieval_metrics(pred: DataFrame, truth: DataFrame, k: int = 5) -> DataFram
             6,
         ).alias("mrr"),
     )
+
+
+def knn_graph(
+    df: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_planes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Blocked kNN-GRAPH builder — for EVERY corpus vector, its k nearest
+    within-cell neighbors (directed edges), the structure SemDeDup-style
+    curation, cluster pruning, and graph-based sampling consume. Distinct
+    from the query-vs-corpus top-k family (cosine_topk etc.): here the
+    corpus self-joins, so blocking is mandatory, not an optimization.
+
+    Cells are the same deterministic LCG sign-bit buckets as
+    semantic_dedup (dedup.py) — data-independent and replayable in plain
+    SQL, which keeps the WHOLE operator hash-verifiable (suite s15
+    replays the literal planes). Semantics are explicitly "kNN among
+    cell-mates" (the standard blocked approximation; neighbors falling
+    across a hyperplane are out of scope by definition — raise n_planes
+    to trade edge recall for cell size). One shuffle on the cell id for
+    the self-join, one on src for the rank window; pair expansion is
+    bounded by the largest cell (2^n_planes cells — size it so cells
+    stay ~10^3-10^4 vectors at 100 TB, exactly like semantic_dedup).
+
+    Ranking uses the UNROUNDED cosine with an id tie-break (the s02b
+    discipline — both engines fold the dot product left-to-right);
+    output cosine is rounded 6dp. Returns (src, dst, cosine, rank)."""
+    from pyspark.sql import Window
+
+    planes = _hyperplanes(dim, n_planes)
+    v = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    norm = F.sqrt(F.aggregate(F.col("vec"), F.lit(0.0), lambda acc, x: acc + x * x))
+    v = v.withColumn("norm", norm).withColumn(
+        "cell", lsh_bucket(F.col("vec"), planes)
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.vec"), F.col("b.vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.norm") * F.col("b.norm"))
+    pairs = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vid") != F.col("b.vid")),
+    ).select(
+        F.col("a.vid").alias("src"), F.col("b.vid").alias("dst"), cos.alias("_cos")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("_cos").desc(), F.col("dst"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("src", "dst", F.round("_cos", 6).alias("cosine"), "rank")
+    )

@@ -518,3 +518,50 @@ def s14_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = similarity.lsh_topk(emb, qs, k=5, dim=64)
     truth = similarity.cosine_topk(emb, qs, k=5)
     return similarity.retrieval_metrics(pred, truth, k=5)
+
+
+def _s15_oracle(dim: int = 64, n_planes: int = 4, k: int = 3) -> str:
+    planes = similarity._hyperplanes(dim, n_planes)
+    values = ",\n      ".join(
+        f"({p}, {_sql_double_array(row)})" for p, row in enumerate(planes)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), planes(p, plane) AS (VALUES
+      {values}
+    ), cells AS (
+      SELECT v.vec_id,
+             SUM(CASE WHEN list_dot_product(v.e, p.plane) >= 0
+                      THEN (1 << p.p) ELSE 0 END) AS cell
+      FROM v CROSS JOIN planes p
+      GROUP BY v.vec_id
+    ), n AS (
+      SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+    ), pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm) AS cos
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      JOIN n na ON na.vec_id = a.vec_id
+      JOIN n nb ON nb.vec_id = b.vec_id
+    ), ranked AS (
+      SELECT src, dst, cos,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cos DESC, dst) AS rk
+      FROM pairs
+    )
+    SELECT src, dst, ROUND(cos, 6) AS cosine, CAST(rk AS INTEGER) AS rank
+    FROM ranked WHERE rk <= {k}
+    """
+
+
+@query("s15_knn_graph", oracle=_s15_oracle())
+def s15_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked kNN-graph construction (similarity.knn_graph): every
+    vector's 3 nearest cell-mates as directed edges — the input
+    structure of graph-based curation. Cells are the literal LCG
+    hyperplane sign buckets, so the oracle replays the planes, the cell
+    assignment, the within-cell self-join, and the (unrounded-cosine,
+    id) ranking exactly; hash-verified end to end like d12/s02b."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_graph(emb, dim=64, k=3, n_planes=4)

@@ -1647,3 +1647,36 @@ def test_parse_jpeg_exif_edges(spark):
     assert out[2]["format"] == "jpeg-exif" and out[2]["model"] is None
     assert out[3]["format"] == "jpeg-exif" and out[3]["make"] == "AB"
     assert out[4]["format"] == "jpeg"
+
+
+def test_knn_graph_matches_bruteforce_within_cell(spark):
+    """knn_graph == numpy brute force when every vector lands in one
+    cell (co-directional cluster): per-src edge count capped at k, ranks
+    ordered by cosine then id, self-edges absent."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=8)
+    vecs = [(i, (base + 0.1 * rng.normal(size=8)).tolist()) for i in range(12)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = similarity.knn_graph(df, dim=8, k=3, n_planes=2).collect()
+    cells = {r["vec_id"] for r in df.collect()}
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src"], []).append(r)
+    arr = {i: np.array(v) for i, v in vecs}
+    # All in one cell by construction (verify implicitly: every src has
+    # exactly 3 edges → at least 4 cell-mates each).
+    for src, edges in by_src.items():
+        assert len(edges) == 3
+        assert all(e["dst"] != src for e in edges)
+        ranks = sorted(edges, key=lambda e: e["rank"])
+        cos = lambda a, b: float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        want = sorted(
+            ((cos(arr[src], arr[j]), j) for j in cells if j != src),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        got = [(e["cosine"], e["dst"]) for e in ranks]
+        assert [j for _, j in want] == [j for _, j in got]
+        for (wc, _), (gc, _) in zip(want, got):
+            assert abs(wc - gc) < 1e-5
