@@ -457,6 +457,76 @@ def incremental_quota_cap(
     return writer.start()
 
 
+def make_frontier_fold(
+    spark: SparkSession,
+    state_table: str,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+):
+    """Per-micro-batch fold maintaining the Pareto frontier (min x, max
+    y — eventops.pareto_frontier_2d's semantics) over the whole stream
+    history. Frontier maintenance is a MONOTONE fold like the quota
+    cap: frontier(A ∪ B) = frontier(frontier(A) ∪ B) — a dominated
+    point can never re-enter (its dominator stays in state forever), so
+    evicted state is never needed back and state is bounded at the
+    frontier size regardless of stream length.
+
+    Replay safety: the state carries (x, y, min_id) and MIN is
+    idempotent under re-delivery, so at-least-once foreachBatch
+    converges. The per-POINT duplicate count q118's batch form reports
+    is deliberately absent — a count is NOT replay-safe without id-level
+    state, and the frontier itself doesn't need it."""
+    from logverzcore_spark.operators.eventops import pareto_frontier_2d
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        pts = batch_df.select(
+            F.col(x_col).alias("x"),
+            F.col(y_col).alias("y"),
+            F.col(id_col).alias("pid"),
+        )
+        if spark.catalog.tableExists(state_table):
+            prev = spark.table(state_table).select(
+                "x", "y", F.col("min_id").alias("pid")
+            )
+            merged = prev.unionByName(pts)
+        else:
+            merged = pts
+        front = pareto_frontier_2d(merged, "x", "y", id_col="pid").select(
+            "x", "y", F.col("min_id")
+        )
+        front = front.localCheckpoint(eager=True)  # state read feeds its own overwrite
+        front.write.mode("overwrite").saveAsTable(state_table)
+
+    return fold
+
+
+def incremental_pareto_frontier(
+    spark: SparkSession,
+    source_stream: DataFrame,
+    state_table: str,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain a Pareto-frontier table from a stream (see
+    ``make_frontier_fold``); the stored state always equals the batch
+    frontier over everything seen."""
+    fold = make_frontier_fold(spark, state_table, x_col, y_col, id_col)
+    checkpoint = checkpoint_dir or os.path.join(
+        tempfile.gettempdir(), f"lvz_front_{uuid.uuid4().hex[:8]}"
+    )
+    writer = (
+        source_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 __all__ = [
     "hourly_rollup_frame",
     "incremental_hourly_rollup",
@@ -467,5 +537,7 @@ __all__ = [
     "make_topk_fold",
     "incremental_topk_rollup",
     "make_quota_fold",
+    "make_frontier_fold",
+    "incremental_pareto_frontier",
     "incremental_quota_cap",
 ]

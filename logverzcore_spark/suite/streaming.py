@@ -1132,3 +1132,60 @@ def st26_streaming_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS {table}_fingerprints")
         spark.sql(f"DROP TABLE IF EXISTS {corpus_tbl}")
     return out
+
+
+@query(
+    "st27_streaming_pareto_frontier",
+    oracle="""
+    WITH pts AS (
+      SELECT doc_id, n_chars AS x,
+             len(list_distinct(list_transform(
+                 list_filter(string_split(text, ' '), t -> t <> ''),
+                 t -> lower(t)))) AS y
+      FROM documents
+    )
+    SELECT x, y, CAST(MIN(doc_id) AS BIGINT) AS min_id
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.x <= p.x AND q.y >= p.y AND (q.x < p.x OR q.y > p.y)
+    )
+    GROUP BY x, y
+    """,
+)
+def st27_streaming_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Pareto-frontier maintenance
+    (rollup.incremental_pareto_frontier): the shortest-doc /
+    most-lexical-types frontier folded per micro-batch — frontier(A∪B)
+    = frontier(frontier(A)∪B), so state stays bounded at the frontier
+    size and the stored table equals the batch skyline the oracle
+    replays as the quadratic NOT-EXISTS (q118's semantics; the y
+    projection is per-row, hence batch-boundary-invariant). min_id is
+    idempotent under re-delivery; the batch form's duplicate count is
+    deliberately absent (not replay-safe without id-level state)."""
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.operators import text as textops
+    from logverzcore_spark.streaming.rollup import incremental_pareto_frontier
+
+    state = f"st27_front_{_uuid.uuid4().hex[:8]}"
+    stream = _docs_stream(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_chars").alias("x"),
+        F.size(
+            F.array_distinct(
+                F.transform(textops.tokens(F.col("text")), lambda t: F.lower(t))
+            )
+        ).alias("y"),
+    )
+    try:
+        q = incremental_pareto_frontier(
+            spark, stream, state, "x", "y", "doc_id",
+            checkpoint_dir=os.path.join(tempfile.gettempdir(), f"ck_{state}"),
+        )
+        q.awaitTermination()
+        out = spark.table(state).localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {state}")
+    return out

@@ -646,3 +646,44 @@ def test_bloom_dedup_stream_three_tiers_across_batches(spark, tmpdir_path):
     assert spark.table("bd_docs_fingerprints").count() == 2
     for t in ("bd_docs", "bd_docs_fingerprints", "bd_corpus"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_frontier_fold_split_invariant_and_replay_safe(spark):
+    """make_frontier_fold's two contracts: feeding the same points as
+    ONE batch or THREE batches (any split) yields the identical state —
+    frontier(A∪B) = frontier(frontier(A)∪B) — and re-delivering a batch
+    (at-least-once replay) leaves the state unchanged (MIN id is
+    idempotent, dominated points cannot re-enter)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.operators.eventops import pareto_frontier_2d
+    from logverzcore_spark.streaming.rollup import make_frontier_fold
+
+    rng = random.Random(11)
+    pts = [(i, rng.randint(0, 40) * 1.0, rng.randint(0, 40)) for i in range(200)]
+    df = spark.createDataFrame(pts, "pid long, x double, y long")
+    want = {
+        (r["x"], r["y"], r["min_id"])
+        for r in pareto_frontier_2d(df, "x", "y", id_col="pid")
+        .select("x", "y", "min_id")
+        .collect()
+    }
+    for n_batches in (1, 3):
+        spark.sql("DROP TABLE IF EXISTS front_t")
+        fold = make_frontier_fold(spark, "front_t", "x", "y", "pid")
+        chunks = [pts[i::n_batches] for i in range(n_batches)]
+        for bid, chunk in enumerate(chunks):
+            fold(spark.createDataFrame(chunk, "pid long, x double, y long"), bid)
+        got = {
+            (r["x"], r["y"], r["min_id"]) for r in spark.table("front_t").collect()
+        }
+        assert got == want, f"n_batches={n_batches}"
+        # replay the last chunk: state must not change
+        fold(spark.createDataFrame(chunks[-1], "pid long, x double, y long"), 99)
+        again = {
+            (r["x"], r["y"], r["min_id"]) for r in spark.table("front_t").collect()
+        }
+        assert again == want
+    spark.sql("DROP TABLE IF EXISTS front_t")
