@@ -1218,3 +1218,112 @@ def parse_jpeg_exif(
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, schema)
+
+
+def parse_gif_anim(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_blocks: int = 4096,
+) -> DataFrame:
+    """Animated-GIF block walk — the animation-metadata sibling of the
+    other container walks (JPEG m11/m17, MP4 m13, TIFF m16): count
+    frames (image descriptors), sum per-frame GCE delays into a total
+    duration, and read the NETSCAPE2.0 loop count — what a frame-sample
+    planner (m03) needs BEFORE any decode: how many frames exist and
+    how long the clip runs. No LZW decode anywhere; pixel sub-blocks
+    are skipped by their length bytes.
+
+    Block grammar is length-prefixed at variable offsets (GCT size from
+    a packed bit-field, extension sub-block chains), so this is the
+    documented Arrow ``mapInPandas`` path. Truncation is honest: a
+    payload that dies mid-chain reports format='gif' with whatever was
+    reachable; wrong magic reports 'unknown'."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("duration_cs", T.IntegerType()),
+            T.StructField("loop_count", T.IntegerType()),
+        ]
+    )
+
+    def parse_one(b: bytes):
+        unknown = ("unknown", None, None, None, None, None)
+        if b is None or len(b) < 13 or b[0:6] not in (b"GIF89a", b"GIF87a"):
+            return unknown
+        width = int.from_bytes(b[6:8], "little")
+        height = int.from_bytes(b[8:10], "little")
+        packed = b[10]
+        i = 13
+        if packed & 0x80:  # global color table: 3 * 2^(N+1) bytes
+            i += 3 * (1 << ((packed & 0x07) + 1))
+        frames = 0
+        duration = 0
+        loops = None
+        for _ in range(max_blocks):
+            if i >= len(b):
+                break
+            intro = b[i]
+            if intro == 0x3B:  # trailer
+                break
+            if intro == 0x21:  # extension
+                if i + 2 > len(b):
+                    break
+                label = b[i + 1]
+                j = i + 2
+                first = True
+                while j < len(b) and b[j] != 0:
+                    size = b[j]
+                    if label == 0xF9 and first and j + 1 + size <= len(b):
+                        # GCE: packed(1) delay(2 LE) transparent(1)
+                        duration += int.from_bytes(b[j + 2 : j + 4], "little")
+                    if label == 0xFF and not first and j + 1 + size <= len(b):
+                        # NETSCAPE2.0 data sub-block: 01, loop lo, loop hi
+                        if size >= 3 and b[j + 1] == 1:
+                            loops = int.from_bytes(b[j + 2 : j + 4], "little")
+                    j += 1 + size
+                    first = False
+                if j >= len(b):
+                    break
+                i = j + 1
+            elif intro == 0x2C:  # image descriptor
+                if i + 10 > len(b):
+                    break
+                ipacked = b[i + 9]
+                j = i + 10
+                if ipacked & 0x80:  # local color table
+                    j += 3 * (1 << ((ipacked & 0x07) + 1))
+                j += 1  # LZW minimum code size
+                while j < len(b) and b[j] != 0:
+                    j += 1 + b[j]  # pixel sub-blocks: skipped, never decoded
+                if j >= len(b):
+                    break
+                frames += 1
+                i = j + 1
+            else:
+                break  # corrupt chain
+        return ("gif", width, height, frames, duration, loops)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = [
+                parse_one(bytes(p) if p is not None else None)
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "format": [p[0] for p in parsed],
+                    "width": pd.array([p[1] for p in parsed], dtype="Int32"),
+                    "height": pd.array([p[2] for p in parsed], dtype="Int32"),
+                    "n_frames": pd.array([p[3] for p in parsed], dtype="Int32"),
+                    "duration_cs": pd.array([p[4] for p in parsed], dtype="Int32"),
+                    "loop_count": pd.array([p[5] for p in parsed], dtype="Int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema)

@@ -936,3 +936,30 @@ def token_diversity(col: Column) -> Column:
         F.when(n >= 1, F.round(once / F.size(counts), 6)).alias("hapax_frac"),
         F.size(counts).alias("n_types"),
     )
+
+
+def script_profile(col: Column) -> Column:
+    """Unicode-script composition of a document — Latin / Cyrillic / CJK
+    / digit character counts and their share of non-whitespace text, as
+    one struct. The cheap router that runs BEFORE the stopword-lexicon
+    ``language_id``: scripts partition languages coarsely (and catch
+    mixed-script spam / mojibake survivors) with four codegen'd regex
+    counts, no lexicon, no tokenization. Counts are exact integers; the
+    ratios are single rounded divisions (engine-identical)."""
+    n_latin = F.regexp_count(col, F.lit(r"[A-Za-z]"))
+    n_cyr = F.regexp_count(col, F.lit("[Ѐ-ӿ]"))
+    n_cjk = F.regexp_count(col, F.lit("[一-鿿]"))
+    n_digit = F.regexp_count(col, F.lit("[0-9]"))
+    n_nonspace = F.length(F.regexp_replace(col, r"\s", ""))
+    def ratio(n):
+        return F.when(n_nonspace > 0, F.round(n / n_nonspace, 4))
+    return F.struct(
+        n_latin.alias("n_latin"),
+        n_cyr.alias("n_cyrillic"),
+        n_cjk.alias("n_cjk"),
+        n_digit.alias("n_digit"),
+        n_nonspace.alias("n_nonspace"),
+        ratio(n_latin).alias("latin_ratio"),
+        ratio(n_cyr).alias("cyrillic_ratio"),
+        ratio(n_cjk).alias("cjk_ratio"),
+    )

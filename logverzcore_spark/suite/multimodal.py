@@ -995,3 +995,71 @@ def m17_jpeg_exif_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.unhex(jpeg_exif))
     )
     return parse_jpeg_exif(docs.select("doc_id", payload.alias("payload")))
+
+
+@query(
+    "m18_gif_anim_probe",
+    oracle="""
+    SELECT doc_id,
+      CASE WHEN doc_id % 4 = 3 THEN 'unknown' ELSE 'gif' END AS format,
+      CASE WHEN doc_id % 4 <> 3 THEN CAST(10 + doc_id % 100 AS INTEGER) END AS width,
+      CASE WHEN doc_id % 4 <> 3
+           THEN CAST(20 + (doc_id * 3) % 100 AS INTEGER) END AS height,
+      CASE WHEN doc_id % 4 <> 3 THEN CAST(1 + doc_id % 4 AS INTEGER) END AS n_frames,
+      CASE WHEN doc_id % 4 <> 3
+           THEN CAST((1 + doc_id % 4) * (2 + doc_id % 7) AS INTEGER)
+      END AS duration_cs,
+      CASE WHEN doc_id % 4 <> 3 AND doc_id % 3 = 0
+           THEN CAST(doc_id % 5 AS INTEGER) END AS loop_count
+    FROM documents
+    """,
+)
+def m18_gif_anim_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF walk (multimodal.parse_gif_anim): byte-exact GIF89a
+    files built from doc_id — global color table on even docs (moving
+    every later offset), a NETSCAPE2.0 loop extension every third doc,
+    1-4 frames each carrying a GCE delay and a length-prefixed pixel
+    sub-block chain the parser must SKIP by length, never decode. The
+    oracle restates frames / total duration / loop count
+    arithmetically; every fourth doc is junk ('unknown')."""
+    from logverzcore_spark.operators.multimodal import parse_gif_anim
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def le16(col):
+        be = F.lpad(F.hex(col.cast("long")), 4, "0")
+        return F.concat(F.substring(be, 3, 2), F.substring(be, 1, 2))
+
+    w = (10 + d % 100).cast("long")
+    h = (20 + (d * 3) % 100).cast("long")
+    n_frames = (1 + d % 4).cast("int")
+    delay = (2 + d % 7).cast("long")
+    loops = (d % 5).cast("long")
+    has_gct = d % 2 == 0
+    has_loop = d % 3 == 0
+
+    lsd = F.concat(
+        le16(w), le16(h),
+        F.when(has_gct, F.lit("80")).otherwise(F.lit("00")),
+        F.lit("0000"),
+        F.when(has_gct, F.lit("000000FFFFFF")).otherwise(F.lit("")),
+    )
+    netscape = F.when(
+        has_loop,
+        F.concat(
+            F.lit("21FF0B"), F.lit("4E45545343415045322E30"),
+            F.lit("0301"), le16(loops), F.lit("00"),
+        ),
+    ).otherwise(F.lit(""))
+    frame = F.concat(
+        F.lit("21F904" "00"), le16(delay), F.lit("00" "00"),       # GCE
+        F.lit("2C"), F.lit("0000" "0000"), le16(w), le16(h),        # descriptor
+        F.lit("00"),                                                # no LCT
+        F.lit("02"), F.lit("01" "00" "00"),                         # LZW min + 1-byte sub-block
+    )
+    gif = F.concat(
+        F.lit("474946383961"), lsd, netscape, F.repeat(frame, n_frames), F.lit("3B")
+    )
+    payload = F.when(d % 4 == 3, F.encode("text", "UTF-8")).otherwise(F.unhex(gif))
+    return parse_gif_anim(docs.select("doc_id", payload.alias("payload")))

@@ -1648,3 +1648,56 @@ def t39_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_d.hapax_frac").alias("hapax_frac"),
         F.col("_d.n_types").alias("n_types"),
     )
+
+
+@query(
+    "t40_script_profile",
+    oracle="""
+    WITH mixed AS (
+      SELECT doc_id,
+             text || repeat('ж', doc_id % 5) || repeat('中', doc_id % 3)
+                  || repeat('7', doc_id % 4) AS t
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t, '[A-Za-z]')) AS n_latin,
+             len(regexp_extract_all(t, '[Ѐ-ӿ]')) AS n_cyrillic,
+             len(regexp_extract_all(t, '[一-鿿]')) AS n_cjk,
+             len(regexp_extract_all(t, '[0-9]')) AS n_digit,
+             length(regexp_replace(t, '\\s', '', 'g')) AS n_nonspace
+      FROM mixed
+    )
+    SELECT doc_id,
+           CAST(n_latin AS INTEGER) AS n_latin,
+           CAST(n_cyrillic AS INTEGER) AS n_cyrillic,
+           CAST(n_cjk AS INTEGER) AS n_cjk,
+           CAST(n_digit AS INTEGER) AS n_digit,
+           CAST(n_nonspace AS INTEGER) AS n_nonspace,
+           CASE WHEN n_nonspace > 0 THEN ROUND(n_latin / n_nonspace, 4) END
+             AS latin_ratio,
+           CASE WHEN n_nonspace > 0 THEN ROUND(n_cyrillic / n_nonspace, 4) END
+             AS cyrillic_ratio,
+           CASE WHEN n_nonspace > 0 THEN ROUND(n_cjk / n_nonspace, 4) END
+             AS cjk_ratio
+    FROM c
+    """,
+)
+def t40_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition (text.script_profile) over doc_id-
+    salted MIXED-script text (Cyrillic/CJK/digit tails appended to the
+    ASCII corpus so every class is exercised): four codegen regex
+    counts + one whitespace-stripped length, ratios rounded once —
+    the coarse language router ahead of the stopword language_id. The
+    oracle repeats the identical literal character-class ranges (both
+    engines count the same UTF-8 code points)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    mixed = F.concat(
+        F.col("text"),
+        F.repeat(F.lit("ж"), (d % 5).cast("int")),
+        F.repeat(F.lit("中"), (d % 3).cast("int")),
+        F.repeat(F.lit("7"), (d % 4).cast("int")),
+    )
+    return docs.select(
+        "doc_id", text.script_profile(mixed).alias("_s")
+    ).select("doc_id", "_s.*")

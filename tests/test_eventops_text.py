@@ -674,3 +674,21 @@ def test_token_diversity_hand_values(spark):
     assert out[3]["simpson"] is None and out[3]["dominance"] == 1.0
     assert out[4]["simpson"] is None and out[4]["n_types"] == 0
     assert out[5]["n_types"] == 2 and out[5]["dominance"] == round(2 / 3, 6)
+
+
+def test_script_profile_hand_values(spark):
+    """Known composition: 'ab ж中 12' -> 2 latin, 1 cyrillic, 1 cjk,
+    2 digits, 6 non-space chars; all-space text -> NULL ratios."""
+    df = spark.createDataFrame(
+        [(1, "ab ж中 12"), (2, "   ")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", text.script_profile(F.col("text")).alias("s")
+        ).select("doc_id", "s.*").collect()
+    }
+    r = out[1]
+    assert (r["n_latin"], r["n_cyrillic"], r["n_cjk"], r["n_digit"]) == (2, 1, 1, 2)
+    assert r["n_nonspace"] == 6 and r["latin_ratio"] == round(2 / 6, 4)
+    assert out[2]["n_nonspace"] == 0 and out[2]["latin_ratio"] is None

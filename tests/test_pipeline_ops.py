@@ -1680,3 +1680,33 @@ def test_knn_graph_matches_bruteforce_within_cell(spark):
         assert [j for _, j in want] == [j for _, j in got]
         for (wc, _), (gc, _) in zip(want, got):
             assert abs(wc - gc) < 1e-5
+
+
+def test_parse_gif_anim_edges(spark):
+    """GIF walk honesty: GIF87a accepted; truncation mid-frame reports
+    the frames fully walked before the cut (format kept); a payload
+    dying inside a pixel sub-block chain counts no phantom frame; junk
+    is 'unknown'."""
+    from logverzcore_spark.operators.multimodal import parse_gif_anim
+
+    def le16(v):
+        return v.to_bytes(2, "little")
+
+    frame = (
+        b"\x21\xf9\x04\x00" + le16(5) + b"\x00\x00"
+        + b"\x2c" + le16(0) + le16(0) + le16(3) + le16(2) + b"\x00"
+        + b"\x02" + b"\x01\x00" + b"\x00"
+    )
+    full = b"GIF87a" + le16(3) + le16(2) + b"\x00\x00\x00" + frame + frame + b"\x3b"
+    cut_mid_frame2 = full[: len(b"GIF87a") + 7 + len(frame) + 5]
+    rows = [
+        (1, full),
+        (2, cut_mid_frame2),
+        (3, b"NOTAGIF at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in parse_gif_anim(df).collect()}
+    assert out[1]["format"] == "gif" and out[1]["n_frames"] == 2
+    assert out[1]["duration_cs"] == 10 and out[1]["loop_count"] is None
+    assert out[2]["format"] == "gif" and out[2]["n_frames"] == 1
+    assert out[3]["format"] == "unknown"
