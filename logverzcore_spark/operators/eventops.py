@@ -254,7 +254,10 @@ def pareto_frontier_2d(
 
     Strict dominance: duplicates of a frontier point are all kept
     (reported as one row with their count); a same-x-lower-y or
-    same-y-higher-x point is dominated and dropped."""
+    same-y-higher-x point is dominated and dropped. NULL coordinates
+    follow SQL comparison semantics (a NULL-y point is never seen as
+    dominated and passes through) — filter them out first if that is
+    not the intent."""
     from pyspark.sql import Window
 
     x, y = F.col(x_col), F.col(y_col)

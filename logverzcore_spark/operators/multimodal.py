@@ -1327,3 +1327,103 @@ def parse_gif_anim(
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, schema)
+
+
+def parse_png_chunks(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_chunks: int = 4096,
+) -> DataFrame:
+    """PNG chunk walk — past the fixed-offset IHDR sniff
+    (sniff_image_meta reads only width/height): iterate the full
+    length-prefixed chunk chain to report bit depth, color type,
+    palette presence, pHYs pixel density, tEXt metadata count, total
+    IDAT payload bytes, and the chunk count to IEND. What an image
+    pipeline wants before decode: storage size vs pixel count (IDAT
+    bytes), indexed-color detection (PLTE), and DPI for resize planning.
+
+    Variable offsets (each chunk's position depends on every prior
+    length) → the Arrow ``mapInPandas`` path, same as the JPEG/MP4/TIFF/
+    GIF walks. CRCs are not validated (a metadata walk, not an
+    integrity checker); IDAT data is skipped by length, never
+    decompressed. Bad signature → 'unknown'; truncation reports
+    whatever was reachable."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("bit_depth", T.IntegerType()),
+            T.StructField("color_type", T.IntegerType()),
+            T.StructField("has_palette", T.BooleanType()),
+            T.StructField("ppu_x", T.IntegerType()),
+            T.StructField("n_text_chunks", T.IntegerType()),
+            T.StructField("idat_bytes", T.LongType()),
+            T.StructField("n_chunks", T.IntegerType()),
+        ]
+    )
+    SIG = b"\x89PNG\r\n\x1a\n"
+
+    def parse_one(b: bytes):
+        unknown = ("unknown",) + (None,) * 9
+        if b is None or len(b) < 16 or b[:8] != SIG:
+            return unknown
+        i = 8
+        w = h = depth = ctype = ppu = None
+        palette = False
+        n_text = 0
+        idat = 0
+        n_chunks = 0
+        for _ in range(max_chunks):
+            if i + 8 > len(b):
+                break
+            ln = int.from_bytes(b[i : i + 4], "big")
+            typ = b[i + 4 : i + 8]
+            if i + 12 + ln > len(b):
+                break  # truncated chunk: stop, report what we have
+            data = b[i + 8 : i + 8 + ln]
+            n_chunks += 1
+            if typ == b"IHDR" and ln >= 13:
+                w = int.from_bytes(data[0:4], "big")
+                h = int.from_bytes(data[4:8], "big")
+                depth = data[8]
+                ctype = data[9]
+            elif typ == b"PLTE":
+                palette = True
+            elif typ == b"pHYs" and ln >= 9:
+                ppu = int.from_bytes(data[0:4], "big")
+            elif typ == b"tEXt":
+                n_text += 1
+            elif typ == b"IDAT":
+                idat += ln
+            i += 12 + ln
+            if typ == b"IEND":
+                break
+        return ("png", w, h, depth, ctype, palette, ppu, n_text, idat, n_chunks)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = [
+                parse_one(bytes(p) if p is not None else None)
+                for p in pdf[payload_col]
+            ]
+            cols = list(zip(*parsed)) if parsed else [[]] * 10
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "format": list(cols[0]),
+                    "width": pd.array(cols[1], dtype="Int32"),
+                    "height": pd.array(cols[2], dtype="Int32"),
+                    "bit_depth": pd.array(cols[3], dtype="Int32"),
+                    "color_type": pd.array(cols[4], dtype="Int32"),
+                    "has_palette": pd.array(cols[5], dtype="boolean"),
+                    "ppu_x": pd.array(cols[6], dtype="Int32"),
+                    "n_text_chunks": pd.array(cols[7], dtype="Int32"),
+                    "idat_bytes": pd.array(cols[8], dtype="Int64"),
+                    "n_chunks": pd.array(cols[9], dtype="Int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema)

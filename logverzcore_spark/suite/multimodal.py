@@ -1063,3 +1063,85 @@ def m18_gif_anim_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     payload = F.when(d % 4 == 3, F.encode("text", "UTF-8")).otherwise(F.unhex(gif))
     return parse_gif_anim(docs.select("doc_id", payload.alias("payload")))
+
+
+@query(
+    "m19_png_chunk_probe",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             doc_id % 5 = 4 AS junk,
+             CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 2
+                             WHEN 2 THEN 3 ELSE 6 END AS ct,
+             doc_id % 3 AS ntext,
+             (1 + doc_id % 2) * (5 + doc_id % 7) AS idat,
+             1 + doc_id % 2 AS nidat
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN junk THEN 'unknown' ELSE 'png' END AS format,
+      CASE WHEN NOT junk THEN CAST(16 + doc_id % 512 AS INTEGER) END AS width,
+      CASE WHEN NOT junk THEN CAST(16 + (doc_id * 7) % 512 AS INTEGER) END AS height,
+      CASE WHEN NOT junk THEN 8 END AS bit_depth,
+      CASE WHEN NOT junk THEN CAST(ct AS INTEGER) END AS color_type,
+      CASE WHEN NOT junk THEN ct = 3 END AS has_palette,
+      CASE WHEN NOT junk AND doc_id % 3 = 0
+           THEN CAST(1000 + doc_id % 500 AS INTEGER) END AS ppu_x,
+      CASE WHEN NOT junk THEN CAST(ntext AS INTEGER) END AS n_text_chunks,
+      CASE WHEN NOT junk THEN CAST(idat AS BIGINT) END AS idat_bytes,
+      CASE WHEN NOT junk THEN CAST(
+        2 + CASE WHEN ct = 3 THEN 1 ELSE 0 END
+          + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+          + ntext + nidat AS INTEGER) END AS n_chunks
+    FROM p
+    """,
+)
+def m19_png_chunk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG chunk walk (multimodal.parse_png_chunks): byte-exact PNGs
+    built from doc_id — indexed-color docs carry a PLTE, every third a
+    pHYs density, 0-2 tEXt chunks, IDAT split across 1-2 chunks whose
+    lengths vary per doc (every later offset moves) — the oracle
+    restates every field arithmetically, including the total chunk
+    count to IEND. Every fifth doc is junk ('unknown')."""
+    from logverzcore_spark.operators.multimodal import parse_png_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def be32(col):
+        return F.lpad(F.hex(col.cast("long")), 8, "0")
+
+    w = (16 + d % 512).cast("long")
+    h = (16 + (d * 7) % 512).cast("long")
+    ct = (
+        F.when(d % 4 == 0, 0).when(d % 4 == 1, 2).when(d % 4 == 2, 3).otherwise(6)
+    ).cast("long")
+    ppu = (1000 + d % 500).cast("long")
+    n_text = (d % 3).cast("int")
+    idat_len = (5 + d % 7).cast("long")
+    n_idat = (1 + d % 2).cast("int")
+    crc = F.lit("00000000")
+
+    ihdr = F.concat(
+        F.lit("0000000D" "49484452"), be32(w), be32(h),
+        F.lit("08"), F.lpad(F.hex(ct), 2, "0"), F.lit("000000"), crc,
+    )
+    plte = F.when(
+        ct == 3,
+        F.concat(F.lit("00000009" "504C5445" "000000FFFFFF808080"), crc),
+    ).otherwise(F.lit(""))
+    phys = F.when(
+        d % 3 == 0,
+        F.concat(F.lit("00000009" "70485973"), be32(ppu), be32(ppu), F.lit("01"), crc),
+    ).otherwise(F.lit(""))
+    text_chunk = F.concat(F.lit("00000007" "74455874" "6B657900" "76616C"), crc)
+    idat = F.concat(
+        be32(idat_len), F.lit("49444154"), F.repeat(F.lit("00"), idat_len.cast("int")), crc
+    )
+    png = F.concat(
+        F.lit("89504E470D0A1A0A"), ihdr, plte, phys,
+        F.repeat(text_chunk, n_text), F.repeat(idat, n_idat),
+        F.lit("00000000" "49454E44"), crc,
+    )
+    payload = F.when(d % 5 == 4, F.encode("text", "UTF-8")).otherwise(F.unhex(png))
+    return parse_png_chunks(docs.select("doc_id", payload.alias("payload")))

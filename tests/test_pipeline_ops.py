@@ -1710,3 +1710,38 @@ def test_parse_gif_anim_edges(spark):
     assert out[1]["duration_cs"] == 10 and out[1]["loop_count"] is None
     assert out[2]["format"] == "gif" and out[2]["n_frames"] == 1
     assert out[3]["format"] == "unknown"
+
+
+def test_parse_png_chunks_edges(spark):
+    """PNG walk honesty: truncation inside a chunk keeps the fields
+    already walked (format stays 'png'); a chain missing IEND still
+    reports its chunks; bad signature is 'unknown'; IDAT bytes sum
+    across split chunks without decompression."""
+    from logverzcore_spark.operators.multimodal import parse_png_chunks
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return len(data).to_bytes(4, "big") + typ + data + b"\x00" * 4
+
+    ihdr = chunk(
+        b"IHDR",
+        (7).to_bytes(4, "big") + (9).to_bytes(4, "big") + bytes([8, 2, 0, 0, 0]),
+    )
+    png = (
+        b"\x89PNG\r\n\x1a\n" + ihdr
+        + chunk(b"IDAT", b"\x00" * 4) + chunk(b"IDAT", b"\x00" * 6)
+        + chunk(b"IEND", b"")
+    )
+    rows = [
+        (1, png),
+        (2, png[: 8 + len(ihdr) + 5]),   # dies inside the first IDAT
+        (3, b"\x89PNG\r\n\x1a\x00 corrupted signature tail"),
+        (4, png[: len(png) - len(chunk(b"IEND", b""))]),  # no IEND
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in parse_png_chunks(df).collect()}
+    assert out[1]["format"] == "png" and out[1]["idat_bytes"] == 10
+    assert out[1]["n_chunks"] == 4 and out[1]["width"] == 7 and out[1]["height"] == 9
+    assert out[2]["format"] == "png" and out[2]["n_chunks"] == 1
+    assert out[2]["idat_bytes"] == 0
+    assert out[3]["format"] == "unknown"
+    assert out[4]["n_chunks"] == 3 and out[4]["idat_bytes"] == 10
