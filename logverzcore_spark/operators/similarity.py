@@ -1665,3 +1665,58 @@ def knn_graph(
         .where(F.col("rank") <= k)
         .select("src", "dst", F.round("_cos", 6).alias("cosine"), "rank")
     )
+
+
+def filtered_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    filter_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Metadata-FILTERED top-k — retrieval constrained to corpus rows
+    sharing the query's attribute (same language / source / tenant),
+    the everyday production variant the unconstrained family (cosine_
+    topk, IVF/PQ tiers) doesn't express. Post-filtering an
+    unconstrained top-k UNDER-RETURNS (k neighbors then filter can
+    leave <k survivors); the correct shape makes the constraint the
+    JOIN KEY: queries equi-join the corpus on ``filter_col`` — at scale
+    that is a broadcast of the (small) query set against a corpus scan
+    with the label predicate pushed down, and each query scores only
+    its label's partition of the corpus, never the whole thing. Exact
+    within the constraint, so hash-verifiable (suite s16). Ranking:
+    unrounded cosine, id tie-break (the s02b discipline)."""
+    from pyspark.sql import Window
+
+    def prep(df, prefix):
+        v = df.select(
+            F.col(id_col).alias(f"{prefix}id"),
+            F.col(vec_col).cast("array<double>").alias(f"{prefix}vec"),
+            F.col(filter_col).alias(f"{prefix}f"),
+        )
+        nrm = F.sqrt(
+            F.aggregate(F.col(f"{prefix}vec"), F.lit(0.0), lambda a, x: a + x * x)
+        )
+        return v.withColumn(f"{prefix}n", nrm)
+
+    q, c = prep(queries, "q"), prep(corpus, "c")
+    dot = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("cvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    cos = dot / (F.col("qn") * F.col("cn"))
+    pairs = q.join(
+        c, (F.col("qf") == F.col("cf")) & (F.col("qid") != F.col("cid"))
+    ).select(
+        F.col("qid").alias("query_id"),
+        F.col("cid").alias("neighbor_id"),
+        cos.alias("_cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("_cos", 6).alias("cosine"), "rank")
+    )

@@ -963,3 +963,37 @@ def script_profile(col: Column) -> Column:
         ratio(n_cyr).alias("cyrillic_ratio"),
         ratio(n_cjk).alias("cjk_ratio"),
     )
+
+
+def readability(col: Column) -> Column:
+    """Flesch reading-ease and Flesch–Kincaid grade from three integer
+    counts: words (whitespace tokens), sentences (runs of ``[.!?]``,
+    floored at 1), and syllables approximated as vowel-group runs
+    (``[aeiouy]+`` over the lowercased text — a group never spans
+    whitespace, so the document-level count equals the per-word sum
+    without tokenizing twice). The standard readability gate of a text
+    curation pipeline. Both scores are fixed-order arithmetic over
+    exact integer counts (constant × ratio, summed left-to-right, one
+    final round) — engine-identical, no summation-order or
+    transcendental risk."""
+    words = token_count(col)
+    sentences = F.greatest(F.regexp_count(col, F.lit(r"[.!?]+")), F.lit(1))
+    syllables = F.regexp_count(F.lower(col), F.lit("[aeiouy]+"))
+    has = words > 0
+    ease = F.round(
+        F.lit(206.835) - F.lit(1.015) * (words / sentences)
+        - F.lit(84.6) * (syllables / words),
+        4,
+    )
+    grade = F.round(
+        F.lit(0.39) * (words / sentences)
+        + F.lit(11.8) * (syllables / words) - F.lit(15.59),
+        4,
+    )
+    return F.struct(
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+        F.when(has, ease).alias("flesch_ease"),
+        F.when(has, grade).alias("fk_grade"),
+    )

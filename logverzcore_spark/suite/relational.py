@@ -4161,3 +4161,62 @@ def q119_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     return graph.pagerank_fixed_point(edges, n_iter=5)
+
+
+@query(
+    "q120_rank_movers",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey,
+             CAST(EXTRACT(year FROM o_orderdate) * 100
+                  + EXTRACT(month FROM o_orderdate) AS INTEGER) AS ym,
+             SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1, 2
+    ), r AS (
+      SELECT o_custkey, ym,
+             CAST(cents AS DOUBLE) / 100 AS revenue,
+             CAST(dense_rank() OVER (PARTITION BY ym
+                  ORDER BY cents DESC, o_custkey) AS INTEGER) AS rnk
+      FROM m
+    ), l AS (
+      SELECT *, lag(rnk) OVER (PARTITION BY o_custkey ORDER BY ym) AS prev_rnk,
+                lag(ym) OVER (PARTITION BY o_custkey ORDER BY ym) AS prev_ym
+      FROM r
+    )
+    SELECT o_custkey AS custkey, ym, revenue, rnk,
+           CAST(prev_ym AS INTEGER) AS prev_ym,
+           CAST(prev_rnk AS INTEGER) AS prev_rnk,
+           CAST(prev_rnk - rnk AS INTEGER) AS rank_gain
+    FROM l WHERE prev_rnk IS NOT NULL
+    """,
+)
+def q120_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period rank movers — the movers-and-shakers report:
+    customers ranked by monthly revenue (dense rank on exact integer
+    cents, id tie-break), each month's rank compared to the customer's
+    PREVIOUS active month via lag, positive gain = climbed. Two window
+    passes on different keys (month for the rank, customer for the
+    lag) — each is one shuffle; the month grain keeps both frames far
+    smaller than the fact table."""
+    orders = _t(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.col("o_custkey"),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int").alias("ym"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")).alias("cents")
+    )
+    w_rank = Window.partitionBy("ym").orderBy(F.col("cents").desc(), F.col("o_custkey"))
+    w_lag = Window.partitionBy("o_custkey").orderBy("ym")
+    r = m.select(
+        "o_custkey", "ym",
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        F.dense_rank().over(w_rank).cast("int").alias("rnk"),
+    )
+    out = r.select(
+        F.col("o_custkey").alias("custkey"), "ym", "revenue", "rnk",
+        F.lag("ym").over(w_lag.orderBy("ym")).cast("int").alias("prev_ym"),
+        F.lag("rnk").over(w_lag.orderBy("ym")).cast("int").alias("prev_rnk"),
+    )
+    return out.where(F.col("prev_rnk").isNotNull()).withColumn(
+        "rank_gain", (F.col("prev_rnk") - F.col("rnk")).cast("int")
+    )

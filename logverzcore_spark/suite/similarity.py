@@ -565,3 +565,40 @@ def s15_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     id) ranking exactly; hash-verified end to end like d12/s02b."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.knn_graph(emb, dim=64, k=3, n_planes=4)
+
+
+@query(
+    "s16_filtered_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ), q AS (
+      SELECT * FROM v WHERE vec_id % 50 = 0
+    ), pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
+      FROM q JOIN v c ON q.label = c.label AND q.vec_id <> c.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rk
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine,
+           CAST(rk AS INTEGER) AS rank
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def s16_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered retrieval (similarity.filtered_topk): every
+    50th vector queries for its 3 nearest SAME-LABEL neighbors — the
+    constraint is the join key, so each query scores only its label's
+    slice of the corpus (post-filtering an unconstrained top-k would
+    under-return). Exact within the constraint; the oracle replays the
+    label join, the unrounded-cosine ranking, and the id tie-break."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return similarity.filtered_topk(emb, queries, k=3)

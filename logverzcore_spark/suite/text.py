@@ -1701,3 +1701,39 @@ def t40_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", text.script_profile(mixed).alias("_s")
     ).select("doc_id", "_s.*")
+
+
+@query(
+    "t41_readability",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS w,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS sy
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS n_words,
+           CAST(s AS INTEGER) AS n_sentences,
+           CAST(sy AS INTEGER) AS n_syllables,
+           CASE WHEN w > 0 THEN
+             ROUND(206.835 - 1.015 * (w / s) - 84.6 * (sy / w), 4)
+           END AS flesch_ease,
+           CASE WHEN w > 0 THEN
+             ROUND(0.39 * (w / s) + 11.8 * (sy / w) - 15.59, 4)
+           END AS fk_grade
+    FROM c
+    """,
+)
+def t41_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability gate (text.readability): Flesch ease + FK grade from
+    exact integer word/sentence/vowel-group counts, fixed-order
+    arithmetic mirrored verbatim in the oracle — a standard curation
+    filter (drop boilerplate-grade or word-salad text) that stays
+    hash-exact because nothing transcendental or order-dependent is
+    computed."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.readability(F.col("text")).alias("_r")
+    ).select("doc_id", "_r.*")

@@ -692,3 +692,21 @@ def test_script_profile_hand_values(spark):
     assert (r["n_latin"], r["n_cyrillic"], r["n_cjk"], r["n_digit"]) == (2, 1, 1, 2)
     assert r["n_nonspace"] == 6 and r["latin_ratio"] == round(2 / 6, 4)
     assert out[2]["n_nonspace"] == 0 and out[2]["latin_ratio"] is None
+
+
+def test_readability_hand_values(spark):
+    """'Hello world. It is fun!' = 5 words, 2 sentence runs, 6 vowel
+    groups -> Flesch ease 206.835 - 1.015*2.5 - 84.6*1.2 = 102.7775,
+    FK grade -0.455; empty text -> NULL scores with sentence floor 1."""
+    df = spark.createDataFrame(
+        [(1, "Hello world. It is fun!"), (2, "")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", text.readability(F.col("text")).alias("r"))
+        .select("doc_id", "r.*").collect()
+    }
+    r = out[1]
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (5, 2, 6)
+    assert r["flesch_ease"] == 102.7775 and r["fk_grade"] == -0.455
+    assert out[2]["n_sentences"] == 1 and out[2]["flesch_ease"] is None

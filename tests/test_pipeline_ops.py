@@ -1745,3 +1745,24 @@ def test_parse_png_chunks_edges(spark):
     assert out[2]["idat_bytes"] == 0
     assert out[3]["format"] == "unknown"
     assert out[4]["n_chunks"] == 3 and out[4]["idat_bytes"] == 10
+
+
+def test_filtered_topk_respects_constraint_and_underfull_labels(spark):
+    """filtered_topk: every neighbor shares the query's label; a label
+    with fewer than k mates returns the mates it has (no cross-label
+    leakage to fill ranks) — the exact trap of post-filtering an
+    unconstrained top-k."""
+    rows = [
+        (1, [1.0, 0.0], "a"), (2, [0.9, 0.1], "a"), (3, [0.0, 1.0], "a"),
+        (4, [1.0, 0.0], "b"), (5, [0.8, 0.2], "b"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    out = similarity.filtered_topk(df, df.where(F.col("vec_id").isin(1, 4)), k=3)
+    got = {}
+    lab = {r[0]: r[2] for r in rows}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append(r)
+        assert lab[r["neighbor_id"]] == lab[r["query_id"]]
+    assert len(got[1]) == 2  # label 'a' has only 2 mates
+    assert len(got[4]) == 1  # label 'b' has only 1 mate
+    assert got[1][0]["neighbor_id"] == 2  # nearest first
