@@ -297,4 +297,67 @@ def scd2_stream(
     )
 
 
-__all__ = ["upsert_stream", "make_upsert_fold", "make_scd2_fold", "scd2_stream", "BUCKET_COL"]
+
+def apply_changes(
+    spark: SparkSession,
+    table: str,
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tie_cols: list[str] | None = None,
+    op_col: str = "op",
+    n_buckets: int = 32,
+) -> dict:
+    """Batch MERGE of an op-typed change set ('upsert' | 'delete' rows)
+    into the bucket-partitioned keyed table — the batch sibling of
+    ``make_upsert_fold`` completing the CDC surface: streaming
+    latest-wins (st09), SCD2 history (st25), point deletes by id
+    (q113), and now the three-way batch merge (update + insert +
+    delete in ONE pass) a lakehouse MERGE INTO expresses.
+
+    Semantics: changes collapse to the LATEST row per key (ts +
+    tie_cols, deterministic); that row's op decides — 'delete' removes
+    the key, anything else replaces-or-inserts the row unconditionally
+    (standard WHEN MATCHED UPDATE / NOT MATCHED INSERT). Only the
+    buckets the change keys hash into are read and dynamically
+    overwritten — per-merge cost is O(touched buckets × bucket size),
+    never O(table). Creating the table from an upsert-only change set
+    bootstraps the same layout. Returns
+    ``{"touched_buckets", "deletes", "upserts"}``."""
+    tie_cols = tie_cols or []
+    latest = _latest_per_key(changes, key_col, ts_col, tie_cols, None)
+    latest = latest.withColumn(
+        BUCKET_COL, F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+    ).localCheckpoint(eager=True)  # pin: bucket list + both branches reuse it
+    dels = latest.where(F.col(op_col) == "delete")
+    ups = latest.where(F.col(op_col) != "delete").drop(op_col)
+    n_del, n_up = dels.count(), ups.count()
+    if not spark.catalog.tableExists(table):
+        ups.repartition(F.col(BUCKET_COL)).write.partitionBy(BUCKET_COL).saveAsTable(
+            table
+        )
+        return {"touched_buckets": -1, "deletes": n_del, "upserts": n_up}
+    touched = [r[BUCKET_COL] for r in latest.select(BUCKET_COL).distinct().collect()]
+    if not touched:
+        return {"touched_buckets": 0, "deletes": 0, "upserts": 0}
+    existing = spark.table(table).where(F.col(BUCKET_COL).isin(touched))
+    # Drop every changed key from the existing slice (delete AND update
+    # targets), then add the upsert rows back — unconditional replace.
+    change_keys = latest.select(F.col(key_col)).distinct()
+    kept = existing.join(change_keys, key_col, "left_anti")
+    merged = kept.unionByName(ups.select(*existing.columns))
+    merged = merged.repartition(F.col(BUCKET_COL)).localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").insertInto(table)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {"touched_buckets": len(touched), "deletes": n_del, "upserts": n_up}
+
+
+__all__ = ["upsert_stream", "make_upsert_fold", "make_scd2_fold", "scd2_stream", "apply_changes", "BUCKET_COL"]
+

@@ -4220,3 +4220,69 @@ def q120_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("prev_rnk").isNotNull()).withColumn(
         "rank_gain", (F.col("prev_rnk") - F.col("rnk")).cast("int")
     )
+
+
+@query(
+    "q121_merge_changes",
+    oracle="""
+    WITH init AS (
+      SELECT user_id, ts, value, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_id % 3 <> 0
+    ), target0 AS (
+      SELECT user_id, ts, value, event_id FROM init WHERE rn = 1
+    ), ch AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN event_id % 11 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_id % 3 = 0
+    ), chl AS (
+      SELECT * FROM ch WHERE rn = 1
+    ), merged AS (
+      SELECT t.user_id, t.ts, t.value, t.event_id
+      FROM target0 t LEFT JOIN chl c ON t.user_id = c.user_id
+      WHERE c.user_id IS NULL
+      UNION ALL
+      SELECT user_id, ts, value, event_id FROM chl WHERE op <> 'delete'
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, ts,
+           ROUND(value, 4) AS value, CAST(event_id AS BIGINT) AS event_id
+    FROM merged
+    """,
+)
+def q121_merge_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch three-way MERGE (upsert.apply_changes): a user-profile
+    table bootstrapped from the pre-cutover events (latest per user),
+    then an op-typed change set (every third event; every 11th of
+    those a DELETE) merged in ONE pass — update + insert + delete with
+    only the touched hash buckets read and dynamically overwritten.
+    The oracle replays the collapse-to-latest-change and the
+    matched-update / not-matched-insert / delete semantics; any key
+    left behind, resurrected, or double-applied breaks the hash."""
+    import uuid as _uuid
+
+    from logverzcore_spark.streaming.upsert import BUCKET_COL, apply_changes
+
+    table = f"q121_profiles_{_uuid.uuid4().hex[:8]}"
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    try:
+        initial = ev.where(F.col("event_id") % 3 != 0).withColumn("op", F.lit("upsert"))
+        apply_changes(spark, table, initial, "user_id", "ts", tie_cols=["event_id"])
+        changes = ev.where(F.col("event_id") % 3 == 0).withColumn(
+            "op",
+            F.when(F.col("event_id") % 11 == 0, F.lit("delete")).otherwise(
+                F.lit("upsert")
+            ),
+        )
+        stats = apply_changes(spark, table, changes, "user_id", "ts", tie_cols=["event_id"])
+        assert stats["touched_buckets"] > 0, stats
+        out = (
+            spark.table(table)
+            .select("user_id", "ts", F.round("value", 4).alias("value"), "event_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    return out

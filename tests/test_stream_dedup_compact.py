@@ -687,3 +687,49 @@ def test_frontier_fold_split_invariant_and_replay_safe(spark):
         }
         assert again == want
     spark.sql("DROP TABLE IF EXISTS front_t")
+
+
+def test_apply_changes_merge_semantics_and_untouched_partitions(spark, tmpdir_path):
+    """Batch MERGE contracts: update replaces, insert adds, delete
+    removes, delete-of-absent-key is a no-op; and partitions whose
+    buckets no change key hashes into are NOT rewritten (file mtimes
+    unchanged) — the O(touched buckets) promise."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.streaming.upsert import apply_changes
+
+    spark.sql("DROP TABLE IF EXISTS mrg_t")
+    rows = [(k, 10, float(k), 100 + k, "upsert") for k in range(40)]
+    init = spark.createDataFrame(
+        rows, "user_id long, ts long, value double, event_id long, op string"
+    )
+    apply_changes(spark, "mrg_t", init, "user_id", "ts", tie_cols=["event_id"])
+    wh = spark.sql("DESCRIBE EXTENDED mrg_t").collect()
+    loc = [r["data_type"] for r in wh if r["col_name"] == "Location"][0].replace(
+        "file:", ""
+    )
+    before = {f: os.path.getmtime(f) for f in glob.glob(f"{loc}/_bucket=*/*.parquet")}
+    ch = spark.createDataFrame(
+        [
+            (1, 20, 99.0, 200, "upsert"),    # update key 1
+            (1000, 20, 7.0, 201, "upsert"),  # insert new key
+            (2, 20, 0.0, 202, "delete"),     # delete key 2
+            (5000, 20, 0.0, 203, "delete"),  # delete absent key: no-op
+        ],
+        "user_id long, ts long, value double, event_id long, op string",
+    )
+    stats = apply_changes(spark, "mrg_t", ch, "user_id", "ts", tie_cols=["event_id"])
+    assert stats["deletes"] == 2 and stats["upserts"] == 2
+    spark.catalog.refreshTable("mrg_t")
+    got = {r["user_id"]: r for r in spark.table("mrg_t").collect()}
+    assert got[1]["value"] == 99.0 and got[1]["ts"] == 20
+    assert got[1000]["value"] == 7.0
+    assert 2 not in got and 5000 not in got
+    assert len(got) == 40 - 1 + 1  # one delete, one insert
+    after = {f: os.path.getmtime(f) for f in glob.glob(f"{loc}/_bucket=*/*.parquet")}
+    untouched = [f for f in before if f in after and before[f] == after[f]]
+    assert untouched, "every partition was rewritten — touched-bucket pruning broken"
+    spark.sql("DROP TABLE IF EXISTS mrg_t")
