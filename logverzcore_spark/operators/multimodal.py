@@ -1427,3 +1427,54 @@ def parse_png_chunks(
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, schema)
+
+
+def parse_srt_cues(
+    df: DataFrame,
+    srt_col: str = "srt",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SubRip (SRT) cue parsing — the text↔video alignment bridge:
+    caption datasets arrive as SRT/VTT sidecars, and a video pipeline
+    needs (start, end, text) spans to align transcripts with sampled
+    frames (m03) or audio segments (m08). One row per cue with integer
+    millisecond bounds and the caption text.
+
+    SRT is line-oriented with fixed-shape timecodes
+    (``HH:MM:SS,mmm --> HH:MM:SS,mmm``), so unlike the binary walks
+    this stays ENTIRELY in codegen: split on blank lines →
+    posexplode → regexp captures → pure integer arithmetic for the
+    millisecond conversion. Cue blocks without a valid timecode line
+    (malformed) are dropped — honest partial parse, per cue not per
+    file."""
+    blocks = F.split(F.col(srt_col), r"\r?\n\r?\n")
+    exploded = df.select(
+        F.col(id_col), F.posexplode(blocks).alias("cue_idx", "block")
+    )
+    tc = r"(\d{2}):(\d{2}):(\d{2}),(\d{3}) --> (\d{2}):(\d{2}):(\d{2}),(\d{3})"
+
+    def ms(base: int) -> Column:
+        return (
+            F.regexp_extract("block", tc, base + 1).cast("long") * 3600000
+            + F.regexp_extract("block", tc, base + 2).cast("long") * 60000
+            + F.regexp_extract("block", tc, base + 3).cast("long") * 1000
+            + F.regexp_extract("block", tc, base + 4).cast("long")
+        )
+    has_tc = F.regexp_extract("block", tc, 0) != ""
+    text_part = F.trim(
+        F.regexp_replace(
+            F.regexp_replace("block", r"(?s)^.*?" + tc + r"[ \t]*\r?\n?", ""),
+            r"\r?\n",
+            " ",
+        )
+    )
+    return (
+        exploded.where(has_tc)
+        .select(
+            id_col,
+            F.col("cue_idx").cast("int").alias("cue_idx"),
+            ms(0).alias("start_ms"),
+            ms(4).alias("end_ms"),
+            text_part.alias("caption"),
+        )
+    )

@@ -1145,3 +1145,63 @@ def m19_png_chunk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     payload = F.when(d % 5 == 4, F.encode("text", "UTF-8")).otherwise(F.unhex(png))
     return parse_png_chunks(docs.select("doc_id", payload.alias("payload")))
+
+
+@query(
+    "m20_srt_cue_parse",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, unnest(range(0, 1 + doc_id % 4)) AS i FROM documents
+    )
+    SELECT doc_id,
+           CAST(i + CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS INTEGER)
+             AS cue_idx,
+           CAST(i * 5000 + doc_id % 1000 AS BIGINT) AS start_ms,
+           CAST(i * 5000 + doc_id % 1000 + 2000 + doc_id % 500 AS BIGINT)
+             AS end_ms,
+           'cue ' || i || ' of doc ' || doc_id AS caption
+    FROM g
+    """,
+)
+def m20_srt_cue_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRT subtitle parsing (multimodal.parse_srt_cues): per-doc SRT
+    sidecars BUILT from doc_id (1-4 cues, doc-varying offsets and
+    durations, millisecond-exact timecodes rendered with pure lpad
+    arithmetic), every fifth doc opening with a MALFORMED block the
+    parser must drop while keeping the true posexplode cue index, and
+    every doc trailing a junk block. The oracle restates the parsed
+    rows arithmetically — any timecode-arithmetic slip or index drift
+    breaks the hash. All codegen: split, posexplode, regexp captures,
+    integer math."""
+    from logverzcore_spark.operators.multimodal import parse_srt_cues
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    n = (1 + d % 4).cast("int")
+
+    def tc(ms):
+        return F.concat(
+            F.lpad(F.floor(ms / 3600000).cast("string"), 2, "0"), F.lit(":"),
+            F.lpad(F.floor(ms % 3600000 / 60000).cast("string"), 2, "0"), F.lit(":"),
+            F.lpad(F.floor(ms % 60000 / 1000).cast("string"), 2, "0"), F.lit(","),
+            F.lpad((ms % 1000).cast("string"), 3, "0"),
+        )
+
+    def block(i):
+        start = i.cast("long") * 5000 + d % 1000
+        end = start + 2000 + d % 500
+        return F.concat(
+            (i + 1).cast("string"), F.lit("\n"),
+            tc(start), F.lit(" --> "), tc(end), F.lit("\n"),
+            F.lit("cue "), i.cast("string"), F.lit(" of doc "), d.cast("string"),
+        )
+
+    body = F.concat_ws("\n\n", F.transform(F.sequence(F.lit(0), n - 1), block))
+    srt = F.concat(
+        F.when(d % 5 == 4, F.lit("0\nnot a timecode line\ngarbage\n\n")).otherwise(
+            F.lit("")
+        ),
+        body,
+        F.lit("\n\ntrailing junk block without any timing"),
+    )
+    return parse_srt_cues(docs.select("doc_id", srt.alias("srt")))

@@ -1766,3 +1766,23 @@ def test_filtered_topk_respects_constraint_and_underfull_labels(spark):
     assert len(got[1]) == 2  # label 'a' has only 2 mates
     assert len(got[4]) == 1  # label 'b' has only 1 mate
     assert got[1][0]["neighbor_id"] == 2  # nearest first
+
+
+def test_parse_srt_cues_crlf_and_multiline(spark):
+    """SRT edges: CRLF line endings parse identically; a multi-line
+    caption joins with single spaces; the numeric index line is not
+    part of the caption; blocks without a timecode are dropped."""
+    from logverzcore_spark.operators.multimodal import parse_srt_cues
+
+    srt = (
+        "1\r\n00:00:01,500 --> 00:00:03,250\r\nline one\r\nline two\r\n\r\n"
+        "junk block\r\n\r\n"
+        "2\r\n01:02:03,004 --> 01:02:04,005\r\nsecond"
+    )
+    df = spark.createDataFrame([(1, srt)], "doc_id long, srt string")
+    out = sorted(parse_srt_cues(df).collect(), key=lambda r: r["cue_idx"])
+    assert len(out) == 2
+    assert out[0]["start_ms"] == 1500 and out[0]["end_ms"] == 3250
+    assert out[0]["caption"] == "line one line two"
+    assert out[1]["start_ms"] == 3723004 and out[1]["end_ms"] == 3724005
+    assert out[1]["caption"] == "second" and out[1]["cue_idx"] == 2
