@@ -997,3 +997,110 @@ def readability(col: Column) -> Column:
         F.when(has, ease).alias("flesch_ease"),
         F.when(has, grade).alias("fk_grade"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    idf_scale: int = 100_000,
+    tf_scale: int = 1_000,
+) -> DataFrame:
+    """Lexical top-k retrieval: BM25 (k1=1.2, b=0.75) over a distributed
+    inverted index — the keyword-search companion to the embedding
+    retrieval family (``similarity.cosine_topk`` et al.) and the
+    standard candidate generator in a hybrid (BM25 + dense) pipeline.
+    Reference parity: LogverzCore's search API filters by substring
+    match (sources/queries/*.sql LIKE patterns); this is the ranked
+    generalization a training-data curation user needs.
+
+    ``query_terms`` is (query_id, term); output is (query_id, doc_id,
+    score, rank) with rank ≤ k per query.
+
+    Integer-exact scoring (the d18/s13 fixed-point discipline — no
+    logarithm, no float sums, so any engine replays the ranking
+    bit-for-bit). With tf = term count in doc, dl = doc length,
+    N = corpus docs, df = docs containing the term, and
+    adm = (1000·ΣdL) div N (milli-token average doc length):
+
+      idf    = (idf_scale · (2N − 2df + 1)) div (2df + 1)
+                 — Robertson (N − df + ½)/(df + ½) as one exact
+                 integer division (never negative, unlike the log form)
+      tfpart = (tf_scale · 22·tf·adm) div (10·tf·adm + 3·adm + 9000·dl)
+                 — tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) with
+                 k1 = 6/5, b = 3/4 cleared to integers via ×10·adm
+      score  = Σ_terms idf · tfpart   (exact BIGINT sum, order-free)
+
+    Overflow headroom: adm is O(avg doc length), NOT corpus size, so
+    tf_scale·22·tf·adm stays < 2^63 for any corpus (adm ≤ ~4·10^13/tf);
+    idf·tfpart ≤ (idf_scale·2N/3)·(2.2·tf_scale) bounds N ≤ ~4·10^9
+    docs per scoring job at the defaults — shard-and-merge beyond.
+
+    Plan shape (scale notes): tokenize + two groupBys build tf/dl
+    (map-side partial aggregation); df is computed ONLY for the query
+    terms (semi-join on the broadcast query set before the count agg —
+    the full vocabulary is never aggregated); the postings join
+    broadcasts the enriched query terms so the corpus-sized side never
+    shuffles on term; the final per-(query,doc) sum and the top-k
+    window shuffle only matched postings, partitioned by query.
+    """
+    from logverzcore_spark.operators.util import fan_out
+
+    tok = (
+        fan_out(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tok.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("l_tok"),
+    )
+    qset = query_terms.select("query_id", "term").distinct()
+    dfreq = (
+        tok.join(F.broadcast(qset.select("term").distinct()), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_"))
+    )
+    qw = (
+        qset.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "term",
+            F.expr(
+                f"(CAST({idf_scale} AS BIGINT) * (2*n_docs - 2*df_ + 1))"
+                " div (2*df_ + 1)"
+            ).alias("idf"),
+            F.expr("(1000 * l_tok) div n_docs").alias("adm"),
+        )
+    )
+    scored = (
+        tok.join(dl, "doc_id")
+        .join(F.broadcast(qw), "term")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("idf")
+                * F.expr(
+                    f"(CAST({tf_scale} AS BIGINT) * 22 * tf * adm)"
+                    " div (10 * tf * adm + 3 * adm + 9000 * dl)"
+                )
+            ).alias("w"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("w").alias("score"))
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

@@ -710,3 +710,55 @@ def test_readability_hand_values(spark):
     assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (5, 2, 6)
     assert r["flesch_ease"] == 102.7775 and r["fk_grade"] == -0.455
     assert out[2]["n_sentences"] == 1 and out[2]["flesch_ease"] is None
+
+
+def test_bm25_topk_hand_values(spark):
+    """BM25 on a 4-doc corpus: the query doc retrieves itself first;
+    a rare query term outranks a ubiquitous one (idf ordering); scores
+    replay the documented rational fixed-point formula exactly."""
+    from logverzcore_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (0, "zebra zebra apple"),
+            (1, "apple banana banana"),
+            (2, "banana cherry cherry"),
+            (3, "cherry apple banana"),
+        ],
+        "doc_id long, text string",
+    )
+    qt = spark.createDataFrame(
+        [(0, "zebra"), (0, "apple")], "query_id long, term string"
+    )
+    out = T.bm25_topk(docs, qt, k=4).orderBy("rank").collect()
+    assert [r.doc_id for r in out][0] == 0  # only doc with 'zebra' wins
+
+    # Replay the fixed-point math in Python for doc 0.
+    N, L = 4, 12
+    adm = (1000 * L) // N  # 3000
+    def idf(df_):
+        return (100_000 * (2 * N - 2 * df_ + 1)) // (2 * df_ + 1)
+    def tfpart(tf, dl):
+        return (1000 * 22 * tf * adm) // (10 * tf * adm + 3 * adm + 9000 * dl)
+    want = idf(1) * tfpart(2, 3) + idf(3) * tfpart(1, 3)
+    assert out[0].score == want
+
+    # Every doc containing any query term is scored (docs 0,1,2,3 all
+    # contain apple or zebra except doc 2 — which has neither).
+    assert {r.doc_id for r in out} == {0, 1, 3}
+
+
+def test_bm25_topk_rare_term_dominates(spark):
+    """Two docs with equal length: the one matching the RARE query term
+    scores above the one matching the common term."""
+    from logverzcore_spark.operators import text as T
+
+    rows = [(i, "common filler words here") for i in range(8)]
+    rows.append((8, "rare filler words here"))
+    rows.append((9, "common filler words here"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qt = spark.createDataFrame(
+        [(0, "rare"), (0, "common")], "query_id long, term string"
+    )
+    out = T.bm25_topk(docs, qt, k=1).collect()
+    assert out[0].doc_id == 8
