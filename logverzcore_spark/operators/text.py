@@ -1104,3 +1104,76 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+#: Multi-part public suffixes the registered-domain heuristic recognises.
+#: A real deployment would load the full Public Suffix List; the literal
+#: subset keeps the operator dependency-free and engine-replayable.
+URL_MULTI_SUFFIXES = ("co.uk", "org.uk", "ac.uk", "com.au", "co.jp", "co.in", "com.br")
+
+#: Query parameters stripped by URL canonicalization (tracking noise).
+URL_TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref)="
+
+
+def normalize_url(col: Column) -> Column:
+    """URL canonicalization for web-corpus dedup — the first step of
+    every crawl pipeline: the same page arrives under scheme/host case
+    variants, userinfo/port decorations, duplicate slashes, trailing
+    slashes, tracking parameters, shuffled query order, and fragments.
+    All pure codegen string/regex projections (no UDF, no shuffle).
+
+    Returns a struct:
+    - ``scheme``   lowercased (``''`` when the value is not a URL)
+    - ``host``     lowercased, userinfo and port stripped
+    - ``domain``   registered domain: last two labels, or last three
+                   when the host ends in a known multi-part public
+                   suffix (URL_MULTI_SUFFIXES; heuristic subset of the
+                   PSL, documented limitation)
+    - ``path``     ``//``-runs collapsed, trailing slash stripped
+                   (root stays ``/``; empty path becomes ``/``)
+    - ``query_canon`` params minus tracking keys
+                   (URL_TRACKING_PARAM_RE), sorted bytewise, re-joined
+    - ``url_canon``   ``scheme://host path ?query_canon`` — the dedup
+                   key; ports and fragments are dropped by design
+                   (default-port pages and in-page anchors are the
+                   same fetch).
+    """
+    scheme = F.lower(F.regexp_extract(col, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    authority = F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    hostport = F.regexp_extract(authority, r"([^@]*)$", 1)
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    multi = "|".join(s.replace(".", r"\.") for s in URL_MULTI_SUFFIXES)
+    domain = F.regexp_extract(
+        host, r"([^.]+\.(?:" + multi + r")|[^.]+\.[^.]+)$", 1
+    )
+    path_raw = F.regexp_extract(
+        col, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    path_c = F.regexp_replace(path_raw, r"/{2,}", "/")
+    path_c = F.regexp_replace(path_c, r"(.)/$", "$1")
+    path = F.when(path_c == "", F.lit("/")).otherwise(path_c)
+    qraw = F.regexp_extract(col, r"\?([^#]*)", 1)
+    parts = F.filter(
+        F.split(qraw, "&"),
+        lambda x: (x != "") & (~x.rlike(URL_TRACKING_PARAM_RE)),
+    )
+    query_canon = F.concat_ws("&", F.array_sort(parts))
+    url_canon = F.when(scheme == "", F.lit(None).cast("string")).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(query_canon == "", F.lit("")).otherwise(
+                F.concat(F.lit("?"), query_canon)
+            ),
+        )
+    )
+    return F.struct(
+        scheme.alias("scheme"),
+        host.alias("host"),
+        domain.alias("domain"),
+        path.alias("path"),
+        query_canon.alias("query_canon"),
+        url_canon.alias("url_canon"),
+    )

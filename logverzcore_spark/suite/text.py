@@ -1737,3 +1737,105 @@ def t41_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", text.readability(F.col("text")).alias("_r")
     ).select("doc_id", "_r.*")
+
+
+@query(
+    "t42_url_normalize",
+    oracle=r"""
+    WITH fixture AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END)
+             || '://'
+             || (CASE doc_id % 4
+                   WHEN 0 THEN 'WWW.' || source || '.Example.CO.UK'
+                   WHEN 1 THEN source || '.example.com'
+                   WHEN 2 THEN 'cdn.' || source || '.example.com.au'
+                   ELSE 'user:pw@' || source || '.EXAMPLE.com:8080'
+                 END)
+             || '//docs//' || CAST(doc_id AS VARCHAR)
+             || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+             || (CASE doc_id % 3
+                   WHEN 0 THEN '?utm_source=tw&b=2&a=1'
+                   WHEN 1 THEN ''
+                   ELSE '?z=9&utm_campaign=x&gclid=abc&a='
+                        || CAST(doc_id % 5 AS VARCHAR)
+                 END)
+             || (CASE WHEN doc_id % 2 = 0
+                      THEN '#s' || CAST(doc_id AS VARCHAR) ELSE '' END)
+             AS url
+      FROM documents
+    ), parsed AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme,
+             lower(regexp_extract(
+               regexp_extract(
+                 regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                 '([^@]*)$', 1),
+               '^([^:]*)', 1)) AS host,
+             regexp_replace(
+               regexp_replace(
+                 regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                 '/{2,}', '/', 'g'),
+               '(.)/$', '\1') AS path_c,
+             regexp_extract(url, '\?([^#]*)', 1) AS qraw
+      FROM fixture
+    ), canon AS (
+      SELECT doc_id, scheme, host,
+             regexp_extract(host,
+               '([^.]+\.(?:co\.uk|org\.uk|ac\.uk|com\.au|co\.jp|co\.in|com\.br)|[^.]+\.[^.]+)$',
+               1) AS domain,
+             CASE WHEN path_c = '' THEN '/' ELSE path_c END AS path,
+             COALESCE(array_to_string(
+               list_sort(
+                 list_filter(string_split(qraw, '&'),
+                   x -> x <> '' AND NOT regexp_matches(x,
+                          '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))),
+               '&'), '') AS query_canon
+      FROM parsed
+    )
+    SELECT doc_id, scheme, host, domain, path, query_canon,
+           scheme || '://' || host || path
+           || (CASE WHEN query_canon = '' THEN ''
+                    ELSE '?' || query_canon END) AS url_canon
+    FROM canon
+    """,
+)
+def t42_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (text.normalize_url) over a deterministic
+    per-doc crawl-URL fixture built in BOTH engines (the m17/m18
+    byte-exact-fixture pattern): scheme/host case noise, userinfo+port
+    decoration, a multi-part public suffix (co.uk / com.au), duplicate
+    slashes, trailing-slash variants, tracking params (utm_*/gclid),
+    unsorted query order, and fragments. The oracle replays each regex
+    stage; note DuckDB's regexp_replace needs the explicit 'g' flag
+    where Spark's is global by default, and backrefs are \\1 vs $1."""
+    sid = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("WWW."), F.col("source"), F.lit(".Example.CO.UK")))
+         .when(F.col("doc_id") % 4 == 1,
+               F.concat(F.col("source"), F.lit(".example.com")))
+         .when(F.col("doc_id") % 4 == 2,
+               F.concat(F.lit("cdn."), F.col("source"), F.lit(".example.com.au")))
+         .otherwise(
+               F.concat(F.lit("user:pw@"), F.col("source"),
+                        F.lit(".EXAMPLE.com:8080"))),
+        F.lit("//docs//"), sid,
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=tw&b=2&a=1"))
+         .when(F.col("doc_id") % 3 == 1, F.lit(""))
+         .otherwise(F.concat(F.lit("?z=9&utm_campaign=x&gclid=abc&a="),
+                             (F.col("doc_id") % 5).cast("string"))),
+        F.when(F.col("doc_id") % 2 == 0, F.concat(F.lit("#s"), sid))
+         .otherwise(F.lit("")),
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", text.normalize_url(url).alias("u"))
+        .select("doc_id", "u.scheme", "u.host", "u.domain", "u.path",
+                "u.query_canon", "u.url_canon")
+    )

@@ -762,3 +762,32 @@ def test_bm25_topk_rare_term_dominates(spark):
     )
     out = T.bm25_topk(docs, qt, k=1).collect()
     assert out[0].doc_id == 8
+
+
+def test_normalize_url_hand_values(spark):
+    from logverzcore_spark.operators import text as T
+
+    rows = [
+        (0, "HTTPS://User:Pw@WWW.Example.CO.UK:443//a//b/?b=2&utm_source=x&a=1#frag"),
+        (1, "http://localhost:8080"),
+        (2, "not a url at all"),
+        (3, "http://sub.deep.example.com/x/?gclid=1&utm_campaign=z"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = {r.id: r.u for r in df.select("id", T.normalize_url(F.col("url")).alias("u")).collect()}
+
+    u0 = out[0]
+    assert u0.scheme == "https" and u0.host == "www.example.co.uk"
+    assert u0.domain == "example.co.uk"
+    assert u0.path == "/a/b" and u0.query_canon == "a=1&b=2"
+    assert u0.url_canon == "https://www.example.co.uk/a/b?a=1&b=2"
+
+    u1 = out[1]
+    assert u1.host == "localhost" and u1.domain == "" and u1.path == "/"
+    assert u1.url_canon == "http://localhost/"
+
+    assert out[2].scheme == "" and out[2].url_canon is None
+
+    u3 = out[3]
+    assert u3.domain == "example.com" and u3.query_canon == ""
+    assert u3.url_canon == "http://sub.deep.example.com/x"
