@@ -4286,3 +4286,45 @@ def q121_merge_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
     return out
+
+
+@query(
+    "q122_triangle_count",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), tri AS (
+      SELECT e1.x AS x, e1.y AS y, e2.y AS z
+      FROM e e1
+      JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
+      JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y
+    ), corners AS (
+      SELECT x AS vertex FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT vertex, count(*) AS triangles FROM corners GROUP BY vertex
+    """,
+)
+def q122_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counting (graph.triangle_count) over the
+    parts-co-ordered-together graph (edge = two parts sharing an
+    order). The operator orients edges by (degree, id) — Cohen's
+    MapReduce triangle algorithm — bounding the wedge join at
+    O(m^1.5) where the oracle's naive id-ordered 3-way join is fine
+    only at oracle scale; both count each triangle exactly once, so
+    the per-corner counts hash-match."""
+    from logverzcore_spark.operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+    )
+    return graph.triangle_count(pairs)

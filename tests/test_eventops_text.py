@@ -791,3 +791,21 @@ def test_normalize_url_hand_values(spark):
     u3 = out[3]
     assert u3.domain == "example.com" and u3.query_canon == ""
     assert u3.url_canon == "http://sub.deep.example.com/x"
+
+
+def test_triangle_count_hand_graph(spark):
+    """K4 on {1,2,3,4} (each vertex in C(3,2)=3 triangles) plus a
+    5-leaf star at 10 (no triangles) plus a dangling edge; input
+    carries duplicates, reversed directions, and a self-loop."""
+    from logverzcore_spark.operators import graph
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = (
+        k4
+        + [(b, a) for a, b in k4]          # reversed duplicates
+        + [(10, 20 + i) for i in range(5)]  # star: no triangles
+        + [(7, 7), (1, 2), (100, 101)]      # self-loop, dup, dangle
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.vertex: r.triangles for r in graph.triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
