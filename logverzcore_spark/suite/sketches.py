@@ -221,3 +221,46 @@ def q48b_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").alias("n_events"),
         )
     )
+
+
+def _q123_oracle(depth: int = 4, width: int = 512) -> str:
+    h = _hex_digits_to_int_sql(
+        "md5(CAST(s.d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR))", 12
+    )
+    return f"""
+    WITH seeds AS (SELECT unnest(range({depth})) AS d),
+    cells AS (
+      SELECT s.d AS d, {h} % {width} AS w, count(*) AS cnt
+      FROM events CROSS JOIN seeds s GROUP BY 1, 2
+    ), keys AS (SELECT DISTINCT user_id FROM events),
+    probes AS (
+      SELECT k.user_id, s.d AS d, {h} % {width} AS w
+      FROM keys k CROSS JOIN seeds s
+    ), est AS (
+      SELECT p.user_id, min(COALESCE(c.cnt, 0)) AS est
+      FROM probes p LEFT JOIN cells c ON c.d = p.d AND c.w = p.w
+      GROUP BY p.user_id
+    ), exact AS (SELECT user_id, count(*) AS n_exact FROM events GROUP BY user_id)
+    SELECT e.user_id, e.est, x.n_exact
+    FROM est e JOIN exact x USING (user_id)
+    """
+
+
+@query("q123_countmin_freq", oracle=_q123_oracle())
+def q123_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch (sketches.countmin_build/estimate):
+    per-event user counts folded into a 4x512 cell table (the ONLY
+    shuffle is O(tasks * cells), volume-independent), then every
+    distinct user point-estimated (min over 4 md5-derived cells,
+    broadcast sketch) and joined to the exact count. est >= n_exact
+    always (counters only overcount); the md5 hash makes the identical
+    sketch rebuildable in the oracle, so the entry is hash-verified
+    rather than bound-checked. Completes the sketch tier: HLL/theta
+    (distinct), KLL (quantiles), bloom (membership), CMS (frequency)."""
+    from logverzcore_spark.operators import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    cms = sketches.countmin_build(ev, "user_id")
+    est = sketches.countmin_estimate(cms, ev.select("user_id"), "user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return est.join(exact, "user_id")

@@ -183,3 +183,25 @@ def test_sketch_fold_merges_across_lgk_upgrade(spark, _events_df):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {table}_meta")
+
+
+def test_countmin_overcounts_never_under(spark):
+    """CMS point estimates dominate exact counts; unseen keys estimate 0
+    (all-rows-absent path); a tiny width forces collisions and the min
+    over depth rows still never under-counts."""
+    from logverzcore_spark.operators import sketches
+    from pyspark.sql import functions as F
+
+    df = spark.range(2000).select((F.col("id") % 37).alias("k"))
+    cms = sketches.countmin_build(df, "k", depth=3, width=16)
+    assert cms.count() <= 3 * 16
+    keys = spark.range(50).select(F.col("id").alias("k"))  # 37..49 unseen
+    est = {r.k: r.est for r in
+           sketches.countmin_estimate(cms, keys, "k", depth=3, width=16).collect()}
+    exact = {r.k: r.n for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for k in range(50):
+        if k < 37:
+            assert est[k] >= exact[k]
+        # unseen keys may still collide into occupied cells, but the
+        # estimate must never be negative and is 0 when any row misses
+        assert est[k] >= 0
