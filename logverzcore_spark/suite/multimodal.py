@@ -1205,3 +1205,97 @@ def m20_srt_cue_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("\n\ntrailing junk block without any timing"),
     )
     return parse_srt_cues(docs.select("doc_id", srt.alias("srt")))
+
+
+@query(
+    "m21_zip_central_dir",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS k
+      FROM documents WHERE doc_id % 7 <> 6
+    )
+    SELECT doc_id,
+           CAST(k AS INTEGER) AS entry_idx,
+           'f' || CAST(k AS VARCHAR) || '.txt' AS name,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN 8 ELSE 0 END AS INTEGER) AS method,
+           CAST(3 + (doc_id + k) % 6 AS BIGINT) AS comp_bytes,
+           CAST((3 + (doc_id + k) % 6)
+                * (CASE WHEN doc_id % 3 = 2 THEN 3 ELSE 1 END) AS BIGINT)
+             AS uncomp_bytes,
+           printf('%08x', (doc_id * 2654435761 + k) % 4294967296) AS crc_hex
+    FROM g
+    """,
+)
+def m21_zip_central_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP member listing (multimodal.parse_zip_central_dir): byte-exact
+    STORED-layout archives built from doc_id — 1-3 members with
+    per-member data lengths that shift every later offset, deflate
+    method codes on every third doc (sizes from the CD, data never
+    inflated), and a trailing archive COMMENT on every fifth doc that
+    displaces the EOCD off its no-comment position (exercising the
+    mandatory backward signature scan). Every seventh doc is junk text
+    → zero rows (a listing, not a sniffer). The oracle restates each
+    member arithmetically."""
+    from logverzcore_spark.operators.multimodal import parse_zip_central_dir
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def le16(col):
+        be = F.lpad(F.hex(col.cast("long")), 4, "0")
+        return F.concat(F.substring(be, 3, 2), F.substring(be, 1, 2))
+
+    def le32(col):
+        be = F.lpad(F.hex(col.cast("long")), 8, "0")
+        return F.concat(
+            F.substring(be, 7, 2), F.substring(be, 5, 2),
+            F.substring(be, 3, 2), F.substring(be, 1, 2),
+        )
+
+    n = (1 + d % 3).cast("int")
+    method = F.when(d % 3 == 2, F.lit(8)).otherwise(F.lit(0)).cast("long")
+    mult = F.when(d % 3 == 2, F.lit(3)).otherwise(F.lit(1)).cast("long")
+
+    def dlen(k):
+        return (3 + (d + F.lit(k)) % 6).cast("long")
+
+    def crc(k):
+        return (d * F.lit(2654435761) + F.lit(k)) % F.lit(4294967296)
+
+    def name_hex(k):
+        return "66" + format(0x30 + k, "02X") + "2E747874"  # 'f{k}.txt'
+
+    locals_, cds, offs = [], [], []
+    off = F.lit(0).cast("long")
+    for k in range(3):
+        common = F.concat(
+            le16(method), F.lit("00000000"),           # mod time+date
+            le32(crc(k)), le32(dlen(k)), le32(dlen(k) * mult),
+            F.lit("0600"), F.lit("0000"),              # name len 6, extra 0
+        )
+        loc = F.concat(
+            F.lit("504B0304" "1400" "0000"), common,
+            F.lit(name_hex(k)), F.repeat(F.lit("00"), dlen(k).cast("int")),
+        )
+        cd = F.concat(
+            F.lit("504B0102" "1400" "1400" "0000"), common,
+            F.lit("0000"),                             # file comment len
+            F.lit("0000" "0000" "00000000"),           # disk, int/ext attrs
+            le32(off), F.lit(name_hex(k)),
+        )
+        in_n = F.lit(k) < n
+        locals_.append(F.when(in_n, loc).otherwise(F.lit("")))
+        cds.append(F.when(in_n, cd).otherwise(F.lit("")))
+        off = off + F.when(in_n, 36 + dlen(k)).otherwise(F.lit(0))
+    cd_off = off  # total bytes of local sections
+    cd_size = (52 * n).cast("long")
+    has_comment = d % 5 == 0
+    eocd = F.concat(
+        F.lit("504B0506" "0000" "0000"), le16(n), le16(n),
+        le32(cd_size), le32(cd_off),
+        F.when(has_comment, F.lit("0700" "61726368697665"))
+         .otherwise(F.lit("0000")),
+    )
+    zip_hex = F.concat(*locals_, *cds, eocd)
+    payload = F.when(d % 7 == 6, F.encode("text", "UTF-8")).otherwise(F.unhex(zip_hex))
+    return parse_zip_central_dir(docs.select("doc_id", payload.alias("payload")))

@@ -1786,3 +1786,50 @@ def test_parse_srt_cues_crlf_and_multiline(spark):
     assert out[0]["caption"] == "line one line two"
     assert out[1]["start_ms"] == 3723004 and out[1]["end_ms"] == 3724005
     assert out[1]["caption"] == "second" and out[1]["cue_idx"] == 2
+
+
+def test_parse_zip_central_dir_edges(spark):
+    """Real zipfile output parses exactly; truncated CD yields the
+    entries reached; junk/short/EOCD-less payloads yield zero rows;
+    an archive comment displaces the EOCD and the backward scan still
+    finds it."""
+    import io
+    import zipfile
+
+    from logverzcore_spark.operators.multimodal import parse_zip_central_dir
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        z.writestr("a.txt", b"hello")
+        z.writestr("dir/b.bin", b"\x00" * 9)
+        z.comment = b"trailing archive comment"
+    real = buf.getvalue()
+
+    # truncate mid-central-directory: keep EOCD intact by rebuilding a
+    # zip whose CD claims 2 entries but whose second CD record is cut
+    eocd_at = real.rfind(b"PK\x05\x06")
+    cd_at = real.find(b"PK\x01\x02")
+    second_cd = real.find(b"PK\x01\x02", cd_at + 4)
+    cut = real[:second_cd + 2] + real[eocd_at:]
+
+    rows = [
+        (0, bytearray(real)),
+        (1, bytearray(cut)),
+        (2, bytearray(b"not a zip")),
+        (3, None),
+        (4, bytearray(b"PK\x03\x04 local header only, no EOCD")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = parse_zip_central_dir(df).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert sorted((r.entry_idx, r.name, r.method, r.comp_bytes, r.uncomp_bytes)
+                  for r in by_doc[0]) == [
+        (0, "a.txt", 0, 5, 5),
+        (1, "dir/b.bin", 0, 9, 9),
+    ]
+    import zlib
+    assert by_doc[0][0].crc_hex == format(zlib.crc32(b"hello"), "08x")
+    assert [r.name for r in by_doc[1]] == ["a.txt"]  # partial walk
+    assert 2 not in by_doc and 3 not in by_doc and 4 not in by_doc
