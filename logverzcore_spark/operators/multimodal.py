@@ -1582,3 +1582,97 @@ def parse_zip_central_dir(
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, schema)
+
+
+def parse_tar_entries(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_entries: int = 65_535,
+) -> DataFrame:
+    """USTAR archive listing — ZIP's streaming-era sibling
+    (``parse_zip_central_dir``): tar has NO central directory, so a
+    lister must walk the 512-byte header blocks front-to-back,
+    skipping each member's data by its size rounded up to the block
+    boundary — the sequential-scan access pattern (tar streams; zip
+    seeks). One row per member: (id, entry_idx, name, typeflag, size,
+    mtime, linkname). size/mtime are octal fields (NUL/space
+    terminated, per POSIX.1-1988); the walk stops at the end-of-archive
+    zero block, a missing ``ustar`` magic, a malformed octal field, or
+    truncation — entries already reached are kept (honest partial
+    parse). Header checksums are not validated (a listing, not an
+    integrity checker — the CRC/ADLER discipline of the other walks).
+    Variable member sizes → the Arrow ``mapInPandas`` path."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("entry_idx", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("typeflag", T.StringType()),
+            T.StructField("size", T.LongType()),
+            T.StructField("mtime", T.LongType()),
+            T.StructField("linkname", T.StringType()),
+        ]
+    )
+
+    def octal(field: bytes):
+        s = field.split(b"\x00")[0].strip(b" ")
+        if not s:
+            return 0
+        return int(s, 8)  # ValueError on malformed → caller stops
+
+    def parse_one(b: bytes):
+        rows = []
+        if b is None:
+            return rows
+        i = 0
+        for e in range(max_entries):
+            if i + 512 > len(b):
+                break
+            hdr = b[i : i + 512]
+            if hdr == b"\x00" * 512:
+                break
+            if hdr[257:262] != b"ustar":
+                break
+            try:
+                size = octal(hdr[124:136])
+                mtime = octal(hdr[136:148])
+            except ValueError:
+                break
+            name = hdr[0:100].split(b"\x00")[0].decode("utf-8", "replace")
+            typeflag = chr(hdr[156]) if hdr[156] else "0"
+            link = hdr[157:257].split(b"\x00")[0].decode("utf-8", "replace")
+            rows.append((e, name, typeflag, size, mtime, link or None))
+            i += 512 + ((size + 511) // 512) * 512
+        return rows
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                id_col: [], "entry_idx": [], "name": [], "typeflag": [],
+                "size": [], "mtime": [], "linkname": [],
+            }
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                for e, name, tf, size, mtime, link in parse_one(
+                    bytes(p) if p is not None else None
+                ):
+                    out[id_col].append(did)
+                    out["entry_idx"].append(e)
+                    out["name"].append(name)
+                    out["typeflag"].append(tf)
+                    out["size"].append(size)
+                    out["mtime"].append(mtime)
+                    out["linkname"].append(link)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(out[id_col], dtype="Int64"),
+                    "entry_idx": pd.array(out["entry_idx"], dtype="Int32"),
+                    "name": out["name"],
+                    "typeflag": out["typeflag"],
+                    "size": pd.array(out["size"], dtype="Int64"),
+                    "mtime": pd.array(out["mtime"], dtype="Int64"),
+                    "linkname": out["linkname"],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema)

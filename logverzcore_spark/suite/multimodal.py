@@ -1299,3 +1299,67 @@ def m21_zip_central_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     zip_hex = F.concat(*locals_, *cds, eocd)
     payload = F.when(d % 7 == 6, F.encode("text", "UTF-8")).otherwise(F.unhex(zip_hex))
     return parse_zip_central_dir(docs.select("doc_id", payload.alias("payload")))
+
+
+@query(
+    "m22_tar_entries",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS k
+      FROM documents WHERE doc_id % 7 <> 6
+    )
+    SELECT doc_id,
+           CAST(k AS INTEGER) AS entry_idx,
+           'f' || CAST(k AS VARCHAR) || '.txt' AS name,
+           CASE WHEN doc_id % 4 = 0 AND k = 0 THEN '2' ELSE '0' END AS typeflag,
+           CAST(CASE WHEN doc_id % 4 = 0 AND k = 0 THEN 0
+                     ELSE 3 + (doc_id + k) % 5 END AS BIGINT) AS size,
+           CAST(doc_id % 8 AS BIGINT) AS mtime,
+           CASE WHEN doc_id % 4 = 0 AND k = 0 THEN 'target' END AS linkname
+    FROM g
+    """,
+)
+def m22_tar_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USTAR member listing (multimodal.parse_tar_entries): byte-exact
+    tar streams built from doc_id — 1-3 members whose data lengths
+    move every later block, a SYMLINK first member (typeflag 2,
+    size 0, linkname, no data block) on every fourth doc, octal
+    size/mtime fields, end-of-archive zero blocks. Every seventh doc
+    is junk text (no ustar magic) → zero rows. The oracle restates
+    each member arithmetically."""
+    from logverzcore_spark.operators.multimodal import parse_tar_entries
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    n = (1 + d % 3).cast("int")
+
+    def octal1(val):
+        # 11-field octal: ten '0's + one octal digit + NUL (values 0-7)
+        return F.concat(F.lit("30" * 10), F.lpad(F.hex(val + 0x30), 2, "0"), F.lit("00"))
+
+    pieces = []
+    for k in range(3):
+        is_link = (d % 4 == 0) & (F.lit(k) == 0)
+        dlen = F.when(is_link, F.lit(0)).otherwise(3 + (d + F.lit(k)) % 5).cast("long")
+        name_hex = "66" + format(0x30 + k, "02X") + "2E747874"  # f{k}.txt
+        hdr = F.concat(
+            F.lit(name_hex), F.lit("00" * 94),                # name (100)
+            F.lit("30" * 7 + "00"),                           # mode (8)
+            F.lit("30" * 7 + "00"), F.lit("30" * 7 + "00"),   # uid gid
+            octal1(dlen),                                     # size (12)
+            octal1((d % 8).cast("long")),                     # mtime (12)
+            F.lit("20" * 8),                                  # chksum: spaces
+            F.when(is_link, F.lit("32")).otherwise(F.lit("30")),  # typeflag
+            F.when(is_link, F.lit("746172676574" + "00" * 94))
+             .otherwise(F.lit("00" * 100)),                   # linkname
+            F.lit("7573746172" "00" "3030"),                  # ustar\0 00
+            F.lit("00" * 64),                                 # uname gname
+            F.lit("00" * 16),                                 # dev major/minor
+            F.lit("00" * 167),                                # prefix + pad
+        )
+        data = F.when(dlen > 0, F.lit("00" * 512)).otherwise(F.lit(""))
+        in_n = F.lit(k) < n
+        pieces.append(F.when(in_n, F.concat(hdr, data)).otherwise(F.lit("")))
+    tar_hex = F.concat(*pieces, F.lit("00" * 1024))
+    payload = F.when(d % 7 == 6, F.encode("text", "UTF-8")).otherwise(F.unhex(tar_hex))
+    return parse_tar_entries(docs.select("doc_id", payload.alias("payload")))

@@ -1833,3 +1833,42 @@ def test_parse_zip_central_dir_edges(spark):
     assert by_doc[0][0].crc_hex == format(zlib.crc32(b"hello"), "08x")
     assert [r.name for r in by_doc[1]] == ["a.txt"]  # partial walk
     assert 2 not in by_doc and 3 not in by_doc and 4 not in by_doc
+
+
+def test_parse_tar_entries_edges(spark):
+    """Real tarfile output parses exactly (incl. a symlink and a
+    directory); pre-POSIX/junk payloads and truncation behave."""
+    import io
+    import tarfile
+
+    from logverzcore_spark.operators.multimodal import parse_tar_entries
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as t:
+        ti = tarfile.TarInfo("a.txt"); ti.size = 5; ti.mtime = 123
+        t.addfile(ti, io.BytesIO(b"hello"))
+        d = tarfile.TarInfo("sub"); d.type = tarfile.DIRTYPE
+        t.addfile(d)
+        ln = tarfile.TarInfo("lnk"); ln.type = tarfile.SYMTYPE; ln.linkname = "a.txt"
+        t.addfile(ln)
+    real = buf.getvalue()
+
+    rows = [
+        (0, bytearray(real)),
+        (1, bytearray(real[:700])),   # truncated inside first data block
+        (2, bytearray(b"\x00" * 1024)),  # empty archive
+        (3, bytearray(b"junk" * 200)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    by_doc = {}
+    for r in parse_tar_entries(df).collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    got = sorted((r.entry_idx, r.name, r.typeflag, r.size, r.mtime, r.linkname)
+                 for r in by_doc[0])
+    assert got == [
+        (0, "a.txt", "0", 5, 123, None),
+        (1, "sub/", "5", 0, 0, None),
+        (2, "lnk", "2", 0, 0, "a.txt"),
+    ]
+    assert [r.name for r in by_doc.get(1, [])] == ["a.txt"]
+    assert 2 not in by_doc and 3 not in by_doc
