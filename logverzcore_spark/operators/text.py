@@ -1177,3 +1177,98 @@ def normalize_url(col: Column) -> Column:
         query_canon.alias("query_canon"),
         url_canon.alias("url_canon"),
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+    max_word_len: int = 15,
+) -> DataFrame:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016) — the
+    tokenizer-construction step of an LLM data pipeline, distributed:
+    the corpus collapses to a (word, freq) table ONCE (tokenizer
+    training is weighted by word frequency, never by corpus pass), each
+    word becomes its character sequence plus an end-of-word marker,
+    and every merge round is (1) an adjacent-pair count weighted by
+    word freq — one map-side-combined aggregation over a
+    vocabulary-sized frame, (2) a global argmax with a deterministic
+    (count desc, pair asc) tie-break, (3) a greedy LEFT-TO-RIGHT fold
+    applying the merge inside each word's symbol array via the JVM
+    ``aggregate`` HOF (overlapping runs collapse leftmost-first:
+    ``aaa`` + merge(a,a) → ``[aa, a]`` — the standard BPE behavior).
+    The chosen pair stays a broadcast 1-row frame; nothing collects to
+    the driver, and the per-round cost is O(vocabulary), not O(corpus)
+    — the property that makes BPE training feasible at 100 TB (the
+    corpus is touched exactly once, by the word count).
+
+    Words longer than ``max_word_len`` are excluded (bounds the fold
+    and the oracle's unroll; real tokenizers cap word length the same
+    way). Returns the merge table: (it, left_sym, right_sym, pair_n)
+    for it = 1..n_merges.
+    """
+    words = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        .where(F.length("word") <= max_word_len)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    seg = words.select(
+        "n",
+        F.concat(
+            F.regexp_extract_all(F.col("word"), F.lit("."), 0),
+            F.array(F.lit("</w>")),
+        ).alias("s"),
+    )
+    merge_rows = []
+    for it in range(1, n_merges + 1):
+        pairs = (
+            seg.select(
+                "n",
+                # size(s) < 2 ⇒ no pairs; guard because sequence(1, 0)
+                # DESCENDS in Spark rather than producing an empty array
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(s) < 2"
+                        " THEN cast(array() as array<struct<a:string,b:string>>)"
+                        " ELSE transform(sequence(1, size(s)-1),"
+                        " i -> struct(element_at(s, i) AS a,"
+                        " element_at(s, i+1) AS b)) END"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("n").alias("pn"))
+        )
+        # Eagerly checkpoint the argmax and each round's segmentation:
+        # `top` feeds BOTH the merge-table output and the next fold, and
+        # `seg` feeds BOTH the next pair count and the next fold, so
+        # without cutting lineage every reuse doubles the re-evaluated
+        # subtree (2^rounds full corpus scans by round 5, measured as a
+        # >2 min hang at sf0.001; ~1 s with the checkpoints).
+        top = pairs.orderBy(F.desc("pn"), "a", "b").limit(1).localCheckpoint()
+        merge_rows.append(
+            top.select(
+                F.lit(it).cast("int").alias("it"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.col("pn").alias("pair_n"),
+            )
+        )
+        seg = seg.crossJoin(
+            F.broadcast(top.select(F.col("a").alias("ma"), F.col("b").alias("mb")))
+        ).select(
+            "n",
+            F.expr(
+                "aggregate(s, cast(array() as array<string>), (acc, x) ->"
+                " CASE WHEN size(acc) > 0 AND element_at(acc, -1) = ma"
+                "       AND x = mb"
+                "      THEN concat(slice(acc, 1, size(acc) - 1),"
+                "                  array(concat(ma, mb)))"
+                "      ELSE concat(acc, array(x)) END)"
+            ).alias("s"),
+        ).localCheckpoint()
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionAll(m)
+    return out

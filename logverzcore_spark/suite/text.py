@@ -1839,3 +1839,63 @@ def t42_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "u.scheme", "u.host", "u.domain", "u.path",
                 "u.query_canon", "u.url_canon")
     )
+
+
+def _t43_oracle(n_merges: int = 5, max_word_len: int = 15) -> str:
+    """BPE training replay: each merge round is a pair-count argmax CTE
+    plus a segmentation CTE whose greedy left-to-right fold runs as a
+    RECURSIVE CTE advancing one symbol per step (all words in lockstep,
+    terminating at each word's length). A lateral-column-alias unroll
+    was tried first and HANGS: DuckDB binds lateral aliases by
+    SUBSTITUTION, so 16 chained steps each referencing the previous ~3x
+    explodes to ~3^16 expression nodes before planning. The recursion
+    materializes each step instead — linear. Same generated-replay
+    discipline as the s03b/s11b centroid oracles and q119's unrolled
+    PageRank."""
+    parts = [f"""
+    WITH RECURSIVE wf AS (
+      SELECT t AS word, count(*) AS n FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+        FROM documents)
+      WHERE t <> '' AND len(t) <= {max_word_len} GROUP BY t
+    ), seg0 AS (
+      SELECT n, list_append(regexp_extract_all(word, '.'), '</w>') AS s FROM wf
+    )"""]
+    for i in range(1, n_merges + 1):
+        parts.append(f""", p{i} AS (
+      SELECT s[j] AS a, s[j+1] AS b, sum(n) AS pn
+      FROM seg{i-1}, unnest(range(1, len(s))) AS r(j)
+      GROUP BY s[j], s[j+1]
+    ), m{i} AS (
+      SELECT a, b, pn FROM p{i} ORDER BY pn DESC, a, b LIMIT 1
+    ), fold{i} AS (
+      SELECT n, s, ma, mb, 0 AS j, CAST([] AS VARCHAR[]) AS acc
+      FROM seg{i-1} CROSS JOIN (SELECT a AS ma, b AS mb FROM m{i})
+      UNION ALL
+      SELECT n, s, ma, mb, j + 1,
+        CASE WHEN len(acc) > 0 AND acc[-1] = ma AND s[j+1] = mb
+             THEN list_append(acc[1:len(acc)-1], ma || mb)
+             ELSE list_append(acc, s[j+1]) END
+      FROM fold{i} WHERE j < len(s)
+    ), seg{i} AS (
+      SELECT n, acc AS s FROM fold{i} WHERE j = len(s)
+    )""")
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS it, a AS left_sym, b AS right_sym,"
+        f" CAST(pn AS BIGINT) AS pair_n FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    parts.append("\n    " + unions)
+    return "".join(parts)
+
+
+@query("t43_bpe_train", oracle=_t43_oracle())
+def t43_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer merge training (text.bpe_train), 5 rounds over the
+    corpus word-frequency table: weighted adjacent-pair argmax with a
+    deterministic tie-break, then a greedy left-to-right merge fold
+    per word (JVM aggregate HOF; the chosen pair stays a broadcast
+    1-row frame — nothing collects). The oracle unrolls each round's
+    fold as lateral column aliases. Output: the 5-row merge table."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bpe_train(docs, n_merges=5)

@@ -809,3 +809,29 @@ def test_triangle_count_hand_graph(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.vertex: r.triangles for r in graph.triangle_count(df).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_bpe_train_hand_corpus(spark):
+    """The classic Sennrich corpus shape: 'low'-family words merge l+o
+    first (weighted by word FREQUENCY, not document count), and an
+    overlapping run collapses leftmost-first."""
+    from logverzcore_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(0, "low low low lower lowest"), (1, "new newer newest low")],
+        "doc_id long, text string",
+    )
+    out = [(r.it, r.left_sym, r.right_sym, r.pair_n)
+           for r in T.bpe_train(df, n_merges=3).orderBy("it").collect()]
+    # 'l o' appears in low(4) lower lowest = 6; then 'lo w' = 6; then
+    # 'low </w>' = 4 standalone lows.
+    assert out == [(1, "l", "o", 6), (2, "lo", "w", 6), (3, "low", "</w>", 4)]
+
+    # overlap greediness: 'aaaa' with merge (a,a) folds to [aa, aa]
+    df2 = spark.createDataFrame([(0, "aaaa aaaa ab")], "doc_id long, text string")
+    m = T.bpe_train(df2, n_merges=2).orderBy("it").collect()
+    assert (m[0].left_sym, m[0].right_sym, m[0].pair_n) == ("a", "a", 6)
+    # round 2 counts pairs over [aa, aa, </w>] x2 and [a, b, </w>]:
+    # (aa,aa)=2, (aa,</w>)=2, (a,b)=1, (b,</w>)=1 -> tie broken lex:
+    # ('aa','</w>') < ('aa','aa')
+    assert (m[1].left_sym, m[1].right_sym, m[1].pair_n) == ("aa", "</w>", 2)
