@@ -1272,3 +1272,66 @@ def bpe_train(
     for m in merge_rows[1:]:
         out = out.unionAll(m)
     return out
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_word_len: int = 15,
+) -> DataFrame:
+    """Apply a trained BPE merge table (``bpe_train``'s output) to the
+    corpus — the tokenize step that turns merge rules into the token
+    counts a data-mixture planner budgets by. Returns per-document
+    (id, n_words, n_bpe_tokens).
+
+    Scale shape: segmentation runs over the DISTINCT WORD VOCABULARY,
+    never the corpus — each distinct word's symbol array is folded
+    through the ordered merge list via NESTED aggregate HOFs (outer
+    fold over merges, inner greedy left-to-right fold over symbols,
+    both JVM-side), and the per-word token count joins back to the
+    corpus through a broadcast vocabulary map. The corpus-sized side
+    is touched by exactly one tokenize + one aggregation. Words longer
+    than ``max_word_len`` are excluded, matching training.
+    """
+    marr = merges.agg(
+        F.array_sort(
+            F.collect_list(F.struct("it", "left_sym", "right_sym"))
+        ).alias("ms")
+    )
+    words = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        .where(F.length("word") <= max_word_len)
+    )
+    vocab = (
+        words.distinct()
+        .crossJoin(F.broadcast(marr))
+        .select(
+            "word",
+            F.expr(
+                "size(aggregate(ms,"
+                " concat(regexp_extract_all(word, '.', 0), array('</w>')),"
+                " (syms, m) -> aggregate(syms,"
+                "   cast(array() as array<string>), (acc, x) ->"
+                "   CASE WHEN size(acc) > 0"
+                "         AND element_at(acc, -1) = m.left_sym"
+                "         AND x = m.right_sym"
+                "        THEN concat(slice(acc, 1, size(acc) - 1),"
+                "                    array(concat(m.left_sym, m.right_sym)))"
+                "        ELSE concat(acc, array(x)) END)))"
+            ).alias("n_sym"),
+        )
+    )
+    per_doc = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("word"),
+    ).where(F.length("word") <= max_word_len)
+    return (
+        per_doc.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+        )
+    )

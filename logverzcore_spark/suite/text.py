@@ -1841,12 +1841,12 @@ def t42_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _t43_oracle(n_merges: int = 5, max_word_len: int = 15) -> str:
-    """BPE training replay: each merge round is a pair-count argmax CTE
-    plus a segmentation CTE whose greedy left-to-right fold runs as a
-    RECURSIVE CTE advancing one symbol per step (all words in lockstep,
-    terminating at each word's length). A lateral-column-alias unroll
-    was tried first and HANGS: DuckDB binds lateral aliases by
+def _bpe_chain(n_merges: int = 5, max_word_len: int = 15) -> str:
+    """Shared BPE-training CTE chain (word-frequency table, then per
+    round: pair-count argmax m{i} + a RECURSIVE-CTE greedy fold into
+    seg{i}, with the word key threaded through so t44 can join the
+    final segmentation back to the corpus). A lateral-column-alias
+    unroll was tried first and HANGS: DuckDB binds lateral aliases by
     SUBSTITUTION, so 16 chained steps each referencing the previous ~3x
     explodes to ~3^16 expression nodes before planning. The recursion
     materializes each step instead — linear. Same generated-replay
@@ -1859,7 +1859,9 @@ def _t43_oracle(n_merges: int = 5, max_word_len: int = 15) -> str:
         FROM documents)
       WHERE t <> '' AND len(t) <= {max_word_len} GROUP BY t
     ), seg0 AS (
-      SELECT n, list_append(regexp_extract_all(word, '.'), '</w>') AS s FROM wf
+      SELECT word, n,
+             list_append(regexp_extract_all(word, '.'), '</w>') AS s
+      FROM wf
     )"""]
     for i in range(1, n_merges + 1):
         parts.append(f""", p{i} AS (
@@ -1869,24 +1871,42 @@ def _t43_oracle(n_merges: int = 5, max_word_len: int = 15) -> str:
     ), m{i} AS (
       SELECT a, b, pn FROM p{i} ORDER BY pn DESC, a, b LIMIT 1
     ), fold{i} AS (
-      SELECT n, s, ma, mb, 0 AS j, CAST([] AS VARCHAR[]) AS acc
+      SELECT word, n, s, ma, mb, 0 AS j, CAST([] AS VARCHAR[]) AS acc
       FROM seg{i-1} CROSS JOIN (SELECT a AS ma, b AS mb FROM m{i})
       UNION ALL
-      SELECT n, s, ma, mb, j + 1,
+      SELECT word, n, s, ma, mb, j + 1,
         CASE WHEN len(acc) > 0 AND acc[-1] = ma AND s[j+1] = mb
              THEN list_append(acc[1:len(acc)-1], ma || mb)
              ELSE list_append(acc, s[j+1]) END
       FROM fold{i} WHERE j < len(s)
     ), seg{i} AS (
-      SELECT n, acc AS s FROM fold{i} WHERE j = len(s)
+      SELECT word, n, acc AS s FROM fold{i} WHERE j = len(s)
     )""")
+    return "".join(parts)
+
+
+def _t43_oracle(n_merges: int = 5, max_word_len: int = 15) -> str:
     unions = "\n    UNION ALL ".join(
         f"SELECT CAST({i} AS INTEGER) AS it, a AS left_sym, b AS right_sym,"
         f" CAST(pn AS BIGINT) AS pair_n FROM m{i}"
         for i in range(1, n_merges + 1)
     )
-    parts.append("\n    " + unions)
-    return "".join(parts)
+    return _bpe_chain(n_merges, max_word_len) + "\n    " + unions
+
+
+def _t44_oracle(n_merges: int = 5, max_word_len: int = 15) -> str:
+    return _bpe_chain(n_merges, max_word_len) + f"""
+    , dw AS (
+      SELECT doc_id, t AS word FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+        FROM documents)
+      WHERE t <> '' AND len(t) <= {max_word_len}
+    )
+    SELECT doc_id, count(*) AS n_words,
+           CAST(sum(len(s)) AS BIGINT) AS n_bpe_tokens
+    FROM dw JOIN seg{n_merges} USING (word)
+    GROUP BY doc_id
+    """
 
 
 @query("t43_bpe_train", oracle=_t43_oracle())
@@ -1899,3 +1919,16 @@ def t43_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold as lateral column aliases. Output: the 5-row merge table."""
     docs = _t(spark, sf_dir, "documents")
     return text.bpe_train(docs, n_merges=5)
+
+
+@query("t44_bpe_segment", oracle=_t44_oracle())
+def t44_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization (text.bpe_segment) with the merge table t43
+    just trained: per-document whitespace-word and post-merge BPE token
+    counts. Segmentation folds each DISTINCT word through the ordered
+    merges via nested aggregate HOFs and broadcast-joins the vocabulary
+    map back to the corpus — the corpus is never folded per-row. The
+    oracle reuses the training chain's final segmentation CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = text.bpe_train(docs, n_merges=5)
+    return text.bpe_segment(docs, merges)

@@ -835,3 +835,23 @@ def test_bpe_train_hand_corpus(spark):
     # (aa,aa)=2, (aa,</w>)=2, (a,b)=1, (b,</w>)=1 -> tie broken lex:
     # ('aa','</w>') < ('aa','aa')
     assert (m[1].left_sym, m[1].right_sym, m[1].pair_n) == ("aa", "</w>", 2)
+
+
+def test_bpe_segment_counts(spark):
+    """After 3 merges on the low-corpus, 'low' is one token (+</w> fold
+    into it): doc token counts reflect the learned vocab; an empty
+    merge table degrades to chars+marker per word."""
+    from logverzcore_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(0, "low low low lower lowest"), (1, "new newer newest low")],
+        "doc_id long, text string",
+    )
+    merges = T.bpe_train(df, n_merges=3)
+    out = {r.doc_id: (r.n_words, r.n_bpe_tokens)
+           for r in T.bpe_segment(df, merges).collect()}
+    # merges: l+o, lo+w, low+</w> -> 'low' = ['low</w>'] 1 token;
+    # 'lower' = ['low','e','r','</w>'] 4; 'lowest' = 5
+    assert out[0] == (5, 3 * 1 + 4 + 5)
+    # 'new' = n,e,w,</w> 4; 'newer' 6; 'newest' 7; 'low' 1
+    assert out[1] == (4, 4 + 6 + 7 + 1)

@@ -210,6 +210,7 @@ def test_suite_global_plan_invariants(spark):
         "d18_tfidf_cosine_pairs",  # single-row corpus-count (N) broadcast join
         "d19_tfidf_dup_clusters",  # same single-row N join inside d18's pairs
         "s17_bm25_topk",        # single-row (N, L) corpus-stats broadcast join
+        "t44_bpe_segment",      # single-row ordered-merge-array broadcast join
     }
     streaming = {n for n in SUITE if n.startswith("st")}  # run eagerly; skip
     offenders = {}
