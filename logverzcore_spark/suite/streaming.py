@@ -1189,3 +1189,40 @@ def st27_streaming_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {state}")
     return out
+
+
+from logverzcore_spark.suite.sketches import _q123_oracle as _q123_oracle_sql
+
+
+@query("st28_streaming_countmin", oracle=_q123_oracle_sql())
+def st28_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min rollup (rollup.make_countmin_fold):
+    micro-batches of events fold cell-wise-additive CMS tables into a
+    ≤ 4×512-row state table — the frequency companion to st13's HLL
+    and st15's top-k rollups. Because CMS merge is exact addition and
+    the hash is md5-derived, the post-stream sketch equals the batch
+    build over the same events bit-for-bit, so the final per-user
+    estimates reuse q123's oracle verbatim (replay guard is
+    load-bearing: addition is not idempotent)."""
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.operators import sketches
+    from logverzcore_spark.streaming.collect_stream import _events_stream
+    from logverzcore_spark.streaming.rollup import incremental_countmin_rollup
+
+    table = f"st28_cms_{_uuid.uuid4().hex[:8]}"
+    stream = _events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    q = incremental_countmin_rollup(
+        spark, stream, table,
+        checkpoint_dir=os.path.join(tempfile.gettempdir(), f"ck_{table}"),
+    )
+    q.awaitTermination()
+    cms = spark.table(table).select("d", "w", "cnt")
+    ev = _t(spark, sf_dir, "events")
+    est = sketches.countmin_estimate(cms, ev.select("user_id"), "user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    out = est.join(exact, "user_id").localCheckpoint(eager=True)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_meta")
+    return out

@@ -733,3 +733,38 @@ def test_apply_changes_merge_semantics_and_untouched_partitions(spark, tmpdir_pa
     untouched = [f for f in before if f in after and before[f] == after[f]]
     assert untouched, "every partition was rewritten — touched-bucket pruning broken"
     spark.sql("DROP TABLE IF EXISTS mrg_t")
+
+
+def test_countmin_fold_crash_between_write_and_meta(spark):
+    """The CMS fold's replay guard: cell-wise addition is NOT
+    idempotent, so a replay after a committed table rewrite (meta lost)
+    must not double any cell; the folded sketch equals a one-shot batch
+    build over the union of batches."""
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.operators.sketches import countmin_build
+    from logverzcore_spark.streaming.rollup import (
+        _record_applied_batch,
+        make_countmin_fold,
+    )
+
+    for t in ("crashcms_t", "crashcms_t_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    fold = make_countmin_fold(spark, "crashcms_t", "k", depth=3, width=32)
+    mk = lambda ks: spark.createDataFrame([(k,) for k in ks], "k long")
+    try:
+        fold(mk([1, 1, 2]), 0)
+        fold(mk([2, 3]), 1)
+        total = spark.table("crashcms_t").agg(F.sum("cnt")).first()[0]
+        assert total == 3 * 5  # depth * n_rows
+        _record_applied_batch(spark, "crashcms_t_meta", 0)  # meta "lost"
+        fold(mk([2, 3]), 1)  # replay
+        assert spark.table("crashcms_t").agg(F.sum("cnt")).first()[0] == total
+        batch = countmin_build(mk([1, 1, 2, 2, 3]), "k", depth=3, width=32)
+        folded = spark.table("crashcms_t").select("d", "w", "cnt")
+        assert sorted(map(tuple, folded.collect())) == sorted(
+            map(tuple, batch.collect())
+        )
+    finally:
+        for t in ("crashcms_t", "crashcms_t_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
