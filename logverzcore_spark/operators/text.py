@@ -1335,3 +1335,18 @@ def bpe_segment(
             F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+#: href attribute values, single- or double-quoted.
+HREF_RE = r"""href=["']([^"']*)["']"""
+
+
+def extract_links(col: Column) -> Column:
+    """All ``href`` attribute values from an HTML document, in order —
+    the crawl-frontier / link-graph extraction step that feeds
+    ``normalize_url`` (canonical dedup keys, registered-domain
+    aggregation) and, downstream, the q119 PageRank operator. A pure
+    codegen regex projection; relative links come out verbatim
+    (``normalize_url`` marks them with an empty scheme, which is the
+    filter a frontier applies after resolving against the base URL)."""
+    return F.regexp_extract_all(col, F.lit(HREF_RE), 1)

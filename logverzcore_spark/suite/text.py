@@ -1932,3 +1932,57 @@ def t44_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     merges = text.bpe_train(docs, n_merges=5)
     return text.bpe_segment(docs, merges)
+
+
+@query(
+    "t45_link_extract",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, source, unnest(range(0, 1 + doc_id % 3)) AS k
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(k AS INTEGER) AS pos,
+           'sub' || CAST(k AS VARCHAR) || '.' || source || '.example.com' AS host,
+           'example.com' AS domain,
+           (CASE WHEN k % 2 = 0 THEN 'http' ELSE 'https' END)
+           || '://sub' || CAST(k AS VARCHAR) || '.' || source || '.example.com'
+           || '/p/' || CAST((doc_id * 7 + k) % 100 AS VARCHAR)
+           || (CASE WHEN k % 2 = 0 THEN '?b=1' ELSE '' END) AS url_canon
+    FROM g
+    """,
+)
+def t45_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph extraction (text.extract_links → text.normalize_url):
+    per-doc HTML built in codegen carries 1-3 absolute anchors (mixed
+    quote styles, case noise, duplicate slashes, tracking params) plus
+    a RELATIVE link that normalization flags (empty scheme) and the
+    entry filters — the crawl-frontier composition. The oracle restates
+    the canonical outputs arithmetically (the m19 pattern)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    anchors = []
+    for k in range(3):
+        raw = F.concat(
+            F.lit("HTTP" if k % 2 == 0 else "https"),
+            F.lit("://Sub" + str(k) + "."), F.col("source"),
+            F.lit(".Example.COM/p//"),
+            ((d * 7 + F.lit(k)) % 100).cast("string"),
+            F.lit("?utm_source=x&b=1" if k % 2 == 0 else ""),
+        )
+        quote = '"' if k % 2 == 0 else "'"
+        a = F.concat(F.lit("<a href=" + quote), raw, F.lit(quote + ">t</a>"))
+        anchors.append(F.when(F.lit(k) < 1 + d % 3, a).otherwise(F.lit("")))
+    html = F.concat(
+        F.lit("<html><body>"), *anchors,
+        F.lit("<a href='/rel'>r</a></body></html>"),
+    )
+    links = docs.select(
+        "doc_id", F.posexplode(text.extract_links(html)).alias("pos", "href")
+    )
+    u = text.normalize_url(F.col("href"))
+    return (
+        links.select("doc_id", F.col("pos").cast("int").alias("pos"), u.alias("u"))
+        .where(F.col("u.scheme") != "")
+        .select("doc_id", "pos", "u.host", "u.domain", "u.url_canon")
+    )

@@ -855,3 +855,17 @@ def test_bpe_segment_counts(spark):
     assert out[0] == (5, 3 * 1 + 4 + 5)
     # 'new' = n,e,w,</w> 4; 'newer' 6; 'newest' 7; 'low' 1
     assert out[1] == (4, 4 + 6 + 7 + 1)
+
+
+def test_extract_links_hand_values(spark):
+    from logverzcore_spark.operators import text as T
+
+    html = (
+        "<p><a href=\"http://a.com/x\">1</a>"
+        "<a href='https://b.org/'>2</a>"
+        "<a href='/relative'>3</a>"
+        "<img src=\"http://c.com/i.png\"><a href=\"\">empty</a></p>"
+    )
+    df = spark.createDataFrame([(0, html)], "id long, h string")
+    (links,) = df.select(T.extract_links(F.col("h")).alias("l")).first()
+    assert links == ["http://a.com/x", "https://b.org/", "/relative", ""]
