@@ -1676,3 +1676,158 @@ def parse_tar_entries(
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, schema)
+
+
+def parse_ebml_meta(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_elements: int = 4096,
+) -> DataFrame:
+    """EBML/Matroska (MKV/WebM) header walk — the remaining mainstream
+    video container next to m13's ISO-BMFF walk, and structurally its
+    dual: lengths are VARIABLE-WIDTH integers (VINTs) rather than fixed
+    u32 box sizes, and the top-level Segment routinely declares an
+    UNKNOWN size (live-muxed files), forcing the walk to run to EOF.
+    Reports doctype (matroska/webm), timestamp scale, declared duration
+    (a float element — 4 or 8 byte), track counts by type, the first
+    codec id, and video dimensions. Cluster/media data is skipped by
+    length, never decoded. Bad magic → 'unknown'; truncation reports
+    whatever was reachable. Variable offsets → Arrow ``mapInPandas``."""
+    import struct
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("doctype", T.StringType()),
+            T.StructField("timescale", T.LongType()),
+            T.StructField("duration", T.DoubleType()),
+            T.StructField("n_tracks", T.IntegerType()),
+            T.StructField("n_video", T.IntegerType()),
+            T.StructField("n_audio", T.IntegerType()),
+            T.StructField("codec_first", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def vint(b: bytes, i: int, keep_marker: bool):
+        """(value, next_index) or None. EBML IDs keep the length-marker
+        bit (they are compared as raw patterns); sizes strip it. An
+        all-ones value field means 'unknown size' → -1."""
+        if i >= len(b):
+            return None
+        first = b[i]
+        if first == 0:
+            return None
+        n = 8 - first.bit_length()  # leading zeros → extra bytes
+        if i + 1 + n > len(b):
+            return None
+        raw = b[i : i + 1 + n]
+        val = int.from_bytes(raw, "big")
+        if not keep_marker:
+            val &= (1 << (7 * (n + 1))) - 1
+            if val == (1 << (7 * (n + 1))) - 1:
+                val = -1  # unknown size
+        return val, i + 1 + n
+
+    def children(b: bytes, i: int, end: int):
+        """Yield (elem_id, data_start, data_end) within [i, end)."""
+        count = 0
+        while i < end and count < max_elements:
+            rid = vint(b, i, True)
+            if rid is None:
+                return
+            eid, j = rid
+            rsz = vint(b, j, False)
+            if rsz is None:
+                return
+            size, k = rsz
+            data_end = end if size == -1 else min(k + size, end)
+            if size != -1 and k + size > end:
+                data_end = end  # truncated: clamp, report what's there
+            yield eid, k, data_end
+            if size == -1:
+                return  # unknown-size child swallows the rest
+            i = data_end
+            count += 1
+
+    def uint(b: bytes, s: int, e: int) -> int:
+        return int.from_bytes(b[s:e], "big")
+
+    def parse_one(b: bytes):
+        unknown = ("unknown",) + (None,) * 9
+        if b is None or len(b) < 4 or b[:4] != b"\x1aE\xdf\xa3":
+            return unknown
+        doctype = None
+        timescale = None
+        duration = None
+        n_tracks = n_video = n_audio = 0
+        codec_first = None
+        width = height = None
+        for eid, s, e in children(b, 0, len(b)):
+            if eid == 0x1A45DFA3:  # EBML header
+                for cid, cs, ce in children(b, s, e):
+                    if cid == 0x4282:
+                        doctype = b[cs:ce].decode("ascii", "replace")
+            elif eid == 0x18538067:  # Segment
+                for cid, cs, ce in children(b, s, e):
+                    if cid == 0x1549A966:  # Info
+                        for iid, is_, ie in children(b, cs, ce):
+                            if iid == 0x2AD7B1:
+                                timescale = uint(b, is_, ie)
+                            elif iid == 0x4489 and ie - is_ in (4, 8):
+                                fmt = ">f" if ie - is_ == 4 else ">d"
+                                duration = float(
+                                    struct.unpack(fmt, b[is_:ie])[0]
+                                )
+                    elif cid == 0x1654AE6B:  # Tracks
+                        for tid, ts_, te in children(b, cs, ce):
+                            if tid != 0xAE:
+                                continue
+                            n_tracks += 1
+                            for fid, fs, fe in children(b, ts_, te):
+                                if fid == 0x83:
+                                    tt = uint(b, fs, fe)
+                                    n_video += tt == 1
+                                    n_audio += tt == 2
+                                elif fid == 0x86 and codec_first is None:
+                                    codec_first = b[fs:fe].decode(
+                                        "ascii", "replace"
+                                    )
+                                elif fid == 0xE0:
+                                    for vid, vs, ve in children(b, fs, fe):
+                                        if vid == 0xB0:
+                                            width = uint(b, vs, ve)
+                                        elif vid == 0xBA:
+                                            height = uint(b, vs, ve)
+        return (
+            "mkv", doctype, timescale, duration, n_tracks, n_video,
+            n_audio, codec_first, width, height,
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = [
+                parse_one(bytes(p) if p is not None else None)
+                for p in pdf[payload_col]
+            ]
+            cols = list(zip(*parsed)) if parsed else [[]] * 10
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "format": list(cols[0]),
+                    "doctype": list(cols[1]),
+                    "timescale": pd.array(cols[2], dtype="Int64"),
+                    "duration": pd.array(cols[3], dtype="Float64"),
+                    "n_tracks": pd.array(cols[4], dtype="Int32"),
+                    "n_video": pd.array(cols[5], dtype="Int32"),
+                    "n_audio": pd.array(cols[6], dtype="Int32"),
+                    "codec_first": list(cols[7]),
+                    "width": pd.array(cols[8], dtype="Int32"),
+                    "height": pd.array(cols[9], dtype="Int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema)

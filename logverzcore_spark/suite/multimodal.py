@@ -1363,3 +1363,96 @@ def m22_tar_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     tar_hex = F.concat(*pieces, F.lit("00" * 1024))
     payload = F.when(d % 7 == 6, F.encode("text", "UTF-8")).otherwise(F.unhex(tar_hex))
     return parse_tar_entries(docs.select("doc_id", payload.alias("payload")))
+
+
+#: IEEE-754 big-endian hex for the m23 duration literals — computed once
+#: at import (deterministic), restated as plain doubles in the oracle.
+import struct as _struct
+
+_M23_DURS = (1000.0, 1234.5, 86400.0)
+_M23_DUR_HEX = tuple(_struct.pack(">d", v).hex().upper() for v in _M23_DURS)
+
+
+@query(
+    "m23_ebml_meta",
+    oracle=f"""
+    SELECT doc_id,
+      CASE WHEN doc_id % 6 = 5 THEN 'unknown' ELSE 'mkv' END AS format,
+      CASE WHEN doc_id % 6 = 5 THEN NULL
+           WHEN doc_id % 2 = 0 THEN 'matroska' ELSE 'webm' END AS doctype,
+      CASE WHEN doc_id % 6 <> 5
+           THEN CAST((1 + doc_id % 3) * 500000 AS BIGINT) END AS timescale,
+      CASE WHEN doc_id % 6 = 5 THEN NULL
+           WHEN doc_id % 3 = 0 THEN {_M23_DURS[0]}
+           WHEN doc_id % 3 = 1 THEN {_M23_DURS[1]}
+           ELSE {_M23_DURS[2]} END AS duration,
+      CASE WHEN doc_id % 6 <> 5
+           THEN CAST(1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER)
+      END AS n_tracks,
+      CASE WHEN doc_id % 6 <> 5 THEN 1 END AS n_video,
+      CASE WHEN doc_id % 6 <> 5
+           THEN CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER)
+      END AS n_audio,
+      CASE WHEN doc_id % 6 <> 5 THEN 'V_VP9' END AS codec_first,
+      CASE WHEN doc_id % 6 <> 5
+           THEN CAST(320 + (doc_id % 5) * 16 AS INTEGER) END AS width,
+      CASE WHEN doc_id % 6 <> 5
+           THEN CAST(180 + (doc_id % 7) * 16 AS INTEGER) END AS height
+    FROM documents
+    """,
+)
+def m23_ebml_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EBML/Matroska walk (multimodal.parse_ebml_meta): byte-exact
+    MKV/WebM headers built from doc_id — VINT-length elements, a
+    doctype that flips matroska/webm, an UNKNOWN-SIZE Segment on every
+    fourth doc (the live-muxing case: walk must run to EOF), an Info
+    block with a big-endian uint timescale and an 8-byte FLOAT
+    duration (literal IEEE hex, restated as plain doubles), and 1-2
+    TrackEntries (video with dims + codec; audio on every third doc).
+    Every sixth doc is junk ('unknown')."""
+    from logverzcore_spark.operators.multimodal import parse_ebml_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def be16(col):
+        return F.lpad(F.hex(col.cast("long")), 4, "0")
+
+    def be32(col):
+        return F.lpad(F.hex(col.cast("long")), 8, "0")
+
+    doctype_hex = F.when(d % 2 == 0, F.lit("88" "6D6174726F736B61")) \
+                   .otherwise(F.lit("84" "7765626D"))
+    header = F.concat(
+        F.lit("1A45DFA3"),
+        F.when(d % 2 == 0, F.lit("8B")).otherwise(F.lit("87")),
+        F.lit("4282"), doctype_hex,
+    )
+    ts = ((1 + d % 3) * 500000).cast("long")
+    dur_hex = F.when(d % 3 == 0, F.lit(_M23_DUR_HEX[0])) \
+               .when(d % 3 == 1, F.lit(_M23_DUR_HEX[1])) \
+               .otherwise(F.lit(_M23_DUR_HEX[2]))
+    info = F.concat(
+        F.lit("1549A966" "93" "2AD7B1" "84"), be32(ts),
+        F.lit("4489" "88"), dur_hex,
+    )
+    w = (320 + (d % 5) * 16).cast("long")
+    h = (180 + (d % 7) * 16).cast("long")
+    video_track = F.concat(
+        F.lit("AE" "94" "83" "81" "01" "86" "85" "565F565039"
+              "E0" "88" "B0" "82"), be16(w), F.lit("BA" "82"), be16(h),
+    )
+    audio_track = F.lit("AE" "8B" "83" "81" "02" "86" "86" "415F4F505553")
+    has_audio = d % 3 == 0
+    tracks = F.concat(
+        F.lit("1654AE6B"),
+        F.when(has_audio, F.lit("A3")).otherwise(F.lit("96")),
+        video_track,
+        F.when(has_audio, audio_track).otherwise(F.lit("")),
+    )
+    seg_size = F.when(d % 4 == 0, F.lit("01FFFFFFFFFFFFFF")).otherwise(
+        F.when(has_audio, F.lit("C0")).otherwise(F.lit("B3"))
+    )
+    mkv = F.concat(header, F.lit("18538067"), seg_size, info, tracks)
+    payload = F.when(d % 6 == 5, F.encode("text", "UTF-8")).otherwise(F.unhex(mkv))
+    return parse_ebml_meta(docs.select("doc_id", payload.alias("payload")))

@@ -1872,3 +1872,39 @@ def test_parse_tar_entries_edges(spark):
     ]
     assert [r.name for r in by_doc.get(1, [])] == ["a.txt"]
     assert 2 not in by_doc and 3 not in by_doc
+
+
+def test_parse_ebml_meta_edges(spark):
+    """Truncation mid-element reports what was reachable; a 4-byte
+    float duration parses; junk stays 'unknown'."""
+    import struct
+
+    from logverzcore_spark.operators.multimodal import parse_ebml_meta
+
+    def vint_size(n):
+        return bytes([0x80 | n])
+
+    header = (
+        bytes.fromhex("1A45DFA3") + vint_size(7)
+        + bytes.fromhex("4282") + vint_size(4) + b"webm"
+    )
+    info_content = (
+        bytes.fromhex("2AD7B1") + vint_size(4) + (1000000).to_bytes(4, "big")
+        + bytes.fromhex("4489") + vint_size(4) + struct.pack(">f", 2.5)
+    )
+    info = bytes.fromhex("1549A966") + vint_size(len(info_content)) + info_content
+    seg = bytes.fromhex("18538067") + vint_size(len(info)) + info
+    full = header + seg
+
+    rows = [
+        (0, bytearray(full)),
+        (1, bytearray(full[: len(header) + 6])),  # cut inside Segment
+        (2, bytearray(b"RIFFnot ebml")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in parse_ebml_meta(df).collect()}
+    assert got[0].doctype == "webm" and got[0].timescale == 1000000
+    assert got[0].duration == 2.5 and got[0].n_tracks == 0
+    assert got[1].format == "mkv" and got[1].doctype == "webm"
+    assert got[1].timescale is None  # Info never reached
+    assert got[2].format == "unknown" and got[2].doctype is None
