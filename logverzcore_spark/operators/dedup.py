@@ -1360,3 +1360,62 @@ def bloom_prefilter_dedup(
         corpus_fps.select("fp"), "fp", "left_anti"
     )
     return definite_new.unionByName(confirmed_new)
+
+
+def crawl_dedup_report(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """The two dedup anomalies a crawl pipeline audits BEFORE keying its
+    corpus, composing URL canonicalization with the exact-dedup
+    fingerprint:
+
+    - ``same_url_diff_content``: one canonical URL, >1 distinct content
+      fingerprints — recrawl drift / personalization; the page is not a
+      stable identity and URL-keyed dedup would silently pick one.
+    - ``same_content_diff_url``: one fingerprint, >1 canonical URLs —
+      mirrors/aliases; content-keyed dedup collapses them, and the URL
+      count sizes how much crawl budget the mirror set wasted.
+
+    Output: (kind, key, n_pages, n_variants) — key is the canonical URL
+    resp. the fingerprint, n_pages the group size, n_variants the
+    distinct count of the OTHER dimension (> 1 by construction).
+    Plan: one projection (both keys are codegen), two groupBys over the
+    two keys; at 100 TB each aggregation is a single shuffle with
+    map-side partial distinct."""
+    from logverzcore_spark.operators.text import fingerprint_md5, normalize_url
+
+    keyed = df.select(
+        normalize_url(F.col(url_col))["url_canon"].alias("canon"),
+        fingerprint_md5(F.col(text_col)).alias("fp"),
+    ).where(F.col("canon").isNotNull())
+    url_groups = (
+        keyed.groupBy("canon")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("fp").alias("n_variants"),
+        )
+        .where(F.col("n_variants") > 1)
+        .select(
+            F.lit("same_url_diff_content").alias("kind"),
+            F.col("canon").alias("key"),
+            "n_pages",
+            "n_variants",
+        )
+    )
+    content_groups = (
+        keyed.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("canon").alias("n_variants"),
+        )
+        .where(F.col("n_variants") > 1)
+        .select(
+            F.lit("same_content_diff_url").alias("kind"),
+            F.col("fp").alias("key"),
+            "n_pages",
+            "n_variants",
+        )
+    )
+    return url_groups.unionByName(content_groups)

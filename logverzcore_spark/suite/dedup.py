@@ -576,3 +576,48 @@ def d19_tfidf_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id1", "id2"
     )
     return dedup.dup_clusters(docs, pairs)
+
+
+@query(
+    "d21_crawl_dedup_report",
+    oracle=r"""
+    WITH k AS (
+      SELECT CASE WHEN doc_id % 25 = 0 THEN 'http://dup.example.com/page'
+                  ELSE 'http://' || source || '.example.com/d/'
+                       || CAST(doc_id AS VARCHAR) END AS canon,
+             md5(regexp_replace(lower(trim(
+               CASE WHEN doc_id % 10 < 2 THEN 'mirror content shared'
+                    ELSE text END)), '\s+', ' ', 'g')) AS fp
+      FROM documents
+    ), u AS (
+      SELECT 'same_url_diff_content' AS kind, canon AS key,
+             count(*) AS n_pages, count(DISTINCT fp) AS n_variants
+      FROM k GROUP BY canon HAVING count(DISTINCT fp) > 1
+    ), c AS (
+      SELECT 'same_content_diff_url' AS kind, fp AS key,
+             count(*) AS n_pages, count(DISTINCT canon) AS n_variants
+      FROM k GROUP BY fp HAVING count(DISTINCT canon) > 1
+    )
+    SELECT * FROM u UNION ALL SELECT * FROM c
+    """,
+)
+def d21_crawl_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl dedup-anomaly audit (dedup.crawl_dedup_report): URLs built
+    per doc with every 25th sharing one (case/slash-noisy) address and
+    every 10th-or-11th-per-decade sharing MIRROR content — yielding
+    both anomaly kinds: one recrawl-drift URL (distinct fingerprints
+    under one canonical URL) and one mirror set (one fingerprint across
+    ~91 canonical URLs). The oracle restates canonicalization
+    arithmetically and replays the fingerprint normalization."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.when(d % 25 == 0, F.lit("http://Dup.Example.com//page/")).otherwise(
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com/d/"),
+            d.cast("string"),
+        )
+    )
+    txt = F.when(d % 10 < 2, F.lit("mirror content shared")).otherwise(F.col("text"))
+    return dedup.crawl_dedup_report(
+        docs.select(url.alias("url"), txt.alias("text"))
+    )

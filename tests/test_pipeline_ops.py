@@ -1908,3 +1908,25 @@ def test_parse_ebml_meta_edges(spark):
     assert got[1].format == "mkv" and got[1].doctype == "webm"
     assert got[1].timescale is None  # Info never reached
     assert got[2].format == "unknown" and got[2].doctype is None
+
+
+def test_crawl_dedup_report_hand_values(spark):
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.operators.dedup import crawl_dedup_report
+
+    rows = [
+        ("http://A.com/x", "alpha"),          # same canon as next,
+        ("http://a.com//x/", "beta"),         # different content -> drift
+        ("http://b.com/1", "mirror"),         # same content as next,
+        ("http://c.com/2", "mirror"),         # different URL -> mirror
+        ("http://d.com/solo", "unique"),      # clean page: no report
+        ("/relative", "dropped"),             # non-absolute: excluded
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = {(r.kind, r.key): (r.n_pages, r.n_variants)
+           for r in crawl_dedup_report(df).collect()}
+    assert got[("same_url_diff_content", "http://a.com/x")] == (2, 2)
+    mirror_fp = [k for k in got if k[0] == "same_content_diff_url"]
+    assert len(mirror_fp) == 1 and got[mirror_fp[0]] == (2, 2)
+    assert len(got) == 2
