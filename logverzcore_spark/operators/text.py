@@ -1350,3 +1350,94 @@ def extract_links(col: Column) -> Column:
     (``normalize_url`` marks them with an empty scheme, which is the
     filter a frontier applies after resolving against the base URL)."""
     return F.regexp_extract_all(col, F.lit(HREF_RE), 1)
+
+
+def robots_rules(col: Column) -> Column:
+    """Parse robots.txt content into an array of (agent, allow, prefix)
+    rules — crawl governance, the compliance gate in front of the
+    t45/t42 frontier ops. Grouping is STATEFUL across lines
+    (consecutive ``User-agent`` lines share the following directives; a
+    ``User-agent`` after a directive starts a new group), so the parse
+    is a single JVM ``aggregate`` fold over the line array carrying
+    (current-agents, seen-directive, rules) — no UDF, no shuffle.
+    Comments (``#`` to EOL) and blank lines are stripped; directives
+    other than Allow/Disallow (Crawl-delay, Sitemap) are ignored."""
+    lines = F.filter(
+        F.transform(
+            F.split(col, "\n"),
+            lambda l: F.trim(F.regexp_replace(l, "#.*", "")),
+        ),
+        lambda l: l != "",
+    )
+    init = F.expr(
+        "named_struct('ags', cast(array() as array<string>), 'afd', false,"
+        " 'rules', cast(array() as"
+        " array<struct<agent:string,allow:boolean,prefix:string>>))"
+    )
+
+    def step(acc, l):
+        ua = F.lower(F.regexp_extract(l, r"(?i)^user-agent:\s*(\S+)", 1))
+        dirc = F.lower(F.regexp_extract(l, r"(?i)^(allow|disallow):", 1))
+        pfx = F.regexp_extract(l, r"(?i)^(?:allow|disallow):\s*(\S*)", 1)
+        appended = F.concat(
+            acc["rules"],
+            F.transform(
+                acc["ags"],
+                lambda a: F.struct(
+                    a.alias("agent"),
+                    (dirc == "allow").alias("allow"),
+                    pfx.alias("prefix"),
+                ),
+            ),
+        )
+        return (
+            F.when(
+                ua != "",
+                F.struct(
+                    F.when(acc["afd"], F.array(ua))
+                    .otherwise(F.concat(acc["ags"], F.array(ua)))
+                    .alias("ags"),
+                    F.lit(False).alias("afd"),
+                    acc["rules"].alias("rules"),
+                ),
+            )
+            .when(
+                dirc != "",
+                F.struct(
+                    acc["ags"].alias("ags"),
+                    F.lit(True).alias("afd"),
+                    appended.alias("rules"),
+                ),
+            )
+            .otherwise(acc)
+        )
+
+    return F.aggregate(lines, init, step)["rules"]
+
+
+def robots_allowed(rules: Column, agent: Column, path: Column) -> Column:
+    """Evaluate a parsed rule array (``robots_rules``) for one agent and
+    path: the agent's own group if it has any rules, else the ``*``
+    group (per the REP: the most specific matching group — and ONLY it
+    — applies); within the group, the LONGEST matching prefix decides,
+    allow winning length ties (Google's documented tie-break); no
+    matching rule ⇒ allowed. Pure array expressions over the rule
+    array — evaluating any number of (url, agent) pairs against a
+    joined rules column stays codegen."""
+    own = F.filter(rules, lambda r: r["agent"] == F.lower(agent))
+    eff = F.when(F.size(own) > 0, own).otherwise(
+        F.filter(rules, lambda r: r["agent"] == "*")
+    )
+    matches = F.filter(
+        eff, lambda r: (r["prefix"] == "") | path.startswith(r["prefix"])
+    )
+    best = F.array_max(
+        F.transform(
+            matches,
+            lambda r: F.struct(
+                F.length(r["prefix"]).alias("l"),
+                r["allow"].cast("int").alias("a"),
+            ),
+        )
+    )
+    return F.when(best.isNull(), F.lit(True)).otherwise(best["a"] == 1)

@@ -1986,3 +1986,51 @@ def t45_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("u.scheme") != "")
         .select("doc_id", "pos", "u.host", "u.domain", "u.url_canon")
     )
+
+
+@query(
+    "t46_robots_gate",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN 'GPTBot' ELSE 'crawler' END AS agent,
+           CASE doc_id % 4 WHEN 0 THEN '/private/ok/page'
+                           WHEN 1 THEN '/private/x'
+                           WHEN 2 THEN '/public' ELSE '/' END AS path,
+           CASE WHEN doc_id % 5 = 0 AND doc_id % 3 = 0 THEN FALSE
+                ELSE CASE doc_id % 4 WHEN 0 THEN doc_id % 2 = 0
+                                     WHEN 1 THEN FALSE
+                                     ELSE TRUE END
+           END AS allowed
+    FROM documents
+    """,
+)
+def t46_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt compliance gate (text.robots_rules + robots_allowed):
+    per-doc robots files with a ``*`` group (Disallow /private, plus an
+    Allow /private/ok override on even docs — longest-prefix, allow
+    wins ties) and a GPTBot-specific total-disallow group on every
+    third doc (the agent's OWN group preempts ``*`` entirely, per the
+    REP). Checked agents/paths vary per doc; the oracle restates the
+    decision table arithmetically."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    robots = F.concat(
+        F.lit("# generated\nUser-agent: *\nDisallow: /private\n"),
+        F.when(d % 2 == 0, F.lit("Allow: /private/ok\n")).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit("User-agent: GPTBot\nDisallow: /\n"))
+         .otherwise(F.lit("")),
+    )
+    agent = F.when(d % 5 == 0, F.lit("GPTBot")).otherwise(F.lit("crawler"))
+    path = (
+        F.when(d % 4 == 0, F.lit("/private/ok/page"))
+        .when(d % 4 == 1, F.lit("/private/x"))
+        .when(d % 4 == 2, F.lit("/public"))
+        .otherwise(F.lit("/"))
+    )
+    rules = text.robots_rules(robots)
+    return docs.select(
+        "doc_id",
+        agent.alias("agent"),
+        path.alias("path"),
+        text.robots_allowed(rules, agent, path).alias("allowed"),
+    )

@@ -869,3 +869,47 @@ def test_extract_links_hand_values(spark):
     df = spark.createDataFrame([(0, html)], "id long, h string")
     (links,) = df.select(T.extract_links(F.col("h")).alias("l")).first()
     assert links == ["http://a.com/x", "https://b.org/", "/relative", ""]
+
+
+def test_robots_rules_and_gate(spark):
+    """Stateful grouping (consecutive User-agent lines share directives;
+    a User-agent after a directive starts a NEW group), comments,
+    unknown directives, longest-prefix + allow-wins-tie, own-group
+    preemption, and the no-rules default."""
+    from logverzcore_spark.operators import text as T
+
+    txt = (
+        "# policy\n"
+        "User-agent: *\n"
+        "Disallow: /a\n"
+        "Allow: /a/b\n"
+        "Crawl-delay: 5\n"
+        "User-agent: GPTBot\n"
+        "User-agent: CCBot\n"
+        "Disallow: /\n"
+    )
+    df = spark.createDataFrame([(0, txt)], "id long, robots string")
+    rules = df.select(T.robots_rules(F.col("robots")).alias("r"))
+    got = [tuple(x) for x in rules.first().r]
+    assert got == [
+        ("*", False, "/a"), ("*", True, "/a/b"),
+        ("gptbot", False, "/"), ("ccbot", False, "/"),
+    ]
+
+    def ask(agent, path):
+        return rules.select(
+            T.robots_allowed(F.col("r"), F.lit(agent), F.lit(path))
+        ).first()[0]
+
+    assert ask("GPTBot", "/anything") is False      # own group preempts
+    assert ask("ccbot", "/a/b") is False            # own group: no allow rule
+    assert ask("bingbot", "/a/b/c") is True         # * group, allow longer
+    assert ask("bingbot", "/a/x") is False
+    assert ask("bingbot", "/zzz") is True           # no match -> allowed
+
+    empty = spark.createDataFrame([(0, "")], "id long, robots string").select(
+        T.robots_rules(F.col("robots")).alias("r")
+    )
+    assert empty.select(
+        T.robots_allowed(F.col("r"), F.lit("x"), F.lit("/p"))
+    ).first()[0] is True
