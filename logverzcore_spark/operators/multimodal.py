@@ -1831,3 +1831,37 @@ def parse_ebml_meta(
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, schema)
+
+
+def probe_pdf(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PDF pre-parse triage — unlike the binary container walks
+    (JPEG/MP4/EBML …), PDF's skeleton is TEXT (header line, ``N G obj``
+    markers, ``endstream`` terminators, name-tree tokens), so the probe
+    that decides decode-worthiness stays ENTIRELY in codegen regex over
+    a latin-1 decode (every byte valid — binary stream content passes
+    through harmlessly): version, object/stream/page counts, the
+    ``/Encrypt`` flag (encrypted docs route to a different pipeline),
+    and ``%%EOF`` completeness (a truncated tail is the commonest PDF
+    corruption). Counts are lexical by design — a hostile/compressed
+    xref can hide objects from ANY scanner that does not fully parse;
+    this is triage, not rendering."""
+    txt = F.decode(F.col(payload_col), "ISO-8859-1")
+    is_pdf = txt.startswith("%PDF-")
+    n = F.lit(None)
+    return df.select(
+        F.col(id_col),
+        F.when(is_pdf, F.lit("pdf")).otherwise(F.lit("unknown")).alias("format"),
+        F.when(is_pdf, F.regexp_extract(txt, r"^%PDF-(\d\.\d)", 1)).alias("version"),
+        F.when(is_pdf, F.regexp_count(txt, F.lit(r"\d+ \d+ obj")))
+        .otherwise(n).cast("int").alias("n_objects"),
+        F.when(is_pdf, F.regexp_count(txt, F.lit("endstream")))
+        .otherwise(n).cast("int").alias("n_streams"),
+        F.when(is_pdf, F.regexp_count(txt, F.lit(r"/Type\s*/Page[^s]")))
+        .otherwise(n).cast("int").alias("n_pages"),
+        F.when(is_pdf, txt.contains("/Encrypt")).alias("encrypted"),
+        F.when(is_pdf, txt.contains("%%EOF")).alias("complete"),
+    )

@@ -1456,3 +1456,57 @@ def m23_ebml_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     mkv = F.concat(header, F.lit("18538067"), seg_size, info, tracks)
     payload = F.when(d % 6 == 5, F.encode("text", "UTF-8")).otherwise(F.unhex(mkv))
     return parse_ebml_meta(docs.select("doc_id", payload.alias("payload")))
+
+
+@query(
+    "m24_pdf_probe",
+    oracle="""
+    SELECT doc_id,
+      CASE WHEN doc_id % 7 = 6 THEN 'unknown' ELSE 'pdf' END AS format,
+      CASE WHEN doc_id % 7 <> 6
+           THEN '1.' || CAST(4 + doc_id % 4 AS VARCHAR) END AS version,
+      CASE WHEN doc_id % 7 <> 6 THEN CAST(
+        (1 + doc_id % 3) + 2
+        + (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS INTEGER)
+      END AS n_objects,
+      CASE WHEN doc_id % 7 <> 6
+           THEN CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INTEGER)
+      END AS n_streams,
+      CASE WHEN doc_id % 7 <> 6
+           THEN CAST(1 + doc_id % 3 AS INTEGER) END AS n_pages,
+      CASE WHEN doc_id % 7 <> 6 THEN doc_id % 5 = 0 END AS encrypted,
+      CASE WHEN doc_id % 7 <> 6 THEN doc_id % 6 <> 3 END AS complete
+    FROM documents
+    """,
+)
+def m24_pdf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF triage (multimodal.probe_pdf): ASCII PDFs built from doc_id —
+    1-3 page objects plus a Pages tree and a catalog, a content stream
+    on even docs, an /Encrypt trailer ref on every fifth, and a MISSING
+    %%EOF on every sixth (the truncated-tail case). Every seventh doc
+    is junk text. All counts restated arithmetically."""
+    from logverzcore_spark.operators.multimodal import probe_pdf
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    n_pages = 1 + d % 3
+    page = F.lit("3 0 obj\n<< /Type /Page /Parent 2 0 R >>\nendobj\n")
+    pdf = F.concat(
+        F.lit("%PDF-1."), (4 + d % 4).cast("string"), F.lit("\n"),
+        F.lit("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"),
+        F.lit("2 0 obj\n<< /Type /Pages /Count "), n_pages.cast("string"),
+        F.lit(" >>\nendobj\n"),
+        F.repeat(page, n_pages.cast("int")),
+        F.when(
+            d % 2 == 0,
+            F.lit("4 0 obj\n<< /Length 9 >>\nstream\nBT ET q Q\nendstream\nendobj\n"),
+        ).otherwise(F.lit("")),
+        F.lit("trailer\n<< /Root 1 0 R"),
+        F.when(d % 5 == 0, F.lit(" /Encrypt 7 0 R")).otherwise(F.lit("")),
+        F.lit(" >>\n"),
+        F.when(d % 6 == 3, F.lit("")).otherwise(F.lit("%%EOF\n")),
+    )
+    payload = F.when(d % 7 == 6, F.encode("text", "UTF-8")).otherwise(
+        F.encode(pdf, "UTF-8")
+    )
+    return probe_pdf(docs.select("doc_id", payload.alias("payload")))

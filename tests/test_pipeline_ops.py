@@ -1930,3 +1930,25 @@ def test_crawl_dedup_report_hand_values(spark):
     mirror_fp = [k for k in got if k[0] == "same_content_diff_url"]
     assert len(mirror_fp) == 1 and got[mirror_fp[0]] == (2, 2)
     assert len(got) == 2
+
+
+def test_probe_pdf_edges(spark):
+    """Binary stream bytes pass through the latin-1 decode unharmed;
+    /Pages is not counted as a page; truncated tail flags incomplete."""
+    from logverzcore_spark.operators.multimodal import probe_pdf
+
+    body = (
+        b"%PDF-1.7\n"
+        b"1 0 obj\n<< /Type /Pages /Count 1 >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Page >>\nendobj\n"
+        b"3 0 obj\n<< /Length 4 >>\nstream\n\x00\xff\xfe\x01\nendstream\nendobj\n"
+        b"%%EOF\n"
+    )
+    rows = [(0, bytearray(body)), (1, bytearray(body[:-7])), (2, bytearray(b"hello"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in probe_pdf(df).collect()}
+    assert got[0].format == "pdf" and got[0].version == "1.7"
+    assert got[0].n_objects == 3 and got[0].n_streams == 1
+    assert got[0].n_pages == 1 and got[0].complete is True
+    assert got[1].complete is False
+    assert got[2].format == "unknown" and got[2].n_pages is None
