@@ -1441,3 +1441,43 @@ def robots_allowed(rules: Column, agent: Column, path: Column) -> Column:
         )
     )
     return F.when(best.isNull(), F.lit(True)).otherwise(best["a"] == 1)
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document OOV rate against the corpus's own top-``vocab_size``
+    word vocabulary — the coverage check run before committing to a
+    fixed-vocab tokenizer (high OOV ⇒ the vocab under-serves the doc's
+    domain; the aggregate distribution sizes how big the vocab must
+    be). Vocabulary selection is deterministic: count desc, word asc.
+
+    Plan: one (word) count agg builds the vocabulary (map-side
+    combined); membership rejoins per-doc tokens through a BROADCAST
+    of the vocab (bounded by construction at ``vocab_size`` rows);
+    the per-doc rate is one aggregation. Output: (id, n_tokens, n_oov,
+    oov_pct) with the rate in exact basis points (integer div — no
+    float ratio, engine-identical)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("word"),
+    )
+    vocab = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(vocab_size)
+        .select("word")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("in_v", F.lit(1))), "word", "left"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.expr("(10000 * sum(CASE WHEN in_v IS NULL THEN 1 ELSE 0 END))"
+               " div count(1)").alias("oov_bp"),
+    )

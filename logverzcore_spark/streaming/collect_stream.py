@@ -186,13 +186,25 @@ def _events_stream(spark: SparkSession, events_path: str, schema=None):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if schema is None:  # callers opening the file twice pass it once
         schema = spark.read.parquet(events_path).schema
-    stream = (
-        spark.readStream.format("parquet")
-        .schema(schema)
-        .option("maxFilesPerTrigger", "10")
-        .option("pathGlobFilter", os.path.basename(events_path))
-        .load(os.path.dirname(events_path))
-    )
+    if os.path.isdir(events_path):
+        # Spark-written DIRECTORY of part files (the scale replicas'
+        # shape): the basename glob below would match ZERO leaf files
+        # and the stream would silently never run (the _docs_stream
+        # lesson) — watch the directory itself instead.
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "10")
+            .load(events_path)
+        )
+    else:
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "10")
+            .option("pathGlobFilter", os.path.basename(events_path))
+            .load(os.path.dirname(events_path))
+        )
     for field in schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -1222,7 +1222,7 @@ def m20_srt_cue_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((3 + (doc_id + k) % 6)
                 * (CASE WHEN doc_id % 3 = 2 THEN 3 ELSE 1 END) AS BIGINT)
              AS uncomp_bytes,
-           printf('%08x', (doc_id * 2654435761 + k) % 4294967296) AS crc_hex
+           printf('%08x', ((doc_id % 1000000) * 2654435761 + k) % 4294967296) AS crc_hex
     FROM g
     """,
 )
@@ -1260,7 +1260,10 @@ def m21_zip_central_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (3 + (d + F.lit(k)) % 6).cast("long")
 
     def crc(k):
-        return (d * F.lit(2654435761) + F.lit(k)) % F.lit(4294967296)
+        # doc_id bounded first: scale replicas offset ids by 1e9 per
+        # copy and the raw multiply would overflow BIGINT (found by the
+        # 10x probe's ANSI overflow error)
+        return ((d % 1000000) * F.lit(2654435761) + F.lit(k)) % F.lit(4294967296)
 
     def name_hex(k):
         return "66" + format(0x30 + k, "02X") + "2E747874"  # 'f{k}.txt'

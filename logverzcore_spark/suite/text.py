@@ -2034,3 +2034,36 @@ def t46_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         path.alias("path"),
         text.robots_allowed(rules, agent, path).alias("allowed"),
     )
+
+
+@query(
+    "t47_vocab_coverage",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t AS word FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+        FROM documents)
+      WHERE t <> ''
+    ), vocab AS (
+      SELECT word FROM (
+        SELECT word, count(*) AS n FROM toks GROUP BY word
+        ORDER BY n DESC, word LIMIT 30
+      )
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           (10000 * sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END))
+             // count(*) AS oov_bp
+    FROM toks LEFT JOIN vocab v USING (word)
+    GROUP BY doc_id
+    """,
+)
+def t47_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage audit (text.vocab_coverage) with a top-30
+    vocabulary (small enough that the synthetic corpus's tail words
+    actually fall out-of-vocab): per-doc token counts, OOV counts, and
+    the OOV rate in exact integer basis points. Deterministic vocab
+    boundary (count desc, word asc)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.vocab_coverage(docs, vocab_size=30)

@@ -913,3 +913,17 @@ def test_robots_rules_and_gate(spark):
     assert empty.select(
         T.robots_allowed(F.col("r"), F.lit("x"), F.lit("/p"))
     ).first()[0] is True
+
+
+def test_vocab_coverage_hand_values(spark):
+    from logverzcore_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(0, "a a a b b c"), (1, "a b rare words here")],
+        "doc_id long, text string",
+    )
+    # vocab_size=2 -> {a, b} (counts 4, 3); c/rare/words/here are OOV
+    got = {r.doc_id: (r.n_tokens, r.n_oov, r.oov_bp)
+           for r in T.vocab_coverage(df, vocab_size=2).collect()}
+    assert got[0] == (6, 1, 1666)
+    assert got[1] == (5, 3, 6000)
