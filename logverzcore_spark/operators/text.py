@@ -1062,9 +1062,26 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("l_tok"),
     )
+    return _bm25_rank(tok.join(dl, "doc_id"), stats, query_terms, k, idf_scale, tf_scale)
+
+
+def _bm25_rank(
+    postings: DataFrame,
+    stats: DataFrame,
+    query_terms: DataFrame,
+    k: int,
+    idf_scale: int,
+    tf_scale: int,
+) -> DataFrame:
+    """Shared BM25 scoring core over (term, doc_id, tf, dl) postings and
+    a one-row (n_docs, l_tok) stats frame — used by both the inline
+    ``bm25_topk`` and the persisted-index probe (``bm25_index_topk``);
+    the fixed-point formula and plan-shape notes live on ``bm25_topk``."""
     qset = query_terms.select("query_id", "term").distinct()
     dfreq = (
-        tok.join(F.broadcast(qset.select("term").distinct()), "term", "left_semi")
+        postings.join(
+            F.broadcast(qset.select("term").distinct()), "term", "left_semi"
+        )
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df_"))
     )
@@ -1082,8 +1099,7 @@ def bm25_topk(
         )
     )
     scored = (
-        tok.join(dl, "doc_id")
-        .join(F.broadcast(qw), "term")
+        postings.join(F.broadcast(qw), "term")
         .select(
             "query_id",
             "doc_id",
@@ -1104,6 +1120,69 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def bm25_index_build(
+    docs: DataFrame,
+    index_table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> None:
+    """Materialize the BM25 postings as a table BUCKETED BY TERM — the
+    build-once half of build-once/probe-many lexical retrieval (the
+    s08 ivf_index_build pattern, for the inverted index): ``bm25_topk``
+    re-tokenizes the whole corpus per query batch, fine for one-off
+    joins, wasteful for a serving corpus. Writes:
+
+    - ``{index_table}`` — (term, doc_id, tf, dl) bucketed+sorted by
+      term, so the probe's per-term df aggregation plans with ZERO
+      exchange on the corpus-sized side (asserted in tests), and a
+      co-located term join is available for query batches too large to
+      broadcast;
+    - ``{index_table}_stats`` — one row (n_docs, l_tok).
+
+    Rebuild on corpus change; postings are derived data (the t44
+    vocabulary discipline: corpus tokenized exactly once per build)."""
+    from logverzcore_spark.operators.util import fan_out
+
+    tok = (
+        fan_out(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tok.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    postings = tok.join(dl, "doc_id")
+    (
+        postings.write.mode("overwrite")
+        .bucketBy(n_buckets, "term")
+        .sortBy("term")
+        .saveAsTable(index_table)
+    )
+    dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("l_tok")
+    ).write.mode("overwrite").saveAsTable(f"{index_table}_stats")
+
+
+def bm25_index_topk(
+    spark,
+    index_table: str,
+    query_terms: DataFrame,
+    k: int = 5,
+    idf_scale: int = 100_000,
+    tf_scale: int = 1_000,
+) -> DataFrame:
+    """Probe a persisted BM25 index (``bm25_index_build``): identical
+    ranking to the inline ``bm25_topk`` (same fixed-point core), but
+    the corpus-sized work is a read of the bucketed postings — no
+    re-tokenize, term-grouped aggregation without an exchange."""
+    postings = spark.table(index_table)
+    stats = spark.table(f"{index_table}_stats")
+    return _bm25_rank(postings, stats, query_terms, k, idf_scale, tf_scale)
 
 
 #: Multi-part public suffixes the registered-domain heuristic recognises.

@@ -675,3 +675,82 @@ def s17_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "term")
     )
     return text.bm25_topk(docs, qterms, k=3)
+
+
+@query(
+    "s18_bm25_index_probe",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t AS term
+      FROM documents, UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS u(t)
+      WHERE t <> ''
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
+    ), stats AS (
+      SELECT count(*) AS n_docs, sum(dl) AS l_tok FROM dl
+    ), qtf AS (
+      SELECT doc_id AS query_id, term, tf FROM tf WHERE doc_id % 40 = 0
+    ), qterms AS (
+      SELECT query_id, term FROM (
+        SELECT query_id, term,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY tf DESC, term) AS rk
+        FROM qtf
+      ) WHERE rk <= 2
+    ), dfreq AS (
+      SELECT term, count(*) AS df_ FROM tf
+      WHERE term IN (SELECT term FROM qterms) GROUP BY term
+    ), qw AS (
+      SELECT q.query_id, q.term,
+             (100000 * (2*s.n_docs - 2*d.df_ + 1)) // (2*d.df_ + 1) AS idf,
+             (1000 * s.l_tok) // s.n_docs AS adm
+      FROM qterms q JOIN dfreq d USING (term) CROSS JOIN stats s
+    ), scored AS (
+      SELECT qw.query_id, tf.doc_id,
+             CAST(sum(qw.idf * ((1000 * 22 * tf.tf * qw.adm)
+                   // (10 * tf.tf * qw.adm + 3 * qw.adm + 9000 * dl.dl)))
+                  AS BIGINT) AS score
+      FROM tf JOIN dl USING (doc_id) JOIN qw USING (term)
+      GROUP BY qw.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, score, CAST(rk AS INTEGER) AS rank FROM (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def s18_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted BM25 index probe (text.bm25_index_build/topk): the
+    postings materialize ONCE as a term-bucketed table, then the probe
+    (every 40th doc's top-2 tokens, k=3) ranks without re-tokenizing —
+    identical fixed-point scores to s17's inline path, so the oracle is
+    the same replay with the s18 query selection. Bucketing gives the
+    per-term df aggregation a zero-exchange plan (pytest-asserted)."""
+    import uuid as _uuid
+
+    docs = _t(spark, sf_dir, "documents")
+    table = f"s18_bm25_{_uuid.uuid4().hex[:8]}"
+    text.bm25_index_build(docs, table)
+    qtf = (
+        docs.where(F.col("doc_id") % 40 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(text.tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("tf"), F.asc("term"))
+    qterms = (
+        qtf.withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") <= 2)
+        .select("query_id", "term")
+    )
+    out = text.bm25_index_topk(spark, table, qterms, k=3).localCheckpoint(eager=True)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_stats")
+    return out

@@ -927,3 +927,42 @@ def test_vocab_coverage_hand_values(spark):
            for r in T.vocab_coverage(df, vocab_size=2).collect()}
     assert got[0] == (6, 1, 1666)
     assert got[1] == (5, 3, 6000)
+
+
+def test_bm25_index_matches_inline_and_zero_exchange(spark):
+    """The persisted-index probe ranks identically to the inline path,
+    and the bucketed postings give the per-term df aggregation a plan
+    with NO Exchange on the corpus side."""
+    import uuid
+
+    from logverzcore_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma{'%d' % (i % 7)} delta word{'%d' % i}")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    qt = spark.createDataFrame(
+        [(0, "alpha"), (0, "gamma3"), (1, "delta"), (1, "word5")],
+        "query_id long, term string",
+    )
+    table = f"bm25_t_{uuid.uuid4().hex[:8]}"
+    try:
+        T.bm25_index_build(docs, table, n_buckets=4)
+        via_index = T.bm25_index_topk(spark, table, qt, k=5)
+        inline = T.bm25_topk(docs, qt, k=5)
+        assert sorted(map(tuple, via_index.collect())) == sorted(
+            map(tuple, inline.collect())
+        )
+        dfreq_plan = (
+            spark.table(table)
+            .groupBy("term")
+            .count()
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in dfreq_plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_stats")
