@@ -1560,3 +1560,86 @@ def vocab_coverage(
         F.expr("(10000 * sum(CASE WHEN in_v IS NULL THEN 1 ELSE 0 END))"
                " div count(1)").alias("oov_bp"),
     )
+
+
+def assemble_sft_samples(
+    messages: DataFrame,
+    id_col: str = "sample_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    content_col: str = "content",
+) -> DataFrame:
+    """Assemble chat-turn rows into supervised-fine-tuning samples —
+    the step between a curated corpus and a trainer's data loader:
+    render each conversation with a fixed template
+    (``<|role|>content<|end|>`` per turn, in turn order) and emit the
+    LOSS-MASK SPANS — the character ranges of assistant *content*
+    (exclusive of template markers), which are the only tokens a
+    standard SFT loss trains on. Downstream, t11's sequence packing
+    takes these samples; the spans survive packing by offset shift.
+
+    Output: (id, text, n_turns, target_spans, total_chars) where
+    target_spans is ``start-end`` pairs ``;``-joined in turn order
+    (a deterministic scalar encoding, engine-hashable).
+
+    Plan: per-turn segment + its length are row-local projections; the
+    per-sample cumulative offset is one window over (id, turn); the
+    final assembly is a groupBy whose collect_list is made
+    order-independent by sorting the collected (turn, piece) structs —
+    collect_list order is NOT deterministic under parallel merge, the
+    sort is load-bearing. One shuffle on the sample id end-to-end."""
+    role = F.col(role_col)
+    content = F.col(content_col)
+    seg = F.concat(F.lit("<|"), role, F.lit("|>"), content, F.lit("<|end|>"))
+    w = (
+        Window.partitionBy("sid")
+        .orderBy("ti")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = messages.select(
+        F.col(id_col).alias("sid"),
+        F.col(turn_col).alias("ti"),
+        role.alias("r"),
+        content.alias("c"),
+        seg.alias("seg"),
+    ).withColumn("cum", F.sum(F.length("seg")).over(w))
+    spans = staged.withColumn(
+        "span",
+        F.when(
+            F.col("r") == "assistant",
+            F.concat_ws(
+                "-",
+                # segment start + '<|assistant|>' prefix length
+                (F.col("cum") - F.length("seg") + F.length("r") + 4).cast("string"),
+                (F.col("cum") - F.lit(len("<|end|>"))).cast("string"),
+            ),
+        ),
+    )
+    return (
+        spans.groupBy(F.col("sid").alias(id_col))
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("ti"), F.col("seg")))
+                    ),
+                    lambda s: s["seg"],
+                ),
+            ).alias("text"),
+            F.count(F.lit(1)).cast("int").alias("n_turns"),
+            F.concat_ws(
+                ";",
+                F.filter(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("ti"), F.col("span")))
+                        ),
+                        lambda s: s["span"],
+                    ),
+                    lambda x: x.isNotNull() & (x != ""),
+                ),
+            ).alias("target_spans"),
+            F.sum(F.length("seg")).alias("total_chars"),
+        )
+    )

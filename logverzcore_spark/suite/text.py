@@ -2067,3 +2067,64 @@ def t47_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary (count desc, word asc)."""
     docs = _t(spark, sf_dir, "documents")
     return text.vocab_coverage(docs, vocab_size=30)
+
+
+@query(
+    "t48_sft_assembly",
+    oracle="""
+    WITH ex AS (
+      SELECT doc_id, unnest(range(0, 1 + doc_id % 2)) AS e, text
+      FROM documents
+    ), msgs AS (
+      SELECT doc_id AS sid, 2*e AS ti, 'user' AS r,
+             substring(text, 1 + 10*e, 15) AS c FROM ex
+      UNION ALL
+      SELECT doc_id, 2*e + 1, 'assistant',
+             substring(text, 20 + 10*e, 18) FROM ex
+    ), seg AS (
+      SELECT sid, ti, r, '<|' || r || '|>' || c || '<|end|>' AS seg FROM msgs
+    ), cum AS (
+      SELECT sid, ti, r, seg,
+             sum(len(seg)) OVER (PARTITION BY sid ORDER BY ti
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM seg
+    )
+    SELECT sid AS sample_id,
+           string_agg(seg, '' ORDER BY ti) AS text,
+           CAST(count(*) AS INTEGER) AS n_turns,
+           COALESCE(string_agg(
+             CASE WHEN r = 'assistant'
+                  THEN CAST(cum - len(seg) + len(r) + 4 AS VARCHAR)
+                       || '-' || CAST(cum - 7 AS VARCHAR) END,
+             ';' ORDER BY ti), '') AS target_spans,
+           CAST(sum(len(seg)) AS BIGINT) AS total_chars
+    FROM cum GROUP BY sid
+    """,
+)
+def t48_sft_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT sample assembly (text.assemble_sft_samples): 1-2 synthetic
+    user/assistant exchanges per doc (content sliced from the doc
+    text) rendered with the fixed chat template, emitting the
+    loss-mask character spans of assistant CONTENT only (markers
+    excluded) — what separates an SFT loader from plain packing. The
+    oracle replays the template, the cumulative offsets, and the span
+    encoding."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ex = docs.select(
+        "doc_id", "text",
+        F.explode(F.sequence(F.lit(0), (d % 2).cast("int"))).alias("e"),
+    )
+    user = ex.select(
+        F.col("doc_id").alias("sample_id"),
+        (2 * F.col("e")).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.substring("text", F.lit(1) + 10 * F.col("e"), F.lit(15)).alias("content"),
+    )
+    asst = ex.select(
+        F.col("doc_id").alias("sample_id"),
+        (2 * F.col("e") + 1).alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        F.substring("text", F.lit(20) + 10 * F.col("e"), F.lit(18)).alias("content"),
+    )
+    return text.assemble_sft_samples(user.unionByName(asst))

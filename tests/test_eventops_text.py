@@ -966,3 +966,31 @@ def test_bm25_index_matches_inline_and_zero_exchange(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {table}_stats")
+
+
+def test_assemble_sft_samples_spans(spark):
+    """Spans cover exactly the assistant CONTENT: slicing the rendered
+    text by each span reproduces the original assistant messages."""
+    from logverzcore_spark.operators import text as T
+
+    msgs = [
+        (1, 0, "system", "be brief"),
+        (1, 1, "user", "hi"),
+        (1, 2, "assistant", "hello!"),
+        (1, 3, "user", "bye"),
+        (1, 4, "assistant", "ciao"),
+        (2, 0, "user", "solo"),
+    ]
+    df = spark.createDataFrame(
+        msgs, "sample_id long, turn_idx int, role string, content string"
+    )
+    got = {r.sample_id: r for r in T.assemble_sft_samples(df).collect()}
+    s1 = got[1]
+    assert s1.n_turns == 5 and s1.total_chars == len(s1.text)
+    recovered = [
+        s1.text[int(a):int(b)]
+        for a, b in (sp.split("-") for sp in s1.target_spans.split(";"))
+    ]
+    assert recovered == ["hello!", "ciao"]
+    assert got[2].target_spans == "" and got[2].n_turns == 1
+    assert got[2].text == "<|user|>solo<|end|>"
