@@ -1643,3 +1643,67 @@ def assemble_sft_samples(
             F.sum(F.length("seg")).alias("total_chars"),
         )
     )
+
+
+def pack_sft_stream(
+    samples: DataFrame,
+    max_chars: int = 2048,
+    n_shards: int = 16,
+    id_col: str = "sample_id",
+) -> DataFrame:
+    """Pack assembled SFT samples (``assemble_sft_samples``) into
+    fixed-budget context windows and SHIFT their loss-mask spans into
+    stream coordinates — the end-to-end handoff a trainer's loader
+    consumes: per shard, samples concatenate in a deterministic
+    (hash, id) order; the pack is the budget-sliced view of that
+    stream (one straddling sample allowed — ``pack_sequences``' bound),
+    and each sample's spans move by its exclusive prefix length, which
+    is the whole point of emitting spans as offsets: packing is a
+    shift, never a re-tokenize.
+
+    Output: (id, shard, pack_id, start_char, shifted_spans). One
+    window pass per shard; packing parallelism = shard count."""
+    sid = F.col(id_col)
+    shard = (
+        F.conv(F.substring(F.md5(sid.cast("string")), 1, 1), 16, 10).cast("int")
+        % n_shards
+    )
+    staged = samples.select(
+        sid.alias("sid"),
+        shard.alias("shard"),
+        F.md5(sid.cast("string")).alias("_ord"),
+        F.col("total_chars").alias("n_chars"),
+        F.col("target_spans").alias("spans"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_ord", "sid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+    shifted = F.concat_ws(
+        ";",
+        F.transform(
+            F.filter(F.split(F.col("spans"), ";"), lambda x: x != ""),
+            lambda s: F.concat_ws(
+                "-",
+                (F.split(s, "-")[0].cast("long") + F.col("start_char")).cast("string"),
+                (F.split(s, "-")[1].cast("long") + F.col("start_char")).cast("string"),
+            ),
+        ),
+    )
+    return (
+        staged.withColumn("start_char", cum)
+        .withColumn(
+            "pack_id",
+            F.col("shard").cast("long") * F.lit(2**32)
+            + F.expr(f"start_char div {max_chars}"),
+        )
+        .select(
+            F.col("sid").alias(id_col),
+            "shard",
+            "pack_id",
+            "start_char",
+            shifted.alias("shifted_spans"),
+        )
+    )

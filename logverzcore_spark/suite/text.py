@@ -2128,3 +2128,74 @@ def t48_sft_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", F.lit(20) + 10 * F.col("e"), F.lit(18)).alias("content"),
     )
     return text.assemble_sft_samples(user.unionByName(asst))
+
+
+def _t49_oracle(budget: int = 512, n_shards: int = 16) -> str:
+    hx = _hex_digits_to_int_sql("md5(CAST(sample_id AS VARCHAR))", 1)
+    return f"""
+    WITH ex AS (
+      SELECT doc_id, unnest(range(0, 1 + doc_id % 2)) AS e, text
+      FROM documents
+    ), msgs AS (
+      SELECT doc_id AS sid, 2*e AS ti, 'user' AS r,
+             substring(text, 1 + 10*e, 15) AS c FROM ex
+      UNION ALL
+      SELECT doc_id, 2*e + 1, 'assistant',
+             substring(text, 20 + 10*e, 18) FROM ex
+    ), seg AS (
+      SELECT sid, ti, r, '<|' || r || '|>' || c || '<|end|>' AS seg FROM msgs
+    ), cumt AS (
+      SELECT sid, ti, r, seg,
+             sum(len(seg)) OVER (PARTITION BY sid ORDER BY ti
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM seg
+    ), samples AS (
+      SELECT sid AS sample_id,
+             COALESCE(string_agg(
+               CASE WHEN r = 'assistant'
+                    THEN CAST(cum - len(seg) + len(r) + 4 AS VARCHAR)
+                         || '-' || CAST(cum - 7 AS VARCHAR) END,
+               ';' ORDER BY ti), '') AS target_spans,
+             CAST(sum(len(seg)) AS BIGINT) AS total_chars
+      FROM cumt GROUP BY sid
+    ), packed AS (
+      SELECT sample_id,
+             CAST({hx} % {n_shards} AS INTEGER) AS shard,
+             md5(CAST(sample_id AS VARCHAR)) AS ord_,
+             total_chars, target_spans
+      FROM samples
+    ), cum AS (
+      SELECT sample_id, shard, target_spans,
+             COALESCE(sum(total_chars) OVER (
+               PARTITION BY shard ORDER BY ord_, sample_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_char
+      FROM packed
+    )
+    SELECT sample_id, shard,
+           CAST(shard AS BIGINT) * 4294967296 + start_char // {budget}
+             AS pack_id,
+           start_char,
+           CASE WHEN target_spans = '' THEN '' ELSE
+             array_to_string(list_transform(string_split(target_spans, ';'),
+               x -> CAST(CAST(string_split(x, '-')[1] AS BIGINT) + start_char
+                         AS VARCHAR)
+                    || '-' ||
+                    CAST(CAST(string_split(x, '-')[2] AS BIGINT) + start_char
+                         AS VARCHAR)), ';')
+           END AS shifted_spans
+    FROM cum
+    """
+
+
+@query("t49_sft_pack_spans", oracle=_t49_oracle())
+def t49_sft_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-preserving SFT packing (text.pack_sft_stream over t48's
+    samples, 512-char budget): deterministic (hash, id) shard order,
+    exclusive-prefix start offsets, budget-sliced pack ids, and
+    loss-mask spans SHIFTED into stream coordinates — proving the t48
+    claim that packing is an offset shift, never a re-render. The
+    oracle replays assembly, sharding, the prefix window, and the
+    span arithmetic."""
+    samples = SUITE["t48_sft_assembly"](spark, sf_dir)
+    return text.pack_sft_stream(samples, max_chars=512)

@@ -994,3 +994,34 @@ def test_assemble_sft_samples_spans(spark):
     assert recovered == ["hello!", "ciao"]
     assert got[2].target_spans == "" and got[2].n_turns == 1
     assert got[2].text == "<|user|>solo<|end|>"
+
+
+def test_pack_sft_stream_span_shift(spark):
+    """Concatenating samples in pack order and slicing by the SHIFTED
+    spans recovers exactly the assistant contents — the loader-side
+    invariant the operator exists for."""
+    from logverzcore_spark.operators import text as T
+
+    msgs = []
+    for s in range(6):
+        msgs += [
+            (s, 0, "user", f"question {s}"),
+            (s, 1, "assistant", f"answer number {s}"),
+        ]
+    mdf = spark.createDataFrame(
+        msgs, "sample_id long, turn_idx int, role string, content string"
+    )
+    samples = T.assemble_sft_samples(mdf)
+    packed = T.pack_sft_stream(samples, max_chars=64, n_shards=2)
+    j = samples.join(packed, "sample_id").collect()
+    streams = {}
+    for r in sorted(j, key=lambda r: (r.shard, r.start_char)):
+        assert streams.get(r.shard, 0) == r.start_char  # contiguous
+        streams[r.shard] = r.start_char + r.total_chars
+    stream_text = {}
+    for r in sorted(j, key=lambda r: (r.shard, r.start_char)):
+        stream_text[r.shard] = stream_text.get(r.shard, "") + r.text
+    for r in j:
+        for sp in r.shifted_spans.split(";"):
+            a, b = map(int, sp.split("-"))
+            assert stream_text[r.shard][a:b] == f"answer number {r.sample_id}"
