@@ -1707,3 +1707,78 @@ def pack_sft_stream(
             shifted.alias("shifted_spans"),
         )
     )
+
+
+def mixture_allocation(
+    df: DataFrame,
+    weights: dict[str, int],
+    total_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-mixture token allocation (largest-remainder / Hamilton
+    method) — the data-mixing step of planning a pretraining run: given
+    integer target weights per source and a total token budget, compute
+    each source's token allocation so the allocations sum EXACTLY to
+    the budget, plus the oversampling factor vs what the source
+    actually holds (``epochs_bp``, basis points: 10000 = one epoch).
+
+    ``base_i = floor(B*w_i / W)`` with W summed over the sources
+    PRESENT in the corpus (absent weight keys drop out — the mixture is
+    renormalized over what exists); the ``B - sum(base_i)`` leftover
+    units go one each to the largest remainders ``(B*w_i) mod W``, ties
+    broken by source name. All integer arithmetic — engine-portable and
+    summation-order-free.
+
+    Plan shape: ONE corpus shuffle (the groupBy(source) token count);
+    the weight map is a literal ``create_map`` projection (no join);
+    the renormalization/leftover scalars are 1-row cross joins and the
+    remainder ranking a single-partition window — all over #sources
+    rows, which is metadata-scale by construction (sources are
+    hosts/domains/datasets, bounded), never corpus-scale.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(int(w) <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive integers")
+    pairs: list = []
+    for k in sorted(weights):
+        pairs += [F.lit(k), F.lit(int(weights[k]))]
+    budget = int(total_tokens)
+
+    per = (
+        df.groupBy(source_col)
+        .agg(F.sum(token_count(F.col(text_col))).alias("avail_tokens"))
+        .withColumn("weight", F.create_map(*pairs)[F.col(source_col)].cast("long"))
+        .where(F.col("weight").isNotNull())
+    )
+    wsum = per.agg(F.sum("weight").alias("wsum_"))
+    based = (
+        per.crossJoin(F.broadcast(wsum))
+        .withColumn("base_", F.expr(f"({budget} * weight) div wsum_"))
+        .withColumn("rem_", (F.lit(budget).cast("long") * F.col("weight")) % F.col("wsum_"))
+    )
+    leftover = based.agg((F.lit(budget).cast("long") - F.sum("base_")).alias("leftover_"))
+    ranked = (
+        based.crossJoin(F.broadcast(leftover))
+        .withColumn(
+            "rk_",
+            F.row_number().over(
+                Window.orderBy(F.desc("rem_"), F.asc(source_col))
+            ),
+        )
+        .withColumn(
+            "alloc_tokens",
+            (F.col("base_") + F.when(F.col("rk_") <= F.col("leftover_"), 1).otherwise(0)).cast("long"),
+        )
+    )
+    return ranked.select(
+        F.col(source_col).alias("source"),
+        F.col("avail_tokens").cast("long").alias("avail_tokens"),
+        F.col("weight").cast("long").alias("weight"),
+        "alloc_tokens",
+        F.when(
+            F.col("avail_tokens") > 0,
+            F.expr("(10000 * alloc_tokens) div avail_tokens"),
+        ).cast("long").alias("epochs_bp"),
+    )

@@ -2199,3 +2199,53 @@ def t49_sft_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     span arithmetic."""
     samples = SUITE["t48_sft_assembly"](spark, sf_dir)
     return text.pack_sft_stream(samples, max_chars=512)
+
+
+@query(
+    "t50_mixture_allocation",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> ''))) AS avail_tokens
+      FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, avail_tokens,
+             1 + (CAST(substr(source, 4) AS BIGINT) % 5) AS weight
+      FROM tok
+    ), s AS (
+      SELECT sum(weight) AS wsum FROM w
+    ), b AS (
+      SELECT source, avail_tokens, weight,
+             (1000000 * weight) // s.wsum AS base_,
+             (1000000 * weight) % s.wsum AS rem_
+      FROM w CROSS JOIN s
+    ), l AS (
+      SELECT 1000000 - sum(base_) AS leftover FROM b
+    ), r AS (
+      SELECT b.*, l.leftover,
+             row_number() OVER (ORDER BY rem_ DESC, source) AS rk
+      FROM b CROSS JOIN l
+    )
+    SELECT source, CAST(avail_tokens AS BIGINT) AS avail_tokens,
+           CAST(weight AS BIGINT) AS weight,
+           CAST(base_ + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_tokens,
+           CAST((10000 * (base_ + CASE WHEN rk <= leftover THEN 1 ELSE 0 END))
+                // avail_tokens AS BIGINT) AS epochs_bp
+    FROM r
+    """,
+)
+def t50_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture planning (text.mixture_allocation): target weights
+    1 + (source# % 5) over the observed sources, a 1M-token budget
+    allocated by the largest-remainder method (allocations sum EXACTLY
+    to the budget — integer base + one leftover unit per largest
+    remainder, source-name tie-break), and the per-source oversampling
+    factor in basis points. The source list is a bounded-metadata
+    collect (#sources rows); the oracle replays the identical integer
+    arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    srcs = [r[0] for r in docs.select("source").distinct().collect()]
+    weights = {s: 1 + (int(s[3:]) % 5) for s in srcs}
+    return text.mixture_allocation(docs, weights, total_tokens=1_000_000)

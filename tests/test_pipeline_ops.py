@@ -1952,3 +1952,40 @@ def test_probe_pdf_edges(spark):
     assert got[0].n_pages == 1 and got[0].complete is True
     assert got[1].complete is False
     assert got[2].format == "unknown" and got[2].n_pages is None
+
+
+def test_mixture_allocation_invariants(spark):
+    """Allocations sum EXACTLY to the budget; absent weight keys are
+    renormalized out; each allocation is within one unit of the exact
+    proportional share; bad weights raise."""
+    import pytest as _pytest
+
+    from logverzcore_spark.operators.text import mixture_allocation
+
+    rows = [
+        (0, "web", "a b c d e f g h"),
+        (1, "web", "i j k l"),
+        (2, "books", "m n o p q r"),
+        (3, "code", "s t"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # 'wiki' has a weight but no docs -> renormalized over web/books/code.
+    out = mixture_allocation(
+        df, {"web": 5, "books": 3, "code": 2, "wiki": 7}, total_tokens=1001
+    ).collect()
+    assert sorted(r.source for r in out) == ["books", "code", "web"]
+    assert sum(r.alloc_tokens for r in out) == 1001
+    shares = {"web": 5, "books": 3, "code": 2}
+    for r in out:
+        exact = 1001 * shares[r.source] / 10
+        assert abs(r.alloc_tokens - exact) < 1
+    avail = {r.source: r.avail_tokens for r in out}
+    assert avail == {"web": 12, "books": 6, "code": 2}
+    epochs = {r.source: r.epochs_bp for r in out}
+    # code gets ~200 tokens against 2 available -> ~100 epochs.
+    assert epochs["code"] == (10000 * [r.alloc_tokens for r in out if r.source == "code"][0]) // 2
+
+    with _pytest.raises(ValueError):
+        mixture_allocation(df, {}, 100)
+    with _pytest.raises(ValueError):
+        mixture_allocation(df, {"web": 0}, 100)
