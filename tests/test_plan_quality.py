@@ -211,6 +211,7 @@ def test_suite_global_plan_invariants(spark):
         "d19_tfidf_dup_clusters",  # same single-row N join inside d18's pairs
         "s17_bm25_topk",        # single-row (N, L) corpus-stats broadcast join
         "t44_bpe_segment",      # single-row ordered-merge-array broadcast join
+        "t50_mixture_allocation",  # single-row wsum/leftover scalar joins over #sources rows
     }
     streaming = {n for n in SUITE if n.startswith("st")}  # run eagerly; skip
     offenders = {}
