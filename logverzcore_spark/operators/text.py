@@ -1782,3 +1782,187 @@ def mixture_allocation(
             F.expr("(10000 * alloc_tokens) div avail_tokens"),
         ).cast("long").alias("epochs_bp"),
     )
+
+
+#: Gopher repetition thresholds (Rae et al. 2021, Table A1), in basis
+#: points: a doc is dropped when a signal EXCEEDS its threshold.
+REPETITION_THRESHOLDS_BP: dict[str, int] = {
+    "dup_line_frac_bp": 3000,
+    "dup_line_char_frac_bp": 2000,
+    "top2gram_char_frac_bp": 2000,
+    "top3gram_char_frac_bp": 1800,
+    "top4gram_char_frac_bp": 1600,
+    "dup5gram_char_frac_bp": 1500,
+    "dup6gram_char_frac_bp": 1400,
+    "dup7gram_char_frac_bp": 1300,
+    "dup8gram_char_frac_bp": 1200,
+    "dup9gram_char_frac_bp": 1100,
+    "dup10gram_char_frac_bp": 1000,
+}
+
+
+def _word_grams(toks: Column, n: int) -> Column:
+    """Overlapping n-gram strings (single-space joined) over a token
+    array; empty array when the doc has fewer than ``n`` tokens."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+) -> DataFrame:
+    """Gopher repetition signals (Rae et al. 2021, §A1.1) — the
+    boilerplate/loop detector every LLM corpus pipeline runs alongside
+    the word-level rules in ``gopher_quality``:
+
+    - ``dup_line_frac_bp`` / ``dup_line_char_frac_bp`` — fraction of
+      lines (and of line characters) that are repeats of an earlier
+      identical line in the SAME document;
+    - ``top{n}gram_char_frac_bp`` (n in ``top_ns``) — characters covered
+      by occurrences of the single most frequent word n-gram (count x
+      non-space gram chars), over total token chars; ties broken toward
+      the lexicographically smallest gram;
+    - ``dup{n}gram_char_frac_bp`` (n in ``dup_ns``) — characters of
+      tokens covered by ANY overlapping n-gram that occurs more than
+      once in the document (each char counted once);
+    - ``keep`` — true iff every emitted signal is at or under its
+      Gopher threshold (``REPETITION_THRESHOLDS_BP``).
+
+    All fractions are INTEGER basis points (``(10000*x) div y``) so the
+    result is engine-portable and summation-order-free. Paragraph-grain
+    signals are this same operator applied to a paragraph-joined text
+    column (split on the blank-line separator upstream).
+
+    Plan shape: pure per-row projection — token arrays, sorted-run
+    folds (mode and duplicate-set via ``aggregate`` over
+    ``sort_array``, O(g log g) per row instead of the O(g^2) naive
+    count), and coverage scans never leave their row; ZERO shuffle at
+    any corpus size. ``fan_out`` only re-parallelizes under-split local
+    inputs. Reference intent: LogverzCore exposes per-row quality
+    metrics via SELECT expressions (sources/controller/query.js); the
+    repetition battery itself is public-paper semantics.
+    """
+    from logverzcore_spark.operators.util import fan_out
+
+    staged = fan_out(df).select(
+        F.col(id_col),
+        F.split(F.col(text_col), "\n").alias("_lines"),
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+    lines, toks = F.col("_lines"), F.col("_toks")
+    n_lines = F.size(lines)
+    n_dup_lines = n_lines - F.size(F.array_distinct(lines))
+    line_chars = F.length(F.concat_ws("", lines))
+    dup_line_chars = line_chars - F.length(F.concat_ws("", F.array_distinct(lines)))
+    tok_chars = F.length(F.concat_ws("", toks))
+
+    def bp(num: Column, den: Column) -> Column:
+        return (
+            F.when(den > 0, (F.lit(10000).cast("long") * num).cast("long") / den)
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    cols: dict[str, Column] = {
+        "n_lines": n_lines.cast("long"),
+        "dup_line_frac_bp": bp(n_dup_lines, n_lines),
+        "dup_line_char_frac_bp": bp(dup_line_chars, line_chars),
+    }
+
+    # Most-frequent n-gram via a sorted-run fold: strict > keeps the
+    # FIRST maximal run, i.e. the lexicographically smallest gram.
+    zero_mode = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit("").alias("bestg"),
+    )
+    for n in top_ns:
+        sorted_g = F.sort_array(_word_grams(toks, n))
+
+        def _step(acc, x):
+            run2 = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("long"))
+            return F.struct(
+                x.alias("prev"),
+                run2.alias("run"),
+                F.when(run2 > acc.best, run2).otherwise(acc.best).alias("best"),
+                F.when(run2 > acc.best, x).otherwise(acc.bestg).alias("bestg"),
+            )
+
+        mode = F.aggregate(sorted_g, zero_mode, _step)
+        # Non-space chars of the winning gram = length - (n-1) joiners.
+        top_chars = mode.best * F.when(
+            mode.best > 0, F.length(mode.bestg) - F.lit(n - 1)
+        ).otherwise(F.lit(0))
+        cols[f"top{n}gram_char_frac_bp"] = bp(top_chars, tok_chars)
+
+    # Duplicated n-gram coverage. HOF-pitfall-aware shape: every
+    # expensive intermediate (position-tagged grams, sorted array, dup
+    # start list, covered-position set) is a COLLECTION ARGUMENT of the
+    # next HOF — evaluated once per row — and lambda BODIES only touch
+    # the accumulator, the element, and O(1) column lookups; an earlier
+    # draft that tested dup-set membership inside a filter lambda
+    # re-evaluated the O(g) dup fold per gram (O(g^2 log g)/row, 70x
+    # slower end-to-end at sf0.01).
+    zero_dup = F.struct(
+        F.lit("").alias("prev_g"),
+        F.lit(-1).alias("prev_i"),
+        F.lit(False).alias("emitted"),
+        F.array().cast("array<int>").alias("out"),
+    )
+    for n in dup_ns:
+        # Sort (gram, pos) pairs so equal grams are adjacent, then one
+        # run fold collects every position of any gram occurring > 1.
+        pg = F.transform(
+            _word_grams(toks, n),
+            lambda g, i: F.struct(g.alias("g"), i.alias("i")),
+        )
+
+        def _dstep(acc, e):
+            is_dup = (e.g == acc.prev_g) & (acc.prev_i >= 0)
+            out2 = (
+                F.when(
+                    is_dup & ~acc.emitted,
+                    F.concat(acc.out, F.array(acc.prev_i, e.i)),
+                )
+                .when(is_dup, F.concat(acc.out, F.array(e.i)))
+                .otherwise(acc.out)
+            )
+            return F.struct(
+                e.g.alias("prev_g"),
+                e.i.alias("prev_i"),
+                is_dup.alias("emitted"),
+                out2.alias("out"),
+            )
+
+        starts = F.aggregate(F.sort_array(pg), zero_dup, _dstep, lambda a: a.out)
+        # Gram starts never exceed n_toks - n, so windows stay in range.
+        covered = F.array_distinct(
+            F.flatten(F.transform(starts, lambda s: F.sequence(s, s + F.lit(n - 1))))
+        )
+        chars = F.aggregate(
+            covered,
+            F.lit(0).cast("long"),
+            lambda acc, j: acc + F.length(F.element_at(toks, j + 1)).cast("long"),
+        )
+        cols[f"dup{n}gram_char_frac_bp"] = bp(chars, tok_chars)
+
+    keep = None
+    for name, col in cols.items():
+        thr = REPETITION_THRESHOLDS_BP.get(name)
+        if thr is None:
+            continue
+        flag = col <= F.lit(thr)
+        keep = flag if keep is None else (keep & flag)
+    return staged.select(
+        id_col, *[c.alias(k) for k, c in cols.items()], keep.alias("keep")
+    )

@@ -2249,3 +2249,127 @@ def t50_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     srcs = [r[0] for r in docs.select("source").distinct().collect()]
     weights = {s: 1 + (int(s[3:]) % 5) for s in srcs}
     return text.mixture_allocation(docs, weights, total_tokens=1_000_000)
+
+
+@query(
+    "t51_repetition_profile",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), built AS (
+      SELECT doc_id,
+             list_transform(range(CAST(((len(t)-1)//6)+1 AS BIGINT)),
+                            i -> array_to_string(t[(i*6+1):(i*6+6)], ' ')) AS L
+      FROM tok
+    ), lined AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN array_to_string(L, chr(10)) || chr(10) || L[1]
+                  ELSE array_to_string(L, chr(10)) END AS text2
+      FROM built
+    ), base AS (
+      SELECT doc_id,
+             string_split(text2, chr(10)) AS lns,
+             list_filter(regexp_split_to_array(text2, '\\s+'), x -> x <> '') AS t
+      FROM lined
+    ), core AS (
+      SELECT doc_id, t,
+             len(lns) AS n_lines,
+             len(lns) - len(list_distinct(lns)) AS n_dup_lines,
+             len(array_to_string(lns, '')) AS line_chars,
+             len(array_to_string(lns, ''))
+               - len(array_to_string(list_distinct(lns), '')) AS dup_line_chars,
+             len(array_to_string(t, '')) AS tok_chars
+      FROM base
+    ),
+    g2 AS (SELECT doc_id, u.g FROM base,
+           UNNEST(list_transform(range(CAST(greatest(len(t)-1,0) AS BIGINT)),
+                  i -> array_to_string(t[(i+1):(i+2)], ' '))) AS u(g)),
+    m2 AS (SELECT doc_id, COUNT(*) * (len(g)-1) AS chars,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY COUNT(*) DESC, g ASC) AS rk
+           FROM g2 GROUP BY doc_id, g),
+    g3 AS (SELECT doc_id, u.g FROM base,
+           UNNEST(list_transform(range(CAST(greatest(len(t)-2,0) AS BIGINT)),
+                  i -> array_to_string(t[(i+1):(i+3)], ' '))) AS u(g)),
+    m3 AS (SELECT doc_id, COUNT(*) * (len(g)-2) AS chars,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY COUNT(*) DESC, g ASC) AS rk
+           FROM g3 GROUP BY doc_id, g),
+    g4 AS (SELECT doc_id, u.g FROM base,
+           UNNEST(list_transform(range(CAST(greatest(len(t)-3,0) AS BIGINT)),
+                  i -> array_to_string(t[(i+1):(i+4)], ' '))) AS u(g)),
+    m4 AS (SELECT doc_id, COUNT(*) * (len(g)-3) AS chars,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY COUNT(*) DESC, g ASC) AS rk
+           FROM g4 GROUP BY doc_id, g),
+    g5 AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+                  array_to_string(t[(u.i+1):(u.i+5)], ' ') AS g
+           FROM base, UNNEST(range(CAST(greatest(len(t)-4,0) AS BIGINT))) AS u(i)),
+    d5 AS (SELECT doc_id, g FROM g5 GROUP BY doc_id, g HAVING COUNT(*) > 1),
+    cov5 AS (SELECT DISTINCT g5.doc_id, g5.pos + o.j AS j
+             FROM g5 JOIN d5 USING (doc_id, g), UNNEST(range(5)) AS o(j)),
+    c5 AS (SELECT b.doc_id, SUM(len(b.t[CAST(c.j+1 AS BIGINT)])) AS chars
+           FROM base b JOIN cov5 c ON b.doc_id = c.doc_id GROUP BY b.doc_id),
+    g10 AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+                   array_to_string(t[(u.i+1):(u.i+10)], ' ') AS g
+            FROM base, UNNEST(range(CAST(greatest(len(t)-9,0) AS BIGINT))) AS u(i)),
+    d10 AS (SELECT doc_id, g FROM g10 GROUP BY doc_id, g HAVING COUNT(*) > 1),
+    cov10 AS (SELECT DISTINCT g10.doc_id, g10.pos + o.j AS j
+              FROM g10 JOIN d10 USING (doc_id, g), UNNEST(range(10)) AS o(j)),
+    c10 AS (SELECT b.doc_id, SUM(len(b.t[CAST(c.j+1 AS BIGINT)])) AS chars
+            FROM base b JOIN cov10 c ON b.doc_id = c.doc_id GROUP BY b.doc_id),
+    frac AS (
+      SELECT core.doc_id,
+             CAST(core.n_lines AS BIGINT) AS n_lines,
+             (10000 * core.n_dup_lines) // core.n_lines AS dup_line_frac_bp,
+             CASE WHEN core.line_chars > 0
+                  THEN (10000 * core.dup_line_chars) // core.line_chars
+                  ELSE 0 END AS dup_line_char_frac_bp,
+             COALESCE((10000 * t2.chars) // core.tok_chars, 0) AS top2gram_char_frac_bp,
+             COALESCE((10000 * t3.chars) // core.tok_chars, 0) AS top3gram_char_frac_bp,
+             COALESCE((10000 * t4.chars) // core.tok_chars, 0) AS top4gram_char_frac_bp,
+             COALESCE((10000 * c5.chars) // core.tok_chars, 0) AS dup5gram_char_frac_bp,
+             COALESCE((10000 * c10.chars) // core.tok_chars, 0) AS dup10gram_char_frac_bp
+      FROM core
+      LEFT JOIN (SELECT doc_id, chars FROM m2 WHERE rk = 1) t2 USING (doc_id)
+      LEFT JOIN (SELECT doc_id, chars FROM m3 WHERE rk = 1) t3 USING (doc_id)
+      LEFT JOIN (SELECT doc_id, chars FROM m4 WHERE rk = 1) t4 USING (doc_id)
+      LEFT JOIN c5 USING (doc_id)
+      LEFT JOIN c10 USING (doc_id)
+    )
+    SELECT doc_id, n_lines, dup_line_frac_bp, dup_line_char_frac_bp,
+           top2gram_char_frac_bp, top3gram_char_frac_bp, top4gram_char_frac_bp,
+           dup5gram_char_frac_bp, dup10gram_char_frac_bp,
+           (dup_line_frac_bp <= 3000 AND dup_line_char_frac_bp <= 2000
+            AND top2gram_char_frac_bp <= 2000 AND top3gram_char_frac_bp <= 1800
+            AND top4gram_char_frac_bp <= 1600 AND dup5gram_char_frac_bp <= 1500
+            AND dup10gram_char_frac_bp <= 1000) AS keep
+    FROM frac
+    """,
+)
+def t51_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition battery (text.repetition_profile): duplicate-line
+    count/char fractions, most-frequent 2/3/4-gram char coverage, and
+    duplicated 5/10-gram char coverage, all integer basis points, plus
+    the combined Gopher keep flag. The flat single-line corpus is first
+    re-lined deterministically (6-token lines; every third doc re-appends
+    its first line, planting real line duplicates); the oracle rebuilds
+    the identical text and replays every signal relationally (mode via
+    count-desc/gram-asc argmax == the sorted-run fold's
+    first-maximal-run tie-break)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    n = F.size(toks)
+    lines = F.transform(
+        F.sequence(F.lit(0), ((n - 1) / 6).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 6 + 1, 6)),
+    )
+    lined = F.array_join(lines, "\n")
+    text2 = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(lined, F.lit("\n"), F.element_at(lines, 1)),
+    ).otherwise(lined)
+    staged = docs.select("doc_id", text2.alias("text"))
+    return text.repetition_profile(staged, top_ns=(2, 3, 4), dup_ns=(5, 10))

@@ -1989,3 +1989,42 @@ def test_mixture_allocation_invariants(spark):
         mixture_allocation(df, {}, 100)
     with _pytest.raises(ValueError):
         mixture_allocation(df, {"web": 0}, 100)
+
+
+def test_repetition_profile_hand_values(spark):
+    """Hand-checked Gopher repetition signals: dup-line fractions, mode
+    tie-break (lexicographically smallest gram), dup n-gram coverage
+    counts each char once, and short/empty-ish docs don't divide by 0."""
+    from logverzcore_spark.operators.text import repetition_profile
+
+    rows = [
+        (0, "a b\na b\nc d e"),          # 1 dup line of 3; 'a b' x2 top-2gram
+        (1, "p q p q p q p q p q p q"),  # total repetition -> everything dup
+        (2, "x y"),                      # too short for any 5/10-gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_profile(df, dup_ns=(5, 10)).collect()}
+
+    d0 = out[0]
+    assert d0.n_lines == 3 and d0.dup_line_frac_bp == 3333
+    # line chars: 3+3+5=11, dup mass 3 -> 2727 bp
+    assert d0.dup_line_char_frac_bp == 2727
+    # toks = a b a b c d e (7 chars); 'a b' x2 -> 4 chars -> 5714 bp
+    assert d0.top2gram_char_frac_bp == 5714
+    # all 3-grams unique -> tie -> lexicographically smallest 'a b a' (3 chars)
+    assert d0.top3gram_char_frac_bp == 4285
+    assert d0.dup5gram_char_frac_bp == 0 and d0.keep is False
+
+    d1 = out[1]
+    # 'p q' x6 over 12 chars -> 10000 bp; 5-gram dup coverage = whole doc
+    assert d1.top2gram_char_frac_bp == 10000
+    assert d1.dup5gram_char_frac_bp == 10000
+    assert d1.dup10gram_char_frac_bp == 10000
+    assert d1.keep is False
+
+    d2 = out[2]
+    assert d2.dup5gram_char_frac_bp == 0 and d2.dup10gram_char_frac_bp == 0
+    assert d2.dup_line_frac_bp == 0
+    # The single 2-gram covers 100% of chars -> top2 gate trips; short
+    # docs are Gopher's word-count rules' job, not this filter's.
+    assert d2.top2gram_char_frac_bp == 10000 and d2.keep is False
