@@ -1966,3 +1966,56 @@ def repetition_profile(
     return staged.select(
         id_col, *[c.alias(k) for k, c in cols.items()], keep.alias("keep")
     )
+
+
+#: A line survives C4 cleaning iff it ends in terminal punctuation.
+C4_TERMINAL_RE = r'[.!?"]$'
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4 cleaning (Raffel et al. 2020, §2.2 — the public heuristics
+    behind the C4 corpus): keep only lines that end in terminal
+    punctuation, have at least ``min_words`` words, and do not mention
+    "javascript"; drop the whole page when it contains the "lorem
+    ipsum" placeholder or a curly brace (code in prose), or when fewer
+    than ``min_lines`` lines survive.
+
+    Returns (id, n_lines, n_kept_lines, keep, drop_reason, clean_text)
+    — ``drop_reason`` is 'policy_page' / 'too_few_lines' / NULL, and
+    ``clean_text`` is the kept lines rejoined (empty string when
+    dropped, so the column is engine-portable without NULL-vs-''
+    divergence).
+
+    Plan shape: pure per-row projection — line split, per-line
+    predicate (regex + word count on THAT line only), rejoin; zero
+    shuffle at any corpus size. All predicates are codegen'd; the only
+    HOF lambda work is O(line length) on its own element.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(C4_TERMINAL_RE)
+        & (F.size(F.filter(F.split(l, r"\s+"), lambda t: t != "")) >= min_words)
+        & ~F.lower(l).contains("javascript"),
+    )
+    page_bad = F.lower(F.col(text_col)).contains("lorem ipsum") | F.col(
+        text_col
+    ).contains("{")
+    n_kept = F.size(kept)
+    keep = ~page_bad & (n_kept >= min_lines)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept_lines"),
+        keep.alias("keep"),
+        F.when(page_bad, F.lit("policy_page"))
+        .when(n_kept < min_lines, F.lit("too_few_lines"))
+        .alias("drop_reason"),
+        F.when(keep, F.array_join(kept, "\n")).otherwise(F.lit("")).alias("clean_text"),
+    )

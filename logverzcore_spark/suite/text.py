@@ -2373,3 +2373,96 @@ def t51_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(lined)
     staged = docs.select("doc_id", text2.alias("text"))
     return text.repetition_profile(staged, top_ns=(2, 3, 4), dup_ns=(5, 10))
+
+
+@query(
+    "t52_c4_line_filter",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), built AS (
+      SELECT doc_id,
+             list_transform(range(CAST(((len(t)-1)//6)+1 AS BIGINT)),
+                            i -> array_to_string(t[(i*6+1):(i*6+6)], ' ')) AS L
+      FROM tok
+    ), mod AS (
+      SELECT doc_id,
+             list_transform(range(CAST(len(L) AS BIGINT)), i ->
+               (CASE WHEN (doc_id*7 + i) % 11 = 0 THEN 'javascript ' ELSE '' END)
+               || L[CAST(i+1 AS BIGINT)]
+               || (CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END)) AS L2
+      FROM built
+    ), lined AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0
+                  THEN array_to_string(L2, chr(10)) || chr(10)
+                       || 'Filler lorem ipsum placeholder text here.'
+                  WHEN doc_id % 23 = 5
+                  THEN array_to_string(L2, chr(10)) || chr(10)
+                       || 'Config block { nested } here.'
+                  ELSE array_to_string(L2, chr(10)) END AS text2
+      FROM mod
+    ), f AS (
+      SELECT doc_id, string_split(text2, chr(10)) AS lns,
+             (contains(lower(text2), 'lorem ipsum')
+              OR contains(text2, '{')) AS page_bad
+      FROM lined
+    ), k AS (
+      SELECT doc_id, len(lns) AS n_lines, page_bad,
+             list_filter(lns, l -> regexp_matches(l, '[.!?"]$')
+               AND len(list_filter(regexp_split_to_array(l, '\\s+'),
+                                   x -> x <> '')) >= 5
+               AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM f
+    )
+    SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           (NOT page_bad AND len(kept) >= 3) AS keep,
+           CASE WHEN page_bad THEN 'policy_page'
+                WHEN len(kept) < 3 THEN 'too_few_lines' END AS drop_reason,
+           CASE WHEN NOT page_bad AND len(kept) >= 3
+                THEN COALESCE(array_to_string(kept, chr(10)), '')
+                ELSE '' END AS clean_text
+    FROM k
+    """,
+)
+def t52_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 page cleaning (text.c4_line_filter): terminal-punctuation /
+    min-words / javascript line rules plus lorem-ipsum / curly-brace /
+    min-surviving-lines page rules. The flat corpus is deterministically
+    enriched first (6-token lines; 2/3 get terminal punctuation, every
+    11th (doc*7+i) line a 'javascript ' prefix, every 17th doc a lorem
+    ipsum tail, every 23rd==5 doc a curly-brace tail) so every rule
+    actually fires; the oracle rebuilds the identical pages and replays
+    the filter relationally."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    n = F.size(toks)
+    lines = F.transform(
+        F.sequence(F.lit(0), ((n - 1) / 6).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 6 + 1, 6)),
+    )
+    did = F.col("doc_id")
+    l2 = F.transform(
+        lines,
+        lambda l, i: F.concat(
+            F.when((did * 7 + i) % 11 == 0, F.lit("javascript ")).otherwise(F.lit("")),
+            l,
+            F.when((did + i) % 3 != 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    joined = F.array_join(l2, "\n")
+    text2 = (
+        F.when(
+            did % 17 == 0,
+            F.concat(joined, F.lit("\nFiller lorem ipsum placeholder text here.")),
+        )
+        .when(
+            did % 23 == 5,
+            F.concat(joined, F.lit("\nConfig block { nested } here.")),
+        )
+        .otherwise(joined)
+    )
+    staged = docs.select("doc_id", text2.alias("text"))
+    return text.c4_line_filter(staged)

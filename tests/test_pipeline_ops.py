@@ -2028,3 +2028,26 @@ def test_repetition_profile_hand_values(spark):
     # The single 2-gram covers 100% of chars -> top2 gate trips; short
     # docs are Gopher's word-count rules' job, not this filter's.
     assert d2.top2gram_char_frac_bp == 10000 and d2.keep is False
+
+
+def test_c4_line_filter_rules(spark):
+    """Each C4 rule fires independently: terminal punct, min words,
+    javascript line drop, lorem-ipsum / brace page drops, min surviving
+    lines; clean_text is '' (not NULL) on dropped pages."""
+    from logverzcore_spark.operators.text import c4_line_filter
+
+    rows = [
+        (0, "Good line with five words.\nshort.\nno terminal punct here at all\n"
+            "Another good line of words!\nA third keeper line right here."),
+        (1, "Uses javascript on this line.\nOnly one good line remains here."),
+        (2, "lorem ipsum dolor sit amet.\nFine line with many words here."),
+        (3, "var x = { a: 1 }\nGood line with five words."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in c4_line_filter(df).collect()}
+    assert out[0].keep is True and out[0].n_kept_lines == 3
+    assert out[0].clean_text.count("\n") == 2 and "short." not in out[0].clean_text
+    assert out[1].keep is False and out[1].drop_reason == "too_few_lines"
+    assert out[2].drop_reason == "policy_page"
+    assert out[3].drop_reason == "policy_page"
+    assert out[1].clean_text == "" and out[2].clean_text == ""
