@@ -1720,3 +1720,52 @@ def filtered_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("_cos", 6).alias("cosine"), "rank")
     )
+
+
+def rrf_fuse(
+    arms: list[DataFrame],
+    k: int = 5,
+    rrf_k: int = 60,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09) —
+    the standard hybrid-retrieval combiner: each arm (lexical BM25,
+    dense ANN, ...) contributes ``scale div (rrf_k + rank)`` per item
+    it retrieved, summed across arms; missing from an arm contributes
+    0. Rank-only fusion needs NO score calibration between arms, which
+    is why production hybrid search defaults to it.
+
+    Every arm must carry (query_id, item_id, rank). Contributions are
+    INTEGER (``scale`` div — the fixed-point house rule), so fused
+    scores are exact BIGINTs any engine replays; ties break by item_id.
+    Returns (query_id, item_id, rrf_score, n_arms, rank), rank <= k.
+
+    Plan shape: the arm outputs are nq x k rows each — metadata-scale
+    regardless of corpus size (the heavy lifting happened inside the
+    arms); one union + one (query_id, item_id) partial-agg shuffle +
+    one per-query top-k window."""
+    if not arms:
+        raise ValueError("rrf_fuse needs at least one arm")
+    need = {"query_id", "item_id", "rank"}
+    std = []
+    for a in arms:
+        missing = need - set(a.columns)
+        if missing:
+            raise ValueError(f"arm missing columns: {sorted(missing)}")
+        std.append(a.select("query_id", "item_id", "rank"))
+    u = std[0]
+    for a in std[1:]:
+        u = u.unionByName(a)
+    contrib = F.expr(f"{int(scale)} div ({int(rrf_k)} + rank)").cast("long")
+    scored = u.groupBy("query_id", "item_id").agg(
+        F.sum(contrib).alias("rrf_score"),
+        F.count(F.lit(1)).cast("long").alias("n_arms"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("item_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "item_id", "rrf_score", "n_arms", "rank")
+    )

@@ -754,3 +754,113 @@ def s18_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     spark.sql(f"DROP TABLE IF EXISTS {table}_stats")
     return out
+
+
+@query(
+    "s19_hybrid_rrf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t AS term
+      FROM documents, UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS u(t)
+      WHERE t <> ''
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
+    ), stats AS (
+      SELECT count(*) AS n_docs, sum(dl) AS l_tok FROM dl
+    ), qtf AS (
+      SELECT doc_id AS query_id, term, tf FROM tf WHERE doc_id % 25 = 0
+    ), qterms AS (
+      SELECT query_id, term FROM (
+        SELECT query_id, term,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY tf DESC, term) AS rk
+        FROM qtf
+      ) WHERE rk <= 2
+    ), dfreq AS (
+      SELECT term, count(*) AS df_ FROM tf
+      WHERE term IN (SELECT term FROM qterms) GROUP BY term
+    ), qw AS (
+      SELECT q.query_id, q.term,
+             (100000 * (2*s.n_docs - 2*d.df_ + 1)) // (2*d.df_ + 1) AS idf,
+             (1000 * s.l_tok) // s.n_docs AS adm
+      FROM qterms q JOIN dfreq d USING (term) CROSS JOIN stats s
+    ), lscored AS (
+      SELECT qw.query_id, tf.doc_id,
+             CAST(sum(qw.idf * ((1000 * 22 * tf.tf * qw.adm)
+                   // (10 * tf.tf * qw.adm + 3 * qw.adm + 9000 * dl.dl)))
+                  AS BIGINT) AS score
+      FROM tf JOIN dl USING (doc_id) JOIN qw USING (term)
+      GROUP BY qw.query_id, tf.doc_id
+    ), lex AS (
+      SELECT query_id, doc_id AS item_id, rk AS rank FROM (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rk
+        FROM lscored
+      ) WHERE rk <= 10
+    ), v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), n AS (
+      SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+    ), dscored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
+      FROM n q JOIN n c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id % 25 = 0
+    ), den AS (
+      SELECT query_id, neighbor_id AS item_id, rk AS rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rk
+        FROM dscored
+      ) WHERE rk <= 10
+    ), armu AS (
+      SELECT * FROM lex UNION ALL SELECT * FROM den
+    ), fused AS (
+      SELECT query_id, item_id,
+             CAST(SUM(1000000000 // (60 + rank)) AS BIGINT) AS rrf_score,
+             CAST(COUNT(*) AS BIGINT) AS n_arms
+      FROM armu GROUP BY query_id, item_id
+    )
+    SELECT query_id, item_id, rrf_score, n_arms, CAST(rk AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, item_id) AS rk
+      FROM fused
+    ) WHERE rk <= 5
+    """,
+)
+def s19_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (similarity.rrf_fuse): reciprocal-rank fusion of
+    a BM25 lexical arm (every 25th doc's top-2 terms, top-10) and an
+    exact-cosine dense arm (the same ids' embeddings, top-10) over the
+    SAME item space (doc_id == vec_id in the testdata), fused with
+    integer 1e9 div (60+rank) contributions into a top-5. The oracle
+    replays both arms (s17's fixed-point BM25 and s01's cosine ranking)
+    and the exact BIGINT fusion."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qtf = (
+        docs.where(F.col("doc_id") % 25 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(text.tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("tf"), F.asc("term"))
+    qterms = (
+        qtf.withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") <= 2)
+        .select("query_id", "term")
+    )
+    lex = text.bm25_topk(docs, qterms, k=10).select(
+        "query_id", F.col("doc_id").alias("item_id"), "rank"
+    )
+    den = similarity.cosine_topk(
+        emb, emb.where(F.col("vec_id") % 25 == 0), k=10
+    ).select("query_id", F.col("neighbor_id").alias("item_id"), "rank")
+    return similarity.rrf_fuse([lex, den], k=5)

@@ -2051,3 +2051,35 @@ def test_c4_line_filter_rules(spark):
     assert out[2].drop_reason == "policy_page"
     assert out[3].drop_reason == "policy_page"
     assert out[1].clean_text == "" and out[2].clean_text == ""
+
+
+def test_rrf_fuse_hand_values(spark):
+    """Integer RRF: an item in both arms outscores a rank-1 single-arm
+    item; ties break by item_id; malformed arms raise."""
+    import pytest as _pytest
+
+    from logverzcore_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, item_id long, rank int",
+    )
+    den = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_id long, item_id long, rank int",
+    )
+    out = rrf_fuse([lex, den], k=10).collect()
+    by_item = {r.item_id: r for r in out}
+    # item 11: 1e9//62 + 1e9//61 = 16129032 + 16393442
+    assert by_item[11].rrf_score == 1_000_000_000 // 62 + 1_000_000_000 // 61
+    assert by_item[11].n_arms == 2 and by_item[11].rank == 1
+    # single-arm rank-1 (item 10) loses to the double-arm item
+    assert by_item[10].rrf_score == 1_000_000_000 // 61
+    assert by_item[10].rank == 2
+    # equal-score tie (items 12 and 13 both rank-3-ish? 12: //63, 13: //62)
+    assert by_item[13].rank == 3 and by_item[12].rank == 4
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
+    with _pytest.raises(ValueError):
+        rrf_fuse([lex.drop("rank")])
