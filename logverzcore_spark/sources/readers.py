@@ -250,3 +250,33 @@ def split_quarantine(df: DataFrame, min_fields: int = 2) -> tuple[DataFrame, Dat
     good = tagged.where(~is_bad).drop(CORRUPT_COL, FIELDCOUNT_COL)
     bad = tagged.where(is_bad).drop(FIELDCOUNT_COL)
     return good, bad
+
+
+def parse_xml_column(
+    df: DataFrame,
+    xml_col: str,
+    schema: str,
+    corrupt_col: str = CORRUPT_COL,
+) -> DataFrame:
+    """Parse an XML-string column into typed fields — the XML sibling of
+    the JSON root-unnest path (reference parity: LogverzCore ingests
+    structured log payloads as embedded documents; XML is the config /
+    SOAP / sitemap shape a crawl pipeline meets). Built on Spark 4's
+    native ``from_xml`` (JVM-side StaxXmlParser — no Python in the
+    path): PERMISSIVE mode, with rows that fail to parse carried in
+    ``corrupt_col`` (NULL for clean rows) so the quarantine contract
+    matches the CSV/JSON readers' (readers.py CORRUPT_COL). Entity
+    escaping (&amp; &lt; &gt; &quot;) round-trips through the parser.
+    Pure per-row projection — zero shuffle at any scale."""
+    if corrupt_col not in schema:
+        schema = f"{schema}, {corrupt_col} STRING"
+    parsed = df.withColumn(
+        "_p",
+        F.from_xml(
+            F.col(xml_col),
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
+        ),
+    )
+    inner = [f"_p.{name}" for name in parsed.select("_p.*").columns]
+    return parsed.select(*df.columns, *inner).drop(xml_col)

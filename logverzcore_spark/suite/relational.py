@@ -4328,3 +4328,53 @@ def q122_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return graph.triangle_count(pairs)
+
+
+@query(
+    "q124_xml_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           ROUND(o_totalprice, 2) AS o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS odate,
+           o_orderpriority || ' <mark> & "x" ' || o_orderstatus AS note,
+           CAST(NULL AS VARCHAR) AS _corrupt_record
+    FROM orders
+    """,
+)
+def q124_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion round-trip (sources.readers.parse_xml_column over
+    Spark 4's native StaxXmlParser): each order is serialized to an XML
+    record (to_xml — entity-escaping the injected <mark> & "x" payload)
+    and parsed back through the PERMISSIVE + corrupt-column reader path.
+    The oracle is the identity on the source columns, so any escaping,
+    type-coercion, or parser loss breaks the hash; _corrupt_record must
+    come back NULL for every row. Zero shuffle — both directions are
+    per-row projections."""
+    from logverzcore_spark.sources import readers
+
+    orders = _t(spark, sf_dir, "orders")
+    rec = F.struct(
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+        F.concat(
+            F.col("o_orderpriority"), F.lit(' <mark> & "x" '), F.col("o_orderstatus")
+        ).alias("note"),
+    )
+    xml = orders.select("o_orderkey", F.to_xml(rec).alias("xml"))
+    parsed = readers.parse_xml_column(
+        xml,
+        "xml",
+        "o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE,"
+        " odate STRING, note STRING",
+    )
+    return parsed.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "odate",
+        "note",
+        "_corrupt_record",
+    )

@@ -2083,3 +2083,24 @@ def test_rrf_fuse_hand_values(spark):
         rrf_fuse([])
     with _pytest.raises(ValueError):
         rrf_fuse([lex.drop("rank")])
+
+
+def test_parse_xml_column_quarantine(spark):
+    """Clean rows parse typed with NULL corrupt col; malformed XML and
+    type-coercion failures land whole-row in _corrupt_record (the
+    CSV/JSON reader quarantine contract); entities unescape."""
+    from logverzcore_spark.sources.readers import parse_xml_column
+
+    df = spark.createDataFrame(
+        [
+            (1, "<r><a>5</a><b>x &amp; y</b></r>"),
+            (2, "<r><a>oops</a><b>z</b></r>"),
+            (3, "not xml at all"),
+        ],
+        "id long, xml string",
+    )
+    out = {r.id: r for r in parse_xml_column(df, "xml", "a INT, b STRING").collect()}
+    assert out[1].a == 5 and out[1].b == "x & y" and out[1]._corrupt_record is None
+    assert out[2].a is None and out[2]._corrupt_record is not None
+    assert out[3]._corrupt_record == "not xml at all"
+    assert "xml" not in out[1].asDict()
