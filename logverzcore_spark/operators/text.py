@@ -1744,7 +1744,6 @@ def mixture_allocation(
     pairs: list = []
     for k in sorted(weights):
         pairs += [F.lit(k), F.lit(int(weights[k]))]
-    budget = int(total_tokens)
 
     per = (
         df.groupBy(source_col)
@@ -1752,6 +1751,13 @@ def mixture_allocation(
         .withColumn("weight", F.create_map(*pairs)[F.col(source_col)].cast("long"))
         .where(F.col("weight").isNotNull())
     )
+    return _largest_remainder(per, int(total_tokens), source_col)
+
+
+def _largest_remainder(per: DataFrame, budget: int, source_col: str) -> DataFrame:
+    """Hamilton-method core shared by ``mixture_allocation`` (explicit
+    weights) and ``temperature_mixture`` (derived weights): ``per`` is
+    (source, avail_tokens, weight) at #sources rows — metadata-scale."""
     wsum = per.agg(F.sum("weight").alias("wsum_"))
     based = (
         per.crossJoin(F.broadcast(wsum))
@@ -1782,6 +1788,46 @@ def mixture_allocation(
             F.expr("(10000 * alloc_tokens) div avail_tokens"),
         ).cast("long").alias("epochs_bp"),
     )
+
+
+def isqrt(col: Column) -> Column:
+    """EXACT integer square root (floor(sqrt(x)) for x >= 0) as a
+    codegen expression: the IEEE ``sqrt`` seed is corrected by ±1, so a
+    double that lands a hair above/below a perfect square can never
+    flip the result — the s13 fixed-point discipline applied to the one
+    irrational this family needs. Any engine replays it bit-for-bit
+    from the same three integer comparisons."""
+    s0 = F.floor(F.sqrt(col.cast("double"))).cast("long")
+    s1 = (
+        s0
+        + F.when((s0 + 1) * (s0 + 1) <= col, F.lit(1)).otherwise(F.lit(0))
+        - F.when(s0 * s0 > col, F.lit(1)).otherwise(F.lit(0))
+    )
+    return s1.cast("long")
+
+
+def temperature_mixture(
+    df: DataFrame,
+    total_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled mixture allocation (T=2, i.e. sampling
+    probability ∝ count^(1/2)) — the standard low-resource upweighting
+    for multilingual / multi-domain pretraining (mBERT's exponential
+    smoothing, XLM-R's alpha-sampling): weights are the EXACT integer
+    square roots of each source's token count (``isqrt`` — corrected,
+    so engine-portable), then the same largest-remainder split as
+    ``mixture_allocation`` hands out the budget. Sources with zero
+    tokens drop out (weight 0). Same plan shape: one corpus shuffle for
+    the token counts, everything after is #sources-rows metadata."""
+    per = (
+        df.groupBy(source_col)
+        .agg(F.sum(token_count(F.col(text_col))).alias("avail_tokens"))
+        .withColumn("weight", isqrt(F.col("avail_tokens")))
+        .where(F.col("weight") > 0)
+    )
+    return _largest_remainder(per, int(total_tokens), source_col)
 
 
 #: Gopher repetition thresholds (Rae et al. 2021, Table A1), in basis

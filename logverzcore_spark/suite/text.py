@@ -2466,3 +2466,56 @@ def t52_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     staged = docs.select("doc_id", text2.alias("text"))
     return text.c4_line_filter(staged)
+
+
+@query(
+    "t53_temperature_mixture",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> ''))) AS avail_tokens
+      FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, avail_tokens,
+             CAST(floor(sqrt(CAST(avail_tokens AS DOUBLE))) AS BIGINT)
+               + CASE WHEN (CAST(floor(sqrt(CAST(avail_tokens AS DOUBLE))) AS BIGINT) + 1)
+                           * (CAST(floor(sqrt(CAST(avail_tokens AS DOUBLE))) AS BIGINT) + 1)
+                           <= avail_tokens THEN 1 ELSE 0 END
+               - CASE WHEN CAST(floor(sqrt(CAST(avail_tokens AS DOUBLE))) AS BIGINT)
+                           * CAST(floor(sqrt(CAST(avail_tokens AS DOUBLE))) AS BIGINT)
+                           > avail_tokens THEN 1 ELSE 0 END AS weight
+      FROM tok
+    ), wf AS (
+      SELECT * FROM w WHERE weight > 0
+    ), s AS (
+      SELECT sum(weight) AS wsum FROM wf
+    ), b AS (
+      SELECT source, avail_tokens, weight,
+             (1000000 * weight) // s.wsum AS base_,
+             (1000000 * weight) % s.wsum AS rem_
+      FROM wf CROSS JOIN s
+    ), l AS (
+      SELECT 1000000 - sum(base_) AS leftover FROM b
+    ), r AS (
+      SELECT b.*, l.leftover,
+             row_number() OVER (ORDER BY rem_ DESC, source) AS rk
+      FROM b CROSS JOIN l
+    )
+    SELECT source, CAST(avail_tokens AS BIGINT) AS avail_tokens,
+           CAST(weight AS BIGINT) AS weight,
+           CAST(base_ + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_tokens,
+           CAST((10000 * (base_ + CASE WHEN rk <= leftover THEN 1 ELSE 0 END))
+                // avail_tokens AS BIGINT) AS epochs_bp
+    FROM r
+    """,
+)
+def t53_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture (text.temperature_mixture): T=2
+    sampling weights = EXACT integer sqrt of each source's token count
+    (corrected isqrt — no last-ulp flips), then the largest-remainder
+    split of a 1M-token budget. The oracle replays the isqrt correction
+    and the Hamilton arithmetic integer-for-integer."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.temperature_mixture(docs, total_tokens=1_000_000)

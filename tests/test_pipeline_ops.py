@@ -2104,3 +2104,30 @@ def test_parse_xml_column_quarantine(spark):
     assert out[2].a is None and out[2]._corrupt_record is not None
     assert out[3]._corrupt_record == "not xml at all"
     assert "xml" not in out[1].asDict()
+
+
+def test_isqrt_exact_and_temperature_mixture(spark):
+    """isqrt is exact at perfect squares and off-by-one boundaries
+    (including values where IEEE sqrt rounds the wrong way); T=2
+    weights flatten the mixture vs proportional."""
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.operators.text import isqrt, temperature_mixture
+
+    vals = [0, 1, 2, 3, 4, 8, 9, 15, 16, 24, 25,
+            10**12, 10**12 + 1, (10**6 + 1) ** 2 - 1, (10**6 + 1) ** 2,
+            4503599761588224]  # (2^26+1)^2 + 2^27: double-rounding trap
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    import math
+    got = {r.x: r.s for r in df.select("x", isqrt(F.col("x")).alias("s")).collect()}
+    for v in vals:
+        assert got[v] == math.isqrt(v), (v, got[v], math.isqrt(v))
+
+    rows = [(i, f"src{i % 2}", "w " * (400 if i % 2 == 0 else 4)) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.source: r for r in temperature_mixture(docs, 10_000).collect()}
+    assert sum(r.alloc_tokens for r in out.values()) == 10_000
+    # proportional would be 100:1; sqrt weights flatten to ~10:1.
+    assert out["src0"].weight == 63 and out["src1"].weight == 6  # isqrt(4000), isqrt(40)
+    ratio = out["src0"].alloc_tokens / out["src1"].alloc_tokens
+    assert 10.0 < ratio < 11.0
