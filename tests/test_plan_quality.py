@@ -212,6 +212,7 @@ def test_suite_global_plan_invariants(spark):
         "s17_bm25_topk",        # single-row (N, L) corpus-stats broadcast join
         "t44_bpe_segment",      # single-row ordered-merge-array broadcast join
         "t50_mixture_allocation",  # single-row wsum/leftover scalar joins over #sources rows
+        "t53_temperature_mixture",  # same _largest_remainder scalar joins as t50
         "s19_hybrid_rrf",       # arms compose s01's broadcast-query scan + s17's stats join
     }
     streaming = {n for n in SUITE if n.startswith("st")}  # run eagerly; skip
