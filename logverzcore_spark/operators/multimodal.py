@@ -1865,3 +1865,105 @@ def probe_pdf(
         F.when(is_pdf, txt.contains("/Encrypt")).alias("encrypted"),
         F.when(is_pdf, txt.contains("%%EOF")).alias("complete"),
     )
+
+
+def parse_avi_meta(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_scan_bytes: int = 262144,
+) -> DataFrame:
+    """AVI (RIFF) container metadata — frame timing, frame count, stream
+    count, and dimensions from the required ``avih`` main header: the
+    legacy-video sibling of ``parse_mp4_meta``'s box walk. RIFF chunks
+    are length-prefixed and PADDED TO EVEN offsets, and encoders
+    commonly insert JUNK chunks before the header list, so offsets are
+    variable — the documented honest Arrow ``mapInPandas`` path (same
+    boat as the MP4/JPEG walks; no fixed offset for codegen substring
+    arithmetic).
+
+    The walk reads only chunk headers until LIST/hdrl, whose first
+    chunk the spec requires to be ``avih``; the movi body (~all of the
+    bytes at 100 TB) is skipped by its length prefix, never read.
+    Honesty contract: no RIFF....AVI magic → 'unknown', all NULL;
+    magic but missing/truncated hdrl/avih → 'avi' with NULL fields.
+    ``duration_ms`` = us_per_frame·frames div 1000 and ``fps_milli`` =
+    1e9 div us_per_frame are integer-derived (engine-portable)."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("us_per_frame", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("n_streams", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("fps_milli", T.LongType()),
+        ]
+    )
+    NONE8 = ("unknown", None, None, None, None, None, None, None)
+    AVI_NULL = ("avi", None, None, None, None, None, None, None)
+
+    def le(b, i, n):
+        return int.from_bytes(b[i : i + n], "little")
+
+    def parse_one(b: bytes):
+        if b is None or len(b) < 12:
+            return NONE8
+        if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+            return NONE8
+        limit = min(len(b), max_scan_bytes)
+        i = 12
+        while i + 8 <= limit:
+            cc = b[i : i + 4]
+            size = le(b, i + 4, 4)
+            if i + 8 + size > limit:
+                return AVI_NULL
+            if cc == b"LIST" and size >= 4 and b[i + 8 : i + 12] == b"hdrl":
+                # spec: avih is the first chunk of hdrl
+                j = i + 12
+                if j + 8 > i + 8 + size or b[j : j + 4] != b"avih":
+                    return AVI_NULL
+                asz = le(b, j + 4, 4)
+                o = j + 8
+                if asz < 40 or o + 40 > i + 8 + size:
+                    return AVI_NULL
+                uspf = le(b, o, 4)
+                frames = le(b, o + 16, 4)
+                streams = le(b, o + 24, 4)
+                w, h = le(b, o + 32, 4), le(b, o + 36, 4)
+                return (
+                    "avi",
+                    uspf,
+                    frames,
+                    streams,
+                    w,
+                    h,
+                    uspf * frames // 1000,
+                    1_000_000_000 // uspf if uspf > 0 else None,
+                )
+            i += 8 + size + (size & 1)  # RIFF chunks pad to even
+        return AVI_NULL
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = [
+                parse_one(bytes(p) if p is not None else None)
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "format": [p[0] for p in parsed],
+                    "us_per_frame": pd.array([p[1] for p in parsed], dtype="Int64"),
+                    "n_frames": pd.array([p[2] for p in parsed], dtype="Int64"),
+                    "n_streams": pd.array([p[3] for p in parsed], dtype="Int32"),
+                    "width": pd.array([p[4] for p in parsed], dtype="Int32"),
+                    "height": pd.array([p[5] for p in parsed], dtype="Int32"),
+                    "duration_ms": pd.array([p[6] for p in parsed], dtype="Int64"),
+                    "fps_milli": pd.array([p[7] for p in parsed], dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema)

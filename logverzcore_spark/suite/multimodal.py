@@ -1513,3 +1513,95 @@ def m24_pdf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(pdf, "UTF-8")
     )
     return probe_pdf(docs.select("doc_id", payload.alias("payload")))
+
+
+@query(
+    "m25_avi_riff_probe",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             doc_id % 4 = 3 AS junk,
+             doc_id % 9 = 1 AS trunc,
+             10000 + doc_id % 50000 AS uspf,
+             10 + doc_id % 240 AS frames,
+             1 + doc_id % 3 AS streams,
+             160 + doc_id % 640 AS w,
+             120 + (doc_id * 3) % 480 AS h
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN junk THEN 'unknown' ELSE 'avi' END AS format,
+      CASE WHEN NOT junk AND NOT trunc THEN CAST(uspf AS BIGINT) END AS us_per_frame,
+      CASE WHEN NOT junk AND NOT trunc THEN CAST(frames AS BIGINT) END AS n_frames,
+      CASE WHEN NOT junk AND NOT trunc THEN CAST(streams AS INTEGER) END AS n_streams,
+      CASE WHEN NOT junk AND NOT trunc THEN CAST(w AS INTEGER) END AS width,
+      CASE WHEN NOT junk AND NOT trunc THEN CAST(h AS INTEGER) END AS height,
+      CASE WHEN NOT junk AND NOT trunc
+           THEN CAST((uspf * frames) // 1000 AS BIGINT) END AS duration_ms,
+      CASE WHEN NOT junk AND NOT trunc
+           THEN CAST(1000000000 // uspf AS BIGINT) END AS fps_milli
+    FROM p
+    """,
+)
+def m25_avi_riff_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVI RIFF walk (multimodal.parse_avi_meta): byte-exact AVIs built
+    from doc_id — every third doc carries an odd-sized JUNK chunk before
+    LIST/hdrl (so the walker must skip by length AND honor RIFF's
+    even-byte padding), avih carries timing/frames/streams/dims, and a
+    LIST/movi trails. The oracle restates every field plus the derived
+    integer duration/fps arithmetically; every fourth doc is junk
+    ('unknown'), every ninth truncates after the RIFF magic ('avi' with
+    NULL fields)."""
+    from logverzcore_spark.operators.multimodal import parse_avi_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def le32(col):
+        be = F.lpad(F.hex(col.cast("long")), 8, "0")
+        return F.concat(
+            F.substring(be, 7, 2),
+            F.substring(be, 5, 2),
+            F.substring(be, 3, 2),
+            F.substring(be, 1, 2),
+        )
+
+    uspf = (10000 + d % 50000).cast("long")
+    frames = (10 + d % 240).cast("long")
+    streams = (1 + d % 3).cast("long")
+    w = (160 + d % 640).cast("long")
+    h = (120 + (d * 3) % 480).cast("long")
+    zero4 = F.lit("00000000")
+    avih_data = F.concat(
+        le32(uspf), zero4, zero4, zero4,
+        le32(frames), zero4, le32(streams), zero4,
+        le32(w), le32(h),
+        zero4, zero4, zero4, zero4,
+    )
+    hdrl = F.concat(
+        F.lit("4C495354"), le32(F.lit(68).cast("long")), F.lit("6864726C"),
+        F.lit("61766968"), le32(F.lit(56).cast("long")), avih_data,
+    )
+    movi = F.concat(F.lit("4C495354"), le32(F.lit(4).cast("long")), F.lit("6D6F7669"))
+    js = (5 + d % 7).cast("long")                      # 5..11, odd sizes too
+    jpad = js + (js % 2)
+    junk = F.when(
+        d % 3 == 0,
+        F.concat(F.lit("4A554E4B"), le32(js), F.repeat(F.lit("00"), jpad.cast("int"))),
+    ).otherwise(F.lit(""))
+    riff_size = (
+        F.lit(4).cast("long")
+        + F.when(d % 3 == 0, 8 + jpad).otherwise(F.lit(0))
+        + F.lit(76)
+        + F.lit(12)
+    )
+    full = F.concat(
+        F.lit("52494646"), le32(riff_size), F.lit("41564920"), junk, hdrl, movi
+    )
+    trunc = F.concat(F.lit("52494646"), le32(F.lit(4).cast("long")), F.lit("41564920"))
+    payload = (
+        F.when(d % 4 == 3, F.encode("text", "UTF-8"))
+        .when(d % 9 == 1, F.unhex(trunc))
+        .otherwise(F.unhex(full))
+    )
+    return parse_avi_meta(docs.select("doc_id", payload.alias("payload")))

@@ -2131,3 +2131,34 @@ def test_isqrt_exact_and_temperature_mixture(spark):
     assert out["src0"].weight == 63 and out["src1"].weight == 6  # isqrt(4000), isqrt(40)
     ratio = out["src0"].alloc_tokens / out["src1"].alloc_tokens
     assert 10.0 < ratio < 11.0
+
+
+def test_parse_avi_meta_edges(spark):
+    """Edges the suite corpus can't hit: odd-size JUNK padding honored,
+    hdrl whose first chunk isn't avih -> 'avi' NULLs, chunk size
+    overrunning the buffer -> 'avi' NULLs, tiny/None payloads."""
+    import struct
+
+    from logverzcore_spark.operators.multimodal import parse_avi_meta
+
+    def chunk(cc, data):
+        pad = b"\x00" if len(data) % 2 else b""
+        return cc + struct.pack("<I", len(data)) + data + pad
+
+    avih = struct.pack("<14I", 40000, 0, 0, 0, 100, 0, 2, 0, 320, 240, 0, 0, 0, 0)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    good = b"RIFF" + struct.pack("<I", 4) + b"AVI " + chunk(b"JUNK", b"\x00" * 5) + hdrl
+    bad_first = b"RIFF" + struct.pack("<I", 4) + b"AVI " + chunk(
+        b"LIST", b"hdrl" + chunk(b"strl", b"\x00" * 8)
+    )
+    overrun = b"RIFF" + struct.pack("<I", 4) + b"AVI " + b"JUNK" + struct.pack("<I", 999)
+    rows = [(0, good), (1, bad_first), (2, overrun), (3, b"RI"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in parse_avi_meta(df).collect()}
+    g = out[0]
+    assert g.format == "avi" and g.us_per_frame == 40000 and g.n_frames == 100
+    assert g.n_streams == 2 and g.width == 320 and g.height == 240
+    assert g.duration_ms == 4000 and g.fps_milli == 25000
+    assert out[1].format == "avi" and out[1].us_per_frame is None
+    assert out[2].format == "avi" and out[2].width is None
+    assert out[3].format == "unknown" and out[4].format == "unknown"
