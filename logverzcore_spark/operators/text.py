@@ -1185,6 +1185,67 @@ def bm25_index_topk(
     return _bm25_rank(postings, stats, query_terms, k, idf_scale, tf_scale)
 
 
+def bm25_index_append(
+    spark,
+    batch: DataFrame,
+    index_table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> None:
+    """Fold NEW documents into a persisted BM25 index
+    (``bm25_index_build``) without re-tokenizing the corpus — the
+    lexical sibling of the IVF append path (s10/st23 discipline):
+
+    - replay-idempotent: the batch self-dedups on doc id, then
+      anti-joins the index's seen-id set, so a re-delivered or replayed
+      document re-appends NOTHING (pytest-asserted). At 100 TB the
+      distinct-ids probe is the cost to watch — a d20-style bloom
+      artifact in front of it is the documented scale path; the
+      anti-join stays the correctness backstop.
+    - append == rebuild: postings rows are per-doc-local (term, tf, dl
+      depend only on the doc), so appended postings are byte-identical
+      to what a from-scratch build over the union would produce;
+      ``{index_table}_stats`` is RECOMPUTED from the postings after
+      every append (one agg; heals any crash between the postings
+      commit and the stats write instead of drifting incrementally).
+
+    The bucketed-by-term layout is preserved (mode=append with the
+    matching bucket spec), so probe plans keep their zero-exchange
+    term aggregation."""
+    seen = spark.table(index_table).select("doc_id").distinct()
+    fresh = (
+        batch.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        .dropDuplicates(["doc_id"])
+        .join(seen, "doc_id", "left_anti")
+    )
+    tok = (
+        fresh.select(
+            "doc_id", F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tok.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    (
+        tok.join(dl, "doc_id")
+        .write.mode("append")
+        .bucketBy(n_buckets, "term")
+        .sortBy("term")
+        .saveAsTable(index_table)
+    )
+    spark.catalog.refreshTable(index_table)
+    (
+        spark.table(index_table)
+        .groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("l_tok"))
+        .write.mode("overwrite")
+        .saveAsTable(f"{index_table}_stats")
+    )
+    spark.catalog.refreshTable(f"{index_table}_stats")
+
+
 #: Multi-part public suffixes the registered-domain heuristic recognises.
 #: A real deployment would load the full Public Suffix List; the literal
 #: subset keeps the operator dependency-free and engine-replayable.

@@ -1226,3 +1226,63 @@ def st28_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     spark.sql(f"DROP TABLE IF EXISTS {table}_meta")
     return out
+
+
+@query("st29_streaming_bm25_append", oracle=ORACLES["s18_bm25_index_probe"])
+def st29_streaming_bm25_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming BM25 index maintenance
+    (streaming/lexical_stream.bm25_append_stream): build the postings
+    on 80% of the corpus, fold the held-out 20% in as a multi-batch
+    document stream (maxFilesPerTrigger=1), then probe with s18's query
+    set. Appends tokenize only their own batch and recompute the stats
+    row from the postings, so the stream-maintained index ranks exactly
+    like a from-scratch build over everything seen — the SAME SQL
+    oracle as s18 grades it hash-exact: a lost batch, a stale stats
+    row, or a replay duplicate breaks the hash."""
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.streaming.lexical_stream import bm25_append_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 5 != 0)
+    delta = docs.where(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    run_id = _uuid.uuid4().hex[:8]
+    tbl = f"st29_bm25_{run_id}"
+    text.bm25_index_build(base, tbl)
+    try:
+        work = tempfile.mkdtemp(prefix=f"st29_{run_id}_")
+        src = os.path.join(work, "delta")
+        delta.coalesce(2).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = bm25_append_stream(
+            spark, stream, tbl, checkpoint_dir=os.path.join(work, "ck")
+        )
+        q.awaitTermination()
+        qtf = (
+            docs.where(F.col("doc_id") % 40 == 0)
+            .select(
+                F.col("doc_id").alias("query_id"),
+                F.explode(text.tokens(F.lower(F.col("text")))).alias("term"),
+            )
+            .groupBy("query_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        win = Window.partitionBy("query_id").orderBy(F.desc("tf"), F.asc("term"))
+        qterms = (
+            qtf.withColumn("rk", F.row_number().over(win))
+            .where(F.col("rk") <= 2)
+            .select("query_id", "term")
+        )
+        out = text.bm25_index_topk(spark, tbl, qterms, k=3).localCheckpoint(
+            eager=True
+        )
+    finally:
+        for t in (tbl, f"{tbl}_stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out

@@ -2162,3 +2162,51 @@ def test_parse_avi_meta_edges(spark):
     assert out[1].format == "avi" and out[1].us_per_frame is None
     assert out[2].format == "avi" and out[2].width is None
     assert out[3].format == "unknown" and out[4].format == "unknown"
+
+
+def test_bm25_index_append_replay_idempotent(spark):
+    """Appending the same batch twice (and a batch with internal
+    duplicates) changes nothing: postings count, stats row, and probe
+    ranking all equal the from-scratch rebuild over the union."""
+    import uuid as _uuid
+
+    from logverzcore_spark.operators.text import (
+        bm25_index_append,
+        bm25_index_build,
+        bm25_index_topk,
+    )
+
+    rows = [(i, f"alpha beta doc{i} gamma " * (1 + i % 3)) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = docs.where("doc_id < 15")
+    delta = docs.where("doc_id >= 15")
+    run = _uuid.uuid4().hex[:8]
+    tbl, ref = f"t_bm25a_{run}", f"t_bm25r_{run}"
+    try:
+        bm25_index_build(base, tbl)
+        # duplicate rows INSIDE the batch + a doc already indexed
+        noisy = delta.unionAll(delta).unionAll(base.where("doc_id = 0"))
+        bm25_index_append(spark, noisy, tbl)
+        n1 = spark.table(tbl).count()
+        s1 = spark.table(f"{tbl}_stats").collect()[0]
+        bm25_index_append(spark, delta, tbl)  # full replay
+        assert spark.table(tbl).count() == n1
+        s2 = spark.table(f"{tbl}_stats").collect()[0]
+        assert (s1.n_docs, s1.l_tok) == (s2.n_docs, s2.l_tok) == (20, s2.l_tok)
+
+        bm25_index_build(docs, ref)
+        qt = spark.createDataFrame(
+            [(100, "alpha"), (100, "doc17")], "query_id long, term string"
+        )
+        got = sorted(
+            (r.query_id, r.doc_id, r.score, r.rank)
+            for r in bm25_index_topk(spark, tbl, qt, k=5).collect()
+        )
+        want = sorted(
+            (r.query_id, r.doc_id, r.score, r.rank)
+            for r in bm25_index_topk(spark, ref, qt, k=5).collect()
+        )
+        assert got == want and len(got) == 5
+    finally:
+        for t in (tbl, f"{tbl}_stats", ref, f"{ref}_stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
