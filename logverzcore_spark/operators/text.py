@@ -2126,3 +2126,76 @@ def c4_line_filter(
         .alias("drop_reason"),
         F.when(keep, F.array_join(kept, "\n")).otherwise(F.lit("")).alias("clean_text"),
     )
+
+
+def bigram_fluency(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Corpus-LM fluency scoring — the engine-portable analog of CCNet's
+    KenLM perplexity filter (Wenzek et al. 2020): score each document by
+    how predictable its word bigrams are under the corpus's own bigram
+    model, so boilerplate/templated text scores high and token salad
+    scores low, and a percentile cut gives the head/middle/tail buckets
+    CCNet keeps.
+
+    Per bigram (w1, w2) with corpus counts c12 = count(w1 w2),
+    c1 = count(w1 ·) and V = distinct first-words, the add-one-smoothed
+    conditional probability is scored as the exact integer
+    ``scale·(c12+1) div (c1+V)``; the document score is the integer
+    MEAN of its bigram scores (``Σ div n``) — no logs, no float sums,
+    so any engine replays the ranking bit-for-bit (the s13/s17
+    fixed-point discipline; a true log-perplexity would hash-flip on
+    last-ulp transcendentals). Returns (id, n_bigrams,
+    fluency_mean_bp); docs with < 2 tokens get NULL score.
+
+    Plan shape (100 TB honest): ONE tokenize pass feeds both count
+    tables (bigram counts and first-word counts — two partial-agg
+    shuffles over the same exploded frame); V is a 1-row broadcast;
+    scoring re-joins docs' bigrams to the count tables ON THE BIGRAM
+    KEY (sort-merge on corpus-sized sides — this is the unavoidable
+    shuffle: the LM is corpus-sized, NOT broadcastable), then one
+    per-doc partial agg. No all-pairs anywhere; skewed head bigrams
+    ride AQE skew-join splitting."""
+    from logverzcore_spark.operators.util import fan_out
+
+    toks = tokens(F.lower(F.col(text_col)))
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    exploded = fan_out(df).select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("g")
+    ).select("doc_id", "g.w1", "g.w2")
+
+    c12 = exploded.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = exploded.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = c1.agg(F.count(F.lit(1)).alias("v_"))
+
+    scored = (
+        exploded.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.expr(f"({int(scale)} * (c12 + 1)) div (c1 + v_)").alias("_s"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.expr("sum(_s) div count(1)").cast("long").alias("fluency_mean_bp"),
+    )
+    ids = df.select(F.col(id_col).alias("doc_id")).distinct()
+    return ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        "fluency_mean_bp",
+    )

@@ -2519,3 +2519,46 @@ def t53_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the Hamilton arithmetic integer-for-integer."""
     docs = _t(spark, sf_dir, "documents")
     return text.temperature_mixture(docs, total_tokens=1_000_000)
+
+
+@query(
+    "t54_bigram_fluency",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, t[CAST(u.i AS BIGINT)] AS w1,
+             t[CAST(u.i + 1 AS BIGINT)] AS w2
+      FROM tok, UNNEST(range(1, CAST(greatest(len(t), 1) AS BIGINT))) AS u(i)
+    ), c12 AS (
+      SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+    ), v AS (
+      SELECT count(*) AS v_ FROM c1
+    ), scored AS (
+      SELECT bg.doc_id,
+             (10000 * (c12.c12 + 1)) // (c1.c1 + v.v_) AS s
+      FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    ), per AS (
+      SELECT doc_id, count(*) AS n_bigrams, sum(s) // count(*) AS fl
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(per.fl AS BIGINT) AS fluency_mean_bp
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN per USING (doc_id)
+    """,
+)
+def t54_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM fluency scores (text.bigram_fluency): add-one-smoothed
+    bigram predictability under the corpus's own bigram counts, as the
+    exact integer mean of scale*(c12+1) div (c1+V) per document — the
+    CCNet perplexity-filter analog without the transcendentals. The
+    oracle replays the counts, the smoothing, and both integer
+    divisions."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bigram_fluency(docs)

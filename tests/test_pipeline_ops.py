@@ -2210,3 +2210,25 @@ def test_bm25_index_append_replay_idempotent(spark):
     finally:
         for t in (tbl, f"{tbl}_stats", ref, f"{ref}_stats"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bigram_fluency_hand_values(spark):
+    """Hand-checked add-one bigram scoring: repeated bigrams score high,
+    a hapax bigram scores low, docs under 2 tokens get NULL with 0
+    bigrams."""
+    from logverzcore_spark.operators.text import bigram_fluency
+
+    rows = [
+        (0, "a b a b"),   # bigrams: (a,b)x2, (b,a)x1
+        (1, "a b"),       # (a,b) -> shares corpus counts with doc 0
+        (2, "z"),         # too short
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_fluency(df).collect()}
+    # corpus: c12(a,b)=3, c12(b,a)=1; c1(a)=3, c1(b)=1; V=2
+    s_ab = 10000 * (3 + 1) // (3 + 2)   # 8000
+    s_ba = 10000 * (1 + 1) // (1 + 2)   # 6666
+    assert out[0].n_bigrams == 3
+    assert out[0].fluency_mean_bp == (2 * s_ab + s_ba) // 3
+    assert out[1].n_bigrams == 1 and out[1].fluency_mean_bp == s_ab
+    assert out[2].n_bigrams == 0 and out[2].fluency_mean_bp is None
