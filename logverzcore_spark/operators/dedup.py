@@ -1419,3 +1419,43 @@ def crawl_dedup_report(
         )
     )
     return url_groups.unionByName(content_groups)
+
+
+def select_representatives(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware representative selection — re-pick each duplicate
+    cluster's kept document by MAXIMUM quality (ties to the smaller id)
+    instead of ``dup_clusters``' min-id default: the RefinedWeb/C4
+    policy of keeping the best (longest, highest-scoring) member, so
+    dedup stops systematically preferring whichever copy happened to
+    get the smallest id (often the truncated or boilerplate one).
+
+    ``clusters`` is ``dup_clusters`` output (id, cluster_id);
+    ``quality`` is (id, score) from any scorer (token count, t02's
+    gate, t54's fluency). Returns (id, cluster_id, quality, is_rep).
+
+    Plan shape: one id-key join to attach scores, then the q50
+    packed-key argmax — ``max(struct(quality, -id))`` per cluster, a
+    single partial-agg shuffle, NO window sort — and a broadcast-size
+    join back only if clusters are few; here the general cluster-key
+    sort-merge join back is used (clusters are corpus-scale)."""
+    j = clusters.select(F.col(id_col), "cluster_id").join(
+        quality.select(F.col(id_col), F.col(quality_col)), id_col
+    )
+    best = j.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                F.col(quality_col).alias("_q"), (-F.col(id_col)).alias("_nid")
+            )
+        ).alias("_b")
+    )
+    return j.join(best, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        quality_col,
+        (F.col(id_col) == -F.col("_b._nid")).alias("is_rep"),
+    )

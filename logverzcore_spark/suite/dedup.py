@@ -621,3 +621,38 @@ def d21_crawl_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.crawl_dedup_report(
         docs.select(url.alias("url"), txt.alias("text"))
     )
+
+
+@query(
+    "d22_quality_representatives",
+    oracle=_DUP_GRAPH_CTE
+    + """
+    , q AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS quality
+      FROM documents
+    ), ranked AS (
+      SELECT l.doc_id, l.cluster_id, q.quality,
+             row_number() OVER (PARTITION BY l.cluster_id
+                                ORDER BY q.quality DESC, l.doc_id ASC) AS rk
+      FROM labels l JOIN q USING (doc_id)
+    )
+    SELECT doc_id, cluster_id, CAST(quality AS BIGINT) AS quality,
+           rk = 1 AS is_rep
+    FROM ranked
+    """,
+)
+def d22_quality_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster representatives
+    (dedup.select_representatives): the 3-gram-Jaccard near-dup
+    clusters (d07's graph) re-keyed to keep each cluster's LONGEST
+    member (token count, ties to the smaller id) — the RefinedWeb
+    keep-the-best policy replacing min-id dedup. The oracle replays the
+    transitive closure, then the (quality desc, id asc) argmax."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    clusters = dedup.dup_clusters(docs, pairs)
+    quality = docs.select(
+        "doc_id", text.token_count(F.col("text")).cast("long").alias("quality")
+    )
+    return dedup.select_representatives(clusters, quality)

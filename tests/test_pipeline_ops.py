@@ -2232,3 +2232,21 @@ def test_bigram_fluency_hand_values(spark):
     assert out[0].fluency_mean_bp == (2 * s_ab + s_ba) // 3
     assert out[1].n_bigrams == 1 and out[1].fluency_mean_bp == s_ab
     assert out[2].n_bigrams == 0 and out[2].fluency_mean_bp is None
+
+
+def test_select_representatives_policy(spark):
+    """Max-quality wins within a cluster; quality tie -> smaller id;
+    singletons are their own representative."""
+    from logverzcore_spark.operators.dedup import select_representatives
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 8), (9, 8)],
+        "doc_id long, cluster_id long",
+    )
+    quality = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (7, 5), (8, 4), (9, 4)],
+        "doc_id long, quality long",
+    )
+    out = {r.doc_id: r.is_rep for r in select_representatives(clusters, quality).collect()}
+    # cluster 1: docs 2 and 3 tie at 30 -> 2 wins (smaller id)
+    assert out == {1: False, 2: True, 3: False, 7: True, 8: True, 9: False}
