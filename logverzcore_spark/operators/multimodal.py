@@ -1967,3 +1967,96 @@ def parse_avi_meta(
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, schema)
+
+
+def sniff_dataset_meta(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Data-lake file triage — classify dataset files by their container
+    ENVELOPE (parquet / Arrow IPC file / ORC / Avro OCF) and surface the
+    trailing-metadata length, without parsing any thrift/flatbuffer
+    payload: the admission check a 100 TB lake crawl runs before
+    handing files to real readers (is the magic intact? did the upload
+    truncate the footer?).
+
+    All four formats are recognizable from fixed head/tail bytes plus
+    ONE length field at a len-relative offset, so this stays pure
+    codegen (computed substring offsets — the m15 discipline), scan
+    speed, zero shuffle:
+
+    - parquet: 'PAR1' head AND tail; footer_len = u32le at len-8;
+      complete iff footer_len + 12 <= len;
+    - arrow:   'ARROW1\\0\\0' head, 'ARROW1' tail; footer_len = u32le
+      at len-10; complete iff footer_len + 18 <= len;
+    - orc:     'ORC' head; postscript_len = last byte, and the
+      postscript's own last 3 bytes must read 'ORC' (bytes at len-4);
+      complete iff postscript_len + 1 <= len;
+    - avro:    'Obj\\x01' head (OCF metadata lives at the front; no
+      trailing length — meta_len NULL, complete = magic intact).
+
+    A head magic whose tail check fails reports the format with
+    complete = false (truncated upload); no magic at all → 'unknown'.
+    """
+    p = payload_col
+    ln = f"octet_length({p})"
+
+    def tail_hex(back: int, n: int) -> str:
+        return f"hex(substring({p}, {ln} - {back}, {n}))"
+
+    def le32_at(back: int):
+        return sum(
+            F.expr(f"conv(hex(substring({p}, {ln} - {back - i}, 1)), 16, 10)").cast(
+                "long"
+            )
+            * (256**i)
+            for i in range(4)
+        )
+
+    def min_len(n: int):
+        return F.expr(f"{ln} >= {n}")
+
+    # Head checks gate only on their own byte count, so a truncated
+    # upload still classifies by format (with complete = false); tail
+    # checks additionally gate on the format's minimum valid length so
+    # the len-relative substrings can't wrap to negative positions.
+    head4 = F.expr(f"hex(substring({p}, 1, 4))")
+    head8 = F.expr(f"hex(substring({p}, 1, 8))")
+    head3 = F.expr(f"hex(substring({p}, 1, 3))")
+    is_parquet = min_len(4) & (head4 == "50415231")
+    is_arrow = min_len(8) & (head8 == "4152524F57310000")
+    is_orc = min_len(4) & (head3 == "4F5243") & ~is_parquet
+    is_avro = min_len(4) & (head4 == "4F626A01")
+
+    pq_tail = min_len(12) & (F.expr(tail_hex(3, 4)) == "50415231")
+    ar_tail = min_len(18) & (F.expr(tail_hex(5, 6)) == "4152524F5731")
+    orc_ps_len = F.expr(f"conv({tail_hex(0, 1)}, 16, 10)").cast("long")
+    orc_tail = min_len(5) & (F.expr(tail_hex(3, 3)) == "4F5243")
+
+    pq_len = le32_at(7)
+    ar_len = le32_at(9)
+
+    fmt = (
+        F.when(is_parquet, F.lit("parquet"))
+        .when(is_arrow, F.lit("arrow"))
+        .when(is_avro, F.lit("avro"))
+        .when(is_orc, F.lit("orc"))
+        .otherwise(F.lit("unknown"))
+    )
+    meta_len = (
+        F.when(is_parquet & pq_tail, pq_len)
+        .when(is_arrow & ar_tail, ar_len)
+        .when(is_orc & orc_tail, orc_ps_len)
+    ).cast("long")
+    complete = (
+        F.when(is_parquet, pq_tail & (pq_len + 12 <= F.expr(ln)))
+        .when(is_arrow, ar_tail & (ar_len + 18 <= F.expr(ln)))
+        .when(is_orc, orc_tail & (orc_ps_len + 1 <= F.expr(ln)))
+        .when(is_avro, F.lit(True))
+        .otherwise(F.lit(False))
+    )
+    return df.select(
+        F.col(id_col),
+        fmt.alias("format"),
+        complete.alias("complete"),
+        meta_len.alias("meta_len"),
+    )

@@ -1605,3 +1605,70 @@ def m25_avi_riff_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.unhex(full))
     )
     return parse_avi_meta(docs.select("doc_id", payload.alias("payload")))
+
+
+@query(
+    "m26_dataset_file_probe",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id % 5 AS v, doc_id % 7 = 0 AS tr,
+             16 + doc_id % 100 AS md, 4 + doc_id % 20 AS psl
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE v WHEN 0 THEN 'parquet' WHEN 1 THEN 'arrow' WHEN 2 THEN 'orc'
+             WHEN 3 THEN 'avro' ELSE 'unknown' END AS format,
+      CASE WHEN v = 4 THEN false
+           WHEN v = 0 AND tr THEN false
+           ELSE true END AS complete,
+      CASE WHEN v = 0 AND NOT tr THEN CAST(md AS BIGINT)
+           WHEN v = 1 THEN CAST(md AS BIGINT)
+           WHEN v = 2 THEN CAST(psl AS BIGINT) END AS meta_len
+    FROM p
+    """,
+)
+def m26_dataset_file_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-lake envelope triage (multimodal.sniff_dataset_meta):
+    byte-exact parquet / Arrow-IPC / ORC / Avro-OCF envelopes built from
+    doc_id (variable filler and metadata lengths move every trailing
+    offset; every 7th parquet is truncated after the head magic — the
+    upload-died case the probe exists to catch). The oracle restates
+    format, completeness, and the trailing-metadata length
+    arithmetically; every fifth doc is junk ('unknown')."""
+    from logverzcore_spark.operators.multimodal import sniff_dataset_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def le32(col):
+        be = F.lpad(F.hex(col.cast("long")), 8, "0")
+        return F.concat(
+            F.substring(be, 7, 2), F.substring(be, 5, 2),
+            F.substring(be, 3, 2), F.substring(be, 1, 2),
+        )
+
+    fl = (10 + d % 50).cast("int")
+    md = (16 + d % 100).cast("long")
+    psl = (4 + d % 20).cast("long")
+    filler = F.repeat(F.lit("00"), fl)
+    footer = F.repeat(F.lit("AA"), md.cast("int"))
+    pq = F.concat(F.lit("50415231"), filler, footer, le32(md), F.lit("50415231"))
+    pq_tr = F.concat(F.lit("50415231"), filler)
+    ar = F.concat(
+        F.lit("4152524F57310000"), filler, footer, le32(md), F.lit("4152524F5731")
+    )
+    orc = F.concat(
+        F.lit("4F5243"), filler,
+        F.repeat(F.lit("BB"), (psl - 3).cast("int")), F.lit("4F5243"),
+        F.lpad(F.hex(psl), 2, "0"),
+    )
+    avro = F.concat(F.lit("4F626A01"), filler)
+    payload = (
+        F.when((d % 5 == 0) & (d % 7 == 0), F.unhex(pq_tr))
+        .when(d % 5 == 0, F.unhex(pq))
+        .when(d % 5 == 1, F.unhex(ar))
+        .when(d % 5 == 2, F.unhex(orc))
+        .when(d % 5 == 3, F.unhex(avro))
+        .otherwise(F.encode("text", "UTF-8"))
+    )
+    return sniff_dataset_meta(docs.select("doc_id", payload.alias("payload")))

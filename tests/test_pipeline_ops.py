@@ -2250,3 +2250,34 @@ def test_select_representatives_policy(spark):
     out = {r.doc_id: r.is_rep for r in select_representatives(clusters, quality).collect()}
     # cluster 1: docs 2 and 3 tie at 30 -> 2 wins (smaller id)
     assert out == {1: False, 2: True, 3: False, 7: True, 8: True, 9: False}
+
+
+def test_sniff_dataset_meta_edges(spark):
+    """Head magic on tiny/truncated files still classifies (complete
+    false); tail lengths validate; negative-offset wrap can't happen on
+    short files."""
+    import struct
+
+    from logverzcore_spark.operators.multimodal import sniff_dataset_meta
+
+    footer = b"\xaa" * 16
+    pq = b"PAR1" + b"\x00" * 9 + footer + struct.pack("<I", 16) + b"PAR1"
+    rows = [
+        (0, pq),
+        (1, b"PAR1"),                       # exactly the head magic
+        (2, b"PAR1" + b"\x00" * 3),         # truncated upload
+        (3, b"Obj\x01"),                    # minimal avro
+        (4, b"ORC"),                        # 3 bytes: below min -> unknown
+        (5, b"garbage here"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in sniff_dataset_meta(df).collect()}
+    assert out[0].format == "parquet" and out[0].complete is True
+    assert out[0].meta_len == 16
+    assert out[1].format == "parquet" and out[1].complete is False
+    assert out[1].meta_len is None
+    assert out[2].format == "parquet" and out[2].complete is False
+    assert out[3].format == "avro" and out[3].complete is True
+    assert out[4].format == "unknown"
+    assert out[5].format == "unknown" and out[6].format == "unknown"
