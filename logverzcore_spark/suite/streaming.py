@@ -1286,3 +1286,45 @@ def st29_streaming_bm25_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in (tbl, f"{tbl}_stats"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
     return out
+
+
+@query("st30_streaming_mixture_state", oracle=ORACLES["t53_temperature_mixture"])
+def st30_streaming_mixture_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mixture planning
+    (streaming/rollup.incremental_mixture_rollup +
+    text.temperature_mixture_from_state): per-source token volume folds
+    into a #sources-row state table as documents stream in (2 batches,
+    additive counts behind the last_batch crash guard), then the T=2
+    temperature allocation runs from the STATE — no corpus rescan at
+    decision time. Graded against t53's batch oracle verbatim: a lost
+    batch, a double-applied replay, or a stale state row breaks the
+    hash."""
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.streaming.rollup import incremental_mixture_rollup
+
+    docs = _t(spark, sf_dir, "documents")
+    run_id = _uuid.uuid4().hex[:8]
+    state = f"st30_mix_{run_id}"
+    try:
+        work = tempfile.mkdtemp(prefix=f"st30_{run_id}_")
+        src = os.path.join(work, "docs")
+        docs.select("doc_id", "source", "text").coalesce(2).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = incremental_mixture_rollup(
+            spark, stream, state, checkpoint_dir=os.path.join(work, "ck")
+        )
+        q.awaitTermination()
+        out = text.temperature_mixture_from_state(
+            spark, state, total_tokens=1_000_000
+        ).localCheckpoint(eager=True)
+    finally:
+        for t in (state, f"{state}_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out

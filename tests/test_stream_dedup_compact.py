@@ -768,3 +768,39 @@ def test_countmin_fold_crash_between_write_and_meta(spark):
     finally:
         for t in ("crashcms_t", "crashcms_t_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_source_tokens_fold_crash_between_write_and_meta(spark):
+    """The mixture-state fold's replay guard: token addition is NOT
+    idempotent, so a replay after a committed state rewrite (meta lost)
+    must not double any source; folded state equals a one-shot batch
+    aggregate over the union."""
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.streaming.rollup import (
+        _record_applied_batch,
+        make_source_tokens_fold,
+    )
+
+    for t in ("crashmix_t", "crashmix_t_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    fold = make_source_tokens_fold(spark, "crashmix_t")
+    mk = lambda rows: spark.createDataFrame(rows, "source string, text string")
+    try:
+        fold(mk([("a", "x y z"), ("b", "p q")]), 0)
+        fold(mk([("a", "one two"), ("c", "solo")]), 1)
+        state = {r.source: (r.avail_tokens, r.n_docs)
+                 for r in spark.table("crashmix_t").collect()}
+        assert state == {"a": (5, 2), "b": (2, 1), "c": (1, 1)}
+        _record_applied_batch(spark, "crashmix_t_meta", 0)  # meta "lost"
+        fold(mk([("a", "one two"), ("c", "solo")]), 1)  # replay
+        state2 = {r.source: (r.avail_tokens, r.n_docs)
+                  for r in spark.table("crashmix_t").collect()}
+        assert state2 == state
+        from logverzcore_spark.operators.text import temperature_mixture_from_state
+
+        alloc = temperature_mixture_from_state(spark, "crashmix_t", 100).collect()
+        assert sum(r.alloc_tokens for r in alloc) == 100
+    finally:
+        for t in ("crashmix_t", "crashmix_t_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
