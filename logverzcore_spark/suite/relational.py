@@ -4378,3 +4378,51 @@ def q124_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "note",
         "_corrupt_record",
     )
+
+
+@query(
+    "q125_variant_extract",
+    oracle="""
+    SELECT event_id,
+           event_type AS etype,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS vcents,
+           CAST(user_id % 10 AS BIGINT) AS tag0,
+           CAST(user_id % 7 AS BIGINT) AS tag1,
+           CAST(NULL AS BIGINT) AS missing
+    FROM events
+    """,
+)
+def q125_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path extraction (Spark 4's native
+    shredded-binary JSON type — the OLAP answer to schemaless props
+    columns, vs string get_json_object reparsing per access): each
+    event's columns are serialized to nested JSON, parsed ONCE with
+    parse_json into a VARIANT, then typed paths are extracted
+    (object field, nested field, array index, and a missing path that
+    must yield NULL via try_variant_get, not an error). The oracle is
+    the identity on the source columns, so any parse/extraction/type
+    coercion loss breaks the hash. Pure per-row projections — zero
+    shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    js = F.to_json(
+        F.struct(
+            F.col("event_id").alias("id"),
+            F.struct(
+                F.col("event_type").alias("type"),
+                F.floor(F.col("value") * 100 + 0.5).cast("long").alias("vcents"),
+            ).alias("meta"),
+            F.array(
+                (F.col("user_id") % 10).cast("long"),
+                (F.col("user_id") % 7).cast("long"),
+            ).alias("tags"),
+        )
+    )
+    v = ev.select("event_id", F.parse_json(js).alias("v"))
+    return v.select(
+        "event_id",
+        F.try_variant_get("v", "$.meta.type", "string").alias("etype"),
+        F.try_variant_get("v", "$.meta.vcents", "long").alias("vcents"),
+        F.try_variant_get("v", "$.tags[0]", "long").alias("tag0"),
+        F.try_variant_get("v", "$.tags[1]", "long").alias("tag1"),
+        F.try_variant_get("v", "$.nope.deep", "long").alias("missing"),
+    )
