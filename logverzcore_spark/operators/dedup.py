@@ -1459,3 +1459,42 @@ def select_representatives(
         quality_col,
         (F.col(id_col) == -F.col("_b._nid")).alias("is_rep"),
     )
+
+
+def snapshot_diff_report(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot drift audit — per-document ADDED / REMOVED /
+    CHANGED / UNCHANGED status between two corpus versions, by content
+    fingerprint (d01's whitespace-normalized md5, so formatting-only
+    rewrites read as UNCHANGED): the dataset-versioning diff a training
+    team reviews before retraining on a re-crawl, and the input to
+    incremental re-processing (only ADDED/CHANGED docs re-enter the
+    pipeline).
+
+    Returns (id, status, old_fp, new_fp) with NULL fp on the absent
+    side. Plan shape: fingerprints are in-row projections; ONE id-key
+    full-outer sort-merge join (both sides corpus-sized — the honest
+    shuffle; bucket both snapshots by id to make it co-located at
+    100 TB); status is a codegen CASE."""
+    def fp(df):
+        return df.select(
+            F.col(id_col),
+            F.md5(
+                F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+            ).alias("fp"),
+        )
+
+    o = fp(old).withColumnRenamed("fp", "old_fp")
+    n = fp(new).withColumnRenamed("fp", "new_fp")
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(F.col(id_col), status.alias("status"), "old_fp", "new_fp")

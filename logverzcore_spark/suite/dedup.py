@@ -656,3 +656,54 @@ def d22_quality_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", text.token_count(F.col("text")).cast("long").alias("quality")
     )
     return dedup.select_representatives(clusters, quality)
+
+
+@query(
+    "d23_snapshot_diff",
+    oracle="""
+    WITH oldt AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ), newt AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(
+               CASE WHEN doc_id % 5 = 0 THEN text || ' appended drift'
+                    ELSE text END)), '\\s+', ' ', 'g')) AS fp
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000,
+             md5(regexp_replace(lower(trim(
+               'fresh doc ' || CAST(doc_id AS VARCHAR))), '\\s+', ' ', 'g'))
+      FROM documents WHERE doc_id % 11 = 0
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.fp IS NULL THEN 'added'
+                WHEN n.fp IS NULL THEN 'removed'
+                WHEN o.fp <> n.fp THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           o.fp AS old_fp, n.fp AS new_fp
+    FROM oldt o FULL OUTER JOIN newt n ON o.doc_id = n.doc_id
+    """,
+)
+def d23_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot drift (dedup.snapshot_diff_report): a re-crawl is
+    simulated deterministically (every 7th doc removed, every surviving
+    5th gets appended drift, every 11th spawns a fresh doc under a new
+    id) and diffed against the original by normalized fingerprint —
+    added/removed/changed/unchanged per doc. The oracle rebuilds the
+    same second snapshot and replays the full-outer fingerprint diff."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = docs.where(F.col("doc_id") % 7 != 0)
+    changed = kept.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat("text", F.lit(" appended drift"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    added = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("fresh doc "), F.col("doc_id").cast("string")).alias("text"),
+    )
+    new = changed.unionByName(added)
+    return dedup.snapshot_diff_report(docs, new)

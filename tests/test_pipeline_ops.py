@@ -2281,3 +2281,20 @@ def test_sniff_dataset_meta_edges(spark):
     assert out[3].format == "avro" and out[3].complete is True
     assert out[4].format == "unknown"
     assert out[5].format == "unknown" and out[6].format == "unknown"
+
+
+def test_snapshot_diff_report_statuses(spark):
+    """All four statuses fire; formatting-only rewrites (case/whitespace)
+    read as UNCHANGED via the normalized fingerprint."""
+    from logverzcore_spark.operators.dedup import snapshot_diff_report
+
+    old = spark.createDataFrame(
+        [(1, "Alpha Beta"), (2, "gone soon"), (3, "stable text")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "  alpha   BETA "), (3, "stable text CHANGED"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.status for r in snapshot_diff_report(old, new).collect()}
+    assert out == {1: "unchanged", 2: "removed", 3: "changed", 4: "added"}
