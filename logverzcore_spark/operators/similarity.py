@@ -1769,3 +1769,40 @@ def rrf_fuse(
         .where(F.col("rank") <= k)
         .select("query_id", "item_id", "rrf_score", "n_arms", "rank")
     )
+
+
+def ivfpq_index_health(spark, index_table: str) -> DataFrame:
+    """Operational health report for a persisted IVF-PQ index
+    (``ivfpq_index_build``/``append``) — the monitoring read that
+    decides when to ``ivf_index_recenter`` or retrain codebooks,
+    computed from the INDEX ALONE (codes + precomputed recon norms;
+    the raw corpus is never touched):
+
+    - ``n_vecs`` / ``share_bp`` per cell — occupancy skew: a hot cell
+      degrades probe selectivity (every nprobe hit scans it) and is
+      the recenter trigger;
+    - ``avg_recon`` — integer mean of the stored fixed-point
+      ‖reconstruction‖² per cell: appends landing with systematically
+      drifted recon norms flag stale codebooks;
+    - ``n_code_patterns`` — distinct PQ code tuples per cell: pattern
+      collapse (many vectors sharing one tuple) means ADC can no
+      longer separate them and n_codes/m need retraining.
+
+    All integers (the fixed-point discipline), so the report is
+    engine-replayable. Plan: one groupBy over the index (partition
+    column key — no wide shuffle), a 1-row total broadcast for the
+    shares."""
+    idx = spark.table(index_table)
+    per = idx.groupBy(F.col("cell").cast("int").alias("cell")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("recon").alias("recon_sum"),
+        F.countDistinct("codes").cast("long").alias("n_code_patterns"),
+    )
+    total = per.agg(F.sum("n_vecs").alias("total_"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "cell",
+        "n_vecs",
+        F.expr("(10000 * n_vecs) div total_").cast("long").alias("share_bp"),
+        F.expr("recon_sum div n_vecs").cast("long").alias("avg_recon"),
+        "n_code_patterns",
+    )

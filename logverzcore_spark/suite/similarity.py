@@ -864,3 +864,101 @@ def s19_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.where(F.col("vec_id") % 25 == 0), k=10
     ).select("query_id", F.col("neighbor_id").alias("item_id"), "rank")
     return similarity.rrf_fuse([lex, den], k=5)
+
+
+def _s20_oracle(dim: int = 64, n_cells: int = 16, m: int = 8, n_codes: int = 16) -> str:
+    """SQL replay of the IVF-PQ index health report: literal LCG
+    centroids/codebooks re-derive every vector's cell, codes, and
+    fixed-point recon norm (the s11b CTEs), then aggregate occupancy /
+    recon / code-pattern stats per cell."""
+    import numpy as np
+
+    sub = dim // m
+    cents = similarity.lcg_centroids(dim, n_cells)
+    cent_values = ",\n      ".join(
+        f"({ci}, {_sql_double_array(row)})" for ci, row in enumerate(cents)
+    )
+    books = similarity.lcg_codebooks(dim, m, n_codes)
+    C = np.array(books, dtype=np.float64)
+    c2 = (C * C).sum(axis=2)
+    c2i = np.floor(c2 * similarity.PQ_SCALE + 0.5).astype(np.int64)
+    cb_values = ",\n      ".join(
+        f"({s}, {j}, {_sql_double_array(books[s][j])}, {c2[s, j]!r}, {int(c2i[s, j])})"
+        for s in range(m)
+        for j in range(n_codes)
+    )
+    S = similarity.PQ_SCALE
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), cents(cell, cvec) AS (VALUES
+      {cent_values}
+    ), cb(s, j, cvec, c2, c2i) AS (VALUES
+      {cb_values}
+    ), sims AS (
+      SELECT v.vec_id, c.cell, list_dot_product(v.e, c.cvec) AS sim
+      FROM v CROSS JOIN cents c
+    ), c_assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    ), codes AS (
+      SELECT vec_id, s, j AS code FROM (
+        SELECT v.vec_id, cb.s, cb.j,
+               row_number() OVER (PARTITION BY v.vec_id, cb.s ORDER BY
+                 floor((cb.c2 - 2 * list_dot_product(
+                   v.e[cb.s*{sub}+1 : (cb.s+1)*{sub}], cb.cvec)) * {S} + 0.5),
+                 cb.j) AS rn
+        FROM v CROSS JOIN cb
+      ) WHERE rn = 1
+    ), recon AS (
+      SELECT c.vec_id, SUM(cb.c2i) AS recon
+      FROM codes c JOIN cb ON cb.s = c.s AND cb.j = c.code
+      GROUP BY c.vec_id
+    ), patt AS (
+      SELECT vec_id, list(code ORDER BY s) AS codes_arr
+      FROM codes GROUP BY vec_id
+    ), per AS (
+      SELECT a.cell, COUNT(*) AS n_vecs, SUM(r.recon) AS recon_sum,
+             COUNT(DISTINCT p.codes_arr) AS n_code_patterns
+      FROM c_assign a JOIN recon r USING (vec_id) JOIN patt p USING (vec_id)
+      GROUP BY a.cell
+    )
+    SELECT CAST(cell AS INTEGER) AS cell,
+           CAST(n_vecs AS BIGINT) AS n_vecs,
+           CAST((10000 * n_vecs) // (SELECT SUM(n_vecs) FROM per)
+                AS BIGINT) AS share_bp,
+           CAST(recon_sum // n_vecs AS BIGINT) AS avg_recon,
+           CAST(n_code_patterns AS BIGINT) AS n_code_patterns
+    FROM per
+    """
+
+
+@query("s20_ivfpq_index_health", oracle=_s20_oracle())
+def s20_ivfpq_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ index observability (similarity.ivfpq_index_health):
+    per-cell occupancy share, mean fixed-point recon norm, and distinct
+    PQ code patterns — the recenter/retrain triggers — computed from
+    the persisted index alone. The oracle re-derives every vector's
+    cell/codes/recon from the literal LCG centroids+codebooks and
+    re-aggregates, so a drifted encode or a lost index row breaks the
+    hash."""
+    import uuid as _uuid
+
+    emb = _t(spark, sf_dir, "embeddings")
+    run_id = _uuid.uuid4().hex[:8]
+    tbl = f"s20_ivfpq_{run_id}"
+    similarity.ivfpq_index_build(
+        emb, tbl, n_cells=16, m=8, n_codes=16, dim=64,
+        centroids=similarity.lcg_centroids(64, 16),
+        codebooks=similarity.lcg_codebooks(64, 8, 16),
+    )
+    try:
+        out = similarity.ivfpq_index_health(spark, tbl).localCheckpoint(eager=True)
+    finally:
+        for t in (tbl, f"{tbl}_centroids", f"{tbl}_codebooks"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out

@@ -2298,3 +2298,33 @@ def test_snapshot_diff_report_statuses(spark):
     )
     out = {r.doc_id: r.status for r in snapshot_diff_report(old, new).collect()}
     assert out == {1: "unchanged", 2: "removed", 3: "changed", 4: "added"}
+
+
+def test_ivfpq_index_health_tracks_appends(spark):
+    """Health totals cover every indexed vector, shares sum to ~10000,
+    and an append shows up in the occupancy counts."""
+    import uuid as _uuid
+
+    from logverzcore_spark.operators import similarity as sim
+
+    rows = [(i, [float((i * 7 + j) % 5 - 2) for j in range(16)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    tbl = f"t_health_{_uuid.uuid4().hex[:8]}"
+    try:
+        sim.ivfpq_index_build(
+            emb.where("vec_id < 30"), tbl, n_cells=4, m=4, n_codes=4, dim=16,
+            centroids=sim.lcg_centroids(16, 4),
+            codebooks=sim.lcg_codebooks(16, 4, 4),
+        )
+        h1 = sim.ivfpq_index_health(spark, tbl).collect()
+        assert sum(r.n_vecs for r in h1) == 30
+        assert abs(sum(r.share_bp for r in h1) - 10000) <= len(h1)
+        assert all(r.n_code_patterns >= 1 for r in h1)
+        sim.ivfpq_index_append(
+            spark, emb.where("vec_id >= 30"), tbl, dedupe=True
+        )
+        h2 = sim.ivfpq_index_health(spark, tbl).collect()
+        assert sum(r.n_vecs for r in h2) == 40
+    finally:
+        for t in (tbl, f"{tbl}_centroids", f"{tbl}_codebooks"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
