@@ -2217,3 +2217,43 @@ def temperature_mixture_from_state(
         .where(F.col("weight") > 0)
     )
     return _largest_remainder(per, int(total_tokens), "source")
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-efficiency audit per source — fertility (tokenizer
+    pieces per whitespace word) and compression (characters per piece),
+    the numbers a tokenizer/data team reads per domain or language
+    before committing a vocab (high fertility on a domain = that
+    domain's text is expensive to train and serve). Pieces come from
+    the BPE-ish regex proxy (``bpe_token_count`` — word pieces /
+    numbers / single symbols; swap in t44's trained segmentation for a
+    vocab-specific audit).
+
+    All integer sums with basis-point ratios at the end
+    (``fertility_bp`` = 10000·pieces div words; ``chars_per_piece_bp``
+    = 10000·chars div pieces) — engine-portable, order-free. One
+    map-side-combined groupBy(source); per-row work is two codegen
+    regex counts."""
+    per = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length(F.col(text_col))).cast("long").alias("n_chars"),
+        F.sum(token_count(F.col(text_col))).cast("long").alias("n_words"),
+        F.sum(bpe_token_count(F.col(text_col))).cast("long").alias("n_pieces"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        "n_words",
+        "n_pieces",
+        F.when(F.col("n_words") > 0, F.expr("(10000 * n_pieces) div n_words"))
+        .cast("long")
+        .alias("fertility_bp"),
+        F.when(F.col("n_pieces") > 0, F.expr("(10000 * n_chars) div n_pieces"))
+        .cast("long")
+        .alias("chars_per_piece_bp"),
+    )

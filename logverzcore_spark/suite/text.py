@@ -2562,3 +2562,36 @@ def t54_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     divisions."""
     docs = _t(spark, sf_dir, "documents")
     return text.bigram_fluency(docs)
+
+
+@query(
+    "t55_tokenizer_fertility",
+    oracle="""
+    WITH per AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(len(text)) AS n_chars,
+             SUM(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> ''))) AS n_words,
+             SUM(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS n_pieces
+      FROM documents GROUP BY source
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_pieces AS BIGINT) AS n_pieces,
+           CAST(CASE WHEN n_words > 0
+                THEN (10000 * n_pieces) // n_words END AS BIGINT) AS fertility_bp,
+           CAST(CASE WHEN n_pieces > 0
+                THEN (10000 * n_chars) // n_pieces END AS BIGINT)
+             AS chars_per_piece_bp
+    FROM per
+    """,
+)
+def t55_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-efficiency audit (text.tokenizer_fertility): per-source
+    fertility (BPE-ish pieces per word) and chars-per-piece in integer
+    basis points — the per-domain cost table a vocab decision reads.
+    The oracle replays both regex counts and the integer ratios."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.tokenizer_fertility(docs)

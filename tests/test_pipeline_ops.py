@@ -2328,3 +2328,23 @@ def test_ivfpq_index_health_tracks_appends(spark):
     finally:
         for t in (tbl, f"{tbl}_centroids", f"{tbl}_codebooks"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_tokenizer_fertility_hand_values(spark):
+    """Hand-checked fertility: 'don't stop' is 2 words but 4 BPE-ish
+    pieces (don / ' / t / stop); ratios are integer basis points."""
+    from logverzcore_spark.operators.text import tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [(0, "a", "don't stop"), (1, "a", "plain words here"), (2, "b", "x1")],
+        "doc_id long, source string, text string",
+    )
+    out = {r.source: r for r in tokenizer_fertility(df).collect()}
+    a = out["a"]
+    # words: 2 + 3 = 5; pieces: (don,',t,stop)=4 + 3 = 7; chars 10+16=26
+    assert (a.n_words, a.n_pieces, a.n_chars) == (5, 7, 26)
+    assert a.fertility_bp == (10000 * 7) // 5
+    assert a.chars_per_piece_bp == (10000 * 26) // 7
+    b = out["b"]
+    # 'x1' -> pieces x, 1
+    assert b.n_words == 1 and b.n_pieces == 2
