@@ -2257,3 +2257,80 @@ def tokenizer_fertility(
         .cast("long")
         .alias("chars_per_piece_bp"),
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fim_rate_pct: int = 50,
+    sentinel_pre: str = "<|fim_prefix|>",
+    sentinel_suf: str = "<|fim_suffix|>",
+    sentinel_mid: str = "<|fim_middle|>",
+) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle") —
+    the PSM rearrangement code-model pipelines apply to a deterministic
+    fraction of documents: split the token stream at two
+    document-derived cut points and emit
+    ``prefix ⊕ SUF ⊕ suffix ⊕ MID ⊕ middle`` so the model learns
+    infilling, leaving the rest in natural order.
+
+    Everything is derived from md5(doc id) — the repo's portable-hash
+    house rule — so the SAME docs transform with the SAME cuts on any
+    engine/run (no RNG): selection = first hash byte < rate·256/100;
+    cut points = two more hash bytes mapped onto [0, n] with
+    ``cut1 = b1·(n+1) div 256`` and ``cut2 = cut1 + b2·(n-cut1+1) div
+    256``. Returns (id, fim_applied, n_tokens, cut1, cut2, out_text).
+    Pure per-row projection — zero shuffle, all codegen except the
+    in-row slice/join."""
+    toks = tokens(F.col(text_col))
+    h = F.md5(F.col(id_col).cast("string"))
+    b0 = F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
+    b1 = F.conv(F.substring(h, 3, 2), 16, 10).cast("long")
+    b2 = F.conv(F.substring(h, 5, 2), 16, 10).cast("long")
+    n = F.size(toks).cast("long")
+    apply_fim = (b0 < int(fim_rate_pct) * 256 // 100) & (n >= 3)
+    staged = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        n.alias("_n"),
+        apply_fim.alias("_fim"),
+        b1.alias("_b1"),
+        b2.alias("_b2"),
+    )
+    c1 = F.expr("_b1 * (_n + 1) div 256")
+    staged = staged.withColumn("_c1", c1)
+    c2 = F.expr("_c1 + _b2 * (_n - _c1 + 1) div 256")
+    staged = staged.withColumn("_c2", c2)
+    prefix = F.concat_ws(" ", F.slice("_toks", F.lit(1), F.col("_c1").cast("int")))
+    middle = F.concat_ws(
+        " ",
+        F.slice(
+            "_toks",
+            (F.col("_c1") + 1).cast("int"),
+            (F.col("_c2") - F.col("_c1")).cast("int"),
+        ),
+    )
+    suffix = F.concat_ws(
+        " ",
+        F.slice(
+            "_toks",
+            (F.col("_c2") + 1).cast("int"),
+            (F.col("_n") - F.col("_c2")).cast("int"),
+        ),
+    )
+    fim_text = F.concat(
+        F.lit(sentinel_pre), prefix,
+        F.lit(sentinel_suf), suffix,
+        F.lit(sentinel_mid), middle,
+    )
+    plain = F.concat_ws(" ", F.col("_toks"))
+    return staged.select(
+        id_col,
+        F.col("_fim").alias("fim_applied"),
+        F.col("_n").alias("n_tokens"),
+        F.when(F.col("_fim"), F.col("_c1")).alias("cut1"),
+        F.when(F.col("_fim"), F.col("_c2")).alias("cut2"),
+        F.when(F.col("_fim"), fim_text).otherwise(plain).alias("out_text"),
+    )

@@ -2595,3 +2595,49 @@ def t55_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays both regex counts and the integer ratios."""
     docs = _t(spark, sf_dir, "documents")
     return text.tokenizer_fertility(docs)
+
+
+@query(
+    "t56_fim_transform",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), cuts AS (
+      SELECT doc_id, t, len(t) AS n,
+             ('0x' || substring(h, 1, 2))::BIGINT AS b0,
+             ('0x' || substring(h, 3, 2))::BIGINT AS b1,
+             ('0x' || substring(h, 5, 2))::BIGINT AS b2
+      FROM tok
+    ), c AS (
+      SELECT doc_id, t, n,
+             (b0 < 128 AND n >= 3) AS fim,
+             (b1 * (n + 1)) // 256 AS c1,
+             b2
+      FROM cuts
+    ), c2t AS (
+      SELECT *, c1 + (b2 * (n - c1 + 1)) // 256 AS c2 FROM c
+    )
+    SELECT doc_id, fim AS fim_applied, CAST(n AS BIGINT) AS n_tokens,
+           CASE WHEN fim THEN c1 END AS cut1,
+           CASE WHEN fim THEN c2 END AS cut2,
+           CASE WHEN fim THEN
+             '<|fim_prefix|>' || COALESCE(array_to_string(t[1:c1], ' '), '')
+             || '<|fim_suffix|>' || COALESCE(array_to_string(t[(c2+1):n], ' '), '')
+             || '<|fim_middle|>' || COALESCE(array_to_string(t[(c1+1):c2], ' '), '')
+           ELSE array_to_string(t, ' ') END AS out_text
+    FROM c2t
+    """,
+)
+def t56_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle rearrangement (text.fim_transform): a
+    deterministic ~50% of documents (first md5(id) byte < 128) split at
+    two hash-derived cut points into PSM sentinel format; the rest pass
+    through in natural order. The oracle replays the byte extraction,
+    both integer cut formulas, and the three-way slice/join —
+    empty-slice COALESCE matters (DuckDB array_to_string([]) is NULL
+    where Spark concat_ws is '')."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.fim_transform(docs)

@@ -2348,3 +2348,29 @@ def test_tokenizer_fertility_hand_values(spark):
     b = out["b"]
     # 'x1' -> pieces x, 1
     assert b.n_words == 1 and b.n_pieces == 2
+
+
+def test_fim_transform_reconstructs(spark):
+    """FIM output is a rearrangement, not a rewrite: splicing
+    prefix+middle+suffix back together recovers the original token
+    stream; cut points stay in range; non-selected docs pass through."""
+    from logverzcore_spark.operators.text import fim_transform
+
+    rows = [(i, " ".join(f"w{j}" for j in range(3 + i % 9))) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = fim_transform(df).collect()
+    originals = dict(rows)
+    n_fim = 0
+    for r in out:
+        if not r.fim_applied:
+            assert r.out_text == originals[r.doc_id]
+            continue
+        n_fim += 1
+        assert 0 <= r.cut1 <= r.cut2 <= r.n_tokens
+        body = r.out_text
+        assert body.startswith("<|fim_prefix|>")
+        pre, rest = body[len("<|fim_prefix|>"):].split("<|fim_suffix|>", 1)
+        suf, mid = rest.split("<|fim_middle|>", 1)
+        spliced = " ".join(x for x in (pre, mid, suf) if x)
+        assert spliced == originals[r.doc_id], r.doc_id
+    assert 10 < n_fim < 50  # ~50% selection actually fires both ways
