@@ -1806,3 +1806,65 @@ def ivfpq_index_health(spark, index_table: str) -> DataFrame:
         F.expr("recon_sum div n_vecs").cast("long").alias("avg_recon"),
         "n_code_patterns",
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / two-tower training: each
+    query's k nearest neighbors with a DIFFERENT label — the near-miss
+    examples that actually move an embedding model (random negatives
+    are trivially separable; in-batch negatives are whatever co-sampled).
+    ``filtered_topk``'s complement: the label constraint negates, so it
+    can't be the equi-join key — the exact tier broadcasts the (small)
+    query block against one corpus scan with the ``label <>`` predicate
+    fused into the scan stage (the s01 shape, BNLJ by design); at
+    corpus scale, over-fetch an ANN tier (s02/s03/s11) and post-filter,
+    keeping this exact pass as the per-block verifier. Ranking:
+    unrounded cosine, id tie-break. Returns (query_id, negative_id,
+    negative_label, cosine 6dp, rank)."""
+    from pyspark.sql import Window
+
+    def prep(df, prefix):
+        v = df.select(
+            F.col(id_col).alias(f"{prefix}id"),
+            F.col(vec_col).cast("array<double>").alias(f"{prefix}vec"),
+            F.col(label_col).alias(f"{prefix}l"),
+        )
+        nrm = F.sqrt(
+            F.aggregate(F.col(f"{prefix}vec"), F.lit(0.0), lambda a, x: a + x * x)
+        )
+        return v.withColumn(f"{prefix}n", nrm)
+
+    q, c = prep(queries, "q"), prep(corpus, "c")
+    dot = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("cvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    cos = dot / (F.col("qn") * F.col("cn"))
+    pairs = F.broadcast(q).join(c, F.col("ql") != F.col("cl")).select(
+        F.col("qid").alias("query_id"),
+        F.col("cid").alias("negative_id"),
+        F.col("cl").alias("negative_label"),
+        cos.alias("_cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("negative_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "negative_id",
+            "negative_label",
+            F.round("_cos", 6).alias("cosine"),
+            "rank",
+        )
+    )

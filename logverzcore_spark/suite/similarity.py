@@ -962,3 +962,40 @@ def s20_ivfpq_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in (tbl, f"{tbl}_centroids", f"{tbl}_codebooks"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
     return out
+
+
+@query(
+    "s21_hard_negatives",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ), q AS (
+      SELECT * FROM v WHERE vec_id % 50 = 0
+    ), pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS negative_id,
+             c.label AS negative_label,
+             list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
+      FROM q JOIN v c ON q.label <> c.label
+    ), ranked AS (
+      SELECT query_id, negative_id, negative_label, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, negative_id) AS rk
+      FROM pairs
+    )
+    SELECT query_id, negative_id, negative_label,
+           ROUND(cos, 6) AS cosine, CAST(rk AS INTEGER) AS rank
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def s21_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (similarity.hard_negatives): every 50th
+    vector's 3 nearest DIFFERENT-label neighbors — the contrastive
+    training pairs a two-tower pipeline exports. Exact within the
+    complement constraint; the oracle replays the anti-label join and
+    the (unrounded cosine, id) ranking."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return similarity.hard_negatives(emb, queries, k=3)

@@ -2374,3 +2374,24 @@ def test_fim_transform_reconstructs(spark):
         spliced = " ".join(x for x in (pre, mid, suf) if x)
         assert spliced == originals[r.doc_id], r.doc_id
     assert 10 < n_fim < 50  # ~50% selection actually fires both ways
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    """Every mined negative has a different label than its query, and
+    the nearest same-label vector never appears even when it is the
+    global nearest neighbor."""
+    from logverzcore_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 7),
+        (1, [0.99, 0.14], 7),   # same label, nearly identical -> excluded
+        (2, [0.9, 0.43], 8),
+        (3, [0.0, 1.0], 9),
+        (4, [-1.0, 0.0], 8),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    q = emb.where("vec_id = 0")
+    out = hard_negatives(emb, q, k=3).collect()
+    got = [(r.negative_id, r.negative_label, r.rank) for r in sorted(out, key=lambda r: r.rank)]
+    assert [g[0] for g in got] == [2, 3, 4]
+    assert all(g[1] != 7 for g in got)

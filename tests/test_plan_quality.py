@@ -215,6 +215,7 @@ def test_suite_global_plan_invariants(spark):
         "t53_temperature_mixture",  # same _largest_remainder scalar joins as t50
         "t54_bigram_fluency",   # single-row vocabulary-size (V) broadcast join
         "s20_ivfpq_index_health",  # single-row index-total broadcast join over n_cells rows
+        "s21_hard_negatives",   # anti-label constraint can't equi-join: broadcast query block (s01 shape)
         "s19_hybrid_rrf",       # arms compose s01's broadcast-query scan + s17's stats join
     }
     streaming = {n for n in SUITE if n.startswith("st")}  # run eagerly; skip
