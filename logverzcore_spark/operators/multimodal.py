@@ -2060,3 +2060,66 @@ def sniff_dataset_meta(
         complete.alias("complete"),
         meta_len.alias("meta_len"),
     )
+
+
+def parse_npy_meta(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """NumPy ``.npy`` tensor-file metadata — dtype, shape, element
+    count, and payload completeness from the ASCII header dict, no
+    numpy in the path: the tensor sibling of ``sniff_dataset_meta`` for
+    ML data lakes full of exported arrays (embeddings, logits,
+    activations). Header offsets are FIXED given the version byte
+    (magic 6 + version 2 + header-len u16le for v1.x / u32le for
+    v2.x+), and the header itself is a one-line Python-dict literal —
+    so the whole parse is codegen: computed-offset substrings for the
+    length, one latin-1 decode, three regexes, and an in-row product
+    fold for the element count. ``complete`` checks the file actually
+    carries header + n_elems·itemsize bytes (a truncated upload fails
+    it). Non-NPY payloads → 'unknown' with NULLs."""
+    p = payload_col
+
+    def byte_at(off: int):
+        return F.expr(f"conv(hex(substring({p}, {off}, 1)), 16, 10)").cast("long")
+
+    magic_ok = F.expr(f"hex(substring({p}, 1, 6))") == "934E554D5059"
+    big_enough = F.expr(f"octet_length({p}) >= 12")
+    is_npy = big_enough & magic_ok
+    major = byte_at(7)
+    hlen = F.when(
+        major >= 2,
+        byte_at(9) + 256 * byte_at(10) + 65536 * byte_at(11) + 16777216 * byte_at(12),
+    ).otherwise(byte_at(9) + 256 * byte_at(10))
+    hstart = F.when(major >= 2, F.lit(13)).otherwise(F.lit(11))
+    header = F.expr(
+        f"decode(substring({p}, "
+        f"CASE WHEN conv(hex(substring({p}, 7, 1)), 16, 10) >= 2 THEN 13 ELSE 11 END, "
+        f"CASE WHEN conv(hex(substring({p}, 7, 1)), 16, 10) >= 2 "
+        f"THEN conv(hex(substring({p}, 9, 1)), 16, 10) + 256*conv(hex(substring({p}, 10, 1)), 16, 10) "
+        f"   + 65536*conv(hex(substring({p}, 11, 1)), 16, 10) + 16777216*conv(hex(substring({p}, 12, 1)), 16, 10) "
+        f"ELSE conv(hex(substring({p}, 9, 1)), 16, 10) + 256*conv(hex(substring({p}, 10, 1)), 16, 10) END), "
+        f"'ISO-8859-1')"
+    )
+    descr = F.regexp_extract(header, r"'descr':\s*'([^']+)'", 1)
+    fortran = header.contains("'fortran_order': True")
+    shape_txt = F.regexp_extract(header, r"'shape':\s*\(([^)]*)\)", 1)
+    dims = F.filter(
+        F.transform(F.split(shape_txt, ","), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    dims_l = F.transform(dims, lambda s: s.try_cast("long"))
+    n_elems = F.aggregate(dims_l, F.lit(1).cast("long"), lambda a, x: a * x)
+    item_bytes = F.regexp_extract(descr, r"(\d+)$", 1).try_cast("long")
+    data_bytes = n_elems * item_bytes
+    total_needed = (hstart + hlen - 1) + data_bytes
+    complete = F.expr(f"octet_length({p})") >= total_needed
+    return df.select(
+        F.col(id_col),
+        F.when(is_npy, F.lit("npy")).otherwise(F.lit("unknown")).alias("format"),
+        F.when(is_npy, descr).alias("dtype"),
+        F.when(is_npy, fortran).alias("fortran_order"),
+        F.when(is_npy, F.array_join(dims, "x")).alias("shape"),
+        F.when(is_npy, n_elems).alias("n_elems"),
+        F.when(is_npy, item_bytes).alias("item_bytes"),
+        F.coalesce(F.when(is_npy, complete), F.lit(False)).alias("complete"),
+    )

@@ -1672,3 +1672,84 @@ def m26_dataset_file_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.encode("text", "UTF-8"))
     )
     return sniff_dataset_meta(docs.select("doc_id", payload.alias("payload")))
+
+
+@query(
+    "m27_npy_tensor_probe",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id % 5 = 4 AS junk, doc_id % 6 = 0 AS trunc,
+             1 + doc_id % 3 AS nd,
+             1 + doc_id % 7 AS a, 2 + doc_id % 5 AS b, 1 + doc_id % 3 AS c,
+             CASE WHEN doc_id % 2 = 0 THEN '<f4' ELSE '<i8' END AS descr,
+             CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 8 END AS ib
+      FROM documents
+    ), e AS (
+      SELECT *,
+             CASE nd WHEN 1 THEN a WHEN 2 THEN a*b ELSE a*b*c END AS ne,
+             CASE nd WHEN 1 THEN CAST(a AS VARCHAR)
+                     WHEN 2 THEN a || 'x' || b
+                     ELSE a || 'x' || b || 'x' || c END AS shp
+      FROM p
+    )
+    SELECT doc_id,
+      CASE WHEN junk THEN 'unknown' ELSE 'npy' END AS format,
+      CASE WHEN NOT junk THEN descr END AS dtype,
+      CASE WHEN NOT junk THEN false END AS fortran_order,
+      CASE WHEN NOT junk THEN shp END AS shape,
+      CASE WHEN NOT junk THEN CAST(ne AS BIGINT) END AS n_elems,
+      CASE WHEN NOT junk THEN CAST(ib AS BIGINT) END AS item_bytes,
+      (NOT junk AND NOT trunc) AS complete
+    FROM e
+    """,
+)
+def m27_npy_tensor_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NumPy tensor-file triage (multimodal.parse_npy_meta): byte-exact
+    v1.0 .npy files built from doc_id — 1/2/3-dim shapes, f4/i8 dtypes,
+    header lengths that move with the shape text, payload zeros sized
+    n_elems·itemsize; every 6th file keeps only half its data (the
+    truncated-upload case completeness must catch), every 5th is junk.
+    The oracle restates dtype/shape/counts/completeness
+    arithmetically."""
+    from logverzcore_spark.operators.multimodal import parse_npy_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def le16(col):
+        be = F.lpad(F.hex(col.cast("long")), 4, "0")
+        return F.concat(F.substring(be, 3, 2), F.substring(be, 1, 2))
+
+    nd = (1 + d % 3).cast("int")
+    a = (1 + d % 7).cast("long")
+    b = (2 + d % 5).cast("long")
+    c = (1 + d % 3).cast("long")
+    descr = F.when(d % 2 == 0, F.lit("<f4")).otherwise(F.lit("<i8"))
+    ib = F.when(d % 2 == 0, F.lit(4)).otherwise(F.lit(8)).cast("long")
+    ne = (
+        F.when(nd == 1, a).when(nd == 2, a * b).otherwise(a * b * c)
+    ).cast("long")
+    shp_txt = (
+        F.when(nd == 1, F.concat(a.cast("string"), F.lit(",")))
+        .when(nd == 2, F.concat(a.cast("string"), F.lit(", "), b.cast("string")))
+        .otherwise(
+            F.concat(
+                a.cast("string"), F.lit(", "), b.cast("string"),
+                F.lit(", "), c.cast("string"),
+            )
+        )
+    )
+    header = F.concat(
+        F.lit("{'descr': '"), descr,
+        F.lit("', 'fortran_order': False, 'shape': ("), shp_txt, F.lit("), }"),
+    )
+    hlen = F.length(header).cast("long")
+    data_hex = F.repeat(F.lit("00"), (ne * ib).cast("int"))
+    data_trunc = F.repeat(F.lit("00"), ((ne * ib) / 2).cast("int"))
+    npy = F.concat(
+        F.lit("934E554D5059"), F.lit("0100"), le16(hlen),
+        F.hex(F.encode(header, "UTF-8")),
+        F.when(d % 6 == 0, data_trunc).otherwise(data_hex),
+    )
+    payload = F.when(d % 5 == 4, F.encode("text", "UTF-8")).otherwise(F.unhex(npy))
+    return parse_npy_meta(docs.select("doc_id", payload.alias("payload")))

@@ -2395,3 +2395,40 @@ def test_hard_negatives_excludes_same_label(spark):
     got = [(r.negative_id, r.negative_label, r.rank) for r in sorted(out, key=lambda r: r.rank)]
     assert [g[0] for g in got] == [2, 3, 4]
     assert all(g[1] != 7 for g in got)
+
+
+def test_parse_npy_meta_real_numpy_files(spark):
+    """Ground truth from numpy itself: np.save output parses with the
+    right dtype/shape/order; a v2.0 header (u32le length) also parses;
+    truncation fails completeness."""
+    import io
+
+    import numpy as np
+
+    from logverzcore_spark.operators.multimodal import parse_npy_meta
+
+    def npy_bytes(arr, version=None):
+        b = io.BytesIO()
+        if version:
+            np.lib.format.write_array(b, arr, version=version)
+        else:
+            np.save(b, arr)
+        return b.getvalue()
+
+    rows = [
+        (0, npy_bytes(np.zeros((3, 4), dtype="<f4"))),
+        (1, npy_bytes(np.arange(5, dtype="<i8"))),
+        (2, npy_bytes(np.asfortranarray(np.ones((2, 3, 4), dtype="<f8")))),
+        (3, npy_bytes(np.zeros((2, 2), dtype="<f4"), version=(2, 0))),
+        (4, npy_bytes(np.zeros((3, 4), dtype="<f4"))[:-10]),  # data truncated
+        (5, b"not a tensor"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in parse_npy_meta(df).collect()}
+    assert (out[0].dtype, out[0].shape, out[0].n_elems) == ("<f4", "3x4", 12)
+    assert out[0].complete is True and out[0].fortran_order is False
+    assert (out[1].shape, out[1].item_bytes) == ("5", 8)
+    assert out[2].fortran_order is True and out[2].n_elems == 24
+    assert out[3].format == "npy" and out[3].shape == "2x2" and out[3].complete is True
+    assert out[4].format == "npy" and out[4].complete is False
+    assert out[5].format == "unknown"
