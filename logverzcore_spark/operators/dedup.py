@@ -1498,3 +1498,54 @@ def snapshot_diff_report(
         .otherwise(F.lit("unchanged"))
     )
     return j.select(F.col(id_col), status.alias("status"), "old_fp", "new_fp")
+
+
+def dedup_threshold_sweep(
+    df: DataFrame,
+    thresholds: tuple[float, ...] = (0.3, 0.5, 0.7),
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup-threshold sensitivity report — how many near-dup pairs and
+    affected documents each candidate Jaccard threshold would commit
+    you to: the tuning table a team reads BEFORE burning a cluster week
+    on a full dedup pass at the wrong knob (too low deletes content,
+    too high ships duplicates).
+
+    The expensive part — the shingle self-join — runs ONCE at
+    ``min(thresholds)``; each candidate threshold is then a filter +
+    re-aggregation over the pair table, which is duplicate-evidence
+    sized, not corpus sized. Returns one row per threshold:
+    (threshold, n_pairs, n_dup_docs, dup_frac_bp) with zero-hit
+    thresholds present (left join from the literal threshold frame).
+    """
+    spark = df.sparkSession
+    ts = sorted(set(float(t) for t in thresholds))
+    pairs = ngram_jaccard_pairs(df, threshold=min(ts), n=n,
+                                text_col=text_col, id_col=id_col)
+    thr = spark.createDataFrame([(t,) for t in ts], "threshold double")
+    # Theta join: the literal threshold frame must BROADCAST (a planner
+    # left to its own devices picks CartesianProduct here — same rows,
+    # but the pair table would materialize once per threshold partition).
+    hits = F.broadcast(thr).join(pairs, pairs["jaccard"] >= thr["threshold"])
+    n_pairs = hits.groupBy("threshold").agg(F.count(F.lit(1)).alias("n_pairs"))
+    dup_docs = (
+        hits.select("threshold", F.explode(F.array("id1", "id2")).alias("did"))
+        .groupBy("threshold")
+        .agg(F.countDistinct("did").alias("n_dup_docs"))
+    )
+    total = df.agg(F.count(F.lit(1)).alias("total_"))
+    return (
+        thr.join(n_pairs, "threshold", "left")
+        .join(dup_docs, "threshold", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_dup_docs", F.lit(0)).cast("long").alias("n_dup_docs"),
+            F.expr("(10000 * coalesce(n_dup_docs, 0)) div total_")
+            .cast("long")
+            .alias("dup_frac_bp"),
+        )
+    )

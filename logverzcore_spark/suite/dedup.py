@@ -707,3 +707,56 @@ def d23_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new = changed.unionByName(added)
     return dedup.snapshot_diff_report(docs, new)
+
+
+@query(
+    "d24_threshold_sweep",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, greatest(len(t)-2, 0)+1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+      FROM tok
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT id1, id2, ROUND(c * 1.0 / (s1.n + s2.n - c), 4) AS j
+      FROM inter JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+    ), thr AS (
+      SELECT unnest([0.3, 0.5, 0.7]) AS threshold
+    ), hits AS (
+      SELECT t.threshold, s.id1, s.id2 FROM thr t
+      JOIN scored s ON s.j >= t.threshold
+    ), np AS (
+      SELECT threshold, COUNT(*) AS n_pairs FROM hits GROUP BY threshold
+    ), dd AS (
+      SELECT threshold, COUNT(DISTINCT u.did) AS n_dup_docs
+      FROM hits, UNNEST([id1, id2]) AS u(did) GROUP BY threshold
+    ), tot AS (
+      SELECT COUNT(*) AS n FROM documents
+    )
+    SELECT t.threshold,
+           CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(dd.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+           CAST((10000 * COALESCE(dd.n_dup_docs, 0)) // tot.n AS BIGINT)
+             AS dup_frac_bp
+    FROM thr t LEFT JOIN np USING (threshold) LEFT JOIN dd USING (threshold)
+    CROSS JOIN tot
+    """,
+)
+def d24_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-knob sensitivity (dedup.dedup_threshold_sweep): pair and
+    affected-document counts at Jaccard 0.3/0.5/0.7 from ONE shingle
+    self-join — the table that prices each threshold before a full
+    dedup pass commits to one. The oracle replays the scored pair CTE
+    and the per-threshold re-aggregation, zero-hit thresholds
+    included."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dedup_threshold_sweep(docs)

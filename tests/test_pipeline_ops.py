@@ -2432,3 +2432,24 @@ def test_parse_npy_meta_real_numpy_files(spark):
     assert out[3].format == "npy" and out[3].shape == "2x2" and out[3].complete is True
     assert out[4].format == "npy" and out[4].complete is False
     assert out[5].format == "unknown"
+
+
+def test_dedup_threshold_sweep_monotone(spark):
+    """Pair and doc counts are monotone non-increasing in the threshold;
+    zero-hit thresholds still appear with zeros."""
+    from logverzcore_spark.operators.dedup import dedup_threshold_sweep
+
+    base = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, base), (1, base),                       # exact dup pair -> j=1.0
+        (2, base + " eta theta"),                    # high-overlap
+        (3, "totally different words entirely here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.threshold: r for r in dedup_threshold_sweep(
+        df, thresholds=(0.3, 0.9, 0.999)).collect()}
+    assert set(out) == {0.3, 0.9, 0.999}
+    assert out[0.3].n_pairs >= out[0.9].n_pairs >= out[0.999].n_pairs
+    assert out[0.999].n_pairs == 1 and out[0.999].n_dup_docs == 2  # the exact dup
+    assert out[0.999].dup_frac_bp == 5000
+    assert out[0.3].n_dup_docs >= 3

@@ -216,6 +216,7 @@ def test_suite_global_plan_invariants(spark):
         "t54_bigram_fluency",   # single-row vocabulary-size (V) broadcast join
         "s20_ivfpq_index_health",  # single-row index-total broadcast join over n_cells rows
         "s21_hard_negatives",   # anti-label constraint can't equi-join: broadcast query block (s01 shape)
+        "d24_threshold_sweep",  # 3-row literal threshold frame theta-joins the pair table + 1-row total
         "s19_hybrid_rrf",       # arms compose s01's broadcast-query scan + s17's stats join
     }
     streaming = {n for n in SUITE if n.startswith("st")}  # run eagerly; skip
