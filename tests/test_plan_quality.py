@@ -258,6 +258,13 @@ def _n_exchanges(fmt: str) -> int:
         "t34_line_dedupe",
         "t35_prepare_text_pipeline",
         "t36_sentence_segments",
+        "t52_c4_line_filter",
+        "t56_fim_transform",
+        "q124_xml_roundtrip",
+        "q125_variant_extract",
+        "m25_avi_riff_probe",
+        "m26_dataset_file_probe",
+        "m27_npy_tensor_probe",
     ],
 )
 def test_per_row_ops_have_zero_exchanges(spark, name):
@@ -270,7 +277,8 @@ def test_per_row_ops_have_zero_exchanges(spark, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["t07_gopher_quality", "t08_dup_ngram_fraction"],
+    "name", ["t07_gopher_quality", "t08_dup_ngram_fraction",
+             "t51_repetition_profile"],
 )
 def test_quality_ops_shuffle_only_for_fanout(spark, name):
     """t07/t08 are per-row projections over fan_out(): exactly one
