@@ -344,3 +344,46 @@ def test_scd2_stream_fold_equals_batch(spark, obs, cuts):
         for t in (table, f"{table}_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
     assert got == expected
+
+
+@FAST
+@given(st.lists(st.integers(0, 2**62), min_size=1, max_size=200))
+def test_isqrt_matches_python_exactly(spark, xs):
+    """text.isqrt == math.isqrt for arbitrary non-negative longs — the
+    ±1 correction must absorb every IEEE sqrt rounding direction
+    (one batched Spark job per example list)."""
+    import math
+
+    from logverzcore_spark.operators.text import isqrt
+
+    df = spark.createDataFrame([(int(x),) for x in xs], "x long")
+    got = {r.x: r.s for r in df.select("x", isqrt(F.col("x")).alias("s")).collect()}
+    for x in set(xs):
+        assert got[x] == math.isqrt(x), x
+
+
+@FAST
+@given(
+    st.dictionaries(
+        st.sampled_from([f"s{i}" for i in range(8)]),
+        st.integers(1, 10**6),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(0, 10**9),
+)
+def test_largest_remainder_invariants(spark, weights, budget):
+    """Hamilton allocation properties for ARBITRARY weights/budgets:
+    allocations sum EXACTLY to the budget, each is within one unit of
+    the exact proportional share, and every weighted source appears."""
+    from logverzcore_spark.operators.text import mixture_allocation
+
+    rows = [(i, src, "tok tok tok") for i, src in enumerate(sorted(weights))]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = mixture_allocation(df, weights, total_tokens=budget).collect()
+    assert sorted(r.source for r in out) == sorted(weights)
+    assert sum(r.alloc_tokens for r in out) == budget
+    wsum = sum(weights.values())
+    for r in out:
+        exact = budget * weights[r.source] / wsum
+        assert abs(r.alloc_tokens - exact) < 1, (r.source, r.alloc_tokens, exact)
