@@ -4426,3 +4426,57 @@ def q125_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get("v", "$.tags[1]", "long").alias("tag1"),
         F.try_variant_get("v", "$.nope.deep", "long").alias("missing"),
     )
+
+
+@query(
+    "q126_ohlc_downsample",
+    oracle="""
+    WITH e AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+             event_type, ts, event_id,
+             CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ), r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY hour_ts, event_type
+                                ORDER BY ts ASC, event_id ASC) AS rk_open,
+             row_number() OVER (PARTITION BY hour_ts, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rk_close
+      FROM e
+    )
+    SELECT hour_ts, event_type,
+           MAX(CASE WHEN rk_open = 1 THEN cents END) AS open_cents,
+           MAX(cents) AS high_cents,
+           MIN(cents) AS low_cents,
+           MAX(CASE WHEN rk_close = 1 THEN cents END) AS close_cents,
+           COUNT(*) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS volume_cents
+    FROM r GROUP BY hour_ts, event_type
+    """,
+)
+def q126_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series OHLC downsampling (the hypertable-rollup shape a
+    monitoring/market pipeline renders): per (hour, event_type) bucket,
+    the opening and closing values (earliest/latest by (ts, event_id) —
+    the q50 packed-key argmax, NO window sort: min/max of a
+    (ts, id, cents) struct inside ONE map-side-combined aggregate) plus
+    high/low/volume in exact integer cents. The oracle replays the
+    tie-break with two window ranks."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    staged = ev.select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_ts"
+        ),
+        "event_type",
+        F.struct(F.col("ts"), F.col("event_id"), cents.alias("cents")).alias("_p"),
+        cents.alias("_c"),
+    )
+    return staged.groupBy("hour_ts", "event_type").agg(
+        F.min("_p").getField("cents").alias("open_cents"),
+        F.max("_c").alias("high_cents"),
+        F.min("_c").alias("low_cents"),
+        F.max("_p").getField("cents").alias("close_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("_c").cast("long").alias("volume_cents"),
+    )

@@ -479,3 +479,14 @@ def test_ivfpq_probe_scan_is_python_free(spark):
     finally:
         for suffix in ("", "_centroids", "_codebooks"):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}{suffix}")
+
+
+def test_q126_ohlc_aggregates_without_window_sort(spark):
+    """OHLC's open/close ride the q50 packed-key argmin/argmax: no
+    Window, no Sort, exactly one exchange (the bucket groupBy) with
+    map-side partial aggregation before it."""
+    fmt = _plan(spark, SUITE["q126_ohlc_downsample"](spark, SF_DIR))
+    assert "Window" not in fmt
+    assert "(Sort" not in fmt
+    assert _n_exchanges(fmt) == 1
+    assert fmt.index("HashAggregate") < fmt.index("Exchange")
