@@ -4457,11 +4457,16 @@ def q125_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q126_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series OHLC downsampling (the hypertable-rollup shape a
     monitoring/market pipeline renders): per (hour, event_type) bucket,
-    the opening and closing values (earliest/latest by (ts, event_id) —
-    the q50 packed-key argmax, NO window sort: min/max of a
-    (ts, id, cents) struct inside ONE map-side-combined aggregate) plus
-    high/low/volume in exact integer cents. The oracle replays the
-    tie-break with two window ranks."""
+    the opening and closing values — earliest/latest by (ts, event_id)
+    via ``min_by``/``max_by`` on the struct ordering key — plus
+    high/low/volume in exact integer cents. Plan: ONE exchange with the
+    partial aggregate BEFORE it (map-side combine shrinks the shuffle
+    from n events to n buckets — the property a row_number window can
+    never have), no Window; the struct ordering key costs a
+    SortAggregate fallback (struct buffers aren't hash-mutable — a
+    q50-style single-long pack would need 66 bits here, so the
+    bucket-key-local sort is the honest price of the exact tie-break).
+    The oracle replays the tie-break with two window ranks."""
     ev = _t(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
     staged = ev.select(
@@ -4469,14 +4474,14 @@ def q126_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hour_ts"
         ),
         "event_type",
-        F.struct(F.col("ts"), F.col("event_id"), cents.alias("cents")).alias("_p"),
+        F.struct(F.col("ts"), F.col("event_id")).alias("_k"),
         cents.alias("_c"),
     )
     return staged.groupBy("hour_ts", "event_type").agg(
-        F.min("_p").getField("cents").alias("open_cents"),
+        F.min_by("_c", "_k").alias("open_cents"),
         F.max("_c").alias("high_cents"),
         F.min("_c").alias("low_cents"),
-        F.max("_p").getField("cents").alias("close_cents"),
+        F.max_by("_c", "_k").alias("close_cents"),
         F.count(F.lit(1)).alias("n_events"),
         F.sum("_c").cast("long").alias("volume_cents"),
     )
