@@ -2334,3 +2334,63 @@ def fim_transform(
         F.when(F.col("_fim"), F.col("_c2")).alias("cut2"),
         F.when(F.col("_fim"), fim_text).otherwise(plain).alias("out_text"),
     )
+
+
+def seq_len_planning(
+    df: DataFrame,
+    lengths: tuple[int, ...] = (2048, 8192),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence-length planning table — what each candidate
+    ``max_seq_len`` costs on THIS corpus, before committing a packing
+    run (t11/t22) to one: per candidate L, how many documents overflow,
+    what share of tokens a truncation policy would discard, and the
+    bin-packing LOWER BOUND on pack count (``ceil(usable/L)`` — any
+    packer needs at least this many sequences; the t22 two-level cumsum
+    packer approaches it).
+
+    One corpus scan, ONE aggregate: every per-L statistic is a
+    conditional sum inside the same map-side-combined aggregation (the
+    candidate list is a literal — no corpus×L expansion), then the
+    single result row fans out to one row per L. All integer
+    arithmetic; shares in basis points."""
+    if not lengths:
+        raise ValueError("lengths must be non-empty")
+    ls = sorted(set(int(x) for x in lengths))
+    if any(x <= 0 for x in ls):
+        raise ValueError("lengths must be positive")
+    n = token_count(F.col(text_col)).cast("long")
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n).alias("total_tokens"),
+    ]
+    for L in ls:
+        aggs += [
+            F.sum(F.when(n > L, 1).otherwise(0)).alias(f"_over_{L}"),
+            F.sum(F.greatest(n - L, F.lit(0).cast("long"))).alias(f"_trunc_{L}"),
+            F.sum(F.least(n, F.lit(L).cast("long"))).alias(f"_use_{L}"),
+        ]
+    one = df.agg(*aggs)
+    parts = []
+    for L in ls:
+        parts.append(
+            one.select(
+                F.lit(L).cast("long").alias("max_seq_len"),
+                F.col("n_docs").cast("long").alias("n_docs"),
+                F.col("total_tokens").cast("long").alias("total_tokens"),
+                F.col(f"_over_{L}").cast("long").alias("n_docs_over"),
+                F.expr(f"(10000 * _over_{L}) div n_docs").cast("long").alias(
+                    "over_frac_bp"
+                ),
+                F.expr(
+                    f"case when total_tokens > 0 then (10000 * _trunc_{L}) div total_tokens else 0 end"
+                ).cast("long").alias("truncated_token_share_bp"),
+                F.col(f"_use_{L}").cast("long").alias("usable_tokens"),
+                F.expr(f"(_use_{L} + {L} - 1) div {L}").cast("long").alias("min_packs"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -2641,3 +2641,44 @@ def t56_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     where Spark concat_ws is '')."""
     docs = _t(spark, sf_dir, "documents")
     return text.fim_transform(docs)
+
+
+@query(
+    "t57_seq_len_planning",
+    oracle="""
+    WITH per AS (
+      SELECT len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '')) AS n
+      FROM documents
+    ), base AS (
+      SELECT COUNT(*) AS n_docs, SUM(n) AS total_tokens FROM per
+    ), l AS (
+      SELECT unnest([64, 256, 2048]) AS L
+    ), stats AS (
+      SELECT l.L,
+             SUM(CASE WHEN per.n > l.L THEN 1 ELSE 0 END) AS n_over,
+             SUM(greatest(per.n - l.L, 0)) AS n_trunc,
+             SUM(least(per.n, l.L)) AS n_use
+      FROM l CROSS JOIN per GROUP BY l.L
+    )
+    SELECT CAST(s.L AS BIGINT) AS max_seq_len,
+           CAST(b.n_docs AS BIGINT) AS n_docs,
+           CAST(b.total_tokens AS BIGINT) AS total_tokens,
+           CAST(s.n_over AS BIGINT) AS n_docs_over,
+           CAST((10000 * s.n_over) // b.n_docs AS BIGINT) AS over_frac_bp,
+           CAST(CASE WHEN b.total_tokens > 0
+                THEN (10000 * s.n_trunc) // b.total_tokens
+                ELSE 0 END AS BIGINT) AS truncated_token_share_bp,
+           CAST(s.n_use AS BIGINT) AS usable_tokens,
+           CAST((s.n_use + s.L - 1) // s.L AS BIGINT) AS min_packs
+    FROM stats s CROSS JOIN base b
+    """,
+)
+def t57_seq_len_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length planning (text.seq_len_planning): overflow-doc
+    share, truncation token loss, and the bin-packing lower bound at
+    candidate max_seq_len 64/256/2048 — one conditional-sum aggregate
+    over one scan. The oracle recomputes every per-L statistic
+    relationally."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.seq_len_planning(docs, lengths=(64, 256, 2048))

@@ -2453,3 +2453,28 @@ def test_dedup_threshold_sweep_monotone(spark):
     assert out[0.999].n_pairs == 1 and out[0.999].n_dup_docs == 2  # the exact dup
     assert out[0.999].dup_frac_bp == 5000
     assert out[0.3].n_dup_docs >= 3
+
+
+def test_seq_len_planning_hand_values(spark):
+    """Hand-checked: docs of 3/5/10 tokens at L=4 -> 2 overflow, 1+6
+    truncated tokens of 18 total, usable 3+4+4=11, min_packs ceil(11/4)=3;
+    at L=16 nothing overflows and min_packs = ceil(18/16) = 2."""
+    import pytest as _pytest
+
+    from logverzcore_spark.operators.text import seq_len_planning
+
+    rows = [(0, "a b c"), (1, "a b c d e"), (2, "a b c d e f g h i j")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.max_seq_len: r for r in seq_len_planning(df, lengths=(4, 16)).collect()}
+    l4 = out[4]
+    assert (l4.n_docs, l4.total_tokens) == (3, 18)
+    assert l4.n_docs_over == 2 and l4.over_frac_bp == 6666
+    assert l4.truncated_token_share_bp == (10000 * 7) // 18
+    assert l4.usable_tokens == 11 and l4.min_packs == 3
+    l16 = out[16]
+    assert l16.n_docs_over == 0 and l16.truncated_token_share_bp == 0
+    assert l16.usable_tokens == 18 and l16.min_packs == 2
+    with _pytest.raises(ValueError):
+        seq_len_planning(df, lengths=())
+    with _pytest.raises(ValueError):
+        seq_len_planning(df, lengths=(0,))
