@@ -1549,3 +1549,47 @@ def dedup_threshold_sweep(
             .alias("dup_frac_bp"),
         )
     )
+
+
+def dup_origin_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Duplicate ORIGIN attribution — for every exact-duplicate group
+    (d01's normalized fingerprint), whether the copies live inside one
+    source ('intra_source': re-posts, mirrors of a path within a host)
+    or span sources ('cross_source': syndication, scraped mirrors):
+    the split that decides the FIX — a crawler dedupe rule per host vs
+    a corpus-level canonical-source policy — where a flat dup count
+    decides nothing.
+
+    Returns one row per duplicated fingerprint: (fp, n_copies,
+    n_sources, origin, sources ≤ 10 distinct, sorted). One fingerprint
+    projection + ONE (fp) partial-agg shuffle; groups with n_copies = 1
+    drop out before anything wide."""
+    fp = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    )
+    per = df.select(fp.alias("fp"), F.col(source_col).alias("source"))
+    return (
+        per.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.slice(
+                F.sort_array(F.collect_set("source")), 1, 10
+            ).alias("sources"),
+        )
+        .where(F.col("n_copies") > 1)
+        .select(
+            "fp",
+            "n_copies",
+            "n_sources",
+            F.when(F.col("n_sources") > 1, F.lit("cross_source"))
+            .otherwise(F.lit("intra_source"))
+            .alias("origin"),
+            "sources",
+        )
+    )

@@ -760,3 +760,51 @@ def d24_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     included."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.dedup_threshold_sweep(docs)
+
+
+@query(
+    "d25_dup_origin",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 9 < 2 THEN 'shared boilerplate page body'
+                  WHEN doc_id % 9 < 4 THEN 'src-local template ' || source
+                  ELSE text END AS text
+      FROM documents
+    ), per AS (
+      SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             source
+      FROM planted
+    ), g AS (
+      SELECT fp, COUNT(*) AS n_copies,
+             COUNT(DISTINCT source) AS n_sources,
+             (list_sort(list_distinct(list(source))))[1:10] AS sources
+      FROM per GROUP BY fp HAVING COUNT(*) > 1
+    )
+    SELECT fp, CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(n_sources AS BIGINT) AS n_sources,
+           CASE WHEN n_sources > 1 THEN 'cross_source'
+                ELSE 'intra_source' END AS origin,
+           sources
+    FROM g
+    """,
+)
+def d25_dup_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-origin attribution (dedup.dup_origin_report): 2/9 of
+    docs collapse onto one cross-source boilerplate body, another 2/9
+    onto a per-source template (intra-source dups), the rest stay
+    unique — the report must classify each duplicated fingerprint's
+    spread correctly with sorted exemplar sources. One fingerprint
+    shuffle; singles drop before the wide columns."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 9 < 2, F.lit("shared boilerplate page body"))
+        .when(
+            F.col("doc_id") % 9 < 4,
+            F.concat(F.lit("src-local template "), F.col("source")),
+        )
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return dedup.dup_origin_report(planted)

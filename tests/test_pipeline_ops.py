@@ -2478,3 +2478,35 @@ def test_seq_len_planning_hand_values(spark):
         seq_len_planning(df, lengths=())
     with _pytest.raises(ValueError):
         seq_len_planning(df, lengths=(0,))
+
+
+def test_canary_scan_and_dup_origin(spark):
+    """Canary scan reports only planted docs (empty = gate passes);
+    dup-origin classifies cross- vs intra-source groups."""
+    import pytest as _pytest
+
+    from logverzcore_spark.operators.dedup import dup_origin_report
+    from logverzcore_spark.operators.text import BIGBENCH_CANARY, canary_scan
+
+    rows = [
+        (0, "a", f"clean doc then {BIGBENCH_CANARY} leaked"),
+        (1, "a", "clean doc"),
+        (2, "b", "another clean doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    hits = canary_scan(df).collect()
+    assert len(hits) == 1 and hits[0].source == "a" and hits[0].doc_ids == [0]
+    assert canary_scan(df.where("doc_id > 0")).count() == 0  # gate passes
+    with _pytest.raises(ValueError):
+        canary_scan(df, canaries=())
+
+    dups = [
+        (0, "a", "Same  Body"), (1, "b", "same body"),   # cross (normalized)
+        (2, "c", "local tpl"), (3, "c", "local tpl"),    # intra
+        (4, "d", "unique text"),
+    ]
+    ddf = spark.createDataFrame(dups, "doc_id long, source string, text string")
+    out = {r.origin: r for r in dup_origin_report(ddf).collect()}
+    assert out["cross_source"].n_copies == 2 and out["cross_source"].sources == ["a", "b"]
+    assert out["intra_source"].n_sources == 1 and out["intra_source"].sources == ["c"]
+    assert len(out) == 2  # the unique doc never appears
