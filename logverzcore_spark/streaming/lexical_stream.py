@@ -59,4 +59,58 @@ def bm25_append_stream(
     return writer.start()
 
 
-__all__ = ["bm25_append_stream"]
+__all__ = ["bm25_append_stream", "canary_scan_stream"]
+
+
+def canary_scan_stream(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    state_table: str,
+    canaries: tuple[str, ...] | None = None,
+    text_col: str = "text",
+    source_col: str = "source",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The eval-canary release gate (``text.canary_scan``) as a
+    CONTINUOUS check: every micro-batch of a collected corpus is
+    scanned for the literal canary strings and hits append to a state
+    table — so a leak is known at COLLECTION time, not discovered by a
+    pre-release scan months of data later. Per-row replay idempotence
+    via a (canary, doc_id) anti-join against the state (a re-delivered
+    hit appends nothing); reading the state grouped by (source, canary)
+    equals the batch scan over everything seen (suite st31 grades that
+    against t58's oracle verbatim)."""
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.operators.text import BIGBENCH_CANARY
+
+    cans = tuple(canaries) if canaries else (BIGBENCH_CANARY,)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        hits = None
+        for c in cans:
+            h = batch_df.where(F.col(text_col).contains(c)).select(
+                F.col(source_col).alias("source"),
+                F.lit(c).alias("canary"),
+                F.col("doc_id"),
+            )
+            hits = h if hits is None else hits.unionByName(h)
+        hits = hits.dropDuplicates(["canary", "doc_id"])
+        if spark.catalog.tableExists(state_table):
+            seen = spark.table(state_table).select("canary", "doc_id")
+            hits = hits.join(seen, ["canary", "doc_id"], "left_anti")
+            hits.write.mode("append").saveAsTable(state_table)
+        else:
+            hits.write.saveAsTable(state_table)
+        spark.catalog.refreshTable(state_table)
+
+    checkpoint = checkpoint_dir or os.path.join(
+        tempfile.gettempdir(), f"lvz_canary_{uuid.uuid4().hex[:8]}"
+    )
+    writer = doc_stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

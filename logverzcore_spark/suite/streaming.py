@@ -1328,3 +1328,58 @@ def st30_streaming_mixture_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in (state, f"{state}_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
     return out
+
+
+@query("st31_streaming_canary_gate", oracle=ORACLES["t58_canary_scan"])
+def st31_streaming_canary_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous eval-canary gate
+    (streaming/lexical_stream.canary_scan_stream): the canary-planted
+    corpus (t58's plant: every 41st doc) streams in 2 batches, hits
+    fold into a state table with (canary, doc_id) replay idempotence,
+    and the state grouped by (source, canary) must equal the batch scan
+    over everything seen — t58's oracle verbatim. A hit missed in
+    either batch, or a replay duplicate, breaks the hash."""
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.streaming.lexical_stream import canary_scan_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 41 == 0,
+            F.concat("text", F.lit(" canary:" + text.BIGBENCH_CANARY)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    run_id = _uuid.uuid4().hex[:8]
+    state = f"st31_canary_{run_id}"
+    try:
+        work = tempfile.mkdtemp(prefix=f"st31_{run_id}_")
+        src = os.path.join(work, "docs")
+        planted.coalesce(2).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = canary_scan_stream(
+            spark, stream, state, checkpoint_dir=os.path.join(work, "ck")
+        )
+        q.awaitTermination()
+        out = (
+            spark.table(state)
+            .groupBy("source", "canary")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs_hit"),
+                F.slice(
+                    F.sort_array(F.collect_list("doc_id")), 1, 20
+                ).alias("doc_ids"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {state}")
+    return out

@@ -804,3 +804,38 @@ def test_source_tokens_fold_crash_between_write_and_meta(spark):
     finally:
         for t in ("crashmix_t", "crashmix_t_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_canary_stream_replay_idempotent(spark, tmpdir_path):
+    """Re-running the REAL canary stream over the same source with a
+    FRESH checkpoint (full redelivery of every file) appends no
+    duplicate hit rows — per-row idempotence, not checkpoint luck."""
+    import os
+
+    from logverzcore_spark.operators.text import BIGBENCH_CANARY
+    from logverzcore_spark.streaming.lexical_stream import canary_scan_stream
+
+    tbl = "t_canary_state"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    rows = [
+        (0, "a", f"leak {BIGBENCH_CANARY} here"),
+        (1, "a", "clean"),
+        (2, "b", f"another {BIGBENCH_CANARY}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    src_dir = os.path.join(tmpdir_path, "canary_src")
+    df.coalesce(2).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    try:
+        for attempt in range(2):  # second run = fresh checkpoint, full replay
+            stream = spark.readStream.schema(schema).parquet(src_dir)
+            q = canary_scan_stream(
+                spark, stream, tbl,
+                checkpoint_dir=os.path.join(tmpdir_path, f"ck{attempt}"),
+            )
+            q.awaitTermination()
+            assert spark.table(tbl).count() == 2
+        got = {(r.source, r.doc_id) for r in spark.table(tbl).collect()}
+        assert got == {("a", 0), ("b", 2)}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
