@@ -1566,9 +1566,11 @@ def dup_origin_report(
     decides nothing.
 
     Returns one row per duplicated fingerprint: (fp, n_copies,
-    n_sources, origin, sources ≤ 10 distinct, sorted). One fingerprint
-    projection + ONE (fp) partial-agg shuffle; groups with n_copies = 1
-    drop out before anything wide."""
+    n_sources, origin, sources ≤ 10 distinct, sorted, comma-joined to
+    one STRING — flat scalar output so every downstream consumer,
+    including pandas-based hashers, canonicalizes it identically). One
+    fingerprint projection + ONE (fp) partial-agg shuffle; groups with
+    n_copies = 1 drop out before anything wide."""
     fp = F.md5(
         F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     )
@@ -1578,8 +1580,8 @@ def dup_origin_report(
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_copies"),
             F.countDistinct("source").cast("long").alias("n_sources"),
-            F.slice(
-                F.sort_array(F.collect_set("source")), 1, 10
+            F.array_join(
+                F.slice(F.sort_array(F.collect_set("source")), 1, 10), ","
             ).alias("sources"),
         )
         .where(F.col("n_copies") > 1)

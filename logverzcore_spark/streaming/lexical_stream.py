@@ -69,6 +69,7 @@ def canary_scan_stream(
     canaries: tuple[str, ...] | None = None,
     text_col: str = "text",
     source_col: str = "source",
+    id_col: str = "doc_id",
     checkpoint_dir: str | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
@@ -93,7 +94,7 @@ def canary_scan_stream(
             h = batch_df.where(F.col(text_col).contains(c)).select(
                 F.col(source_col).alias("source"),
                 F.lit(c).alias("canary"),
-                F.col("doc_id"),
+                F.col(id_col).alias("doc_id"),
             )
             hits = h if hits is None else hits.unionByName(h)
         hits = hits.dropDuplicates(["canary", "doc_id"])

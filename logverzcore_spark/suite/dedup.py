@@ -370,7 +370,7 @@ def d20_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s.doc_id,
            COUNT(*) AS n_shingles,
-           SUM(CASE WHEN d.n_docs = 1 THEN 1 ELSE 0 END) AS n_unique,
+           CAST(SUM(CASE WHEN d.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
            ROUND(SUM(CASE WHEN d.n_docs = 1 THEN 1 ELSE 0 END) * 1.0
                  / COUNT(*), 4) AS novelty
     FROM sh s JOIN df_ d ON s.sh = d.sh
@@ -778,7 +778,7 @@ def d24_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), g AS (
       SELECT fp, COUNT(*) AS n_copies,
              COUNT(DISTINCT source) AS n_sources,
-             (list_sort(list_distinct(list(source))))[1:10] AS sources
+             array_to_string((list_sort(list_distinct(list(source))))[1:10], ',') AS sources
       FROM per GROUP BY fp HAVING COUNT(*) > 1
     )
     SELECT fp, CAST(n_copies AS BIGINT) AS n_copies,

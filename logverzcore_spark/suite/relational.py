@@ -1780,10 +1780,10 @@ def q64_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM b GROUP BY event_type
     )
     SELECT b.event_type, COUNT(*) AS n,
-           SUM(CASE WHEN CAST(b.c AS DOUBLE) < p.lo THEN 1 ELSE 0 END) AS n_low,
-           SUM(CASE WHEN CAST(b.c AS DOUBLE) > p.hi THEN 1 ELSE 0 END) AS n_high,
-           SUM(LEAST(GREATEST(b.c, CAST(CEIL(p.lo) AS BIGINT)),
-                     CAST(FLOOR(p.hi) AS BIGINT))) AS clipped_sum_cents,
+           CAST(SUM(CASE WHEN CAST(b.c AS DOUBLE) < p.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN CAST(b.c AS DOUBLE) > p.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(SUM(LEAST(GREATEST(b.c, CAST(CEIL(p.lo) AS BIGINT)),
+                     CAST(FLOOR(p.hi) AS BIGINT))) AS BIGINT) AS clipped_sum_cents,
            ROUND(p.lo / 100.0, 4) AS lo, ROUND(p.hi / 100.0, 4) AS hi
     FROM b JOIN p USING (event_type)
     GROUP BY b.event_type, p.lo, p.hi
@@ -2416,10 +2416,10 @@ def q80_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q81_late_ship_priority",
     oracle="""
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
       AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -2898,8 +2898,8 @@ def q91_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events CROSS JOIN z
     )
     SELECT tz,
-           SUM(CASE WHEN EXTRACT(hour FROM lt) BETWEEN 9 AND 17
-                    THEN 1 ELSE 0 END) AS business_hours_events,
+           CAST(SUM(CASE WHEN EXTRACT(hour FROM lt) BETWEEN 9 AND 17
+                    THEN 1 ELSE 0 END) AS BIGINT) AS business_hours_events,
            COUNT(*) AS n_events,
            MIN(strftime(lt, '%Y-%m-%d %H:%M:%S')) AS first_local
     FROM local_ts GROUP BY tz
@@ -2945,8 +2945,8 @@ def q92_timezone_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT schema_ver, o_orderstatus,
            COUNT(*) AS n,
-           SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
-             AS n_missing_priority
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_missing_priority
     FROM unioned GROUP BY schema_ver, o_orderstatus
     """,
 )
@@ -3060,11 +3060,11 @@ def q95_lateral_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders WHERE o_orderkey <= 3000
     )
     SELECT
-      SUM(CASE WHEN a.p IS NOT DISTINCT FROM b.p THEN 1 ELSE 0 END)
-        AS n_null_safe_eq,
-      SUM(CASE WHEN a.p = b.p THEN 1 ELSE 0 END) AS n_plain_eq,
-      SUM(CASE WHEN a.p IS DISTINCT FROM b.p THEN 1 ELSE 0 END)
-        AS n_distinct_from
+      CAST(SUM(CASE WHEN a.p IS NOT DISTINCT FROM b.p THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_null_safe_eq,
+      CAST(SUM(CASE WHEN a.p = b.p THEN 1 ELSE 0 END) AS BIGINT) AS n_plain_eq,
+      CAST(SUM(CASE WHEN a.p IS DISTINCT FROM b.p THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_distinct_from
     FROM t a JOIN t b ON a.o_orderkey = b.o_orderkey
     """,
 )
@@ -3132,13 +3132,13 @@ def q97_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q98_try_arithmetic",
     oracle="""
     SELECT l_returnflag,
-           SUM(CASE WHEN l_discount = 0 THEN NULL
+           CAST(SUM(CASE WHEN l_discount = 0 THEN NULL
                     ELSE CAST(FLOOR(l_quantity / l_discount) AS BIGINT) END)
-             AS sum_qty_per_disc,
-           SUM(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS n_zero_disc,
-           SUM(TRY_CAST(CASE WHEN l_linenumber <= 4
+             AS BIGINT) AS sum_qty_per_disc,
+           CAST(SUM(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_disc,
+           CAST(SUM(TRY_CAST(CASE WHEN l_linenumber <= 4
                              THEN CAST(l_linenumber AS VARCHAR)
-                             ELSE 'seven' END AS BIGINT)) AS sum_parsed
+                             ELSE 'seven' END AS BIGINT)) AS BIGINT) AS sum_parsed
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -3489,8 +3489,8 @@ def q103_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n,
            ROUND(s.med / 1000000.0, 6) AS median_value,
            ROUND(s.mad / 1000000.0, 6) AS mad_value,
-           SUM(CASE WHEN ABS(d.v - s.med) > 3 * s.mad THEN 1 ELSE 0 END)
-             AS n_outliers
+           CAST(SUM(CASE WHEN ABS(d.v - s.med) > 3 * s.mad THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_outliers
     FROM d JOIN s ON d.event_type = s.event_type
     GROUP BY d.event_type, s.med, s.mad
     """,

@@ -1374,8 +1374,8 @@ def st31_streaming_canary_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("source", "canary")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_docs_hit"),
-                F.slice(
-                    F.sort_array(F.collect_list("doc_id")), 1, 20
+                F.array_join(
+                    F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20), ","
                 ).alias("doc_ids"),
             )
             .localCheckpoint(eager=True)

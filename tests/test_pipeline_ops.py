@@ -2495,10 +2495,14 @@ def test_canary_scan_and_dup_origin(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, source string, text string")
     hits = canary_scan(df).collect()
-    assert len(hits) == 1 and hits[0].source == "a" and hits[0].doc_ids == [0]
+    assert len(hits) == 1 and hits[0].source == "a" and hits[0].doc_ids == "0"
     assert canary_scan(df.where("doc_id > 0")).count() == 0  # gate passes
     with _pytest.raises(ValueError):
         canary_scan(df, canaries=())
+    # id_col parameterization: a frame with a different id column works
+    renamed = df.withColumnRenamed("doc_id", "page_id")
+    hits2 = canary_scan(renamed, id_col="page_id").collect()
+    assert len(hits2) == 1 and hits2[0].doc_ids == "0"
 
     dups = [
         (0, "a", "Same  Body"), (1, "b", "same body"),   # cross (normalized)
@@ -2507,6 +2511,6 @@ def test_canary_scan_and_dup_origin(spark):
     ]
     ddf = spark.createDataFrame(dups, "doc_id long, source string, text string")
     out = {r.origin: r for r in dup_origin_report(ddf).collect()}
-    assert out["cross_source"].n_copies == 2 and out["cross_source"].sources == ["a", "b"]
-    assert out["intra_source"].n_sources == 1 and out["intra_source"].sources == ["c"]
+    assert out["cross_source"].n_copies == 2 and out["cross_source"].sources == "a,b"
+    assert out["intra_source"].n_sources == 1 and out["intra_source"].sources == "c"
     assert len(out) == 2  # the unique doc never appears

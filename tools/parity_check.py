@@ -282,13 +282,41 @@ def main() -> int:
             print(f"ok   {name}: rows-only ({len(srows)} rows, {secs:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            dtypes = [str(t) for t in rel.types]
+            drows = rel.fetchall()
         except Exception as exc:
             failures.append(name)
             record(name, spark_rows=len(srows), err=f"duckdb error: {exc}", secs=secs)
             print(f"FAIL {name}: duckdb error: {exc}")
+            continue
+        # DTYPE GUARD (r7, VERDICT task 1c): the driver's pandas-based
+        # hash canonicalizer is dtype-sensitive — DuckDB HUGEINT becomes
+        # pandas object dtype (hash-mismatches an int64 Spark column even
+        # when values are equal) and nested LIST/STRUCT/MAP cells crash
+        # it outright ("unhashable type: 'list'"). Fail ANY entry whose
+        # oracle or Spark output carries such a column, so no future
+        # oracle reintroduces the incompatibility. Fix pattern:
+        # CAST(... AS BIGINT) for wide ints, array_join/array_to_string
+        # for arrays — on BOTH sides.
+        duck_bad = [
+            (c, t) for c, t in zip(dcols, dtypes)
+            if "HUGEINT" in t.upper() or "[]" in t
+            or t.upper().startswith(("STRUCT", "MAP", "LIST", "UNION"))
+        ]
+        spark_bad = [
+            (f.name, f.dataType.simpleString())
+            for f in sdf.schema.fields
+            if f.dataType.simpleString().startswith(("array", "map", "struct"))
+        ]
+        if duck_bad or spark_bad:
+            failures.append(name)
+            record(name, spark_rows=len(srows), oracle_rows=len(drows),
+                   err=f"dtype guard: oracle={duck_bad} spark={spark_bad}",
+                   secs=secs)
+            print(f"FAIL {name}: driver-incompatible dtypes "
+                  f"oracle={duck_bad} spark={spark_bad}")
             continue
         if sorted(scols) != sorted(dcols):
             failures.append(name)
