@@ -329,10 +329,22 @@ def export_zordered(
     for c in cols:
         aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
     row = df.agg(*aggs).first()
-    bounds = [(float(row[f"_lo_{c}"]), float(row[f"_hi_{c}"])) for c in cols]
-    keyed = df.withColumn(
-        "zkey", zorder_key([F.col(c) for c in cols], bounds, bits=bits)
-    )
+    # Degenerate-column fallback (same contract as ingest._zorder_value):
+    # an all-NULL column gets synthetic (0, 1) bounds, a constant column
+    # widens hi to lo+1, and NULL cells coalesce to the column min so
+    # every row lands in a shard instead of a NULL key.
+    bounds, inputs = [], []
+    for c in cols:
+        lo, hi = row[f"_lo_{c}"], row[f"_hi_{c}"]
+        lo = None if lo is None else float(lo)
+        hi = None if hi is None else float(hi)
+        if lo is None:
+            lo, hi = 0.0, 1.0
+        elif hi is None or not hi > lo:
+            hi = lo + 1.0
+        bounds.append((lo, hi))
+        inputs.append(F.coalesce(F.col(c).cast("double"), F.lit(lo)))
+    keyed = df.withColumn("zkey", zorder_key(inputs, bounds, bits=bits))
     kb = range_bounds(keyed, "zkey", n_shards)
     (
         keyed.withColumn("shard", range_shard_assign(F.col("zkey"), kb))
@@ -444,16 +456,33 @@ def delete_rows(
     affected originals and moves the replacements in. The swap is
     file-at-a-time (not atomic across files) — production object-store
     deployments do the same rewrite under a table format's commit
-    (Delta/Iceberg); here the staging dir + idempotent re-run is the
-    recovery story, documented honestly.
+    (Delta/Iceberg); here the recovery story is a WRITE-AHEAD MANIFEST
+    in the staging dir: ``_touched.json`` (the originals to delete) is
+    written only after the staged replacements are complete, and no
+    original is deleted before it exists. On entry, a leftover staging
+    dir is resolved before anything is recomputed: with a manifest, the
+    prior swap is FINISHED (delete any still-present manifest'd
+    originals, move the remaining staged files in); without one, the
+    prior run died mid-stage with all originals intact, so the staging
+    dir is simply discarded. Every crash window re-runs to the correct
+    final state — including the window the naive "recompute and
+    overwrite tmp" approach corrupts (crash after some originals were
+    deleted: the un-moved replacements are the only copy of those
+    files' surviving rows).
 
     ``ids_df`` must be a single-column DataFrame of ids (kept
     distributed until the broadcast — never collected). Returns
     {files_total, files_rewritten, rows_deleted}.
     """
+    import json
+
     jpath = spark._jvm.org.apache.hadoop.fs.Path
     fs = jpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
     ids = ids_df.toDF(id_col)
+
+    tmp = path.rstrip("/") + ".delete-tmp"
+    if fs.exists(jpath(tmp)):
+        _finish_or_discard_delete_staging(spark, fs, jpath, path, tmp)
 
     src = spark.read.parquet(path)
     touched = [
@@ -473,9 +502,17 @@ def delete_rows(
     affected = spark.read.parquet(*touched)
     n_before = affected.count()
     kept = affected.join(F.broadcast(ids), id_col, "anti")
-    tmp = path.rstrip("/") + ".delete-tmp"
     kept.repartition(max(1, len(touched))).write.mode("overwrite").parquet(tmp)
     n_after = spark.read.parquet(tmp).count()
+
+    # Write-ahead manifest: staged replacements are complete, so record
+    # the originals to delete BEFORE deleting any — a crash anywhere
+    # after this point is finished (not redone) by the entry recovery.
+    out = fs.create(jpath(os.path.join(tmp, "_touched.json")), True)
+    try:
+        out.write(bytearray(json.dumps(sorted(touched)).encode("utf-8")))
+    finally:
+        out.close()
 
     for f in touched:
         fs.delete(jpath(f), False)
@@ -492,6 +529,40 @@ def delete_rows(
         "files_rewritten": len(touched),
         "rows_deleted": int(n_before - n_after),
     }
+
+
+def _finish_or_discard_delete_staging(spark, fs, jpath, path: str, tmp: str) -> None:
+    """Resolve a leftover ``delete_rows`` staging dir (crash recovery).
+
+    With a ``_touched.json`` manifest the staged replacements were
+    complete and some originals may already be gone: finish the swap —
+    delete any manifest'd original that still exists, move the staged
+    part files in, drop the staging dir. Without a manifest the prior
+    run died before any original was touched: discard the stage.
+    Idempotent — a crash during recovery re-enters the same path."""
+    import json
+
+    mf = jpath(os.path.join(tmp, "_touched.json"))
+    if not fs.exists(mf):
+        fs.delete(jpath(tmp), True)
+        return
+    stream = fs.open(mf)
+    try:
+        raw = bytes(
+            spark._jvm.org.apache.hadoop.io.IOUtils.readFullyToByteArray(stream)
+        )
+    finally:
+        stream.close()
+    for f in json.loads(raw.decode("utf-8")):
+        fs.delete(jpath(f), False)
+    it = fs.listFiles(jpath(tmp), True)
+    dest = jpath(path)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("part-"):
+            fs.rename(st.getPath(), jpath(dest, "deleted-" + name))
+    fs.delete(jpath(tmp), True)
 
 
 class CompactedAppendSink:
@@ -584,6 +655,22 @@ class CompactedAppendSink:
         if int(batch_id) % self.compact_every == self.compact_every - 1:
             self.compact(spark)
 
+    def _recover_swap(self, spark) -> None:
+        """Resume an interrupted base swap: a crash between
+        ``rename(base, old)`` and ``rename(tmp, base)`` leaves ``old``
+        holding the ONLY copy of all previously folded batches (their
+        markers exist and their inbox dirs are gone, so nothing can be
+        re-ingested). Roll ``old`` back to ``base`` before anything else
+        reads or deletes it. When both exist the swap completed and
+        ``old`` is a stale copy — leave it for compact()'s cleanup."""
+        jpath, fs = self._fs(spark)
+        old = jpath(self.base + ".old")
+        if not fs.exists(jpath(self.base)) and fs.exists(old):
+            if not fs.rename(old, jpath(self.base)):
+                raise IOError(
+                    "CompactedAppendSink: could not roll back interrupted swap"
+                )
+
     def compact(self, spark) -> int:
         """Fold every committed, not-yet-consumed inbox dir into base.
         Returns how many batch dirs were folded."""
@@ -591,6 +678,7 @@ class CompactedAppendSink:
         import math
 
         jpath, fs = self._fs(spark)
+        self._recover_swap(spark)
         consumed = self._consumed(spark)
         committed = {
             i
@@ -638,6 +726,7 @@ class CompactedAppendSink:
     def read_view(self, spark) -> DataFrame:
         """Consistent view: base + committed inbox dirs not yet folded."""
         jpath, fs = self._fs(spark)
+        self._recover_swap(spark)
         consumed = self._consumed(spark)
         parts = [
             os.path.join(self.inbox, str(i))

@@ -129,7 +129,11 @@ def _zorder_value(df, cols: list[str], bits: int = 16):
         (lo, hi), col = bounds[0], inputs[0]
         q = F.floor((col - F.lit(lo)) * F.lit(top / (hi - lo))).cast("long")
         return F.greatest(F.lit(0).cast("long"), F.least(F.lit(top).cast("long"), q))
-    return zorder_key(inputs, bounds, bits=bits)
+    # The 64-bit key fits bits*ncols <= 62 interleaved bits; shrink the
+    # per-column grid for wide column lists (4+ cols at the default 16
+    # bits) instead of surfacing zorder_key's hard cap to callers —
+    # coarser quantization, same clustering contract.
+    return zorder_key(inputs, bounds, bits=min(bits, 62 // len(cols)))
 
 
 @contextmanager

@@ -425,3 +425,118 @@ def test_compacted_sink_replay_and_crash_windows(spark, tmpdir_path):
     assert sink.read_view(spark).count() == 25
     # base is the only data dir left after cleanup
     assert sink._inbox_ids(spark) == []
+
+
+def test_delete_rows_recovers_interrupted_swap(spark, tmpdir_path):
+    """Crash recovery for delete_rows' worst window: staged replacements
+    complete (manifest written), SOME originals already deleted, nothing
+    renamed in. A naive re-run would recompute from survivors and
+    clobber the staging dir — losing the deleted files' surviving rows.
+    The entry recovery must FINISH the swap first, so the final state is
+    exact. Also: a stage without a manifest (crash mid-write, originals
+    all intact) is discarded, not consumed."""
+    import shutil
+
+    path = os.path.join(tmpdir_path, "corpus_rec")
+    df = spark.range(0, 80).withColumn("grp", (F.col("id") / 10).cast("int"))
+    df.repartitionByRange(8, "grp").write.parquet(path)
+
+    # Reproduce the pre-crash state by hand: stage kept rows + manifest
+    # for the two files holding ids {5, 12}, then delete ONE of them
+    # (crash after the first fs.delete, before any rename).
+    import json as _json
+
+    src = spark.read.parquet(path)
+    doomed = spark.createDataFrame([(5,), (12,)], "id long")
+    touched = [
+        r["f"]
+        for r in src.select("id", F.input_file_name().alias("f"))
+        .join(F.broadcast(doomed), "id", "semi")
+        .select("f").distinct().collect()
+    ]
+    assert len(touched) == 2
+    tmp = path + ".delete-tmp"
+    kept = spark.read.parquet(*touched).join(F.broadcast(doomed), "id", "anti")
+    kept.repartition(2).write.parquet(tmp)
+    with open(os.path.join(tmp, "_touched.json"), "w") as fh:
+        _json.dump(sorted(touched), fh)
+    first = touched[0].replace("file://", "").replace("file:", "")
+    os.remove(first)  # the crash: one original gone, replacements un-moved
+
+    # Recovery path: a fresh delete_rows (even a no-op id set) must first
+    # finish the swap — no rows lost, doomed ids gone.
+    stats = export.delete_rows(
+        spark, path, spark.createDataFrame([(9999,)], "id long"), "id"
+    )
+    assert stats["rows_deleted"] == 0 and stats["files_rewritten"] == 0
+    back = spark.read.parquet(path)
+    assert back.count() == 78
+    assert back.where(F.col("id").isin(5, 12)).count() == 0
+    assert not os.path.exists(tmp)
+
+    # Manifest-less stage (crash before the write-ahead point): discarded.
+    os.makedirs(tmp)
+    spark.range(0, 5).write.mode("overwrite").parquet(os.path.join(tmp))
+    stats2 = export.delete_rows(
+        spark, path, spark.createDataFrame([(9999,)], "id long"), "id"
+    )
+    assert stats2["rows_deleted"] == 0
+    assert spark.read.parquet(path).count() == 78
+    assert not os.path.exists(tmp)
+    shutil.rmtree(path)
+
+
+def test_compacted_sink_recovers_interrupted_base_swap(spark, tmpdir_path):
+    """Crash between rename(base, old) and rename(tmp, base): base.old
+    holds the ONLY copy of every folded batch (markers exist, inbox dirs
+    cleaned). Both compact() and read_view() must roll base.old back to
+    base instead of deleting it — the pre-fix code destroyed compacted
+    history in exactly this window."""
+    out = os.path.join(tmpdir_path, "sink_rec")
+    sink = export.CompactedAppendSink(out, compact_every=100)
+    b = lambda lo, hi: spark.range(lo, hi).withColumn("v", F.col("id") * 10)
+    sink.process(b(0, 10), 0)
+    sink.process(b(10, 20), 1)
+    assert sink.compact(spark) == 2
+    assert sink.read_view(spark).count() == 20
+
+    # Simulate the crash window: base staged aside, tmp never moved in.
+    os.rename(sink.base, sink.base + ".old")
+    assert not os.path.exists(sink.base)
+
+    sink.process(b(20, 25), 2)  # lands in inbox; then compact recovers
+    assert sink.compact(spark) == 1
+    view = sink.read_view(spark)
+    assert view.count() == 25  # nothing lost, nothing duplicated
+    assert view.agg(F.sum("v")).first()[0] == 10 * sum(range(25))
+
+    # read_view alone also recovers (no compact in between)
+    os.rename(sink.base, sink.base + ".old")
+    assert sink.read_view(spark).count() == 25
+    assert os.path.exists(sink.base)
+
+
+def test_zorder_degenerate_columns_and_wide_column_lists(spark, tmpdir_path):
+    """export_zordered handles all-NULL and constant cluster columns
+    (synthetic bounds + NULL coalesce instead of TypeError/ValueError),
+    and ingest's compaction z-value accepts 4+ columns by shrinking
+    per-column bits under the 62-bit key cap."""
+    from logverzcore_spark.ingest import _zorder_value
+
+    df = (
+        spark.range(0, 100)
+        .withColumn("a", F.col("id").cast("double"))
+        .withColumn("allnull", F.lit(None).cast("double"))
+        .withColumn("const", F.lit(7.0))
+    )
+    out = os.path.join(tmpdir_path, "zdeg")
+    man = export.export_zordered(df, out, ["a", "allnull", "const"], n_shards=2)
+    assert man.agg(F.sum("n_rows")).first()[0] == 100
+
+    # 4+ columns: old hard cap (16*4=64 > 62) now auto-shrinks to 15 bits
+    df4 = df.withColumn("b", (F.col("id") % 10).cast("double"))
+    vals = df4.select(
+        _zorder_value(df4, ["a", "b", "const", "allnull"]).alias("z")
+    )
+    assert vals.where(F.col("z").isNull()).count() == 0
+    assert vals.distinct().count() > 1
