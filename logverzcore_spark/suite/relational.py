@@ -4485,3 +4485,72 @@ def q126_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("_c").cast("long").alias("volume_cents"),
     )
+
+
+@query(
+    "q127_avro_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars,
+           length(text) AS n_text,
+           CAST(NULL AS VARCHAR) AS _corrupt_record
+    FROM documents
+    """,
+)
+def q127_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro ingestion round-trip (sources.avro_ocf.read_avro): the
+    documents table is serialized to REAL Avro object container files —
+    one null-codec, one raw-deflate, exercising both block codecs and
+    the multi-file schema-consistency check — then read back through
+    the avro source (native spark-avro when on the classpath, the
+    self-contained binaryFile + mapInPandas OCF decoder here) with the
+    CSV path's quarantine contract. The oracle is the identity on the
+    source columns, so any varint/zigzag/union/codec loss breaks the
+    hash; _corrupt_record must come back NULL for every row. Fixture
+    build is driver-side and bounded by the suite SF (the m13
+    build-and-parse pattern); the READ is the graded artifact — a
+    binaryFile scan decoded one file per task, which at 100 TB
+    distributes by file exactly like the ZIP path."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.sources.avro_ocf import encode_ocf, read_avro
+
+    docs = _t(spark, sf_dir, "documents")
+    rows = sorted(
+        (r.asDict() for r in docs.collect()), key=lambda r: r["doc_id"]
+    )
+    avro_schema = {
+        "type": "record",
+        "name": "document",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "text", "type": ["null", "string"]},
+            {"name": "lang", "type": ["null", "string"]},
+            {"name": "source", "type": ["null", "string"]},
+            {"name": "n_chars", "type": ["null", "long"]},
+        ],
+    }
+    path = os.path.join(tempfile.gettempdir(), f"q127_avro_{_uuid.uuid4().hex[:8]}")
+    os.makedirs(path)
+    try:
+        half = len(rows) // 2
+        with open(os.path.join(path, "part-0.avro"), "wb") as fh:
+            fh.write(encode_ocf(rows[:half], avro_schema, codec="null"))
+        with open(os.path.join(path, "part-1.avro"), "wb") as fh:
+            fh.write(encode_ocf(rows[half:], avro_schema, codec="deflate"))
+        out = (
+            read_avro(spark, path)
+            .select(
+                "doc_id",
+                "lang",
+                "source",
+                "n_chars",
+                F.length("text").alias("n_text"),
+                "_corrupt_record",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
