@@ -100,6 +100,104 @@ def export_shards(
     return manifest
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    seed: int,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Seeded, reproducible global pseudo-shuffle — the epoch-level
+    reorder a training pipeline needs: every epoch sees the corpus in a
+    different order, yet any epoch REPLAYS exactly (trainer restart,
+    shard re-export, cross-run audit) because the order is a pure
+    function of (seed, id), not of partitioning, timing, or engine.
+
+    Key = ``md5(seed ':' id)`` — engine-portable (any SQL engine
+    replays it; suite t59 hash-verifies against DuckDB), unlike
+    xxhash64/rand(seed). Shard = leading key hex mod ``n_shards`` (the
+    shard_assign construction on the epoch key, so shard MEMBERSHIP
+    reshuffles per epoch too); ``epoch_rank`` = 1-based position within
+    the shard in key order.
+
+    The rank is TWO-LEVEL, never a global or per-shard window (a
+    window partitioned only by shard serializes each shard onto one
+    task — a 6 TB sort per shard at 100 TB): rows bucket by the key's
+    LEADING two hex digits (a prefix of the sort key, so bucket order
+    equals key order within every shard — bucketing on any non-prefix
+    substring breaks the equivalence), per-(shard, bucket) counts give
+    running offsets over
+    a ≤ n_shards×256-row frame (driver-free, broadcast back), and each
+    bucket's in-partition row_number adds its offset. Same answer as
+    the naive window; the only corpus-wide exchange is the (shard,
+    bucket) hash shuffle. Returns ``df``'s columns + (shard,
+    epoch_rank)."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(f"{int(seed)}:"), F.col(id_col).cast("string")))
+    h = df.withColumn("_ek", key).withColumn(
+        "shard",
+        F.pmod(
+            F.conv(F.substring("_ek", 1, 4), 16, 10).cast("long"),
+            F.lit(n_shards),
+        ).cast("int"),
+    ).withColumn("_bkt", F.substring("_ek", 1, 2))
+    counts = h.groupBy("shard", "_bkt").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = (
+        Window.partitionBy("shard")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "shard", "_bkt",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w_in = Window.partitionBy("shard", "_bkt").orderBy("_ek", id_col)
+    return (
+        h.join(F.broadcast(offsets), ["shard", "_bkt"])
+        .withColumn(
+            "epoch_rank",
+            (F.row_number().over(w_in) + F.col("_off")).cast("long"),
+        )
+        .drop("_ek", "_bkt")
+    )
+
+
+def export_epoch_shards(
+    df: DataFrame,
+    out_dir: str,
+    seed: int,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    max_records_per_file: int = 100_000,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Write one epoch's shuffled corpus as ``out_dir/shard=K/``
+    directories whose file order IS the epoch order (rows sorted by
+    epoch_rank within each shard directory), plus a per-shard manifest.
+    Same single-shuffle write discipline as export_shards: repartition
+    on the shard column, sort within tasks — a trainer streams shard K
+    in epoch order by reading its files in name order."""
+    shuffled = epoch_shuffle(df, seed, id_col=id_col, n_shards=n_shards)
+    (
+        shuffled.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "epoch_rank")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("shard")
+        .format(fmt)
+        .save(out_dir)
+    )
+    manifest = shuffled.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("epoch_rank").alias("first_rank"),
+        F.max("epoch_rank").alias("last_rank"),
+    )
+    manifest.coalesce(1).write.mode("overwrite").format("parquet").save(
+        os.path.join(out_dir, "_manifest")
+    )
+    return manifest
+
+
 def export_shards_stream(
     spark,
     source_stream: DataFrame,

@@ -2719,3 +2719,43 @@ def t58_canary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")).alias("text"),
     )
     return text.canary_scan(planted)
+
+
+@query(
+    "t59_epoch_shuffle",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    ), a AS (
+      SELECT doc_id, k,
+             ((strpos('0123456789abcdef', substring(k, 1, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substring(k, 2, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substring(k, 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substring(k, 4, 1)) - 1)) % 16
+               AS shard
+      FROM h
+    )
+    SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                AS BIGINT) AS epoch_rank
+    FROM a
+    """,
+)
+def t59_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (export.epoch_shuffle, seed 7): the
+    seeded md5 pseudo-shuffle that gives every training epoch a
+    different but exactly replayable corpus order — shard membership
+    AND intra-shard rank are pure functions of (seed, doc_id). The
+    oracle replays the full global order with a plain per-shard
+    ROW_NUMBER; the Spark side must produce the identical ranks from
+    its two-level construction (256 sub-buckets per shard, offsets over
+    a 4096-row frame, in-bucket row_number — no per-shard
+    serialization), so any bucketing/offset error breaks the hash.
+    The write path (export.export_epoch_shards) is pytest-covered."""
+    from logverzcore_spark import export
+
+    docs = _t(spark, sf_dir, "documents")
+    return export.epoch_shuffle(docs, seed=7).select(
+        "doc_id", "shard", "epoch_rank"
+    )

@@ -540,3 +540,61 @@ def test_zorder_degenerate_columns_and_wide_column_lists(spark, tmpdir_path):
     )
     assert vals.where(F.col("z").isNull()).count() == 0
     assert vals.distinct().count() > 1
+
+
+def test_epoch_shuffle_determinism_and_disjointness(spark, tmpdir_path):
+    """Epoch shuffle: same seed replays bit-exact; different seeds give
+    a different order; every doc gets exactly one (shard, rank); ranks
+    are contiguous 1..n per shard; the shard writer preserves epoch
+    order on disk."""
+    df = spark.range(0, 400).withColumnRenamed("id", "doc_id").withColumn(
+        "n_chars", (F.col("doc_id") % 97).cast("long")
+    )
+    a = {r["doc_id"]: (r["shard"], r["epoch_rank"])
+         for r in export.epoch_shuffle(df, seed=7).collect()}
+    b = {r["doc_id"]: (r["shard"], r["epoch_rank"])
+         for r in export.epoch_shuffle(df, seed=7).collect()}
+    assert a == b  # deterministic replay
+    c = {r["doc_id"]: (r["shard"], r["epoch_rank"])
+         for r in export.epoch_shuffle(df, seed=8).collect()}
+    assert a != c  # another epoch is another order
+    assert len(a) == 400  # exactly one assignment per doc
+    # per-shard ranks are exactly 1..n (no gaps, no dupes)
+    per_shard: dict[int, list[int]] = {}
+    for shard, rank in a.values():
+        per_shard.setdefault(shard, []).append(rank)
+    assert len(per_shard) > 4
+    for ranks in per_shard.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+    # two-level == naive per-shard window (the equivalence the suite
+    # oracle checks at corpus scale, asserted here at unit scale)
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit("7:"), F.col("doc_id").cast("string")))
+    naive = df.withColumn("_k", key).withColumn(
+        "shard",
+        F.pmod(F.conv(F.substring("_k", 1, 4), 16, 10).cast("long"), F.lit(16))
+        .cast("int"),
+    ).withColumn(
+        "epoch_rank",
+        F.row_number().over(Window.partitionBy("shard").orderBy("_k", "doc_id"))
+        .cast("long"),
+    )
+    nv = {r["doc_id"]: (r["shard"], r["epoch_rank"]) for r in naive.collect()}
+    assert a == nv
+
+    # writer: shard dirs hold rows in epoch order, manifest is exact
+    out = os.path.join(tmpdir_path, "epoch")
+    man = {r["shard"]: (r["n_docs"], r["first_rank"], r["last_rank"])
+           for r in export.export_epoch_shards(df, out, seed=7).collect()}
+    for shard, ranks in per_shard.items():
+        assert man[shard] == (len(ranks), 1, len(ranks))
+    back = spark.read.parquet(out)
+    for shard in list(per_shard)[:3]:
+        got = [
+            r["epoch_rank"]
+            for r in back.where(F.col("shard") == shard)
+            .sort("epoch_rank").collect()
+        ]
+        assert got == sorted(got) and len(got) == len(per_shard[shard])
