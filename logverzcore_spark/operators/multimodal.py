@@ -2123,3 +2123,133 @@ def parse_npy_meta(
         F.when(is_npy, item_bytes).alias("item_bytes"),
         F.coalesce(F.when(is_npy, complete), F.lit(False)).alias("complete"),
     )
+
+
+def parse_warc_records(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_scan_bytes: int = 4 * 1024 * 1024,
+    max_records: int = 10_000,
+) -> DataFrame:
+    """WARC (Web ARChive) record-header walk — the canonical LLM-crawl
+    container (Common Crawl's on-disk format; ISO 28500): a WARC file
+    is a sequence of records, each a ``WARC/1.x`` version line +
+    ``Name: value`` headers + blank line + ``Content-Length`` payload
+    bytes + a ``\\r\\n\\r\\n`` separator. The walk reads ONLY version
+    lines and headers, skipping every payload by its declared length —
+    the m13/m23/m25 byte-math discipline: at 100 TB the blocks (~all
+    the bytes) are never touched, and a record chain that stops tiling
+    cleanly stops the walk rather than desynchronizing.
+
+    Handles both on-disk variants: plain concatenated records, and the
+    ``.warc.gz`` member-per-record convention — detected by the gzip
+    magic and split on MEMBER boundaries via zlib's unused_data (each
+    member decompresses independently; decompression is bounded by
+    ``max_scan_bytes`` of OUTPUT, headers-plus-blocks, per file).
+
+    Returns one row per parsed record: (id, rec_idx 1-based, format
+    'warc', warc_type, target_uri, content_length) — plus exactly one
+    (id, NULL, 'unknown', NULL, NULL, NULL) row for a payload that is
+    neither WARC nor gzip-of-WARC, so triage keeps its honesty contract
+    (m26). Arrow-batched 1→N ``mapInPandas`` fanout; variable-width
+    header scanning is the documented honest Python path."""
+    from logverzcore_spark.operators.util import fan_out
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("rec_idx", T.IntegerType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("warc_type", T.StringType()),
+            T.StructField("target_uri", T.StringType()),
+            T.StructField("content_length", T.LongType()),
+        ]
+    )
+    UNKNOWN = (None, "unknown", None, None, None)
+
+    def gunzip_members(b: bytes) -> bytes | None:
+        """Concatenate all gzip members (bounded output)."""
+        import zlib
+
+        out, pos = bytearray(), 0
+        while pos < len(b) and len(out) < max_scan_bytes:
+            if b[pos : pos + 2] != b"\x1f\x8b":
+                return None  # trailing garbage between members
+            d = zlib.decompressobj(16 + 15)
+            try:
+                out += d.decompress(b[pos:], max_scan_bytes - len(out))
+            except zlib.error:
+                return bytes(out) if out else None  # truncated tail member
+            if not d.eof:  # output budget hit mid-member
+                break
+            consumed = len(b) - pos - len(d.unused_data)
+            if consumed <= 0:
+                break
+            pos += consumed
+        return bytes(out)
+
+    def walk(b: bytes):
+        """Yield (warc_type, target_uri, content_length) per record."""
+        limit = min(len(b), max_scan_bytes)
+        pos, n = 0, 0
+        while pos < limit and n < max_records:
+            # version line
+            eol = b.find(b"\r\n", pos, min(limit, pos + 64))
+            if eol < 0 or not b[pos:eol].startswith(b"WARC/"):
+                return
+            hdr_end = b.find(b"\r\n\r\n", eol, limit)
+            if hdr_end < 0:
+                return  # truncated header block: stop cleanly
+            wtype = uri = clen = None
+            for line in b[eol + 2 : hdr_end].split(b"\r\n"):
+                k, _, v = line.partition(b":")
+                key = k.strip().lower()
+                val = v.strip()
+                try:
+                    if key == b"warc-type":
+                        wtype = val.decode("utf-8", "replace")
+                    elif key == b"warc-target-uri":
+                        uri = val.decode("utf-8", "replace")
+                    elif key == b"content-length":
+                        clen = int(val)
+                except ValueError:
+                    return  # unparseable length: the chain is untrustworthy
+            if clen is None or clen < 0:
+                return  # Content-Length is mandatory (ISO 28500 §5.3)
+            yield wtype, uri, clen
+            n += 1
+            pos = hdr_end + 4 + clen + 4  # block + record separator
+        return
+
+    def parse_one(b: bytes | None):
+        if not b or len(b) < 9:
+            return [UNKNOWN]
+        if b[:2] == b"\x1f\x8b":
+            plain = gunzip_members(b)
+            if not plain:
+                return [UNKNOWN]
+            b = plain
+        if not b.startswith(b"WARC/"):
+            return [UNKNOWN]
+        rows = [
+            (i + 1, "warc", wt, uri, cl)
+            for i, (wt, uri, cl) in enumerate(walk(b))
+        ]
+        return rows or [UNKNOWN]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                for rec in parse_one(bytes(p) if p is not None else None):
+                    out.append((did, *rec))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    id_col, "rec_idx", "format",
+                    "warc_type", "target_uri", "content_length",
+                ],
+            )
+
+    return fan_out(df.select(id_col, payload_col)).mapInPandas(batches, schema)

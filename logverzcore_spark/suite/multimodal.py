@@ -1753,3 +1753,67 @@ def m27_npy_tensor_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     payload = F.when(d % 5 == 4, F.encode("text", "UTF-8")).otherwise(F.unhex(npy))
     return parse_npy_meta(docs.select("doc_id", payload.alias("payload")))
+
+
+@query(
+    "m28_warc_record_walk",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, 10 + doc_id % 50 AS n
+      FROM documents WHERE doc_id % 4 <> 3
+    )
+    SELECT doc_id, CAST(1 AS INTEGER) AS rec_idx, 'warc' AS format,
+           'warcinfo' AS warc_type, CAST(NULL AS VARCHAR) AS target_uri,
+           CAST(18 AS BIGINT) AS content_length
+    FROM w
+    UNION ALL
+    SELECT doc_id, CAST(2 AS INTEGER), 'warc', 'response',
+           'https://ex.com/' || CAST(doc_id AS VARCHAR), CAST(n AS BIGINT)
+    FROM w
+    UNION ALL
+    SELECT doc_id, CAST(NULL AS INTEGER), 'unknown',
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT)
+    FROM documents WHERE doc_id % 4 = 3
+    """,
+)
+def m28_warc_record_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC record-header walk (multimodal.parse_warc_records) — the
+    Common Crawl container, completing the crawl→clean(t32/t52)→dedup
+    story end-to-end. The graded round trip BUILDS genuine two-record
+    WARC files per doc with codegen string expressions (a warcinfo
+    record with a fixed 18-byte block, then a response record whose
+    Target-URI and Content-Length vary by doc and whose block is
+    exactly that many filler bytes) and parses them back; the oracle
+    restates every field arithmetically, so an off-by-one anywhere in
+    the version-line / header / blank-line / block-skip / separator
+    math breaks the hash. Every fourth doc carries plain text and must
+    report one 'unknown' row (the m26 triage contract). The gzip
+    member-per-record variant and truncation windows are pytest-graded
+    (python-built fixtures — gzip bytes cannot be codegen'd)."""
+    from logverzcore_spark.operators.multimodal import parse_warc_records
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    n = (did % 50 + 10).cast("int")
+    crlf = "\r\n"
+    rec1 = F.lit(
+        "WARC/1.0" + crlf
+        + "WARC-Type: warcinfo" + crlf
+        + "Content-Length: 18" + crlf + crlf
+        + "software: logverz\n" + crlf + crlf
+    )
+    rec2 = F.concat(
+        F.lit("WARC/1.0" + crlf),
+        F.lit("WARC-Type: response" + crlf),
+        F.lit("WARC-Target-URI: https://ex.com/"),
+        did.cast("string"),
+        F.lit(crlf + "Content-Length: "),
+        n.cast("string"),
+        F.lit(crlf + crlf),
+        F.repeat(F.lit("x"), n),
+        F.lit(crlf + crlf),
+    )
+    warc = F.encode(F.concat(rec1, rec2), "UTF-8")
+    payload = F.when(did % 4 == 3, F.encode("text", "UTF-8")).otherwise(warc)
+    return parse_warc_records(docs.select("doc_id", payload.alias("payload")))

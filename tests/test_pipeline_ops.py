@@ -2514,3 +2514,73 @@ def test_canary_scan_and_dup_origin(spark):
     assert out["cross_source"].n_copies == 2 and out["cross_source"].sources == "a,b"
     assert out["intra_source"].n_sources == 1 and out["intra_source"].sources == "c"
     assert len(out) == 2  # the unique doc never appears
+
+
+def test_parse_warc_records_gzip_members_and_truncation(spark):
+    """WARC walk edge windows the suite oracle can't reach: the .warc.gz
+    member-per-record convention (split on gzip member boundaries),
+    mid-header truncation (stop cleanly, keep prior records), a block
+    whose Content-Length lies past EOF (record still reported — headers
+    were intact; the CHAIN just ends), and a non-mandatory-length
+    record (walk stops, prior records kept)."""
+    import gzip
+
+    from logverzcore_spark.operators.multimodal import parse_warc_records
+
+    def rec(wtype, uri, body: bytes) -> bytes:
+        h = f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
+        if uri:
+            h += f"WARC-Target-URI: {uri}\r\n"
+        h += f"Content-Length: {len(body)}\r\n\r\n"
+        return h.encode() + body + b"\r\n\r\n"
+
+    full = rec("warcinfo", None, b"sw: x\n") + rec(
+        "response", "https://a/1", b"B" * 37
+    ) + rec("request", "https://a/1", b"C" * 5)
+    # 1: plain 3-record file
+    # 2: same records, one gzip member each (Common Crawl layout)
+    gz = b"".join(
+        gzip.compress(r, mtime=0)
+        for r in (rec("warcinfo", None, b"sw: x\n"),
+                  rec("response", "https://a/1", b"B" * 37),
+                  rec("request", "https://a/1", b"C" * 5))
+    )
+    # 3: truncated mid-header of record 2 -> only record 1 survives
+    trunc = rec("warcinfo", None, b"sw: x\n") + b"WARC/1.0\r\nWARC-Ty"
+    # 4: record 2's declared length runs past EOF -> both records
+    #    reported (headers parsed), chain ends there
+    lie = rec("warcinfo", None, b"sw: x\n") + (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://a/2\r\nContent-Length: 99999\r\n\r\nxx"
+    )
+    # 5: missing Content-Length -> mandatory header absent, walk stops
+    bad = rec("warcinfo", None, b"ok\n") + (
+        b"WARC/1.0\r\nWARC-Type: response\r\n\r\n"
+    )
+    # 6: gzip garbage -> unknown
+    df = spark.createDataFrame(
+        [(1, full), (2, gz), (3, trunc), (4, lie), (5, bad),
+         (6, b"\x1f\x8b\x00garbage")],
+        "doc_id long, payload binary",
+    )
+    rows = parse_warc_records(df).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["doc_id"], []).append(
+            (r["rec_idx"], r["format"], r["warc_type"],
+             r["target_uri"], r["content_length"])
+        )
+    exp3 = [
+        (1, "warc", "warcinfo", None, 6),
+        (2, "warc", "response", "https://a/1", 37),
+        (3, "warc", "request", "https://a/1", 5),
+    ]
+    assert sorted(by[1]) == exp3
+    assert sorted(by[2]) == exp3  # gzip members == plain content
+    assert sorted(by[3]) == exp3[:1]
+    assert sorted(by[4]) == [
+        (1, "warc", "warcinfo", None, 6),
+        (2, "warc", "response", "https://a/2", 99999),
+    ]
+    assert sorted(by[5]) == [(1, "warc", "warcinfo", None, 3)]
+    assert by[6] == [(None, "unknown", None, None, None)]
