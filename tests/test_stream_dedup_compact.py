@@ -839,3 +839,82 @@ def test_canary_stream_replay_idempotent(spark, tmpdir_path):
         assert got == {("a", 0), ("b", 2)}
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_canary_stream_restart_mid_batch_no_duplicates(spark, tmpdir_path):
+    """Kill/restart across st31's dangerous window: the state-table
+    append COMMITTED but the streaming checkpoint did not (crash
+    between the two) — on restart Spark redelivers the whole batch and
+    the (canary, doc_id) anti-join must keep the hit stream
+    duplicate-free, with the grouped state equal to the batch scan
+    over everything seen (the st22 restart discipline applied to the
+    canary gate)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.operators.text import BIGBENCH_CANARY, canary_scan
+    from logverzcore_spark.streaming.lexical_stream import canary_scan_stream
+
+    tbl = "t_canary_restart"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    c = BIGBENCH_CANARY
+    batch1 = [(0, "a", f"leak {c} one"), (1, "a", "clean"),
+              (2, "b", f"leak {c} two")]
+    batch2 = [(3, "a", f"late {c} three"), (4, "b", "clean"),
+              (5, "b", f"late {c} four")]
+    schema = "doc_id long, source string, text string"
+    watch = os.path.join(tmpdir_path, "watch")
+    os.makedirs(watch)
+    ck = os.path.join(tmpdir_path, "ck")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(watch + "/*")
+        )
+        q = canary_scan_stream(spark, stream, tbl, checkpoint_dir=ck)
+        q.awaitTermination()
+
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        os.path.join(watch, "f1.parquet")
+    )
+    drain()
+    assert spark.table(tbl).count() == 2
+
+    # The crash window: batch 2's fold ran to completion (state rows
+    # committed) but the checkpoint never recorded the batch. Simulate
+    # by appending batch 2's hit rows exactly as the fold would...
+    b2 = spark.createDataFrame(batch2, schema)
+    b2.where(F.col("text").contains(c)).select(
+        F.col("source"), F.lit(c).alias("canary"), F.col("doc_id")
+    ).write.mode("append").saveAsTable(tbl)
+    spark.catalog.refreshTable(tbl)
+    assert spark.table(tbl).count() == 4
+
+    # ...then restart: the same data arrives as a NEW batch (the
+    # checkpoint never saw it) and must append nothing.
+    b2.coalesce(1).write.parquet(os.path.join(watch, "f2.parquet"))
+    drain()
+    try:
+        assert spark.table(tbl).count() == 4  # no duplicates
+        got = {(r.source, r.doc_id) for r in spark.table(tbl).collect()}
+        assert got == {("a", 0), ("b", 2), ("a", 3), ("b", 5)}
+        # grouped state == batch scan over everything seen
+        everything = spark.createDataFrame(batch1 + batch2, schema)
+        batch_scan = {
+            (r.source, r.n_docs_hit, r.doc_ids)
+            for r in canary_scan(everything).collect()
+        }
+        streamed = {
+            (r.source, r.n_docs_hit, r.doc_ids)
+            for r in spark.table(tbl).groupBy("source", "canary").agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs_hit"),
+                F.array_join(
+                    F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20), ","
+                ).alias("doc_ids"),
+            ).collect()
+        }
+        assert streamed == batch_scan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
