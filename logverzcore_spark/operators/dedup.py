@@ -538,8 +538,24 @@ def minhash_lsh_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, verified with exact Jaccard.
+
+    ``max_bucket_size`` is the 100 TB pressure-relief valve on the
+    verify join (the pipeline's first data-bound stage at 100×,
+    BREAKDOWN_d03_100x_r6.json): candidate-pair volume is quadratic in
+    bucket size, and real crawls concentrate it in a few MEGA-buckets
+    (boilerplate whose members all minhash alike). When set, buckets
+    larger than the cap are skipped at candidate generation — pair
+    volume is then bounded by corpus_size × cap instead of the largest
+    bucket squared. The trade is explicit and MEASURED, not silent:
+    only pairs whose every shared band lands in a mega-bucket are lost
+    (pytest test_lsh_bucket_cap_trades_recall_measurably quantifies the
+    recall hit on a planted boilerplate cluster and the zero impact on
+    ordinary near-dup pairs), and the right preparation — exact_dedup
+    first, which collapses the identical bodies that form mega-buckets
+    — restores them. Default None keeps exact parity (suite d03).
 
     rows = num_hashes // bands; a pair collides in a band with
     probability s^rows, in ≥1 band with 1-(1-s^rows)^bands. With the
@@ -587,6 +603,10 @@ def minhash_lsh_pairs(
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .where(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        # Pressure-relief valve (docstring): mega-buckets are skipped
+        # BEFORE pair expansion, so the quadratic term never runs.
+        grouped = grouped.where(F.size("ids") <= max_bucket_size)
     cand = (
         grouped.select(
             F.explode(

@@ -2584,3 +2584,52 @@ def test_parse_warc_records_gzip_members_and_truncation(spark):
     ]
     assert sorted(by[5]) == [(1, "warc", "warcinfo", None, 3)]
     assert by[6] == [(None, "unknown", None, None, None)]
+
+
+def test_lsh_bucket_cap_trades_recall_measurably(spark):
+    """max_bucket_size (the d03 verify-join pressure-relief valve):
+    capping skips mega-buckets, so pairs that ONLY collide there (a
+    planted boilerplate cluster whose members minhash alike in every
+    band) are lost — measurably, recall 0 on that cluster — while
+    ordinary near-dup pairs are untouched (recall 1). Uncapped finds
+    everything; exact_dedup first is the documented recovery for the
+    boilerplate mass."""
+    from logverzcore_spark.operators.dedup import minhash_lsh_pairs
+
+    base = (
+        "the alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima mike november oscar papa quebec romeo tango"
+    )
+    rows = [(0, base), (1, base.replace("tango", "zulu"))]  # ordinary pair
+    boiler = "cookie notice please accept our terms and conditions " * 3
+    rows += [(100 + i, boiler) for i in range(30)]  # mega-cluster
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(**kw):
+        return {
+            (r["id1"], r["id2"])
+            for r in minhash_lsh_pairs(df, threshold=0.7, **kw).collect()
+        }
+
+    full = pairs()
+    capped = pairs(max_bucket_size=10)
+    boiler_pairs = {(a, b) for a in range(100, 130) for b in range(a + 1, 130)}
+    assert (0, 1) in full and boiler_pairs <= full  # uncapped: everything
+    assert (0, 1) in capped  # ordinary pairs survive the cap
+    lost = full - capped
+    assert lost == boiler_pairs  # the trade is exactly the mega-cluster
+    recall = len(capped & full) / len(full)
+    assert 0 < recall < 1  # measurable, not silent: 436/435... quantified
+    # exact_dedup first collapses the boilerplate mass, so the capped
+    # pipeline then finds every surviving pair
+    from logverzcore_spark.operators.dedup import exact_dedup
+
+    keep = exact_dedup(df).select(F.col("keep_id").alias("doc_id"))
+    survivors = df.join(keep, "doc_id", "semi")
+    capped2 = {
+        (r["id1"], r["id2"])
+        for r in minhash_lsh_pairs(
+            survivors, threshold=0.7, max_bucket_size=10
+        ).collect()
+    }
+    assert (0, 1) in capped2
