@@ -1615,3 +1615,88 @@ def dup_origin_report(
             "sources",
         )
     )
+
+
+def exact_substring_scrub(
+    df: DataFrame,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication scan — the ExactSubstr shape of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al., 2022): find token SPANS that recur verbatim across documents,
+    at ANY alignment, and measure how much of each document they cover.
+    Distinct from t14's fixed non-overlapping segments (alignment-bound:
+    a one-token prefix shift hides every repeat) and from d14's novelty
+    n-grams (window=3 set membership, no span coverage): here every
+    OVERLAPPING ``window``-token span is hashed, spans seen in more than
+    one document mark all their token positions, and the per-document
+    coverage union is the scrub mass (overlapping dup windows do not
+    double-count a token).
+
+    Plan (the d02 inverted-index discipline — never all-pairs): windows
+    are an in-row projection (pos, md5-of-joined-span rows), ONE
+    corpus-wide shuffle groups by window hash to find cross-doc
+    duplicates, covered positions explode from dup windows only (dup
+    volume, not corpus volume) and distinct-count per doc. Returns one
+    row per doc: (id, n_tokens, n_dup_windows, covered_tokens,
+    dup_coverage_bp) — all BIGINT/flat scalars."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_t")
+    )
+    n_tok = tok.select("doc_id", F.size("_t").alias("n_tokens"))
+    win = tok.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("_t") - (window - 1), F.lit(0))
+                ),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(
+                        F.concat_ws(" ", F.slice("_t", i, window))
+                    ).alias("wh"),
+                ),
+            )
+        ).alias("w"),
+    ).select("doc_id", "w.pos", "w.wh")
+    dup_wh = (
+        win.groupBy("wh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("wh")
+    )
+    dwin = win.join(dup_wh, "wh", "semi")
+    per_doc = dwin.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_windows")
+    )
+    cov = (
+        dwin.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (window - 1))).alias(
+                "p"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("p").cast("long").alias("covered_tokens"))
+    )
+    return (
+        n_tok.join(per_doc, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long").alias("covered_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                (F.coalesce("covered_tokens", F.lit(0)) * 10000)
+                / F.col("n_tokens"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dup_coverage_bp"),
+        )
+    )

@@ -2442,3 +2442,79 @@ def canary_scan(
             ).alias("doc_ids"),
         )
     )
+
+
+def curriculum_schedule(
+    df: DataFrame,
+    weights: dict[str, int],
+    n_stages: int = 4,
+    tokens_per_stage: int = 250_000,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Stage-wise mixture CURRICULUM — the schedule a staged pretraining
+    run actually consumes, where t50 plans one static mixture: stage 0
+    samples each domain in its NATURAL proportion (what the corpus
+    holds) and the final stage at the TARGET weights, with intermediate
+    stages linearly interpolated — the standard easy-start/target-finish
+    curriculum, in exact integer arithmetic end to end so the whole
+    schedule replays in any engine.
+
+    Construction: natural and target weights are first normalized onto
+    the same scale by Hamilton allocation to 10000 bp (the t50/t53
+    largest-remainder core, summation-order-free); stage ``s`` of ``S``
+    uses weight ``nat_bp·(S-1-s) + tgt_bp·s`` (the common /(S-1)
+    denominator drops out of Hamilton), and each stage's
+    ``tokens_per_stage`` budget is Hamilton-allocated on those weights —
+    every stage sums EXACTLY to its budget, and a domain whose target
+    exceeds its natural share rises monotonically across stages
+    (pytest-asserted).
+
+    Plan shape: ONE corpus shuffle (the per-source token count); all
+    Hamilton passes run over #sources rows — metadata-scale — as tiny
+    cross-joined single-partition windows, one per stage. Returns
+    (stage, source, stage_weight, alloc_tokens)."""
+    if n_stages < 2:
+        raise ValueError("a curriculum needs >= 2 stages")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    pairs: list = []
+    for k in sorted(weights):
+        pairs += [F.lit(k), F.lit(int(weights[k]))]
+    per = (
+        df.groupBy(source_col)
+        .agg(F.sum(token_count(F.col(text_col))).alias("avail_tokens"))
+        .withColumn("_tw", F.create_map(*pairs)[F.col(source_col)].cast("long"))
+        .where(F.col("_tw").isNotNull())
+        .localCheckpoint(eager=True)  # #sources rows; feeds 2+S Hamilton passes
+    )
+    nat = _largest_remainder(
+        per.withColumn("weight", F.col("avail_tokens")), 10000, source_col
+    ).select(F.col("source"), F.col("alloc_tokens").alias("_nat_bp"))
+    tgt = _largest_remainder(
+        per.withColumn("weight", F.col("_tw")), 10000, source_col
+    ).select(F.col("source"), F.col("alloc_tokens").alias("_tgt_bp"))
+    both = (
+        per.select(F.col(source_col).alias("source"), "avail_tokens")
+        .join(nat, "source")
+        .join(tgt, "source")
+    )
+    out = None
+    for s in range(n_stages):
+        w_s = (
+            F.col("_nat_bp") * (n_stages - 1 - s) + F.col("_tgt_bp") * s
+        ).cast("long")
+        staged = _largest_remainder(
+            both.select(
+                "source", "avail_tokens", w_s.alias("weight")
+            ),
+            int(tokens_per_stage),
+            "source",
+        ).select(
+            F.lit(s).cast("int").alias("stage"),
+            "source",
+            F.col("weight").alias("stage_weight"),
+            "alloc_tokens",
+        )
+        out = staged if out is None else out.unionByName(staged)
+    return out

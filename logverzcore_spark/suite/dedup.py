@@ -808,3 +808,54 @@ def d25_dup_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text")).alias("text"),
     )
     return dedup.dup_origin_report(planted)
+
+
+@query(
+    "d26_exact_substring_scrub",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), win AS (
+      SELECT doc_id, w.pos AS pos, w.wh AS wh
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+                      i -> {'pos': i,
+                            'wh': md5(array_to_string(t[i:i+7], ' '))})) AS w
+        FROM tok
+      )
+    ), dups AS (
+      SELECT wh FROM win GROUP BY wh HAVING COUNT(DISTINCT doc_id) > 1
+    ), dwin AS (
+      SELECT doc_id, pos FROM win WHERE wh IN (SELECT wh FROM dups)
+    ), per AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+      FROM dwin GROUP BY doc_id
+    ), cov AS (
+      SELECT doc_id, CAST(COUNT(DISTINCT pos + o) AS BIGINT) AS covered_tokens
+      FROM dwin, range(0, 8) r(o) GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           CAST(COALESCE(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+           CAST(CASE WHEN len(t.t) > 0
+                THEN (COALESCE(c.covered_tokens, 0) * 10000) // len(t.t)
+                ELSE 0 END AS BIGINT) AS dup_coverage_bp
+    FROM tok t LEFT JOIN per p USING (doc_id) LEFT JOIN cov c USING (doc_id)
+    """,
+)
+def d26_exact_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication coverage
+    (dedup.exact_substring_scrub): every overlapping 8-token span is
+    hashed, spans recurring verbatim in another document mark their
+    positions, and the per-doc coverage union (overlaps never
+    double-count a token) is the ExactSubstr scrub mass — the
+    any-alignment complement of t14's fixed segments. One window-hash
+    shuffle (the d02 inverted-index shape); coverage explodes from dup
+    windows only. The oracle replays windows, positions, and the
+    coverage union exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    from logverzcore_spark.operators.util import fan_out
+
+    return dedup.exact_substring_scrub(fan_out(docs), window=8)

@@ -999,3 +999,57 @@ def s21_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return similarity.hard_negatives(emb, queries, k=3)
+
+
+def _s22_oracle(n_slices: int = 4, width: int = 16, k: int = 3) -> str:
+    """MaxSim replay: slice columns + per-query-slice greatest() over
+    the document slices, summed — generated, not hand-unrolled."""
+    slice_cols = ", ".join(
+        f"e[{s * width + 1}:{(s + 1) * width}] AS s{s}, "
+        f"sqrt(list_dot_product(e[{s * width + 1}:{(s + 1) * width}], "
+        f"e[{s * width + 1}:{(s + 1) * width}])) AS n{s}"
+        for s in range(n_slices)
+    )
+    per_q = []
+    for i in range(n_slices):
+        alts = ", ".join(
+            f"list_dot_product(q.s{i}, c.s{j}) / (q.n{i} * c.n{j})"
+            for j in range(n_slices)
+        )
+        per_q.append(f"greatest({alts})")
+    ms = " + ".join(per_q)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), s AS (
+      SELECT vec_id, {slice_cols} FROM v
+    ), q AS (
+      SELECT * FROM s WHERE vec_id % 50 = 0
+    ), pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {ms} AS ms
+      FROM q JOIN s c ON q.vec_id <> c.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, ms,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY ms DESC, neighbor_id) AS rk
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, ROUND(ms, 6) AS maxsim,
+           CAST(rk AS INTEGER) AS rank
+    FROM ranked WHERE rk <= {k}
+    """
+
+
+@query("s22_maxsim_topk", oracle=_s22_oracle())
+def s22_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction MaxSim retrieval (similarity.maxsim_topk):
+    every 50th vector queries with its 64-dim embedding read as 4
+    16-dim slices; score = Σ over query slices of the max cosine
+    against any document slice — the ColBERT scoring shape, exact and
+    hash-verified (the oracle regenerates the full n_slices² greatest/
+    sum expression). Same plan family as s01's exact tier: broadcast
+    queries, one narrow corpus stage, codegen'd folds, window top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") % 50 == 0)
+    return similarity.maxsim_topk(emb, qs, k=3)

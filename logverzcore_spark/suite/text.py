@@ -2759,3 +2759,74 @@ def t59_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return export.epoch_shuffle(docs, seed=7).select(
         "doc_id", "shard", "epoch_rank"
     )
+
+
+def _t60_oracle(n_stages: int = 4, budget: int = 250_000) -> str:
+    """Generated curriculum replay: one Hamilton CTE chain per
+    normalization pass (natural/target -> 10000 bp) and per stage."""
+
+    def hamilton(tag: str, src: str, weight_expr: str, b: int) -> str:
+        return f"""
+    , w{tag} AS (SELECT source, avail_tokens, {weight_expr} AS weight FROM {src})
+    , s{tag} AS (SELECT sum(weight) AS wsum FROM w{tag})
+    , b{tag} AS (
+      SELECT w.source, w.avail_tokens, w.weight,
+             ({b} * w.weight) // s.wsum AS base_,
+             ({b} * w.weight) % s.wsum AS rem_
+      FROM w{tag} w CROSS JOIN s{tag} s)
+    , l{tag} AS (SELECT {b} - sum(base_) AS leftover FROM b{tag})
+    , r{tag} AS (
+      SELECT b.*, l.leftover,
+             row_number() OVER (ORDER BY rem_ DESC, source) AS rk
+      FROM b{tag} b CROSS JOIN l{tag} l)
+    , a{tag} AS (
+      SELECT source, avail_tokens, weight,
+             base_ + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+      FROM r{tag})"""
+
+    sql = """
+    WITH tok AS (
+      SELECT source,
+             sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> ''))) AS avail_tokens
+      FROM documents GROUP BY source
+    ), base0 AS (
+      SELECT source, avail_tokens,
+             1 + (CAST(substr(source, 4) AS BIGINT) % 5) AS tw
+      FROM tok
+    )"""
+    sql += hamilton("nat", "base0", "avail_tokens", 10000)
+    sql += hamilton("tgt", "base0", "tw", 10000)
+    sql += """
+    , both_ AS (
+      SELECT n.source, n.avail_tokens,
+             n.alloc AS nat_bp, t.alloc AS tgt_bp
+      FROM anat n JOIN atgt t USING (source))"""
+    selects = []
+    for s in range(n_stages):
+        w_expr = f"nat_bp * {n_stages - 1 - s} + tgt_bp * {s}"
+        sql += hamilton(f"st{s}", "both_", w_expr, budget)
+        selects.append(
+            f"SELECT CAST({s} AS INTEGER) AS stage, source, "
+            f"CAST(weight AS BIGINT) AS stage_weight, "
+            f"CAST(alloc AS BIGINT) AS alloc_tokens FROM ast{s}"
+        )
+    return sql + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@query("t60_curriculum_schedule", oracle=_t60_oracle())
+def t60_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-wise mixture curriculum (text.curriculum_schedule): 4
+    stages interpolating from the corpus's natural domain proportions
+    to t50's target weights, each stage's 250k-token budget allocated
+    by the same exact-integer Hamilton core — the schedule a staged
+    pretraining run consumes where t50 plans one static mixture. The
+    oracle regenerates every Hamilton pass (two normalizations + one
+    per stage), so any drift in the interpolation or largest-remainder
+    tie-breaks breaks the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    srcs = [r["source"] for r in docs.select("source").distinct().collect()]
+    weights = {s: 1 + int(s[3:]) % 5 for s in srcs}
+    return text.curriculum_schedule(
+        docs, weights, n_stages=4, tokens_per_stage=250_000
+    )

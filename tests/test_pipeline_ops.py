@@ -2633,3 +2633,94 @@ def test_lsh_bucket_cap_trades_recall_measurably(spark):
         ).collect()
     }
     assert (0, 1) in capped2
+
+
+def test_curriculum_schedule_budgets_and_monotonicity(spark):
+    """Every stage sums exactly to its budget; a domain whose target
+    share exceeds its natural share rises monotonically across stages
+    (and vice versa); stage 0 is the natural mixture, the last stage
+    the target mixture (both up to Hamilton rounding)."""
+    import pytest as _pytest
+
+    from logverzcore_spark.operators.text import curriculum_schedule
+
+    rows = []
+    # src0: 80% of tokens but target weight 1; src1: 10% with weight 8
+    for i in range(80):
+        rows.append((i, "src0", "tok " * 10))
+    for i in range(80, 90):
+        rows.append((i, "src1", "tok " * 10))
+    for i in range(90, 100):
+        rows.append((i, "src2", "tok " * 10))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = curriculum_schedule(
+        df, {"src0": 1, "src1": 8, "src2": 1}, n_stages=4,
+        tokens_per_stage=10_000,
+    ).collect()
+    by_stage: dict[int, dict[str, int]] = {}
+    for r in out:
+        by_stage.setdefault(r["stage"], {})[r["source"]] = r["alloc_tokens"]
+    assert set(by_stage) == {0, 1, 2, 3}
+    for allocs in by_stage.values():
+        assert sum(allocs.values()) == 10_000  # exact budget per stage
+    s0, s3 = by_stage[0], by_stage[3]
+    assert s0["src0"] == 8000 and s0["src1"] == 1000  # natural mixture
+    assert s3["src1"] == 8000 and s3["src0"] == 1000  # target mixture
+    seq = [by_stage[s]["src1"] for s in range(4)]
+    assert seq == sorted(seq) and seq[0] < seq[-1]  # under-repped rises
+    seq0 = [by_stage[s]["src0"] for s in range(4)]
+    assert seq0 == sorted(seq0, reverse=True)  # over-repped falls
+    with _pytest.raises(ValueError):
+        curriculum_schedule(df, {"src0": 1}, n_stages=1)
+
+
+def test_maxsim_rewards_multi_aspect_match(spark):
+    """MaxSim ranks a document matching EVERY query slice somewhere
+    above one that matches a single slice perfectly — the property
+    single-vector cosine lacks."""
+    from logverzcore_spark.operators.similarity import maxsim_topk
+
+    dim, w = 8, 2  # 4 slices of width 2
+
+    def vec(*slices):
+        out = []
+        for s in slices:
+            out += [float(x) for x in s]
+        return out
+
+    q = vec((1, 0), (0, 1), (1, 1), (1, 0))
+    # doc A: every query slice appears (shuffled) -> maxsim ~4
+    a = vec((0, 1), (1, 0), (1, 0), (1, 1))
+    # doc B: one slice matches exactly, others orthogonal-ish
+    b = vec((1, 0), (1, 0), (1, 0), (0, 1))
+    df = spark.createDataFrame(
+        [(0, q), (1, a), (2, b)], "vec_id long, embedding array<double>"
+    )
+    out = maxsim_topk(
+        df, df.where("vec_id = 0"), k=2, n_slices=4, dim=dim
+    ).collect()
+    ranked = sorted(out, key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in ranked] == [1, 2]
+    assert ranked[0]["maxsim"] > ranked[1]["maxsim"]
+
+
+def test_exact_substring_scrub_alignment_and_coverage(spark):
+    """The ExactSubstr properties t14's fixed segments lack: a shared
+    span is found at ANY alignment (one doc prefixed by an extra
+    token), and overlapping duplicated windows never double-count a
+    token in the coverage union."""
+    from logverzcore_spark.operators.dedup import exact_substring_scrub
+
+    shared = "q w e r t y u i o p"  # 10 tokens -> 3 windows of 8
+    rows = [
+        (1, shared + " aaa bbb ccc ddd"),
+        (2, "zzz " + shared + " eee fff ggg"),  # shifted by one token
+        (3, "totally different words here only once never repeated ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in exact_substring_scrub(df, window=8).collect()}
+    # 10-token shared run -> windows at 3 alignments, coverage union = 10
+    assert got[1]["n_dup_windows"] == 3 and got[1]["covered_tokens"] == 10
+    assert got[2]["n_dup_windows"] == 3 and got[2]["covered_tokens"] == 10
+    assert got[3]["n_dup_windows"] == 0 and got[3]["covered_tokens"] == 0
+    assert got[1]["n_tokens"] == 14 and got[1]["dup_coverage_bp"] == 7142
