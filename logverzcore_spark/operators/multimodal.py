@@ -2253,3 +2253,144 @@ def parse_warc_records(
             )
 
     return fan_out(df.select(id_col, payload_col)).mapInPandas(batches, schema)
+
+
+def extract_warc_http(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_scan_bytes: int = 4 * 1024 * 1024,
+    max_body_bytes: int = 65536,
+    max_records: int = 10_000,
+) -> DataFrame:
+    """WARC → page text extraction: walk the record chain (same
+    byte-math as ``parse_warc_records``) and, for ``response`` records
+    whose block is an HTTP response, parse the status line and headers
+    and return the BODY — the crawl-side step that feeds the HTML
+    cleaning battery (t32/t52). Unlike the header walk, this one READS
+    the response blocks — they are the wanted bytes; every non-response
+    block (warcinfo/request/metadata) is still skipped by length.
+
+    Per record: status line ``HTTP/x.y <code> ...``, headers to the
+    blank line, body = the rest of the block (truncated at
+    ``max_body_bytes``, decoded utf-8-replace; Transfer-Encoding is
+    passed through raw and flagged by its header value — dechunking is
+    a transform stage, not a container walk's job). Returns one row per
+    HTTP response record: (id, rec_idx, target_uri, status,
+    content_type, n_body_bytes, body_text). Files with no response
+    records produce nothing (extraction, not triage — m28/m26 do
+    triage). Arrow-batched 1→N ``mapInPandas``."""
+    from logverzcore_spark.operators.util import fan_out
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("rec_idx", T.IntegerType()),
+            T.StructField("target_uri", T.StringType()),
+            T.StructField("status", T.IntegerType()),
+            T.StructField("content_type", T.StringType()),
+            T.StructField("n_body_bytes", T.LongType()),
+            T.StructField("body_text", T.StringType()),
+        ]
+    )
+
+    def walk(b: bytes):
+        limit = min(len(b), max_scan_bytes)
+        pos, n = 0, 0
+        while pos < limit and n < max_records:
+            eol = b.find(b"\r\n", pos, min(limit, pos + 64))
+            if eol < 0 or not b[pos:eol].startswith(b"WARC/"):
+                return
+            hdr_end = b.find(b"\r\n\r\n", eol, limit)
+            if hdr_end < 0:
+                return
+            wtype = uri = clen = None
+            for line in b[eol + 2 : hdr_end].split(b"\r\n"):
+                k, _, v = line.partition(b":")
+                key = k.strip().lower()
+                try:
+                    if key == b"warc-type":
+                        wtype = v.strip().decode("utf-8", "replace")
+                    elif key == b"warc-target-uri":
+                        uri = v.strip().decode("utf-8", "replace")
+                    elif key == b"content-length":
+                        clen = int(v.strip())
+                except ValueError:
+                    return
+            if clen is None or clen < 0:
+                return
+            n += 1
+            yield n, wtype, uri, b[hdr_end + 4 : hdr_end + 4 + clen]
+            pos = hdr_end + 4 + clen + 4
+
+    def http_parse(block: bytes):
+        """(status, content_type, body) or None if not HTTP."""
+        eol = block.find(b"\r\n", 0, 128)
+        if eol < 0 or not block[:5] == b"HTTP/":
+            return None
+        parts = block[:eol].split(b" ")
+        if len(parts) < 2 or not parts[1].isdigit():
+            return None
+        status = int(parts[1])
+        hdr_end = block.find(b"\r\n\r\n", eol)
+        if hdr_end < 0:
+            return None
+        ctype = None
+        for line in block[eol + 2 : hdr_end].split(b"\r\n"):
+            k, _, v = line.partition(b":")
+            if k.strip().lower() == b"content-type":
+                ctype = v.strip().decode("utf-8", "replace")
+        body = block[hdr_end + 4 :]
+        return status, ctype, body
+
+    def parse_one(b: bytes | None):
+        if not b or len(b) < 9:
+            return
+        if b[:2] == b"\x1f\x8b":
+            import zlib
+
+            out, pos = bytearray(), 0
+            while pos < len(b) and len(out) < max_scan_bytes:
+                if b[pos : pos + 2] != b"\x1f\x8b":
+                    return
+                d = zlib.decompressobj(16 + 15)
+                try:
+                    out += d.decompress(b[pos:], max_scan_bytes - len(out))
+                except zlib.error:
+                    break
+                if not d.eof:
+                    break
+                consumed = len(b) - pos - len(d.unused_data)
+                if consumed <= 0:
+                    break
+                pos += consumed
+            b = bytes(out)
+        if not b.startswith(b"WARC/"):
+            return
+        for idx, wtype, uri, block in walk(b):
+            if wtype != "response":
+                continue
+            parsed = http_parse(block)
+            if parsed is None:
+                continue
+            status, ctype, body = parsed
+            yield (
+                idx, uri, status, ctype, len(body),
+                body[:max_body_bytes].decode("utf-8", "replace"),
+            )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                for rec in parse_one(bytes(p) if p is not None else None):
+                    out.append((did, *rec))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    id_col, "rec_idx", "target_uri", "status",
+                    "content_type", "n_body_bytes", "body_text",
+                ],
+            )
+
+    return fan_out(df.select(id_col, payload_col)).mapInPandas(batches, schema)

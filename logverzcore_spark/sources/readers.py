@@ -128,6 +128,28 @@ def read_raw(
             else:
                 cols.append(F.col(f"`{f.name}`").cast("string").alias(f.name))
         return raw.select(*cols, SOURCE_COL, CORRUPT_COL)
+    elif dt.format == "avro":
+        # Avro object container files (sources.avro_ocf.read_avro:
+        # native spark-avro when present, self-contained OCF decoder
+        # otherwise). Arrives typed-by-writer-schema with the quarantine
+        # contract already attached; stringify to the DECLARED column
+        # set (binary → base64, lossless) so the shared coercion pass
+        # owns all typing — the same parse-then-coerce discipline as
+        # the JSON branch.
+        from logverzcore_spark.sources.avro_ocf import read_avro
+
+        raw = read_avro(spark, paths, extra_options=extra_options or {})
+        cols = []
+        for f in dt.schema.fields:
+            if f.name not in raw.columns:
+                cols.append(F.lit(None).cast("string").alias(f.name))
+                continue
+            src = raw.schema[f.name].dataType
+            if isinstance(src, T.BinaryType):
+                cols.append(F.base64(F.col(f"`{f.name}`")).alias(f.name))
+            else:
+                cols.append(F.col(f"`{f.name}`").cast("string").alias(f.name))
+        return raw.select(*cols, SOURCE_COL, CORRUPT_COL)
     else:
         raise ValueError(f"unsupported format {dt.format!r}")
     return df.withColumn(SOURCE_COL, F.input_file_name())

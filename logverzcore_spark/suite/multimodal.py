@@ -1817,3 +1817,65 @@ def m28_warc_record_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     warc = F.encode(F.concat(rec1, rec2), "UTF-8")
     payload = F.when(did % 4 == 3, F.encode("text", "UTF-8")).otherwise(warc)
     return parse_warc_records(docs.select("doc_id", payload.alias("payload")))
+
+
+@query(
+    "m29_warc_http_extract",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS status,
+             '<html><body>page ' || CAST(doc_id AS VARCHAR)
+               || '</body></html>' AS body
+      FROM documents WHERE doc_id % 4 <> 3
+    )
+    SELECT doc_id, CAST(2 AS INTEGER) AS rec_idx,
+           'https://ex.com/' || CAST(doc_id AS VARCHAR) AS target_uri,
+           CAST(status AS INTEGER) AS status,
+           'text/html' AS content_type,
+           CAST(length(body) AS BIGINT) AS n_body_bytes,
+           body AS body_text
+    FROM w
+    """,
+)
+def m29_warc_http_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC → HTTP body extraction (multimodal.extract_warc_http): the
+    m28 fixture extended so each response block is a REAL HTTP response
+    (status line varying 200/404 per doc, Content-Type header, HTML
+    body) — the extractor must skip the warcinfo record by length,
+    parse the HTTP envelope inside the response block, and return the
+    exact body; the oracle restates status/uri/length/body
+    arithmetically, so any off-by-one across the WARC and HTTP header
+    boundaries breaks the hash. Non-WARC docs (every 4th) produce no
+    rows — extraction, not triage."""
+    from logverzcore_spark.operators.multimodal import extract_warc_http
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    crlf = "\r\n"
+    status = F.when(did % 7 == 0, F.lit("404 Not Found")).otherwise(
+        F.lit("200 OK")
+    )
+    body = F.concat(
+        F.lit("<html><body>page "), did.cast("string"), F.lit("</body></html>")
+    )
+    http = F.concat(
+        F.lit("HTTP/1.1 "), status, F.lit(crlf),
+        F.lit("Content-Type: text/html" + crlf + crlf),
+        body,
+    )
+    rec1 = F.lit(
+        "WARC/1.0" + crlf + "WARC-Type: warcinfo" + crlf
+        + "Content-Length: 18" + crlf + crlf
+        + "software: logverz\n" + crlf + crlf
+    )
+    rec2 = F.concat(
+        F.lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf),
+        F.lit("WARC-Target-URI: https://ex.com/"), did.cast("string"),
+        F.lit(crlf + "Content-Length: "), F.length(http).cast("string"),
+        F.lit(crlf + crlf), http, F.lit(crlf + crlf),
+    )
+    payload = F.when(
+        did % 4 == 3, F.encode("text", "UTF-8")
+    ).otherwise(F.encode(F.concat(rec1, rec2), "UTF-8"))
+    return extract_warc_http(docs.select("doc_id", payload.alias("payload")))

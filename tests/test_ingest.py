@@ -637,3 +637,57 @@ def test_avro_unsupported_shapes_raise(spark):
              "fields": [{"name": "x", "type": "long"}]},
             codec="snappy",
         )
+
+
+def test_collect_avro_datatype_end_to_end(spark, tmpdir_path):
+    """Avro is a first-class ingest format: a CollectJob over .avro
+    files runs the same read -> stringify -> coerce -> quarantine path
+    as CSV/JSON — typed table out, corrupt file accounted as one
+    quarantined row, not lost."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.schemas import REGISTRY, DataType, _schema
+    from logverzcore_spark.sources.avro_ocf import encode_ocf
+
+    schema = {
+        "type": "record", "name": "doc",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "text", "type": ["null", "string"]},
+            {"name": "score", "type": "double"},
+        ],
+    }
+    d = os.path.join(tmpdir_path, "avro_in")
+    os.makedirs(d)
+    recs = [
+        {"doc_id": i, "text": f"body {i}", "score": i / 4.0} for i in range(60)
+    ]
+    with open(os.path.join(d, "a.avro"), "wb") as fh:
+        fh.write(encode_ocf(recs[:30], schema, codec="null"))
+    with open(os.path.join(d, "b.avro"), "wb") as fh:
+        fh.write(encode_ocf(recs[30:], schema, codec="deflate"))
+    with open(os.path.join(d, "bad.avro"), "wb") as fh:
+        fh.write(b"Obj\x01broken")
+
+    REGISTRY["AvroDocs"] = DataType(
+        name="AvroDocs",
+        format="avro",
+        schema=_schema(("doc_id", "long"), ("text", "string"),
+                       ("score", "double")),
+    )
+    try:
+        rep = collect(
+            spark,
+            CollectJob(path=d, datatype="AvroDocs", table_name="avro_tab"),
+        )
+        assert rep.rows_written == 60
+        assert rep.rows_quarantined == 1  # the corrupt file, with lineage
+        tab = spark.table("avro_tab")
+        assert dict(tab.dtypes)["doc_id"] == "bigint"
+        assert dict(tab.dtypes)["score"] == "double"
+        assert tab.agg(F.sum("doc_id")).first()[0] == sum(range(60))
+    finally:
+        REGISTRY.pop("AvroDocs", None)
+        spark.sql("DROP TABLE IF EXISTS avro_tab")

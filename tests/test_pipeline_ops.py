@@ -2724,3 +2724,41 @@ def test_exact_substring_scrub_alignment_and_coverage(spark):
     assert got[2]["n_dup_windows"] == 3 and got[2]["covered_tokens"] == 10
     assert got[3]["n_dup_windows"] == 0 and got[3]["covered_tokens"] == 0
     assert got[1]["n_tokens"] == 14 and got[1]["dup_coverage_bp"] == 7142
+
+
+def test_extract_warc_http_edges(spark):
+    """HTTP extraction edges: non-HTTP response block skipped, body
+    truncation at max_body_bytes with the true length still reported,
+    Transfer-Encoding body passed through raw, request records never
+    extracted."""
+    from logverzcore_spark.operators.multimodal import extract_warc_http
+
+    def rec(wtype, uri, body: bytes) -> bytes:
+        h = f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
+        if uri:
+            h += f"WARC-Target-URI: {uri}\r\n"
+        h += f"Content-Length: {len(body)}\r\n\r\n"
+        return h.encode() + body + b"\r\n\r\n"
+
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + b"A" * 100
+    )
+    chunked = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"5\r\nhello\r\n0\r\n\r\n"
+    )
+    blob = (
+        rec("response", "https://a/1", http)
+        + rec("response", "https://a/2", b"not http at all")
+        + rec("request", "https://a/1", b"GET / HTTP/1.1\r\n\r\n")
+        + rec("response", "https://a/3", chunked)
+    )
+    df = spark.createDataFrame([(1, blob)], "doc_id long, payload binary")
+    rows = {r["target_uri"]: r for r in
+            extract_warc_http(df, max_body_bytes=10).collect()}
+    assert set(rows) == {"https://a/1", "https://a/3"}
+    r1 = rows["https://a/1"]
+    assert r1["status"] == 200 and r1["content_type"] == "text/plain"
+    assert r1["n_body_bytes"] == 100  # true length
+    assert r1["body_text"] == "A" * 10  # truncated read
+    assert "hello" in rows["https://a/3"]["body_text"]  # raw pass-through
