@@ -1,0 +1,133 @@
+"""Continuous Avro collection: .avro object-container drops stream into
+a table exactly-once (suite st32).
+
+The batch reader (sources.avro_ocf.read_avro) already runs as a
+binaryFile scan + Arrow-batched decode, and Structured Streaming has a
+binaryFile SOURCE — so the streaming variant is the same decode applied
+inside ``foreachBatch``, with per-FILE replay idempotence: files are the
+delivery unit of an object-store drop zone (the reference's SQS-driven
+collection), so a redelivered batch anti-joins on ``_source_file``
+against the target table and appends nothing for files already folded.
+Corrupt files keep the batch reader's quarantine contract (one
+lineage-carrying row, carried into the table with ``_corrupt_record``
+set) instead of killing the stream.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+__all__ = ["avro_collect_stream"]
+
+
+def avro_collect_stream(
+    spark: SparkSession,
+    watch_dir: str,
+    table: str,
+    avro_schema: dict,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Drain ``watch_dir``'s .avro files into ``table``.
+
+    ``avro_schema`` is the directory's writer schema (the batch path
+    peeks it from the first file; a STREAM has no first file at plan
+    time, so the contract is explicit here — the same reason streaming
+    sources require a user schema everywhere in Spark). Decode reuses
+    the batch mapInPandas path verbatim, so batch and stream cannot
+    drift (suite st32 grades the drained table against q127's oracle
+    shape)."""
+    from logverzcore_spark.sources.avro_ocf import (
+        avro_to_spark_schema,
+        decode_ocf,
+    )
+    from logverzcore_spark.sources.readers import CORRUPT_COL, SOURCE_COL
+
+    import json as _json
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    spark_schema = avro_to_spark_schema(avro_schema)
+    names = [f.name for f in spark_schema.fields]
+    out_schema = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in spark_schema.fields]
+        + [
+            T.StructField(CORRUPT_COL, T.StringType(), True),
+            T.StructField(SOURCE_COL, T.StringType(), True),
+        ]
+    )
+    out_columns = names + [CORRUPT_COL, SOURCE_COL]
+    expected_canon = _json.dumps(avro_schema, sort_keys=True)
+
+    def decode(batches):
+        for pdf in batches:
+            for src, blob in zip(pdf["path"], pdf["content"]):
+                try:
+                    schema, records = decode_ocf(bytes(blob))
+                    if _json.dumps(schema, sort_keys=True) != expected_canon:
+                        yield pd.DataFrame(
+                            [[None] * len(names)
+                             + ["writer schema differs from stream schema", src]],
+                            columns=out_columns, dtype=object,
+                        )
+                        continue
+                except Exception as exc:
+                    yield pd.DataFrame(
+                        [[None] * len(names) + [str(exc), src]],
+                        columns=out_columns, dtype=object,
+                    )
+                    continue
+                if records:
+                    yield pd.DataFrame(
+                        [[r.get(n) for n in names] + [None, src]
+                         for r in records],
+                        columns=out_columns,
+                    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        decoded = batch_df.select("path", "content").mapInPandas(
+            decode, out_schema
+        )
+        if spark.catalog.tableExists(table):
+            seen = spark.table(table).select(SOURCE_COL).distinct()
+            decoded = decoded.join(seen, SOURCE_COL, "left_anti")
+            decoded.write.mode("append").saveAsTable(table)
+        else:
+            decoded.write.saveAsTable(table)
+        spark.catalog.refreshTable(table)
+
+    checkpoint = checkpoint_dir or os.path.join(
+        tempfile.gettempdir(), f"lvz_avro_{uuid.uuid4().hex[:8]}"
+    )
+    # Streaming sources require an explicit schema; binaryFile's is fixed.
+    binary_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_schema)
+        .option("pathGlobFilter", "*.avro")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(watch_dir)
+    writer = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1383,3 +1383,71 @@ def st31_streaming_canary_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {state}")
     return out
+
+
+@query("st32_streaming_avro_collect", oracle=ORACLES["q127_avro_roundtrip"])
+def st32_streaming_avro_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous Avro collection (streaming/avro_stream.
+    avro_collect_stream): q127's two-codec OCF fixture drops into a
+    watch dir, streams in one-file micro-batches through the SAME
+    mapInPandas decode as the batch reader, and folds into a table with
+    per-file replay idempotence — the drained table must equal q127's
+    identity oracle verbatim (rows lost to a batch boundary, or
+    duplicated by the second drain over a fresh checkpoint, break the
+    hash)."""
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.sources.avro_ocf import encode_ocf
+    from logverzcore_spark.streaming.avro_stream import avro_collect_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    rows = sorted((r.asDict() for r in docs.collect()), key=lambda r: r["doc_id"])
+    avro_schema = {
+        "type": "record",
+        "name": "document",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "text", "type": ["null", "string"]},
+            {"name": "lang", "type": ["null", "string"]},
+            {"name": "source", "type": ["null", "string"]},
+            {"name": "n_chars", "type": ["null", "long"]},
+        ],
+    }
+    run_id = _uuid.uuid4().hex[:8]
+    tbl = f"st32_avro_{run_id}"
+    work = tempfile.mkdtemp(prefix=f"st32_{run_id}_")
+    watch = os.path.join(work, "drop")
+    os.makedirs(watch)
+    half = len(rows) // 2
+    with open(os.path.join(watch, "a.avro"), "wb") as fh:
+        fh.write(encode_ocf(rows[:half], avro_schema, codec="null"))
+    with open(os.path.join(watch, "b.avro"), "wb") as fh:
+        fh.write(encode_ocf(rows[half:], avro_schema, codec="deflate"))
+    try:
+        q = avro_collect_stream(
+            spark, watch, tbl, avro_schema,
+            checkpoint_dir=os.path.join(work, "ck"),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+        # full redelivery (fresh checkpoint): per-file idempotence
+        q2 = avro_collect_stream(
+            spark, watch, tbl, avro_schema,
+            checkpoint_dir=os.path.join(work, "ck2"),
+            max_files_per_trigger=1,
+        )
+        q2.awaitTermination()
+        out = (
+            spark.table(tbl)
+            .where(F.col("_corrupt_record").isNull())
+            .select(
+                "doc_id", "lang", "source", "n_chars",
+                F.length("text").alias("n_text"),
+                "_corrupt_record",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    return out

@@ -218,6 +218,8 @@ def test_suite_global_plan_invariants(spark):
         "s21_hard_negatives",   # anti-label constraint can't equi-join: broadcast query block (s01 shape)
         "d24_threshold_sweep",  # 3-row literal threshold frame theta-joins the pair table + 1-row total
         "s19_hybrid_rrf",       # arms compose s01's broadcast-query scan + s17's stats join
+        "s22_maxsim_topk",      # exact MaxSim tier: corpus x broadcast query set (s01 shape)
+        "t60_curriculum_schedule",  # per-stage _largest_remainder scalar joins over #sources rows
     }
     streaming = {n for n in SUITE if n.startswith("st")}  # run eagerly; skip
     offenders = {}
@@ -493,3 +495,23 @@ def test_q126_ohlc_single_partial_aggregated_exchange(spark):
     assert _n_exchanges(fmt) == 1
     assert "Aggregate" in fmt
     assert fmt.index("Aggregate") < fmt.index("Exchange")
+
+
+def test_t59_epoch_shuffle_never_serializes_a_shard(spark):
+    """The epoch rank must come from the two-level construction: the
+    corpus-scale window partitions by (shard, sub-bucket) — never by
+    shard alone (one 6 TB task per shard at 100 TB) and never a global
+    sort (Exchange SinglePartition over corpus rows)."""
+    from logverzcore_spark import export
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    fmt = _plan(spark, export.epoch_shuffle(docs, seed=7))
+    assert "rangepartitioning" not in fmt.lower()  # no global sort path
+    # the corpus window's partition spec carries the sub-bucket key
+    # (formatted plans print Window args as "...], [<partition cols>], [<order>")
+    import re
+
+    assert re.search(r"row_number\(\)[^\n]*\], \[shard#\d+, _bkt#\d+\], \[", fmt)
+    # no corpus-scale single-partition exchange: the only
+    # SinglePartition feeds the #buckets-row offsets window
+    assert fmt.count("Exchange SinglePartition") <= 1
