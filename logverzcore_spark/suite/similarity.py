@@ -1053,3 +1053,86 @@ def s22_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") % 50 == 0)
     return similarity.maxsim_topk(emb, qs, k=3)
+
+
+@query(
+    "s23_matryoshka_eval",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             (embedding::DOUBLE[])[1:16] AS p
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, e, p,
+             sqrt(list_dot_product(e, e)) AS ne,
+             sqrt(list_dot_product(p, p)) AS np_
+      FROM v
+    ), q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+    full_rk AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS nid,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.e, c.e) / (q.ne * c.ne) DESC,
+                        c.vec_id) AS rk
+      FROM q JOIN n c ON q.vec_id <> c.vec_id
+    ), pref_rk AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS nid,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.p, c.p) / (q.np_ * c.np_) DESC,
+                        c.vec_id) AS rk
+      FROM q JOIN n c ON q.vec_id <> c.vec_id
+    ), f3 AS (SELECT query_id, nid FROM full_rk WHERE rk <= 3),
+    p3 AS (SELECT query_id, nid FROM pref_rk WHERE rk <= 3)
+    SELECT f.query_id,
+           CAST((SELECT COUNT(*) FROM p3 p
+                 WHERE p.query_id = f.query_id
+                   AND p.nid IN (SELECT nid FROM f3 x
+                                 WHERE x.query_id = f.query_id))
+                AS BIGINT) AS n_overlap,
+           array_to_string(list_sort(list(f.nid)), ',') AS full_top3,
+           (SELECT array_to_string(list_sort(list(p.nid)), ',') FROM p3 p
+            WHERE p.query_id = f.query_id) AS prefix_top3
+    FROM f3 f GROUP BY f.query_id
+    """,
+)
+def s23_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval audit: exact top-3 by the FULL
+    64-dim cosine vs by the 16-dim PREFIX cosine, per query (every
+    50th vector) — the measurement behind the dim-truncation decision
+    (store 4× fewer bytes, probe 4× faster — at what recall?). Both
+    arms are the s01 exact tier (broadcast queries, one corpus stage);
+    overlap + both id lists are hash-verified, so this is an exact
+    EVALUATION operator, not an approximation with a bound. At scale
+    the prefix arm is the candidate generator and the full arm the
+    re-ranker — this audit prices that design."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") % 50 == 0)
+    full = similarity.cosine_topk(emb, qs, k=3).select(
+        "query_id", F.col("neighbor_id").alias("nid_f")
+    )
+    prefix16 = F.slice(F.col("embedding").cast("array<double>"), 1, 16)
+    emb_p = emb.select("vec_id", prefix16.alias("embedding"))
+    qs_p = qs.select("vec_id", prefix16.alias("embedding"))
+    pref = similarity.cosine_topk(emb_p, qs_p, k=3).select(
+        "query_id", F.col("neighbor_id").alias("nid_p")
+    )
+    f3 = full.groupBy("query_id").agg(
+        F.sort_array(F.collect_list("nid_f")).alias("f_ids")
+    )
+    p3 = pref.groupBy("query_id").agg(
+        F.sort_array(F.collect_list("nid_p")).alias("p_ids")
+    )
+    return (
+        f3.join(p3, "query_id")
+        .select(
+            "query_id",
+            F.size(F.array_intersect("f_ids", "p_ids"))
+            .cast("long")
+            .alias("n_overlap"),
+            F.array_join("f_ids", ",").alias("full_top3"),
+            F.array_join("p_ids", ",").alias("prefix_top3"),
+        )
+    )

@@ -2830,3 +2830,100 @@ def t60_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.curriculum_schedule(
         docs, weights, n_stages=4, tokens_per_stage=250_000
     )
+
+
+@query(
+    "t61_stratified_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS sample_rank
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def t61_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified evaluation sample: EXACTLY min(5, avail) docs per
+    source, chosen by deterministic md5-of-id rank — the eval-set /
+    human-review draw that t09's bernoulli hash sample cannot give
+    (per-stratum counts there are binomial, not exact). Deterministic
+    across runs/engines (no rand()), so the draw replays. Plan: the
+    rank<=k predicate compiles to WindowGroupLimit (asserted in
+    test_plan_quality) — each map task pre-prunes to its local top-k
+    per source BEFORE the shuffle, so the exchange carries
+    O(sources×k×tasks), never the corpus."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= 5)
+        .select("doc_id", "source", "sample_rank")
+    )
+
+
+@query(
+    "t62_link_graph",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id, source,
+             text || ' see https://h' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.example/p/' || CAST(doc_id AS VARCHAR)
+                  || CASE WHEN doc_id % 3 = 0
+                     THEN ' and http://h' || CAST(doc_id % 5 AS VARCHAR)
+                          || '.example/q'
+                     ELSE '' END AS text
+      FROM documents
+    ), links AS (
+      SELECT source AS src,
+             unnest(list_transform(
+               regexp_extract_all(text, 'https?://([a-z0-9.-]+)/', 1),
+               x -> x)) AS dst_host
+      FROM planted
+    )
+    SELECT src, dst_host, COUNT(*) AS n_links
+    FROM links GROUP BY src, dst_host
+    """,
+)
+def t62_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outbound link graph (crawl-frontier input): URLs planted into
+    every doc (one https link always, an http second every third doc),
+    extracted with the SAME regex in both engines, reduced to
+    (source, destination host) edge counts — the host-level graph
+    q119's PageRank and crawl-budget policies consume. Pure projection
+    + ONE partial-agg'd edge shuffle (edge volume, not corpus volume);
+    the oracle replays extraction and grouping exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://h"), (did % 7).cast("string"),
+            F.lit(".example/p/"), did.cast("string"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" and http://h"), (did % 5).cast("string"),
+                    F.lit(".example/q"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    links = planted.select(
+        F.col("source").alias("src"),
+        F.explode(
+            F.expr(r"regexp_extract_all(text, 'https?://([a-z0-9.-]+)/', 1)")
+        ).alias("dst_host"),
+    )
+    return links.groupBy("src", "dst_host").agg(
+        F.count(F.lit(1)).alias("n_links")
+    )

@@ -515,3 +515,12 @@ def test_t59_epoch_shuffle_never_serializes_a_shard(spark):
     # no corpus-scale single-partition exchange: the only
     # SinglePartition feeds the #buckets-row offsets window
     assert fmt.count("Exchange SinglePartition") <= 1
+
+
+def test_t61_stratified_sample_uses_window_group_limit(spark):
+    """rank<=k over the per-source window must compile to
+    WindowGroupLimit: every map task pre-prunes to its local top-k per
+    source BEFORE the exchange, so the shuffle carries
+    O(sources x k x tasks), never the corpus."""
+    fmt = _plan(spark, SUITE["t61_stratified_sample"](spark, SF_DIR))
+    assert "WindowGroupLimit" in fmt
