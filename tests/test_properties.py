@@ -387,3 +387,44 @@ def test_largest_remainder_invariants(spark, weights, budget):
     for r in out:
         exact = budget * weights[r.source] / wsum
         assert abs(r.alloc_tokens - exact) < 1, (r.source, r.alloc_tokens, exact)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    recs=st.lists(
+        st.fixed_dictionaries(
+            {
+                "i": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                "s": st.one_of(st.none(), st.text(max_size=40)),
+                "d": st.floats(allow_nan=False, allow_infinity=False,
+                               width=64),
+                "b": st.one_of(st.none(), st.binary(max_size=24)),
+                "ok": st.booleans(),
+            }
+        ),
+        max_size=60,
+    ),
+    codec=st.sampled_from(["null", "deflate"]),
+    block=st.integers(min_value=1, max_value=17),
+)
+def test_avro_ocf_roundtrip_property(recs, codec, block):
+    """encode_ocf∘decode_ocf is the identity for every supported value —
+    including int64 edges, NaN-free doubles, empty strings/bytes, and
+    arbitrary block boundaries (pure-python property; the Spark path is
+    covered in test_ingest)."""
+    from logverzcore_spark.sources.avro_ocf import decode_ocf, encode_ocf
+
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "i", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": ["bytes", "null"]},
+            {"name": "ok", "type": "boolean"},
+        ],
+    }
+    blob = encode_ocf(recs, schema, codec=codec, records_per_block=block)
+    got_schema, got = decode_ocf(blob)
+    assert got_schema == schema
+    assert got == recs
