@@ -859,3 +859,36 @@ def d26_exact_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logverzcore_spark.operators.util import fan_out
 
     return dedup.exact_substring_scrub(fan_out(docs), window=8)
+
+
+@query(
+    "d27_leakage_safe_split",
+    oracle=_DUP_GRAPH_CTE
+    + """
+    SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 1) <= 'b'
+                THEN 'train'
+                WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 1) <= 'd'
+                THEN 'val' ELSE 'test' END AS split
+    FROM labels
+    """,
+)
+def d27_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: split by the hash of the
+    near-dup CLUSTER id, not the document id — t05's per-doc hash split
+    puts two near-duplicates on opposite sides of the train/eval fence
+    (the textbook eval-leak), while splitting the d07 connected
+    component keeps every cluster member in one split by construction
+    (pytest-asserted; the oracle replays closure + split rule exactly).
+    Plan: d02's pair generation + d07's label propagation + one
+    broadcast label join; the split itself is a pure projection."""
+    from logverzcore_spark.operators.text import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    clusters = dedup.dup_clusters(docs, pairs)
+    return clusters.select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        hash_split(F.col("cluster_id")).alias("split"),
+    )

@@ -1136,3 +1136,98 @@ def s23_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join("p_ids", ",").alias("prefix_top3"),
         )
     )
+
+
+@query(
+    "s24_truncated_rerank",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             (embedding::DOUBLE[])[1:16] AS p
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, e, p,
+             sqrt(list_dot_product(e, e)) AS ne,
+             sqrt(list_dot_product(p, p)) AS np_
+      FROM v
+    ), q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+    cand AS (
+      SELECT query_id, nid FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS nid,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.p, c.p) / (q.np_ * c.np_) DESC,
+                          c.vec_id) AS rk
+        FROM q JOIN n c ON q.vec_id <> c.vec_id
+      ) WHERE rk <= 20
+    ), rer AS (
+      SELECT cand.query_id, cand.nid,
+             list_dot_product(q.e, c.e) / (q.ne * c.ne) AS cos,
+             row_number() OVER (
+               PARTITION BY cand.query_id
+               ORDER BY list_dot_product(q.e, c.e) / (q.ne * c.ne) DESC,
+                        cand.nid) AS rk
+      FROM cand
+      JOIN n q ON q.vec_id = cand.query_id
+      JOIN n c ON c.vec_id = cand.nid
+    )
+    SELECT query_id, nid AS neighbor_id, ROUND(cos, 6) AS cosine,
+           CAST(rk AS INTEGER) AS rank
+    FROM rer WHERE rk <= 3
+    """,
+)
+def s24_truncated_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncate-then-rerank retrieval — the two-tier design s23 prices:
+    the cheap 16-dim PREFIX cosine generates 20 candidates per query
+    (4× fewer bytes scanned at the candidate stage; at scale this arm
+    is where the IVF/LSH index lives), then the full 64-dim cosine
+    re-ranks only those 20 to the final top-3. Exact given the
+    candidate rule, so fully hash-verified — the s11-rerank discipline
+    with dimension truncation as the compression axis instead of PQ.
+    Plan: both arms broadcast the query side; the rerank join touches
+    20 rows per query, never the corpus."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") % 50 == 0)
+    prefix16 = F.slice(F.col("embedding").cast("array<double>"), 1, 16)
+    emb_p = emb.select("vec_id", prefix16.alias("embedding"))
+    qs_p = qs.select("vec_id", prefix16.alias("embedding"))
+    cand = similarity.cosine_topk(emb_p, qs_p, k=20).select(
+        "query_id", F.col("neighbor_id").alias("nid")
+    )
+    full = emb.select(
+        F.col("vec_id"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(F.aggregate(F.col("e"), F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    joined = (
+        cand.join(
+            F.broadcast(
+                full.join(
+                    qs.select("vec_id"), "vec_id", "semi"
+                ).withColumnsRenamed({"vec_id": "query_id", "e": "qe", "nrm": "qn"})
+            ),
+            "query_id",
+        )
+        .join(full.withColumnsRenamed({"vec_id": "nid", "e": "ce", "nrm": "cn"}), "nid")
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "ce", lambda x, y: x * y), F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        (dot / (F.col("qn") * F.col("cn"))).desc(), "nid"
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            F.col("nid").alias("neighbor_id"),
+            F.round(dot / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

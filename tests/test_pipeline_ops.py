@@ -2762,3 +2762,42 @@ def test_extract_warc_http_edges(spark):
     assert r1["n_body_bytes"] == 100  # true length
     assert r1["body_text"] == "A" * 10  # truncated read
     assert "hello" in rows["https://a/3"]["body_text"]  # raw pass-through
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """The property d27 exists for: every member of a near-dup cluster
+    lands in the SAME split (no train/eval leak), while t05's per-doc
+    hash split measurably violates it on the same corpus."""
+    from logverzcore_spark.operators import dedup
+    from logverzcore_spark.operators.text import hash_split
+
+    rows = []
+    for i in range(40):  # 40 clusters of 3 near-dups, disjoint vocabularies
+        v = " ".join(f"tok{i}x{j}" for j in range(20))
+        rows += [(i * 10, v), (i * 10 + 1, v + " x"), (i * 10 + 2, v + " y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.5)
+    clusters = dedup.dup_clusters(df, pairs)
+    out = clusters.select(
+        "doc_id", "cluster_id", hash_split(F.col("cluster_id")).alias("split")
+    ).collect()
+    by_cluster: dict[int, set] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())  # never split
+    assert len({next(iter(s)) for s in by_cluster.values()}) > 1  # real mix
+    # contrast: per-doc split tears at least one cluster apart here
+    naive = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", hash_split(F.col("doc_id")).alias("s")
+        ).collect()
+    }
+    cluster_members: dict[int, list] = {}
+    for r in out:
+        cluster_members.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    torn = sum(
+        1 for ms in cluster_members.values()
+        if len(ms) > 1 and len({naive[m] for m in ms}) > 1
+    )
+    assert torn > 0
