@@ -220,6 +220,8 @@ def test_suite_global_plan_invariants(spark):
         "s19_hybrid_rrf",       # arms compose s01's broadcast-query scan + s17's stats join
         "s22_maxsim_topk",      # exact MaxSim tier: corpus x broadcast query set (s01 shape)
         "t60_curriculum_schedule",  # per-stage _largest_remainder scalar joins over #sources rows
+        "s23_matryoshka_eval",  # both audit arms are s01's broadcast-query exact scan
+        "s24_truncated_rerank",  # candidate arm = s01's broadcast-query exact scan
     }
     streaming = {n for n in SUITE if n.startswith("st")}  # run eagerly; skip
     offenders = {}
