@@ -133,7 +133,17 @@ def epoch_shuffle(
     epoch_rank)."""
     from pyspark.sql import Window
 
-    key = F.md5(F.concat(F.lit(f"{int(seed)}:"), F.col(id_col).cast("string")))
+    # A NULL id would make the key/shard NULL and the row silently
+    # vanish through the offsets equi-join — an epoch missing a
+    # document with no error. Ids are the operator's contract; fail
+    # loudly per row instead (codegen branch, no extra pass).
+    checked_id = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(
+            F.lit(f"epoch_shuffle: NULL {id_col} — every row needs a stable id")
+        ).cast("string"),
+    ).otherwise(F.col(id_col).cast("string"))
+    key = F.md5(F.concat(F.lit(f"{int(seed)}:"), checked_id))
     h = df.withColumn("_ek", key).withColumn(
         "shard",
         F.pmod(
@@ -187,10 +197,19 @@ def export_epoch_shards(
         .format(fmt)
         .save(out_dir)
     )
-    manifest = shuffled.groupBy("shard").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.min("epoch_rank").alias("first_rank"),
-        F.max("epoch_rank").alias("last_rank"),
+    # Manifest from the WRITTEN files, not a recompute: re-deriving it
+    # from `shuffled` would run the whole corpus shuffle pipeline a
+    # second time, while this scan reads two pruned columns of the data
+    # just written — and it validates the files on disk, not the plan.
+    spark = df.sparkSession
+    manifest = (
+        spark.read.format(fmt).load(out_dir)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("epoch_rank").alias("first_rank"),
+            F.max("epoch_rank").alias("last_rank"),
+        )
     )
     manifest.coalesce(1).write.mode("overwrite").format("parquet").save(
         os.path.join(out_dir, "_manifest")
@@ -606,11 +625,18 @@ def delete_rows(
     # Write-ahead manifest: staged replacements are complete, so record
     # the originals to delete BEFORE deleting any — a crash anywhere
     # after this point is finished (not redone) by the entry recovery.
-    out = fs.create(jpath(os.path.join(tmp, "_touched.json")), True)
+    # Written to a temp name and renamed in, so the manifest's
+    # EXISTENCE is atomic: recovery can never observe a truncated one
+    # (a crash mid-write leaves only the .part file, which recovery
+    # ignores — originals are all intact in that window).
+    mf_part = jpath(os.path.join(tmp, "_touched.json.part"))
+    out = fs.create(mf_part, True)
     try:
         out.write(bytearray(json.dumps(sorted(touched)).encode("utf-8")))
     finally:
         out.close()
+    if not fs.rename(mf_part, jpath(os.path.join(tmp, "_touched.json"))):
+        raise IOError("delete_rows: could not commit the staging manifest")
 
     for f in touched:
         fs.delete(jpath(f), False)
@@ -651,7 +677,16 @@ def _finish_or_discard_delete_staging(spark, fs, jpath, path: str, tmp: str) -> 
         )
     finally:
         stream.close()
-    for f in json.loads(raw.decode("utf-8")):
+    try:
+        touched = json.loads(raw.decode("utf-8"))
+    except ValueError:
+        # Cannot happen under the rename-committed write above, but an
+        # unreadable manifest must not wedge every future delete_rows:
+        # a manifest that never committed means no original was
+        # deleted, so discarding the stage is the safe recovery.
+        fs.delete(jpath(tmp), True)
+        return
+    for f in touched:
         fs.delete(jpath(f), False)
     it = fs.listFiles(jpath(tmp), True)
     dest = jpath(path)
@@ -816,9 +851,13 @@ class CompactedAppendSink:
                 fs.rename(jpath(old), jpath(self.base))
             raise IOError("CompactedAppendSink: could not swap base")
         fs.delete(jpath(old), True)
-        # best-effort inbox cleanup; consumed manifest already covers them
-        for i in fold:
-            fs.delete(jpath(os.path.join(self.inbox, str(i))), True)
+        # Best-effort inbox cleanup — and the RETRY the class docstring
+        # promises: sweep every CONSUMED dir still on disk, not just
+        # this fold's, so dirs orphaned by a crash between a prior swap
+        # and its cleanup don't leak duplicate on-disk copies forever.
+        for i in self._inbox_ids(spark):
+            if i in consumed or i in set(fold):
+                fs.delete(jpath(os.path.join(self.inbox, str(i))), True)
         return len(fold)
 
     def read_view(self, spark) -> DataFrame:

@@ -1646,19 +1646,27 @@ def exact_substring_scrub(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_t")
     )
     n_tok = tok.select("doc_id", F.size("_t").alias("n_tokens"))
+    # sequence(1, 0) counts DOWN in Spark (the dedup.py:99 guard
+    # lesson), and slice(_, 0, w) throws — so the upper bound is
+    # clamped to 1 and the (single, harmless) out-of-range window a
+    # short document produces is filtered by its position instead:
+    # documents with fewer than ``window`` tokens yield zero windows,
+    # matching the oracle's end-exclusive range().
+    n_win = F.size("_t") - (window - 1)
     win = tok.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(
-                    F.lit(1), F.greatest(F.size("_t") - (window - 1), F.lit(0))
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(
+                            F.concat_ws(" ", F.slice("_t", i, window))
+                        ).alias("wh"),
+                    ),
                 ),
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    F.md5(
-                        F.concat_ws(" ", F.slice("_t", i, window))
-                    ).alias("wh"),
-                ),
+                lambda s: s["pos"] <= n_win,
             )
         ).alias("w"),
     ).select("doc_id", "w.pos", "w.wh")

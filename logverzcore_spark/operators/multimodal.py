@@ -2125,6 +2125,68 @@ def parse_npy_meta(
     )
 
 
+def _gunzip_members(b: bytes, max_out: int) -> bytes | None:
+    """Concatenate the gzip MEMBERS of a .warc.gz payload (one member
+    per record by convention), bounded at ``max_out`` output bytes.
+    Member boundaries come from zlib's unused_data; a truncated tail
+    member keeps what decompressed; garbage between members → None.
+    Shared by parse_warc_records and extract_warc_http — one copy of
+    the boundary math."""
+    import zlib
+
+    out, pos = bytearray(), 0
+    while pos < len(b) and len(out) < max_out:
+        if b[pos : pos + 2] != b"\x1f\x8b":
+            return None
+        d = zlib.decompressobj(16 + 15)
+        try:
+            out += d.decompress(b[pos:], max_out - len(out))
+        except zlib.error:
+            return bytes(out) if out else None
+        if not d.eof:  # output budget hit mid-member
+            break
+        consumed = len(b) - pos - len(d.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
+    return bytes(out)
+
+
+def _warc_walk(b: bytes, limit: int, max_records: int):
+    """Yield (rec_idx 1-based, warc_type, target_uri, content_length,
+    block_start) per WARC record: version line + headers + blank line +
+    Content-Length block skip + record separator. Stops cleanly on the
+    first record whose chain can't be trusted (truncated headers,
+    unparseable or missing Content-Length). Shared walker — the ONE
+    copy of the header/boundary arithmetic both WARC operators use."""
+    pos, n = 0, 0
+    while pos < limit and n < max_records:
+        eol = b.find(b"\r\n", pos, min(limit, pos + 64))
+        if eol < 0 or not b[pos:eol].startswith(b"WARC/"):
+            return
+        hdr_end = b.find(b"\r\n\r\n", eol, limit)
+        if hdr_end < 0:
+            return  # truncated header block: stop cleanly
+        wtype = uri = clen = None
+        for line in b[eol + 2 : hdr_end].split(b"\r\n"):
+            k, _, v = line.partition(b":")
+            key = k.strip().lower()
+            try:
+                if key == b"warc-type":
+                    wtype = v.strip().decode("utf-8", "replace")
+                elif key == b"warc-target-uri":
+                    uri = v.strip().decode("utf-8", "replace")
+                elif key == b"content-length":
+                    clen = int(v.strip())
+            except ValueError:
+                return  # unparseable length: the chain is untrustworthy
+        if clen is None or clen < 0:
+            return  # Content-Length is mandatory (ISO 28500 §5.3)
+        n += 1
+        yield n, wtype, uri, clen, hdr_end + 4
+        pos = hdr_end + 4 + clen + 4  # block + record separator
+
+
 def parse_warc_records(
     df: DataFrame,
     payload_col: str = "payload",
@@ -2168,73 +2230,21 @@ def parse_warc_records(
     )
     UNKNOWN = (None, "unknown", None, None, None)
 
-    def gunzip_members(b: bytes) -> bytes | None:
-        """Concatenate all gzip members (bounded output)."""
-        import zlib
-
-        out, pos = bytearray(), 0
-        while pos < len(b) and len(out) < max_scan_bytes:
-            if b[pos : pos + 2] != b"\x1f\x8b":
-                return None  # trailing garbage between members
-            d = zlib.decompressobj(16 + 15)
-            try:
-                out += d.decompress(b[pos:], max_scan_bytes - len(out))
-            except zlib.error:
-                return bytes(out) if out else None  # truncated tail member
-            if not d.eof:  # output budget hit mid-member
-                break
-            consumed = len(b) - pos - len(d.unused_data)
-            if consumed <= 0:
-                break
-            pos += consumed
-        return bytes(out)
-
-    def walk(b: bytes):
-        """Yield (warc_type, target_uri, content_length) per record."""
-        limit = min(len(b), max_scan_bytes)
-        pos, n = 0, 0
-        while pos < limit and n < max_records:
-            # version line
-            eol = b.find(b"\r\n", pos, min(limit, pos + 64))
-            if eol < 0 or not b[pos:eol].startswith(b"WARC/"):
-                return
-            hdr_end = b.find(b"\r\n\r\n", eol, limit)
-            if hdr_end < 0:
-                return  # truncated header block: stop cleanly
-            wtype = uri = clen = None
-            for line in b[eol + 2 : hdr_end].split(b"\r\n"):
-                k, _, v = line.partition(b":")
-                key = k.strip().lower()
-                val = v.strip()
-                try:
-                    if key == b"warc-type":
-                        wtype = val.decode("utf-8", "replace")
-                    elif key == b"warc-target-uri":
-                        uri = val.decode("utf-8", "replace")
-                    elif key == b"content-length":
-                        clen = int(val)
-                except ValueError:
-                    return  # unparseable length: the chain is untrustworthy
-            if clen is None or clen < 0:
-                return  # Content-Length is mandatory (ISO 28500 §5.3)
-            yield wtype, uri, clen
-            n += 1
-            pos = hdr_end + 4 + clen + 4  # block + record separator
-        return
-
     def parse_one(b: bytes | None):
         if not b or len(b) < 9:
             return [UNKNOWN]
         if b[:2] == b"\x1f\x8b":
-            plain = gunzip_members(b)
+            plain = _gunzip_members(b, max_scan_bytes)
             if not plain:
                 return [UNKNOWN]
             b = plain
         if not b.startswith(b"WARC/"):
             return [UNKNOWN]
         rows = [
-            (i + 1, "warc", wt, uri, cl)
-            for i, (wt, uri, cl) in enumerate(walk(b))
+            (idx, "warc", wt, uri, cl)
+            for idx, wt, uri, cl, _ in _warc_walk(
+                b, min(len(b), max_scan_bytes), max_records
+            )
         ]
         return rows or [UNKNOWN]
 
@@ -2294,35 +2304,6 @@ def extract_warc_http(
         ]
     )
 
-    def walk(b: bytes):
-        limit = min(len(b), max_scan_bytes)
-        pos, n = 0, 0
-        while pos < limit and n < max_records:
-            eol = b.find(b"\r\n", pos, min(limit, pos + 64))
-            if eol < 0 or not b[pos:eol].startswith(b"WARC/"):
-                return
-            hdr_end = b.find(b"\r\n\r\n", eol, limit)
-            if hdr_end < 0:
-                return
-            wtype = uri = clen = None
-            for line in b[eol + 2 : hdr_end].split(b"\r\n"):
-                k, _, v = line.partition(b":")
-                key = k.strip().lower()
-                try:
-                    if key == b"warc-type":
-                        wtype = v.strip().decode("utf-8", "replace")
-                    elif key == b"warc-target-uri":
-                        uri = v.strip().decode("utf-8", "replace")
-                    elif key == b"content-length":
-                        clen = int(v.strip())
-                except ValueError:
-                    return
-            if clen is None or clen < 0:
-                return
-            n += 1
-            yield n, wtype, uri, b[hdr_end + 4 : hdr_end + 4 + clen]
-            pos = hdr_end + 4 + clen + 4
-
     def http_parse(block: bytes):
         """(status, content_type, body) or None if not HTTP."""
         eol = block.find(b"\r\n", 0, 128)
@@ -2347,30 +2328,17 @@ def extract_warc_http(
         if not b or len(b) < 9:
             return
         if b[:2] == b"\x1f\x8b":
-            import zlib
-
-            out, pos = bytearray(), 0
-            while pos < len(b) and len(out) < max_scan_bytes:
-                if b[pos : pos + 2] != b"\x1f\x8b":
-                    return
-                d = zlib.decompressobj(16 + 15)
-                try:
-                    out += d.decompress(b[pos:], max_scan_bytes - len(out))
-                except zlib.error:
-                    break
-                if not d.eof:
-                    break
-                consumed = len(b) - pos - len(d.unused_data)
-                if consumed <= 0:
-                    break
-                pos += consumed
-            b = bytes(out)
+            plain = _gunzip_members(b, max_scan_bytes)
+            if not plain:
+                return
+            b = plain
         if not b.startswith(b"WARC/"):
             return
-        for idx, wtype, uri, block in walk(b):
+        limit = min(len(b), max_scan_bytes)
+        for idx, wtype, uri, clen, bstart in _warc_walk(b, limit, max_records):
             if wtype != "response":
                 continue
-            parsed = http_parse(block)
+            parsed = http_parse(b[bstart : bstart + clen])
             if parsed is None:
                 continue
             status, ctype, body = parsed

@@ -1895,9 +1895,19 @@ def maxsim_topk(
     pair; no Python), window top-k on (score, id). At scale the ANN
     front (IVF cells per slice, s03/s11) generates candidates and this
     exact MaxSim re-ranks — the same two-tier discipline as s11's
-    rerank. Output: (query_id, neighbor_id, maxsim 6dp, rank)."""
+    rerank. Output: (query_id, neighbor_id, maxsim 6dp, rank).
+
+    Contract: ``dim`` must divide into ``n_slices`` equal slices and
+    vectors must actually carry ``dim`` elements — a slice past the end
+    of a short vector would score NULL (0/0) and corrupt the ranking
+    silently, so divisibility is validated here and the width
+    assumption documented."""
     from logverzcore_spark.operators.util import fan_out
 
+    if n_slices < 2:
+        raise ValueError("maxsim needs >= 2 slices (else use cosine_topk)")
+    if dim % n_slices != 0:
+        raise ValueError(f"dim={dim} not divisible into {n_slices} slices")
     width = dim // n_slices
 
     def slices(col):

@@ -598,3 +598,41 @@ def test_epoch_shuffle_determinism_and_disjointness(spark, tmpdir_path):
             .sort("epoch_rank").collect()
         ]
         assert got == sorted(got) and len(got) == len(per_shard[shard])
+
+
+def test_compacted_sink_sweeps_orphaned_inbox_dirs(spark, tmpdir_path):
+    """A crash after the base swap but before inbox cleanup leaves
+    consumed dirs on disk; the NEXT compaction must sweep them (the
+    docstring's promised retry), not leak them forever."""
+    out = os.path.join(tmpdir_path, "sink_sweep")
+    sink = export.CompactedAppendSink(out, compact_every=100)
+    b = lambda lo, hi: spark.range(lo, hi)
+    sink.process(b(0, 10), 0)
+    sink.process(b(10, 20), 1)
+    assert sink.compact(spark) == 2
+    # Simulate the pre-cleanup crash: restore a consumed inbox dir
+    b(0, 10).write.parquet(os.path.join(out, "inbox", "0"))
+    assert sink._inbox_ids(spark) == [0]
+    sink.process(b(20, 25), 2)
+    assert sink.compact(spark) == 1  # folds only batch 2...
+    assert sink._inbox_ids(spark) == []  # ...but sweeps the orphan too
+    assert sink.read_view(spark).count() == 25  # and counts nothing twice
+
+
+def test_delete_rows_discards_uncommitted_manifest_stage(spark, tmpdir_path):
+    """A crash mid-manifest-write leaves only _touched.json.part (the
+    manifest commit is a rename); recovery must discard the stage and
+    proceed — never wedge on an unreadable manifest."""
+    path = os.path.join(tmpdir_path, "corpus_mf")
+    spark.range(0, 40).write.parquet(path)
+    tmp = path + ".delete-tmp"
+    os.makedirs(tmp)
+    spark.range(0, 5).write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_touched.json.part"), "w") as fh:
+        fh.write('["file:/trunca')  # mid-write crash artifact
+    stats = export.delete_rows(
+        spark, path, spark.createDataFrame([(3,)], "id long"), "id"
+    )
+    assert stats["rows_deleted"] == 1
+    assert spark.read.parquet(path).count() == 39
+    assert not os.path.exists(tmp)

@@ -2801,3 +2801,49 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
         if len(ms) > 1 and len({naive[m] for m in ms}) > 1
     )
     assert torn > 0
+
+
+def test_exact_substring_scrub_short_docs_and_maxsim_validation(spark):
+    """Regressions from the r7 self-review: documents shorter than the
+    window must yield zero windows (not a slice(_, 0, w) crash — Spark
+    sequence(1, 0) counts DOWN), and maxsim rejects a dim that does not
+    slice evenly instead of silently NULL-scoring."""
+    import pytest as _pytest
+
+    from logverzcore_spark.operators.dedup import exact_substring_scrub
+    from logverzcore_spark.operators.similarity import maxsim_topk
+
+    rows = [
+        (1, ""),                       # empty
+        (2, "only three tokens"),      # < window
+        (3, "a b c d e f g h"),        # exactly window -> 1 window
+        (4, "a b c d e f g h"),        # duplicate of 3 (cross-doc)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in exact_substring_scrub(df, window=8).collect()}
+    assert got[1]["n_dup_windows"] == 0 and got[1]["covered_tokens"] == 0
+    assert got[2]["n_dup_windows"] == 0 and got[2]["n_tokens"] == 3
+    assert got[3]["n_dup_windows"] == 1 and got[3]["covered_tokens"] == 8
+    assert got[4]["dup_coverage_bp"] == 10000
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError):
+        maxsim_topk(vecs, vecs, n_slices=5, dim=64)  # 64 % 5 != 0
+    with _pytest.raises(ValueError):
+        maxsim_topk(vecs, vecs, n_slices=1, dim=64)
+
+
+def test_epoch_shuffle_rejects_null_ids(spark):
+    """A NULL id would silently vanish through the offsets join —
+    the operator must fail loudly instead."""
+    import pytest as _pytest
+
+    from logverzcore_spark import export
+
+    df = spark.createDataFrame(
+        [(1,), (None,)], "doc_id long"
+    )
+    with _pytest.raises(Exception, match="NULL doc_id"):
+        export.epoch_shuffle(df, seed=7).collect()
