@@ -4554,3 +4554,72 @@ def q127_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return out
+
+
+@query(
+    "q129_snapshot_time_travel",
+    oracle="""
+    WITH v1 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+    v2 AS (SELECT * FROM orders WHERE o_orderkey % 3 <= 1),
+    v3 AS (SELECT * FROM orders WHERE o_orderkey % 3 <= 1
+           AND o_orderstatus = 'F')
+    SELECT 1 AS version, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM v1
+    UNION ALL
+    SELECT 2, COUNT(*),
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT),
+           CAST(MAX(o_orderkey) AS BIGINT)
+    FROM v2
+    UNION ALL
+    SELECT 3, COUNT(*),
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT),
+           CAST(MAX(o_orderkey) AS BIGINT)
+    FROM v3
+    """,
+)
+def q129_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel (snapshots.SnapshotTable): version 1 appends
+    a third of orders, version 2 appends another third, version 3 is a
+    filtering REWRITE (overwrite — the compaction/correction shape) —
+    and all three versions must still read back exactly (count, rounded
+    cent total, max key per version vs the oracle's arithmetic
+    restatement). Reads resolve manifests, never directory listings, so
+    the v1/v2 reads are untouched by the later rewrite. Crash windows
+    and vacuum are pytest-graded."""
+    import tempfile
+    import shutil
+    import uuid as _uuid
+
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(), f"q129_snap_{_uuid.uuid4().hex[:8]}"
+    )
+    t = SnapshotTable(root)
+    try:
+        t.append(orders.where(F.col("o_orderkey") % 3 == 0))
+        t.append(orders.where(F.col("o_orderkey") % 3 == 1))
+        t.overwrite(
+            orders.where(
+                (F.col("o_orderkey") % 3 <= 1)
+                & (F.col("o_orderstatus") == "F")
+            )
+        )
+        cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        out = None
+        for v in (1, 2, 3):
+            agg = t.read(spark, v).agg(
+                F.lit(v).cast("int").alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(cents).cast("long").alias("total_cents"),
+                F.max("o_orderkey").cast("long").alias("max_key"),
+            ).select("version", "n_rows", "total_cents", "max_key")
+            out = agg if out is None else out.unionByName(agg)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -636,3 +636,48 @@ def test_delete_rows_discards_uncommitted_manifest_stage(spark, tmpdir_path):
     assert stats["rows_deleted"] == 1
     assert spark.read.parquet(path).count() == 39
     assert not os.path.exists(tmp)
+
+
+def test_snapshot_table_versions_crash_windows_and_vacuum(spark, tmpdir_path):
+    """SnapshotTable invariants: reads are manifest-driven (a rewrite
+    never disturbs older versions), a crashed commit (orphan data dir /
+    .part manifest) is invisible to every reader, and vacuum reclaims
+    orphans + expired versions while kept versions stay byte-stable."""
+    import pytest as _pytest
+
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    root = os.path.join(tmpdir_path, "snap")
+    t = SnapshotTable(root)
+    with _pytest.raises(FileNotFoundError):
+        t.read(spark)
+
+    assert t.append(spark.range(0, 10)) == 1
+    assert t.append(spark.range(10, 30)) == 2
+    assert t.overwrite(spark.range(100, 105)) == 3  # rewrite
+    assert t.versions(spark) == [1, 2, 3]
+    assert t.read(spark, 1).count() == 10
+    assert t.read(spark, 2).count() == 30  # untouched by the rewrite
+    assert t.read(spark).count() == 5      # latest = v3
+    with _pytest.raises(ValueError):
+        t.read(spark, 7)
+
+    # Crash window A: data written, manifest never renamed -> invisible
+    orphan_files = t._write_data(spark.range(1000, 2000))
+    assert len(orphan_files) > 0
+    assert t.read(spark).count() == 5
+    assert t.versions(spark) == [1, 2, 3]
+    # Crash window B: partial .part manifest -> not a version
+    with open(os.path.join(root, "_snapshots", "v9.json.part"), "w") as fh:
+        fh.write('["trunc')
+    assert t.versions(spark) == [1, 2, 3]
+
+    # Vacuum: keep v2/v3; orphans + v1's unshared files reclaimed
+    before = t.read(spark, 2).agg(F.sum("id")).first()[0]
+    deleted = t.vacuum(spark, keep_last=2)
+    assert deleted >= len(orphan_files)
+    assert t.versions(spark) == [2, 3]
+    assert t.read(spark, 2).agg(F.sum("id")).first()[0] == before
+    assert t.read(spark, 3).count() == 5
+    with _pytest.raises(ValueError):
+        t.read(spark, 1)  # time travel to a vacuumed version is gone
