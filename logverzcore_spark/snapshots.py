@@ -65,7 +65,7 @@ class SnapshotTable:
                 out.append(int(m.group(1)))
         return sorted(out)
 
-    def _manifest(self, spark: SparkSession, version: int) -> list[str]:
+    def _read_manifest(self, spark: SparkSession, version: int) -> dict:
         jpath, fs = self._fs(spark)
         mf = jpath(os.path.join(self.snaps, f"v{version}.json"))
         stream = fs.open(mf)
@@ -79,18 +79,25 @@ class SnapshotTable:
             stream.close()
         return json.loads(raw.decode("utf-8"))
 
-    def _commit(self, spark: SparkSession, files: list[str]) -> int:
+    def _manifest(self, spark: SparkSession, version: int) -> list[str]:
+        return self._read_manifest(spark, version)["files"]
+
+    def _commit(
+        self, spark: SparkSession, files: list[str], tag: str | None = None
+    ) -> int:
         """Write the next version's manifest atomically (rename commit).
         Single-writer by contract (the reference's job model); two racing
         writers would contend on the same v<N> name and one rename loses
-        loudly, never silently."""
+        loudly, never silently. ``tag`` labels the commit (streaming
+        batch ids) for replay idempotence — see ``append``."""
         jpath, fs = self._fs(spark)
         fs.mkdirs(jpath(self.snaps))
         version = (self.versions(spark) or [0])[-1] + 1
+        payload = {"files": sorted(files), "tag": tag}
         part = jpath(os.path.join(self.snaps, f"v{version}.json.part"))
         out = fs.create(part, True)
         try:
-            out.write(bytearray(json.dumps(sorted(files)).encode("utf-8")))
+            out.write(bytearray(json.dumps(payload).encode("utf-8")))
         finally:
             out.close()
         if not fs.rename(
@@ -98,6 +105,12 @@ class SnapshotTable:
         ):
             raise IOError(f"snapshot commit lost the race for v{version}")
         return version
+
+    def _tags(self, spark: SparkSession) -> set:
+        return {
+            t for v in self.versions(spark)
+            if (t := self._read_manifest(spark, v).get("tag")) is not None
+        }
 
     def _write_data(self, df: DataFrame) -> list[str]:
         """Write a commit's data files into a fresh immutable dir and
@@ -116,18 +129,29 @@ class SnapshotTable:
                 files.append(st.getPath().toString())
         return files
 
-    def append(self, df: DataFrame) -> int:
-        """Commit current-version files + the new data as version N+1."""
+    def append(self, df: DataFrame, tag: str | None = None) -> int:
+        """Commit current-version files + the new data as version N+1.
+
+        ``tag`` makes the append REPLAY-IDEMPOTENT: a tag already
+        present in any committed manifest is a no-op (returns the
+        latest version) — the streaming foreachBatch contract, where a
+        crash between the manifest rename and the checkpoint commit
+        redelivers the same batch id."""
         spark = df.sparkSession
         vs = self.versions(spark)
+        if tag is not None and tag in self._tags(spark):
+            return vs[-1]
         base = self._manifest(spark, vs[-1]) if vs else []
-        return self._commit(spark, base + self._write_data(df))
+        return self._commit(spark, base + self._write_data(df), tag=tag)
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, tag: str | None = None) -> int:
         """Commit the new data as the ENTIRE next version (a rewrite —
         e.g. a compaction or a corrected corpus). Prior versions keep
         reading their own files untouched."""
-        return self._commit(df.sparkSession, self._write_data(df))
+        spark = df.sparkSession
+        if tag is not None and tag in self._tags(spark):
+            return self.versions(spark)[-1]
+        return self._commit(spark, self._write_data(df), tag=tag)
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """The table as of ``version`` (default: latest) — byte-stable

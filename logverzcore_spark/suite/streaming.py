@@ -1451,3 +1451,67 @@ def st32_streaming_avro_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     return out
+
+
+@query(
+    "st33_streaming_snapshot_commits",
+    oracle="""
+    WITH half AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0)
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    FROM half
+    """,
+)
+def st33_streaming_snapshot_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming snapshot commits
+    (streaming/avro_stream.snapshot_append_stream): half of orders
+    streams in one-file micro-batches, each batch committing ONE tagged
+    snapshot version; a SECOND drain over a fresh checkpoint redelivers
+    every batch and must commit nothing (tag no-ops). The latest
+    version's totals must equal the batch oracle, version count must
+    equal batch count (not 2x), and every intermediate version must be
+    a prefix — the mid-stream pinned-corpus property."""
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.snapshots import SnapshotTable
+    from logverzcore_spark.streaming.avro_stream import snapshot_append_stream
+
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 2 == 0)
+    run_id = _uuid.uuid4().hex[:8]
+    work = tempfile.mkdtemp(prefix=f"st33_{run_id}_")
+    src = os.path.join(work, "src")
+    orders.coalesce(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    root = os.path.join(work, "snap")
+
+    def drain(ck):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+        )
+        q = snapshot_append_stream(
+            spark, stream, root, checkpoint_dir=os.path.join(work, ck)
+        )
+        q.awaitTermination()
+
+    drain("ck1")
+    t = SnapshotTable(root)
+    n_versions = len(t.versions(spark))
+    drain("ck2")  # full redelivery: tags make every commit a no-op
+    assert len(t.versions(spark)) == n_versions, "replay committed dupes"
+    # prefix property: each version's rows are a subset of the next
+    counts = [t.read(spark, v).count() for v in t.versions(spark)]
+    assert counts == sorted(counts)
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    return (
+        t.read(spark)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(cents).cast("long").alias("total_cents"),
+            F.countDistinct("o_custkey").cast("long").alias("n_custs"),
+        )
+        .localCheckpoint(eager=True)
+    )

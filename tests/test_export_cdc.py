@@ -681,3 +681,24 @@ def test_snapshot_table_versions_crash_windows_and_vacuum(spark, tmpdir_path):
     assert t.read(spark, 3).count() == 5
     with _pytest.raises(ValueError):
         t.read(spark, 1)  # time travel to a vacuumed version is gone
+
+
+def test_snapshot_stream_restart_mid_batch(spark, tmpdir_path):
+    """st33's dangerous window driven directly: the snapshot commit
+    landed but the streaming checkpoint did not — replaying the same
+    batch id must be a manifest-level no-op (tag idempotence), and an
+    untagged duplicate would double the data."""
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    root = os.path.join(tmpdir_path, "snapstream")
+    t = SnapshotTable(root)
+    b = spark.range(0, 50)
+    v1 = t.append(b, tag="batch-0")
+    assert v1 == 1
+    # the crash: checkpoint lost, Spark re-runs batch 0's fold
+    v_again = t.append(b, tag="batch-0")
+    assert v_again == 1 and t.versions(spark) == [1]
+    assert t.read(spark).count() == 50  # no duplicates
+    # a genuinely new batch commits normally
+    assert t.append(spark.range(50, 60), tag="batch-1") == 2
+    assert t.read(spark).count() == 60
