@@ -167,6 +167,37 @@ class SnapshotTable:
             raise ValueError(f"version {v} is empty")
         return spark.read.parquet(*files)
 
+    def read_incremental(
+        self, spark: SparkSession, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Exactly the rows added BETWEEN two versions — the "what's new
+        since my last training run" read an incremental pipeline wants,
+        at manifest cost: because data files are immutable and appends
+        only add paths, the increment is the file-list difference, read
+        directly (no corpus diff, no anti-join — q89's content diff is
+        for when lineage is unknown; this is for when it's ours).
+
+        Only valid across APPEND commits: if any file of
+        ``from_version`` is missing from ``to_version`` an overwrite
+        happened in between and the file diff is not the row diff —
+        refused loudly rather than answered wrong."""
+        vs = self.versions(spark)
+        to = vs[-1] if to_version is None else to_version
+        if from_version not in vs or to not in vs or from_version > to:
+            raise ValueError(f"bad version range {from_version}..{to} of {vs}")
+        old = set(self._manifest(spark, from_version))
+        new = self._manifest(spark, to)
+        if not old <= set(new):
+            raise ValueError(
+                f"versions {from_version}..{to} span an overwrite — the "
+                "file diff is not the row diff; read both versions and "
+                "diff content instead (q89 shape)"
+            )
+        added = [f for f in new if f not in old]
+        if not added:
+            return self.read(spark, to).limit(0)
+        return spark.read.parquet(*added)
+
     def vacuum(self, spark: SparkSession, keep_last: int = 2) -> int:
         """Drop manifests older than the last ``keep_last`` and delete
         every data file no kept manifest references (incl. orphans from

@@ -4623,3 +4623,57 @@ def q129_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@query(
+    "q130_snapshot_incremental",
+    oracle="""
+    SELECT 'v1_to_v2' AS increment, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders WHERE o_orderkey % 3 = 1
+    UNION ALL
+    SELECT 'v2_to_v3', COUNT(*),
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 = 2
+    """,
+)
+def q130_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot reads (SnapshotTable.read_incremental): the
+    "rows added since my last run" read, answered from the MANIFEST
+    file-list difference (immutable files + append-only ⇒ file diff ==
+    row diff) — no corpus scan, no anti-join. Three appends; the two
+    increments must each contain exactly their commit's rows (the
+    oracle restates them arithmetically), and together with v1 they
+    partition the corpus. The overwrite refusal is pytest-graded."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(), f"q130_snap_{_uuid.uuid4().hex[:8]}"
+    )
+    t = SnapshotTable(root)
+    try:
+        for k in (0, 1, 2):
+            t.append(orders.where(F.col("o_orderkey") % 3 == k))
+        cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        out = None
+        for name, lo, hi in (("v1_to_v2", 1, 2), ("v2_to_v3", 2, 3)):
+            agg = (
+                t.read_incremental(spark, lo, hi)
+                .agg(
+                    F.lit(name).alias("increment"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(cents).cast("long").alias("total_cents"),
+                )
+                .select("increment", "n_rows", "total_cents")
+            )
+            out = agg if out is None else out.unionByName(agg)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -702,3 +702,26 @@ def test_snapshot_stream_restart_mid_batch(spark, tmpdir_path):
     # a genuinely new batch commits normally
     assert t.append(spark.range(50, 60), tag="batch-1") == 2
     assert t.read(spark).count() == 60
+
+
+def test_snapshot_incremental_refuses_overwrite_spans(spark, tmpdir_path):
+    """read_incremental answers from the file-list diff, which is only
+    the row diff across APPEND commits — a range spanning an overwrite
+    must be refused loudly, and empty increments return zero rows with
+    the table's schema."""
+    import pytest as _pytest
+
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    root = os.path.join(tmpdir_path, "snapinc")
+    t = SnapshotTable(root)
+    t.append(spark.range(0, 10))
+    t.append(spark.range(10, 30))
+    inc = t.read_incremental(spark, 1, 2)
+    assert inc.count() == 20 and inc.agg(F.min("id")).first()[0] == 10
+    assert t.read_incremental(spark, 2, 2).count() == 0  # empty range
+    t.overwrite(spark.range(100, 105))  # v3 rewrites
+    with _pytest.raises(ValueError, match="overwrite"):
+        t.read_incremental(spark, 1, 3)
+    with _pytest.raises(ValueError):
+        t.read_incremental(spark, 3, 1)  # inverted range
