@@ -11,32 +11,43 @@ a filesystem with atomic rename:
 
 - **data files are immutable**: every commit writes NEW part files under
   ``data/<uuid>/``; nothing ever rewrites a committed file in place.
-- **a version is a manifest**: ``_snapshots/v<N>.json`` lists the exact
-  file paths that make up version N (a full list, not a delta — O(files)
-  metadata buys O(1)-step recovery and trivially correct reads).
-- **commit = manifest rename**: the manifest is written to a ``.part``
-  name and renamed in; the rename IS the commit point (the delete_rows
-  lesson: existence must be atomic). A crash before the rename leaves
-  orphan data files that no manifest references — invisible to every
-  reader, reclaimed by ``vacuum``.
-- **reads never list data dirs**: ``read(version)`` loads the manifest's
-  file list and hands it to the parquet reader — a concurrent in-flight
-  commit can never tear a read.
+- **a version is a manifest**: ``_snapshots/v<N>.json`` holds the exact
+  file paths of version N (a full list, not a delta — O(files) metadata
+  buys O(1)-step recovery and trivially correct reads) plus the
+  CUMULATIVE tag history (every commit tag ever applied), so replay
+  idempotence survives vacuum and costs ONE manifest read per commit,
+  not one per version.
+- **commit = atomic-existence manifest write** (fsutil.
+  write_small_json_commit): content lands under a ``.part`` name and a
+  rename makes it appear whole-or-not-at-all. SINGLE-WRITER CONTRACT:
+  POSIX/object-store rename silently replaces an existing destination,
+  so two concurrent writers to one table are NOT safe — the pre-rename
+  exists check narrows the race but cannot eliminate it (the same
+  reason Delta on S3 needs an external LogStore/CAS). One writer per
+  table; concurrent READERS at any version are always safe because
+  reads never list directories, only resolve committed manifests.
+- **a crash before the rename** leaves orphan data files no manifest
+  references — invisible to every reader, reclaimed by ``vacuum``.
 
-Capacity note for 100 TB: the manifest holds file PATHS (metadata-scale
-— bounded by file count, which compaction bounds); data-file I/O is the
-normal distributed parquet scan over an explicit file list, identical in
-plan shape to any other read in this repo.
+Capacity note for 100 TB: manifests hold file PATHS and tags
+(metadata-scale — bounded by file count, which compaction bounds, and
+commit count); data-file I/O is the normal distributed parquet scan over
+an explicit file list, identical in plan shape to any other read here.
 """
 
 from __future__ import annotations
 
-import json
 import os
 import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+from logverzcore_spark.fsutil import (
+    hadoop_fs,
+    read_small_json,
+    write_small_json_commit,
+)
 
 _VRE = re.compile(r"^v(\d+)\.json$")
 
@@ -47,15 +58,8 @@ class SnapshotTable:
         self.data = os.path.join(self.root, "data")
         self.snaps = os.path.join(self.root, "_snapshots")
 
-    # -- FS helpers (Hadoop FS API: same code on hdfs:// / s3a:// paths) --
-    def _fs(self, spark: SparkSession):
-        jpath = spark._jvm.org.apache.hadoop.fs.Path
-        return jpath, jpath(self.root).getFileSystem(
-            spark._jsc.hadoopConfiguration()
-        )
-
     def versions(self, spark: SparkSession) -> list[int]:
-        jpath, fs = self._fs(spark)
+        jpath, fs = hadoop_fs(spark, self.root)
         if not fs.exists(jpath(self.snaps)):
             return []
         out = []
@@ -66,92 +70,79 @@ class SnapshotTable:
         return sorted(out)
 
     def _read_manifest(self, spark: SparkSession, version: int) -> dict:
-        jpath, fs = self._fs(spark)
-        mf = jpath(os.path.join(self.snaps, f"v{version}.json"))
-        stream = fs.open(mf)
-        try:
-            raw = bytes(
-                spark._jvm.org.apache.hadoop.io.IOUtils.readFullyToByteArray(
-                    stream
-                )
-            )
-        finally:
-            stream.close()
-        return json.loads(raw.decode("utf-8"))
+        return read_small_json(
+            spark, os.path.join(self.snaps, f"v{version}.json")
+        )
 
     def _manifest(self, spark: SparkSession, version: int) -> list[str]:
         return self._read_manifest(spark, version)["files"]
 
     def _commit(
-        self, spark: SparkSession, files: list[str], tag: str | None = None
+        self,
+        spark: SparkSession,
+        files: list[str],
+        tag: str | None,
+        parent: dict | None,
+        parent_version: int,
     ) -> int:
-        """Write the next version's manifest atomically (rename commit).
-        Single-writer by contract (the reference's job model); two racing
-        writers would contend on the same v<N> name and one rename loses
-        loudly, never silently. ``tag`` labels the commit (streaming
-        batch ids) for replay idempotence — see ``append``."""
-        jpath, fs = self._fs(spark)
-        fs.mkdirs(jpath(self.snaps))
-        version = (self.versions(spark) or [0])[-1] + 1
-        payload = {"files": sorted(files), "tag": tag}
-        part = jpath(os.path.join(self.snaps, f"v{version}.json.part"))
-        out = fs.create(part, True)
-        try:
-            out.write(bytearray(json.dumps(payload).encode("utf-8")))
-        finally:
-            out.close()
-        if not fs.rename(
-            part, jpath(os.path.join(self.snaps, f"v{version}.json"))
-        ):
-            raise IOError(f"snapshot commit lost the race for v{version}")
+        all_tags = list(parent.get("all_tags", [])) if parent else []
+        if tag is not None:
+            all_tags.append(tag)
+        payload = {"files": sorted(files), "tag": tag, "all_tags": all_tags}
+        version = parent_version + 1
+        write_small_json_commit(
+            spark, os.path.join(self.snaps, f"v{version}.json"), payload
+        )
         return version
 
-    def _tags(self, spark: SparkSession) -> set:
-        return {
-            t for v in self.versions(spark)
-            if (t := self._read_manifest(spark, v).get("tag")) is not None
-        }
+    def _head(self, spark: SparkSession) -> tuple[int, dict | None]:
+        vs = self.versions(spark)
+        if not vs:
+            return 0, None
+        return vs[-1], self._read_manifest(spark, vs[-1])
 
     def _write_data(self, df: DataFrame) -> list[str]:
         """Write a commit's data files into a fresh immutable dir and
         return their paths. A crash after this but before the manifest
-        rename leaves them orphaned and invisible (vacuum reclaims)."""
+        commit leaves them orphaned and invisible (vacuum reclaims)."""
         dirname = os.path.join(self.data, uuid.uuid4().hex[:12])
         df.write.parquet(dirname)
         spark = df.sparkSession
-        jpath, fs = self._fs(spark)
+        jpath, fs = hadoop_fs(spark, self.root)
         files = []
         it = fs.listFiles(jpath(dirname), True)
         while it.hasNext():
             st = it.next()
-            name = st.getPath().getName()
-            if name.startswith("part-"):
+            if st.getPath().getName().startswith("part-"):
                 files.append(st.getPath().toString())
         return files
 
     def append(self, df: DataFrame, tag: str | None = None) -> int:
         """Commit current-version files + the new data as version N+1.
 
-        ``tag`` makes the append REPLAY-IDEMPOTENT: a tag already
-        present in any committed manifest is a no-op (returns the
+        ``tag`` makes the append REPLAY-IDEMPOTENT: a tag present in the
+        head manifest's cumulative tag history is a no-op (returns the
         latest version) — the streaming foreachBatch contract, where a
-        crash between the manifest rename and the checkpoint commit
-        redelivers the same batch id."""
+        crash between the manifest commit and the checkpoint commit
+        redelivers the same batch id. The history is CUMULATIVE in the
+        head manifest, so vacuuming old versions never forgets a tag
+        and the check costs one manifest read, not one per version."""
         spark = df.sparkSession
-        vs = self.versions(spark)
-        if tag is not None and tag in self._tags(spark):
-            return vs[-1]
-        base = self._manifest(spark, vs[-1]) if vs else []
-        return self._commit(spark, base + self._write_data(df), tag=tag)
+        head_v, head = self._head(spark)
+        if tag is not None and head and tag in head.get("all_tags", []):
+            return head_v
+        base = head["files"] if head else []
+        return self._commit(spark, base + self._write_data(df), tag, head, head_v)
 
     def overwrite(self, df: DataFrame, tag: str | None = None) -> int:
         """Commit the new data as the ENTIRE next version (a rewrite —
         e.g. a compaction or a corrected corpus). Prior versions keep
         reading their own files untouched."""
         spark = df.sparkSession
-        if tag is not None and tag in self._tags(spark):
-            return self.versions(spark)[-1]
-        return self._commit(spark, self._write_data(df), tag=tag)
+        head_v, head = self._head(spark)
+        if tag is not None and head and tag in head.get("all_tags", []):
+            return head_v
+        return self._commit(spark, self._write_data(df), tag, head, head_v)
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """The table as of ``version`` (default: latest) — byte-stable
@@ -182,6 +173,8 @@ class SnapshotTable:
         happened in between and the file diff is not the row diff —
         refused loudly rather than answered wrong."""
         vs = self.versions(spark)
+        if not vs:
+            raise FileNotFoundError(f"no committed snapshots under {self.root}")
         to = vs[-1] if to_version is None else to_version
         if from_version not in vs or to not in vs or from_version > to:
             raise ValueError(f"bad version range {from_version}..{to} of {vs}")
@@ -200,27 +193,27 @@ class SnapshotTable:
 
     def vacuum(self, spark: SparkSession, keep_last: int = 2) -> int:
         """Drop manifests older than the last ``keep_last`` and delete
-        every data file no kept manifest references (incl. orphans from
-        crashed commits). Returns files deleted. Time travel to vacuumed
-        versions is gone — that is vacuum's documented price."""
-        jpath, fs = self._fs(spark)
+        every data COMMIT DIR none of the kept manifests reference
+        (incl. orphans from crashed commits — whole dirs, so _SUCCESS
+        markers and empty uuid dirs don't accumulate as inode/listing
+        junk on a long stream). Returns dirs deleted. Time travel to
+        vacuumed versions is gone; replay idempotence is NOT — the tag
+        history is cumulative in the head manifest, which vacuum always
+        keeps."""
+        jpath, fs = hadoop_fs(spark, self.root)
         vs = self.versions(spark)
         keep = vs[-keep_last:] if keep_last else []
-        referenced: set[str] = set()
+        referenced_dirs: set[str] = set()
         for v in keep:
-            referenced.update(self._manifest(spark, v))
+            for f in self._manifest(spark, v):
+                referenced_dirs.add(os.path.dirname(f))
         deleted = 0
         if fs.exists(jpath(self.data)):
-            it = fs.listFiles(jpath(self.data), True)
-            doomed = []
-            while it.hasNext():
-                st = it.next()
+            for st in fs.listStatus(jpath(self.data)):
                 p = st.getPath().toString()
-                if st.getPath().getName().startswith("part-") and p not in referenced:
-                    doomed.append(p)
-            for p in doomed:
-                fs.delete(jpath(p), False)
-                deleted += 1
+                if st.isDirectory() and p not in referenced_dirs:
+                    fs.delete(st.getPath(), True)
+                    deleted += 1
         for v in vs:
             if v not in keep:
                 fs.delete(jpath(os.path.join(self.snaps, f"v{v}.json")), False)

@@ -180,17 +180,26 @@ def snapshot_append_stream(
     (version manifest vs streaming checkpoint) is resolved by the tag:
     whichever side crashes first, the replay converges on exactly one
     committed copy (suite st33 grades the drained latest version; the
-    kill/restart window is pytest-driven through the fold directly)."""
+    kill/restart window is pytest-driven through the fold directly).
+
+    Tags are NAMESPACED by the checkpoint identity — Spark restarts
+    batch ids at 0 per checkpoint, so a bare batch id would make a
+    SECOND stream into the same table silently no-op against the
+    first's tags (the Delta-sink (queryId, batchId) lesson). Note the
+    SnapshotTable single-writer contract still applies: two streams may
+    ingest into one table only one at a time."""
+    import hashlib
+
     from logverzcore_spark.snapshots import SnapshotTable
 
     table = SnapshotTable(root)
-
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
-        table.append(batch_df, tag=f"batch-{int(batch_id)}")
-
     checkpoint = checkpoint_dir or os.path.join(
         tempfile.gettempdir(), f"lvz_snapstream_{uuid.uuid4().hex[:8]}"
     )
+    ckid = hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:12]
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        table.append(batch_df, tag=f"{ckid}:batch-{int(batch_id)}")
     writer = stream_df.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint
     )

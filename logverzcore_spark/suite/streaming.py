@@ -1480,38 +1480,48 @@ def st33_streaming_snapshot_commits(spark: SparkSession, sf_dir: str) -> DataFra
     from logverzcore_spark.streaming.avro_stream import snapshot_append_stream
 
     orders = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 2 == 0)
+    import shutil
+
     run_id = _uuid.uuid4().hex[:8]
     work = tempfile.mkdtemp(prefix=f"st33_{run_id}_")
-    src = os.path.join(work, "src")
-    orders.coalesce(2).write.parquet(src)
-    schema = spark.read.parquet(src).schema
-    root = os.path.join(work, "snap")
+    try:
+        src = os.path.join(work, "src")
+        orders.coalesce(2).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        root = os.path.join(work, "snap")
 
-    def drain(ck):
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1").parquet(src)
-        )
-        q = snapshot_append_stream(
-            spark, stream, root, checkpoint_dir=os.path.join(work, ck)
-        )
-        q.awaitTermination()
+        ck = os.path.join(work, "ck1")
 
-    drain("ck1")
-    t = SnapshotTable(root)
-    n_versions = len(t.versions(spark))
-    drain("ck2")  # full redelivery: tags make every commit a no-op
-    assert len(t.versions(spark)) == n_versions, "replay committed dupes"
-    # prefix property: each version's rows are a subset of the next
-    counts = [t.read(spark, v).count() for v in t.versions(spark)]
-    assert counts == sorted(counts)
-    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
-    return (
-        t.read(spark)
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(cents).cast("long").alias("total_cents"),
-            F.countDistinct("o_custkey").cast("long").alias("n_custs"),
+        def drain():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1").parquet(src)
+            )
+            q = snapshot_append_stream(spark, stream, root, checkpoint_dir=ck)
+            q.awaitTermination()
+
+        drain()
+        t = SnapshotTable(root)
+        n_versions = len(t.versions(spark))
+        # Lost checkpoint, SAME checkpoint path (= same stream identity,
+        # so tags match): every batch is fully redelivered and every
+        # commit must be a tag no-op.
+        shutil.rmtree(ck)
+        drain()
+        assert len(t.versions(spark)) == n_versions, "replay committed dupes"
+        # prefix property: each version's rows are a subset of the next
+        counts = [t.read(spark, v).count() for v in t.versions(spark)]
+        assert counts == sorted(counts)
+        cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        out = (
+            t.read(spark)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(cents).cast("long").alias("total_cents"),
+                F.countDistinct("o_custkey").cast("long").alias("n_custs"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)
-    )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -675,7 +675,8 @@ def test_snapshot_table_versions_crash_windows_and_vacuum(spark, tmpdir_path):
     # Vacuum: keep v2/v3; orphans + v1's unshared files reclaimed
     before = t.read(spark, 2).agg(F.sum("id")).first()[0]
     deleted = t.vacuum(spark, keep_last=2)
-    assert deleted >= len(orphan_files)
+    assert deleted >= 1  # at least the orphan commit DIR reclaimed whole
+    assert not any(os.path.exists(f.replace("file:", "")) for f in orphan_files)
     assert t.versions(spark) == [2, 3]
     assert t.read(spark, 2).agg(F.sum("id")).first()[0] == before
     assert t.read(spark, 3).count() == 5
@@ -725,3 +726,27 @@ def test_snapshot_incremental_refuses_overwrite_spans(spark, tmpdir_path):
         t.read_incremental(spark, 1, 3)
     with _pytest.raises(ValueError):
         t.read_incremental(spark, 3, 1)  # inverted range
+
+
+def test_snapshot_tags_survive_vacuum_and_namespace_streams(spark, tmpdir_path):
+    """Two guarantees from the r7 second-pass review: (a) vacuum keeps
+    the cumulative tag history (a checkpoint rewind replaying an old
+    batch after vacuum must STILL no-op — vacuum's price is time
+    travel, never dedup state); (b) tags are cumulative per table, so a
+    caller namespacing tags per stream (snapshot_append_stream's ckid
+    prefix) lets a second stream commit while bare ids would collide."""
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    root = os.path.join(tmpdir_path, "snaptags")
+    t = SnapshotTable(root)
+    for i in range(5):
+        t.append(spark.range(i * 10, (i + 1) * 10), tag=f"A:batch-{i}")
+    assert t.read(spark).count() == 50
+    t.vacuum(spark, keep_last=1)
+    assert t.versions(spark) == [5]
+    # rewound checkpoint replays an OLD, vacuumed batch: still a no-op
+    assert t.append(spark.range(0, 10), tag="A:batch-0") == 5
+    assert t.read(spark).count() == 50
+    # a second stream's namespaced batch-0 is NOT stream A's batch-0
+    v = t.append(spark.range(100, 103), tag="B:batch-0")
+    assert v == 6 and t.read(spark).count() == 53
