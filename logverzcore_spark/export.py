@@ -666,19 +666,14 @@ def _finish_or_discard_delete_staging(spark, fs, jpath, path: str, tmp: str) -> 
     Idempotent — a crash during recovery re-enters the same path."""
     import json
 
-    mf = jpath(os.path.join(tmp, "_touched.json"))
-    if not fs.exists(mf):
+    from logverzcore_spark.fsutil import read_small_json
+
+    mf_path = os.path.join(tmp, "_touched.json")
+    if not fs.exists(jpath(mf_path)):
         fs.delete(jpath(tmp), True)
         return
-    stream = fs.open(mf)
     try:
-        raw = bytes(
-            spark._jvm.org.apache.hadoop.io.IOUtils.readFullyToByteArray(stream)
-        )
-    finally:
-        stream.close()
-    try:
-        touched = json.loads(raw.decode("utf-8"))
+        touched = read_small_json(spark, mf_path)
     except ValueError:
         # Cannot happen under the rename-committed write above, but an
         # unreadable manifest must not wedge every future delete_rows:
@@ -748,20 +743,13 @@ class CompactedAppendSink:
         )
 
     def _consumed(self, spark) -> set:
-        import json
+        from logverzcore_spark.fsutil import read_small_json
 
         jpath, fs = self._fs(spark)
-        mf = jpath(os.path.join(self.base, "_consumed.json"))
-        if not fs.exists(mf):
+        mf_path = os.path.join(self.base, "_consumed.json")
+        if not fs.exists(jpath(mf_path)):
             return set()
-        stream = fs.open(mf)
-        try:
-            raw = bytes(
-                spark._jvm.org.apache.hadoop.io.IOUtils.readFullyToByteArray(stream)
-            )
-        finally:
-            stream.close()
-        return set(json.loads(raw.decode("utf-8")))
+        return set(read_small_json(spark, mf_path))
 
     def _inbox_ids(self, spark) -> list:
         jpath, fs = self._fs(spark)
