@@ -525,6 +525,35 @@ class Engine:
         qualified = f"`{database}`.`{bare}`" if database != "default" else f"`{bare}`"
         self.spark.sql(f"DROP TABLE IF EXISTS {qualified}")
 
+    def register_snapshot(
+        self,
+        name: str,
+        root: str,
+        version: int | None = None,
+        user: User = ADMIN,
+    ) -> int:
+        """Pin a SnapshotTable version as a queryable temp view, so the
+        gated SQL surface (``Engine.sql``) can analyze "the corpus as of
+        version N" by name — the user-facing half of reproducible reads
+        (snapshots.py): an analyst re-runs last month's saved query
+        against last month's pinned data without knowing about
+        manifests. Admin/poweruser only (the view is session-global and
+        uncataloged, like other system objects); returns the resolved
+        version so callers can record the pin."""
+        if not (user.is_admin or user.is_poweruser):
+            raise PermissionError("register_snapshot requires admin/poweruser")
+        import re as _re
+
+        from logverzcore_spark.snapshots import SnapshotTable
+
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"invalid view name {name!r}")
+        t = SnapshotTable(root)
+        df = t.read(self.spark, version)
+        resolved = version if version is not None else t.versions(self.spark)[-1]
+        df.createOrReplaceTempView(name)
+        return resolved
+
     # -- Saved analyses (catalog Type "A", N7) -----------------------------
     def save_query(
         self,

@@ -957,3 +957,36 @@ def test_table_snapshot_remote_paths_report_unreliable(tmpdir_path):
     assert snap["local"] == {
         "n_files": 1, "max_mtime": _os.path.getmtime(local_file),
     }
+
+
+def test_register_snapshot_pins_versions_for_sql(spark, tmpdir_path):
+    """Engine.register_snapshot: a pinned version answers SQL by name
+    and stays frozen while the table moves on; non-admins are refused;
+    hostile names are rejected before touching the catalog."""
+    import os
+
+    import pytest as _pytest
+
+    from logverzcore_spark.api import Engine
+    from logverzcore_spark.catalog import Catalog, User
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    eng = Engine(spark, Catalog())
+    root = os.path.join(tmpdir_path, "snapv")
+    t = SnapshotTable(root)
+    t.append(spark.range(0, 10))
+    t.append(spark.range(10, 30))
+
+    assert eng.register_snapshot("corpus_v1", root, version=1) == 1
+    assert eng.register_snapshot("corpus_latest", root) == 2
+    r1 = eng.sql("SELECT COUNT(*) AS n FROM corpus_v1").first()["n"]
+    r2 = eng.sql("SELECT COUNT(*) AS n FROM corpus_latest").first()["n"]
+    assert (r1, r2) == (10, 30)
+    t.append(spark.range(30, 35))  # the table moves on...
+    assert eng.sql("SELECT COUNT(*) AS n FROM corpus_v1").first()["n"] == 10
+
+    nobody = User(name="n", groups=[], is_admin=False, is_poweruser=False)
+    with _pytest.raises(PermissionError):
+        eng.register_snapshot("x", root, user=nobody)
+    with _pytest.raises(ValueError):
+        eng.register_snapshot("bad name; drop", root)
