@@ -549,8 +549,12 @@ class Engine:
         if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
             raise ValueError(f"invalid view name {name!r}")
         t = SnapshotTable(root)
-        df = t.read(self.spark, version)
+        # Resolve the version ONCE and pass it explicitly: letting
+        # t.read pick "latest" and then recomputing versions()[-1] here
+        # races a commit landing in between — the returned pin would
+        # not match the registered view.
         resolved = version if version is not None else t.versions(self.spark)[-1]
+        df = t.read(self.spark, resolved)
         df.createOrReplaceTempView(name)
         return resolved
 

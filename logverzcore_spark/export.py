@@ -646,7 +646,15 @@ def delete_rows(
         st = it.next()
         name = st.getPath().getName()
         if name.startswith("part-"):
-            fs.rename(st.getPath(), jpath(dest, "deleted-" + name))
+            # After the manifest commit the staged files are the ONLY
+            # copy of surviving rows — a failed swap must leave the
+            # stage in place for the next recovery pass, never fall
+            # through to the staging delete below.
+            if not fs.rename(st.getPath(), jpath(dest, "deleted-" + name)):
+                raise IOError(
+                    f"delete_rows: could not move staged file {name} into "
+                    f"{path}; staging dir kept for recovery"
+                )
     fs.delete(jpath(tmp), True)
     return {
         "files_total": files_total,
@@ -689,7 +697,11 @@ def _finish_or_discard_delete_staging(spark, fs, jpath, path: str, tmp: str) -> 
         st = it.next()
         name = st.getPath().getName()
         if name.startswith("part-"):
-            fs.rename(st.getPath(), jpath(dest, "deleted-" + name))
+            if not fs.rename(st.getPath(), jpath(dest, "deleted-" + name)):
+                raise IOError(
+                    f"delete_rows recovery: could not move staged file "
+                    f"{name} into {path}; staging dir kept for the next pass"
+                )
     fs.delete(jpath(tmp), True)
 
 

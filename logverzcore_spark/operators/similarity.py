@@ -1901,7 +1901,9 @@ def maxsim_topk(
     vectors must actually carry ``dim`` elements — a slice past the end
     of a short vector would score NULL (0/0) and corrupt the ranking
     silently, so divisibility is validated here and the width
-    assumption documented."""
+    assumption documented. A ZERO-NORM slice (zero-padded token block)
+    is guarded in the score expression: it contributes 0, never a NULL
+    that would swallow the whole pair."""
     from logverzcore_spark.operators.util import fan_out
 
     if n_slices < 2:
@@ -1936,7 +1938,13 @@ def maxsim_topk(
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
-            cos = dot / (qn * cn)
+            # A zero-norm slice (e.g. a zero-padded token block) would
+            # make dot/(qn*cn) NULL under Spark's div-by-zero semantics
+            # and a NULL propagates through greatest/sum to a NULL
+            # maxsim, silently dropping the pair from the ranking —
+            # score a degenerate slice 0 instead (no directional
+            # information, no contribution).
+            cos = F.when(qn * cn > 0, dot / (qn * cn)).otherwise(F.lit(0.0))
             best = cos if best is None else F.greatest(best, cos)
         total = total + best
     scored = joined.select("qid", "nid", total.alias("cos"))

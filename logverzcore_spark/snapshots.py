@@ -17,15 +17,23 @@ a filesystem with atomic rename:
   CUMULATIVE tag history (every commit tag ever applied), so replay
   idempotence survives vacuum and costs ONE manifest read per commit,
   not one per version.
-- **commit = atomic-existence manifest write** (fsutil.
-  write_small_json_commit): content lands under a ``.part`` name and a
-  rename makes it appear whole-or-not-at-all. SINGLE-WRITER CONTRACT:
-  POSIX/object-store rename silently replaces an existing destination,
-  so two concurrent writers to one table are NOT safe — the pre-rename
-  exists check narrows the race but cannot eliminate it (the same
-  reason Delta on S3 needs an external LogStore/CAS). One writer per
-  table; concurrent READERS at any version are always safe because
-  reads never list directories, only resolve committed manifests.
+- **commit = atomic-existence manifest write, concurrency ENFORCED**
+  (fsutil.write_small_json_exclusive): content lands whole under a
+  per-writer ``.part.<id>`` name, winner selection is an atomic
+  create-if-absent lock (``FileSystem.createNewFile`` — O_EXCL locally,
+  one namenode op on HDFS), and the rename + read-back happen under
+  that lock. Of N concurrent committers of one version, exactly one
+  wins; every loser raises :class:`fsutil.CommitConflict` (optimistic
+  concurrency — re-read the head and retry with the next version),
+  never silently replaces. A crashed winner fail-stops: either its
+  manifest committed (losers conflict and move on) or an orphan
+  ``.lock`` blocks that one version until the operator runs
+  ``break_commit_lock``. OBJECT-STORE CAVEAT: S3A rename is copy+delete
+  and createNewFile is not atomic there — object stores still need a
+  conditional-put/LogStore commit (the Delta-on-S3 reason); the
+  enforcement here is local/HDFS. Concurrent READERS at any version
+  are always safe because reads never list directories, only resolve
+  committed manifests.
 - **a crash before the rename** leaves orphan data files no manifest
   references — invisible to every reader, reclaimed by ``vacuum``.
 
@@ -44,10 +52,14 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from logverzcore_spark.fsutil import (
+    CommitConflict,
+    break_commit_lock,
     hadoop_fs,
     read_small_json,
-    write_small_json_commit,
+    write_small_json_exclusive,
 )
+
+__all__ = ["SnapshotTable", "CommitConflict"]
 
 _VRE = re.compile(r"^v(\d+)\.json$")
 
@@ -90,10 +102,22 @@ class SnapshotTable:
             all_tags.append(tag)
         payload = {"files": sorted(files), "tag": tag, "all_tags": all_tags}
         version = parent_version + 1
-        write_small_json_commit(
+        # Exclusive commit: a concurrent committer who read the same
+        # head raises CommitConflict here (its data files stay orphaned
+        # and invisible; vacuum reclaims) — history stays linear.
+        write_small_json_exclusive(
             spark, os.path.join(self.snaps, f"v{version}.json"), payload
         )
         return version
+
+    def break_commit_lock(self, spark: SparkSession, version: int) -> bool:
+        """Operator escape hatch: remove the orphan commit lock a CRASHED
+        committer of ``version`` left behind (see fsutil.
+        write_small_json_exclusive's fail-stop note). Only after
+        confirming no writer is alive. Returns whether a lock existed."""
+        return break_commit_lock(
+            spark, os.path.join(self.snaps, f"v{version}.json")
+        )
 
     def _head(self, spark: SparkSession) -> tuple[int, dict | None]:
         vs = self.versions(spark)

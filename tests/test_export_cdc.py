@@ -750,3 +750,63 @@ def test_snapshot_tags_survive_vacuum_and_namespace_streams(spark, tmpdir_path):
     # a second stream's namespaced batch-0 is NOT stream A's batch-0
     v = t.append(spark.range(100, 103), tag="B:batch-0")
     assert v == 6 and t.read(spark).count() == 53
+
+
+def test_snapshot_concurrent_commit_one_wins_one_raises(spark, tmpdir_path):
+    """The single-writer CONTRACT is now ENFORCED (r7 'What's missing'
+    #1): two committers racing for the same next version — one commits,
+    the other raises CommitConflict, history stays linear, and no
+    committed file is ever lost or replaced. Driven by interleaving the
+    exact danger sequence: both writers read head=v1, both stage data,
+    both attempt the v2 manifest commit."""
+    import pytest as _pytest
+
+    from logverzcore_spark.snapshots import CommitConflict, SnapshotTable
+
+    root = os.path.join(tmpdir_path, "snapconc")
+    t = SnapshotTable(root)
+    assert t.append(spark.range(0, 10)) == 1
+
+    # Both writers observe the same head, then race the v2 commit.
+    head_v, head = t._head(spark)
+    files_a = t._write_data(spark.range(100, 120))
+    files_b = t._write_data(spark.range(200, 250))
+    assert t._commit(spark, head["files"] + files_a, "A", head, head_v) == 2
+    with _pytest.raises(CommitConflict):
+        t._commit(spark, head["files"] + files_b, "B", head, head_v)
+
+    # History linear, winner's rows intact, loser invisible (orphan).
+    assert t.versions(spark) == [1, 2]
+    assert t.read(spark, 2).count() == 30
+    assert t.read(spark, 2).agg(F.max("id")).first()[0] == 119
+    # Loser retries from the NEW head — the optimistic-concurrency path.
+    head_v2, head2 = t._head(spark)
+    assert t._commit(spark, head2["files"] + files_b, "B", head2, head_v2) == 3
+    assert t.read(spark, 3).count() == 80
+    # v2 stayed byte-stable through the retry (no silent replace).
+    assert sorted(t._manifest(spark, 2)) == sorted(head["files"] + files_a)
+
+
+def test_snapshot_crashed_commit_lock_failstop_and_break(spark, tmpdir_path):
+    """A committer that crashed between lock grab and rename leaves an
+    orphan .lock: the failure mode is FAIL-STOP (future committers of
+    that version raise CommitConflict; nothing is silently lost), and
+    break_commit_lock restores progress after the operator confirms no
+    writer is alive."""
+    import pytest as _pytest
+
+    from logverzcore_spark.snapshots import CommitConflict, SnapshotTable
+
+    root = os.path.join(tmpdir_path, "snapwedge")
+    t = SnapshotTable(root)
+    t.append(spark.range(0, 5))
+    # the crash artifact: lock exists, manifest never renamed in
+    with open(os.path.join(root, "_snapshots", "v2.json.lock"), "w"):
+        pass
+    with _pytest.raises(CommitConflict):
+        t.append(spark.range(5, 9))
+    assert t.versions(spark) == [1]  # nothing half-committed
+    assert t.break_commit_lock(spark, 2) is True
+    assert t.break_commit_lock(spark, 2) is False  # idempotent
+    assert t.append(spark.range(5, 9)) == 2
+    assert t.read(spark).count() == 9

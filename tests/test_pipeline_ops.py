@@ -2704,6 +2704,30 @@ def test_maxsim_rewards_multi_aspect_match(spark):
     assert ranked[0]["maxsim"] > ranked[1]["maxsim"]
 
 
+def test_maxsim_zero_norm_slice_scores_zero_not_null(spark):
+    """A zero-padded slice (common token-block padding) must contribute
+    0, never a NULL that propagates through greatest/sum and silently
+    drops or misranks the pair — the r7 ADVICE div-by-zero finding."""
+    from logverzcore_spark.operators.similarity import maxsim_topk
+
+    def vec(*slices):
+        return [float(x) for s in slices for x in s]
+
+    # query's last slice is all-zero padding; doc C is entirely zero
+    q = vec((1, 0), (0, 1), (1, 1), (0, 0))
+    a = vec((1, 0), (0, 1), (1, 1), (1, 0))  # matches all real slices
+    c = vec((0, 0), (0, 0), (0, 0), (0, 0))  # degenerate corpus vector
+    df = spark.createDataFrame(
+        [(0, q), (1, a), (2, c)], "vec_id long, embedding array<double>"
+    )
+    out = maxsim_topk(df, df.where("vec_id = 0"), k=2, n_slices=4, dim=8)
+    rows = {r["neighbor_id"]: r for r in out.collect()}
+    # BOTH pairs survive with non-NULL scores; the real match wins
+    assert set(rows) == {1, 2}
+    assert rows[1]["maxsim"] is not None and rows[2]["maxsim"] is not None
+    assert rows[1]["maxsim"] > rows[2]["maxsim"] == 0.0
+
+
 def test_exact_substring_scrub_alignment_and_coverage(spark):
     """The ExactSubstr properties t14's fixed segments lack: a shared
     span is found at ANY alignment (one doc prefixed by an extra
