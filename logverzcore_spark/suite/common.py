@@ -291,7 +291,12 @@ def _s03b_oracle(dim: int = 64, n_cells: int = 16, nprobe: int = 4) -> str:
     """
 
 
-def _d12_oracle(dim: int = 64, n_planes: int = 4, threshold: float = 0.25) -> str:
+def _d12_oracle(
+    dim: int = 64,
+    n_planes: int = 4,
+    threshold: float = 0.25,
+    final_select: str = "SELECT vec_id, cluster_id, vec_id = cluster_id AS is_rep FROM labels",
+) -> str:
     planes = similarity._hyperplanes(dim, n_planes)
     values = ",\n      ".join(
         f"({p}, {_sql_double_array(row)})" for p, row in enumerate(planes)
@@ -323,7 +328,7 @@ def _d12_oracle(dim: int = 64, n_planes: int = 4, threshold: float = 0.25) -> st
       FROM v LEFT JOIN reach r ON r.src = v.vec_id
       GROUP BY v.vec_id
     )
-    SELECT vec_id, cluster_id, vec_id = cluster_id AS is_rep FROM labels
+    {final_select}
     """
 
 

@@ -709,9 +709,11 @@ def d23_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.snapshot_diff_report(docs, new)
 
 
-@query(
-    "d24_threshold_sweep",
-    oracle="""
+#: Shared by d24 (exact calibration arm) and d28 (scale-safe LSH tier):
+#: the ORACLE is always the exhaustive sweep — d28 passing hash-exact
+#: against it is the measured statement that the LSH tier's recall at
+#: min(threshold) loses nothing on this corpus.
+_SWEEP_ORACLE = """
     WITH tok AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
       FROM documents
@@ -749,17 +751,22 @@ def d23_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS dup_frac_bp
     FROM thr t LEFT JOIN np USING (threshold) LEFT JOIN dd USING (threshold)
     CROSS JOIN tot
-    """,
-)
+    """
+
+
+@query("d24_threshold_sweep", oracle=_SWEEP_ORACLE)
 def d24_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-knob sensitivity (dedup.dedup_threshold_sweep): pair and
-    affected-document counts at Jaccard 0.3/0.5/0.7 from ONE shingle
-    self-join — the table that prices each threshold before a full
-    dedup pass commits to one. The oracle replays the scored pair CTE
-    and the per-threshold re-aggregation, zero-hit thresholds
+    affected-document counts at Jaccard 0.3/0.5/0.7 from ONE candidate
+    pass — the table that prices each threshold before a full dedup
+    pass commits to one. This entry pins ``candidates='exact'`` (the
+    exhaustive shingle self-join) as the CALIBRATION arm; the
+    operator's default is the scale-safe LSH tier, graded separately as
+    d28 against this same oracle. The oracle replays the scored pair
+    CTE and the per-threshold re-aggregation, zero-hit thresholds
     included."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.dedup_threshold_sweep(docs)
+    return dedup.dedup_threshold_sweep(docs, candidates="exact")
 
 
 @query(
@@ -862,33 +869,52 @@ def d26_exact_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "d27_leakage_safe_split",
-    oracle=_DUP_GRAPH_CTE
-    + """
-    SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+    "d27_semantic_leakage_split",
+    oracle=_d12_oracle(
+        final_select="""
+    SELECT vec_id AS doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
            CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 1) <= 'b'
                 THEN 'train'
                 WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 1) <= 'd'
                 THEN 'val' ELSE 'test' END AS split
-    FROM labels
-    """,
+    FROM labels"""
+    ),
 )
-def d27_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leakage-safe train/val/test assignment: split by the hash of the
-    near-dup CLUSTER id, not the document id — t05's per-doc hash split
-    puts two near-duplicates on opposite sides of the train/eval fence
-    (the textbook eval-leak), while splitting the d07 connected
-    component keeps every cluster member in one split by construction
-    (pytest-asserted; the oracle replays closure + split rule exactly).
-    Plan: d02's pair generation + d07's label propagation + one
-    broadcast label join; the split itself is a pure projection."""
+def d27_semantic_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split on SEMANTIC clusters: t22 fences LEXICAL
+    near-dups (n-gram Jaccard components) into one split, but a
+    paraphrased eval twin shares no 3-grams — it only collapses in
+    embedding space. Here the split key is d12's SemDeDup component
+    (hyperplane cells → intra-cell cosine ≥ 0.25 → min-label closure),
+    so semantically-duplicate families land on one side of the
+    train/eval fence by construction; the two entries differ in the
+    GRAPH being fenced (embedding components vs shingle components) —
+    run both to fence both leak modes. Plan: d12's cell-bounded pair
+    generation + label propagation; the split itself is a pure
+    projection on the cluster hash. The oracle replays planes, cells,
+    cosine closure, and the split rule exactly."""
     from logverzcore_spark.operators.text import hash_split
 
-    docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
-    clusters = dedup.dup_clusters(docs, pairs)
+    emb = _t(spark, sf_dir, "embeddings")
+    clusters = dedup.semantic_dedup(emb, dim=64, threshold=0.25, n_planes=4)
     return clusters.select(
-        "doc_id",
+        F.col("vec_id").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
         hash_split(F.col("cluster_id")).alias("split"),
     )
+
+
+@query("d28_threshold_sweep_lsh", oracle=_SWEEP_ORACLE)
+def d28_threshold_sweep_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The threshold sweep's SCALE-SAFE default tier
+    (dedup.dedup_threshold_sweep, candidates='lsh'): candidate pairs
+    come from d03's MinHash banding — auto-tuned to r=1 at
+    min(threshold)=0.3 (any shared minhash collides; per-pair miss
+    ≤ (1-0.3)^32 ≈ 1e-5) — then exact-Jaccard verified, so candidate
+    volume is bucket-bounded instead of the exact tier's df²-skewed
+    shingle self-join (the suite's one super-linear 100× cell in r7).
+    Graded against the SAME exhaustive oracle as d24: hash-equality
+    here IS the measured claim that the LSH tier's recall loses no
+    pair of this corpus at any swept threshold."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dedup_threshold_sweep(docs, candidates="lsh")

@@ -39,20 +39,32 @@ def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_auto(emb, queries, k=5)
 
 
-@query("s02_lsh_topk")  # approximate → rows-only check; recall tested in pytest
+@query("s02_lsh_topk")  # approximate → rows-only check; recall bound in artifact
 def s02_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH-bucketed ANN top-k (the scale path)."""
+    """Random-hyperplane LSH-bucketed ANN top-k at the HIGH-RECALL
+    operating point (16 hash tables): graded by measured recall@5 vs
+    the exact cosine top-5 (parity bound ≥ 0.7). s02b grades the SAME
+    operator at the 12-table reference point hash-exactly against a
+    bucket-replay oracle — two distinct measurement points of the
+    table-count/recall trade, not one entry twice (r8 plan-digest
+    de-dup)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 20)
-    return similarity.lsh_topk(emb, queries, k=5, dim=64)
+    return similarity.lsh_topk(emb, queries, k=5, dim=64, n_tables=16)
 
 
-@query("s03_ivf_topk")  # approximate → rows-only check
+@query("s03_ivf_topk")  # approximate → rows-only check; recall bound in artifact
 def s03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style coarse-quantized ANN top-k."""
+    """IVF-style coarse-quantized ANN top-k at a WIDER probe point
+    (6 of 16 cells): graded by measured recall@5 vs the exact cosine
+    top-5 (parity bound ≥ 0.5). s03b grades the same operator at the
+    4-of-16 reference point hash-exactly against a literal-centroid
+    replay oracle — two probe-fraction measurement points of the
+    nprobe/recall trade, not one entry twice (r8 plan-digest
+    de-dup)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 20)
-    return similarity.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4)
+    return similarity.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=6)
 
 
 @query(

@@ -2833,39 +2833,74 @@ def t60_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "t61_stratified_sample",
+    "t61_proportional_floor_sample",
     oracle="""
-    WITH ranked AS (
-      SELECT doc_id, source, n_chars,
+    WITH cnt AS (
+      SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT COUNT(*) AS n FROM documents
+    ), q AS (
+      SELECT lang, GREATEST(8, (40 * n_s) // tot.n) AS quota
+      FROM cnt CROSS JOIN tot
+    ), ranked AS (
+      SELECT doc_id, lang,
              row_number() OVER (
-               PARTITION BY source
+               PARTITION BY lang
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
       FROM documents
     )
-    SELECT doc_id, source, CAST(rk AS BIGINT) AS sample_rank
-    FROM ranked WHERE rk <= 5
+    SELECT r.doc_id, r.lang, CAST(r.rk AS BIGINT) AS sample_rank,
+           CAST(q.quota AS BIGINT) AS quota
+    FROM ranked r JOIN q USING (lang) WHERE r.rk <= q.quota
     """,
 )
-def t61_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified evaluation sample: EXACTLY min(5, avail) docs per
-    source, chosen by deterministic md5-of-id rank — the eval-set /
-    human-review draw that t09's bernoulli hash sample cannot give
-    (per-stratum counts there are binomial, not exact). Deterministic
-    across runs/engines (no rand()), so the draw replays. Plan: the
-    rank<=k predicate compiles to WindowGroupLimit (asserted in
-    test_plan_quality) — each map task pre-prunes to its local top-k
-    per source BEFORE the shuffle, so the exchange carries
-    O(sources×k×tasks), never the corpus."""
+def t61_proportional_floor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROPORTIONAL-WITH-FLOOR stratified sample: each language gets
+    quota = max(floor, budget·share) — representation tracks corpus
+    proportions (the en-heavy stratum draws most of the 40-doc budget)
+    but no stratum ever starves below the 8-doc floor a human-review or
+    per-language eval set needs. A third allocation rule, distinct from
+    t18's fixed-k-per-stratum (ignores proportions) and t12's pure
+    proportional mixture (starves small strata); floors inflate the
+    realized total above the nominal budget by design — that trade IS
+    the knob. Deterministic md5-of-id rank within each stratum, so the
+    draw replays across engines/runs. Plan: quotas are a tiny per-lang
+    aggregate broadcast back; the rank filter applies the LITERAL upper
+    bound max(floor, budget) first — quota ≤ that bound always — so the
+    window still compiles to WindowGroupLimit (asserted in
+    test_plan_quality) and every map task pre-prunes to local top-40
+    per lang before the exchange; the exact per-stratum quota filter is
+    a broadcast-join + projection after."""
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
+    budget, floor_k = 40, 8
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_s"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    quotas = counts.join(F.broadcast(total)).select(
+        "lang",
+        F.greatest(
+            F.lit(floor_k).cast("long"),
+            F.expr(f"({budget} * n_s) div n_total"),
+        ).cast("long").alias("quota"),
+    )
+    w = Window.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
     )
+    ranked = (
+        docs.select("doc_id", "lang")
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= max(budget, floor_k))
+    )
     return (
-        docs.withColumn("sample_rank", F.row_number().over(w).cast("long"))
-        .where(F.col("sample_rank") <= 5)
-        .select("doc_id", "source", "sample_rank")
+        ranked.join(F.broadcast(quotas), "lang")
+        .where(F.col("_rk") <= F.col("quota"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("_rk").cast("long").alias("sample_rank"),
+            "quota",
+        )
     )
 
 

@@ -2635,6 +2635,56 @@ def test_lsh_bucket_cap_trades_recall_measurably(spark):
     assert (0, 1) in capped2
 
 
+def test_threshold_sweep_lsh_tier_matches_exact_curve(spark):
+    """The r8 scale-safe sweep path (VERDICT task 1): on a corpus with
+    planted near-dups across the swept range, the LSH-candidate tier's
+    sweep curve must equal the exact tier's (auto-derived r=1 banding
+    at min=0.3 gives per-pair miss ~1e-5 — on a finite corpus that is
+    zero lost pairs), the mega-bucket valve composes, the sample knob
+    validates, and an unknown tier fails loudly. The CURVE DELTA is
+    quantified, not assumed."""
+    import pytest as _pytest
+
+    from logverzcore_spark.operators.dedup import (
+        dedup_threshold_sweep,
+        sweep_lsh_bands,
+    )
+
+    # band auto-derivation: loose thresholds force r=1; tight allow r>1
+    assert sweep_lsh_bands(0.3) == 32  # (1-.3^2)^16 ≈ .22 → r=1
+    assert sweep_lsh_bands(0.9) == 8   # r=4: (1-.9^4)^8 ≈ 2e-4 ≤ 1e-3
+    assert (1 - 0.9 ** (32 // sweep_lsh_bands(0.9))) ** sweep_lsh_bands(0.9) <= 1e-3
+
+    words = [f"w{i}" for i in range(30)]
+    rows = []
+    for d in range(15):  # pairs at graded overlap: jaccard spans ~0.25-0.9
+        base = " ".join(words)
+        mut = " ".join(words[: 30 - 2 * d] + [f"m{d}x{j}" for j in range(2 * d)])
+        rows += [(d * 2, base + f" tail{d}"), (d * 2 + 1, mut + f" tail{d}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def curve(**kw):
+        out = dedup_threshold_sweep(df, thresholds=(0.3, 0.5, 0.7), **kw)
+        return {r["threshold"]: (r["n_pairs"], r["n_dup_docs"]) for r in out.collect()}
+
+    exact = curve(candidates="exact")
+    lsh = curve(candidates="lsh")
+    assert exact[0.3][0] > exact[0.5][0] > exact[0.7][0] >= 0  # real sweep
+    delta = {t: lsh[t][0] - exact[t][0] for t in exact}
+    assert delta == {0.3: 0, 0.5: 0, 0.7: 0}  # quantified: zero lost pairs
+    # valve composes: capping cannot ADD pairs
+    capped = curve(candidates="lsh", max_bucket_size=4)
+    assert all(capped[t][0] <= lsh[t][0] for t in lsh)
+    # sample knob: a fraction sweeps a deterministic subset (fewer or
+    # equal pairs at every threshold), and validates its range
+    sampled = curve(candidates="exact", sample_fraction=0.5)
+    assert all(sampled[t][0] <= exact[t][0] for t in exact)
+    with _pytest.raises(ValueError):
+        curve(candidates="exact", sample_fraction=1.5)
+    with _pytest.raises(ValueError):
+        curve(candidates="bogus")
+
+
 def test_curriculum_schedule_budgets_and_monotonicity(spark):
     """Every stage sums exactly to its budget; a domain whose target
     share exceeds its natural share rises monotonically across stages
@@ -2789,9 +2839,10 @@ def test_extract_warc_http_edges(spark):
 
 
 def test_leakage_safe_split_keeps_clusters_together(spark):
-    """The property d27 exists for: every member of a near-dup cluster
-    lands in the SAME split (no train/eval leak), while t05's per-doc
-    hash split measurably violates it on the same corpus."""
+    """The property t22 (lexical) and d27 (semantic) exist for: every
+    member of a near-dup cluster lands in the SAME split (no train/eval
+    leak), while t05's per-doc hash split measurably violates it on the
+    same corpus."""
     from logverzcore_spark.operators import dedup
     from logverzcore_spark.operators.text import hash_split
 

@@ -519,10 +519,62 @@ def test_t59_epoch_shuffle_never_serializes_a_shard(spark):
     assert fmt.count("Exchange SinglePartition") <= 1
 
 
-def test_t61_stratified_sample_uses_window_group_limit(spark):
-    """rank<=k over the per-source window must compile to
-    WindowGroupLimit: every map task pre-prunes to its local top-k per
-    source BEFORE the exchange, so the shuffle carries
-    O(sources x k x tasks), never the corpus."""
-    fmt = _plan(spark, SUITE["t61_stratified_sample"](spark, SF_DIR))
+def test_no_two_suite_entries_share_a_plan(spark):
+    """Suite-padding guard (r7 judge finding: d27 was t22 re-numbered,
+    t61 was t18 with k=5): no two graded entries may compile to the
+    SAME canonicalized analyzed plan — an entry must be a distinct
+    operator, not an existing entry under a new number. Canonicalized
+    plans normalize expression ids; uuid/tmp paths and per-entry
+    fixtures keep genuinely different entries distinct, so an exact
+    digest collision is a re-skin by construction.
+
+    Two tiers, because localCheckpoint TRUNCATES lineage to a
+    LogicalRDD (e.g. every dup_clusters consumer would otherwise
+    collide on the same degenerate scan-of-checkpoint plan): entries
+    whose plan contains a LogicalRDD are compared by NORMALIZED SOURCE
+    (def-line/docstring/comment/whitespace stripped — a rename-only
+    copy still collides) instead of by plan. Streaming entries are
+    excluded: building one RUNS its stream, and each returns a scan of
+    its own uniquely-named sink anyway."""
+    import hashlib
+    import inspect
+    import re
+
+    def norm_source(fn):
+        src = inspect.getsource(fn)
+        src = re.sub(r'"""[\s\S]*?"""', "", src)  # docstring
+        src = re.sub(r"#[^\n]*", "", src)  # comments
+        lines = [ln.strip() for ln in src.splitlines() if ln.strip()]
+        # drop decorator + def line (they carry the entry name)
+        lines = [ln for ln in lines if not ln.startswith(("@query", '"', "def "))]
+        return "\n".join(lines)
+
+    digests: dict[str, str] = {}
+    dups = []
+    for name, fn in sorted(SUITE.items()):
+        if name.startswith("st"):
+            continue
+        df = fn(spark, SF_DIR)
+        canon = str(df._jdf.queryExecution().analyzed().canonicalized())
+        canon = re.sub(r"#\d+", "#x", canon)
+        canon = re.sub(r"@[0-9a-f]{6,}", "@x", canon)
+        if "LogicalRDD" in canon:
+            key = "src:" + hashlib.md5(norm_source(fn).encode()).hexdigest()
+        else:
+            key = "plan:" + hashlib.md5(canon.encode()).hexdigest()
+        if key in digests:
+            dups.append((digests[key], name))
+        else:
+            digests[key] = name
+    assert not dups, f"suite entries share identical plans/source: {dups}"
+
+
+def test_t61_proportional_floor_sample_uses_window_group_limit(spark):
+    """Even with PER-STRATUM quotas (a join-produced column, which
+    WindowGroupLimit cannot see), the literal upper bound
+    max(floor, budget) applied before the quota join must compile to
+    WindowGroupLimit: every map task pre-prunes to its local top-40 per
+    lang BEFORE the exchange, so the shuffle carries
+    O(strata x bound x tasks), never the corpus."""
+    fmt = _plan(spark, SUITE["t61_proportional_floor_sample"](spark, SF_DIR))
     assert "WindowGroupLimit" in fmt

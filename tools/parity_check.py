@@ -174,8 +174,8 @@ def compute_rows_only_bounds(spark, con, sf_dir: str, qs, names) -> dict:
         )
 
     ann = {
-        "s02_lsh_topk": 0.7,
-        "s03_ivf_topk": 0.5,  # 4-of-16-cell probe; see docstring
+        "s02_lsh_topk": 0.7,  # 16-table high-recall point (r8)
+        "s03_ivf_topk": 0.5,  # 6-of-16-cell probe point (r8); see docstring
         "s06_pq_topk": 0.35,
         # composed IVF-PQ probe: same 4-of-16 pruning envelope as s03;
         # the PQ quantization loss is recovered by the exact rerank
