@@ -1878,6 +1878,7 @@ def maxsim_topk(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-vector (late-interaction / ColBERT-style) MaxSim top-k:
     each row's embedding is treated as ``n_slices`` sub-vectors, and a
@@ -1903,7 +1904,17 @@ def maxsim_topk(
     silently, so divisibility is validated here and the width
     assumption documented. A ZERO-NORM slice (zero-padded token block)
     is guarded in the score expression: it contributes 0, never a NULL
-    that would swallow the whole pair."""
+    that would swallow the whole pair.
+
+    ``candidates`` (columns: query_id, neighbor_id) switches from the
+    exact all-pairs verifier arm to the PRODUCTION composition: the
+    n_slices² MaxSim fold scores ONLY the listed pairs — the candidate
+    list joins the corpus broadcast (tiny by the generator's k-per-
+    query construction), so the corpus streams one narrow stage and
+    the quadratic-by-definition exact arm never runs corpus-wide. This
+    is the same two-tier discipline as s11/s24: a cheap single-vector
+    or truncated-prefix arm generates ≤K per query, exact MaxSim
+    re-ranks."""
     from logverzcore_spark.operators.util import fan_out
 
     if n_slices < 2:
@@ -1927,7 +1938,15 @@ def maxsim_topk(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
     )
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
-    joined = c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
+    if candidates is not None:
+        pair_list = candidates.select(
+            F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
+        )
+        joined = c.join(F.broadcast(pair_list), "nid").join(
+            F.broadcast(q), "qid"
+        )
+    else:
+        joined = c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
     qs, cs = slices(F.col("qvec")), slices(F.col("nvec"))
     total = F.lit(0.0)
     for qsl, qn in qs:

@@ -1879,3 +1879,212 @@ def m29_warc_http_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         did % 4 == 3, F.encode("text", "UTF-8")
     ).otherwise(F.encode(F.concat(rec1, rec2), "UTF-8"))
     return extract_warc_http(docs.select("doc_id", payload.alias("payload")))
+
+
+@query(
+    "m30_crawl_curate_e2e",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents WHERE doc_id % 7 <> 0
+    ), built AS (
+      SELECT doc_id,
+             list_transform(range(CAST(((len(t)-1)//6)+1 AS BIGINT)),
+                            i -> array_to_string(t[(i*6+1):(i*6+6)], ' ')) AS L
+      FROM tok
+    ), modl AS (
+      SELECT doc_id,
+             list_transform(range(CAST(len(L) AS BIGINT)), i ->
+               (CASE WHEN (doc_id*7 + i) % 11 = 0 THEN 'javascript ' ELSE '' END)
+               || L[CAST(i+1 AS BIGINT)]
+               || (CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END)) AS L2
+      FROM built
+    ), page AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 6 = 5
+                  THEN 'please accept our cookie policy before reading. '
+                       || 'this site uses tracking pixels on every page. '
+                       || 'subscribe to the newsletter for weekly updates.'
+                  ELSE array_to_string(L2, ' ') END AS pg
+      FROM modl
+    ), html AS (
+      SELECT doc_id,
+             '<html><head><script>var tracker = 1;</script><style>.m{margin:0}'
+             || '</style></head><body class="m"><h1>Crawl</h1><p>' || pg
+             || ' Offered cafe' || chr(769)
+             || ' &amp; more today here.</p><!-- crawl --></body></html>' AS t
+      FROM page
+    ), h1 AS (
+      SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM html
+    ), h2 AS (
+      SELECT doc_id,
+             regexp_replace(t, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g') AS t
+      FROM h1
+    ), h3 AS (
+      SELECT doc_id,
+             regexp_replace(t, '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g') AS t
+      FROM h2
+    ), h4 AS (
+      SELECT doc_id, regexp_replace(t, '(?s)<[^>]+>', ' ', 'g') AS t FROM h3
+    ), h5 AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(t,
+               '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+               '&#39;', chr(39), 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g')
+             AS t
+      FROM h4
+    ), stripped AS (
+      SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS t FROM h5
+    ), nfc AS (
+      SELECT doc_id, nfc_normalize(t) AS t FROM stripped
+    ), scrub AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(t, '[​‌‍⁠﻿­]', '', 'g'),
+                 '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x{80}-\\x{9F}]', '', 'g'),
+               '[   -   　]', ' ', 'g'), '\\s+', ' ', 'g')) AS t
+      FROM nfc
+    ), lined AS (
+      SELECT doc_id,
+             regexp_replace(t, '([.!?]) ', '\\1' || chr(10), 'g') AS t
+      FROM scrub
+    ), f AS (
+      SELECT doc_id, string_split(t, chr(10)) AS lns,
+             (contains(lower(t), 'lorem ipsum') OR contains(t, '{')) AS page_bad
+      FROM lined
+    ), k AS (
+      SELECT doc_id, page_bad,
+             list_filter(lns, l -> regexp_matches(l, '[.!?"]$')
+               AND len(list_filter(regexp_split_to_array(l, '\\s+'),
+                                   x -> x <> '')) >= 5
+               AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM f
+    ), keptd AS (
+      SELECT doc_id, array_to_string(kept, chr(10)) AS t
+      FROM k WHERE NOT page_bad AND len(kept) >= 3
+    ), fps AS (
+      SELECT doc_id, t,
+             md5(regexp_replace(lower(trim(t)), '\\s+', ' ', 'g')) AS f
+      FROM keptd
+    ), ranked AS (
+      SELECT doc_id, t,
+             row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+      FROM fps
+    )
+    SELECT doc_id, md5(t) AS fp, CAST(length(t) AS BIGINT) AS n_chars
+    FROM ranked WHERE rn = 1
+    """,
+)
+def m30_crawl_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full crawl→curated-corpus story in ONE lazy cascade (r7
+    VERDICT task 5 — the m29 payoff): WARC container → HTTP extraction
+    (m29, 404s dropped) → HTML boilerplate strip (t33) → unicode
+    scrub/NFC (t31) → sentence re-lining → C4 line/page rules (t52) →
+    exact dedup keep-first (d01) — pipeline.curate's discipline with a
+    real container at the head. The fixture is m29's WARC/HTTP
+    arithmetic carrying sentence-structured HTML pages (t52's
+    enrichment grammar: 6-token lines, 2/3 punctuated, planted
+    javascript lines) plus a shared cookie-boilerplate body on every
+    6th doc — the dedup mass the keep-first collapses; a decomposed
+    cafe+combining-acute and an &amp; entity make the NFC and decode
+    stages load-bearing. The oracle restates the extracted body
+    arithmetically (the WARC/HTTP byte math is m28/m29's own
+    hash-verified ground) and replays strip → NFC/scrub → re-line → C4
+    → fingerprint keep-first in one SQL. Plan gate
+    (test_plan_quality): ZERO exchange until the dedup window — one
+    Arrow mapInPandas walk (the container bytes), then codegen
+    projections all the way to the fingerprint shuffle.
+
+    100 TB shape: per-row container walk + per-row projections scale
+    with bytes scanned; the single shuffle is the dedup's fingerprint
+    hash partition — the minimum any cross-doc dedup needs."""
+    from logverzcore_spark.operators import dedup
+    from logverzcore_spark.operators.multimodal import extract_warc_http
+    from logverzcore_spark.operators.text import (
+        c4_line_filter,
+        normalize_text,
+        strip_html,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    crlf = "\r\n"
+    # --- fixture: sentence-structured page (t52 grammar) in m29's WARC
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    n = F.size(toks)
+    lines = F.transform(
+        F.sequence(F.lit(0), ((n - 1) / 6).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 6 + 1, 6)),
+    )
+    l2 = F.transform(
+        lines,
+        lambda l, i: F.concat(
+            F.when((did * 7 + i) % 11 == 0, F.lit("javascript ")).otherwise(
+                F.lit("")
+            ),
+            l,
+            F.when((did + i) % 3 != 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    boiler = (
+        "please accept our cookie policy before reading. "
+        "this site uses tracking pixels on every page. "
+        "subscribe to the newsletter for weekly updates."
+    )
+    page = F.when(did % 6 == 5, F.lit(boiler)).otherwise(F.array_join(l2, " "))
+    html = F.concat(
+        F.lit(
+            "<html><head><script>var tracker = 1;</script><style>.m{margin:0}"
+            '</style></head><body class="m"><h1>Crawl</h1><p>'
+        ),
+        page,
+        F.lit(
+            " Offered café &amp; more today here.</p>"
+            "<!-- crawl --></body></html>"
+        ),
+    )
+    status = F.when(did % 7 == 0, F.lit("404 Not Found")).otherwise(
+        F.lit("200 OK")
+    )
+    http = F.concat(
+        F.lit("HTTP/1.1 "), status, F.lit(crlf),
+        F.lit("Content-Type: text/html" + crlf + crlf), html,
+    )
+    rec1 = F.lit(
+        "WARC/1.0" + crlf + "WARC-Type: warcinfo" + crlf
+        + "Content-Length: 18" + crlf + crlf
+        + "software: logverz\n" + crlf + crlf
+    )
+    rec2 = F.concat(
+        F.lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf),
+        F.lit("WARC-Target-URI: https://crawl.example/"), did.cast("string"),
+        # Content-Length is BYTES: the body carries a 2-byte combining
+        # acute, so octet_length, never length.
+        F.lit(crlf + "Content-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit(crlf + crlf), http, F.lit(crlf + crlf),
+    )
+    payload = F.encode(F.concat(rec1, rec2), "UTF-8")
+
+    # --- the cascade under grade
+    pages = extract_warc_http(docs.select("doc_id", payload.alias("payload")))
+    ok = pages.where(F.col("status") == 200).select(
+        "doc_id", F.col("body_text").alias("text")
+    )
+    stripped = strip_html(ok)
+    normed = normalize_text(stripped.select("doc_id", F.col("clean").alias("text")))
+    lined = normed.select(
+        "doc_id",
+        F.regexp_replace("clean", r"([.!?]) ", "$1\n").alias("text"),
+    )
+    c4 = c4_line_filter(lined)
+    kept = c4.where(F.col("keep")).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    final = dedup.dedup_keep_first(kept)
+    return final.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.length("text").cast("long").alias("n_chars"),
+    )

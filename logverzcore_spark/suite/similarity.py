@@ -1053,6 +1053,82 @@ def _s22_oracle(n_slices: int = 4, width: int = 16, k: int = 3) -> str:
     """
 
 
+def _s25_oracle(n_slices: int = 4, width: int = 16, n_cand: int = 20, k: int = 3) -> str:
+    """Composed MaxSim replay: full-vector cosine top-``n_cand``
+    candidates per query, then the s22 MaxSim expression over ONLY
+    those pairs."""
+    slice_cols = ", ".join(
+        f"e[{s * width + 1}:{(s + 1) * width}] AS s{s}, "
+        f"sqrt(list_dot_product(e[{s * width + 1}:{(s + 1) * width}], "
+        f"e[{s * width + 1}:{(s + 1) * width}])) AS n{s}"
+        for s in range(n_slices)
+    )
+    per_q = []
+    for i in range(n_slices):
+        alts = ", ".join(
+            f"list_dot_product(q.s{i}, c.s{j}) / (q.n{i} * c.n{j})"
+            for j in range(n_slices)
+        )
+        per_q.append(f"greatest({alts})")
+    ms = " + ".join(per_q)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), n AS (
+      SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+    ), qv AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+    cand AS (
+      SELECT query_id, nid FROM (
+        SELECT qv.vec_id AS query_id, c.vec_id AS nid,
+               row_number() OVER (
+                 PARTITION BY qv.vec_id
+                 ORDER BY list_dot_product(qv.e, c.e) / (qv.nrm * c.nrm) DESC,
+                          c.vec_id) AS rk
+        FROM qv JOIN n c ON qv.vec_id <> c.vec_id
+      ) WHERE rk <= {n_cand}
+    ), s AS (
+      SELECT vec_id, {slice_cols} FROM v
+    ), pairs AS (
+      SELECT cand.query_id, cand.nid AS neighbor_id, {ms} AS ms
+      FROM cand
+      JOIN s q ON q.vec_id = cand.query_id
+      JOIN s c ON c.vec_id = cand.nid
+    ), ranked AS (
+      SELECT query_id, neighbor_id, ms,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY ms DESC, neighbor_id) AS rk
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, ROUND(ms, 6) AS maxsim,
+           CAST(rk AS INTEGER) AS rank
+    FROM ranked WHERE rk <= {k}
+    """
+
+
+@query("s25_maxsim_rerank", oracle=_s25_oracle())
+def s25_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION MaxSim shape (r7 VERDICT task 6 — s22's exact arm
+    is the verifier, this is the deployment form): a cheap single-
+    vector exact cosine generates 20 candidates per query, then the
+    late-interaction MaxSim fold re-ranks ONLY those pairs to the final
+    top-3 — the ColBERT two-tier discipline (ANN/single-vector
+    candidates → token-level re-rank), same composition law as s11's
+    PQ-rerank and s24's truncation-rerank. Exact given the candidate
+    rule, so fully hash-verified: the oracle replays the cosine
+    candidate window and the n_slices² greatest/sum over just the
+    candidate pairs. Plan gate (test_plan_quality): the MaxSim fold's
+    join is broadcast-fed by the candidate list — the corpus never
+    shuffles, and every hash exchange in the plan partitions by QUERY
+    id (candidate window + rerank window), so per-partition work is
+    bounded by k-per-query, never corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") % 50 == 0)
+    cand = similarity.cosine_topk(emb, qs, k=20).select(
+        "query_id", "neighbor_id"
+    )
+    return similarity.maxsim_topk(emb, qs, k=3, candidates=cand)
+
+
 @query("s22_maxsim_topk", oracle=_s22_oracle())
 def s22_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-interaction MaxSim retrieval (similarity.maxsim_topk):
