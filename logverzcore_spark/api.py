@@ -531,23 +531,38 @@ class Engine:
         root: str,
         version: int | None = None,
         user: User = ADMIN,
+        access: list[str] | None = None,
     ) -> int:
-        """Pin a SnapshotTable version as a queryable temp view, so the
-        gated SQL surface (``Engine.sql``) can analyze "the corpus as of
-        version N" by name — the user-facing half of reproducible reads
+        """Pin a SnapshotTable version as a CATALOGED, ACL'd queryable
+        view — the user-facing half of reproducible reads
         (snapshots.py): an analyst re-runs last month's saved query
         against last month's pinned data without knowing about
-        manifests. Admin/poweruser only (the view is session-global and
-        uncataloged, like other system objects); returns the resolved
-        version so callers can record the pin."""
+        manifests. Registering needs admin/poweruser (it binds a
+        filesystem root into the SQL namespace), but the entry is a
+        first-class catalog item (Type='SNAP', Owners=[registrar],
+        Access=``access``): a GRANTED non-admin queries the pinned
+        version through the gated SQL surface — and therefore through
+        ``export_query`` — exactly like any cataloged table, and the
+        ACL denial path audits identically (r7 VERDICT task 7; the
+        prior session-global uncataloged view made every pinned read
+        admin-only). The pin is recorded in QuerySettings
+        {SnapshotRoot, Version} so ListTables answers "which version is
+        this view?". Returns the resolved version."""
         if not (user.is_admin or user.is_poweruser):
             raise PermissionError("register_snapshot requires admin/poweruser")
         import re as _re
 
+        from logverzcore_spark.catalog import CatalogEntry
         from logverzcore_spark.snapshots import SnapshotTable
 
         if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
             raise ValueError(f"invalid view name {name!r}")
+        existing = self.catalog.for_table(name, "default")
+        if existing is not None and not existing.owned_by(user):
+            raise PermissionError(
+                f"{user.name} may not overwrite catalog entry {name!r} "
+                f"owned by {existing.Owners}"
+            )
         t = SnapshotTable(root)
         # Resolve the version ONCE and pass it explicitly: letting
         # t.read pick "latest" and then recomputing versions()[-1] here
@@ -556,6 +571,17 @@ class Engine:
         resolved = version if version is not None else t.versions(self.spark)[-1]
         df = t.read(self.spark, resolved)
         df.createOrReplaceTempView(name)
+        self.catalog.record_query(
+            CatalogEntry(
+                TableName=name,
+                DatabaseName="default",
+                Type="SNAP",
+                QuerySettings={"SnapshotRoot": t.root, "Version": resolved},
+                Owners=[user.name],
+                Access=access or [],
+            ),
+            deactivate_older=True,
+        )
         return resolved
 
     # -- Saved analyses (catalog Type "A", N7) -----------------------------
