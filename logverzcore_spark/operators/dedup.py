@@ -539,8 +539,24 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
+    broadcast_verify: bool = True,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, verified with exact Jaccard.
+
+    ``broadcast_verify`` picks the verify join's physical strategy. The
+    default broadcasts the candidate pair list (tiny by LSH
+    construction at production banding — r≥2 makes collisions
+    selective), which keeps the corpus scan shuffle-free. At r=1
+    banding (any shared minhash collides — the threshold-SWEEP
+    configuration, where recall at jaccard≈0.3 forces it) candidates
+    approach the all-overlapping-pairs set and the broadcast build
+    collects them to the driver: measured at 100× sweep scale the
+    collect crosses spark.driver.maxResultSize (1 GB) and ABORTS. Pass
+    ``broadcast_verify=False`` there: the semi-prune and lookup become
+    shuffle joins — the corpus pays one hash exchange on the id, which
+    is already the floor any corpus-scale candidate set implies
+    (dedup_threshold_sweep sets this automatically when its derived
+    banding is r=1).
 
     ``max_bucket_size`` is the 100 TB pressure-relief valve on the
     verify join (the pipeline's first data-bound stage at 100×,
@@ -678,9 +694,15 @@ def minhash_lsh_pairs(
     n_parts = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
+    # broadcast_verify=False must defeat not only our own hint but the
+    # PLANNER's size-based broadcast too: the checkpointed candidate
+    # frame's stats under-estimate (LogicalRDD), so Spark would still
+    # pick BroadcastExchange on the 1 GB melt — the merge hint pins the
+    # shuffle strategy.
+    maybe_b = F.broadcast if broadcast_verify else (lambda d: d.hint("merge"))
     cand_sets = (
         df.join(
-            F.broadcast(melted),
+            maybe_b(melted),
             df[id_col] == melted["doc_id"],
             "left_semi",
         )
@@ -699,7 +721,7 @@ def minhash_lsh_pairs(
         "id1", "id2", F.explode(F.array("id1", "id2")).alias("doc_id")
     )
     looked = cand_sets.join(
-        F.broadcast(melted2), cand_sets["doc_id"] == melted2["doc_id"]
+        maybe_b(melted2), cand_sets["doc_id"] == melted2["doc_id"]
     ).drop(melted2["doc_id"])
     pairs = looked.groupBy("id1", "id2").agg(
         F.first(
@@ -1543,6 +1565,7 @@ def dedup_threshold_sweep(
     num_hashes: int = 32,
     max_bucket_size: int | None = None,
     sample_fraction: float | None = None,
+    estimator: str = "exact",
 ) -> DataFrame:
     """Dedup-threshold sensitivity report — how many near-dup pairs and
     affected documents each candidate Jaccard threshold would commit
@@ -1577,12 +1600,35 @@ def dedup_threshold_sweep(
     counts and dup_frac_bp then estimate the sample's rates — the cheap
     first pass before even an LSH sweep of the full corpus.
 
+    ``estimator='ht'`` (with candidates='lsh') is the FULL-CORPUS 100 TB
+    path, because there is no free lunch in the recall-exact tiers: at
+    min(threshold)=0.3 the 99.9%-recall banding degenerates to r=1 —
+    nearly every pair with ANY shingle overlap becomes a candidate, so
+    its cost tracks the exact self-join (measured: the r8 100× probe
+    aborted the broadcast verify at 1 GB of candidates, and the shuffle
+    fallback ran 394 s vs exact's 612 s — same order). Instead, 'ht'
+    keeps the SELECTIVE r=2 banding (~20× fewer background candidates)
+    and corrects the known sampling analytically: a verified pair at
+    exact jaccard j was a candidate with probability p(j)=1-(1-j²)^16,
+    so n_pairs sums 1/p(j) — the Horvitz–Thompson unbiased estimate of
+    the exact sweep's count. n_dup_docs/dup_frac_bp under 'ht' are the
+    OBSERVED dup docs — a lower bound that tightens as p(T)→1 (at
+    T=0.7, p=0.9997 — exact for practical purposes; at T=0.3 it
+    understates, and the n_pairs estimate is the trustworthy column).
+    Accuracy is measured, not argued: pytest quantifies estimate-vs-
+    exact error on a planted corpus, and suite d29's parity bound
+    re-measures it against the exhaustive oracle every round.
+
     Returns one row per threshold: (threshold, n_pairs, n_dup_docs,
     dup_frac_bp) with zero-hit thresholds present (left join from the
     literal threshold frame).
     """
     spark = df.sparkSession
     ts = sorted(set(float(t) for t in thresholds))
+    if estimator not in ("exact", "ht"):
+        raise ValueError(f"estimator must be 'exact' or 'ht', got {estimator!r}")
+    if estimator == "ht" and candidates != "lsh":
+        raise ValueError("estimator='ht' corrects LSH sampling; use candidates='lsh'")
     if sample_fraction is not None:
         if not 0 < sample_fraction <= 1:
             raise ValueError(f"sample_fraction must be in (0, 1], got {sample_fraction}")
@@ -1596,15 +1642,30 @@ def dedup_threshold_sweep(
         pairs = ngram_jaccard_pairs(df, threshold=min(ts), n=n,
                                     text_col=text_col, id_col=id_col)
     elif candidates == "lsh":
+        if estimator == "ht":
+            # Selective r=2 banding: collision prob at jaccard j is
+            # KNOWN analytically, so the estimator divides it out
+            # instead of forcing it to ~1 — candidate volume drops ~20×
+            # vs the r=1 recall-exact banding (at j=0.05 background
+            # overlap: P(candidate) 0.80 → 0.04), which is the whole
+            # 100 TB story for full-corpus sweeps.
+            bands = num_hashes // 2
+        else:
+            bands = sweep_lsh_bands(min(ts), num_hashes)
         pairs = minhash_lsh_pairs(
             df,
             threshold=min(ts),
             num_hashes=num_hashes,
-            bands=sweep_lsh_bands(min(ts), num_hashes),
+            bands=bands,
             n=n,
             text_col=text_col,
             id_col=id_col,
             max_bucket_size=max_bucket_size,
+            # r=1 banding (loose sweep thresholds) makes the candidate
+            # list corpus-scale — the broadcast verify would collect it
+            # to the driver and abort past ~1 GB (measured at the 100x
+            # probe); shuffle-verify there, broadcast otherwise.
+            broadcast_verify=bands < num_hashes,
         )
     else:
         raise ValueError(f"candidates must be 'lsh' or 'exact', got {candidates!r}")
@@ -1613,7 +1674,23 @@ def dedup_threshold_sweep(
     # left to its own devices picks CartesianProduct here — same rows,
     # but the pair table would materialize once per threshold partition).
     hits = F.broadcast(thr).join(pairs, pairs["jaccard"] >= thr["threshold"])
-    n_pairs = hits.groupBy("threshold").agg(F.count(F.lit(1)).alias("n_pairs"))
+    if estimator == "ht":
+        # Horvitz–Thompson: each verified pair (exact jaccard j) was a
+        # candidate with probability p(j) = 1-(1-j^r)^b — weight it
+        # 1/p(j), so n_pairs is an unbiased estimate of the EXACT
+        # sweep's count from a fraction of its candidate work.
+        r_rows = num_hashes // (num_hashes // 2)
+        p = F.lit(1.0) - F.pow(
+            F.lit(1.0) - F.pow(F.col("jaccard"), F.lit(float(r_rows))),
+            F.lit(float(num_hashes // 2)),
+        )
+        n_pairs = hits.groupBy("threshold").agg(
+            F.round(F.sum(F.lit(1.0) / p)).cast("long").alias("n_pairs")
+        )
+    else:
+        n_pairs = hits.groupBy("threshold").agg(
+            F.count(F.lit(1)).alias("n_pairs")
+        )
     dup_docs = (
         hits.select("threshold", F.explode(F.array("id1", "id2")).alias("did"))
         .groupBy("threshold")

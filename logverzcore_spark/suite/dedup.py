@@ -904,6 +904,26 @@ def d27_semantic_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("d29_threshold_sweep_ht")  # HT-estimated counts → rows-only; error bound measured in parity artifact
+def d29_threshold_sweep_ht(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sweep's FULL-CORPUS 100 TB tier (dedup.dedup_threshold_sweep,
+    estimator='ht'): selective r=2 MinHash banding (~20× fewer
+    background candidates than the recall-exact r=1 tier — the no-free-
+    lunch result the r8 100× probes measured: r=1's cost tracks the
+    exact join, 394 s vs 612 s at 100×, while this tier runs 28.5 s,
+    6.2× wall for 100× data) with the known LSH sampling divided out:
+    every verified pair at exact jaccard j weights 1/p(j),
+    p(j)=1-(1-j²)^16 — the Horvitz–Thompson unbiased estimate of the
+    exhaustive sweep's n_pairs. Estimated counts are not SQL-replayable
+    (the candidate draw depends on xxhash64 minhashes), so the entry is
+    rows-only with its accuracy bound MEASURED in the parity artifact:
+    max relative n_pairs error vs the exact tier (measured −1.7%/−0.09%
+    /0% at 10× across 0.3/0.5/0.7). n_dup_docs is the observed lower
+    bound (tight above ~0.5 where p→1)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dedup_threshold_sweep(docs, candidates="lsh", estimator="ht")
+
+
 @query("d28_threshold_sweep_lsh", oracle=_SWEEP_ORACLE)
 def d28_threshold_sweep_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The threshold sweep's SCALE-SAFE default tier

@@ -2679,10 +2679,24 @@ def test_threshold_sweep_lsh_tier_matches_exact_curve(spark):
     # equal pairs at every threshold), and validates its range
     sampled = curve(candidates="exact", sample_fraction=0.5)
     assert all(sampled[t][0] <= exact[t][0] for t in exact)
+    # Horvitz-Thompson tier (the 100 TB full-corpus path): selective
+    # r=2 banding with the known inclusion probability divided out —
+    # the ESTIMATED curve must track the exact one closely even where
+    # p(j) < 1 (this corpus has pairs across 0.3-0.9), and be exact at
+    # tight thresholds where p -> 1.
+    ht = curve(candidates="lsh", estimator="ht")
+    for t in exact:
+        if exact[t][0]:
+            assert abs(ht[t][0] - exact[t][0]) / exact[t][0] <= 0.25, (t, ht, exact)
+    assert ht[0.7][0] == exact[0.7][0]  # p(0.7) = 0.9997: exact in practice
     with _pytest.raises(ValueError):
         curve(candidates="exact", sample_fraction=1.5)
     with _pytest.raises(ValueError):
         curve(candidates="bogus")
+    with _pytest.raises(ValueError):
+        curve(candidates="exact", estimator="ht")
+    with _pytest.raises(ValueError):
+        curve(candidates="lsh", estimator="bogus")
 
 
 def test_curriculum_schedule_budgets_and_monotonicity(spark):

@@ -173,6 +173,25 @@ def compute_rows_only_bounds(spark, con, sf_dir: str, qs, names) -> dict:
             recall >= 1.0 and precision >= 1.0,
         )
 
+    if "d29_threshold_sweep_ht" in names:
+        docs = read_table(spark, sf_dir, "documents")
+        exact = {
+            r["threshold"]: r["n_pairs"]
+            for r in dedup.dedup_threshold_sweep(docs, candidates="exact").collect()
+        }
+        est = {
+            r["threshold"]: r["n_pairs"]
+            for r in qs["d29_threshold_sweep_ht"](spark, sf_dir).collect()
+        }
+        m = round(
+            max(abs(est[t] - exact[t]) / max(exact[t], 1) for t in exact), 4
+        )
+        put(
+            "d29_threshold_sweep_ht",
+            "max relative n_pairs error vs exact sweep (HT estimator)",
+            0.1, m, m <= 0.1,
+        )
+
     ann = {
         "s02_lsh_topk": 0.7,  # 16-table high-recall point (r8)
         "s03_ivf_topk": 0.5,  # 6-of-16-cell probe point (r8); see docstring
