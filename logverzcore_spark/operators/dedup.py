@@ -741,6 +741,119 @@ def minhash_lsh_pairs(
     ).where(F.round(jac, 4) >= threshold)
 
 
+def build_neardup_index(
+    corpus: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The corpus's PERSISTABLE LSH index: (id, band, bucket) rows from
+    MinHash signatures — write it once per corpus snapshot and every
+    future crawl batch probes it without recomputing a single corpus
+    signature (``incremental_neardup_pairs``). Pure projection + in-row
+    banding: zero shuffle to build; store partitioned/bucketed by
+    (band, bucket) so probe joins co-locate."""
+    sig = minhash_signature_sets(
+        corpus, num_hashes=num_hashes, n=n, text_col=text_col,
+        id_col=id_col, with_sets=False, persist=False,
+    )
+    return minhash_band_buckets(sig, num_hashes=num_hashes, bands=bands)
+
+
+def incremental_neardup_pairs(
+    new_df: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_index: DataFrame | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs BETWEEN a new crawl batch and the accumulated
+    corpus — the production shape of fuzzy dedup at 100 TB, where each
+    snapshot dedups against what's already banked instead of re-running
+    d03 over the union (d13 is this operator's EXACT-fingerprint
+    sibling; this one catches the drifted re-crawl page an md5 can't).
+
+    Index reuse is the point: pass ``corpus_index`` (a persisted
+    ``build_neardup_index`` table) and the corpus's text is touched
+    ONLY for the tiny candidate set's exact verification — per batch,
+    work is O(batch signatures) + one index probe + candidate-scoped
+    verify, never O(corpus). Omitting it builds the index inline (the
+    calibration/suite path).
+
+    Plan shape: the BATCH side's band buckets broadcast (a crawl batch
+    is small next to the banked corpus); the index streams through one
+    broadcast-hash probe join; candidates checkpoint (tiny by LSH
+    selectivity at production thresholds); exact-Jaccard verification
+    rebuilds shingle sets candidate-scoped on BOTH sides (broadcast
+    semi prunes). ``max_bucket_size`` composes as d03's mega-bucket
+    valve on the corpus index. Recall: r=2/b=16 banding misses a
+    0.7-Jaccard pair with p≈2e-5, so output equals the exact
+    cross-join oracle (suite d30 hash-verifies).
+
+    Returns (new_id, corpus_id, jaccard ≥ threshold). ``new_df`` and
+    ``corpus`` ids must be disjoint (same-id rows are the same doc and
+    are excluded)."""
+    if corpus_index is None:
+        corpus_index = build_neardup_index(
+            corpus, num_hashes=num_hashes, bands=bands, n=n,
+            text_col=text_col, id_col=id_col,
+        )
+    new_b = minhash_band_buckets(
+        minhash_signature_sets(
+            new_df, num_hashes=num_hashes, n=n, text_col=text_col,
+            id_col=id_col, with_sets=False, persist=False,
+        ),
+        num_hashes=num_hashes, bands=bands,
+    ).withColumnRenamed("doc_id", "new_id")
+    idx = corpus_index.withColumnRenamed("doc_id", "corpus_id")
+    if max_bucket_size is not None:
+        sizes = idx.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_bs")
+        )
+        idx = idx.join(
+            sizes.where(F.col("_bs") <= max_bucket_size).select("band", "bucket"),
+            ["band", "bucket"],
+        )
+    cand = (
+        idx.join(F.broadcast(new_b), ["band", "bucket"])
+        .where(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .distinct()  # a pair collides in several bands; candidate-sized
+        .localCheckpoint(eager=True)
+    )
+
+    def _cand_sets(side_df: DataFrame, out_id: str) -> DataFrame:
+        pruned = side_df.join(
+            F.broadcast(cand.select(F.col(out_id).alias(id_col)).distinct()),
+            id_col,
+            "semi",
+        )
+        return pruned.select(
+            F.col(id_col).alias(out_id),
+            F.array_distinct(
+                shingle_hash_array(tokens(F.col(text_col)), n)
+            ).alias(f"_h_{out_id}"),
+        )
+
+    enriched = cand.join(F.broadcast(_cand_sets(new_df, "new_id")), "new_id")
+    joined = _cand_sets(corpus, "corpus_id").join(
+        F.broadcast(enriched), "corpus_id"
+    )
+    inter = F.size(F.array_intersect("_h_new_id", "_h_corpus_id"))
+    union = F.size(F.array_union("_h_new_id", "_h_corpus_id"))
+    jac = inter / union
+    return joined.select(
+        "new_id", "corpus_id", F.round(jac, 4).alias("jaccard")
+    ).where(F.round(jac, 4) >= threshold)
+
+
 def dup_clusters(
     df: DataFrame,
     pairs: DataFrame,

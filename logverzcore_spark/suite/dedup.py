@@ -904,6 +904,70 @@ def d27_semantic_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "d30_incremental_neardup",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE source <> 'src3'
+    ), newb AS (
+      SELECT doc_id, text FROM documents WHERE source = 'src3'
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' drifted crawl copy tail'
+      FROM documents WHERE source <> 'src3' AND doc_id % 13 = 0
+    ), tokn AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM newb
+    ), tokc AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM corpus
+    ), shn AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, greatest(len(t)-2, 0)+1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+      FROM tokn
+    ), shc AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, greatest(len(t)-2, 0)+1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+      FROM tokc
+    ), szn AS (SELECT doc_id, COUNT(*) AS n FROM shn GROUP BY doc_id),
+    szc AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, COUNT(*) AS c
+      FROM shn a JOIN shc b ON a.sh = b.sh GROUP BY 1, 2
+    )
+    SELECT new_id, corpus_id,
+           ROUND(c * 1.0 / (s1.n + s2.n - c), 4) AS jaccard
+    FROM inter JOIN szn s1 ON s1.doc_id = new_id
+               JOIN szc s2 ON s2.doc_id = corpus_id
+    WHERE ROUND(c * 1.0 / (s1.n + s2.n - c), 4) >= 0.7
+    """,
+)
+def d30_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup against the banked corpus
+    (dedup.incremental_neardup_pairs) — the fuzzy sibling of d13's
+    exact incremental dedup and the production shape of d03 at 100 TB:
+    each crawl snapshot probes the corpus's PERSISTED LSH index
+    (build_neardup_index; batch band-buckets broadcast, corpus text
+    touched only candidate-scoped) instead of re-banding the union.
+    The batch is src3 plus drifted re-crawl copies of every 13th
+    corpus doc (' drifted crawl copy tail' appended — jaccard ≈ 0.93,
+    the page-edit a fingerprint misses); r=2/b=16 banding misses a
+    0.7 pair with p≈2e-5, so the output hash-matches the oracle's
+    exact batch×corpus Jaccard join."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("source") != "src3").select("doc_id", "text")
+    batch = docs.where(F.col("source") == "src3").select("doc_id", "text")
+    planted = docs.where(
+        (F.col("source") != "src3") & (F.col("doc_id") % 13 == 0)
+    ).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" drifted crawl copy tail")).alias("text"),
+    )
+    new_df = batch.unionByName(planted)
+    return dedup.incremental_neardup_pairs(new_df, corpus, threshold=0.7)
+
+
 @query("d29_threshold_sweep_ht")  # HT-estimated counts → rows-only; error bound measured in parity artifact
 def d29_threshold_sweep_ht(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sweep's FULL-CORPUS 100 TB tier (dedup.dedup_threshold_sweep,

@@ -2962,3 +2962,96 @@ def t62_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return links.groupBy("src", "dst_host").agg(
         F.count(F.lit(1)).alias("n_links")
     )
+
+
+@query(
+    "t63_url_canonical_dedup",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN 'not a url at all'
+                  WHEN doc_id % 3 = 0 THEN
+                    'HTTPS://Site' || (doc_id // 3) || '.Example:443/p/'
+                    || (doc_id // 3) || '?utm_source=x&b=2&a=1#frag'
+                  WHEN doc_id % 3 = 1 THEN
+                    'https://site' || (doc_id // 3) || '.example/p/'
+                    || (doc_id // 3) || '?a=1&b=2'
+                  ELSE
+                    'https://site' || (doc_id // 3) || '.example/p/'
+                    || (doc_id // 3) || '/?b=2&a=1&gclid=zzz' END AS url
+      FROM documents
+    ), parsed AS (
+      SELECT doc_id,
+        lower(regexp_extract(url,
+          '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$', 1))
+          AS scheme,
+        regexp_replace(lower(regexp_extract(url,
+          '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$', 2)),
+          ':(80|443)$', '') AS host,
+        regexp_replace(regexp_extract(url,
+          '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$', 3),
+          '/$', '') AS pth,
+        regexp_extract(url,
+          '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$', 4)
+          AS rawq
+      FROM planted
+    ), canon AS (
+      SELECT doc_id,
+        scheme || '://' || host || pth ||
+        CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+             ELSE '' END AS canon_url
+      FROM (
+        SELECT doc_id, scheme, host, pth,
+               list_sort(list_filter(string_split(rawq, '&'),
+                 p -> p <> '' AND NOT regexp_matches(p,
+                   '^(utm_[a-z0-9_]+|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)=')))
+                 AS kept
+        FROM parsed WHERE scheme <> ''
+      )
+    )
+    SELECT canon_url, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM canon GROUP BY canon_url
+    """,
+)
+def t63_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup (text.canonicalize_url) — the crawl-frontier
+    rule that collapses one page's transport variants BEFORE any fetch
+    or content dedup spends a byte on them: case-folded scheme/host,
+    default-port strip, fragment drop, tracking-param removal
+    (utm_*/gclid/fbclid/…), query-param sort, trailing-slash trim.
+    Every third doc triplet plants the same page as three variants
+    (uppercase host + :443 + utm + fragment / clean / reordered params
+    + gclid + trailing slash) and every 10th doc a non-URL that must
+    canonicalize to NULL and drop out. Pure codegen projections + ONE
+    group-by shuffle on the canonical key; the oracle replays parse,
+    strip, sort, and grouping exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    g = F.expr("doc_id div 3").cast("string")
+    url = (
+        F.when(F.col("doc_id") % 10 == 0, F.lit("not a url at all"))
+        .when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("HTTPS://Site"), g, F.lit(".Example:443/p/"), g,
+                     F.lit("?utm_source=x&b=2&a=1#frag")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("https://site"), g, F.lit(".example/p/"), g,
+                     F.lit("?a=1&b=2")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://site"), g, F.lit(".example/p/"), g,
+                     F.lit("/?b=2&a=1&gclid=zzz")),
+        )
+    )
+    canon = text.canonicalize_url(url)
+    return (
+        docs.select("doc_id", canon.alias("canon_url"))
+        .where(F.col("canon_url").isNotNull())
+        .groupBy("canon_url")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

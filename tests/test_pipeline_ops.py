@@ -2699,6 +2699,81 @@ def test_threshold_sweep_lsh_tier_matches_exact_curve(spark):
         curve(candidates="lsh", estimator="bogus")
 
 
+def test_canonicalize_url_rules(spark):
+    """t63's rule set pinned: variants of one page collapse to one
+    key, case-sensitive parts survive, tracking params go, real params
+    stay sorted, and garbage canonicalizes to NULL (caller decides)."""
+    from logverzcore_spark.operators.text import canonicalize_url
+
+    rows = [
+        (1, "HTTPS://Ex.COM:443/Path/x?utm_source=a&b=2&a=1#frag"),
+        (2, "https://ex.com/Path/x?a=1&b=2"),
+        (3, "https://ex.com/Path/x/?b=2&a=1&fbclid=z"),
+        (4, "http://ex.com:80/q?gclid=1"),   # all params tracked -> no '?'
+        (5, "https://ex.com/CASE"),           # path case preserved
+        (6, "https://ex.com/case"),
+        (7, "no scheme here"),
+    ]
+    df = spark.createDataFrame(rows, "i long, u string")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", canonicalize_url(F.col("u")).alias("c")).collect()}
+    assert got[1] == got[2] == got[3] == "https://ex.com/Path/x?a=1&b=2"
+    assert got[4] == "http://ex.com/q"
+    assert got[5] != got[6]  # paths stay case-sensitive
+    assert got[7] is None
+
+
+def test_incremental_neardup_index_reuse(spark, tmpdir_path):
+    """The d30 production contract: probing a PERSISTED corpus LSH
+    index returns the same pairs as building it inline (a batch never
+    re-bands the corpus), drifted re-crawl copies are caught across
+    the batch/corpus boundary, unrelated docs are not, and the
+    mega-bucket valve composes on the corpus index."""
+    import os
+
+    from logverzcore_spark.operators.dedup import (
+        build_neardup_index,
+        incremental_neardup_pairs,
+    )
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 3
+    corpus = spark.createDataFrame(
+        [(1, base + "kilo lima"), (2, "totally unrelated words only here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, base + "kilo lima drift"),  # re-crawl with a page edit
+         (101, "fresh novel content nothing shared at all")],
+        "doc_id long, text string",
+    )
+    inline = {
+        (r["new_id"], r["corpus_id"])
+        for r in incremental_neardup_pairs(batch, corpus, threshold=0.7).collect()
+    }
+    assert inline == {(100, 1)}
+
+    # persisted-index path: write, read back, probe — identical pairs
+    idx_path = os.path.join(tmpdir_path, "neardup_idx")
+    build_neardup_index(corpus).write.parquet(idx_path)
+    reused = {
+        (r["new_id"], r["corpus_id"])
+        for r in incremental_neardup_pairs(
+            batch, corpus, threshold=0.7,
+            corpus_index=spark.read.parquet(idx_path),
+        ).collect()
+    }
+    assert reused == inline
+
+    # valve composes: capping corpus buckets can only REMOVE pairs
+    capped = {
+        (r["new_id"], r["corpus_id"])
+        for r in incremental_neardup_pairs(
+            batch, corpus, threshold=0.7, max_bucket_size=1
+        ).collect()
+    }
+    assert capped <= inline
+
+
 def test_curriculum_schedule_budgets_and_monotonicity(spark):
     """Every stage sums exactly to its budget; a domain whose target
     share exceeds its natural share rises monotonically across stages
