@@ -1871,6 +1871,43 @@ def dup_origin_report(
     )
 
 
+def dup_source_matrix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication MATRIX — for every unordered source
+    pair, how many exact-duplicate fingerprints the two share: the
+    syndication map that turns d25's per-group origin labels into the
+    corpus-level "who copies from whom" picture a crawl-budget or
+    canonical-source policy is actually set from (a pair sharing 400
+    boilerplate bodies gets a dedupe rule; one sharing 2 doesn't).
+
+    Plan: fingerprint projection → DISTINCT (fp, source) — the matrix
+    only asks whether a source carries the body, so the blow-up bound
+    is sources-per-fp (≤ the source universe, never copies-per-fp) —
+    → equi-self-join on fp with src_a < src_b → one pair-key partial
+    agg. Two shuffles total (distinct + group), both on keys bounded
+    by fp×source cardinality. Returns (src_a, src_b, n_shared_fps)."""
+    fp = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    )
+    per = df.select(fp.alias("fp"), F.col(source_col).alias("source")).distinct()
+    a, b = per.alias("a"), per.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fps"))
+    )
+
+
 def exact_substring_scrub(
     df: DataFrame,
     window: int = 8,

@@ -424,3 +424,80 @@ def bloom_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _frontier_batch(
+    batch: DataFrame,
+    spark: SparkSession,
+    target_table: str,
+    state_table: str,
+    url_col: str,
+    id_col: str,
+) -> None:
+    from logverzcore_spark.operators.text import canonicalize_url
+
+    canon = (
+        batch.withColumn("_canon", canonicalize_url(F.col(url_col)))
+        .where(F.col("_canon").isNotNull())  # unparseable never enters the frontier
+    )
+    w = Window.partitionBy("_canon").orderBy(F.col(id_col))
+    in_batch = (
+        canon.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if spark.catalog.tableExists(state_table):
+        seen = spark.table(state_table)
+        fresh = in_batch.join(
+            seen.hint("shuffle_hash"),
+            in_batch["_canon"] == seen["canon_url"],
+            "left_anti",
+        )
+    else:
+        fresh = in_batch
+    fresh.persist()
+    try:
+        fresh.withColumnRenamed("_canon", "canon_url").write.mode(
+            "append"
+        ).saveAsTable(target_table)
+        fresh.select(F.col("_canon").alias("canon_url")).write.mode(
+            "append"
+        ).saveAsTable(state_table)
+    finally:
+        fresh.unpersist()
+    spark.catalog.refreshTable(target_table)
+    spark.catalog.refreshTable(state_table)
+
+
+def url_frontier_stream(
+    spark: SparkSession,
+    source_stream: DataFrame,
+    target_table: str,
+    checkpoint_dir: str,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    state_table: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming crawl-frontier dedup on the CANONICAL URL
+    (text.canonicalize_url): per micro-batch, canonicalize, drop
+    unparseable, keep the lowest-id first sighting per canonical key
+    within the batch, anti-join the persistent frontier state, append
+    survivors — so the committed table is "one row per page ever
+    enqueued", with utm/gclid variants, fragments, param re-orders and
+    case noise collapsing BEFORE a fetch is spent on them (the t63 rule
+    set, lifted to continuous collection). Same state/commit/replay
+    discipline as ``dedup_stream``: canonical keys partition-prunable,
+    data-before-state commit order, replayed batches anti-join their
+    own committed keys and no-op."""
+    state_table = state_table or f"{target_table}_frontier_keys"
+    writer = source_stream.writeStream.option(
+        "checkpointLocation", checkpoint_dir
+    ).foreachBatch(
+        lambda batch, _id: _frontier_batch(
+            batch, spark, target_table, state_table, url_col, id_col
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1002,3 +1002,58 @@ def d28_threshold_sweep_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair of this corpus at any swept threshold."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.dedup_threshold_sweep(docs, candidates="lsh")
+
+
+@query(
+    "d31_dup_source_matrix",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 9 < 2 THEN 'shared boilerplate page body'
+                  WHEN doc_id % 9 < 4 THEN 'src-local template ' || source
+                  WHEN doc_id % 9 = 4 THEN 'syndicated from partner '
+                                           || CAST(doc_id % 4 AS VARCHAR)
+                  ELSE text END AS text
+      FROM documents
+    ), per AS (
+      SELECT DISTINCT
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             source
+      FROM planted
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+    FROM per a JOIN per b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def d31_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix (dedup.dup_source_matrix): the
+    corpus-level syndication map — per unordered source pair, how many
+    exact-dup fingerprints both carry. d25's planted fixture extended
+    with a partner-network body (every 9th≡4 doc shares one of 4
+    'syndicated' bodies, so pair counts VARY instead of one global
+    boilerplate clique): the d25 origin labels say intra-vs-cross, this
+    says WHICH pairs and how much — the input to a per-pair crawl
+    dedupe rule. Blow-up bounded by sources-per-fp via the DISTINCT
+    (fp, source) projection, never copies-per-fp; the oracle replays
+    planting, fingerprint, distinct, and the triangular join."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 9 < 2, F.lit("shared boilerplate page body"))
+        .when(
+            F.col("doc_id") % 9 < 4,
+            F.concat(F.lit("src-local template "), F.col("source")),
+        )
+        .when(
+            F.col("doc_id") % 9 == 4,
+            F.concat(
+                F.lit("syndicated from partner "),
+                (F.col("doc_id") % 4).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return dedup.dup_source_matrix(planted)

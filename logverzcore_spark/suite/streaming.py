@@ -1525,3 +1525,105 @@ def st33_streaming_snapshot_commits(spark: SparkSession, sf_dir: str) -> DataFra
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@query(
+    "st34_streaming_url_frontier",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN 'not a url at all'
+                  WHEN doc_id % 3 = 0 THEN
+                    'HTTPS://Site' || (doc_id // 3) || '.Example:443/p/'
+                    || (doc_id // 3) || '?utm_source=x&b=2&a=1#frag'
+                  WHEN doc_id % 3 = 1 THEN
+                    'https://site' || (doc_id // 3) || '.example/p/'
+                    || (doc_id // 3) || '?a=1&b=2'
+                  ELSE
+                    'https://site' || (doc_id // 3) || '.example/p/'
+                    || (doc_id // 3) || '/?b=2&a=1&gclid=zzz' END AS url
+      FROM documents
+    ), parsed AS (
+      SELECT doc_id,
+        lower(regexp_extract(url,
+          '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$', 1))
+          AS scheme,
+        regexp_replace(lower(regexp_extract(url,
+          '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$', 2)),
+          ':(80|443)$', '') AS host,
+        regexp_replace(regexp_extract(url,
+          '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$', 3),
+          '/$', '') AS pth,
+        regexp_extract(url,
+          '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$', 4)
+          AS rawq
+      FROM planted
+    ), canon AS (
+      SELECT doc_id,
+        scheme || '://' || host || pth ||
+        CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+             ELSE '' END AS canon_url
+      FROM (
+        SELECT doc_id, scheme, host, pth,
+               list_sort(list_filter(string_split(rawq, '&'),
+                 p -> p <> '' AND NOT regexp_matches(p,
+                   '^(utm_[a-z0-9_]+|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)=')))
+                 AS kept
+        FROM parsed WHERE scheme <> ''
+      )
+    )
+    SELECT canon_url, CAST(MIN(doc_id) AS BIGINT) AS doc_id
+    FROM canon GROUP BY canon_url
+    """,
+)
+def st34_streaming_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming crawl-frontier dedup on canonical URLs
+    (stream_dedup.url_frontier_stream): the documents stream plants
+    t63's URL-variant grammar (three transport variants per page,
+    every 10th doc unparseable), the frontier canonicalizes per
+    micro-batch and admits only first-seen canonical keys across
+    batches via the persistent state table — the committed table is
+    one row per PAGE, lowest doc_id sighting kept, which the oracle
+    replays as canonicalize + min-per-key. Unparseable rows must never
+    enter the frontier (NULL canon dropped before state)."""
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.streaming.stream_dedup import url_frontier_stream
+
+    run_id = _uuid.uuid4().hex[:8]
+    table = f"st34_uf_{run_id}"
+    g = F.expr("doc_id div 3").cast("string")
+    url = (
+        F.when(F.col("doc_id") % 10 == 0, F.lit("not a url at all"))
+        .when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("HTTPS://Site"), g, F.lit(".Example:443/p/"), g,
+                     F.lit("?utm_source=x&b=2&a=1#frag")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("https://site"), g, F.lit(".example/p/"), g,
+                     F.lit("?a=1&b=2")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://site"), g, F.lit(".example/p/"), g,
+                     F.lit("/?b=2&a=1&gclid=zzz")),
+        )
+    )
+    stream = _docs_stream(spark, sf_dir).select("doc_id", url.alias("url"))
+    try:
+        q = url_frontier_stream(
+            spark, stream, table,
+            checkpoint_dir=os.path.join(tempfile.gettempdir(), f"ck_{table}"),
+        )
+        q.awaitTermination()
+        out = (
+            spark.table(table)
+            .select("canon_url", F.col("doc_id").cast("long").alias("doc_id"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_frontier_keys")
+    return out

@@ -918,3 +918,46 @@ def test_canary_stream_restart_mid_batch_no_duplicates(spark, tmpdir_path):
         assert streamed == batch_scan
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_url_frontier_cross_batch_and_replay(spark):
+    """st34's state discipline driven batch by batch: a later batch
+    re-offering an already-admitted page (any transport variant) is a
+    no-op, a genuinely new page is admitted, unparseable URLs never
+    enter the frontier, and a REPLAYED batch (the crash-between-
+    checkpoint-and-commit window) anti-joins its own committed keys and
+    adds nothing."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.streaming.stream_dedup import _frontier_batch
+
+    run = _uuid.uuid4().hex[:8]
+    target, state = f"uf_t_{run}", f"uf_s_{run}"
+    b1 = spark.createDataFrame(
+        [(1, "https://a.example/p?x=1&utm_source=z"),
+         (2, "HTTPS://A.Example:443/p?x=1"),   # same page, variant
+         (3, "garbage not a url")],
+        "doc_id long, url string",
+    )
+    b2 = spark.createDataFrame(
+        [(10, "https://a.example/p/?x=1"),      # already-admitted page
+         (11, "https://b.example/new")],        # genuinely new
+        "doc_id long, url string",
+    )
+    try:
+        _frontier_batch(b1, spark, target, state, "url", "doc_id")
+        got1 = {(r["doc_id"], r["canon_url"])
+                for r in spark.table(target).collect()}
+        assert got1 == {(1, "https://a.example/p?x=1")}
+        _frontier_batch(b2, spark, target, state, "url", "doc_id")
+        got2 = {(r["doc_id"], r["canon_url"])
+                for r in spark.table(target).collect()}
+        assert got2 == got1 | {(11, "https://b.example/new")}
+        _frontier_batch(b2, spark, target, state, "url", "doc_id")  # replay
+        assert spark.table(target).count() == 2
+        assert spark.table(state).count() == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {target}")
+        spark.sql(f"DROP TABLE IF EXISTS {state}")
