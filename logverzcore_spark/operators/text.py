@@ -437,49 +437,6 @@ def hash_sample(id_col: Column, keep_hex_lt: str = "20") -> Column:
     return F.substring(F.md5(id_col.cast("string")), 1, 2) < keep_hex_lt
 
 
-#: Query parameters a canonical URL drops: tracking/session noise that
-#: makes the same page look unique to a crawler (the classic frontier
-#: duplicate multiplier). RE2-compatible, anchored by the caller.
-URL_TRACKING_PARAM_RE = r"^(utm_[a-z0-9_]+|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)="
-
-_URL_PARSE_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
-
-
-def canonicalize_url(col: Column) -> Column:
-    """Canonical form of a URL — the crawl-frontier dedup key that
-    collapses the variants a crawler sees of ONE page: scheme and host
-    case-folded, default :80/:443 port stripped, fragment dropped,
-    tracking query params (utm_*/gclid/fbclid/…) removed, remaining
-    params SORTED (param order is transport noise), a single trailing
-    path slash trimmed. Returns NULL for strings that don't parse as
-    absolute URLs — callers decide whether unparseable means drop or
-    keep-verbatim.
-
-    Every rule is a codegen'd regexp/HOF projection (zero shuffle,
-    zero Python) and RE2-expressible, so the whole canonicalization
-    replays in an external SQL oracle (suite t63). Rules are the
-    SAFE subset: no path case-folding (paths are case-sensitive), no
-    www-stripping or index.html-dropping (site-specific semantics) —
-    a pipeline wanting those layers composes them explicitly."""
-    scheme = F.lower(F.regexp_extract(col, _URL_PARSE_RE, 1))
-    host = F.regexp_replace(
-        F.lower(F.regexp_extract(col, _URL_PARSE_RE, 2)), r":(80|443)$", ""
-    )
-    path = F.regexp_replace(F.regexp_extract(col, _URL_PARSE_RE, 3), r"/$", "")
-    rawq = F.regexp_extract(col, _URL_PARSE_RE, 4)
-    kept = F.sort_array(
-        F.filter(
-            F.split(rawq, "&"),
-            lambda p: (p != "") & ~p.rlike(URL_TRACKING_PARAM_RE),
-        )
-    )
-    query = F.when(
-        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
-    ).otherwise(F.lit(""))
-    canon = F.concat(scheme, F.lit("://"), host, path, query)
-    return F.when(scheme != "", canon)
-
-
 def hash_split(
     id_col: Column,
     boundaries: tuple[str, str] = ("b", "d"),

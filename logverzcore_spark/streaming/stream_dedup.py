@@ -434,10 +434,12 @@ def _frontier_batch(
     url_col: str,
     id_col: str,
 ) -> None:
-    from logverzcore_spark.operators.text import canonicalize_url
+    from logverzcore_spark.operators.text import normalize_url
 
     canon = (
-        batch.withColumn("_canon", canonicalize_url(F.col(url_col)))
+        batch.withColumn(
+            "_canon", normalize_url(F.col(url_col)).getField("url_canon")
+        )
         .where(F.col("_canon").isNotNull())  # unparseable never enters the frontier
     )
     w = Window.partitionBy("_canon").orderBy(F.col(id_col))
@@ -480,7 +482,7 @@ def url_frontier_stream(
     available_now: bool = True,
 ) -> StreamingQuery:
     """Streaming crawl-frontier dedup on the CANONICAL URL
-    (text.canonicalize_url): per micro-batch, canonicalize, drop
+    (text.normalize_url's url_canon key): per micro-batch, canonicalize, drop
     unparseable, keep the lowest-id first sighting per canonical key
     within the batch, anti-join the persistent frontier state, append
     survivors — so the committed table is "one row per page ever

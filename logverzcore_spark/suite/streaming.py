@@ -1545,30 +1545,29 @@ def st33_streaming_snapshot_commits(spark: SparkSession, sf_dir: str) -> DataFra
       FROM documents
     ), parsed AS (
       SELECT doc_id,
-        lower(regexp_extract(url,
-          '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$', 1))
-          AS scheme,
-        regexp_replace(lower(regexp_extract(url,
-          '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$', 2)),
-          ':(80|443)$', '') AS host,
-        regexp_replace(regexp_extract(url,
-          '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$', 3),
-          '/$', '') AS pth,
-        regexp_extract(url,
-          '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$', 4)
-          AS rawq
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(
+          regexp_extract(
+            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+            '([^@]*)$', 1),
+          '^([^:]*)', 1)) AS host,
+        regexp_replace(
+          regexp_replace(
+            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+            '/{2,}', '/', 'g'),
+          '(.)/$', '\\1') AS path_c,
+        regexp_extract(url, '\\?([^#]*)', 1) AS qraw
       FROM planted
     ), canon AS (
       SELECT doc_id,
-        scheme || '://' || host || pth ||
-        CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
-             ELSE '' END AS canon_url
+        scheme || '://' || host ||
+        (CASE WHEN path_c = '' THEN '/' ELSE path_c END) ||
+        (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canon_url
       FROM (
-        SELECT doc_id, scheme, host, pth,
-               list_sort(list_filter(string_split(rawq, '&'),
-                 p -> p <> '' AND NOT regexp_matches(p,
-                   '^(utm_[a-z0-9_]+|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)=')))
-                 AS kept
+        SELECT doc_id, scheme, host, path_c,
+               array_to_string(list_sort(list_filter(string_split(qraw, '&'),
+                 x -> x <> '' AND NOT regexp_matches(x,
+                   '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))), '&') AS q
         FROM parsed WHERE scheme <> ''
       )
     )

@@ -2982,30 +2982,29 @@ def t62_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), parsed AS (
       SELECT doc_id,
-        lower(regexp_extract(url,
-          '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$', 1))
-          AS scheme,
-        regexp_replace(lower(regexp_extract(url,
-          '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$', 2)),
-          ':(80|443)$', '') AS host,
-        regexp_replace(regexp_extract(url,
-          '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$', 3),
-          '/$', '') AS pth,
-        regexp_extract(url,
-          '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$', 4)
-          AS rawq
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(
+          regexp_extract(
+            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+            '([^@]*)$', 1),
+          '^([^:]*)', 1)) AS host,
+        regexp_replace(
+          regexp_replace(
+            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+            '/{2,}', '/', 'g'),
+          '(.)/$', '\\1') AS path_c,
+        regexp_extract(url, '\\?([^#]*)', 1) AS qraw
       FROM planted
     ), canon AS (
       SELECT doc_id,
-        scheme || '://' || host || pth ||
-        CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
-             ELSE '' END AS canon_url
+        scheme || '://' || host ||
+        (CASE WHEN path_c = '' THEN '/' ELSE path_c END) ||
+        (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canon_url
       FROM (
-        SELECT doc_id, scheme, host, pth,
-               list_sort(list_filter(string_split(rawq, '&'),
-                 p -> p <> '' AND NOT regexp_matches(p,
-                   '^(utm_[a-z0-9_]+|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)=')))
-                 AS kept
+        SELECT doc_id, scheme, host, path_c,
+               array_to_string(list_sort(list_filter(string_split(qraw, '&'),
+                 x -> x <> '' AND NOT regexp_matches(x,
+                   '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))), '&') AS q
         FROM parsed WHERE scheme <> ''
       )
     )
@@ -3015,17 +3014,20 @@ def t62_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t63_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical-URL dedup (text.canonicalize_url) — the crawl-frontier
-    rule that collapses one page's transport variants BEFORE any fetch
-    or content dedup spends a byte on them: case-folded scheme/host,
-    default-port strip, fragment drop, tracking-param removal
-    (utm_*/gclid/fbclid/…), query-param sort, trailing-slash trim.
-    Every third doc triplet plants the same page as three variants
-    (uppercase host + :443 + utm + fragment / clean / reordered params
-    + gclid + trailing slash) and every 10th doc a non-URL that must
-    canonicalize to NULL and drop out. Pure codegen projections + ONE
-    group-by shuffle on the canonical key; the oracle replays parse,
-    strip, sort, and grouping exactly."""
+    """Canonical-URL frontier DEDUP — t42's canonicalizer
+    (text.normalize_url — the single URL-normalization authority in the
+    package) applied as a GROUPING key: one row per page with its
+    lowest-id sighting and copy count, the frontier rule that collapses
+    transport variants BEFORE any fetch or content dedup spends a byte
+    on them. Distinct operator from t42 (which audits the per-doc
+    normalized components; this groups the corpus by the canonical
+    key). Every third doc triplet plants the same page as three
+    variants (uppercase host + :443 + utm + fragment / clean /
+    reordered params + gclid + trailing slash) and every 10th doc a
+    non-URL that canonicalizes to NULL and drops out. Pure codegen
+    projections + ONE group-by shuffle on the canonical key; the oracle
+    replays normalize_url's exact rule set (t42's parsed CTE) plus the
+    grouping."""
     docs = _t(spark, sf_dir, "documents")
     g = F.expr("doc_id div 3").cast("string")
     url = (
@@ -3045,7 +3047,7 @@ def t63_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.lit("/?b=2&a=1&gclid=zzz")),
         )
     )
-    canon = text.canonicalize_url(url)
+    canon = text.normalize_url(url).getField("url_canon")
     return (
         docs.select("doc_id", canon.alias("canon_url"))
         .where(F.col("canon_url").isNotNull())

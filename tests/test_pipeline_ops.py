@@ -2699,11 +2699,16 @@ def test_threshold_sweep_lsh_tier_matches_exact_curve(spark):
         curve(candidates="lsh", estimator="bogus")
 
 
-def test_canonicalize_url_rules(spark):
-    """t63's rule set pinned: variants of one page collapse to one
-    key, case-sensitive parts survive, tracking params go, real params
-    stay sorted, and garbage canonicalizes to NULL (caller decides)."""
-    from logverzcore_spark.operators.text import canonicalize_url
+def test_canonical_url_dedup_key_rules(spark):
+    """t63/st34's dedup KEY pinned (normalize_url().url_canon — the
+    package's single URL-canonicalization authority, t42): variants of
+    one page collapse to one key, case-sensitive parts survive,
+    tracking params go, real params stay sorted, and garbage
+    canonicalizes to NULL (caller decides)."""
+    from logverzcore_spark.operators.text import normalize_url
+
+    def canonicalize_url(col):
+        return normalize_url(col).getField("url_canon")
 
     rows = [
         (1, "HTTPS://Ex.COM:443/Path/x?utm_source=a&b=2&a=1#frag"),
