@@ -437,6 +437,44 @@ def hash_sample(id_col: Column, keep_hex_lt: str = "20") -> Column:
     return F.substring(F.md5(id_col.cast("string")), 1, 2) < keep_hex_lt
 
 
+def reliability_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bin_width: int = 1000,
+) -> DataFrame:
+    """Calibration (reliability-diagram) bins for a quality filter:
+    group rows by integer score band and report, per bin, the count,
+    the mean score, and the observed positive rate — the table that
+    says whether "score ≥ X" MEANS anything before a pipeline burns a
+    threshold into its keep rule (a well-calibrated filter's positive
+    rate rises monotonically with the bin; a flat curve says the score
+    is noise at that range). Expects an INTEGER score (basis points —
+    the repo's fixed-point discipline, s13/s17/t24) and a boolean
+    label; all outputs are integer-exact (``div``), so the whole audit
+    replays hash-exact in an external engine — a float mean would
+    hash-flip on summation order.
+
+    Plan: one partial-aggregated groupBy on the bin id (≤ a few dozen
+    groups at any corpus size); the score/label inputs are whatever
+    per-row projections produced them. Returns (bin, n_docs,
+    mean_score_bp, n_pos, pos_rate_bp)."""
+    b = F.floor(F.col(score_col) / F.lit(int(bin_width))).cast("long")
+    lab = F.col(label_col).cast("long")
+    return (
+        df.select(b.alias("bin"), F.col(score_col).alias("_s"), lab.alias("_l"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("sum(_s) div count(1)").cast("long").alias("mean_score_bp"),
+            F.sum("_l").cast("long").alias("n_pos"),
+            F.expr("(10000 * sum(_l)) div count(1)")
+            .cast("long")
+            .alias("pos_rate_bp"),
+        )
+    )
+
+
 def hash_split(
     id_col: Column,
     boundaries: tuple[str, str] = ("b", "d"),

@@ -3057,3 +3057,58 @@ def t63_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+@query(
+    "t64_quality_calibration",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ), sc AS (
+      SELECT doc_id,
+             CAST((10000 * len(list_filter(toks,
+                    x -> x IN ('the','a','an','and','or','of','to','in','is'))))
+                  // greatest(len(toks), 1) AS BIGINT) AS score_bp
+      FROM tk
+    ), lab AS (
+      SELECT score_bp,
+             (score_bp
+              + (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) % 4001 - 2000)) >= 1200 AS label
+      FROM sc
+    )
+    SELECT CAST(score_bp // 250 AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(score_bp) // COUNT(*) AS BIGINT) AS mean_score_bp,
+           CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST((10000 * SUM(CASE WHEN label THEN 1 ELSE 0 END)) // COUNT(*)
+                AS BIGINT) AS pos_rate_bp
+    FROM lab GROUP BY 1
+    """,
+)
+def t64_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter CALIBRATION audit (text.reliability_bins): bin the
+    stopword-ratio quality score (integer bp) and report each bin's
+    observed positive rate against an audit label — the reliability
+    diagram that justifies (or kills) a keep-threshold before a corpus
+    pass bakes it in. The audit label is planted deterministically as
+    score + md5-derived noise ≥ cutoff, so the expected curve RISES with
+    the bin and the whole table — counts, integer-div means, rates —
+    replays hash-exact. One tiny groupBy on the bin id; the score is a
+    per-row projection (t23's stopword feature, fixed-point)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    hits = F.size(F.filter(toks, lambda t: t.isin(*text.STOPWORDS)))
+    n = F.greatest(F.size(toks), F.lit(1))
+    score = F.floor(F.lit(10000) * hits / n).cast("long")
+    noise = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 4001 - 2000
+    )
+    scored = docs.select(
+        score.alias("score_bp"),
+        ((score + noise) >= 1200).alias("label"),
+    )
+    return text.reliability_bins(scored, "score_bp", "label", bin_width=250)

@@ -2699,6 +2699,27 @@ def test_threshold_sweep_lsh_tier_matches_exact_curve(spark):
         curve(candidates="lsh", estimator="bogus")
 
 
+def test_reliability_bins_separates_calibrated_from_noise(spark):
+    """t64's operator on controlled inputs: a label that IS a threshold
+    of the score yields a step reliability curve (0 bp below, 10000 bp
+    above), while a label independent of the score yields a flat curve
+    near the base rate in every populated bin — the distinction the
+    audit exists to expose. Counts and rates are integer-exact."""
+    from logverzcore_spark.operators.text import reliability_bins
+
+    rows = [(i, i * 10, i * 10 >= 500, i % 2 == 0) for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "i long, score_bp long, calibrated boolean, coin boolean"
+    )
+    step = {r["bin"]: r for r in
+            reliability_bins(df, "score_bp", "calibrated", bin_width=100).collect()}
+    assert all(r["pos_rate_bp"] == 0 for b, r in step.items() if b < 5)
+    assert all(r["pos_rate_bp"] == 10000 for b, r in step.items() if b >= 5)
+    assert sum(r["n_docs"] for r in step.values()) == 100
+    flat = reliability_bins(df, "score_bp", "coin", bin_width=100).collect()
+    assert all(r["pos_rate_bp"] == 5000 for r in flat)  # 10 per bin, 5 even
+
+
 def test_canonical_url_dedup_key_rules(spark):
     """t63/st34's dedup KEY pinned (normalize_url().url_canon — the
     package's single URL-canonicalization authority, t42): variants of
