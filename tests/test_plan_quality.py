@@ -557,6 +557,24 @@ def test_s25_maxsim_rerank_never_shuffles_corpus(spark):
     assert "CartesianProduct" not in fmt
 
 
+def test_d30_incremental_neardup_corpus_never_broadcast(spark):
+    """d30's 100 TB contract: the BATCH side's band buckets broadcast
+    into the corpus-index probe and the verify joins are broadcast-fed
+    by candidate-scoped frames — the corpus itself is never a broadcast
+    build side (it wouldn't fit), never Cartesian-joined, and never
+    single-partitioned."""
+    import re
+
+    fmt = _plan(spark, SUITE["d30_incremental_neardup"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", fmt)) >= 3
+    assert "CartesianProduct" not in fmt and "NestedLoop" not in fmt
+    assert "Exchange SinglePartition" not in fmt
+    # every broadcast build is batch/candidate-keyed (new_id / band
+    # bucket cols), never the corpus text
+    for m in re.finditer(r"\(\d+\) BroadcastExchange\nInput \[\d+\]: \[([^\]]*)\]", fmt):
+        assert "text" not in m.group(1), m.group(1)
+
+
 def test_no_two_suite_entries_share_a_plan(spark):
     """Suite-padding guard (r7 judge finding: d27 was t22 re-numbered,
     t61 was t18 with k=5): no two graded entries may compile to the
