@@ -217,6 +217,10 @@ def test_suite_global_plan_invariants(spark):
         "s20_ivfpq_index_health",  # single-row index-total broadcast join over n_cells rows
         "s21_hard_negatives",   # anti-label constraint can't equi-join: broadcast query block (s01 shape)
         "d24_threshold_sweep",  # 3-row literal threshold frame theta-joins the pair table + 1-row total
+        "d28_threshold_sweep_lsh",  # same 3-row theta frame + 1-row total as d24
+        "d29_threshold_sweep_ht",   # same 3-row theta frame + 1-row total as d24
+        "s25_maxsim_rerank",    # candidate arm = s01's corpus x broadcast queries
+        "t61_proportional_floor_sample",  # single-row corpus-total broadcast join into the quota calc
         "s19_hybrid_rrf",       # arms compose s01's broadcast-query scan + s17's stats join
         "s22_maxsim_topk",      # exact MaxSim tier: corpus x broadcast query set (s01 shape)
         "t60_curriculum_schedule",  # per-stage _largest_remainder scalar joins over #sources rows
