@@ -530,6 +530,13 @@ def minhash_band_buckets(
     ).select("doc_id", "bb.band", "bb.bucket")
 
 
+#: Candidate-pair rows above which minhash_lsh_pairs' auto verify
+#: strategy (broadcast_verify=None) switches from broadcast to shuffle:
+#: ~2M melt rows ≈ 50 MB collected — an order under the 1 GB
+#: driver.maxResultSize ceiling the 100× sweep probe measured an abort at.
+_BROADCAST_VERIFY_MAX_PAIRS = 2_000_000
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.7,
@@ -539,7 +546,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
-    broadcast_verify: bool = True,
+    broadcast_verify: bool | None = True,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, verified with exact Jaccard.
 
@@ -554,9 +561,15 @@ def minhash_lsh_pairs(
     collect crosses spark.driver.maxResultSize (1 GB) and ABORTS. Pass
     ``broadcast_verify=False`` there: the semi-prune and lookup become
     shuffle joins — the corpus pays one hash exchange on the id, which
-    is already the floor any corpus-scale candidate set implies
-    (dedup_threshold_sweep sets this automatically when its derived
-    banding is r=1).
+    is already the floor any corpus-scale candidate set implies.
+    ``None`` = MEASURE, don't guess: the candidate frame is eagerly
+    checkpointed anyway, so a count over the cached partitions is
+    nearly free, and the strategy follows the actual pair volume
+    (≤ ``_BROADCAST_VERIFY_MAX_PAIRS`` broadcasts — the small-corpus
+    r=1 sweep keeps its 4 s path instead of paying a blanket 26 s
+    shuffle penalty; above it shuffles — the 100× sweep completes
+    instead of aborting). dedup_threshold_sweep passes None at its
+    derived r=1 banding.
 
     ``max_bucket_size`` is the 100 TB pressure-relief valve on the
     verify join (the pipeline's first data-bound stage at 100×,
@@ -694,6 +707,10 @@ def minhash_lsh_pairs(
     n_parts = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
+    if broadcast_verify is None:
+        # cand is checkpoint-materialized: counting it re-reads cached
+        # partitions, so the strategy decision costs ~one metadata job.
+        broadcast_verify = cand.count() <= _BROADCAST_VERIFY_MAX_PAIRS
     # broadcast_verify=False must defeat not only our own hint but the
     # PLANNER's size-based broadcast too: the checkpointed candidate
     # frame's stats under-estimate (LogicalRDD), so Spark would still
@@ -1774,11 +1791,13 @@ def dedup_threshold_sweep(
             text_col=text_col,
             id_col=id_col,
             max_bucket_size=max_bucket_size,
-            # r=1 banding (loose sweep thresholds) makes the candidate
-            # list corpus-scale — the broadcast verify would collect it
-            # to the driver and abort past ~1 GB (measured at the 100x
-            # probe); shuffle-verify there, broadcast otherwise.
-            broadcast_verify=bands < num_hashes,
+            # r=1 banding (loose sweep thresholds) can make the
+            # candidate list corpus-scale — the broadcast verify would
+            # collect it to the driver and abort past ~1 GB (measured
+            # at the 100x probe). None = measure the materialized
+            # candidate count and pick broadcast (small) or shuffle
+            # (large); selective r>=2 banding stays broadcast outright.
+            broadcast_verify=True if bands < num_hashes else None,
         )
     else:
         raise ValueError(f"candidates must be 'lsh' or 'exact', got {candidates!r}")
