@@ -1057,3 +1057,44 @@ def d31_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text")).alias("text"),
     )
     return dedup.dup_source_matrix(planted)
+
+
+@query(
+    "d32_cluster_size_histogram",
+    oracle=_DUP_GRAPH_CTE
+    + """
+    , sizes AS (
+      SELECT cluster_id, COUNT(*) AS sz FROM labels GROUP BY cluster_id
+    )
+    SELECT CAST(length(bin(sz)) - 1 AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(MAX(sz) AS BIGINT) AS max_size
+    FROM sizes GROUP BY 1
+    """,
+)
+def d32_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster SIZE distribution (log2 buckets): how the dup
+    mass is shaped — a long tail of pairs, or a few mega-clusters —
+    which is exactly the measurement that prices the mega-bucket valve
+    (minhash_lsh_pairs max_bucket_size) and predicts the verify join's
+    skew BEFORE a full pass: set the cap above the histogram's knee and
+    the quadratic term dies with measured, bounded recall loss. Bucket
+    = bit-length of the cluster size minus one (integer-exact in both
+    engines via bin(); floor(log2) on floats could hash-flip on a
+    last-ulp). Per bucket: cluster count, doc mass, largest cluster.
+    Plan: d07's label propagation, then two tiny partial-agg shuffles
+    (cluster sizes, then ≤64 histogram rows)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    clusters = dedup.dup_clusters(docs, pairs)
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    bucket = (F.length(F.bin(F.col("sz"))) - 1).cast("int")
+    return (
+        sizes.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+            F.max("sz").cast("long").alias("max_size"),
+        )
+    )
