@@ -901,3 +901,83 @@ def export_compacted_stream(
     )
     q.awaitTermination()
     return sink
+
+
+def export_webdataset_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WebDataset-style tar-shard export — the interchange format
+    multimodal training loaders stream (one ``shard-%05d.tar`` per
+    shard; each sample contributes same-key members, here
+    ``{key}.txt`` + ``{key}.json``): the WRITE side of the tar story
+    whose read side is ``multimodal.parse_tar_entries`` (suite m31
+    round-trips one through the other).
+
+    Determinism is the contract: shard = md5(key) mod n_shards
+    (engine-portable — the same row lands in the same shard on every
+    run/engine/cluster size), members within a shard are ordered by
+    key, and every tar header field is pinned (USTAR format, mtime 0,
+    mode 0644, uid/gid 0, empty uname/gname) so shard BYTES are
+    reproducible — re-exporting an unchanged corpus yields identical
+    files, which is what makes shard-level caching and resume safe.
+
+    Plan shape: one hash exchange on the shard id, then each shard
+    streams through ONE applyInPandas group that writes its tar
+    executor-side — shards write in parallel, no driver collect, and
+    at scale ``n_shards`` grows with the corpus so each tar stays
+    loader-friendly (the epoch_shuffle sizing discipline). Writes use
+    local filesystem paths (the test environment); an object-store
+    deployment swaps the open() for its FS client — the bytes are the
+    contract, not the transport. Returns the manifest (shard,
+    n_members, n_bytes, path), one row per shard."""
+    import io
+    import json as _json
+    import os as _os
+    import tarfile
+
+    import pandas as pd
+
+    _os.makedirs(out_dir, exist_ok=True)
+    shard = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(n_shards),
+    ).cast("int")
+
+    schema = "shard int, n_members long, n_bytes long, path string"
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        sh = int(pdf["_shard"].iloc[0])
+        pdf = pdf.sort_values(key_col)
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+            for key, text in zip(pdf[key_col], pdf[text_col]):
+                data = str(text).encode("utf-8")
+                meta = _json.dumps({"id": int(key), "n": len(data)}).encode()
+                for nm, payload in ((f"{key}.txt", data), (f"{key}.json", meta)):
+                    ti = tarfile.TarInfo(nm)
+                    ti.size = len(payload)
+                    ti.mtime = 0
+                    ti.mode = 0o644
+                    ti.uid = ti.gid = 0
+                    ti.uname = ti.gname = ""
+                    tf.addfile(ti, io.BytesIO(payload))
+        raw = buf.getvalue()
+        path = _os.path.join(out_dir, f"shard-{sh:05d}.tar")
+        with open(path, "wb") as fh:
+            fh.write(raw)
+        return pd.DataFrame(
+            [{"shard": sh, "n_members": 2 * len(pdf), "n_bytes": len(raw),
+              "path": path}]
+        )
+
+    return (
+        df.select(F.col(key_col), F.col(text_col), shard.alias("_shard"))
+        .groupBy("_shard")
+        .applyInPandas(write_shard, schema)
+    )

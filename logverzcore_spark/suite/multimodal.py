@@ -2088,3 +2088,70 @@ def m30_crawl_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("fp"),
         F.length("text").cast("long").alias("n_chars"),
     )
+
+
+@query(
+    "m31_webdataset_roundtrip",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, text,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 8 AS shard
+      FROM documents
+    ), r AS (
+      SELECT doc_id, text, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) - 1 AS rk
+      FROM s
+    )
+    SELECT CAST(shard AS INTEGER) AS shard,
+           CAST(2 * rk AS INTEGER) AS entry_idx,
+           CAST(doc_id AS VARCHAR) || '.txt' AS name,
+           CAST(octet_length(encode(text)) AS BIGINT) AS size
+    FROM r
+    UNION ALL
+    SELECT CAST(shard AS INTEGER), CAST(2 * rk + 1 AS INTEGER),
+           CAST(doc_id AS VARCHAR) || '.json',
+           CAST(octet_length(encode('{"id": ' || doc_id || ', "n": '
+                || octet_length(encode(text)) || '}')) AS BIGINT)
+    FROM r
+    """,
+)
+def m31_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard round trip: export.export_webdataset_shards
+    writes the corpus as 8 deterministic USTAR shards (md5 shard
+    assignment, key-ordered members, pinned header fields — byte-
+    reproducible files), and the EXISTING tar lister
+    (multimodal.parse_tar_entries, m22) reads the shard bytes back —
+    member order, names, and sizes must restate arithmetically from
+    doc_id/text alone. The write is executor-parallel (one
+    applyInPandas group per shard after a single shard-key exchange);
+    the read is the binaryFile scan feeding the Arrow block walk. One
+    operator verifies the other — the m29→m30 discipline applied to
+    the training-loader interchange format."""
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark import export
+    from logverzcore_spark.operators.multimodal import parse_tar_entries
+
+    docs = _t(spark, sf_dir, "documents")
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"wds_{_uuid.uuid4().hex[:8]}"
+    )
+    export.export_webdataset_shards(
+        docs.select("doc_id", "text"), out_dir, n_shards=8
+    ).count()  # materialize the write
+    tars = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(out_dir)
+        .select(
+            F.regexp_extract(F.col("path"), r"shard-(\d+)\.tar", 1)
+            .cast("int")
+            .alias("shard"),
+            F.col("content").alias("payload"),
+        )
+    )
+    return parse_tar_entries(tars, id_col="shard").select(
+        "shard", "entry_idx", "name", "size"
+    )

@@ -2699,6 +2699,40 @@ def test_threshold_sweep_lsh_tier_matches_exact_curve(spark):
         curve(candidates="lsh", estimator="bogus")
 
 
+def test_webdataset_export_bytes_reproducible(spark, tmpdir_path):
+    """m31's write-side contract: re-exporting an unchanged corpus
+    yields BYTE-identical shard files (pinned tar metadata + md5 shard
+    assignment + key-ordered members) — what makes shard-level caching
+    and trainer resume safe — and the manifest counts both members per
+    sample."""
+    import hashlib
+    import os
+
+    from logverzcore_spark import export
+
+    df = spark.createDataFrame(
+        [(i, f"doc body {i} " * (1 + i % 3)) for i in range(50)],
+        "doc_id long, text string",
+    )
+
+    def digest(d):
+        out = {}
+        for f in sorted(os.listdir(d)):
+            with open(os.path.join(d, f), "rb") as fh:
+                out[f] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    d1 = os.path.join(tmpdir_path, "wds1")
+    d2 = os.path.join(tmpdir_path, "wds2")
+    m1 = export.export_webdataset_shards(df, d1, n_shards=4).collect()
+    export.export_webdataset_shards(df, d2, n_shards=4).count()
+    assert digest(d1) == digest(d2)  # byte-identical re-export
+    assert sum(r["n_members"] for r in m1) == 100  # 2 per sample
+    assert {r["shard"] for r in m1} <= set(range(4))
+    # every tar is block-aligned (512) and non-trivial
+    assert all(r["n_bytes"] % 512 == 0 and r["n_bytes"] > 1024 for r in m1)
+
+
 def test_reliability_bins_separates_calibrated_from_noise(spark):
     """t64's operator on controlled inputs: a label that IS a threshold
     of the score yields a step reliability curve (0 bp below, 10000 bp
