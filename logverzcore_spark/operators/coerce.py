@@ -105,3 +105,60 @@ def coerce(df: DataFrame, schema: T.StructType) -> DataFrame:
             # Typed→typed narrowing can still overflow; stay total.
             out.append(F.col(f"`{field.name}`").try_cast(field.dataType).alias(field.name))
     return df.select(*out)
+
+
+def json_schema_drift(
+    old: DataFrame, new: DataFrame, json_col: str = "props"
+) -> DataFrame:
+    """Schema-drift report between two batches of semi-structured JSON —
+    the ingest-side audit that catches an upstream producer silently
+    adding, dropping, or re-typing a field BEFORE a week of collections
+    lands wrong (the VARIANT/coercion family's monitoring complement:
+    P3 makes single values total, this watches the SHAPE move).
+
+    Per top-level key: presence and row count in each batch plus the
+    sorted set of observed VALUE-SYNTAX classes (number / boolean /
+    object / array / string — classified from the stringified value a
+    ``map<string,string>`` cast yields, which preserves nested JSON
+    verbatim; a quoted numeric string classifies as number — this is a
+    syntax profile for drift detection, not a JSON type oracle), and a
+    status: added / removed / type_changed / stable.
+
+    Plan shape at scale: one explode + partial-agg'd groupBy on the key
+    per side (key domains are small by construction of real telemetry),
+    then a key-level full-outer join over metadata-sized frames — the
+    batches themselves never join row-to-row. Returns (key, status,
+    types_old, types_new, n_old, n_new)."""
+
+    def profile(df: DataFrame, side: str) -> DataFrame:
+        m = F.from_json(F.col(json_col), "map<string,string>")
+        e = df.select(F.explode(m).alias("key", "_v"))
+        cls = (
+            F.when(F.col("_v").rlike(r"^-?[0-9]+(\.[0-9]+)?$"), F.lit("number"))
+            .when(F.col("_v").isin("true", "false"), F.lit("boolean"))
+            .when(F.col("_v").startswith("{"), F.lit("object"))
+            .when(F.col("_v").startswith("["), F.lit("array"))
+            .otherwise(F.lit("string"))
+        )
+        return e.groupBy("key").agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{side}"),
+            F.array_join(F.sort_array(F.collect_set(cls)), ",").alias(
+                f"types_{side}"
+            ),
+        )
+
+    j = profile(old, "old").join(profile(new, "new"), "key", "full_outer")
+    status = (
+        F.when(F.col("n_old").isNull(), F.lit("added"))
+        .when(F.col("n_new").isNull(), F.lit("removed"))
+        .when(F.col("types_old") != F.col("types_new"), F.lit("type_changed"))
+        .otherwise(F.lit("stable"))
+    )
+    return j.select(
+        "key",
+        status.alias("status"),
+        "types_old",
+        "types_new",
+        F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+    )

@@ -4677,3 +4677,53 @@ def q130_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@query(
+    "q131_json_schema_drift",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_old,
+             CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new
+      FROM events
+    )
+    SELECT 'k' AS key, 'stable' AS status,
+           'number' AS types_old, 'number' AS types_new, n_old, n_new FROM c
+    UNION ALL
+    SELECT 'old_only', 'removed', 'string', CAST(NULL AS VARCHAR),
+           n_old, CAST(0 AS BIGINT) FROM c
+    UNION ALL
+    SELECT 'new_only', 'added', CAST(NULL AS VARCHAR), 'boolean',
+           CAST(0 AS BIGINT), n_new FROM c
+    UNION ALL
+    SELECT 'mut', 'type_changed', 'number', 'string', n_old, n_new FROM c
+    """,
+)
+def q131_json_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON schema-drift report (coerce.json_schema_drift): the ingest
+    monitor for a producer silently moving a semi-structured payload's
+    shape. Even event_ids play last week's batch, odd this week's, with
+    props rebuilt so every drift class fires: 'k' stays numeric
+    (stable), 'old_only' disappears (removed), 'new_only' arrives as a
+    boolean (added), 'mut' flips number→string (type_changed). The
+    profile is one explode + key groupBy per side and a key-level
+    full-outer join — batches never join row-to-row; the oracle
+    restates all four rows and both batch counts arithmetically."""
+    from logverzcore_spark.operators.coerce import json_schema_drift
+
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    old = ev.where(F.col("event_id") % 2 == 0).select(
+        F.concat(
+            F.lit('{"k": '), uid, F.lit(', "old_only": "x", "mut": '), uid,
+            F.lit("}"),
+        ).alias("props")
+    )
+    new = ev.where(F.col("event_id") % 2 == 1).select(
+        F.concat(
+            F.lit('{"k": '), uid, F.lit(', "new_only": true, "mut": "s"}'),
+        ).alias("props")
+    )
+    return json_schema_drift(old, new)
