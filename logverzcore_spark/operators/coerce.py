@@ -107,6 +107,27 @@ def coerce(df: DataFrame, schema: T.StructType) -> DataFrame:
     return df.select(*out)
 
 
+def json_key_profile(df: DataFrame, json_col: str = "props") -> DataFrame:
+    """Per-key shape profile of a JSON batch: (key, n, types) where
+    ``types`` is the sorted comma-joined set of observed value-syntax
+    classes (see json_schema_drift for the classification contract).
+    The reusable half of the drift audit: persist one as the BASELINE
+    and diff batches against it (streaming: schema_drift_stream)."""
+    m = F.from_json(F.col(json_col), "map<string,string>")
+    e = df.select(F.explode(m).alias("key", "_v"))
+    cls = (
+        F.when(F.col("_v").rlike(r"^-?[0-9]+(\.[0-9]+)?$"), F.lit("number"))
+        .when(F.col("_v").isin("true", "false"), F.lit("boolean"))
+        .when(F.col("_v").startswith("{"), F.lit("object"))
+        .when(F.col("_v").startswith("["), F.lit("array"))
+        .otherwise(F.lit("string"))
+    )
+    return e.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.array_join(F.sort_array(F.collect_set(cls)), ",").alias("types"),
+    )
+
+
 def json_schema_drift(
     old: DataFrame, new: DataFrame, json_col: str = "props"
 ) -> DataFrame:
@@ -130,24 +151,25 @@ def json_schema_drift(
     batches themselves never join row-to-row. Returns (key, status,
     types_old, types_new, n_old, n_new)."""
 
-    def profile(df: DataFrame, side: str) -> DataFrame:
-        m = F.from_json(F.col(json_col), "map<string,string>")
-        e = df.select(F.explode(m).alias("key", "_v"))
-        cls = (
-            F.when(F.col("_v").rlike(r"^-?[0-9]+(\.[0-9]+)?$"), F.lit("number"))
-            .when(F.col("_v").isin("true", "false"), F.lit("boolean"))
-            .when(F.col("_v").startswith("{"), F.lit("object"))
-            .when(F.col("_v").startswith("["), F.lit("array"))
-            .otherwise(F.lit("string"))
-        )
-        return e.groupBy("key").agg(
-            F.count(F.lit(1)).cast("long").alias(f"n_{side}"),
-            F.array_join(F.sort_array(F.collect_set(cls)), ",").alias(
-                f"types_{side}"
-            ),
-        )
+    return diff_key_profiles(
+        json_key_profile(old, json_col), json_key_profile(new, json_col)
+    )
 
-    j = profile(old, "old").join(profile(new, "new"), "key", "full_outer")
+
+def diff_key_profiles(old_prof: DataFrame, new_prof: DataFrame) -> DataFrame:
+    """Key-level diff of two ``json_key_profile`` frames — the reusable
+    comparison half (batch drift report q131 and the streaming monitor
+    both end here). Metadata-sized full-outer join; returns (key,
+    status, types_old, types_new, n_old, n_new)."""
+    j = old_prof.select(
+        "key", F.col("n").alias("n_old"), F.col("types").alias("types_old")
+    ).join(
+        new_prof.select(
+            "key", F.col("n").alias("n_new"), F.col("types").alias("types_new")
+        ),
+        "key",
+        "full_outer",
+    )
     status = (
         F.when(F.col("n_old").isNull(), F.lit("added"))
         .when(F.col("n_new").isNull(), F.lit("removed"))

@@ -90,3 +90,58 @@ class InvocationsListener(StreamingQueryListener):
 
 
 __all__ = ["InvocationsListener"]
+
+
+def schema_drift_stream(
+    spark: SparkSession,
+    source_stream: DataFrame,
+    baseline_table: str,
+    drift_table: str,
+    checkpoint_dir: str,
+    json_col: str = "props",
+    available_now: bool = True,
+):
+    """Continuous JSON schema-drift monitoring — q131's audit lifted to
+    the collection stream: every micro-batch's key profile
+    (coerce.json_key_profile) diffs against a PERSISTED baseline
+    profile table, and non-stable keys (added / removed / type_changed
+    vs the baseline) append to ``drift_table`` with the batch id — the
+    alert feed an ingest operator watches while a producer's payload
+    shape moves under a running collection. 'removed' here means
+    "baseline key absent from this batch", which per micro-batch is a
+    weaker signal than the batch report's (a sparse key can skip small
+    batches); the drift row carries the batch id so the consumer can
+    require persistence across batches before paging anyone.
+
+    Per batch: one explode + key groupBy of the BATCH only (the
+    baseline is a ≤keys-row table), a metadata-sized diff join, an
+    append. Replayed batches re-emit their drift rows keyed by the
+    same batch id — dedup on (batch_id, key) is a reader-side filter,
+    kept out of the write path to stay append-only."""
+    from logverzcore_spark.operators.coerce import (
+        diff_key_profiles,
+        json_key_profile,
+    )
+    from pyspark.sql import functions as F
+
+    def _batch(batch: DataFrame, bid: int) -> None:
+        if batch.isEmpty():
+            # an empty trigger carries no shape signal — reporting it
+            # would flag every baseline key 'removed' on every idle
+            # micro-batch
+            return
+        prof = json_key_profile(batch, json_col)
+        drift = (
+            diff_key_profiles(spark.table(baseline_table), prof)
+            .where(F.col("status") != "stable")
+            .withColumn("batch_id", F.lit(int(bid)).cast("long"))
+        )
+        drift.write.mode("append").saveAsTable(drift_table)
+        spark.catalog.refreshTable(drift_table)
+
+    writer = source_stream.writeStream.option(
+        "checkpointLocation", checkpoint_dir
+    ).foreachBatch(_batch)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

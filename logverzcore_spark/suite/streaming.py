@@ -1626,3 +1626,73 @@ def st34_streaming_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {table}_frontier_keys")
     return out
+
+
+@query(
+    "st35_streaming_schema_drift",
+    oracle="""
+    SELECT 'mut' AS key, 'type_changed' AS status,
+           'number' AS types_old, 'string' AS types_new
+    UNION ALL
+    SELECT 'new_only', 'added', CAST(NULL AS VARCHAR), 'boolean'
+    UNION ALL
+    SELECT 'old_only', 'removed', 'string', CAST(NULL AS VARCHAR)
+    """,
+)
+def st35_streaming_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous schema-drift monitoring (monitor.schema_drift_stream):
+    the q131 fixture's OLD batch becomes the persisted baseline profile,
+    the NEW shape streams through the collection path, and the drift
+    table must flag exactly the three non-stable keys (added boolean
+    'new_only', removed 'old_only', number→string 'mut') while stable
+    'k' stays silent. Counts and batch ids are deliberately excluded
+    from the graded columns so micro-batch slicing can't flip the hash
+    — the per-batch semantics are pytest-driven."""
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.operators.coerce import json_key_profile
+    from logverzcore_spark.streaming.collect_stream import _events_stream
+    from logverzcore_spark.streaming.monitor import schema_drift_stream
+
+    run_id = _uuid.uuid4().hex[:8]
+    baseline_tbl = f"st35_base_{run_id}"
+    drift_tbl = f"st35_drift_{run_id}"
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    old_props = F.concat(
+        F.lit('{"k": '), uid, F.lit(', "old_only": "x", "mut": '), uid,
+        F.lit("}"),
+    )
+    try:
+        json_key_profile(
+            ev.where(F.col("event_id") % 2 == 0).select(old_props.alias("props"))
+        ).write.mode("overwrite").saveAsTable(baseline_tbl)
+        stream = _events_stream(
+            spark, os.path.join(sf_dir, "events.parquet")
+        ).where(F.col("event_id") % 2 == 1)
+        new_props = F.concat(
+            F.lit('{"k": '),
+            F.col("user_id").cast("string"),
+            F.lit(', "new_only": true, "mut": "s"}'),
+        )
+        q = schema_drift_stream(
+            spark,
+            stream.select(new_props.alias("props")),
+            baseline_tbl,
+            drift_tbl,
+            checkpoint_dir=os.path.join(
+                tempfile.gettempdir(), f"ck_{drift_tbl}"
+            ),
+        )
+        q.awaitTermination()
+        out = (
+            spark.table(drift_tbl)
+            .select("key", "status", "types_old", "types_new")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {baseline_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {drift_tbl}")
+    return out

@@ -961,3 +961,51 @@ def test_url_frontier_cross_batch_and_replay(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {target}")
         spark.sql(f"DROP TABLE IF EXISTS {state}")
+
+
+def test_schema_drift_stream_per_batch_semantics(spark):
+    """st35's monitor driven batch by batch: each batch diffs against
+    the FIXED baseline (not the previous batch), drift rows carry the
+    batch id, a clean batch emits nothing, and a sparse key missing
+    from one batch surfaces as a per-batch 'removed' the consumer can
+    require persistence on."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.operators.coerce import json_key_profile
+    from logverzcore_spark.streaming.monitor import schema_drift_stream
+
+    run = _uuid.uuid4().hex[:8]
+    base_tbl, drift_tbl = f"sd_base_{run}", f"sd_drift_{run}"
+    src_dir = os.path.join(tempfile.gettempdir(), f"sd_src_{run}")
+    os.makedirs(src_dir)
+    baseline = spark.createDataFrame(
+        [('{"a": 1, "b": "x"}',)] * 4, "props string"
+    )
+    try:
+        json_key_profile(baseline).write.saveAsTable(base_tbl)
+        # batch 1: clean (same shape); batch 2: 'b' missing + 'c' added
+        spark.createDataFrame([('{"a": 2, "b": "y"}',)], "props string") \
+            .write.json(os.path.join(src_dir, "b1"))
+        spark.createDataFrame([('{"a": 3, "c": true}',)], "props string") \
+            .write.json(os.path.join(src_dir, "b2"))
+        stream = (
+            spark.readStream.schema("props string")
+            .option("maxFilesPerTrigger", "1")
+            .json(src_dir + "/*/")
+        )
+        q = schema_drift_stream(
+            spark, stream, base_tbl, drift_tbl,
+            checkpoint_dir=os.path.join(tempfile.gettempdir(), f"ck_{drift_tbl}"),
+        )
+        q.awaitTermination()
+        rows = {(r["key"], r["status"]) for r in spark.table(drift_tbl).collect()}
+        assert rows == {("b", "removed"), ("c", "added")}
+        # drift rows came from exactly one (dirty) batch
+        assert spark.table(drift_tbl).select("batch_id").distinct().count() == 1
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {base_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {drift_tbl}")
