@@ -909,6 +909,7 @@ def export_webdataset_shards(
     n_shards: int = 8,
     key_col: str = "doc_id",
     text_col: str = "text",
+    if_exists: str = "error",
 ) -> DataFrame:
     """WebDataset-style tar-shard export — the interchange format
     multimodal training loaders stream (one ``shard-%05d.tar`` per
@@ -926,14 +927,35 @@ def export_webdataset_shards(
     files, which is what makes shard-level caching and resume safe.
 
     Plan shape: one hash exchange on the shard id, then each shard
-    streams through ONE applyInPandas group that writes its tar
-    executor-side — shards write in parallel, no driver collect, and
-    at scale ``n_shards`` grows with the corpus so each tar stays
-    loader-friendly (the epoch_shuffle sizing discipline). Writes use
-    local filesystem paths (the test environment); an object-store
-    deployment swaps the open() for its FS client — the bytes are the
-    contract, not the transport. Returns the manifest (shard,
-    n_members, n_bytes, path), one row per shard."""
+    streams through ONE applyInPandas group whose ``tarfile`` writes
+    MEMBER-BY-MEMBER straight onto the output file handle — the
+    per-task memory envelope is the pandas group plus one member's
+    bytes, never a buffered copy of the whole tar (the r8 BytesIO
+    shape double-held ~2× shard bytes). Shards write in parallel, no
+    driver collect, and at scale ``n_shards`` grows with the corpus so
+    each tar stays loader-friendly (the epoch_shuffle sizing
+    discipline).
+
+    DEPLOYMENT CONTRACT — single node or shared filesystem: tasks
+    write via executor-local ``open()`` into ``out_dir``, so on a
+    multi-node cluster each tar lands on whichever host ran its group
+    and the manifest paths are unreachable from the driver. ``out_dir``
+    must be a path every executor AND the driver see identically
+    (local[* ] or NFS/FUSE-mounted object store); a native object-store
+    deployment swaps the open() for its FS client — the tar BYTES are
+    the contract, not the transport.
+
+    Stale-shard guard: re-exporting into a non-empty directory with a
+    smaller ``n_shards`` would leave higher-numbered ``shard-*.tar``
+    files from the previous run that a glob reader (m31's binaryFile
+    scan) silently includes. Pre-existing ``shard-*.tar`` therefore
+    FAIL FAST (``if_exists='error'``, default) or are removed first
+    (``if_exists='overwrite'`` — valid exactly because of the
+    shared-filesystem contract above).
+
+    Returns the manifest (shard, n_members, n_bytes, path), one row
+    per shard."""
+    import glob as _glob
     import io
     import json as _json
     import os as _os
@@ -941,7 +963,20 @@ def export_webdataset_shards(
 
     import pandas as pd
 
+    if if_exists not in ("error", "overwrite"):
+        raise ValueError(f"if_exists must be 'error' or 'overwrite', got {if_exists!r}")
     _os.makedirs(out_dir, exist_ok=True)
+    stale = sorted(_glob.glob(_os.path.join(out_dir, "shard-*.tar")))
+    if stale:
+        if if_exists == "error":
+            raise FileExistsError(
+                f"{out_dir} already holds {len(stale)} shard-*.tar files "
+                f"(first: {stale[0]}); pass if_exists='overwrite' to replace "
+                f"them — a partial overwrite with smaller n_shards leaves "
+                f"stale shards a glob reader silently includes"
+            )
+        for p in stale:
+            _os.remove(p)
     shard = F.pmod(
         F.conv(
             F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
@@ -954,25 +989,30 @@ def export_webdataset_shards(
     def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         sh = int(pdf["_shard"].iloc[0])
         pdf = pdf.sort_values(key_col)
-        buf = io.BytesIO()
-        with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
-            for key, text in zip(pdf[key_col], pdf[text_col]):
-                data = str(text).encode("utf-8")
-                meta = _json.dumps({"id": int(key), "n": len(data)}).encode()
-                for nm, payload in ((f"{key}.txt", data), (f"{key}.json", meta)):
-                    ti = tarfile.TarInfo(nm)
-                    ti.size = len(payload)
-                    ti.mtime = 0
-                    ti.mode = 0o644
-                    ti.uid = ti.gid = 0
-                    ti.uname = ti.gname = ""
-                    tf.addfile(ti, io.BytesIO(payload))
-        raw = buf.getvalue()
         path = _os.path.join(out_dir, f"shard-{sh:05d}.tar")
+        # Stream members straight onto the file handle (no BytesIO
+        # double-buffer): tarfile writes header+payload per addfile and
+        # the close() writes the end-of-archive blocks, so the bytes on
+        # disk are identical to the buffered form while peak memory is
+        # one member, not the whole shard.
         with open(path, "wb") as fh:
-            fh.write(raw)
+            with tarfile.open(
+                fileobj=fh, mode="w", format=tarfile.USTAR_FORMAT
+            ) as tf:
+                for key, text in zip(pdf[key_col], pdf[text_col]):
+                    data = str(text).encode("utf-8")
+                    meta = _json.dumps({"id": int(key), "n": len(data)}).encode()
+                    for nm, payload in ((f"{key}.txt", data), (f"{key}.json", meta)):
+                        ti = tarfile.TarInfo(nm)
+                        ti.size = len(payload)
+                        ti.mtime = 0
+                        ti.mode = 0o644
+                        ti.uid = ti.gid = 0
+                        ti.uname = ti.gname = ""
+                        tf.addfile(ti, io.BytesIO(payload))
+            n_bytes = fh.tell()
         return pd.DataFrame(
-            [{"shard": sh, "n_members": 2 * len(pdf), "n_bytes": len(raw),
+            [{"shard": sh, "n_members": 2 * len(pdf), "n_bytes": n_bytes,
               "path": path}]
         )
 

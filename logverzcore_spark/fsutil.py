@@ -121,7 +121,11 @@ def write_small_json_exclusive(spark, path: str, payload) -> None:
             raise CommitConflict(f"commit target already exists: {path}")
         if not fs.rename(part, jpath(path)):
             raise IOError(f"could not commit {path}")
-        if read_small_json(spark, path) != payload:
+        # Compare against the payload's JSON round-trip, not the raw
+        # object: tuples deserialize as lists and int dict keys as
+        # strings, and the check exists to catch filesystem corruption,
+        # not JSON canonicalization.
+        if read_small_json(spark, path) != json.loads(json.dumps(payload)):
             raise IOError(f"post-commit read-back mismatch at {path}")
     finally:
         fs.delete(lock, False)

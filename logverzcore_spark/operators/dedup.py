@@ -790,6 +790,7 @@ def incremental_neardup_pairs(
     id_col: str = "doc_id",
     corpus_index: DataFrame | None = None,
     max_bucket_size: int | None = None,
+    broadcast_verify: bool | None = None,
 ) -> DataFrame:
     """Near-dup pairs BETWEEN a new crawl batch and the accumulated
     corpus — the production shape of fuzzy dedup at 100 TB, where each
@@ -813,6 +814,23 @@ def incremental_neardup_pairs(
     valve on the corpus index. Recall: r=2/b=16 banding misses a
     0.7-Jaccard pair with p≈2e-5, so output equals the exact
     cross-join oracle (suite d30 hash-verifies).
+
+    ``broadcast_verify`` governs the VERIFY-stage joins exactly as in
+    ``minhash_lsh_pairs`` — and matters more here, because the frames
+    those joins broadcast CARRY per-doc shingle-hash arrays (the
+    ``_h_new_id`` side rides inside ``enriched``), whose size the
+    planner's stats under-estimate: a dup-dense candidate set (large
+    batch, loose threshold, boilerplate-heavy bank) can push the
+    driver collect past spark.driver.maxResultSize and abort — the
+    same failure minhash_lsh_pairs measured at the 100× sweep probe.
+    Default ``None`` measures: the candidate frame is already
+    eagerly checkpointed, so a count is nearly free, and ≤
+    ``_BROADCAST_VERIFY_MAX_PAIRS`` broadcasts (the steady-state
+    production shape — candidates are tiny at r=2/b=16 selectivity)
+    while anything larger falls back to ``hint('merge')`` shuffle
+    joins on both the semi-prune and the enriched/lookup joins (the
+    hint, not just dropping F.broadcast — the planner's LogicalRDD
+    stats would still pick BroadcastExchange on its own).
 
     Returns (new_id, corpus_id, jaccard ≥ threshold). ``new_df`` and
     ``corpus`` ids must be disjoint (same-id rows are the same doc and
@@ -845,10 +863,15 @@ def incremental_neardup_pairs(
         .distinct()  # a pair collides in several bands; candidate-sized
         .localCheckpoint(eager=True)
     )
+    if broadcast_verify is None:
+        # cand is checkpoint-materialized — counting it re-reads cached
+        # partitions, so the strategy decision costs ~one metadata job.
+        broadcast_verify = cand.count() <= _BROADCAST_VERIFY_MAX_PAIRS
+    maybe_b = F.broadcast if broadcast_verify else (lambda d: d.hint("merge"))
 
     def _cand_sets(side_df: DataFrame, out_id: str) -> DataFrame:
         pruned = side_df.join(
-            F.broadcast(cand.select(F.col(out_id).alias(id_col)).distinct()),
+            maybe_b(cand.select(F.col(out_id).alias(id_col)).distinct()),
             id_col,
             "semi",
         )
@@ -859,9 +882,9 @@ def incremental_neardup_pairs(
             ).alias(f"_h_{out_id}"),
         )
 
-    enriched = cand.join(F.broadcast(_cand_sets(new_df, "new_id")), "new_id")
+    enriched = cand.join(maybe_b(_cand_sets(new_df, "new_id")), "new_id")
     joined = _cand_sets(corpus, "corpus_id").join(
-        F.broadcast(enriched), "corpus_id"
+        maybe_b(enriched), "corpus_id"
     )
     inter = F.size(F.array_intersect("_h_new_id", "_h_corpus_id"))
     union = F.size(F.array_union("_h_new_id", "_h_corpus_id"))
@@ -1678,10 +1701,30 @@ def sweep_lsh_bands(threshold: float, num_hashes: int = 32) -> int:
     Picks the largest rows-per-band r (fewest candidate buckets, so the
     cheapest verify) whose miss probability (1 - s^r)^(num_hashes/r)
     stays ≤ 1e-3 at s = threshold; r=1 (bands = num_hashes) is the
-    always-valid floor — any shared minhash is a candidate."""
+    fallback floor — any shared minhash is a candidate.
+
+    The r=1 floor is NOT unconditionally inside the 1e-3 bound: its
+    miss probability is (1-s)^num_hashes, which with the default 32
+    hashes exceeds 1e-3 below s ≈ 0.194 (at s=0.1, 0.9^32 ≈ 3.4%).
+    Rather than silently degrade the sweep's stated recall contract,
+    thresholds in that regime WARN with the measured miss probability
+    and the fix (more hashes: 64 hashes hold the bound down to
+    s ≈ 0.102) — the caller decides whether a few-percent miss mass on
+    barely-overlapping pairs matters for their curve."""
     for r in (8, 4, 2):
         if num_hashes % r == 0 and (1 - threshold**r) ** (num_hashes // r) <= 1e-3:
             return num_hashes // r
+    miss = (1 - threshold) ** num_hashes
+    if miss > 1e-3:
+        import warnings
+
+        warnings.warn(
+            f"LSH r=1 floor misses a jaccard={threshold} pair with "
+            f"p={miss:.2%} — above the sweep's 1e-3 recall target; "
+            f"raise num_hashes (e.g. {num_hashes * 2}) to restore the "
+            f"bound at this threshold",
+            stacklevel=2,
+        )
     return num_hashes
 
 

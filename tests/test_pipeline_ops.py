@@ -2654,6 +2654,17 @@ def test_threshold_sweep_lsh_tier_matches_exact_curve(spark):
     assert sweep_lsh_bands(0.3) == 32  # (1-.3^2)^16 ≈ .22 → r=1
     assert sweep_lsh_bands(0.9) == 8   # r=4: (1-.9^4)^8 ≈ 2e-4 ≤ 1e-3
     assert (1 - 0.9 ** (32 // sweep_lsh_bands(0.9))) ** sweep_lsh_bands(0.9) <= 1e-3
+    # the r=1 floor's recall contract is loud, never silently degraded:
+    # below s≈0.194 with 32 hashes (1-s)^32 > 1e-3 → warn; doubling the
+    # hash count restores the bound and the silence
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        with _pytest.raises(UserWarning, match="recall target"):
+            sweep_lsh_bands(0.1)
+        assert sweep_lsh_bands(0.2) == 32     # 0.8^32 ≈ 8e-4 ≤ 1e-3: quiet
+        assert sweep_lsh_bands(0.11, num_hashes=64) == 64  # bound restored
 
     words = [f"w{i}" for i in range(30)]
     rows = []
@@ -2731,6 +2742,34 @@ def test_webdataset_export_bytes_reproducible(spark, tmpdir_path):
     assert {r["shard"] for r in m1} <= set(range(4))
     # every tar is block-aligned (512) and non-trivial
     assert all(r["n_bytes"] % 512 == 0 and r["n_bytes"] > 1024 for r in m1)
+    # manifest n_bytes is the on-disk size (the streaming writer's tell)
+    assert all(os.path.getsize(r["path"]) == r["n_bytes"] for r in m1)
+
+
+def test_webdataset_export_stale_shard_guard(spark, tmpdir_path):
+    """A re-export with smaller n_shards into a non-empty directory must
+    not leave the previous run's higher-numbered shard-*.tar behind
+    (a glob reader would silently include them): default fails fast,
+    if_exists='overwrite' removes every pre-existing shard first."""
+    import os
+
+    import pytest
+
+    from logverzcore_spark import export
+
+    df = spark.createDataFrame(
+        [(i, f"body {i}") for i in range(40)], "doc_id long, text string"
+    )
+    d = os.path.join(tmpdir_path, "wds_guard")
+    export.export_webdataset_shards(df, d, n_shards=8).count()
+    assert len([f for f in os.listdir(d) if f.endswith(".tar")]) == 8
+    with pytest.raises(FileExistsError, match="shard-.*\\.tar"):
+        export.export_webdataset_shards(df, d, n_shards=2)
+    export.export_webdataset_shards(df, d, n_shards=2, if_exists="overwrite").count()
+    # no stale high-numbered shards survive the smaller re-export
+    assert sorted(f for f in os.listdir(d) if f.endswith(".tar")) == [
+        "shard-00000.tar", "shard-00001.tar"
+    ]
 
 
 def test_reliability_bins_separates_calibrated_from_noise(spark):
@@ -2832,6 +2871,26 @@ def test_incremental_neardup_index_reuse(spark, tmpdir_path):
         ).collect()
     }
     assert capped <= inline
+
+    # shuffle-verify fallback (the dup-dense/large-batch escape from
+    # the array-bearing broadcast collect): identical pairs, and the
+    # merge hint actually defeats the planner — no broadcast build
+    # carries a shingle-hash array column
+    shuffled_df = incremental_neardup_pairs(
+        batch, corpus, threshold=0.7, broadcast_verify=False
+    )
+    assert {
+        (r["new_id"], r["corpus_id"]) for r in shuffled_df.collect()
+    } == inline
+    import re
+
+    fmt = spark._jvm.PythonSQLUtils.explainString(
+        shuffled_df._jdf.queryExecution(), "formatted"
+    )
+    for m in re.finditer(
+        r"\(\d+\) BroadcastExchange\nInput \[\d+\]: \[([^\]]*)\]", fmt
+    ):
+        assert "_h_" not in m.group(1), m.group(1)
 
 
 def test_curriculum_schedule_budgets_and_monotonicity(spark):
