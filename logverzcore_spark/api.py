@@ -532,6 +532,7 @@ class Engine:
         version: int | None = None,
         user: User = ADMIN,
         access: list[str] | None = None,
+        backend=None,
     ) -> int:
         """Pin a SnapshotTable version as a CATALOGED, ACL'd queryable
         view — the user-facing half of reproducible reads
@@ -563,7 +564,10 @@ class Engine:
                 f"{user.name} may not overwrite catalog entry {name!r} "
                 f"owned by {existing.Owners}"
             )
-        t = SnapshotTable(root)
+        # ``backend`` forwards the fsutil commit-backend seam (object-
+        # store deployments read manifests through their conditional-put
+        # backend; default = Hadoop rename family).
+        t = SnapshotTable(root, backend=backend)
         # Resolve the version ONCE and pass it explicitly: letting
         # t.read pick "latest" and then recomputing versions()[-1] here
         # races a commit landing in between — the returned pin would

@@ -16,6 +16,20 @@ Reference semantics reproduced:
 - metadata queries support begins_with / between / contains and
   post-query sort+limit (nosql.js:394-490, :291-307) — here plain Python
   predicates, since the catalog is small driver-side state.
+
+Persistence has two modes, one seam (``_MetaStoreMixin``):
+
+- ``path=<file>.jsonl`` (default): single-process JSONL with
+  crash-safe whole-file flushes (tmp + os.replace) — the embedded /
+  one-engine shape;
+- ``shared=True, path=<directory>``: the multi-process shape — every
+  mutation is an item-level CAS through
+  :class:`metastore.GenerationStore`, so several engine processes
+  sharing one warehouse interleave writes without loss, the parity
+  point with the reference's conditional DynamoDB PutItem
+  (nosql.js:309-354). Mutators are written as PURE functions over the
+  parsed record map exactly so the CAS loop can re-apply them to a
+  concurrent writer's outcome.
 """
 
 from __future__ import annotations
@@ -33,6 +47,82 @@ class User:
     groups: list[str] = field(default_factory=list)
     is_admin: bool = False
     is_poweruser: bool = False
+
+
+class _MetaStoreMixin:
+    """Shared persistence for the three metadata stores (module
+    docstring): legacy single-process JSONL, or shared-directory CAS
+    via GenerationStore. Subclasses supply ``_parse_record`` /
+    ``_record_key``; mutators call ``_mutate(fn)`` with fn PURE over
+    the item map (it re-runs on CAS conflict); readers call
+    ``_refresh()`` first so a shared store sees other processes'
+    commits."""
+
+    def _init_store(self, path: str | None, shared: bool, backend) -> None:
+        self.path = path
+        self._gen = None
+        self._items: dict = {}
+        if shared:
+            if not path:
+                raise ValueError("shared=True requires a directory path")
+            from logverzcore_spark.metastore import GenerationStore
+
+            self._gen = GenerationStore(path, backend=backend)
+            self._refresh()
+        elif path and os.path.exists(path):
+            with open(path) as fh:
+                for line in fh:
+                    if line.strip():
+                        obj = self._parse_record(json.loads(line))
+                        self._items[self._record_key(obj)] = obj
+
+    def _parse_record(self, d: dict):
+        raise NotImplementedError
+
+    def _record_key(self, obj):
+        raise NotImplementedError
+
+    def _parse_all(self, records: list[dict]) -> dict:
+        items: dict = {}
+        for d in records:
+            obj = self._parse_record(d)
+            items[self._record_key(obj)] = obj
+        return items
+
+    def _refresh(self) -> None:
+        if self._gen is not None:
+            _, records = self._gen.head()
+            self._items = self._parse_all(records)
+
+    def _mutate(self, fn):
+        """Apply ``fn(items) -> result`` and persist. Single-process:
+        in place + flush. Shared: CAS loop — fn re-applies to the
+        freshest head on conflict, so two processes' mutations both
+        land (item-level interleaving, no lost updates)."""
+        if self._gen is None:
+            result = fn(self._items)
+            self._flush()
+            return result
+        state: dict = {}
+
+        def raw_fn(records: list[dict]):
+            items = self._parse_all(records)
+            result = fn(items)
+            state["items"], state["result"] = items, result
+            return [asdict(o) for o in items.values()], result
+
+        self._gen.mutate(raw_fn)
+        self._items = state["items"]
+        return state["result"]
+
+    def _flush(self) -> None:
+        if not self.path or self._gen is not None:
+            return
+        tmp = f"{self.path}.tmp.{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as fh:
+            for obj in self._items.values():
+                fh.write(json.dumps(asdict(obj)) + "\n")
+        os.replace(tmp, self.path)
 
 
 @dataclass
@@ -61,27 +151,20 @@ class CatalogEntry:
         return bool({user.name, *user.groups} & set(self.Owners))
 
 
-class Catalog:
-    """JSON-lines-backed dataset catalog (one file per warehouse)."""
+class Catalog(_MetaStoreMixin):
+    """Dataset catalog — JSONL file (single-process) or shared CAS
+    directory (``shared=True`` — several engine processes, no lost
+    writes; the DynamoDB-parity mode)."""
 
-    def __init__(self, path: str | None = None):
-        self.path = path
-        self._entries: dict[str, CatalogEntry] = {}
-        if path and os.path.exists(path):
-            with open(path) as fh:
-                for line in fh:
-                    if line.strip():
-                        e = CatalogEntry(**json.loads(line))
-                        self._entries[e.ID] = e
+    def __init__(self, path: str | None = None, shared: bool = False,
+                 backend=None):
+        self._init_store(path, shared, backend)
 
-    def _flush(self) -> None:
-        if not self.path:
-            return
-        tmp = f"{self.path}.tmp.{uuid.uuid4().hex[:6]}"
-        with open(tmp, "w") as fh:
-            for e in self._entries.values():
-                fh.write(json.dumps(asdict(e)) + "\n")
-        os.replace(tmp, self.path)
+    def _parse_record(self, d: dict) -> CatalogEntry:
+        return CatalogEntry(**d)
+
+    def _record_key(self, e: CatalogEntry) -> str:
+        return e.ID
 
     def record_query(self, entry: CatalogEntry, deactivate_older: bool = True) -> CatalogEntry:
         """Insert a catalog item; older active entries for the same
@@ -90,30 +173,35 @@ class Catalog:
         if not entry.ID:
             entry.ID = uuid.uuid4().hex
         entry.CreationUnixTime = entry.CreationUnixTime or time.time()
-        if deactivate_older:
-            for other in self._entries.values():
-                if (
-                    other.Active
-                    and other.TableName == entry.TableName
-                    and other.DatabaseName == entry.DatabaseName
-                ):
-                    other.Active = False
-        self._entries[entry.ID] = entry
-        self._flush()
-        return entry
+
+        def fn(items: dict[str, CatalogEntry]) -> CatalogEntry:
+            if deactivate_older:
+                for other in items.values():
+                    if (
+                        other.Active
+                        and other.TableName == entry.TableName
+                        and other.DatabaseName == entry.DatabaseName
+                    ):
+                        other.Active = False
+            items[entry.ID] = entry
+            return entry
+
+        return self._mutate(fn)
 
     def update(self, entry_id: str, user: User, **changes) -> CatalogEntry:
-        e = self._entries[entry_id]
-        if not e.owned_by(user):
-            raise PermissionError(f"{user.name} does not own {e.TableName}")
-        # Immutable identity fields (privilege-escalation guard).
-        for frozen in ("DatabaseName", "TableName", "ID"):
-            if frozen in changes and changes[frozen] != getattr(e, frozen):
-                raise ValueError(f"{frozen} is immutable on update")
-        for k, v in changes.items():
-            setattr(e, k, v)
-        self._flush()
-        return e
+        def fn(items: dict[str, CatalogEntry]) -> CatalogEntry:
+            e = items[entry_id]
+            if not e.owned_by(user):
+                raise PermissionError(f"{user.name} does not own {e.TableName}")
+            # Immutable identity fields (privilege-escalation guard).
+            for frozen in ("DatabaseName", "TableName", "ID"):
+                if frozen in changes and changes[frozen] != getattr(e, frozen):
+                    raise ValueError(f"{frozen} is immutable on update")
+            for k, v in changes.items():
+                setattr(e, k, v)
+            return e
+
+        return self._mutate(fn)
 
     def list(
         self,
@@ -127,7 +215,8 @@ class Catalog:
         descending: bool = False,
         limit: int | None = None,
     ) -> list[CatalogEntry]:
-        out = [e for e in self._entries.values() if e.visible_to(user)]
+        self._refresh()
+        out = [e for e in self._items.values() if e.visible_to(user)]
         if not include_archived:
             out = [e for e in out if not e.Archive]
         if types:
@@ -146,9 +235,10 @@ class Catalog:
         return out
 
     def for_table(self, table: str, database: str = "default") -> CatalogEntry | None:
+        self._refresh()
         live = [
             e
-            for e in self._entries.values()
+            for e in self._items.values()
             if e.TableName == table and e.DatabaseName == database and e.Active
         ]
         return max(live, key=lambda e: e.CreationUnixTime) if live else None
@@ -174,12 +264,22 @@ class Catalog:
                 raise PermissionError(f"{user.name} may not query table {t!r}")
 
     def deactivate_table(self, table: str, user: User, database: str = "default") -> None:
-        entry = self.for_table(table, database)
-        if entry is not None:
+        if self.for_table(table, database) is None:
+            return
+
+        def fn(items: dict[str, CatalogEntry]) -> None:
+            live = [
+                e for e in items.values()
+                if e.TableName == table and e.DatabaseName == database and e.Active
+            ]
+            entry = max(live, key=lambda e: e.CreationUnixTime) if live else None
+            if entry is None:
+                return  # another process already deactivated it
             if not entry.owned_by(user):
                 raise PermissionError(f"{user.name} does not own {table!r}")
             entry.Active = False
-            self._flush()
+
+        self._mutate(fn)
 
 
 @dataclass
@@ -200,7 +300,7 @@ class PreferenceItem:
         return user.is_admin or bool({user.name, *user.groups} & set(self.Owners))
 
 
-class Preferences:
+class Preferences(_MetaStoreMixin):
     """JSONL-backed preferences store — the Logverz-Preferences table's
     semantics on the same driver-local metadata substrate as ``Catalog``
     and ``AuditLog`` (one local write per mutation, never a Spark job).
@@ -214,56 +314,56 @@ class Preferences:
     authenticated user (the reference gates reads only by the coarse
     user-based IAM authorize, which every interactive user passes)."""
 
-    def __init__(self, path: str | None = None):
-        self.path = path
-        self._items: dict[str, PreferenceItem] = {}
-        if path and os.path.exists(path):
-            with open(path) as fh:
-                for line in fh:
-                    if line.strip():
-                        it = PreferenceItem(**json.loads(line))
-                        self._items[it.Name] = it
+    def __init__(self, path: str | None = None, shared: bool = False,
+                 backend=None):
+        self._init_store(path, shared, backend)
 
-    def _flush(self) -> None:
-        if not self.path:
-            return
-        tmp = f"{self.path}.tmp.{uuid.uuid4().hex[:6]}"
-        with open(tmp, "w") as fh:
-            for it in self._items.values():
-                fh.write(json.dumps(asdict(it)) + "\n")
-        os.replace(tmp, self.path)
+    def _parse_record(self, d: dict) -> PreferenceItem:
+        return PreferenceItem(**d)
+
+    def _record_key(self, it: PreferenceItem) -> str:
+        return it.Name
 
     def put(self, name: str, value: dict, user: User) -> PreferenceItem:
-        existing = self._items.get(name)
-        if existing is not None and not existing.owned_by(user):
-            raise PermissionError(
-                f"{user.name} may not update preference {name!r} "
-                f"owned by {existing.Owners}"
+        def fn(items: dict[str, PreferenceItem]) -> PreferenceItem:
+            existing = items.get(name)
+            if existing is not None and not existing.owned_by(user):
+                raise PermissionError(
+                    f"{user.name} may not update preference {name!r} "
+                    f"owned by {existing.Owners}"
+                )
+            owners = existing.Owners if existing is not None else [user.name]
+            item = PreferenceItem(
+                Name=name, Owners=owners, Value=value, UnixTime=time.time()
             )
-        owners = existing.Owners if existing is not None else [user.name]
-        item = PreferenceItem(
-            Name=name, Owners=owners, Value=value, UnixTime=time.time()
-        )
-        self._items[name] = item
-        self._flush()
-        return item
+            items[name] = item
+            return item
+
+        return self._mutate(fn)
 
     def get(self, name: str) -> PreferenceItem | None:
+        self._refresh()
         return self._items.get(name)
 
     def delete(self, name: str, user: User) -> None:
-        existing = self._items.get(name)
-        if existing is None:
+        if self.get(name) is None:
             return
-        if not existing.owned_by(user):
-            raise PermissionError(
-                f"{user.name} may not delete preference {name!r} "
-                f"owned by {existing.Owners}"
-            )
-        del self._items[name]
-        self._flush()
+
+        def fn(items: dict[str, PreferenceItem]) -> None:
+            existing = items.get(name)
+            if existing is None:
+                return  # another process already deleted it
+            if not existing.owned_by(user):
+                raise PermissionError(
+                    f"{user.name} may not delete preference {name!r} "
+                    f"owned by {existing.Owners}"
+                )
+            del items[name]
+
+        self._mutate(fn)
 
     def list(self, name_begins_with: str | None = None) -> list[PreferenceItem]:
+        self._refresh()
         out = list(self._items.values())
         if name_begins_with:
             out = [i for i in out if i.Name.startswith(name_begins_with)]
@@ -297,7 +397,7 @@ class IdentityRecord:
     UnixTime: float = 0.0
 
 
-class Identities:
+class Identities(_MetaStoreMixin):
     """JSONL-backed identity store — Logverz-Identities semantics on the
     same driver-local metadata substrate as ``Catalog`` /
     ``Preferences`` / ``AuditLog``.
@@ -324,24 +424,15 @@ class Identities:
     ADMIN_POLICY = "AdministratorAccess"
     POWERUSER_GROUP_PREFIX = "LogverzPowerUsers"
 
-    def __init__(self, path: str | None = None):
-        self.path = path
-        self._items: dict[tuple[str, str], IdentityRecord] = {}
-        if path and os.path.exists(path):
-            with open(path) as fh:
-                for line in fh:
-                    if line.strip():
-                        it = IdentityRecord(**json.loads(line))
-                        self._items[(it.Name, it.Type)] = it
+    def __init__(self, path: str | None = None, shared: bool = False,
+                 backend=None):
+        self._init_store(path, shared, backend)
 
-    def _flush(self) -> None:
-        if not self.path:
-            return
-        tmp = f"{self.path}.tmp.{uuid.uuid4().hex[:6]}"
-        with open(tmp, "w") as fh:
-            for it in self._items.values():
-                fh.write(json.dumps(asdict(it)) + "\n")
-        os.replace(tmp, self.path)
+    def _parse_record(self, d: dict) -> IdentityRecord:
+        return IdentityRecord(**d)
+
+    def _record_key(self, it: IdentityRecord) -> tuple[str, str]:
+        return (it.Name, it.Type)
 
     def put(
         self,
@@ -367,24 +458,32 @@ class Identities:
             or {"GroupAttached": [], "GroupInline": [], "UserAttached": []},
             UnixTime=time.time(),
         )
-        self._items[(name, type)] = rec
-        self._flush()
-        return rec
+
+        def fn(items: dict[tuple[str, str], IdentityRecord]) -> IdentityRecord:
+            items[(name, type)] = rec
+            return rec
+
+        return self._mutate(fn)
 
     def delete(self, name: str, user: User, type: str = "User") -> None:
         if not user.is_admin:
             raise PermissionError(
                 f"{user.name} may not delete identity records (admin-only)"
             )
-        self._items.pop((name, type), None)
-        self._flush()
+
+        def fn(items: dict[tuple[str, str], IdentityRecord]) -> None:
+            items.pop((name, type), None)
+
+        self._mutate(fn)
 
     def get(self, name: str, type: str = "User") -> IdentityRecord | None:
+        self._refresh()
         return self._items.get((name, type))
 
     def list(self, type: str | None = None) -> list[IdentityRecord]:
         """All records, optionally one Type partition — the TypeIndex
         GSI's access path (Logverz-Engine.json:186-192)."""
+        self._refresh()
         out = list(self._items.values())
         if type is not None:
             out = [r for r in out if r.Type == type]

@@ -1,4 +1,5 @@
-"""Small shared Hadoop-FS helpers (API-uniform across local/hdfs/s3a).
+"""Small shared Hadoop-FS helpers (API-uniform across local/hdfs/s3a)
+and the COMMIT-BACKEND seam every metadata write routes through.
 
 One copy of the open-read-close / atomic-write JSON logic that
 snapshots.py and export.py (delete_rows recovery, CompactedAppendSink
@@ -6,19 +7,39 @@ manifests) all need — a fix to encoding/close/retry behavior lands once.
 py4j passes byte[] ARGUMENTS by copy, so reads must return the JVM array
 (IOUtils.readFullyToByteArray), never fill a Python bytearray.
 
-ATOMICITY SCOPE: write_small_json_commit's whole-or-not-at-all guarantee
-holds on filesystems with atomic rename — local and HDFS. S3A rename is
-a non-atomic copy+delete, so on object stores a READER can observe a
-partially copied manifest (independent of the documented two-writer
-race); production object-store deployments need a conditional-put /
-LogStore-style commit for both writers AND readers, exactly the reason
-Delta on S3 requires a LogStore.
+ATOMICITY SCOPE — backend-dependent, both families shipped:
+
+- :class:`HadoopRenameBackend` (the default when a SparkSession is in
+  hand) gets exclusive commits from atomic RENAME + an atomic
+  create-if-absent lock — sound on local filesystems and HDFS, where
+  rename is a single metadata op. It is NOT sound on S3A, whose rename
+  is a non-atomic copy+delete (a reader can observe a partially copied
+  manifest, and createNewFile is not atomic) — the reason Delta on S3
+  requires a LogStore.
+- :class:`ConditionalPutBackend` is the object-store family: exclusive
+  commits from ONE primitive, conditional put-if-absent, which S3 now
+  exposes natively (``PutObject`` with ``If-None-Match: *`` returns 412
+  when the key exists — public AWS API, announced Aug 2024), and which
+  GCS (``x-goog-if-generation-match: 0``) and Azure
+  (``If-None-Match: *``) have long had. :class:`InMemoryConditionalPut`
+  is the shipped reference implementation (and the test double); a real
+  S3 deployment implements ``_put_if_absent_bytes`` with that one
+  conditional PUT and inherits every guarantee, because a successful
+  conditional PUT is both the winner selection AND the atomic whole-
+  content publish — no part file, no lock, no rename.
+
+Every exclusive-commit caller (snapshot manifests, compaction swaps,
+the metastore's CAS generations) routes through
+:func:`write_small_json_exclusive`'s ``backend=`` parameter, so the
+deployment picks its guarantee instead of inheriting a filesystem
+assumption.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import uuid
 
 
 class CommitConflict(IOError):
@@ -34,8 +55,11 @@ def hadoop_fs(spark, path: str):
     return jpath, jpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
 
 
-def read_small_json(spark, path: str):
-    """Read and parse a small JSON file via the Hadoop FS API."""
+def read_small_json(spark, path: str, backend=None):
+    """Read and parse a small JSON file — via the Hadoop FS API by
+    default, or through the same ``backend`` its writer committed with."""
+    if backend is not None:
+        return json.loads(backend.read_bytes(path).decode("utf-8"))
     jpath, fs = hadoop_fs(spark, path)
     stream = fs.open(jpath(path))
     try:
@@ -71,13 +95,42 @@ def write_small_json_commit(spark, path: str, payload) -> None:
         raise IOError(f"could not commit {path}")
 
 
-def write_small_json_exclusive(spark, path: str, payload) -> None:
-    """write_small_json_commit with the two-writer race CLOSED (on
-    local/HDFS): of N concurrent writers to one ``path``, exactly one
-    commits; every loser raises :class:`CommitConflict` and never
-    replaces the winner's file.
+class CommitBackend:
+    """The five primitives an exclusive-commit deployment must supply.
 
-    Mechanism — three pieces, each load-bearing:
+    The contract of ``put_if_absent`` carries all the correctness
+    weight: of N concurrent callers for one ``path``, EXACTLY ONE
+    returns normally; every other raises :class:`CommitConflict`; and a
+    reader can only ever observe the path absent or whole (never a
+    torn prefix). How a backend honors that — rename+lock, O_EXCL
+    link, or a conditional PUT — is its own business; callers
+    (snapshot commits, metastore generations) are backend-agnostic.
+    """
+
+    def put_if_absent(self, path: str, data: bytes) -> None:
+        raise NotImplementedError
+
+    def read_bytes(self, path: str) -> bytes:
+        """Whole content; FileNotFoundError when absent."""
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def delete(self, path: str) -> bool:
+        """Best-effort single-file delete; True if something was removed."""
+        raise NotImplementedError
+
+    def list_dir(self, dir_path: str) -> list[str]:
+        """Base names under ``dir_path`` ([] when it doesn't exist)."""
+        raise NotImplementedError
+
+
+class HadoopRenameBackend(CommitBackend):
+    """Atomic-rename family (local filesystems, HDFS) via the Hadoop FS
+    API — the default wherever a SparkSession is in hand.
+
+    ``put_if_absent`` mechanism — three pieces, each load-bearing:
 
     1. content first lands whole under a per-writer unique ``.part.<id>``
        name (two writers' staging never clobbers);
@@ -95,47 +148,215 @@ def write_small_json_exclusive(spark, path: str, payload) -> None:
     ``.lock`` that blocks this one path until ``break_commit_lock`` —
     fail-stop, never silent loss. Readers keep the atomic-existence
     guarantee: they only ever see ``path`` whole (local/HDFS rename).
-    """
-    import uuid
+    NOT sound on S3A (rename is copy+delete; createNewFile is not
+    atomic) — use a :class:`ConditionalPutBackend` there."""
 
-    jpath, fs = hadoop_fs(spark, path)
-    if fs.exists(jpath(path)):
-        raise CommitConflict(f"commit target already exists: {path}")
-    part = jpath(f"{path}.part.{uuid.uuid4().hex[:8]}")
-    out = fs.create(part, True)
-    try:
-        out.write(bytearray(json.dumps(payload).encode("utf-8")))
-    finally:
-        out.close()
-    lock = jpath(path + ".lock")
-    if not fs.createNewFile(lock):
-        fs.delete(part, False)
-        raise CommitConflict(
-            f"another writer holds the commit lock for {path}; if no "
-            f"writer is alive this is a crashed commit — break_commit_lock "
-            f"after confirming"
-        )
-    try:
+    def __init__(self, spark):
+        self._spark = spark
+
+    def _fs(self, path: str):
+        return hadoop_fs(self._spark, path)
+
+    def put_if_absent(self, path: str, data: bytes) -> None:
+        jpath, fs = self._fs(path)
         if fs.exists(jpath(path)):
-            fs.delete(part, False)
             raise CommitConflict(f"commit target already exists: {path}")
-        if not fs.rename(part, jpath(path)):
-            raise IOError(f"could not commit {path}")
-        # Compare against the payload's JSON round-trip, not the raw
-        # object: tuples deserialize as lists and int dict keys as
-        # strings, and the check exists to catch filesystem corruption,
-        # not JSON canonicalization.
-        if read_small_json(spark, path) != json.loads(json.dumps(payload)):
-            raise IOError(f"post-commit read-back mismatch at {path}")
-    finally:
-        fs.delete(lock, False)
+        part = jpath(f"{path}.part.{uuid.uuid4().hex[:8]}")
+        out = fs.create(part, True)
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+        lock = jpath(path + ".lock")
+        if not fs.createNewFile(lock):
+            fs.delete(part, False)
+            raise CommitConflict(
+                f"another writer holds the commit lock for {path}; if no "
+                f"writer is alive this is a crashed commit — "
+                f"break_commit_lock after confirming"
+            )
+        try:
+            if fs.exists(jpath(path)):
+                fs.delete(part, False)
+                raise CommitConflict(f"commit target already exists: {path}")
+            if not fs.rename(part, jpath(path)):
+                raise IOError(f"could not commit {path}")
+            if self.read_bytes(path) != bytes(data):
+                raise IOError(f"post-commit read-back mismatch at {path}")
+        finally:
+            fs.delete(lock, False)
+
+    def read_bytes(self, path: str) -> bytes:
+        jpath, fs = self._fs(path)
+        if not fs.exists(jpath(path)):
+            raise FileNotFoundError(path)
+        stream = fs.open(jpath(path))
+        try:
+            return bytes(
+                self._spark._jvm.org.apache.hadoop.io.IOUtils.readFullyToByteArray(
+                    stream
+                )
+            )
+        finally:
+            stream.close()
+
+    def exists(self, path: str) -> bool:
+        jpath, fs = self._fs(path)
+        return bool(fs.exists(jpath(path)))
+
+    def delete(self, path: str) -> bool:
+        jpath, fs = self._fs(path)
+        return bool(fs.delete(jpath(path), False))
+
+    def list_dir(self, dir_path: str) -> list[str]:
+        jpath, fs = self._fs(dir_path)
+        if not fs.exists(jpath(dir_path)):
+            return []
+        return sorted(
+            st.getPath().getName() for st in fs.listStatus(jpath(dir_path))
+        )
 
 
-def break_commit_lock(spark, path: str) -> bool:
+class LocalFSBackend(CommitBackend):
+    """Plain-``os`` rename-family backend — no JVM, for driver-local
+    metadata (the metastore's default) and tests without Spark.
+
+    ``put_if_absent`` is LOCK-FREE here: content lands whole under a
+    unique ``.part.<id>`` staging name, then ``os.link(part, path)``
+    publishes it — hard-linking is the POSIX atomic create-if-absent
+    WITH content (one inode op; EEXIST loses), so there is no lock to
+    orphan: a crashed writer leaves only an ignorable staging file.
+    Sound on any POSIX filesystem including NFS (link is the classic
+    NFS-safe exclusive primitive); not meaningful on object stores."""
+
+    def put_if_absent(self, path: str, data: bytes) -> None:
+        part = f"{path}.part.{uuid.uuid4().hex[:8]}"
+        os.makedirs(os.path.dirname(part) or ".", exist_ok=True)
+        with open(part, "wb") as fh:
+            fh.write(data)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(part, path)
+        except FileExistsError:
+            raise CommitConflict(f"commit target already exists: {path}")
+        finally:
+            os.unlink(part)
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as fh:
+            return fh.read()
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def delete(self, path: str) -> bool:
+        try:
+            os.unlink(path)
+            return True
+        except FileNotFoundError:
+            return False
+
+    def list_dir(self, dir_path: str) -> list[str]:
+        try:
+            return sorted(os.listdir(dir_path))
+        except FileNotFoundError:
+            return []
+
+
+class ConditionalPutBackend(CommitBackend):
+    """Object-store family: everything derives from ONE primitive,
+    ``_put_if_absent_bytes`` — a conditional whole-object PUT that
+    succeeds iff the key does not exist and whose success atomically
+    publishes the full content. S3 exposes exactly this (``PutObject``
+    + ``If-None-Match: *`` → 412 on existence), as do GCS
+    (``x-goog-if-generation-match: 0``) and Azure Blob
+    (``If-None-Match: *``); a deployment subclasses with ~10 lines of
+    client code. No part files, no locks, no renames — a conditional
+    PUT is simultaneously the winner selection and the atomic publish,
+    so there is nothing to orphan and nothing for a reader to tear."""
+
+    def _put_if_absent_bytes(self, path: str, data: bytes) -> bool:
+        """True = committed; False = key already existed (the 412)."""
+        raise NotImplementedError
+
+    def put_if_absent(self, path: str, data: bytes) -> None:
+        if not self._put_if_absent_bytes(path, data):
+            raise CommitConflict(f"commit target already exists: {path}")
+
+
+class InMemoryConditionalPut(ConditionalPutBackend):
+    """The shipped reference/test implementation of the conditional-put
+    contract: a dict guarded by one mutex stands in for the object
+    store's internal linearization of conditional PUTs. Used by the
+    fsutil/snapshots/metastore contention pytests to prove callers are
+    correct against the object-store commit model without AWS creds in
+    the container; ``before_put`` is a test seam for injecting a racing
+    writer exactly between a caller's head-read and its PUT."""
+
+    def __init__(self):
+        import threading
+
+        self._objects: dict[str, bytes] = {}
+        self._mu = threading.Lock()
+        self.before_put = None  # test seam: callable(path, data)
+
+    def _put_if_absent_bytes(self, path: str, data: bytes) -> bool:
+        if self.before_put is not None:
+            self.before_put(path, data)
+        with self._mu:
+            if path in self._objects:
+                return False
+            self._objects[path] = bytes(data)
+            return True
+
+    def read_bytes(self, path: str) -> bytes:
+        with self._mu:
+            if path not in self._objects:
+                raise FileNotFoundError(path)
+            return self._objects[path]
+
+    def exists(self, path: str) -> bool:
+        with self._mu:
+            return path in self._objects
+
+    def delete(self, path: str) -> bool:
+        with self._mu:
+            return self._objects.pop(path, None) is not None
+
+    def list_dir(self, dir_path: str) -> list[str]:
+        prefix = dir_path.rstrip("/") + "/"
+        with self._mu:
+            return sorted(
+                p[len(prefix):]
+                for p in self._objects
+                if p.startswith(prefix) and "/" not in p[len(prefix):]
+            )
+
+
+def write_small_json_exclusive(spark, path: str, payload, backend=None) -> None:
+    """Exclusive JSON commit through the backend seam: of N concurrent
+    writers to one ``path``, exactly one commits; every loser raises
+    :class:`CommitConflict` and never replaces the winner's file; a
+    reader only ever observes the path absent or whole. Which mechanism
+    delivers that is the ``backend``'s choice (default:
+    :class:`HadoopRenameBackend` — sound on local/HDFS; object stores
+    pass a :class:`ConditionalPutBackend`)."""
+    backend = backend if backend is not None else HadoopRenameBackend(spark)
+    backend.put_if_absent(path, json.dumps(payload).encode("utf-8"))
+
+
+def break_commit_lock(spark, path: str, backend=None) -> bool:
     """Remove an orphaned ``<path>.lock`` left by a CRASHED exclusive
     commit (the fail-stop residue documented in
-    write_small_json_exclusive). Operator-invoked only, after confirming
-    no writer is alive — a live winner whose lock is broken mid-rename
-    could race a new writer. Returns whether a lock was removed."""
+    :class:`HadoopRenameBackend`). Operator-invoked only, after
+    confirming no writer is alive — a live winner whose lock is broken
+    mid-rename could race a new writer. Returns whether a lock was
+    removed. Conditional-put backends have no locks to orphan (the PUT
+    is the whole commit), so this is a no-op False there."""
+    if isinstance(backend, ConditionalPutBackend):
+        return False
+    if backend is not None:
+        return backend.delete(path + ".lock")
     jpath, fs = hadoop_fs(spark, path)
     return bool(fs.delete(jpath(path + ".lock"), False))

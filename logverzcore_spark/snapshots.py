@@ -28,10 +28,13 @@ a filesystem with atomic rename:
   never silently replaces. A crashed winner fail-stops: either its
   manifest committed (losers conflict and move on) or an orphan
   ``.lock`` blocks that one version until the operator runs
-  ``break_commit_lock``. OBJECT-STORE CAVEAT: S3A rename is copy+delete
-  and createNewFile is not atomic there — object stores still need a
-  conditional-put/LogStore commit (the Delta-on-S3 reason); the
-  enforcement here is local/HDFS. Concurrent READERS at any version
+  ``break_commit_lock``. The mechanism above is the DEFAULT
+  (rename-family) backend, sound on local/HDFS; on object stores —
+  where S3A rename is copy+delete and createNewFile is not atomic —
+  construct ``SnapshotTable(root, backend=<ConditionalPutBackend>)``
+  and the same exclusivity comes from one conditional PUT per manifest
+  (fsutil's atomicity-scope note; the Delta-on-S3 LogStore reason,
+  solved here by the seam). Concurrent READERS at any version
   are always safe because reads never list directories, only resolve
   committed manifests.
 - **a crash before the rename** leaves orphan data files no manifest
@@ -65,25 +68,39 @@ _VRE = re.compile(r"^v(\d+)\.json$")
 
 
 class SnapshotTable:
-    def __init__(self, root: str):
+    def __init__(self, root: str, backend=None):
+        """``backend`` routes every MANIFEST read/commit through a
+        :class:`fsutil.CommitBackend` — pass a ConditionalPutBackend on
+        object stores (fsutil's atomicity-scope note); default keeps
+        the Hadoop rename family. Data files need no backend: they are
+        immutable uuid-named parquet, never renamed or overwritten, and
+        invisible until a manifest commit references them."""
         self.root = root.rstrip("/")
         self.data = os.path.join(self.root, "data")
         self.snaps = os.path.join(self.root, "_snapshots")
+        self.backend = backend
 
     def versions(self, spark: SparkSession) -> list[int]:
-        jpath, fs = hadoop_fs(spark, self.root)
-        if not fs.exists(jpath(self.snaps)):
-            return []
+        if self.backend is not None:
+            names = self.backend.list_dir(self.snaps)
+        else:
+            jpath, fs = hadoop_fs(spark, self.root)
+            if not fs.exists(jpath(self.snaps)):
+                return []
+            names = [
+                st.getPath().getName() for st in fs.listStatus(jpath(self.snaps))
+            ]
         out = []
-        for st in fs.listStatus(jpath(self.snaps)):
-            m = _VRE.match(st.getPath().getName())
+        for name in names:
+            m = _VRE.match(name)
             if m:
                 out.append(int(m.group(1)))
         return sorted(out)
 
     def _read_manifest(self, spark: SparkSession, version: int) -> dict:
         return read_small_json(
-            spark, os.path.join(self.snaps, f"v{version}.json")
+            spark, os.path.join(self.snaps, f"v{version}.json"),
+            backend=self.backend,
         )
 
     def _manifest(self, spark: SparkSession, version: int) -> list[str]:
@@ -106,7 +123,8 @@ class SnapshotTable:
         # head raises CommitConflict here (its data files stay orphaned
         # and invisible; vacuum reclaims) — history stays linear.
         write_small_json_exclusive(
-            spark, os.path.join(self.snaps, f"v{version}.json"), payload
+            spark, os.path.join(self.snaps, f"v{version}.json"), payload,
+            backend=self.backend,
         )
         return version
 
@@ -116,7 +134,8 @@ class SnapshotTable:
         write_small_json_exclusive's fail-stop note). Only after
         confirming no writer is alive. Returns whether a lock existed."""
         return break_commit_lock(
-            spark, os.path.join(self.snaps, f"v{version}.json")
+            spark, os.path.join(self.snaps, f"v{version}.json"),
+            backend=self.backend,
         )
 
     def _head(self, spark: SparkSession) -> tuple[int, dict | None]:
@@ -240,5 +259,9 @@ class SnapshotTable:
                     deleted += 1
         for v in vs:
             if v not in keep:
-                fs.delete(jpath(os.path.join(self.snaps, f"v{v}.json")), False)
+                mpath = os.path.join(self.snaps, f"v{v}.json")
+                if self.backend is not None:
+                    self.backend.delete(mpath)
+                else:
+                    fs.delete(jpath(mpath), False)
         return deleted

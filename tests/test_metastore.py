@@ -1,0 +1,313 @@
+"""Multi-process metadata safety (the r8→r9 headline): the catalog /
+Preferences / Identities stores must interleave writes from several
+engine processes sharing one warehouse WITHOUT loss — item-level CAS
+semantics (the reference's conditional DynamoDB PutItem,
+nosql.js:309-354) — and the commit-backend seam must deliver the same
+exclusive-commit contract on rename filesystems and conditional-put
+object stores alike."""
+
+import json
+import multiprocessing
+import os
+import threading
+
+import pytest
+
+from logverzcore_spark.catalog import (
+    Catalog,
+    CatalogEntry,
+    Identities,
+    Preferences,
+    User,
+)
+from logverzcore_spark.fsutil import (
+    CommitConflict,
+    InMemoryConditionalPut,
+    LocalFSBackend,
+)
+from logverzcore_spark.metastore import GenerationStore
+
+ADMIN = User("root", is_admin=True)
+
+
+# ---------------------------------------------------------------- backends
+
+
+def test_local_backend_put_if_absent_exclusive(tmpdir_path):
+    b = LocalFSBackend()
+    p = os.path.join(tmpdir_path, "one.json")
+    b.put_if_absent(p, b'{"a": 1}')
+    assert b.read_bytes(p) == b'{"a": 1}'
+    with pytest.raises(CommitConflict):
+        b.put_if_absent(p, b'{"a": 2}')
+    assert b.read_bytes(p) == b'{"a": 1}'  # loser never replaces
+    # lock-free: no .lock residue, and staging cleaned up
+    assert os.listdir(tmpdir_path) == ["one.json"]
+
+
+def test_local_backend_threaded_contention(tmpdir_path):
+    """N threads race one path through os.link: exactly one winner, the
+    committed content is one of the candidates, whole."""
+    b = LocalFSBackend()
+    p = os.path.join(tmpdir_path, "race.json")
+    outcomes = []
+
+    def attempt(i):
+        try:
+            b.put_if_absent(p, json.dumps({"writer": i}).encode())
+            outcomes.append(("win", i))
+        except CommitConflict:
+            outcomes.append(("lose", i))
+
+    threads = [threading.Thread(target=attempt, args=(i,)) for i in range(8)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    wins = [i for kind, i in outcomes if kind == "win"]
+    assert len(wins) == 1 and len(outcomes) == 8
+    assert json.loads(b.read_bytes(p)) == {"writer": wins[0]}
+
+
+def test_inmemory_conditional_put_contract():
+    b = InMemoryConditionalPut()
+    b.put_if_absent("s3://bkt/x/gen-1.json", b"[1]")
+    with pytest.raises(CommitConflict):
+        b.put_if_absent("s3://bkt/x/gen-1.json", b"[2]")
+    assert b.read_bytes("s3://bkt/x/gen-1.json") == b"[1]"
+    assert b.list_dir("s3://bkt/x") == ["gen-1.json"]
+    assert b.delete("s3://bkt/x/gen-1.json") and not b.exists("s3://bkt/x/gen-1.json")
+
+
+def test_exclusive_commit_through_conditional_put_backend():
+    """fsutil.write_small_json_exclusive routed through the object-store
+    family: one winner, losers CommitConflict, no rename/lock machinery
+    involved (the backend has none)."""
+    from logverzcore_spark.fsutil import read_small_json, write_small_json_exclusive
+
+    b = InMemoryConditionalPut()
+    write_small_json_exclusive(None, "s3://bkt/m/v1.json", {"files": ["f1"]},
+                               backend=b)
+    with pytest.raises(CommitConflict):
+        write_small_json_exclusive(None, "s3://bkt/m/v1.json", {"files": ["f2"]},
+                                   backend=b)
+    assert read_small_json(None, "s3://bkt/m/v1.json", backend=b) == {
+        "files": ["f1"]
+    }
+
+
+# ------------------------------------------------------------ GenerationStore
+
+
+def test_generation_store_cas_retry_merges(tmpdir_path):
+    """The no-lost-update core: a writer that loses the CAS re-applies
+    its mutation to the winner's outcome — both records land."""
+    d = os.path.join(tmpdir_path, "gs")
+    gs = GenerationStore(d)
+
+    def add(name):
+        def fn(records):
+            return records + [{"name": name}], name
+        return fn
+
+    gs.mutate(add("a"))
+
+    # Simulate a concurrent writer landing between our head-read and
+    # commit: a conditional-put backend with an injection seam.
+    b = InMemoryConditionalPut()
+    gs2 = GenerationStore("mem://s", backend=b)
+    fired = {"done": False}
+
+    def interloper(path, data):
+        if not fired["done"]:
+            fired["done"] = True  # fire once, then let the retry through
+            b._objects[path] = json.dumps([{"name": "other"}]).encode()
+
+    b.before_put = interloper
+    gs2.mutate(add("mine"))
+    _, records = gs2.head()
+    names = sorted(r["name"] for r in records)
+    assert names == ["mine", "other"]  # NOT ["mine"] — the merge happened
+
+
+def test_generation_store_prunes_but_head_stable(tmpdir_path):
+    d = os.path.join(tmpdir_path, "gs2")
+    gs = GenerationStore(d, keep_generations=3)
+    for i in range(10):
+        gs.mutate(lambda rs, i=i: (rs + [{"i": i}], None))
+    gen, records = gs.head()
+    assert gen == 10 and len(records) == 10
+    kept = sorted(os.listdir(d))
+    assert len(kept) <= 3 and kept[-1] == "gen-000000000010.json"
+
+
+def test_generation_store_gives_up_loudly():
+    """Pathological permanent contention surfaces as CommitConflict,
+    never an infinite loop or silent drop."""
+    b = InMemoryConditionalPut()
+    gs = GenerationStore("mem://hot", backend=b)
+    n = {"i": 0}
+
+    def always_steal(path, data):
+        n["i"] += 1
+        b._objects[path] = b"[]"  # someone else always wins
+
+    b.before_put = always_steal
+    with pytest.raises(CommitConflict, match="CAS attempts"):
+        gs.mutate(lambda rs: (rs + [{"x": 1}], None), max_retries=5)
+    assert n["i"] == 5
+
+
+# ----------------------------------------------------- shared metadata stores
+
+
+def test_shared_catalog_two_processes_no_lost_entries(tmpdir_path):
+    """The headline scenario: two Catalog instances (≈ two engine
+    processes) share one warehouse directory; interleaved writes where
+    each instance holds a stale in-memory view must ALL land."""
+    d = os.path.join(tmpdir_path, "cat")
+    a = Catalog(d, shared=True)
+    b = Catalog(d, shared=True)
+    a.record_query(CatalogEntry(TableName="from_a", Owners=["ua"]))
+    # b's in-memory view predates a's write — the legacy flush would
+    # now drop from_a; the CAS mutate must re-read and merge instead.
+    b.record_query(CatalogEntry(TableName="from_b", Owners=["ub"]))
+    a.record_query(CatalogEntry(TableName="from_a2", Owners=["ua"]))
+    for inst in (a, b, Catalog(d, shared=True)):
+        assert sorted(e.TableName for e in inst.list(ADMIN)) == [
+            "from_a", "from_a2", "from_b"
+        ]
+
+
+def test_shared_catalog_semantics_preserved(tmpdir_path):
+    """Supersede-on-record, immutable-identity guard, ownership gate and
+    deactivation all hold in shared mode — including across instances."""
+    d = os.path.join(tmpdir_path, "cat2")
+    a = Catalog(d, shared=True)
+    b = Catalog(d, shared=True)
+    e1 = a.record_query(CatalogEntry(TableName="t", Owners=["alice"]))
+    e2 = b.record_query(CatalogEntry(TableName="t", Owners=["alice"]))
+    # the supersede ran against the FRESH head, not b's stale view
+    assert a.for_table("t").ID == e2.ID
+    assert not [e for e in a.list(ADMIN) if e.ID == e1.ID and e.Active]
+    alice = User("alice")
+    with pytest.raises(ValueError, match="immutable"):
+        a.update(e2.ID, alice, TableName="other")
+    with pytest.raises(PermissionError):
+        b.update(e2.ID, User("mallory"), Archive=True)
+    a.update(e2.ID, alice, QuerySettings={"k": 1})
+    assert b.for_table("t").QuerySettings == {"k": 1}
+    b.deactivate_table("t", alice)
+    assert a.for_table("t") is None
+
+
+def test_shared_preferences_and_identities_no_lost_entries(tmpdir_path):
+    pd_ = os.path.join(tmpdir_path, "prefs")
+    pa, pb = Preferences(pd_, shared=True), Preferences(pd_, shared=True)
+    pa.put("theme.a", {"v": 1}, User("a"))
+    pb.put("theme.b", {"v": 2}, User("b"))  # stale view; must not drop theme.a
+    assert [i.Name for i in pa.list()] == ["theme.a", "theme.b"]
+    with pytest.raises(PermissionError):
+        pb.put("theme.a", {"v": 9}, User("b"))  # ownership still gated
+    assert Preferences(pd_, shared=True).get("theme.a").Value == {"v": 1}
+
+    id_ = os.path.join(tmpdir_path, "ids")
+    ia, ib = Identities(id_, shared=True), Identities(id_, shared=True)
+    ia.put("u1", ADMIN, iam_groups=["g1"])
+    ib.put("u2", ADMIN, iam_groups=["LogverzPowerUsers-x"])
+    assert [r.Name for r in ia.list()] == ["u1", "u2"]
+    assert ib.resolve_user("u2").is_poweruser
+    with pytest.raises(PermissionError):
+        ib.put("mallory", User("mallory"))  # escalation guard intact
+
+
+def _mp_write_prefs(args):
+    d, worker, n = args
+    store = Preferences(d, shared=True)
+    me = User(f"w{worker}")
+    for i in range(n):
+        store.put(f"w{worker}.k{i}", {"i": i}, me)
+    return worker
+
+
+def test_shared_preferences_true_multiprocess(tmpdir_path):
+    """Real OS processes (not threads) hammer one shared store — the
+    scenario the JSONL last-writer-wins flush silently lost entries
+    under. Every write from every process must be present."""
+    d = os.path.join(tmpdir_path, "mp_prefs")
+    n_procs, n_each = 4, 6
+    ctx = multiprocessing.get_context("fork")
+    with ctx.Pool(n_procs) as pool:
+        pool.map(_mp_write_prefs, [(d, w, n_each) for w in range(n_procs)])
+    names = [i.Name for i in Preferences(d, shared=True).list()]
+    assert len(names) == n_procs * n_each
+    assert sorted(names) == sorted(
+        f"w{w}.k{i}" for w in range(n_procs) for i in range(n_each)
+    )
+
+
+def test_shared_catalog_threaded_contention(tmpdir_path):
+    d = os.path.join(tmpdir_path, "cat_threads")
+    n_threads, n_each = 6, 5
+    errs = []
+
+    def writer(w):
+        try:
+            cat = Catalog(d, shared=True)
+            for i in range(n_each):
+                cat.record_query(
+                    CatalogEntry(TableName=f"t{w}_{i}", Owners=[f"u{w}"]),
+                    deactivate_older=False,
+                )
+        except Exception as exc:  # pragma: no cover - surfaced by assert
+            errs.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(n_threads)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert not errs
+    got = sorted(e.TableName for e in Catalog(d, shared=True).list(ADMIN))
+    assert got == sorted(f"t{w}_{i}" for w in range(n_threads) for i in range(n_each))
+
+
+def test_shared_mode_requires_directory_path():
+    with pytest.raises(ValueError, match="directory"):
+        Catalog(shared=True)
+
+
+def test_snapshot_table_on_conditional_put_backend(spark, tmpdir_path):
+    """The seam reaches the snapshot layer: manifests commit through a
+    conditional-put backend (the object-store family) while data files
+    stay ordinary immutable parquet — versions, time travel, exclusive
+    commits, and tag-replay idempotence all hold with zero rename/lock
+    machinery."""
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    b = InMemoryConditionalPut()
+    t = SnapshotTable(os.path.join(tmpdir_path, "snap"), backend=b)
+    df = spark.range(5).withColumnRenamed("id", "v")
+    assert t.append(df, tag="b1") == 1
+    assert t.versions(spark) == [1]
+    assert t.read(spark, 1).count() == 5
+    assert t.append(df, tag="b1") == 1  # replay-idempotent through backend
+    assert t.append(df.limit(2), tag="b2") == 2
+    assert t.read(spark, 1).count() == 5 and t.read(spark).count() == 7
+    # two committers who read the same head race version 3: exactly one
+    # wins, the loser conflicts (no lock to break — the PUT is the commit)
+    head_v, head = t._head(spark)
+    f1 = t._write_data(df.limit(1))
+    f2 = t._write_data(df.limit(1))
+    assert t._commit(spark, f1, None, head, head_v) == 3
+    with pytest.raises(CommitConflict):
+        t._commit(spark, f2, None, head, head_v)
+    assert t.versions(spark) == [1, 2, 3]  # history linear
+
+
+def test_legacy_jsonl_mode_unchanged(tmpdir_path):
+    """The single-process file mode keeps its exact on-disk shape and
+    reload behavior — existing warehouses keep working."""
+    p = os.path.join(tmpdir_path, "cat.jsonl")
+    cat = Catalog(p)
+    cat.record_query(CatalogEntry(TableName="t", Owners=["u"]))
+    with open(p) as fh:
+        lines = [json.loads(line) for line in fh if line.strip()]
+    assert len(lines) == 1 and lines[0]["TableName"] == "t"
+    assert Catalog(p).for_table("t").Owners == ["u"]
