@@ -90,6 +90,51 @@ def curate(
     )
 
 
+def crawl_curate(
+    warc: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """The m30 crawl front-end as ONE reusable lazy cascade, PRE-dedup:
+    WARC container bytes → HTTP extraction (200s only, m29) → HTML
+    boilerplate strip (t33) → unicode scrub/NFC (t31) → sentence
+    re-lining → C4 line/page rules (t52). Returns (id, text) of the
+    curated pages; callers choose the dedup fold — batch
+    ``dedup_keep_first`` (suite m30) or the streaming fingerprint-state
+    fold (``stream_dedup.crawl_curate_stream``, suite st36) — which is
+    exactly why dedup is NOT in here: it is the one cross-doc stage,
+    so its execution shape (window shuffle vs state-table anti-join)
+    is the batch/streaming split point, while everything in this
+    function is per-row and therefore identical in both.
+
+    Plan shape (test_plan_quality gates it via m30): one Arrow
+    mapInPandas walk for the container bytes, then codegen projections
+    — ZERO exchanges; at 100 TB cost scales with bytes scanned."""
+    from logverzcore_spark.operators.multimodal import extract_warc_http
+    from logverzcore_spark.operators.text import (
+        c4_line_filter,
+        normalize_text,
+        strip_html,
+    )
+
+    pages = extract_warc_http(
+        warc.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    )
+    ok = pages.where(F.col("status") == 200).select(
+        "doc_id", F.col("body_text").alias("text")
+    )
+    stripped = strip_html(ok)
+    normed = normalize_text(stripped.select("doc_id", F.col("clean").alias("text")))
+    lined = normed.select(
+        "doc_id",
+        F.regexp_replace("clean", r"([.!?]) ", "$1\n").alias("text"),
+    )
+    c4 = c4_line_filter(lined)
+    return c4.where(F.col("keep")).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+
+
 def curate_report(
     docs: DataFrame,
     benchmark: DataFrame | None = None,

@@ -337,6 +337,59 @@ def full_curation_stream(
     return writer.start()
 
 
+def crawl_curate_stream(
+    spark: SparkSession,
+    warc_stream: DataFrame,
+    target_table: str,
+    checkpoint_dir: str,
+    state_table: str | None = None,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming crawl INGESTION end-to-end (r9: the m30 cascade with
+    the container front-end ON-STREAM): WARC files arrive as a stream
+    of (id, payload bytes) — e.g. ``collect_stream`` over a crawler's
+    drop directory with ``binaryFile`` — and every micro-batch runs
+    ``pipeline.crawl_curate`` (HTTP extract → HTML strip → NFC scrub →
+    re-line → C4; all per-row, so batch boundaries cannot change any
+    of it) before folding into the SAME cross-batch fingerprint-state
+    exact dedup as ``dedup_stream`` (st16's state discipline:
+    in-batch keep-first by id, anti-join against committed
+    fingerprints, data-before-state commit order — replay after a
+    clean failure is idempotent, a crash between the two appends
+    degrades to at-least-once, never loses a page).
+
+    The committed table therefore equals m30's BATCH cascade +
+    ``dedup_keep_first`` over everything seen (suite st36
+    hash-verifies against m30's own exhaustive oracle), under the
+    family's arrival-order contract: first-committed wins across
+    batches, which equals batch min-id when ids arrive in order
+    (``curate_stream``'s documented contract; cross-batch dup drops
+    and restart idempotence are pytest-covered with out-of-order
+    fixtures in test_streaming.py).
+
+    Target rows: (doc_id, text) — the curated corpus itself; suite
+    st36 projects m30's report shape (fp = md5(text), n_chars) from it
+    at read time."""
+    from logverzcore_spark.pipeline import crawl_curate
+
+    def one_batch(batch: DataFrame, _id: int) -> None:
+        kept = crawl_curate(batch, id_col=id_col, payload_col=payload_col)
+        _dedup_batch(
+            kept, spark, target_table,
+            state_table or f"{target_table}_fingerprints",
+            "text", "doc_id",
+        )
+
+    writer = warc_stream.writeStream.option(
+        "checkpointLocation", checkpoint_dir
+    ).foreachBatch(one_batch)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def _bloom_dedup_batch(
     batch: DataFrame,
     spark: SparkSession,

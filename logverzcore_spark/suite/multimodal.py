@@ -1881,9 +1881,9 @@ def m29_warc_http_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_warc_http(docs.select("doc_id", payload.alias("payload")))
 
 
-@query(
-    "m30_crawl_curate_e2e",
-    oracle="""
+#: Shared by m30 (batch cascade) and st36 (the same cascade
+#: on-stream): the exhaustive batch replay over everything seen.
+_M30_ORACLE = """
     WITH tok AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
       FROM documents WHERE doc_id % 7 <> 0
@@ -1974,8 +1974,10 @@ def m29_warc_http_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, md5(t) AS fp, CAST(length(t) AS BIGINT) AS n_chars
     FROM ranked WHERE rn = 1
-    """,
-)
+    """
+
+
+@query("m30_crawl_curate_e2e", oracle=_M30_ORACLE)
 def m30_crawl_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full crawl→curated-corpus story in ONE lazy cascade (r7
     VERDICT task 5 — the m29 payoff): WARC container → HTTP extraction
@@ -2000,17 +2002,29 @@ def m30_crawl_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     with bytes scanned; the single shuffle is the dedup's fingerprint
     hash partition — the minimum any cross-doc dedup needs."""
     from logverzcore_spark.operators import dedup
-    from logverzcore_spark.operators.multimodal import extract_warc_http
-    from logverzcore_spark.operators.text import (
-        c4_line_filter,
-        normalize_text,
-        strip_html,
-    )
+    from logverzcore_spark.pipeline import crawl_curate
 
     docs = _t(spark, sf_dir, "documents")
+    kept = crawl_curate(_m30_warc_payload(docs))
+    final = dedup.dedup_keep_first(kept)
+    return final.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+def _m30_warc_payload(docs) -> "DataFrame":
+    """m30/st36's shared crawl FIXTURE: each documents row becomes a
+    two-record WARC (warcinfo + response) whose HTTP body is a
+    sentence-structured HTML page (t52's enrichment grammar: 6-token
+    lines, 2/3 punctuated, planted javascript lines), every 6th doc a
+    shared cookie-boilerplate body (the dedup mass), every 7th a 404,
+    plus a decomposed cafe+combining-acute and an &amp; entity so the
+    NFC and entity-decode stages are load-bearing. Pure projections —
+    valid on batch AND streaming frames, which is how st36 streams the
+    byte-identical corpus m30 grades in batch. Returns (doc_id,
+    payload)."""
     did = F.col("doc_id")
     crlf = "\r\n"
-    # --- fixture: sentence-structured page (t52 grammar) in m29's WARC
     toks = F.filter(F.split("text", " "), lambda t: t != "")
     n = F.size(toks)
     lines = F.transform(
@@ -2066,28 +2080,7 @@ def m30_crawl_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(crlf + crlf), http, F.lit(crlf + crlf),
     )
     payload = F.encode(F.concat(rec1, rec2), "UTF-8")
-
-    # --- the cascade under grade
-    pages = extract_warc_http(docs.select("doc_id", payload.alias("payload")))
-    ok = pages.where(F.col("status") == 200).select(
-        "doc_id", F.col("body_text").alias("text")
-    )
-    stripped = strip_html(ok)
-    normed = normalize_text(stripped.select("doc_id", F.col("clean").alias("text")))
-    lined = normed.select(
-        "doc_id",
-        F.regexp_replace("clean", r"([.!?]) ", "$1\n").alias("text"),
-    )
-    c4 = c4_line_filter(lined)
-    kept = c4.where(F.col("keep")).select(
-        "doc_id", F.col("clean_text").alias("text")
-    )
-    final = dedup.dedup_keep_first(kept)
-    return final.select(
-        "doc_id",
-        F.md5("text").alias("fp"),
-        F.length("text").cast("long").alias("n_chars"),
-    )
+    return docs.select("doc_id", payload.alias("payload"))
 
 
 @query(
