@@ -38,6 +38,18 @@ HEADLINE = [
     "st01_streaming_hourly",
 ]
 
+#: r9 extension (VERDICT task 3): the measured heavy composites the
+#: r6–r8 rounds added — what the engine now actually spends its time on.
+#: Kept SEPARATE from HEADLINE so ``value`` stays round-over-round
+#: comparable with r1–r8; ``value_extended`` sums both sets and the
+#: composites' per-query medians land in ``queries`` alongside the rest.
+EXTENDED = [
+    "m30_crawl_curate_e2e",          # WARC→curated corpus, one cascade
+    "d29_threshold_sweep_ht",        # HT-estimated full-corpus sweep
+    "s25_maxsim_rerank",             # cosine top-k → MaxSim rerank
+    "st22_streaming_curation_cascade",  # quality+dedup+LSH+scrub stream
+]
+
 
 #: Repetitions per query. A single cold shot on a shared box swings ±30%
 #: (measured across same-day reruns in round 3: d03 4.5–7.6 s, suite
@@ -66,9 +78,10 @@ def main() -> None:
     for t in SF_TABLES:
         if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
             read_table(spark, sf_dir, t).count()
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    measured = HEADLINE + EXTENDED
+    samples: dict[str, list[float]] = {name: [] for name in measured}
     for _rep in range(REPS):
-        for name in HEADLINE:
+        for name in measured:
             t0 = time.time()
             df = SUITE[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -85,14 +98,19 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_suite_seconds",
-                "value": round(sum(timings.values()), 3),
+                # round-over-round continuity: ``value`` sums ONLY the
+                # original 12-query headline (comparable to r1-r8);
+                # the r9 composites are reported alongside.
+                "value": round(sum(timings[n] for n in HEADLINE), 3),
                 "unit": "sec",
                 "queries": timings,
+                "value_extended": round(sum(timings.values()), 3),
+                "extended": EXTENDED,
                 "sf": float(sf),
                 "reps": REPS,
                 # first pass carries one-time codegen/JIT compilation —
                 # comparable to earlier rounds' single cold shot
-                "value_first_pass": round(sum(first.values()), 3),
+                "value_first_pass": round(sum(first[n] for n in HEADLINE), 3),
                 "queries_spread": spread,
             }
         )
