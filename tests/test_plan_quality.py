@@ -219,6 +219,7 @@ def test_suite_global_plan_invariants(spark):
         "d24_threshold_sweep",  # 3-row literal threshold frame theta-joins the pair table + 1-row total
         "d28_threshold_sweep_lsh",  # same 3-row theta frame + 1-row total as d24
         "d29_threshold_sweep_ht",   # same 3-row theta frame + 1-row total as d24
+        "d33_threshold_sweep_auto",  # same 3-row theta frame + 1-row total as d24
         "s25_maxsim_rerank",    # candidate arm = s01's corpus x broadcast queries
         "t61_proportional_floor_sample",  # single-row corpus-total broadcast join into the quota calc
         "s19_hybrid_rrf",       # arms compose s01's broadcast-query scan + s17's stats join
