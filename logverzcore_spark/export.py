@@ -951,7 +951,11 @@ def export_webdataset_shards(
     scan) silently includes. Pre-existing ``shard-*.tar`` therefore
     FAIL FAST (``if_exists='error'``, default) or are removed first
     (``if_exists='overwrite'`` — valid exactly because of the
-    shared-filesystem contract above).
+    shared-filesystem contract above). The guard runs when THIS
+    function is called (the returned manifest is lazy, like every
+    writer here): call → act → call again; re-running one returned
+    plan twice, or interleaving two callers on one out_dir, is outside
+    the contract the guard can check.
 
     Returns the manifest (shard, n_members, n_bytes, path), one row
     per shard."""

@@ -71,7 +71,7 @@ def read_small_json(spark, path: str, backend=None):
     return json.loads(raw.decode("utf-8"))
 
 
-def write_small_json_commit(spark, path: str, payload) -> None:
+def write_small_json_commit(spark, path: str, payload, backend=None) -> None:
     """Write JSON to ``path`` with an ATOMIC-EXISTENCE commit: content
     goes to ``<path>.part`` first and the rename makes the file appear
     whole or not at all — a reader can never observe a truncated file.
@@ -80,7 +80,12 @@ def write_small_json_commit(spark, path: str, payload) -> None:
     narrows, but cannot eliminate, a two-writer race — multi-writer
     coordination needs an external lock/CAS (the same reason Delta on
     S3 needs a LogStore), and every caller documents one writer per
-    table."""
+    table. Passing ``backend=`` upgrades this call to the backend's
+    full exclusive-commit contract (a conditional PUT has no weaker
+    mode to offer — its create-if-absent IS the write)."""
+    if backend is not None:
+        backend.put_if_absent(path, json.dumps(payload).encode("utf-8"))
+        return
     jpath, fs = hadoop_fs(spark, path)
     part = jpath(path + ".part")
     out = fs.create(part, True)

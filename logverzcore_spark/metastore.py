@@ -102,7 +102,9 @@ class GenerationStore:
         re-read and ``fn`` RE-APPLIED to the other writer's outcome —
         no lost updates, item-level interleaving. ``fn`` must be pure
         over its input (it may run several times)."""
-        for _ in range(max_retries):
+        import time
+
+        for attempt in range(max_retries):
             gen, records = self.head()
             new_records, result = fn(records)
             try:
@@ -111,6 +113,12 @@ class GenerationStore:
                     json.dumps(new_records).encode("utf-8"),
                 )
             except CommitConflict:
+                # Brief growing pause before re-reading: on rename
+                # backends the winner may still hold the commit lock
+                # (its gen not yet visible), so an immediate retry can
+                # spin on the same generation; the sleep is bounded and
+                # only paid under real contention.
+                time.sleep(min(0.01 * attempt, 0.2))
                 continue
             self._prune(gen + 1)
             return result
