@@ -91,6 +91,55 @@ class Engine:
         self.identities = identities  # Identities store (serving seam)
         self.admission = admission  # AdmissionPolicy cost gate (optional)
 
+    @classmethod
+    def shared(
+        cls,
+        spark: SparkSession,
+        warehouse_dir: str,
+        backend=None,
+        registry=None,
+        admission: AdmissionPolicy | None = None,
+    ) -> "Engine":
+        """The MULTI-PROCESS deployment shape in one call — several
+        pipelines plus an interactive server on ONE warehouse, the
+        configuration the reference ran natively on DynamoDB's
+        item-level writes and that r9 made safe here:
+
+        - catalog at ``<dir>/catalog/`` and identities at
+          ``<dir>/identities/``, both in shared CAS mode
+          (:class:`metastore.GenerationStore` — concurrent engines
+          interleave item-level, losers retry-merge, nothing is
+          silently dropped);
+        - the audit log at ``<dir>/audit.jsonl`` (O_APPEND whole-line
+          interleave — an event log, not read-modify-write state);
+        - ``backend`` forwards the fsutil commit-backend seam to both
+          CAS stores (object-store deployments pass a
+          ConditionalPutBackend; default is the no-JVM local hard-link
+          backend).
+
+        Every Engine built from the same ``warehouse_dir`` sees every
+        other's catalog entries, grants, identity records, and audit
+        trail (test_metastore.py::test_two_engines_share_one_warehouse).
+        Preferences are UI-server state, not engine state — construct
+        ``Preferences(<dir>/preferences, shared=True)`` alongside when
+        serving them."""
+        import os as _os
+
+        from logverzcore_spark.catalog import Identities
+
+        return cls(
+            spark,
+            Catalog(_os.path.join(warehouse_dir, "catalog"), shared=True,
+                    backend=backend),
+            registry=registry,
+            audit=AuditLog(_os.path.join(warehouse_dir, "audit.jsonl")),
+            identities=Identities(
+                _os.path.join(warehouse_dir, "identities"), shared=True,
+                backend=backend,
+            ),
+            admission=admission,
+        )
+
     def resolve_user(self, name: str, type: str = "User") -> User:
         """Serving-seam principal resolution: name → persisted identity
         record → ``User`` (groups + admin/poweruser flags), failing

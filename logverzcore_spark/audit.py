@@ -96,8 +96,21 @@ class AuditLog:
         self._records.append(rec)
         self._trim()
         if self.path:
-            with open(self.path, "a") as fh:
-                fh.write(json.dumps(asdict(rec)) + "\n")
+            # One O_APPEND write() per record: the kernel positions at
+            # EOF atomically per call, so records from SEVERAL engine
+            # processes sharing one audit file interleave whole-line,
+            # never mid-record (local filesystems; NFS's O_APPEND is
+            # not atomic — give each process its own file there and
+            # concatenate, the classic log-shipping shape). Appends
+            # need no CAS: the audit log is a set of immutable events,
+            # not read-modify-write state like the catalog
+            # (test_metastore.py proves the two-process interleave).
+            line = (json.dumps(asdict(rec)) + "\n").encode("utf-8")
+            fd = os.open(self.path, os.O_WRONLY | os.O_APPEND | os.O_CREAT, 0o644)
+            try:
+                os.write(fd, line)
+            finally:
+                os.close(fd)
         return rec
 
     def entries(

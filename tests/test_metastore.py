@@ -301,6 +301,50 @@ def test_snapshot_table_on_conditional_put_backend(spark, tmpdir_path):
     assert t.versions(spark) == [1, 2, 3]  # history linear
 
 
+def test_two_engines_share_one_warehouse(spark, tmpdir_path):
+    """Engine.shared end-to-end: two Engine instances (≈ a pipeline
+    process and an interactive server) on one warehouse directory —
+    a catalog entry + grant recorded through engine A is immediately
+    queryable through engine B by the granted user, identity records
+    written via A resolve via B, denials still deny, and both engines'
+    audit events land interleaved in the one audit file."""
+    import json as _json
+
+    from logverzcore_spark.api import Engine
+
+    wh = os.path.join(tmpdir_path, "wh")
+    a = Engine.shared(spark, wh)
+    b = Engine.shared(spark, wh)
+
+    # identity written via A resolves via B (admin flag from policy)
+    a.identities.put("ops_admin", ADMIN,
+                     policies={"UserAttached": [{"PolicyName": "AdministratorAccess"}]})
+    a.identities.put("bob", ADMIN, iam_groups=["analysts"])
+    assert b.resolve_user("ops_admin").is_admin
+    bob = b.resolve_user("bob")
+    assert not bob.is_admin and bob.groups == ["analysts"]
+
+    # catalog entry + grant through A; query through B as bob
+    spark.createDataFrame([(1, "x")], "id long, v string") \
+        .createOrReplaceTempView("shared_tbl")
+    a.catalog.record_query(CatalogEntry(
+        TableName="shared_tbl", Owners=["ops_admin"], Access=["analysts"],
+    ))
+    assert b.sql("SELECT v FROM shared_tbl", user=bob).collect()[0]["v"] == "x"
+    with pytest.raises(PermissionError):
+        b.sql("SELECT v FROM shared_tbl", user=User("mallory"))
+
+    # both engines' audit events interleave whole-line in one file
+    assert a.audit is not None and a.audit.path == b.audit.path
+    lines = [
+        _json.loads(line) for line in open(a.audit.path) if line.strip()
+    ]
+    assert {(r["User"], r["Status"]) for r in lines} >= {
+        ("bob", "ok"), ("mallory", "denied"),
+    }
+    spark.catalog.dropTempView("shared_tbl")
+
+
 def test_legacy_jsonl_mode_unchanged(tmpdir_path):
     """The single-process file mode keeps its exact on-disk shape and
     reload behavior — existing warehouses keep working."""
