@@ -40,19 +40,40 @@ a filesystem with atomic rename:
 - **a crash before the rename** leaves orphan data files no manifest
   references — invisible to every reader, reclaimed by ``vacuum``.
 
-Capacity note for 100 TB: manifests hold file PATHS and tags
-(metadata-scale — bounded by file count, which compaction bounds, and
-commit count); data-file I/O is the normal distributed parquet scan over
-an explicit file list, identical in plan shape to any other read here.
+- **a manifest carries per-file column statistics** (min / max / null
+  count / row count for every eligible atomic column, collected at
+  commit time from the just-written files in ONE distributed pass) —
+  the Delta/Iceberg data-skipping design: a selective read first
+  evaluates its predicate against the stats INTERVALS on the driver
+  (manifest = bounded metadata) and scans only the files that can
+  match, then re-applies the full predicate in Spark so pruning is an
+  optimization, never a correctness input. ``count()`` is answered
+  from manifest row counts alone — zero data I/O.
+
+Capacity note for 100 TB: manifests hold file PATHS, tags, and per-file
+column stats (metadata-scale — bounded by file count × stat columns;
+compaction bounds file count); data-file I/O is the normal distributed
+parquet scan over an explicit file list, identical in plan shape to any
+other read here. At 100 TB the skipping stats are the difference between
+"scan everything for a point lookup" and "scan the handful of files
+whose [min,max] admit the key" — the same lever Delta's file-level stats
+and Iceberg's manifest entries provide, with the same caveat: skipping
+quality follows layout (Z-order/range-partitioned commits give tight
+disjoint intervals; random layout gives overlapping ones and prunes
+nothing — q111's Z-order export is the companion writer).
 """
 
 from __future__ import annotations
 
+import math
 import os
 import re
 import uuid
+from datetime import date, datetime
+from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from logverzcore_spark.fsutil import (
     CommitConflict,
@@ -66,19 +87,212 @@ __all__ = ["SnapshotTable", "CommitConflict"]
 
 _VRE = re.compile(r"^v(\d+)\.json$")
 
+# ---------------------------------------------------------------------------
+# File-level column statistics (data skipping)
+#
+# Eligible types are the atomic ORDERED ones whose min/max round-trip
+# losslessly through the JSON manifest: integers, floats (finite only),
+# strings (bound-preserving truncation below), booleans, and date/
+# timestamp (serialized as fixed-width ISO-style strings, whose
+# lexicographic order equals temporal order). Deliberately excluded:
+# decimal (string form doesn't sort numerically), binary, and nested
+# types — a file simply carries no stats for those columns and is never
+# pruned on them. Reference parity note: the reference's registry
+# declares an "Indexes" facility but ships it empty everywhere
+# (SURVEY §1.1, Logverz-Engine.json Indexes: []); file-interval skipping
+# is the scan-architecture equivalent of that intent.
+# ---------------------------------------------------------------------------
+
+#: Longest string stored verbatim in a manifest stat. Longer values are
+#: truncated BOUND-PRESERVINGLY: a prefix is a valid lower bound as-is,
+#: and a valid upper bound after bumping its last bumpable code point
+#: (exactly Iceberg's truncate-and-increment rule).
+_STR_STAT_MAX = 96
+
+_STAT_NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+_STAT_TEMPORAL = {"date", "timestamp", "timestamp_ntz"}
+_STAT_TYPES = _STAT_NUMERIC | _STAT_TEMPORAL | {"string", "boolean"}
+
+#: Comparison ops the interval evaluator understands. Anything else
+#: (pattern ops, notIn, notBetween, ...) conservatively keeps the file.
+_INTERVAL_OPS = {"eq", "is", "ne", "gt", "gte", "lt", "lte", "in", "between"}
+
+
+def _bump_prefix(s: str) -> str | None:
+    """Smallest string > every string with prefix ``s``: bump the last
+    bumpable code point, dropping anything after it. None if every code
+    point is already chr(0x10FFFF) (no finite upper bound exists)."""
+    chars = list(s)
+    for i in range(len(chars) - 1, -1, -1):
+        cp = ord(chars[i])
+        if cp < 0x10FFFF:
+            return "".join(chars[:i]) + chr(cp + 1)
+    return None
+
+
+def _encode_stat(value: Any, dtype: str, bound: str) -> Any:
+    """JSON-safe encoding of one min/max value; None means "no usable
+    bound" (the file stays unprunable on this column in that direction)."""
+    if value is None:
+        return None
+    if dtype in _STAT_NUMERIC:
+        v = float(value) if dtype in ("float", "double") else int(value)
+        if isinstance(v, float) and not math.isfinite(v):
+            return None  # NaN/inf break interval ordering — drop the bound
+        return v
+    if dtype in _STAT_TEMPORAL:
+        # str(datetime) == 'YYYY-MM-DD HH:MM:SS[.ffffff]' — fixed-width
+        # prefix, so lexicographic order == temporal order.
+        return str(value)
+    if dtype == "boolean":
+        return bool(value)
+    s = str(value)
+    if len(s) <= _STR_STAT_MAX:
+        return s
+    prefix = s[:_STR_STAT_MAX]
+    return prefix if bound == "min" else _bump_prefix(prefix)
+
+
+def _encode_literal(value: Any, dtype: str) -> Any:
+    """Bring a predicate literal into the stored-stat domain (same
+    encoding as _encode_stat, minus truncation — literals are exact)."""
+    if value is None:
+        return None
+    if dtype in _STAT_TEMPORAL:
+        if isinstance(value, (datetime, date)):
+            return str(value)
+        return str(value).replace("T", " ")
+    if dtype in _STAT_NUMERIC:
+        from logverzcore_spark.operators.optree import type_literal
+
+        v = type_literal(value)
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            return None  # non-numeric literal vs numeric column: no prune
+        return v
+    if dtype == "boolean":
+        return value if isinstance(value, bool) else None
+    return str(value)
+
+
+def _interval_can_match(op: str, value: Any, ent: dict, dtype: str) -> bool:
+    """Can ANY row of a file with stats ``ent`` satisfy ``col op value``?
+    True = keep the file (conservative); False = provably no match."""
+    nulls = ent.get("nulls")
+    rows = ent.get("rows")
+    lo, hi = ent.get("min"), ent.get("max")
+    all_null = rows is not None and nulls == rows
+    if value is None:
+        if op in ("eq", "is"):  # compile_where: IS NULL
+            return nulls is None or nulls > 0
+        if op == "ne":  # compile_where: IS NOT NULL
+            return not all_null
+        return True
+    if all_null:
+        # Every interval op compares col to a non-null literal; NULL rows
+        # never satisfy any of them (SQL three-valued logic).
+        return False
+    if op == "in":
+        vs = [_encode_literal(v, dtype) for v in value]
+        return any(
+            v is not None
+            and (lo is None or v >= lo)
+            and (hi is None or v <= hi)
+            for v in vs
+        ) or any(v is None for v in vs)
+    if op == "between":
+        blo, bhi = (_encode_literal(v, dtype) for v in value)
+        if blo is None or bhi is None:
+            return True
+        return (hi is None or blo <= hi) and (lo is None or bhi >= lo)
+    v = _encode_literal(value, dtype)
+    if v is None:
+        return True
+    if op in ("eq", "is"):
+        return (lo is None or v >= lo) and (hi is None or v <= hi)
+    if op == "ne":
+        # Only prunable when every non-null row equals v exactly.
+        return not (lo == hi == v and (nulls or 0) == 0)
+    if op == "gt":
+        return hi is None or hi > v
+    if op == "gte":
+        return hi is None or hi >= v
+    if op == "lt":
+        return lo is None or lo < v
+    if op == "lte":
+        return lo is None or lo <= v
+    return True
+
+
+def _file_can_match(tree: Any, fstats: dict | None, schema: dict) -> bool:
+    """Driver-side interval evaluation of an optree predicate against one
+    file's stats. Mirrors optree.compile_where's accepted shapes; every
+    construct the interval algebra can't decide returns True (keep).
+    ``not`` is conservatively True: can_match(¬P) is not ¬can_match(P)
+    — deciding it needs must-match intervals, which min/max alone don't
+    give for multi-row files."""
+    if fstats is None:
+        return True
+    if not isinstance(tree, dict):
+        return True
+    for key, value in tree.items():
+        key_name = key.strip("<>")
+        if key_name == "and":
+            subs = value if isinstance(value, (list, tuple)) else [value]
+            if not all(_file_can_match(v, fstats, schema) for v in subs):
+                return False
+        elif key_name == "or":
+            subs = value if isinstance(value, (list, tuple)) else [value]
+            if subs and not any(
+                _file_can_match(v, fstats, schema) for v in subs
+            ):
+                return False
+        elif key_name == "not":
+            continue
+        else:
+            cols = fstats.get("cols", {})
+            if key_name not in cols or key_name not in schema:
+                continue
+            ent = dict(cols[key_name])
+            ent["rows"] = fstats.get("rows")
+            dtype = schema[key_name]
+            if isinstance(value, dict):
+                for op, operand in value.items():
+                    op = op.strip("<>")
+                    if op in _INTERVAL_OPS and not _interval_can_match(
+                        op, operand, ent, dtype
+                    ):
+                        return False
+            else:
+                from logverzcore_spark.operators.optree import type_literal
+
+                if not _interval_can_match(
+                    "eq", type_literal(value), ent, dtype
+                ):
+                    return False
+    return True
+
 
 class SnapshotTable:
-    def __init__(self, root: str, backend=None):
+    def __init__(self, root: str, backend=None, stats_columns=None):
         """``backend`` routes every MANIFEST read/commit through a
         :class:`fsutil.CommitBackend` — pass a ConditionalPutBackend on
         object stores (fsutil's atomicity-scope note); default keeps
         the Hadoop rename family. Data files need no backend: they are
         immutable uuid-named parquet, never renamed or overwritten, and
-        invisible until a manifest commit references them."""
+        invisible until a manifest commit references them.
+
+        ``stats_columns`` controls commit-time file statistics (data
+        skipping): None (default) collects min/max/nulls for every
+        eligible atomic column plus per-file row counts; a list
+        restricts to those columns (a huge text column is pure manifest
+        bloat — its min/max are megabyte strings truncated to 96 chars
+        that no sane predicate ranges over); False disables collection
+        entirely (``analyze`` can backfill later)."""
         self.root = root.rstrip("/")
         self.data = os.path.join(self.root, "data")
         self.snaps = os.path.join(self.root, "_snapshots")
         self.backend = backend
+        self.stats_columns = stats_columns
 
     def versions(self, spark: SparkSession) -> list[int]:
         if self.backend is not None:
@@ -113,11 +327,21 @@ class SnapshotTable:
         tag: str | None,
         parent: dict | None,
         parent_version: int,
+        stats: dict | None = None,
+        stats_schema: dict | None = None,
     ) -> int:
         all_tags = list(parent.get("all_tags", [])) if parent else []
         if tag is not None:
             all_tags.append(tag)
-        payload = {"files": sorted(files), "tag": tag, "all_tags": all_tags}
+        payload = {
+            "files": sorted(files),
+            "tag": tag,
+            "all_tags": all_tags,
+            "stats": {
+                k: v for k, v in (stats or {}).items() if k in set(files)
+            },
+            "stats_schema": stats_schema or {},
+        }
         version = parent_version + 1
         # Exclusive commit: a concurrent committer who read the same
         # head raises CommitConflict here (its data files stay orphaned
@@ -144,10 +368,13 @@ class SnapshotTable:
             return 0, None
         return vs[-1], self._read_manifest(spark, vs[-1])
 
-    def _write_data(self, df: DataFrame) -> list[str]:
+    def _write_data(self, df: DataFrame) -> tuple[list[str], dict, dict]:
         """Write a commit's data files into a fresh immutable dir and
-        return their paths. A crash after this but before the manifest
-        commit leaves them orphaned and invisible (vacuum reclaims)."""
+        return (paths, per-file stats, stats schema). A crash after this
+        but before the manifest commit leaves them orphaned and
+        invisible (vacuum reclaims). Stats cost ONE extra distributed
+        columnar scan of the just-written files only (never the whole
+        table) — the price of every future read that skips them."""
         dirname = os.path.join(self.data, uuid.uuid4().hex[:12])
         df.write.parquet(dirname)
         spark = df.sparkSession
@@ -158,7 +385,75 @@ class SnapshotTable:
             st = it.next()
             if st.getPath().getName().startswith("part-"):
                 files.append(st.getPath().toString())
-        return files
+        if self.stats_columns is False:
+            return files, {}, {}
+        stats, schema = self._collect_stats(spark, files)
+        return files, stats, schema
+
+    def _collect_stats(
+        self, spark: SparkSession, files: list[str]
+    ) -> tuple[dict, dict]:
+        """One distributed pass over ``files``: per-file row count and,
+        per eligible column, min / max / null count, grouped by the
+        hidden ``_metadata.file_path`` and re-keyed to the manifest's
+        path strings by basename (unique within a commit's uuid dirs;
+        the driver-side result is files × columns — bounded metadata,
+        the repo's collect discipline)."""
+        if not files:
+            return {}, {}
+        src = spark.read.parquet(*files)
+        eligible = [
+            (f.name, f.dataType.simpleString())
+            for f in src.schema.fields
+            if f.dataType.simpleString() in _STAT_TYPES
+            and (self.stats_columns is None or f.name in self.stats_columns)
+        ]
+        schema = dict(eligible)
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for name, _ in eligible:
+            c = F.col(f"`{name}`")
+            aggs.append(F.min(c).alias(f"__min__{name}"))
+            aggs.append(F.max(c).alias(f"__max__{name}"))
+            aggs.append(
+                F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(
+                    f"__nulls__{name}"
+                )
+            )
+        rows = (
+            src.groupBy(
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("__base")
+            )
+            .agg(*aggs)
+            .collect()
+        )
+        by_base = {os.path.basename(f): f for f in files}
+        stats: dict[str, dict] = {}
+        for r in rows:
+            path = by_base.get(r["__base"])
+            if path is None:
+                continue
+            cols = {}
+            for name, dtype in eligible:
+                lo = _encode_stat(r[f"__min__{name}"], dtype, "min")
+                hi = _encode_stat(r[f"__max__{name}"], dtype, "max")
+                cols[name] = {
+                    "min": lo,
+                    "max": hi,
+                    "nulls": int(r[f"__nulls__{name}"] or 0),
+                }
+            stats[path] = {"rows": int(r["__rows"]), "cols": cols}
+        for base, path in by_base.items():
+            if path not in stats:  # zero-row file: no group row came back
+                stats[path] = {
+                    "rows": 0,
+                    "cols": {
+                        name: {"min": None, "max": None, "nulls": 0}
+                        for name, _ in eligible
+                    },
+                }
+        return stats, schema
 
     def append(self, df: DataFrame, tag: str | None = None) -> int:
         """Commit current-version files + the new data as version N+1.
@@ -175,7 +470,15 @@ class SnapshotTable:
         if tag is not None and head and tag in head.get("all_tags", []):
             return head_v
         base = head["files"] if head else []
-        return self._commit(spark, base + self._write_data(df), tag, head, head_v)
+        new_files, new_stats, new_schema = self._write_data(df)
+        stats = {**(head.get("stats", {}) if head else {}), **new_stats}
+        schema = {
+            **(head.get("stats_schema", {}) if head else {}),
+            **new_schema,
+        }
+        return self._commit(
+            spark, base + new_files, tag, head, head_v, stats, schema
+        )
 
     def overwrite(self, df: DataFrame, tag: str | None = None) -> int:
         """Commit the new data as the ENTIRE next version (a rewrite —
@@ -185,21 +488,110 @@ class SnapshotTable:
         head_v, head = self._head(spark)
         if tag is not None and head and tag in head.get("all_tags", []):
             return head_v
-        return self._commit(spark, self._write_data(df), tag, head, head_v)
+        new_files, new_stats, new_schema = self._write_data(df)
+        return self._commit(
+            spark, new_files, tag, head, head_v, new_stats, new_schema
+        )
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """The table as of ``version`` (default: latest) — byte-stable
-        forever, because the files a manifest names are immutable."""
+    def _resolve(self, spark: SparkSession, version: int | None) -> dict:
         vs = self.versions(spark)
         if not vs:
             raise FileNotFoundError(f"no committed snapshots under {self.root}")
         v = vs[-1] if version is None else version
         if v not in vs:
             raise ValueError(f"version {v} not in {vs}")
-        files = self._manifest(spark, v)
+        return self._read_manifest(spark, v)
+
+    def prune_files(
+        self, spark: SparkSession, where: Any, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """Evaluate an optree predicate (optree.compile_where shapes)
+        against the manifest's per-file stats intervals — pure driver
+        work over bounded metadata, zero data I/O. Returns (files that
+        can match, total files). Files without stats always survive;
+        the caller MUST still apply the real predicate to the scan
+        (``read(where=)`` does) — pruning is sound, not exact."""
+        m = self._resolve(spark, version)
+        files = m["files"]
+        stats = m.get("stats", {})
+        schema = m.get("stats_schema", {})
+        kept = [
+            f for f in files if _file_can_match(where, stats.get(f), schema)
+        ]
+        return kept, len(files)
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        where: Any = None,
+    ) -> DataFrame:
+        """The table as of ``version`` (default: latest) — byte-stable
+        forever, because the files a manifest names are immutable.
+
+        ``where`` (an optree predicate) turns the read selective: files
+        whose stats intervals provably cannot match are never scanned
+        (data skipping), and the FULL predicate is re-applied to the
+        surviving files so the result is identical to
+        ``read().filter(...)`` whether or not any file pruned."""
+        m = self._resolve(spark, version)
+        files = m["files"]
         if not files:
-            raise ValueError(f"version {v} is empty")
-        return spark.read.parquet(*files)
+            raise ValueError("version is empty")
+        if where is None:
+            return spark.read.parquet(*files)
+        from logverzcore_spark.operators.optree import compile_where
+
+        stats = m.get("stats", {})
+        schema = m.get("stats_schema", {})
+        kept = [
+            f for f in files if _file_can_match(where, stats.get(f), schema)
+        ]
+        # All files pruned: keep one file for its schema; the residual
+        # filter (provably unsatisfiable over it) returns zero rows.
+        target = kept or files[:1]
+        return spark.read.parquet(*target).filter(compile_where(where))
+
+    def count(self, spark: SparkSession, version: int | None = None) -> int:
+        """Row count of a version from manifest row counts alone — zero
+        data I/O when every file carries stats (every post-stats commit
+        does); files from pre-stats manifests fall back to one
+        distributed count over just those files."""
+        m = self._resolve(spark, version)
+        stats = m.get("stats", {})
+        total = 0
+        missing = []
+        for f in m["files"]:
+            ent = stats.get(f)
+            if ent is not None and ent.get("rows") is not None:
+                total += ent["rows"]
+            else:
+                missing.append(f)
+        if missing:
+            total += spark.read.parquet(*missing).count()
+        return total
+
+    def analyze(
+        self, spark: SparkSession, tag: str | None = None
+    ) -> int:
+        """Backfill stats for head files that lack them (pre-stats
+        commits, or a table built with ``stats_columns=False``) and
+        commit the SAME file list + completed stats as version N+1 —
+        manifests are immutable, so enrichment is a new version. No-op
+        (returns the head version, no commit) when nothing is missing."""
+        head_v, head = self._head(spark)
+        if head is None:
+            raise FileNotFoundError(f"no committed snapshots under {self.root}")
+        files = head["files"]
+        stats = dict(head.get("stats", {}))
+        schema = dict(head.get("stats_schema", {}))
+        missing = [f for f in files if f not in stats]
+        if not missing:
+            return head_v
+        new_stats, new_schema = self._collect_stats(spark, missing)
+        stats.update(new_stats)
+        schema.update(new_schema)
+        return self._commit(spark, files, tag, head, head_v, stats, schema)
 
     def read_incremental(
         self, spark: SparkSession, from_version: int, to_version: int | None = None

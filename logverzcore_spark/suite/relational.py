@@ -4727,3 +4727,68 @@ def q131_json_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("props")
     )
     return json_schema_drift(old, new)
+
+
+@query(
+    "q132_snapshot_skipping",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q132_snapshot_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping read (SnapshotTable.read(where=)): commits carry
+    per-file min/max/null/row stats collected at write time, and a
+    selective read prunes files whose intervals provably cannot match
+    BEFORE the scan — the Delta/Iceberg file-skipping design on the
+    repo's manifest tables. Fixture: orders committed in three
+    date-range appends (disjoint o_orderdate intervals — the layout a
+    range-partitioned or Z-ordered writer produces), then one year read
+    back through the stats-pruned path and aggregated; the oracle is
+    the same year over the flat table, so the result proves pruning
+    changed nothing while the pytest gate (test_snapshot_skipping)
+    proves files were actually skipped. Parity note: the reference
+    registry declares an "Indexes" facility but ships it empty
+    (Logverz-Engine.json:1606-1770 'Indexes: []'); interval skipping is
+    the scan-architecture realization of that intent."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(), f"q132_snap_{_uuid.uuid4().hex[:8]}"
+    )
+    t = SnapshotTable(root)
+    try:
+        yr = F.year("o_orderdate")
+        for lo, hi in ((1995, 1997), (1997, 1999), (1999, 2002)):
+            t.append(orders.where((yr >= lo) & (yr < hi)))
+        pruned = t.read(
+            spark,
+            where={
+                "o_orderdate": {"gte": "1997-01-01", "lt": "1998-01-01"}
+            },
+        )
+        cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        out = (
+            pruned.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(cents).alias("total_cents"),
+            )
+            .orderBy("o_orderpriority")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -1,0 +1,304 @@
+"""SnapshotTable data skipping: commit-time file stats, interval
+pruning, metadata-only counts, analyze backfill.
+
+The invariant under test everywhere: ``read(where=...)`` returns
+EXACTLY ``read().filter(compile_where(where))`` rows — pruning may only
+remove files that provably cannot match (sound), never change results
+(the residual filter runs regardless). Reference parity: the registry's
+declared-but-empty "Indexes" facility (SURVEY §1.1) — file-interval
+skipping is the scan engine's equivalent of that intent.
+"""
+
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from logverzcore_spark.operators.optree import compile_where
+from logverzcore_spark.snapshots import (
+    SnapshotTable,
+    _bump_prefix,
+    _file_can_match,
+)
+
+
+def _mkroot(tmpdir_path) -> str:
+    return os.path.join(str(tmpdir_path), f"snap_{uuid.uuid4().hex[:8]}")
+
+
+def _corpus(spark):
+    return (
+        spark.range(0, 1200)
+        .withColumn("k", F.col("id").cast("int"))
+        .withColumn(
+            "s",
+            F.concat(
+                F.lit("doc-"), F.lpad(F.col("id").cast("string"), 6, "0")
+            ),
+        )
+        .withColumn(
+            "ts",
+            F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("id")),
+        )
+        .withColumn(
+            "d",
+            F.date_add(F.to_date(F.lit("2026-01-01")), (F.col("k") / 100).cast("int")),
+        )
+        .withColumn("flag", F.col("id") % 2 == 0)
+    )
+
+
+def _ranged_table(spark, tmpdir_path, **kw) -> SnapshotTable:
+    """Four appends with disjoint id ranges — the prunable layout."""
+    t = SnapshotTable(_mkroot(tmpdir_path), **kw)
+    df = _corpus(spark)
+    for lo in (0, 300, 600, 900):
+        t.append(
+            df.where((F.col("id") >= lo) & (F.col("id") < lo + 300)).coalesce(2)
+        )
+    return t
+
+
+def test_stats_collected_per_file_and_count_is_metadata_only(spark, tmpdir_path):
+    t = _ranged_table(spark, tmpdir_path)
+    m = t._read_manifest(spark, 4)
+    assert set(m["stats"]) == set(m["files"])  # every file has stats
+    assert m["stats_schema"]["k"] == "int"
+    assert m["stats_schema"]["ts"] == "timestamp"
+    # boolean + date + string all eligible
+    assert {"s", "d", "flag"} <= set(m["stats_schema"])
+    total = sum(e["rows"] for e in m["stats"].values())
+    assert total == 1200
+    assert t.count(spark) == 1200
+    assert t.count(spark, version=1) == 300
+
+
+def test_prune_is_selective_and_read_where_is_exact(spark, tmpdir_path):
+    t = _ranged_table(spark, tmpdir_path)
+    predicates = [
+        {"k": {"between": [310, 340]}},
+        {"k": {"gte": 1100}},
+        {"k": 42},
+        {"s": {"gte": "doc-000900"}},
+        {"ts": {"lt": "2026-01-01 00:04:10"}},
+        {"d": {"eq": "2026-01-03"}},
+        {"and": [{"k": {"gte": 250}}, {"k": {"lt": 350}}]},
+        {"or": [{"k": {"lt": 10}}, {"k": {"gte": 1190}}]},
+        {"k": {"in": [5, 6, 7]}},
+    ]
+    for where in predicates:
+        kept, total = t.prune_files(spark, where)
+        assert 0 < len(kept) < total, (where, len(kept), total)
+        got = sorted(r["id"] for r in t.read(spark, where=where).collect())
+        want = sorted(
+            r["id"]
+            for r in t.read(spark).filter(compile_where(where)).collect()
+        )
+        assert got == want, where
+
+
+def test_unprunable_shapes_keep_all_files_but_stay_exact(spark, tmpdir_path):
+    t = _ranged_table(spark, tmpdir_path)
+    # pattern ops, not, unknown column, notIn: interval algebra punts —
+    # all files kept, result still exact via the residual filter.
+    for where in (
+        {"s": {"like": "doc-0003%"}},
+        {"not": {"k": {"lt": 600}}},
+        {"k": {"notIn": [1, 2]}},
+    ):
+        kept, total = t.prune_files(spark, where)
+        assert len(kept) == total, where
+        got = t.read(spark, where=where).count()
+        want = t.read(spark).filter(compile_where(where)).count()
+        assert got == want, where
+
+
+def test_no_matching_file_returns_empty_with_schema(spark, tmpdir_path):
+    t = _ranged_table(spark, tmpdir_path)
+    kept, total = t.prune_files(spark, {"k": 999999})
+    assert kept == []
+    out = t.read(spark, where={"k": 999999})
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "k", "s", "ts", "d", "flag"}
+
+
+def test_string_truncation_bounds_are_sound(spark, tmpdir_path):
+    # values are 200-char strings; stats store a 96-char truncation whose
+    # max is prefix-bumped, so the interval still COVERS every true value.
+    t = SnapshotTable(_mkroot(tmpdir_path))
+    df = (
+        spark.range(0, 100)
+        .withColumn(
+            "pad",
+            F.concat(
+                F.lit("k"),
+                F.lpad(F.col("id").cast("string"), 4, "0"),
+                F.repeat(F.lit("z"), 195),
+            ),
+        )
+    )
+    t.append(df.where("id < 50").coalesce(1))
+    t.append(df.where("id >= 50").coalesce(1))
+    m = t._read_manifest(spark, 2)
+    for ent in m["stats"].values():
+        assert len(ent["cols"]["pad"]["min"]) <= 96
+        assert len(ent["cols"]["pad"]["max"]) <= 96
+    # a value inside file 1's true range must never prune file 1
+    probe = "k0007" + "z" * 195
+    kept, total = t.prune_files(spark, {"pad": probe})
+    assert total == 2 and len(kept) >= 1
+    assert t.read(spark, where={"pad": probe}).count() == 1
+    # range predicate prunes the other file
+    kept, _ = t.prune_files(spark, {"pad": {"gte": "k0099"}})
+    assert len(kept) == 1
+
+
+def test_bump_prefix_edge_cases():
+    assert _bump_prefix("abc") == "abd"
+    assert _bump_prefix("ab" + chr(0x10FFFF)) == "ac"
+    assert _bump_prefix(chr(0x10FFFF) * 3) is None
+
+
+def test_all_null_and_nan_files(spark, tmpdir_path):
+    t = SnapshotTable(_mkroot(tmpdir_path))
+    t.append(
+        spark.range(0, 10)
+        .withColumn("v", F.lit(None).cast("double"))
+        .coalesce(1)
+    )
+    t.append(
+        spark.range(10, 20)
+        .withColumn(
+            "v",
+            F.when(F.col("id") == 15, F.lit(float("nan"))).otherwise(
+                F.col("id").cast("double")
+            ),
+        )
+        .coalesce(1)
+    )
+    m = t._read_manifest(spark, 2)
+    ents = [e["cols"]["v"] for e in m["stats"].values()]
+    null_ent = next(e for e in ents if e["nulls"] == 10)
+    nan_ent = next(e for e in ents if e["nulls"] == 0)
+    # all-null file: bounds are None, nulls == rows
+    assert null_ent["min"] is None and null_ent["max"] is None
+    # NaN poisons max (Spark sorts NaN above everything): the bound is
+    # dropped, never stored as a non-finite JSON value
+    assert nan_ent["max"] is None
+    assert nan_ent["min"] is not None
+    # comparisons prune the all-null file, keep the NaN file (no max bound)
+    kept, total = t.prune_files(spark, {"v": {"gte": 100.0}})
+    assert total == 2 and len(kept) == 1
+    # IS NULL keeps the all-null file, prunes the null-free one
+    kept, _ = t.prune_files(spark, {"v": None})
+    assert len(kept) == 1
+    got = t.read(spark, where={"v": {"gte": 11.0}}).count()
+    want = t.read(spark).filter("v >= 11.0").count()
+    assert got == want
+
+
+def test_empty_append_and_zero_row_files(spark, tmpdir_path):
+    t = SnapshotTable(_mkroot(tmpdir_path))
+    df = spark.range(0, 10).withColumn("k", F.col("id").cast("int"))
+    t.append(df.coalesce(1))
+    t.append(df.limit(0).coalesce(1))  # zero-row commit
+    assert t.count(spark) == 10
+    kept, total = t.prune_files(spark, {"k": {"gte": 0}})
+    # zero-row files are always prunable
+    assert len(kept) < total or total == 1
+    assert t.read(spark, where={"k": {"gte": 0}}).count() == 10
+
+
+def test_analyze_backfills_pre_stats_manifests(spark, tmpdir_path):
+    root = _mkroot(tmpdir_path)
+    plain = SnapshotTable(root, stats_columns=False)
+    df = spark.range(0, 100).withColumn("k", F.col("id").cast("int"))
+    plain.append(df.where("id < 50").coalesce(1))
+    plain.append(df.where("id >= 50").coalesce(1))
+    m = plain._read_manifest(spark, 2)
+    assert m.get("stats", {}) == {}
+    # count falls back to a distributed count without stats
+    assert plain.count(spark) == 100
+    t = SnapshotTable(root)
+    v = t.analyze(spark)
+    assert v == 3
+    m = t._read_manifest(spark, v)
+    assert set(m["stats"]) == set(m["files"])
+    assert t.count(spark) == 100  # now metadata-only
+    kept, total = t.prune_files(spark, {"k": {"lt": 10}})
+    assert len(kept) == 1 and total == 2
+    # analyze is idempotent: nothing missing -> no new commit
+    assert t.analyze(spark) == v
+
+
+def test_stats_columns_allowlist_and_overwrite_resets(spark, tmpdir_path):
+    t = SnapshotTable(_mkroot(tmpdir_path), stats_columns=["k"])
+    df = (
+        spark.range(0, 100)
+        .withColumn("k", F.col("id").cast("int"))
+        .withColumn("other", F.col("id") * 2)
+    )
+    t.append(df.coalesce(1))
+    m = t._read_manifest(spark, 1)
+    assert set(m["stats_schema"]) == {"k"}
+    # overwrite: stats describe ONLY the new files
+    t.overwrite(df.where("id < 7").coalesce(1))
+    m = t._read_manifest(spark, 2)
+    assert set(m["stats"]) == set(m["files"])
+    assert t.count(spark) == 7
+    # old version's stats still resolvable
+    assert t.count(spark, version=1) == 100
+
+
+def test_append_carries_parent_stats_forward(spark, tmpdir_path):
+    t = _ranged_table(spark, tmpdir_path)
+    m4 = t._read_manifest(spark, 4)
+    m1 = t._read_manifest(spark, 1)
+    for f in m1["files"]:
+        assert m4["stats"][f] == m1["stats"][f]
+
+
+def test_file_can_match_missing_stats_is_conservative():
+    assert _file_can_match({"k": 5}, None, {"k": "int"})
+    assert _file_can_match({"k": 5}, {"rows": 3, "cols": {}}, {"k": "int"})
+    # column present but not in schema: keep
+    assert _file_can_match(
+        {"k": 5}, {"rows": 3, "cols": {"k": {"min": 9, "max": 9, "nulls": 0}}}, {}
+    )
+
+
+def test_ne_prunes_only_constant_files(spark, tmpdir_path):
+    t = SnapshotTable(_mkroot(tmpdir_path))
+    df = spark.range(0, 20).withColumn(
+        "c", F.when(F.col("id") < 10, 7).otherwise(F.col("id")).cast("int")
+    )
+    t.append(df.where("id < 10").coalesce(1))  # c == 7 constant
+    t.append(df.where("id >= 10").coalesce(1))
+    kept, total = t.prune_files(spark, {"c": {"ne": 7}})
+    assert total == 2 and len(kept) == 1
+    got = t.read(spark, where={"c": {"ne": 7}}).count()
+    assert got == 10
+
+
+def test_q132_fixture_actually_prunes(spark, tmpdir_path):
+    """The graded entry proves results; this proves the SKIP: the
+    year-ranged commit layout must let the one-year predicate prune at
+    least one whole commit's files before any scan."""
+    from tests.conftest import SF_DIR
+
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    t = SnapshotTable(_mkroot(tmpdir_path))
+    yr = F.year("o_orderdate")
+    for lo, hi in ((1995, 1997), (1997, 1999), (1999, 2002)):
+        t.append(orders.where((yr >= lo) & (yr < hi)))
+    where = {"o_orderdate": {"gte": "1997-01-01", "lt": "1998-01-01"}}
+    kept, total = t.prune_files(spark, where)
+    assert len(kept) < total  # files outside 1997-1998 never scanned
+    got = t.read(spark, where=where).count()
+    want = orders.filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    ).count()
+    assert got == want
