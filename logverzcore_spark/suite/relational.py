@@ -4792,3 +4792,76 @@ def q132_snapshot_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@query(
+    "q133_incremental_mv",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q133_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized aggregate (incremental.
+    IncrementalAggregate): the delta-cost refresh the full-recompute
+    sweep (refresh_materialized) can't give a 100 TB source. Orders
+    arrive as three snapshot appends; after EACH append the MV merges
+    only that delta's partial aggregates into group-cardinality state
+    (read_incremental file diff — committed history is never re-read),
+    and the final state must equal the one-shot GROUP BY over
+    everything (the oracle). Partials are the mergeable algebra
+    (count/sum/min/max as themselves, avg as sum+count, approx-distinct
+    as hll_union_agg); state lives in its own SnapshotTable, so
+    refreshes are atomic tagged commits — crash replay and concurrent
+    refreshers are pytest-graded (test_incremental_mv)."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.incremental import IncrementalAggregate
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "cents", F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"q133_mv_{_uuid.uuid4().hex[:8]}"
+    )
+    src = SnapshotTable(os.path.join(root, "src"))
+    mv = IncrementalAggregate(
+        src,
+        os.path.join(root, "mv"),
+        group_keys=["o_orderpriority"],
+        aggregates={
+            "n_orders": ("count", None),
+            "total_cents": ("sum", "cents"),
+            "min_key": ("min", "o_orderkey"),
+            "max_key": ("max", "o_orderkey"),
+        },
+    )
+    try:
+        for k in (0, 1, 2):
+            src.append(orders.where(F.col("o_orderkey") % 3 == k))
+            mv.refresh(spark)
+        out = (
+            mv.result(spark)
+            .select(
+                "o_orderpriority",
+                F.col("n_orders").cast("long").alias("n_orders"),
+                F.col("total_cents").cast("long").alias("total_cents"),
+                F.col("min_key").cast("long").alias("min_key"),
+                F.col("max_key").cast("long").alias("max_key"),
+            )
+            .orderBy("o_orderpriority")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
