@@ -3112,3 +3112,64 @@ def t64_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((score + noise) >= 1200).alias("label"),
     )
     return text.reliability_bins(scored, "score_bp", "label", bin_width=250)
+
+
+@query(
+    "t65_preference_pairs",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id % 13 AS prompt_id, doc_id, n_chars
+      FROM documents
+    ), ranked AS (
+      SELECT prompt_id, doc_id, n_chars,
+        row_number() OVER (PARTITION BY prompt_id
+                           ORDER BY n_chars DESC, doc_id DESC) AS rb,
+        row_number() OVER (PARTITION BY prompt_id
+                           ORDER BY n_chars ASC, doc_id ASC) AS rw,
+        COUNT(*) OVER (PARTITION BY prompt_id) AS n_cand
+      FROM scored
+    )
+    SELECT b.prompt_id,
+           CAST(b.doc_id AS BIGINT) AS chosen_id,
+           CAST(w.doc_id AS BIGINT) AS rejected_id,
+           CAST(b.n_chars AS BIGINT) AS chosen_score,
+           CAST(w.n_chars AS BIGINT) AS rejected_score,
+           CAST(b.n_chars - w.n_chars AS BIGINT) AS margin,
+           CAST(b.n_cand AS BIGINT) AS n_candidates
+    FROM ranked b JOIN ranked w ON b.prompt_id = w.prompt_id
+    WHERE b.rb = 1 AND w.rw = 1
+      AND b.n_cand >= 2
+      AND b.n_chars - w.n_chars >= 16
+      AND b.n_chars > w.n_chars
+    ORDER BY b.prompt_id
+    """,
+)
+def t65_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair construction (text.preference_pairs):
+    per prompt group, the strictly best- vs worst-scored candidate with
+    a deterministic (score, id) tiebreak and a minimum-margin gate
+    (margin-zero pairs are label noise). Fixture: documents fan into
+    13 prompt groups by id, scored by n_chars, min_margin=16. The
+    Spark plan is ONE max_by/min_by hash aggregation — no window, no
+    per-group sort (plan-gated in test_plan_quality); the oracle
+    restates it with two row_number windows joined at rank 1."""
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 13).alias("prompt_id"),
+        "doc_id",
+        "n_chars",
+    )
+    return (
+        text.preference_pairs(
+            docs, "prompt_id", "doc_id", "n_chars", min_margin=16
+        )
+        .select(
+            "prompt_id",
+            F.col("chosen_id").cast("long").alias("chosen_id"),
+            F.col("rejected_id").cast("long").alias("rejected_id"),
+            F.col("chosen_score").cast("long").alias("chosen_score"),
+            F.col("rejected_score").cast("long").alias("rejected_score"),
+            F.col("margin").cast("long").alias("margin"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+        )
+        .orderBy("prompt_id")
+    )

@@ -642,3 +642,22 @@ def test_t61_proportional_floor_sample_uses_window_group_limit(spark):
     O(strata x bound x tasks), never the corpus."""
     fmt = _plan(spark, SUITE["t61_proportional_floor_sample"](spark, SF_DIR))
     assert "WindowGroupLimit" in fmt
+
+
+def test_t65_preference_pairs_single_aggregation_no_window(spark):
+    """preference_pairs exists to avoid the two-row_number plan: one
+    max_by/min_by hash aggregation keyed by prompt — no Window, and the
+    only Sort is the entry's final presentation orderBy (which runs
+    over |groups| rows, after the aggregation)."""
+    fmt = _plan(spark, SUITE["t65_preference_pairs"](spark, SF_DIR))
+    assert "Window" not in fmt
+    # exactly one aggregation exchange (the second exchange in the plan
+    # is the final orderBy's range partitioning over |groups| rows)
+    agg_ex = [
+        line
+        for line in fmt.splitlines()
+        if "hashpartitioning" in line and "Arguments" in line
+    ]
+    assert len(agg_ex) == 1
+    # map-side combine (partial max_by/min_by) runs before that exchange
+    assert fmt.index("partial_max_by") < fmt.index("hashpartitioning")
