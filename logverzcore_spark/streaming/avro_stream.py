@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-__all__ = ["avro_collect_stream", "snapshot_append_stream"]
+__all__ = ["avro_collect_stream", "snapshot_append_stream", "incremental_mv_stream"]
 
 
 def avro_collect_stream(
@@ -200,6 +200,48 @@ def snapshot_append_stream(
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         table.append(batch_df, tag=f"{ckid}:batch-{int(batch_id)}")
+    writer = stream_df.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def incremental_mv_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    mv,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming maintained aggregate: every micro-batch (a) appends to
+    the MV's source :class:`SnapshotTable` as one tagged version (the
+    snapshot_append_stream contract — replays no-op at the manifest)
+    and (b) folds ONLY that delta into the
+    :class:`~logverzcore_spark.incremental.IncrementalAggregate` state
+    — so the maintained dashboard is current to the last batch at
+    delta + group-cardinality cost per trigger, never a corpus rescan.
+
+    Crash windows compose from the two idempotence layers underneath:
+    a batch redelivered after its append committed no-ops on the tag
+    and its refresh no-ops on the reflected source version; a crash
+    BETWEEN append and refresh leaves the state one version behind,
+    and the next trigger's refresh folds the multi-version increment
+    in one read_incremental span. ``mv`` is the caller's
+    IncrementalAggregate — read results via ``mv.result(spark)``
+    (group-cardinality state scan, zero source I/O)."""
+    import hashlib
+
+    checkpoint = checkpoint_dir or os.path.join(
+        tempfile.gettempdir(), f"lvz_mvstream_{uuid.uuid4().hex[:8]}"
+    )
+    ckid = hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:12]
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        mv.source.append(batch_df, tag=f"{ckid}:batch-{int(batch_id)}")
+        mv.refresh(batch_df.sparkSession)
+
     writer = stream_df.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint
     )

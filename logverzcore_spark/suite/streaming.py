@@ -1742,3 +1742,80 @@ def st36_streaming_crawl_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in (table, f"{table}_fingerprints"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     return out
+
+
+@query("st37_streaming_incremental_mv", oracle=ORACLES["q133_incremental_mv"])
+def st37_streaming_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintained aggregate (streaming/avro_stream.
+    incremental_mv_stream): orders stream in micro-batches; each batch
+    appends one tagged snapshot version AND folds only that delta into
+    IncrementalAggregate state — the always-current dashboard at
+    delta + group-cardinality cost per trigger. After the drain the
+    maintained state must equal q133's one-shot GROUP BY oracle; a
+    SECOND drain over a lost checkpoint redelivers every batch and
+    must change neither the source version count nor the state (tag
+    no-ops at the manifest, version no-ops at the refresh)."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.incremental import IncrementalAggregate
+    from logverzcore_spark.snapshots import SnapshotTable
+    from logverzcore_spark.streaming.avro_stream import incremental_mv_stream
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "cents", F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    )
+    run_id = _uuid.uuid4().hex[:8]
+    work = tempfile.mkdtemp(prefix=f"st37_{run_id}_")
+    try:
+        src_files = os.path.join(work, "in")
+        orders.coalesce(4).write.parquet(src_files)
+        schema = spark.read.parquet(src_files).schema
+        mv = IncrementalAggregate(
+            SnapshotTable(os.path.join(work, "src")),
+            os.path.join(work, "mv"),
+            group_keys=["o_orderpriority"],
+            aggregates={
+                "n_orders": ("count", None),
+                "total_cents": ("sum", "cents"),
+                "min_key": ("min", "o_orderkey"),
+                "max_key": ("max", "o_orderkey"),
+            },
+        )
+        ck = os.path.join(work, "ck")
+
+        def drain():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1").parquet(src_files)
+            )
+            incremental_mv_stream(
+                spark, stream, mv, checkpoint_dir=ck
+            ).awaitTermination()
+
+        drain()
+        n_src = len(mv.source.versions(spark))
+        n_state = len(mv.state.versions(spark))
+        first = sorted(map(tuple, mv.result(spark).collect()))
+        # lost checkpoint, same identity: full redelivery must no-op
+        shutil.rmtree(ck)
+        drain()
+        assert len(mv.source.versions(spark)) == n_src, "replay re-appended"
+        assert len(mv.state.versions(spark)) == n_state, "replay re-refreshed"
+        assert sorted(map(tuple, mv.result(spark).collect())) == first
+        out = (
+            mv.result(spark)
+            .select(
+                "o_orderpriority",
+                F.col("n_orders").cast("long").alias("n_orders"),
+                F.col("total_cents").cast("long").alias("total_cents"),
+                F.col("min_key").cast("long").alias("min_key"),
+                F.col("max_key").cast("long").alias("max_key"),
+            )
+            .orderBy("o_orderpriority")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

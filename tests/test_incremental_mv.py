@@ -164,3 +164,19 @@ def test_state_is_group_cardinality_not_corpus(spark, tmpdir_path):
     mv.refresh(spark)
     state_rows = mv.state.read(spark).count()
     assert state_rows == 4  # |groups|, regardless of corpus size
+
+
+def test_crash_between_append_and_refresh_folds_multi_version_span(spark, tmpdir_path):
+    """The incremental_mv_stream crash window: a batch whose append
+    committed but whose refresh didn't leaves state one version behind;
+    the NEXT refresh must fold the whole multi-version increment."""
+    src_root, mv_root = _roots(tmpdir_path)
+    src = SnapshotTable(src_root)
+    mv = _mv(src, mv_root)
+    src.append(_df(spark, 0, 200))
+    mv.refresh(spark)
+    src.append(_df(spark, 200, 300))  # crash here: no refresh
+    src.append(_df(spark, 300, 450))
+    rep = mv.refresh(spark)
+    assert rep["mode"] == "delta" and rep["source_version"] == 3
+    _check_exact(mv, spark, _df(spark, 0, 450))
