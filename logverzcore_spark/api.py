@@ -495,9 +495,37 @@ class Engine:
             raise
         self._audit(user, "find", descr, [table])
         return optree.find_all(
-            self.spark.table(table), where=where, attributes=attributes,
+            self._source_df(table, where), where=where, attributes=attributes,
             order=order, limit=limit,
         )
+
+    def _source_df(self, table: str, where: dict | None) -> DataFrame:
+        """The scan behind an operator-tree query. For a pinned
+        snapshot view (Type='SNAP') with a predicate, route through
+        SnapshotTable.read(where=): the find_all ``where`` IS the
+        optree shape the manifest-stats pruner consumes, so files whose
+        intervals cannot match are never scanned — the governed API
+        surface gets data skipping for free. Results are identical
+        either way (the full predicate is re-applied by find_all); any
+        manifest-resolution problem (e.g. an object-store root whose
+        commit backend isn't reconstructable from the catalog entry)
+        falls back to the registered temp view."""
+        from logverzcore_spark.registry import split_table_ref
+
+        if where:
+            database, bare = split_table_ref(table)
+            entry = self.catalog.for_table(bare, database)
+            if entry is not None and entry.Type == "SNAP":
+                from logverzcore_spark.snapshots import SnapshotTable
+
+                qs = entry.QuerySettings
+                try:
+                    return SnapshotTable(qs["SnapshotRoot"]).read(
+                        self.spark, qs["Version"], where=where
+                    )
+                except Exception:
+                    pass
+        return self.spark.table(table)
 
     def find_one(self, table: str, user: User = ADMIN, **kw) -> dict[str, Any] | None:
         rows = self.find_all(table, user, **kw).limit(1).collect()

@@ -1046,3 +1046,42 @@ def test_register_snapshot_acl_grants_non_admin_reads(spark, tmpdir_path):
     power = User(name="pw", groups=[], is_poweruser=True)
     with _pytest.raises(PermissionError):
         eng.register_snapshot("pinned_v1", root, version=2, user=power)
+
+
+def test_find_all_on_snap_entry_prunes_files(spark, tmpdir_path):
+    """Engine.find_all over a pinned snapshot routes its optree where
+    through manifest-stats pruning: the scan touches only files whose
+    intervals can match (observable via inputFiles), the result is
+    identical to the temp-view path, and the ACL gate still applies."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.api import Engine
+    from logverzcore_spark.catalog import Catalog, User
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    eng = Engine(spark, Catalog())
+    root = os.path.join(tmpdir_path, "snapfa")
+    t = SnapshotTable(root)
+    df = spark.range(0, 1000).withColumn("k", F.col("id").cast("int"))
+    for lo in (0, 250, 500, 750):
+        t.append(df.where((F.col("id") >= lo) & (F.col("id") < lo + 250)).coalesce(2))
+    eng.register_snapshot("pinned_fa", root)
+    all_files = set(SnapshotTable(root)._manifest(spark, 4))
+
+    out = eng.find_all("pinned_fa", where={"k": {"between": [260, 280]}})
+    got = sorted(r["k"] for r in out.collect())
+    assert got == list(range(260, 281))
+    # inputFiles spells the scheme file:///, the manifest file:/ —
+    # normalize before comparing
+    norm = lambda p: p.replace("file:///", "file:/")  # noqa: E731
+    scanned = {norm(f) for f in out.inputFiles()}
+    assert scanned and scanned < {norm(f) for f in all_files}
+
+    # temp-view path (no where) unchanged, and ACLs still gate
+    assert eng.find_all("pinned_fa").count() == 1000
+    nobody = User(name="n", groups=[], is_admin=False, is_poweruser=False)
+    with _pytest.raises(PermissionError):
+        eng.find_all("pinned_fa", user=nobody, where={"k": 1})
