@@ -161,7 +161,9 @@ def _encode_literal(value: Any, dtype: str) -> Any:
     if dtype in _STAT_TEMPORAL:
         if isinstance(value, (datetime, date)):
             return str(value)
-        return str(value).replace("T", " ")
+        # a non-string literal against a temporal column (e.g. an int)
+        # has no lexicographic meaning here — don't prune on it
+        return str(value).replace("T", " ") if isinstance(value, str) else None
     if dtype in _STAT_NUMERIC:
         from logverzcore_spark.operators.optree import type_literal
 
@@ -171,7 +173,10 @@ def _encode_literal(value: Any, dtype: str) -> Any:
         return v
     if dtype == "boolean":
         return value if isinstance(value, bool) else None
-    return str(value)
+    # string column: Spark compares a NUMERIC literal by casting the
+    # COLUMN to a number ('05' == 5 matches), which lexicographic
+    # interval logic cannot mirror — only string literals may prune.
+    return value if isinstance(value, str) else None
 
 
 def _interval_can_match(op: str, value: Any, ent: dict, dtype: str) -> bool:

@@ -302,3 +302,29 @@ def test_q132_fixture_actually_prunes(spark, tmpdir_path):
         & (F.col("o_orderdate") < "1998-01-01")
     ).count()
     assert got == want
+
+
+def test_cross_type_literals_never_prune(spark, tmpdir_path):
+    """Spark compares a numeric literal against a STRING column by
+    casting the column ('05' == 5 matches); lexicographic intervals
+    can't mirror that, so such predicates must keep every file — and
+    still return the cast-correct result via the residual filter."""
+    t = SnapshotTable(_mkroot(tmpdir_path))
+    df = spark.range(0, 20).selectExpr(
+        "id", "lpad(cast(id AS string), 2, '0') AS z"
+    )
+    t.append(df.where("id < 10").coalesce(1))
+    t.append(df.where("id >= 10").coalesce(1))
+    # '05' is lexicographically far from 5 — a wrong prune would lose it
+    kept, total = t.prune_files(spark, {"z": 5})
+    assert len(kept) == total  # numeric-vs-string: no pruning allowed
+    assert t.read(spark, where={"z": 5}).count() == 1  # Spark casts: '05'==5
+    # int literal vs timestamp column likewise keeps all files
+    t2 = SnapshotTable(_mkroot(tmpdir_path))
+    t2.append(
+        spark.range(0, 5).selectExpr(
+            "id", "timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts"
+        ).coalesce(1)
+    )
+    kept, total = t2.prune_files(spark, {"ts": {"gte": 12345}})
+    assert len(kept) == total
