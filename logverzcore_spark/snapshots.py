@@ -65,6 +65,7 @@ nothing — q111's Z-order export is the companion writer).
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import re
@@ -277,6 +278,36 @@ def _file_can_match(tree: Any, fstats: dict | None, schema: dict) -> bool:
     return True
 
 
+def _merge_schema_json(parent_json: str | None, new_schema) -> str:
+    """Column-additive schema evolution at commit time: the manifest
+    records the UNION of columns ever appended (new columns appended in
+    arrival order, every carried field nullable — parquet reads a
+    missing column as null). A same-name column whose type CHANGED is
+    refused loudly: silently unioning int-then-string is how a lake
+    gets unreadable files, and the repo's coercion layer (operators/
+    coerce.py) is the right place to reconcile types BEFORE commit."""
+    from pyspark.sql.types import StructField, StructType
+
+    if parent_json is None:
+        return new_schema.json()
+    merged = StructType.fromJson(json.loads(parent_json))
+    have = {f.name: f for f in merged.fields}
+    out = [StructField(f.name, f.dataType, True) for f in merged.fields]
+    for f in new_schema.fields:
+        if f.name in have:
+            old = have[f.name].dataType.simpleString()
+            new = f.dataType.simpleString()
+            if old != new:
+                raise ValueError(
+                    f"schema conflict on column {f.name!r}: committed "
+                    f"{old}, append carries {new} — cast upstream "
+                    "(coerce.py) or overwrite()"
+                )
+        else:
+            out.append(StructField(f.name, f.dataType, True))
+    return StructType(out).json()
+
+
 class SnapshotTable:
     def __init__(self, root: str, backend=None, stats_columns=None):
         """``backend`` routes every MANIFEST read/commit through a
@@ -334,6 +365,7 @@ class SnapshotTable:
         parent_version: int,
         stats: dict | None = None,
         stats_schema: dict | None = None,
+        schema_json: str | None = None,
     ) -> int:
         all_tags = list(parent.get("all_tags", [])) if parent else []
         if tag is not None:
@@ -346,6 +378,7 @@ class SnapshotTable:
                 k: v for k, v in (stats or {}).items() if k in set(files)
             },
             "stats_schema": stats_schema or {},
+            "schema": schema_json,
         }
         version = parent_version + 1
         # Exclusive commit: a concurrent committer who read the same
@@ -398,14 +431,28 @@ class SnapshotTable:
     def _collect_stats(
         self, spark: SparkSession, files: list[str]
     ) -> tuple[dict, dict]:
-        """One distributed pass over ``files``: per-file row count and,
-        per eligible column, min / max / null count, grouped by the
-        hidden ``_metadata.file_path`` and re-keyed to the manifest's
-        path strings by basename (unique within a commit's uuid dirs;
-        the driver-side result is files × columns — bounded metadata,
-        the repo's collect discipline)."""
+        """Distributed stats pass over ``files``: per-file row count
+        and, per eligible column, min / max / null count, grouped by
+        the hidden ``_metadata.file_path`` and re-keyed to the
+        manifest's path strings by basename (globally unique — Spark
+        part names embed a job uuid; the driver-side result is
+        files × columns — bounded metadata, the repo's collect
+        discipline). Files spanning several commit dirs (the analyze
+        backfill path) are processed per dir, because each commit dir
+        is schema-homogeneous while the set may not be."""
         if not files:
             return {}, {}
+        by_dir: dict[str, list[str]] = {}
+        for f in files:
+            by_dir.setdefault(os.path.dirname(f), []).append(f)
+        if len(by_dir) > 1:
+            stats: dict = {}
+            schema: dict = {}
+            for group in by_dir.values():
+                s, sch = self._collect_stats(spark, group)
+                stats.update(s)
+                schema.update(sch)
+            return stats, schema
         src = spark.read.parquet(*files)
         eligible = [
             (f.name, f.dataType.simpleString())
@@ -475,6 +522,9 @@ class SnapshotTable:
         if tag is not None and head and tag in head.get("all_tags", []):
             return head_v
         base = head["files"] if head else []
+        schema_json = _merge_schema_json(
+            head.get("schema") if head else None, df.schema
+        )
         new_files, new_stats, new_schema = self._write_data(df)
         stats = {**(head.get("stats", {}) if head else {}), **new_stats}
         schema = {
@@ -482,7 +532,8 @@ class SnapshotTable:
             **new_schema,
         }
         return self._commit(
-            spark, base + new_files, tag, head, head_v, stats, schema
+            spark, base + new_files, tag, head, head_v, stats, schema,
+            schema_json,
         )
 
     def overwrite(self, df: DataFrame, tag: str | None = None) -> int:
@@ -495,8 +546,22 @@ class SnapshotTable:
             return head_v
         new_files, new_stats, new_schema = self._write_data(df)
         return self._commit(
-            spark, new_files, tag, head, head_v, new_stats, new_schema
+            spark, new_files, tag, head, head_v, new_stats, new_schema,
+            df.schema.json(),
         )
+
+    def _reader(self, spark: SparkSession, manifest: dict):
+        """Parquet reader pinned to the manifest's recorded schema (the
+        column-additive union of every append): files that predate a
+        column read it as null instead of the DEFAULT sample-one-file
+        behavior, which silently DROPS columns the sampled file lacks.
+        Pre-schema manifests (r8 and earlier) keep the old behavior."""
+        sj = manifest.get("schema")
+        if sj:
+            from pyspark.sql.types import StructType
+
+            return spark.read.schema(StructType.fromJson(json.loads(sj)))
+        return spark.read
 
     def _resolve(self, spark: SparkSession, version: int | None) -> dict:
         vs = self.versions(spark)
@@ -544,7 +609,7 @@ class SnapshotTable:
         if not files:
             raise ValueError("version is empty")
         if where is None:
-            return spark.read.parquet(*files)
+            return self._reader(spark, m).parquet(*files)
         from logverzcore_spark.operators.optree import compile_where
 
         stats = m.get("stats", {})
@@ -555,7 +620,9 @@ class SnapshotTable:
         # All files pruned: keep one file for its schema; the residual
         # filter (provably unsatisfiable over it) returns zero rows.
         target = kept or files[:1]
-        return spark.read.parquet(*target).filter(compile_where(where))
+        return self._reader(spark, m).parquet(*target).filter(
+            compile_where(where)
+        )
 
     def count(self, spark: SparkSession, version: int | None = None) -> int:
         """Row count of a version from manifest row counts alone — zero
@@ -629,7 +696,13 @@ class SnapshotTable:
         added = [f for f in new if f not in old]
         if not added:
             return self.read(spark, to).limit(0)
-        return spark.read.parquet(*added)
+        # the to-version's recorded schema covers every append in the
+        # span (column-additive merge at commit), so a delta that
+        # predates a later-added column reads it as null instead of
+        # whatever single file the sampler picked
+        return self._reader(spark, self._read_manifest(spark, to)).parquet(
+            *added
+        )
 
     def vacuum(self, spark: SparkSession, keep_last: int = 2) -> int:
         """Drop manifests older than the last ``keep_last`` and delete

@@ -328,3 +328,59 @@ def test_cross_type_literals_never_prune(spark, tmpdir_path):
     )
     kept, total = t2.prune_files(spark, {"ts": {"gte": 12345}})
     assert len(kept) == total
+
+
+def test_schema_evolution_column_additive(spark, tmpdir_path):
+    """The manifest records the column-additive union schema: an append
+    that ADDS a column must not be silently dropped by Spark's
+    sample-one-file parquet schema (the default behavior without
+    mergeSchema); files that predate the column read it as null; old
+    versions keep their own schema; a TYPE conflict refuses loudly."""
+    t = SnapshotTable(_mkroot(tmpdir_path))
+    t.append(spark.range(0, 5).withColumn("a", F.lit(1)))
+    t.append(
+        spark.range(5, 10).withColumn("a", F.lit(2)).withColumn("b", F.lit("new"))
+    )
+    df = t.read(spark)
+    assert set(df.columns) == {"id", "a", "b"}
+    rows = {r["id"]: r["b"] for r in df.collect()}
+    assert rows[0] is None and rows[7] == "new"
+    # time travel keeps the old shape
+    assert set(t.read(spark, 1).columns) == {"id", "a"}
+    # the increment reads through the union schema too
+    inc = t.read_incremental(spark, 1, 2)
+    assert set(inc.columns) == {"id", "a", "b"}
+    # pruning on the new column keeps every PRE-COLUMN file (no stats
+    # entry for b -> conservative); zero-row files may still prune
+    kept, _total = t.prune_files(spark, {"b": "new"})
+    v1_files = set(t._manifest(spark, 1))
+    assert v1_files <= set(kept)
+    assert t.read(spark, where={"b": "new"}).count() == 5
+    # type conflict: refused loudly, not unioned
+    with pytest.raises(ValueError, match="schema conflict"):
+        t.append(spark.range(10, 12).withColumn("a", F.lit("oops")))
+    # overwrite resets the schema to the new frame's alone
+    t.overwrite(spark.range(0, 3).withColumn("c", F.lit(0.5)))
+    assert set(t.read(spark).columns) == {"id", "c"}
+
+
+def test_analyze_backfill_spans_heterogeneous_commits(spark, tmpdir_path):
+    """analyze() over files from commits with DIFFERENT schemas must
+    stat each commit dir under its own schema (a single cross-dir scan
+    would sample one schema and miss columns)."""
+    root = _mkroot(tmpdir_path)
+    plain = SnapshotTable(root, stats_columns=False)
+    plain.append(spark.range(0, 10).withColumn("a", F.lit(1)))
+    plain.append(
+        spark.range(10, 20).withColumn("a", F.lit(2)).withColumn("b", F.lit("x"))
+    )
+    t = SnapshotTable(root)
+    v = t.analyze(spark)
+    m = t._read_manifest(spark, v)
+    assert set(m["stats"]) == set(m["files"])
+    assert "b" in m["stats_schema"]
+    # files from the first commit carry no 'b' entry; second commit's do
+    with_b = [e for e in m["stats"].values() if "b" in e["cols"]]
+    without_b = [e for e in m["stats"].values() if "b" not in e["cols"]]
+    assert with_b and without_b
+    assert t.count(spark) == 20
