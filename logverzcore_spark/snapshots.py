@@ -735,3 +735,82 @@ class SnapshotTable:
                 else:
                     fs.delete(jpath(mpath), False)
         return deleted
+
+    def compact(
+        self,
+        spark: SparkSession,
+        sort_cols: list[str] | None = None,
+        target_files: int | None = None,
+        tag: str | None = None,
+    ) -> int:
+        """Rewrite the head as one fresh commit with fewer, optionally
+        RANGE-SORTED files — the maintenance move that keeps both
+        manifest size (file count bounds metadata) and SKIPPING QUALITY
+        (sorted files have tight disjoint stat intervals; an append-only
+        history accumulates overlap until predicates stop pruning)
+        healthy. Rows are identical by construction (one read, one
+        write, no filter); committed as an OVERWRITE, so prior versions
+        still time-travel but read_incremental refuses to span it — the
+        same contract as any rewrite. ``skipping_health`` prices when
+        this is worth running."""
+        df = self.read(spark)
+        if sort_cols:
+            df = df.repartitionByRange(
+                *(target_files,) if target_files else (),
+                *[df[c] for c in sort_cols],
+            ).sortWithinPartitions(*sort_cols)
+        elif target_files:
+            df = df.coalesce(target_files)
+        return self.overwrite(df, tag=tag)
+
+    def skipping_health(
+        self, spark: SparkSession, column: str, version: int | None = None
+    ) -> dict:
+        """How well would predicates on ``column`` prune this version?
+        Pure driver arithmetic over the manifest stats (zero data I/O):
+
+        - ``avg_overlap``: mean number of OTHER files whose [min,max]
+          interval intersects each file's — 0 means perfectly disjoint
+          (a point predicate touches ~1 file), n_files-1 means every
+          file overlaps every other (pruning is dead). The Delta
+          OPTIMIZE / clustering-depth measurement.
+        - ``coverage``: fraction of files carrying usable bounds on the
+          column at all (pre-stats commits and dropped bounds erode it).
+
+        The d30 ``rebuild_when`` pattern applied to layout: compact
+        (with ``sort_cols=[column]``) when avg_overlap drifts above a
+        few files — correctness never depends on it, reads just stop
+        skipping."""
+        m = self._resolve(spark, version)
+        files = m["files"]
+        stats = m.get("stats", {})
+        ivals = []
+        for f in files:
+            ent = stats.get(f, {}).get("cols", {}).get(column)
+            if ent and ent.get("min") is not None and ent.get("max") is not None:
+                ivals.append((ent["min"], ent["max"]))
+        n = len(ivals)
+        if n <= 1:
+            return {
+                "files": len(files), "with_bounds": n,
+                "coverage": n / len(files) if files else 0.0,
+                "avg_overlap": 0.0,
+            }
+        # Exact pairwise intersection count. O(n^2) driver arithmetic
+        # over file COUNT (which compaction bounds): a 5k-file manifest
+        # is 25M comparisons of floats — milliseconds; a sweep-line
+        # upgrade only matters past ~100k files, i.e. after compaction
+        # was already skipped too long.
+        overlaps = []
+        for lo, hi in ivals:
+            c = sum(
+                1 for lo2, hi2 in ivals if not (hi2 < lo or lo2 > hi)
+            ) - 1
+            overlaps.append(c)
+        avg = sum(overlaps) / n
+        return {
+            "files": len(files),
+            "with_bounds": n,
+            "coverage": n / len(files),
+            "avg_overlap": round(avg, 3),
+        }

@@ -384,3 +384,59 @@ def test_analyze_backfill_spans_heterogeneous_commits(spark, tmpdir_path):
     without_b = [e for e in m["stats"].values() if "b" not in e["cols"]]
     assert with_b and without_b
     assert t.count(spark) == 20
+
+
+def test_compact_preserves_rows_and_improves_skipping(spark, tmpdir_path):
+    """compact(sort_cols=) is the layout-maintenance move: a RANDOM
+    append layout gives overlapping stat intervals (pruning dead);
+    after a sorted compaction the same predicate prunes, rows are
+    identical, old versions still time-travel, and read_incremental
+    refuses to span the rewrite."""
+    t = SnapshotTable(_mkroot(tmpdir_path))
+    df = spark.range(0, 2000).withColumn(
+        "k", (F.col("id") * 2654435761 % 2000).cast("long")  # scrambled
+    )
+    # 4 commits, each spanning the FULL k range (worst-case layout)
+    for i in range(4):
+        t.append(df.where(F.col("id") % 4 == i).repartition(3))
+    h0 = t.skipping_health(spark, "k")
+    assert h0["avg_overlap"] > 3  # every file overlaps most others
+    kept0, total0 = t.prune_files(spark, {"k": {"between": [100, 140]}})
+    assert len(kept0) == total0  # nothing prunes
+
+    v = t.compact(spark, sort_cols=["k"], target_files=8)
+    h1 = t.skipping_health(spark, "k")
+    assert h1["avg_overlap"] <= 1.0  # range-sorted: near-disjoint
+    kept1, total1 = t.prune_files(spark, {"k": {"between": [100, 140]}})
+    assert 0 < len(kept1) < total1
+    # rows identical, order aside
+    before = sorted(r["id"] for r in t.read(spark, v - 1).collect())
+    after = sorted(r["id"] for r in t.read(spark, v).collect())
+    assert before == after
+    # metadata count survives the rewrite
+    assert t.count(spark) == 2000
+    # increments across the rewrite are refused (it's an overwrite)
+    with pytest.raises(ValueError, match="overwrite"):
+        t.read_incremental(spark, v - 1, v)
+
+
+def test_compact_target_files_only(spark, tmpdir_path):
+    t = SnapshotTable(_mkroot(tmpdir_path))
+    df = spark.range(0, 500).withColumn("k", F.col("id"))
+    for i in range(3):
+        t.append(df.where(F.col("id") % 3 == i).repartition(4))
+    n_before = len(t._manifest(spark, 3))
+    v = t.compact(spark, target_files=2)
+    assert len(t._manifest(spark, v)) <= 2 < n_before
+    assert t.count(spark) == 500
+
+
+def test_skipping_health_coverage_with_pre_stats_files(spark, tmpdir_path):
+    root = _mkroot(tmpdir_path)
+    plain = SnapshotTable(root, stats_columns=False)
+    plain.append(spark.range(0, 100).withColumn("k", F.col("id")).coalesce(1))
+    t = SnapshotTable(root)
+    t.append(spark.range(100, 200).withColumn("k", F.col("id")).coalesce(1))
+    h = t.skipping_health(spark, "k")
+    assert h["files"] == 2 and h["with_bounds"] == 1
+    assert h["coverage"] == 0.5
