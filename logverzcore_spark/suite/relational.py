@@ -4865,3 +4865,66 @@ def q133_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@query(
+    "q134_snapshot_compact_skipping",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    WHERE o_orderkey >= 500 AND o_orderkey < 1000
+    """,
+)
+def q134_snapshot_compact_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout maintenance for data skipping (SnapshotTable.compact +
+    skipping_health): orders arrive in four commits each spanning the
+    FULL key range (the worst-case append layout — every file interval
+    overlaps every other, so the range predicate prunes nothing), then
+    one range-sorted compaction restores near-disjoint intervals and
+    the same read prunes. The entry asserts the health report's
+    overlap actually collapsed and the pruned read got selective; the
+    returned aggregate must equal the flat-table oracle — compaction
+    and pruning changed the layout, never the rows."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(), f"q134_snap_{_uuid.uuid4().hex[:8]}"
+    )
+    t = SnapshotTable(root)
+    try:
+        for i in range(4):  # interleaved keys: full range per commit
+            t.append(
+                orders.where(F.col("o_orderkey") % 4 == i).repartition(3)
+            )
+        h0 = t.skipping_health(spark, "o_orderkey")
+        where = {"o_orderkey": {"gte": 500, "lt": 1000}}
+        kept0, total0 = t.prune_files(spark, where)
+        assert len(kept0) == total0, "worst-case layout should not prune"
+        t.compact(spark, sort_cols=["o_orderkey"], target_files=12)
+        h1 = t.skipping_health(spark, "o_orderkey")
+        assert h1["avg_overlap"] < h0["avg_overlap"], (h0, h1)
+        kept1, total1 = t.prune_files(spark, where)
+        assert len(kept1) < total1, "sorted layout must prune"
+        cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        out = (
+            t.read(spark, where=where)
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(cents).cast("long").alias("total_cents"),
+                F.min("o_orderkey").cast("long").alias("min_key"),
+                F.max("o_orderkey").cast("long").alias("max_key"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
