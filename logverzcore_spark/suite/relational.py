@@ -4928,3 +4928,69 @@ def q134_snapshot_compact_skipping(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@query(
+    "q135_snapshot_schema_evolution",
+    oracle="""
+    WITH unioned AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+               AS priority
+      FROM orders
+    )
+    SELECT COALESCE(priority, '<pre-column>') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM unioned
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q135_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-additive snapshot schema evolution: commit 1 appends
+    orders WITHOUT the priority column, commit 2 adds it — the manifest
+    records the union schema, so the full read returns the column with
+    nulls for pre-column rows instead of Spark's default
+    sample-one-file behavior (which silently DROPS whichever side the
+    sampled file lacks). The oracle restates the union: even keys are
+    the pre-column commit (null priority), odd keys carry it. Type
+    conflicts and time-travel shapes are pytest-graded
+    (test_snapshot_skipping)."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(), f"q135_snap_{_uuid.uuid4().hex[:8]}"
+    )
+    t = SnapshotTable(root)
+    try:
+        t.append(
+            orders.where(F.col("o_orderkey") % 2 == 0).select("o_orderkey")
+        )
+        t.append(
+            orders.where(F.col("o_orderkey") % 2 == 1).select(
+                "o_orderkey", F.col("o_orderpriority").alias("priority")
+            )
+        )
+        out = (
+            t.read(spark)
+            .groupBy(
+                F.coalesce(F.col("priority"), F.lit("<pre-column>")).alias(
+                    "priority"
+                )
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.max("o_orderkey").cast("long").alias("max_key"),
+            )
+            .orderBy("priority")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
