@@ -179,7 +179,13 @@ class IncrementalAggregate:
             self.state.overwrite(merged, tag=tag)
             return {"mode": "initial", "source_version": src_head}
         try:
-            delta = self.source.read_incremental(spark, last, src_head)
+            # where pushes to the FILE level: the increment skips added
+            # files whose stats intervals can't match (read_incremental
+            # pruning); _partial re-applies the full predicate, so the
+            # double filter is idempotent and the skip is sound-only.
+            delta = self.source.read_incremental(
+                spark, last, src_head, where=self.where
+            )
         except ValueError:
             merged = self._merge(self._partial(self.source.read(spark)))
             self.state.overwrite(merged, tag=tag)

@@ -666,7 +666,11 @@ class SnapshotTable:
         return self._commit(spark, files, tag, head, head_v, stats, schema)
 
     def read_incremental(
-        self, spark: SparkSession, from_version: int, to_version: int | None = None
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+        where: Any = None,
     ) -> DataFrame:
         """Exactly the rows added BETWEEN two versions — the "what's new
         since my last training run" read an incremental pipeline wants,
@@ -674,6 +678,11 @@ class SnapshotTable:
         only add paths, the increment is the file-list difference, read
         directly (no corpus diff, no anti-join — q89's content diff is
         for when lineage is unknown; this is for when it's ours).
+        ``where`` (optree) additionally SKIPS added files whose stats
+        intervals cannot match before the scan and applies the full
+        predicate after — a selective incremental consumer (a filtered
+        MV, a topic-scoped trainer) reads only the delta files that
+        matter.
 
         Only valid across APPEND commits: if any file of
         ``from_version`` is missing from ``to_version`` an overwrite
@@ -696,13 +705,25 @@ class SnapshotTable:
         added = [f for f in new if f not in old]
         if not added:
             return self.read(spark, to).limit(0)
+        m = self._read_manifest(spark, to)
+        if where is not None:
+            from logverzcore_spark.operators.optree import compile_where
+
+            stats = m.get("stats", {})
+            sschema = m.get("stats_schema", {})
+            kept = [
+                f for f in added
+                if _file_can_match(where, stats.get(f), sschema)
+            ]
+            target = kept or added[:1]
+            return self._reader(spark, m).parquet(*target).filter(
+                compile_where(where)
+            )
         # the to-version's recorded schema covers every append in the
         # span (column-additive merge at commit), so a delta that
         # predates a later-added column reads it as null instead of
         # whatever single file the sampler picked
-        return self._reader(spark, self._read_manifest(spark, to)).parquet(
-            *added
-        )
+        return self._reader(spark, m).parquet(*added)
 
     def vacuum(self, spark: SparkSession, keep_last: int = 2) -> int:
         """Drop manifests older than the last ``keep_last`` and delete

@@ -428,3 +428,142 @@ def test_avro_ocf_roundtrip_property(recs, codec, block):
     got_schema, got = decode_ocf(blob)
     assert got_schema == schema
     assert got == recs
+
+
+# --- data-skipping interval evaluator: soundness under arbitrary data ---
+
+from logverzcore_spark.snapshots import (  # noqa: E402
+    _encode_stat,
+    _file_can_match,
+)
+
+_int_or_none = st.one_of(st.none(), st.integers(-100, 100))
+_str_or_none = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+        max_size=8,
+    ),
+    # force the truncation path: strings beyond _STR_STAT_MAX
+    st.text(alphabet=st.sampled_from("ab"), min_size=97, max_size=120),
+)
+
+_ops = st.sampled_from(["eq", "ne", "gt", "gte", "lt", "lte"])
+
+
+def _leaf(col, values):
+    simple = st.builds(lambda op, v: {col: {op: v}}, _ops, values)
+    inlist = st.builds(
+        lambda vs: {col: {"in": vs}},
+        st.lists(values.filter(lambda v: v is not None), min_size=1, max_size=4),
+    )
+    between = st.builds(
+        lambda a, b: {col: {"between": [a, b]}},
+        values.filter(lambda v: v is not None),
+        values.filter(lambda v: v is not None),
+    )
+    isnull = st.just({col: None})
+    return st.one_of(simple, inlist, between, isnull)
+
+
+def _trees(leaf):
+    return st.recursive(
+        leaf,
+        lambda sub: st.one_of(
+            st.builds(lambda a, b: {"and": [a, b]}, sub, sub),
+            st.builds(lambda a, b: {"or": [a, b]}, sub, sub),
+            st.builds(lambda a: {"not": a}, sub),
+        ),
+        max_leaves=4,
+    )
+
+
+def _row_matches(tree, row):
+    """Python mirror of compile_where over one row (SQL three-valued
+    logic collapsed to 'matches or not', which is what a filter keeps)."""
+    def cmp(col, op, v):
+        x = row[col]
+        if op in ("eq", "is") and v is None:
+            return x is None
+        if op == "ne" and v is None:
+            return x is not None
+        if x is None or v is None:
+            return False
+        if isinstance(x, str) != isinstance(v, str):
+            return False  # cross-type: stay out of cast semantics here
+        return {
+            "eq": x == v, "is": x == v, "ne": x != v, "gt": x > v,
+            "gte": x >= v, "lt": x < v, "lte": x <= v,
+        }[op]
+
+    for key, value in tree.items():
+        if key == "and":
+            if not all(_row_matches(v, row) for v in value):
+                return False
+        elif key == "or":
+            if not any(_row_matches(v, row) for v in value):
+                return False
+        elif key == "not":
+            if _row_matches(value, row):
+                return False
+        elif isinstance(value, dict):
+            for op, operand in value.items():
+                if op == "in":
+                    if not any(cmp(key, "eq", v) for v in operand):
+                        return False
+                elif op == "between":
+                    lo, hi = operand
+                    if not (cmp(key, "gte", lo) and cmp(key, "lte", hi)):
+                        return False
+                elif not cmp(key, op, operand):
+                    return False
+        else:
+            if not cmp(key, "eq", value):
+                return False
+    return True
+
+
+def _stats_for(values, dtype):
+    nn = [v for v in values if v is not None]
+    return {
+        "rows": len(values),
+        "cols": {
+            "c": {
+                "min": _encode_stat(min(nn), dtype, "min") if nn else None,
+                "max": _encode_stat(max(nn), dtype, "max") if nn else None,
+                "nulls": len(values) - len(nn),
+            }
+        },
+    }
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(_int_or_none, min_size=0, max_size=12),
+    _trees(_leaf("c", _int_or_none)),
+)
+def test_interval_pruning_sound_for_ints(values, tree):
+    """THE soundness property: if any row of the file matches the
+    predicate, the file must never be pruned. (The converse — pruning
+    everything prunable — is an optimization, not a contract.)"""
+    fstats = _stats_for(values, "bigint")
+    if any(_row_matches(tree, {"c": v}) for v in values):
+        assert _file_can_match(tree, fstats, {"c": "bigint"}), (
+            values, tree, fstats,
+        )
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(_str_or_none, min_size=0, max_size=12),
+    _trees(_leaf("c", _str_or_none)),
+)
+def test_interval_pruning_sound_for_strings(values, tree):
+    """Same property through the string path — truncation and prefix
+    bumping included (long min/max bounds must still COVER every true
+    value)."""
+    fstats = _stats_for(values, "string")
+    if any(_row_matches(tree, {"c": v}) for v in values):
+        assert _file_can_match(tree, fstats, {"c": "string"}), (
+            values, tree, fstats,
+        )

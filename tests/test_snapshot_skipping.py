@@ -440,3 +440,24 @@ def test_skipping_health_coverage_with_pre_stats_files(spark, tmpdir_path):
     h = t.skipping_health(spark, "k")
     assert h["files"] == 2 and h["with_bounds"] == 1
     assert h["coverage"] == 0.5
+
+
+def test_read_incremental_where_prunes_added_files(spark, tmpdir_path):
+    """A selective incremental consumer skips delta files whose stats
+    can't match and still gets the exact filtered increment."""
+    t = SnapshotTable(_mkroot(tmpdir_path))
+    df = _corpus(spark)
+    t.append(df.where("id < 300").coalesce(1))
+    # the increment: two range-disjoint commits
+    t.append(df.where("id >= 300 and id < 600").coalesce(1))
+    t.append(df.where("id >= 600 and id < 900").coalesce(1))
+    inc = t.read_incremental(spark, 1, 3, where={"k": {"between": [700, 720]}})
+    got = sorted(r["id"] for r in inc.collect())
+    assert got == list(range(700, 721))
+    norm = lambda p: p.replace("file:///", "file:/")  # noqa: E731
+    scanned = {norm(f) for f in inc.inputFiles()}
+    added = {
+        norm(f)
+        for f in set(t._manifest(spark, 3)) - set(t._manifest(spark, 1))
+    }
+    assert scanned < added  # at least one delta file skipped
