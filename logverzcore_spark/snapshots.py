@@ -763,6 +763,7 @@ class SnapshotTable:
         sort_cols: list[str] | None = None,
         target_files: int | None = None,
         tag: str | None = None,
+        zorder_cols: list[str] | None = None,
     ) -> int:
         """Rewrite the head as one fresh commit with fewer, optionally
         RANGE-SORTED files — the maintenance move that keeps both
@@ -773,9 +774,30 @@ class SnapshotTable:
         write, no filter); committed as an OVERWRITE, so prior versions
         still time-travel but read_incremental refuses to span it — the
         same contract as any rewrite. ``skipping_health`` prices when
-        this is worth running."""
+        this is worth running.
+
+        ``zorder_cols`` (2+ numeric columns) clusters on a Morton key
+        instead of a lexicographic sort: files get tight envelopes on
+        EVERY listed column at once, so predicates on ANY of them prune
+        — the OPTIMIZE ZORDER move, reusing export.zorder_key. The
+        grid bounds come from the MANIFEST stats when every file
+        carries them (zero extra I/O — the stats pay for themselves
+        twice) and fall back to one tiny agg otherwise; NULL cells
+        coalesce to the column floor (export_zordered's contract)."""
         df = self.read(spark)
-        if sort_cols:
+        if zorder_cols:
+            if sort_cols:
+                raise ValueError("pass sort_cols OR zorder_cols, not both")
+            from logverzcore_spark.export import zorder_key
+
+            bounds, inputs = self._zorder_bounds(spark, df, zorder_cols)
+            df = (
+                df.withColumn("__zk", zorder_key(inputs, bounds))
+                .repartitionByRange(target_files or 16, "__zk")
+                .sortWithinPartitions("__zk")
+                .drop("__zk")
+            )
+        elif sort_cols:
             df = df.repartitionByRange(
                 *(target_files,) if target_files else (),
                 *[df[c] for c in sort_cols],
@@ -783,6 +805,59 @@ class SnapshotTable:
         elif target_files:
             df = df.coalesce(target_files)
         return self.overwrite(df, tag=tag)
+
+    def _zorder_bounds(self, spark: SparkSession, df: DataFrame, cols):
+        """(bounds, key inputs) for a Z-order compaction. Global per-
+        column min/max fold from the manifest stats when complete
+        (driver arithmetic, zero data I/O); one small agg otherwise.
+        Degenerate handling matches export_zordered: all-NULL column →
+        synthetic (0,1), constant → widened, NULL cells → column floor."""
+        m = self._resolve(spark, None)
+        stats = m.get("stats", {})
+        sschema = m.get("stats_schema", {})
+        lo_hi: dict[str, tuple] = {}
+        complete = bool(m["files"]) and all(f in stats for f in m["files"])
+        if complete:
+            for c in cols:
+                if sschema.get(c) not in _STAT_NUMERIC:
+                    complete = False
+                    break
+                los = []
+                his = []
+                for f in m["files"]:
+                    ent = stats[f]["cols"].get(c)
+                    if ent is None:
+                        continue  # pre-column file: contributes no rows
+                    if stats[f].get("rows") == 0 or (
+                        ent["min"] is None and ent["nulls"] == stats[f]["rows"]
+                    ):
+                        continue  # empty / all-null file
+                    if ent["min"] is None or ent["max"] is None:
+                        complete = False  # dropped bound (NaN): fold unsafe
+                        break
+                    los.append(ent["min"])
+                    his.append(ent["max"])
+                if not complete:
+                    break
+                lo_hi[c] = (min(los), max(his)) if los else (None, None)
+        if not complete:
+            aggs = []
+            for c in cols:
+                aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+            row = df.agg(*aggs).first()
+            lo_hi = {c: (row[f"_lo_{c}"], row[f"_hi_{c}"]) for c in cols}
+        bounds, inputs = [], []
+        for c in cols:
+            lo, hi = lo_hi[c]
+            lo = None if lo is None else float(lo)
+            hi = None if hi is None else float(hi)
+            if lo is None:
+                lo, hi = 0.0, 1.0
+            elif hi is None or not hi > lo:
+                hi = lo + 1.0
+            bounds.append((lo, hi))
+            inputs.append(F.coalesce(F.col(c).cast("double"), F.lit(lo)))
+        return bounds, inputs
 
     def skipping_health(
         self, spark: SparkSession, column: str, version: int | None = None
