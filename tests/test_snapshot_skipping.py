@@ -461,3 +461,16 @@ def test_read_incremental_where_prunes_added_files(spark, tmpdir_path):
         for f in set(t._manifest(spark, 3)) - set(t._manifest(spark, 1))
     }
     assert scanned < added  # at least one delta file skipped
+
+
+def test_pruned_read_also_pushes_filters_into_scan(spark, tmpdir_path):
+    """Two-level skipping: the manifest prunes whole FILES, and the
+    residual compile_where filter must still reach the parquet scan as
+    PushedFilters so row groups inside surviving files prune too."""
+    t = _ranged_table(spark, tmpdir_path)
+    df = t.read(spark, where={"k": {"between": [310, 340]}})
+    fmt = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    pushed = [ln for ln in fmt.splitlines() if "PushedFilters" in ln]
+    assert pushed and "k" in pushed[0] and "[]" not in pushed[0].split(":")[1]
