@@ -473,6 +473,41 @@ class Engine:
             "est_bytes": int(str(stats.sizeInBytes())),
         }
 
+    def estimate_find(
+        self, table: str, user: User = ADMIN, where: dict | None = None
+    ) -> dict:
+        """Cost estimate for an operator-tree find WITHOUT running it —
+        the find-surface twin of ``estimate``. For a pinned snapshot
+        (Type='SNAP') the numbers come from the MANIFEST alone
+        (SnapshotTable.estimate: rows/bytes over the files the
+        predicate can't prune — zero data I/O, the admission-control
+        half of data skipping); other tables fall back to Catalyst's
+        statistics over the compiled plan. ACL-gated like find_all."""
+        from logverzcore_spark.registry import split_table_ref
+
+        self.catalog.authorize_tables([table], user)
+        database, bare = split_table_ref(table)
+        entry = self.catalog.for_table(bare, database)
+        if entry is not None and entry.Type == "SNAP":
+            from logverzcore_spark.snapshots import SnapshotTable
+
+            qs = entry.QuerySettings
+            try:
+                return SnapshotTable(qs["SnapshotRoot"]).estimate(
+                    self.spark, where=where, version=qs["Version"]
+                )
+            except Exception:
+                pass
+        df = self.spark.table(table)
+        if where:
+            df = df.filter(optree.compile_where(where))
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        row_opt = stats.rowCount()
+        return {
+            "est_rows": int(str(row_opt.get())) if not row_opt.isEmpty() else None,
+            "est_bytes": int(str(stats.sizeInBytes())),
+        }
+
     # -- Mode: operator-tree find (Q4/Q5) ---------------------------------
     def find_all(
         self,

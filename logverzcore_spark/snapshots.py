@@ -418,14 +418,22 @@ class SnapshotTable:
         spark = df.sparkSession
         jpath, fs = hadoop_fs(spark, self.root)
         files = []
+        sizes = {}
         it = fs.listFiles(jpath(dirname), True)
         while it.hasNext():
             st = it.next()
             if st.getPath().getName().startswith("part-"):
-                files.append(st.getPath().toString())
+                p = st.getPath().toString()
+                files.append(p)
+                sizes[p] = int(st.getLen())
         if self.stats_columns is False:
             return files, {}, {}
         stats, schema = self._collect_stats(spark, files)
+        for p, ent in stats.items():
+            # file bytes ride in the stats entry: they price reads
+            # (estimate / admission) and compaction, at zero extra I/O
+            # — the listing above already had them.
+            ent["bytes"] = sizes.get(p)
         return files, stats, schema
 
     def _collect_stats(
@@ -661,9 +669,19 @@ class SnapshotTable:
         if not missing:
             return head_v
         new_stats, new_schema = self._collect_stats(spark, missing)
+        jpath, fs = hadoop_fs(spark, self.root)
+        for p, ent in new_stats.items():
+            try:
+                ent["bytes"] = int(fs.getFileStatus(jpath(p)).getLen())
+            except Exception:
+                ent["bytes"] = None
         stats.update(new_stats)
         schema.update(new_schema)
-        return self._commit(spark, files, tag, head, head_v, stats, schema)
+        # carry the head's recorded schema; backfill adds stats only
+        return self._commit(
+            spark, files, tag, head, head_v, stats, schema,
+            head.get("schema"),
+        )
 
     def read_incremental(
         self,
@@ -909,4 +927,48 @@ class SnapshotTable:
             "with_bounds": n,
             "coverage": n / len(files),
             "avg_overlap": round(avg, 3),
+        }
+
+    def estimate(
+        self,
+        spark: SparkSession,
+        where: Any = None,
+        version: int | None = None,
+    ) -> dict:
+        """Price a (possibly selective) read from the MANIFEST alone —
+        zero data I/O: rows and bytes summed over the files the
+        predicate cannot prune (an UPPER bound on what the scan will
+        touch; the residual filter can only shrink it). The admission-
+        control half of data skipping: an interactive server rejects
+        scan-the-world requests over a pinned corpus without burning a
+        job (Engine.estimate_find wires it into the gated surface).
+        Files without stats contribute unknown rows/bytes, reported in
+        ``files_unstatted`` so the caller knows the bound is partial."""
+        m = self._resolve(spark, version)
+        files = m["files"]
+        stats = m.get("stats", {})
+        sschema = m.get("stats_schema", {})
+        if where is None:
+            kept = list(files)
+        else:
+            kept = [
+                f for f in files
+                if _file_can_match(where, stats.get(f), sschema)
+            ]
+        rows = 0
+        bts = 0
+        unstatted = 0
+        for f in kept:
+            ent = stats.get(f)
+            if ent is None or ent.get("rows") is None:
+                unstatted += 1
+                continue
+            rows += ent["rows"]
+            bts += ent.get("bytes") or 0
+        return {
+            "est_rows": rows,
+            "est_bytes": bts,
+            "files_scanned": len(kept),
+            "files_total": len(files),
+            "files_unstatted": unstatted,
         }

@@ -474,3 +474,49 @@ def test_pruned_read_also_pushes_filters_into_scan(spark, tmpdir_path):
     )
     pushed = [ln for ln in fmt.splitlines() if "PushedFilters" in ln]
     assert pushed and "k" in pushed[0] and "[]" not in pushed[0].split(":")[1]
+
+
+def test_estimate_prices_reads_from_manifest(spark, tmpdir_path):
+    """estimate(where=) upper-bounds a selective read's rows/bytes from
+    the manifest alone: the selective estimate is strictly below the
+    full-table one, >= the true matching rows, and bytes track the
+    surviving files."""
+    t = _ranged_table(spark, tmpdir_path)
+    full = t.estimate(spark)
+    assert full["est_rows"] == 1200 and full["files_unstatted"] == 0
+    assert full["est_bytes"] > 0
+    sel = t.estimate(spark, where={"k": {"between": [310, 340]}})
+    assert sel["files_scanned"] < sel["files_total"]
+    true_rows = t.read(spark, where={"k": {"between": [310, 340]}}).count()
+    assert true_rows <= sel["est_rows"] < full["est_rows"]
+    assert 0 < sel["est_bytes"] < full["est_bytes"]
+
+
+def test_engine_estimate_find_uses_manifest_for_snap(spark, tmpdir_path):
+    from logverzcore_spark.api import Engine
+    from logverzcore_spark.catalog import Catalog
+
+    eng = Engine(spark, Catalog())
+    t = _ranged_table(spark, tmpdir_path)
+    eng.register_snapshot("est_snap", t.root)
+    est = eng.estimate_find("est_snap", where={"k": {"between": [310, 340]}})
+    assert est["files_scanned"] < est["files_total"]  # manifest path taken
+    assert est["est_rows"] < 1200
+    # non-SNAP fallback still answers (Catalyst stats shape)
+    spark.range(100).write.mode("overwrite").saveAsTable("est_plain")
+    est2 = eng.estimate_find("est_plain")
+    assert est2["est_bytes"] > 0
+    spark.sql("DROP TABLE IF EXISTS est_plain")
+
+
+def test_analyze_preserves_recorded_schema(spark, tmpdir_path):
+    """The backfill commit must carry the head's evolution schema
+    forward — dropping it would resurrect the column-drop hazard."""
+    t = SnapshotTable(_mkroot(tmpdir_path))
+    t.append(spark.range(0, 5).withColumn("a", F.lit(1)))
+    t.append(spark.range(5, 9).withColumn("a", F.lit(2)).withColumn("b", F.lit("x")))
+    # force a stats gap, then backfill
+    plain = SnapshotTable(t.root, stats_columns=False)
+    plain.append(spark.range(9, 12).withColumn("a", F.lit(3)))
+    v = t.analyze(spark)
+    assert set(t.read(spark, v).columns) == {"id", "a", "b"}
