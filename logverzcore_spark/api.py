@@ -529,10 +529,19 @@ class Engine:
             self._audit(user, "find", descr, [table], "denied", str(exc))
             raise
         self._audit(user, "find", descr, [table])
-        return optree.find_all(
+        out = optree.find_all(
             self._source_df(table, where), where=where, attributes=attributes,
             order=order, limit=limit,
         )
+        # Admission prices the PRUNED plan: a SNAP read's file index
+        # carries only the surviving files, so Catalyst's size
+        # propagation (and therefore the same AdmissionPolicy that
+        # gates sql()) sees post-skipping bytes — a selective find over
+        # a pinned 100 TB corpus admits where the unfiltered dump is
+        # refused (the reference's weight-12-vs-2.5 pricing,
+        # controller.js:809-865).
+        self._admit(out, user, "find", descr, [table])
+        return out
 
     def _source_df(self, table: str, where: dict | None) -> DataFrame:
         """The scan behind an operator-tree query. For a pinned

@@ -520,3 +520,34 @@ def test_analyze_preserves_recorded_schema(spark, tmpdir_path):
     plain.append(spark.range(9, 12).withColumn("a", F.lit(3)))
     v = t.analyze(spark)
     assert set(t.read(spark, v).columns) == {"id", "a", "b"}
+
+
+def test_admission_prices_pruned_find(spark, tmpdir_path):
+    """Data skipping buys ADMISSION: with a byte budget between the
+    pruned and unpruned scan sizes, the selective find over a pinned
+    snapshot admits while the unfiltered dump is refused — and an
+    admin still bypasses."""
+    from logverzcore_spark.api import AdmissionError, AdmissionPolicy, Engine
+    from logverzcore_spark.catalog import Catalog, User
+
+    t = _ranged_table(spark, tmpdir_path)
+    full_bytes = t.estimate(spark)["est_bytes"]
+    sel_bytes = t.estimate(spark, where={"k": {"between": [310, 340]}})[
+        "est_bytes"
+    ]
+    assert sel_bytes < full_bytes
+    pol = AdmissionPolicy()
+    pol.max_est_bytes = (sel_bytes + full_bytes) // 2
+    eng = Engine(spark, Catalog(), admission=pol)
+    eng.register_snapshot("adm_snap", t.root, access=["a"])
+    analyst = User(name="a", groups=[], is_admin=False, is_poweruser=False)
+    # selective: pruned plan fits the budget
+    assert (
+        eng.find_all("adm_snap", user=analyst, where={"k": {"between": [310, 340]}})
+        .count() == 31
+    )
+    # unfiltered dump: refused before any job
+    with pytest.raises(AdmissionError):
+        eng.find_all("adm_snap", user=analyst)
+    # admins bypass (the reference's gate shape)
+    assert eng.find_all("adm_snap").count() == 1200
