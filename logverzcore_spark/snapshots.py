@@ -131,6 +131,25 @@ def _bump_prefix(s: str) -> str | None:
     return None
 
 
+_TS_RE = re.compile(
+    r"^(\d{4}-\d{2}-\d{2})(?:[ T](\d{2}:\d{2}:\d{2})(?:\.(\d{1,6}))?)?$"
+)
+
+
+def _canon_ts(s: str) -> str | None:
+    """Canonical fixed-width timestamp text: 'YYYY-MM-DD HH:MM:SS.ffffff'
+    (missing time → midnight, fraction zero-padded to 6). Needed because
+    str(datetime) OMITS a zero fraction but prints '.500000' for a half
+    second — under plain lexicographic comparison '…05' vs '…05.000000'
+    mis-orders equal instants. None for anything unparseable (tz
+    suffixes, garbage) — the caller then refuses to prune."""
+    m = _TS_RE.match(s)
+    if not m:
+        return None
+    d, t, f = m.groups()
+    return f"{d} {t or '00:00:00'}.{(f or '').ljust(6, '0')}"
+
+
 def _encode_stat(value: Any, dtype: str, bound: str) -> Any:
     """JSON-safe encoding of one min/max value; None means "no usable
     bound" (the file stays unprunable on this column in that direction)."""
@@ -141,10 +160,10 @@ def _encode_stat(value: Any, dtype: str, bound: str) -> Any:
         if isinstance(v, float) and not math.isfinite(v):
             return None  # NaN/inf break interval ordering — drop the bound
         return v
+    if dtype == "date":
+        return str(value)  # fixed-width, orders lexicographically
     if dtype in _STAT_TEMPORAL:
-        # str(datetime) == 'YYYY-MM-DD HH:MM:SS[.ffffff]' — fixed-width
-        # prefix, so lexicographic order == temporal order.
-        return str(value)
+        return _canon_ts(str(value))
     if dtype == "boolean":
         return bool(value)
     s = str(value)
@@ -159,12 +178,18 @@ def _encode_literal(value: Any, dtype: str) -> Any:
     encoding as _encode_stat, minus truncation — literals are exact)."""
     if value is None:
         return None
+    if dtype == "date":
+        if isinstance(value, (datetime, date)):
+            return str(value)[:10]
+        if isinstance(value, str) and _TS_RE.match(value):
+            return value[:10]
+        return None
     if dtype in _STAT_TEMPORAL:
         if isinstance(value, (datetime, date)):
-            return str(value)
+            return _canon_ts(str(value))
         # a non-string literal against a temporal column (e.g. an int)
         # has no lexicographic meaning here — don't prune on it
-        return str(value).replace("T", " ") if isinstance(value, str) else None
+        return _canon_ts(value) if isinstance(value, str) else None
     if dtype in _STAT_NUMERIC:
         from logverzcore_spark.operators.optree import type_literal
 

@@ -551,3 +551,29 @@ def test_admission_prices_pruned_find(spark, tmpdir_path):
         eng.find_all("adm_snap", user=analyst)
     # admins bypass (the reference's gate shape)
     assert eng.find_all("adm_snap").count() == 1200
+
+
+def test_fractional_second_bounds_never_misprune(spark, tmpdir_path):
+    """str(datetime) omits a zero fraction but prints '.500000' for a
+    half second; canonical padding keeps equal instants equal under the
+    lexicographic interval compare — the '…05' vs '…05.000000' hazard."""
+    t = SnapshotTable(_mkroot(tmpdir_path))
+    t.append(
+        spark.range(0, 5).selectExpr(
+            "id",
+            "timestamp'2026-01-01 00:00:05' + make_interval(0,0,0,0,0,0,id*0.5)"
+            " AS ts",
+        ).coalesce(1)
+    )
+    # equal-instant literal with explicit zero fraction: must keep + match
+    for lit in ("2026-01-01 00:00:05", "2026-01-01 00:00:05.000000"):
+        kept, total = t.prune_files(spark, {"ts": lit})
+        assert len(kept) == 1, lit
+        assert t.read(spark, where={"ts": lit}).count() == 1, lit
+    # fractional boundary: gte .500000 keeps the file, matches 4 rows
+    assert t.read(
+        spark, where={"ts": {"gte": "2026-01-01 00:00:05.5"}}
+    ).count() == 4
+    # unparseable literal (tz suffix): refuses to prune, still exact
+    kept, total = t.prune_files(spark, {"ts": {"gte": "2026-01-01T00:00:05+00:00"}})
+    assert len(kept) == total
