@@ -118,6 +118,62 @@ _STAT_TYPES = _STAT_NUMERIC | _STAT_TEMPORAL | {"string", "boolean"}
 #: (pattern ops, notIn, notBetween, ...) conservatively keeps the file.
 _INTERVAL_OPS = {"eq", "is", "ne", "gt", "gte", "lt", "lte", "in", "between"}
 
+#: Column types eligible for per-file Bloom filters: exactly those whose
+#: CAST(col AS STRING) is byte-reproducible driver-side via str() —
+#: strings themselves and integers. Floats/timestamps are excluded
+#: (representation drift between the JVM cast and Python str would make
+#: the probe hash a DIFFERENT key than the build did: silent wrong
+#: prunes).
+_BLOOM_TYPES = {"string", "tinyint", "smallint", "int", "bigint"}
+
+
+def _bloom_contains(bloom: dict, value: Any, dtype: str) -> bool:
+    """Membership probe against a stored per-file Bloom filter. True =
+    possibly present (keep); False = DEFINITELY absent (prune — Bloom
+    filters have no false negatives, so this is sound). Literals whose
+    Python type doesn't match the column domain punt to True — the
+    same cross-type-cast rule as _encode_literal."""
+    import base64
+    import hashlib
+
+    if dtype == "string":
+        if not isinstance(value, str):
+            return True
+    elif isinstance(value, bool) or not isinstance(value, int):
+        return True
+    s = str(value)
+    bits = base64.b64decode(bloom["b64"])
+    m, k = bloom["m"], bloom["k"]
+    for i in range(k):
+        p = int(
+            hashlib.md5((s + chr(i)).encode("utf-8")).hexdigest()[:15], 16
+        ) % m
+        if not (bits[p >> 3] >> (p & 7)) & 1:
+            return False
+    return True
+
+
+def _bloom_can_match(ent: dict, dtype: str, op: str, operand: Any) -> bool:
+    """Bloom refinement for equality shapes (everything else keeps):
+    after the interval check passes, an eq probe can still prove the
+    key absent from this file."""
+    bloom = ent.get("bloom")
+    if bloom is None:
+        return True
+    if op in ("eq", "is"):
+        if operand is None:
+            return True  # null-ness is the interval evaluator's job
+        from logverzcore_spark.operators.optree import type_literal
+
+        return _bloom_contains(bloom, type_literal(operand), dtype)
+    if op == "in":
+        from logverzcore_spark.operators.optree import type_literal
+
+        return any(
+            _bloom_contains(bloom, type_literal(v), dtype) for v in operand
+        )
+    return True
+
 
 def _bump_prefix(s: str) -> str | None:
     """Smallest string > every string with prefix ``s``: bump the last
@@ -293,12 +349,15 @@ def _file_can_match(tree: Any, fstats: dict | None, schema: dict) -> bool:
                         op, operand, ent, dtype
                     ):
                         return False
+                    if not _bloom_can_match(ent, dtype, op, operand):
+                        return False
             else:
                 from logverzcore_spark.operators.optree import type_literal
 
-                if not _interval_can_match(
-                    "eq", type_literal(value), ent, dtype
-                ):
+                lit = type_literal(value)
+                if not _interval_can_match("eq", lit, ent, dtype):
+                    return False
+                if not _bloom_can_match(ent, dtype, "eq", lit):
                     return False
     return True
 
@@ -334,7 +393,15 @@ def _merge_schema_json(parent_json: str | None, new_schema) -> str:
 
 
 class SnapshotTable:
-    def __init__(self, root: str, backend=None, stats_columns=None):
+    def __init__(
+        self,
+        root: str,
+        backend=None,
+        stats_columns=None,
+        bloom_columns=None,
+        bloom_bits: int = 65536,
+        bloom_hashes: int = 6,
+    ):
         """``backend`` routes every MANIFEST read/commit through a
         :class:`fsutil.CommitBackend` — pass a ConditionalPutBackend on
         object stores (fsutil's atomicity-scope note); default keeps
@@ -348,12 +415,28 @@ class SnapshotTable:
         restricts to those columns (a huge text column is pure manifest
         bloat — its min/max are megabyte strings truncated to 96 chars
         that no sane predicate ranges over); False disables collection
-        entirely (``analyze`` can backfill later)."""
+        entirely (``analyze`` can backfill later).
+
+        ``bloom_columns`` (opt-in, string/integer columns) additionally
+        stores a per-file Bloom filter in the manifest — the point-
+        lookup complement of min/max skipping: on a RANDOM layout every
+        interval spans everything and range stats prune nothing, but an
+        eq/in probe still skips every file whose filter lacks the key
+        (no false negatives, so skipping stays sound; false positives
+        only cost a scan). ``bloom_bits``/``bloom_hashes`` size the
+        filter (defaults 64 Kbit / k=6 ≈ 4.7 % FPP at 10k distinct
+        values per file; base64 cost ~11 KB per file per column — the
+        reason it's opt-in). Hashing is md5-based and byte-identical on
+        the JVM (F.md5) and the driver (hashlib), so probes never touch
+        Spark."""
         self.root = root.rstrip("/")
         self.data = os.path.join(self.root, "data")
         self.snaps = os.path.join(self.root, "_snapshots")
         self.backend = backend
         self.stats_columns = stats_columns
+        self.bloom_columns = list(bloom_columns or [])
+        self.bloom_bits = int(bloom_bits)
+        self.bloom_hashes = int(bloom_hashes)
 
     def versions(self, spark: SparkSession) -> list[int]:
         if self.backend is not None:
@@ -538,7 +621,94 @@ class SnapshotTable:
                         for name, _ in eligible
                     },
                 }
+        if self.bloom_columns:
+            self._collect_blooms(src, by_base, stats, schema)
         return stats, schema
+
+    def _collect_blooms(
+        self, src: DataFrame, by_base: dict, stats: dict, schema: dict
+    ):
+        """Per-file Bloom filters for the opted-in columns, attached to
+        the stats entries. Hash positions are computed JVM-side (md5 +
+        conv — whole-stage codegen) and the bitset assembly is one
+        Arrow-batched applyInPandas per file group, emitting ONE base64
+        row per (file, column) — output is files × filter bytes,
+        bounded metadata."""
+        import base64
+
+        import pandas as pd
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        m, k = self.bloom_bits, self.bloom_hashes
+        eligible = [
+            f.name
+            for f in src.schema.fields
+            if f.name in self.bloom_columns
+            and f.dataType.simpleString() in _BLOOM_TYPES
+        ]
+        for f in src.schema.fields:
+            if f.name in eligible:
+                # a bloom-only column (outside the min/max allowlist)
+                # still needs its dtype in stats_schema for the probe
+                schema.setdefault(f.name, f.dataType.simpleString())
+        out_schema = StructType(
+            [StructField("__base", StringType()), StructField("b64", StringType())]
+        )
+
+        def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            import numpy as np
+
+            bits = np.zeros(m // 8, dtype=np.uint8)
+            arrs = [np.asarray(a, dtype=np.int64) for a in pdf["__pos"] if a is not None]
+            if arrs:
+                pos = np.concatenate(arrs)
+                np.bitwise_or.at(
+                    bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8)
+                )
+            return pd.DataFrame(
+                {
+                    "__base": [pdf["__base"].iloc[0]],
+                    "b64": [base64.b64encode(bits.tobytes()).decode("ascii")],
+                }
+            )
+
+        for name in eligible:
+            val = F.col(f"`{name}`").cast("string")
+            pos = [
+                (
+                    F.conv(
+                        F.substring(F.md5(F.concat(val, F.lit(chr(s)))), 1, 15),
+                        16,
+                        10,
+                    ).cast("long")
+                    % m
+                ).cast("int")
+                for s in range(k)
+            ]
+            rows = (
+                src.where(F.col(f"`{name}`").isNotNull())
+                .select(
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ).alias("__base"),
+                    F.array(*pos).alias("__pos"),
+                )
+                .groupBy("__base")
+                .applyInPandas(build, out_schema)
+                .collect()
+            )
+            for r in rows:
+                path = by_base.get(r["__base"])
+                fent = stats.get(path)
+                if fent is None:
+                    continue
+                # a bloom column excluded from the min/max allowlist
+                # still gets an entry (unknown bounds/nulls stay None —
+                # claiming nulls=0 would let IS NULL prune wrongly)
+                cent = fent["cols"].setdefault(
+                    name, {"min": None, "max": None, "nulls": None}
+                )
+                cent["bloom"] = {"m": m, "k": k, "b64": r["b64"]}
 
     def append(self, df: DataFrame, tag: str | None = None) -> int:
         """Commit current-version files + the new data as version N+1.

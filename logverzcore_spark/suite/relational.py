@@ -4994,3 +4994,73 @@ def q135_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@query(
+    "q136_bloom_point_lookup",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           o_orderpriority
+    FROM orders
+    WHERE o_orderkey IN (100, 777, 1200)
+    ORDER BY o_orderkey
+    """,
+)
+def q136_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom skipping (SnapshotTable bloom_columns): point
+    lookups on a column whose layout is RANDOM — where min/max interval
+    stats span everything and prune nothing — still skip every file
+    whose filter proves the key absent (no false negatives ⇒ sound;
+    false positives only cost a scan). The Delta bloom-index
+    counterpart, with md5-based hashing byte-identical between the JVM
+    build (F.md5 over CAST AS STRING) and the driver probe (hashlib
+    over str). Fixture: orders committed interleaved (every commit
+    spans the key range), bloom on a derived string key; three known
+    keys probed through an in-list; the entry asserts files were
+    actually skipped, and the oracle restates the lookup by the
+    bijective integer key."""
+    import hashlib as _hl
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "okey",
+        F.concat(
+            F.lit("ord-"),
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 12),
+        ),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"q136_snap_{_uuid.uuid4().hex[:8]}"
+    )
+    t = SnapshotTable(root, bloom_columns=["okey"])
+    try:
+        for i in range(4):  # interleaved: every commit spans the key space
+            t.append(
+                orders.where(F.col("o_orderkey") % 4 == i).repartition(3)
+            )
+        probes = [
+            "ord-" + _hl.md5(str(key).encode("utf-8")).hexdigest()[:12]
+            for key in (100, 777, 1200)
+        ]
+        kept, total = t.prune_files(spark, {"okey": {"in": probes}})
+        assert 0 < len(kept) < total, "bloom must actually skip files"
+        out = (
+            t.read(spark, where={"okey": {"in": probes}})
+            .select(
+                F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                F.floor(F.col("o_totalprice") * 100 + 0.5)
+                .cast("long")
+                .alias("cents"),
+                "o_orderpriority",
+            )
+            .orderBy("o_orderkey")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

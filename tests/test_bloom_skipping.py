@@ -1,0 +1,129 @@
+"""Per-file Bloom filters in snapshot manifests: point-lookup skipping
+on RANDOM layouts, where min/max intervals span everything and range
+stats prune nothing. Soundness rests on Bloom no-false-negatives plus
+byte-identical hashing on both sides (JVM F.md5 == Python hashlib.md5
+over CAST(col AS STRING) == str(value) — the reason only string and
+integer columns are eligible)."""
+
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from logverzcore_spark.snapshots import SnapshotTable
+
+
+def _mkroot(tmpdir_path):
+    return os.path.join(str(tmpdir_path), f"bl_{uuid.uuid4().hex[:8]}")
+
+
+def _df(spark, n=8000):
+    return (
+        spark.range(0, n)
+        .withColumn(
+            "key",
+            F.concat(
+                F.lit("user-"),
+                F.substring(F.md5(F.col("id").cast("string")), 1, 12),
+            ),
+        )
+        .withColumn("num", (F.col("id") * 2654435761 % 1000003).cast("long"))
+    )
+
+
+def _random_layout(spark, tmpdir_path, **kw):
+    t = SnapshotTable(_mkroot(tmpdir_path), **kw)
+    df = _df(spark)
+    for i in range(4):
+        t.append(df.where(F.col("id") % 4 == i).repartition(2))
+    return t, df
+
+
+def test_point_lookup_prunes_on_random_layout(spark, tmpdir_path):
+    t, df = _random_layout(spark, tmpdir_path, bloom_columns=["key", "num"])
+    probe = df.where("id = 1234").first()
+    # intervals are useless here (every file spans the hash range)...
+    kept_range, total = t.prune_files(spark, {"key": {"gte": "user-0"}})
+    assert len(kept_range) == total
+    # ...but the bloom prunes the eq probe to ~1 file, exactly
+    for where, want_rows in (
+        ({"key": probe["key"]}, 1),
+        ({"num": {"eq": int(probe["num"])}}, 1),
+        ({"key": {"in": [probe["key"], "user-nonexistent"]}}, 1),
+    ):
+        kept, total = t.prune_files(spark, where)
+        assert 0 < len(kept) < total, where
+        assert t.read(spark, where=where).count() == want_rows, where
+    # absent key: every file proven not to contain it
+    kept, _ = t.prune_files(spark, {"key": "user-nope"})
+    assert kept == []
+    assert t.read(spark, where={"key": "user-nope"}).count() == 0
+
+
+def test_no_false_negatives_end_to_end(spark, tmpdir_path):
+    """Every existing key's file survives pruning — a wrong prune here
+    is data loss, so sweep a real sample, not one probe."""
+    t, df = _random_layout(spark, tmpdir_path, bloom_columns=["key"])
+    sample = df.where("id % 500 = 0").select("key").collect()
+    assert len(sample) >= 10
+    for r in sample:
+        assert t.read(spark, where={"key": r["key"]}).count() == 1, r["key"]
+
+
+def test_cross_type_probe_punts(spark, tmpdir_path):
+    t, _ = _random_layout(spark, tmpdir_path, bloom_columns=["key"])
+    # numeric literal vs string column: Spark casts the COLUMN, the
+    # bloom hashed strings — must keep everything, not guess
+    kept, total = t.prune_files(spark, {"key": 5})
+    assert len(kept) == total
+
+
+def test_bloom_only_column_outside_stats_allowlist(spark, tmpdir_path):
+    t = SnapshotTable(
+        _mkroot(tmpdir_path), stats_columns=["num"], bloom_columns=["key"]
+    )
+    df = _df(spark, 2000)
+    t.append(df.where("id < 1000").coalesce(1))
+    t.append(df.where("id >= 1000").coalesce(1))
+    probe = df.where("id = 77").first()
+    kept, total = t.prune_files(spark, {"key": probe["key"]})
+    assert len(kept) == 1 and total == 2
+    # unknown nulls on the bloom-only column must NOT let IS NULL prune
+    kept, _ = t.prune_files(spark, {"key": None})
+    assert len(kept) == total
+
+
+def test_append_carries_blooms_and_analyze_backfills(spark, tmpdir_path):
+    root = _mkroot(tmpdir_path)
+    plain = SnapshotTable(root, stats_columns=False)
+    df = _df(spark, 2000)
+    plain.append(df.where("id < 1000").coalesce(1))
+    t = SnapshotTable(root, bloom_columns=["key"])
+    t.append(df.where("id >= 1000").coalesce(1))
+    m = t._read_manifest(spark, 2)
+    with_bloom = [
+        e for e in m["stats"].values() if "bloom" in e["cols"].get("key", {})
+    ]
+    assert len(with_bloom) == 1  # the new commit's file only
+    v = t.analyze(spark)  # backfills stats AND blooms for commit 1
+    m = t._read_manifest(spark, v)
+    assert all(
+        "bloom" in e["cols"].get("key", {}) for e in m["stats"].values()
+    )
+    probe = df.where("id = 5").first()  # lives in the backfilled commit
+    kept, total = t.prune_files(spark, {"key": probe["key"]})
+    assert len(kept) == 1 and total == 2
+
+
+def test_bloom_sizing_documented_shape(spark, tmpdir_path):
+    t, _ = _random_layout(
+        spark, tmpdir_path, bloom_columns=["key"], bloom_bits=8192,
+        bloom_hashes=4,
+    )
+    m = t._read_manifest(spark, 4)
+    ent = next(iter(m["stats"].values()))["cols"]["key"]["bloom"]
+    assert (ent["m"], ent["k"]) == (8192, 4)
+    import base64
+
+    assert len(base64.b64decode(ent["b64"])) == 8192 // 8
