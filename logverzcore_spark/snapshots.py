@@ -150,7 +150,7 @@ def _bloom_contains(bloom: dict, value: Any, dtype: str) -> bool:
         ) % m
         if not (bits[p >> 3] >> (p & 7)) & 1:
             return False
-    return True
+    return True  # position algebra matches build: hash60 %% per-file m
 
 
 def _bloom_can_match(ent: dict, dtype: str, op: str, operand: Any) -> bool:
@@ -401,6 +401,7 @@ class SnapshotTable:
         bloom_columns=None,
         bloom_bits: int = 65536,
         bloom_hashes: int = 6,
+        bloom_max_bits: int = 1 << 22,
     ):
         """``backend`` routes every MANIFEST read/commit through a
         :class:`fsutil.CommitBackend` — pass a ConditionalPutBackend on
@@ -423,12 +424,17 @@ class SnapshotTable:
         interval spans everything and range stats prune nothing, but an
         eq/in probe still skips every file whose filter lacks the key
         (no false negatives, so skipping stays sound; false positives
-        only cost a scan). ``bloom_bits``/``bloom_hashes`` size the
-        filter (defaults 64 Kbit / k=6 ≈ 4.7 % FPP at 10k distinct
-        values per file; base64 cost ~11 KB per file per column — the
-        reason it's opt-in). Hashing is md5-based and byte-identical on
-        the JVM (F.md5) and the driver (hashlib), so probes never touch
-        Spark."""
+        only cost a scan). Each FILE's filter is auto-sized at ~10 bits
+        per row (power of two, floor ``bloom_bits`` = 64 Kbit, ceiling
+        ``bloom_max_bits`` = 4 Mbit ≈ 700 KB base64) — a fixed size
+        saturates on big files and silently stops pruning (measured:
+        64 Kbit over 250k-row files kept 157/160 on a point probe); a
+        file too big for the ceiling gets NO filter (honest absence)
+        rather than a saturated one, which is the same compaction
+        discipline every other skipping lever already leans on.
+        ``bloom_hashes`` is k (default 6). Hashing is md5-based and
+        byte-identical on the JVM (F.md5) and the driver (hashlib), so
+        probes never touch Spark."""
         self.root = root.rstrip("/")
         self.data = os.path.join(self.root, "data")
         self.snaps = os.path.join(self.root, "_snapshots")
@@ -437,6 +443,7 @@ class SnapshotTable:
         self.bloom_columns = list(bloom_columns or [])
         self.bloom_bits = int(bloom_bits)
         self.bloom_hashes = int(bloom_hashes)
+        self.bloom_max_bits = int(bloom_max_bits)
 
     def versions(self, spark: SparkSession) -> list[int]:
         if self.backend is not None:
@@ -639,7 +646,8 @@ class SnapshotTable:
         import pandas as pd
         from pyspark.sql.types import StringType, StructField, StructType
 
-        m, k = self.bloom_bits, self.bloom_hashes
+        min_bits, max_bits = self.bloom_bits, self.bloom_max_bits
+        k = self.bloom_hashes
         eligible = [
             f.name
             for f in src.schema.fields
@@ -651,17 +659,34 @@ class SnapshotTable:
                 # a bloom-only column (outside the min/max allowlist)
                 # still needs its dtype in stats_schema for the probe
                 schema.setdefault(f.name, f.dataType.simpleString())
+        from pyspark.sql.types import LongType
+
         out_schema = StructType(
-            [StructField("__base", StringType()), StructField("b64", StringType())]
+            [
+                StructField("__base", StringType()),
+                StructField("b64", StringType()),
+                StructField("m", LongType()),
+            ]
         )
 
         def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
             import numpy as np
 
+            # auto-size from THIS file's rows: ~10 bits/row, pow2,
+            # floored/ceilinged; too-big files get no filter (honest
+            # absence beats a saturated filter that never prunes)
+            n = len(pdf)
+            need = max(min_bits, 1 << (10 * n - 1).bit_length())
+            if need > max_bits:
+                return pd.DataFrame(
+                    {"__base": [pdf["__base"].iloc[0]], "b64": [None],
+                     "m": [0]}
+                )
+            m = need
             bits = np.zeros(m // 8, dtype=np.uint8)
             arrs = [np.asarray(a, dtype=np.int64) for a in pdf["__pos"] if a is not None]
             if arrs:
-                pos = np.concatenate(arrs)
+                pos = np.concatenate(arrs) % m
                 np.bitwise_or.at(
                     bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8)
                 )
@@ -669,20 +694,18 @@ class SnapshotTable:
                 {
                     "__base": [pdf["__base"].iloc[0]],
                     "b64": [base64.b64encode(bits.tobytes()).decode("ascii")],
+                    "m": [m],
                 }
             )
 
         for name in eligible:
             val = F.col(f"`{name}`").cast("string")
             pos = [
-                (
-                    F.conv(
-                        F.substring(F.md5(F.concat(val, F.lit(chr(s)))), 1, 15),
-                        16,
-                        10,
-                    ).cast("long")
-                    % m
-                ).cast("int")
+                F.conv(
+                    F.substring(F.md5(F.concat(val, F.lit(chr(s)))), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
                 for s in range(k)
             ]
             rows = (
@@ -705,10 +728,12 @@ class SnapshotTable:
                 # a bloom column excluded from the min/max allowlist
                 # still gets an entry (unknown bounds/nulls stay None —
                 # claiming nulls=0 would let IS NULL prune wrongly)
+                if r["b64"] is None:
+                    continue  # file exceeded bloom_max_bits: no filter
                 cent = fent["cols"].setdefault(
                     name, {"min": None, "max": None, "nulls": None}
                 )
-                cent["bloom"] = {"m": m, "k": k, "b64": r["b64"]}
+                cent["bloom"] = {"m": int(r["m"]), "k": k, "b64": r["b64"]}
 
     def append(self, df: DataFrame, tag: str | None = None) -> int:
         """Commit current-version files + the new data as version N+1.

@@ -116,14 +116,35 @@ def test_append_carries_blooms_and_analyze_backfills(spark, tmpdir_path):
     assert len(kept) == 1 and total == 2
 
 
-def test_bloom_sizing_documented_shape(spark, tmpdir_path):
+def test_bloom_autosizing_tracks_file_rows(spark, tmpdir_path):
+    """Filters size at ~10 bits/row per FILE (pow2, floored by
+    bloom_bits): a fixed size saturates on big files and silently stops
+    pruning. Files beyond bloom_max_bits get NO filter (honest absence,
+    never a saturated lie) and stay unprunable-but-correct."""
+    import base64
+
     t, _ = _random_layout(
         spark, tmpdir_path, bloom_columns=["key"], bloom_bits=8192,
         bloom_hashes=4,
     )
     m = t._read_manifest(spark, 4)
     ent = next(iter(m["stats"].values()))["cols"]["key"]["bloom"]
-    assert (ent["m"], ent["k"]) == (8192, 4)
-    import base64
-
-    assert len(base64.b64decode(ent["b64"])) == 8192 // 8
+    # ~1000 rows/file -> 10k bits -> next pow2 = 16384 (> the 8192 floor)
+    assert (ent["m"], ent["k"]) == (16384, 4)
+    assert len(base64.b64decode(ent["b64"])) == 16384 // 8
+    # ceiling: a file too big for bloom_max_bits carries no filter at
+    # all, and point probes keep (not wrongly prune) its file
+    t2 = SnapshotTable(
+        _mkroot(tmpdir_path), bloom_columns=["key"], bloom_max_bits=4096
+    )
+    df = _df(spark, 3000)
+    t2.append(df.coalesce(1))  # 3000 rows -> needs 32768 > 4096 cap
+    m2 = t2._read_manifest(spark, 1)
+    assert all(
+        "bloom" not in e["cols"].get("key", {})
+        for e in m2["stats"].values()
+    )
+    probe = df.where("id = 7").first()
+    kept, total = t2.prune_files(spark, {"key": probe["key"]})
+    assert len(kept) == total
+    assert t2.read(spark, where={"key": probe["key"]}).count() == 1

@@ -114,19 +114,75 @@ def probe(spark, rows: int, work: str) -> dict:
     }
 
 
+def probe_bloom(spark, rows: int, work: str) -> dict:
+    """Bloom-skipping scaling: RANDOM layout (intervals prune nothing),
+    point lookup via the per-file filter vs the full-filter baseline."""
+    from pyspark.sql import functions as FF
+
+    n_commits = max(8, min(64, rows // 250_000))
+    width = rows // n_commits
+    t = SnapshotTable(
+        os.path.join(work, f"bl_{rows}"), bloom_columns=["key"]
+    )
+    df = (
+        spark.range(0, rows)
+        .withColumn(
+            "key",
+            FF.concat(
+                FF.lit("user-"),
+                FF.substring(FF.md5(FF.col("id").cast("string")), 1, 12),
+            ),
+        )
+        .withColumn("v", (FF.col("id") * 7 % 1009).cast("long"))
+    )
+    t0 = time.time()
+    for i in range(n_commits):
+        t.append(
+            df.where(
+                (FF.col("id") >= i * width) & (FF.col("id") < (i + 1) * width)
+            ).repartition(4)
+        )
+    build_s = time.time() - t0
+
+    import hashlib
+
+    probe_key = "user-" + hashlib.md5(
+        str(rows // 2).encode("utf-8")
+    ).hexdigest()[:12]
+
+    t0 = time.time()
+    full = t.read(spark).filter(FF.col("key") == probe_key).count()
+    full_s = time.time() - t0
+    kept, total = t.prune_files(spark, {"key": probe_key})
+    t0 = time.time()
+    pruned = t.read(spark, where={"key": probe_key}).count()
+    pruned_s = time.time() - t0
+    assert pruned == full == 1, (pruned, full)
+    return {
+        "rows": rows,
+        "files_total": total,
+        "files_kept": len(kept),
+        "build_s": round(build_s, 2),
+        "full_lookup_s": round(full_s, 2),
+        "bloom_lookup_s": round(pruned_s, 2),
+    }
+
+
 def main():
     base = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     scales = [int(a) for a in sys.argv[2:]] or [1, 10, 100]
+    bloom_mode = os.environ.get("PROBE_BLOOM") == "1"
     spark = get_session(app_name="snapshot-scale-probe")
     work = tempfile.mkdtemp(prefix="snapscale_")
     try:
         for s in scales:
-            out = probe(spark, base * s, work)
+            out = (probe_bloom if bloom_mode else probe)(spark, base * s, work)
             out["scale"] = s
             print(json.dumps(out), flush=True)
             # reclaim between scales: the 100x table is ~10 GB
             shutil.rmtree(os.path.join(work, f"tbl_{base * s}"), ignore_errors=True)
             shutil.rmtree(os.path.join(work, f"mv_{base * s}"), ignore_errors=True)
+            shutil.rmtree(os.path.join(work, f"bl_{base * s}"), ignore_errors=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
