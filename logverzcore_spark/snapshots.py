@@ -81,6 +81,7 @@ from logverzcore_spark.fsutil import (
     break_commit_lock,
     hadoop_fs,
     read_small_json,
+    write_small_json_commit,
     write_small_json_exclusive,
 )
 
@@ -153,11 +154,10 @@ def _bloom_contains(bloom: dict, value: Any, dtype: str) -> bool:
     return True  # position algebra matches build: hash60 %% per-file m
 
 
-def _bloom_can_match(ent: dict, dtype: str, op: str, operand: Any) -> bool:
+def _bloom_can_match(bloom: dict | None, dtype: str, op: str, operand: Any) -> bool:
     """Bloom refinement for equality shapes (everything else keeps):
     after the interval check passes, an eq probe can still prove the
     key absent from this file."""
-    bloom = ent.get("bloom")
     if bloom is None:
         return True
     if op in ("eq", "is"):
@@ -310,7 +310,9 @@ def _interval_can_match(op: str, value: Any, ent: dict, dtype: str) -> bool:
     return True
 
 
-def _file_can_match(tree: Any, fstats: dict | None, schema: dict) -> bool:
+def _file_can_match(
+    tree: Any, fstats: dict | None, schema: dict, fblooms: dict | None = None
+) -> bool:
     """Driver-side interval evaluation of an optree predicate against one
     file's stats. Mirrors optree.compile_where's accepted shapes; every
     construct the interval algebra can't decide returns True (keep).
@@ -325,12 +327,14 @@ def _file_can_match(tree: Any, fstats: dict | None, schema: dict) -> bool:
         key_name = key.strip("<>")
         if key_name == "and":
             subs = value if isinstance(value, (list, tuple)) else [value]
-            if not all(_file_can_match(v, fstats, schema) for v in subs):
+            if not all(
+                _file_can_match(v, fstats, schema, fblooms) for v in subs
+            ):
                 return False
         elif key_name == "or":
             subs = value if isinstance(value, (list, tuple)) else [value]
             if subs and not any(
-                _file_can_match(v, fstats, schema) for v in subs
+                _file_can_match(v, fstats, schema, fblooms) for v in subs
             ):
                 return False
         elif key_name == "not":
@@ -349,7 +353,8 @@ def _file_can_match(tree: Any, fstats: dict | None, schema: dict) -> bool:
                         op, operand, ent, dtype
                     ):
                         return False
-                    if not _bloom_can_match(ent, dtype, op, operand):
+                    bloom = (fblooms or {}).get(key_name) or ent.get("bloom")
+                    if not _bloom_can_match(bloom, dtype, op, operand):
                         return False
             else:
                 from logverzcore_spark.operators.optree import type_literal
@@ -357,9 +362,31 @@ def _file_can_match(tree: Any, fstats: dict | None, schema: dict) -> bool:
                 lit = type_literal(value)
                 if not _interval_can_match("eq", lit, ent, dtype):
                     return False
-                if not _bloom_can_match(ent, dtype, "eq", lit):
+                bloom = (fblooms or {}).get(key_name) or ent.get("bloom")
+                if not _bloom_can_match(bloom, dtype, "eq", lit):
                     return False
     return True
+
+
+def _wants_equality(tree: Any) -> bool:
+    """Does the predicate contain any eq/is/in shape? Decides whether a
+    probe should pay the bloom-sidecar load at all."""
+    if not isinstance(tree, dict):
+        return False
+    for key, value in tree.items():
+        key_name = key.strip("<>")
+        if key_name in ("and", "or"):
+            subs = value if isinstance(value, (list, tuple)) else [value]
+            if any(_wants_equality(v) for v in subs):
+                return True
+        elif key_name == "not":
+            continue
+        elif isinstance(value, dict):
+            if any(op.strip("<>") in ("eq", "is", "in") for op in value):
+                return True
+        else:
+            return True  # shorthand equality
+    return False
 
 
 def _merge_schema_json(parent_json: str | None, new_schema) -> str:
@@ -481,6 +508,7 @@ class SnapshotTable:
         stats: dict | None = None,
         stats_schema: dict | None = None,
         schema_json: str | None = None,
+        bloom_files: list[str] | None = None,
     ) -> int:
         all_tags = list(parent.get("all_tags", [])) if parent else []
         if tag is not None:
@@ -494,6 +522,7 @@ class SnapshotTable:
             },
             "stats_schema": stats_schema or {},
             "schema": schema_json,
+            "bloom_files": bloom_files or [],
         }
         version = parent_version + 1
         # Exclusive commit: a concurrent committer who read the same
@@ -521,7 +550,7 @@ class SnapshotTable:
             return 0, None
         return vs[-1], self._read_manifest(spark, vs[-1])
 
-    def _write_data(self, df: DataFrame) -> tuple[list[str], dict, dict]:
+    def _write_data(self, df: DataFrame) -> tuple[list[str], dict, dict, dict]:
         """Write a commit's data files into a fresh immutable dir and
         return (paths, per-file stats, stats schema). A crash after this
         but before the manifest commit leaves them orphaned and
@@ -542,14 +571,14 @@ class SnapshotTable:
                 files.append(p)
                 sizes[p] = int(st.getLen())
         if self.stats_columns is False:
-            return files, {}, {}
-        stats, schema = self._collect_stats(spark, files)
+            return files, {}, {}, {}
+        stats, schema, blooms = self._collect_stats(spark, files)
         for p, ent in stats.items():
             # file bytes ride in the stats entry: they price reads
             # (estimate / admission) and compaction, at zero extra I/O
             # — the listing above already had them.
             ent["bytes"] = sizes.get(p)
-        return files, stats, schema
+        return files, stats, schema, blooms
 
     def _collect_stats(
         self, spark: SparkSession, files: list[str]
@@ -564,18 +593,20 @@ class SnapshotTable:
         backfill path) are processed per dir, because each commit dir
         is schema-homogeneous while the set may not be."""
         if not files:
-            return {}, {}
+            return {}, {}, {}
         by_dir: dict[str, list[str]] = {}
         for f in files:
             by_dir.setdefault(os.path.dirname(f), []).append(f)
         if len(by_dir) > 1:
             stats: dict = {}
             schema: dict = {}
+            blooms: dict = {}
             for group in by_dir.values():
-                s, sch = self._collect_stats(spark, group)
+                s, sch, bl = self._collect_stats(spark, group)
                 stats.update(s)
                 schema.update(sch)
-            return stats, schema
+                blooms.update(bl)
+            return stats, schema, blooms
         src = spark.read.parquet(*files)
         eligible = [
             (f.name, f.dataType.simpleString())
@@ -628,12 +659,14 @@ class SnapshotTable:
                         for name, _ in eligible
                     },
                 }
+        blooms: dict = {}
         if self.bloom_columns:
-            self._collect_blooms(src, by_base, stats, schema)
-        return stats, schema
+            self._collect_blooms(src, by_base, stats, blooms, schema)
+        return stats, schema, blooms
 
     def _collect_blooms(
-        self, src: DataFrame, by_base: dict, stats: dict, schema: dict
+        self, src: DataFrame, by_base: dict, stats: dict, blooms: dict,
+        schema: dict,
     ):
         """Per-file Bloom filters for the opted-in columns, attached to
         the stats entries. Hash positions are computed JVM-side (md5 +
@@ -730,10 +763,14 @@ class SnapshotTable:
                 # claiming nulls=0 would let IS NULL prune wrongly)
                 if r["b64"] is None:
                     continue  # file exceeded bloom_max_bits: no filter
-                cent = fent["cols"].setdefault(
+                # sidecar payload, NOT the stats entry: filters are the
+                # one skipping artifact too heavy for the manifest
+                blooms.setdefault(path, {})[name] = {
+                    "m": int(r["m"]), "k": k, "b64": r["b64"],
+                }
+                fent["cols"].setdefault(
                     name, {"min": None, "max": None, "nulls": None}
                 )
-                cent["bloom"] = {"m": int(r["m"]), "k": k, "b64": r["b64"]}
 
     def append(self, df: DataFrame, tag: str | None = None) -> int:
         """Commit current-version files + the new data as version N+1.
@@ -753,15 +790,18 @@ class SnapshotTable:
         schema_json = _merge_schema_json(
             head.get("schema") if head else None, df.schema
         )
-        new_files, new_stats, new_schema = self._write_data(df)
+        new_files, new_stats, new_schema, new_blooms = self._write_data(df)
         stats = {**(head.get("stats", {}) if head else {}), **new_stats}
         schema = {
             **(head.get("stats_schema", {}) if head else {}),
             **new_schema,
         }
+        bloom_files = list(head.get("bloom_files", [])) if head else []
+        if new_blooms:
+            bloom_files.append(self._write_bloom_sidecar(spark, new_blooms))
         return self._commit(
             spark, base + new_files, tag, head, head_v, stats, schema,
-            schema_json,
+            schema_json, bloom_files,
         )
 
     def overwrite(self, df: DataFrame, tag: str | None = None) -> int:
@@ -772,10 +812,15 @@ class SnapshotTable:
         head_v, head = self._head(spark)
         if tag is not None and head and tag in head.get("all_tags", []):
             return head_v
-        new_files, new_stats, new_schema = self._write_data(df)
+        new_files, new_stats, new_schema, new_blooms = self._write_data(df)
+        bloom_files = (
+            [self._write_bloom_sidecar(spark, new_blooms)]
+            if new_blooms
+            else []
+        )
         return self._commit(
             spark, new_files, tag, head, head_v, new_stats, new_schema,
-            df.schema.json(),
+            df.schema.json(), bloom_files,
         )
 
     def _reader(self, spark: SparkSession, manifest: dict):
@@ -800,6 +845,45 @@ class SnapshotTable:
             raise ValueError(f"version {v} not in {vs}")
         return self._read_manifest(spark, v)
 
+    def _write_bloom_sidecar(self, spark: SparkSession, blooms: dict) -> str:
+        """Persist a commit's Bloom filters as a SIDECAR next to the
+        manifests — the one skipping artifact too heavy to inline
+        (~10 bits/row: inlining measurably turned every manifest read
+        into a multi-MB JSON parse). uuid-named, written before the
+        manifest commit that references it, so readers resolve it only
+        through a committed manifest (same invisibility rule as data
+        files); unreferenced sidecars are vacuum-reclaimed."""
+        name = f"bs-{uuid.uuid4().hex[:12]}.json"
+        write_small_json_commit(
+            spark,
+            os.path.join(self.snaps, name),
+            {"blooms": blooms},
+            backend=self.backend,
+        )
+        return name
+
+    def _load_blooms(self, spark: SparkSession, manifest: dict) -> dict:
+        """{file path: {column: bloom}} union over the manifest's
+        sidecars, cached per sidecar name on this handle — an equality
+        probe pays each sidecar's bytes once per process; reads without
+        equality predicates never load them at all."""
+        out: dict = {}
+        cache = getattr(self, "_bloom_cache", None)
+        if cache is None:
+            cache = self._bloom_cache = {}
+        for name in manifest.get("bloom_files", []):
+            if name not in cache:
+                try:
+                    cache[name] = read_small_json(
+                        spark, os.path.join(self.snaps, name),
+                        backend=self.backend,
+                    )["blooms"]
+                except Exception:
+                    cache[name] = {}  # missing sidecar: probes just keep
+            for path, cols in cache[name].items():
+                out.setdefault(path, {}).update(cols)
+        return out
+
     def prune_files(
         self, spark: SparkSession, where: Any, version: int | None = None
     ) -> tuple[list[str], int]:
@@ -813,8 +897,15 @@ class SnapshotTable:
         files = m["files"]
         stats = m.get("stats", {})
         schema = m.get("stats_schema", {})
+        blooms = (
+            self._load_blooms(spark, m)
+            if _wants_equality(where) and m.get("bloom_files")
+            else {}
+        )
         kept = [
-            f for f in files if _file_can_match(where, stats.get(f), schema)
+            f
+            for f in files
+            if _file_can_match(where, stats.get(f), schema, blooms.get(f))
         ]
         return kept, len(files)
 
@@ -842,8 +933,15 @@ class SnapshotTable:
 
         stats = m.get("stats", {})
         schema = m.get("stats_schema", {})
+        blooms = (
+            self._load_blooms(spark, m)
+            if _wants_equality(where) and m.get("bloom_files")
+            else {}
+        )
         kept = [
-            f for f in files if _file_can_match(where, stats.get(f), schema)
+            f
+            for f in files
+            if _file_can_match(where, stats.get(f), schema, blooms.get(f))
         ]
         # All files pruned: keep one file for its schema; the residual
         # filter (provably unsatisfiable over it) returns zero rows.
@@ -888,7 +986,7 @@ class SnapshotTable:
         missing = [f for f in files if f not in stats]
         if not missing:
             return head_v
-        new_stats, new_schema = self._collect_stats(spark, missing)
+        new_stats, new_schema, new_blooms = self._collect_stats(spark, missing)
         jpath, fs = hadoop_fs(spark, self.root)
         for p, ent in new_stats.items():
             try:
@@ -897,10 +995,13 @@ class SnapshotTable:
                 ent["bytes"] = None
         stats.update(new_stats)
         schema.update(new_schema)
+        bloom_files = list(head.get("bloom_files", []))
+        if new_blooms:
+            bloom_files.append(self._write_bloom_sidecar(spark, new_blooms))
         # carry the head's recorded schema; backfill adds stats only
         return self._commit(
             spark, files, tag, head, head_v, stats, schema,
-            head.get("schema"),
+            head.get("schema"), bloom_files,
         )
 
     def read_incremental(
@@ -949,9 +1050,15 @@ class SnapshotTable:
 
             stats = m.get("stats", {})
             sschema = m.get("stats_schema", {})
+            blooms = (
+                self._load_blooms(spark, m)
+                if _wants_equality(where) and m.get("bloom_files")
+                else {}
+            )
             kept = [
-                f for f in added
-                if _file_can_match(where, stats.get(f), sschema)
+                f
+                for f in added
+                if _file_can_match(where, stats.get(f), sschema, blooms.get(f))
             ]
             target = kept or added[:1]
             return self._reader(spark, m).parquet(*target).filter(
@@ -986,6 +1093,26 @@ class SnapshotTable:
                 if st.isDirectory() and p not in referenced_dirs:
                     fs.delete(st.getPath(), True)
                     deleted += 1
+        referenced_sidecars: set[str] = set()
+        for v in keep:
+            referenced_sidecars.update(
+                self._read_manifest(spark, v).get("bloom_files", [])
+            )
+        if self.backend is not None:
+            snap_names = self.backend.list_dir(self.snaps)
+        elif fs.exists(jpath(self.snaps)):
+            snap_names = [
+                st.getPath().getName() for st in fs.listStatus(jpath(self.snaps))
+            ]
+        else:
+            snap_names = []
+        for name in snap_names:
+            if name.startswith("bs-") and name not in referenced_sidecars:
+                spath = os.path.join(self.snaps, name)
+                if self.backend is not None:
+                    self.backend.delete(spath)
+                else:
+                    fs.delete(jpath(spath), False)
         for v in vs:
             if v not in keep:
                 mpath = os.path.join(self.snaps, f"v{v}.json")
@@ -1171,9 +1298,15 @@ class SnapshotTable:
         if where is None:
             kept = list(files)
         else:
+            blooms = (
+                self._load_blooms(spark, m)
+                if _wants_equality(where) and m.get("bloom_files")
+                else {}
+            )
             kept = [
-                f for f in files
-                if _file_can_match(where, stats.get(f), sschema)
+                f
+                for f in files
+                if _file_can_match(where, stats.get(f), sschema, blooms.get(f))
             ]
         rows = 0
         bts = 0

@@ -102,15 +102,13 @@ def test_append_carries_blooms_and_analyze_backfills(spark, tmpdir_path):
     t = SnapshotTable(root, bloom_columns=["key"])
     t.append(df.where("id >= 1000").coalesce(1))
     m = t._read_manifest(spark, 2)
-    with_bloom = [
-        e for e in m["stats"].values() if "bloom" in e["cols"].get("key", {})
-    ]
-    assert len(with_bloom) == 1  # the new commit's file only
+    assert len(m["bloom_files"]) == 1  # the new commit's sidecar only
+    bl = t._load_blooms(spark, m)
+    assert len(bl) == 1 and all("key" in cols for cols in bl.values())
     v = t.analyze(spark)  # backfills stats AND blooms for commit 1
     m = t._read_manifest(spark, v)
-    assert all(
-        "bloom" in e["cols"].get("key", {}) for e in m["stats"].values()
-    )
+    bl = t._load_blooms(spark, m)
+    assert set(bl) == set(m["files"])
     probe = df.where("id = 5").first()  # lives in the backfilled commit
     kept, total = t.prune_files(spark, {"key": probe["key"]})
     assert len(kept) == 1 and total == 2
@@ -128,7 +126,7 @@ def test_bloom_autosizing_tracks_file_rows(spark, tmpdir_path):
         bloom_hashes=4,
     )
     m = t._read_manifest(spark, 4)
-    ent = next(iter(m["stats"].values()))["cols"]["key"]["bloom"]
+    ent = next(iter(t._load_blooms(spark, m).values()))["key"]
     # ~1000 rows/file -> 10k bits -> next pow2 = 16384 (> the 8192 floor)
     assert (ent["m"], ent["k"]) == (16384, 4)
     assert len(base64.b64decode(ent["b64"])) == 16384 // 8
@@ -140,11 +138,51 @@ def test_bloom_autosizing_tracks_file_rows(spark, tmpdir_path):
     df = _df(spark, 3000)
     t2.append(df.coalesce(1))  # 3000 rows -> needs 32768 > 4096 cap
     m2 = t2._read_manifest(spark, 1)
-    assert all(
-        "bloom" not in e["cols"].get("key", {})
-        for e in m2["stats"].values()
-    )
+    assert t2._load_blooms(spark, m2) == {}
     probe = df.where("id = 7").first()
     kept, total = t2.prune_files(spark, {"key": probe["key"]})
     assert len(kept) == total
+    assert t2.read(spark, where={"key": probe["key"]}).count() == 1
+
+
+def test_sidecars_keep_manifests_light_and_load_lazily(spark, tmpdir_path):
+    """The filters live in SIDECARS: the manifest itself stays a small
+    JSON (inlining measurably turned every read into a multi-MB parse),
+    and a read WITHOUT an equality predicate never loads them at all
+    (poisoned loader proves it). Vacuum reclaims sidecars their
+    manifests no longer reference."""
+    import json
+    import os as _os
+
+    t, df = _random_layout(spark, tmpdir_path, bloom_columns=["key"])
+    mpath = _os.path.join(t.snaps, "v4.json")
+    manifest_bytes = _os.path.getsize(mpath)
+    sidecars = [
+        n for n in _os.listdir(t.snaps) if n.startswith("bs-")
+    ]
+    assert sidecars, "blooms must live in sidecar files"
+    sidecar_bytes = sum(
+        _os.path.getsize(_os.path.join(t.snaps, n)) for n in sidecars
+    )
+    assert manifest_bytes < sidecar_bytes / 4  # manifest stays light
+    m = t._read_manifest(spark, 4)
+    assert json.load(open(mpath)) == m and "bloom" not in json.dumps(m["stats"])
+
+    # range-only predicates never touch the sidecars
+    def _boom(*a, **kw):
+        raise AssertionError("range predicate loaded bloom sidecars")
+
+    t._load_blooms = _boom
+    kept, total = t.prune_files(spark, {"key": {"gte": "user-0"}})
+    assert len(kept) == total
+    t.read(spark, where={"key": {"lt": "zzz"}}).count()
+
+    # vacuum after an overwrite drops the old sidecars
+    t2 = SnapshotTable(t.root, bloom_columns=["key"])
+    t2.overwrite(df.limit(100).coalesce(1))
+    t2.vacuum(spark, keep_last=1)
+    left = [n for n in _os.listdir(t2.snaps) if n.startswith("bs-")]
+    m5 = t2._read_manifest(spark, 5)
+    assert set(left) == set(m5["bloom_files"])
+    probe = df.where("id = 7").first()
     assert t2.read(spark, where={"key": probe["key"]}).count() == 1
