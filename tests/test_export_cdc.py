@@ -663,7 +663,7 @@ def test_snapshot_table_versions_crash_windows_and_vacuum(spark, tmpdir_path):
         t.read(spark, 7)
 
     # Crash window A: data written, manifest never renamed -> invisible
-    orphan_files, _, _ = t._write_data(spark.range(1000, 2000))
+    orphan_files, _, _, _ = t._write_data(spark.range(1000, 2000))
     assert len(orphan_files) > 0
     assert t.read(spark).count() == 5
     assert t.versions(spark) == [1, 2, 3]
@@ -769,8 +769,8 @@ def test_snapshot_concurrent_commit_one_wins_one_raises(spark, tmpdir_path):
 
     # Both writers observe the same head, then race the v2 commit.
     head_v, head = t._head(spark)
-    files_a, stats_a, ssch_a = t._write_data(spark.range(100, 120))
-    files_b, stats_b, ssch_b = t._write_data(spark.range(200, 250))
+    files_a, stats_a, ssch_a, _bl_a = t._write_data(spark.range(100, 120))
+    files_b, stats_b, ssch_b, _bl_b = t._write_data(spark.range(200, 250))
     assert t._commit(spark, head["files"] + files_a, "A", head, head_v) == 2
     with _pytest.raises(CommitConflict):
         t._commit(spark, head["files"] + files_b, "B", head, head_v)

@@ -293,8 +293,8 @@ def test_snapshot_table_on_conditional_put_backend(spark, tmpdir_path):
     # two committers who read the same head race version 3: exactly one
     # wins, the loser conflicts (no lock to break — the PUT is the commit)
     head_v, head = t._head(spark)
-    f1, _, _ = t._write_data(df.limit(1))
-    f2, _, _ = t._write_data(df.limit(1))
+    f1, _, _, _ = t._write_data(df.limit(1))
+    f2, _, _, _ = t._write_data(df.limit(1))
     assert t._commit(spark, f1, None, head, head_v) == 3
     with pytest.raises(CommitConflict):
         t._commit(spark, f2, None, head, head_v)
