@@ -130,6 +130,13 @@ class CommitBackend:
         """Base names under ``dir_path`` ([] when it doesn't exist)."""
         raise NotImplementedError
 
+    def mtime(self, path: str) -> float | None:
+        """Last-modified epoch seconds, or None when the backend cannot
+        say (absent file, or a store without timestamps). Advisory only
+        — used by vacuum's in-flight-commit grace window, never for
+        correctness; None makes the caller err toward KEEPING."""
+        return None
+
 
 class HadoopRenameBackend(CommitBackend):
     """Atomic-rename family (local filesystems, HDFS) via the Hadoop FS
@@ -221,6 +228,12 @@ class HadoopRenameBackend(CommitBackend):
             st.getPath().getName() for st in fs.listStatus(jpath(dir_path))
         )
 
+    def mtime(self, path: str) -> float | None:
+        jpath, fs = self._fs(path)
+        if not fs.exists(jpath(path)):
+            return None
+        return fs.getFileStatus(jpath(path)).getModificationTime() / 1000.0
+
 
 class LocalFSBackend(CommitBackend):
     """Plain-``os`` rename-family backend — no JVM, for driver-local
@@ -268,6 +281,12 @@ class LocalFSBackend(CommitBackend):
         except FileNotFoundError:
             return []
 
+    def mtime(self, path: str) -> float | None:
+        try:
+            return os.path.getmtime(path)
+        except OSError:
+            return None
+
 
 class ConditionalPutBackend(CommitBackend):
     """Object-store family: everything derives from ONE primitive,
@@ -303,16 +322,20 @@ class InMemoryConditionalPut(ConditionalPutBackend):
         import threading
 
         self._objects: dict[str, bytes] = {}
+        self._mtimes: dict[str, float] = {}
         self._mu = threading.Lock()
         self.before_put = None  # test seam: callable(path, data)
 
     def _put_if_absent_bytes(self, path: str, data: bytes) -> bool:
+        import time
+
         if self.before_put is not None:
             self.before_put(path, data)
         with self._mu:
             if path in self._objects:
                 return False
             self._objects[path] = bytes(data)
+            self._mtimes[path] = time.time()
             return True
 
     def read_bytes(self, path: str) -> bytes:
@@ -327,6 +350,7 @@ class InMemoryConditionalPut(ConditionalPutBackend):
 
     def delete(self, path: str) -> bool:
         with self._mu:
+            self._mtimes.pop(path, None)
             return self._objects.pop(path, None) is not None
 
     def list_dir(self, dir_path: str) -> list[str]:
@@ -337,6 +361,10 @@ class InMemoryConditionalPut(ConditionalPutBackend):
                 for p in self._objects
                 if p.startswith(prefix) and "/" not in p[len(prefix):]
             )
+
+    def mtime(self, path: str) -> float | None:
+        with self._mu:
+            return self._mtimes.get(path)
 
 
 def write_small_json_exclusive(spark, path: str, payload, backend=None) -> None:

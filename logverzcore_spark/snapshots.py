@@ -347,12 +347,36 @@ def _file_can_match(
             ent["rows"] = fstats.get("rows")
             dtype = schema[key_name]
             if isinstance(value, dict):
+                from logverzcore_spark.operators.optree import type_literal
+
                 for op, operand in value.items():
                     op = op.strip("<>")
-                    if op in _INTERVAL_OPS and not _interval_can_match(
-                        op, operand, ent, dtype
-                    ):
-                        return False
+                    if op in _INTERVAL_OPS:
+                        # Normalize operands EXACTLY as compile_where's
+                        # _compare does before evaluating intervals:
+                        # 'null' → None (the IS NULL branch), numeric-
+                        # looking strings → numbers (which
+                        # _encode_literal then refuses to prune against
+                        # a string column, because Spark compares those
+                        # by casting the COLUMN). Skipping this step
+                        # pruned files whose NULL rows matched
+                        # {"eq": "null"} and files holding "05" that
+                        # Spark's numeric cast matches against "5".
+                        if op in ("in", "between") and isinstance(
+                            operand, (list, tuple)
+                        ):
+                            operand = [type_literal(v) for v in operand]
+                            if op == "in":
+                                # isin(NULL) never matches any row (SQL
+                                # three-valued logic) — drop the element;
+                                # an all-NULL list matches nothing at all.
+                                operand = [v for v in operand if v is not None]
+                                if not operand:
+                                    return False
+                        else:
+                            operand = type_literal(operand)
+                        if not _interval_can_match(op, operand, ent, dtype):
+                            return False
                     bloom = (fblooms or {}).get(key_name) or ent.get("bloom")
                     if not _bloom_can_match(bloom, dtype, op, operand):
                         return False
@@ -552,7 +576,8 @@ class SnapshotTable:
 
     def _write_data(self, df: DataFrame) -> tuple[list[str], dict, dict, dict]:
         """Write a commit's data files into a fresh immutable dir and
-        return (paths, per-file stats, stats schema). A crash after this
+        return (paths, per-file stats, stats schema, per-file bloom
+        filters destined for a sidecar). A crash after this
         but before the manifest commit leaves them orphaned and
         invisible (vacuum reclaims). Stats cost ONE extra distributed
         columnar scan of the just-written files only (never the whole
@@ -582,7 +607,7 @@ class SnapshotTable:
 
     def _collect_stats(
         self, spark: SparkSession, files: list[str]
-    ) -> tuple[dict, dict]:
+    ) -> tuple[dict, dict, dict]:
         """Distributed stats pass over ``files``: per-file row count
         and, per eligible column, min / max / null count, grouped by
         the hidden ``_metadata.file_path`` and re-keyed to the
@@ -1106,9 +1131,34 @@ class SnapshotTable:
             ]
         else:
             snap_names = []
+
+        def _mtime(path: str) -> float | None:
+            if self.backend is not None:
+                return self.backend.mtime(path)
+            try:
+                return fs.getFileStatus(jpath(path)).getModificationTime() / 1000.0
+            except Exception:
+                return None
+
+        # In-flight-commit grace: a concurrent committer writes its
+        # bloom sidecar BEFORE the manifest that references it, so an
+        # unreferenced sidecar NEWER than the newest kept manifest may
+        # belong to a commit still in flight — deleting it would land
+        # that commit with a permanently unreadable sidecar (sound via
+        # the _load_blooms fallback, but Bloom pruning silently lost).
+        # Unknown mtimes also keep: a true orphan becomes older than
+        # some later manifest and is reclaimed by the next vacuum.
+        head_mt = (
+            _mtime(os.path.join(self.snaps, f"v{keep[-1]}.json"))
+            if keep
+            else math.inf  # keep_last=0: full teardown, no grace needed
+        )
         for name in snap_names:
             if name.startswith("bs-") and name not in referenced_sidecars:
                 spath = os.path.join(self.snaps, name)
+                smt = _mtime(spath)
+                if head_mt is None or smt is None or smt >= head_mt:
+                    continue
                 if self.backend is not None:
                     self.backend.delete(spath)
                 else:

@@ -446,6 +446,16 @@ _str_or_none = st.one_of(
     ),
     # force the truncation path: strings beyond _STR_STAT_MAX
     st.text(alphabet=st.sampled_from("ab"), min_size=97, max_size=120),
+    # the type_literal specials: 'null' compiles to IS NULL, numeric-
+    # looking strings compile to numbers (Spark then casts the string
+    # COLUMN for the comparison) — both must round-trip the pruner
+    st.sampled_from(["null", "5", "05", "-3", "3.5", "0"]),
+)
+#: operands for the INT property get the same specials — {'eq': 'null'}
+#: against an int column compiles to IS NULL and must never prune a
+#: file whose null rows match
+_int_operand = st.one_of(
+    _int_or_none, st.sampled_from(["null", "5", "-3", "0"])
 )
 
 _ops = st.sampled_from(["eq", "ne", "gt", "gte", "lt", "lte"])
@@ -480,17 +490,33 @@ def _trees(leaf):
 
 def _row_matches(tree, row):
     """Python mirror of compile_where over one row (SQL three-valued
-    logic collapsed to 'matches or not', which is what a filter keeps)."""
+    logic collapsed to 'matches or not', which is what a filter keeps).
+    Models _compare's semantics: operands run through type_literal
+    ('null' → IS NULL, numeric-looking strings → numbers), and a string
+    COLUMN compared to a numeric literal is compared by casting the
+    column (uncastable rows are NULL → no match) — the r9 divergence
+    that hid the interval-pruning normalization bug."""
+    from logverzcore_spark.operators.optree import type_literal
+
     def cmp(col, op, v):
         x = row[col]
+        v = type_literal(v)
         if op in ("eq", "is") and v is None:
             return x is None
         if op == "ne" and v is None:
             return x is not None
         if x is None or v is None:
             return False
-        if isinstance(x, str) != isinstance(v, str):
-            return False  # cross-type: stay out of cast semantics here
+        if isinstance(x, str) and isinstance(v, (int, float)):
+            try:
+                x = float(x)  # Spark casts the string COLUMN to numeric
+            except ValueError:
+                return False  # uncastable row → NULL comparison
+            v = float(v)
+        elif isinstance(v, str) and isinstance(x, (int, float)):
+            # a non-numeric-looking string literal vs a numeric column:
+            # the literal casts to NULL — no row matches
+            return False
         return {
             "eq": x == v, "is": x == v, "ne": x != v, "gt": x > v,
             "gte": x >= v, "lt": x < v, "lte": x <= v,
@@ -509,10 +535,16 @@ def _row_matches(tree, row):
         elif isinstance(value, dict):
             for op, operand in value.items():
                 if op == "in":
-                    if not any(cmp(key, "eq", v) for v in operand):
+                    # isin(NULL) never matches any row (3VL)
+                    elems = [type_literal(v) for v in operand]
+                    if not any(
+                        v is not None and cmp(key, "eq", v) for v in elems
+                    ):
                         return False
                 elif op == "between":
-                    lo, hi = operand
+                    lo, hi = (type_literal(v) for v in operand)
+                    if lo is None or hi is None:
+                        return False  # between(NULL, …) matches nothing
                     if not (cmp(key, "gte", lo) and cmp(key, "lte", hi)):
                         return False
                 elif not cmp(key, op, operand):
@@ -540,7 +572,7 @@ def _stats_for(values, dtype):
 @settings(max_examples=300, deadline=None)
 @given(
     st.lists(_int_or_none, min_size=0, max_size=12),
-    _trees(_leaf("c", _int_or_none)),
+    _trees(_leaf("c", _int_operand)),
 )
 def test_interval_pruning_sound_for_ints(values, tree):
     """THE soundness property: if any row of the file matches the

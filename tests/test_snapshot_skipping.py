@@ -577,3 +577,61 @@ def test_fractional_second_bounds_never_misprune(spark, tmpdir_path):
     # unparseable literal (tz suffix): refuses to prune, still exact
     kept, total = t.prune_files(spark, {"ts": {"gte": "2026-01-01T00:00:05+00:00"}})
     assert len(kept) == total
+
+
+def test_explicit_op_literals_normalize_like_compile_where(spark, tmpdir_path):
+    """r10 regression (ADVICE r9 high): the EXPLICIT-op pruner branch
+    must run operands through type_literal exactly as compile_where's
+    _compare does. Before the fix, {"eq": "null"} compiled to IS NULL
+    but the pruner compared the 4-char string "null" against [min,max]
+    and dropped files whose NULL rows matched; {"eq": "5"} pruned a
+    file holding "05" that Spark's numeric-cast comparison matches."""
+    # (a) 'null' literal vs a string column with NULL rows
+    t = SnapshotTable(_mkroot(tmpdir_path))
+    df = spark.range(0, 10).selectExpr(
+        "id", "CASE WHEN id < 5 THEN NULL ELSE concat('v', id) END AS s"
+    )
+    t.append(df.where("id < 5").coalesce(1))   # all-NULL s file
+    t.append(df.where("id >= 5").coalesce(1))  # no-NULL s file
+    for where, want_rows in (
+        ({"s": {"eq": "null"}}, 5),   # IS NULL
+        ({"s": {"is": "null"}}, 5),   # IS NULL
+        ({"s": {"ne": "null"}}, 5),   # IS NOT NULL
+    ):
+        kept, total = t.prune_files(spark, where)
+        assert t.read(spark, where=where).count() == want_rows, where
+        # pruning may drop the provably-irrelevant file but must keep
+        # every file whose rows match
+        got = t._reader(spark, t._read_manifest(spark, 2)).parquet(
+            *kept
+        ).filter(compile_where(where)).count()
+        assert got == want_rows, where
+
+    # (b) numeric-looking string literal vs a string column: Spark casts
+    # the COLUMN ('05' == 5 matches) — no pruning allowed
+    t2 = SnapshotTable(_mkroot(tmpdir_path))
+    d2 = spark.range(0, 20).selectExpr(
+        "id", "lpad(cast(id AS string), 2, '0') AS z"
+    )
+    t2.append(d2.where("id < 10").coalesce(1))
+    t2.append(d2.where("id >= 10").coalesce(1))
+    for where in (
+        {"z": {"eq": "5"}},
+        {"z": {"in": ["5", "null"]}},
+        {"z": {"between": ["5", "6"]}},
+    ):
+        kept, total = t2.prune_files(spark, where)
+        assert len(kept) == total, where
+    assert t2.read(spark, where={"z": {"eq": "5"}}).count() == 1
+
+    # (c) 'null'-only in-list matches nothing (isin(NULL) is 3VL-false)
+    kept, total = t2.prune_files(spark, {"z": {"in": ["null"]}})
+    assert kept == []
+    assert t2.read(spark, where={"z": {"in": ["null"]}}).count() == 0
+
+    # (d) int column probed with string forms stays exact
+    kept, total = t2.prune_files(spark, {"id": {"eq": "5"}})
+    assert len(kept) == 1
+    assert t2.read(spark, where={"id": {"eq": "5"}}).count() == 1
+    kept, total = t2.prune_files(spark, {"id": {"eq": "null"}})
+    assert kept == []  # nulls=0 everywhere: IS NULL provably empty
