@@ -13,10 +13,12 @@ a filesystem with atomic rename:
   ``data/<uuid>/``; nothing ever rewrites a committed file in place.
 - **a version is a manifest**: ``_snapshots/v<N>.json`` holds the exact
   file paths of version N (a full list, not a delta — O(files) metadata
-  buys O(1)-step recovery and trivially correct reads) plus the
-  CUMULATIVE tag history (every commit tag ever applied), so replay
-  idempotence survives vacuum and costs ONE manifest read per commit,
-  not one per version.
+  buys O(1)-step recovery and trivially correct reads) plus a BOUNDED
+  tag history (per-prefix high-water floors + a fixed recent window for
+  streaming tags; cumulative only for suffix-less one-off tags — see
+  the tag-history note below), so replay idempotence survives vacuum,
+  costs ONE manifest read per commit, and stays FLAT as an always-on
+  stream ages.
 - **commit = atomic-existence manifest write, concurrency ENFORCED**
   (fsutil.write_small_json_exclusive): content lands whole under a
   per-writer ``.part.<id>`` name, winner selection is an atomic
@@ -88,6 +90,89 @@ from logverzcore_spark.fsutil import (
 __all__ = ["SnapshotTable", "CommitConflict"]
 
 _VRE = re.compile(r"^v(\d+)\.json$")
+
+# ---------------------------------------------------------------------------
+# Bounded tag history (replay idempotence at O(1) manifest cost)
+#
+# The r9 design kept EVERY commit tag ever applied in the head manifest
+# ("all_tags"), so an always-on tagged stream (st37: one
+# "<ckid>:batch-<N>" tag per trigger) grew the manifest one tag per
+# trigger FOREVER — a year of 1-minute triggers is ~500k tags serialized
+# into every subsequent commit; commit cost rose linearly with stream
+# age. Streaming tags are per-prefix MONOTONIC sequences (Structured
+# Streaming batch ids are serial and consecutive per checkpoint), so the
+# Kafka-producer-epoch compression applies: a numeric-suffixed tag
+# "<prefix><n>" folds into a per-prefix HIGH-WATER FLOOR — any n ≤ floor
+# is by construction already applied (a redelivery), any n > floor is
+# new. The manifest then carries:
+#
+# - ``tag_floors``: {prefix: max n committed} — one entry per STREAM,
+#   not per batch (bounded by writer count);
+# - ``recent_tags``: the last _RECENT_TAGS_MAX numeric-suffixed tags
+#   verbatim — belt-and-suspenders for mildly out-of-order redelivery
+#   near the head (membership is checked before the floor);
+# - ``all_tags``: now only tags WITHOUT a numeric suffix (human-issued
+#   one-offs like "backfill-2026q1") — still cumulative, because
+#   arbitrary strings admit no floor, and they are O(operator actions),
+#   not O(triggers).
+#
+# CONTRACT (documented at append()): numeric-suffixed tags must be
+# per-prefix monotonic — a NEW (never-applied) tag below an already-
+# committed one would wrongly no-op. Every streaming writer here
+# satisfies that by construction; vacuum keeps the head manifest, so
+# floors survive it exactly as the cumulative list did. Legacy
+# manifests with numeric-suffixed tags in all_tags are compressed into
+# floors on their first post-upgrade commit.
+# ---------------------------------------------------------------------------
+
+_TAG_SUFFIX_RE = re.compile(r"^(.*?)(\d+)$")
+_RECENT_TAGS_MAX = 64
+
+
+def _tag_seen(head: dict | None, tag: str) -> bool:
+    """Replay-idempotence check against a head manifest's compressed
+    tag history (and, for legacy manifests, the cumulative list)."""
+    if not head:
+        return False
+    if tag in head.get("all_tags", []) or tag in head.get("recent_tags", []):
+        return True
+    m = _TAG_SUFFIX_RE.match(tag)
+    if m:
+        floor = head.get("tag_floors", {}).get(m.group(1))
+        if floor is not None and int(m.group(2)) <= floor:
+            return True
+    return False
+
+
+def _fold_tags(
+    parent: dict | None, tag: str | None
+) -> tuple[list[str], list[str], dict[str, int]]:
+    """(all_tags, recent_tags, tag_floors) for the child manifest:
+    carry the parent's history, compress any legacy numeric-suffixed
+    entries into floors, then apply ``tag``."""
+    all_tags = list(parent.get("all_tags", [])) if parent else []
+    recent = list(parent.get("recent_tags", [])) if parent else []
+    floors = dict(parent.get("tag_floors", {})) if parent else {}
+    if any(_TAG_SUFFIX_RE.match(t) for t in all_tags):
+        kept = []
+        for t in all_tags:  # one-time legacy compression
+            m = _TAG_SUFFIX_RE.match(t)
+            if m:
+                p, n = m.group(1), int(m.group(2))
+                floors[p] = max(floors.get(p, -1), n)
+            else:
+                kept.append(t)
+        all_tags = kept
+    if tag is not None:
+        m = _TAG_SUFFIX_RE.match(tag)
+        if m:
+            p, n = m.group(1), int(m.group(2))
+            floors[p] = max(floors.get(p, -1), n)
+            recent.append(tag)
+            recent = recent[-_RECENT_TAGS_MAX:]
+        else:
+            all_tags.append(tag)
+    return all_tags, recent, floors
 
 # ---------------------------------------------------------------------------
 # File-level column statistics (data skipping)
@@ -453,6 +538,7 @@ class SnapshotTable:
         bloom_bits: int = 65536,
         bloom_hashes: int = 6,
         bloom_max_bits: int = 1 << 22,
+        bloom_sidecar_max: int = 32,
     ):
         """``backend`` routes every MANIFEST read/commit through a
         :class:`fsutil.CommitBackend` — pass a ConditionalPutBackend on
@@ -485,7 +571,13 @@ class SnapshotTable:
         discipline every other skipping lever already leans on.
         ``bloom_hashes`` is k (default 6). Hashing is md5-based and
         byte-identical on the JVM (F.md5) and the driver (hashlib), so
-        probes never touch Spark."""
+        probes never touch Spark.
+
+        ``bloom_sidecar_max`` bounds the per-commit sidecar count on
+        always-on streams: once a manifest would reference more
+        sidecars than this, append unions them into one (see
+        _maybe_consolidate_sidecars), so cold-probe cost is
+        O(bloom_sidecar_max), never O(commits)."""
         self.root = root.rstrip("/")
         self.data = os.path.join(self.root, "data")
         self.snaps = os.path.join(self.root, "_snapshots")
@@ -495,6 +587,7 @@ class SnapshotTable:
         self.bloom_bits = int(bloom_bits)
         self.bloom_hashes = int(bloom_hashes)
         self.bloom_max_bits = int(bloom_max_bits)
+        self.bloom_sidecar_max = int(bloom_sidecar_max)
 
     def versions(self, spark: SparkSession) -> list[int]:
         if self.backend is not None:
@@ -534,13 +627,13 @@ class SnapshotTable:
         schema_json: str | None = None,
         bloom_files: list[str] | None = None,
     ) -> int:
-        all_tags = list(parent.get("all_tags", [])) if parent else []
-        if tag is not None:
-            all_tags.append(tag)
+        all_tags, recent_tags, tag_floors = _fold_tags(parent, tag)
         payload = {
             "files": sorted(files),
             "tag": tag,
             "all_tags": all_tags,
+            "recent_tags": recent_tags,
+            "tag_floors": tag_floors,
             "stats": {
                 k: v for k, v in (stats or {}).items() if k in set(files)
             },
@@ -800,16 +893,23 @@ class SnapshotTable:
     def append(self, df: DataFrame, tag: str | None = None) -> int:
         """Commit current-version files + the new data as version N+1.
 
-        ``tag`` makes the append REPLAY-IDEMPOTENT: a tag present in the
-        head manifest's cumulative tag history is a no-op (returns the
-        latest version) — the streaming foreachBatch contract, where a
-        crash between the manifest commit and the checkpoint commit
-        redelivers the same batch id. The history is CUMULATIVE in the
-        head manifest, so vacuuming old versions never forgets a tag
-        and the check costs one manifest read, not one per version."""
+        ``tag`` makes the append REPLAY-IDEMPOTENT: a tag already in the
+        head manifest's tag history is a no-op (returns the latest
+        version) — the streaming foreachBatch contract, where a crash
+        between the manifest commit and the checkpoint commit
+        redelivers the same batch id. The history lives ENTIRELY in the
+        head manifest (vacuum never forgets a tag; the check costs one
+        manifest read) but is BOUNDED: numeric-suffixed tags — the
+        per-trigger streaming shape "<ckid>:batch-<N>" — compress into
+        a per-prefix high-water floor plus a fixed recent window, so an
+        always-on stream's manifest stays flat instead of growing one
+        tag per trigger forever. Contract: numeric-suffixed tags must
+        be per-prefix monotonic (Structured Streaming batch ids are);
+        tags without a numeric suffix stay cumulative — they are
+        O(operator actions), not O(triggers)."""
         spark = df.sparkSession
         head_v, head = self._head(spark)
-        if tag is not None and head and tag in head.get("all_tags", []):
+        if tag is not None and _tag_seen(head, tag):
             return head_v
         base = head["files"] if head else []
         schema_json = _merge_schema_json(
@@ -824,6 +924,9 @@ class SnapshotTable:
         bloom_files = list(head.get("bloom_files", [])) if head else []
         if new_blooms:
             bloom_files.append(self._write_bloom_sidecar(spark, new_blooms))
+        bloom_files = self._maybe_consolidate_sidecars(
+            spark, bloom_files, set(base + new_files)
+        )
         return self._commit(
             spark, base + new_files, tag, head, head_v, stats, schema,
             schema_json, bloom_files,
@@ -835,7 +938,7 @@ class SnapshotTable:
         reading their own files untouched."""
         spark = df.sparkSession
         head_v, head = self._head(spark)
-        if tag is not None and head and tag in head.get("all_tags", []):
+        if tag is not None and _tag_seen(head, tag):
             return head_v
         new_files, new_stats, new_schema, new_blooms = self._write_data(df)
         bloom_files = (
@@ -891,12 +994,18 @@ class SnapshotTable:
         """{file path: {column: bloom}} union over the manifest's
         sidecars, cached per sidecar name on this handle — an equality
         probe pays each sidecar's bytes once per process; reads without
-        equality predicates never load them at all."""
+        equality predicates never load them at all. Sidecar count is
+        bounded by append-time consolidation (``bloom_sidecar_max``),
+        so a long-lived stream's cold probe pays O(bloom_sidecar_max)
+        reads, not O(commits)."""
+        return self._load_bloom_files(spark, manifest.get("bloom_files", []))
+
+    def _load_bloom_files(self, spark: SparkSession, names: list[str]) -> dict:
         out: dict = {}
         cache = getattr(self, "_bloom_cache", None)
         if cache is None:
             cache = self._bloom_cache = {}
-        for name in manifest.get("bloom_files", []):
+        for name in names:
             if name not in cache:
                 try:
                     cache[name] = read_small_json(
@@ -908,6 +1017,31 @@ class SnapshotTable:
             for path, cols in cache[name].items():
                 out.setdefault(path, {}).update(cols)
         return out
+
+    def _maybe_consolidate_sidecars(
+        self, spark: SparkSession, bloom_files: list[str], live_files: set[str]
+    ) -> list[str]:
+        """Keep the sidecar count bounded on always-on streams: past
+        ``bloom_sidecar_max`` per-commit sidecars, union them into ONE
+        (dropping entries for files the next manifest no longer lists —
+        compacted/overwritten files' filters are dead weight). Amortized
+        cost: one read+rewrite of the live bloom set every
+        ``bloom_sidecar_max`` commits — O(files/bloom_sidecar_max) per
+        commit, the same order the manifest's own file list already
+        costs; compaction bounds both. Correctness is untouched: the
+        merged sidecar is written BEFORE the manifest that references
+        it (same invisibility rule as data files), and a probe that
+        cannot read a sidecar just keeps the file."""
+        if len(bloom_files) <= self.bloom_sidecar_max:
+            return bloom_files
+        merged = {
+            path: cols
+            for path, cols in self._load_bloom_files(spark, bloom_files).items()
+            if path in live_files
+        }
+        if not merged:
+            return []
+        return [self._write_bloom_sidecar(spark, merged)]
 
     def prune_files(
         self, spark: SparkSession, where: Any, version: int | None = None
@@ -1179,17 +1313,30 @@ class SnapshotTable:
         target_files: int | None = None,
         tag: str | None = None,
         zorder_cols: list[str] | None = None,
+        where: Any = None,
     ) -> int:
-        """Rewrite the head as one fresh commit with fewer, optionally
-        RANGE-SORTED files — the maintenance move that keeps both
-        manifest size (file count bounds metadata) and SKIPPING QUALITY
-        (sorted files have tight disjoint stat intervals; an append-only
-        history accumulates overlap until predicates stop pruning)
-        healthy. Rows are identical by construction (one read, one
-        write, no filter); committed as an OVERWRITE, so prior versions
-        still time-travel but read_incremental refuses to span it — the
-        same contract as any rewrite. ``skipping_health`` prices when
-        this is worth running.
+        """Rewrite the head (or just a SLICE of it — ``where``) as one
+        fresh commit with fewer, optionally RANGE-SORTED files — the
+        maintenance move that keeps both manifest size (file count
+        bounds metadata) and SKIPPING QUALITY (sorted files have tight
+        disjoint stat intervals; an append-only history accumulates
+        overlap until predicates stop pruning) healthy. Rows are
+        identical by construction (one read, one write, no filter);
+        committed as a rewrite, so prior versions still time-travel but
+        read_incremental refuses to span it — the same contract as any
+        overwrite. ``skipping_health`` prices when this is worth
+        running.
+
+        ``where`` (an optree predicate) scopes the rewrite to the FILES
+        the predicate cannot prune — the 100 TB move: compact a
+        PARTITION's files when its overlap drifts instead of rewriting
+        the whole table (a full compact of 100 TB is a 100 TB write; a
+        day-partition compact is that day's). File-level, not row-
+        level: every selected file is rewritten WHOLE (no residual
+        filter — compaction must never change rows), every other file
+        carries into the new manifest untouched, byte-identical, stats
+        and bloom filters intact. Returns the head version unchanged
+        when the predicate selects nothing.
 
         ``zorder_cols`` (2+ numeric columns) clusters on a Morton key
         instead of a lexicographic sort: files get tight envelopes on
@@ -1197,41 +1344,102 @@ class SnapshotTable:
         — the OPTIMIZE ZORDER move, reusing export.zorder_key. The
         grid bounds come from the MANIFEST stats when every file
         carries them (zero extra I/O — the stats pay for themselves
-        twice) and fall back to one tiny agg otherwise; NULL cells
-        coalesce to the column floor (export_zordered's contract)."""
-        df = self.read(spark)
+        twice; scoped to the selected files under ``where``) and fall
+        back to one tiny agg otherwise; NULL cells coalesce to the
+        column floor (export_zordered's contract)."""
+        if zorder_cols and sort_cols:
+            raise ValueError("pass sort_cols OR zorder_cols, not both")
+        if where is None:
+            df = self._layout(
+                spark, self.read(spark), sort_cols, target_files,
+                zorder_cols, None,
+            )
+            return self.overwrite(df, tag=tag)
+        head_v, head = self._head(spark)
+        if head is None:
+            raise FileNotFoundError(f"no committed snapshots under {self.root}")
+        if tag is not None and _tag_seen(head, tag):
+            return head_v
+        selected, _total = self.prune_files(spark, where)
+        if not selected:
+            return head_v
+        sel = set(selected)
+        carried = [f for f in head["files"] if f not in sel]
+        df = self._layout(
+            spark,
+            self._reader(spark, head).parquet(*selected),
+            sort_cols, target_files, zorder_cols, selected,
+        )
+        new_files, new_stats, new_schema, new_blooms = self._write_data(df)
+        stats = {
+            f: head.get("stats", {})[f]
+            for f in carried
+            if f in head.get("stats", {})
+        }
+        stats.update(new_stats)
+        schema = {**(head.get("stats_schema", {}) or {}), **new_schema}
+        bloom_files = list(head.get("bloom_files", []))
+        if new_blooms:
+            bloom_files.append(self._write_bloom_sidecar(spark, new_blooms))
+        bloom_files = self._maybe_consolidate_sidecars(
+            spark, bloom_files, set(carried) | set(new_files)
+        )
+        return self._commit(
+            spark, carried + new_files, tag, head, head_v, stats, schema,
+            head.get("schema"), bloom_files,
+        )
+
+    def _layout(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        sort_cols,
+        target_files,
+        zorder_cols,
+        bounds_files: list[str] | None,
+    ) -> DataFrame:
+        """Apply a compaction's physical layout: Z-order clustering,
+        range sort, or plain coalesce. ``bounds_files`` scopes the
+        manifest-stat Z-order bound fold to a file subset (partition-
+        scoped compaction); None folds over the whole head."""
         if zorder_cols:
-            if sort_cols:
-                raise ValueError("pass sort_cols OR zorder_cols, not both")
             from logverzcore_spark.export import zorder_key
 
-            bounds, inputs = self._zorder_bounds(spark, df, zorder_cols)
-            df = (
+            bounds, inputs = self._zorder_bounds(
+                spark, df, zorder_cols, files=bounds_files
+            )
+            return (
                 df.withColumn("__zk", zorder_key(inputs, bounds))
                 .repartitionByRange(target_files or 16, "__zk")
                 .sortWithinPartitions("__zk")
                 .drop("__zk")
             )
-        elif sort_cols:
-            df = df.repartitionByRange(
+        if sort_cols:
+            return df.repartitionByRange(
                 *(target_files,) if target_files else (),
                 *[df[c] for c in sort_cols],
             ).sortWithinPartitions(*sort_cols)
-        elif target_files:
-            df = df.coalesce(target_files)
-        return self.overwrite(df, tag=tag)
+        if target_files:
+            return df.coalesce(target_files)
+        return df
 
-    def _zorder_bounds(self, spark: SparkSession, df: DataFrame, cols):
-        """(bounds, key inputs) for a Z-order compaction. Global per-
-        column min/max fold from the manifest stats when complete
-        (driver arithmetic, zero data I/O); one small agg otherwise.
-        Degenerate handling matches export_zordered: all-NULL column →
-        synthetic (0,1), constant → widened, NULL cells → column floor."""
+    def _zorder_bounds(
+        self, spark: SparkSession, df: DataFrame, cols,
+        files: list[str] | None = None,
+    ):
+        """(bounds, key inputs) for a Z-order compaction. Per-column
+        min/max fold from the manifest stats when complete (driver
+        arithmetic, zero data I/O; over ``files`` when given — the
+        partition-scoped case — else the whole head); one small agg
+        otherwise. Degenerate handling matches export_zordered:
+        all-NULL column → synthetic (0,1), constant → widened, NULL
+        cells → column floor."""
         m = self._resolve(spark, None)
         stats = m.get("stats", {})
         sschema = m.get("stats_schema", {})
+        scope = m["files"] if files is None else files
         lo_hi: dict[str, tuple] = {}
-        complete = bool(m["files"]) and all(f in stats for f in m["files"])
+        complete = bool(scope) and all(f in stats for f in scope)
         if complete:
             for c in cols:
                 if sschema.get(c) not in _STAT_NUMERIC:
@@ -1239,7 +1447,7 @@ class SnapshotTable:
                     break
                 los = []
                 his = []
-                for f in m["files"]:
+                for f in scope:
                     ent = stats[f]["cols"].get(c)
                     if ent is None:
                         continue  # pre-column file: contributes no rows
@@ -1275,10 +1483,16 @@ class SnapshotTable:
         return bounds, inputs
 
     def skipping_health(
-        self, spark: SparkSession, column: str, version: int | None = None
+        self, spark: SparkSession, column: str, version: int | None = None,
+        where: Any = None,
     ) -> dict:
         """How well would predicates on ``column`` prune this version?
-        Pure driver arithmetic over the manifest stats (zero data I/O):
+        Pure driver arithmetic over the manifest stats (zero data I/O).
+        ``where`` scopes the measurement to the files an optree
+        predicate cannot prune — ask "has THIS partition's overlap
+        drifted?" and feed the same predicate to ``compact(where=)``
+        when it has, leaving the rest of a 100 TB table unread and
+        unwritten:
 
         - ``avg_overlap``: mean number of OTHER files whose [min,max]
           interval intersects each file's — 0 means perfectly disjoint
@@ -1295,6 +1509,18 @@ class SnapshotTable:
         m = self._resolve(spark, version)
         files = m["files"]
         stats = m.get("stats", {})
+        if where is not None:
+            sschema = m.get("stats_schema", {})
+            files = [
+                f
+                for f in files
+                if _file_can_match(where, stats.get(f), sschema)
+            ]
+            if not files:
+                return {
+                    "files": 0, "with_bounds": 0,
+                    "coverage": 0.0, "avg_overlap": 0.0,
+                }
         ivals = []
         for f in files:
             ent = stats.get(f, {}).get("cols", {}).get(column)
