@@ -1389,6 +1389,61 @@ class SnapshotTable:
             head.get("schema"), bloom_files,
         )
 
+    def delete_where(self, spark: SparkSession, where: Any,
+                     tag: str | None = None) -> int:
+        """Delete the rows matching an optree predicate — as a STATS-
+        PRUNED selective rewrite: only the files whose intervals/bloom
+        filters admit a match are rewritten (with matching rows
+        removed); every other file carries into the new manifest
+        untouched, byte-identical. The GDPR/right-to-erasure move on a
+        pinned corpus (reference parity: q113's point-delete via
+        export.delete_rows, one layer down at the snapshot table) —
+        deleting one user from 100 TB rewrites the handful of files a
+        point lookup would scan, not the table.
+
+        SQL DELETE semantics: rows where the predicate is TRUE go;
+        FALSE and NULL rows stay (three-valued logic — ``NOT p`` alone
+        would silently drop NULL rows). Committed as an overwrite for
+        lineage purposes: prior versions still time-travel to the
+        pre-delete rows (run ``vacuum`` to physically reclaim them —
+        erasure isn't complete until then), ``read_incremental``
+        refuses to span it, and an incremental MV downstream answers
+        with a rebuild (deletes invalidate deltas by definition).
+        Returns the new version — or the head version unchanged when
+        pruning proves nothing matches."""
+        from logverzcore_spark.operators.optree import compile_where
+
+        head_v, head = self._head(spark)
+        if head is None:
+            raise FileNotFoundError(f"no committed snapshots under {self.root}")
+        if tag is not None and _tag_seen(head, tag):
+            return head_v
+        selected, _total = self.prune_files(spark, where)
+        if not selected:
+            return head_v  # provably no matching row anywhere
+        sel = set(selected)
+        carried = [f for f in head["files"] if f not in sel]
+        keep_pred = ~F.coalesce(compile_where(where), F.lit(False))
+        df = self._reader(spark, head).parquet(*selected).filter(keep_pred)
+        new_files, new_stats, new_schema, new_blooms = self._write_data(df)
+        stats = {
+            f: head.get("stats", {})[f]
+            for f in carried
+            if f in head.get("stats", {})
+        }
+        stats.update(new_stats)
+        schema = {**(head.get("stats_schema", {}) or {}), **new_schema}
+        bloom_files = list(head.get("bloom_files", []))
+        if new_blooms:
+            bloom_files.append(self._write_bloom_sidecar(spark, new_blooms))
+        bloom_files = self._maybe_consolidate_sidecars(
+            spark, bloom_files, set(carried) | set(new_files)
+        )
+        return self._commit(
+            spark, carried + new_files, tag, head, head_v, stats, schema,
+            head.get("schema"), bloom_files,
+        )
+
     def _layout(
         self,
         spark: SparkSession,

@@ -5064,3 +5064,174 @@ def q136_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@query(
+    "q137_snapshot_delete_where",
+    oracle="""
+    WITH b AS (
+      SELECT (MAX(o_orderkey) * 3) // 10 AS lo,
+             (MAX(o_orderkey) * 4) // 10 AS hi
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders, b
+    WHERE o_orderkey NOT BETWEEN b.lo AND b.hi
+    """,
+)
+def q137_snapshot_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-layer row deletes (SnapshotTable.delete_where): a
+    stats-pruned SELECTIVE rewrite — only the files whose intervals
+    admit the predicate are rewritten with matching rows removed;
+    every other file carries into the new manifest path-identical
+    (immutable files: path identity is byte identity). The GDPR /
+    right-to-erasure cost model: deleting a key slice from a
+    range-laid-out corpus rewrites one commit's files, not the table.
+    Reference parity: q113's point-delete (controller delete flow) one
+    layer down, at the versioned table. The entry asserts the rewrite
+    actually skipped the non-matching files and time travel still
+    reads the pre-delete count; the survivors' aggregate must equal
+    the flat-table oracle with the same predicate negated (NOT
+    BETWEEN)."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    maxk = orders.agg(F.max("o_orderkey")).first()[0]
+    lo, hi = maxk * 3 // 10, maxk * 4 // 10
+    q = [maxk // 4, maxk // 2, maxk * 3 // 4]
+    root = os.path.join(
+        tempfile.gettempdir(), f"q137_snap_{_uuid.uuid4().hex[:8]}"
+    )
+    t = SnapshotTable(root)
+    try:
+        ranges = [(0, q[0]), (q[0], q[1]), (q[1], q[2]), (q[2], maxk + 1)]
+        for a, b in ranges:  # range layout: one commit per key quartile
+            t.append(
+                orders.where(
+                    (F.col("o_orderkey") >= a) & (F.col("o_orderkey") < b)
+                ).repartition(3)
+            )
+        before = t._read_manifest(spark, 4)
+        n_before = t.count(spark)
+        v = t.delete_where(spark, {"o_orderkey": {"between": [lo, hi]}})
+        after = t._read_manifest(spark, v)
+        carried = set(before["files"]) & set(after["files"])
+        # [lo,hi] ⊂ quartile 2: its 3 files rewrite, the other 9 carry
+        assert len(carried) == 9, (len(carried), len(before["files"]))
+        assert t.count(spark, version=4) == n_before  # time travel intact
+        cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        out = (
+            t.read(spark)
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(cents).cast("long").alias("total_cents"),
+                F.min("o_orderkey").cast("long").alias("min_key"),
+                F.max("o_orderkey").cast("long").alias("max_key"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
+    "q138_partition_scoped_compact",
+    oracle="""
+    SELECT CAST(o_orderkey % 2 AS INT) AS pt,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders
+    WHERE o_custkey >= 100 AND o_custkey < 200
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q138_partition_scoped_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped compaction (SnapshotTable.compact(where=) +
+    scoped skipping_health): partition pt=0 arrives interleaved (every
+    file spans the o_custkey range — overlap saturated, predicates
+    prune nothing), pt=1 arrives range-sorted (already healthy). The
+    maintenance loop measures health PER PARTITION, compacts ONLY the
+    drifted slice, and the healthy slice's files carry over untouched
+    — the 100 TB move: a day-partition compact writes that day's
+    bytes, not the table's. The entry asserts overlap collapsed in the
+    target slice only, the untouched partition's files are
+    path-identical, and the post-compact selective read prunes; the
+    returned per-partition aggregate must equal the flat-table oracle
+    — maintenance never changes rows."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "pt", (F.col("o_orderkey") % 2).cast("int")
+    )
+    maxc = orders.agg(F.max("o_custkey")).first()[0]
+    root = os.path.join(
+        tempfile.gettempdir(), f"q138_snap_{_uuid.uuid4().hex[:8]}"
+    )
+    t = SnapshotTable(root)
+    try:
+        p0 = orders.where("pt = 0")
+        for i in range(3):  # interleaved custkeys: full range per file
+            t.append(p0.where(F.col("o_custkey") % 3 == i).coalesce(1))
+        p1 = orders.where("pt = 1")
+        third = maxc // 3 + 1
+        for j in range(3):  # range-sorted: disjoint custkey intervals
+            t.append(
+                p1.where(
+                    (F.col("o_custkey") >= j * third)
+                    & (F.col("o_custkey") < (j + 1) * third)
+                ).coalesce(1)
+            )
+        h0 = t.skipping_health(spark, "o_custkey", where={"pt": 0})
+        h1 = t.skipping_health(spark, "o_custkey", where={"pt": 1})
+        assert h0["avg_overlap"] > h1["avg_overlap"], (h0, h1)
+        before = t._read_manifest(spark, 6)
+        p1_files = [
+            f
+            for f in before["files"]
+            if before["stats"][f]["cols"]["pt"]["min"] == 1
+        ]
+        v = t.compact(
+            spark, sort_cols=["o_custkey"], target_files=3, where={"pt": 0}
+        )
+        after = t._read_manifest(spark, v)
+        assert set(p1_files) <= set(after["files"])  # untouched carry
+        h0b = t.skipping_health(spark, "o_custkey", where={"pt": 0})
+        assert h0b["avg_overlap"] < h0["avg_overlap"], (h0, h0b)
+        assert t.skipping_health(spark, "o_custkey", where={"pt": 1}) == h1
+        where = {
+            "and": [{"pt": 0}, {"o_custkey": {"gte": 100, "lt": 200}}]
+        }
+        kept, total = t.prune_files(spark, where)
+        assert len(kept) < total, "compacted slice must prune"
+        cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        out = (
+            t.read(
+                spark,
+                where={"o_custkey": {"gte": 100, "lt": 200}},
+            )
+            .groupBy("pt")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(cents).cast("long").alias("total_cents"),
+            )
+            .orderBy("pt")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
