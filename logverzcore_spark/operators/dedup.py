@@ -1878,6 +1878,7 @@ def dedup_threshold_sweep(
     max_bucket_size: int | None = None,
     sample_fraction: float | None = None,
     estimator: str = "exact",
+    auto_exact_max_rows: int | None = None,
 ) -> DataFrame:
     """Dedup-threshold sensitivity report — how many near-dup pairs and
     affected documents each candidate Jaccard threshold would commit
@@ -1921,11 +1922,20 @@ def dedup_threshold_sweep(
        is strictly best — pick ``'lsh'``;
     2. else (the r=1 degeneration, where the recall-exact tiers track
        the exact join's cost) COUNT the (sampled) corpus: at
-       ≤ ``_SWEEP_AUTO_EXACT_MAX_ROWS`` docs pick ``'exact'`` —
-       exhaustive recall at calibration scale for the same order of
-       cost; above it pick the ``'ht'`` estimator — the measured
-       sub-linear full-corpus path. The count is one column-pruned
-       scan, noise next to any sweep.
+       ≤ ``auto_exact_max_rows`` docs pick ``'exact'`` — exhaustive
+       recall at calibration scale for the same order of cost; above
+       it pick the ``'ht'`` estimator — the measured sub-linear
+       full-corpus path. The count is one column-pruned scan, noise
+       next to any sweep.
+
+    ``auto_exact_max_rows`` is that boundary, caller-tunable because
+    it is a WALL-CLOCK budget, not a law: the default 100k comes from
+    the r8 100× probe (exact measured 612 s over 500k synthetic docs
+    at planted ~25% dup density; cost is ~quadratic in near-dup
+    density, so 100k of similar density is minutes). A corpus with
+    much lower dup density can afford a higher boundary; an
+    interactive caller can lower it — either way the stamped ``tier``
+    column reports what actually ran.
 
     ``'exact'`` is never auto-picked at scale and ``estimator`` must be
     left at its default with 'auto' (the rule owns that knob).
@@ -1978,9 +1988,14 @@ def dedup_threshold_sweep(
             )
         # Decision from measured inputs (docstring rule), never silent:
         # the resolved tier is stamped on every output row.
+        boundary = (
+            _SWEEP_AUTO_EXACT_MAX_ROWS
+            if auto_exact_max_rows is None
+            else int(auto_exact_max_rows)
+        )
         if sweep_lsh_bands(min(ts), num_hashes) < num_hashes:
             candidates = tier = "lsh"
-        elif df.select(id_col).count() <= _SWEEP_AUTO_EXACT_MAX_ROWS:
+        elif df.select(id_col).count() <= boundary:
             candidates = tier = "exact"
         else:
             candidates, estimator, tier = "lsh", "ht", "ht"

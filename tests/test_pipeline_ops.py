@@ -2748,6 +2748,19 @@ def test_threshold_sweep_auto_tier_routing(spark, monkeypatch):
     auto_h, tiers_h = curve((0.3, 0.7), candidates="auto")
     ht, _ = curve((0.3, 0.7), candidates="lsh", estimator="ht")
     assert tiers_h == {"ht"} and auto_h == ht
+    monkeypatch.undo()
+
+    # r10: the boundary is a CALLER-TUNABLE wall-clock budget, not a
+    # hidden constant — auto_exact_max_rows moves the 2a/2b switch
+    # point and the stamped tier reflects what actually ran
+    auto_lo, tiers_lo = curve(
+        (0.3, 0.7), candidates="auto", auto_exact_max_rows=10
+    )
+    assert tiers_lo == {"ht"} and auto_lo == ht
+    auto_hi, tiers_hi = curve(
+        (0.3, 0.7), candidates="auto", auto_exact_max_rows=10_000
+    )
+    assert tiers_hi == {"exact"} and auto_hi == exact
 
     # explicit tiers keep the 4-column schema (no tier column)
     assert "tier" not in dd.dedup_threshold_sweep(
