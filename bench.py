@@ -58,6 +58,14 @@ EXTENDED = [
 #: interleaved passes with a fresh ``clearCache`` between every
 #: measurement give a per-query MEDIAN as the headline and a min–max
 #: spread so a reader can tell signal from noise.
+#:
+#: A/B PROTOCOL (r7, reaffirmed r8/r9): any per-query move beyond ±30%
+#: round-over-round gets an interleaved re-measurement — alternate
+#: old-checkout and new-HEAD probe processes in ONE session window and
+#: attribute the move (environment vs code) from same-session medians.
+#: Artifacts: BENCH_AB_r8.json (the r7 headline +31% → environment),
+#: BENCH_AB_r10.json (the r9 st01 +59% → environment; code path
+#: diff-empty since r8).
 REPS = 3
 
 
