@@ -5235,3 +5235,184 @@ def q138_partition_scoped_compact(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@query(
+    "q139_snapshot_update_where",
+    oracle="""
+    WITH b AS (
+      SELECT (MAX(o_orderkey) * 11) // 20 AS lo,
+             (MAX(o_orderkey) * 12) // 20 AS hi
+      FROM orders
+    )
+    SELECT CASE WHEN o_orderkey BETWEEN b.lo AND b.hi
+                THEN '9-REDACTED' ELSE o_orderpriority END AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders, b
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q139_snapshot_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-layer UPDATE (SnapshotTable.update_where): the same
+    stats-pruned selective rewrite as q137's delete, applied as
+    redaction — matching rows get SET applied (here a priority mask),
+    their file-neighbors ride along byte-unchanged, and every
+    non-matching file carries over path-identical. SQL UPDATE 3VL
+    (NULL-predicate rows keep values) and type preservation are
+    pytest-graded (test_merge_update); this entry hash-verifies the
+    row content against the flat-table CASE WHEN oracle and asserts
+    the rewrite actually skipped files. The GDPR redaction cost model:
+    masking a key slice rewrites the slice's files, not the corpus."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    maxk = orders.agg(F.max("o_orderkey")).first()[0]
+    lo, hi = maxk * 11 // 20, maxk * 12 // 20
+    q = [maxk // 4, maxk // 2, maxk * 3 // 4]
+    root = os.path.join(
+        tempfile.gettempdir(), f"q139_snap_{_uuid.uuid4().hex[:8]}"
+    )
+    t = SnapshotTable(root)
+    try:
+        ranges = [(0, q[0]), (q[0], q[1]), (q[1], q[2]), (q[2], maxk + 1)]
+        for a, b in ranges:
+            t.append(
+                orders.where(
+                    (F.col("o_orderkey") >= a) & (F.col("o_orderkey") < b)
+                ).repartition(3)
+            )
+        before = t._read_manifest(spark, 4)
+        v = t.update_where(
+            spark,
+            {"o_orderkey": {"between": [lo, hi]}},
+            {"o_orderpriority": F.lit("9-REDACTED")},
+        )
+        after = t._read_manifest(spark, v)
+        carried = set(before["files"]) & set(after["files"])
+        # [lo,hi] ⊂ quartile 3: its 3 files rewrite, 9 carry untouched
+        assert len(carried) == 9, (len(carried), len(before["files"]))
+        cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        out = (
+            t.read(spark)
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(cents).cast("long").alias("total_cents"),
+            )
+            .orderBy("priority")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
+    "q140_snapshot_merge_upsert",
+    oracle="""
+    WITH b AS (
+      SELECT MAX(o_orderkey) // 4 AS lo,
+             MAX(o_orderkey) // 2 AS hi,
+             MAX(o_orderkey) AS mx
+      FROM orders
+    ),
+    merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0
+                       AND o_orderkey >= b.lo AND o_orderkey < b.hi
+                  THEN 'X-MERGED' ELSE o_orderpriority END AS pr,
+             CASE WHEN o_orderkey % 97 = 0
+                       AND o_orderkey >= b.lo AND o_orderkey < b.hi
+                  THEN o_totalprice + 1000 ELSE o_totalprice END AS tp
+      FROM orders, b
+      UNION ALL
+      SELECT b.mx + t.s, 'X-INSERTED', 100.0
+      FROM b, range(1, 51) t(s)
+    )
+    SELECT pr,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(tp * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM merged
+    GROUP BY pr
+    ORDER BY pr
+    """,
+)
+def q140_snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-layer MERGE INTO (SnapshotTable.merge_into): the
+    Delta/Iceberg upsert core as a selective rewrite — the CDC batch's
+    keys (here: every 97th key inside quartile 2, plus 50 brand-new
+    keys) are collected for an exact in-list prune, so only the files
+    those keys can live in are read and rewritten; matched rows take
+    the source's values for the shared non-key columns, unmatched
+    source rows insert with target-only columns NULL, and the other
+    three quartiles' files carry over path-identical (asserted). The
+    oracle restates the merge as CASE WHEN + UNION ALL over the flat
+    table. Reference parity: q114's MERGE one layer down, on the
+    versioned table. 100 TB cost model: a daily upsert rewrites the
+    files its keys hit, never the table."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    maxk = orders.agg(F.max("o_orderkey")).first()[0]
+    q = [maxk // 4, maxk // 2, maxk * 3 // 4]
+    root = os.path.join(
+        tempfile.gettempdir(), f"q140_snap_{_uuid.uuid4().hex[:8]}"
+    )
+    t = SnapshotTable(root)
+    try:
+        ranges = [(0, q[0]), (q[0], q[1]), (q[1], q[2]), (q[2], maxk + 1)]
+        for a, b in ranges:
+            t.append(
+                orders.where(
+                    (F.col("o_orderkey") >= a) & (F.col("o_orderkey") < b)
+                ).repartition(3)
+            )
+        upd = orders.where(
+            (F.col("o_orderkey") % 97 == 0)
+            & (F.col("o_orderkey") >= q[0])
+            & (F.col("o_orderkey") < q[1])
+        ).select(
+            "o_orderkey",
+            F.lit("X-MERGED").alias("o_orderpriority"),
+            (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+        )
+        ins = spark.range(1, 51).select(
+            (F.lit(maxk) + F.col("id")).alias("o_orderkey"),
+            F.lit("X-INSERTED").alias("o_orderpriority"),
+            F.lit(100.0).alias("o_totalprice"),
+        )
+        before = t._read_manifest(spark, 4)
+        v = t.merge_into(spark, upd.unionByName(ins), on="o_orderkey")
+        after = t._read_manifest(spark, v)
+        carried = set(before["files"]) & set(after["files"])
+        # all upsert keys live in quartile 2 (inserts are > maxk, which
+        # only that selection's rewrite absorbs): 9 of 12 files carry
+        assert len(carried) == 9, (len(carried), len(before["files"]))
+        cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        out = (
+            t.read(spark)
+            .groupBy(F.col("o_orderpriority").alias("pr"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(cents).cast("long").alias("total_cents"),
+                F.max("o_orderkey").cast("long").alias("max_key"),
+            )
+            .orderBy("pr")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

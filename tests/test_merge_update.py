@@ -1,0 +1,213 @@
+"""Snapshot-layer UPDATE and MERGE (r10): the DML triad completed —
+update_where / merge_into as the same stats/bloom-pruned selective
+rewrite as delete_where. Reference parity: the q114 MERGE / q115 SCD2
+family one layer down, on the versioned table.
+"""
+
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from logverzcore_spark.snapshots import SnapshotTable
+
+
+def _mkroot(tmpdir_path, name="mu") -> str:
+    return os.path.join(str(tmpdir_path), f"{name}_{uuid.uuid4().hex[:8]}")
+
+
+def _ranged(spark, tmpdir_path, **kw):
+    t = SnapshotTable(_mkroot(tmpdir_path), **kw)
+    df = spark.range(0, 1200).select(
+        F.col("id"),
+        F.concat(F.lit("user-"), F.col("id") % 100).alias("user"),
+        (F.col("id") % 7).cast("int").alias("tier"),
+        F.concat(F.lit("e"), F.col("id"), F.lit("@x.io")).alias("email"),
+    )
+    for lo in (0, 300, 600, 900):
+        t.append(df.where((F.col("id") >= lo) & (F.col("id") < lo + 300)).coalesce(1))
+    return t, df
+
+
+# ---------------------------------------------------------------- update
+
+
+def test_update_where_selective_and_correct(spark, tmpdir_path):
+    t, df = _ranged(spark, tmpdir_path)
+    before = t._read_manifest(spark, 4)
+    v = t.update_where(
+        spark,
+        {"id": {"between": [350, 380]}},
+        {"tier": F.lit(99), "email": "sha2(email, 256)"},
+    )
+    assert v == 5
+    after = t._read_manifest(spark, v)
+    carried = set(before["files"]) & set(after["files"])
+    assert len(carried) == 3  # only the 300-599 file rewrote
+
+    rows = {r["id"]: r for r in t.read(spark).collect()}
+    assert len(rows) == 1200  # UPDATE never changes cardinality
+    for i in range(1200):
+        if 350 <= i <= 380:
+            assert rows[i]["tier"] == 99
+            assert len(rows[i]["email"]) == 64  # sha2 hex
+        else:
+            assert rows[i]["tier"] == i % 7
+            assert rows[i]["email"] == f"e{i}@x.io"
+        assert rows[i]["user"] == f"user-{i % 100}"  # untouched column
+
+    # time travel reads the pre-update values
+    old = t.read(spark, version=4, where={"id": 360}).first()
+    assert old["tier"] == 360 % 7 and old["email"] == "e360@x.io"
+
+    # provably-no-match predicate: no new version
+    assert t.update_where(spark, {"id": 10_000}, {"tier": F.lit(0)}) == 5
+    # tagged replay no-ops
+    v6 = t.update_where(spark, {"id": 1}, {"tier": F.lit(1)}, tag="fix:run-1")
+    assert v6 == 6
+    assert t.update_where(spark, {"id": 1}, {"tier": F.lit(1)}, tag="fix:run-1") == 6
+
+
+def test_update_where_null_semantics_and_errors(spark, tmpdir_path):
+    """3VL: assignment applies only where the predicate is TRUE —
+    NULL-predicate rows keep their values; unknown columns refuse."""
+    t = SnapshotTable(_mkroot(tmpdir_path, "un"))
+    df = spark.range(0, 12).selectExpr(
+        "id", "CASE WHEN id % 3 = 0 THEN NULL ELSE cast(id AS int) END AS g",
+        "cast(id AS double) AS v",
+    )
+    t.append(df.coalesce(1))
+    t.update_where(spark, {"g": {"gte": 6}}, {"v": F.lit(-1.0)})
+    rows = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    for i in range(12):
+        want = -1.0 if (i % 3 != 0 and i >= 6) else float(i)
+        assert rows[i] == want, i  # NULL g rows (i%3==0) untouched
+    with pytest.raises(ValueError, match="no such column"):
+        t.update_where(spark, {"id": 1}, {"nope": F.lit(1)})
+
+
+# ----------------------------------------------------------------- merge
+
+
+def test_merge_upsert_selective(spark, tmpdir_path):
+    t, df = _ranged(spark, tmpdir_path)
+    before = t._read_manifest(spark, 4)
+    # updates hit only the 300-599 range; inserts carry new ids
+    source = spark.createDataFrame(
+        [(350, 77), (399, 77), (5000, 11), (5001, 12)],
+        "id long, tier int",
+    )
+    v = t.merge_into(spark, source, on="id")
+    assert v == 5
+    after = t._read_manifest(spark, v)
+    carried = set(before["files"]) & set(after["files"])
+    assert len(carried) == 3  # in-list prune: one file rewritten
+
+    rows = {r["id"]: r for r in t.read(spark).collect()}
+    assert len(rows) == 1202
+    assert rows[350]["tier"] == 77 and rows[399]["tier"] == 77
+    # updated rows keep their target-only columns
+    assert rows[350]["email"] == "e350@x.io"
+    assert rows[350]["user"] == "user-50"
+    # a matched row NOT in the source keeps everything
+    assert rows[351]["tier"] == 351 % 7
+    # inserts fill target-only columns with NULL
+    assert rows[5000]["tier"] == 11 and rows[5000]["email"] is None
+    # time travel: pre-merge state intact
+    assert t.count(spark, version=4) == 1200
+
+    # replayed tagged merge no-ops
+    v2 = t.merge_into(spark, source, on="id", tag="cdc:batch-9")
+    assert v2 == 6
+    assert t.merge_into(spark, source, on="id", tag="cdc:batch-9") == 6
+    assert t.count(spark) == 1202  # merge is idempotent on same source
+
+
+def test_merge_delete_and_ignore_modes(spark, tmpdir_path):
+    t, df = _ranged(spark, tmpdir_path)
+    src = spark.createDataFrame([(10,), (11,), (9999,)], "id long")
+    # matched -> delete, unmatched source -> ignored
+    v = t.merge_into(
+        spark, src, on="id", when_matched="delete", when_not_matched="ignore"
+    )
+    assert t.count(spark) == 1198
+    got = t.read(spark, where={"id": {"in": [10, 11, 9999]}}).count()
+    assert got == 0
+    # matched -> ignore, unmatched -> insert (insert-only merge)
+    src2 = spark.createDataFrame([(12, 55), (7777, 55)], "id long, tier int")
+    t.merge_into(spark, src2, on="id", when_matched="ignore")
+    rows = {r["id"]: r["tier"] for r in t.read(
+        spark, where={"id": {"in": [12, 7777]}}
+    ).collect()}
+    assert rows == {12: 12 % 7, 7777: 55}  # 12 untouched, 7777 inserted
+    # nothing-to-do short-circuit: unmatched keys, inserts off
+    head = t.versions(spark)[-1]
+    assert t.merge_into(
+        spark,
+        spark.createDataFrame([(88888,)], "id long"),
+        on="id",
+        when_not_matched="ignore",
+    ) == head
+
+
+def test_merge_refusals_and_null_keys(spark, tmpdir_path):
+    t, df = _ranged(spark, tmpdir_path)
+    with pytest.raises(ValueError, match="duplicate source keys"):
+        t.merge_into(
+            spark,
+            spark.createDataFrame([(1, 1), (1, 2)], "id long, tier int"),
+            on="id",
+        )
+    with pytest.raises(ValueError, match="source carries columns"):
+        t.merge_into(
+            spark,
+            spark.createDataFrame([(1, 9)], "id long, extra int"),
+            on="id",
+        )
+    with pytest.raises(ValueError, match="source lacks key"):
+        t.merge_into(
+            spark, spark.createDataFrame([(1,)], "tier int"), on="id"
+        )
+    # NULL keys never match (SQL equality) and insert under 'insert'
+    src = spark.createDataFrame([(None, 3), (None, 4)], "id long, tier int")
+    n0 = t.count(spark)
+    t.merge_into(spark, src, on="id")
+    assert t.count(spark) == n0 + 2
+    assert t.read(spark, where={"id": "null"}).count() == 2
+
+
+def test_merge_string_keys_verbatim(spark, tmpdir_path):
+    """String keys that optree's typed-literal reading would transform
+    ('5', 'null') must still merge by CHARACTER equality — the in-list
+    prune detects them and falls back to interval pruning."""
+    t = SnapshotTable(_mkroot(tmpdir_path, "sk"))
+    df = spark.createDataFrame(
+        [("05", 1), ("5", 2), ("null", 3), ("plain", 4)], "k string, v int"
+    )
+    t.append(df.coalesce(1))
+    src = spark.createDataFrame(
+        [("5", 20), ("null", 30), ("new", 40)], "k string, v int"
+    )
+    t.merge_into(spark, src, on="k")
+    rows = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert rows == {"05": 1, "5": 20, "null": 30, "plain": 4, "new": 40}
+
+
+def test_merge_composite_keys_interval_prune(spark, tmpdir_path):
+    t = SnapshotTable(_mkroot(tmpdir_path, "ck"))
+    df = spark.range(0, 400).select(
+        (F.col("id") % 20).alias("a"),
+        (F.col("id") / 20).cast("long").alias("b"),
+        F.col("id").alias("v"),
+    )
+    for lo in (0, 200):
+        t.append(df.where((F.col("v") >= lo) & (F.col("v") < lo + 200)).coalesce(1))
+    src = spark.createDataFrame(
+        [(3, 0, -1), (3, 15, -2), (99, 99, -3)], "a long, b long, v long"
+    )
+    t.merge_into(spark, src, on=["a", "b"])
+    rows = {(r["a"], r["b"]): r["v"] for r in t.read(spark).collect()}
+    assert rows[(3, 0)] == -1 and rows[(3, 15)] == -2
+    assert rows[(99, 99)] == -3  # composite-key insert
+    assert len(rows) == 401
