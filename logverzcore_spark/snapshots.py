@@ -627,6 +627,8 @@ class SnapshotTable:
         schema_json: str | None = None,
         bloom_files: list[str] | None = None,
     ) -> int:
+        import time as _time
+
         all_tags, recent_tags, tag_floors = _fold_tags(parent, tag)
         payload = {
             "files": sorted(files),
@@ -634,6 +636,11 @@ class SnapshotTable:
             "all_tags": all_tags,
             "recent_tags": recent_tags,
             "tag_floors": tag_floors,
+            # epoch millis (int: fixed JSON width) — what version_asof
+            # resolves timestamp time travel against; driver wall clock,
+            # monotone in practice because history is linear (each
+            # commit CASes on its parent)
+            "committed_at": int(_time.time() * 1000),
             "stats": {
                 k: v for k, v in (stats or {}).items() if k in set(files)
             },
@@ -973,6 +980,57 @@ class SnapshotTable:
             raise ValueError(f"version {v} not in {vs}")
         return self._read_manifest(spark, v)
 
+    @staticmethod
+    def _to_millis(ts: Any) -> int:
+        if isinstance(ts, (int, float)) and not isinstance(ts, bool):
+            # epoch seconds (the Python convention); millis for > 1e11
+            return int(ts if ts > 1e11 else ts * 1000)
+        if isinstance(ts, str):
+            ts = datetime.fromisoformat(ts)
+        if isinstance(ts, datetime):
+            return int(ts.timestamp() * 1000)
+        if isinstance(ts, date):
+            return int(
+                datetime(ts.year, ts.month, ts.day).timestamp() * 1000
+            )
+        raise TypeError(f"cannot read a timestamp from {ts!r}")
+
+    def version_asof(self, spark: SparkSession, ts: Any) -> int:
+        """Timestamp time travel (Delta's TIMESTAMP AS OF / Iceberg's
+        snapshot-at): the newest version whose commit landed at or
+        before ``ts`` (epoch seconds, a datetime/date, or an ISO
+        string; naive inputs read in local time, like the stored
+        driver clock). Binary search over the manifests' committed_at
+        — O(log versions) metadata reads; commit times are monotone
+        because history is linear (every commit CASes on its parent).
+        Versions from builds predating the field count as older than
+        any stamped one (they are). Raises ValueError when ``ts``
+        precedes the whole retained history — vacuum trims how far
+        back this can reach, exactly as it trims version travel."""
+        target = self._to_millis(ts)
+        vs = self.versions(spark)
+        if not vs:
+            raise FileNotFoundError(f"no committed snapshots under {self.root}")
+
+        def at(v: int):
+            return self._read_manifest(spark, v).get("committed_at")
+
+        lo, hi, best = 0, len(vs) - 1, None
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            c = at(vs[mid])
+            if c is None or c <= target:
+                best = vs[mid]
+                lo = mid + 1
+            else:
+                hi = mid - 1
+        if best is None:
+            raise ValueError(
+                f"no version as of {ts!r} — the retained history "
+                f"starts later (vacuum trims timestamp travel too)"
+            )
+        return best
+
     def _write_bloom_sidecar(self, spark: SparkSession, blooms: dict) -> str:
         """Persist a commit's Bloom filters as a SIDECAR next to the
         manifests — the one skipping artifact too heavy to inline
@@ -1073,15 +1131,23 @@ class SnapshotTable:
         spark: SparkSession,
         version: int | None = None,
         where: Any = None,
+        as_of: Any = None,
     ) -> DataFrame:
         """The table as of ``version`` (default: latest) — byte-stable
         forever, because the files a manifest names are immutable.
+        ``as_of`` resolves a TIMESTAMP instead (version_asof) — "the
+        corpus as the trainer saw it last Tuesday" without bookkeeping
+        the version number.
 
         ``where`` (an optree predicate) turns the read selective: files
         whose stats intervals provably cannot match are never scanned
         (data skipping), and the FULL predicate is re-applied to the
         surviving files so the result is identical to
         ``read().filter(...)`` whether or not any file pruned."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of, not both")
+            version = self.version_asof(spark, as_of)
         m = self._resolve(spark, version)
         files = m["files"]
         if not files:
@@ -1109,11 +1175,19 @@ class SnapshotTable:
             compile_where(where)
         )
 
-    def count(self, spark: SparkSession, version: int | None = None) -> int:
+    def count(
+        self, spark: SparkSession, version: int | None = None,
+        as_of: Any = None,
+    ) -> int:
         """Row count of a version from manifest row counts alone — zero
         data I/O when every file carries stats (every post-stats commit
         does); files from pre-stats manifests fall back to one
-        distributed count over just those files."""
+        distributed count over just those files. ``as_of`` resolves a
+        timestamp like :meth:`read`."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of, not both")
+            version = self.version_asof(spark, as_of)
         m = self._resolve(spark, version)
         stats = m.get("stats", {})
         total = 0

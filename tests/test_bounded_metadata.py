@@ -180,3 +180,75 @@ def test_bloom_sidecars_consolidate_past_the_cap(spark, tmpdir_path):
     assert set(merged) <= live  # no dead entries carried forward
     kept, total = t2.prune_files(spark, {"key": {"eq": "user-120"}})
     assert len(kept) == 1 and total == len(mh["files"])
+
+
+def test_timestamp_time_travel():
+    """version_asof resolves TIMESTAMP AS OF via binary search over
+    committed_at; legacy manifests (no field) sort older than any
+    stamped one; before-history raises."""
+    import time
+
+    import pytest
+
+    be = InMemoryConditionalPut()
+    t = SnapshotTable("mem://tt", backend=be)
+    files = ["mem://tt/data/d0/part-0.parquet"]
+    # a LEGACY head (pre-committed_at build): hand-written manifest
+    be.put_if_absent(
+        "mem://tt/_snapshots/v1.json",
+        json.dumps({"files": files, "all_tags": []}).encode(),
+    )
+    stamps = [None]
+    for i in range(2, 7):
+        head_v, head = t._head(None)
+        time.sleep(0.004)  # force distinct committed_at milliseconds
+        before = time.time()
+        t._commit(None, files, f"c:batch-{i}", head, head_v)
+        stamps.append((before, time.time()))
+        time.sleep(0.004)
+    # exact resolution between every pair of stamped commits
+    for v in range(2, 7):
+        lo, hi = stamps[v - 1]
+        m = t._read_manifest(None, v)
+        assert int(lo * 1000) <= m["committed_at"] <= int(hi * 1000) + 1
+        assert t.version_asof(None, m["committed_at"] / 1000.0) == v
+    # between v3 and v4 resolves to v3
+    mid = (t._read_manifest(None, 3)["committed_at"]
+           + t._read_manifest(None, 4)["committed_at"]) / 2 / 1000.0
+    assert t.version_asof(None, mid) in (3, 4)  # equal-ms commits tie
+    # far future -> head; legacy-only epoch -> the legacy version
+    assert t.version_asof(None, time.time() + 3600) == 6
+    assert t.version_asof(None, 0) == 1  # legacy sorts oldest
+    # datetime / ISO-string / date inputs all accepted
+    import datetime as dt
+
+    now = dt.datetime.now() + dt.timedelta(hours=1)
+    assert t.version_asof(None, now) == 6
+    assert t.version_asof(None, now.isoformat()) == 6
+    with pytest.raises(TypeError):
+        t.version_asof(None, object())
+
+
+def test_timestamp_travel_reads_rows(spark, tmpdir_path):
+    """End-to-end: read(as_of=) returns the corpus as committed at
+    that wall-clock moment."""
+    import time
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(_mkroot(tmpdir_path))
+    df = spark.range(0, 10)
+    t.append(df.withColumn("b", F.lit(1)).coalesce(1))
+    t_between = time.time()
+    time.sleep(0.05)
+    t.append(df.withColumn("b", F.lit(2)).coalesce(1))
+    assert t.count(spark, as_of=t_between) == 10
+    assert t.count(spark) == 20
+    got = t.read(spark, as_of=t_between).select("b").distinct().collect()
+    assert [r["b"] for r in got] == [1]
+    with pytest.raises(ValueError, match="no version as of"):
+        t.version_asof(spark, t_between - 10_000)
+    with pytest.raises(ValueError, match="version OR as_of"):
+        t.read(spark, version=1, as_of=t_between)
