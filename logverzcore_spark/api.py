@@ -709,6 +709,109 @@ class Engine:
         )
         return resolved
 
+    def _snapshot_for_write(self, name: str, user: User, backend=None):
+        """Resolve a cataloged SNAP view for a WRITE: the entry must
+        exist, be a snapshot pin, and be owner/admin-writable — read
+        grants (Access) never imply write (the reference's owner-gated
+        delete flow, N7's escalation guard one level up)."""
+        entry = self.catalog.for_table(name, "default")
+        if entry is None or entry.Type != "SNAP":
+            raise ValueError(f"no cataloged snapshot view named {name!r}")
+        if not (user.is_admin or entry.owned_by(user)):
+            raise PermissionError(
+                f"{user.name} may not write snapshot {name!r} owned by "
+                f"{entry.Owners} — read access does not grant writes"
+            )
+        from logverzcore_spark.snapshots import SnapshotTable
+
+        return entry, SnapshotTable(
+            entry.QuerySettings["SnapshotRoot"], backend=backend
+        )
+
+    def _snapshot_dml(
+        self, name: str, op: str, run, user: User, repin: bool,
+        backend, audit_desc: str,
+    ) -> int:
+        """Shared write path for the snapshot DML surface: owner gate,
+        run the operation, optionally re-pin the cataloged view to the
+        new version, audit success AND refusal (the trail matters most
+        when the gate fires)."""
+        try:
+            entry, t = self._snapshot_for_write(name, user, backend=backend)
+            version = run(t)
+        except Exception as e:
+            self._audit(user, op, audit_desc, [name], "error", str(e))
+            raise
+        if repin and version != entry.QuerySettings.get("Version"):
+            # move the pin in place, PRESERVING owners/access — the
+            # writer already passed the owner gate; routing through
+            # register_snapshot would re-own the entry to the registrar
+            from logverzcore_spark.catalog import CatalogEntry
+
+            t.read(self.spark, version).createOrReplaceTempView(name)
+            self.catalog.record_query(
+                CatalogEntry(
+                    TableName=name,
+                    DatabaseName="default",
+                    Type="SNAP",
+                    QuerySettings={"SnapshotRoot": t.root, "Version": version},
+                    Owners=list(entry.Owners),
+                    Access=list(entry.Access or []),
+                ),
+                deactivate_older=True,
+            )
+        self._audit(user, op, audit_desc, [name])
+        return version
+
+    def snapshot_delete_where(
+        self, name: str, where, user: User = ADMIN, tag: str | None = None,
+        repin: bool = False, backend=None,
+    ) -> int:
+        """Row deletes on a cataloged snapshot view (q113's point-delete
+        flow at the versioned table): SnapshotTable.delete_where's
+        stats/bloom-pruned selective rewrite, owner-gated and audited.
+        ``repin=True`` moves the cataloged view (and its readers) to
+        the post-delete version; the default keeps the pin byte-stable
+        — reproducible reads are the reason the pin exists, so moving
+        it is an explicit choice. Either way the DELETE lands at the
+        table's head: a later repin or a fresh register sees it."""
+        return self._snapshot_dml(
+            name, "snapshot_delete", lambda t: t.delete_where(
+                self.spark, where, tag=tag
+            ), user, repin, backend, f"delete_where {where!r}",
+        )
+
+    def snapshot_update_where(
+        self, name: str, where, set, user: User = ADMIN,
+        tag: str | None = None, repin: bool = False, backend=None,
+    ) -> int:
+        """UPDATE ... SET on a cataloged snapshot view — update_where's
+        selective rewrite behind the same owner gate and audit row."""
+        return self._snapshot_dml(
+            name, "snapshot_update", lambda t: t.update_where(
+                self.spark, where, set, tag=tag
+            ), user, repin, backend,
+            f"update_where {where!r} set {sorted(set)}",
+        )
+
+    def snapshot_merge_into(
+        self, name: str, source, on, user: User = ADMIN,
+        when_matched: str = "update", when_not_matched: str = "insert",
+        tag: str | None = None, repin: bool = False, backend=None,
+    ) -> int:
+        """MERGE INTO a cataloged snapshot view — merge_into's keyed
+        upsert behind the same owner gate and audit row (q114's MERGE
+        flow on the pinned corpus)."""
+        return self._snapshot_dml(
+            name, "snapshot_merge", lambda t: t.merge_into(
+                self.spark, source, on,
+                when_matched=when_matched,
+                when_not_matched=when_not_matched, tag=tag,
+            ), user, repin, backend,
+            f"merge on {on!r} matched={when_matched} "
+            f"not_matched={when_not_matched}",
+        )
+
     # -- Saved analyses (catalog Type "A", N7) -----------------------------
     def save_query(
         self,

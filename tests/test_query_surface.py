@@ -1085,3 +1085,77 @@ def test_find_all_on_snap_entry_prunes_files(spark, tmpdir_path):
     nobody = User(name="n", groups=[], is_admin=False, is_poweruser=False)
     with _pytest.raises(PermissionError):
         eng.find_all("pinned_fa", user=nobody, where={"k": 1})
+
+
+def test_engine_snapshot_dml_owner_gated_and_audited(spark, tmpdir_path):
+    """r10: the snapshot DML surface (delete/update/merge on a
+    cataloged SNAP view) is OWNER-gated — read grants never imply
+    writes — audited on success AND refusal, and repin=True moves the
+    pinned view without re-owning the catalog entry."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.api import Engine
+    from logverzcore_spark.audit import AuditLog
+    from logverzcore_spark.catalog import Catalog, User
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    audit = AuditLog()
+    eng = Engine(spark, Catalog(), audit=audit)
+    root = os.path.join(tmpdir_path, "snapdml")
+    t = SnapshotTable(root)
+    df = spark.range(0, 100).withColumn("v", F.col("id") * 2)
+    t.append(df.where("id < 50").coalesce(1))
+    t.append(df.where("id >= 50").coalesce(1))
+
+    owner = User(name="own", groups=[], is_admin=False, is_poweruser=True)
+    reader = User(name="rdr", groups=["research"])
+    assert eng.register_snapshot(
+        "corp", root, user=owner, access=["research"]
+    ) == 2
+
+    # a READ-granted non-owner may not write; the refusal is audited
+    with _pytest.raises(PermissionError, match="read access does not"):
+        eng.snapshot_delete_where("corp", {"id": 1}, user=reader)
+    last = audit.entries()[-1]
+    assert last.Status == "error" and last.Mode == "snapshot_delete"
+
+    # the owner deletes; the default keeps the pin byte-stable
+    v = eng.snapshot_delete_where("corp", {"id": {"lt": 10}}, user=owner)
+    assert v == 3
+    assert eng.sql("SELECT COUNT(*) AS n FROM corp", user=reader).first()["n"] == 100
+    assert t.count(spark) == 90  # the table head moved
+
+    # update with repin: the view follows, owners/access preserved
+    v = eng.snapshot_update_where(
+        "corp", {"id": {"gte": 90}}, {"v": F.lit(-1)},
+        user=owner, repin=True,
+    )
+    assert v == 4
+    got = eng.sql(
+        "SELECT COUNT(*) AS n FROM corp WHERE v = -1", user=reader
+    ).first()["n"]
+    assert got == 10
+    entry = eng.catalog.for_table("corp", "default")
+    assert entry.Owners == ["own"]
+    assert entry.QuerySettings["Version"] == 4
+    assert entry.Access == ["research"]
+
+    # merge through the gate, repinned
+    src = spark.createDataFrame([(5, 555), (2000, 1)], "id long, v long")
+    v = eng.snapshot_merge_into("corp", src, on="id", user=owner, repin=True)
+    assert v == 5
+    n = eng.sql("SELECT COUNT(*) AS n FROM corp", user=reader).first()["n"]
+    assert n == 92  # 90 + 2 inserts (id 5 was deleted above, so it re-inserts)
+    assert eng.sql(
+        "SELECT v FROM corp WHERE id = 5", user=reader
+    ).first()["v"] == 555
+
+    # non-SNAP names refuse; audit trail recorded the successes
+    with _pytest.raises(ValueError, match="no cataloged snapshot"):
+        eng.snapshot_update_where("nope", {"id": 1}, {"v": F.lit(0)}, user=owner)
+    modes = [r.Mode for r in audit.entries()]
+    assert modes.count("snapshot_delete") >= 2  # refusal + success
+    assert "snapshot_update" in modes and "snapshot_merge" in modes
