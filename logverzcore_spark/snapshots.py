@@ -626,6 +626,7 @@ class SnapshotTable:
         stats_schema: dict | None = None,
         schema_json: str | None = None,
         bloom_files: list[str] | None = None,
+        op: str = "append",
     ) -> int:
         import time as _time
 
@@ -641,6 +642,7 @@ class SnapshotTable:
             # monotone in practice because history is linear (each
             # commit CASes on its parent)
             "committed_at": int(_time.time() * 1000),
+            "op": op,  # what produced this version (history())
             "stats": {
                 k: v for k, v in (stats or {}).items() if k in set(files)
             },
@@ -939,7 +941,8 @@ class SnapshotTable:
             schema_json, bloom_files,
         )
 
-    def overwrite(self, df: DataFrame, tag: str | None = None) -> int:
+    def overwrite(self, df: DataFrame, tag: str | None = None,
+                  _op: str = "overwrite") -> int:
         """Commit the new data as the ENTIRE next version (a rewrite —
         e.g. a compaction or a corrected corpus). Prior versions keep
         reading their own files untouched."""
@@ -955,7 +958,7 @@ class SnapshotTable:
         )
         return self._commit(
             spark, new_files, tag, head, head_v, new_stats, new_schema,
-            df.schema.json(), bloom_files,
+            df.schema.json(), bloom_files, op=_op,
         )
 
     def _reader(self, spark: SparkSession, manifest: dict):
@@ -1234,7 +1237,7 @@ class SnapshotTable:
         # carry the head's recorded schema; backfill adds stats only
         return self._commit(
             spark, files, tag, head, head_v, stats, schema,
-            head.get("schema"), bloom_files,
+            head.get("schema"), bloom_files, op="analyze",
         )
 
     def read_incremental(
@@ -1302,6 +1305,81 @@ class SnapshotTable:
         # predates a later-added column reads it as null instead of
         # whatever single file the sampler picked
         return self._reader(spark, m).parquet(*added)
+
+    def history(self, spark: SparkSession) -> list[dict]:
+        """DESCRIBE HISTORY: one dict per retained version, newest
+        first — version, op (what produced it: append / overwrite /
+        compact / delete / update / merge / analyze / restore), tag,
+        committed_at (epoch millis; None pre-r10), file count, and the
+        manifest-summed row count (None when any file lacks stats).
+        Pure manifest reads — O(retained versions) metadata, zero data
+        I/O; vacuum bounds how far back it reaches."""
+        out = []
+        for v in reversed(self.versions(spark)):
+            m = self._read_manifest(spark, v)
+            stats = m.get("stats", {})
+            rows: int | None = 0
+            for f in m["files"]:
+                ent = stats.get(f)
+                if ent is None or ent.get("rows") is None:
+                    rows = None
+                    break
+                rows += ent["rows"]
+            out.append({
+                "version": v,
+                "op": m.get("op"),
+                "tag": m.get("tag"),
+                "committed_at": m.get("committed_at"),
+                "n_files": len(m["files"]),
+                "rows": rows,
+            })
+        return out
+
+    def restore(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        as_of: Any = None,
+        tag: str | None = None,
+    ) -> int:
+        """Roll the head back to an earlier version AS A NEW COMMIT
+        (Delta RESTORE): the target manifest's files/stats/schema/bloom
+        sidecars are re-committed verbatim under the next version
+        number — zero data I/O, because data files are immutable and a
+        retained version's files are exactly the ones vacuum kept. The
+        bad commit stays in history (auditable, still time-travelable
+        until vacuum) instead of being erased; read_incremental refuses
+        to span the rollback whenever it dropped files (the overwrite
+        rule). ``version`` or ``as_of`` (timestamp) picks the target;
+        the tag history carries FORWARD from the current head, not the
+        restored manifest — replay idempotence must remember everything
+        applied, including the commits being rolled back."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of, not both")
+            version = self.version_asof(spark, as_of)
+        if version is None:
+            raise ValueError("restore needs version= or as_of=")
+        head_v, head = self._head(spark)
+        if head is None:
+            raise FileNotFoundError(f"no committed snapshots under {self.root}")
+        if tag is not None and _tag_seen(head, tag):
+            return head_v
+        if version == head_v:
+            return head_v  # restoring the head is a no-op
+        target = self._resolve(spark, version)
+        return self._commit(
+            spark,
+            list(target["files"]),
+            tag,
+            head,  # tag history continues from the CURRENT head
+            head_v,
+            dict(target.get("stats", {})),
+            dict(target.get("stats_schema", {})),
+            target.get("schema"),
+            list(target.get("bloom_files", [])),
+            op="restore",
+        )
 
     def vacuum(self, spark: SparkSession, keep_last: int = 2) -> int:
         """Drop manifests older than the last ``keep_last`` and delete
@@ -1428,7 +1506,7 @@ class SnapshotTable:
                 spark, self.read(spark), sort_cols, target_files,
                 zorder_cols, None,
             )
-            return self.overwrite(df, tag=tag)
+            return self.overwrite(df, tag=tag, _op="compact")
         head_v, head = self._head(spark)
         if head is None:
             raise FileNotFoundError(f"no committed snapshots under {self.root}")
@@ -1460,7 +1538,7 @@ class SnapshotTable:
         )
         return self._commit(
             spark, carried + new_files, tag, head, head_v, stats, schema,
-            head.get("schema"), bloom_files,
+            head.get("schema"), bloom_files, op="compact",
         )
 
     def delete_where(self, spark: SparkSession, where: Any,
@@ -1515,7 +1593,7 @@ class SnapshotTable:
         )
         return self._commit(
             spark, carried + new_files, tag, head, head_v, stats, schema,
-            head.get("schema"), bloom_files,
+            head.get("schema"), bloom_files, op="delete",
         )
 
     def update_where(
@@ -1590,7 +1668,7 @@ class SnapshotTable:
         )
         return self._commit(
             spark, carried + new_files, tag, head, head_v, stats, schema,
-            head.get("schema"), bloom_files,
+            head.get("schema"), bloom_files, op="update",
         )
 
     #: merge_into collects source keys for an exact (bloom-capable)
@@ -1786,7 +1864,7 @@ class SnapshotTable:
         )
         return self._commit(
             spark, carried + new_files, tag, head, head_v, stats, schema,
-            head.get("schema"), bloom_files,
+            head.get("schema"), bloom_files, op="merge",
         )
 
     def _layout(
