@@ -208,6 +208,64 @@ def snapshot_append_stream(
     return writer.start()
 
 
+def cdc_merge_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    root: str,
+    on,
+    checkpoint_dir: str | None = None,
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming CDC APPLY into a
+    :class:`~logverzcore_spark.snapshots.SnapshotTable`: every
+    micro-batch of keyed upserts lands as ONE tagged
+    :meth:`~logverzcore_spark.snapshots.SnapshotTable.merge_into` —
+    the Delta streaming-MERGE shape on this layer. What composes here:
+
+    - merge's selective rewrite makes the per-trigger cost the files
+      the BATCH's keys live in (stats/bloom-pruned), not the table;
+    - the batch tag makes redelivery a manifest-level no-op, so the
+      checkpoint/commit crash window converges exactly like
+      snapshot_append_stream's (same (ckid, batchId) namespacing);
+    - within-batch duplicate keys are merge_into's documented refusal
+      — a CDC feed must be key-unique per batch (compact upstream with
+      keep-latest if it is not);
+    - ORDER is the stream's order: later batches override earlier ones
+      because each merge carries the source's absolute values. The
+      single-writer contract applies as everywhere on this table.
+
+    Suite st38 grades the drained end state against a flat-table
+    oracle; replay (lost checkpoint, same path) is asserted in-entry."""
+    import hashlib
+
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    table = SnapshotTable(root)
+    checkpoint = checkpoint_dir or os.path.join(
+        tempfile.gettempdir(), f"lvz_cdcstream_{uuid.uuid4().hex[:8]}"
+    )
+    ckid = hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:12]
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return  # empty trigger: no version, no tag burn
+        table.merge_into(
+            spark, batch_df, on,
+            when_matched=when_matched,
+            when_not_matched=when_not_matched,
+            tag=f"{ckid}:batch-{int(batch_id)}",
+        )
+
+    writer = stream_df.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def incremental_mv_stream(
     spark: SparkSession,
     stream_df: DataFrame,

@@ -1819,3 +1819,127 @@ def st37_streaming_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@query(
+    "st38_streaming_cdc_merge",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 1 THEN 'CDC-1'
+                  WHEN o_orderkey % 5 = 2 THEN 'CDC-2'
+                  WHEN o_orderkey % 5 IN (3, 4) THEN 'CDC-3'
+                  ELSE o_orderpriority END AS pr,
+             CASE WHEN o_orderkey % 5 = 1 THEN o_totalprice + 1000
+                  WHEN o_orderkey % 5 = 2 THEN o_totalprice + 2000
+                  WHEN o_orderkey % 5 IN (3, 4) THEN o_totalprice + 3000
+                  ELSE o_totalprice END AS tp
+      FROM base
+      UNION ALL
+      SELECT o_orderkey,
+             'NEW-' || CAST(o_orderkey % 5 AS VARCHAR) AS pr,
+             o_totalprice AS tp
+      FROM orders
+      WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 IN (1, 2, 3)
+    )
+    SELECT pr,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(tp * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM merged
+    GROUP BY pr
+    ORDER BY pr
+    """,
+)
+def st38_streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC APPLY (avro_stream.cdc_merge_stream): a keyed
+    upsert feed lands per micro-batch as one tagged
+    SnapshotTable.merge_into — the Delta streaming-MERGE shape. Three
+    ordered CDC batches stream over a base table: batch i updates the
+    base keys with o_orderkey %5 in {i, i+1} (absolute values: price +
+    1000·i, priority 'CDC-i' — so later batches OVERRIDE earlier ones
+    on the overlap keys %5=2 and %5=3) and inserts brand-new keys
+    (%3=1, %5=i → priority 'NEW-i', target-only columns NULL). The
+    drained end state must hash-match the flat-table oracle's CASE
+    mapping (the override algebra spelled out); a second drain over a
+    LOST checkpoint at the same path redelivers every batch and must
+    commit nothing (merge tags no-op — exactly-once); history must
+    read [merge, merge, merge, append]. 100 TB per-trigger cost is
+    merge's selective rewrite: the files the batch's keys live in."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.snapshots import SnapshotTable
+    from logverzcore_spark.streaming.avro_stream import cdc_merge_stream
+
+    orders = _t(spark, sf_dir, "orders")
+    work = tempfile.mkdtemp(prefix=f"st38_{_uuid.uuid4().hex[:8]}_")
+    try:
+        root = os.path.join(work, "snap")
+        t = SnapshotTable(root)
+        t.append(
+            orders.where(F.col("o_orderkey") % 3 == 0).select(
+                "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+            ).coalesce(2)
+        )
+        src = os.path.join(work, "cdc")
+        for i in (1, 2, 3):
+            upd = orders.where(
+                (F.col("o_orderkey") % 3 == 0)
+                & (F.col("o_orderkey") % 5).isin(i, i + 1)
+            ).select(
+                "o_orderkey",
+                (F.col("o_totalprice") + 1000 * i).alias("o_totalprice"),
+                F.lit(f"CDC-{i}").alias("o_orderpriority"),
+            )
+            ins = orders.where(
+                (F.col("o_orderkey") % 3 == 1)
+                & (F.col("o_orderkey") % 5 == i)
+            ).select(
+                "o_orderkey",
+                "o_totalprice",
+                F.lit(f"NEW-{i}").alias("o_orderpriority"),
+            )
+            upd.unionByName(ins).coalesce(1).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        ck = os.path.join(work, "ck")
+
+        def drain():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1").parquet(src)
+            )
+            cdc_merge_stream(
+                spark, stream, root, on="o_orderkey", checkpoint_dir=ck
+            ).awaitTermination()
+
+        drain()
+        assert len(t.versions(spark)) == 4, "one merge per CDC batch"
+        # lost checkpoint, same path: full redelivery must no-op
+        shutil.rmtree(ck)
+        drain()
+        assert len(t.versions(spark)) == 4, "replay committed dupes"
+        assert [e["op"] for e in t.history(spark)] == [
+            "merge", "merge", "merge", "append"
+        ]
+        cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        out = (
+            t.read(spark)
+            .groupBy(F.col("o_orderpriority").alias("pr"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(cents).cast("long").alias("total_cents"),
+                F.max("o_orderkey").cast("long").alias("max_key"),
+            )
+            .orderBy("pr")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -211,3 +211,40 @@ def test_merge_composite_keys_interval_prune(spark, tmpdir_path):
     assert rows[(3, 0)] == -1 and rows[(3, 15)] == -2
     assert rows[(99, 99)] == -3  # composite-key insert
     assert len(rows) == 401
+
+
+def test_cdc_merge_stream_empty_trigger_and_dup_refusal(spark, tmpdir_path):
+    """cdc_merge_stream: an empty micro-batch commits nothing (no
+    version burn, no tag burn), and a CDC batch with duplicate keys
+    fails the stream loudly (merge's ambiguity refusal) instead of
+    applying one of the two rows silently."""
+    import os
+
+    from logverzcore_spark.streaming.avro_stream import cdc_merge_stream
+
+    root = _mkroot(tmpdir_path, "cdcs")
+    t = SnapshotTable(root)
+    t.append(spark.range(0, 50).withColumn("v", F.col("id")).coalesce(1))
+
+    src = os.path.join(str(tmpdir_path), f"cdc_{uuid.uuid4().hex[:6]}")
+    spark.createDataFrame([(3, 300), (99, 990)], "id long, v long") \
+        .coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    ck = os.path.join(str(tmpdir_path), f"ck_{uuid.uuid4().hex[:6]}")
+    stream = spark.readStream.schema(schema).parquet(src)
+    cdc_merge_stream(
+        spark, stream, root, on="id", checkpoint_dir=ck
+    ).awaitTermination()
+    assert t.count(spark) == 51
+    assert t.read(spark, where={"id": 3}).first()["v"] == 300
+    n_versions = len(t.versions(spark))
+
+    # duplicate keys in one batch: the stream must FAIL, not guess
+    spark.createDataFrame([(7, 1), (7, 2)], "id long, v long") \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    q = cdc_merge_stream(spark, stream2, root, on="id",
+                         checkpoint_dir=ck)
+    with pytest.raises(Exception, match="duplicate source keys"):
+        q.awaitTermination()
+    assert len(t.versions(spark)) == n_versions  # nothing committed
