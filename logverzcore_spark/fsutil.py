@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import uuid
 
 
@@ -163,6 +164,16 @@ class HadoopRenameBackend(CommitBackend):
     NOT sound on S3A (rename is copy+delete; createNewFile is not
     atomic) — use a :class:`ConditionalPutBackend` there."""
 
+    #: Same-PROCESS writers serialize on this mutex (class-level: every
+    #: handle in the process shares it). The lock FILE below still does
+    #: all the cross-process/cross-host work; the in-process mutex
+    #: exists because Hadoop's ChecksumFileSystem races its own .crc
+    #: sidecars when two threads createNewFile/delete one lock path
+    #: concurrently (observed: spurious Py4JJavaError from
+    #: createNewFile and rename-returns-false under a held lock) — the
+    #: same in-JVM-lock + FS-primitive split Delta's HDFSLogStore uses.
+    _proc_mu = threading.Lock()
+
     def __init__(self, spark):
         self._spark = spark
 
@@ -170,6 +181,10 @@ class HadoopRenameBackend(CommitBackend):
         return hadoop_fs(self._spark, path)
 
     def put_if_absent(self, path: str, data: bytes) -> None:
+        with HadoopRenameBackend._proc_mu:
+            self._put_if_absent_locked(path, data)
+
+    def _put_if_absent_locked(self, path: str, data: bytes) -> None:
         jpath, fs = self._fs(path)
         if fs.exists(jpath(path)):
             raise CommitConflict(f"commit target already exists: {path}")

@@ -899,7 +899,9 @@ class SnapshotTable:
                     name, {"min": None, "max": None, "nulls": None}
                 )
 
-    def append(self, df: DataFrame, tag: str | None = None) -> int:
+    def append(
+        self, df: DataFrame, tag: str | None = None, retries: int = 0
+    ) -> int:
         """Commit current-version files + the new data as version N+1.
 
         ``tag`` makes the append REPLAY-IDEMPOTENT: a tag already in the
@@ -915,37 +917,71 @@ class SnapshotTable:
         tag per trigger forever. Contract: numeric-suffixed tags must
         be per-prefix monotonic (Structured Streaming batch ids are);
         tags without a numeric suffix stay cumulative — they are
-        O(operator actions), not O(triggers)."""
+        O(operator actions), not O(triggers).
+
+        ``retries`` makes MULTI-WRITER appends practical (the Delta
+        optimistic-concurrency loop): on :class:`CommitConflict` the
+        head is re-read and the SAME already-written data files are
+        re-pointed at the new head — appends commute, so no data is
+        rewritten, only a fresh manifest committed; the re-read also
+        re-checks the tag (another writer may have applied it — our
+        files then stay orphaned for vacuum). Default 0 preserves the
+        raise-and-let-the-caller-decide contract. This re-point is
+        sound ONLY for append (and overwrite): the selective-rewrite
+        DML ops derive their output from the head's files, so their
+        conflicts must re-RUN, not re-point — they deliberately take
+        no retries parameter."""
         spark = df.sparkSession
         head_v, head = self._head(spark)
         if tag is not None and _tag_seen(head, tag):
             return head_v
-        base = head["files"] if head else []
         schema_json = _merge_schema_json(
             head.get("schema") if head else None, df.schema
         )
         new_files, new_stats, new_schema, new_blooms = self._write_data(df)
-        stats = {**(head.get("stats", {}) if head else {}), **new_stats}
-        schema = {
-            **(head.get("stats_schema", {}) if head else {}),
-            **new_schema,
-        }
-        bloom_files = list(head.get("bloom_files", [])) if head else []
-        if new_blooms:
-            bloom_files.append(self._write_bloom_sidecar(spark, new_blooms))
-        bloom_files = self._maybe_consolidate_sidecars(
-            spark, bloom_files, set(base + new_files)
+        sidecar = (
+            self._write_bloom_sidecar(spark, new_blooms)
+            if new_blooms
+            else None
         )
-        return self._commit(
-            spark, base + new_files, tag, head, head_v, stats, schema,
-            schema_json, bloom_files,
-        )
+        for attempt in range(int(retries) + 1):
+            base = head["files"] if head else []
+            stats = {**(head.get("stats", {}) if head else {}), **new_stats}
+            schema = {
+                **(head.get("stats_schema", {}) if head else {}),
+                **new_schema,
+            }
+            bloom_files = list(head.get("bloom_files", [])) if head else []
+            if sidecar is not None:
+                bloom_files.append(sidecar)
+            bloom_files = self._maybe_consolidate_sidecars(
+                spark, bloom_files, set(base + new_files)
+            )
+            try:
+                return self._commit(
+                    spark, base + new_files, tag, head, head_v, stats,
+                    schema, schema_json, bloom_files,
+                )
+            except CommitConflict:
+                if attempt == int(retries):
+                    raise
+                head_v, head = self._head(spark)
+                if tag is not None and _tag_seen(head, tag):
+                    return head_v  # a racer applied our tag; files orphan
+                # the winner may have appended new columns: re-merge
+                schema_json = _merge_schema_json(
+                    head.get("schema") if head else None, df.schema
+                )
+        raise AssertionError("unreachable")
 
     def overwrite(self, df: DataFrame, tag: str | None = None,
-                  _op: str = "overwrite") -> int:
+                  _op: str = "overwrite", retries: int = 0) -> int:
         """Commit the new data as the ENTIRE next version (a rewrite —
         e.g. a compaction or a corrected corpus). Prior versions keep
-        reading their own files untouched."""
+        reading their own files untouched. ``retries`` re-points the
+        already-written files at a newer head on CommitConflict (sound
+        here exactly as for append: an overwrite's content does not
+        depend on what it replaces)."""
         spark = df.sparkSession
         head_v, head = self._head(spark)
         if tag is not None and _tag_seen(head, tag):
@@ -956,10 +992,19 @@ class SnapshotTable:
             if new_blooms
             else []
         )
-        return self._commit(
-            spark, new_files, tag, head, head_v, new_stats, new_schema,
-            df.schema.json(), bloom_files, op=_op,
-        )
+        for attempt in range(int(retries) + 1):
+            try:
+                return self._commit(
+                    spark, new_files, tag, head, head_v, new_stats,
+                    new_schema, df.schema.json(), bloom_files, op=_op,
+                )
+            except CommitConflict:
+                if attempt == int(retries):
+                    raise
+                head_v, head = self._head(spark)
+                if tag is not None and _tag_seen(head, tag):
+                    return head_v
+        raise AssertionError("unreachable")
 
     def _reader(self, spark: SparkSession, manifest: dict):
         """Parquet reader pinned to the manifest's recorded schema (the
