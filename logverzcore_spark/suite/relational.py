@@ -5416,3 +5416,65 @@ def q140_snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@query(
+    "q141_snapshot_restore",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    FROM orders
+    WHERE o_orderkey % 3 <> 1
+    """,
+)
+def q141_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit rollback (SnapshotTable.restore — Delta RESTORE parity):
+    a bad delete lands on a two-commit table, restore() re-commits the
+    pre-delete manifest verbatim as the new head (zero data I/O —
+    files are immutable), and the final read must hash-match the
+    flat-table oracle of the ORIGINAL two commits. In-entry asserts:
+    the restored manifest's file list is byte-equal to the target's,
+    the bad version stays time-travelable (auditable history reads
+    [restore, delete, append, append]), and the rollback is a new
+    version, never an erasure."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(), f"q141_snap_{_uuid.uuid4().hex[:8]}"
+    )
+    t = SnapshotTable(root)
+    try:
+        t.append(orders.where(F.col("o_orderkey") % 3 == 0).coalesce(2))
+        t.append(orders.where(F.col("o_orderkey") % 3 == 2).coalesce(2))
+        n_full = t.count(spark)
+        t.delete_where(spark, {"o_custkey": {"lt": 1_000_000_000}})
+        assert t.count(spark) < n_full  # the bad delete really landed
+        v = t.restore(spark, version=2)
+        assert v == 4
+        m2 = t._read_manifest(spark, 2)
+        m4 = t._read_manifest(spark, 4)
+        assert m4["files"] == m2["files"]  # verbatim re-commit
+        assert [e["op"] for e in t.history(spark)] == [
+            "restore", "delete", "append", "append"
+        ]
+        assert t.count(spark, version=3) < n_full  # still auditable
+        cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        out = (
+            t.read(spark)
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(cents).cast("long").alias("total_cents"),
+                F.countDistinct("o_custkey").cast("long").alias("n_custs"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
