@@ -599,3 +599,79 @@ def test_interval_pruning_sound_for_strings(values, tree):
         assert _file_can_match(tree, fstats, {"c": "string"}), (
             values, tree, fstats,
         )
+
+
+# --- bounded tag history: replay-idempotence under arbitrary interleaving ---
+
+from logverzcore_spark.snapshots import _fold_tags, _tag_seen  # noqa: E402
+
+_prefixes = st.sampled_from(["a:batch-", "b:", "ck", ""])
+_oneoffs = st.sampled_from(
+    ["manual", "backfill-q1", "fix", "x-2026-01-01-redo"]
+)
+
+
+@st.composite
+def _tag_streams(draw):
+    """An arbitrary interleaving of per-prefix MONOTONIC numeric tags
+    (the streaming contract) and one-off suffix-less tags, with
+    REPLAYS (re-delivery of an already-applied tag) mixed in."""
+    n = draw(st.integers(1, 120))
+    counters: dict[str, int] = {}
+    applied: list[str] = []
+    events: list[str] = []
+    for _ in range(n):
+        kind = draw(st.integers(0, 3))
+        if kind == 0 and applied:  # replay anything already applied
+            events.append(draw(st.sampled_from(applied)))
+        elif kind == 1:
+            t = draw(_oneoffs)
+            events.append(t)
+            if t not in applied:
+                applied.append(t)
+        else:
+            p = draw(_prefixes)
+            # monotonic, possibly with gaps (skipped ids never arrive)
+            counters[p] = counters.get(p, -1) + draw(st.integers(1, 3))
+            t = f"{p}{counters[p]}"
+            events.append(t)
+            applied.append(t)
+    return events, applied, counters
+
+
+@settings(max_examples=400, deadline=None)
+@given(_tag_streams())
+def test_tag_history_replay_idempotence_property(stream):
+    """THE tag-history contract under the r10 compression: after any
+    interleaving of monotonic streaming tags, one-off tags, and
+    replays, (a) every APPLIED tag is seen (a redelivery no-ops),
+    (b) the never-applied NEXT id of every prefix is not seen (new
+    work is never swallowed), (c) commits happened exactly once per
+    distinct applied tag, and (d) a mid-stream legacy manifest (the
+    pre-r10 cumulative list) folds without forgetting anything."""
+    events, applied, counters = stream
+    head: dict | None = None
+    commits = 0
+    so_far: list[str] = []
+    for i, tag in enumerate(events):
+        if _tag_seen(head, tag):
+            continue
+        all_tags, recent, floors = _fold_tags(head, tag)
+        head = {
+            "all_tags": all_tags,
+            "recent_tags": recent,
+            "tag_floors": floors,
+        }
+        commits += 1
+        so_far.append(tag)
+        if i == len(events) // 2:
+            # simulate an upgrade mid-stream: collapse the history
+            # APPLIED SO FAR into a legacy cumulative manifest and keep
+            # going — the next fold must compress it losslessly
+            head = {"all_tags": list(so_far)}
+    assert commits == len(set(applied))
+    for tag in applied:
+        assert _tag_seen(head, tag), tag
+    for p, c in counters.items():
+        assert not _tag_seen(head, f"{p}{c + 1}"), p
+    assert not _tag_seen(head, "never-applied-oneoff")
