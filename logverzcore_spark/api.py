@@ -812,6 +812,53 @@ class Engine:
             f"not_matched={when_not_matched}",
         )
 
+    def snapshot_history(
+        self, name: str, user: User = ADMIN, backend=None,
+    ) -> list[dict]:
+        """DESCRIBE HISTORY of a cataloged snapshot view
+        (SnapshotTable.history one layer down): version / op / tag /
+        committed_at / file count / row count per retained version,
+        newest first. READ-gated (Owners/Access visibility, like
+        running a query against the view) — history discloses commit
+        shape, not more than the data a read grant already exposes;
+        writes stay owner-gated. Denials are audited like any gated
+        read."""
+        entry = self.catalog.for_table(name, "default")
+        if entry is None or entry.Type != "SNAP":
+            raise ValueError(f"no cataloged snapshot view named {name!r}")
+        if not entry.visible_to(user):
+            self._audit(
+                user, "snapshot_history", "history", [name], "denied",
+                f"{user.name} not in Owners/Access",
+            )
+            raise PermissionError(
+                f"{user.name} may not read snapshot {name!r}"
+            )
+        from logverzcore_spark.snapshots import SnapshotTable
+
+        t = SnapshotTable(entry.QuerySettings["SnapshotRoot"], backend=backend)
+        return t.history(self.spark)
+
+    def snapshot_restore(
+        self, name: str, version: int | None = None, as_of=None,
+        user: User = ADMIN, tag: str | None = None, repin: bool = False,
+        backend=None,
+    ) -> int:
+        """RESTORE a cataloged snapshot view's table to an earlier
+        version (SnapshotTable.restore: the target manifest re-committed
+        verbatim, zero data I/O) — the rollback of a bad
+        snapshot_delete_where/update/merge, behind the SAME owner gate,
+        audit row (success AND refusal), and ``repin=`` contract the
+        DML triad has: a read grant never implies the right to roll a
+        table back, and the default leaves the cataloged pin
+        byte-stable while the table's head moves."""
+        return self._snapshot_dml(
+            name, "snapshot_restore", lambda t: t.restore(
+                self.spark, version=version, as_of=as_of, tag=tag
+            ), user, repin, backend,
+            f"restore version={version!r} as_of={as_of!r}",
+        )
+
     # -- Saved analyses (catalog Type "A", N7) -----------------------------
     def save_query(
         self,

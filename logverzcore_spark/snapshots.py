@@ -111,21 +111,32 @@ _VRE = re.compile(r"^v(\d+)\.json$")
 # - ``recent_tags``: the last _RECENT_TAGS_MAX numeric-suffixed tags
 #   verbatim — belt-and-suspenders for mildly out-of-order redelivery
 #   near the head (membership is checked before the floor);
-# - ``all_tags``: now only tags WITHOUT a numeric suffix (human-issued
-#   one-offs like "backfill-2026q1") — still cumulative, because
-#   arbitrary strings admit no floor, and they are O(operator actions),
-#   not O(triggers).
+# - ``all_tags``: every OTHER tag (human-issued one-offs like
+#   "manual-backfill" or "backfill-2026q1") — still cumulative with
+#   exact-membership semantics, because arbitrary strings admit no
+#   floor, and they are O(operator actions), not O(triggers).
 #
-# CONTRACT (documented at append()): numeric-suffixed tags must be
+# Floor compression applies ONLY to tags of the literal streaming shape
+# ``<prefix>:batch-<n>`` — the tag every streaming writer here emits
+# (avro_stream/collect_stream: ``f"{ckid}:batch-{batch_id}"``). An
+# earlier draft floored ANY tag ending in a digit, which silently
+# swallowed human one-offs: a NEW "report-1" issued after "report-2"
+# was judged already-applied and the append no-opped — data loss by
+# tag shape (r10 ADVICE). Requiring the ":batch-" separator makes the
+# monotonicity contract opt-in by construction: nothing but a
+# Structured Streaming batch-id sequence produces that shape.
+#
+# CONTRACT (documented at append()): ":batch-"-suffixed tags must be
 # per-prefix monotonic — a NEW (never-applied) tag below an already-
-# committed one would wrongly no-op. Every streaming writer here
-# satisfies that by construction; vacuum keeps the head manifest, so
-# floors survive it exactly as the cumulative list did. Legacy
-# manifests with numeric-suffixed tags in all_tags are compressed into
-# floors on their first post-upgrade commit.
+# committed one would wrongly no-op. Structured Streaming batch ids
+# are serial per checkpoint, so every streaming writer satisfies that
+# by construction; vacuum keeps the head manifest, so floors survive
+# it exactly as the cumulative list did. Legacy manifests with
+# ":batch-"-suffixed tags in all_tags are compressed into floors on
+# their first post-upgrade commit.
 # ---------------------------------------------------------------------------
 
-_TAG_SUFFIX_RE = re.compile(r"^(.*?)(\d+)$")
+_TAG_SUFFIX_RE = re.compile(r"^(.*:batch-)(\d+)$")
 _RECENT_TAGS_MAX = 64
 
 
@@ -148,8 +159,9 @@ def _fold_tags(
     parent: dict | None, tag: str | None
 ) -> tuple[list[str], list[str], dict[str, int]]:
     """(all_tags, recent_tags, tag_floors) for the child manifest:
-    carry the parent's history, compress any legacy numeric-suffixed
-    entries into floors, then apply ``tag``."""
+    carry the parent's history, compress any legacy ":batch-"-shaped
+    entries into floors (anything else stays cumulative — exact
+    membership), then apply ``tag``."""
     all_tags = list(parent.get("all_tags", [])) if parent else []
     recent = list(parent.get("recent_tags", [])) if parent else []
     floors = dict(parent.get("tag_floors", {})) if parent else {}
@@ -638,10 +650,15 @@ class SnapshotTable:
             "recent_tags": recent_tags,
             "tag_floors": tag_floors,
             # epoch millis (int: fixed JSON width) — what version_asof
-            # resolves timestamp time travel against; driver wall clock,
-            # monotone in practice because history is linear (each
-            # commit CASes on its parent)
-            "committed_at": int(_time.time() * 1000),
+            # resolves timestamp time travel against. Clamped to the
+            # parent's stamp so the sequence is non-decreasing EVEN
+            # when different hosts commit with skewed wall clocks
+            # (multi-writer retries make that real): version_asof's
+            # binary search is only sound over a monotone sequence.
+            "committed_at": max(
+                int(_time.time() * 1000),
+                int((parent or {}).get("committed_at") or 0),
+            ),
             "op": op,  # what produced this version (history())
             "stats": {
                 k: v for k, v in (stats or {}).items() if k in set(files)
@@ -910,14 +927,16 @@ class SnapshotTable:
         between the manifest commit and the checkpoint commit
         redelivers the same batch id. The history lives ENTIRELY in the
         head manifest (vacuum never forgets a tag; the check costs one
-        manifest read) but is BOUNDED: numeric-suffixed tags — the
-        per-trigger streaming shape "<ckid>:batch-<N>" — compress into
-        a per-prefix high-water floor plus a fixed recent window, so an
-        always-on stream's manifest stays flat instead of growing one
-        tag per trigger forever. Contract: numeric-suffixed tags must
-        be per-prefix monotonic (Structured Streaming batch ids are);
-        tags without a numeric suffix stay cumulative — they are
-        O(operator actions), not O(triggers).
+        manifest read) but is BOUNDED: tags of the literal streaming
+        shape "<prefix>:batch-<N>" — what every streaming writer here
+        emits per trigger — compress into a per-prefix high-water
+        floor plus a fixed recent window, so an always-on stream's
+        manifest stays flat instead of growing one tag per trigger
+        forever. Contract: ":batch-"-shaped tags must be per-prefix
+        monotonic (Structured Streaming batch ids are); every other
+        tag — including human one-offs that happen to end in a digit,
+        like "backfill-2026q1" — stays cumulative with exact
+        membership, O(operator actions), not O(triggers).
 
         ``retries`` makes MULTI-WRITER appends practical (the Delta
         optimistic-concurrency loop): on :class:`CommitConflict` the
@@ -1050,7 +1069,10 @@ class SnapshotTable:
         string; naive inputs read in local time, like the stored
         driver clock). Binary search over the manifests' committed_at
         — O(log versions) metadata reads; commit times are monotone
-        because history is linear (every commit CASes on its parent).
+        BY CONSTRUCTION: _commit clamps each stamp to the parent's
+        (history is linear — every commit CASes on its parent — so
+        the clamp holds even when writers on different hosts carry
+        skewed wall clocks).
         Versions from builds predating the field count as older than
         any stamped one (they are). Raises ValueError when ``ts``
         precedes the whole retained history — vacuum trims how far
@@ -1426,27 +1448,106 @@ class SnapshotTable:
             op="restore",
         )
 
-    def vacuum(self, spark: SparkSession, keep_last: int = 2) -> int:
-        """Drop manifests older than the last ``keep_last`` and delete
-        every data COMMIT DIR none of the kept manifests reference
-        (incl. orphans from crashed commits — whole dirs, so _SUCCESS
-        markers and empty uuid dirs don't accumulate as inode/listing
-        junk on a long stream). Returns dirs deleted. Time travel to
-        vacuumed versions is gone; replay idempotence is NOT — the tag
-        history is cumulative in the head manifest, which vacuum always
-        keeps."""
+    def vacuum(
+        self,
+        spark: SparkSession,
+        keep_last: int | None = None,
+        older_than: Any = None,
+        orphan_grace_s: float = 900.0,
+    ) -> int:
+        """Drop manifests outside the retention set and delete every
+        data COMMIT DIR none of the kept manifests reference (incl.
+        orphans from crashed commits — whole dirs, so _SUCCESS markers
+        and empty uuid dirs don't accumulate as inode/listing junk on
+        a long stream). Returns dirs deleted.
+
+        Retention composes by UNION (Delta's retention shape):
+
+        - ``keep_last`` keeps the newest N versions — the version-
+          count policy (default 2 when ``older_than`` is absent;
+          0 = explicit full teardown).
+        - ``older_than`` keeps every version whose ``committed_at`` is
+          at or after the cutoff (epoch seconds, datetime/date, or ISO
+          string — _to_millis shapes), PLUS the head, which is never
+          age-vacuumed. On an always-on tagged stream, N versions is
+          minutes — "keep 7 days" (``older_than=now - 7*86400``) is
+          the retention contract that composes with timestamp time
+          travel: travel inside the window survives, outside raises.
+          This is also the GDPR schedule hook: ``delete_where`` is
+          complete erasure only after a vacuum whose cutoff passes the
+          delete (the pre-delete rows live on in prior versions until
+          their manifests drop).
+
+        Time travel to vacuumed versions is gone; replay idempotence
+        is NOT — the tag history lives in the head manifest, which
+        vacuum always keeps.
+
+        IN-FLIGHT-COMMIT GRACE: a concurrent committer writes its data
+        dir and bloom sidecar BEFORE the manifest that references
+        them, so an unreferenced artifact is not necessarily garbage —
+        deleting an in-flight data dir would land that commit
+        referencing deleted files (permanent corruption). Unreferenced
+        dirs/sidecars are reclaimed only when BOTH (a) older than the
+        newest kept manifest and (b) older than ``orphan_grace_s``
+        wall-clock seconds (the Delta-style retention check — (a)
+        alone misses a writer whose write→commit window spans another
+        writer's commit, exactly what ``retries=`` loops do). True
+        crash orphans age past the grace and are reclaimed by the next
+        vacuum. The grace is a mitigation, not a proof: a writer
+        stalled longer than ``orphan_grace_s`` mid-commit can still
+        lose its dir — quiesce writers (or raise the grace) when that
+        window is possible. ``keep_last=0`` full teardown skips the
+        grace entirely."""
+        import time as _time
+
         jpath, fs = hadoop_fs(spark, self.root)
         vs = self.versions(spark)
-        keep = vs[-keep_last:] if keep_last else []
+        if keep_last is None and older_than is None:
+            keep_last = 2
+        keep_set: set[int] = set(vs[-keep_last:]) if keep_last else set()
+        if older_than is not None and vs:
+            cutoff = self._to_millis(older_than)
+            for v in vs:
+                ca = self._read_manifest(spark, v).get("committed_at")
+                if ca is not None and ca >= cutoff:
+                    keep_set.add(v)
+            keep_set.add(vs[-1])  # the head is never age-vacuumed
+        keep = [v for v in vs if v in keep_set]
         referenced_dirs: set[str] = set()
         for v in keep:
             for f in self._manifest(spark, v):
                 referenced_dirs.add(os.path.dirname(f))
+
+        def _fs_mtime(path: str) -> float | None:
+            if self.backend is not None:
+                return self.backend.mtime(path)
+            try:
+                return fs.getFileStatus(jpath(path)).getModificationTime() / 1000.0
+            except Exception:
+                return None
+
+        head_mt = (
+            _fs_mtime(os.path.join(self.snaps, f"v{keep[-1]}.json"))
+            if keep
+            else math.inf  # keep_last=0: full teardown, no grace needed
+        )
+        now = _time.time()
+
+        def _in_grace(mt: float | None) -> bool:
+            """True = possibly in-flight, keep (see the grace note)."""
+            if not keep:
+                return False  # explicit teardown reclaims everything
+            if head_mt is None or mt is None:
+                return True  # unknown mtimes keep; a later vacuum reclaims
+            return mt >= head_mt or mt >= now - orphan_grace_s
+
         deleted = 0
         if fs.exists(jpath(self.data)):
             for st in fs.listStatus(jpath(self.data)):
                 p = st.getPath().toString()
                 if st.isDirectory() and p not in referenced_dirs:
+                    if _in_grace(st.getModificationTime() / 1000.0):
+                        continue
                     fs.delete(st.getPath(), True)
                     deleted += 1
         referenced_sidecars: set[str] = set()
@@ -1463,32 +1564,13 @@ class SnapshotTable:
         else:
             snap_names = []
 
-        def _mtime(path: str) -> float | None:
-            if self.backend is not None:
-                return self.backend.mtime(path)
-            try:
-                return fs.getFileStatus(jpath(path)).getModificationTime() / 1000.0
-            except Exception:
-                return None
-
-        # In-flight-commit grace: a concurrent committer writes its
-        # bloom sidecar BEFORE the manifest that references it, so an
-        # unreferenced sidecar NEWER than the newest kept manifest may
-        # belong to a commit still in flight — deleting it would land
-        # that commit with a permanently unreadable sidecar (sound via
-        # the _load_blooms fallback, but Bloom pruning silently lost).
-        # Unknown mtimes also keep: a true orphan becomes older than
-        # some later manifest and is reclaimed by the next vacuum.
-        head_mt = (
-            _mtime(os.path.join(self.snaps, f"v{keep[-1]}.json"))
-            if keep
-            else math.inf  # keep_last=0: full teardown, no grace needed
-        )
+        # Same in-flight grace as the data dirs above — a sidecar loss
+        # is softer (sound via the _load_blooms fallback, only Bloom
+        # pruning silently lost) but the race is identical.
         for name in snap_names:
             if name.startswith("bs-") and name not in referenced_sidecars:
                 spath = os.path.join(self.snaps, name)
-                smt = _mtime(spath)
-                if head_mt is None or smt is None or smt >= head_mt:
+                if _in_grace(_fs_mtime(spath)):
                     continue
                 if self.backend is not None:
                     self.backend.delete(spath)

@@ -216,6 +216,7 @@ def cdc_merge_stream(
     checkpoint_dir: str | None = None,
     when_matched: str = "update",
     when_not_matched: str = "insert",
+    delete_col: str | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Streaming CDC APPLY into a
@@ -236,8 +237,30 @@ def cdc_merge_stream(
       because each merge carries the source's absolute values. The
       single-writer contract applies as everywhere on this table.
 
+    ``delete_col`` names a boolean tombstone column on the feed (the
+    Debezium ``__deleted`` shape): rows where it is TRUE are applied
+    as retractions (``when_matched='delete'``), the rest as the
+    configured upsert — each side as its own tagged merge with a
+    DISTINCT tag prefix (``{ckid}:u:batch-`` / ``{ckid}:d:batch-``),
+    so a crash between the two converges on redelivery (the landed
+    side no-ops on its tag, the other applies). The two sides have
+    disjoint keys by the key-unique-per-batch contract, so their
+    order within a batch is immaterial. The tombstone column itself
+    is stripped before the merge (it is feed metadata, not data). A
+    tombstone whose key is absent from the table is a no-op (the
+    delete merge runs ``when_not_matched='ignore'``).
+
+    BOOTSTRAP: a batch arriving before the table has any committed
+    rows cannot MERGE (merge_into refuses an empty/absent head);
+    upserts are then APPLIED AS AN APPEND under the same batch tag —
+    semantically identical (nothing can match an empty table, so
+    every row is an insert) and replay-safe through the same tag.
+    With ``when_not_matched='ignore'`` the bootstrap batch is a no-op
+    instead (inserts are off).
+
     Suite st38 grades the drained end state against a flat-table
-    oracle; replay (lost checkpoint, same path) is asserted in-entry."""
+    oracle (st39 the tombstone path); replay (lost checkpoint, same
+    path) is asserted in-entry."""
     import hashlib
 
     from logverzcore_spark.snapshots import SnapshotTable
@@ -248,15 +271,47 @@ def cdc_merge_stream(
     )
     ckid = hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:12]
 
+    def _empty_head(sp) -> bool:
+        head_v, head = table._head(sp)
+        return head is None or not head["files"]
+
+    def _apply(sp, batch_df: DataFrame, tag: str) -> None:
+        """One upsert merge — or the bootstrap append when the table
+        has nothing to merge into yet."""
+        if _empty_head(sp):
+            if when_not_matched == "insert":
+                table.append(batch_df, tag=tag)
+            return  # inserts off + empty table: provably nothing to do
+        table.merge_into(
+            sp, batch_df, on,
+            when_matched=when_matched,
+            when_not_matched=when_not_matched,
+            tag=tag,
+        )
+
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return  # empty trigger: no version, no tag burn
-        table.merge_into(
-            spark, batch_df, on,
-            when_matched=when_matched,
-            when_not_matched=when_not_matched,
-            tag=f"{ckid}:batch-{int(batch_id)}",
+        sp = batch_df.sparkSession
+        if delete_col is None:
+            _apply(sp, batch_df, f"{ckid}:batch-{int(batch_id)}")
+            return
+        from pyspark.sql import functions as F
+
+        tomb = F.coalesce(
+            F.col(f"`{delete_col}`").cast("boolean"), F.lit(False)
         )
+        ups = batch_df.where(~tomb).drop(delete_col)
+        dels = batch_df.where(tomb).drop(delete_col)
+        if ups.head(1):
+            _apply(sp, ups, f"{ckid}:u:batch-{int(batch_id)}")
+        if dels.head(1) and not _empty_head(sp):
+            table.merge_into(
+                sp, dels, on,
+                when_matched="delete",
+                when_not_matched="ignore",
+                tag=f"{ckid}:d:batch-{int(batch_id)}",
+            )
 
     writer = stream_df.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint

@@ -180,7 +180,7 @@ def test_sidecars_keep_manifests_light_and_load_lazily(spark, tmpdir_path):
     # vacuum after an overwrite drops the old sidecars
     t2 = SnapshotTable(t.root, bloom_columns=["key"])
     t2.overwrite(df.limit(100).coalesce(1))
-    t2.vacuum(spark, keep_last=1)
+    t2.vacuum(spark, keep_last=1, orphan_grace_s=0.0)
     left = [n for n in _os.listdir(t2.snaps) if n.startswith("bs-")]
     m5 = t2._read_manifest(spark, 5)
     assert set(left) == set(m5["bloom_files"])

@@ -5,9 +5,12 @@ and accumulated one bloom sidecar per commit — both grew forever on an
 st37-style tagged stream (one tag per trigger), so commit cost rose
 linearly with stream age. The fixes under test:
 
-- numeric-suffixed tags ("<prefix><n>" — the streaming shape) compress
-  into a per-prefix high-water floor + a fixed recent window; only
-  suffix-less one-off tags stay cumulative;
+- tags of the literal streaming shape ("<prefix>:batch-<n>" — what
+  every streaming writer emits) compress into a per-prefix high-water
+  floor + a fixed recent window; EVERY other tag — including human
+  one-offs that merely end in a digit — stays cumulative with exact
+  membership (the r10-ADVICE fix: flooring any digit-ended tag
+  silently swallowed a new "report-1" issued after "report-2");
 - bloom sidecars consolidate into one once a manifest would reference
   more than ``bloom_sidecar_max`` of them.
 
@@ -87,6 +90,46 @@ def test_two_streams_and_oneoff_tags_coexist():
     for tag in ("a:batch-7", "b:batch-39", "manual-backfill"):
         assert _tag_seen(head, tag), tag
     assert not _tag_seen(head, "manual-backfill-2")
+
+
+def test_digit_ending_oneoff_tags_stay_cumulative():
+    """The r10-ADVICE data-loss shape: a human one-off tag ending in a
+    digit must NOT be floor-compressed — after committing 'report-2',
+    a NEW 'report-1' (never applied) must still land, and the
+    docstring's own example 'backfill-2026q1' must stay exact. Only
+    the ':batch-' streaming shape gets floor semantics."""
+    be = InMemoryConditionalPut()
+    t = SnapshotTable("mem://oneoff", backend=be)
+    files = ["mem://oneoff/data/d0/part-0.parquet"]
+    head_v, head = t._head(None)
+    t._commit(None, files, "report-2", head, head_v)
+    _, head = t._head(None)
+    # the old ^(.*?)(\d+)$ regex floored 'report-' at 2 and judged
+    # report-1 already applied — a silent append no-op
+    assert not _tag_seen(head, "report-1")
+    assert not _tag_seen(head, "backfill-2026q1")
+    assert _tag_seen(head, "report-2")
+    head_v, head = t._head(None)
+    t._commit(None, files, "report-1", head, head_v)
+    head_v, head = t._head(None)
+    t._commit(None, files, "backfill-2026q1", head, head_v)
+    _, head = t._head(None)
+    assert _tag_seen(head, "report-1") and _tag_seen(head, "report-2")
+    assert _tag_seen(head, "backfill-2026q1")
+    assert head["tag_floors"] == {}  # nothing floored
+    assert sorted(head["all_tags"]) == [
+        "backfill-2026q1", "report-1", "report-2",
+    ]
+    # legacy manifests likewise: gap-y digit-ended tags in a pre-r10
+    # cumulative list must keep exact membership, not become a floor
+    legacy = {"all_tags": ["x-3", "x-1", "ck:batch-5"], "files": []}
+    all_tags, recent, floors = _fold_tags(legacy, None)
+    assert sorted(all_tags) == ["x-1", "x-3"]
+    assert floors == {"ck:batch-": 5}
+    h = {"all_tags": all_tags, "recent_tags": recent, "tag_floors": floors}
+    assert not _tag_seen(h, "x-2")  # the gap stays NEW work
+    assert _tag_seen(h, "x-1") and _tag_seen(h, "x-3")
+    assert _tag_seen(h, "ck:batch-4")  # streaming floor semantics kept
 
 
 def test_legacy_cumulative_history_compresses_on_first_commit():

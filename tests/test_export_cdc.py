@@ -672,9 +672,20 @@ def test_snapshot_table_versions_crash_windows_and_vacuum(spark, tmpdir_path):
         fh.write('["trunc')
     assert t.versions(spark) == [1, 2, 3]
 
-    # Vacuum: keep v2/v3; orphans + v1's unshared files reclaimed
+    # Vacuum: keep v2/v3; orphans + v1's unshared files reclaimed.
+    # A FRESH unreferenced dir is protected by the in-flight grace (it
+    # may belong to a commit still in flight) — first prove it stays:
     before = t.read(spark, 2).agg(F.sum("id")).first()[0]
-    deleted = t.vacuum(spark, keep_last=2)
+    assert t.vacuum(spark, keep_last=2) == 0  # everything in grace
+    assert all(os.path.exists(f.replace("file:", "")) for f in orphan_files)
+    # age the crash orphan past the grace (a real orphan is old by the
+    # next scheduled vacuum)
+    import time as _time
+
+    old = _time.time() - 86400
+    for d in {os.path.dirname(f.replace("file:", "")) for f in orphan_files}:
+        os.utime(d, (old, old))
+    deleted = t.vacuum(spark, keep_last=2, orphan_grace_s=0.0)
     assert deleted >= 1  # at least the orphan commit DIR reclaimed whole
     assert not any(os.path.exists(f.replace("file:", "")) for f in orphan_files)
     assert t.versions(spark) == [2, 3]

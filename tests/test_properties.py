@@ -605,17 +605,22 @@ def test_interval_pruning_sound_for_strings(values, tree):
 
 from logverzcore_spark.snapshots import _fold_tags, _tag_seen  # noqa: E402
 
-_prefixes = st.sampled_from(["a:batch-", "b:", "ck", ""])
+_prefixes = st.sampled_from(["a:batch-", "b:x:batch-", ":batch-"])
+# One-offs deliberately include digit-ended names ISSUED OUT OF ORDER
+# (report-2 may precede a NEW report-1) — the r10-ADVICE data-loss
+# shape: only the ':batch-' streaming shape may get floor semantics,
+# everything else must keep exact membership.
 _oneoffs = st.sampled_from(
-    ["manual", "backfill-q1", "fix", "x-2026-01-01-redo"]
+    ["manual", "backfill-q1", "backfill-2026q1", "fix",
+     "x-2026-01-01-redo", "report-1", "report-2", "ck7", "b:5"]
 )
 
 
 @st.composite
 def _tag_streams(draw):
-    """An arbitrary interleaving of per-prefix MONOTONIC numeric tags
-    (the streaming contract) and one-off suffix-less tags, with
-    REPLAYS (re-delivery of an already-applied tag) mixed in."""
+    """An arbitrary interleaving of per-prefix MONOTONIC ':batch-'
+    streaming tags and one-off tags (some digit-ended, in ANY order),
+    with REPLAYS (re-delivery of an already-applied tag) mixed in."""
     n = draw(st.integers(1, 120))
     counters: dict[str, int] = {}
     applied: list[str] = []
