@@ -948,8 +948,8 @@ class SnapshotTable:
         raise-and-let-the-caller-decide contract. This re-point is
         sound ONLY for append (and overwrite): the selective-rewrite
         DML ops derive their output from the head's files, so their
-        conflicts must re-RUN, not re-point — they deliberately take
-        no retries parameter."""
+        ``retries`` deliberately re-RUN the whole operation instead
+        (_rerun_on_conflict) — never re-point."""
         spark = df.sparkSession
         head_v, head = self._head(spark)
         if tag is not None and _tag_seen(head, tag):
@@ -1408,6 +1408,7 @@ class SnapshotTable:
         version: int | None = None,
         as_of: Any = None,
         tag: str | None = None,
+        retries: int = 0,
     ) -> int:
         """Roll the head back to an earlier version AS A NEW COMMIT
         (Delta RESTORE): the target manifest's files/stats/schema/bloom
@@ -1420,13 +1421,22 @@ class SnapshotTable:
         rule). ``version`` or ``as_of`` (timestamp) picks the target;
         the tag history carries FORWARD from the current head, not the
         restored manifest — replay idempotence must remember everything
-        applied, including the commits being rolled back."""
+        applied, including the commits being rolled back. ``retries``
+        re-executes against the freshly-read head on CommitConflict
+        (_rerun_on_conflict)."""
         if as_of is not None:
             if version is not None:
                 raise ValueError("pass version OR as_of, not both")
             version = self.version_asof(spark, as_of)
         if version is None:
             raise ValueError("restore needs version= or as_of=")
+        return self._rerun_on_conflict(
+            retries, lambda: self._restore_once(spark, version, tag)
+        )
+
+    def _restore_once(
+        self, spark: SparkSession, version: int, tag: str | None
+    ) -> int:
         head_v, head = self._head(spark)
         if head is None:
             raise FileNotFoundError(f"no committed snapshots under {self.root}")
@@ -1593,6 +1603,7 @@ class SnapshotTable:
         tag: str | None = None,
         zorder_cols: list[str] | None = None,
         where: Any = None,
+        retries: int = 0,
     ) -> int:
         """Rewrite the head (or just a SLICE of it — ``where``) as one
         fresh commit with fewer, optionally RANGE-SORTED files — the
@@ -1625,9 +1636,24 @@ class SnapshotTable:
         carries them (zero extra I/O — the stats pay for themselves
         twice; scoped to the selected files under ``where``) and fall
         back to one tiny agg otherwise; NULL cells coalesce to the
-        column floor (export_zordered's contract)."""
+        column floor (export_zordered's contract).
+
+        ``retries`` re-EXECUTES the whole compaction against the
+        freshly-read head on CommitConflict (_rerun_on_conflict — a
+        compaction's output derives from the head, so it must re-run,
+        never re-point); default 0 keeps the loud raise."""
         if zorder_cols and sort_cols:
             raise ValueError("pass sort_cols OR zorder_cols, not both")
+        return self._rerun_on_conflict(
+            retries, lambda: self._compact_once(
+                spark, sort_cols, target_files, tag, zorder_cols, where
+            )
+        )
+
+    def _compact_once(
+        self, spark: SparkSession, sort_cols, target_files,
+        tag: str | None, zorder_cols, where: Any,
+    ) -> int:
         if where is None:
             df = self._layout(
                 spark, self.read(spark), sort_cols, target_files,
@@ -1668,8 +1694,26 @@ class SnapshotTable:
             head.get("schema"), bloom_files, op="compact",
         )
 
+    def _rerun_on_conflict(self, retries: int, run):
+        """Convergence loop for the selective-rewrite ops (delete /
+        update / merge / compact / restore): their output DERIVES from
+        the head's files, so a lost commit race must RE-EXECUTE the
+        whole operation against the freshly-read head — never re-point
+        already-written files, which is sound only for append/overwrite
+        (the documented asymmetry at append()). Each re-run re-reads
+        the head and re-checks the tag (a racer may have applied it);
+        a lost attempt's data files stay orphaned and invisible until
+        vacuum reclaims them."""
+        for attempt in range(int(retries) + 1):
+            try:
+                return run()
+            except CommitConflict:
+                if attempt == int(retries):
+                    raise
+        raise AssertionError("unreachable")
+
     def delete_where(self, spark: SparkSession, where: Any,
-                     tag: str | None = None) -> int:
+                     tag: str | None = None, retries: int = 0) -> int:
         """Delete the rows matching an optree predicate — as a STATS-
         PRUNED selective rewrite: only the files whose intervals/bloom
         filters admit a match are rewritten (with matching rows
@@ -1689,7 +1733,20 @@ class SnapshotTable:
         refuses to span it, and an incremental MV downstream answers
         with a rebuild (deletes invalidate deltas by definition).
         Returns the new version — or the head version unchanged when
-        pruning proves nothing matches."""
+        pruning proves nothing matches.
+
+        ``retries`` is the multi-writer convergence loop: on
+        CommitConflict the whole delete RE-EXECUTES against the
+        freshly-read head (re-pointing would resurrect rows a racing
+        writer just changed — see _rerun_on_conflict). Default 0
+        keeps the loud raise."""
+        return self._rerun_on_conflict(
+            retries, lambda: self._delete_where_once(spark, where, tag)
+        )
+
+    def _delete_where_once(
+        self, spark: SparkSession, where: Any, tag: str | None
+    ) -> int:
         from logverzcore_spark.operators.optree import compile_where
 
         head_v, head = self._head(spark)
@@ -1729,6 +1786,7 @@ class SnapshotTable:
         where: Any,
         set: dict[str, Any],
         tag: str | None = None,
+        retries: int = 0,
     ) -> int:
         """UPDATE ... SET at the snapshot layer — the same stats/bloom-
         pruned selective rewrite as :meth:`delete_where`: only files
@@ -1747,7 +1805,17 @@ class SnapshotTable:
         type; widening a type is schema evolution's job, not UPDATE's).
         Committed as an overwrite for lineage — time travel keeps the
         pre-update rows until vacuum, read_incremental refuses the
-        span, a downstream MV rebuilds."""
+        span, a downstream MV rebuilds. ``retries`` re-EXECUTES the
+        whole update against the freshly-read head on CommitConflict
+        (_rerun_on_conflict); default 0 keeps the loud raise."""
+        return self._rerun_on_conflict(
+            retries, lambda: self._update_where_once(spark, where, set, tag)
+        )
+
+    def _update_where_once(
+        self, spark: SparkSession, where: Any, set: dict[str, Any],
+        tag: str | None,
+    ) -> int:
         from logverzcore_spark.operators.optree import compile_where
 
         head_v, head = self._head(spark)
@@ -1799,8 +1867,10 @@ class SnapshotTable:
         )
 
     #: merge_into collects source keys for an exact (bloom-capable)
-    #: in-list prune up to this many distinct keys; larger sources fall
-    #: back to per-column [min,max] interval pruning (zero collect).
+    #: prune up to this many distinct keys — an in-list for single
+    #: keys, zipped key TUPLES evaluated per file for composite keys;
+    #: larger sources fall back to per-column [min,max] interval
+    #: pruning (zero collect).
     _MERGE_INLIST_MAX_KEYS = 10_000
 
     def merge_into(
@@ -1811,6 +1881,7 @@ class SnapshotTable:
         when_matched: str = "update",
         when_not_matched: str = "insert",
         tag: str | None = None,
+        retries: int = 0,
     ) -> int:
         """MERGE INTO at the snapshot layer — the Delta/Iceberg upsert
         core, as the same SELECTIVE rewrite as delete_where/
@@ -1845,7 +1916,21 @@ class SnapshotTable:
         version unchanged when there is provably nothing to do.
         Reference parity: q114's MERGE/SCD2 family one layer down, on
         the versioned table; q121's rank-movers CDC is the natural
-        source producer."""
+        source producer. ``retries`` re-EXECUTES the whole merge
+        against the freshly-read head on CommitConflict
+        (_rerun_on_conflict) — what a CDC applier sharing the table
+        with a nightly compactor wants; default 0 keeps the loud
+        raise."""
+        return self._rerun_on_conflict(
+            retries, lambda: self._merge_into_once(
+                spark, source, on, when_matched, when_not_matched, tag
+            )
+        )
+
+    def _merge_into_once(
+        self, spark: SparkSession, source: DataFrame, on,
+        when_matched: str, when_not_matched: str, tag: str | None,
+    ) -> int:
         keys = [on] if isinstance(on, str) else list(on)
         if when_matched not in ("update", "delete", "ignore"):
             raise ValueError(f"when_matched: {when_matched!r}")
@@ -1900,25 +1985,53 @@ class SnapshotTable:
                 "(e.g. keep-latest per key) first"
             )
         where = None
-        if len(keys) == 1 and 0 < n_keys <= self._MERGE_INLIST_MAX_KEYS:
+        if 0 < n_keys <= self._MERGE_INLIST_MAX_KEYS:
             from logverzcore_spark.operators.optree import type_literal
 
-            kvals = [
-                r[0]
-                for r in source.select(keys[0]).where(
-                    F.col(keys[0]).isNotNull()
-                ).distinct().collect()
-            ]
-            # the in-list prune is only sound for values the optree
+            # NULL keys never match (SQL equality) — they insert, and
+            # inserts need no target file, so they don't constrain the
+            # prune
+            krows = (
+                source.select(*keys)
+                .na.drop("any", subset=keys)
+                .distinct()
+                .collect()
+            )
+            # the exact prune is only sound for values the optree
             # layer would take VERBATIM — a string key like '5' or
             # 'null' means the characters here (join equality), not
             # optree's typed-literal reading, so such sources fall
             # back to interval pruning
-            if kvals and all(
+            if krows and all(
                 not isinstance(v, str) or type_literal(v) == v
-                for v in kvals
+                for r in krows
+                for v in r
             ):
-                where = {keys[0]: {"in": kvals}}
+                if len(keys) == 1:
+                    where = {keys[0]: {"in": [r[0] for r in krows]}}
+                else:
+                    # COMPOSITE keys: exact TUPLE prune — a file
+                    # survives only if SOME source key tuple fits ALL
+                    # its per-column intervals/blooms (any-tuple-can-
+                    # match keeps). The per-column bounding box alone
+                    # selects the cross-product BOX of the key set: on
+                    # two scattered key columns that is every file.
+                    # The box still leads the conjunction so off-box
+                    # files reject in O(keys) and only in-box files
+                    # pay the O(tuples) scan (early-exit on the first
+                    # tuple that fits — _file_can_match's any()).
+                    box = [
+                        {k: {"between": [srow[f"__lo_{k}"], srow[f"__hi_{k}"]]}}
+                        for k in keys
+                        if srow[f"__lo_{k}"] is not None
+                    ]
+                    tuples = {
+                        "or": [
+                            {"and": [{k: {"eq": r[k]}} for k in keys]}
+                            for r in krows
+                        ]
+                    }
+                    where = {"and": box + [tuples]}
         if where is None:
             clauses = [
                 {k: {"between": [srow[f"__lo_{k}"], srow[f"__hi_{k}"]]}}

@@ -213,6 +213,57 @@ def test_merge_composite_keys_interval_prune(spark, tmpdir_path):
     assert len(rows) == 401
 
 
+def test_merge_composite_tuple_prune_beats_bounding_box(spark, tmpdir_path):
+    """r10 VERDICT task 5: two SCATTERED key columns where the
+    per-column bounding box keeps every file but the zipped-tuple
+    prune keeps the true subset. Four diagonal files (a≈b per file);
+    source keys in files 0 and 3 only — the box [5,305]×[5,305]
+    covers files 1 and 2 too, the tuples don't. Results must be
+    hash-identical either way (pruning is a file-scoping optimization,
+    never a semantics change)."""
+    def _build(name):
+        t = SnapshotTable(_mkroot(tmpdir_path, name))
+        df = spark.range(0, 400).select(
+            F.col("id").alias("a"),
+            F.col("id").alias("b"),
+            (F.col("id") * 2).alias("v"),
+        )
+        for lo in (0, 100, 200, 300):
+            t.append(
+                df.where((F.col("a") >= lo) & (F.col("a") < lo + 100))
+                .coalesce(1)
+            )
+        return t
+
+    src = spark.createDataFrame(
+        [(5, 5, -1), (305, 305, -2)], "a long, b long, v long"
+    )
+
+    t = _build("tp")
+    before = set(t._manifest(spark, 4))
+    v = t.merge_into(spark, src, on=["a", "b"])
+    carried = before & set(t._manifest(spark, v))
+    assert len(carried) == 2  # exactly files 1 and 2 hold no tuple
+    rows_tuple = sorted(
+        (r["a"], r["b"], r["v"]) for r in t.read(spark).collect()
+    )
+
+    # interval-only fallback (cap forced to 0): the bounding box keeps
+    # ALL files — everything is rewritten — but the rows are identical
+    t2 = _build("bb")
+    t2._MERGE_INLIST_MAX_KEYS = 0
+    before2 = set(t2._manifest(spark, 4))
+    v2 = t2.merge_into(spark, src, on=["a", "b"])
+    carried2 = before2 & set(t2._manifest(spark, v2))
+    assert len(carried2) == 0  # the box kept (hence rewrote) every file
+    rows_box = sorted(
+        (r["a"], r["b"], r["v"]) for r in t2.read(spark).collect()
+    )
+    assert rows_tuple == rows_box
+    assert {(5, 5, -1), (305, 305, -2)} <= set(rows_tuple)
+    assert len(rows_tuple) == 400
+
+
 def test_cdc_merge_stream_empty_trigger_and_dup_refusal(spark, tmpdir_path):
     """cdc_merge_stream: an empty micro-batch commits nothing (no
     version burn, no tag burn), and a CDC batch with duplicate keys
@@ -248,3 +299,114 @@ def test_cdc_merge_stream_empty_trigger_and_dup_refusal(spark, tmpdir_path):
     with pytest.raises(Exception, match="duplicate source keys"):
         q.awaitTermination()
     assert len(t.versions(spark)) == n_versions  # nothing committed
+
+
+def test_cdc_merge_stream_bootstraps_empty_table(spark, tmpdir_path):
+    """r10 ADVICE low #3: the first micro-batch against a brand-new
+    table must not fail the stream — it lands as a tagged APPEND
+    (semantically identical: nothing can match an empty table), and a
+    replay of that batch still no-ops on the tag. With inserts off the
+    bootstrap batch is a no-op instead."""
+    import os
+
+    from logverzcore_spark.streaming.avro_stream import cdc_merge_stream
+
+    root = _mkroot(tmpdir_path, "cdcboot")
+    t = SnapshotTable(root)  # never appended: no committed version
+
+    src = os.path.join(str(tmpdir_path), f"cdcb_{uuid.uuid4().hex[:6]}")
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "id long, v long"
+    ).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    ck = os.path.join(str(tmpdir_path), f"ckb_{uuid.uuid4().hex[:6]}")
+    cdc_merge_stream(
+        spark, spark.readStream.schema(schema).parquet(src), root,
+        on="id", checkpoint_dir=ck,
+    ).awaitTermination()
+    assert t.count(spark) == 2
+    assert t.history(spark)[0]["op"] == "append"  # the bootstrap
+
+    # lost checkpoint, same path: the replayed batch no-ops on its tag
+    ck2_replay = ck  # same checkpoint id namespace
+    import shutil
+
+    shutil.rmtree(ck2_replay)
+    cdc_merge_stream(
+        spark, spark.readStream.schema(schema).parquet(src), root,
+        on="id", checkpoint_dir=ck2_replay,
+    ).awaitTermination()
+    assert t.count(spark) == 2  # no double-apply
+
+    # a second batch MERGES normally now that the table is seeded
+    spark.createDataFrame([(1, -1), (3, 30)], "id long, v long") \
+        .coalesce(1).write.mode("append").parquet(src)
+    cdc_merge_stream(
+        spark, spark.readStream.schema(schema).parquet(src), root,
+        on="id", checkpoint_dir=ck2_replay,
+    ).awaitTermination()
+    assert t.count(spark) == 3
+    assert t.read(spark, where={"id": 1}).first()["v"] == -1
+    assert t.history(spark)[0]["op"] == "merge"
+
+    # inserts off + empty table: provably nothing to do, stream healthy
+    root2 = _mkroot(tmpdir_path, "cdcboot2")
+    t2 = SnapshotTable(root2)
+    ck3 = os.path.join(str(tmpdir_path), f"ckc_{uuid.uuid4().hex[:6]}")
+    cdc_merge_stream(
+        spark, spark.readStream.schema(schema).parquet(src), root2,
+        on="id", when_not_matched="ignore", checkpoint_dir=ck3,
+    ).awaitTermination()
+    assert t2.versions(spark) == []
+
+
+def test_cdc_merge_stream_tombstone_routing(spark, tmpdir_path):
+    """delete_col (the Debezium __deleted shape): tombstoned rows apply
+    as retractions, the rest as upserts — two tagged merges per batch
+    with distinct tag prefixes, so a lost-checkpoint replay of the
+    whole feed no-ops on both sides. A tombstone for an absent key is
+    a no-op, not an error."""
+    import os
+    import shutil
+
+    from logverzcore_spark.streaming.avro_stream import cdc_merge_stream
+
+    root = _mkroot(tmpdir_path, "cdctomb")
+    t = SnapshotTable(root)
+    t.append(
+        spark.range(0, 50).withColumn("v", F.col("id")).coalesce(1)
+    )
+
+    src = os.path.join(str(tmpdir_path), f"cdct_{uuid.uuid4().hex[:6]}")
+    feed = spark.createDataFrame(
+        [
+            (3, 300, False),   # update
+            (99, 990, False),  # insert
+            (7, 0, True),      # delete
+            (1234, 0, True),   # tombstone for an absent key: no-op
+        ],
+        "id long, v long, __deleted boolean",
+    )
+    feed.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    ck = os.path.join(str(tmpdir_path), f"ckt_{uuid.uuid4().hex[:6]}")
+    cdc_merge_stream(
+        spark, spark.readStream.schema(schema).parquet(src), root,
+        on="id", delete_col="__deleted", checkpoint_dir=ck,
+    ).awaitTermination()
+    assert t.count(spark) == 50  # +1 insert, -1 delete
+    assert t.read(spark, where={"id": 3}).first()["v"] == 300
+    assert t.read(spark, where={"id": 99}).first()["v"] == 990
+    assert t.read(spark, where={"id": 7}).count() == 0
+    # __deleted is feed metadata, never data
+    assert "__deleted" not in t.read(spark).columns
+    n = len(t.versions(spark))
+
+    # lost checkpoint replay: BOTH sides no-op on their tags
+    shutil.rmtree(ck)
+    cdc_merge_stream(
+        spark, spark.readStream.schema(schema).parquet(src), root,
+        on="id", delete_col="__deleted", checkpoint_dir=ck,
+    ).awaitTermination()
+    assert len(t.versions(spark)) == n
+    assert t.count(spark) == 50
