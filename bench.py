@@ -69,6 +69,21 @@ EXTENDED = [
 REPS = 3
 
 
+def _load_sentinel(spark) -> float:
+    """Fixed, data-independent calibration probe: a 200M-row JVM-side
+    range sum whose plan never changes across rounds. Its wall time
+    moves ONLY with machine state (CPU contention, GC, thermal), so a
+    reader comparing two rounds' bench artifacts divides out load: if
+    this round's sentinels run 1.5× the last round's, a uniform 1.5×
+    suite inflation is the machine, not the code (the r10 +52%
+    suite-wide move was exactly that shape — every query inflated,
+    none of their code paths touched). Measured once per pass, BETWEEN
+    passes, so it also exposes drift WITHIN one bench run."""
+    t0 = time.time()
+    spark.range(0, 200_000_000, 1, 32).selectExpr("sum(id)").collect()
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
@@ -88,7 +103,9 @@ def main() -> None:
             read_table(spark, sf_dir, t).count()
     measured = HEADLINE + EXTENDED
     samples: dict[str, list[float]] = {name: [] for name in measured}
+    sentinels: list[float] = []
     for _rep in range(REPS):
+        sentinels.append(_load_sentinel(spark))
         for name in measured:
             t0 = time.time()
             df = SUITE[name](spark, sf_dir)
@@ -120,6 +137,12 @@ def main() -> None:
                 # comparable to earlier rounds' single cold shot
                 "value_first_pass": round(sum(first[n] for n in HEADLINE), 3),
                 "queries_spread": spread,
+                # machine-state calibration (see _load_sentinel): one
+                # fixed plan-stable probe per pass + the 1-min load
+                # average bracketing the run. Compare across rounds
+                # BEFORE reading anything into per-query moves.
+                "load_sentinel_per_pass": sentinels,
+                "loadavg_1m": round(os.getloadavg()[0], 2),
             }
         )
     )

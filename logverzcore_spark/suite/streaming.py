@@ -1943,3 +1943,162 @@ def st38_streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@query(
+    "st39_streaming_cdc_deletes",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority, o_orderkey % 7 AS k7
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    final AS (
+      -- base keys that survive: %7 in {4,5,6} were tombstoned
+      -- (batch i deletes %7 = i+3); %7 in {1,2,3} carry batch i's
+      -- absolute values
+      SELECT o_orderkey,
+             CASE WHEN k7 = 1 THEN 'UPD-1'
+                  WHEN k7 = 2 THEN 'UPD-2'
+                  WHEN k7 = 3 THEN 'UPD-3'
+                  ELSE o_orderpriority END AS pr,
+             CASE WHEN k7 = 1 THEN o_totalprice + 100
+                  WHEN k7 = 2 THEN o_totalprice + 200
+                  WHEN k7 = 3 THEN o_totalprice + 300
+                  ELSE o_totalprice END AS tp,
+             0 AS null_cust
+      FROM base WHERE k7 NOT IN (4, 5, 6)
+      UNION ALL
+      -- %7=4 keys deleted by batch 1 are RE-inserted by batch 3's
+      -- upsert side (key no longer matches): target-only o_custkey NULL
+      SELECT o_orderkey, 'RES-3' AS pr, o_totalprice + 77 AS tp,
+             1 AS null_cust
+      FROM base WHERE k7 = 4
+      UNION ALL
+      -- stream inserts (%3=1, %7=i in batch i), minus the subset
+      -- batch 3 tombstones (batch 1's inserts with %5=0)
+      SELECT o_orderkey,
+             'INS-' || CAST(o_orderkey % 7 AS VARCHAR) AS pr,
+             o_totalprice AS tp, 1 AS null_cust
+      FROM orders
+      WHERE o_orderkey % 3 = 1 AND o_orderkey % 7 IN (1, 2, 3)
+        AND NOT (o_orderkey % 7 = 1 AND o_orderkey % 5 = 0)
+    )
+    SELECT pr,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(tp * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           CAST(SUM(null_cust) AS BIGINT) AS n_null_cust
+    FROM final
+    GROUP BY pr
+    ORDER BY pr
+    """,
+)
+def st39_streaming_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC RETRACTIONS (r10 VERDICT task 6): st38's apply
+    loop fed a Debezium-shaped feed whose rows carry a ``__deleted``
+    tombstone flag — cdc_merge_stream(delete_col=) routes each
+    micro-batch's tombstones to a when_matched='delete' merge and the
+    rest to the configured upsert, as two tagged commits with distinct
+    tag prefixes. Three ordered batches over a pre-seeded base (keys
+    %3=0): batch i updates base keys %7=i (price+100·i, 'UPD-i'),
+    inserts new keys (%3=1, %7=i, 'INS-i'), and tombstones base keys
+    %7=i+3; batch 3 additionally RE-inserts the %7=4 keys batch 1
+    deleted ('RES-3' — proving a delete's key is genuinely gone, not
+    masked) and tombstones a subset of batch 1's inserts (%5=0 —
+    retracting a streamed insert). The drained end state hash-matches
+    the flat oracle (incl. NULL o_custkey counts on every insert
+    path); a drain over a LOST checkpoint at the same path redelivers
+    all three batches and must commit NOTHING (both tag prefixes
+    no-op — exactly-once for retractions too). Reference anchor:
+    worker.js's at-least-once redelivery made exactly-once (SURVEY
+    §2.7/S13), extended to deletes. 100 TB per-trigger cost: each
+    side's merge rewrites only the files its keys live in."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.snapshots import SnapshotTable
+    from logverzcore_spark.streaming.avro_stream import cdc_merge_stream
+
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    work = tempfile.mkdtemp(prefix=f"st39_{_uuid.uuid4().hex[:8]}_")
+    try:
+        root = os.path.join(work, "snap")
+        t = SnapshotTable(root)
+        t.append(
+            orders.where(k % 3 == 0).select(
+                "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+            ).coalesce(2)
+        )
+        src = os.path.join(work, "cdc")
+        dead = F.lit(True).alias("__deleted")
+        live = F.lit(False).alias("__deleted")
+        for i in (1, 2, 3):
+            upd = orders.where((k % 3 == 0) & (k % 7 == i)).select(
+                k,
+                (F.col("o_totalprice") + 100 * i).alias("o_totalprice"),
+                F.lit(f"UPD-{i}").alias("o_orderpriority"),
+                live,
+            )
+            ins = orders.where((k % 3 == 1) & (k % 7 == i)).select(
+                k, "o_totalprice",
+                F.lit(f"INS-{i}").alias("o_orderpriority"), live,
+            )
+            dels = orders.where((k % 3 == 0) & (k % 7 == i + 3)).select(
+                k, "o_totalprice", "o_orderpriority", dead,
+            )
+            batch = upd.unionByName(ins).unionByName(dels)
+            if i == 3:
+                res = orders.where((k % 3 == 0) & (k % 7 == 4)).select(
+                    k,
+                    (F.col("o_totalprice") + 77).alias("o_totalprice"),
+                    F.lit("RES-3").alias("o_orderpriority"),
+                    live,
+                )
+                retract = orders.where(
+                    (k % 3 == 1) & (k % 7 == 1) & (k % 5 == 0)
+                ).select(k, "o_totalprice", "o_orderpriority", dead)
+                batch = batch.unionByName(res).unionByName(retract)
+            batch.coalesce(1).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        ck = os.path.join(work, "ck")
+
+        def drain():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1").parquet(src)
+            )
+            cdc_merge_stream(
+                spark, stream, root, on="o_orderkey",
+                delete_col="__deleted", checkpoint_dir=ck,
+            ).awaitTermination()
+
+        drain()
+        # append + (upsert-merge, delete-merge) per batch
+        assert len(t.versions(spark)) == 7, "two tagged merges per batch"
+        shutil.rmtree(ck)
+        drain()  # lost checkpoint: full redelivery must no-op
+        assert len(t.versions(spark)) == 7, "replay committed dupes"
+        assert [e["op"] for e in t.history(spark)] == ["merge"] * 6 + [
+            "append"
+        ]
+        cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        out = (
+            t.read(spark)
+            .groupBy(F.col("o_orderpriority").alias("pr"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(cents).cast("long").alias("total_cents"),
+                F.max("o_orderkey").cast("long").alias("max_key"),
+                F.sum(
+                    F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
+                ).cast("long").alias("n_null_cust"),
+            )
+            .orderBy("pr")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
