@@ -5478,3 +5478,90 @@ def q141_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@query(
+    "q142_snapshot_retention",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    FROM orders
+    WHERE o_orderkey % 3 <> 1 AND o_orderkey >= 3000
+    """,
+)
+def q142_snapshot_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based vacuum retention (r11 — vacuum(older_than=), the
+    Delta retention shape): a two-commit table takes a GDPR delete
+    (keys < 3000), then ``vacuum(older_than=now)`` drops every version
+    committed before the cutoff — the head survives (never
+    age-vacuumed), the delete becomes PHYSICAL erasure (the rewritten
+    pre-delete files are gone from disk, asserted in-entry), and
+    timestamp travel outside the retained window raises while the
+    head's own stamp still resolves. The final read hash-matches the
+    flat oracle of 'both commits minus the deleted keys'. In-entry
+    asserts: pre-vacuum as_of resolves to v1; post-vacuum versions ==
+    [3]; every v3-referenced file still readable; every file the
+    delete rewrote physically deleted. 100 TB note: retention is
+    manifest-count metadata work + unreferenced-dir deletes — data
+    I/O zero; the in-flight grace (orphan_grace_s) is disabled here
+    because the entry is the only writer."""
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(), f"q142_snap_{_uuid.uuid4().hex[:8]}"
+    )
+    t = SnapshotTable(root)
+    try:
+        t.append(orders.where(F.col("o_orderkey") % 3 == 0).coalesce(2))
+        ts_after_v1 = _time.time()
+        _time.sleep(0.02)
+        t.append(orders.where(F.col("o_orderkey") % 3 == 2).coalesce(2))
+        _time.sleep(0.02)
+        before = set(t._manifest(spark, 2))
+        t.delete_where(spark, {"o_orderkey": {"lt": 3000}})
+        assert t.version_asof(spark, ts_after_v1) == 1  # travel works now
+        rewritten = before - set(t._manifest(spark, 3))
+        assert rewritten, "the delete must rewrite at least one file"
+        local = lambda p: p.replace("file:", "")  # noqa: E731
+        assert all(os.path.exists(local(f)) for f in rewritten)
+
+        deleted = t.vacuum(
+            spark, older_than=_time.time() + 1, orphan_grace_s=0.0
+        )
+        assert deleted >= 1
+        assert t.versions(spark) == [3]
+        # erasure is now physical: the pre-delete bytes are gone ...
+        assert not any(os.path.exists(local(f)) for f in rewritten)
+        # ... while every head-referenced file still reads
+        assert all(os.path.exists(local(f)) for f in t._manifest(spark, 3))
+        try:
+            t.version_asof(spark, ts_after_v1)
+            raise AssertionError("travel outside the window must raise")
+        except ValueError:
+            pass
+        head_ca = t._read_manifest(spark, 3)["committed_at"] / 1000.0
+        assert t.version_asof(spark, head_ca) == 3
+
+        cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        out = (
+            t.read(spark)
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(cents).cast("long").alias("total_cents"),
+                F.min("o_orderkey").cast("long").alias("min_key"),
+                F.countDistinct("o_custkey").cast("long").alias("n_custs"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
