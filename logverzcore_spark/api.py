@@ -859,6 +859,67 @@ class Engine:
             f"restore version={version!r} as_of={as_of!r}",
         )
 
+    def snapshot_compact(
+        self, name: str, user: User = ADMIN,
+        sort_cols: list[str] | None = None,
+        target_files: int | None = None,
+        zorder_cols: list[str] | None = None,
+        where=None, tag: str | None = None, retries: int = 0,
+        repin: bool = False, backend=None,
+    ) -> int:
+        """Compaction on a cataloged snapshot view's table
+        (SnapshotTable.compact: whole-file rewrite of the head or a
+        ``where``-scoped slice, optionally range-sorted / Z-ordered) —
+        a maintenance WRITE, so it sits behind the same owner gate and
+        audit row as the DML triad. ``repin=True`` moves the pinned
+        view to the compacted version (rows identical by construction,
+        so readers see the same data with better skipping)."""
+        return self._snapshot_dml(
+            name, "snapshot_compact", lambda t: t.compact(
+                self.spark, sort_cols=sort_cols, target_files=target_files,
+                tag=tag, zorder_cols=zorder_cols, where=where,
+                retries=retries,
+            ), user, repin, backend,
+            f"compact sort={sort_cols!r} z={zorder_cols!r} where={where!r}",
+        )
+
+    def snapshot_vacuum(
+        self, name: str, user: User = ADMIN,
+        keep_last: int | None = None, older_than=None,
+        orphan_grace_s: float = 900.0, backend=None,
+    ) -> int:
+        """Retention on a cataloged snapshot view's table
+        (SnapshotTable.vacuum) — DESTRUCTIVE (time travel to vacuumed
+        versions is gone), so owner-gated and audited like every
+        write. The CATALOGED PIN IS ALWAYS PROTECTED: the entry's
+        pinned version is passed as keep_versions, so a retention
+        sweep can never delete the manifest a registered view's
+        readers resolve — repinning first is an explicit choice, not
+        a footgun. Returns data dirs deleted."""
+        try:
+            entry, t = self._snapshot_for_write(name, user, backend=backend)
+            deleted = t.vacuum(
+                self.spark, keep_last=keep_last, older_than=older_than,
+                orphan_grace_s=orphan_grace_s,
+                keep_versions=[
+                    v for v in [entry.QuerySettings.get("Version")]
+                    if v is not None
+                ],
+            )
+        except Exception as e:
+            self._audit(
+                user, "snapshot_vacuum",
+                f"vacuum keep_last={keep_last!r} older_than={older_than!r}",
+                [name], "error", str(e),
+            )
+            raise
+        self._audit(
+            user, "snapshot_vacuum",
+            f"vacuum keep_last={keep_last!r} older_than={older_than!r}",
+            [name],
+        )
+        return deleted
+
     # -- Saved analyses (catalog Type "A", N7) -----------------------------
     def save_query(
         self,

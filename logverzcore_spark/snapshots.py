@@ -1464,6 +1464,7 @@ class SnapshotTable:
         keep_last: int | None = None,
         older_than: Any = None,
         orphan_grace_s: float = 900.0,
+        keep_versions: list[int] | None = None,
     ) -> int:
         """Drop manifests outside the retention set and delete every
         data COMMIT DIR none of the kept manifests reference (incl.
@@ -1487,6 +1488,10 @@ class SnapshotTable:
           complete erasure only after a vacuum whose cutoff passes the
           delete (the pre-delete rows live on in prior versions until
           their manifests drop).
+        - ``keep_versions`` pins EXPLICIT versions into the retained
+          set regardless of count/age — what the Engine's cataloged
+          snapshot pins need: a registered view's version must never
+          be vacuumed out from under its readers.
 
         Time travel to vacuumed versions is gone; replay idempotence
         is NOT — the tag history lives in the head manifest, which
@@ -1522,6 +1527,8 @@ class SnapshotTable:
                 if ca is not None and ca >= cutoff:
                     keep_set.add(v)
             keep_set.add(vs[-1])  # the head is never age-vacuumed
+        if keep_versions:
+            keep_set.update(v for v in keep_versions if v in vs)
         keep = [v for v in vs if v in keep_set]
         referenced_dirs: set[str] = set()
         for v in keep:

@@ -1229,3 +1229,78 @@ def test_engine_snapshot_history_and_restore_gated_and_audited(spark, tmpdir_pat
     assert eng.snapshot_history("corph", user=owner)[0]["op"] == "restore"
     modes = [r.Mode for r in audit.entries()]
     assert modes.count("snapshot_restore") >= 2  # refusal + success
+
+
+def test_engine_snapshot_compact_and_vacuum_gated_pin_protected(spark, tmpdir_path):
+    """r11: the maintenance writes get the Engine surface too —
+    compact behind the owner gate with repin; vacuum owner-gated,
+    audited, and PIN-PROTECTED: a retention sweep can never delete
+    the version a cataloged view's readers resolve."""
+    import os
+    import time
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.api import Engine
+    from logverzcore_spark.audit import AuditLog
+    from logverzcore_spark.catalog import Catalog, User
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    audit = AuditLog()
+    eng = Engine(spark, Catalog(), audit=audit)
+    root = os.path.join(tmpdir_path, "snapcv")
+    t = SnapshotTable(root)
+    df = spark.range(0, 200).withColumn("v", F.col("id") * 2)
+    for lo in (0, 50, 100, 150):
+        t.append(df.where(
+            (F.col("id") >= lo) & (F.col("id") < lo + 50)
+        ).coalesce(2))
+
+    owner = User(name="own", groups=[], is_admin=False, is_poweruser=True)
+    reader = User(name="rdr", groups=["research"])
+    # pin an EARLY version: the vacuum below must not break it
+    assert eng.register_snapshot(
+        "corpcv", root, version=2, user=owner, access=["research"]
+    ) == 2
+
+    # read grants don't compact or vacuum; refusals audited
+    with _pytest.raises(PermissionError, match="read access does not"):
+        eng.snapshot_compact("corpcv", user=reader, target_files=1)
+    with _pytest.raises(PermissionError, match="read access does not"):
+        eng.snapshot_vacuum("corpcv", user=reader)
+    assert [r.Mode for r in audit.entries()[-2:]] == [
+        "snapshot_compact", "snapshot_vacuum"
+    ]
+    assert all(r.Status == "error" for r in audit.entries()[-2:])
+
+    # the owner compacts with repin: same rows, fewer files, view moves
+    v = eng.snapshot_compact(
+        "corpcv", user=owner, sort_cols=["id"], target_files=2, repin=True
+    )
+    assert v == 5
+    assert len(t._manifest(spark, v)) <= 2
+    entry = eng.catalog.for_table("corpcv", "default")
+    assert entry.QuerySettings["Version"] == 5
+    assert entry.Owners == ["own"] and entry.Access == ["research"]
+    n = eng.sql("SELECT COUNT(*) AS n FROM corpcv", user=reader).first()["n"]
+    assert n == 200
+
+    # re-pin back to the early version, then an aggressive retention
+    # sweep: the pinned version MUST survive (keep_versions), while
+    # other old versions age out
+    eng.register_snapshot("corpcv", root, version=2, user=owner,
+                          access=["research"])
+    eng.snapshot_vacuum(
+        "corpcv", user=owner, older_than=time.time() + 1,
+        orphan_grace_s=0.0,
+    )
+    vs = t.versions(spark)
+    assert 2 in vs and 5 in vs  # pin + head survive
+    assert 1 not in vs and 3 not in vs and 4 not in vs
+    # the pinned view still reads every row it pinned
+    n = eng.sql("SELECT COUNT(*) AS n FROM corpcv", user=reader).first()["n"]
+    assert n == 100  # versions 1-2 = ids 0..99
+    assert t.read(spark, 2).count() == 100
+    modes = [r.Mode for r in audit.entries()]
+    assert modes.count("snapshot_vacuum") >= 2  # refusal + success
