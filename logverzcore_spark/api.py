@@ -892,19 +892,23 @@ class Engine:
         (SnapshotTable.vacuum) — DESTRUCTIVE (time travel to vacuumed
         versions is gone), so owner-gated and audited like every
         write. The CATALOGED PIN IS ALWAYS PROTECTED: the entry's
-        pinned version is passed as keep_versions, so a retention
-        sweep can never delete the manifest a registered view's
-        readers resolve — repinning first is an explicit choice, not
+        pinned version is passed as keep_versions — and so is EVERY
+        OTHER active SNAP entry's pin on the same root (two analysts
+        may pin different versions of one table) — so a retention
+        sweep can never delete a manifest any registered view's
+        readers resolve; repinning first is an explicit choice, not
         a footgun. Returns data dirs deleted."""
         try:
             entry, t = self._snapshot_for_write(name, user, backend=backend)
+            pins = [
+                e.QuerySettings.get("Version")
+                for e in self.catalog.list(ADMIN, types=("SNAP",))
+                if e.Active and e.QuerySettings.get("SnapshotRoot") == t.root
+            ]
             deleted = t.vacuum(
                 self.spark, keep_last=keep_last, older_than=older_than,
                 orphan_grace_s=orphan_grace_s,
-                keep_versions=[
-                    v for v in [entry.QuerySettings.get("Version")]
-                    if v is not None
-                ],
+                keep_versions=[v for v in pins if v is not None],
             )
         except Exception as e:
             self._audit(

@@ -1286,18 +1286,21 @@ def test_engine_snapshot_compact_and_vacuum_gated_pin_protected(spark, tmpdir_pa
     n = eng.sql("SELECT COUNT(*) AS n FROM corpcv", user=reader).first()["n"]
     assert n == 200
 
-    # re-pin back to the early version, then an aggressive retention
-    # sweep: the pinned version MUST survive (keep_versions), while
-    # other old versions age out
+    # re-pin back to the early version, and a SECOND view pins v4 on
+    # the same root; the aggressive retention sweep through the first
+    # view must protect BOTH pins (every SNAP entry on the root rides
+    # in keep_versions), while unpinned old versions age out
     eng.register_snapshot("corpcv", root, version=2, user=owner,
                           access=["research"])
+    eng.register_snapshot("corpcv_b", root, version=4, user=owner)
     eng.snapshot_vacuum(
         "corpcv", user=owner, older_than=time.time() + 1,
         orphan_grace_s=0.0,
     )
     vs = t.versions(spark)
-    assert 2 in vs and 5 in vs  # pin + head survive
-    assert 1 not in vs and 3 not in vs and 4 not in vs
+    assert 2 in vs and 4 in vs and 5 in vs  # both pins + head survive
+    assert 1 not in vs and 3 not in vs
+    assert eng.sql("SELECT COUNT(*) AS n FROM corpcv_b").first()["n"] == 200
     # the pinned view still reads every row it pinned
     n = eng.sql("SELECT COUNT(*) AS n FROM corpcv", user=reader).first()["n"]
     assert n == 100  # versions 1-2 = ids 0..99
