@@ -1341,8 +1341,8 @@ class SnapshotTable:
         if not old <= set(new):
             raise ValueError(
                 f"versions {from_version}..{to} span an overwrite — the "
-                "file diff is not the row diff; read both versions and "
-                "diff content instead (q89 shape)"
+                "file diff is not the row diff; use read_changes (the "
+                "CDF read: per-commit removed-vs-added diff) instead"
             )
         added = [f for f in new if f not in old]
         if not added:
@@ -1372,6 +1372,158 @@ class SnapshotTable:
         # predates a later-added column reads it as null instead of
         # whatever single file the sampler picked
         return self._reader(spark, m).parquet(*added)
+
+    @staticmethod
+    def _diff_changes(old_df: DataFrame, new_df: DataFrame, keys):
+        """Row-level diff of one commit's removed-vs-added files (the
+        selective-rewrite set — never the carried files). Keyed: full
+        outer join on ``keys`` — old-only → delete, new-only → insert,
+        matched with any non-key column changed (null-safe) →
+        update_preimage/update_postimage; carried-along neighbors the
+        rewrite didn't touch compare equal and drop out, so the feed
+        carries SEMANTIC changes, not physical rewrites. Keyless:
+        full-row multiset diff (exceptAll) — updates surface as
+        delete+insert pairs. Keys must be unique per side (they are
+        for any table maintained through merge_into); NULL-key rows
+        never join (SQL equality) and surface as delete+insert."""
+        cols = old_df.columns
+        if not keys:
+            return old_df.exceptAll(new_df).select(
+                "*", F.lit("delete").alias("_change_type")
+            ).unionByName(
+                new_df.exceptAll(old_df).select(
+                    "*", F.lit("insert").alias("_change_type")
+                )
+            )
+        non_keys = [c for c in cols if c not in keys]
+        o = old_df.select(
+            *[
+                F.col(f"`{c}`").alias(c if c in keys else f"__o_{c}")
+                for c in cols
+            ],
+            F.lit(True).alias("__in_o"),
+        )
+        n = new_df.select(
+            *[
+                F.col(f"`{c}`").alias(c if c in keys else f"__n_{c}")
+                for c in cols
+            ],
+            F.lit(True).alias("__in_n"),
+        )
+        j = o.join(n, on=list(keys), how="full_outer")
+
+        def _img(side: str, ct: str, cond):
+            sel = [
+                (
+                    F.col(f"`{c}`")
+                    if c in keys
+                    else F.col(f"`__{side}_{c}`")
+                ).alias(c)
+                for c in cols
+            ]
+            return j.where(cond).select(
+                *sel, F.lit(ct).alias("_change_type")
+            )
+
+        parts = [
+            _img("o", "delete", F.col("__in_n").isNull()),
+            _img("n", "insert", F.col("__in_o").isNull()),
+        ]
+        if non_keys:
+            matched = F.col("__in_o").isNotNull() & F.col("__in_n").isNotNull()
+            changed = F.lit(False)
+            for c in non_keys:
+                changed = changed | ~F.col(f"`__o_{c}`").eqNullSafe(
+                    F.col(f"`__n_{c}`")
+                )
+            parts.append(_img("o", "update_preimage", matched & changed))
+            parts.append(_img("n", "update_postimage", matched & changed))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+        keys: str | list[str] | None = None,
+    ) -> DataFrame:
+        """Change Data Feed (the Delta CDF read, reduced to manifest
+        arithmetic): every row-level change AFTER ``from_version`` up
+        to ``to_version`` (inclusive), as the table's columns plus
+        ``_change_type`` ('insert' / 'delete' / 'update_preimage' /
+        'update_postimage') and ``_commit_version``. The consumer half
+        of CDC: merge_into / cdc_merge_stream APPLY changes, this
+        EMITS them — a derived table, search index, or auditor
+        subscribes to a table's mutations instead of diffing corpora
+        (read_incremental's overwrite refusal points here).
+
+        SELECTIVE by construction — the 100 TB property: each commit
+        contributes only the files it REMOVED and ADDED (for DML
+        commits exactly the selective-rewrite slice; the carried files
+        are never opened). Append commits stream their added files as
+        inserts with zero diffing; compact/analyze commits are
+        row-preserving by contract and emit nothing; every other
+        overwrite-class commit (delete/update/merge/overwrite/restore)
+        gets the removed-vs-added diff of :meth:`_diff_changes`. Both
+        sides of every diff read through the TO-version's recorded
+        schema, so files predating a later-added column align on
+        nulls. Requires the span's versions to still be retained —
+        vacuum trims how far behind a subscriber can fall, exactly as
+        it trims time travel."""
+        vs = self.versions(spark)
+        if not vs:
+            raise FileNotFoundError(f"no committed snapshots under {self.root}")
+        to = vs[-1] if to_version is None else to_version
+        if from_version not in vs or to not in vs or from_version > to:
+            raise ValueError(f"bad version range {from_version}..{to} of {vs}")
+        if keys is not None:
+            keys = [keys] if isinstance(keys, str) else list(keys)
+        m_to = self._read_manifest(spark, to)
+        reader = self._reader(spark, m_to)
+        span = [v for v in vs if from_version <= v <= to]
+        out = None
+        prev_files = set(self._manifest(spark, from_version))
+        for v in span[1:]:
+            m = self._read_manifest(spark, v)
+            cur_files = set(m["files"])
+            added = sorted(cur_files - prev_files)
+            removed = sorted(prev_files - cur_files)
+            prev_files = cur_files
+            if m.get("op") in ("compact", "analyze"):
+                continue  # row-preserving by contract (pytest-proved)
+            if not added and not removed:
+                continue  # metadata-only commit
+            if not removed:
+                changes = reader.parquet(*added).select(
+                    "*", F.lit("insert").alias("_change_type")
+                )
+            elif not added:
+                changes = reader.parquet(*removed).select(
+                    "*", F.lit("delete").alias("_change_type")
+                )
+            else:
+                changes = self._diff_changes(
+                    reader.parquet(*removed), reader.parquet(*added), keys
+                )
+            changes = changes.withColumn(
+                "_commit_version", F.lit(v).cast("int")
+            )
+            out = changes if out is None else out.unionByName(changes)
+        if out is not None:
+            return out
+        anyf = self._manifest(spark, to) or self._manifest(
+            spark, from_version
+        )
+        if not anyf:
+            raise ValueError("change feed over empty versions")
+        return (
+            reader.parquet(anyf[0]).limit(0)
+            .withColumn("_change_type", F.lit(""))
+            .withColumn("_commit_version", F.lit(0).cast("int"))
+        )
 
     def history(self, spark: SparkSession) -> list[dict]:
         """DESCRIBE HISTORY: one dict per retained version, newest

@@ -5565,3 +5565,112 @@ def q142_snapshot_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@query(
+    "q143_change_feed",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    upd AS (SELECT * FROM base WHERE o_orderkey % 5 = 1),
+    ins AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 1
+    ),
+    v2_state AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 1 THEN o_totalprice + 1000
+                  ELSE o_totalprice END AS tp,
+             CASE WHEN o_orderkey % 5 = 1 THEN 'CDC'
+                  ELSE o_orderpriority END AS pr
+      FROM base
+      UNION ALL
+      SELECT o_orderkey, o_totalprice AS tp, 'NEW' AS pr FROM ins
+    )
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           o_orderpriority AS pr,
+           'update_preimage' AS change_type, 2 AS commit_version
+    FROM upd
+    UNION ALL
+    SELECT o_orderkey,
+           CAST(floor((o_totalprice + 1000) * 100 + 0.5) AS BIGINT),
+           'CDC', 'update_postimage', 2
+    FROM upd
+    UNION ALL
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+           'NEW', 'insert', 2
+    FROM ins
+    UNION ALL
+    SELECT o_orderkey, CAST(floor(tp * 100 + 0.5) AS BIGINT),
+           pr, 'delete', 3
+    FROM v2_state WHERE o_orderkey < 3000
+    """,
+)
+def q143_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed (r11 — SnapshotTable.read_changes, the Delta
+    CDF read): a table takes a keyed MERGE (updates + inserts) then a
+    GDPR delete, and the feed AFTER v1 must carry exactly the semantic
+    row-level changes — update_preimage/update_postimage pairs for the
+    merged keys, inserts for the new keys, deletes for the erased
+    slice — and NOTHING for the thousands of neighbor rows the
+    selective rewrites carried along unchanged (a CDF that replayed
+    physical rewrites would be useless to a subscriber). Hash-verified
+    against the flat oracle spelling out all four change classes.
+    100 TB cost: per commit, only the removed+added files are read —
+    the DML slice, never the table (asserted in-entry: the span's
+    diffed file sets stay strictly smaller than the manifests)."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    root = os.path.join(
+        tempfile.gettempdir(), f"q143_snap_{_uuid.uuid4().hex[:8]}"
+    )
+    t = SnapshotTable(root)
+    try:
+        t.append(
+            orders.where(k % 3 == 0).select(
+                "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+            ).coalesce(2)
+        )
+        src = orders.where((k % 3 == 0) & (k % 5 == 1)).select(
+            k,
+            (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+            F.lit("CDC").alias("o_orderpriority"),
+        ).unionByName(
+            orders.where((k % 3 == 1) & (k % 5 == 1)).select(
+                k, "o_totalprice", F.lit("NEW").alias("o_orderpriority"),
+            )
+        )
+        t.merge_into(spark, src, on="o_orderkey")
+        t.delete_where(spark, {"o_orderkey": {"lt": 3000}})
+
+        # selectivity gate: each diffed commit touched a strict subset
+        m1, m2, m3 = (set(t._manifest(spark, v)) for v in (1, 2, 3))
+        assert m1 & m2 and m2 & m3, "carried files must exist"
+        assert len(m1 - m2) < len(m1) and len(m2 - m3) < len(m2)
+
+        cdf = t.read_changes(spark, 1, keys="o_orderkey")
+        out = (
+            cdf.select(
+                "o_orderkey",
+                F.floor(F.col("o_totalprice") * 100 + 0.5)
+                .cast("long").alias("cents"),
+                F.col("o_orderpriority").alias("pr"),
+                F.col("_change_type").alias("change_type"),
+                F.col("_commit_version").cast("int")
+                .alias("commit_version"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
