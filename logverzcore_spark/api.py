@@ -859,6 +859,35 @@ class Engine:
             f"restore version={version!r} as_of={as_of!r}",
         )
 
+    def snapshot_changes(
+        self, name: str, from_version: int, to_version: int | None = None,
+        keys=None, user: User = ADMIN, backend=None,
+    ):
+        """Change Data Feed of a cataloged snapshot view
+        (SnapshotTable.read_changes): the per-commit row-level changes
+        a subscriber (derived table, index, auditor) consumes. READ-
+        gated like snapshot_history — the feed discloses the data a
+        read grant already exposes (pre/post images ARE rows), no
+        more; denials audited."""
+        entry = self.catalog.for_table(name, "default")
+        if entry is None or entry.Type != "SNAP":
+            raise ValueError(f"no cataloged snapshot view named {name!r}")
+        if not entry.visible_to(user):
+            self._audit(
+                user, "snapshot_changes",
+                f"changes {from_version}..{to_version!r}", [name],
+                "denied", f"{user.name} not in Owners/Access",
+            )
+            raise PermissionError(
+                f"{user.name} may not read snapshot {name!r}"
+            )
+        from logverzcore_spark.snapshots import SnapshotTable
+
+        t = SnapshotTable(entry.QuerySettings["SnapshotRoot"], backend=backend)
+        return t.read_changes(
+            self.spark, from_version, to_version=to_version, keys=keys
+        )
+
     def snapshot_compact(
         self, name: str, user: User = ADMIN,
         sort_cols: list[str] | None = None,

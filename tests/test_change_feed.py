@@ -123,3 +123,38 @@ def test_change_feed_restore_and_schema_evolution(spark, tmpdir_path):
     # v4 (restore) brings them BACK: inserts of the same rows
     assert sorted(got[(4, "insert")]) == [(0, 1, None), (1, 1, None)]
     assert (4, "update_preimage") not in got  # nothing else changed
+
+
+def test_engine_snapshot_changes_read_gated(spark, tmpdir_path):
+    """The Engine surface for the feed: a read grant suffices (pre/post
+    images are rows a reader could already query), a stranger is
+    refused with the denial audited."""
+    from logverzcore_spark.api import Engine
+    from logverzcore_spark.audit import AuditLog
+    from logverzcore_spark.catalog import Catalog, User
+
+    audit = AuditLog()
+    eng = Engine(spark, Catalog(), audit=audit)
+    root = _mkroot(tmpdir_path)
+    t = SnapshotTable(root)
+    t.append(spark.range(0, 50).select(
+        F.col("id").alias("k"), F.lit(1).alias("v")
+    ).coalesce(1))
+    t.update_where(spark, {"k": {"lt": 5}}, {"v": F.lit(2)})
+
+    owner = User(name="own", groups=[], is_admin=False, is_poweruser=True)
+    reader = User(name="rdr", groups=["research"])
+    stranger = User(name="str", groups=[], is_admin=False,
+                    is_poweruser=False)
+    eng.register_snapshot("cfeed", root, user=owner, access=["research"])
+
+    cdf = eng.snapshot_changes("cfeed", 1, keys="k", user=reader)
+    got = sorted((r["_change_type"], r["k"]) for r in cdf.collect())
+    assert got == sorted(
+        [("update_preimage", i) for i in range(5)]
+        + [("update_postimage", i) for i in range(5)]
+    )
+    with pytest.raises(PermissionError, match="may not read"):
+        eng.snapshot_changes("cfeed", 1, user=stranger)
+    last = audit.entries()[-1]
+    assert last.Status == "denied" and last.Mode == "snapshot_changes"

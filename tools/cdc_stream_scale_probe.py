@@ -113,6 +113,23 @@ def probe(spark, rows: int, work: str) -> None:
             spark, where={"k": {"between": [d_lo, d_lo + 999]}}
         ).count() == 0
 
+    # CDF read-back over the whole drained span (r11 read_changes):
+    # cost is the span's removed+added files only — per batch 4k
+    # update pre+post images, 1k inserts, 1k deletes = 10k rows
+    t0 = time.time()
+    cdf = t.read_changes(spark, head_before, vs[-1], keys="k")
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in cdf.groupBy("_change_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    cdf_s = time.time() - t0
+    assert by_type == {
+        "update_preimage": 12_000, "update_postimage": 12_000,
+        "insert": 3_000, "delete": 3_000,
+    }, by_type
+
     # per-commit wall from the manifests' committed_at stamps; files
     # rewritten per commit from consecutive manifest diffs
     per_commit = []
@@ -136,6 +153,8 @@ def probe(spark, rows: int, work: str) -> None:
         "build_s": round(build_s, 1),
         "drain_s": round(drain_s, 2),
         "per_trigger_s": round(drain_s / 3, 2),
+        "cdf_readback_s": round(cdf_s, 2),
+        "cdf_rows": int(sum(by_type.values())),
         "commits": per_commit,
         "max_files_rewritten": max(c["files_rewritten"] for c in per_commit),
     }))
