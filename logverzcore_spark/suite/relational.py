@@ -5483,19 +5483,25 @@ def q141_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q142_snapshot_retention",
     oracle="""
+    WITH cuts AS (
+      SELECT CAST(FLOOR(MAX(o_orderkey) / 3.0) AS BIGINT) AS cut
+      FROM orders
+    )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
                 AS BIGINT) AS total_cents,
-           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
-           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
-    FROM orders
-    WHERE o_orderkey % 3 <> 1 AND o_orderkey >= 3000
+           CAST(MIN(o.o_orderkey) AS BIGINT) AS min_key,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_custs
+    FROM orders o, cuts
+    WHERE o.o_orderkey % 3 <> 1 AND o.o_orderkey >= cuts.cut
     """,
 )
 def q142_snapshot_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-based vacuum retention (r11 — vacuum(older_than=), the
     Delta retention shape): a two-commit table takes a GDPR delete
-    (keys < 3000), then ``vacuum(older_than=now)`` drops every version
+    (the low THIRD of the key space — data-relative so the graded
+    state is non-trivial at every SF), then
+    ``vacuum(older_than=now)`` drops every version
     committed before the cutoff — the head survives (never
     age-vacuumed), the delete becomes PHYSICAL erasure (the rewritten
     pre-delete files are gone from disk, asserted in-entry), and
@@ -5527,7 +5533,8 @@ def q142_snapshot_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.append(orders.where(F.col("o_orderkey") % 3 == 2).coalesce(2))
         _time.sleep(0.02)
         before = set(t._manifest(spark, 2))
-        t.delete_where(spark, {"o_orderkey": {"lt": 3000}})
+        cut = int(orders.agg(F.max("o_orderkey")).first()[0]) // 3
+        t.delete_where(spark, {"o_orderkey": {"lt": cut}})
         assert t.version_asof(spark, ts_after_v1) == 1  # travel works now
         rewritten = before - set(t._manifest(spark, 3))
         assert rewritten, "the delete must rewrite at least one file"
@@ -5570,22 +5577,31 @@ def q142_snapshot_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q143_change_feed",
     oracle="""
-    WITH base AS (
+    WITH cuts AS (
+      SELECT CAST(FLOOR(MAX(o_orderkey) / 4.0) AS BIGINT) AS cut_u,
+             CAST(FLOOR(MAX(o_orderkey) * 3 / 8.0) AS BIGINT) AS cut_d
+      FROM orders
+    ),
+    base AS (
       SELECT o_orderkey, o_totalprice, o_orderpriority
       FROM orders WHERE o_orderkey % 3 = 0
     ),
-    upd AS (SELECT * FROM base WHERE o_orderkey % 5 = 1),
+    upd AS (
+      SELECT b.* FROM base b, cuts
+      WHERE b.o_orderkey % 5 = 1 AND b.o_orderkey < cuts.cut_u
+    ),
     ins AS (
-      SELECT o_orderkey, o_totalprice FROM orders
-      WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 1
+      SELECT o.o_orderkey, o.o_totalprice FROM orders o, cuts
+      WHERE o.o_orderkey % 3 = 1 AND o.o_orderkey % 5 = 1
+        AND o.o_orderkey < cuts.cut_u
     ),
     v2_state AS (
-      SELECT o_orderkey,
-             CASE WHEN o_orderkey % 5 = 1 THEN o_totalprice + 1000
-                  ELSE o_totalprice END AS tp,
-             CASE WHEN o_orderkey % 5 = 1 THEN 'CDC'
-                  ELSE o_orderpriority END AS pr
-      FROM base
+      SELECT b.o_orderkey,
+             CASE WHEN b.o_orderkey % 5 = 1 AND b.o_orderkey < cuts.cut_u
+                  THEN b.o_totalprice + 1000 ELSE b.o_totalprice END AS tp,
+             CASE WHEN b.o_orderkey % 5 = 1 AND b.o_orderkey < cuts.cut_u
+                  THEN 'CDC' ELSE b.o_orderpriority END AS pr
+      FROM base b, cuts
       UNION ALL
       SELECT o_orderkey, o_totalprice AS tp, 'NEW' AS pr FROM ins
     )
@@ -5605,9 +5621,9 @@ def q142_snapshot_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
            'NEW', 'insert', 2
     FROM ins
     UNION ALL
-    SELECT o_orderkey, CAST(floor(tp * 100 + 0.5) AS BIGINT),
-           pr, 'delete', 3
-    FROM v2_state WHERE o_orderkey < 3000
+    SELECT v.o_orderkey, CAST(floor(v.tp * 100 + 0.5) AS BIGINT),
+           v.pr, 'delete', 3
+    FROM v2_state v, cuts WHERE v.o_orderkey < cuts.cut_d
     """,
 )
 def q143_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5636,22 +5652,33 @@ def q143_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = SnapshotTable(root)
     try:
+        # range-committed base; the merge/delete keys are scoped to
+        # the LOW QUARTER (cut_u = max/4) and LOW 3/8 (cut_d) of the
+        # key space, so with 4 range files the high-range files must
+        # CARRY through both commits at every SF — the selectivity
+        # gate below is layout-sound, not fixture luck
+        hi = int(orders.agg(F.max("o_orderkey")).first()[0])
+        cut_u, cut_d = hi // 4, hi * 3 // 8
         t.append(
             orders.where(k % 3 == 0).select(
                 "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
-            ).coalesce(2)
+            ).repartitionByRange(4, "o_orderkey")
         )
-        src = orders.where((k % 3 == 0) & (k % 5 == 1)).select(
+        src = orders.where(
+            (k % 3 == 0) & (k % 5 == 1) & (k < cut_u)
+        ).select(
             k,
             (F.col("o_totalprice") + 1000).alias("o_totalprice"),
             F.lit("CDC").alias("o_orderpriority"),
         ).unionByName(
-            orders.where((k % 3 == 1) & (k % 5 == 1)).select(
+            orders.where(
+                (k % 3 == 1) & (k % 5 == 1) & (k < cut_u)
+            ).select(
                 k, "o_totalprice", F.lit("NEW").alias("o_orderpriority"),
             )
         )
         t.merge_into(spark, src, on="o_orderkey")
-        t.delete_where(spark, {"o_orderkey": {"lt": 3000}})
+        t.delete_where(spark, {"o_orderkey": {"lt": cut_d}})
 
         # selectivity gate: each diffed commit touched a strict subset
         m1, m2, m3 = (set(t._manifest(spark, v)) for v in (1, 2, 3))
