@@ -5701,3 +5701,115 @@ def q143_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@query(
+    "q144_mv_fold_after_dml",
+    oracle="""
+    WITH cuts AS (
+      SELECT CAST(FLOOR(MAX(o_orderkey) / 3.0) AS BIGINT) AS c1,
+             CAST(FLOOR(MAX(o_orderkey) * 2 / 3.0) AS BIGINT) AS c2
+      FROM orders
+    ),
+    final AS (
+      SELECT CASE WHEN o.o_orderkey % 5 = 2 AND o.o_orderkey >= cuts.c1
+                       AND o.o_orderkey < cuts.c2
+                  THEN 'MRG' ELSE o.o_orderpriority END AS pr,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+             + CASE WHEN o.o_orderkey >= cuts.c2 THEN 7
+                    WHEN o.o_orderkey % 5 = 2 AND o.o_orderkey >= cuts.c1
+                    THEN 11 ELSE 0 END AS cents
+      FROM orders o, cuts
+      WHERE o.o_orderkey % 3 = 0 AND o.o_orderkey >= cuts.c1
+      UNION ALL
+      SELECT 'MRG-NEW' AS pr,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o, cuts
+      WHERE o.o_orderkey % 3 = 1 AND o.o_orderkey % 5 = 2
+        AND o.o_orderkey < cuts.c1
+    )
+    SELECT pr, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM final GROUP BY pr ORDER BY pr
+    """,
+)
+def q144_mv_fold_after_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retractable MV maintenance across DML (r11 — the change-feed
+    fold): a count/sum IncrementalAggregate follows its source through
+    a GDPR delete, a redaction update, and a CDC merge WITHOUT ever
+    rescanning the corpus — each refresh consumes read_changes and
+    folds signed partials (deletes/pre-images retract, inserts/
+    post-images add), asserted in-entry to run in 'fold' mode (the
+    pre-r11 answer was a full rebuild for every one of these). The
+    final MV state hash-matches the flat oracle of the fully-mutated
+    source. 100 TB story: the MV's refresh cost after a DML is the
+    DML's own file slice + group cardinality — a one-user erasure
+    against a 100 TB source costs the downstream dashboard a few
+    files, not a rescan. min/max/HLL MVs keep the rebuild answer
+    (pytest covers both)."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.incremental import IncrementalAggregate
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    work = tempfile.mkdtemp(prefix=f"q144_{_uuid.uuid4().hex[:8]}_")
+    try:
+        hi = int(orders.agg(F.max("o_orderkey")).first()[0])
+        c1, c2 = hi // 3, hi * 2 // 3
+        t = SnapshotTable(os.path.join(work, "src"))
+        base = orders.where(k % 3 == 0).select(
+            k, "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long").alias("cents"),
+        )
+        t.append(base.repartitionByRange(4, "o_orderkey"))
+        mv = IncrementalAggregate(
+            t, os.path.join(work, "state"), ["o_orderpriority"],
+            {"n_rows": ("count", None), "total_cents": ("sum", "cents")},
+            source_keys=["o_orderkey"],
+        )
+        assert mv.refresh(spark)["mode"] == "initial"
+
+        t.delete_where(spark, {"o_orderkey": {"lt": c1}})
+        assert mv.refresh(spark)["mode"] == "fold"
+        t.update_where(
+            spark, {"o_orderkey": {"gte": c2}}, {"cents": "cents + 7"}
+        )
+        assert mv.refresh(spark)["mode"] == "fold"
+        src = orders.where(
+            (k % 3 == 0) & (k % 5 == 2) & (k >= c1) & (k < c2)
+        ).select(
+            k, F.lit("MRG").alias("o_orderpriority"),
+            (
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                + 11
+            ).alias("cents"),
+        ).unionByName(
+            orders.where(
+                (k % 3 == 1) & (k % 5 == 2) & (k < c1)
+            ).select(
+                k, F.lit("MRG-NEW").alias("o_orderpriority"),
+                F.floor(F.col("o_totalprice") * 100 + 0.5)
+                .cast("long").alias("cents"),
+            )
+        )
+        t.merge_into(spark, src, on="o_orderkey")
+        assert mv.refresh(spark)["mode"] == "fold"
+
+        out = (
+            mv.result(spark)
+            .select(
+                F.col("o_orderpriority").alias("pr"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("total_cents").cast("long").alias("total_cents"),
+            )
+            .orderBy("pr")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -110,9 +110,11 @@ def test_delete_bloom_pruned_point_erasure(spark, tmpdir_path):
 
 
 def test_delete_triggers_mv_rebuild(spark, tmpdir_path):
-    """An incremental MV downstream of a delete answers with a full
-    rebuild (deletes invalidate deltas) and lands on the post-delete
-    truth."""
+    """An incremental MV downstream of a delete lands on the
+    post-delete truth. r11 sharpened the answer: a count/sum MV is
+    RETRACTABLE, so the refresh FOLDS the change feed (DML-slice
+    cost) instead of rebuilding — the rebuild remains the answer for
+    min/max/HLL MVs (test_incremental_mv covers both)."""
     src = SnapshotTable(_mkroot(tmpdir_path, "src"))
     df = spark.range(0, 400).selectExpr(
         "id", "cast(id % 8 AS int) AS g", "cast(id AS double) AS v"
@@ -129,7 +131,7 @@ def test_delete_triggers_mv_rebuild(spark, tmpdir_path):
     assert mv.refresh(spark)["mode"] == "delta"
     src.delete_where(spark, {"g": 3})
     rep = mv.refresh(spark)
-    assert rep["mode"] == "rebuild"
+    assert rep["mode"] == "fold"  # retractable aggregates: no rescan
     got = {r["g"]: (r["n"], r["total"]) for r in mv.result(spark).collect()}
     assert 3 not in got
     want = {

@@ -180,3 +180,161 @@ def test_crash_between_append_and_refresh_folds_multi_version_span(spark, tmpdir
     rep = mv.refresh(spark)
     assert rep["mode"] == "delta" and rep["source_version"] == 3
     _check_exact(mv, spark, _df(spark, 0, 450))
+
+
+def test_mv_fold_across_dml_matches_recompute(spark, tmpdir_path):
+    """r11: an overwrite no longer always costs a rebuild — a
+    count/sum/avg MV consumes the CHANGE FEED: deletes retract,
+    updates fold pre−/post+, merges fold all three classes, and a
+    group whose last row died disappears (presence counter). Every
+    fold must equal a from-scratch recompute of the same head."""
+    import os as _os
+    import uuid as _uuid
+
+    from logverzcore_spark.incremental import IncrementalAggregate
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    root = _os.path.join(str(tmpdir_path), f"mvf_{_uuid.uuid4().hex[:6]}")
+    t = SnapshotTable(_os.path.join(root, "src"))
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).cast("int").alias("g"),
+        (F.col("id") * 3).alias("v"),
+    )
+    t.append(df.where("k < 200").repartition(3))
+    t.append(df.where("k >= 200").coalesce(1))
+    mv = IncrementalAggregate(
+        t, _os.path.join(root, "state"), ["g"],
+        {"n": ("count", None), "s": ("sum", "v"), "m": ("avg", "v")},
+        source_keys=["k"],
+    )
+    assert mv.refresh(spark)["mode"] == "initial"
+
+    def check():
+        got = {
+            r["g"]: (r["n"], r["s"], r["m"])
+            for r in mv.result(spark).collect()
+        }
+        want = {
+            r["g"]: (r["n"], r["s"], r["m"])
+            for r in t.read(spark).groupBy("g").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("v").alias("s"),
+                F.avg("v").alias("m"),
+            ).collect()
+        }
+        assert got == want, (got, want)
+
+    # delete: retracts rows; g=7 loses some rows, none vanish yet
+    t.delete_where(spark, {"k": {"between": [60, 99]}})
+    assert mv.refresh(spark)["mode"] == "fold"
+    check()
+    # update: pre-image retracts, post-image adds
+    t.update_where(spark, {"k": {"lt": 30}}, {"v": "v + 1000"})
+    assert mv.refresh(spark)["mode"] == "fold"
+    check()
+    # merge: update + insert + delete classes in one commit
+    src = spark.createDataFrame(
+        [(0, 0, -999), (1000, 3, 5), (1001, 3, 7)],
+        "k long, g int, v long",
+    )
+    t.merge_into(spark, src, on="k")
+    assert mv.refresh(spark)["mode"] == "fold"
+    check()
+    # group extinction: delete EVERY row of g=9 — the group must
+    # disappear from the MV, exactly as a recompute would drop it
+    t.delete_where(spark, {"g": {"eq": 9}})
+    assert mv.refresh(spark)["mode"] == "fold"
+    check()
+    assert not [
+        r for r in mv.result(spark).collect() if r["g"] == 9
+    ]
+    # replay idempotence still holds (same srcv tag)
+    assert mv.refresh(spark)["mode"] == "noop"
+
+
+def test_mv_fold_nonretractable_rebuilds_and_null_sum_edge(spark, tmpdir_path):
+    """min/max cannot retract (the evicted maximum needs a runner-up):
+    a DML still answers with a rebuild. And SUM's folded zero must
+    finalize to NULL when a group's every non-null value was
+    retracted — the SQL answer."""
+    import os as _os
+    import uuid as _uuid
+
+    from logverzcore_spark.incremental import IncrementalAggregate
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    root = _os.path.join(str(tmpdir_path), f"mvn_{_uuid.uuid4().hex[:6]}")
+    t = SnapshotTable(_os.path.join(root, "src"))
+    t.append(spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("g"),
+        F.col("id").alias("v"),
+    ).coalesce(2))
+    mv = IncrementalAggregate(
+        t, _os.path.join(root, "state"), ["g"],
+        {"hi": ("max", "v"), "n": ("count", None)},
+    )
+    mv.refresh(spark)
+    t.delete_where(spark, {"v": {"gte": 50}})
+    assert mv.refresh(spark)["mode"] == "rebuild"  # max met a delete
+    got = {r["g"]: r["hi"] for r in mv.result(spark).collect()}
+    assert got == {0: 48, 1: 49, 2: 46, 3: 47}
+
+    # the NULL-sum edge: g=1's only non-null v is retracted while a
+    # null-v row keeps the group alive — SUM must be NULL, not 0
+    t2 = SnapshotTable(_os.path.join(root, "src2"))
+    t2.append(spark.createDataFrame(
+        [(1, 1, 10), (2, 1, None), (3, 2, 5)], "k long, g int, v long"
+    ).coalesce(1))
+    mv2 = IncrementalAggregate(
+        t2, _os.path.join(root, "state2"), ["g"],
+        {"s": ("sum", "v")}, source_keys=["k"],
+    )
+    mv2.refresh(spark)
+    t2.delete_where(spark, {"k": {"eq": 1}})
+    assert mv2.refresh(spark)["mode"] == "fold"
+    got = {r["g"]: r["s"] for r in mv2.result(spark).collect()}
+    want = {r["g"]: r["s"] for r in t2.read(spark).groupBy("g").agg(
+        F.sum("v").alias("s")
+    ).collect()}
+    assert got == want == {1: None, 2: 5}
+
+
+def test_mv_fold_where_predicate_boundary(spark, tmpdir_path):
+    """An UPDATE that moves rows across the MV's where-predicate
+    boundary folds correctly: only the surviving image passes the
+    filter, so entering rows add and leaving rows retract."""
+    import os as _os
+    import uuid as _uuid
+
+    from logverzcore_spark.incremental import IncrementalAggregate
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    root = _os.path.join(str(tmpdir_path), f"mvw_{_uuid.uuid4().hex[:6]}")
+    t = SnapshotTable(_os.path.join(root, "src"))
+    t.append(spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("int").alias("g"),
+        F.col("id").alias("v"),
+    ).coalesce(2))
+    mv = IncrementalAggregate(
+        t, _os.path.join(root, "state"), ["g"],
+        {"n": ("count", None), "s": ("sum", "v")},
+        where={"v": {"gte": 20}}, source_keys=["k"],
+    )
+    mv.refresh(spark)
+    # rows 30..39 LEAVE the predicate (v -> v-25), rows 10..14 ENTER
+    # (v -> v+20)
+    t.update_where(spark, {"k": {"gte": 30}}, {"v": "v - 25"})
+    assert mv.refresh(spark)["mode"] == "fold"
+    t.update_where(spark, {"k": {"between": [10, 14]}}, {"v": "v + 20"})
+    assert mv.refresh(spark)["mode"] == "fold"
+    got = {r["g"]: (r["n"], r["s"]) for r in mv.result(spark).collect()}
+    want = {
+        r["g"]: (r["n"], r["s"])
+        for r in t.read(spark).where("v >= 20").groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        ).collect()
+    }
+    assert got == want
