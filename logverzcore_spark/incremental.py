@@ -34,9 +34,25 @@ groupBy aggregate INCREMENTALLY against a :class:`SnapshotTable` source:
   row-presence counter reaches zero drop out. Cost = the span's
   removed+added files (the DML slice), never the corpus — a GDPR
   delete against a 100 TB source costs the MV a few files, not a
-  rescan. min/max and approx_distinct cannot retract (a deleted
-  maximum needs the runner-up; an HLL cannot forget) — those MVs keep
-  the rebuild answer, stated in the refresh report.
+  rescan.
+
+- the fold is COST-GATED (r12): before consuming the feed, the span is
+  priced from manifest stats alone (zero I/O) — the sum of every
+  spanned commit's removed+added bytes versus the head's total bytes.
+  A full ``overwrite()`` commit makes the CDF diff read ~2× the corpus
+  where a rebuild is one scan; the gate detects exactly that shape and
+  picks the rebuild, reporting both priced numbers in the refresh row.
+
+- non-retractable aggregates (min / max / approx_distinct — a deleted
+  maximum needs the runner-up; an HLL cannot forget) no longer always
+  rebuild either (r12): a DML span's affected GROUPS are exactly the
+  change feed's groups, so the refresh RE-COMPUTES those groups only
+  (``source.read(where=group-key in-list)`` — file-pruned by stats
+  when the layout clusters groups) and carries every untouched group's
+  state row unchanged: mode 'repair', cost = the DML slice + the
+  affected groups' source rows. Corpus-sized spans, NULL group keys
+  (an in-list cannot address them) and affected-group counts past the
+  bounded-metadata cap fall back to the rebuild.
 
 Non-goals, stated loudly: distinct-exact and order-dependent aggregates
 (percentiles, first/last) are not incrementally mergeable from these
@@ -73,6 +89,10 @@ _TAG_PREFIX = "srcv:"
 #: whose last row was deleted (a recompute would not emit it at all).
 _NROWS = "__p__n"
 
+#: driver-side cap on repair's affected-group key list — bounded
+#: metadata, mirroring merge_into's 10k exact-key prune cap.
+_REPAIR_MAX_GROUPS = 10_000
+
 
 def _partial_cols(alias: str, kind: str) -> list[str]:
     if kind in ("avg", "sum"):
@@ -91,7 +111,16 @@ class IncrementalAggregate:
     is the source column name (ignored for count; count counts rows).
     ``where`` (optree shape) filters source rows before aggregation —
     the delta read applies it too, so a selective MV only pays for
-    matching rows."""
+    matching rows.
+
+    ``fold_cost_factor`` tunes the overwrite-span admission gate:
+    fold/repair consume the change feed only while the span's
+    removed+added bytes (manifest-priced, zero I/O) stay within
+    ``factor × head bytes`` — past that a rebuild reads strictly less.
+    The default 1.0 is the break-even: the CDF diff reads both sides
+    of every spanned rewrite, so a replace-the-corpus commit prices at
+    ~2× head and correctly rebuilds. ``None`` disables the gate
+    (always fold/repair when the algebra allows — the r11 behavior)."""
 
     def __init__(
         self,
@@ -101,6 +130,7 @@ class IncrementalAggregate:
         aggregates: dict[str, tuple[str, str | None]],
         where: Any = None,
         source_keys: list[str] | None = None,
+        fold_cost_factor: float | None = 1.0,
     ):
         for alias, (kind, _col) in aggregates.items():
             if kind not in _SUPPORTED:
@@ -118,6 +148,7 @@ class IncrementalAggregate:
         #: the keyless delete+insert multiset diff; same fold result,
         #: join instead of exceptAll)
         self.source_keys = list(source_keys) if source_keys else None
+        self.fold_cost_factor = fold_cost_factor
 
     # -- partial/merge/final algebra -----------------------------------
 
@@ -203,7 +234,15 @@ class IncrementalAggregate:
         for alias, (kind, _col) in self.aggregates.items():
             p = _partial_cols(alias, kind)
             if kind == "avg":
-                cols.append((F.col(p[0]) / F.col(p[1])).alias(alias))
+                # same guard as sum: a fold can retract every non-null
+                # value while a NULL-valued row keeps the group alive
+                # (_NROWS>0) — cnt==0 must finalize to NULL, not raise
+                # DIVIDE_BY_ZERO under ANSI mode
+                cols.append(
+                    F.when(F.col(p[1]) > 0, F.col(p[0]) / F.col(p[1]))
+                    .otherwise(F.lit(None))
+                    .alias(alias)
+                )
             elif kind == "sum":
                 # SQL SUM of an all-null (or fully retracted) group is
                 # NULL — the non-null count guards the folded 0
@@ -229,16 +268,71 @@ class IncrementalAggregate:
             return None
         return int(tag[len(_TAG_PREFIX):])
 
+    def _span_cost(
+        self, spark: SparkSession, last: int, src_head: int
+    ) -> tuple[int | None, int | None, str | None]:
+        """Price the change-feed span against a rebuild from manifest
+        stats ALONE — zero data I/O, the same removed-vs-added file
+        arithmetic ``read_changes`` performs, summed instead of read.
+        Returns ``(span_cost, head_cost, unit)``: the bytes (fallback:
+        rows, when any spanned file predates byte stats) of every
+        spanned commit's removed+added files vs the head's total;
+        ``(None, None, None)`` when the span is unpriceable (stats
+        disabled, or ``last`` no longer retained — the fold will refuse
+        on retention anyway). Compact/analyze commits are skipped,
+        matching the feed's row-preserving contract."""
+        src = self.source
+        vs = src.versions(spark)
+        if last not in vs or src_head not in vs:
+            return None, None, None
+        span = [v for v in vs if last <= v <= src_head]
+        prev_m = src._read_manifest(spark, span[0])
+        prev_files = set(prev_m["files"])
+        pairs: list[tuple[dict, str]] = []  # (manifest holding stats, path)
+        for v in span[1:]:
+            m = src._read_manifest(spark, v)
+            cur = set(m["files"])
+            if m.get("op") not in ("compact", "analyze"):
+                pairs.extend((m, f) for f in cur - prev_files)
+                pairs.extend((prev_m, f) for f in prev_files - cur)
+            prev_files, prev_m = cur, m
+        head_m = src._read_manifest(spark, src_head)
+
+        def _total(ps):
+            by = rows = 0
+            ok_b = ok_r = True
+            for m, f in ps:
+                ent = (m.get("stats") or {}).get(f) or {}
+                b, r = ent.get("bytes"), ent.get("rows")
+                if b is None:
+                    ok_b = False
+                else:
+                    by += b
+                if r is None:
+                    ok_r = False
+                else:
+                    rows += r
+            return (by if ok_b else None), (rows if ok_r else None)
+
+        span_b, span_r = _total(pairs)
+        head_b, head_r = _total((head_m, f) for f in head_m["files"])
+        if span_b is not None and head_b is not None:
+            return span_b, head_b, "bytes"
+        if span_r is not None and head_r is not None:
+            return span_r, head_r, "rows"
+        return None, None, None
+
     def _try_fold(self, spark: SparkSession, last: int, src_head: int,
                   tag: str) -> dict | None:
         """CDF-driven refresh across an overwrite (r11): consume
         ``read_changes`` and fold signed partials — deletes/update
         pre-images retract, inserts/post-images add, groups whose
         presence counter reaches zero drop. Cost = the span's
-        removed+added files, never the corpus. Returns None when not
+        removed+added files, never the corpus (the caller's cost gate
+        guarantees that bound BEFORE any I/O). Returns None when not
         foldable — a non-retractable aggregate (min/max/HLL), a
         pre-r11 state schema, or a span no longer retained — and the
-        caller rebuilds, exactly as before."""
+        caller repairs or rebuilds."""
         if any(
             kind not in _RETRACTABLE
             for kind, _col in self.aggregates.values()
@@ -269,14 +363,91 @@ class IncrementalAggregate:
         self.state.overwrite(merged, tag=tag)
         return {"mode": "fold", "source_version": src_head}
 
+    def _try_repair(self, spark: SparkSession, last: int, src_head: int,
+                    tag: str) -> dict | None:
+        """Group-scoped repair for non-retractable aggregates (r12):
+        after a DML span, the groups whose rows changed are exactly the
+        change feed's groups — recompute THOSE groups' partials from
+        the source head (the group-key in-list prunes files whose
+        stats intervals exclude every affected key, so a layout that
+        clusters groups rescans a file subset; a broadcast semi-join
+        makes the recompute exact even when per-column in-lists
+        over-select composite keys) and carry every untouched group's
+        state row unchanged. A group whose last row died simply emits
+        no partial and drops. Returns None — caller rebuilds — when
+        the span is unretained, the state predates the presence
+        counter, a feed group key is NULL (an in-list cannot address
+        it), or the affected-group count exceeds the bounded-metadata
+        cap."""
+        state = self.state.read(spark)
+        if _NROWS not in state.columns:
+            return None
+        try:
+            changes = self.source.read_changes(
+                spark, last, src_head, keys=self.source_keys
+            )
+        except ValueError:
+            return None
+        keys = self.group_keys
+        aff = (
+            changes.select(*[F.col(f"`{k}`") for k in keys])
+            .distinct()
+            .limit(_REPAIR_MAX_GROUPS + 1)
+            .collect()
+        )
+        if len(aff) > _REPAIR_MAX_GROUPS:
+            return None
+        if any(r[i] is None for r in aff for i in range(len(keys))):
+            return None
+        if not aff:
+            # row-preserving span (the feed emitted nothing): state is
+            # already correct — commit it under the tag so the source
+            # version advances and replay stays idempotent
+            merged = state.localCheckpoint(eager=True)
+            self.state.overwrite(merged, tag=tag)
+            return {
+                "mode": "repair", "source_version": src_head,
+                "repaired_groups": 0,
+            }
+        where: Any = (
+            {keys[0]: {"in": [r[0] for r in aff]}}
+            if len(keys) == 1
+            else {"and": [
+                {k: {"in": sorted({r[i] for r in aff})}}
+                for i, k in enumerate(keys)
+            ]}
+        )
+        pruned, total = self.source.prune_files(spark, where)
+        pruned = len(pruned)
+        aff_df = spark.createDataFrame(
+            [tuple(r) for r in aff], schema=state.select(*keys).schema
+        )
+        rows = self.source.read(spark, where=where).join(
+            F.broadcast(aff_df), on=keys, how="left_semi"
+        )
+        repaired = self._merge(self._partial(rows))
+        kept = state.join(F.broadcast(aff_df), on=keys, how="left_anti")
+        merged = kept.unionByName(repaired).localCheckpoint(eager=True)
+        self.state.overwrite(merged, tag=tag)
+        return {
+            "mode": "repair", "source_version": src_head,
+            "repaired_groups": len(aff),
+            "files_scanned": pruned, "files_total": total,
+        }
+
     def refresh(self, spark: SparkSession) -> dict:
         """Bring the state up to the source head. Returns a report row:
         mode is 'noop' (already current), 'initial' (first build),
         'delta' (merged read_incremental's files only), 'fold' (the
         increment spanned an overwrite but every aggregate retracts —
-        the change feed folded at DML-slice cost), or 'rebuild' (a
-        non-retractable aggregate met an overwrite — full recompute,
-        the only sound answer). Commits are tagged with the source
+        the change feed folded at DML-slice cost), 'repair' (a
+        non-retractable aggregate met a DML — only the feed's affected
+        groups recomputed from source, untouched state carried), or
+        'rebuild' (full recompute: a corpus-sized span — the priced
+        cost gate — or no cheaper mode applies). Overwrite-class
+        refreshes carry the manifest-priced span-vs-head cost
+        (``priced_span`` / ``priced_head`` / ``priced_unit``) that
+        drove the decision. Commits are tagged with the source
         version, so a crashed refresh replays idempotently and a
         concurrent refresher loses the commit lock instead of
         double-applying."""
@@ -298,12 +469,34 @@ class IncrementalAggregate:
                 spark, last, src_head, where=self.where
             )
         except ValueError:
-            folded = self._try_fold(spark, last, src_head, tag)
-            if folded is not None:
-                return folded
+            span_cost, head_cost, unit = self._span_cost(
+                spark, last, src_head
+            )
+            priced = {
+                "priced_span": span_cost, "priced_head": head_cost,
+                "priced_unit": unit,
+            }
+            # fold/repair only while the span is provably cheaper than
+            # the head it would replace (a full overwrite's CDF diff
+            # reads ~2× the corpus; the rebuild reads it once) — an
+            # unpriceable span (stats off) keeps the r11 fold behavior
+            factor = self.fold_cost_factor
+            affordable = (
+                factor is None
+                or span_cost is None
+                or head_cost is None
+                or span_cost <= factor * head_cost
+            )
+            if affordable:
+                folded = self._try_fold(spark, last, src_head, tag)
+                if folded is not None:
+                    return {**folded, **priced}
+                repaired = self._try_repair(spark, last, src_head, tag)
+                if repaired is not None:
+                    return {**repaired, **priced}
             merged = self._merge(self._partial(self.source.read(spark)))
             self.state.overwrite(merged, tag=tag)
-            return {"mode": "rebuild", "source_version": src_head}
+            return {"mode": "rebuild", "source_version": src_head, **priced}
         state = self.state.read(spark)
         new_parts = self._partial(delta)
         if set(state.columns) != set(new_parts.columns):

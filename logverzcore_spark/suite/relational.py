@@ -5707,18 +5707,20 @@ def q143_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q144_mv_fold_after_dml",
     oracle="""
     WITH cuts AS (
-      SELECT CAST(FLOOR(MAX(o_orderkey) / 3.0) AS BIGINT) AS c1,
-             CAST(FLOOR(MAX(o_orderkey) * 2 / 3.0) AS BIGINT) AS c2
+      SELECT CAST(FLOOR(MAX(o_orderkey) / 5.0) AS BIGINT) AS c1,
+             CAST(FLOOR(MAX(o_orderkey) / 2.0) AS BIGINT) AS c2,
+             CAST(FLOOR(MAX(o_orderkey) * 3 / 5.0) AS BIGINT) AS c3
       FROM orders
     ),
     final AS (
-      SELECT CASE WHEN o.o_orderkey % 5 = 2 AND o.o_orderkey >= cuts.c1
-                       AND o.o_orderkey < cuts.c2
+      SELECT CASE WHEN o.o_orderkey % 5 = 2 AND o.o_orderkey >= cuts.c2
+                       AND o.o_orderkey < cuts.c3
                   THEN 'MRG' ELSE o.o_orderpriority END AS pr,
              CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
-             + CASE WHEN o.o_orderkey >= cuts.c2 THEN 7
-                    WHEN o.o_orderkey % 5 = 2 AND o.o_orderkey >= cuts.c1
-                    THEN 11 ELSE 0 END AS cents
+             + CASE WHEN o.o_orderkey % 5 = 2 AND o.o_orderkey >= cuts.c2
+                         AND o.o_orderkey < cuts.c3 THEN 11
+                    WHEN o.o_orderkey >= cuts.c2 AND o.o_orderkey < cuts.c3
+                    THEN 7 ELSE 0 END AS cents
       FROM orders o, cuts
       WHERE o.o_orderkey % 3 = 0 AND o.o_orderkey >= cuts.c1
       UNION ALL
@@ -5726,7 +5728,7 @@ def q143_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
       FROM orders o, cuts
       WHERE o.o_orderkey % 3 = 1 AND o.o_orderkey % 5 = 2
-        AND o.o_orderkey < cuts.c1
+        AND o.o_orderkey >= cuts.c2 AND o.o_orderkey < cuts.c3
     )
     SELECT pr, CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(cents) AS BIGINT) AS total_cents
@@ -5740,13 +5742,17 @@ def q144_mv_fold_after_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescanning the corpus — each refresh consumes read_changes and
     folds signed partials (deletes/pre-images retract, inserts/
     post-images add), asserted in-entry to run in 'fold' mode (the
-    pre-r11 answer was a full rebuild for every one of these). The
-    final MV state hash-matches the flat oracle of the fully-mutated
-    source. 100 TB story: the MV's refresh cost after a DML is the
-    DML's own file slice + group cardinality — a one-user erasure
-    against a 100 TB source costs the downstream dashboard a few
-    files, not a rescan. min/max/HLL MVs keep the rebuild answer
-    (pytest covers both)."""
+    pre-r11 answer was a full rebuild for every one of these). r12
+    adds the manifest-priced cost gate: each refresh row now carries
+    priced_span/priced_head (the span's removed+added bytes vs the
+    head's — zero-I/O arithmetic), asserted in-entry to admit the
+    fold, and the DMLs here are genuinely narrow key bands of a
+    16-file range layout, so the slice prices well under the head —
+    exactly the 100 TB shape (a replace-the-corpus span prices ~2×
+    head and rebuilds instead; pytest covers the gate's both sides).
+    The final MV state hash-matches the flat oracle of the
+    fully-mutated source. min/max/HLL MVs take the r12 group-scoped
+    'repair' (pytest)."""
     import shutil
     import tempfile
     import uuid as _uuid
@@ -5759,14 +5765,14 @@ def q144_mv_fold_after_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix=f"q144_{_uuid.uuid4().hex[:8]}_")
     try:
         hi = int(orders.agg(F.max("o_orderkey")).first()[0])
-        c1, c2 = hi // 3, hi * 2 // 3
+        c1, c2, c3 = hi // 5, hi // 2, hi * 3 // 5
         t = SnapshotTable(os.path.join(work, "src"))
         base = orders.where(k % 3 == 0).select(
             k, "o_orderpriority",
             F.floor(F.col("o_totalprice") * 100 + 0.5)
             .cast("long").alias("cents"),
         )
-        t.append(base.repartitionByRange(4, "o_orderkey"))
+        t.append(base.repartitionByRange(16, "o_orderkey"))
         mv = IncrementalAggregate(
             t, os.path.join(work, "state"), ["o_orderpriority"],
             {"n_rows": ("count", None), "total_cents": ("sum", "cents")},
@@ -5774,14 +5780,20 @@ def q144_mv_fold_after_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         assert mv.refresh(spark)["mode"] == "initial"
 
+        def _fold(rep):
+            # the default cost gate ADMITTED the fold: slice < head
+            assert rep["mode"] == "fold", rep
+            assert rep["priced_span"] <= rep["priced_head"], rep
+
         t.delete_where(spark, {"o_orderkey": {"lt": c1}})
-        assert mv.refresh(spark)["mode"] == "fold"
+        _fold(mv.refresh(spark))
         t.update_where(
-            spark, {"o_orderkey": {"gte": c2}}, {"cents": "cents + 7"}
+            spark, {"o_orderkey": {"between": [c2, c3 - 1]}},
+            {"cents": "cents + 7"},
         )
-        assert mv.refresh(spark)["mode"] == "fold"
+        _fold(mv.refresh(spark))
         src = orders.where(
-            (k % 3 == 0) & (k % 5 == 2) & (k >= c1) & (k < c2)
+            (k % 3 == 0) & (k % 5 == 2) & (k >= c2) & (k < c3)
         ).select(
             k, F.lit("MRG").alias("o_orderpriority"),
             (
@@ -5790,7 +5802,7 @@ def q144_mv_fold_after_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents"),
         ).unionByName(
             orders.where(
-                (k % 3 == 1) & (k % 5 == 2) & (k < c1)
+                (k % 3 == 1) & (k % 5 == 2) & (k >= c2) & (k < c3)
             ).select(
                 k, F.lit("MRG-NEW").alias("o_orderpriority"),
                 F.floor(F.col("o_totalprice") * 100 + 0.5)
@@ -5798,7 +5810,7 @@ def q144_mv_fold_after_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         t.merge_into(spark, src, on="o_orderkey")
-        assert mv.refresh(spark)["mode"] == "fold"
+        _fold(mv.refresh(spark))
 
         out = (
             mv.result(spark)

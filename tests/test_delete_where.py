@@ -125,6 +125,10 @@ def test_delete_triggers_mv_rebuild(spark, tmpdir_path):
         _mkroot(tmpdir_path, "mv"),
         ["g"],
         {"n": ("count", None), "total": ("sum", "v")},
+        # g is id%8: the delete rewrites both of this tiny fixture's
+        # files, so the r12 cost gate would (rightly) rebuild — off,
+        # to exercise the fold path
+        fold_cost_factor=None,
     )
     assert mv.refresh(spark)["mode"] == "initial"
     src.append(df.where("id >= 200").coalesce(1))

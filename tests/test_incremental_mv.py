@@ -113,7 +113,13 @@ def test_overwrite_triggers_rebuild(spark, tmpdir_path):
     src.append(_df(spark, 0, 300))
     mv.refresh(spark)
     src.overwrite(_df(spark, 100, 200))  # compaction/correction
-    assert mv.refresh(spark)["mode"] == "rebuild"
+    rep = mv.refresh(spark)
+    assert rep["mode"] == "rebuild"
+    # r12 cost gate: the replace-the-corpus span priced at removed
+    # (300 rows) + added (100 rows) > head (100 rows) — the report
+    # carries both numbers that drove the decision
+    assert rep["priced_unit"] in ("bytes", "rows")
+    assert rep["priced_span"] > rep["priced_head"] > 0
     _check_exact(mv, spark, _df(spark, 100, 200))
 
 
@@ -207,6 +213,10 @@ def test_mv_fold_across_dml_matches_recompute(spark, tmpdir_path):
         t, _os.path.join(root, "state"), ["g"],
         {"n": ("count", None), "s": ("sum", "v"), "m": ("avg", "v")},
         source_keys=["k"],
+        # machinery test: the 1-4-file fixture makes every DML rewrite
+        # ~all bytes, so the r12 cost gate would (correctly) rebuild —
+        # disable it to exercise the fold algebra itself
+        fold_cost_factor=None,
     )
     assert mv.refresh(spark)["mode"] == "initial"
 
@@ -274,10 +284,15 @@ def test_mv_fold_nonretractable_rebuilds_and_null_sum_edge(spark, tmpdir_path):
     mv = IncrementalAggregate(
         t, _os.path.join(root, "state"), ["g"],
         {"hi": ("max", "v"), "n": ("count", None)},
+        fold_cost_factor=None,
     )
     mv.refresh(spark)
     t.delete_where(spark, {"v": {"gte": 50}})
-    assert mv.refresh(spark)["mode"] == "rebuild"  # max met a delete
+    # r12: max met a delete — no longer a full rebuild: the feed's
+    # affected groups (all 4 here) are recomputed from source, mode
+    # 'repair'
+    rep = mv.refresh(spark)
+    assert rep["mode"] == "repair" and rep["repaired_groups"] == 4
     got = {r["g"]: r["hi"] for r in mv.result(spark).collect()}
     assert got == {0: 48, 1: 49, 2: 46, 3: 47}
 
@@ -289,16 +304,19 @@ def test_mv_fold_nonretractable_rebuilds_and_null_sum_edge(spark, tmpdir_path):
     ).coalesce(1))
     mv2 = IncrementalAggregate(
         t2, _os.path.join(root, "state2"), ["g"],
-        {"s": ("sum", "v")}, source_keys=["k"],
+        {"s": ("sum", "v"), "m": ("avg", "v")}, source_keys=["k"],
+        fold_cost_factor=None,
     )
     mv2.refresh(spark)
     t2.delete_where(spark, {"k": {"eq": 1}})
     assert mv2.refresh(spark)["mode"] == "fold"
-    got = {r["g"]: r["s"] for r in mv2.result(spark).collect()}
-    want = {r["g"]: r["s"] for r in t2.read(spark).groupBy("g").agg(
-        F.sum("v").alias("s")
+    # avg shares the guard: cnt==0 must finalize to NULL, not raise
+    # DIVIDE_BY_ZERO under Spark 4's default ANSI mode (r11 ADVICE)
+    got = {r["g"]: (r["s"], r["m"]) for r in mv2.result(spark).collect()}
+    want = {r["g"]: (r["s"], r["m"]) for r in t2.read(spark).groupBy("g").agg(
+        F.sum("v").alias("s"), F.avg("v").alias("m")
     ).collect()}
-    assert got == want == {1: None, 2: 5}
+    assert got == want == {1: (None, None), 2: (5, 5.0)}
 
 
 def test_mv_fold_where_predicate_boundary(spark, tmpdir_path):
@@ -322,6 +340,7 @@ def test_mv_fold_where_predicate_boundary(spark, tmpdir_path):
         t, _os.path.join(root, "state"), ["g"],
         {"n": ("count", None), "s": ("sum", "v")},
         where={"v": {"gte": 20}}, source_keys=["k"],
+        fold_cost_factor=None,
     )
     mv.refresh(spark)
     # rows 30..39 LEAVE the predicate (v -> v-25), rows 10..14 ENTER
@@ -338,3 +357,189 @@ def test_mv_fold_where_predicate_boundary(spark, tmpdir_path):
         ).collect()
     }
     assert got == want
+
+
+def _mixed_mv(t, root, **kw):
+    from logverzcore_spark.incremental import IncrementalAggregate
+    return IncrementalAggregate(
+        t, root, ["g"],
+        {
+            "n": ("count", None), "s": ("sum", "v"),
+            "lo": ("min", "v"), "hi": ("max", "v"),
+            "u": ("approx_distinct", "k"),
+        },
+        source_keys=["k"], **kw,
+    )
+
+
+def _mixed_want(t, spark):
+    return {
+        r["g"]: (r["n"], r["s"], r["lo"], r["hi"])
+        for r in t.read(spark).groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+            F.min("v").alias("lo"), F.max("v").alias("hi"),
+        ).collect()
+    }
+
+
+def test_repair_equals_recompute_across_dml(spark, tmpdir_path):
+    """r12: a min/max/HLL MV follows DML through mode 'repair' — only
+    the change feed's groups are recomputed from source, untouched
+    groups carry — and every repair equals a from-scratch recompute
+    of the head, including group extinction."""
+    import os as _os
+    import uuid as _uuid
+
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    root = _os.path.join(str(tmpdir_path), f"rep_{_uuid.uuid4().hex[:6]}")
+    t = SnapshotTable(_os.path.join(root, "src"))
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 8).cast("int").alias("g"),
+        (F.col("id") * 7 % 1000).alias("v"),
+    )
+    t.append(df.repartition(3))
+    mv = _mixed_mv(t, _os.path.join(root, "state"), fold_cost_factor=None)
+    assert mv.refresh(spark)["mode"] == "initial"
+
+    def check():
+        got = {
+            r["g"]: (r["n"], r["s"], r["lo"], r["hi"])
+            for r in mv.result(spark).collect()
+        }
+        assert got == _mixed_want(t, spark)
+
+    # delete touches groups 0..7 (k in [100,149] covers every g)
+    t.delete_where(spark, {"k": {"between": [100, 149]}})
+    rep = mv.refresh(spark)
+    assert rep["mode"] == "repair" and rep["repaired_groups"] == 8
+    check()
+    # update: pre+post images mark the groups; v changes, g doesn't
+    t.update_where(spark, {"k": {"lt": 20}}, {"v": "v + 5000"})
+    rep = mv.refresh(spark)
+    assert rep["mode"] == "repair"
+    check()
+    # merge with an insert into a fresh group value and a delete
+    src = spark.createDataFrame(
+        [(5000, 9, 1), (0, 0, -1)], "k long, g int, v long"
+    )
+    t.merge_into(spark, src, on="k")
+    rep = mv.refresh(spark)
+    assert rep["mode"] == "repair"
+    check()
+    # extinction: delete every row of g=9 — repair must drop the group
+    t.delete_where(spark, {"g": {"eq": 9}})
+    rep = mv.refresh(spark)
+    assert rep["mode"] == "repair" and rep["repaired_groups"] == 1
+    check()
+    assert not [r for r in mv.result(spark).collect() if r["g"] == 9]
+    assert mv.refresh(spark)["mode"] == "noop"
+
+
+def test_repair_clustered_layout_prunes_files(spark, tmpdir_path):
+    """When the layout clusters the group key, repair's rescan is
+    file-pruned by the affected-group in-list: the report proves a
+    strict file subset was scanned."""
+    import os as _os
+    import uuid as _uuid
+
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    root = _os.path.join(str(tmpdir_path), f"rcl_{_uuid.uuid4().hex[:6]}")
+    t = SnapshotTable(_os.path.join(root, "src"))
+    df = spark.range(0, 800).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 16).cast("int").alias("g"),
+        F.col("id").alias("v"),
+    )
+    t.append(df.repartitionByRange(8, "g"))  # groups cluster per file
+    mv = _mixed_mv(t, _os.path.join(root, "state"), fold_cost_factor=None)
+    mv.refresh(spark)
+    t.delete_where(spark, {"and": [{"g": {"eq": 3}}, {"k": {"lt": 400}}]})
+    rep = mv.refresh(spark)
+    assert rep["mode"] == "repair" and rep["repaired_groups"] == 1
+    assert 0 < rep["files_scanned"] < rep["files_total"]
+    got = {
+        r["g"]: (r["n"], r["s"], r["lo"], r["hi"])
+        for r in mv.result(spark).collect()
+    }
+    assert got == _mixed_want(t, spark)
+
+
+def test_repair_null_group_key_falls_back_to_rebuild(spark, tmpdir_path):
+    """A NULL group key in the feed cannot be addressed by the repair
+    in-list (SQL equality) — the refresh must answer with the rebuild,
+    never a silently-stale NULL-group row."""
+    import os as _os
+    import uuid as _uuid
+
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    root = _os.path.join(str(tmpdir_path), f"rnl_{_uuid.uuid4().hex[:6]}")
+    t = SnapshotTable(_os.path.join(root, "src"))
+    t.append(spark.createDataFrame(
+        [(1, None, 10), (2, None, 20), (3, 1, 5), (4, 1, 7)],
+        "k long, g int, v long",
+    ).coalesce(1))
+    mv = _mixed_mv(t, _os.path.join(root, "state"), fold_cost_factor=None)
+    mv.refresh(spark)
+    t.delete_where(spark, {"k": {"eq": 1}})  # a NULL-g row dies
+    rep = mv.refresh(spark)
+    assert rep["mode"] == "rebuild"
+    got = {
+        r["g"]: (r["n"], r["s"], r["lo"], r["hi"])
+        for r in mv.result(spark).collect()
+    }
+    assert got == _mixed_want(t, spark)
+    assert got[None] == (1, 20, 20, 20)
+
+
+def test_fold_cost_gate_discriminates_slice_from_corpus(spark, tmpdir_path):
+    """The default gate (fold_cost_factor=1.0) folds a narrow DML
+    slice of a many-file table and rebuilds a half-table rewrite —
+    priced from manifests alone, both numbers in the report."""
+    import os as _os
+    import uuid as _uuid
+
+    from logverzcore_spark.incremental import IncrementalAggregate
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    root = _os.path.join(str(tmpdir_path), f"gate_{_uuid.uuid4().hex[:6]}")
+    t = SnapshotTable(_os.path.join(root, "src"))
+    df = spark.range(0, 3200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).cast("int").alias("g"),
+        F.col("id").alias("v"),
+    )
+    t.append(df.repartitionByRange(16, "k"))
+    mv = IncrementalAggregate(
+        t, _os.path.join(root, "state"), ["g"],
+        {"n": ("count", None), "s": ("sum", "v")}, source_keys=["k"],
+    )
+    mv.refresh(spark)
+
+    def check():
+        got = {
+            r["g"]: (r["n"], r["s"]) for r in mv.result(spark).collect()
+        }
+        want = {
+            r["g"]: (r["n"], r["s"])
+            for r in t.read(spark).groupBy("g").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+            ).collect()
+        }
+        assert got == want
+
+    # narrow slice: ~1/16 of the key range -> a file or two rewritten
+    t.delete_where(spark, {"k": {"between": [0, 199]}})
+    rep = mv.refresh(spark)
+    assert rep["mode"] == "fold", rep
+    assert rep["priced_span"] <= rep["priced_head"]
+    check()
+    # half-table rewrite: span prices past the head -> rebuild
+    t.update_where(spark, {"k": {"gte": 1600}}, {"v": "v + 1"})
+    rep = mv.refresh(spark)
+    assert rep["mode"] == "rebuild", rep
+    assert rep["priced_span"] > rep["priced_head"]
+    check()
