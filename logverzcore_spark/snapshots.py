@@ -139,6 +139,16 @@ _VRE = re.compile(r"^v(\d+)\.json$")
 _TAG_SUFFIX_RE = re.compile(r"^(.*:batch-)(\d+)$")
 _RECENT_TAGS_MAX = 64
 
+#: r10's floor split (ANY digit-suffixed tag) — consulted READ-ONLY:
+#: manifests written under r10 compressed one-off tags like "report-2"
+#: into tag_floors, and a pre-upgrade redelivery older than the recent
+#: window must still no-op. New code never WRITES floors under these
+#: prefixes (only ":batch-" compresses), so the legacy lookup can only
+#: match entries r10 left behind; the r10 footgun (a NEW "report-1"
+#: judged applied because "report-2" was) therefore stays confined to
+#: prefixes r10 already poisoned, and shrinks to zero on fresh tables.
+_LEGACY_TAG_SUFFIX_RE = re.compile(r"^(.*?)(\d+)$")
+
 
 def _tag_seen(head: dict | None, tag: str) -> bool:
     """Replay-idempotence check against a head manifest's compressed
@@ -147,7 +157,7 @@ def _tag_seen(head: dict | None, tag: str) -> bool:
         return False
     if tag in head.get("all_tags", []) or tag in head.get("recent_tags", []):
         return True
-    m = _TAG_SUFFIX_RE.match(tag)
+    m = _TAG_SUFFIX_RE.match(tag) or _LEGACY_TAG_SUFFIX_RE.match(tag)
     if m:
         floor = head.get("tag_floors", {}).get(m.group(1))
         if floor is not None and int(m.group(2)) <= floor:
@@ -1617,12 +1627,20 @@ class SnapshotTable:
         older_than: Any = None,
         orphan_grace_s: float = 900.0,
         keep_versions: list[int] | None = None,
-    ) -> int:
+        return_report: bool = False,
+    ) -> int | dict:
         """Drop manifests outside the retention set and delete every
         data COMMIT DIR none of the kept manifests reference (incl.
         orphans from crashed commits — whole dirs, so _SUCCESS markers
         and empty uuid dirs don't accumulate as inode/listing junk on
-        a long stream). Returns dirs deleted.
+        a long stream). Returns dirs deleted — or, with
+        ``return_report=True``, ``{"deleted", "kept_in_grace",
+        "erasure_pending"}``: ``kept_in_grace`` counts unreferenced
+        data dirs the in-flight grace kept THIS sweep, and
+        ``erasure_pending`` flags that physical bytes therefore remain
+        on disk until they age past ``orphan_grace_s`` and a later
+        vacuum reclaims them — the number a compliance caller must
+        watch (see the GDPR note below).
 
         Retention composes by UNION (Delta's retention shape):
 
@@ -1639,7 +1657,14 @@ class SnapshotTable:
           This is also the GDPR schedule hook: ``delete_where`` is
           complete erasure only after a vacuum whose cutoff passes the
           delete (the pre-delete rows live on in prior versions until
-          their manifests drop).
+          their manifests drop) — AND, because of the in-flight grace
+          below, a vacuum fired within ``orphan_grace_s`` of the
+          delete DEFERS the physical reclaim of the just-retired dirs
+          even after their manifests drop (time travel is gone, bytes
+          are not — yet). Erasure-on-a-deadline callers must either
+          schedule the vacuum past the grace, pass a smaller
+          ``orphan_grace_s`` after quiescing writers, or watch
+          ``return_report``'s ``erasure_pending`` and re-vacuum.
         - ``keep_versions`` pins EXPLICIT versions into the retained
           set regardless of count/age — what the Engine's cataloged
           snapshot pins need: a registered view's version must never
@@ -1711,11 +1736,13 @@ class SnapshotTable:
             return mt >= head_mt or mt >= now - orphan_grace_s
 
         deleted = 0
+        kept_in_grace = 0
         if fs.exists(jpath(self.data)):
             for st in fs.listStatus(jpath(self.data)):
                 p = st.getPath().toString()
                 if st.isDirectory() and p not in referenced_dirs:
                     if _in_grace(st.getModificationTime() / 1000.0):
+                        kept_in_grace += 1
                         continue
                     fs.delete(st.getPath(), True)
                     deleted += 1
@@ -1752,6 +1779,12 @@ class SnapshotTable:
                     self.backend.delete(mpath)
                 else:
                     fs.delete(jpath(mpath), False)
+        if return_report:
+            return {
+                "deleted": deleted,
+                "kept_in_grace": kept_in_grace,
+                "erasure_pending": kept_in_grace > 0,
+            }
         return deleted
 
     def compact(

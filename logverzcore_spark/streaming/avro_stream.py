@@ -168,6 +168,7 @@ def snapshot_append_stream(
     root: str,
     checkpoint_dir: str | None = None,
     available_now: bool = True,
+    retries: int = 0,
 ) -> StreamingQuery:
     """Exactly-once streaming commits into a
     :class:`~logverzcore_spark.snapshots.SnapshotTable`: every
@@ -199,7 +200,13 @@ def snapshot_append_stream(
     ckid = hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:12]
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        table.append(batch_df, tag=f"{ckid}:batch-{int(batch_id)}")
+        # retries re-points the batch's already-written files at a
+        # newer head on CommitConflict (append's documented conflict
+        # semantics; the tag keeps the retry replay-safe) — an
+        # always-on ingest survives a concurrent compact/vacuum
+        table.append(
+            batch_df, tag=f"{ckid}:batch-{int(batch_id)}", retries=retries
+        )
     writer = stream_df.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint
     )
@@ -218,6 +225,7 @@ def cdc_merge_stream(
     when_not_matched: str = "insert",
     delete_col: str | None = None,
     available_now: bool = True,
+    retries: int = 0,
 ) -> StreamingQuery:
     """Streaming CDC APPLY into a
     :class:`~logverzcore_spark.snapshots.SnapshotTable`: every
@@ -255,8 +263,21 @@ def cdc_merge_stream(
     upserts are then APPLIED AS AN APPEND under the same batch tag —
     semantically identical (nothing can match an empty table, so
     every row is an insert) and replay-safe through the same tag.
-    With ``when_not_matched='ignore'`` the bootstrap batch is a no-op
-    instead (inserts are off).
+    With ``when_not_matched='ignore'`` the bootstrap batch lands
+    nothing — but its tag STILL burns (an empty tagged commit), as
+    does a tombstone side skipped against an empty table: a lost-
+    checkpoint full redelivery must no-op on these batches rather
+    than apply them against LATER state (e.g. replayed batch-1
+    tombstones deleting keys a later batch inserted).
+
+    ``retries`` threads to every merge/append the stream lands
+    (merge re-RUNS against the freshly-read head, append re-points —
+    each op's documented conflict semantics; the batch tag keeps
+    every retry replay-safe), so an always-on CDC stream survives an
+    owner's concurrent maintenance write — ``Engine.snapshot_compact``
+    / ``snapshot_vacuum`` on the same table — instead of dying on the
+    first :class:`CommitConflict` (threaded pytest proves the
+    mid-drain compaction converges byte-identically).
 
     Suite st38 grades the drained end state against a flat-table
     oracle (st39 the tombstone path); replay (lost checkpoint, same
@@ -280,13 +301,20 @@ def cdc_merge_stream(
         has nothing to merge into yet."""
         if _empty_head(sp):
             if when_not_matched == "insert":
-                table.append(batch_df, tag=tag)
-            return  # inserts off + empty table: provably nothing to do
+                table.append(batch_df, tag=tag, retries=retries)
+            else:
+                # inserts off + empty table: provably nothing lands,
+                # but the tag must burn anyway — a lost-checkpoint
+                # full redelivery would otherwise re-apply this batch
+                # against LATER state (r11 ADVICE)
+                table.append(batch_df.limit(0), tag=tag, retries=retries)
+            return
         table.merge_into(
             sp, batch_df, on,
             when_matched=when_matched,
             when_not_matched=when_not_matched,
             tag=tag,
+            retries=retries,
         )
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
@@ -305,13 +333,20 @@ def cdc_merge_stream(
         dels = batch_df.where(tomb).drop(delete_col)
         if ups.head(1):
             _apply(sp, ups, f"{ckid}:u:batch-{int(batch_id)}")
-        if dels.head(1) and not _empty_head(sp):
-            table.merge_into(
-                sp, dels, on,
-                when_matched="delete",
-                when_not_matched="ignore",
-                tag=f"{ckid}:d:batch-{int(batch_id)}",
-            )
+        if dels.head(1):
+            dtag = f"{ckid}:d:batch-{int(batch_id)}"
+            if _empty_head(sp):
+                # tombstones against an empty table: semantic no-op,
+                # tag burned regardless — see _apply's bootstrap note
+                table.append(dels.limit(0), tag=dtag, retries=retries)
+            else:
+                table.merge_into(
+                    sp, dels, on,
+                    when_matched="delete",
+                    when_not_matched="ignore",
+                    tag=dtag,
+                    retries=retries,
+                )
 
     writer = stream_df.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint

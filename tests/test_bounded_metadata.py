@@ -132,6 +132,36 @@ def test_digit_ending_oneoff_tags_stay_cumulative():
     assert _tag_seen(h, "ck:batch-4")  # streaming floor semantics kept
 
 
+def test_r10_poisoned_floor_still_noops_on_read_side():
+    """r11-ADVICE upgrade seam: manifests written under r10 compressed
+    ANY digit-suffixed tag into tag_floors (e.g. 'report-' -> 2).
+    Narrowing the WRITE side to ':batch-' fixed the data-loss footgun,
+    but a pre-upgrade redelivery of 'report-2' — older than the recent
+    window, living only in that legacy floor — must STILL no-op:
+    _tag_seen consults legacy floors read-only for any digit-suffixed
+    tag. New work above the floor applies; new code never writes such
+    floors (the previous test pins that), so the poisoned population
+    can only shrink."""
+    poisoned = {
+        "files": [],
+        "all_tags": [],
+        "recent_tags": [],
+        "tag_floors": {"report-": 2, "ck:batch-": 7},
+    }
+    # pre-upgrade redeliveries no-op (replay idempotence across the
+    # upgrade — the duplicate-commit shape the ADVICE named)
+    assert _tag_seen(poisoned, "report-2")
+    assert _tag_seen(poisoned, "report-1")  # r10 judged it applied too
+    assert not _tag_seen(poisoned, "report-3")  # above the floor: new
+    assert not _tag_seen(poisoned, "other-1")  # unpoisoned prefix
+    assert _tag_seen(poisoned, "ck:batch-7")
+    # the legacy floor is CARRIED, not re-expanded, by later commits
+    all_tags, recent, floors = _fold_tags(poisoned, "manual")
+    assert floors == {"report-": 2, "ck:batch-": 7}
+    h = {"all_tags": all_tags, "recent_tags": recent, "tag_floors": floors}
+    assert _tag_seen(h, "report-2") and not _tag_seen(h, "report-3")
+
+
 def test_legacy_cumulative_history_compresses_on_first_commit():
     """A pre-r10 manifest carries every tag verbatim in all_tags; the
     first post-upgrade commit folds numeric-suffixed ones into floors

@@ -349,7 +349,9 @@ def test_cdc_merge_stream_bootstraps_empty_table(spark, tmpdir_path):
     assert t.read(spark, where={"id": 1}).first()["v"] == -1
     assert t.history(spark)[0]["op"] == "merge"
 
-    # inserts off + empty table: provably nothing to do, stream healthy
+    # inserts off + empty table: nothing lands, but the tag BURNS as
+    # an empty commit (r11 ADVICE: a lost-checkpoint redelivery must
+    # no-op on this batch, not re-apply it against later state)
     root2 = _mkroot(tmpdir_path, "cdcboot2")
     t2 = SnapshotTable(root2)
     ck3 = os.path.join(str(tmpdir_path), f"ckc_{uuid.uuid4().hex[:6]}")
@@ -357,7 +359,15 @@ def test_cdc_merge_stream_bootstraps_empty_table(spark, tmpdir_path):
         spark, spark.readStream.schema(schema).parquet(src), root2,
         on="id", when_not_matched="ignore", checkpoint_dir=ck3,
     ).awaitTermination()
-    assert t2.versions(spark) == []
+    vs2 = t2.versions(spark)
+    assert len(vs2) >= 1 and t2.count(spark) == 0
+    # redelivery of the burned no-op batches: zero new versions
+    shutil.rmtree(ck3)
+    cdc_merge_stream(
+        spark, spark.readStream.schema(schema).parquet(src), root2,
+        on="id", when_not_matched="ignore", checkpoint_dir=ck3,
+    ).awaitTermination()
+    assert t2.versions(spark) == vs2
 
 
 def test_cdc_merge_stream_tombstone_routing(spark, tmpdir_path):
@@ -410,3 +420,185 @@ def test_cdc_merge_stream_tombstone_routing(spark, tmpdir_path):
     ).awaitTermination()
     assert len(t.versions(spark)) == n
     assert t.count(spark) == 50
+
+
+def test_cdc_tombstones_on_empty_table_burn_tag_before_later_inserts(
+    spark, tmpdir_path
+):
+    """The r11-ADVICE redelivery hazard, end to end: batch 0 is pure
+    tombstones against a still-empty table (a semantic no-op — but its
+    tag must BURN), batch 1 inserts those very keys. After a lost
+    checkpoint the full feed redelivers; without the burned tag the
+    replayed batch-0 tombstones would delete the keys batch 1
+    inserted (batch 1 itself no-ops on its own tag) — converging on a
+    WRONG end state. With the burn, redelivery is a pure no-op."""
+    import os
+    import shutil
+    import time as _time
+
+    from logverzcore_spark.streaming.avro_stream import cdc_merge_stream
+
+    root = _mkroot(tmpdir_path, "cdcburn")
+    t = SnapshotTable(root)  # empty: no committed version yet
+
+    src = os.path.join(str(tmpdir_path), f"cdcn_{uuid.uuid4().hex[:6]}")
+    sch = "id long, v long, __deleted boolean"
+    # file 1 (older mtime): tombstones only
+    spark.createDataFrame([(5, 0, True), (6, 0, True)], sch) \
+        .coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)  # distinct mtimes: stable file->batch order
+    # file 2: inserts for the same keys
+    spark.createDataFrame([(5, 50, False), (6, 60, False)], sch) \
+        .coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    ck = os.path.join(str(tmpdir_path), f"ckn_{uuid.uuid4().hex[:6]}")
+
+    def drain():
+        cdc_merge_stream(
+            spark,
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(src),
+            root, on="id", delete_col="__deleted", checkpoint_dir=ck,
+        ).awaitTermination()
+
+    drain()
+    want = {(5, 50), (6, 60)}
+    assert {(r["id"], r["v"]) for r in t.read(spark).collect()} == want
+    n = len(t.versions(spark))
+    # lost checkpoint: the whole feed redelivers file-by-file in the
+    # same order; every side's tag is already burned, incl. the
+    # empty-table tombstone batch
+    shutil.rmtree(ck)
+    drain()
+    assert {(r["id"], r["v"]) for r in t.read(spark).collect()} == want
+    assert len(t.versions(spark)) == n
+
+
+def test_cdc_merge_stream_retries_survive_commit_conflict(
+    spark, tmpdir_path, monkeypatch
+):
+    """retries= threads through every merge the stream lands: a
+    deterministic injected CommitConflict on the first merge commit
+    kills a retries=0 stream but converges a retries=1 stream (the
+    batch re-runs against the freshly-read head — merge's documented
+    conflict semantics; the tag keeps the retry replay-safe)."""
+    import os
+
+    from logverzcore_spark.snapshots import CommitConflict, SnapshotTable as ST
+    from logverzcore_spark.streaming.avro_stream import cdc_merge_stream
+
+    def seed(which):
+        root = _mkroot(tmpdir_path, f"cdcrt_{which}")
+        t = SnapshotTable(root)
+        t.append(
+            spark.range(0, 40).withColumn("v", F.col("id")).coalesce(2)
+        )
+        src = os.path.join(str(tmpdir_path), f"rtf_{uuid.uuid4().hex[:6]}")
+        spark.createDataFrame(
+            [(3, 300), (777, 7770)], "id long, v long"
+        ).coalesce(1).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        ck = os.path.join(str(tmpdir_path), f"rtc_{uuid.uuid4().hex[:6]}")
+        return root, t, src, schema, ck
+
+    real_commit = ST._commit
+
+    def arm():
+        state = {"fired": False}
+
+        def inject(self, spark_, files, tag, parent, parent_version,
+                   *a, **kw):
+            if not state["fired"] and kw.get("op") == "merge":
+                state["fired"] = True
+                raise CommitConflict("injected concurrent maintenance")
+            return real_commit(
+                self, spark_, files, tag, parent, parent_version, *a, **kw
+            )
+
+        monkeypatch.setattr(ST, "_commit", inject)
+        return state
+
+    # retries=0: the conflict kills the stream (the pre-r12 behavior)
+    root, t, src, schema, ck = seed("a")
+    arm()
+    q = cdc_merge_stream(
+        spark, spark.readStream.schema(schema).parquet(src), root,
+        on="id", checkpoint_dir=ck,
+    )
+    with pytest.raises(Exception, match="injected"):
+        q.awaitTermination()
+    monkeypatch.setattr(ST, "_commit", real_commit)
+
+    # retries=1: the batch re-runs and the stream completes
+    root, t, src, schema, ck = seed("b")
+    state = arm()
+    cdc_merge_stream(
+        spark, spark.readStream.schema(schema).parquet(src), root,
+        on="id", checkpoint_dir=ck, retries=1,
+    ).awaitTermination()
+    assert state["fired"]  # the conflict really happened mid-commit
+    monkeypatch.setattr(ST, "_commit", real_commit)
+    got = {(r["id"], r["v"]) for r in t.read(spark).collect()}
+    assert (3, 300) in got and (777, 7770) in got
+    assert len(got) == 41
+
+
+def test_cdc_stream_survives_real_concurrent_compaction(spark, tmpdir_path):
+    """Threaded, non-injected: an owner compacts the table WHILE a
+    retries=3 CDC stream drains many batches. Whatever interleaving
+    the scheduler picks, the stream must complete and the end state
+    must equal the no-compactor truth (compaction is row-preserving;
+    merges re-run on conflict)."""
+    import os
+    import threading
+
+    from logverzcore_spark.streaming.avro_stream import cdc_merge_stream
+
+    root = _mkroot(tmpdir_path, "cdccc")
+    t = SnapshotTable(root)
+    t.append(spark.range(0, 200).withColumn("v", F.col("id")).coalesce(4))
+
+    src = os.path.join(str(tmpdir_path), f"ccf_{uuid.uuid4().hex[:6]}")
+    for i in range(6):  # 6 files -> 6 micro-batches
+        spark.createDataFrame(
+            [(i * 10 + j, 10_000 + i * 10 + j) for j in range(8)],
+            "id long, v long",
+        ).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    ck = os.path.join(str(tmpdir_path), f"ccc_{uuid.uuid4().hex[:6]}")
+
+    import time as _time
+
+    stop = threading.Event()
+    errors: list[Exception] = []
+
+    def compactor():
+        maint = SnapshotTable(root)
+        for _ in range(3):
+            if stop.is_set():
+                return
+            try:
+                maint.compact(spark, target_files=2, retries=20)
+            except Exception as e:  # pragma: no cover - surfaced below
+                errors.append(e)
+                return
+            _time.sleep(0.3)
+
+    th = threading.Thread(target=compactor, daemon=True)
+    th.start()
+    try:
+        cdc_merge_stream(
+            spark,
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(src),
+            root, on="id", checkpoint_dir=ck, retries=20,
+        ).awaitTermination()
+    finally:
+        stop.set()
+        th.join(timeout=120)
+    assert not errors, errors
+    got = {(r["id"], r["v"]) for r in t.read(spark).collect()}
+    want = {(i, i) for i in range(200)} - {
+        (i * 10 + j, i * 10 + j) for i in range(6) for j in range(8)
+    } | {(i * 10 + j, 10_000 + i * 10 + j) for i in range(6) for j in range(8)}
+    assert got == want

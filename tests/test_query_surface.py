@@ -1120,7 +1120,9 @@ def test_engine_snapshot_dml_owner_gated_and_audited(spark, tmpdir_path):
     with _pytest.raises(PermissionError, match="read access does not"):
         eng.snapshot_delete_where("corp", {"id": 1}, user=reader)
     last = audit.entries()[-1]
-    assert last.Status == "error" and last.Mode == "snapshot_delete"
+    # r12: permission refusals audit as "denied" on every gated
+    # surface, write gates included (reads already did)
+    assert last.Status == "denied" and last.Mode == "snapshot_delete"
 
     # the owner deletes; the default keeps the pin byte-stable
     v = eng.snapshot_delete_where("corp", {"id": {"lt": 10}}, user=owner)
@@ -1213,7 +1215,7 @@ def test_engine_snapshot_history_and_restore_gated_and_audited(spark, tmpdir_pat
     with _pytest.raises(PermissionError, match="read access does not"):
         eng.snapshot_restore("corph", version=2, user=reader)
     last = audit.entries()[-1]
-    assert last.Status == "error" and last.Mode == "snapshot_restore"
+    assert last.Status == "denied" and last.Mode == "snapshot_restore"
     assert t.count(spark) == 10  # nothing moved
 
     # the owner rolls back, repinning the view to the restored version
@@ -1272,7 +1274,7 @@ def test_engine_snapshot_compact_and_vacuum_gated_pin_protected(spark, tmpdir_pa
     assert [r.Mode for r in audit.entries()[-2:]] == [
         "snapshot_compact", "snapshot_vacuum"
     ]
-    assert all(r.Status == "error" for r in audit.entries()[-2:])
+    assert all(r.Status == "denied" for r in audit.entries()[-2:])
 
     # the owner compacts with repin: same rows, fewer files, view moves
     v = eng.snapshot_compact(

@@ -116,3 +116,41 @@ def test_vacuum_grace_protects_inflight_data_dir(spark, tmpdir_path):
     assert t.vacuum(spark, keep_last=10) >= 1
     assert not any(os.path.exists(_local(f)) for f in orphan)
     assert t.count(spark) == 125  # committed data untouched
+
+
+def test_vacuum_report_surfaces_grace_deferral(spark, tmpdir_path):
+    """r11-ADVICE: vacuum(older_than=now) right after delete_where
+    drops the manifests (time travel gone) while the grace keeps the
+    pre-delete bytes on disk — erasure looks complete but is pending.
+    The report must SAY so: kept_in_grace>0 / erasure_pending=True on
+    the deferred sweep, and a post-grace re-vacuum reclaims with a
+    clean report."""
+    t = SnapshotTable(_mkroot(tmpdir_path))
+    t.append(spark.range(0, 100).selectExpr("id", "id * 2 AS v").coalesce(1))
+    t.delete_where(spark, {"id": {"lt": 50}})
+    rep = t.vacuum(
+        spark, keep_last=1, older_than=time.time() + 1, return_report=True
+    )
+    # the retired pre-delete dir is inside the grace: deferral reported
+    assert rep["kept_in_grace"] >= 1 and rep["erasure_pending"] is True
+    assert len(t.versions(spark)) == 1  # manifests DID drop
+    # age the unreferenced dirs past the grace (the scheduled re-run)
+    data_root = os.path.join(_localroot(t), "data")
+    head_files = {os.path.dirname(_local(f)) for f in t._manifest(
+        spark, t.versions(spark)[-1]
+    )}
+    old = time.time() - 86400
+    for d in os.listdir(data_root):
+        full = os.path.join(data_root, d)
+        if full not in head_files:
+            os.utime(full, (old, old))
+    rep2 = t.vacuum(
+        spark, keep_last=1, older_than=time.time() + 1, return_report=True
+    )
+    assert rep2["deleted"] >= 1 and rep2["erasure_pending"] is False
+    assert t.count(spark) == 50  # head untouched
+
+
+def _localroot(t):
+    r = t.root
+    return r[len("file:"):] if r.startswith("file:") else r
