@@ -38,7 +38,10 @@ groupBy aggregate INCREMENTALLY against a :class:`SnapshotTable` source:
 
 - the fold is COST-GATED (r12): before consuming the feed, the span is
   priced from manifest stats alone (zero I/O) — the sum of every
-  spanned commit's removed+added bytes versus the head's total bytes.
+  spanned commit's removed+added rows versus the head's total (bytes
+  when row stats are absent; rows lead because parquet's per-file
+  overhead distorts byte pricing exactly in the small-file regime DML
+  rewrites produce).
   A full ``overwrite()`` commit makes the CDF diff read ~2× the corpus
   where a rebuild is one scan; the gate detects exactly that shape and
   picks the rebuild, reporting both priced numbers in the refresh row.
@@ -115,8 +118,9 @@ class IncrementalAggregate:
 
     ``fold_cost_factor`` tunes the overwrite-span admission gate:
     fold/repair consume the change feed only while the span's
-    removed+added bytes (manifest-priced, zero I/O) stay within
-    ``factor × head bytes`` — past that a rebuild reads strictly less.
+    removed+added rows (manifest-priced, zero I/O; bytes when row
+    stats are absent) stay within ``factor × head`` — past that a
+    rebuild reads strictly less.
     The default 1.0 is the break-even: the CDF diff reads both sides
     of every spanned rewrite, so a replace-the-corpus commit prices at
     ~2× head and correctly rebuilds. ``None`` disables the gate
@@ -274,13 +278,17 @@ class IncrementalAggregate:
         """Price the change-feed span against a rebuild from manifest
         stats ALONE — zero data I/O, the same removed-vs-added file
         arithmetic ``read_changes`` performs, summed instead of read.
-        Returns ``(span_cost, head_cost, unit)``: the bytes (fallback:
-        rows, when any spanned file predates byte stats) of every
+        Returns ``(span_cost, head_cost, unit)``: the ROWS (fallback:
+        bytes, when any spanned file predates row stats) of every
         spanned commit's removed+added files vs the head's total;
         ``(None, None, None)`` when the span is unpriceable (stats
         disabled, or ``last`` no longer retained — the fold will refuse
-        on retention anyway). Compact/analyze commits are skipped,
-        matching the feed's row-preserving contract."""
+        on retention anyway). Rows lead because they price the diff
+        join's work scale-faithfully at EVERY table size — byte
+        pricing is distorted by parquet's fixed per-file overhead
+        exactly in the small-file regime where DML rewrites land (at
+        large scale the two are proportional). Compact/analyze commits
+        are skipped, matching the feed's row-preserving contract."""
         src = self.source
         vs = src.versions(spark)
         if last not in vs or src_head not in vs:
@@ -316,10 +324,10 @@ class IncrementalAggregate:
 
         span_b, span_r = _total(pairs)
         head_b, head_r = _total((head_m, f) for f in head_m["files"])
-        if span_b is not None and head_b is not None:
-            return span_b, head_b, "bytes"
         if span_r is not None and head_r is not None:
             return span_r, head_r, "rows"
+        if span_b is not None and head_b is not None:
+            return span_b, head_b, "bytes"
         return None, None, None
 
     def _try_fold(self, spark: SparkSession, last: int, src_head: int,

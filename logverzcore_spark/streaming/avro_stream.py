@@ -291,6 +291,25 @@ def cdc_merge_stream(
         tempfile.gettempdir(), f"lvz_cdcstream_{uuid.uuid4().hex[:8]}"
     )
     ckid = hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:12]
+    fold = _make_cdc_fold(
+        table, ckid, on, when_matched, when_not_matched, delete_col,
+        retries,
+    )
+    writer = stream_df.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _make_cdc_fold(
+    table, ckid: str, on, when_matched: str, when_not_matched: str,
+    delete_col: str | None, retries: int,
+):
+    """The per-micro-batch CDC apply (cdc_merge_stream's core), as a
+    reusable closure so derived consumers (cdc_mv_stream) can compose
+    their own work after the same tag-disciplined apply."""
 
     def _empty_head(sp) -> bool:
         head_v, head = table._head(sp)
@@ -347,6 +366,63 @@ def cdc_merge_stream(
                     tag=dtag,
                     retries=retries,
                 )
+
+    return fold
+
+
+def cdc_mv_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    mv,
+    on,
+    checkpoint_dir: str | None = None,
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    delete_col: str | None = None,
+    available_now: bool = True,
+    retries: int = 0,
+    on_refresh=None,
+) -> StreamingQuery:
+    """Streaming CDF CONSUMER (r12): follow a snapshot table through
+    DML and keep a maintained aggregate current — the streaming
+    composition of the q144 fold. Every micro-batch:
+
+    1. applies the CDC feed to ``mv.source`` exactly as
+       :func:`cdc_merge_stream` would (same tag discipline, tombstone
+       routing, bootstrap, ``retries`` — one shared implementation);
+    2. calls ``mv.refresh()``, whose overwrite-class path consumes
+       ``SnapshotTable.read_changes`` for PRECISELY the commits the
+       batch just landed and folds signed partials — so the
+       downstream dashboard follows each DML at the DML's own file
+       slice + group cardinality, never a source rescan (the
+       manifest-priced cost gate still arbitrates; a corpus-sized
+       batch would rebuild, reported as such).
+
+    Crash windows compose from the layers' own idempotence: a crash
+    between the merge and the refresh leaves the state one span
+    behind — the NEXT trigger's refresh folds the multi-commit span
+    (read_changes spans versions); a lost checkpoint redelivers every
+    batch, the merges no-op on their tags, the source version does
+    not move, and every refresh is a srcv-tag noop. ``on_refresh``
+    (driver-side callback, one refresh-report dict per trigger) lets
+    callers grade the mode/priced decision per batch — suite st40
+    asserts 'fold' with span<=head on every one."""
+    import hashlib
+
+    checkpoint = checkpoint_dir or os.path.join(
+        tempfile.gettempdir(), f"lvz_cdcmv_{uuid.uuid4().hex[:8]}"
+    )
+    ckid = hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:12]
+    apply_batch = _make_cdc_fold(
+        mv.source, ckid, on, when_matched, when_not_matched, delete_col,
+        retries,
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        apply_batch(batch_df, batch_id)
+        report = mv.refresh(batch_df.sparkSession)
+        if on_refresh is not None:
+            on_refresh(report)
 
     writer = stream_df.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint
