@@ -967,6 +967,186 @@ class Engine:
         )
         return report
 
+    # -- Maintained materialized views (catalog Type "MV", r12) ------------
+
+    def register_materialized(
+        self,
+        name: str,
+        source_root: str,
+        state_root: str,
+        group_keys: list[str],
+        aggregates: dict,
+        where=None,
+        source_keys: list[str] | None = None,
+        fold_cost_factor: float | None = 1.0,
+        user: User = ADMIN,
+        access: list[str] | None = None,
+        refresh: bool = True,
+    ) -> dict:
+        """Register an :class:`IncrementalAggregate` as a CATALOGED,
+        ACL'd maintained analysis — the reference's saved-analyses
+        ('A' type, RecordQuery) parity extended to analyses that
+        MAINTAIN THEMSELVES at delta/DML-slice cost instead of
+        re-running. The entry (Type='MV') records the full spec in
+        QuerySettings (SourceRoot/StateRoot/GroupKeys/Aggregates/
+        Where/SourceKeys/FoldCostFactor), so any Engine instance
+        reconstructs the same maintained view; Owners=[registrar],
+        Access=``access`` gate it exactly like a snapshot pin:
+        granted readers call :meth:`materialized_result` /
+        :meth:`materialized_staleness`, only owners/admin call
+        :meth:`materialized_refresh`. Registration needs
+        admin/poweruser (it binds filesystem roots), the slot is
+        owner-gated against shadowing (delete_table's rule), and
+        ``refresh=True`` runs the initial build as the registrar.
+        Returns the initial refresh report (or {'mode': 'deferred'})."""
+        if not (user.is_admin or user.is_poweruser):
+            raise PermissionError(
+                "register_materialized requires admin/poweruser"
+            )
+        import re as _re
+
+        from logverzcore_spark.catalog import CatalogEntry
+
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"invalid view name {name!r}")
+        existing = self.catalog.for_table(name, "default")
+        if existing is not None and not existing.owned_by(user):
+            raise PermissionError(
+                f"{name!r} already cataloged and owned by "
+                f"{existing.Owners}; cannot shadow it"
+            )
+        # spec validation up front (unsupported aggregates refuse NOW,
+        # not at the first refresh)
+        from logverzcore_spark.incremental import IncrementalAggregate
+        from logverzcore_spark.snapshots import SnapshotTable
+
+        IncrementalAggregate(
+            SnapshotTable(source_root), state_root, list(group_keys),
+            {a: (k, c) for a, (k, c) in dict(aggregates).items()},
+            where=where, source_keys=source_keys,
+            fold_cost_factor=fold_cost_factor,
+        )
+        self.catalog.record_query(
+            CatalogEntry(
+                TableName=name,
+                DatabaseName="default",
+                Type="MV",
+                QuerySettings={
+                    "SourceRoot": source_root,
+                    "StateRoot": state_root,
+                    "GroupKeys": list(group_keys),
+                    "Aggregates": {
+                        a: [k, c] for a, (k, c) in dict(aggregates).items()
+                    },
+                    "Where": where,
+                    "SourceKeys": (
+                        list(source_keys) if source_keys else None
+                    ),
+                    "FoldCostFactor": fold_cost_factor,
+                },
+                Owners=[user.name],
+                Access=access or [],
+            ),
+            deactivate_older=True,
+        )
+        if refresh:
+            return self.materialized_refresh(name, user=user)
+        return {"mode": "deferred"}
+
+    def _materialized_for(self, name: str):
+        """Reconstruct the IncrementalAggregate a Type='MV' entry
+        records. Raises ValueError for unknown/non-MV names."""
+        entry = self.catalog.for_table(name, "default")
+        if entry is None or entry.Type != "MV":
+            raise ValueError(f"no cataloged materialized view named {name!r}")
+        from logverzcore_spark.incremental import IncrementalAggregate
+        from logverzcore_spark.snapshots import SnapshotTable
+
+        qs = entry.QuerySettings
+        mv = IncrementalAggregate(
+            SnapshotTable(qs["SourceRoot"]),
+            qs["StateRoot"],
+            list(qs["GroupKeys"]),
+            {a: (kc[0], kc[1]) for a, kc in qs["Aggregates"].items()},
+            where=qs.get("Where"),
+            source_keys=qs.get("SourceKeys"),
+            fold_cost_factor=qs.get("FoldCostFactor", 1.0),
+        )
+        return entry, mv
+
+    def materialized_result(self, name: str, user: User = ADMIN):
+        """The maintained aggregate, finalized — READ-gated on
+        Owners/Access exactly like querying a cataloged view (the MV
+        state is derived from data a read grant exposes); zero source
+        I/O (state-table read, group-cardinality rows). Denials
+        audited."""
+        entry, mv = self._materialized_for(name)
+        if not entry.visible_to(user):
+            self._audit(
+                user, "materialized_result", "result", [name], "denied",
+                f"{user.name} not in Owners/Access",
+            )
+            raise PermissionError(
+                f"{user.name} may not read materialized view {name!r}"
+            )
+        return mv.result(self.spark)
+
+    def materialized_staleness(self, name: str, user: User = ADMIN) -> dict:
+        """How far behind its source the MV is — READ-gated. Returns
+        {reflects (source version the state folded), source_head,
+        stale}: the dashboard's "data as of" probe, at pure manifest
+        cost."""
+        entry, mv = self._materialized_for(name)
+        if not entry.visible_to(user):
+            self._audit(
+                user, "materialized_staleness", "staleness", [name],
+                "denied", f"{user.name} not in Owners/Access",
+            )
+            raise PermissionError(
+                f"{user.name} may not read materialized view {name!r}"
+            )
+        reflects = mv.source_version(self.spark)
+        vs = mv.source.versions(self.spark)
+        head = vs[-1] if vs else None
+        return {
+            "reflects": reflects,
+            "source_head": head,
+            "stale": reflects != head,
+        }
+
+    def materialized_refresh(self, name: str, user: User = ADMIN) -> dict:
+        """Bring a cataloged MV up to its source head — a WRITE
+        (commits to the state table), so owner/admin-gated like every
+        snapshot write: a read grant lets you consume the dashboard,
+        not pay (or race) its maintenance. Audited on success with the
+        refresh report's mode and manifest-priced span/head numbers
+        (the r12 cost-gate decision trail); refusals audit as
+        'denied'. Returns the refresh report."""
+        desc = "refresh"
+        try:
+            entry, mv = self._materialized_for(name)
+            if not (user.is_admin or entry.owned_by(user)):
+                raise PermissionError(
+                    f"{user.name} may not refresh materialized view "
+                    f"{name!r} owned by {entry.Owners} — read access "
+                    "does not grant writes"
+                )
+            report = mv.refresh(self.spark)
+        except Exception as e:
+            status = "denied" if isinstance(e, PermissionError) else "error"
+            self._audit(
+                user, "materialized_refresh", desc, [name], status, str(e)
+            )
+            raise
+        self._audit(
+            user, "materialized_refresh",
+            f"refresh mode={report.get('mode')} "
+            f"priced_span={report.get('priced_span')} "
+            f"priced_head={report.get('priced_head')}",
+            [name],
+        )
+        return report
+
     # -- Saved analyses (catalog Type "A", N7) -----------------------------
     def save_query(
         self,

@@ -1309,3 +1309,109 @@ def test_engine_snapshot_compact_and_vacuum_gated_pin_protected(spark, tmpdir_pa
     assert t.read(spark, 2).count() == 100
     modes = [r.Mode for r in audit.entries()]
     assert modes.count("snapshot_vacuum") >= 2  # refusal + success
+
+
+def test_engine_materialized_view_surface_gated_and_audited(spark, tmpdir_path):
+    """r12: IncrementalAggregate gets the Engine surface — a cataloged
+    Type='MV' maintained analysis. Mirrors the snapshot owner-gate
+    battery: a GRANTED non-admin reads result()/staleness but cannot
+    refresh (denied + audited); the owner refreshes through DML with
+    the report's mode/priced trail in the audit row; the spec
+    round-trips through a fresh Engine from the catalog alone."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.audit import AuditLog
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    audit = AuditLog()
+    cat = Catalog(path=f"{tmpdir_path}/mvcat.jsonl")
+    eng = Engine(spark, cat, audit=audit)
+    root = os.path.join(str(tmpdir_path), "mvsrc")
+    state = os.path.join(str(tmpdir_path), "mvstate")
+    t = SnapshotTable(root)
+    t.append(
+        spark.range(0, 400).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("int").alias("g"),
+            (F.col("id") * 3).alias("v"),
+        ).repartitionByRange(8, "k")
+    )
+
+    owner = User(name="own", groups=[], is_admin=False, is_poweruser=True)
+    reader = User(name="rdr", groups=["research"])
+    stranger = User(name="eve", groups=["elsewhere"])
+
+    # plain users cannot bind filesystem roots into the catalog
+    with pytest.raises(PermissionError, match="admin/poweruser"):
+        eng.register_materialized(
+            "mv_sales", root, state, ["g"], {"n": ("count", None)},
+            user=reader,
+        )
+    # unsupported aggregates refuse at REGISTRATION, not first refresh
+    with pytest.raises(ValueError, match="not incrementally mergeable"):
+        eng.register_materialized(
+            "mv_bad", root, state, ["g"], {"p": ("percentile", "v")},
+            user=owner,
+        )
+
+    rep = eng.register_materialized(
+        "mv_sales", root, state, ["g"],
+        {"n": ("count", None), "s": ("sum", "v")},
+        source_keys=["k"], user=owner, access=["research"],
+    )
+    assert rep["mode"] == "initial"
+
+    # granted reader consumes the dashboard...
+    got = {
+        r["g"]: (r["n"], r["s"])
+        for r in eng.materialized_result("mv_sales", user=reader).collect()
+    }
+    assert got[0][0] == 100
+    stale = eng.materialized_staleness("mv_sales", user=reader)
+    assert stale == {"reflects": 1, "source_head": 1, "stale": False}
+    # ...a stranger does not (denied + audited)
+    with pytest.raises(PermissionError, match="may not read"):
+        eng.materialized_result("mv_sales", user=stranger)
+    last = audit.entries()[-1]
+    assert last.Status == "denied" and last.Mode == "materialized_result"
+
+    # the reader cannot PAY the maintenance: refresh is a write
+    t.delete_where(spark, {"k": {"between": [0, 49]}})
+    assert eng.materialized_staleness("mv_sales", user=reader)["stale"]
+    with pytest.raises(PermissionError, match="does not grant writes"):
+        eng.materialized_refresh("mv_sales", user=reader)
+    last = audit.entries()[-1]
+    assert last.Status == "denied" and last.Mode == "materialized_refresh"
+
+    # the owner refreshes; the audit row carries the priced decision
+    rep = eng.materialized_refresh("mv_sales", user=owner)
+    assert rep["mode"] == "fold" and rep["priced_span"] <= rep["priced_head"]
+    last = audit.entries()[-1]
+    assert last.Status == "ok" and "mode=fold" in last.Query
+    assert "priced_span=" in last.Query
+
+    # a FRESH Engine reconstructs the maintained view from the catalog
+    eng2 = Engine(spark, Catalog(path=f"{tmpdir_path}/mvcat.jsonl"),
+                  audit=AuditLog())
+    got = {
+        r["g"]: (r["n"], r["s"])
+        for r in eng2.materialized_result("mv_sales", user=reader).collect()
+    }
+    want = {
+        r["g"]: (r["n"], r["s"])
+        for r in t.read(spark).groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        ).collect()
+    }
+    assert got == want
+
+    # the slot is owner-gated against shadowing
+    other = User(name="usurper", groups=[], is_admin=False,
+                 is_poweruser=True)
+    with pytest.raises(PermissionError, match="cannot shadow"):
+        eng.register_materialized(
+            "mv_sales", root, state + "_2", ["g"],
+            {"n": ("count", None)}, user=other,
+        )
