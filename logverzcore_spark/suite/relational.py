@@ -5825,3 +5825,126 @@ def q144_mv_fold_after_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+@query(
+    "q145_mv_repair_after_dml",
+    oracle="""
+    WITH cuts AS (
+      SELECT MAX(o_orderkey) AS hi,
+             CAST(FLOOR(MAX(o_orderkey) * 2 / 16.0) AS BIGINT) AS s1,
+             CAST(FLOOR(MAX(o_orderkey) * 4 / 16.0) AS BIGINT) AS e1,
+             CAST(FLOOR(MAX(o_orderkey) * 6 / 16.0) AS BIGINT) AS s2,
+             CAST(FLOOR(MAX(o_orderkey) * 7 / 16.0) AS BIGINT) AS e2
+      FROM orders
+    ),
+    final AS (
+      SELECT CAST(FLOOR(o.o_orderkey * 20.0 / (c.hi + 1)) AS BIGINT) AS g,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+             + CASE WHEN o.o_orderkey >= c.s2 AND o.o_orderkey < c.e2
+                    THEN 7 ELSE 0 END AS cents
+      FROM orders o, cuts c
+      WHERE o.o_orderkey % 3 = 0
+        AND NOT (o.o_orderkey >= c.s1 AND o.o_orderkey < c.e1)
+    )
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents
+    FROM final GROUP BY g ORDER BY g
+    """,
+)
+def q145_mv_repair_after_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-scoped MV REPAIR across DML (r12 — q144's twin for the
+    non-retractable algebra): a min/max/count/sum IncrementalAggregate
+    follows its source through a GDPR band erasure and a band
+    redaction update. min/max cannot fold a retraction (the evicted
+    extremum needs its runner-up) and pre-r12 the answer was a full
+    rebuild; now the refresh runs in 'repair' mode — the change feed's
+    affected GROUPS (and only those) are recomputed from source, every
+    untouched group's state row carries, and a group whose band died
+    entirely DROPS (extinction, asserted in-entry). The group key is
+    a key-range bucket, so the range layout CLUSTERS groups per file
+    and the repair's group-key in-list prunes the rescan to a file
+    subset — asserted in-entry (0 < files_scanned < files_total),
+    with a data-relative bound on repaired_groups (a 2/16-wide key
+    band intersects at most 4 of the 20 buckets) and the priced gate
+    admitting the span. Final MV state hash-matches the flat oracle.
+    100 TB story: a narrow erasure against a min/max dashboard costs
+    the DML slice + the affected groups' clustered file subset, never
+    a corpus rescan — and when groups do NOT cluster, the same
+    refresh honestly prices toward the rebuild instead of claiming
+    slice cost."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.incremental import IncrementalAggregate
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    work = tempfile.mkdtemp(prefix=f"q145_{_uuid.uuid4().hex[:8]}_")
+    try:
+        hi = int(orders.agg(F.max("o_orderkey")).first()[0])
+        # the erase band is 2/16 of the keyspace — wider than one
+        # 1/20 bucket, so at least one bucket dies ENTIRELY
+        s1, e1 = hi * 2 // 16, hi * 4 // 16
+        s2, e2 = hi * 6 // 16, hi * 7 // 16
+        cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        t = SnapshotTable(os.path.join(work, "src"))
+        t.append(
+            orders.where(k % 3 == 0).select(
+                k,
+                F.floor(k * 20 / F.lit(hi + 1)).alias("g"),
+                cents.alias("cents"),
+            ).repartitionByRange(16, "o_orderkey")
+        )
+        mv = IncrementalAggregate(
+            t, os.path.join(work, "state"), ["g"],
+            {
+                "n_rows": ("count", None),
+                "total_cents": ("sum", "cents"),
+                "min_cents": ("min", "cents"),
+                "max_cents": ("max", "cents"),
+            },
+            source_keys=["o_orderkey"],
+        )
+        assert mv.refresh(spark)["mode"] == "initial"
+        before = {r["g"] for r in mv.result(spark).select("g").collect()}
+
+        def _repair(rep):
+            assert rep["mode"] == "repair", rep
+            # a <=2/16 key band intersects at most
+            # floor(20*2/16)+2 = 4 buckets
+            assert 0 < rep["repaired_groups"] <= 4, rep
+            assert 0 < rep["files_scanned"] < rep["files_total"], rep
+            assert rep["priced_span"] <= rep["priced_head"], rep
+
+        # GDPR erasure of one key band
+        t.delete_where(spark, {"o_orderkey": {"between": [s1, e1 - 1]}})
+        _repair(mv.refresh(spark))
+        # extinction: buckets fully inside the erased band dropped
+        after = {r["g"] for r in mv.result(spark).select("g").collect()}
+        assert after < before, "erased band's interior buckets must drop"
+        # redaction update on a second band
+        t.update_where(
+            spark, {"o_orderkey": {"between": [s2, e2 - 1]}},
+            {"cents": "cents + 7"},
+        )
+        _repair(mv.refresh(spark))
+
+        out = (
+            mv.result(spark)
+            .select(
+                F.col("g").cast("long").alias("g"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("total_cents").cast("long").alias("total_cents"),
+                F.col("min_cents").cast("long").alias("min_cents"),
+                F.col("max_cents").cast("long").alias("max_cents"),
+            )
+            .orderBy("g")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
