@@ -438,6 +438,7 @@ def incremental_mv_stream(
     mv,
     checkpoint_dir: str | None = None,
     available_now: bool = True,
+    retries: int = 0,
 ) -> StreamingQuery:
     """Streaming maintained aggregate: every micro-batch (a) appends to
     the MV's source :class:`SnapshotTable` as one tagged version (the
@@ -463,7 +464,12 @@ def incremental_mv_stream(
     ckid = hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:12]
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        mv.source.append(batch_df, tag=f"{ckid}:batch-{int(batch_id)}")
+        # retries: the source append re-points on CommitConflict (an
+        # always-on dashboard survives a concurrent compact/vacuum on
+        # its source — same contract as snapshot_append_stream)
+        mv.source.append(
+            batch_df, tag=f"{ckid}:batch-{int(batch_id)}", retries=retries
+        )
         mv.refresh(batch_df.sparkSession)
 
     writer = stream_df.writeStream.foreachBatch(fold).option(
