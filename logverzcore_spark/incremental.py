@@ -54,8 +54,10 @@ groupBy aggregate INCREMENTALLY against a :class:`SnapshotTable` source:
   when the layout clusters groups) and carries every untouched group's
   state row unchanged: mode 'repair', cost = the DML slice + the
   affected groups' source rows. Corpus-sized spans, NULL group keys
-  (an in-list cannot address them) and affected-group counts past the
-  bounded-metadata cap fall back to the rebuild.
+  (an in-list cannot address them), affected-group counts past the
+  bounded-metadata cap, and layouts that do NOT cluster the group key
+  (the priced rescan ≈ the corpus — a rebuild reads the same bytes
+  without the feed or the anti-join) fall back to the rebuild.
 
 Non-goals, stated loudly: distinct-exact and order-dependent aggregates
 (percentiles, first/last) are not incrementally mergeable from these
@@ -385,8 +387,12 @@ class IncrementalAggregate:
         no partial and drops. Returns None — caller rebuilds — when
         the span is unretained, the state predates the presence
         counter, a feed group key is NULL (an in-list cannot address
-        it), or the affected-group count exceeds the bounded-metadata
-        cap."""
+        it), the affected-group count exceeds the bounded-metadata
+        cap, or the PRICED RESCAN isn't worth it: when the layout does
+        not cluster the group key the in-list prunes nothing and the
+        repair would read ~the corpus plus the feed plus the state
+        anti-join — at or past ``fold_cost_factor × head`` rows
+        (manifest-priced, zero I/O) the rebuild is strictly simpler."""
         state = self.state.read(spark)
         if _NROWS not in state.columns:
             return None
@@ -425,8 +431,34 @@ class IncrementalAggregate:
                 for i, k in enumerate(keys)
             ]}
         )
-        pruned, total = self.source.prune_files(spark, where)
-        pruned = len(pruned)
+        kept_files, total = self.source.prune_files(spark, where)
+        if self.fold_cost_factor is not None:
+            # price the RESCAN like the span: on a layout that does
+            # not cluster the group key the in-list prunes nothing and
+            # recomputing the affected groups reads ~the corpus — plus
+            # the feed and the state anti-join the rebuild skips. At
+            # or past factor × head the rebuild is strictly simpler.
+            m = self.source._read_manifest(spark, src_head)
+            stats = m.get("stats") or {}
+
+            def _rows(fs):
+                tot = 0
+                for f in fs:
+                    r = (stats.get(f) or {}).get("rows")
+                    if r is None:
+                        return None
+                    tot += r
+                return tot
+
+            rescan, head_rows = _rows(kept_files), _rows(m["files"])
+            if (
+                rescan is not None
+                and head_rows is not None
+                and head_rows > 0
+                and rescan >= self.fold_cost_factor * head_rows
+            ):
+                return None
+        pruned = len(kept_files)
         aff_df = spark.createDataFrame(
             [tuple(r) for r in aff], schema=state.select(*keys).schema
         )

@@ -543,3 +543,63 @@ def test_fold_cost_gate_discriminates_slice_from_corpus(spark, tmpdir_path):
     assert rep["mode"] == "rebuild", rep
     assert rep["priced_span"] > rep["priced_head"]
     check()
+
+
+def test_repair_prices_unclustered_rescan_to_rebuild(spark, tmpdir_path):
+    """On a layout that does NOT cluster the group key, repair's
+    in-list prunes nothing — recomputing the affected groups reads
+    ~the corpus plus the feed plus the anti-join, so the default gate
+    must answer with the rebuild. The clustered twin (same data,
+    range-partitioned on g) repairs."""
+    import os as _os
+    import uuid as _uuid
+
+    from logverzcore_spark.incremental import IncrementalAggregate
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    root = _os.path.join(str(tmpdir_path), f"unc_{_uuid.uuid4().hex[:6]}")
+    df = spark.range(0, 3200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 16).cast("int").alias("g"),
+        F.col("id").alias("v"),
+    )
+
+    def mk(name, layout):
+        t = SnapshotTable(_os.path.join(root, name))
+        t.append(layout(df))
+        mv = IncrementalAggregate(
+            t, _os.path.join(root, name + "_mv"), ["g"],
+            {"hi": ("max", "v"), "n": ("count", None)},
+            source_keys=["k"],
+        )
+        mv.refresh(spark)
+        return t, mv
+
+    def check(t, mv):
+        got = {
+            r["g"]: (r["hi"], r["n"]) for r in mv.result(spark).collect()
+        }
+        want = {
+            r["g"]: (r["hi"], r["n"])
+            for r in t.read(spark).groupBy("g").agg(
+                F.max("v").alias("hi"), F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        assert got == want
+
+    # unclustered: g = k % 16 spread across every range file — the
+    # in-list keeps all files, the priced rescan == head -> rebuild
+    t1, mv1 = mk("rand", lambda d: d.repartitionByRange(16, "k"))
+    t1.delete_where(spark, {"k": {"between": [100, 139]}})
+    rep = mv1.refresh(spark)
+    assert rep["mode"] == "rebuild", rep
+    check(t1, mv1)
+
+    # clustered twin: a group-scoped delete (narrow in the layout
+    # dimension too) repairs with a pruned rescan
+    t2, mv2 = mk("clus", lambda d: d.repartitionByRange(16, "g"))
+    t2.delete_where(spark, {"and": [{"g": {"eq": 3}}, {"k": {"lt": 1600}}]})
+    rep = mv2.refresh(spark)
+    assert rep["mode"] == "repair", rep
+    assert rep["files_scanned"] < rep["files_total"]
+    check(t2, mv2)
