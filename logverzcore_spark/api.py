@@ -1121,7 +1121,14 @@ class Engine:
         not pay (or race) its maintenance. Audited on success with the
         refresh report's mode and manifest-priced span/head numbers
         (the r12 cost-gate decision trail); refusals audit as
-        'denied'. Returns the refresh report."""
+        'denied'. Returns the refresh report.
+
+        A successful refresh also (re-)registers the finalized result
+        as the session temp view ``name``, so granted readers query
+        the MV through the gated SQL surface (``Engine.sql``) exactly
+        like a snapshot pin — the catalog entry's Owners/Access gate
+        the name, and the view reflects the state version this
+        refresh committed (byte-stable until the next refresh)."""
         desc = "refresh"
         try:
             entry, mv = self._materialized_for(name)
@@ -1132,6 +1139,7 @@ class Engine:
                     "does not grant writes"
                 )
             report = mv.refresh(self.spark)
+            mv.result(self.spark).createOrReplaceTempView(name)
         except Exception as e:
             status = "denied" if isinstance(e, PermissionError) else "error"
             self._audit(

@@ -1392,6 +1392,24 @@ def test_engine_materialized_view_surface_gated_and_audited(spark, tmpdir_path):
     assert last.Status == "ok" and "mode=fold" in last.Query
     assert "priced_span=" in last.Query
 
+    # the refreshed MV is queryable through the GATED SQL surface —
+    # the catalog entry's Owners/Access gate the view name exactly
+    # like a snapshot pin, and the view reflects the folded state
+    got = {
+        r["g"]: r["n"]
+        for r in eng.sql(
+            "SELECT g, n FROM mv_sales", user=reader
+        ).collect()
+    }
+    assert got == {
+        r["g"]: r["n"]
+        for r in t.read(spark).groupBy("g").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    with pytest.raises(PermissionError, match="may not query"):
+        eng.sql("SELECT * FROM mv_sales", user=stranger)
+
     # a FRESH Engine reconstructs the maintained view from the catalog
     eng2 = Engine(spark, Catalog(path=f"{tmpdir_path}/mvcat.jsonl"),
                   audit=AuditLog())
