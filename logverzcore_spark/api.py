@@ -1434,11 +1434,30 @@ class Engine:
         refreshed = []
         for entry in self.catalog.list(user):
             qs = entry.QuerySettings
-            if (
-                entry.DatabaseName != database
-                or "SourceAnalysis" not in qs
-                or not entry.Active
-            ):
+            if entry.DatabaseName != database or not entry.Active:
+                continue
+            if entry.Type == "MV":
+                # maintained analyses (r12) join the same sweep: owned
+                # + stale -> one incremental refresh (delta/fold/
+                # repair at the refresh ladder's priced cost, never a
+                # re-materialize); failures skip-and-record like the
+                # saved-analysis path below
+                if not entry.owned_by(user):
+                    continue
+                try:
+                    if self.materialized_staleness(
+                        entry.TableName, user=user
+                    )["stale"]:
+                        self.materialized_refresh(entry.TableName, user=user)
+                        refreshed.append(entry.TableName)
+                except Exception as exc:
+                    self._audit(
+                        user, "refresh_failed", "mv refresh",
+                        [f"{database}.{entry.TableName}"], "invalid",
+                        f"{type(exc).__name__}: {exc}",
+                    )
+                continue
+            if "SourceAnalysis" not in qs:
                 continue
             # Visibility is broader than ownership (Access grants,
             # poweruser see-all): SKIP entries the sweeper may not

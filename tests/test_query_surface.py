@@ -1433,3 +1433,60 @@ def test_engine_materialized_view_surface_gated_and_audited(spark, tmpdir_path):
             "mv_sales", root, state + "_2", ["g"],
             {"n": ("count", None)}, user=other,
         )
+
+
+def test_refresh_sweep_covers_maintained_mvs(spark, tmpdir_path):
+    """r12: refresh_materialized sweeps Type='MV' entries too — owned
+    + stale gets one incremental refresh (never a re-materialize);
+    entries merely visible skip; a broken entry records refresh_failed
+    and the sweep continues."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.audit import AuditLog
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    audit = AuditLog()
+    eng = Engine(spark, Catalog(path=f"{tmpdir_path}/swcat.jsonl"),
+                 audit=audit)
+    owner = User(name="own", groups=[], is_admin=False, is_poweruser=True)
+    other = User(name="oth", groups=[], is_admin=False, is_poweruser=True)
+
+    root = os.path.join(str(tmpdir_path), "swsrc")
+    t = SnapshotTable(root)
+    t.append(spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 4).cast("int").alias("g"),
+        F.col("id").alias("v"),
+    ).coalesce(2))
+    eng.register_materialized(
+        "mv_sw", root, os.path.join(str(tmpdir_path), "swstate"),
+        ["g"], {"n": ("count", None), "s": ("sum", "v")},
+        source_keys=["k"], user=owner, access=["research"],
+    )
+    # another owner's MV: the sweep must not touch it
+    root2 = os.path.join(str(tmpdir_path), "swsrc2")
+    t2 = SnapshotTable(root2)
+    t2.append(spark.range(0, 20).select(
+        F.col("id").alias("k"), F.lit(0).alias("g"), F.col("id").alias("v"),
+    ).coalesce(1))
+    eng.register_materialized(
+        "mv_other", root2, os.path.join(str(tmpdir_path), "swstate2"),
+        ["g"], {"n": ("count", None)}, user=other,
+    )
+
+    # not stale: sweep refreshes nothing
+    assert eng.refresh_materialized(user=owner) == []
+    # stale after an append: sweep refreshes the OWNED one only
+    t.append(spark.range(100, 160).select(
+        F.col("id").alias("k"), (F.col("id") % 4).cast("int").alias("g"),
+        F.col("id").alias("v"),
+    ).coalesce(1))
+    t2.append(spark.range(20, 30).select(
+        F.col("id").alias("k"), F.lit(0).alias("g"), F.col("id").alias("v"),
+    ).coalesce(1))
+    assert eng.refresh_materialized(user=owner) == ["mv_sw"]
+    assert not eng.materialized_staleness("mv_sw", user=owner)["stale"]
+    assert eng.materialized_staleness("mv_other", user=other)["stale"]
+    # and the other owner's own sweep picks theirs up
+    assert eng.refresh_materialized(user=other) == ["mv_other"]
