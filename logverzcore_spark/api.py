@@ -979,6 +979,7 @@ class Engine:
         where=None,
         source_keys: list[str] | None = None,
         fold_cost_factor: float | None = 1.0,
+        state_keep_last: int | None = None,
         user: User = ADMIN,
         access: list[str] | None = None,
         refresh: bool = True,
@@ -1025,6 +1026,7 @@ class Engine:
             {a: (k, c) for a, (k, c) in dict(aggregates).items()},
             where=where, source_keys=source_keys,
             fold_cost_factor=fold_cost_factor,
+            state_keep_last=state_keep_last,
         )
         self.catalog.record_query(
             CatalogEntry(
@@ -1043,6 +1045,7 @@ class Engine:
                         list(source_keys) if source_keys else None
                     ),
                     "FoldCostFactor": fold_cost_factor,
+                    "StateKeepLast": state_keep_last,
                 },
                 Owners=[user.name],
                 Access=access or [],
@@ -1071,6 +1074,7 @@ class Engine:
             where=qs.get("Where"),
             source_keys=qs.get("SourceKeys"),
             fold_cost_factor=qs.get("FoldCostFactor", 1.0),
+            state_keep_last=qs.get("StateKeepLast"),
         )
         return entry, mv
 

@@ -137,6 +137,7 @@ class IncrementalAggregate:
         where: Any = None,
         source_keys: list[str] | None = None,
         fold_cost_factor: float | None = 1.0,
+        state_keep_last: int | None = None,
     ):
         for alias, (kind, _col) in aggregates.items():
             if kind not in _SUPPORTED:
@@ -155,6 +156,15 @@ class IncrementalAggregate:
         #: join instead of exceptAll)
         self.source_keys = list(source_keys) if source_keys else None
         self.fold_cost_factor = fold_cost_factor
+        #: opt-in retention on the STATE table: an always-refreshing MV
+        #: commits one state version per refresh forever (a year of
+        #: hourly refreshes = 8760 manifests + tiny data dirs); with
+        #: state_keep_last=N each successful refresh vacuums the state
+        #: to its newest N versions (the head is never dropped; the
+        #: srcv tag history lives in the head manifest, so replay
+        #: idempotence survives — the same contract as stream vacuums).
+        #: None (default) keeps full state history (MV time travel).
+        self.state_keep_last = state_keep_last
 
     # -- partial/merge/final algebra -----------------------------------
 
@@ -265,6 +275,18 @@ class IncrementalAggregate:
 
     # -- lifecycle ------------------------------------------------------
 
+
+    def _commit_state(self, merged: DataFrame, tag: str) -> None:
+        """One state commit + the opt-in retention sweep: with
+        ``state_keep_last=N`` the state table never accumulates more
+        than N versions (bounded manifests/dirs on an always-
+        refreshing MV); default keeps full history (MV time travel)."""
+        self.state.overwrite(merged, tag=tag)
+        if self.state_keep_last is not None:
+            self.state.vacuum(
+                merged.sparkSession, keep_last=self.state_keep_last
+            )
+
     def _last_source_version(self, spark: SparkSession) -> int | None:
         vs = self.state.versions(spark)
         if not vs:
@@ -370,7 +392,7 @@ class IncrementalAggregate:
             .where(F.col(_NROWS) > 0)
             .localCheckpoint(eager=True)
         )
-        self.state.overwrite(merged, tag=tag)
+        self._commit_state(merged, tag)
         return {"mode": "fold", "source_version": src_head}
 
     def _try_repair(self, spark: SparkSession, last: int, src_head: int,
@@ -418,7 +440,7 @@ class IncrementalAggregate:
             # already correct — commit it under the tag so the source
             # version advances and replay stays idempotent
             merged = state.localCheckpoint(eager=True)
-            self.state.overwrite(merged, tag=tag)
+            self._commit_state(merged, tag)
             return {
                 "mode": "repair", "source_version": src_head,
                 "repaired_groups": 0,
@@ -468,7 +490,7 @@ class IncrementalAggregate:
         repaired = self._merge(self._partial(rows))
         kept = state.join(F.broadcast(aff_df), on=keys, how="left_anti")
         merged = kept.unionByName(repaired).localCheckpoint(eager=True)
-        self.state.overwrite(merged, tag=tag)
+        self._commit_state(merged, tag)
         return {
             "mode": "repair", "source_version": src_head,
             "repaired_groups": len(aff),
@@ -498,7 +520,7 @@ class IncrementalAggregate:
         tag = f"{_TAG_PREFIX}{src_head}"
         if last is None:
             merged = self._merge(self._partial(self.source.read(spark)))
-            self.state.overwrite(merged, tag=tag)
+            self._commit_state(merged, tag)
             return {"mode": "initial", "source_version": src_head}
         try:
             # where pushes to the FILE level: the increment skips added
@@ -535,21 +557,21 @@ class IncrementalAggregate:
                 if repaired is not None:
                     return {**repaired, **priced}
             merged = self._merge(self._partial(self.source.read(spark)))
-            self.state.overwrite(merged, tag=tag)
+            self._commit_state(merged, tag)
             return {"mode": "rebuild", "source_version": src_head, **priced}
         state = self.state.read(spark)
         new_parts = self._partial(delta)
         if set(state.columns) != set(new_parts.columns):
             # pre-r11 state schema: one rebuild upgrades it in place
             merged = self._merge(self._partial(self.source.read(spark)))
-            self.state.overwrite(merged, tag=tag)
+            self._commit_state(merged, tag)
             return {"mode": "rebuild", "source_version": src_head}
         parts = state.unionByName(new_parts)
         # localCheckpoint before overwrite: the merged plan READS the
         # state snapshot it is about to replace — materialize first so
         # the write never scans files its own commit retires.
         merged = self._merge(parts).localCheckpoint(eager=True)
-        self.state.overwrite(merged, tag=tag)
+        self._commit_state(merged, tag)
         return {"mode": "delta", "source_version": src_head}
 
     def result(self, spark: SparkSession) -> DataFrame:

@@ -603,3 +603,40 @@ def test_repair_prices_unclustered_rescan_to_rebuild(spark, tmpdir_path):
     assert rep["mode"] == "repair", rep
     assert rep["files_scanned"] < rep["files_total"]
     check(t2, mv2)
+
+
+def test_state_keep_last_bounds_state_history(spark, tmpdir_path):
+    """state_keep_last=N: every refresh vacuums the state table to its
+    newest N versions — an always-refreshing MV's metadata stays
+    bounded — while replay idempotence survives (the srcv tag history
+    lives in the head manifest, which vacuum always keeps)."""
+    import os as _os
+    import uuid as _uuid
+
+    from logverzcore_spark.incremental import IncrementalAggregate
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    root = _os.path.join(str(tmpdir_path), f"skl_{_uuid.uuid4().hex[:6]}")
+    t = SnapshotTable(_os.path.join(root, "src"))
+    mv = IncrementalAggregate(
+        t, _os.path.join(root, "state"), ["g"],
+        {"n": ("count", None), "s": ("sum", "v")},
+        state_keep_last=2,
+    )
+    for i in range(6):
+        t.append(spark.range(i * 50, (i + 1) * 50).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("int").alias("g"),
+            F.col("id").alias("v"),
+        ).coalesce(1))
+        mv.refresh(spark)
+    assert len(mv.state.versions(spark)) <= 2
+    assert mv.refresh(spark)["mode"] == "noop"  # tag history intact
+    got = {r["g"]: (r["n"], r["s"]) for r in mv.result(spark).collect()}
+    want = {
+        r["g"]: (r["n"], r["s"])
+        for r in t.read(spark).groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        ).collect()
+    }
+    assert got == want
