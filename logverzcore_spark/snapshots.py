@@ -1487,7 +1487,17 @@ class SnapshotTable:
         schema, so files predating a later-added column align on
         nulls. Requires the span's versions to still be retained —
         vacuum trims how far behind a subscriber can fall, exactly as
-        it trims time travel."""
+        it trims time travel.
+
+        Plan shape: the result is a UNION of one sub-plan per spanned
+        non-trivial commit, so a subscriber catching up over a very
+        long span (hundreds of commits) pays O(commits) plan nodes and
+        analysis time before any I/O. Page instead: consume N commits
+        at a time via ``to_version`` (each page is independently
+        correct — the feed is per-commit by construction), which also
+        bounds any single job's lineage. Streaming consumers
+        (cdc_mv_stream / the MV refresh ladder) never hit this: their
+        spans are one trigger's commits."""
         vs = self.versions(spark)
         if not vs:
             raise FileNotFoundError(f"no committed snapshots under {self.root}")
