@@ -907,6 +907,143 @@ def ivf_index_append(
     }
 
 
+def ivf_index_apply_changes(
+    spark,
+    changes: DataFrame,
+    index_table: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Maintain a persisted IVF index from a snapshot table's CHANGE
+    DATA FEED: the missing half of ``ivf_index_append``. Appends cover
+    the arriving-corpus shape; this covers the MUTATING-corpus shape —
+    a GDPR ``delete_where`` on the source embedding table, a
+    ``update_where`` redaction that moves a vector to a different cell,
+    a CDC merge — propagated to the serving index at touched-cell cost
+    instead of a rebuild (reference parity: LogverzCore keeps derived
+    query structures consistent under record deletion, db.js's
+    delete-then-requery path; here the index follows the source's CDF).
+
+    ``changes`` is a ``SnapshotTable.read_changes`` span (the table's
+    columns plus ``_change_type``/``_commit_version``). The span is
+    NET-RESOLVED per id before any index I/O: the latest change wins
+    (update_postimage/insert ⇒ the id's final vector; delete/
+    update_preimage ⇒ absent), so a span where an id is updated twice
+    then deleted applies as one removal. Application is a net-state
+    upsert — remove every resolved id from the index, re-add the
+    present ones under their (stored-centroid) cells — which makes a
+    redelivered span CONVERGE: re-applying the same changes is a no-op
+    on the end state (pytest-proved), the same at-least-once contract
+    as ivf_index_append's dedupe.
+
+    Cost model (the 100 TB claim, asserted in pytest via the on-disk
+    file inventory): touched cells = the cells of every vector IMAGE in
+    the span — pre-images/deletes locate the rows to remove (cell
+    assignment is a pure function of the vector under the index's own
+    stored centroids, so the old row's cell is computed, never searched
+    for), post-images/inserts locate the rows to add. Only those cell
+    partitions are read (partition-pruned ``cell IN``), rewritten
+    (survivors staged through an eager localCheckpoint, partitions
+    dropped, staged rows appended), or — when deletions empty a cell —
+    dropped outright. Untouched cells' files are never opened. Per-span
+    cost is O(span + touched-cell rows), never O(index).
+
+    Preconditions: the index must have been in sync at the span's
+    ``from_version`` (its rows for the span's ids carry the vectors the
+    pre-images report — true whenever the index is maintained ONLY
+    through build/append/apply_changes against the same source), and
+    vector images must be non-NULL (a NULL image cannot be assigned a
+    cell; such source rows are not index-maintainable and raise).
+
+    Returns {"touched_cells", "removed", "upserted",
+    "dropped_cells"}.
+    """
+    cent_rows = spark.table(f"{index_table}_centroids").orderBy("cell").collect()
+    cmat = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = x @ cmat.T
+        return pd.Series(np.argsort(-sims, axis=1, kind="stable")[:, 0].astype("int32"))
+
+    imgs = changes.select(
+        F.col(id_col).alias("nid"),
+        _as_double(F.col(vec_col)).alias("nvec"),
+        F.col("_change_type").alias("ct"),
+        F.col("_commit_version").alias("cv"),
+    )
+    if imgs.where(F.col("nvec").isNull()).limit(1).count():
+        raise ValueError(
+            "ivf_index_apply_changes: NULL vector image in the change "
+            "feed — such rows cannot be cell-assigned"
+        )
+    # One materialization serves the touched-cell list, the net
+    # resolution, and the upsert write (the UDF runs once; the feed's
+    # diff join is not re-executed per consumer).
+    imgs = imgs.withColumn("cell", nearest(F.col("nvec"))).localCheckpoint(
+        eager=True
+    )
+    touched = sorted(
+        r["cell"] for r in imgs.select("cell").distinct().collect()
+    )
+    if not touched:
+        return {"touched_cells": [], "removed": 0, "upserted": 0,
+                "dropped_cells": []}
+
+    # Net resolution: latest commit wins; within that commit the
+    # present-side image wins (an update's postimage outranks its
+    # preimage; a delete commit has only the absent side).
+    present = F.col("ct").isin("insert", "update_postimage").cast("int")
+    w = Window.partitionBy("nid").orderBy(
+        F.col("cv").desc(), present.desc()
+    )
+    finals = (
+        imgs.withColumn("present", present)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("nid", "nvec", "cell", "present")
+    )
+
+    # Survivors: touched cells' rows minus every resolved id (absent
+    # ids stay out; present ids are re-added below with their final
+    # vectors — the upsert). Partition-pruned read; stage BEFORE the
+    # drop (a partition cannot be rebuilt from its own live files).
+    spark.catalog.refreshTable(index_table)
+    stored = spark.table(index_table).where(F.col("cell").isin(touched))
+    out = (
+        stored.join(finals.select("nid"), "nid", "left_anti")
+        .select("nid", "nvec", "cell")
+        .unionByName(
+            finals.where(F.col("present") == 1).select("nid", "nvec", "cell")
+        )
+        .repartition(F.col("cell"))
+        .localCheckpoint(eager=True)
+    )
+    n_before = stored.count()
+    n_upserts = finals.where(F.col("present") == 1).count()
+    n_out = out.count()
+    kept_cells = {r["cell"] for r in out.select("cell").distinct().collect()}
+    for cell in touched:
+        spark.sql(
+            f"ALTER TABLE {index_table} DROP IF EXISTS PARTITION (cell={cell})"
+        )
+    if n_out:
+        out.write.mode("append").partitionBy("cell").saveAsTable(index_table)
+    # Refresh after the DDL+write so the outer session's cached file
+    # listing sees the new generation (the st23 lesson).
+    spark.catalog.refreshTable(index_table)
+    return {
+        "touched_cells": touched,
+        "removed": n_before - (n_out - n_upserts),
+        "upserted": n_upserts,
+        "dropped_cells": sorted(set(touched) - kept_cells),
+    }
+
+
 def ivf_index_recenter(
     spark,
     index_table: str,

@@ -291,6 +291,59 @@ def _s03b_oracle(dim: int = 64, n_cells: int = 16, nprobe: int = 4) -> str:
     """
 
 
+def _s26_oracle(dim: int = 64, n_cells: int = 16, nprobe: int = 4) -> str:
+    """s03b's IVF probe oracle over a POST-DML corpus: the same literal
+    LCG centroids and probe replay, but the ``v`` CTE first applies the
+    exact mutations s26 commits through the snapshot layer — delete one
+    vec_id band, negate another band's vectors (FP-exact both engines),
+    append reversed copies of the head band under shifted ids. Bands
+    are data-relative (integer arithmetic on max(vec_id)) so the
+    fixture holds at every SF."""
+    cents = similarity.lcg_centroids(dim, n_cells)
+    values = ",\n      ".join(
+        f"({ci}, {_sql_double_array(row)})" for ci, row in enumerate(cents)
+    )
+    return f"""
+    WITH v0 AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), mx AS (
+      SELECT max(vec_id) AS m FROM v0
+    ), v AS (
+      SELECT v0.vec_id,
+             CASE WHEN v0.vec_id BETWEEN mx.m // 2 AND mx.m // 2 + mx.m // 10
+                  THEN list_transform(v0.e, x -> -x) ELSE v0.e END AS e
+      FROM v0, mx
+      WHERE NOT (v0.vec_id BETWEEN mx.m // 5 AND mx.m // 4)
+      UNION ALL
+      SELECT v0.vec_id + mx.m + 1, list_reverse(v0.e)
+      FROM v0, mx WHERE v0.vec_id <= mx.m // 20
+    ), cents(cell, cvec) AS (VALUES
+      {values}
+    ), sims AS (
+      SELECT v.vec_id, c.cell, list_dot_product(v.e, c.cvec) AS sim
+      FROM v CROSS JOIN cents c
+    ), c_assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    ), q_probe AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell) AS rn
+        FROM sims WHERE vec_id < 20
+      ) WHERE rn <= {nprobe}
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+      FROM q_probe q JOIN c_assign c ON q.cell = c.cell
+                                    AND q.vec_id <> c.vec_id
+    {_ANN_TOPK_TAIL}
+    """
+
+
 def _d12_oracle(
     dim: int = 64,
     n_planes: int = 4,
@@ -877,6 +930,7 @@ __all__ = [
     '_ANN_TOPK_TAIL',
     '_s02b_oracle',
     '_s03b_oracle',
+    '_s26_oracle',
     '_d12_oracle',
     '_s06b_oracle',
     '_CENTS',

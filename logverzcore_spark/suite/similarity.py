@@ -264,6 +264,70 @@ def s10_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query("s26_ivf_index_cdf_apply", oracle=_s26_oracle())
+def s26_ivf_index_cdf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving index FOLLOWING its source table through DML via the
+    change data feed (similarity.ivf_index_apply_changes) — the GDPR/
+    redaction propagation path: embeddings live in a snapshot table,
+    the IVF index is built once, then the source takes a band erasure
+    (delete_where), a band redaction that NEGATES vectors (update_where
+    — negation is FP-exact in both engines and guarantees cell moves),
+    and an appended batch of reversed copies under shifted ids. One
+    ``read_changes`` span drives the index to the post-DML state at
+    touched-cell cost (net-resolved per id; untouched partitions never
+    opened — pytest-proved), and the probe is graded hash-exact against
+    an oracle that replays the mutations AND the whole IVF probe in SQL
+    — a lost deletion, a stale cell, or a skipped move breaks the hash.
+    Bands are data-relative (max(vec_id) arithmetic, the r11 lesson) so
+    the fixture holds at every SF. Cleans up its snapshot root and
+    index tables; the probe is materialized first (eager
+    localCheckpoint)."""
+    import os
+    import shutil
+    import tempfile
+
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mx = emb.agg(F.max("vec_id")).first()[0]
+    path = os.path.join(
+        tempfile.gettempdir(), f"s26_cdf_{uuid.uuid4().hex[:8]}"
+    )
+    tbl = f"s26_ivf_idx_{uuid.uuid4().hex[:8]}"
+    try:
+        t = SnapshotTable(os.path.join(path, "emb"))
+        t.append(emb.repartition(4))
+        v0 = t.versions(spark)[-1]
+        similarity.ivf_index_build(
+            t.read(spark), tbl, n_cells=16,
+            centroids=similarity.lcg_centroids(64, 16),
+        )
+        t.delete_where(spark, {"vec_id": {"between": [mx // 5, mx // 4]}})
+        t.update_where(
+            spark,
+            {"vec_id": {"between": [mx // 2, mx // 2 + mx // 10]}},
+            {"embedding": "transform(embedding, x -> -x)"},
+        )
+        t.append(
+            emb.where(F.col("vec_id") <= mx // 20)
+            .withColumn("vec_id", F.col("vec_id") + F.lit(mx + 1))
+            .withColumn("embedding", F.reverse("embedding"))
+            .coalesce(1)
+        )
+        similarity.ivf_index_apply_changes(
+            spark, t.read_changes(spark, v0, keys="vec_id"), tbl
+        )
+        queries = t.read(spark).where(F.col("vec_id") < 20)
+        out = similarity.ivf_index_probe(
+            spark, queries, tbl, k=5, nprobe=4
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_centroids")
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
 @query("s09_curated_embeddings", oracle=_s09_oracle())
 def s09_curated_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED embedding-curation chain (pipeline.curate_embeddings)

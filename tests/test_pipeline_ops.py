@@ -704,6 +704,151 @@ def test_ivf_index_append_equals_rebuild_and_touches_only_its_cells(spark):
             spark.sql(f"DROP TABLE IF EXISTS {t}_centroids")
 
 
+def test_ivf_index_apply_changes_follows_dml(spark, tmpdir_path):
+    """CDF → IVF index maintenance: applying a read_changes span that
+    carries a delete band, an update band (negated vectors — guaranteed
+    cell moves), and an appended batch must leave the index EXACTLY
+    equal to a from-scratch rebuild over the post-DML corpus (same
+    centroids), touch only the span's cells on disk, and converge under
+    redelivery (re-applying the same span is an end-state no-op)."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.engine import read_table
+    from logverzcore_spark.operators.similarity import (
+        ivf_index_apply_changes,
+        ivf_index_build,
+        lcg_centroids,
+    )
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    cents = lcg_centroids(dim, 8)
+    root = os.path.join(str(tmpdir_path), f"ivfcdf_{uuid.uuid4().hex[:8]}")
+    t = SnapshotTable(root)
+    t.append(emb.repartition(4))
+    v0 = t.versions(spark)[-1]
+    mx = emb.agg(F.max("vec_id")).first()[0]
+
+    idx = f"ivf_cdf_{uuid.uuid4().hex[:8]}"
+    full = f"ivf_cdf_full_{uuid.uuid4().hex[:8]}"
+    try:
+        ivf_index_build(t.read(spark), idx, n_cells=8, centroids=cents)
+        files_before = set(spark.table(idx).inputFiles())
+
+        t.delete_where(
+            spark, {"vec_id": {"between": [mx // 5, mx // 4]}}
+        )
+        t.update_where(
+            spark,
+            {"vec_id": {"between": [mx // 2, mx // 2 + mx // 10]}},
+            {"embedding": "transform(embedding, x -> -x)"},
+        )
+        fresh = (
+            emb.where(F.col("vec_id") <= mx // 20)
+            .withColumn("vec_id", F.col("vec_id") + F.lit(mx + 1))
+            .withColumn("embedding", F.reverse("embedding"))
+        )
+        t.append(fresh.coalesce(1))
+
+        changes = t.read_changes(spark, v0, keys="vec_id")
+        rep = ivf_index_apply_changes(spark, changes, idx)
+        assert rep["upserted"] > 0 and rep["removed"] > 0
+
+        # untouched partitions' file sets are byte-identical
+        files_after = set(spark.table(idx).inputFiles())
+        touched = {str(c) for c in rep["touched_cells"]}
+        for f in files_before.symmetric_difference(files_after):
+            assert f.split("cell=")[1].split("/")[0] in touched
+
+        # index == rebuild over the post-DML corpus
+        ivf_index_build(t.read(spark), full, n_cells=8, centroids=cents)
+        a = spark.table(idx).select("nid", "cell", "nvec")
+        b = spark.table(full).select("nid", "cell", "nvec")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+        # redelivered span: end state unchanged (at-least-once safe)
+        ivf_index_apply_changes(spark, changes, idx)
+        a2 = spark.table(idx).select("nid", "cell", "nvec")
+        assert a2.exceptAll(b).count() == 0 and b.exceptAll(a2).count() == 0
+    finally:
+        for tb in (idx, full):
+            spark.sql(f"DROP TABLE IF EXISTS {tb}")
+            spark.sql(f"DROP TABLE IF EXISTS {tb}_centroids")
+
+
+def test_ivf_index_apply_changes_drops_emptied_cells(spark, tmpdir_path):
+    """Deleting every source row of one cell must physically DROP that
+    cell's partition (a stale partition would keep serving erased
+    vectors to probes — the GDPR propagation claim), and a NULL vector
+    image must raise rather than silently lose its row."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.engine import read_table
+    from logverzcore_spark.operators.similarity import (
+        ivf_index_apply_changes,
+        ivf_index_build,
+        lcg_centroids,
+    )
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    cents = lcg_centroids(dim, 8)
+    root = os.path.join(str(tmpdir_path), f"ivfdrop_{uuid.uuid4().hex[:8]}")
+    t = SnapshotTable(root)
+    t.append(emb.repartition(2))
+    v0 = t.versions(spark)[-1]
+
+    idx = f"ivf_drop_{uuid.uuid4().hex[:8]}"
+    try:
+        ivf_index_build(t.read(spark), idx, n_cells=8, centroids=cents)
+        # pick the smallest populated cell and erase its source ids
+        by_cell = (
+            spark.table(idx).groupBy("cell").count().orderBy("count", "cell")
+        ).first()
+        victim = by_cell["cell"]
+        ids = [
+            r["nid"]
+            for r in spark.table(idx)
+            .where(F.col("cell") == victim)
+            .select("nid")
+            .collect()
+        ]
+        t.delete_where(spark, {"vec_id": {"in": ids}})
+        changes = t.read_changes(spark, v0, keys="vec_id")
+        rep = ivf_index_apply_changes(spark, changes, idx)
+        assert victim in rep["dropped_cells"]
+        spark.catalog.refreshTable(idx)
+        assert (
+            spark.table(idx).where(F.col("cell") == victim).count() == 0
+        )
+        loc = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {idx}")
+            .where("col_name='Location'")
+            .collect()[0][1]
+            .replace("file:", "")
+        )
+        assert not os.path.exists(os.path.join(loc, f"cell={victim}"))
+
+        # NULL image refuses
+        bad = changes.withColumn(
+            "embedding",
+            F.when(F.lit(True), F.lit(None)).cast("array<float>"),
+        )
+        with pytest.raises(ValueError, match="NULL vector image"):
+            ivf_index_apply_changes(spark, bad, idx)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {idx}")
+        spark.sql(f"DROP TABLE IF EXISTS {idx}_centroids")
+
+
 def test_ivf_index_recenter_refits_and_preserves_rows(spark):
     """Recentering rebuilds the index from its own rows with fresh
     centroids: same row set, a fresh centroid table, and probe still
