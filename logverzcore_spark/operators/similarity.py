@@ -793,6 +793,12 @@ def ivf_index_build(
 
     (
         c.withColumn("cell", nearest(F.col("nvec")))
+        # Cluster by cell before the partitioned write: without this a
+        # T-task corpus writes up to T files under EVERY cell directory
+        # (tasks × cells tiny files — ruinous once n_cells is sized for
+        # bounded-row cells at corpus scale); hash-clustered, each cell's
+        # rows land in one task → one file per cell (append's pattern).
+        .repartition(F.col("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
         .saveAsTable(index_table)

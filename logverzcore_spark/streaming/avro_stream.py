@@ -432,6 +432,137 @@ def cdc_mv_stream(
     return writer.start()
 
 
+def cdc_index_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    table,
+    index_table: str,
+    on,
+    checkpoint_dir: str | None = None,
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    delete_col: str | None = None,
+    available_now: bool = True,
+    retries: int = 0,
+    on_apply=None,
+    vec_col: str = "embedding",
+) -> StreamingQuery:
+    """Streaming CDF consumer for a SERVING ANN INDEX (r12): the
+    cdc_mv_stream composition with
+    :func:`~logverzcore_spark.operators.similarity.ivf_index_apply_changes`
+    in the consumer seat — a persisted IVF index follows its source
+    embedding table through a CDC stream. Every micro-batch:
+
+    1. applies the CDC feed to ``table`` exactly as
+       :func:`cdc_merge_stream` would (same tag discipline, tombstone
+       routing via ``delete_col``, bootstrap, ``retries``);
+    2. reads the span of versions the batch just landed
+       (``read_changes``) and drives the index to the new head at
+       touched-cell cost — erased vectors stop being servable within
+       the trigger, updated vectors move cells, inserts land in their
+       cells; untouched cell partitions are never opened.
+
+    The index's catch-up point is PERSISTED in a one-row watermark
+    table ``{index_table}_applied`` (written after each apply), so a
+    restarted stream resumes from where the index actually is, not
+    from where the checkpoint thinks the feed is. Crash windows
+    compose from the layers' idempotence: a crash between the merge
+    and the apply leaves the watermark behind — the next trigger's
+    span covers both commits; a crash between the apply and the
+    watermark write re-applies the span, which CONVERGES
+    (apply_changes is a net-state upsert, pytest-proved); a lost
+    checkpoint redelivers every batch, the merges no-op on their
+    tags, no new versions appear, and every apply is an empty-span
+    noop. Precondition (first run only): the index is in sync with
+    the source head when the stream starts — true whenever it was
+    just built from ``table.read()``, the s26 shape.
+
+    ``on_apply`` (driver-side callback, one report dict per trigger:
+    apply_changes' report plus from/to versions and ``noop``) lets
+    callers grade per-trigger cost — suite st41 asserts every
+    trigger's touched cells and the replay's noops."""
+    import hashlib
+
+    from logverzcore_spark.operators.similarity import (
+        ivf_index_apply_changes,
+    )
+
+    checkpoint = checkpoint_dir or os.path.join(
+        tempfile.gettempdir(), f"lvz_cdcidx_{uuid.uuid4().hex[:8]}"
+    )
+    ckid = hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:12]
+    apply_batch = _make_cdc_fold(
+        table, ckid, on, when_matched, when_not_matched, delete_col,
+        retries,
+    )
+    applied_tbl = f"{index_table}_applied"
+    id_col = on if isinstance(on, str) else list(on)[0]
+
+    def _applied(sess) -> int | None:
+        try:
+            row = sess.table(applied_tbl).first()
+        except Exception:
+            return None
+        return None if row is None else row["v"]
+
+    def _set_applied(sess, v: int) -> None:
+        sess.createDataFrame([(int(v),)], "v bigint").write.mode(
+            "overwrite"
+        ).saveAsTable(applied_tbl)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        from_v = _applied(sess)
+        if from_v is None:
+            vs = table.versions(sess)
+            from_v = vs[-1] if vs else None
+        apply_batch(batch_df, batch_id)
+        to_vs = table.versions(sess)
+        to_v = to_vs[-1] if to_vs else None
+        rep = {"noop": True, "from_version": from_v, "to_version": to_v}
+        if to_v is not None and from_v is None:
+            # bootstrap: the batch created the table — the whole head
+            # is inserts (read_changes emits changes AFTER from, so
+            # the creating commit needs the direct read)
+            changes = (
+                table.read(sess)
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", F.lit(to_v).cast("int"))
+            )
+            rep = ivf_index_apply_changes(
+                sess, changes, index_table, vec_col=vec_col, id_col=id_col
+            )
+            rep.update(noop=False, from_version=None, to_version=to_v)
+            _set_applied(sess, to_v)
+        elif to_v is not None and to_v > from_v:
+            changes = table.read_changes(sess, from_v, to_v, keys=on)
+            rep = ivf_index_apply_changes(
+                sess, changes, index_table, vec_col=vec_col, id_col=id_col
+            )
+            rep.update(noop=False, from_version=from_v, to_version=to_v)
+            _set_applied(sess, to_v)
+        if not rep["noop"]:
+            # the apply ran on the CLONED micro-batch session; the
+            # OUTER session's cached file listing would otherwise keep
+            # referencing partitions the apply dropped — for an append
+            # that silently misses rows (the st23 lesson), for a drop
+            # it makes the next outer-session probe CRASH on a missing
+            # file. Refresh the creating session too.
+            try:
+                spark.catalog.refreshTable(index_table)
+            except Exception:
+                pass  # table dropped mid-stream: nothing to refresh
+        if on_apply is not None:
+            on_apply(rep)
+
+    writer = stream_df.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def incremental_mv_stream(
     spark: SparkSession,
     stream_df: DataFrame,

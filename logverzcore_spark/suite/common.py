@@ -344,6 +344,74 @@ def _s26_oracle(dim: int = 64, n_cells: int = 16, nprobe: int = 4) -> str:
     """
 
 
+def _st41_oracle(dim: int = 64, n_cells: int = 16, nprobe: int = 4) -> str:
+    """s26's post-DML IVF probe oracle, with the mutations arriving as
+    st41's CDC stream instead: three banded micro-batches (bands at
+    2/16, 6/16, 10/16 of the vec_id range) negate each band's even
+    vectors (update), insert reversed copies under shifted ids, and
+    tombstone the band's odd ids; a fourth batch re-inserts band 1's
+    odd %5==0 ids with reversed vectors. The oracle replays the final
+    corpus AND the IVF probe in SQL."""
+    cents = similarity.lcg_centroids(dim, n_cells)
+    values = ",\n      ".join(
+        f"({ci}, {_sql_double_array(row)})" for ci, row in enumerate(cents)
+    )
+    inband = (
+        "((v0.vec_id >= b.s1 AND v0.vec_id < b.e1) OR "
+        "(v0.vec_id >= b.s2 AND v0.vec_id < b.e2) OR "
+        "(v0.vec_id >= b.s3 AND v0.vec_id < b.e3))"
+    )
+    return f"""
+    WITH v0 AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), b AS (
+      SELECT max(vec_id) AS m,
+             max(vec_id) * 2 // 16 AS s1, max(vec_id) * 3 // 16 AS e1,
+             max(vec_id) * 6 // 16 AS s2, max(vec_id) * 7 // 16 AS e2,
+             max(vec_id) * 10 // 16 AS s3, max(vec_id) * 11 // 16 AS e3
+      FROM v0
+    ), v AS (
+      SELECT v0.vec_id,
+             CASE WHEN v0.vec_id % 2 = 0 AND {inband}
+                  THEN list_transform(v0.e, x -> -x) ELSE v0.e END AS e
+      FROM v0, b
+      WHERE NOT (v0.vec_id % 2 = 1 AND {inband})
+      UNION ALL
+      SELECT v0.vec_id, list_reverse(v0.e)
+      FROM v0, b
+      WHERE v0.vec_id >= b.s1 AND v0.vec_id < b.e1
+        AND v0.vec_id % 2 = 1 AND v0.vec_id % 5 = 0
+      UNION ALL
+      SELECT v0.vec_id + b.m + 1, list_reverse(v0.e)
+      FROM v0, b
+      WHERE v0.vec_id % 2 = 0 AND {inband}
+    ), cents(cell, cvec) AS (VALUES
+      {values}
+    ), sims AS (
+      SELECT v.vec_id, c.cell, list_dot_product(v.e, c.cvec) AS sim
+      FROM v CROSS JOIN cents c
+    ), c_assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    ), q_probe AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell) AS rn
+        FROM sims WHERE vec_id < 20
+      ) WHERE rn <= {nprobe}
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+      FROM q_probe q JOIN c_assign c ON q.cell = c.cell
+                                    AND q.vec_id <> c.vec_id
+    {_ANN_TOPK_TAIL}
+    """
+
+
 def _d12_oracle(
     dim: int = 64,
     n_planes: int = 4,
@@ -931,6 +999,7 @@ __all__ = [
     '_s02b_oracle',
     '_s03b_oracle',
     '_s26_oracle',
+    '_st41_oracle',
     '_d12_oracle',
     '_s06b_oracle',
     '_CENTS',

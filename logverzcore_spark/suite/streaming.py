@@ -2304,3 +2304,111 @@ def st40_streaming_cdf_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@query("st41_streaming_index_consumer", oracle=_st41_oracle())
+def st41_streaming_index_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDF consumer for a SERVING ANN INDEX: cdc_index_stream
+    composes the st38/39 CDC apply with per-trigger
+    ivf_index_apply_changes — a persisted IVF index follows its source
+    embedding table through a CDC stream at touched-cell cost. Three
+    banded micro-batches (bands at 2/16, 6/16, 10/16 of the vec_id
+    range) negate each band's even vectors (updates — guaranteed cell
+    moves), insert reversed copies under shifted ids, and tombstone the
+    band's odd ids; a fourth batch re-inserts band 1's odd %5==0 ids
+    with reversed vectors (upsert-after-tombstone, the retraction
+    reversal path). Every live trigger is asserted to touch cells
+    (noop=False); the index catch-up watermark is persisted
+    ({index}_applied), so a lost-checkpoint full redelivery is asserted
+    to move NOTHING at either layer (merges no-op on tags, no new
+    versions, every apply an empty-span noop). The final probe is
+    graded hash-exact against an oracle that replays the whole CDC
+    history AND the IVF probe in SQL — a lost tombstone, a stale cell,
+    or a missed re-insert breaks the hash. 100 TB story: the serving
+    index follows a mutating corpus at (span images × bounded cell
+    rows) per trigger — never an index rebuild (the scale cell is
+    tools/ivf_cdf_scale_probe.py's)."""
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from logverzcore_spark.snapshots import SnapshotTable
+    from logverzcore_spark.streaming.avro_stream import cdc_index_stream
+
+    emb = _t(spark, sf_dir, "embeddings")
+    m = int(emb.agg(F.max("vec_id")).first()[0])
+    bands = [(m * (4 * i - 2) // 16, m * (4 * i - 1) // 16) for i in (1, 2, 3)]
+    work = tempfile.mkdtemp(prefix=f"st41_{_uuid.uuid4().hex[:8]}_")
+    idx = f"st41_ivf_{_uuid.uuid4().hex[:8]}"
+    k = F.col("vec_id")
+    try:
+        t = SnapshotTable(os.path.join(work, "src"))
+        t.append(
+            emb.select("vec_id", "embedding").repartitionByRange(16, "vec_id")
+        )
+        similarity.ivf_index_build(
+            t.read(spark), idx, n_cells=16,
+            centroids=similarity.lcg_centroids(64, 16),
+        )
+        src = os.path.join(work, "cdc")
+        neg = F.transform("embedding", lambda x: -x)
+        rev = F.reverse("embedding")
+        live = F.lit(False).alias("__deleted")
+        dead = F.lit(True).alias("__deleted")
+        for lo, hi in bands:
+            band = (k >= lo) & (k < hi)
+            upd = emb.where(band & (k % 2 == 0)).select(
+                k, neg.alias("embedding"), live
+            )
+            ins = emb.where(band & (k % 2 == 0)).select(
+                (k + m + 1).alias("vec_id"), rev.alias("embedding"), live
+            )
+            dels = emb.where(band & (k % 2 == 1)).select(
+                k, F.col("embedding"), dead
+            )
+            batch = upd.unionByName(ins).unionByName(dels)
+            batch.coalesce(1).write.mode("append").parquet(src)
+            _time.sleep(1.1)  # distinct mtimes: stable file->batch order
+        lo, hi = bands[0]
+        res = emb.where(
+            (k >= lo) & (k < hi) & (k % 2 == 1) & (k % 5 == 0)
+        ).select(k, rev.alias("embedding"), live)
+        res.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+        schema = spark.read.parquet(src).schema
+        ck = os.path.join(work, "ck")
+        reports: list = []
+
+        def drain():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1").parquet(src)
+            )
+            cdc_index_stream(
+                spark, stream, t, idx, on="vec_id",
+                delete_col="__deleted", checkpoint_dir=ck,
+                on_apply=reports.append,
+            ).awaitTermination()
+
+        drain()
+        assert reports, "no apply ran"
+        for rep in reports:
+            assert not rep["noop"] and rep["touched_cells"], rep
+        n_src = len(t.versions(spark))
+        # lost checkpoint: full redelivery moves NOTHING — merges no-op
+        # on tags, no new versions appear, every apply is an empty-span
+        # noop against the persisted watermark
+        shutil.rmtree(ck)
+        drain()
+        assert len(t.versions(spark)) == n_src, "replay committed dupes"
+        assert all(r["noop"] for r in reports[len(reports) // 2:]), reports
+        queries = t.read(spark).where(F.col("vec_id") < 20)
+        out = similarity.ivf_index_probe(
+            spark, queries, idx, k=5, nprobe=4
+        ).localCheckpoint(eager=True)
+    finally:
+        for tb in (idx, f"{idx}_centroids", f"{idx}_applied"):
+            spark.sql(f"DROP TABLE IF EXISTS {tb}")
+        shutil.rmtree(work, ignore_errors=True)
+    return out

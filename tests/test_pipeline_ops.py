@@ -849,6 +849,124 @@ def test_ivf_index_apply_changes_drops_emptied_cells(spark, tmpdir_path):
         spark.sql(f"DROP TABLE IF EXISTS {idx}_centroids")
 
 
+def test_cdc_index_stream_watermark_rewind_converges(spark, tmpdir_path):
+    """cdc_index_stream's crash window: a trigger whose index apply
+    landed but whose watermark write didn't re-applies the span on the
+    next trigger — which must CONVERGE (net-state upsert), leaving the
+    index equal to a from-scratch rebuild. Also proves the watermark
+    table tracks the source head and a second drain of the same feed
+    is all noops."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.operators.similarity import (
+        ivf_index_build,
+        lcg_centroids,
+    )
+    from logverzcore_spark.snapshots import SnapshotTable
+    from logverzcore_spark.streaming.avro_stream import cdc_index_stream
+
+    dim = 8
+
+    def vec(col):
+        return F.array(*[
+            (F.pmod(col * F.lit(s), F.lit(997)) / 997.0 - 0.5)
+            for s in (7919, 104729, 1299709, 15485863, 31, 53, 71, 97)
+        ]).cast("array<double>")
+
+    base = spark.range(0, 200).select(
+        F.col("id").alias("vec_id")
+    ).withColumn("embedding", vec(F.col("vec_id")))
+    root = os.path.join(str(tmpdir_path), f"cis_{uuid.uuid4().hex[:8]}")
+    t = SnapshotTable(os.path.join(root, "src"))
+    t.append(base.repartition(4))
+    cents = lcg_centroids(dim, 8)
+    idx = f"cis_idx_{uuid.uuid4().hex[:8]}"
+    full = f"{idx}_full"
+    try:
+        ivf_index_build(t.read(spark), idx, n_cells=8, centroids=cents)
+        src = os.path.join(root, "cdc")
+        k = F.col("vec_id")
+        live = F.lit(False).alias("__deleted")
+        dead = F.lit(True).alias("__deleted")
+        # batch 1: delete ids 10-29, upsert negated 50-69
+        b1 = (
+            base.where((k >= 10) & (k < 30)).select(k, "embedding", dead)
+            .unionByName(
+                base.where((k >= 50) & (k < 70)).select(
+                    k,
+                    F.transform("embedding", lambda x: -x).alias("embedding"),
+                    live,
+                )
+            )
+        )
+        b1.coalesce(1).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        ck = os.path.join(root, "ck")
+        reports: list = []
+
+        def drain():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1").parquet(src)
+            )
+            cdc_index_stream(
+                spark, stream, t, idx, on="vec_id",
+                delete_col="__deleted", checkpoint_dir=ck,
+                on_apply=reports.append,
+            ).awaitTermination()
+
+        drain()
+        assert reports and not reports[0]["noop"]
+        head = t.versions(spark)[-1]
+        assert spark.table(f"{idx}_applied").first()["v"] == head
+
+        def assert_equals_rebuild():
+            ivf_index_build(t.read(spark), full, n_cells=8, centroids=cents)
+            a = spark.table(idx).select("nid", "cell", "nvec")
+            b = spark.table(full).select("nid", "cell", "nvec")
+            assert a.exceptAll(b).count() == 0
+            assert b.exceptAll(a).count() == 0
+
+        assert_equals_rebuild()
+
+        # crash window: the apply landed, the watermark write didn't —
+        # rewind it to the pre-stream version and feed one more batch:
+        # the next trigger re-covers the already-applied span plus the
+        # new commits, and must converge
+        spark.createDataFrame(
+            [(t.versions(spark)[0],)], "v bigint"
+        ).write.mode("overwrite").saveAsTable(f"{idx}_applied")
+        import time as _time
+
+        _time.sleep(1.1)
+        b2 = base.where((k >= 100) & (k < 110)).select(
+            (k + 1000).alias("vec_id"),
+            F.reverse("embedding").alias("embedding"), live,
+        )
+        b2.coalesce(1).write.mode("append").parquet(src)
+        drain()
+        assert spark.table(f"{idx}_applied").first()["v"] == (
+            t.versions(spark)[-1]
+        )
+        assert_equals_rebuild()
+
+        # same feed again, fresh checkpoint: merges no-op on tags, no
+        # new versions, applies are empty-span noops
+        import shutil
+
+        shutil.rmtree(ck)
+        n = len(reports)
+        drain()
+        assert all(r["noop"] for r in reports[n:]), reports[n:]
+    finally:
+        for tb in (idx, full, f"{idx}_applied", f"{idx}_centroids",
+                   f"{full}_centroids"):
+            spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
 def test_ivf_index_recenter_refits_and_preserves_rows(spark):
     """Recentering rebuilds the index from its own rows with fresh
     centroids: same row set, a fresh centroid table, and probe still
