@@ -561,6 +561,8 @@ class SnapshotTable:
         bloom_hashes: int = 6,
         bloom_max_bits: int = 1 << 22,
         bloom_sidecar_max: int = 32,
+        stats_sidecar_min_files: int | None = 4096,
+        stats_sidecar_max: int = 32,
     ):
         """``backend`` routes every MANIFEST read/commit through a
         :class:`fsutil.CommitBackend` — pass a ConditionalPutBackend on
@@ -599,7 +601,28 @@ class SnapshotTable:
         always-on streams: once a manifest would reference more
         sidecars than this, append unions them into one (see
         _maybe_consolidate_sidecars), so cold-probe cost is
-        O(bloom_sidecar_max), never O(commits)."""
+        O(bloom_sidecar_max), never O(commits).
+
+        ``stats_sidecar_min_files`` arms the TWO-LEVEL manifest (the
+        Iceberg manifest-list / Delta checkpoint shape, reduced): once
+        a commit's file count reaches it, the file list and per-file
+        stats move OUT of the manifest JSON into immutable, uuid-named
+        DELTA sidecars, and the manifest keeps only tags / schema /
+        pointers. An append then re-references the parent's sidecars
+        (their entries are unchanged by construction) and writes ONE
+        new sidecar for its own files — commit metadata cost becomes
+        O(new files + sidecar count), not O(head files), which is the
+        term the r12 manifest scale probe measured bending the 1-file
+        commit wall to 2.36× between 512 and 16k head files (SCALE.md).
+        Readers hydrate ``files``/``stats`` from the sidecars behind
+        ``_read_manifest`` (cached per sidecar name — immutable), so
+        every consumer above this layer sees the classic manifest
+        shape. ``stats_sidecar_max`` bounds the chain: past it the
+        commit consolidates all entries into ONE sidecar (the same
+        amortized O(files/max) move as the bloom consolidation).
+        ``None`` disables (always inline). Below the threshold —
+        including a table that compacts back under it — commits stay
+        byte-identical to the single-level format."""
         self.root = root.rstrip("/")
         self.data = os.path.join(self.root, "data")
         self.snaps = os.path.join(self.root, "_snapshots")
@@ -610,6 +633,11 @@ class SnapshotTable:
         self.bloom_hashes = int(bloom_hashes)
         self.bloom_max_bits = int(bloom_max_bits)
         self.bloom_sidecar_max = int(bloom_sidecar_max)
+        self.stats_sidecar_min_files = (
+            None if stats_sidecar_min_files is None
+            else int(stats_sidecar_min_files)
+        )
+        self.stats_sidecar_max = int(stats_sidecar_max)
 
     def versions(self, spark: SparkSession) -> list[int]:
         if self.backend is not None:
@@ -629,10 +657,23 @@ class SnapshotTable:
         return sorted(out)
 
     def _read_manifest(self, spark: SparkSession, version: int) -> dict:
-        return read_small_json(
+        m = read_small_json(
             spark, os.path.join(self.snaps, f"v{version}.json"),
             backend=self.backend,
         )
+        names = m.get("stats_sidecars")
+        if names:
+            # Two-level manifest: hydrate files/stats from the delta
+            # sidecars so every consumer above this call sees the
+            # classic single-level shape. Sidecars are immutable and
+            # cached per name, so a version walk (history, CDF spans,
+            # version_asof) parses each delta's bytes once per handle.
+            entries = self._load_stats_sidecars(spark, names)
+            m["files"] = sorted(entries)
+            m["stats"] = {
+                p: e for p, e in entries.items() if e is not None
+            }
+        return m
 
     def _manifest(self, spark: SparkSession, version: int) -> list[str]:
         return self._read_manifest(spark, version)["files"]
@@ -658,8 +699,30 @@ class SnapshotTable:
         # 1-file commit wall from 1.3 s to 11.9 s between 4k and 16k
         # head files (r12 manifest_scale_probe finding)
         fileset = set(files)
+        # Two-level manifest past the threshold: files+stats move to
+        # delta sidecars (re-referencing the parent's unchanged ones),
+        # the JSON manifest keeps tags/schema/pointers — commit
+        # metadata cost O(new files), not O(head files). Re-evaluated
+        # per commit: a table that compacts back under the threshold
+        # returns to the inline single-level format byte-for-byte.
+        two_level = (
+            self.stats_sidecar_min_files is not None
+            and len(files) >= self.stats_sidecar_min_files
+        )
+        if two_level:
+            merged = {p: (stats or {}).get(p) for p in fileset}
+            stats_sidecars = self._plan_stats_sidecars(
+                spark, parent, merged
+            )
+            files_payload: list = []
+            stats_payload: dict = {}
+        else:
+            files_payload = sorted(files)
+            stats_payload = {
+                k: v for k, v in (stats or {}).items() if k in fileset
+            }
         payload = {
-            "files": sorted(files),
+            "files": files_payload,
             "tag": tag,
             "all_tags": all_tags,
             "recent_tags": recent_tags,
@@ -675,13 +738,14 @@ class SnapshotTable:
                 int((parent or {}).get("committed_at") or 0),
             ),
             "op": op,  # what produced this version (history())
-            "stats": {
-                k: v for k, v in (stats or {}).items() if k in fileset
-            },
+            "stats": stats_payload,
             "stats_schema": stats_schema or {},
             "schema": schema_json,
             "bloom_files": bloom_files or [],
         }
+        if two_level:
+            payload["stats_sidecars"] = stats_sidecars
+            payload["n_files"] = len(files)
         version = parent_version + 1
         # Exclusive commit: a concurrent committer who read the same
         # head raises CommitConflict here (its data files stay orphaned
@@ -1132,6 +1196,88 @@ class SnapshotTable:
             backend=self.backend,
         )
         return name
+
+    def _write_stats_sidecar(self, spark: SparkSession, entries: dict) -> str:
+        """Persist ``{file path: stats entry | None}`` as an immutable
+        delta sidecar of the two-level manifest (None = a file with
+        stats collection disabled: the sidecar is AUTHORITATIVE for
+        the file LIST, not just the skipping stats). Same invisibility
+        rule as data files and bloom sidecars: written before the
+        manifest commit that references it, vacuum-reclaimed when no
+        kept manifest does. JSON-encoded like the manifest itself —
+        the two-LEVEL structure (delta reuse, O(new) commits, cached
+        hydration) is what changes the complexity class; the encoding
+        is a constant factor a parquet sidecar could shrink later."""
+        name = f"ss-{uuid.uuid4().hex[:12]}.json"
+        write_small_json_commit(
+            spark,
+            os.path.join(self.snaps, name),
+            {"entries": entries},
+            backend=self.backend,
+        )
+        # seed the cache with EXACTLY what a reader will parse back
+        # (JSON round-trip: tuples->lists etc.), so the reuse check in
+        # _plan_stats_sidecars compares like with like
+        self._stats_sidecar_cache_for().pop(name, None)
+        return name
+
+    def _stats_sidecar_cache_for(self) -> dict:
+        cache = getattr(self, "_stats_sidecar_cache", None)
+        if cache is None:
+            cache = self._stats_sidecar_cache = {}
+        return cache
+
+    def _load_stats_sidecars(
+        self, spark: SparkSession, names: list[str]
+    ) -> dict:
+        """Ordered union of the named delta sidecars' entries. Unlike
+        bloom sidecars these are AUTHORITATIVE (they carry the file
+        list), so a missing one raises instead of degrading."""
+        out: dict = {}
+        cache = self._stats_sidecar_cache_for()
+        for name in names:
+            if name not in cache:
+                cache[name] = read_small_json(
+                    spark, os.path.join(self.snaps, name),
+                    backend=self.backend,
+                )["entries"]
+            out.update(cache[name])
+        return out
+
+    def _plan_stats_sidecars(
+        self, spark: SparkSession, parent: dict | None, merged: dict
+    ) -> list[str]:
+        """Choose this commit's sidecar list: re-reference every parent
+        sidecar whose entries are ALL unchanged in ``merged`` (an
+        append never touches carried entries, so its whole chain
+        re-references — the O(new files) commit), write ONE delta for
+        the leftover, and consolidate the chain into a single sidecar
+        past ``stats_sidecar_max`` (amortized O(files/max) per commit).
+        DML/compact/analyze naturally invalidate exactly the sidecars
+        whose files they removed or restated."""
+        reused: list[str] = []
+        covered: set[str] = set()
+        cache = self._stats_sidecar_cache_for()
+        for name in (parent or {}).get("stats_sidecars") or []:
+            if name not in cache:
+                cache[name] = read_small_json(
+                    spark, os.path.join(self.snaps, name),
+                    backend=self.backend,
+                )["entries"]
+            ents = cache[name]
+            if ents and all(
+                p not in covered and p in merged and merged[p] == e
+                for p, e in ents.items()
+            ):
+                reused.append(name)
+                covered.update(ents)
+        names = reused
+        leftover = {p: e for p, e in merged.items() if p not in covered}
+        if leftover:
+            names = reused + [self._write_stats_sidecar(spark, leftover)]
+        if len(names) > self.stats_sidecar_max:
+            names = [self._write_stats_sidecar(spark, merged)]
+        return names
 
     def _load_blooms(self, spark: SparkSession, manifest: dict) -> dict:
         """{file path: {column: bloom}} union over the manifest's
@@ -1622,11 +1768,26 @@ class SnapshotTable:
         if version == head_v:
             return head_v  # restoring the head is a no-op
         target = self._resolve(spark, version)
+        # tag history continues from the CURRENT head; but let the
+        # two-level commit re-reference the TARGET's delta sidecars
+        # too (its entries are exactly what we re-commit, so a restore
+        # writes zero new sidecar bytes instead of a full rewrite)
+        parent = head
+        if head.get("stats_sidecars") or target.get("stats_sidecars"):
+            parent = {
+                **head,
+                "stats_sidecars": list(
+                    dict.fromkeys(
+                        (head.get("stats_sidecars") or [])
+                        + (target.get("stats_sidecars") or [])
+                    )
+                ),
+            }
         return self._commit(
             spark,
             list(target["files"]),
             tag,
-            head,  # tag history continues from the CURRENT head
+            parent,
             head_v,
             dict(target.get("stats", {})),
             dict(target.get("stats_schema", {})),
@@ -1763,9 +1924,13 @@ class SnapshotTable:
                     deleted += 1
         referenced_sidecars: set[str] = set()
         for v in keep:
-            referenced_sidecars.update(
-                self._read_manifest(spark, v).get("bloom_files", [])
-            )
+            km = self._read_manifest(spark, v)
+            referenced_sidecars.update(km.get("bloom_files", []))
+            # two-level manifests: their delta stats sidecars are
+            # AUTHORITATIVE (they carry the file list) — shared across
+            # versions by delta reuse, so the union over kept versions
+            # is exactly the live set
+            referenced_sidecars.update(km.get("stats_sidecars", []))
         if self.backend is not None:
             snap_names = self.backend.list_dir(self.snaps)
         elif fs.exists(jpath(self.snaps)):
@@ -1775,11 +1940,17 @@ class SnapshotTable:
         else:
             snap_names = []
 
-        # Same in-flight grace as the data dirs above — a sidecar loss
-        # is softer (sound via the _load_blooms fallback, only Bloom
-        # pruning silently lost) but the race is identical.
+        # Same in-flight grace as the data dirs above — a bloom
+        # sidecar loss is softer (sound via the _load_blooms fallback,
+        # only Bloom pruning silently lost), a stats sidecar loss is
+        # NOT (it carries the file list), but both reclaim only when
+        # unreferenced by every kept manifest AND aged past the grace,
+        # so a referenced one is never touched.
         for name in snap_names:
-            if name.startswith("bs-") and name not in referenced_sidecars:
+            if (
+                name.startswith(("bs-", "ss-"))
+                and name not in referenced_sidecars
+            ):
                 spath = os.path.join(self.snaps, name)
                 if _in_grace(_fs_mtime(spath)):
                     continue

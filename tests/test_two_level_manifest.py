@@ -1,0 +1,242 @@
+"""Two-level manifest (r12): delta stats sidecars past a file-count
+threshold.
+
+The r12 manifest scale probe measured the single-JSON manifest's own
+O(head files) terms (SCALE.md: 1-file commit wall 2.36x between 512
+and 16k head files — linear, but over the bar the r11 verdict set).
+This is the design the measurement fired: past
+``stats_sidecar_min_files`` the file list + per-file stats move into
+immutable uuid-named DELTA sidecars (the Iceberg manifest-list /
+Delta checkpoint shape, reduced) and the manifest JSON keeps
+tags/schema/pointers. An append re-references the parent's sidecars
+and writes ONE delta for its own files — commit metadata cost
+O(new files + sidecar count), not O(head files). Readers hydrate
+behind _read_manifest, so every consumer sees the classic shape.
+
+Reference parity note: the reference keeps per-table metadata in a
+single registry row (Logverz-Logic.json); the two-level split is the
+Spark-scale reduction of the same metadata-bounding concern its
+RDS-size model enforces (scale.js).
+"""
+
+import glob
+import json
+import os
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from logverzcore_spark.snapshots import SnapshotTable
+
+
+def _mkroot(tmpdir_path) -> str:
+    return os.path.join(str(tmpdir_path), f"tl_{uuid.uuid4().hex[:8]}")
+
+
+def _raw(root: str, v: int) -> dict:
+    with open(os.path.join(root, "_snapshots", f"v{v}.json")) as fh:
+        return json.load(fh)
+
+
+def _df(spark, lo, hi, nparts=2):
+    return (
+        spark.range(lo, hi)
+        .withColumn("g", F.col("id") % 5)
+        .repartition(nparts)
+    )
+
+
+def test_threshold_crossing_and_delta_reuse(spark, tmpdir_path):
+    root = _mkroot(tmpdir_path)
+    t = SnapshotTable(root, stats_sidecar_min_files=4)
+    t.append(_df(spark, 0, 100))
+    raw1 = _raw(root, 1)
+    # below the threshold: byte-identical single-level format
+    assert raw1["files"] and "stats_sidecars" not in raw1
+    t.append(_df(spark, 100, 200))
+    raw2 = _raw(root, 2)
+    # crossed: files/stats moved out, pointers + count stay
+    assert raw2["files"] == [] and raw2["stats"] == {}
+    assert raw2["n_files"] == 4 and len(raw2["stats_sidecars"]) >= 1
+    t.append(_df(spark, 200, 300))
+    raw3 = _raw(root, 3)
+    # the O(new files) claim: parent's chain re-referenced verbatim,
+    # exactly one new delta for the appended files
+    assert set(raw2["stats_sidecars"]) <= set(raw3["stats_sidecars"])
+    assert len(raw3["stats_sidecars"]) == len(raw2["stats_sidecars"]) + 1
+    # hydrated surface unchanged: reads, travel, count, prune
+    assert t.count(spark) == 300
+    assert t.read(spark, version=2).count() == 200
+    kept, total = t.prune_files(spark, {"id": {"lt": 50}})
+    assert 0 < len(kept) < total
+
+
+def test_consolidation_bounds_the_chain(spark, tmpdir_path):
+    root = _mkroot(tmpdir_path)
+    t = SnapshotTable(root, stats_sidecar_min_files=2, stats_sidecar_max=3)
+    for i in range(8):
+        t.append(_df(spark, i * 100, (i + 1) * 100))
+    vs = t.versions(spark)
+    for v in vs[1:]:
+        names = _raw(root, v).get("stats_sidecars") or []
+        assert len(names) <= 3, (v, names)
+    assert t.count(spark) == 800
+    # consolidation actually happened at least once (chain would be
+    # v-1 deltas otherwise)
+    assert len(_raw(root, vs[-1])["stats_sidecars"]) < len(vs) - 1
+
+
+def test_dml_and_change_feed_on_two_level(spark, tmpdir_path):
+    root = _mkroot(tmpdir_path)
+    t = SnapshotTable(root, stats_sidecar_min_files=2)
+    t.append(_df(spark, 0, 200, nparts=4))
+    v_before = t.versions(spark)[-1]
+    t.delete_where(spark, {"id": {"lt": 30}})
+    assert t.count(spark) == 170
+    assert t.read(spark).where("id < 30").count() == 0
+    ch = t.read_changes(spark, v_before, v_before + 1)
+    assert ch.where("_change_type = 'delete'").count() == 30
+    t.update_where(
+        spark, {"id": {"gte": 190}}, {"g": F.lit(99).cast("bigint")}
+    )
+    assert t.read(spark).where("g = 99").count() == 10
+
+
+def test_restore_reuses_target_sidecars(spark, tmpdir_path):
+    root = _mkroot(tmpdir_path)
+    t = SnapshotTable(root, stats_sidecar_min_files=2)
+    t.append(_df(spark, 0, 100))
+    t.append(_df(spark, 100, 200))
+    target_v = t.versions(spark)[-1]
+    t.delete_where(spark, {"id": {"lt": 50}})
+    before = set(glob.glob(os.path.join(root, "_snapshots", "ss-*.json")))
+    t.restore(spark, target_v)
+    after = set(glob.glob(os.path.join(root, "_snapshots", "ss-*.json")))
+    # a restore re-commits entries the target's sidecars already hold
+    # verbatim — zero new sidecar bytes
+    assert after == before
+    assert t.count(spark) == 200
+
+
+def test_vacuum_keeps_referenced_reclaims_orphans(spark, tmpdir_path):
+    root = _mkroot(tmpdir_path)
+    t = SnapshotTable(root, stats_sidecar_min_files=2)
+    for i in range(4):
+        t.append(_df(spark, i * 100, (i + 1) * 100))
+    # plant a crash orphan: sidecar written, no manifest references it
+    orphan = os.path.join(
+        root, "_snapshots", f"ss-{uuid.uuid4().hex[:12]}.json"
+    )
+    with open(orphan, "w") as fh:
+        json.dump({"entries": {"bogus": None}}, fh)
+    # in-grace: a young unreferenced sidecar survives (in-flight rule)
+    t.vacuum(spark, keep_last=1)
+    assert os.path.exists(orphan)
+    # aged past grace: reclaimed; referenced chain untouched
+    past = time.time() - 99999
+    for p in glob.glob(os.path.join(root, "_snapshots", "ss-*.json")):
+        os.utime(p, (past, past))
+    t.vacuum(spark, keep_last=1, orphan_grace_s=0)
+    assert not os.path.exists(orphan)
+    head_v = t.versions(spark)[-1]
+    left = {
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(root, "_snapshots", "ss-*.json"))
+    }
+    assert left == set(_raw(root, head_v)["stats_sidecars"])
+    assert t.count(spark) == 400  # hydration intact after the sweep
+
+
+def test_compact_under_threshold_returns_inline(spark, tmpdir_path):
+    root = _mkroot(tmpdir_path)
+    t = SnapshotTable(root, stats_sidecar_min_files=3)
+    t.append(_df(spark, 0, 100, nparts=4))
+    assert "stats_sidecars" in _raw(root, 1)
+    t.compact(spark, target_files=2)
+    rawc = _raw(root, t.versions(spark)[-1])
+    # hysteresis: the format follows the file count, so a compacted
+    # table pays zero two-level overhead
+    assert rawc["files"] and "stats_sidecars" not in rawc
+    assert t.count(spark) == 100
+
+
+def test_analyze_backfill_invalidates_stale_deltas(spark, tmpdir_path):
+    root = _mkroot(tmpdir_path)
+    t = SnapshotTable(root, stats_columns=False, stats_sidecar_min_files=2)
+    t.append(_df(spark, 0, 100))
+    raw1 = _raw(root, 1)
+    assert raw1.get("stats_sidecars")  # file list still sidecar'd
+    assert t._resolve(spark, 1).get("stats") == {}  # no stats yet
+    t.stats_columns = None  # analyze backfills every eligible column
+    t.analyze(spark)
+    v = t.versions(spark)[-1]
+    m = t._resolve(spark, v)
+    assert m["stats"], "backfilled stats must hydrate"
+    # the backfill restated every entry, so the old delta is NOT
+    # re-referenced (reuse requires unchanged entries)
+    assert set(_raw(root, v)["stats_sidecars"]).isdisjoint(
+        set(raw1["stats_sidecars"])
+    )
+    kept, total = t.prune_files(spark, {"id": {"lt": 10}})
+    assert 0 < len(kept) <= total
+
+
+def test_schema_evolution_and_incremental_read(spark, tmpdir_path):
+    root = _mkroot(tmpdir_path)
+    t = SnapshotTable(root, stats_sidecar_min_files=2)
+    t.append(_df(spark, 0, 100))
+    v1 = t.versions(spark)[-1]
+    t.append(
+        spark.range(100, 150)
+        .withColumn("g", F.col("id") % 5)
+        .withColumn("extra", F.lit("x"))
+        .repartition(2)
+    )
+    v2 = t.versions(spark)[-1]
+    df = t.read(spark)
+    assert "extra" in df.columns
+    assert df.where("extra IS NULL").count() == 100
+    inc = t.read_incremental(spark, v1, v2)
+    assert inc.count() == 50
+
+
+def test_disabled_threshold_stays_single_level(spark, tmpdir_path):
+    root = _mkroot(tmpdir_path)
+    t = SnapshotTable(root, stats_sidecar_min_files=None)
+    t.append(_df(spark, 0, 100, nparts=8))
+    raw1 = _raw(root, 1)
+    assert raw1["files"] and "stats_sidecars" not in raw1
+
+
+def test_concurrent_append_replans_against_new_head(spark, tmpdir_path):
+    import threading
+
+    root = _mkroot(tmpdir_path)
+    t = SnapshotTable(root, stats_sidecar_min_files=2)
+    t.append(_df(spark, 0, 100))
+    errs: list[Exception] = []
+
+    def worker(lo):
+        try:
+            t.append(_df(spark, lo, lo + 50), retries=8)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ths = [
+        threading.Thread(target=worker, args=(200,)),
+        threading.Thread(target=worker, args=(300,)),
+    ]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join()
+    assert not errs, errs
+    assert t.count(spark) == 200
+    head = _raw(root, t.versions(spark)[-1])
+    # the loser re-planned against the winner's head: its manifest
+    # references a chain that hydrates to ALL files
+    assert head["n_files"] == t._resolve(
+        spark, t.versions(spark)[-1]
+    )["files"].__len__()
