@@ -5948,3 +5948,119 @@ def q145_mv_repair_after_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@query(
+    "q146_two_level_manifest",
+    oracle="""
+    WITH cuts AS (
+      SELECT CAST(FLOOR(MAX(o_orderkey) / 8.0) AS BIGINT) AS c1,
+             CAST(FLOOR(MAX(o_orderkey) / 4.0) AS BIGINT) AS c2,
+             CAST(FLOOR(MAX(o_orderkey) / 2.0) AS BIGINT) AS c3,
+             CAST(FLOOR(MAX(o_orderkey) * 5 / 8.0) AS BIGINT) AS c4
+      FROM orders
+    )
+    SELECT CASE WHEN o.o_orderkey >= cuts.c3 AND o.o_orderkey < cuts.c4
+                THEN 'TLM' ELSE o.o_orderpriority END AS pr,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders o, cuts
+    WHERE o.o_orderkey % 3 = 0
+      AND NOT (o.o_orderkey >= cuts.c1 AND o.o_orderkey < cuts.c2)
+    GROUP BY 1 ORDER BY pr
+    """,
+)
+def q146_two_level_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level manifest end-to-end (r12 — the design the manifest
+    scale probe's measurement fired, SCALE.md): a snapshot table
+    crosses ``stats_sidecar_min_files``, after which its file list +
+    per-file stats live in immutable DELTA sidecars and the manifest
+    JSON keeps only tags/schema/pointers — commit metadata cost
+    O(new files), not O(head files). Asserted in-entry on the RAW
+    on-disk JSON (not the hydrated view): the pre-threshold commit is
+    byte-format single-level, the crossing commit moves files/stats
+    out, and the next append RE-REFERENCES the parent's entire chain
+    plus exactly one new delta (the O(new) claim in manifest bytes:
+    the head manifest stays tag-sized while the table's file count
+    triples). The hydrated surface is then driven through the full
+    lifecycle on top of the sidecars — stat pruning (kept < total),
+    a redaction update, a GDPR band delete — and the final read
+    hash-matches the flat oracle replaying both. 100 TB story: a
+    100k-file table's always-on stream pays per-commit metadata for
+    its own files only; the chain is bounded by consolidation
+    (stats_sidecar_max), and compaction returns the table to the
+    inline format when the file count drops — format follows scale
+    in both directions. Reduced from the public Iceberg manifest-list
+    / Delta checkpoint designs; reference parity: metadata bounding is
+    the same concern the reference's registry size model enforces
+    (scale.js RDS sizing)."""
+    import json as _json
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    work = tempfile.mkdtemp(prefix=f"q146_{_uuid.uuid4().hex[:8]}_")
+    root = os.path.join(work, "t")
+
+    def _raw(v: int) -> dict:
+        with open(os.path.join(root, "_snapshots", f"v{v}.json")) as fh:
+            return _json.load(fh)
+
+    try:
+        hi = int(orders.agg(F.max("o_orderkey")).first()[0])
+        c1, c2 = hi // 8, hi // 4
+        c3, c4 = hi // 2, hi * 5 // 8
+        base = orders.where(k % 3 == 0).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        t = SnapshotTable(root, stats_sidecar_min_files=8)
+        # three appends of 4 range files each: 4 -> 8 -> 12
+        for m in (0, 3, 6):
+            t.append(
+                base.where(k % 9 == m).repartitionByRange(4, "o_orderkey")
+            )
+        r1, r2, r3 = _raw(1), _raw(2), _raw(3)
+        # pre-threshold: classic single-level format, byte-for-byte
+        assert r1["files"] and "stats_sidecars" not in r1
+        # crossing: files/stats moved out into the sidecar level
+        assert r2["files"] == [] and r2["stats"] == {}
+        assert r2["n_files"] == 8 and r2["stats_sidecars"]
+        # the O(new files) append: parent chain re-referenced verbatim
+        # + exactly one delta for the 4 new files
+        assert set(r2["stats_sidecars"]) <= set(r3["stats_sidecars"])
+        assert len(r3["stats_sidecars"]) == len(r2["stats_sidecars"]) + 1
+        # the manifest itself stays tag-sized while files tripled
+        assert len(_json.dumps(r3)) < 4096, len(_json.dumps(r3))
+
+        # hydrated lifecycle ON TOP of the sidecars:
+        kept, total = t.prune_files(
+            spark, {"o_orderkey": {"between": [c1, c2 - 1]}}
+        )
+        assert 0 < len(kept) < total, (len(kept), total)
+        t.update_where(
+            spark, {"o_orderkey": {"between": [c3, c4 - 1]}},
+            {"o_orderpriority": F.lit("TLM")},
+        )
+        t.delete_where(spark, {"o_orderkey": {"between": [c1, c2 - 1]}})
+
+        out = (
+            t.read(spark)
+            .groupBy(F.col("o_orderpriority").alias("pr"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5)
+                    .cast("long")
+                ).cast("long").alias("total_cents"),
+            )
+            .orderBy("pr")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -24,6 +24,17 @@ numbers grade a working table, not a stub. Output: one JSON line per
 scale point. The decision criterion recorded in SCALE.md: if the
 1-file commit wall at 16k files exceeds ~2x the 512-file point, the
 two-level manifest / parquet-stats-sidecar design note triggers.
+
+r12 follow-up: that criterion FIRED (2.36x, linear-driven), so the
+two-level manifest now exists (SnapshotTable.stats_sidecar_min_files;
+delta sidecars re-referenced across appends). ``--mode`` selects what
+this probe grades: ``inline`` pins the single-level format
+(stats_sidecar_min_files=None — the r12 baseline numbers), ``two-level``
+arms it from the first commit (min_files=1) so every point measures the
+delta-reuse path. Two-level points additionally report the sidecar
+chain (count + total bytes) so the bounded-chain claim is in the
+artifact, and the 1-file commit is measured TWICE (reuse path + the
+post-consolidation path is visible in bulk walls).
 """
 
 from __future__ import annotations
@@ -52,10 +63,16 @@ def _local(p: str) -> str:
 
 
 def main() -> None:
+    mode = "two-level" if "--mode=two-level" in sys.argv[1:] else (
+        "inline" if "--mode=inline" in sys.argv[1:] else "inline"
+    )
     spark = get_session()
     work = tempfile.mkdtemp(prefix="manifest_scale_")
     root = os.path.join(work, "t")
-    t = SnapshotTable(root)
+    t = SnapshotTable(
+        root,
+        stats_sidecar_min_files=(1 if mode == "two-level" else None),
+    )
     total_rows = 0
     n_files = 0
     try:
@@ -90,10 +107,20 @@ def main() -> None:
             total_rows += ROWS_PER_FILE
 
             t0 = time.time()
-            fresh = SnapshotTable(root)
+            fresh = SnapshotTable(
+                root,
+                stats_sidecar_min_files=(
+                    1 if mode == "two-level" else None
+                ),
+            )
             hv, head = fresh._head(spark)
             head_wall = time.time() - t0
             assert head is not None and len(head["files"]) == n_files
+            sidecar_names = head.get("stats_sidecars") or []
+            sidecar_bytes = sum(
+                os.path.getsize(_local(os.path.join(t.snaps, nm)))
+                for nm in sidecar_names
+            )
 
             t0 = time.time()
             kept, tot = t.prune_files(spark, {"k": {"between": [0, 40]}})
@@ -106,6 +133,9 @@ def main() -> None:
             assert n == total_rows, (n, total_rows)  # correctness gate
 
             print(json.dumps({
+                "mode": mode,
+                "n_sidecars": len(sidecar_names),
+                "sidecar_bytes": sidecar_bytes,
                 "head_files": n_files,
                 "rows": total_rows,
                 "manifest_bytes": manifest_bytes,
