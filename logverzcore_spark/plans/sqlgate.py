@@ -106,14 +106,24 @@ def rewrite_legacy_query(query: str, view_name: str) -> str:
     return out
 
 
-def _walk_expr(expr, seen: set[int]) -> None:
+def _walk_expr(expr, seen: dict) -> None:
     """Reject denied function invocations anywhere in an expression tree
     (including inside lambdas, CASE arms, and nested calls). Names are
     checked on their LAST part, so ``builtin.reflect`` and bare
-    ``reflect`` both trip."""
+    ``reflect`` both trip.
+
+    ``seen`` maps id -> the visited py4j proxy, NOT a bare id set: each
+    accessor call returns a FRESH transient proxy, so a bare-id guard
+    never legitimately fires on a tree walk — but once a freed proxy's
+    address is reused by a later node, ``id(new) in seen`` false-
+    positives and SILENTLY SKIPS the subtree (observed as a GC-layout-
+    dependent flake: an IN-subquery's table vanished from extraction
+    mid-suite; the same skip could bypass the denied-function check).
+    Holding the proxy in the dict pins its address for the walk, so a
+    hit can only be a genuine revisit."""
     if expr is None or id(expr) in seen:
         return
-    seen.add(id(expr))
+    seen[id(expr)] = expr
     if expr.getClass().getSimpleName() == "UnresolvedFunction":
         parts = expr.nameParts()
         fname = parts.apply(parts.size() - 1).lower()
@@ -126,7 +136,7 @@ def _walk_expr(expr, seen: set[int]) -> None:
         _walk_expr(children.apply(i), seen)
 
 
-def _walk_plan(node, tables: list[str], seen: set[int], scope: frozenset[str]) -> None:
+def _walk_plan(node, tables: list[str], seen: dict, scope: frozenset[str]) -> None:
     """Collect table references, resolving CTE names LEXICALLY.
 
     ``scope`` holds the CTE names visible at this point. Scoping matters
@@ -139,8 +149,8 @@ def _walk_plan(node, tables: list[str], seen: set[int], scope: frozenset[str]) -
     query sees the full CTE set."""
     if node is None or id(node) in seen:
         return
-    seen.add(id(node))
-    expr_seen: set[int] = set()
+    seen[id(node)] = node  # pin the proxy: see _walk_expr's seen note
+    expr_seen: dict = {}
     exprs = node.expressions()
     for i in range(exprs.size()):
         _walk_expr(exprs.apply(i), expr_seen)
@@ -208,7 +218,7 @@ def validate_select(spark: SparkSession, query: str, allow_explain: bool = True)
     else:
         stmt_type = "SELECT"
     tables: list[str] = []
-    _walk_plan(plan, tables, set(), frozenset())
+    _walk_plan(plan, tables, {}, frozenset())
     # Dedup preserving order.
     unique = list(dict.fromkeys(tables))
     return ValidationResult(statement_type=stmt_type, tables=unique)

@@ -91,6 +91,27 @@ def test_gate_allows_and_extracts_tables(spark):
     assert sorted(r.tables) == ["a", "b", "d"]  # CTE name excluded
 
 
+def test_gate_extraction_stable_under_allocator_churn(spark):
+    """Regression (r12): the walkers' visited-set stored bare id()s of
+    TRANSIENT py4j proxies — once a freed proxy's address was reused by
+    a later node, the walk skipped that subtree, so an IN-subquery's
+    table nondeterministically vanished from extraction (and the same
+    skip could have bypassed the denied-function check). The fix pins
+    each visited proxy in the dict. This loop makes address reuse
+    likely (fresh proxies + interleaved garbage every iteration); the
+    extraction must never lose a table."""
+    q = (
+        "WITH c AS (SELECT 1 AS x) "
+        "SELECT * FROM a JOIN b ON a.k = b.k WHERE a.v IN (SELECT v FROM d) "
+        "AND EXISTS (SELECT 1 FROM e WHERE e.k = a.k) "
+        "UNION ALL SELECT * FROM c"
+    )
+    for i in range(50):
+        _ = [object() for _ in range(64 * (i % 7))]  # churn the allocator
+        r = validate_select(spark, q)
+        assert sorted(r.tables) == ["a", "b", "d", "e"], (i, r.tables)
+
+
 def test_legacy_rewrite():
     q = rewrite_legacy_query(
         "SELECT s.a FROM S3Object[*].Records[*] s WHERE s.b IS MISSING AND s.c IS NOT MISSING",
