@@ -656,18 +656,24 @@ class SnapshotTable:
                 out.append(int(m.group(1)))
         return sorted(out)
 
-    def _read_manifest(self, spark: SparkSession, version: int) -> dict:
+    def _read_manifest(
+        self, spark: SparkSession, version: int, hydrate: bool = True
+    ) -> dict:
         m = read_small_json(
             spark, os.path.join(self.snaps, f"v{version}.json"),
             backend=self.backend,
         )
         names = m.get("stats_sidecars")
-        if names:
+        if names is not None and hydrate:
             # Two-level manifest: hydrate files/stats from the delta
             # sidecars so every consumer above this call sees the
             # classic single-level shape. Sidecars are immutable and
-            # cached per name, so a version walk (history, CDF spans,
-            # version_asof) parses each delta's bytes once per handle.
+            # cached per name, so a version walk (history, CDF spans)
+            # parses each delta's bytes once per handle. Scalar-only
+            # walks (version_asof's binary search, vacuum's
+            # committed_at scan) pass hydrate=False and stay
+            # tag-sized — the bytes the two-level design moved out of
+            # the manifest must not creep back into the metadata path.
             entries = self._load_stats_sidecars(spark, names)
             m["files"] = sorted(entries)
             m["stats"] = {
@@ -714,15 +720,14 @@ class SnapshotTable:
             stats_sidecars = self._plan_stats_sidecars(
                 spark, parent, merged
             )
-            files_payload: list = []
-            stats_payload: dict = {}
-        else:
-            files_payload = sorted(files)
-            stats_payload = {
-                k: v for k, v in (stats or {}).items() if k in fileset
+            head_keys = {
+                "stats_sidecars": stats_sidecars,
+                "n_files": len(files),
             }
+        else:
+            head_keys = {"files": sorted(files)}
         payload = {
-            "files": files_payload,
+            **head_keys,
             "tag": tag,
             "all_tags": all_tags,
             "recent_tags": recent_tags,
@@ -738,14 +743,22 @@ class SnapshotTable:
                 int((parent or {}).get("committed_at") or 0),
             ),
             "op": op,  # what produced this version (history())
-            "stats": stats_payload,
+            # Two-level manifests deliberately OMIT "files"/"stats"
+            # rather than writing them empty: a pre-two-level reader
+            # (deployment skew, an external tool parsing v{N}.json
+            # raw) must fail LOUDLY on m["files"] (KeyError) rather
+            # than silently read a populated table as empty — the
+            # Iceberg/Delta format-version gate, reduced to a
+            # required-key rename. New readers hydrate both keys
+            # behind _read_manifest; below the threshold the payload
+            # stays byte-identical to the single-level format.
+            **({} if two_level else {"stats": {
+                k: v for k, v in (stats or {}).items() if k in fileset
+            }}),
             "stats_schema": stats_schema or {},
             "schema": schema_json,
             "bloom_files": bloom_files or [],
         }
-        if two_level:
-            payload["stats_sidecars"] = stats_sidecars
-            payload["n_files"] = len(files)
         version = parent_version + 1
         # Exclusive commit: a concurrent committer who read the same
         # head raises CommitConflict here (its data files stay orphaned
@@ -1162,7 +1175,12 @@ class SnapshotTable:
             raise FileNotFoundError(f"no committed snapshots under {self.root}")
 
         def at(v: int):
-            return self._read_manifest(spark, v).get("committed_at")
+            # hydrate=False: the binary search reads one scalar per
+            # probe — it must never pull a two-level version's whole
+            # sidecar chain into the metadata path
+            return self._read_manifest(
+                spark, v, hydrate=False
+            ).get("committed_at")
 
         lo, hi, best = 0, len(vs) - 1, None
         while lo <= hi:
@@ -1216,15 +1234,29 @@ class SnapshotTable:
             backend=self.backend,
         )
         # seed the cache with EXACTLY what a reader will parse back
-        # (JSON round-trip: tuples->lists etc.), so the reuse check in
-        # _plan_stats_sidecars compares like with like
-        self._stats_sidecar_cache_for().pop(name, None)
+        # (JSON round-trip normalizes tuples->lists etc.), so the
+        # reuse check in _plan_stats_sidecars compares like with like
+        # AND the next commit/hydration skips one backend read
+        self._stats_sidecar_cache_for()[name] = json.loads(
+            json.dumps(entries)
+        )
         return name
+
+    #: bound on the per-handle sidecar cache: a long-lived handle on an
+    #: always-on stream retires sidecars every commit, and an unbounded
+    #: cache would pin every dead delta's O(files) entries forever —
+    #: memory growing with COMMIT HISTORY, not table size. Insertion-
+    #: order eviction; live chains are re-read on a miss (cheap, and
+    #: the miss rate is bounded by the chain length, itself bounded by
+    #: stats_sidecar_max).
+    _STATS_CACHE_MAX = 128
 
     def _stats_sidecar_cache_for(self) -> dict:
         cache = getattr(self, "_stats_sidecar_cache", None)
         if cache is None:
             cache = self._stats_sidecar_cache = {}
+        while len(cache) > self._STATS_CACHE_MAX:
+            cache.pop(next(iter(cache)))
         return cache
 
     def _load_stats_sidecars(
@@ -1271,13 +1303,15 @@ class SnapshotTable:
             ):
                 reused.append(name)
                 covered.update(ents)
-        names = reused
         leftover = {p: e for p, e in merged.items() if p not in covered}
+        # consolidation check BEFORE writing the leftover delta — the
+        # other order persists a delta the same commit immediately
+        # orphans (a wasted write per consolidation cycle)
+        if len(reused) + (1 if leftover else 0) > self.stats_sidecar_max:
+            return [self._write_stats_sidecar(spark, merged)]
         if leftover:
-            names = reused + [self._write_stats_sidecar(spark, leftover)]
-        if len(names) > self.stats_sidecar_max:
-            names = [self._write_stats_sidecar(spark, merged)]
-        return names
+            return reused + [self._write_stats_sidecar(spark, leftover)]
+        return reused
 
     def _load_blooms(self, spark: SparkSession, manifest: dict) -> dict:
         """{file path: {column: bloom}} union over the manifest's
@@ -1876,7 +1910,12 @@ class SnapshotTable:
         if older_than is not None and vs:
             cutoff = self._to_millis(older_than)
             for v in vs:
-                ca = self._read_manifest(spark, v).get("committed_at")
+                # hydrate=False: one scalar per version — and on the
+                # self-heal path after a crashed sweep this walk must
+                # not require every listed version's chain to resolve
+                ca = self._read_manifest(
+                    spark, v, hydrate=False
+                ).get("committed_at")
                 if ca is not None and ca >= cutoff:
                     keep_set.add(v)
             keep_set.add(vs[-1])  # the head is never age-vacuumed
@@ -1924,13 +1963,28 @@ class SnapshotTable:
                     deleted += 1
         referenced_sidecars: set[str] = set()
         for v in keep:
-            km = self._read_manifest(spark, v)
+            km = self._read_manifest(spark, v, hydrate=False)
             referenced_sidecars.update(km.get("bloom_files", []))
             # two-level manifests: their delta stats sidecars are
             # AUTHORITATIVE (they carry the file list) — shared across
             # versions by delta reuse, so the union over kept versions
             # is exactly the live set
             referenced_sidecars.update(km.get("stats_sidecars", []))
+        # Dropped manifests go BEFORE their sidecars: stats sidecars
+        # are authoritative (hydration raises on a missing one), so a
+        # crash between the two sweeps must never leave a still-listed
+        # version whose chain is gone — versions() would then blow up
+        # every metadata walk (history, the older_than scan) including
+        # the re-vacuum that would have healed it. This order's crash
+        # window leaves only unreferenced sidecars, which the next
+        # vacuum reclaims.
+        for v in vs:
+            if v not in keep:
+                mpath = os.path.join(self.snaps, f"v{v}.json")
+                if self.backend is not None:
+                    self.backend.delete(mpath)
+                else:
+                    fs.delete(jpath(mpath), False)
         if self.backend is not None:
             snap_names = self.backend.list_dir(self.snaps)
         elif fs.exists(jpath(self.snaps)):
@@ -1958,13 +2012,6 @@ class SnapshotTable:
                     self.backend.delete(spath)
                 else:
                     fs.delete(jpath(spath), False)
-        for v in vs:
-            if v not in keep:
-                mpath = os.path.join(self.snaps, f"v{v}.json")
-                if self.backend is not None:
-                    self.backend.delete(mpath)
-                else:
-                    fs.delete(jpath(mpath), False)
         if return_report:
             return {
                 "deleted": deleted,

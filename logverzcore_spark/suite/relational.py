@@ -6027,8 +6027,10 @@ def q146_two_level_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         r1, r2, r3 = _raw(1), _raw(2), _raw(3)
         # pre-threshold: classic single-level format, byte-for-byte
         assert r1["files"] and "stats_sidecars" not in r1
-        # crossing: files/stats moved out into the sidecar level
-        assert r2["files"] == [] and r2["stats"] == {}
+        # crossing: files/stats keys ABSENT (not empty) — a
+        # pre-two-level reader must KeyError loudly, never silently
+        # read a populated table as empty
+        assert "files" not in r2 and "stats" not in r2
         assert r2["n_files"] == 8 and r2["stats_sidecars"]
         # the O(new files) append: parent chain re-referenced verbatim
         # + exactly one delta for the 4 new files

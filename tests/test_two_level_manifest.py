@@ -57,8 +57,10 @@ def test_threshold_crossing_and_delta_reuse(spark, tmpdir_path):
     assert raw1["files"] and "stats_sidecars" not in raw1
     t.append(_df(spark, 100, 200))
     raw2 = _raw(root, 2)
-    # crossed: files/stats moved out, pointers + count stay
-    assert raw2["files"] == [] and raw2["stats"] == {}
+    # crossed: files/stats keys are ABSENT (not empty) so a
+    # pre-two-level reader fails loudly on m["files"] instead of
+    # silently seeing a populated table as empty
+    assert "files" not in raw2 and "stats" not in raw2
     assert raw2["n_files"] == 4 and len(raw2["stats_sidecars"]) >= 1
     t.append(_df(spark, 200, 300))
     raw3 = _raw(root, 3)
@@ -147,6 +149,42 @@ def test_vacuum_keeps_referenced_reclaims_orphans(spark, tmpdir_path):
     }
     assert left == set(_raw(root, head_v)["stats_sidecars"])
     assert t.count(spark) == 400  # hydration intact after the sweep
+
+
+def test_vacuum_orders_manifests_before_sidecars(spark, tmpdir_path):
+    """Regression (r12 review): vacuum must drop retired MANIFESTS
+    before reclaiming their sidecars — the other order's crash window
+    leaves a still-listed version whose authoritative chain is gone,
+    and every metadata walk (including the re-vacuum that would heal
+    it) then raises. Also proves the self-heal: a simulated legacy
+    crash state (listed version, chain deleted) is swept clean by the
+    next vacuum instead of crashing it."""
+    root = _mkroot(tmpdir_path)
+    t = SnapshotTable(root, stats_sidecar_min_files=2)
+    for i in range(3):
+        t.append(_df(spark, i * 100, (i + 1) * 100))
+    # a compact rewrites every file -> v4 gets a FRESH chain and every
+    # pre-compact delta retires (pure appends would keep v1's delta
+    # alive in the head chain by reuse)
+    t.compact(spark, target_files=2)
+    head_v = t.versions(spark)[-1]
+    retired = set(_raw(root, 1)["stats_sidecars"]) - set(
+        _raw(root, head_v)["stats_sidecars"]
+    )
+    assert retired, "compact must retire v1's chain"
+    # simulate the pre-fix crash aftermath: v1 still listed, chain gone
+    for name in retired:
+        os.remove(os.path.join(root, "_snapshots", name))
+    past = time.time() - 99999
+    for p in glob.glob(os.path.join(root, "_snapshots", "ss-*.json")):
+        os.utime(p, (past, past))
+    # the scalar walks must not hydrate the broken version...
+    assert t.version_asof(spark, time.time()) == head_v
+    # ...and the sweep (whose older_than scan walks EVERY version's
+    # committed_at, broken v1 included) heals instead of raising
+    t.vacuum(spark, older_than=time.time(), orphan_grace_s=0)
+    assert t.versions(spark) == [head_v]
+    assert t.count(spark) == 300
 
 
 def test_compact_under_threshold_returns_inline(spark, tmpdir_path):

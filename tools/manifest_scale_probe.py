@@ -33,8 +33,8 @@ this probe grades: ``inline`` pins the single-level format
 arms it from the first commit (min_files=1) so every point measures the
 delta-reuse path. Two-level points additionally report the sidecar
 chain (count + total bytes) so the bounded-chain claim is in the
-artifact, and the 1-file commit is measured TWICE (reuse path + the
-post-consolidation path is visible in bulk walls).
+artifact; consolidation cycles show up in the chain length across
+points (n_sidecars drops when a commit consolidates).
 """
 
 from __future__ import annotations
@@ -63,9 +63,10 @@ def _local(p: str) -> str:
 
 
 def main() -> None:
-    mode = "two-level" if "--mode=two-level" in sys.argv[1:] else (
-        "inline" if "--mode=inline" in sys.argv[1:] else "inline"
-    )
+    modes = [a for a in sys.argv[1:] if a.startswith("--mode=")]
+    mode = modes[-1].split("=", 1)[1] if modes else "inline"
+    if mode not in ("inline", "two-level"):
+        raise SystemExit(f"unknown --mode={mode!r}: inline | two-level")
     spark = get_session()
     work = tempfile.mkdtemp(prefix="manifest_scale_")
     root = os.path.join(work, "t")
