@@ -248,6 +248,74 @@ def test_disabled_threshold_stays_single_level(spark, tmpdir_path):
     assert raw1["files"] and "stats_sidecars" not in raw1
 
 
+def test_bloom_point_lookup_on_two_level(spark, tmpdir_path):
+    """Composition: the bloom sidecar plane rides unchanged on a
+    two-level manifest — a point probe on a RANDOM layout (intervals
+    prune nothing) still prunes to ~1 file, and an absent key proves
+    out of every file."""
+    root = _mkroot(tmpdir_path)
+    t = SnapshotTable(
+        root, stats_sidecar_min_files=2, bloom_columns=["key"]
+    )
+    df = (
+        spark.range(0, 4000)
+        .withColumn(
+            "key",
+            F.concat(
+                F.lit("user-"),
+                F.substring(F.md5(F.col("id").cast("string")), 1, 12),
+            ),
+        )
+    )
+    for i in range(4):
+        t.append(df.where(F.col("id") % 4 == i).repartition(2))
+    assert _raw(root, 4).get("stats_sidecars"), "must be two-level"
+    probe = df.where("id = 123").first()
+    kept_range, total = t.prune_files(spark, {"key": {"gte": "user-0"}})
+    assert len(kept_range) == total  # intervals useless on this layout
+    kept, total = t.prune_files(spark, {"key": probe["key"]})
+    assert 0 < len(kept) < total
+    assert t.read(spark, where={"key": probe["key"]}).count() == 1
+    kept, _ = t.prune_files(spark, {"key": "user-nope"})
+    assert kept == []
+
+
+def test_two_level_on_s3_backend(spark, tmpdir_path):
+    """Composition: the delta sidecars commit through the same
+    CommitBackend as the manifests (the Delta LogStore split), so the
+    whole metadata plane — manifests AND chains — lives on the object
+    store while data files stay put; vacuum reclaims retired ss- keys
+    through the backend too."""
+    from logverzcore_spark.fsutil import S3ConditionalPutBackend
+
+    from test_s3_backend import FakeS3Client
+
+    c = FakeS3Client()
+    be = S3ConditionalPutBackend(bucket="bkt", client=c)
+    root = os.path.join(str(tmpdir_path), f"s3tl_{uuid.uuid4().hex[:8]}")
+    t = SnapshotTable(root, backend=be, stats_sidecar_min_files=2)
+    for i in range(3):
+        t.append(_df(spark, i * 100, (i + 1) * 100), tag=f"s:batch-{i}")
+    assert t.append(_df(spark, 0, 1), tag="s:batch-1") == 3  # replay no-op
+    snaps = be.list_dir(t.snaps)
+    assert any(n.startswith("ss-") for n in snaps), snaps
+    assert t.count(spark) == 300
+    assert t.read(spark, version=2).count() == 200
+    # retire every pre-compact delta, then vacuum them off the backend
+    t.compact(spark, target_files=2)
+    live = set(
+        t._read_manifest(spark, t.versions(spark)[-1], hydrate=False)[
+            "stats_sidecars"
+        ]
+    )
+    # the stub's logical clock stamps objects near epoch 0, so retired
+    # sidecars age out of the grace immediately at grace 0
+    t.vacuum(spark, keep_last=1, orphan_grace_s=0)
+    left = {n for n in be.list_dir(t.snaps) if n.startswith("ss-")}
+    assert left == live, (left, live)
+    assert t.count(spark) == 300
+
+
 def test_concurrent_append_replans_against_new_head(spark, tmpdir_path):
     import threading
 
