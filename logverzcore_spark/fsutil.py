@@ -56,11 +56,37 @@ def hadoop_fs(spark, path: str):
     return jpath, jpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
 
 
+def _local_path(path: str) -> str | None:
+    """The plain filesystem path when ``path`` addresses the LOCAL
+    filesystem (bare path or file: scheme), else None. Used to bypass
+    the Hadoop FS API for local metadata I/O: a py4j byte-array read
+    ships the payload base64-encoded over the command socket (~10 MB/s
+    — the r12 SCALE two-level row's 0.61 s cold-chain read was mostly
+    this), where a direct Python read of the same bytes is ~ms."""
+    if path.startswith("file://"):
+        return path[len("file://"):] or "/"
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    if "://" not in path.split("/", 1)[0] and ":" not in path.split("/", 1)[0]:
+        return path  # bare path, no scheme → local FS
+    return None
+
+
 def read_small_json(spark, path: str, backend=None):
     """Read and parse a small JSON file — via the Hadoop FS API by
-    default, or through the same ``backend`` its writer committed with."""
+    default, or through the same ``backend`` its writer committed with.
+    Local paths short-circuit to direct Python I/O (same bytes, same
+    whole-file-or-FileNotFound visibility — the writer commits by
+    atomic rename): the Hadoop/py4j detour costs several driver
+    round-trips plus a base64-framed byte-array transfer per read,
+    which dominated the two-level manifest's cold-chain hydration
+    (measured r13: 4 MB chain 0.61 s → ~0.03 s)."""
     if backend is not None:
         return json.loads(backend.read_bytes(path).decode("utf-8"))
+    local = _local_path(path)
+    if local is not None:
+        with open(local, "rb") as fh:
+            return json.loads(fh.read().decode("utf-8"))
     jpath, fs = hadoop_fs(spark, path)
     stream = fs.open(jpath(path))
     try:
@@ -86,6 +112,26 @@ def write_small_json_commit(spark, path: str, payload, backend=None) -> None:
     mode to offer — its create-if-absent IS the write)."""
     if backend is not None:
         backend.put_if_absent(path, json.dumps(payload).encode("utf-8"))
+        return
+    local = _local_path(path)
+    if local is not None:
+        # Local fast-path (r13): same .part-then-commit shape without
+        # the ~6 py4j round-trips per commit. os.link is the commit —
+        # it FAILS atomically if the target exists, which is strictly
+        # stronger than the exists-check + replacing rename above
+        # (closes the two-writer window on local FS; the message and
+        # exception type match the Hadoop path's refusal).
+        part = local + ".part"
+        # fs.create makes parent dirs implicitly; match that.
+        os.makedirs(os.path.dirname(part) or ".", exist_ok=True)
+        with open(part, "wb") as fh:
+            fh.write(json.dumps(payload).encode("utf-8"))
+        try:
+            os.link(part, local)
+        except FileExistsError:
+            os.unlink(part)
+            raise IOError(f"commit target already exists: {path}")
+        os.unlink(part)
         return
     jpath, fs = hadoop_fs(spark, path)
     part = jpath(path + ".part")
@@ -181,8 +227,54 @@ class HadoopRenameBackend(CommitBackend):
         return hadoop_fs(self._spark, path)
 
     def put_if_absent(self, path: str, data: bytes) -> None:
+        local = _local_path(path)
+        if local is not None:
+            # Local fast-path (r13): the IDENTICAL three-piece protocol
+            # (unique .part staging, .lock as atomic create-if-absent,
+            # exists-check + rename + read-back under the lock) in pure
+            # Python — same artifacts on disk (a crashed winner still
+            # leaves the fail-stop .lock break_commit_lock clears), but
+            # none of the ~10 py4j round-trips the Hadoop detour costs
+            # per commit. O_EXCL does the cross-process work; no .crc
+            # sidecar races exist here, so no process mutex needed.
+            self._put_if_absent_local(local, path, data)
+            return
         with HadoopRenameBackend._proc_mu:
             self._put_if_absent_locked(path, data)
+
+    @staticmethod
+    def _put_if_absent_local(local: str, path: str, data: bytes) -> None:
+        if os.path.exists(local):
+            raise CommitConflict(f"commit target already exists: {path}")
+        part = f"{local}.part.{uuid.uuid4().hex[:8]}"
+        os.makedirs(os.path.dirname(part) or ".", exist_ok=True)
+        with open(part, "wb") as fh:
+            fh.write(data)
+        lock = local + ".lock"
+        try:
+            os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        except FileExistsError:
+            os.unlink(part)
+            raise CommitConflict(
+                f"another writer holds the commit lock for {path}; if no "
+                f"writer is alive this is a crashed commit — "
+                f"break_commit_lock after confirming"
+            )
+        try:
+            if os.path.exists(local):
+                os.unlink(part)
+                raise CommitConflict(
+                    f"commit target already exists: {path}"
+                )
+            os.rename(part, local)
+            with open(local, "rb") as fh:
+                if fh.read() != bytes(data):
+                    raise IOError(f"post-commit read-back mismatch at {path}")
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
 
     def _put_if_absent_locked(self, path: str, data: bytes) -> None:
         jpath, fs = self._fs(path)

@@ -80,6 +80,7 @@ from pyspark.sql import functions as F
 
 from logverzcore_spark.fsutil import (
     CommitConflict,
+    _local_path,
     break_commit_lock,
     hadoop_fs,
     read_small_json,
@@ -643,12 +644,25 @@ class SnapshotTable:
         if self.backend is not None:
             names = self.backend.list_dir(self.snaps)
         else:
-            jpath, fs = hadoop_fs(spark, self.root)
-            if not fs.exists(jpath(self.snaps)):
-                return []
-            names = [
-                st.getPath().getName() for st in fs.listStatus(jpath(self.snaps))
-            ]
+            local = _local_path(self.snaps)
+            if local is not None:
+                # Local fast-path (r13): fs.listStatus costs one py4j
+                # round-trip PER ENTRY for getPath().getName() — on a
+                # long-lived stream's _snapshots dir (manifests +
+                # sidecars, hundreds of entries) that is the dominant
+                # term of every head resolve.
+                try:
+                    names = os.listdir(local)
+                except FileNotFoundError:
+                    return []
+            else:
+                jpath, fs = hadoop_fs(spark, self.root)
+                if not fs.exists(jpath(self.snaps)):
+                    return []
+                names = [
+                    st.getPath().getName()
+                    for st in fs.listStatus(jpath(self.snaps))
+                ]
         out = []
         for name in names:
             m = _VRE.match(name)
@@ -1245,10 +1259,14 @@ class SnapshotTable:
     #: bound on the per-handle sidecar cache: a long-lived handle on an
     #: always-on stream retires sidecars every commit, and an unbounded
     #: cache would pin every dead delta's O(files) entries forever —
-    #: memory growing with COMMIT HISTORY, not table size. Insertion-
-    #: order eviction; live chains are re-read on a miss (cheap, and
-    #: the miss rate is bounded by the chain length, itself bounded by
-    #: stats_sidecar_max).
+    #: memory growing with COMMIT HISTORY, not table size. LRU
+    #: eviction (r13: a hit moves to the end — pure insertion order
+    #: evicted the OLDEST-inserted entry first, which under pressure is
+    #: the head chain's long-lived consolidated sidecar, the hottest
+    #: entry, forcing a re-read of the largest sidecar every
+    #: commit/hydration once the cache filled); live chains are re-read
+    #: on a miss (cheap, and the miss rate is bounded by the chain
+    #: length, itself bounded by stats_sidecar_max).
     _STATS_CACHE_MAX = 128
 
     def _stats_sidecar_cache_for(self) -> dict:
@@ -1259,6 +1277,19 @@ class SnapshotTable:
             cache.pop(next(iter(cache)))
         return cache
 
+    def _stats_sidecar_get(self, spark: SparkSession, cache: dict, name: str):
+        """Cache lookup with LRU touch: a hit re-inserts at the end so
+        size-based eviction (insertion order) drops the coldest entry,
+        not the hottest."""
+        if name in cache:
+            cache[name] = cache.pop(name)
+        else:
+            cache[name] = read_small_json(
+                spark, os.path.join(self.snaps, name),
+                backend=self.backend,
+            )["entries"]
+        return cache[name]
+
     def _load_stats_sidecars(
         self, spark: SparkSession, names: list[str]
     ) -> dict:
@@ -1268,12 +1299,7 @@ class SnapshotTable:
         out: dict = {}
         cache = self._stats_sidecar_cache_for()
         for name in names:
-            if name not in cache:
-                cache[name] = read_small_json(
-                    spark, os.path.join(self.snaps, name),
-                    backend=self.backend,
-                )["entries"]
-            out.update(cache[name])
+            out.update(self._stats_sidecar_get(spark, cache, name))
         return out
 
     def _plan_stats_sidecars(
@@ -1291,12 +1317,7 @@ class SnapshotTable:
         covered: set[str] = set()
         cache = self._stats_sidecar_cache_for()
         for name in (parent or {}).get("stats_sidecars") or []:
-            if name not in cache:
-                cache[name] = read_small_json(
-                    spark, os.path.join(self.snaps, name),
-                    backend=self.backend,
-                )["entries"]
-            ents = cache[name]
+            ents = self._stats_sidecar_get(spark, cache, name)
             if ents and all(
                 p not in covered and p in merged and merged[p] == e
                 for p, e in ents.items()

@@ -355,3 +355,95 @@ def test_legacy_jsonl_mode_unchanged(tmpdir_path):
         lines = [json.loads(line) for line in fh if line.strip()]
     assert len(lines) == 1 and lines[0]["TableName"] == "t"
     assert Catalog(p).for_table("t").Owners == ["u"]
+
+
+def test_local_path_classification():
+    """r13: the local-FS fast-path dispatcher — bare and file:-scheme
+    paths short-circuit to Python I/O; remote schemes keep the
+    Hadoop/backend route."""
+    from logverzcore_spark.fsutil import _local_path
+
+    assert _local_path("/a/b/c.json") == "/a/b/c.json"
+    assert _local_path("file:/a/b.json") == "/a/b.json"
+    assert _local_path("file:///a/b.json") == "/a/b.json"
+    assert _local_path("rel/path.json") == "rel/path.json"
+    assert _local_path("s3://bkt/k.json") is None
+    assert _local_path("hdfs://nn/k.json") is None
+    assert _local_path("s3a://bkt/k.json") is None
+
+
+def test_write_small_json_commit_local_fastpath_atomic(tmpdir_path):
+    """r13: write_small_json_commit's local fast-path keeps the
+    atomic-existence contract without the JVM — whole-or-absent,
+    refuses an existing target (IOError), no staging residue."""
+    from logverzcore_spark.fsutil import read_small_json, write_small_json_commit
+
+    path = os.path.join(str(tmpdir_path), "sub", "x.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    write_small_json_commit(None, path, {"k": [1, 2, 3]})
+    assert read_small_json(None, path) == {"k": [1, 2, 3]}
+    with pytest.raises(IOError, match="already exists"):
+        write_small_json_commit(None, path, {"k": "other"})
+    assert read_small_json(None, path) == {"k": [1, 2, 3]}  # winner intact
+    residue = [n for n in os.listdir(os.path.dirname(path)) if ".part" in n]
+    assert residue == []
+
+
+def test_exclusive_commit_local_fastpath_lock_protocol(tmpdir_path):
+    """r13: write_small_json_exclusive's local fast-path preserves the
+    fail-stop lock protocol byte-for-byte — an orphan .lock blocks
+    commits with CommitConflict until broken, a committed target
+    conflicts, and the winner's content survives."""
+    from logverzcore_spark.fsutil import (
+        CommitConflict,
+        read_small_json,
+        write_small_json_exclusive,
+    )
+
+    path = os.path.join(str(tmpdir_path), "excl", "v1.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    # orphan lock → fail-stop
+    with open(path + ".lock", "w"):
+        pass
+    with pytest.raises(CommitConflict, match="holds the commit lock"):
+        write_small_json_exclusive(None, path, {"v": 1})
+    os.unlink(path + ".lock")
+    write_small_json_exclusive(None, path, {"v": 1})
+    with pytest.raises(CommitConflict, match="already exists"):
+        write_small_json_exclusive(None, path, {"v": 2})
+    assert read_small_json(None, path) == {"v": 1}
+    assert not os.path.exists(path + ".lock")  # lock released
+
+
+def test_exclusive_commit_local_fastpath_threaded(tmpdir_path):
+    """r13: N threads race one local exclusive commit — exactly one
+    wins, every loser raises CommitConflict, the file is whole."""
+    import threading
+
+    from logverzcore_spark.fsutil import (
+        CommitConflict,
+        read_small_json,
+        write_small_json_exclusive,
+    )
+
+    path = os.path.join(str(tmpdir_path), "race", "v1.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    wins, losses, errs = [], [], []
+
+    def worker(i):
+        try:
+            write_small_json_exclusive(None, path, {"w": i})
+            wins.append(i)
+        except CommitConflict:
+            losses.append(i)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ths = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in ths:
+        t.start()
+    for t in ths:
+        t.join()
+    assert not errs, errs
+    assert len(wins) == 1 and len(losses) == 7
+    assert read_small_json(None, path) == {"w": wins[0]}

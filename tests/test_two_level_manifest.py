@@ -346,3 +346,58 @@ def test_concurrent_append_replans_against_new_head(spark, tmpdir_path):
     assert head["n_files"] == t._resolve(
         spark, t.versions(spark)[-1]
     )["files"].__len__()
+
+
+def test_stats_sidecar_cache_is_lru_not_insertion_order(spark, tmpdir_path):
+    """r12 ADVICE (perf): under cache pressure the eviction must drop
+    the least-recently-USED sidecar, not the oldest-INSERTED — the
+    oldest-inserted entry is typically the head chain's long-lived
+    consolidated sidecar, the hottest entry, and evicting it forced a
+    re-read of the largest sidecar on every commit/hydration once the
+    cache filled."""
+    root = _mkroot(tmpdir_path)
+    t = SnapshotTable(root, stats_sidecar_min_files=2)
+    t.append(_df(spark, 0, 40))  # crosses the threshold immediately
+    cache = t._stats_sidecar_cache_for()
+    hot = next(iter(cache))  # the head chain's first (oldest) sidecar
+
+    # fill the cache well past the bound with synthetic cold entries,
+    # TOUCHING the hot entry between insertions — LRU must keep it
+    for i in range(t._STATS_CACHE_MAX + 8):
+        t._stats_sidecar_get(spark, cache, hot)  # hit → moves to end
+        cache[f"ss-synth-{i}.json"] = {}
+        t._stats_sidecar_cache_for()  # applies the eviction bound
+    cache = t._stats_sidecar_cache_for()
+    assert hot in cache, "LRU evicted the hottest sidecar"
+    assert len(cache) <= t._STATS_CACHE_MAX + 1
+
+    # and a real hydration still works (reads through the cache)
+    assert t.count(spark) == 40
+
+
+def test_engine_snapshot_vacuum_returns_int_by_default(spark, tmpdir_path):
+    """r12 ADVICE (API): Engine.snapshot_vacuum mirrors the table-level
+    API again — int (dirs deleted) by default, the full report behind
+    return_report=True."""
+    import time as _time
+
+    from logverzcore_spark.api import Engine
+
+    eng = Engine(spark)
+    root = _mkroot(tmpdir_path)
+    t = SnapshotTable(root)
+    t.append(_df(spark, 0, 50, nparts=1))
+    t.append(_df(spark, 50, 100, nparts=1))
+    t.compact(spark, target_files=1)
+    eng.register_snapshot("vacint", root)
+    n = eng.snapshot_vacuum(
+        "vacint", keep_last=1, older_than=_time.time() + 1,
+        orphan_grace_s=0.0,
+    )
+    assert isinstance(n, int) and n >= 1
+    rep = eng.snapshot_vacuum(
+        "vacint", keep_last=1, older_than=_time.time() + 1,
+        orphan_grace_s=0.0, return_report=True,
+    )
+    assert isinstance(rep, dict)
+    assert {"deleted", "kept_in_grace", "erasure_pending"} <= set(rep)
