@@ -921,7 +921,8 @@ class Engine:
         self, name: str, user: User = ADMIN,
         keep_last: int | None = None, older_than=None,
         orphan_grace_s: float = 900.0, backend=None,
-    ) -> dict:
+        return_report: bool = False,
+    ) -> int | dict:
         """Retention on a cataloged snapshot view's table
         (SnapshotTable.vacuum) — DESTRUCTIVE (time travel to vacuumed
         versions is gone), so owner-gated and audited like every
@@ -933,14 +934,18 @@ class Engine:
         readers resolve; repinning first is an explicit choice, not
         a footgun.
 
-        Returns the vacuum REPORT: ``{"deleted", "kept_in_grace",
-        "erasure_pending"}``. ``erasure_pending=True`` means the
-        in-flight grace deferred the physical reclaim of some
+        Returns the count of reclaimed dirs (the pre-r12 int shape —
+        restored as the default per the r12 ADVICE: the unconditional
+        dict return was a silent break for callers doing arithmetic on
+        it). ``return_report=True`` returns the vacuum REPORT instead,
+        mirroring ``SnapshotTable.vacuum``: ``{"deleted",
+        "kept_in_grace", "erasure_pending"}``. ``erasure_pending=True``
+        means the in-flight grace deferred the physical reclaim of some
         unreferenced dirs (their manifests are gone — time travel is —
         but the bytes age out only after ``orphan_grace_s``): a
         compliance caller running erasure-on-a-deadline must see that
-        and re-vacuum after the grace, so the deferral is surfaced
-        here and in the audit row, never silent."""
+        and re-vacuum after the grace — the deferral always rides the
+        audit row, never silent, whichever shape is returned."""
         desc = f"vacuum keep_last={keep_last!r} older_than={older_than!r}"
         try:
             entry, t = self._snapshot_for_write(name, user, backend=backend)
@@ -965,7 +970,7 @@ class Engine:
             f"kept_in_grace={report['kept_in_grace']}",
             [name],
         )
-        return report
+        return report if return_report else report["deleted"]
 
     # -- Maintained materialized views (catalog Type "MV", r12) ------------
 

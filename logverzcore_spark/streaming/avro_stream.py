@@ -496,7 +496,22 @@ def cdc_index_stream(
         retries,
     )
     applied_tbl = f"{index_table}_applied"
-    id_col = on if isinstance(on, str) else list(on)[0]
+    if isinstance(on, str):
+        id_col = on
+    else:
+        keys = list(on)
+        if len(keys) != 1:
+            # A composite merge key cannot drive index maintenance:
+            # apply_changes net-resolves and removes by ONE id column,
+            # so two source rows sharing the first key component would
+            # be collapsed to one id — one image wins and the removal
+            # join deletes both stored vectors (r12 ADVICE). Refuse
+            # loudly instead of silently corrupting the serving index.
+            raise ValueError(
+                "cdc_index_stream: index maintenance requires a single "
+                f"unique id column; got composite merge key {keys!r}"
+            )
+        id_col = keys[0]
 
     def _applied(sess) -> int | None:
         try:

@@ -849,6 +849,158 @@ def test_ivf_index_apply_changes_drops_emptied_cells(spark, tmpdir_path):
         spark.sql(f"DROP TABLE IF EXISTS {idx}_centroids")
 
 
+def test_ivf_index_apply_changes_kill_mid_apply_loses_no_rows(
+    spark, tmpdir_path
+):
+    """r12 verdict task 2 (the crash-atomicity fix, fault-injected):
+    the apply's destructive steps are now (1) ONE dynamic partition
+    overwrite landing every kept cell's new generation, then (2) drops
+    of cells the span emptied. Killing the apply at either point must
+    lose no carried row:
+
+    - crash BEFORE the overwrite executes → the index is byte-for-byte
+      untouched;
+    - crash AFTER the overwrite, BEFORE the emptied-cell drop (the old
+      code's data-loss window: partitions were dropped before the
+      staged survivors landed) → every carried row is still present,
+      the only residue is rows the span resolved ABSENT in the not-yet-
+      dropped cell, and re-applying the same span converges to the
+      rebuild."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.engine import read_table
+    from logverzcore_spark.operators.similarity import (
+        ivf_index_apply_changes,
+        ivf_index_build,
+        lcg_centroids,
+    )
+    from logverzcore_spark.snapshots import SnapshotTable
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    cents = lcg_centroids(dim, 8)
+    root = os.path.join(str(tmpdir_path), f"ivfkill_{uuid.uuid4().hex[:8]}")
+    t = SnapshotTable(root)
+    t.append(emb.repartition(2))
+    v0 = t.versions(spark)[-1]
+    mx = emb.agg(F.max("vec_id")).first()[0]
+
+    idx = f"ivf_kill_{uuid.uuid4().hex[:8]}"
+    full = f"ivf_kill_full_{uuid.uuid4().hex[:8]}"
+    try:
+        ivf_index_build(t.read(spark), idx, n_cells=8, centroids=cents)
+        # DML: erase one whole cell's ids (guarantees an emptied cell →
+        # a post-overwrite DROP step to crash before) + negate a band
+        # (guarantees kept-cell rewrites with carried rows at stake).
+        victim = (
+            spark.table(idx).groupBy("cell").count().orderBy("count", "cell")
+        ).first()["cell"]
+        victim_ids = [
+            r["nid"] for r in spark.table(idx)
+            .where(F.col("cell") == victim).select("nid").collect()
+        ]
+        t.delete_where(spark, {"vec_id": {"in": victim_ids}})
+        # scale (not negate): cell assignment normalizes, so updated
+        # rows keep their cells — the emptied victim cell can never be
+        # repopulated by an upsert, making the DROP step deterministic
+        t.update_where(
+            spark,
+            {"vec_id": {"between": [mx // 2, mx // 2 + mx // 10]}},
+            {"embedding": "transform(embedding, x -> x * 2.0d)"},
+        )
+        changes = t.read_changes(spark, v0, keys="vec_id")
+        resolved = {r["vec_id"] for r in changes.select("vec_id").collect()}
+        before = {
+            (r["nid"], r["cell"])
+            for r in spark.table(idx).select("nid", "cell").collect()
+        }
+        carried = {p for p in before if p[0] not in resolved}
+
+        # crash 1: before the overwrite write executes → untouched
+        from pyspark.sql.readwriter import DataFrameWriter
+
+        real_insert = DataFrameWriter.insertInto
+
+        def boom_insert(self, *a, **k):
+            raise RuntimeError("injected crash before overwrite")
+
+        DataFrameWriter.insertInto = boom_insert
+        try:
+            with pytest.raises(RuntimeError, match="before overwrite"):
+                ivf_index_apply_changes(spark, changes, idx)
+        finally:
+            DataFrameWriter.insertInto = real_insert
+        spark.catalog.refreshTable(idx)
+        now = {
+            (r["nid"], r["cell"])
+            for r in spark.table(idx).select("nid", "cell").collect()
+        }
+        assert now == before  # nothing mutated
+
+        # crash 2: after the overwrite, before the emptied-cell drop
+        real_sql = spark.sql
+
+        def boom_sql(q, *a, **k):
+            if "DROP IF EXISTS PARTITION" in str(q):
+                raise RuntimeError("injected crash before drop")
+            return real_sql(q, *a, **k)
+
+        spark.sql = boom_sql
+        try:
+            with pytest.raises(RuntimeError, match="before drop"):
+                ivf_index_apply_changes(spark, changes, idx)
+        finally:
+            spark.sql = real_sql
+        spark.catalog.refreshTable(idx)
+        mid = {
+            (r["nid"], r["cell"])
+            for r in spark.table(idx).select("nid", "cell").collect()
+        }
+        # NO carried row was lost (the old code lost every carried row
+        # of a touched cell here); the emptied victim cell still holds
+        # its resolved-absent residue (the drop never ran — that is
+        # the crash), which the re-apply below removes.
+        assert carried <= mid
+        assert {(i, victim) for i in victim_ids} <= mid
+
+        # re-apply heals: end state == rebuild over the post-DML corpus
+        ivf_index_apply_changes(spark, changes, idx)
+        ivf_index_build(t.read(spark), full, n_cells=8, centroids=cents)
+        a = spark.table(idx).select("nid", "cell", "nvec")
+        b = spark.table(full).select("nid", "cell", "nvec")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    finally:
+        for tb in (idx, full):
+            spark.sql(f"DROP TABLE IF EXISTS {tb}")
+            spark.sql(f"DROP TABLE IF EXISTS {tb}_centroids")
+
+
+def test_cdc_index_stream_composite_key_refused(spark, tmpdir_path):
+    """r12 ADVICE: a composite merge key would be collapsed to its
+    first component when driving index maintenance — two source rows
+    sharing that component net-resolve as one id and the removal join
+    deletes both stored vectors. The stream must refuse loudly."""
+    import os
+    import uuid
+
+    from logverzcore_spark.snapshots import SnapshotTable
+    from logverzcore_spark.streaming.avro_stream import cdc_index_stream
+
+    root = os.path.join(str(tmpdir_path), f"cdcck_{uuid.uuid4().hex[:8]}")
+    t = SnapshotTable(root)
+    with pytest.raises(ValueError, match="single unique id column"):
+        cdc_index_stream(
+            spark,
+            stream_df=None,  # refused before the stream is touched
+            table=t,
+            index_table=f"idx_{uuid.uuid4().hex[:8]}",
+            on=["vec_id", "part"],
+        )
+
+
 def test_cdc_index_stream_watermark_rewind_converges(spark, tmpdir_path):
     """cdc_index_stream's crash window: a trigger whose index apply
     landed but whose watermark write didn't re-applies the span on the
