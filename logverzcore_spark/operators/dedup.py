@@ -23,6 +23,8 @@ Python UDFs in any hot path.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -393,6 +395,95 @@ def shingle_hash_array(tok_col: Column, n: int = 3) -> Column:
     return F.transform(valid, lambda s: F.xxhash64(*[s[f"s{j}"] for j in range(n)]))
 
 
+# -- single-parse expression builders (r13) ---------------------------------
+#
+# Building a Catalyst tree through the PySpark Column API costs one py4j
+# round trip per node — profiled at ~2,400 round trips ≈ 1.7 s of DRIVER
+# wall time per minhash_lsh_pairs construction (guide §5: the driver
+# should do almost no work; the cost recurs per STREAMING micro-batch,
+# where the tree is rebuilt every trigger). The hot fixed-shape fragments
+# below are therefore rendered as SQL strings and parsed by the JVM in
+# ONE ``F.expr`` call, memoized per parameter tuple (a Column is an
+# immutable expression template — reusing it across frames/queries is
+# exactly how attribute resolution is designed to work). Value-identity
+# with the Column formulations they replace is pinned by
+# ``test_expr_builders_match_column_forms`` and the shingle reference
+# test; the parity gate re-proves it end-to-end every round.
+
+
+def _q(name: str) -> str:
+    """Backtick-quote an identifier for embedding in an expr string."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _shingle_hash_sql(tok_attr: str, n: int) -> str:
+    """SQL for ``shingle_hash_array`` over an ATTRIBUTE token column.
+
+    Uses element_at over a position sequence instead of the zip form —
+    bit-identical hashes (same xxhash64 over the same token tuples in
+    the same order; the zip form's trailing-null filter is the same
+    ``size - (n-1)`` bound). Attribute reads inside the lambda are free;
+    do NOT inline a computed expression as ``tok_attr`` (the outer-
+    reference rule in ``shingle_hash_array``'s docstring applies)."""
+    tok = _q(tok_attr)
+    args = ", ".join(f"element_at({tok}, i + {j})" for j in range(n))
+    return (
+        f"CASE WHEN size({tok}) >= {n} THEN "
+        f"transform(sequence(1, size({tok}) - {n - 1}), i -> xxhash64({args})) "
+        f"ELSE CAST(array() AS array<bigint>) END"
+    )
+
+
+@lru_cache(maxsize=None)
+def _shingle_hash_attr(tok_attr: str, n: int) -> Column:
+    return F.expr(_shingle_hash_sql(tok_attr, n))
+
+
+@lru_cache(maxsize=None)
+def _shingle_hset_attr(tok_attr: str, n: int) -> Column:
+    """array_distinct(shingle hashes) — the verify-side set form."""
+    return F.expr(f"array_distinct({_shingle_hash_sql(tok_attr, n)})")
+
+
+@lru_cache(maxsize=None)
+def _minhash_fold(hs_attr: str, num_hashes: int) -> Column:
+    """The k-min fold of ``minhash_signature_sets`` as one parsed
+    expression (same single-traversal fold, same MAX_LONG init, same
+    per-seed xxhash64(i, x) re-hash — bit-identical signatures)."""
+    hs = _q(hs_attr)
+    return F.expr(
+        f"aggregate({hs}, array_repeat(9223372036854775807L, {num_hashes}), "
+        f"(acc, x) -> transform(sequence(0, {num_hashes - 1}), "
+        f"i -> least(get(acc, i), xxhash64(i, x))))"
+    )
+
+
+@lru_cache(maxsize=None)
+def _band_buckets_expr(num_hashes: int, bands: int) -> Column:
+    """``minhash_band_buckets``'s banded explode as one parsed
+    expression: struct(band, xxhash64(band, sig mins)) per band, with
+    the fail-fast size guard on the HIGHEST index only (F.get returns
+    NULL out of bounds and xxhash64 SKIPS nulls — without the guard a
+    short signature would collide the whole corpus per band)."""
+    rows = num_hashes // bands
+    guard = (
+        f"CASE WHEN size(sig) < {num_hashes} THEN "
+        f"CAST(raise_error(concat('minhash_band_buckets: signature array has ', "
+        f"CAST(size(sig) AS STRING), ' mins, num_hashes={num_hashes} expected')) "
+        f"AS BIGINT) ELSE get(sig, {num_hashes - 1}) END"
+    )
+    structs = []
+    for band in range(bands):
+        elems = []
+        for j in range(rows):
+            idx = band * rows + j
+            elems.append(guard if idx == num_hashes - 1 else f"get(sig, {idx})")
+        structs.append(
+            f"struct({band} AS band, xxhash64({band}, {', '.join(elems)}) AS bucket)"
+        )
+    return F.expr(f"explode(array({', '.join(structs)}))")
+
+
 
 
 def minhash_signature_sets(
@@ -447,7 +538,7 @@ def minhash_signature_sets(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_tk")
     )
     staged = toked.select(
-        "doc_id", shingle_hash_array(F.col("_tk"), n).alias("_hs")
+        "doc_id", _shingle_hash_attr("_tk", n).alias("_hs")
     ).where(F.size("_hs") > 0)
     # All k mins in ONE traversal of the hash array: fold state is the
     # k-wide running-min array, updated per shingle hash. Measured ~25%
@@ -459,15 +550,10 @@ def minhash_signature_sets(
     # are bit-identical to both earlier formulations. Lambdas touch only
     # their own variables (acc/x/i) — see ``shingle_hash_array``'s
     # outer-reference rule. The MAX_LONG init can never survive:
-    # ``staged`` keeps only rows with ≥1 shingle.
-    mins_arr = F.aggregate(
-        F.col("_hs"),
-        F.expr(f"array_repeat(9223372036854775807L, {num_hashes})"),
-        lambda acc, x: F.transform(
-            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda i: F.least(F.get(acc, i), F.xxhash64(i, x)),
-        ),
-    )
+    # ``staged`` keeps only rows with ≥1 shingle. (r13: the fold and the
+    # shingle array are memoized single-parse expressions — see the
+    # expression-builder section above; values unchanged.)
+    mins_arr = _minhash_fold("_hs", num_hashes)
     sets = [F.array_distinct("_hs").alias("hset")] if with_sets else []
     # The signature stays ONE array column (``sig``), not k scalar
     # columns: identical values either way, but the packed form keeps
@@ -489,44 +575,13 @@ def minhash_band_buckets(
     ``rows`` signature mins (elements of the packed ``sig`` array) hash
     into one bucket id. Band indices are literals, so the whole
     expansion stays inside codegen; bucket values are bit-identical to
-    the pre-r5 m-column form (same xxhash64 over the same elements)."""
-    rows = num_hashes // bands
-
-    def _sig_at(i: int) -> Column:
-        # Fail-fast guard on the HIGHEST index only (one size check per
-        # row): the pre-r5 m{i}-column form raised AnalysisException on
-        # a num_hashes mismatch at plan time; F.get would instead
-        # return NULL out-of-bounds, which xxhash64 SKIPS — every band
-        # over missing indices would hash to xxhash64(band) and
-        # collide the whole corpus into one bucket per band.
-        col = F.get("sig", i)
-        if i == num_hashes - 1:
-            return F.when(
-                F.size("sig") < num_hashes,
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            "minhash_band_buckets: signature array has "
-                        ),
-                        F.size("sig").cast("string"),
-                        F.lit(f" mins, num_hashes={num_hashes} expected"),
-                    )
-                ).cast("long"),
-            ).otherwise(col)
-        return col
-
-    band_structs = [
-        F.struct(
-            F.lit(band).alias("band"),
-            F.xxhash64(
-                F.lit(band),
-                *[_sig_at(band * rows + j) for j in range(rows)],
-            ).alias("bucket"),
-        )
-        for band in range(bands)
-    ]
+    the pre-r5 m-column form (same xxhash64 over the same elements).
+    r13: the banded explode is a memoized single-parse expression
+    (``_band_buckets_expr`` — the 16-band struct array was ~600 py4j
+    round trips per construction); the fail-fast size guard on the
+    highest index is preserved in the generated SQL."""
     return sig_df.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+        "doc_id", _band_buckets_expr(num_hashes, bands).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
 
 
@@ -563,8 +618,9 @@ def minhash_lsh_pairs(
     shuffle joins — the corpus pays one hash exchange on the id, which
     is already the floor any corpus-scale candidate set implies.
     ``None`` = MEASURE, don't guess: the candidate frame is eagerly
-    checkpointed anyway, so a count over the cached partitions is
-    nearly free, and the strategy follows the actual pair volume
+    checkpointed first (only on this path — r13), so a count over the
+    cached partitions is nearly free, and the strategy follows the
+    actual pair volume
     (≤ ``_BROADCAST_VERIFY_MAX_PAIRS`` broadcasts — the small-corpus
     r=1 sweep keeps its 4 s path instead of paying a blanket 26 s
     shuffle penalty; above it shuffles — the 100× sweep completes
@@ -656,11 +712,20 @@ def minhash_lsh_pairs(
         # class.
     )
     # The candidate list feeds two broadcast builds (the prune and the
-    # lookup side of the verify join); it is tiny, so an eager
-    # localCheckpoint materializes the whole signature→banding pipeline
-    # exactly ONCE and cuts its lineage — cheaper than persisting the
-    # (much larger) signature frame.
-    cand = cand.localCheckpoint(eager=True)
+    # lookup side of the verify join). Both consumers' exchanges share
+    # the candidate pipeline's ONE shuffle (identical subtrees →
+    # ReuseExchange), so no materialization barrier is needed — r13
+    # measured the former unconditional eager localCheckpoint as a net
+    # LOSS here (interleaved A/B: 2.33 s → 2.21 s median without it; the
+    # checkpoint job serialized the pipeline's output one extra time and
+    # added a driver barrier). It IS still needed when the verify
+    # strategy must be measured (broadcast_verify=None): the count would
+    # otherwise run the pipeline once and the verify a second time.
+    if broadcast_verify is None:
+        cand = cand.localCheckpoint(eager=True)
+        # cand is checkpoint-materialized: counting it re-reads cached
+        # partitions, so the strategy decision costs ~one metadata job.
+        broadcast_verify = cand.count() <= _BROADCAST_VERIFY_MAX_PAIRS
     # Exact-Jaccard verification, CANDIDATE-SCOPED: shingle-hash sets
     # are rebuilt only for docs that appear in some candidate pair (a
     # broadcast semi-join prunes the corpus scan — the candidate id set
@@ -707,10 +772,6 @@ def minhash_lsh_pairs(
     n_parts = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    if broadcast_verify is None:
-        # cand is checkpoint-materialized: counting it re-reads cached
-        # partitions, so the strategy decision costs ~one metadata job.
-        broadcast_verify = cand.count() <= _BROADCAST_VERIFY_MAX_PAIRS
     # broadcast_verify=False must defeat not only our own hint but the
     # PLANNER's size-based broadcast too: the checkpointed candidate
     # frame's stats under-estimate (LogicalRDD), so Spark would still
@@ -725,10 +786,7 @@ def minhash_lsh_pairs(
         )
         .repartition(n_parts)
         .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_tk"))
-        .select(
-            "doc_id",
-            F.array_distinct(shingle_hash_array(F.col("_tk"), n)).alias("hset"),
-        )
+        .select("doc_id", _shingle_hset_attr("_tk", n).alias("hset"))
     )
     # Fresh frame, identical plan (same checkpointed ``cand`` parent) —
     # a second reference to the ``melted`` object would be ambiguous to
@@ -740,6 +798,71 @@ def minhash_lsh_pairs(
     looked = cand_sets.join(
         maybe_b(melted2), cand_sets["doc_id"] == melted2["doc_id"]
     ).drop(melted2["doc_id"])
+    pairs = looked.groupBy("id1", "id2").agg(
+        F.first(
+            F.when(F.col("doc_id") == F.col("id1"), F.col("hset")),
+            ignorenulls=True,
+        ).alias("hs1"),
+        F.first(
+            F.when(F.col("doc_id") == F.col("id2"), F.col("hset")),
+            ignorenulls=True,
+        ).alias("hs2"),
+    )
+    inter = F.size(F.array_intersect("hs1", "hs2"))
+    union = F.size(F.array_union("hs1", "hs2"))
+    jac = inter / union
+    return pairs.select(
+        "id1", "id2", F.round(jac, 4).alias("jaccard")
+    ).where(F.round(jac, 4) >= threshold)
+
+
+def minhash_pairs_from_sig(
+    sig_df: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """Verified near-dup pairs from an ALREADY-built signature+set frame
+    (``minhash_signature_sets(with_sets=True)``; columns doc_id, sig,
+    hset) — the streaming-batch form of ``minhash_lsh_pairs``.
+
+    The streaming curation fold persists the full signature/set frame
+    anyway (it IS the cross-batch LSH state it commits), so candidate
+    generation AND the exact-Jaccard verify read that one frame instead
+    of re-tokenizing the batch text: before r13 each trigger tokenized
+    and shingled the batch THREE times (once for the state sig, once
+    inside ``minhash_lsh_pairs``'s own signature pass, once more for its
+    candidate-scoped verify rebuild); now exactly once. Values are
+    bit-identical to ``minhash_lsh_pairs`` on the same rows: hset here
+    equals the verify's ``array_distinct(shingle_hash_array(...))`` by
+    construction, and the candidate expansion / jaccard / rounding chain
+    below is the same code shape.
+
+    This is NOT the corpus-batch path: materializing hset corpus-wide is
+    the 100 TB anti-pattern ``minhash_lsh_pairs``'s candidate-scoped
+    rebuild exists to avoid — use it only where the caller already owns
+    a persisted signature frame (streaming batches, probes)."""
+    buckets = minhash_band_buckets(sig_df, num_hashes=num_hashes, bands=bands)
+    grouped = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    cand = (
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id1, y AS id2))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id1", "p.id2")
+    )
+    melted = cand.select(
+        "id1", "id2", F.explode(F.array("id1", "id2")).alias("doc_id")
+    )
+    looked = sig_df.select("doc_id", "hset").join(F.broadcast(melted), "doc_id")
     pairs = looked.groupBy("id1", "id2").agg(
         F.first(
             F.when(F.col("doc_id") == F.col("id1"), F.col("hset")),
@@ -2034,7 +2157,15 @@ def dedup_threshold_sweep(
         raise ValueError(
             f"candidates must be 'lsh', 'exact' or 'auto', got {candidates!r}"
         )
-    thr = spark.createDataFrame([(t,) for t in ts], "threshold double")
+    # Inline-table literal, not createDataFrame: same rows and schema
+    # (DOUBLE thresholds), but one parsed expression instead of the
+    # local-relation conversion machinery (~0.1 s of driver wall per
+    # sweep — r13, guide §5).
+    thr = spark.range(1).select(
+        F.explode(
+            F.expr(f"array({', '.join(f'{t!r}D' for t in ts)})")
+        ).alias("threshold")
+    )
     # Theta join: the literal threshold frame must BROADCAST (a planner
     # left to its own devices picks CartesianProduct here — same rows,
     # but the pair table would materialize once per threshold partition).

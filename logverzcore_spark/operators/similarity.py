@@ -19,6 +19,8 @@ vectorized enough at 64-dim; swap to a Pandas UDF for very wide vectors.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import pandas as pd
 
@@ -40,6 +42,67 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# -- single-parse expression builders (r13) ---------------------------------
+#
+# Same driver-side economy as operators/dedup.py's builder section: the
+# hot scoring expressions are rendered as SQL and parsed by the JVM in
+# one ``F.expr`` call, memoized per parameter tuple, instead of paying
+# one py4j round trip per Catalyst node (the 4-slice MaxSim tree alone
+# was ~1 s of driver wall per construction — half of s25's end-to-end
+# time). Values are bit-identical to the Column forms above: same ops,
+# same association order (float addition is NOT associative — the SQL
+# strings replicate the fold/nesting order exactly), 0.0D literals where
+# the Column form used F.lit(0.0) (bare 0.0 parses as DECIMAL in SQL).
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _l2_norm_sql(a: str) -> str:
+    return f"sqrt(aggregate({a}, 0.0D, (acc, x) -> acc + x * x))"
+
+
+@lru_cache(maxsize=None)
+def _cosine_expr(a_attr: str, b_attr: str) -> Column:
+    """cosine(a, b) over two ATTRIBUTE array<double> columns."""
+    a, b = f"`{a_attr}`", f"`{b_attr}`"
+    return F.expr(f"{_dot_sql(a, b)} / ({_l2_norm_sql(a)} * {_l2_norm_sql(b)})")
+
+
+@lru_cache(maxsize=None)
+def _maxsim_score_expr(
+    q_attr: str, n_attr: str, n_slices: int, width: int
+) -> Column:
+    """``maxsim_topk``'s Σ-of-max-slice-cosines score as one parsed
+    expression. Replicates the Column form exactly: per-slice
+    zero-norm guard (degenerate slice scores 0, never NULL), pairwise
+    left-nested greatest over document slices, left-associated sum
+    starting at 0.0D."""
+    def slc(col: str, s: int) -> str:
+        return f"slice(CAST(`{col}` AS array<double>), {s * width + 1}, {width})"
+
+    def nrm(col: str, s: int) -> str:
+        return f"sqrt(aggregate({slc(col, s)}, 0.0D, (acc, x) -> acc + x * x))"
+
+    total = "0.0D"
+    for s in range(n_slices):
+        best = None
+        for c in range(n_slices):
+            d = _dot_sql(slc(q_attr, s), slc(n_attr, c))
+            cos = (
+                f"CASE WHEN ({nrm(q_attr, s)} * {nrm(n_attr, c)}) > 0 "
+                f"THEN {d} / ({nrm(q_attr, s)} * {nrm(n_attr, c)}) "
+                f"ELSE 0.0D END"
+            )
+            best = cos if best is None else f"greatest({best}, {cos})"
+        total = f"({total}) + ({best})"
+    return F.expr(total)
 
 
 def cosine_topk(
@@ -67,7 +130,7 @@ def cosine_topk(
     q = queries.select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec"))
     scored = (
         c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
-        .select("qid", "nid", cosine(F.col("qvec"), F.col("nvec")).alias("cos"))
+        .select("qid", "nid", _cosine_expr("qvec", "nvec").alias("cos"))
     )
     return _rank_topk(scored, k)
 
@@ -161,23 +224,30 @@ def cosine_topk_auto(
     (queries are small by the exact tier's contract; ``max_queries``
     still guards it — past that, use lsh_topk/ivf_topk/ivf_index_probe).
     """
-    nq = queries.limit(max_queries + 1).count()
+    # ONE sizing job for both inputs (r13 — it was two: a bounded count
+    # and a separate first-row peek, each its own scan job; merged they
+    # measured 0.25 s vs 0.41 s at sf0.1): count the bounded query set
+    # and peek the first NON-NULL vector in the same aggregation (a
+    # nullable vec_col's first row may be NULL — len(None) would throw
+    # here instead of letting the chosen tier surface the data problem);
+    # no non-null vector at all → dim 0 → JVM tier, which returns
+    # empty/raises with its own semantics.
+    row = (
+        queries.select(_as_double(F.col(vec_col)).alias("v"))
+        .limit(max_queries + 1)
+        .agg(
+            F.count(F.lit(1)).alias("nq"),
+            F.first("v", ignorenulls=True).alias("v0"),
+        )
+        .first()
+    )
+    nq = row["nq"]
     if nq > max_queries:
         raise ValueError(
             f"cosine_topk_auto is the exact/verification tier — {max_queries}+ "
             "queries should go through lsh_topk/ivf_topk"
         )
-    # Probe dim from the first NON-NULL vector (a nullable vec_col's
-    # first row may be NULL — len(None) would throw here instead of
-    # letting the chosen tier surface the data problem); no non-null
-    # vector at all → dim 0 → JVM tier, which returns empty/raises
-    # with its own semantics.
-    first = (
-        queries.where(F.col(vec_col).isNotNull())
-        .select(_as_double(F.col(vec_col)).alias("v"))
-        .first()
-    )
-    dim = len(first["v"]) if first is not None else 0
+    dim = len(row["v0"]) if row["v0"] is not None else 0
     if nq * dim >= crossover_cells:
         return cosine_topk_blas(
             corpus, queries, k, vec_col=vec_col, id_col=id_col,
@@ -2103,17 +2173,6 @@ def maxsim_topk(
         raise ValueError(f"dim={dim} not divisible into {n_slices} slices")
     width = dim // n_slices
 
-    def slices(col):
-        vec = _as_double(col)
-        out = []
-        for s in range(n_slices):
-            sl = F.slice(vec, s * width + 1, width)
-            nrm = F.sqrt(
-                F.aggregate(sl, F.lit(0.0), lambda acc, x: acc + x * x)
-            )
-            out.append((sl, nrm))
-        return out
-
     c = fan_out(corpus).select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
     )
@@ -2127,25 +2186,12 @@ def maxsim_topk(
         )
     else:
         joined = c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
-    qs, cs = slices(F.col("qvec")), slices(F.col("nvec"))
-    total = F.lit(0.0)
-    for qsl, qn in qs:
-        best = None
-        for csl, cn in cs:
-            dot = F.aggregate(
-                F.zip_with(qsl, csl, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            # A zero-norm slice (e.g. a zero-padded token block) would
-            # make dot/(qn*cn) NULL under Spark's div-by-zero semantics
-            # and a NULL propagates through greatest/sum to a NULL
-            # maxsim, silently dropping the pair from the ranking —
-            # score a degenerate slice 0 instead (no directional
-            # information, no contribution).
-            cos = F.when(qn * cn > 0, dot / (qn * cn)).otherwise(F.lit(0.0))
-            best = cos if best is None else F.greatest(best, cos)
-        total = total + best
+    # The n_slices² fold is a memoized single-parse expression
+    # (``_maxsim_score_expr``): same per-slice zero-norm guard (a
+    # zero-padded token block scores 0, never a NULL that would swallow
+    # the pair), same greatest-nesting and sum association order —
+    # bit-identical scores to the per-node Column form it replaced.
+    total = _maxsim_score_expr("qvec", "nvec", n_slices, width)
     scored = joined.select("qid", "nid", total.alias("cos"))
     out = _rank_topk(scored, k)
     # _rank_topk names the score 'cosine'; MaxSim is a sum of maxima,

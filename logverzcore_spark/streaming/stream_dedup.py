@@ -192,7 +192,7 @@ def _full_curation_batch(
     """
     from logverzcore_spark.operators.dedup import (
         minhash_band_buckets,
-        minhash_lsh_pairs,
+        minhash_pairs_from_sig,
         minhash_signature_sets,
     )
 
@@ -213,16 +213,21 @@ def _full_curation_batch(
     fresh = fresh.persist()
     fresh.count()
     try:
-        # in-batch near-dups: every verified pair's higher id loses
-        pairs = minhash_lsh_pairs(
-            fresh, threshold=threshold, num_hashes=num_hashes,
-            bands=bands, n=n, text_col=text_col, id_col=id_col,
-        )
-        losers = pairs.select(F.col("id2").alias(id_col)).distinct()
+        # ONE signature/set pass per trigger (r13): the persisted sig
+        # frame feeds the LSH state tables AND the in-batch pair
+        # pipeline (minhash_pairs_from_sig), so the batch text is
+        # tokenized/shingled exactly once — it used to run three times
+        # (state sig + the pair pipeline's own sig + its verify rebuild),
+        # at one full pipeline's wall cost per micro-batch.
         sig = minhash_signature_sets(
             fresh, num_hashes=num_hashes, n=n, text_col=text_col, id_col=id_col
         )
         try:
+            # in-batch near-dups: every verified pair's higher id loses
+            pairs = minhash_pairs_from_sig(
+                sig, threshold=threshold, num_hashes=num_hashes, bands=bands,
+            )
+            losers = pairs.select(F.col("id2").alias(id_col)).distinct()
             buckets = minhash_band_buckets(
                 sig, num_hashes=num_hashes, bands=bands
             )

@@ -103,6 +103,170 @@ def test_shingle_hash_array_matches_row_form(spark):
     assert arrays.exceptAll(rows).count() == 0
 
 
+def test_expr_builders_match_column_forms(spark):
+    """r13 single-parse expression builders must stay BIT-IDENTICAL to
+    the multi-call Column formulations they replaced (the builders exist
+    only to cut driver-side py4j round trips — ~2,400 per
+    minhash_lsh_pairs construction — never to change a value). Pins:
+    the shingle-hash array (element_at form vs zip form), the k-min
+    fold, the banded bucket explode, the cosine expression, and the
+    MaxSim slice fold incl. its zero-norm guard and association order."""
+    from pyspark.sql import functions as F
+
+    from logverzcore_spark.engine import read_table
+    from logverzcore_spark.operators.dedup import (
+        _band_buckets_expr,
+        _minhash_fold,
+        _shingle_hash_attr,
+        minhash_signature_sets,
+        shingle_hash_array,
+    )
+    from logverzcore_spark.operators.similarity import (
+        _as_double,
+        _cosine_expr,
+        _maxsim_score_expr,
+        cosine,
+    )
+    from logverzcore_spark.operators.text import tokens
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("_tk"))
+
+    # shingle hashes: expr form vs legacy zip form
+    old = toked.select("doc_id", shingle_hash_array(F.col("_tk"), 3).alias("h"))
+    new = toked.select("doc_id", _shingle_hash_attr("_tk", 3).alias("h"))
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+
+    # k-min fold: expr form vs legacy nested-lambda fold
+    staged = toked.select(
+        "doc_id", shingle_hash_array(F.col("_tk"), 3).alias("_hs")
+    ).where(F.size("_hs") > 0)
+    legacy_fold = F.aggregate(
+        F.col("_hs"),
+        F.expr("array_repeat(9223372036854775807L, 32)"),
+        lambda acc, x: F.transform(
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda i: F.least(F.get(acc, i), F.xxhash64(i, x)),
+        ),
+    )
+    o = staged.select("doc_id", legacy_fold.alias("sig"))
+    n = staged.select("doc_id", _minhash_fold("_hs", 32).alias("sig"))
+    assert o.exceptAll(n).count() == 0 and n.exceptAll(o).count() == 0
+
+    # banded buckets: expr form vs legacy per-band structs
+    sig_df = minhash_signature_sets(
+        docs, num_hashes=32, n=3, with_sets=False, persist=False
+    )
+
+    def _sig_at(i):
+        col = F.get("sig", i)
+        if i == 31:
+            return F.when(
+                F.size("sig") < 32,
+                F.raise_error(
+                    F.concat(
+                        F.lit("minhash_band_buckets: signature array has "),
+                        F.size("sig").cast("string"),
+                        F.lit(" mins, num_hashes=32 expected"),
+                    )
+                ).cast("long"),
+            ).otherwise(col)
+        return col
+
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(F.lit(b), _sig_at(b * 2), _sig_at(b * 2 + 1)).alias(
+                "bucket"
+            ),
+        )
+        for b in range(16)
+    ]
+    ob = sig_df.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    nb = sig_df.select(
+        "doc_id", _band_buckets_expr(32, 16).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    assert ob.exceptAll(nb).count() == 0 and nb.exceptAll(ob).count() == 0
+
+    # cosine + maxsim over the embeddings fixture
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    pair = (
+        emb.select(
+            F.col("vec_id").alias("qid"),
+            _as_double(F.col("embedding")).alias("qvec"),
+        )
+        .crossJoin(
+            emb.select(
+                F.col("vec_id").alias("nid"),
+                _as_double(F.col("embedding")).alias("nvec"),
+            ).limit(20)
+        )
+        .limit(500)
+    )
+    oc = pair.select(
+        "qid", "nid", cosine(F.col("qvec"), F.col("nvec")).alias("c")
+    )
+    nc = pair.select("qid", "nid", _cosine_expr("qvec", "nvec").alias("c"))
+    assert oc.exceptAll(nc).count() == 0 and nc.exceptAll(oc).count() == 0
+
+    def legacy_maxsim(n_slices, width):
+        def slices(col):
+            vec = _as_double(col)
+            out = []
+            for s in range(n_slices):
+                sl = F.slice(vec, s * width + 1, width)
+                nrm = F.sqrt(
+                    F.aggregate(sl, F.lit(0.0), lambda acc, x: acc + x * x)
+                )
+                out.append((sl, nrm))
+            return out
+
+        qs, cs = slices(F.col("qvec")), slices(F.col("nvec"))
+        total = F.lit(0.0)
+        for qsl, qn in qs:
+            best = None
+            for csl, cn in cs:
+                d = F.aggregate(
+                    F.zip_with(qsl, csl, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                cos_ = F.when(qn * cn > 0, d / (qn * cn)).otherwise(F.lit(0.0))
+                best = cos_ if best is None else F.greatest(best, cos_)
+            total = total + best
+        return total
+
+    om = pair.select("qid", "nid", legacy_maxsim(4, 16).alias("m"))
+    nm = pair.select(
+        "qid", "nid", _maxsim_score_expr("qvec", "nvec", 4, 16).alias("m")
+    )
+    assert om.exceptAll(nm).count() == 0 and nm.exceptAll(om).count() == 0
+
+
+def test_minhash_pairs_from_sig_matches_lsh_pairs(docs):
+    """The streaming-batch pair path (minhash_pairs_from_sig over a
+    persisted signature/set frame) must produce exactly the pairs and
+    jaccards of the corpus-batch path (minhash_lsh_pairs) on the same
+    rows — st22's batch-equals-stream hash rests on it."""
+    from logverzcore_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_pairs_from_sig,
+        minhash_signature_sets,
+    )
+
+    sig = minhash_signature_sets(docs, num_hashes=32, n=3)
+    try:
+        a = minhash_lsh_pairs(docs, threshold=0.7)
+        b = minhash_pairs_from_sig(sig, threshold=0.7)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+    finally:
+        sig.unpersist()
+
+
 def test_minhash_candidates_superset_of_high_jaccard(docs):
     """Every pair the exact Jaccard finds at 0.7 must be found by LSH
     (recall ~1 at r=2,b=64)."""
