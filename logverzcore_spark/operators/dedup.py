@@ -416,33 +416,26 @@ def _q(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
 
 
-def _shingle_hash_sql(tok_attr: str, n: int) -> str:
-    """SQL for ``shingle_hash_array`` over an ATTRIBUTE token column.
-
-    Uses element_at over a position sequence instead of the zip form —
-    bit-identical hashes (same xxhash64 over the same token tuples in
-    the same order; the zip form's trailing-null filter is the same
-    ``size - (n-1)`` bound). Attribute reads inside the lambda are free;
-    do NOT inline a computed expression as ``tok_attr`` (the outer-
-    reference rule in ``shingle_hash_array``'s docstring applies)."""
-    tok = _q(tok_attr)
-    args = ", ".join(f"element_at({tok}, i + {j})" for j in range(n))
-    return (
-        f"CASE WHEN size({tok}) >= {n} THEN "
-        f"transform(sequence(1, size({tok}) - {n - 1}), i -> xxhash64({args})) "
-        f"ELSE CAST(array() AS array<bigint>) END"
-    )
-
-
 @lru_cache(maxsize=None)
 def _shingle_hash_attr(tok_attr: str, n: int) -> Column:
-    return F.expr(_shingle_hash_sql(tok_attr, n))
+    """Memoized ``shingle_hash_array`` over an ATTRIBUTE token column.
+
+    This one is NOT rendered as SQL: an element_at-over-positions SQL
+    form measured bit-identical but executed 15× SLOWER end-to-end
+    (sf0.1 signature pass 0.76 s → 11.1 s) because the optimizer
+    collapsed the staged ``_tk`` projection and re-evaluated the
+    tokenizer INSIDE the per-element lambda — exactly the outer-
+    reference trap ``shingle_hash_array``'s docstring documents. The
+    zip form keeps every lambda self-contained, so collapse cannot
+    push the tokenizer under the loop; memoizing the built Column
+    keeps the construction win (a Column is an immutable template)."""
+    return shingle_hash_array(F.col(tok_attr), n)
 
 
 @lru_cache(maxsize=None)
 def _shingle_hset_attr(tok_attr: str, n: int) -> Column:
     """array_distinct(shingle hashes) — the verify-side set form."""
-    return F.expr(f"array_distinct({_shingle_hash_sql(tok_attr, n)})")
+    return F.array_distinct(shingle_hash_array(F.col(tok_attr), n))
 
 
 @lru_cache(maxsize=None)
@@ -618,9 +611,8 @@ def minhash_lsh_pairs(
     shuffle joins — the corpus pays one hash exchange on the id, which
     is already the floor any corpus-scale candidate set implies.
     ``None`` = MEASURE, don't guess: the candidate frame is eagerly
-    checkpointed first (only on this path — r13), so a count over the
-    cached partitions is nearly free, and the strategy follows the
-    actual pair volume
+    checkpointed anyway, so a count over the cached partitions is
+    nearly free, and the strategy follows the actual pair volume
     (≤ ``_BROADCAST_VERIFY_MAX_PAIRS`` broadcasts — the small-corpus
     r=1 sweep keeps its 4 s path instead of paying a blanket 26 s
     shuffle penalty; above it shuffles — the 100× sweep completes
@@ -712,17 +704,19 @@ def minhash_lsh_pairs(
         # class.
     )
     # The candidate list feeds two broadcast builds (the prune and the
-    # lookup side of the verify join). Both consumers' exchanges share
-    # the candidate pipeline's ONE shuffle (identical subtrees →
-    # ReuseExchange), so no materialization barrier is needed — r13
-    # measured the former unconditional eager localCheckpoint as a net
-    # LOSS here (interleaved A/B: 2.33 s → 2.21 s median without it; the
-    # checkpoint job serialized the pipeline's output one extra time and
-    # added a driver barrier). It IS still needed when the verify
-    # strategy must be measured (broadcast_verify=None): the count would
-    # otherwise run the pipeline once and the verify a second time.
+    # lookup side of the verify join); it is tiny, so an eager
+    # localCheckpoint materializes the whole signature→banding pipeline
+    # exactly ONCE and cuts its lineage — cheaper than persisting the
+    # (much larger) signature frame. An r13 draft removed this barrier
+    # on the theory that ReuseExchange would share the pipeline's one
+    # shuffle between the consumers; measured isolated (noop sink,
+    # min-of-3) the default broadcast path was 4.7 s WITHOUT the
+    # checkpoint vs 1.1 s with it — each broadcast build is planned as
+    # its own job and re-executes the signature pipeline from the scan
+    # (exchange reuse does not span separate broadcast jobs). Keep the
+    # barrier unconditionally.
+    cand = cand.localCheckpoint(eager=True)
     if broadcast_verify is None:
-        cand = cand.localCheckpoint(eager=True)
         # cand is checkpoint-materialized: counting it re-reads cached
         # partitions, so the strategy decision costs ~one metadata job.
         broadcast_verify = cand.count() <= _BROADCAST_VERIFY_MAX_PAIRS

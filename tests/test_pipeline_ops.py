@@ -108,9 +108,12 @@ def test_expr_builders_match_column_forms(spark):
     the multi-call Column formulations they replaced (the builders exist
     only to cut driver-side py4j round trips — ~2,400 per
     minhash_lsh_pairs construction — never to change a value). Pins:
-    the shingle-hash array (element_at form vs zip form), the k-min
-    fold, the banded bucket explode, the cosine expression, and the
-    MaxSim slice fold incl. its zero-norm guard and association order."""
+    the shingle-hash array (the memoized builder must stay the zip
+    form — an element_at SQL draft executed 15× slower once projection
+    collapse inlined the tokenizer into its per-element lambda), the
+    k-min fold, the banded bucket explode, the cosine expression, and
+    the MaxSim slice fold incl. its zero-norm guard and association
+    order."""
     from pyspark.sql import functions as F
 
     from logverzcore_spark.engine import read_table
