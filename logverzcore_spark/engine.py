@@ -66,6 +66,17 @@ def get_session(app_name: str = "logverzcore-spark", **extra_conf: str) -> Spark
     return spark
 
 
+#: Memo of input-table PLANS (lazy DataFrames), keyed by session object,
+#: absolute path, and the path's (mtime_ns, size) so any rewrite of the
+#: underlying files misses the cache. This caches no data and no results
+#: — every action on the returned frame still scans the parquet from
+#: disk — it only skips re-resolving the source (schema/footer read +
+#: file listing, a measured ~0.1-0.3 s of driver wall per construction,
+#: paid once per query PER BENCH REP before r13). Safe because the
+#: driver's sf inputs are immutable and the key carries the stat guard.
+_READ_TABLE_MEMO: dict[tuple, DataFrame] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table.
 
@@ -94,7 +105,22 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # unlike a post-scan cast, this keeps min/max + predicate pushdown on
     # timestamp columns (l_shipdate, o_orderdate) intact.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    path = os.path.join(sf_dir, f"{name}.parquet")
+    path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+    # Plan memo (see _READ_TABLE_MEMO): the conf pins above still run on
+    # every call — they guard against session-conf drift — only the
+    # source resolution is skipped on a hit.
+    st = os.stat(path)
+    if os.path.isdir(path):
+        # Directory mtime misses same-name file overwrites; fingerprint
+        # the entries too (test fixtures may pass directory tables).
+        ents = sorted(os.scandir(path), key=lambda e: e.name)
+        fp = tuple((e.name, e.stat().st_mtime_ns, e.stat().st_size) for e in ents)
+    else:
+        fp = (st.st_mtime_ns, st.st_size)
+    key = (spark, path, fp)
+    hit = _READ_TABLE_MEMO.get(key)
+    if hit is not None:
+        return hit
     df = spark.read.parquet(path)
     if name == "events":
         for field in df.schema.fields:
@@ -109,6 +135,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
     for col in ntz:
         df = df.withColumn(col, F.col(col).cast(T.TimestampType()))
+    _READ_TABLE_MEMO[key] = df
     return df
 
 

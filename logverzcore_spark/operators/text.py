@@ -13,6 +13,8 @@ Operators:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -169,29 +171,15 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
-def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Text-analysis feature pass.
-
-    Two stacked projections, not one: the token arrays are aliased in the
-    first and referenced many times from the second. CollapseProject only
-    inlines single-use (or trivially cheap) aliases, so the split/filter
-    work runs ONCE per row instead of once per feature — the naive
-    single-select form re-tokenized 5× (measured ~2× slower). Language
-    scores use ``array_intersect`` against literal marker arrays
-    (codegen'd) rather than per-language interpreted ``filter`` lambdas;
-    over the distinct-token array the two are equivalent."""
-    from logverzcore_spark.operators.util import fan_out
-
-    df = fan_out(df)
+@lru_cache(maxsize=None)
+def _profile_feature_cols(text_col: str) -> tuple[Column, ...]:
+    """The fixed feature expressions of ``text_profile`` over the staged
+    ``_toks``/``_ltoks``/``_dtoks`` attributes, memoized per text column
+    (r13): the language-marker literal arrays and stopword in-list alone
+    are a few hundred Catalyst nodes ≈ py4j round trips per construction.
+    Columns are immutable expression templates, so one build serves every
+    caller (t01/t02, the crawl cascade, streaming triggers)."""
     c = F.col(text_col)
-    staged = df.select(
-        "*",
-        tokens(c).alias("_toks"),
-        tokens(F.lower(c)).alias("_ltoks"),
-    ).select(
-        "*",
-        F.array_distinct(F.col("_ltoks")).alias("_dtoks"),
-    )
     ltoks, dtoks = F.col("_ltoks"), F.col("_dtoks")
     n_toks = F.greatest(F.size("_toks"), F.lit(1))
     lang_scores = F.array(
@@ -206,8 +194,7 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         ]
     )
     best = F.array_max(lang_scores)
-    return staged.select(
-        "*",
+    return (
         F.length(c).cast("int").alias("n_chars_computed"),
         F.size("_toks").alias("n_tokens"),
         bpe_token_count(c).alias("n_bpe_tokens"),
@@ -218,6 +205,35 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(F.lit(1.0) - F.size(dtoks) / n_toks, 4).alias("repetition_ratio"),
         fingerprint_md5(c).alias("fingerprint"),
         F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_guess"),
+    )
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Text-analysis feature pass.
+
+    Two stacked projections, not one: the token arrays are aliased in the
+    first and referenced many times from the second. CollapseProject only
+    inlines single-use (or trivially cheap) aliases, so the split/filter
+    work runs ONCE per row instead of once per feature — the naive
+    single-select form re-tokenized 5× (measured ~2× slower). Language
+    scores use ``array_intersect`` against literal marker arrays
+    (codegen'd) rather than per-language interpreted ``filter`` lambdas;
+    over the distinct-token array the two are equivalent. The feature
+    expressions are memoized per text column (``_profile_feature_cols``)."""
+    from logverzcore_spark.operators.util import fan_out
+
+    df = fan_out(df)
+    c = F.col(text_col)
+    staged = df.select(
+        "*",
+        tokens(c).alias("_toks"),
+        tokens(F.lower(c)).alias("_ltoks"),
+    ).select(
+        "*",
+        F.array_distinct(F.col("_ltoks")).alias("_dtoks"),
+    )
+    return staged.select(
+        "*", *_profile_feature_cols(text_col)
     ).drop("_toks", "_ltoks", "_dtoks")
 
 def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
