@@ -11,6 +11,8 @@ results are comparable against engines with naive timestamps.
 from __future__ import annotations
 
 import os
+import weakref
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -63,18 +65,77 @@ def get_session(app_name: str = "logverzcore-spark", **extra_conf: str) -> Spark
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Builder-memo hygiene (r14): if this process restarted the JVM,
+    # every memoized Column template references the dead gateway —
+    # clear them here (and in read_table, the per-query funnel).
+    from logverzcore_spark.exprcache import reset_if_new_jvm
+
+    reset_if_new_jvm(spark)
     return spark
 
 
-#: Memo of input-table PLANS (lazy DataFrames), keyed by session object,
-#: absolute path, and the path's (mtime_ns, size) so any rewrite of the
-#: underlying files misses the cache. This caches no data and no results
-#: — every action on the returned frame still scans the parquet from
-#: disk — it only skips re-resolving the source (schema/footer read +
-#: file listing, a measured ~0.1-0.3 s of driver wall per construction,
-#: paid once per query PER BENCH REP before r13). Safe because the
-#: driver's sf inputs are immutable and the key carries the stat guard.
-_READ_TABLE_MEMO: dict[tuple, DataFrame] = {}
+#: Memo of input-table PLANS (lazy DataFrames), keyed weakly by session
+#: object, then by absolute path; each entry carries the path's
+#: (mtime_ns, size) fingerprint so any rewrite of the underlying files
+#: REPLACES the entry (r14 — the r13 flat dict accumulated superseded
+#: generations and strongly pinned stopped sessions). This caches no
+#: data and no results — every action on the returned frame still
+#: scans the parquet from disk — it only skips re-resolving the source
+#: (schema/footer read + file listing, a measured ~0.1-0.3 s of driver
+#: wall per construction, paid once per query PER BENCH REP before
+#: r13). Per-session entries are LRU-bounded: SF_TABLES is 10, and an
+#: interactive session reading hundreds of tables stays flat.
+_READ_TABLE_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_READ_TABLE_MEMO_MAX = 64
+
+
+def _path_fingerprint(path: str):
+    """(mtime_ns, size) stat fingerprint — per-entry for directories
+    (directory mtime misses same-name file overwrites)."""
+    st = os.stat(path)
+    if os.path.isdir(path):
+        ents = sorted(os.scandir(path), key=lambda e: e.name)
+        return tuple(
+            (e.name, e.stat().st_mtime_ns, e.stat().st_size) for e in ents
+        )
+    return (st.st_mtime_ns, st.st_size)
+
+
+#: Raw parquet-footer schema per (session, path, fingerprint) — the
+#: streaming sources re-resolved their source schema on EVERY stream
+#: construction (spark.read.parquet(...).schema, ~0.1-0.2 s of driver
+#: wall) before r14. Same guard discipline as _READ_TABLE_MEMO: any
+#: file change misses; sessions are weakly keyed. NOTE: callers must
+#: pin their parquet-reader confs (nanosAsLong, NTZ inference) BEFORE
+#: the first call, as read_table/_events_stream already do — the memo
+#: stores what the footer resolved to under those pins.
+_PARQUET_SCHEMA_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def parquet_schema(spark: SparkSession, path: str):
+    """The parquet schema at ``path``, memoized per session with a stat
+    guard (see ``_PARQUET_SCHEMA_MEMO``)."""
+    fp = _path_fingerprint(path)
+    try:
+        per_session = _PARQUET_SCHEMA_MEMO.get(spark)
+    except TypeError:
+        per_session = None
+    if per_session is None:
+        per_session = OrderedDict()
+        try:
+            _PARQUET_SCHEMA_MEMO[spark] = per_session
+        except TypeError:
+            pass
+    hit = per_session.get(path)
+    if hit is not None and hit[0] == fp:
+        per_session.move_to_end(path)
+        return hit[1]
+    schema = spark.read.parquet(path).schema
+    per_session[path] = (fp, schema)
+    per_session.move_to_end(path)
+    while len(per_session) > _READ_TABLE_MEMO_MAX:
+        per_session.popitem(last=False)
+    return schema
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -109,18 +170,24 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Plan memo (see _READ_TABLE_MEMO): the conf pins above still run on
     # every call — they guard against session-conf drift — only the
     # source resolution is skipped on a hit.
-    st = os.stat(path)
-    if os.path.isdir(path):
-        # Directory mtime misses same-name file overwrites; fingerprint
-        # the entries too (test fixtures may pass directory tables).
-        ents = sorted(os.scandir(path), key=lambda e: e.name)
-        fp = tuple((e.name, e.stat().st_mtime_ns, e.stat().st_size) for e in ents)
-    else:
-        fp = (st.st_mtime_ns, st.st_size)
-    key = (spark, path, fp)
-    hit = _READ_TABLE_MEMO.get(key)
-    if hit is not None:
-        return hit
+    fp = _path_fingerprint(path)
+    from logverzcore_spark.exprcache import reset_if_new_jvm
+
+    reset_if_new_jvm(spark)
+    try:
+        per_session = _READ_TABLE_MEMO.get(spark)
+    except TypeError:  # unhashable mock session
+        per_session = None
+    if per_session is None:
+        per_session = OrderedDict()
+        try:
+            _READ_TABLE_MEMO[spark] = per_session
+        except TypeError:
+            pass
+    hit = per_session.get(path)
+    if hit is not None and hit[0] == fp:
+        per_session.move_to_end(path)  # LRU
+        return hit[1]
     df = spark.read.parquet(path)
     if name == "events":
         for field in df.schema.fields:
@@ -135,7 +202,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
     for col in ntz:
         df = df.withColumn(col, F.col(col).cast(T.TimestampType()))
-    _READ_TABLE_MEMO[key] = df
+    per_session[path] = (fp, df)
+    per_session.move_to_end(path)
+    while len(per_session) > _READ_TABLE_MEMO_MAX:
+        per_session.popitem(last=False)
     return df
 
 

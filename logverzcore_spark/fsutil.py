@@ -41,6 +41,7 @@ import json
 import os
 import threading
 import uuid
+import weakref
 
 
 class CommitConflict(IOError):
@@ -57,19 +58,68 @@ def hadoop_fs(spark, path: str):
 
 
 def _local_path(path: str) -> str | None:
-    """The plain filesystem path when ``path`` addresses the LOCAL
-    filesystem (bare path or file: scheme), else None. Used to bypass
-    the Hadoop FS API for local metadata I/O: a py4j byte-array read
-    ships the payload base64-encoded over the command socket (~10 MB/s
-    — the r12 SCALE two-level row's 0.61 s cold-chain read was mostly
-    this), where a direct Python read of the same bytes is ~ms."""
+    """The plain filesystem path when ``path`` SYNTACTICALLY addresses
+    the local filesystem (bare path or file: scheme), else None.
+
+    CAUTION (r14): a bare path is only local when the deployment's
+    ``fs.defaultFS`` is the local filesystem — on an HDFS/S3-default
+    cluster Spark resolves bare paths against THAT filesystem, so
+    treating them as local would silently split manifests between the
+    driver's disk and the cluster store. Callers with a session in hand
+    must use :func:`_fastpath_local` (which gates bare paths on the
+    session's defaultFS); this syntactic helper is only safe on its own
+    for explicit ``file:`` URIs."""
     if path.startswith("file://"):
         return path[len("file://"):] or "/"
     if path.startswith("file:"):
         return path[len("file:"):]
     if "://" not in path.split("/", 1)[0] and ":" not in path.split("/", 1)[0]:
-        return path  # bare path, no scheme → local FS
+        return path  # bare path, no scheme → resolves against fs.defaultFS
     return None
+
+
+#: Per-session memo of "is fs.defaultFS the local filesystem?" — one
+#: py4j round trip per session, weakly keyed so stopped sessions drop.
+_DEFAULT_FS_LOCAL: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _default_fs_is_local(spark) -> bool:
+    """True when the session resolves BARE (scheme-less) paths against
+    the local filesystem, i.e. ``fs.defaultFS`` is unset or file-scheme.
+    Read once per session off the Hadoop configuration (the same source
+    every ``FileSystem.get`` call consults), memoized weakly."""
+    try:
+        hit = _DEFAULT_FS_LOCAL.get(spark)
+    except TypeError:  # unhashable/mock session: don't memoize
+        hit = None
+    if hit is not None:
+        return hit
+    default_fs = spark._jsc.hadoopConfiguration().get("fs.defaultFS")
+    is_local = (not default_fs) or str(default_fs).startswith("file:")
+    try:
+        _DEFAULT_FS_LOCAL[spark] = is_local
+    except TypeError:
+        pass
+    return is_local
+
+
+def _fastpath_local(spark, path: str) -> str | None:
+    """The plain local path when it is CORRECT to bypass the Hadoop FS
+    API for ``path`` on this session, else None (r14; closes the r13
+    verdict's split-brain hole). Explicit ``file:`` URIs always qualify;
+    bare paths qualify only when the session's ``fs.defaultFS`` is the
+    local filesystem — otherwise the Hadoop API must resolve them so
+    metadata lands on the same store as the data files."""
+    local = _local_path(path)
+    if local is None:
+        return None
+    if path.startswith("file:"):
+        return local
+    if spark is None:
+        # Session-less caller (tests, driver-local tools): there is no
+        # defaultFS to defer to — and no Hadoop API to fall back on.
+        return local
+    return local if _default_fs_is_local(spark) else None
 
 
 def read_small_json(spark, path: str, backend=None):
@@ -83,7 +133,7 @@ def read_small_json(spark, path: str, backend=None):
     (measured r13: 4 MB chain 0.61 s → ~0.03 s)."""
     if backend is not None:
         return json.loads(backend.read_bytes(path).decode("utf-8"))
-    local = _local_path(path)
+    local = _fastpath_local(spark, path)
     if local is not None:
         with open(local, "rb") as fh:
             return json.loads(fh.read().decode("utf-8"))
@@ -113,7 +163,7 @@ def write_small_json_commit(spark, path: str, payload, backend=None) -> None:
     if backend is not None:
         backend.put_if_absent(path, json.dumps(payload).encode("utf-8"))
         return
-    local = _local_path(path)
+    local = _fastpath_local(spark, path)
     if local is not None:
         # Local fast-path (r13): same .part-then-commit shape without
         # the ~6 py4j round-trips per commit. os.link is the commit —
@@ -131,6 +181,17 @@ def write_small_json_commit(spark, path: str, payload, backend=None) -> None:
         except FileExistsError:
             os.unlink(part)
             raise IOError(f"commit target already exists: {path}")
+        except OSError:
+            # Local mounts without hard links (CIFS/NFS variants, FUSE
+            # object mounts) raise EPERM/EOPNOTSUPP here — fall back to
+            # the exists-check + replacing-rename shape the Hadoop path
+            # uses (r14, ADVICE): same atomic-existence guarantee,
+            # slightly wider two-writer window, never a stranded .part.
+            if os.path.exists(local):
+                os.unlink(part)
+                raise IOError(f"commit target already exists: {path}")
+            os.replace(part, local)
+            return
         os.unlink(part)
         return
     jpath, fs = hadoop_fs(spark, path)
@@ -227,7 +288,7 @@ class HadoopRenameBackend(CommitBackend):
         return hadoop_fs(self._spark, path)
 
     def put_if_absent(self, path: str, data: bytes) -> None:
-        local = _local_path(path)
+        local = _fastpath_local(self._spark, path)
         if local is not None:
             # Local fast-path (r13): the IDENTICAL three-piece protocol
             # (unique .part staging, .lock as atomic create-if-absent,

@@ -23,7 +23,7 @@ Python UDFs in any hot path.
 
 from __future__ import annotations
 
-from functools import lru_cache
+from logverzcore_spark.exprcache import registered_expr_cache
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -416,7 +416,7 @@ def _q(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
 
 
-@lru_cache(maxsize=None)
+@registered_expr_cache()
 def _shingle_hash_attr(tok_attr: str, n: int) -> Column:
     """Memoized ``shingle_hash_array`` over an ATTRIBUTE token column.
 
@@ -432,13 +432,13 @@ def _shingle_hash_attr(tok_attr: str, n: int) -> Column:
     return shingle_hash_array(F.col(tok_attr), n)
 
 
-@lru_cache(maxsize=None)
+@registered_expr_cache()
 def _shingle_hset_attr(tok_attr: str, n: int) -> Column:
     """array_distinct(shingle hashes) — the verify-side set form."""
     return F.array_distinct(shingle_hash_array(F.col(tok_attr), n))
 
 
-@lru_cache(maxsize=None)
+@registered_expr_cache()
 def _minhash_fold(hs_attr: str, num_hashes: int) -> Column:
     """The k-min fold of ``minhash_signature_sets`` as one parsed
     expression (same single-traversal fold, same MAX_LONG init, same
@@ -451,7 +451,7 @@ def _minhash_fold(hs_attr: str, num_hashes: int) -> Column:
     )
 
 
-@lru_cache(maxsize=None)
+@registered_expr_cache()
 def _band_buckets_expr(num_hashes: int, bands: int) -> Column:
     """``minhash_band_buckets``'s banded explode as one parsed
     expression: struct(band, xxhash64(band, sig mins)) per band, with
@@ -815,6 +815,7 @@ def minhash_pairs_from_sig(
     threshold: float = 0.7,
     num_hashes: int = 32,
     bands: int = 16,
+    broadcast_verify: bool | None = None,
 ) -> DataFrame:
     """Verified near-dup pairs from an ALREADY-built signature+set frame
     (``minhash_signature_sets(with_sets=True)``; columns doc_id, sig,
@@ -831,6 +832,16 @@ def minhash_pairs_from_sig(
     equals the verify's ``array_distinct(shingle_hash_array(...))`` by
     construction, and the candidate expansion / jaccard / rounding chain
     below is the same code shape.
+
+    ``broadcast_verify`` mirrors ``minhash_lsh_pairs``' verify-strategy
+    knob (r14, VERDICT task 5): the candidate list broadcasts only when
+    it is verifiably small. ``None`` (default) measures — the candidate
+    frame is eagerly checkpointed and counted (cheap: its input is the
+    caller's persisted sig frame, and the checkpoint spares the verify
+    a banding recompute), and the join broadcasts at
+    ≤ ``_BROADCAST_VERIFY_MAX_PAIRS`` melt rows, else degrades to a
+    shuffle join — an unbounded batch can no longer abort the driver's
+    1 GB collect ceiling the way the unconditional broadcast could.
 
     This is NOT the corpus-batch path: materializing hset corpus-wide is
     the 100 TB anti-pattern ``minhash_lsh_pairs``'s candidate-scoped
@@ -853,10 +864,21 @@ def minhash_pairs_from_sig(
         )
         .select("p.id1", "p.id2")
     )
+    if broadcast_verify is None:
+        # Same shape as minhash_lsh_pairs: the checkpoint materializes
+        # the banding pipeline once (the lookup join below would rerun
+        # it otherwise), and the strategy decision then counts cached
+        # partitions — ~one metadata job per call.
+        cand = cand.localCheckpoint(eager=True)
+        broadcast_verify = cand.count() * 2 <= _BROADCAST_VERIFY_MAX_PAIRS
     melted = cand.select(
         "id1", "id2", F.explode(F.array("id1", "id2")).alias("doc_id")
     )
-    looked = sig_df.select("doc_id", "hset").join(F.broadcast(melted), "doc_id")
+    # broadcast_verify=False must defeat the planner's own size-based
+    # broadcast too (LogicalRDD stats under-estimate) — hint the
+    # shuffle strategy explicitly, as minhash_lsh_pairs does.
+    maybe_b = F.broadcast if broadcast_verify else (lambda d: d.hint("merge"))
+    looked = sig_df.select("doc_id", "hset").join(maybe_b(melted), "doc_id")
     pairs = looked.groupBy("id1", "id2").agg(
         F.first(
             F.when(F.col("doc_id") == F.col("id1"), F.col("hset")),
@@ -2164,6 +2186,21 @@ def dedup_threshold_sweep(
     # left to its own devices picks CartesianProduct here — same rows,
     # but the pair table would materialize once per threshold partition).
     hits = F.broadcast(thr).join(pairs, pairs["jaccard"] >= thr["threshold"])
+    # ONE aggregation over the exploded pair sides computes n_pairs AND
+    # n_dup_docs (r14, guide §2.4): the previous two-branch formulation
+    # (groupBy for counts + a second explode/countDistinct groupBy)
+    # embedded the whole candidate-verify subtree TWICE in the final
+    # plan — each branch re-ran the corpus semi-join + shingle rebuild
+    # + pair groupBy (d29's before-plan: 36 Exchanges, two parquet
+    # scans of the corpus). Per-pair terms are restricted to the
+    # ``did == id1`` row (exactly one per pair, pairs have id1 < id2),
+    # so the count/HT-sum input sequence is IDENTICAL to the old
+    # pair-rows form — counts exactly equal, the HT float sum
+    # bit-identical (null terms are skipped, never added).
+    exploded = hits.select(
+        "threshold", "jaccard", "id1",
+        F.explode(F.array("id1", "id2")).alias("did"),
+    )
     if estimator == "ht":
         # Horvitz–Thompson: each verified pair (exact jaccard j) was a
         # candidate with probability p(j) = 1-(1-j^r)^b — weight it
@@ -2174,22 +2211,20 @@ def dedup_threshold_sweep(
             F.lit(1.0) - F.pow(F.col("jaccard"), F.lit(float(r_rows))),
             F.lit(float(num_hashes // 2)),
         )
-        n_pairs = hits.groupBy("threshold").agg(
-            F.round(F.sum(F.lit(1.0) / p)).cast("long").alias("n_pairs")
-        )
+        n_pairs_agg = F.round(
+            F.sum(F.when(F.col("did") == F.col("id1"), F.lit(1.0) / p))
+        ).cast("long")
     else:
-        n_pairs = hits.groupBy("threshold").agg(
-            F.count(F.lit(1)).alias("n_pairs")
-        )
-    dup_docs = (
-        hits.select("threshold", F.explode(F.array("id1", "id2")).alias("did"))
-        .groupBy("threshold")
-        .agg(F.countDistinct("did").alias("n_dup_docs"))
+        n_pairs_agg = F.count(F.when(F.col("did") == F.col("id1"), F.lit(1)))
+    counts = exploded.groupBy("threshold").agg(
+        n_pairs_agg.alias("n_pairs"),
+        F.countDistinct("did").alias("n_dup_docs"),
     )
     total = df.agg(F.count(F.lit(1)).alias("total_"))
     report = (
-        thr.join(n_pairs, "threshold", "left")
-        .join(dup_docs, "threshold", "left")
+        # The aggregate side is ≤ len(ts) rows — broadcast it so the
+        # zero-hit left join is exchange-free (was a SortMergeJoin pair).
+        thr.join(F.broadcast(counts), "threshold", "left")
         .crossJoin(F.broadcast(total))
         .select(
             "threshold",

@@ -19,7 +19,7 @@ vectorized enough at 64-dim; swap to a Pandas UDF for very wide vectors.
 
 from __future__ import annotations
 
-from functools import lru_cache
+from logverzcore_spark.exprcache import registered_expr_cache
 
 import numpy as np
 import pandas as pd
@@ -68,14 +68,14 @@ def _l2_norm_sql(a: str) -> str:
     return f"sqrt(aggregate({a}, 0.0D, (acc, x) -> acc + x * x))"
 
 
-@lru_cache(maxsize=None)
+@registered_expr_cache()
 def _cosine_expr(a_attr: str, b_attr: str) -> Column:
     """cosine(a, b) over two ATTRIBUTE array<double> columns."""
     a, b = f"`{a_attr}`", f"`{b_attr}`"
     return F.expr(f"{_dot_sql(a, b)} / ({_l2_norm_sql(a)} * {_l2_norm_sql(b)})")
 
 
-@lru_cache(maxsize=None)
+@registered_expr_cache()
 def _maxsim_score_expr(
     q_attr: str, n_attr: str, n_slices: int, width: int
 ) -> Column:

@@ -13,7 +13,7 @@ Operators:
 
 from __future__ import annotations
 
-from functools import lru_cache
+from logverzcore_spark.exprcache import registered_expr_cache
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -171,7 +171,7 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
-@lru_cache(maxsize=None)
+@registered_expr_cache()
 def _profile_feature_cols(text_col: str) -> tuple[Column, ...]:
     """The fixed feature expressions of ``text_profile`` over the staged
     ``_toks``/``_ltoks``/``_dtoks`` attributes, memoized per text column

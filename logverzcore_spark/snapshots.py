@@ -80,7 +80,7 @@ from pyspark.sql import functions as F
 
 from logverzcore_spark.fsutil import (
     CommitConflict,
-    _local_path,
+    _fastpath_local,
     break_commit_lock,
     hadoop_fs,
     read_small_json,
@@ -644,7 +644,7 @@ class SnapshotTable:
         if self.backend is not None:
             names = self.backend.list_dir(self.snaps)
         else:
-            local = _local_path(self.snaps)
+            local = _fastpath_local(spark, self.snaps)
             if local is not None:
                 # Local fast-path (r13): fs.listStatus costs one py4j
                 # round-trip PER ENTRY for getPath().getName() — on a

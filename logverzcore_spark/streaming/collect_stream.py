@@ -185,7 +185,11 @@ def _events_stream(spark: SparkSession, events_path: str, schema=None):
     # the FIRST suite query to run (so read_table's pin hasn't fired).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if schema is None:  # callers opening the file twice pass it once
-        schema = spark.read.parquet(events_path).schema
+        # Session-memoized footer read (r14): every stream construction
+        # paid a fresh source resolution (~0.1-0.2 s driver wall) here.
+        from logverzcore_spark.engine import parquet_schema
+
+        schema = parquet_schema(spark, events_path)
     if os.path.isdir(events_path):
         # Spark-written DIRECTORY of part files (the scale replicas'
         # shape): the basename glob below would match ZERO leaf files
@@ -618,7 +622,9 @@ def run_stream_stream_join(
     the canonical Spark pattern for correlating two event feeds."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    schema = spark.read.parquet(events_path).schema
+    from logverzcore_spark.engine import parquet_schema
+
+    schema = parquet_schema(spark, events_path)
     views = (
         _events_stream(spark, events_path, schema)
         .where(F.col("event_type") == "view")

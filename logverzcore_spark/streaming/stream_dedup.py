@@ -191,6 +191,7 @@ def _full_curation_batch(
       ``stream_neardup`` greedy contract) would admit C.
     """
     from logverzcore_spark.operators.dedup import (
+        _BROADCAST_VERIFY_MAX_PAIRS,
         minhash_band_buckets,
         minhash_pairs_from_sig,
         minhash_signature_sets,
@@ -211,7 +212,7 @@ def _full_curation_batch(
     else:
         fresh = in_batch
     fresh = fresh.persist()
-    fresh.count()
+    fresh_n = fresh.count()
     try:
         # ONE signature/set pass per trigger (r13): the persisted sig
         # frame feeds the LSH state tables AND the in-batch pair
@@ -223,9 +224,21 @@ def _full_curation_batch(
             fresh, num_hashes=num_hashes, n=n, text_col=text_col, id_col=id_col
         )
         try:
-            # in-batch near-dups: every verified pair's higher id loses
+            # in-batch near-dups: every verified pair's higher id loses.
+            # Verify-broadcast guard (r14, VERDICT task 5) at zero
+            # per-trigger cost: melt rows are at most
+            # fresh_n*(fresh_n-1) (every unordered pair, twice), so
+            # when that WORST CASE fits the broadcast ceiling the
+            # strategy is decided from the already-paid batch count;
+            # a batch too big for the proof takes the shuffle join
+            # outright — its micro-batch-sized exchanges cost about
+            # what the measuring count job would, without ever risking
+            # the driver-collect abort an unconditional broadcast
+            # carried here before r14.
+            bounded = fresh_n * (fresh_n - 1) <= _BROADCAST_VERIFY_MAX_PAIRS
             pairs = minhash_pairs_from_sig(
                 sig, threshold=threshold, num_hashes=num_hashes, bands=bands,
+                broadcast_verify=bounded,
             )
             losers = pairs.select(F.col("id2").alias(id_col)).distinct()
             buckets = minhash_band_buckets(

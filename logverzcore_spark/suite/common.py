@@ -20,7 +20,7 @@ from __future__ import annotations
 import os
 import uuid
 from collections.abc import Callable
-from functools import lru_cache
+from logverzcore_spark.exprcache import registered_expr_cache
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -60,7 +60,9 @@ def _docs_stream(spark: SparkSession, sf_dir: str):
     leaf files and the stream would silently never run — watch the
     directory itself instead."""
     docs_path = os.path.join(sf_dir, "documents.parquet")
-    sch = spark.read.parquet(docs_path).schema
+    from logverzcore_spark.engine import parquet_schema
+
+    sch = parquet_schema(spark, docs_path)  # session-memoized (r14)
     if os.path.isdir(docs_path):
         return spark.readStream.schema(sch).parquet(docs_path)
     return (
@@ -70,7 +72,7 @@ def _docs_stream(spark: SparkSession, sf_dir: str):
     )
 
 
-@lru_cache(maxsize=None)
+@registered_expr_cache()
 def _money_sum(col, scale: int = 2):
     """Money sum as exact integer units (floor(x*10^s + 0.5) — half-up
     toward +inf, identical IEEE ops in any engine) divided back once.

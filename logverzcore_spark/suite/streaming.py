@@ -288,7 +288,9 @@ def st10_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     docs_path = os.path.join(sf_dir, "documents.parquet")
-    schema = spark.read.parquet(docs_path).schema
+    from logverzcore_spark.engine import parquet_schema
+
+    schema = parquet_schema(spark, docs_path)
     table = f"st10_neardup_{_uuid.uuid4().hex[:8]}"
     q = neardup_stream(
         spark,
