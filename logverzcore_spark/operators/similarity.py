@@ -76,6 +76,74 @@ def _cosine_expr(a_attr: str, b_attr: str) -> Column:
 
 
 @registered_expr_cache()
+def _slice_norm_attr(attr: str, s: int, width: int) -> Column:
+    """sqrt(Σx²) over slice ``s`` of an attribute vector — the exact
+    ``nrm`` term ``_maxsim_score_expr`` embeds (same CAST, same slice
+    bounds, same fold), exposed so slice norms can be staged once per
+    ROW instead of once per PAIR (see _maxsim_score_prenormed_expr)."""
+    return F.expr(
+        f"sqrt(aggregate(slice(CAST(`{attr}` AS array<double>), "
+        f"{s * width + 1}, {width}), 0.0D, (acc, x) -> acc + x * x))"
+    )
+
+
+@registered_expr_cache()
+def _maxsim_score_prenormed_expr(
+    q_attr: str, n_attr: str, qn_prefix: str, nn_prefix: str,
+    n_slices: int, width: int,
+) -> Column:
+    """``_maxsim_score_expr`` with PRE-STAGED slice norms (r14): the
+    guard/divisor terms read attribute columns ``{qn_prefix}{s}`` /
+    ``{nn_prefix}{c}`` (each a ``_slice_norm_attr`` value computed once
+    per row) instead of re-folding every slice norm per PAIR — the
+    n_slices² cells previously re-computed 2·n_slices² norm folds per
+    pair where 2·n_slices per row suffice. Identical guard structure,
+    greatest-nesting, and sum association order — scores bit-identical."""
+
+    def slc(col: str, s: int) -> str:
+        return f"slice(CAST(`{col}` AS array<double>), {s * width + 1}, {width})"
+
+    total = "0.0D"
+    for s in range(n_slices):
+        best = None
+        for c in range(n_slices):
+            d = _dot_sql(slc(q_attr, s), slc(n_attr, c))
+            prod = f"(`{qn_prefix}{s}` * `{nn_prefix}{c}`)"
+            cos = (
+                f"CASE WHEN {prod} > 0 "
+                f"THEN {d} / {prod} "
+                f"ELSE 0.0D END"
+            )
+            best = cos if best is None else f"greatest({best}, {cos})"
+        total = f"({total}) + ({best})"
+    return F.expr(total)
+
+
+@registered_expr_cache()
+def _l2_norm_attr(attr: str) -> Column:
+    """sqrt(Σx²) over one ATTRIBUTE array<double> column — the same
+    fold ``_l2_norm_sql`` embeds, exposed so norms can be staged ONCE
+    per row before a pair join (see ``_cosine_prenormed_expr``)."""
+    return F.expr(_l2_norm_sql(f"`{attr}`"))
+
+
+@registered_expr_cache()
+def _cosine_prenormed_expr(
+    a_attr: str, b_attr: str, an_attr: str, bn_attr: str
+) -> Column:
+    """cosine with PRE-STAGED norms: dot(a, b) / (an * bn), where
+    an/bn are attribute columns carrying ``_l2_norm_attr`` values
+    computed once per input ROW (r14, guide §2.3 "shuffle fewer
+    bytes"/§1.2 per-task work). In a pair join that replaces the
+    per-PAIR norm folds of ``_cosine_expr`` — 2 of its 3 array
+    traversals — with two column reads; values are bit-identical
+    because each norm is the same sqrt-of-fold over the same array,
+    and the division/multiplication order is unchanged."""
+    a, b = f"`{a_attr}`", f"`{b_attr}`"
+    return F.expr(f"{_dot_sql(a, b)} / (`{an_attr}` * `{bn_attr}`)")
+
+
+@registered_expr_cache()
 def _maxsim_score_expr(
     q_attr: str, n_attr: str, n_slices: int, width: int
 ) -> Column:
@@ -126,11 +194,24 @@ def cosine_topk(
     """
     from logverzcore_spark.operators.util import fan_out
 
-    c = fan_out(corpus).select(F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nvec"))
-    q = queries.select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec"))
+    # Norms staged ONCE per row on both sides of the pair join (r14):
+    # the scoring expression then traverses only the zip for the dot —
+    # the corpus-side norm was previously re-folded once per QUERY and
+    # the query norm once per corpus row (3 64-element folds per pair
+    # → 1). Values bit-identical (same fold, same op order — see
+    # _cosine_prenormed_expr).
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nvec")
+    ).withColumn("_nn", _l2_norm_attr("nvec"))
+    q = queries.select(
+        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec")
+    ).withColumn("_qn", _l2_norm_attr("qvec"))
     scored = (
         c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
-        .select("qid", "nid", _cosine_expr("qvec", "nvec").alias("cos"))
+        .select(
+            "qid", "nid",
+            _cosine_prenormed_expr("qvec", "nvec", "_qn", "_nn").alias("cos"),
+        )
     )
     return _rank_topk(scored, k)
 
@@ -362,12 +443,21 @@ def lsh_topk(
         .select("qid", "nid")
         .distinct()
     )
-    nvecs = corpus.select(F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nvec"))
-    qvecs = queries.select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec"))
+    # Norms staged once per vector row (r14, same move as cosine_topk):
+    # a doc in several candidate pairs re-folded its norm per PAIR.
+    nvecs = corpus.select(
+        F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nvec")
+    ).withColumn("_nn", _l2_norm_attr("nvec"))
+    qvecs = queries.select(
+        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec")
+    ).withColumn("_qn", _l2_norm_attr("qvec"))
     scored = (
         cand.join(nvecs, "nid")
         .join(F.broadcast(qvecs), "qid")
-        .select("qid", "nid", cosine(F.col("qvec"), F.col("nvec")).alias("cos"))
+        .select(
+            "qid", "nid",
+            _cosine_prenormed_expr("qvec", "nvec", "_qn", "_nn").alias("cos"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
     return (
@@ -551,12 +641,20 @@ def ivf_topk(
 
         return cells
 
-    c_assigned = c.withColumn("cell", F.element_at(_nearest(1)(F.col("nvec")), 1))
+    c_assigned = c.withColumn(
+        "cell", F.element_at(_nearest(1)(F.col("nvec")), 1)
+    ).withColumn("_nn", _l2_norm_attr("nvec"))
     q = queries.select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec"))
-    q_assigned = q.withColumn("cell", F.explode(_nearest(nprobe)(F.col("qvec"))))
+    # _qn staged BEFORE the nprobe explode (once per query, not per probe).
+    q_assigned = q.withColumn("_qn", _l2_norm_attr("qvec")).withColumn(
+        "cell", F.explode(_nearest(nprobe)(F.col("qvec")))
+    )
     scored = (
         c_assigned.join(F.broadcast(q_assigned), (c_assigned.cell == q_assigned.cell) & (F.col("qid") != F.col("nid")))
-        .select("qid", "nid", cosine(F.col("qvec"), F.col("nvec")).alias("cos"))
+        .select(
+            "qid", "nid",
+            _cosine_prenormed_expr("qvec", "nvec", "_qn", "_nn").alias("cos"),
+        )
         .groupBy("qid", "nid")
         .agg(F.max("cos").alias("cos"))
     )
@@ -1232,12 +1330,22 @@ def ivf_index_probe(
     # an IN-filter on the PARTITION column prunes the index scan itself
     # (a broadcast join alone would still read every partition).
     cells = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
-    idx = spark.table(index_table).where(F.col("cell").isin(cells))
+    # Norms staged once per stored-index row / per query row (r14):
+    # the pair join re-folded both per candidate pair.
+    idx = (
+        spark.table(index_table)
+        .where(F.col("cell").isin(cells))
+        .withColumn("_nn", _l2_norm_attr("nvec"))
+    )
+    qn = q.withColumn("_qn", _l2_norm_attr("qvec"))
     scored = (
         idx.join(
-            F.broadcast(q), (idx.cell == q.cell) & (F.col("qid") != F.col("nid"))
+            F.broadcast(qn), (idx.cell == qn.cell) & (F.col("qid") != F.col("nid"))
         )
-        .select("qid", "nid", cosine(F.col("qvec"), F.col("nvec")).alias("cos"))
+        .select(
+            "qid", "nid",
+            _cosine_prenormed_expr("qvec", "nvec", "_qn", "_nn").alias("cos"),
+        )
         .groupBy("qid", "nid")
         .agg(F.max("cos").alias("cos"))
     )
@@ -2173,10 +2281,22 @@ def maxsim_topk(
         raise ValueError(f"dim={dim} not divisible into {n_slices} slices")
     width = dim // n_slices
 
+    # Slice norms staged ONCE per row on both sides (r14): the n_slices²
+    # score cells re-folded 2·n_slices² slice norms per PAIR before.
     c = fan_out(corpus).select(
-        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"),
+        *[
+            _slice_norm_attr("nvec", s, width).alias(f"_nn{s}")
+            for s in range(n_slices)
+        ],
     )
-    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"),
+        *[
+            _slice_norm_attr("qvec", s, width).alias(f"_qn{s}")
+            for s in range(n_slices)
+        ],
+    )
     if candidates is not None:
         pair_list = candidates.select(
             F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
@@ -2186,12 +2306,13 @@ def maxsim_topk(
         )
     else:
         joined = c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
-    # The n_slices² fold is a memoized single-parse expression
-    # (``_maxsim_score_expr``): same per-slice zero-norm guard (a
-    # zero-padded token block scores 0, never a NULL that would swallow
-    # the pair), same greatest-nesting and sum association order —
-    # bit-identical scores to the per-node Column form it replaced.
-    total = _maxsim_score_expr("qvec", "nvec", n_slices, width)
+    # The n_slices² fold is a memoized single-parse expression: same
+    # per-slice zero-norm guard (a zero-padded token block scores 0,
+    # never a NULL that would swallow the pair), same greatest-nesting
+    # and sum association order — bit-identical scores to the per-node
+    # Column form it replaced (r13), with the norm terms now reading
+    # the staged per-row columns (r14).
+    total = _maxsim_score_prenormed_expr("qvec", "nvec", "_qn", "_nn", n_slices, width)
     scored = joined.select("qid", "nid", total.alias("cos"))
     out = _rank_topk(scored, k)
     # _rank_topk names the score 'cosine'; MaxSim is a sum of maxima,

@@ -280,13 +280,29 @@ def _full_curation_batch(
             # a crash between the appends degrades to at-least-once,
             # never loses a document).
             out.write.mode("append").saveAsTable(target_table)
-            fresh.select(F.col("_fp").alias("fp")).write.mode("append").saveAsTable(
-                fp_table
-            )
-            buckets.select("band", "bucket", "doc_id").write.mode(
-                "append"
-            ).saveAsTable(bucket_table)
-            sig.select("doc_id", "hset").write.mode("append").saveAsTable(set_table)
+            # The three state appends are mutually independent (all
+            # read the two persisted frames, none reads another's
+            # table) and each is a small job with an idle tail —
+            # overlap them from a thread pool (guide §2.6) so the
+            # trigger pays max() instead of sum() of their walls
+            # (measured r14: 0.63 s sequential → ~0.3 s). Crash
+            # semantics are unchanged: they still all run AFTER the
+            # data append, and the replay contract never depended on
+            # an ordering among the three (state reads are
+            # distinct-protected; a partial subset replays to
+            # at-least-once exactly as a partial prefix did).
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _save(args) -> None:
+                frame, table = args
+                frame.write.mode("append").saveAsTable(table)
+
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                list(pool.map(_save, [
+                    (fresh.select(F.col("_fp").alias("fp")), fp_table),
+                    (buckets.select("band", "bucket", "doc_id"), bucket_table),
+                    (sig.select("doc_id", "hset"), set_table),
+                ]))
         finally:
             sig.unpersist()
     finally:

@@ -248,6 +248,33 @@ def test_expr_builders_match_column_forms(spark):
     )
     assert om.exceptAll(nm).count() == 0 and nm.exceptAll(om).count() == 0
 
+    # r14: the pre-staged-norm forms must be value-identical too —
+    # cosine with per-row norms and MaxSim with per-row slice norms.
+    from logverzcore_spark.operators.similarity import (
+        _cosine_prenormed_expr,
+        _l2_norm_attr,
+        _maxsim_score_prenormed_expr,
+        _slice_norm_attr,
+    )
+
+    pre = pair.select(
+        "qid", "nid", "qvec", "nvec",
+        _l2_norm_attr("qvec").alias("_qn"),
+        _l2_norm_attr("nvec").alias("_nn"),
+        *[_slice_norm_attr("qvec", s, 16).alias(f"_qn{s}") for s in range(4)],
+        *[_slice_norm_attr("nvec", s, 16).alias(f"_nn{s}") for s in range(4)],
+    )
+    pc = pre.select(
+        "qid", "nid",
+        _cosine_prenormed_expr("qvec", "nvec", "_qn", "_nn").alias("c"),
+    )
+    assert oc.exceptAll(pc).count() == 0 and pc.exceptAll(oc).count() == 0
+    pm = pre.select(
+        "qid", "nid",
+        _maxsim_score_prenormed_expr("qvec", "nvec", "_qn", "_nn", 4, 16).alias("m"),
+    )
+    assert om.exceptAll(pm).count() == 0 and pm.exceptAll(om).count() == 0
+
 
 def test_minhash_pairs_from_sig_matches_lsh_pairs(docs):
     """The streaming-batch pair path (minhash_pairs_from_sig over a

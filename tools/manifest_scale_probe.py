@@ -67,6 +67,12 @@ def main() -> None:
     mode = modes[-1].split("=", 1)[1] if modes else "inline"
     if mode not in ("inline", "two-level"):
         raise SystemExit(f"unknown --mode={mode!r}: inline | two-level")
+    # r14 (VERDICT task 7): --points=... extends the sweep (e.g. to
+    # 65536) without changing the committed r12/r13-comparable defaults.
+    global POINTS
+    pts = [a for a in sys.argv[1:] if a.startswith("--points=")]
+    if pts:
+        POINTS = [int(x) for x in pts[-1].split("=", 1)[1].split(",")]
     spark = get_session()
     work = tempfile.mkdtemp(prefix="manifest_scale_")
     root = os.path.join(work, "t")
