@@ -1484,15 +1484,19 @@ def semantic_contamination(
 
     planes = similarity._hyperplanes(dim, n_planes)
     vec = F.col(vec_col).cast("array<double>")
+    # Norms staged once per row (r14, same move as cosine_topk): the
+    # cell join re-folded both sides' norms per contact PAIR.
     t = train.select(
         F.col(id_col).alias("_tid"), vec.alias("_tvec"),
         similarity.lsh_bucket(vec, planes).alias("_cell"),
-    )
+    ).withColumn("_tn", similarity._l2_norm_attr("_tvec"))
     b = benchmark.select(
         F.col(id_col).alias("_bid"), vec.alias("_bvec"),
         similarity.lsh_bucket(vec, planes).alias("_cell"),
+    ).withColumn("_bn", similarity._l2_norm_attr("_bvec"))
+    cos = F.round(
+        similarity._cosine_prenormed_expr("_tvec", "_bvec", "_tn", "_bn"), 6
     )
-    cos = F.round(similarity.cosine(F.col("_tvec"), F.col("_bvec")), 6)
     hits = (
         t.join(F.broadcast(b), "_cell")
         .select("_tid", "_bid", cos.alias("_cos"))

@@ -1733,24 +1733,37 @@ def mmr_rerank(
     vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_v")
     )
+    # Candidate-vector norm staged once per (query, neighbor) row
+    # (r14): the per-query self-join below re-folded both sides' norms
+    # per candidate PAIR (N²/2 pairs × 2 folds → N rows × 1 fold).
     cv = vecs.join(F.broadcast(cand), "neighbor_id").select(
-        "query_id", "neighbor_id", "cosine", "_v"
+        "query_id", "neighbor_id", "cosine", "_v",
+        _l2_norm_attr("_v").alias("_vn"),
     )
-    a, b = cv.alias("a"), cv.alias("b")
+    a = cv.select(
+        "query_id", F.col("neighbor_id").alias("_ida"),
+        F.col("_v").alias("_va"), F.col("_vn").alias("_na"),
+    )
+    b = cv.select(
+        "query_id", F.col("neighbor_id").alias("_idb"),
+        F.col("_v").alias("_vb"), F.col("_vn").alias("_nb"),
+    )
+    # a.neighbor_id < b.neighbor_id, so least/greatest of the old pair
+    # key resolve to (_ida, _idb) — same string, same values.
     pair_key = F.concat_ws(
-        ":", F.least("a.neighbor_id", "b.neighbor_id").cast("string"),
-        F.greatest("a.neighbor_id", "b.neighbor_id").cast("string"),
+        ":", F.col("_ida").cast("string"), F.col("_idb").cast("string")
     )
     pairs = (
         a.join(
             b,
-            (F.col("a.query_id") == F.col("b.query_id"))
-            & (F.col("a.neighbor_id") < F.col("b.neighbor_id")),
+            (a["query_id"] == b["query_id"]) & (F.col("_ida") < F.col("_idb")),
         )
         .select(
-            F.col("a.query_id").alias("query_id"),
+            a["query_id"].alias("query_id"),
             pair_key.alias("_pk"),
-            F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("_sim"),
+            F.round(
+                _cosine_prenormed_expr("_va", "_vb", "_na", "_nb"), 6
+            ).alias("_sim"),
         )
     )
     gsim = pairs.groupBy("query_id").agg(
